@@ -1,0 +1,9 @@
+"""dar_spark — PySpark-native data-quality profiler + LLM-pipeline operators.
+
+A ground-up Spark DataFrame re-expression of the capabilities of
+daisycrego/dar (semantic-type detection + 5-class cell classification),
+extended with large-scale training-data operators (dedup, similarity
+search, text analysis, multimodal plumbing).  See SURVEY.md.
+"""
+
+__version__ = "0.1.0"

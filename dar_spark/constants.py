@@ -1,0 +1,80 @@
+"""Reference dictionaries for the semantic validators.
+
+Derived from the behavior of /root/reference (state_boroughs/scripts/
+ah4896_modules.zip!constants.py) — the authoritative state / borough name
+lists the reference validates against.  Two committed defects are fixed by
+default and preserved behind ``strict_reference`` (SURVEY.md §0):
+
+- constants.py:35-36 has a missing comma, so Python adjacent-string
+  concatenation turns ``"S.D." "Tenn.",`` into the single bogus
+  abbreviation ``"S.D.Tenn."`` and silently loses both real entries.
+"""
+
+from __future__ import annotations
+
+import string
+
+BORO_NAMES = ["Brooklyn", "Manhattan", "Queens", "Staten Island", "Bronx"]
+BORO_ABBREVS = ["Mn", "Bn", "Qn", "Bx", "SI"]
+
+STATE_NAMES = [
+    "Alaska", "Alabama", "Arkansas", "American Samoa", "Arizona",
+    "California", "Colorado", "Connecticut", "District Of Columbia",
+    "Delaware", "Florida", "Georgia", "Guam", "Hawaii", "Iowa", "Idaho",
+    "Illinois", "Indiana", "Kansas", "Kentucky", "Louisiana",
+    "Massachusetts", "Maryland", "Maine", "Michigan", "Minnesota",
+    "Missouri", "Mississippi", "Montana", "North Carolina", "North Dakota",
+    "Nebraska", "New Hampshire", "New Jersey", "New Mexico", "Nevada",
+    "New York", "Ohio", "Oklahoma", "Oregon", "Pennsylvania", "Puerto Rico",
+    "Rhode Island", "South Carolina", "South Dakota", "Tennessee", "Texas",
+    "Utah", "Virginia", "Virgin Islands", "Vermont", "Washington",
+    "Wisconsin", "West Virginia", "Wyoming",
+]
+
+STATE_ACRONYMS = [
+    "AL", "AK", "AZ", "AR", "CA", "CO", "CT", "DC", "DE", "FL", "GA",
+    "HI", "ID", "IL", "IN", "IA", "KS", "KY", "LA", "ME", "MD",
+    "MA", "MI", "MN", "MS", "MO", "MT", "NE", "NV", "NH", "NJ",
+    "NM", "NY", "NC", "ND", "OH", "OK", "OR", "PA", "RI", "SC",
+    "SD", "TN", "TX", "UT", "VT", "VA", "WA", "WV", "WI", "WY",
+]
+
+# Fixed list: "S.D." and "Tenn." restored as separate entries.
+STATE_ABBREVS = [
+    "Ala.", "Ariz.", "Ark.", "Calif.", "Colo.", "Conn.",
+    "Del.", "Fla.", "Ga.", "Ill.", "Ind.", "Kan.", "Ky.",
+    "La.", "Md.", "Mass.", "Mich.", "Minn.",
+    "Miss.", "Mo.", "Mont.", "Neb.", "Nev.",
+    "N.H.", "N.J.", "N.M.", "N.Y.", "N.C.", "N.D.",
+    "Okla.", "Ore.", "Pa.", "R.I.", "S.C.", "S.D.",
+    "Tenn.", "Vt.", "Va.", "Wash.", "W.Va.", "Wis.", "Wyo.",
+]
+
+# The committed behavior (missing comma → concatenated entry, both real
+# abbreviations lost).
+STATE_ABBREVS_STRICT = [a for a in STATE_ABBREVS if a not in ("S.D.", "Tenn.")] + [
+    "S.D.Tenn."
+]
+
+
+def _strip_punct(s: str) -> str:
+    return s.translate(str.maketrans("", "", string.punctuation))
+
+
+def state_abbrevs_normalized(strict: bool = False) -> list[str]:
+    """Punctuation-stripped lowercase abbreviations, as the reference
+    compares them (check_states.py:21-25)."""
+    src = STATE_ABBREVS_STRICT if strict else STATE_ABBREVS
+    return sorted({_strip_punct(a).lower() for a in src})
+
+
+STATE_NAMES_LOWER = [s.lower() for s in STATE_NAMES]
+
+# Modified-E.164 country-code alternation used by the reference's phone
+# shape validator (phone-number-v0.py:58), rewritten without backslash
+# escapes so the pattern literal is dialect-portable.
+E164_PATTERN = (
+    "^[+](9[976][0-9]|8[987530][0-9]|6[987][0-9]|5[90][0-9]|42[0-9]|"
+    "3[875][0-9]|2[98654321][0-9]|9[8543210]|8[6421]|6[6543210]|"
+    "5[87654321]|4[987654310]|3[9643210]|2[70]|7|1)[0-9]{1,14}$"
+)

@@ -1,0 +1,122 @@
+"""SQL dialect abstraction: one semantic definition, two emitters.
+
+Every validator / generator in dar_spark is written as a SQL expression
+builder parameterized by a :class:`Dialect`.  The ``SPARK`` dialect emits
+Spark SQL (consumed via ``F.expr`` so plans stay inside Catalyst /
+whole-stage codegen); the ``DUCKDB`` dialect emits the equivalent DuckDB
+SQL used by the correctness oracle.  Keeping a single source of truth for
+the semantics is what makes the oracle comparison meaningful: both engines
+evaluate the *same* logical expression, so a mismatch is an engine-mapping
+bug, never semantic drift.
+
+Portability rules enforced here:
+
+- regex patterns are restricted to backslash-free character classes
+  (``[^0-9]`` style) so single-quoted literals are interpreted identically
+  by Spark's escaping parser and DuckDB's standard-SQL parser;
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag to replace all
+  occurrences (Spark always replaces all);
+- array helpers differ by name only (``size``/``len``,
+  ``split``/``string_split``, ``transform``/``list_transform``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Dialect:
+    name: str
+
+    # --- regex ---------------------------------------------------------
+    def re_replace(self, x: str, pat: str, rep: str = "") -> str:
+        """Replace ALL matches of pat (a backslash-free regex) in x."""
+        if self.name == "duckdb":
+            return f"regexp_replace({x}, '{pat}', '{rep}', 'g')"
+        return f"regexp_replace({x}, '{pat}', '{rep}')"
+
+    def rlike(self, x: str, pat: str) -> str:
+        if self.name == "duckdb":
+            return f"regexp_matches({x}, '{pat}')"
+        return f"({x} RLIKE '{pat}')"
+
+    # --- casts ---------------------------------------------------------
+    def cast_str(self, x: str) -> str:
+        t = "VARCHAR" if self.name == "duckdb" else "STRING"
+        return f"CAST({x} AS {t})"
+
+    def try_double(self, x: str) -> str:
+        return f"TRY_CAST({x} AS DOUBLE)"
+
+    def try_long(self, x: str) -> str:
+        return f"TRY_CAST({x} AS BIGINT)"
+
+    # --- arrays --------------------------------------------------------
+    def split(self, x: str, sep_regex: str) -> str:
+        """Split on a regex; both engines keep leading/trailing empties."""
+        if self.name == "duckdb":
+            return f"regexp_split_to_array({x}, '{sep_regex}')"
+        return f"split({x}, '{sep_regex}', -1)"
+
+    def split_lit(self, x: str, sep: str) -> str:
+        """Split on a literal separator string."""
+        if self.name == "duckdb":
+            return f"string_split({x}, '{sep}')"
+        # Spark's split() takes a regex; callers only pass regex-safe
+        # literals (space, comma).
+        return f"split({x}, '{sep}', -1)"
+
+    def arr_len(self, a: str) -> str:
+        return f"len({a})" if self.name == "duckdb" else f"size({a})"
+
+    def arr_get(self, a: str, i: str) -> str:
+        """1-based element access (both engines)."""
+        if self.name == "duckdb":
+            return f"list_extract({a}, {i})"
+        return f"element_at({a}, {i})"
+
+    def arr_transform(self, a: str, lam: str) -> str:
+        fn = "list_transform" if self.name == "duckdb" else "transform"
+        return f"{fn}({a}, {lam})"
+
+    def arr_filter(self, a: str, lam: str) -> str:
+        fn = "list_filter" if self.name == "duckdb" else "filter"
+        return f"{fn}({a}, {lam})"
+
+    def arr_distinct(self, a: str) -> str:
+        fn = "list_distinct" if self.name == "duckdb" else "array_distinct"
+        return f"{fn}({a})"
+
+    def arr_sort(self, a: str) -> str:
+        fn = "list_sort" if self.name == "duckdb" else "array_sort"
+        return f"{fn}({a})"
+
+    def arr_join(self, a: str, sep: str) -> str:
+        if self.name == "duckdb":
+            return f"list_aggregate({a}, 'string_agg', '{sep}')"
+        return f"array_join({a}, '{sep}')"
+
+    def int_seq(self, lo: str, hi: str) -> str:
+        """Array of ints lo..hi inclusive; empty when hi < lo."""
+        if self.name == "duckdb":
+            return f"range({lo}, greatest({hi} + 1, {lo}))"
+        return f"CASE WHEN {hi} >= {lo} THEN sequence({lo}, {hi}) ELSE array() END"
+
+    # --- misc ----------------------------------------------------------
+    def strip_punct(self, x: str) -> str:
+        """Delete ASCII punctuation (string.punctuation, 32 chars).
+
+        Uses translate() with chr(92) for the backslash so the literal
+        parses identically in both engines.
+        """
+        punct = "'!\"#$%&''()*+,-./:;<=>?@[' || chr(92) || ']^_`{|}~'"
+        return f"translate({x}, {punct}, '')"
+
+    def in_strings(self, x: str, values: list[str]) -> str:
+        lits = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+        return f"{x} IN ({lits})"
+
+
+SPARK = Dialect("spark")
+DUCKDB = Dialect("duckdb")

@@ -1,0 +1,334 @@
+"""Scalar validator expressions — the semantic core of the profiler.
+
+Each validator classifies one cell into the 5-class taxonomy of the
+reference (SURVEY.md §1):
+
+    1 valid | 2 misformatted-but-valid | 3 semantic outlier
+    4 null / disguised null | 5 well-formed but not real
+
+All validators are pure SQL expression builders over a
+:class:`dar_spark.dialect.Dialect` — no Python UDFs anywhere in the hot
+path, so Spark evaluates them inside whole-stage codegen and DuckDB can
+run the byte-identical semantics as the correctness oracle.
+
+Semantics are re-expressed (not copied) from the reference scripts:
+
+- phone:   /root/reference/phone-numbers/scripts/phone-number-v0.py:43-83
+- state:   /root/reference/state_boroughs/scripts/check_states.py:39-57
+- boro:    /root/reference/state_boroughs/scripts/check_boros.py:27-42
+- zip:     /root/reference/zip-lat-long-coords/scripts/zip-validate.py:34-67
+           and quick-zip.py:36-49
+- latlong: /root/reference/zip-lat-long-coords/scripts/latlong-validate.py:38-62
+- coords:  /root/reference/zip-lat-long-coords/scripts/coords-validate.py:34-73
+
+``strict_reference=True`` reproduces the committed defects byte-for-byte
+(SURVEY.md §0); the default fixes them:
+
+- zip null test: reference classes ANY value containing the letter n/N as
+  null (zip-validate.py:38); default uses a real null predicate.
+- state abbreviation list: reference loses "S.D."/"Tenn." to a missing
+  comma; default restores them.
+"""
+
+from __future__ import annotations
+
+from dar_spark.constants import (
+    BORO_ABBREVS,
+    BORO_NAMES,
+    E164_PATTERN,
+    STATE_ACRONYMS,
+    STATE_NAMES,
+    STATE_NAMES_LOWER,
+    state_abbrevs_normalized,
+)
+from dar_spark.dialect import Dialect
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def default_null_pred(d: Dialect, x: str) -> str:
+    """Fixed-mode disguised-null predicate: NULL, empty/whitespace, or a
+    canonical null token."""
+    s = f"lower(trim({d.cast_str(x)}))"
+    return f"({x} IS NULL OR {s} = '' OR {s} IN ('none', 'null', 'n/a'))"
+
+
+# ---------------------------------------------------------------------------
+# phone (v0: shape-only, modified E.164)
+# ---------------------------------------------------------------------------
+
+
+def phone_clean(d: Dialect, x: str) -> str:
+    """Strip every non-word char (the reference's re.sub(r'\\W') + r'\\s';
+    whitespace is a subset of non-word)."""
+    return d.re_replace(d.cast_str(x), "[^0-9A-Za-z_]", "")
+
+
+def phone_status(d: Dialect, x: str) -> str:
+    c = phone_clean(d, x)
+    all_same = f"length(replace({c}, substr({c}, 1, 1), '')) = 0"
+    return f"""CASE
+  WHEN {x} IS NULL THEN 5
+  WHEN {d.rlike(c, '^[A-Za-z]')} THEN 5
+  WHEN length({c}) < 5 OR length({c}) > 15 THEN 5
+  WHEN length({c}) < 15 AND {all_same} THEN 4
+  WHEN substr({c}, 1, 1) = '1' AND {d.rlike("('+' || " + c + ")", E164_PATTERN)} THEN 1
+  WHEN substr({c}, 1, 1) <> '1' AND {d.rlike("('+1' || " + c + ")", E164_PATTERN)} THEN 1
+  ELSE 3
+END"""
+
+
+def phone_normalized(d: Dialect, x: str) -> str:
+    """E.164-normalized number for status 1, original value otherwise."""
+    c = phone_clean(d, x)
+    return f"""CASE
+  WHEN ({phone_status(d, x)}) <> 1 THEN {d.cast_str(x)}
+  WHEN substr({c}, 1, 1) = '1' THEN '+' || {c}
+  ELSE '+1' || {c}
+END"""
+
+
+# ---------------------------------------------------------------------------
+# US state
+# ---------------------------------------------------------------------------
+
+
+def state_status(d: Dialect, x: str, strict_reference: bool = False) -> str:
+    s = d.cast_str(x)
+    sp = d.strip_punct(s)
+    abbrevs = state_abbrevs_normalized(strict=strict_reference)
+    return f"""CASE
+  WHEN {x} IS NULL OR {s} = '' OR lower({s}) = 'n/a' THEN 4
+  WHEN {d.in_strings(s, STATE_NAMES)} THEN 1
+  WHEN {d.in_strings(f'trim({s})', STATE_NAMES)}
+    OR {d.in_strings(f'upper({sp})', STATE_ACRONYMS)}
+    OR {d.in_strings(f'lower({sp})', abbrevs)}
+    OR {d.in_strings(f'lower({s})', STATE_NAMES_LOWER)} THEN 2
+  ELSE 3
+END"""
+
+
+def state_normalized(d: Dialect, x: str, strict_reference: bool = False) -> str:
+    """Reference keeps the raw value for statuses 1-3 and None for null."""
+    s = d.cast_str(x)
+    return f"CASE WHEN ({state_status(d, x, strict_reference)}) = 4 THEN NULL ELSE {s} END"
+
+
+# ---------------------------------------------------------------------------
+# NYC borough
+# ---------------------------------------------------------------------------
+
+
+def boro_status(d: Dialect, x: str) -> str:
+    s = d.cast_str(x)
+    # check_boros.py:17 capitalizes only the first character and lowercases
+    # the ENTIRE tail, so 'STATEN ISLAND' -> 'Staten island' (not a name).
+    cap = f"(upper(substr({s}, 1, 1)) || lower(substr({s}, 2)))"
+    return f"""CASE
+  WHEN {x} IS NULL OR {s} = '' OR lower({s}) = 'n/a' THEN 4
+  WHEN {d.in_strings(s, BORO_NAMES)} THEN 1
+  WHEN {d.in_strings(f'trim({s})', BORO_NAMES)}
+    OR {d.in_strings(s, BORO_ABBREVS)}
+    OR {d.in_strings(cap, BORO_NAMES)} THEN 2
+  ELSE 3
+END"""
+
+
+def boro_normalized(d: Dialect, x: str) -> str:
+    s = d.cast_str(x)
+    return f"CASE WHEN ({boro_status(d, x)}) = 4 THEN NULL ELSE {s} END"
+
+
+# ---------------------------------------------------------------------------
+# ZIP code
+# ---------------------------------------------------------------------------
+
+
+def _zip_parts(d: Dialect, x: str):
+    s = f"trim({d.cast_str(x)})"
+    digits = d.re_replace(s, "[^0-9]", "")
+    return s, digits
+
+
+def zip_null_pred(d: Dialect, x: str, strict_reference: bool) -> str:
+    s, _ = _zip_parts(d, x)
+    if strict_reference:
+        # zip-validate.py:38 — ANY value containing n/N is "null".
+        return f"({x} IS NULL OR instr({s}, 'n') > 0 OR instr({s}, 'N') > 0 OR {s} = '')"
+    return default_null_pred(d, x)
+
+
+def zip_quick_status(d: Dialect, x: str, strict_reference: bool = False) -> str:
+    """Format-only ZIP check (quick-zip.py:36-49): statuses 1/3/4 only."""
+    s, digits = _zip_parts(d, x)
+    dash9 = f"(substr({s}, 1, 5) || substr({s}, 7, 4))"
+    return f"""CASE
+  WHEN {zip_null_pred(d, x, strict_reference)} THEN 4
+  WHEN length({digits}) NOT IN (5, 9) THEN 3
+  WHEN length({s}) = 5 AND length({digits}) = 5 THEN 1
+  WHEN length({s}) = 10 AND instr({s}, '-') > 0 AND {d.try_double(dash9)} IS NOT NULL THEN 1
+  ELSE 3
+END"""
+
+
+def zip_join_key(d: Dialect, x: str, strict_reference: bool = False) -> str:
+    """5-digit realness-lookup key, NULL when no dictionary check applies.
+
+    The reference's zipcodes.is_real truncates to the first 5 digits
+    (zipcodes/__init__.py _clean: ``zipcode.split("-")[0]``), so zip+4
+    realness only depends on the 5-digit prefix.
+    """
+    s, digits = _zip_parts(d, x)
+    dash9 = f"(substr({s}, 1, 5) || substr({s}, 7, 4))"
+    return f"""CASE
+  WHEN {zip_null_pred(d, x, strict_reference)} THEN NULL
+  WHEN length({digits}) NOT IN (5, 9) THEN NULL
+  WHEN length({s}) = 5 AND length({digits}) = 5 THEN {s}
+  WHEN length({s}) = 10 AND instr({s}, '-') > 0 AND {d.try_double(dash9)} IS NOT NULL THEN substr({s}, 1, 5)
+  WHEN length({s}) = 9 AND {d.try_double(s)} IS NOT NULL THEN substr({s}, 1, 5)
+  WHEN length({digits}) = 5 THEN {digits}
+  ELSE NULL
+END"""
+
+
+def zip_full_status(
+    d: Dialect, x: str, is_real: str, strict_reference: bool = False
+) -> str:
+    """Dictionary-backed ZIP check (zip-validate.py:34-67).
+
+    ``is_real`` is a boolean SQL expression — in Spark the broadcast-join
+    hit flag, in DuckDB a join against the same reference relation.  Note
+    the reference's asymmetry: unreal 5-digit → 5, but unreal 9-digit or
+    junk-embedded → 3 (zip-validate.py:53-65); preserved in both modes.
+    """
+    s, digits = _zip_parts(d, x)
+    dash9 = f"(substr({s}, 1, 5) || substr({s}, 7, 4))"
+    return f"""CASE
+  WHEN {zip_null_pred(d, x, strict_reference)} THEN 4
+  WHEN length({digits}) NOT IN (5, 9) THEN 3
+  WHEN length({s}) = 5 AND length({digits}) = 5 THEN CASE WHEN {is_real} THEN 1 ELSE 5 END
+  WHEN length({s}) = 10 AND instr({s}, '-') > 0 AND {d.try_double(dash9)} IS NOT NULL THEN CASE WHEN {is_real} THEN 1 ELSE 5 END
+  WHEN length({s}) = 9 AND {d.try_double(s)} IS NOT NULL THEN CASE WHEN {is_real} THEN 2 ELSE 3 END
+  WHEN length({digits}) = 5 THEN CASE WHEN {is_real} THEN 2 ELSE 3 END
+  ELSE 3
+END"""
+
+
+def zip_normalized(d: Dialect, x: str, strict_reference: bool = False) -> str:
+    """Dash-normalized ``#####`` / ``#####-####`` form per branch."""
+    s, digits = _zip_parts(d, x)
+    dash9 = f"(substr({s}, 1, 5) || substr({s}, 7, 4))"
+    return f"""CASE
+  WHEN {zip_null_pred(d, x, strict_reference)} THEN {s}
+  WHEN length({digits}) NOT IN (5, 9) THEN {s}
+  WHEN length({s}) = 5 AND length({digits}) = 5 THEN {s}
+  WHEN length({s}) = 10 AND instr({s}, '-') > 0 AND {d.try_double(dash9)} IS NOT NULL THEN substr({s}, 1, 5) || '-' || substr({s}, 7, 4)
+  WHEN length({s}) = 9 AND {d.try_double(s)} IS NOT NULL THEN substr({s}, 1, 5) || '-' || substr({s}, 6, 4)
+  WHEN length({digits}) = 5 THEN {digits}
+  ELSE {s}
+END"""
+
+
+# ---------------------------------------------------------------------------
+# latitude / longitude
+# ---------------------------------------------------------------------------
+
+
+def latlong_null_pred(d: Dialect, x: str) -> str:
+    """latlong-validate.py:47 — empty or SUBSTRING none/null/n/a."""
+    s = f"trim({d.cast_str(x)})"
+    low = f"lower({s})"
+    return (
+        f"({x} IS NULL OR {s} = '' OR instr({low}, 'none') > 0 "
+        f"OR instr({low}, 'null') > 0 OR instr({low}, 'n/a') > 0)"
+    )
+
+
+def latlong_status(d: Dialect, x: str, kind: str, pair_mode: bool = False) -> str:
+    """kind: 'lat' (±90) or 'long' (±180).
+
+    Quirk preserved: validity requires ``len(str) > 5``, so '40.8' is a
+    status-3 outlier (latlong-validate.py:50-55).  ``pair_mode`` applies
+    the coords-validate.py:52-73 variant where out-of-range numerics map
+    to 3 instead of 5.
+    """
+    bound = 90 if kind == "lat" else 180
+    s = f"trim({d.cast_str(x)})"
+    v = d.try_double(s)
+    stripped = f"replace(replace({s}, 'N', ''), 'W', '')"
+    v2 = d.try_double(stripped)
+    oor = "3" if pair_mode else "5"
+    return f"""CASE
+  WHEN {latlong_null_pred(d, x)} THEN 4
+  WHEN {v} IS NOT NULL AND length({s}) > 5 THEN CASE WHEN {v} BETWEEN -{bound} AND {bound} THEN 1 ELSE {oor} END
+  WHEN {v2} IS NOT NULL AND length({s}) > 5 THEN CASE WHEN {v2} BETWEEN -{bound} AND {bound} THEN 2 ELSE 3 END
+  ELSE 3
+END"""
+
+
+def latlong_value(d: Dialect, x: str) -> str:
+    """Parsed numeric value (double) when one exists, else NULL."""
+    s = f"trim({d.cast_str(x)})"
+    v = d.try_double(s)
+    stripped = f"replace(replace({s}, 'N', ''), 'W', '')"
+    return f"coalesce({v}, {d.try_double(stripped)})"
+
+
+# ---------------------------------------------------------------------------
+# (lat, long) coordinate pair
+# ---------------------------------------------------------------------------
+
+
+def _coords_cleaned(d: Dialect, x: str) -> str:
+    """Strip whitespace then bracket/parenthesis chars
+    (coords-validate.py:37-38)."""
+    s = f"trim({d.cast_str(x)})"
+    return (
+        f"replace(replace(replace(replace({s}, '[', ''), ']', ''), '(', ''), ')', '')"
+    )
+
+
+def coords_pair_status(d: Dialect, x: str) -> str:
+    s = _coords_cleaned(d, x)
+    n_space = d.arr_len(d.split_lit(s, " "))
+    n_comma = d.arr_len(d.split_lit(s, ","))
+    n_runs = d.arr_len(d.split(s, "[^0-9]+"))
+    return f"""CASE
+  WHEN {x} IS NULL OR ({n_space} = 1 AND (instr({s}, 'n') > 0 OR instr({s}, 'N') > 0 OR {s} = '')) THEN 4
+  WHEN instr({s}, ',') > 0 AND {n_comma} = 2 THEN 1
+  WHEN instr({s}, ' ') > 0 AND {n_space} = 2 THEN 1
+  WHEN {n_runs} IN (4, 5) THEN 2
+  ELSE 3
+END"""
+
+
+def coords_part(d: Dialect, x: str, which: int) -> str:
+    """SQL for the raw lat (which=1) / long (which=2) part of a pair, NULL
+    when the pair did not split into exactly two parts."""
+    s = _coords_cleaned(d, x)
+    by_comma = d.split_lit(s, ",")
+    by_space = d.split_lit(s, " ")
+    return f"""CASE
+  WHEN instr({s}, ',') > 0 AND {d.arr_len(by_comma)} = 2 THEN {d.arr_get(by_comma, str(which))}
+  WHEN instr({s}, ' ') > 0 AND {d.arr_len(by_space)} = 2 THEN {d.arr_get(by_space, str(which))}
+  ELSE NULL
+END"""
+
+
+def coords_part_status(d: Dialect, x: str, which: int) -> str:
+    kind = "lat" if which == 1 else "long"
+    part = coords_part(d, x, which)
+    return f"""CASE
+  WHEN ({coords_pair_status(d, x)}) <> 1 THEN NULL
+  ELSE ({latlong_status(d, part, kind, pair_mode=True)})
+END"""
+
+
+def coords_part_value(d: Dialect, x: str, which: int) -> str:
+    part = coords_part(d, x, which)
+    return f"""CASE
+  WHEN ({coords_pair_status(d, x)}) <> 1 THEN NULL
+  ELSE ({latlong_value(d, part)})
+END"""

@@ -1,0 +1,119 @@
+"""Column-type detection — the profiler's "query planner" (SURVEY.md §2b).
+
+The reference detects per-datatype columns by sampling ~100 rows and
+counting cells that validate with status 1 or 2 (thresholds: ≥1 for the
+phone/state/boro family, ≥5 for zip/lat/coords; latlong additionally
+gates on a column-name heuristic — latlong-validate.py:74).
+
+This implementation computes *every* (validator × column) valid-count in
+ONE aggregate over the sample: a single scan, a single-row result, no
+shuffle of data rows.  The wide 1-row aggregate is then melted driver-side
+(it is O(validators × columns) cells, trivially small).  Detection
+confidence (valid-rate in sample) is reported instead of a bare boolean
+(the reference's documented false positives, SURVEY.md §2b).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.operators.profile import status_col
+
+DEFAULT_THRESHOLDS = {
+    "phone": 1, "state": 1, "boro": 1,
+    "zip_quick": 5, "lat": 5, "long": 5, "coords": 5,
+}
+
+NAME_GATES = {
+    # latlong-validate.py:74 — only consider columns whose name contains
+    # lat/long; the kind (±90 vs ±180) also comes from the name.
+    "lat": re.compile(r"lat", re.I),
+    "long": re.compile(r"long", re.I),
+}
+
+
+@dataclass
+class Detection:
+    validator: str
+    column: str
+    n_valid: int
+    n_sampled: int
+    threshold: int
+    detected: bool
+
+    @property
+    def confidence(self) -> float:
+        return self.n_valid / self.n_sampled if self.n_sampled else 0.0
+
+
+def _valid_expr(validator: str, column: str) -> Column:
+    s = status_col(validator, column)
+    return F.sum(F.when(s.isin(1, 2), 1).otherwise(0))
+
+
+def detect(
+    df: DataFrame,
+    validators: list[str] | None = None,
+    columns: list[str] | None = None,
+    sample_rows: int = 100,
+    sample_pred: Column | None = None,
+    thresholds: dict[str, int] | None = None,
+    apply_name_gates: bool = True,
+) -> list[Detection]:
+    """Detect which columns contain which semantic datatype.
+
+    ``sample_pred`` gives a deterministic sample (e.g. key < N) for
+    reproducible runs; default is ``limit(sample_rows)`` which, like the
+    reference's take(100), depends on scan order.
+    """
+    validators = validators or list(DEFAULT_THRESHOLDS)
+    columns = columns or [c for c, t in df.dtypes if t == "string"]
+    thresholds = {**DEFAULT_THRESHOLDS, **(thresholds or {})}
+
+    sample = (
+        df.filter(sample_pred) if sample_pred is not None else df.limit(sample_rows)
+    )
+
+    pairs = []
+    for v in validators:
+        gate = NAME_GATES.get(v)
+        for c in columns:
+            if apply_name_gates and gate is not None and not gate.search(c):
+                continue
+            pairs.append((v, c))
+    if not pairs:
+        return []
+
+    aggs = [
+        _valid_expr(v, c).alias(f"{i}") for i, (v, c) in enumerate(pairs)
+    ] + [F.count(F.lit(1)).alias("_n")]
+    row = sample.agg(*aggs).collect()[0]
+
+    n_sampled = row["_n"]
+    out = []
+    for i, (v, c) in enumerate(pairs):
+        n_valid = row[f"{i}"] or 0
+        thr = thresholds.get(v, 1)
+        out.append(
+            Detection(
+                validator=v, column=c, n_valid=int(n_valid),
+                n_sampled=int(n_sampled), threshold=thr,
+                detected=int(n_valid) >= thr,
+            )
+        )
+    return out
+
+
+def detect_df(spark, detections: list[Detection]) -> DataFrame:
+    """Render a detection list as a DataFrame (for queries()/reports)."""
+    rows = [
+        (d.validator, d.column, d.n_valid, d.n_sampled, d.detected)
+        for d in detections
+    ]
+    return spark.createDataFrame(
+        rows, "validator string, column string, n_valid long, n_sampled long, detected boolean"
+    )

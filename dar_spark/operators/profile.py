@@ -1,0 +1,140 @@
+"""Classification operators: per-cell validate, all columns in one pass.
+
+Where the reference re-scans the full CSV once per detected column and
+crosses the JVM↔Python boundary per row (SURVEY.md §3), these operators
+compile every validator to native Column expressions in a single
+``select`` — one scan, zero Python crossings, whole-stage codegen.  The
+only join is the broadcast ZIP-dictionary lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.dialect import SPARK
+from dar_spark.functions import validators as V
+
+# validator name -> (status_sql_fn, normalized_sql_fn or None)
+_SIMPLE_VALIDATORS = {
+    "phone": (V.phone_status, V.phone_normalized),
+    "state": (V.state_status, V.state_normalized),
+    "boro": (V.boro_status, V.boro_normalized),
+    "zip_quick": (V.zip_quick_status, V.zip_normalized),
+    "lat": (lambda d, x, **kw: V.latlong_status(d, x, "lat"), None),
+    "long": (lambda d, x, **kw: V.latlong_status(d, x, "long"), None),
+    "coords": (V.coords_pair_status, None),
+}
+
+VALIDATOR_NAMES = list(_SIMPLE_VALIDATORS) + ["zip_full"]
+
+
+def status_col(validator: str, column: str, **kw) -> Column:
+    """Status Column (1-5) for a validator over a column. Pure expression."""
+    status_fn, _ = _SIMPLE_VALIDATORS[validator]
+    return F.expr(status_fn(SPARK, column, **kw))
+
+
+def normalized_col(validator: str, column: str, **kw) -> Column:
+    _, norm_fn = _SIMPLE_VALIDATORS[validator]
+    if norm_fn is None:
+        raise ValueError(f"no normalizer for {validator}")
+    return F.expr(norm_fn(SPARK, column, **kw))
+
+
+def classify(
+    df: DataFrame,
+    validator: str,
+    column: str,
+    id_col: str,
+    strict_reference: bool = False,
+) -> DataFrame:
+    """Per-row classification → (row_id, status, normalized).
+
+    Single narrow projection; no shuffle.  For ``lat``/``long``/``coords``
+    the normalized slot is the parsed double value.
+    """
+    kw = {}
+    if validator in ("phone",):
+        pass
+    elif validator in ("state",):
+        kw = {"strict_reference": strict_reference}
+    elif validator in ("zip_quick",):
+        kw = {"strict_reference": strict_reference}
+
+    if validator in ("lat", "long"):
+        kind = validator
+        return df.select(
+            F.col(id_col).alias("row_id"),
+            F.expr(V.latlong_status(SPARK, column, kind)).alias("status"),
+            F.expr(V.latlong_value(SPARK, column)).alias("coord"),
+        )
+    if validator == "coords":
+        return df.select(
+            F.col(id_col).alias("row_id"),
+            F.expr(V.coords_pair_status(SPARK, column)).alias("pair_status"),
+            F.expr(V.coords_part_status(SPARK, column, 1)).alias("lat_status"),
+            F.expr(V.coords_part_value(SPARK, column, 1)).alias("lat_value"),
+            F.expr(V.coords_part_status(SPARK, column, 2)).alias("long_status"),
+            F.expr(V.coords_part_value(SPARK, column, 2)).alias("long_value"),
+        )
+    return df.select(
+        F.col(id_col).alias("row_id"),
+        status_col(validator, column, **kw).alias("status"),
+        normalized_col(validator, column, **kw).alias("normalized"),
+    )
+
+
+def classify_zip_full(
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    zips: DataFrame,
+    strict_reference: bool = False,
+) -> DataFrame:
+    """Dictionary-backed ZIP classification via broadcast left join.
+
+    Replaces the reference's per-cell 42,632-entry linear scan
+    (zip-validate.py:42-65) with one broadcast hash join — the single
+    biggest scale win over the baseline (BASELINE.md).
+    """
+    key = V.zip_join_key(SPARK, column, strict_reference)
+    keyed = df.select(
+        F.col(id_col).alias("row_id"),
+        F.col(column).alias("_raw"),
+        F.expr(key).alias("_zip5"),
+    )
+    joined = keyed.join(
+        F.broadcast(zips.select(F.col("zip_code").alias("_zip5"), F.lit(True).alias("_hit"))),
+        on="_zip5",
+        how="left",
+    )
+    is_real = "(_hit IS NOT NULL)"
+    return joined.select(
+        "row_id",
+        F.expr(V.zip_full_status(SPARK, "_raw", is_real, strict_reference)).alias("status"),
+        F.expr(V.zip_normalized(SPARK, "_raw", strict_reference)).alias("normalized"),
+    )
+
+
+def status_histogram(
+    df: DataFrame, validator_columns: dict[str, str], id_col: str | None = None
+) -> DataFrame:
+    """(column, status, n) histogram for many validator/column pairs in ONE
+    scan: explode an array of structs, then a tiny hash aggregate.
+
+    At scale this is a single pass + a partial/final agg whose shuffle is
+    O(columns × 5 statuses), independent of row count.
+    """
+    structs = [
+        F.struct(
+            F.lit(name).alias("column"),
+            status_col(v, c).alias("status"),
+        )
+        for name, (v, c) in validator_columns.items()
+    ]
+    return (
+        df.select(F.explode(F.array(*structs)).alias("r"))
+        .groupBy(F.col("r.column").alias("column"), F.col("r.status").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

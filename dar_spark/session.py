@@ -1,0 +1,67 @@
+"""SparkSession factory tuned for the profiling workload.
+
+Local testing runs on ``local[N]``; the same config block is what we'd
+ship to a 1000-executor cluster — AQE handles runtime coalescing and skew
+so ``spark.sql.shuffle.partitions`` only needs to be a sane upper bound
+per core count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def get_session(app_name: str = "dar_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.driver.memory", os.environ.get("DAR_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        # Validators are ASCII-shape checks; ANSI off keeps permissive
+        # casts aligned with the reference's str()-everything model.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Register every fixture parquet as a temp view; returns name→DataFrame.
+
+    events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark only
+    reads via the nanosAsLong legacy conf (as a BIGINT of nanos); convert
+    it back to TIMESTAMP_NTZ so semantics match engines that read nanos
+    natively (e.g. the DuckDB oracle).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        for field, dtype in df.dtypes:
+            if dtype == "bigint" and field in ("ts",):
+                df = df.withColumn(
+                    field,
+                    F.expr(
+                        f"CAST(timestamp_micros({field} DIV 1000) AS TIMESTAMP_NTZ)"
+                    ),
+                )
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

@@ -1,0 +1,41 @@
+"""ZIP-code reference dictionary (the broadcast-join side of zip_full).
+
+The reference ships a 42,632-entry JSON dictionary and does an O(n)
+Python scan per cell (zipcodes/__init__.py — the ~4-11 rows/s baseline in
+BASELINE.md).  Here the dictionary is a DataFrame broadcast-joined once
+per query: at 100 TB the probe side streams through a ~1 MB hash map on
+every executor, zero shuffle.
+
+Two loaders:
+- :func:`zips_df` — real dictionary from a ``zips.json`` path
+  (``DAR_SPARK_ZIPS_JSON`` env or explicit argument);
+- :func:`synthetic_zips_df` — deterministic 10k-entry dictionary used by
+  tests and the DuckDB oracle (every third code from 10000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dar_spark.testgen import ZIPS_REF_N
+
+
+def synthetic_zips_df(spark: SparkSession) -> DataFrame:
+    """Mirror of testgen.zips_ref_duckdb_cte — keep the two in sync."""
+    return spark.range(ZIPS_REF_N).select(
+        F.expr("printf('%05d', 10000 + id * 3)").alias("zip_code")
+    )
+
+
+def zips_df(spark: SparkSession, path: str | None = None) -> DataFrame:
+    path = path or os.environ.get("DAR_SPARK_ZIPS_JSON", "")
+    if not path or not os.path.exists(path):
+        return synthetic_zips_df(spark)
+    with open(path, "rb") as f:
+        records = json.loads(f.read())
+    codes = sorted({str(r["zip_code"])[:5] for r in records})
+    return spark.createDataFrame([(c,) for c in codes], "zip_code string")

@@ -1,0 +1,153 @@
+"""Deterministic dirty-column generators, portable across Spark and DuckDB.
+
+The driver's fixtures (TESTDATA.md) are clean typed tables; the profiler
+needs dirty string columns.  These snippets synthesize them *inside the
+query* from an integer key ``k``, using only engine-portable SQL
+(CASE / printf / || / %), so the Spark query and the DuckDB oracle
+classify byte-identical inputs.  Content mix per class follows
+FIXTURES.md §B1.
+
+Conventions: ``k`` is a non-negative BIGINT SQL expression (a fixture
+key).  Every branch is exercised at any scale because selection is
+``k % N``.
+"""
+
+from __future__ import annotations
+
+
+def dirty_phone(k: str) -> str:
+    """Mix over the phone taxonomy (valid NANP-ish, formatted, disguised
+    nulls, short/long/alpha outliers)."""
+    return f"""CASE ({k}) % 12
+  WHEN 0 THEN printf('%03d%07d', 201 + ({k}) % 699, ({k}) % 10000000)
+  WHEN 1 THEN '+1' || printf('%03d%07d', 212 + ({k}) % 600, ({k}) % 10000000)
+  WHEN 2 THEN '1' || printf('%03d%07d', 301 + ({k}) % 500, ({k}) % 10000000)
+  WHEN 3 THEN printf('(%03d) 555-%04d', 202 + ({k}) % 97, ({k}) % 10000)
+  WHEN 4 THEN '999-999-9999'
+  WHEN 5 THEN ''
+  WHEN 6 THEN '8888888888'
+  WHEN 7 THEN printf('%03d', ({k}) % 1000)
+  WHEN 8 THEN '12345678901234567890'
+  WHEN 9 THEN 'call-me-maybe'
+  WHEN 10 THEN '+44' || printf('%09d', ({k}) % 1000000000)
+  ELSE printf('%04d', ({k}) % 10000) || 'x' || printf('%06d', ({k}) % 1000000)
+END"""
+
+
+def dirty_state(k: str) -> str:
+    return f"""CASE ({k}) % 12
+  WHEN 0 THEN 'New York'
+  WHEN 1 THEN 'California'
+  WHEN 2 THEN 'NY'
+  WHEN 3 THEN 'N.Y.'
+  WHEN 4 THEN 'new york'
+  WHEN 5 THEN ' Texas '
+  WHEN 6 THEN 'SOUTH RICHMOND HILL'
+  WHEN 7 THEN 'Tenn.'
+  WHEN 8 THEN ''
+  WHEN 9 THEN 'N/A'
+  WHEN 10 THEN 'Brooklyn'
+  ELSE printf('%05d', ({k}) % 100000)
+END"""
+
+
+def dirty_boro(k: str) -> str:
+    return f"""CASE ({k}) % 12
+  WHEN 0 THEN 'Brooklyn'
+  WHEN 1 THEN 'Staten Island'
+  WHEN 2 THEN 'MANHATTAN'
+  WHEN 3 THEN 'Bx'
+  WHEN 4 THEN 'bronx'
+  WHEN 5 THEN ' Queens '
+  WHEN 6 THEN 'SI'
+  WHEN 7 THEN 'staten island'
+  WHEN 8 THEN ''
+  WHEN 9 THEN 'N/A'
+  WHEN 10 THEN 'Ridgewood'
+  ELSE 'NEW YORK'
+END"""
+
+
+def dirty_zip(k: str) -> str:
+    """ZIP mix; realness against the synthetic dictionary (zips_ref_sql) is
+    controlled by the (v-10000) % 3 == 0 congruence."""
+    return f"""CASE ({k}) % 12
+  WHEN 0 THEN printf('%05d', 10000 + ({k}) % 30000)
+  WHEN 1 THEN printf('%05d', 10000 + ({k}) % 30000) || '-' || printf('%04d', ({k}) % 10000)
+  WHEN 2 THEN printf('%05d', 10000 + ({k}) % 30000) || printf('%04d', ({k}) % 10000)
+  WHEN 3 THEN printf('%04d', ({k}) % 10000)
+  WHEN 4 THEN ''
+  WHEN 5 THEN 'None'
+  WHEN 6 THEN 'zip ' || printf('%05d', 10000 + ({k}) % 30000)
+  WHEN 7 THEN printf('%07d', ({k}) % 10000000)
+  WHEN 8 THEN printf('%05d', 10000 + ({k}) % 30000) || '-' || printf('%03dx', ({k}) % 1000)
+  WHEN 9 THEN 'abc def'
+  WHEN 10 THEN '-' || printf('%09d', ({k}) % 1000000000)
+  ELSE printf('%05d', 10000 + ({k}) % 30000)
+END"""
+
+
+def dirty_lat(k: str) -> str:
+    return f"""CASE ({k}) % 10
+  WHEN 0 THEN printf('40.%05d', ({k}) % 100000)
+  WHEN 1 THEN printf('-40.%04d', ({k}) % 10000)
+  WHEN 2 THEN printf('95.%05d', ({k}) % 100000)
+  WHEN 3 THEN '40.8'
+  WHEN 4 THEN printf('40.%05dN', ({k}) % 100000)
+  WHEN 5 THEN ''
+  WHEN 6 THEN 'null'
+  WHEN 7 THEN 'uptown'
+  WHEN 8 THEN printf('-200.%05d', ({k}) % 100000)
+  ELSE printf('89.%06dW', ({k}) % 1000000)
+END"""
+
+
+def dirty_lon(k: str) -> str:
+    return f"""CASE ({k}) % 10
+  WHEN 0 THEN printf('-73.%05d', ({k}) % 100000)
+  WHEN 1 THEN printf('179.%04d', ({k}) % 10000)
+  WHEN 2 THEN printf('-200.%05d', ({k}) % 100000)
+  WHEN 3 THEN '-73.9'
+  WHEN 4 THEN printf('-73.%05dW', ({k}) % 100000)
+  WHEN 5 THEN ''
+  WHEN 6 THEN 'n/a'
+  WHEN 7 THEN 'downtown'
+  WHEN 8 THEN printf('359.%05d', ({k}) % 100000)
+  ELSE printf('121.%06dN', ({k}) % 1000000)
+END"""
+
+
+def dirty_coords(k: str) -> str:
+    return f"""CASE ({k}) % 10
+  WHEN 0 THEN '(' || printf('40.%05d', ({k}) % 100000) || ', ' || printf('-73.%05d', ({k}) % 100000) || ')'
+  WHEN 1 THEN printf('40.%04d', ({k}) % 10000) || ' ' || printf('-73.%04d', ({k}) % 10000)
+  WHEN 2 THEN printf('92.%06d', ({k}) % 1000000) || 'x' || printf('19.%05d', ({k}) % 100000)
+  WHEN 3 THEN 'Bronx'
+  WHEN 4 THEN ''
+  WHEN 5 THEN 'None'
+  WHEN 6 THEN '[' || printf('40.%05d', ({k}) % 100000) || ',' || printf('-73.%05d', ({k}) % 100000) || ']'
+  WHEN 7 THEN printf('40.%d', ({k}) % 10) || ', ' || printf('-74.%d', ({k}) % 10)
+  WHEN 8 THEN '(' || printf('95.%05d', ({k}) % 100000) || ', ' || printf('-473.%05d', ({k}) % 100000) || ')'
+  ELSE 'unknown location'
+END"""
+
+
+def dirty_free_text(k: str) -> str:
+    """Decoy column no validator should detect."""
+    return f"'note ' || printf('%d', ({k}) % 97) || ' lorem ipsum'"
+
+
+# ---------------------------------------------------------------------------
+# synthetic ZIP reference dictionary (broadcast-join side)
+# ---------------------------------------------------------------------------
+
+ZIPS_REF_N = 10000
+
+
+def zips_ref_duckdb_cte() -> str:
+    """DuckDB relation equivalent to sources.zips.synthetic_zips_df —
+    every third 5-digit code starting at 10000 is 'registered'."""
+    return (
+        f"SELECT printf('%05d', 10000 + i * 3) AS zip_code "
+        f"FROM range({ZIPS_REF_N}) t(i)"
+    )

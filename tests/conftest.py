@@ -1,0 +1,40 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("DAR_SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from dar_spark.session import get_session
+
+    s = get_session("dar_spark_tests", cpus=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def tables(spark):
+    from dar_spark.session import load_tables
+
+    return load_tables(spark, SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for n in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        p = os.path.join(SF_DIR, f"{n}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {n} AS SELECT * FROM read_parquet('{p}')")
+    return con

@@ -1,0 +1,243 @@
+"""Unit value-tables for every validator, run through BOTH engines.
+
+Expected statuses are hand-derived from the reference semantics
+(SURVEY.md §2c citations in dar_spark/functions/validators.py); each case
+is evaluated via Spark SQL *and* DuckDB to prove the dialect emitters
+agree with each other and with the expectation.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dar_spark.dialect import DUCKDB, SPARK
+from dar_spark.functions import validators as V
+
+# (value, expected_status) — value None means SQL NULL
+PHONE_CASES = [
+    ("2013347135", 1),        # 10-digit, +1 prefix retry matches
+    ("+12013347135", 1),      # explicit +1 (plus stripped, leading 1 re-prefixed)
+    ("12013347135", 1),       # leading 1 → '+' retry
+    ("(201) 334-7135", 1),    # formatting stripped
+    ("999-999-9999", 4),      # disguised null: all-identical digits
+    ("8888888888", 4),
+    ("", 5),                  # len 0 < 5 → length outlier (reference quirk)
+    (None, 5),                # str(None) → alphabetic → 5
+    ("abc12345", 5),          # alphabetic first char
+    ("123", 5),               # too short
+    ("1234567890123456", 5),  # 16 digits, too long
+    ("4412345678x9", 3),      # alpha mid-string → regex fails → 3
+    ("441234567890123", 3),   # 15 digits: +1-prefix → 16 > cc+14 → no match
+    ("99999999999999", 4),    # 14 same digits < 15 → null
+    ("999999999999999", 3),   # 15 same digits: not null (len≥15), no match
+]
+
+STATE_CASES = [
+    ("New York", 1),
+    ("California", 1),
+    ("NY", 2),                # acronym
+    ("ny", 2),                # acronym after upper()
+    ("N.Y.", 2),              # abbreviation, punctuation stripped
+    ("new york", 2),          # capitalization fix
+    ("NEW YORK", 2),
+    (" Texas ", 2),           # spacing fix
+    ("Tenn.", 2),             # fixed list (strict mode: 3)
+    ("S.D.", 2),
+    ("SOUTH RICHMOND HILL", 3),
+    ("Brooklyn", 3),
+    ("12345", 3),
+    ("", 4),
+    ("N/A", 4),
+    ("n/a", 4),
+    (None, 4),
+    ("new  york", 3),         # double space: no match any tier
+]
+
+BORO_CASES = [
+    ("Brooklyn", 1),
+    ("Staten Island", 1),
+    ("MANHATTAN", 2),         # first-upper + tail-lower = 'Manhattan'
+    ("brooklyn", 2),
+    ("Bx", 2),
+    ("SI", 2),
+    (" Queens ", 2),          # spacing
+    ("STATEN ISLAND", 3),     # tail-lower gives 'Staten island' ∉ names
+    ("staten island", 3),
+    ("Ridgewood", 3),
+    ("NEW YORK", 3),
+    ("", 4),
+    ("N/A", 4),
+    (None, 4),
+]
+
+# strict_reference=False (fixed null predicate)
+ZIP_QUICK_CASES = [
+    ("10025", 1),
+    ("93117-4349", 1),
+    ("-123456789", 1),        # reference quirk: concat '-12346789' is numeric
+    ("931174349", 3),         # 9 digits undashed → 3 in quick mode
+    ("1234", 3),
+    ("0123456", 3),
+    ("zip 12345", 3),
+    ("", 4),
+    ("None", 4),
+    (None, 4),
+    ("12345-678x", 3),        # 8 digits
+    ("abc def", 3),
+]
+
+# strict mode: any n/N ⇒ null
+ZIP_QUICK_STRICT_CASES = [
+    ("10025N", 4),
+    ("None", 4),
+    ("zip 12345", 3),         # no n/N
+    ("10025", 1),
+]
+
+LAT_CASES = [
+    ("40.81507", 1),
+    ("-40.8150", 1),
+    ("95.12345", 5),          # numeric, out of ±90
+    ("40.8", 3),              # len ≤ 5 quirk
+    ("-73.1", 3),
+    ("40.81507N", 2),         # N stripped, in range
+    ("121.81507N", 3),        # N stripped, out of range (lat)
+    ("", 4),
+    ("null", 4),
+    ("n/a", 4),
+    ("NONE", 4),
+    (None, 4),
+    ("uptown", 3),
+    ("-200.12345", 5),
+]
+
+LON_CASES = [
+    ("-73.98765", 1),
+    ("179.1234", 1),
+    ("-200.12345", 5),
+    ("-73.98765W", 2),
+    ("359.98765W", 3),
+]
+
+COORDS_CASES = [
+    # (value, pair_status, lat_status, long_status)
+    ("(40.57545, -74.10785)", 1, 1, 1),
+    ("40.5754 -74.1078", 1, 1, 1),
+    ("[40.57545,-73.90210]", 1, 1, 1),
+    ("40.5, -74.1", 1, 3, 3),          # parts too short (len≤5 quirk)
+    ("92.094576x19.23445", 2, None, None),
+    ("Bronx", 4, None, None),          # single token containing n
+    ("", 4, None, None),
+    (None, 4, None, None),
+    ("unknown location", 1, 3, 3),  # any 2 space-split tokens "pair up"
+    ("(95.12345, -473.12345)", 1, 3, 3),  # pair splits, parts out of range → 3
+]
+
+
+def _run_spark(spark, sql_expr: str, value):
+    df = spark.createDataFrame([(value,)], "x string")
+    return df.selectExpr(f"({sql_expr}) AS r").collect()[0]["r"]
+
+
+def _run_duck(sql_expr: str, value):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x VARCHAR)")
+    con.execute("INSERT INTO t VALUES (?)", [value])
+    return con.execute(f"SELECT ({sql_expr}) FROM t").fetchone()[0]
+
+
+def _check(spark, build_fn, cases, **kw):
+    spark_sql = build_fn(SPARK, "x", **kw)
+    duck_sql = build_fn(DUCKDB, "x", **kw)
+    for value, expected in cases:
+        got_s = _run_spark(spark, spark_sql, value)
+        got_d = _run_duck(duck_sql, value)
+        assert got_s == expected, f"spark: {value!r} -> {got_s}, want {expected}"
+        assert got_d == expected, f"duckdb: {value!r} -> {got_d}, want {expected}"
+
+
+def test_phone_status(spark):
+    _check(spark, V.phone_status, PHONE_CASES)
+
+
+def test_phone_normalized(spark):
+    sql = V.phone_normalized(SPARK, "x")
+    assert _run_spark(spark, sql, "2013347135") == "+12013347135"
+    assert _run_spark(spark, sql, "12013347135") == "+12013347135"
+    assert _run_spark(spark, sql, "(201) 334-7135") == "+12013347135"
+    assert _run_spark(spark, sql, "999-999-9999") == "999-999-9999"
+    dsql = V.phone_normalized(DUCKDB, "x")
+    assert _run_duck(dsql, "2013347135") == "+12013347135"
+
+
+def test_state_status(spark):
+    _check(spark, V.state_status, STATE_CASES)
+
+
+def test_state_strict_loses_sd_tenn(spark):
+    sql = V.state_status(SPARK, "x", strict_reference=True)
+    assert _run_spark(spark, sql, "Tenn.") == 3
+    # "S.D." still matches via the acronym tier ("SD") even in strict mode
+    assert _run_spark(spark, sql, "S.D.") == 2
+    assert _run_spark(spark, sql, "S.D.Tenn.") == 2  # the committed bug
+
+
+def test_boro_status(spark):
+    _check(spark, V.boro_status, BORO_CASES)
+
+
+def test_zip_quick_status(spark):
+    _check(spark, V.zip_quick_status, ZIP_QUICK_CASES)
+
+
+def test_zip_quick_strict(spark):
+    _check(spark, V.zip_quick_status, ZIP_QUICK_STRICT_CASES, strict_reference=True)
+
+
+def test_lat_status(spark):
+    _check(spark, lambda d, x: V.latlong_status(d, x, "lat"), LAT_CASES)
+
+
+def test_long_status(spark):
+    _check(spark, lambda d, x: V.latlong_status(d, x, "long"), LON_CASES)
+
+
+def test_coords_status(spark):
+    for value, pair, lat_s, long_s in COORDS_CASES:
+        for d, runner in ((SPARK, lambda e, v: _run_spark(spark, e, v)), (DUCKDB, _run_duck)):
+            got_pair = runner(V.coords_pair_status(d, "x"), value)
+            got_lat = runner(V.coords_part_status(d, "x", 1), value)
+            got_long = runner(V.coords_part_status(d, "x", 2), value)
+            assert got_pair == pair, f"{d.name}: {value!r} pair -> {got_pair}, want {pair}"
+            assert got_lat == lat_s, f"{d.name}: {value!r} lat -> {got_lat}, want {lat_s}"
+            assert got_long == long_s, f"{d.name}: {value!r} long -> {got_long}, want {long_s}"
+
+
+def test_zip_full_status(spark):
+    # synthetic dictionary: real iff 5-digit code ≡ 10000 (mod 3), i.e.
+    # (v - 10000) % 3 == 0 for v in [10000, 40000)
+    from dar_spark.operators.profile import classify_zip_full
+    from dar_spark.sources.zips import synthetic_zips_df
+
+    cases = [
+        ("10003", 1),        # (10003-10000)%3==0 → real
+        ("10004", 5),        # not in dict
+        ("99999", 5),        # out of dict range
+        ("10003-1234", 1),
+        ("10004-1234", 5),
+        ("100031234", 2),    # 9 undashed, real prefix
+        ("100041234", 3),    # 9 undashed, unreal prefix
+        ("zip 10003", 2),    # 5 digits amid junk, real
+        ("zip 10004", 3),
+        ("1234", 3),
+        ("", 4),
+        ("None", 4),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(cases)], "row_id long, x string"
+    )
+    out = classify_zip_full(df, "x", "row_id", synthetic_zips_df(spark))
+    got = {r["row_id"]: r["status"] for r in out.collect()}
+    for i, (v, expected) in enumerate(cases):
+        assert got[i] == expected, f"{v!r} -> {got[i]}, want {expected}"
