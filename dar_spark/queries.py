@@ -1,0 +1,758 @@
+"""Query registry: every operator exposed as (Spark callable, DuckDB oracle).
+
+This is the correctness surface consumed by ``__spark_entry__.py``.  Each
+entry pairs a Spark DataFrame program with the equivalent DuckDB SQL; the
+driver runs both at sf=0.01 and hash-compares values (order-insensitive,
+column-name-sorted), so column names/types are aligned on both sides.
+
+Three query families:
+
+1. **Profiler** (SURVEY.md §2) — dirty columns synthesized deterministically
+   from fixture keys (dar_spark.testgen, byte-identical in both engines),
+   classified by the dialect-shared validator expressions.
+2. **Analytics** — dialect-neutral SQL (TPC-H-style aggregates, joins,
+   windows) run verbatim on both engines; exact decimal aggregation
+   emitted as DOUBLE.
+3. **LLM-pipeline extensions** — dedup (exact / MinHash-LSH / SimHash),
+   embedding similarity, text analysis.  Near-dup inputs are
+   dup-injected deterministically (doc_id - doc_id % 3 self-join) since
+   the synthetic corpus has no natural duplicates.
+
+Floating-point outputs that involve re-associated arithmetic (cosines,
+ratios) are rounded to 6 dp on both sides; double noise is ~1e-15 so the
+probability of straddling a rounding boundary is negligible.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dar_spark import testgen
+from dar_spark.dialect import DUCKDB, SPARK, Dialect
+from dar_spark.functions import validators as V
+from dar_spark.operators import detect as DT
+from dar_spark.operators import profile as P
+from dar_spark.session import load_tables
+from dar_spark.sources.zips import synthetic_zips_df
+
+K_ORDERS = "o_orderkey"
+K_LINEITEM = "(l_orderkey * 8 + l_linenumber)"
+
+
+@dataclass
+class Q:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    headline: bool = False  # included in bench.py
+
+
+# ---------------------------------------------------------------------------
+# family 1: per-row profiler queries
+# ---------------------------------------------------------------------------
+
+
+def _profile_pair(name, table, k, gen, status_fn, norm_fn, **kw):
+    """Build (spark_fn, oracle_sql) for a per-row classify query."""
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        df = t[table].selectExpr(f"{k} AS row_id", f"{gen(k)} AS x")
+        return df.select(
+            "row_id",
+            F.expr(status_fn(SPARK, "x", **kw)).alias("status"),
+            F.expr(norm_fn(SPARK, "x", **kw)).alias("normalized"),
+        )
+
+    oracle = f"""WITH base AS (SELECT {k} AS row_id, {gen(k)} AS x FROM {table})
+SELECT row_id, ({status_fn(DUCKDB, 'x', **kw)}) AS status,
+       ({norm_fn(DUCKDB, 'x', **kw)}) AS normalized
+FROM base"""
+    return Q(spark_fn, oracle)
+
+
+def _latlong_pair(kind, gen):
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        df = t["lineitem"].selectExpr(f"{K_LINEITEM} AS row_id", f"{gen(K_LINEITEM)} AS x")
+        return df.select(
+            "row_id",
+            F.expr(V.latlong_status(SPARK, "x", kind)).alias("status"),
+            F.expr(V.latlong_value(SPARK, "x")).alias("coord"),
+        )
+
+    oracle = f"""WITH base AS (SELECT {K_LINEITEM} AS row_id, {gen(K_LINEITEM)} AS x FROM lineitem)
+SELECT row_id, ({V.latlong_status(DUCKDB, 'x', kind)}) AS status,
+       ({V.latlong_value(DUCKDB, 'x')}) AS coord
+FROM base"""
+    return Q(spark_fn, oracle)
+
+
+def _coords_pair():
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        df = t["lineitem"].selectExpr(
+            f"{K_LINEITEM} AS row_id", f"{testgen.dirty_coords(K_LINEITEM)} AS x"
+        )
+        return P.classify(df, "coords", "x", "row_id")
+
+    d = DUCKDB
+    oracle = f"""WITH base AS (SELECT {K_LINEITEM} AS row_id, {testgen.dirty_coords(K_LINEITEM)} AS x FROM lineitem)
+SELECT row_id,
+       ({V.coords_pair_status(d, 'x')}) AS pair_status,
+       ({V.coords_part_status(d, 'x', 1)}) AS lat_status,
+       ({V.coords_part_value(d, 'x', 1)}) AS lat_value,
+       ({V.coords_part_status(d, 'x', 2)}) AS long_status,
+       ({V.coords_part_value(d, 'x', 2)}) AS long_value
+FROM base"""
+    return Q(spark_fn, oracle)
+
+
+def _zip_full_pair():
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        df = t["lineitem"].selectExpr(
+            f"{K_LINEITEM} AS row_id", f"{testgen.dirty_zip(K_LINEITEM)} AS x"
+        )
+        return P.classify_zip_full(df, "x", "row_id", synthetic_zips_df(spark))
+
+    d = DUCKDB
+    oracle = f"""WITH zips AS ({testgen.zips_ref_duckdb_cte()}),
+base AS (SELECT {K_LINEITEM} AS row_id, {testgen.dirty_zip(K_LINEITEM)} AS x FROM lineitem),
+keyed AS (SELECT row_id, x, ({V.zip_join_key(d, 'x')}) AS zip5 FROM base),
+j AS (SELECT keyed.*, (z.zip_code IS NOT NULL) AS hit FROM keyed LEFT JOIN zips z ON keyed.zip5 = z.zip_code)
+SELECT row_id, ({V.zip_full_status(d, 'x', 'hit')}) AS status,
+       ({V.zip_normalized(d, 'x')}) AS normalized
+FROM j"""
+    return Q(spark_fn, oracle, headline=True)
+
+
+# ---------------------------------------------------------------------------
+# wide dirty table (detection + histogram)
+# ---------------------------------------------------------------------------
+
+WIDE_COLS = [
+    ("phone_c", testgen.dirty_phone),
+    ("state_c", testgen.dirty_state),
+    ("boro_c", testgen.dirty_boro),
+    ("zip_c", testgen.dirty_zip),
+    ("store_lat", testgen.dirty_lat),
+    ("longitude", testgen.dirty_lon),
+    ("location", testgen.dirty_coords),
+    ("platform", lambda k: f"printf('%d', ({k}) % 100)"),
+    ("free_text", testgen.dirty_free_text),
+]
+
+DETECT_SAMPLE_MAX = 1500  # deterministic sample: row_id < 1500
+
+_STATUS_FNS = {
+    "phone": V.phone_status,
+    "state": V.state_status,
+    "boro": V.boro_status,
+    "zip_quick": V.zip_quick_status,
+    "lat": lambda d, x: V.latlong_status(d, x, "lat"),
+    "long": lambda d, x: V.latlong_status(d, x, "long"),
+    "coords": V.coords_pair_status,
+}
+
+
+def _wide_df(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].selectExpr(
+        f"{K_LINEITEM} AS row_id",
+        *[f"{gen(K_LINEITEM)} AS {alias}" for alias, gen in WIDE_COLS],
+    )
+
+
+def _wide_cte() -> str:
+    cols = ", ".join(f"{gen(K_LINEITEM)} AS {alias}" for alias, gen in WIDE_COLS)
+    return f"SELECT {K_LINEITEM} AS row_id, {cols} FROM lineitem"
+
+
+def _detect_pairs() -> list[tuple[str, str]]:
+    """Exact (validator, column) pairs, mirroring detect()'s name gates."""
+    pairs = []
+    for v in DT.DEFAULT_THRESHOLDS:
+        gate = DT.NAME_GATES.get(v)
+        for alias, _ in WIDE_COLS:
+            if gate is not None and not gate.search(alias):
+                continue
+            pairs.append((v, alias))
+    return pairs
+
+
+def _detect_columns_q() -> Q:
+    def spark_fn(spark, sf_dir):
+        wide = _wide_df(spark, sf_dir)
+        dets = DT.detect(wide, sample_pred=F.col("row_id") < DETECT_SAMPLE_MAX)
+        out = DT.detect_df(spark, dets)
+        return out.withColumnRenamed("column", "column_name")
+
+    d = DUCKDB
+    selects = []
+    for v, c in _detect_pairs():
+        status = _STATUS_FNS[v](d, c)
+        thr = DT.DEFAULT_THRESHOLDS[v]
+        selects.append(
+            f"SELECT '{v}' AS validator, '{c}' AS column_name, "
+            f"CAST(SUM(CASE WHEN ({status}) IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_sampled, "
+            f"(CAST(SUM(CASE WHEN ({status}) IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT) >= {thr}) AS detected "
+            f"FROM sample"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    oracle = f"""WITH base AS ({_wide_cte()}),
+sample AS (SELECT * FROM base WHERE row_id < {DETECT_SAMPLE_MAX})
+{union}"""
+    return Q(spark_fn, oracle, headline=True)
+
+
+def _profile_histogram_q() -> Q:
+    hist_cols = {
+        "phone_c": ("phone", "phone_c"),
+        "state_c": ("state", "state_c"),
+        "boro_c": ("boro", "boro_c"),
+        "zip_c": ("zip_quick", "zip_c"),
+        "store_lat": ("lat", "store_lat"),
+        "longitude": ("long", "longitude"),
+        "location": ("coords", "location"),
+    }
+
+    def spark_fn(spark, sf_dir):
+        wide = _wide_df(spark, sf_dir)
+        return P.status_histogram(wide, hist_cols).withColumnRenamed(
+            "column", "column_name"
+        )
+
+    d = DUCKDB
+    selects = [
+        f"SELECT '{c}' AS column_name, ({_STATUS_FNS[v](d, c)}) AS status, "
+        f"CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1, 2"
+        for c, (v, _) in hist_cols.items()
+    ]
+    union = "\nUNION ALL\n".join(selects)
+    oracle = f"WITH base AS ({_wide_cte()})\n{union}"
+    return Q(spark_fn, oracle, headline=True)
+
+
+def _column_stats_q() -> Q:
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ]
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        df = t["lineitem"]
+        aggs = [F.count(F.lit(1)).alias("_total")]
+        for c in cols:
+            aggs.append(F.count(c).alias(f"nn_{c}"))
+            aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        row = df.agg(*aggs).collect()[0]
+        rows = [
+            (c, int(row["_total"] - row[f"nn_{c}"]), int(row[f"nd_{c}"]))
+            for c in cols
+        ]
+        return spark.createDataFrame(
+            rows, "column_name string, n_nulls long, n_distinct long"
+        )
+
+    selects = [
+        f"SELECT '{c}' AS column_name, "
+        f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM lineitem"
+        for c in cols
+    ]
+    return Q(spark_fn, "\nUNION ALL\n".join(selects))
+
+
+# ---------------------------------------------------------------------------
+# family 2: dialect-neutral analytics SQL (run verbatim on both engines)
+# ---------------------------------------------------------------------------
+
+Q1_SQL = """SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1999-06-30'
+GROUP BY l_returnflag, l_linestatus"""
+
+Q3_SQL = """SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-06-30'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-06-30'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10"""
+
+Q5_SQL = """SELECT r_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name"""
+
+TOP_EVENTS_SQL = """SELECT user_id, event_id, value AS event_value, CAST(rn AS BIGINT) AS rank_n
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+) x WHERE rn <= 3"""
+
+
+def _sql_q(sql: str, headline: bool = False) -> Q:
+    def spark_fn(spark, sf_dir):
+        load_tables(spark, sf_dir)
+        return spark.sql(sql)
+
+    return Q(spark_fn, sql, headline=headline)
+
+
+# ---------------------------------------------------------------------------
+# family 3: LLM-pipeline extension operators
+# ---------------------------------------------------------------------------
+
+# dup-injected corpus: docs in consecutive triples share the text of the
+# triple representative (doc_id - doc_id % 3) — deterministic near-dup
+# ground truth on a corpus with no natural duplicates.
+CORPUS_CTE = (
+    "SELECT a.doc_id, b.text FROM documents a "
+    "JOIN documents b ON b.doc_id = a.doc_id - (a.doc_id % 3)"
+)
+
+
+def _corpus_df(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    rep = docs.select(
+        F.col("doc_id").alias("rep_id"), F.col("text").alias("rep_text")
+    )
+    return (
+        docs.select("doc_id", F.expr("doc_id - doc_id % 3").alias("rep_id"))
+        .join(rep, "rep_id")
+        .select("doc_id", F.col("rep_text").alias("text"))
+    )
+
+
+def _dedup_exact_q() -> Q:
+    def spark_fn(spark, sf_dir):
+        corpus = _corpus_df(spark, sf_dir)
+        return (
+            corpus.groupBy(F.md5(F.col("text")).alias("fp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("keep_id"),
+            )
+            .filter("n_docs > 1")
+        )
+
+    oracle = f"""WITH corpus AS ({CORPUS_CTE})
+SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keep_id
+FROM corpus GROUP BY 1 HAVING COUNT(*) > 1"""
+    return Q(spark_fn, oracle, headline=True)
+
+
+MINHASH_JACCARD_THRESHOLD = 0.6
+
+
+def _dedup_minhash_q() -> Q:
+    """MinHash-LSH near-dup: 3-token shingles → 8 deterministic min-hashes
+    (lexicographic min of seeded md5, portable across engines) → 2 bands
+    of 4 → band-bucket self-join → exact Jaccard verification.
+
+    At scale: the shuffle is on band keys (random md5 strings — naturally
+    uniform, no skew), candidate pairs ≈ true near-dups, and verification
+    joins only candidates.  Spark's ml.MinHashLSH is avoided because its
+    random coefficients are not reproducible in the oracle.
+    """
+
+    def spark_fn(spark, sf_dir):
+        corpus = _corpus_df(spark, sf_dir)
+        toks = "split(lower(text), ' ', -1)"
+        shingle = (
+            f"array_distinct(transform(sequence(1, greatest(size({toks}) - 2, 0)), "
+            f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1), "
+            f"' ', element_at({toks}, i + 2))))"
+        )
+        sh = corpus.selectExpr("doc_id", f"{shingle} AS s").filter("size(s) > 0")
+        ex = sh.select("doc_id", F.explode("s").alias("g"))
+        sig = ex.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("g")))).alias(f"h{j}")
+                for j in range(8)
+            ]
+        )
+        bands = sig.select(
+            "doc_id",
+            F.md5(F.concat("h0", "h1", "h2", "h3")).alias("b0"),
+            F.md5(F.concat("h4", "h5", "h6", "h7")).alias("b1"),
+        )
+        cands = None
+        for b in ("b0", "b1"):
+            a = bands.select(F.col("doc_id").alias("doc_id_a"), F.col(b).alias("bk"))
+            bb = bands.select(F.col("doc_id").alias("doc_id_b"), F.col(b).alias("bk"))
+            c = a.join(bb, "bk").filter("doc_id_a < doc_id_b").select(
+                "doc_id_a", "doc_id_b"
+            )
+            cands = c if cands is None else cands.unionByName(c)
+        cands = cands.distinct()
+        sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa"))
+        sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb"))
+        j = (
+            cands.join(sa, "doc_id_a")
+            .join(sb, "doc_id_b")
+            .selectExpr(
+                "doc_id_a",
+                "doc_id_b",
+                "size(array_intersect(sa, sb)) AS i",
+                "size(sa) AS na",
+                "size(sb) AS nb",
+            )
+        )
+        return j.selectExpr(
+            "doc_id_a",
+            "doc_id_b",
+            "round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard",
+        ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {MINHASH_JACCARD_THRESHOLD}")
+
+    mins = ", ".join(f"min(md5('{j}|' || g)) AS h{j}" for j in range(8))
+    oracle = f"""WITH corpus AS ({CORPUS_CTE}),
+t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM t),
+shf AS (SELECT * FROM sh WHERE len(s) > 0),
+ex AS (SELECT doc_id, unnest(s) AS g FROM shf),
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+bands AS (SELECT doc_id, md5(h0 || h1 || h2 || h3) AS b0, md5(h4 || h5 || h6 || h7) AS b1 FROM sig),
+cand AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+),
+j AS (SELECT c.doc_id_a, c.doc_id_b, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) AS na, len(sb.s) AS nb
+      FROM cand c JOIN shf sa ON sa.doc_id = c.doc_id_a JOIN shf sb ON sb.doc_id = c.doc_id_b)
+SELECT doc_id_a, doc_id_b, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {MINHASH_JACCARD_THRESHOLD}"""
+    return Q(spark_fn, oracle, headline=True)
+
+
+_HEX_HIGH = "('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')"
+
+
+def _dedup_simhash_q() -> Q:
+    """16-bit SimHash over distinct unigrams (bit b votes +1/-1 by the
+    high bit of md5 hex nibble b); duplicate groups share a fingerprint."""
+
+    def spark_fn(spark, sf_dir):
+        corpus = _corpus_df(spark, sf_dir)
+        ex = corpus.select(
+            "doc_id",
+            F.explode(F.expr("array_distinct(split(lower(text), ' ', -1))")).alias("tk"),
+        ).filter("tk <> ''")
+        sums = [
+            F.sum(
+                F.expr(
+                    f"CASE WHEN substr(md5(tk), {b + 1}, 1) IN {_HEX_HIGH} THEN 1 ELSE -1 END"
+                )
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
+        bits = ex.groupBy("doc_id").agg(*sums)
+        fp = F.concat(
+            *[F.expr(f"CASE WHEN s{b} > 0 THEN '1' ELSE '0' END") for b in range(16)]
+        ).alias("simhash")
+        return (
+            bits.select("doc_id", fp)
+            .groupBy("simhash")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+            .filter("n_docs > 1")
+        )
+
+    sums = ", ".join(
+        f"SUM(CASE WHEN substr(md5(tk), {b + 1}, 1) IN {_HEX_HIGH} THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    fp = " || ".join(f"CASE WHEN s{b} > 0 THEN '1' ELSE '0' END" for b in range(16))
+    oracle = f"""WITH corpus AS ({CORPUS_CTE}),
+ex AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tk FROM corpus),
+exf AS (SELECT * FROM ex WHERE tk <> ''),
+bits AS (SELECT doc_id, {sums} FROM exf GROUP BY doc_id),
+fps AS (SELECT doc_id, {fp} AS simhash FROM bits)
+SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keep_id
+FROM fps GROUP BY simhash HAVING COUNT(*) > 1"""
+    return Q(spark_fn, oracle)
+
+
+def _text_stats_q() -> Q:
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        d = SPARK
+        toks = d.split_lit("lower(text)", " ")
+        n_tokens = d.arr_len(toks)
+        n_uniq = d.arr_len(d.arr_distinct(toks))
+        n_the = d.arr_len(d.arr_filter(toks, "t -> t = 'the'"))
+        n_a = d.arr_len(d.arr_filter(toks, "t -> t = 'a'"))
+        return t["documents"].selectExpr(
+            "doc_id",
+            "length(text) AS n_chars_calc",
+            f"{n_tokens} AS n_tokens",
+            f"{n_uniq} AS n_uniq",
+            f"round(CAST({n_uniq} AS DOUBLE) / {n_tokens}, 6) AS ttr",
+            f"round(CAST({n_the} + {n_a} AS DOUBLE) / {n_tokens}, 6) AS stop_ratio",
+            f"round(0.4 * least(CAST({n_tokens} AS DOUBLE) / 100.0, 1.0) "
+            f"+ 0.4 * (CAST({n_uniq} AS DOUBLE) / {n_tokens}) "
+            f"+ 0.2 * (1.0 - CAST({n_the} + {n_a} AS DOUBLE) / {n_tokens}), 6) AS quality_score",
+        )
+
+    d = DUCKDB
+    toks = d.split_lit("lower(text)", " ")
+    n_tokens = d.arr_len(toks)
+    n_uniq = d.arr_len(d.arr_distinct(toks))
+    n_the = d.arr_len(d.arr_filter(toks, "t -> t = 'the'"))
+    n_a = d.arr_len(d.arr_filter(toks, "t -> t = 'a'"))
+    oracle = f"""SELECT doc_id,
+  length(text) AS n_chars_calc,
+  {n_tokens} AS n_tokens,
+  {n_uniq} AS n_uniq,
+  round(CAST({n_uniq} AS DOUBLE) / {n_tokens}, 6) AS ttr,
+  round(CAST({n_the} + {n_a} AS DOUBLE) / {n_tokens}, 6) AS stop_ratio,
+  round(0.4 * least(CAST({n_tokens} AS DOUBLE) / 100.0, 1.0)
+      + 0.4 * (CAST({n_uniq} AS DOUBLE) / {n_tokens})
+      + 0.2 * (1.0 - CAST({n_the} + {n_a} AS DOUBLE) / {n_tokens}), 6) AS quality_score
+FROM documents"""
+    return Q(spark_fn, oracle, headline=True)
+
+
+def _lang_id_q() -> Q:
+    """Stopword-count language heuristic (deterministic stub — the corpus
+    is a synthetic shared-vocabulary word bag, so this tests the plumbing
+    and determinism of the operator, not linguistic accuracy)."""
+
+    def _exprs(d: Dialect):
+        toks = d.split_lit("lower(text)", " ")
+        n_the = d.arr_len(d.arr_filter(toks, "t -> t = 'the'"))
+        n_a = d.arr_len(d.arr_filter(toks, "t -> t = 'a'"))
+        pred = (
+            f"CASE WHEN {n_the} = 0 AND {n_a} = 0 THEN 'und' "
+            f"WHEN {n_the} >= {n_a} THEN 'en' ELSE 'es' END"
+        )
+        return pred
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        return t["documents"].selectExpr(
+            "doc_id", f"{_exprs(SPARK)} AS pred_lang", "lang AS actual_lang"
+        )
+
+    oracle = f"SELECT doc_id, {_exprs(DUCKDB)} AS pred_lang, lang AS actual_lang FROM documents"
+    return Q(spark_fn, oracle)
+
+
+def _fingerprint_q() -> Q:
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        return t["documents"].selectExpr(
+            "doc_id", "md5(lower(trim(text))) AS fingerprint"
+        )
+
+    return Q(
+        spark_fn,
+        "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
+    )
+
+
+def _token_topk_q() -> Q:
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        return (
+            t["documents"]
+            .select(F.explode(F.expr("split(lower(text), ' ', -1)")).alias("token"))
+            .filter("token <> ''")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "token")
+            .limit(20)
+        )
+
+    oracle = """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) x
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token LIMIT 20"""
+    return Q(spark_fn, oracle)
+
+
+def _media_inventory_q() -> Q:
+    sql = """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source"""
+    return _sql_q(sql)
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+TOPK_QUERY_STRIDE = 50  # vec_id % 50 == 0 are the query vectors
+TOPK_K = 5
+
+
+def _embed_cosine_topk_q() -> Q:
+    """Brute-force cosine top-k: broadcast the (small) query set, one scan
+    of the corpus, per-query window rank.  The LSH-bucketed variant for
+    full n×n scale is operators/similarity.py."""
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        e = t["embeddings"].select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        ).withColumn(
+            "nrm", F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))")
+        )
+        q = e.filter(f"vec_id % {TOPK_QUERY_STRIDE} = 0").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        j = e.join(F.broadcast(q), F.expr("vec_id <> query_id"))
+        scored = j.selectExpr(
+            "query_id",
+            "vec_id AS neighbor_id",
+            "round(aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x) / (qn * nrm), 6) AS cos_sim",
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
+            .filter(f"rank_n <= {TOPK_K}")
+        )
+
+    oracle = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {TOPK_QUERY_STRIDE} = 0),
+p AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        round(list_dot_product(q.qv, e.v) /
+              (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+      FROM q, e WHERE e.vec_id <> q.qid),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank_n FROM p)
+SELECT query_id, neighbor_id, cos_sim, rank_n FROM r WHERE rank_n <= {TOPK_K}"""
+    return Q(spark_fn, oracle, headline=True)
+
+
+DUP_SUBSET_MOD = 20  # vec_id % 20 in (0, 1) participate in the pair scan
+EMBED_DUP_THRESHOLD = 0.999
+
+
+def _embed_dup_pairs_q() -> Q:
+    """Embedding near-dup pairs over a dup-injected subset (cos ≥ 0.999 ≈
+    exact duplicates; natural max cosine in the corpus is ~0.48)."""
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        e = t["embeddings"].select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+        rep = e.select(F.col("vec_id").alias("rep_id"), F.col("v").alias("rep_v"))
+        c = (
+            e.select("vec_id", F.expr("vec_id - vec_id % 3").alias("rep_id"))
+            .join(rep, "rep_id")
+            .filter(f"vec_id % {DUP_SUBSET_MOD} IN (0, 1)")
+            .select("vec_id", F.col("rep_v").alias("v"))
+            .withColumn(
+                "nrm",
+                F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"),
+            )
+        )
+        a = c.select(
+            F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        )
+        b = c.select(
+            F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        )
+        p = a.join(b, F.expr("vec_id_a < vec_id_b")).selectExpr(
+            "vec_id_a",
+            "vec_id_b",
+            "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x) / (na * nb), 6) AS cos_sim",
+        )
+        return p.filter(f"cos_sim >= {EMBED_DUP_THRESHOLD}")
+
+    oracle = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT a.vec_id, b.v FROM e a JOIN e b ON b.vec_id = a.vec_id - (a.vec_id % 3)
+      WHERE a.vec_id % {DUP_SUBSET_MOD} IN (0, 1)),
+p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        round(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      FROM c a JOIN c b ON a.vec_id < b.vec_id)
+SELECT vec_id_a, vec_id_b, cos_sim FROM p WHERE cos_sim >= {EMBED_DUP_THRESHOLD}"""
+    return Q(spark_fn, oracle)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def build_registry() -> dict[str, Q]:
+    r: dict[str, Q] = {}
+    r["phone_profile"] = _profile_pair(
+        "phone_profile", "orders", K_ORDERS, testgen.dirty_phone,
+        V.phone_status, V.phone_normalized,
+    )
+    r["phone_profile"].headline = True
+    r["state_profile"] = _profile_pair(
+        "state_profile", "orders", K_ORDERS, testgen.dirty_state,
+        V.state_status, V.state_normalized,
+    )
+    r["boro_profile"] = _profile_pair(
+        "boro_profile", "orders", K_ORDERS, testgen.dirty_boro,
+        V.boro_status, V.boro_normalized,
+    )
+    r["zip_quick_profile"] = _profile_pair(
+        "zip_quick_profile", "lineitem", K_LINEITEM, testgen.dirty_zip,
+        V.zip_quick_status, V.zip_normalized,
+    )
+    r["zip_quick_profile_strict"] = _profile_pair(
+        "zip_quick_profile_strict", "lineitem", K_LINEITEM, testgen.dirty_zip,
+        V.zip_quick_status, V.zip_normalized, strict_reference=True,
+    )
+    r["zip_full_profile"] = _zip_full_pair()
+    r["lat_profile"] = _latlong_pair("lat", testgen.dirty_lat)
+    r["long_profile"] = _latlong_pair("long", testgen.dirty_lon)
+    r["coords_profile"] = _coords_pair()
+    r["detect_columns"] = _detect_columns_q()
+    r["profile_histogram"] = _profile_histogram_q()
+    r["column_stats"] = _column_stats_q()
+    r["q1_pricing_summary"] = _sql_q(Q1_SQL, headline=True)
+    r["q3_shipping_priority"] = _sql_q(Q3_SQL, headline=True)
+    r["q5_region_revenue"] = _sql_q(Q5_SQL)
+    r["top_events_per_user"] = _sql_q(TOP_EVENTS_SQL)
+    r["text_stats"] = _text_stats_q()
+    r["lang_id"] = _lang_id_q()
+    r["doc_fingerprint"] = _fingerprint_q()
+    r["token_topk"] = _token_topk_q()
+    r["media_inventory"] = _media_inventory_q()
+    r["dedup_exact"] = _dedup_exact_q()
+    r["dedup_minhash_lsh"] = _dedup_minhash_q()
+    r["dedup_simhash"] = _dedup_simhash_q()
+    r["embed_cosine_topk"] = _embed_cosine_topk_q()
+    r["embed_dup_pairs"] = _embed_dup_pairs_q()
+    return r

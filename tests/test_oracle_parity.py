@@ -1,0 +1,70 @@
+"""Mimic the driver's correctness gate locally at sf0.001.
+
+For every registry query with an oracle: run the Spark program and the
+DuckDB SQL, sort columns by name and rows by all columns, and compare
+values exactly (the driver's hash compare is order-insensitive but
+value-exact).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from dar_spark.queries import build_registry
+from tests.conftest import SF_DIR
+
+REGISTRY = build_registry()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: None if v is None else str(v))
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
+        elif df[c].dtype == bool:
+            df[c] = df[c].astype(int)
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if (a is None or (isinstance(a, float) and math.isnan(a))) and (
+        b is None or (isinstance(b, float) and math.isnan(b))
+    ):
+        return True
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, duck):
+    q = REGISTRY[name]
+    if q.oracle is None:
+        pytest.skip("rows-only query (no SQL-expressible oracle)")
+    sdf = q.spark(spark, SF_DIR)
+    spark_pd = _normalize(sdf.toPandas())
+    duck_pd = _normalize(duck.execute(q.oracle).fetchdf())
+    assert list(spark_pd.columns) == list(duck_pd.columns), (
+        f"column mismatch: {list(spark_pd.columns)} vs {list(duck_pd.columns)}"
+    )
+    assert len(spark_pd) == len(duck_pd), (
+        f"row count: spark={len(spark_pd)} duckdb={len(duck_pd)}"
+    )
+    assert len(spark_pd) > 0, "query returned no rows — weak test"
+    for c in spark_pd.columns:
+        sv, dv = spark_pd[c].tolist(), duck_pd[c].tolist()
+        bad = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(sv, dv))
+            if not _values_equal(a, b)
+        ]
+        assert not bad, f"{name}.{c}: first mismatches {bad[:5]}"
