@@ -1,0 +1,62 @@
+"""BENCH harness: run headline queries at $SPARK_GRAFT_SF_DIR and print one
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect cost).  Timings include plan + execution but share one warm
+SparkSession, mirroring how the operators would run inside a long-lived
+job on a cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dar_spark.queries import build_registry  # noqa: E402
+from dar_spark.session import get_session  # noqa: E402
+
+
+def _consume(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_session("dar_spark_bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = build_registry()
+    headline = {n: q for n, q in registry.items() if q.headline}
+
+    timings: dict[str, float] = {}
+    for name, q in headline.items():
+        t0 = time.perf_counter()
+        _consume(q.spark(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

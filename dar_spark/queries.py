@@ -36,7 +36,7 @@ from dar_spark.dialect import DUCKDB, SPARK, Dialect
 from dar_spark.functions import validators as V
 from dar_spark.operators import detect as DT
 from dar_spark.operators import profile as P
-from dar_spark.session import load_tables
+from dar_spark.session import load_tables, parallelize
 from dar_spark.sources.zips import synthetic_zips_df
 
 K_ORDERS = "o_orderkey"
@@ -60,7 +60,7 @@ def _profile_pair(name, table, k, gen, status_fn, norm_fn, **kw):
 
     def spark_fn(spark, sf_dir):
         t = load_tables(spark, sf_dir)
-        df = t[table].selectExpr(f"{k} AS row_id", f"{gen(k)} AS x")
+        df = parallelize(t[table]).selectExpr(f"{k} AS row_id", f"{gen(k)} AS x")
         return df.select(
             "row_id",
             F.expr(status_fn(SPARK, "x", **kw)).alias("status"),
@@ -77,7 +77,9 @@ FROM base"""
 def _latlong_pair(kind, gen):
     def spark_fn(spark, sf_dir):
         t = load_tables(spark, sf_dir)
-        df = t["lineitem"].selectExpr(f"{K_LINEITEM} AS row_id", f"{gen(K_LINEITEM)} AS x")
+        df = parallelize(t["lineitem"]).selectExpr(
+            f"{K_LINEITEM} AS row_id", f"{gen(K_LINEITEM)} AS x"
+        )
         return df.select(
             "row_id",
             F.expr(V.latlong_status(SPARK, "x", kind)).alias("status"),
@@ -94,7 +96,7 @@ FROM base"""
 def _coords_pair():
     def spark_fn(spark, sf_dir):
         t = load_tables(spark, sf_dir)
-        df = t["lineitem"].selectExpr(
+        df = parallelize(t["lineitem"]).selectExpr(
             f"{K_LINEITEM} AS row_id", f"{testgen.dirty_coords(K_LINEITEM)} AS x"
         )
         return P.classify(df, "coords", "x", "row_id")
@@ -114,7 +116,7 @@ FROM base"""
 def _zip_full_pair():
     def spark_fn(spark, sf_dir):
         t = load_tables(spark, sf_dir)
-        df = t["lineitem"].selectExpr(
+        df = parallelize(t["lineitem"]).selectExpr(
             f"{K_LINEITEM} AS row_id", f"{testgen.dirty_zip(K_LINEITEM)} AS x"
         )
         return P.classify_zip_full(df, "x", "row_id", synthetic_zips_df(spark))
@@ -161,7 +163,7 @@ _STATUS_FNS = {
 
 def _wide_df(spark, sf_dir):
     t = load_tables(spark, sf_dir)
-    return t["lineitem"].selectExpr(
+    return parallelize(t["lineitem"]).selectExpr(
         f"{K_LINEITEM} AS row_id",
         *[f"{gen(K_LINEITEM)} AS {alias}" for alias, gen in WIDE_COLS],
     )
@@ -338,7 +340,7 @@ CORPUS_CTE = (
 
 def _corpus_df(spark, sf_dir):
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id", "text")
+    docs = parallelize(t["documents"]).select("doc_id", "text")
     rep = docs.select(
         F.col("doc_id").alias("rep_id"), F.col("text").alias("rep_text")
     )
@@ -371,36 +373,47 @@ MINHASH_JACCARD_THRESHOLD = 0.6
 
 
 def _dedup_minhash_q() -> Q:
-    """MinHash-LSH near-dup: 3-token shingles → 8 deterministic min-hashes
-    (lexicographic min of seeded md5, portable across engines) → 2 bands
-    of 4 → band-bucket self-join → exact Jaccard verification.
+    """MinHash-LSH near-dup: 3-token shingles → 4 deterministic min-hashes
+    (lexicographic mins of disjoint 8-hex-char slices of ONE md5 per
+    shingle — portable across engines, one hash call per shingle) → 2
+    bands of 2 → band-bucket self-join → exact Jaccard verification.
 
-    At scale: the shuffle is on band keys (random md5 strings — naturally
-    uniform, no skew), candidate pairs ≈ true near-dups, and verification
-    joins only candidates.  Spark's ml.MinHashLSH is avoided because its
-    random coefficients are not reproducible in the oracle.
+    At scale: the shuffle is on band keys (md5 slices — uniform, no
+    skew), candidate pairs ≈ true near-dups, and verification joins only
+    candidates.  The shingle table is cached because three downstream
+    branches (signatures + both verification sides) reuse it.  Spark's
+    ml.MinHashLSH is avoided because its random coefficients are not
+    reproducible in the oracle.
     """
 
     def spark_fn(spark, sf_dir):
         corpus = _corpus_df(spark, sf_dir)
-        toks = "split(lower(text), ' ', -1)"
+        # tokenize in a separate projection: referencing the split inside
+        # the transform lambda would re-split the text per index (O(n²))
         shingle = (
-            f"array_distinct(transform(sequence(1, greatest(size({toks}) - 2, 0)), "
-            f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1), "
-            f"' ', element_at({toks}, i + 2))))"
+            "array_distinct(transform(sequence(1, greatest(size(w) - 2, 0)), "
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), "
+            "' ', element_at(w, i + 2))))"
         )
-        sh = corpus.selectExpr("doc_id", f"{shingle} AS s").filter("size(s) > 0")
-        ex = sh.select("doc_id", F.explode("s").alias("g"))
+        sh = (
+            corpus.selectExpr("doc_id", "split(lower(text), ' ', -1) AS w")
+            .selectExpr("doc_id", f"{shingle} AS s")
+            .filter("size(s) > 0")
+            .cache()
+        )
+        ex = sh.select("doc_id", F.explode("s").alias("g")).withColumn(
+            "m", F.md5("g")
+        )
         sig = ex.groupBy("doc_id").agg(
             *[
-                F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("g")))).alias(f"h{j}")
-                for j in range(8)
+                F.min(F.expr(f"substr(m, {8 * j + 1}, 8)")).alias(f"h{j}")
+                for j in range(4)
             ]
         )
         bands = sig.select(
             "doc_id",
-            F.md5(F.concat("h0", "h1", "h2", "h3")).alias("b0"),
-            F.md5(F.concat("h4", "h5", "h6", "h7")).alias("b1"),
+            F.concat("h0", "h1").alias("b0"),
+            F.concat("h2", "h3").alias("b1"),
         )
         cands = None
         for b in ("b0", "b1"):
@@ -430,7 +443,9 @@ def _dedup_minhash_q() -> Q:
             "round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard",
         ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {MINHASH_JACCARD_THRESHOLD}")
 
-    mins = ", ".join(f"min(md5('{j}|' || g)) AS h{j}" for j in range(8))
+    mins = ", ".join(
+        f"min(substr(md5(g), {8 * j + 1}, 8)) AS h{j}" for j in range(4)
+    )
     oracle = f"""WITH corpus AS ({CORPUS_CTE}),
 t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus),
 sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
@@ -438,7 +453,7 @@ sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2,
 shf AS (SELECT * FROM sh WHERE len(s) > 0),
 ex AS (SELECT doc_id, unnest(s) AS g FROM shf),
 sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
-bands AS (SELECT doc_id, md5(h0 || h1 || h2 || h3) AS b0, md5(h4 || h5 || h6 || h7) AS b1 FROM sig),
+bands AS (SELECT doc_id, h0 || h1 AS b0, h2 || h3 AS b1 FROM sig),
 cand AS (
   SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
   UNION

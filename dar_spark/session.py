@@ -35,14 +35,39 @@ def get_session(app_name: str = "dar_spark", cpus: int | None = None) -> SparkSe
     return builder.getOrCreate()
 
 
+def parallelize(df, min_parts: int | None = None):
+    """Repartition when the scan yields fewer partitions than cores.
+
+    The driver fixtures are single-row-group parquet files, so a local
+    scan is one task no matter what maxPartitionBytes says; one round-robin
+    shuffle buys full-core parallelism for compute-heavy per-row work.  On
+    a real multi-split layout (any production table) the input already has
+    enough partitions and this is a no-op.
+    """
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+_TABLE_CACHE: dict = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """Register every fixture parquet as a temp view; returns name→DataFrame.
+
+    Cached per (session, dir): repeated queries reuse the same DataFrame
+    lineage instead of re-reading parquet footers.
 
     events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark only
     reads via the nanosAsLong legacy conf (as a BIGINT of nanos); convert
     it back to TIMESTAMP_NTZ so semantics match engines that read nanos
     natively (e.g. the DuckDB oracle).
     """
+    cache_key = (id(spark), os.path.abspath(sf_dir))
+    if cache_key in _TABLE_CACHE:
+        return _TABLE_CACHE[cache_key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     names = [
         "region", "nation", "customer", "supplier", "part",
@@ -64,4 +89,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
                 )
         df.createOrReplaceTempView(n)
         out[n] = df
+    _TABLE_CACHE[cache_key] = out
     return out
