@@ -1,0 +1,85 @@
+"""CLI mirroring the reference's spark-submit surface.
+
+The reference ships eight single-purpose scripts (phone-number-v0.py,
+check_states.py, zip-validate.py, ...) each doing detect→classify→write
+for one datatype.  Here that's one entry point:
+
+    spark-submit -m dar_spark.cli  INPUT [--validators phone,state,...]
+        [--out DIR] [--format parquet|text] [--strict-reference]
+        [--schema-file DDL] [--sampling-ratio R] [--zips-json PATH]
+
+Reads CSV with header (inferSchema bounded by --sampling-ratio, or an
+explicit DDL schema — the reference's unbounded double-scan inference is
+opt-in only), profiles, writes results partitioned by column.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+from dar_spark.operators.profile_all import profile
+from dar_spark.session import get_session
+from dar_spark.sources.zips import zips_df
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dar_spark")
+    p.add_argument("input", help="input CSV (or parquet) path")
+    p.add_argument("--validators", default=None, help="comma list; default all")
+    p.add_argument("--out", default=None, help="output dir (default <input>.profile)")
+    p.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
+    p.add_argument("--strict-reference", action="store_true")
+    p.add_argument("--schema", default=None, help="explicit DDL schema")
+    p.add_argument("--sampling-ratio", type=float, default=0.1)
+    p.add_argument("--zips-json", default=None)
+    p.add_argument("--sample-rows", type=int, default=100)
+    args = p.parse_args(argv)
+
+    spark = get_session("dar_spark_cli")
+    if args.input.endswith(".parquet"):
+        df = spark.read.parquet(args.input)
+    elif args.schema:
+        df = spark.read.csv(args.input, header=True, schema=args.schema)
+    else:
+        df = spark.read.csv(
+            args.input, header=True, inferSchema=True, samplingRatio=args.sampling_ratio
+        )
+
+    validators = args.validators.split(",") if args.validators else None
+    report = profile(
+        df,
+        validators=validators,
+        zips=zips_df(spark, args.zips_json),
+        sample_rows=args.sample_rows,
+        strict_reference=args.strict_reference,
+    )
+
+    for d in report.detections:
+        if d.detected:
+            print(
+                f"detected {d.validator} in {d.column!r}: "
+                f"{d.n_valid}/{d.n_sampled} valid (confidence {d.confidence:.2f})"
+            )
+    if not any(d.detected for d in report.detections):
+        print("no semantic columns detected")
+        return 1
+
+    out = args.out or (args.input.rstrip("/") + ".profile")
+    (
+        report.results.write.mode("overwrite")
+        .partitionBy("column_name", "validator")
+        .format(args.format)
+        .save(out)
+    )
+    hist = report.histogram().orderBy("column_name", "validator", "status")
+    for r in hist.collect():
+        print(f"{r.column_name}/{r.validator} status {r.status}: {r.n}")
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

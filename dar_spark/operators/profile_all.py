@@ -1,0 +1,161 @@
+"""profile() — the reference's entire CLI surface as one composite operator.
+
+Reference lifecycle (SURVEY.md §3): detect columns from a ~100-row sample,
+then for EACH detected column re-scan the full CSV, classify row-at-a-time
+in Python, and write one text dir per column.
+
+Rebuild lifecycle: one detection aggregate over the sample, then ONE full
+scan that classifies every detected (validator, column) pair as native
+expressions — results explode into a long (column, validator, row_id,
+status, normalized) relation written partitioned by column.  ZIP
+dictionary realness chains one broadcast join per detected zip column
+onto the same single-scan plan.
+
+At 100 TB: the scan is the only full pass; everything else is O(sample) or
+O(columns).  The output partitioning-by-column mirrors the reference's
+per-column output dirs while staying a single write job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.dialect import SPARK
+from dar_spark.functions import validators as V
+from dar_spark.operators.detect import Detection, detect
+from dar_spark.operators.profile import normalized_col, status_col
+
+
+@dataclass
+class ProfileReport:
+    detections: list[Detection]
+    results: DataFrame  # column_name, validator, row_id, status, raw, normalized
+
+    def histogram(self) -> DataFrame:
+        return (
+            self.results.groupBy("column_name", "validator", "status")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def write(self, path: str, fmt: str = "parquet") -> None:
+        (
+            self.results.write.mode("overwrite")
+            .partitionBy("column_name", "validator")
+            .format(fmt)
+            .save(path)
+        )
+
+
+def _pair_struct(validator: str, column: str, strict: bool) -> Column:
+    """struct(column_name, validator, status, raw, normalized) for one
+    detected pair — all native expressions."""
+    kw = {}
+    if validator in ("state", "zip_quick"):
+        kw["strict_reference"] = strict
+    status = status_col(validator, column, **kw)
+    if validator in ("lat", "long"):
+        norm = F.expr(V.latlong_value(SPARK, column)).cast("string")
+    elif validator == "coords":
+        norm = F.expr(V.coords_part_value(SPARK, column, 1)).cast("string")
+    else:
+        norm = normalized_col(validator, column, **kw)
+    return F.struct(
+        F.lit(column).alias("column_name"),
+        F.lit(validator).alias("validator"),
+        status.cast("int").alias("status"),
+        F.col(column).cast("string").alias("raw"),
+        norm.alias("normalized"),
+    )
+
+
+def profile(
+    df: DataFrame,
+    id_col: str | None = None,
+    validators: list[str] | None = None,
+    zips: DataFrame | None = None,
+    sample_rows: int = 100,
+    sample_pred: Column | None = None,
+    thresholds: dict[str, int] | None = None,
+    strict_reference: bool = False,
+) -> ProfileReport:
+    """Detect semantic datatypes, then classify every detected pair in one
+    full scan.
+
+    ``id_col``: existing unique id column; when None a synthetic
+    ``monotonically_increasing_id`` is used (unique, not contiguous — see
+    SURVEY.md §7 on row identity).
+    ``zips``: reference dictionary DataFrame; when provided, detected
+    zip_quick columns are additionally classified as zip_full via chained
+    broadcast joins on the same scan.
+    """
+    if id_col is None:
+        df = df.withColumn("_row_id", F.monotonically_increasing_id())
+        id_col = "_row_id"
+
+    detections = detect(
+        df,
+        validators=validators,
+        sample_rows=sample_rows,
+        sample_pred=sample_pred,
+        thresholds=thresholds,
+    )
+    hits = [d for d in detections if d.detected]
+
+    structs = [_pair_struct(d.validator, d.column, strict_reference) for d in hits]
+
+    # chained broadcast joins for dictionary-backed zip realness
+    zip_cols = [d.column for d in hits if d.validator == "zip_quick"]
+    work = df
+    if zips is not None and zip_cols:
+        zref = zips.select(F.col("zip_code"))
+        for i, c in enumerate(zip_cols):
+            key = V.zip_join_key(SPARK, c, strict_reference)
+            work = work.withColumn(f"_zip5_{i}", F.expr(key)).join(
+                F.broadcast(
+                    zref.select(
+                        F.col("zip_code").alias(f"_zip5_{i}"),
+                        F.lit(True).alias(f"_hit_{i}"),
+                    )
+                ),
+                on=f"_zip5_{i}",
+                how="left",
+            )
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit("zip_full").alias("validator"),
+                    F.expr(
+                        V.zip_full_status(
+                            SPARK, c, f"(_hit_{i} IS NOT NULL)", strict_reference
+                        )
+                    ).cast("int").alias("status"),
+                    F.col(c).cast("string").alias("raw"),
+                    F.expr(V.zip_normalized(SPARK, c, strict_reference)).alias(
+                        "normalized"
+                    ),
+                )
+            )
+
+    if not structs:
+        empty = df.sparkSession.createDataFrame(
+            [],
+            "column_name string, validator string, row_id long, status int, "
+            "raw string, normalized string",
+        )
+        return ProfileReport(detections, empty)
+
+    results = work.select(
+        F.col(id_col).cast("long").alias("row_id"),
+        F.explode(F.array(*structs)).alias("r"),
+    ).select(
+        F.col("r.column_name").alias("column_name"),
+        F.col("r.validator").alias("validator"),
+        "row_id",
+        F.col("r.status").alias("status"),
+        F.col("r.raw").alias("raw"),
+        F.col("r.normalized").alias("normalized"),
+    )
+    return ProfileReport(detections, results)

@@ -1,0 +1,66 @@
+"""Sinks: parquet (primary) and the reference's tuple-text render.
+
+The reference writes RDD tuples via saveAsTextFile, producing lines like
+(SURVEY.md §5 golden shapes):
+
+- phone/state/boro family: ``(24, (19044747, 1, '+14053720005'))``
+  — (col_idx, (row_id, status, normalized))
+- zip family:            ``(211576, [['Block', 1, '02295']])``
+  — (row_id, [[col_name, status, value]])
+
+The renders are format_string expressions (no UDF); the parquet writer
+partitioned by column is the scale path — text render exists for parity
+with the reference's committed sample outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def render_phone_family(
+    results: DataFrame, col_idx: int, quote_normalized: bool = True
+) -> DataFrame:
+    """Lines ``(col, (row_id, status, 'normalized'))`` for one column's
+    results (phone/state/boro family keying —
+    /root/reference/phone-numbers/scripts/phone-number-v0.py:121-123)."""
+    fmt = "(%s, (%s, %s, '%s'))" if quote_normalized else "(%s, (%s, %s, %s))"
+    return results.select(
+        F.format_string(
+            fmt,
+            F.lit(col_idx),
+            F.col("row_id"),
+            F.col("status"),
+            F.coalesce(F.col("normalized"), F.lit("None")),
+        ).alias("value")
+    )
+
+
+def render_zip_family(results: DataFrame, col_name: str) -> DataFrame:
+    """Lines ``(row_id, [['col', status, 'value']])`` (zip family keying —
+    /root/reference/zip-lat-long-coords/scripts/zip-validate.py:98-102)."""
+    return results.select(
+        F.format_string(
+            "(%s, [['%s', %s, '%s']])",
+            F.col("row_id"),
+            F.lit(col_name),
+            F.col("status"),
+            F.coalesce(F.col("normalized"), F.lit("None")),
+        ).alias("value")
+    )
+
+
+def write_text(df: DataFrame, path: str) -> None:
+    """saveAsTextFile equivalent for a single string column."""
+    df.write.mode("overwrite").text(path)
+
+
+def write_profile_parquet(results: DataFrame, path: str) -> None:
+    """Scale path: one write job, partitioned per column like the
+    reference's one-dir-per-column layout."""
+    (
+        results.write.mode("overwrite")
+        .partitionBy("column_name", "validator")
+        .parquet(path)
+    )

@@ -1,0 +1,106 @@
+"""End-to-end profile() composite + writer render-parity tests."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dar_spark import testgen
+from dar_spark.operators.profile_all import profile
+from dar_spark.sources.writers import render_phone_family, render_zip_family
+from dar_spark.sources.zips import synthetic_zips_df
+from tests.conftest import SF_DIR
+
+
+def _wide(spark):
+    from dar_spark.session import load_tables
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    k = "(l_orderkey * 8 + l_linenumber)"
+    return li.selectExpr(
+        f"{k} AS row_id",
+        f"{testgen.dirty_phone(k)} AS phone_c",
+        f"{testgen.dirty_zip(k)} AS zip_c",
+        f"{testgen.dirty_state(k)} AS state_c",
+        f"{testgen.dirty_free_text(k)} AS free_text",
+    )
+
+
+def test_profile_composite(spark):
+    wide = _wide(spark)
+    report = profile(
+        wide,
+        id_col="row_id",
+        zips=synthetic_zips_df(spark),
+        sample_pred=F.col("row_id") < 1500,
+    )
+    detected = {(d.validator, d.column) for d in report.detections if d.detected}
+    assert ("phone", "phone_c") in detected
+    assert ("state", "state_c") in detected
+    assert ("zip_quick", "zip_c") in detected
+    assert not any(c == "free_text" for _, c in detected)
+
+    res = report.results
+    # zip_full rows exist because zips was provided and zip_quick detected
+    pairs = {
+        (r.validator, r.column_name)
+        for r in res.select("validator", "column_name").distinct().collect()
+    }
+    assert ("zip_full", "zip_c") in pairs
+    # row coverage: every input row classified for each detected pair
+    n_rows = wide.count()
+    per_pair = res.groupBy("validator", "column_name").count().collect()
+    for r in per_pair:
+        assert r["count"] == n_rows, (r.validator, r.column_name, r["count"])
+    # zip_full produced dictionary-dependent statuses
+    zf = {
+        r.status
+        for r in res.filter("validator = 'zip_full'").select("status").distinct().collect()
+    }
+    assert 5 in zf and 1 in zf
+
+    hist = report.histogram()
+    assert hist.count() > 0
+
+
+def test_profile_generates_row_ids(spark):
+    df = spark.createDataFrame(
+        [("10025",), ("99999",), ("None",)], "zip_c string"
+    )
+    report = profile(df, sample_rows=10)
+    ids = [r.row_id for r in report.results.select("row_id").distinct().collect()]
+    assert len(ids) == 3  # unique synthetic ids
+
+
+def test_render_phone_family_golden_shape(spark):
+    res = spark.createDataFrame(
+        [(19044747, 1, "+14053720005"), (19044748, 4, None)],
+        "row_id long, status int, normalized string",
+    )
+    lines = sorted(
+        r.value for r in render_phone_family(res, col_idx=24).collect()
+    )
+    # golden exemplar from /root/reference/phone-numbers/output_samples/
+    assert lines[0] == "(24, (19044747, 1, '+14053720005'))"
+    assert lines[1] == "(24, (19044748, 4, 'None'))"
+
+
+def test_render_zip_family_golden_shape(spark):
+    res = spark.createDataFrame(
+        [(211576, 1, "02295")], "row_id long, status int, normalized string"
+    )
+    lines = [r.value for r in render_zip_family(res, "Block").collect()]
+    # golden exemplar from .../example-outputs/zip/jobApp-zip0-incorrect-subset.txt
+    assert lines == ["(211576, [['Block', 1, '02295']])"]
+
+
+def test_profile_write_partitioned(spark, tmp_path):
+    wide = _wide(spark).limit(500)
+    report = profile(wide, id_col="row_id", sample_pred=F.col("row_id") < 1500)
+    out = str(tmp_path / "prof")
+    report.write(out)
+    parts = os.listdir(out)
+    assert any(p.startswith("column_name=") for p in parts)
+    back = spark.read.parquet(out)
+    assert back.count() == report.results.count()
