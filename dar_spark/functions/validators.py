@@ -110,6 +110,28 @@ def state_status(d: Dialect, x: str, strict_reference: bool = False) -> str:
 END"""
 
 
+def state_fuzzy_status(
+    d: Dialect, x: str, threshold: int = 3, strict_reference: bool = False
+) -> str:
+    """State cascade plus the reference's dormant typo tier.
+
+    ``checkTypo`` (common_lang_functions.py:16-23, NLTK edit_distance) is
+    defined but never called by any reference script; this activates it as
+    an additional status-2 tier via native levenshtein: a value within
+    ``threshold`` edits of any state name is misformatted-but-valid.
+    """
+    s = d.cast_str(x)
+    min_dist = "least(" + ", ".join(
+        f"levenshtein({s}, '{n}')" for n in STATE_NAMES
+    ) + ")"
+    base = state_status(d, x, strict_reference)
+    return f"""CASE
+  WHEN ({base}) <> 3 THEN ({base})
+  WHEN {min_dist} < {threshold} THEN 2
+  ELSE 3
+END"""
+
+
 def state_normalized(d: Dialect, x: str, strict_reference: bool = False) -> str:
     """Reference keeps the raw value for statuses 1-3 and None for null."""
     s = d.cast_str(x)

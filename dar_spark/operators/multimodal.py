@@ -1,0 +1,139 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for 100 TB mixed-media tables: media travels as an opaque
+``binary`` column plus a small typed metadata struct; decode/feature
+steps are Arrow-batched ``mapInPandas`` stages so Python touches data
+in columnar batches, never row-at-a-time, and each stage is a narrow
+transformation (no shuffle).
+
+The image/audio codec libraries are NOT in this container, so the decode
+cores are DETERMINISTIC FAKES (clearly marked below): they derive
+plausible metadata from payload bytes.  The Spark-side plumbing — schema,
+batch iteration, UDF signatures, partition behavior — is real and tested;
+swapping the fake for PIL/libav is a pure function replacement inside the
+pandas iterator.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Synthesize a binary payload column from a text column (the fixtures
+    carry no real media; production tables would already have the bytes)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").cast(BinaryType()).alias("payload"),
+        F.when(F.col(id_col) % 3 == 0, F.lit("image/png"))
+        .when(F.col(id_col) % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("mime"),
+    )
+
+
+def _fake_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
+    """DETERMINISTIC FAKE decoder.
+
+    A real implementation would be ``PIL.Image.open(io.BytesIO(payload))``
+    etc.; this container has no codec libs, so dimensions are derived
+    from a digest of the payload — stable across runs and machines.
+    """
+    h = hashlib.md5(payload).digest()
+    width = 16 + h[0] % 64
+    height = 16 + h[1] % 64
+    n_frames = 1 if mime.startswith("image") else 1 + h[2] % 30
+    return width, height, n_frames
+
+
+def decode_media_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction: mapInPandas over (media_id,
+    payload, mime) → MEDIA_META_SCHEMA.  Narrow; preserves partitioning."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [
+                _fake_decode(p if isinstance(p, bytes) else bytes(p), m)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "n_frames": [m[2] for m in metas],
+                }
+            )
+
+    return media.mapInPandas(batches, MEDIA_META_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction → fixed-dim float vector per
+    payload (DETERMINISTIC FAKE embedding: digest bytes scaled to [0,1);
+    a real pipeline would run an ONNX/torch encoder per batch here)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for p in pdf["payload"]:
+                b = p if isinstance(p, bytes) else bytes(p)
+                d = hashlib.sha256(b).digest()
+                feats.append([d[i] / 255.0 for i in range(FEATURE_DIM)])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling plumbing for video payloads: explodes one row per
+    sampled frame index (indices from the fake-decoded frame count).  The
+    per-frame payload slice is a placeholder digest — a real decoder
+    would emit the frame bytes."""
+    meta = decode_media_meta(media).select("media_id", "n_frames")
+    j = media.join(meta, "media_id")
+    return j.select(
+        "media_id",
+        F.explode(
+            F.expr(f"sequence(0, greatest(n_frames - 1, 0), {every_n})")
+        ).alias("frame_idx"),
+        F.sha2(F.concat(F.col("payload"), F.lit(":frame")), 256).alias("frame_digest"),
+    )

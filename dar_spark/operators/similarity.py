@@ -1,0 +1,140 @@
+"""Embedding similarity search: brute-force baseline + SRP-LSH scale path.
+
+- ``brute_force_topk``: broadcast the (small) query set, one corpus scan,
+  per-query top-k.  Exact; O(|Q| × N × dim) — the baseline and the
+  verifier for the approximate path.
+- ``srp_lsh_topk``: sign-random-projection LSH.  Hyperplanes are derived
+  from a DETERMINISTIC integer hash (no RNG — reproducible across runs
+  and engines), each vector maps to an n-bit sign bucket, candidates are
+  probed in the query's bucket plus all Hamming-distance-1 buckets
+  (multiprobe), then exact cosine ranks the candidates.  At scale the
+  join is bucket-key equi-join (shuffle O(N), keys uniform by
+  construction), versus the brute-force O(|Q|×N) expansion.
+
+All expression-level — no UDFs, no ml.feature randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_PLANES = 8
+
+
+def _as_double_vec(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(
+        "_v", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    ).withColumn(
+        "_nrm",
+        F.expr("sqrt(aggregate(transform(_v, x -> x * x), 0D, (a, x) -> a + x))"),
+    )
+
+
+def _cosine(qv: str, cv: str, qn: str, cn: str) -> Column:
+    return F.expr(
+        f"round(aggregate(zip_with({qv}, {cv}, (x, y) -> x * y), 0D, (a, x) -> a + x) "
+        f"/ ({qn} * {cn}), 6)"
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, cos_sim, rank_n)."""
+    e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
+    q = e.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_nrm").alias("_qn"),
+    )
+    j = e.join(F.broadcast(q), F.expr(f"{id_col} <> query_id"))
+    scored = j.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _cosine("_qv", "_v", "_qn", "_nrm").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
+        .filter(f"rank_n <= {k}")
+    )
+
+
+def _plane_component(j: int) -> str:
+    """Deterministic pseudo-random hyperplane component for plane j,
+    dimension i (SQL expr over i): integer-hash → centered unit range."""
+    return (
+        f"(CAST(((i * 2654435761 + {j} * 1315423911 + 97) % 1000003) AS DOUBLE) "
+        f"/ 1000003.0 - 0.5)"
+    )
+
+
+def _bucket_expr(vec: str) -> Column:
+    """n-bit sign bucket string for a double-array column."""
+    bits = []
+    for j in range(N_PLANES):
+        comp = _plane_component(j)
+        dot = (
+            f"aggregate(zip_with({vec}, transform(sequence(1, size({vec})), "
+            f"i -> {comp}), (x, y) -> x * y), 0D, (a, x) -> a + x)"
+        )
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+    return F.expr("concat(" + ", ".join(bits) + ")")
+
+
+def _flip_bit(bucket: Column, pos: int) -> Column:
+    return F.concat(
+        F.substring(bucket, 1, pos),
+        F.when(F.substring(bucket, pos + 1, 1) == "1", F.lit("0")).otherwise(
+            F.lit("1")
+        ),
+        F.substring(bucket, pos + 2, N_PLANES - pos - 1),
+    )
+
+
+def srp_lsh_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    k: int = 5,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k via sign-random-projection buckets + multiprobe.
+
+    Returns the same schema as brute_force_topk; recall is measured by
+    tests/test_similarity.py against the exact baseline.
+    """
+    e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
+    e = e.withColumn("_b", _bucket_expr("_v"))
+
+    q = e.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_nrm").alias("_qn"),
+        F.col("_b").alias("_qb"),
+    )
+    # probe set: exact bucket + hamming-1 neighbors
+    probes = [F.col("_qb")]
+    if multiprobe:
+        probes += [_flip_bit(F.col("_qb"), p) for p in range(N_PLANES)]
+    qp = q.select(
+        "query_id", "_qv", "_qn", F.explode(F.array(*probes)).alias("_b")
+    )
+    cand = qp.join(e, "_b").filter(F.expr(f"{id_col} <> query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _cosine("_qv", "_v", "_qn", "_nrm").alias("cos_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
+        .filter(f"rank_n <= {k}")
+    )

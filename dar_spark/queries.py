@@ -721,6 +721,48 @@ SELECT vec_id_a, vec_id_b, cos_sim FROM p WHERE cos_sim >= {EMBED_DUP_THRESHOLD}
     return Q(spark_fn, oracle)
 
 
+def _fuzzy_state_q() -> Q:
+    """Typo-tolerant state matching (activates the reference's dead
+    checkTypo tier via levenshtein — SURVEY.md §2c V4 note)."""
+    gen = (
+        "CASE ({k}) % 6 WHEN 0 THEN 'New York' WHEN 1 THEN 'New Yrok' "
+        "WHEN 2 THEN 'Californa' WHEN 3 THEN 'Texsa' WHEN 4 THEN "
+        "'SOUTH RICHMOND HILL' ELSE '' END"
+    )
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        df = parallelize(t["orders"]).selectExpr(
+            f"{K_ORDERS} AS row_id",
+            f"{gen.format(k=K_ORDERS)} AS x",
+        )
+        return df.select(
+            "row_id",
+            F.expr(V.state_fuzzy_status(SPARK, "x")).alias("status"),
+        )
+
+    oracle = f"""WITH base AS (SELECT {K_ORDERS} AS row_id, {gen.format(k=K_ORDERS)} AS x FROM orders)
+SELECT row_id, ({V.state_fuzzy_status(DUCKDB, 'x')}) AS status FROM base"""
+    return Q(spark_fn, oracle)
+
+
+def _embed_lsh_topk_q() -> Q:
+    """Approximate ANN via SRP-LSH (rows-only: the bucket/multiprobe scan
+    path is not naturally SQL-expressible; recall vs the exact baseline
+    is asserted in tests/test_similarity.py)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.similarity import srp_lsh_topk
+
+        t = load_tables(spark, sf_dir)
+        return srp_lsh_topk(
+            t["embeddings"], "vec_id", "embedding",
+            f"vec_id % {TOPK_QUERY_STRIDE} = 0", k=TOPK_K,
+        )
+
+    return Q(spark_fn, None)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -770,4 +812,6 @@ def build_registry() -> dict[str, Q]:
     r["dedup_simhash"] = _dedup_simhash_q()
     r["embed_cosine_topk"] = _embed_cosine_topk_q()
     r["embed_dup_pairs"] = _embed_dup_pairs_q()
+    r["fuzzy_state_profile"] = _fuzzy_state_q()
+    r["embed_lsh_topk"] = _embed_lsh_topk_q()
     return r

@@ -1,0 +1,93 @@
+"""Structured Streaming profiler — continuous data-quality monitoring.
+
+The reference is batch-only (static CSVs); this extends the same
+validator expressions to streams: readStream → per-cell classify (same
+Column expressions, zero code change) → watermarked windowed status
+histogram → any sink.
+
+Late data: rows older than the watermark relative to max event time are
+dropped from their window's aggregate — standard Structured Streaming
+semantics; the watermark bound is the operator's only state-retention
+knob, so state size is O(windows in flight × columns × 5 statuses),
+independent of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.operators.profile import status_col
+
+
+def classify_stream(
+    stream_df: DataFrame, validator_columns: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Per-row classification on a streaming DataFrame — identical
+    expressions as the batch path (stateless, fully pipelined)."""
+    structs = [
+        F.struct(
+            F.lit(name).alias("column_name"),
+            status_col(v, c).alias("status"),
+        )
+        for name, (v, c) in validator_columns.items()
+    ]
+    return stream_df.select(
+        "*", F.explode(F.array(*structs)).alias("_r")
+    ).select(
+        F.col("_r.column_name").alias("column_name"),
+        F.col("_r.status").alias("status"),
+        "*",
+    ).drop("_r")
+
+
+def windowed_status_counts(
+    stream_df: DataFrame,
+    validator_columns: dict[str, tuple[str, str]],
+    ts_col: str,
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window (window_start, column, status, n) counts with a
+    watermark for late-data eviction.  Shuffle keys are (window, column,
+    status) — bounded cardinality, no skew."""
+    structs = [
+        F.struct(
+            F.lit(name).alias("column_name"),
+            status_col(v, c).alias("status"),
+        )
+        for name, (v, c) in validator_columns.items()
+    ]
+    # watermarks require TIMESTAMP (with local timezone); NTZ sources are
+    # cast (session timezone is UTC in get_session, so wall-clock holds)
+    return (
+        stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode(F.array(*structs)).alias("r"))
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            F.col("r.column_name").alias("column_name"),
+            F.col("r.status").alias("status"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "column_name",
+            "status",
+            "n",
+        )
+    )
+
+
+def run_to_memory(stream_out: DataFrame, query_name: str):
+    """Drain an availableNow micro-batch run into an in-memory table
+    (test/debug harness; production would writeStream to kafka/delta)."""
+    q = (
+        stream_out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_out.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,63 @@
+"""Multimodal plumbing: binary payload columns through mapInPandas stages."""
+
+from __future__ import annotations
+
+from dar_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_fake_payload,
+    decode_media_meta,
+    extract_features,
+    frame_sample,
+)
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def _media(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].limit(60)
+    return attach_fake_payload(docs, "doc_id", "text")
+
+
+def test_payload_is_binary(spark):
+    m = _media(spark)
+    assert dict(m.dtypes)["payload"] == "binary"
+    mimes = {r.mime for r in m.select("mime").distinct().collect()}
+    assert mimes == {"image/png", "audio/wav", "video/mp4"}
+
+
+def test_decode_meta_schema_and_determinism(spark):
+    m = _media(spark)
+    a = {r.media_id: (r.width, r.height, r.n_frames, r.n_bytes)
+         for r in decode_media_meta(m).collect()}
+    b = {r.media_id: (r.width, r.height, r.n_frames, r.n_bytes)
+         for r in decode_media_meta(m).collect()}
+    assert a == b  # deterministic fake decode
+    assert len(a) == 60
+    for w, h, nf, nb in a.values():
+        assert 16 <= w < 80 and 16 <= h < 80 and nf >= 1 and nb > 0
+
+
+def test_images_single_frame(spark):
+    m = _media(spark)
+    meta = decode_media_meta(m)
+    img = meta.filter("mime = 'image/png'")
+    assert img.count() > 0
+    assert all(r.n_frames == 1 for r in img.collect())
+
+
+def test_extract_features_dim_and_range(spark):
+    m = _media(spark)
+    feats = extract_features(m).collect()
+    assert len(feats) == 60
+    for r in feats:
+        assert len(r.feature) == FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r.feature)
+
+
+def test_frame_sample_explodes_video(spark):
+    m = _media(spark)
+    frames = frame_sample(m, every_n=5)
+    per = {r.media_id: r["count"] for r in frames.groupBy("media_id").count().collect()}
+    # every media has at least one sampled frame (index 0)
+    assert set(per) == {r.media_id for r in m.select("media_id").collect()}
+    assert all(v >= 1 for v in per.values())

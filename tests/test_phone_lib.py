@@ -1,0 +1,26 @@
+"""phone_v1 library-boundary gating."""
+
+from __future__ import annotations
+
+import pytest
+
+from dar_spark.functions import phone_lib
+
+
+def test_gating(spark):
+    df = spark.createDataFrame([("2013347135",)], "x string")
+    if phone_lib.phone_v1_available():
+        out = df.select(phone_lib.phone_v1_status("x").alias("s")).collect()
+        assert out[0]["s"] in (1, 3, 5)
+    else:
+        with pytest.raises(NotImplementedError):
+            phone_lib.phone_v1_status("x")
+
+
+def test_classify_series_semantics():
+    if not phone_lib.phone_v1_available():
+        pytest.skip("phonenumbers not installed")
+    import pandas as pd
+
+    s = phone_lib._classify_series(pd.Series(["2013347135", "9999999999", "abc"]))
+    assert list(s)[0] == 1

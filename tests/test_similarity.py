@@ -1,0 +1,48 @@
+"""ANN: SRP-LSH vs the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dar_spark.operators.similarity import brute_force_topk, srp_lsh_topk
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def test_lsh_finds_exact_duplicates(spark):
+    """Identical vectors always share an LSH bucket — dup-injected pairs
+    must be retrieved with cosine 1.0 at rank 1."""
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    rep = e.select(F.col("vec_id").alias("rep_id"), F.col("embedding").alias("rv"))
+    dup = (
+        e.select("vec_id", F.expr("vec_id - vec_id % 2").alias("rep_id"))
+        .join(rep, "rep_id")
+        .select("vec_id", F.col("rv").alias("embedding"))
+        .limit(200)
+    )
+    out = srp_lsh_topk(dup, "vec_id", "embedding", "vec_id % 2 = 0", k=3)
+    got = {(r.query_id, r.neighbor_id): r.cos_sim for r in out.collect()}
+    hits = [v for (q, n), v in got.items() if n == q + 1]
+    assert len(hits) > 0
+    assert all(abs(v - 1.0) < 1e-9 for v in hits)
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    pred = "vec_id % 25 = 0"
+    exact = brute_force_topk(e, "vec_id", "embedding", pred, k=5)
+    approx = srp_lsh_topk(e, "vec_id", "embedding", pred, k=5)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # random gaussian corpus: SRP with 8 planes + H1 multiprobe should
+    # recover a meaningful fraction of exact neighbors
+    assert recall >= 0.15, f"recall {recall:.2f}"
+
+
+def test_brute_force_schema_and_k(spark):
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    out = brute_force_topk(e, "vec_id", "embedding", "vec_id % 100 = 0", k=4)
+    per = {r.query_id: r["count"] for r in out.groupBy("query_id").count().collect()}
+    assert all(v == 4 for v in per.values())
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank_n"]

@@ -1,0 +1,71 @@
+"""Structured Streaming profiler: availableNow drain vs batch equivalence."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from dar_spark import testgen
+from dar_spark.operators.profile import status_col
+from dar_spark.session import load_tables
+from dar_spark.streaming.profile_stream import run_to_memory, windowed_status_counts
+from tests.conftest import SF_DIR
+
+VCOLS = {"phone_c": ("phone", "phone_c"), "zip_c": ("zip_quick", "zip_c")}
+
+
+def _dirty_events(spark):
+    ev = load_tables(spark, SF_DIR)["events"]
+    return ev.selectExpr(
+        "ts",
+        "event_id",
+        f"{testgen.dirty_phone('event_id')} AS phone_c",
+        f"{testgen.dirty_zip('event_id')} AS zip_c",
+    )
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    dirty = _dirty_events(spark)
+    dirty.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(dirty.schema).parquet(src)
+    assert stream.isStreaming
+    out = windowed_status_counts(
+        stream, VCOLS, ts_col="ts", window_duration="1 hour", watermark="2 hours"
+    )
+    name = "t_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name)
+    streamed = {
+        (r.window_start, r.column_name, r.status): r.n
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    structs = [
+        F.struct(F.lit(n).alias("column_name"), status_col(v, c).alias("status"))
+        for n, (v, c) in VCOLS.items()
+    ]
+    batch = (
+        dirty.withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(F.window("ts", "1 hour").alias("w"), F.explode(F.array(*structs)).alias("r"))
+        .groupBy(
+            F.col("w.start").alias("window_start"),
+            F.col("r.column_name").alias("column_name"),
+            F.col("r.status").alias("status"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = {(r.window_start, r.column_name, r.status): r.n for r in batch.collect()}
+    assert streamed == expected
+    assert len(streamed) > 0
+
+
+def test_watermark_present_in_plan(spark, tmp_path):
+    src = str(tmp_path / "ws")
+    dirty = _dirty_events(spark).limit(50)
+    dirty.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(dirty.schema).parquet(src)
+    out = windowed_status_counts(stream, VCOLS, ts_col="ts", watermark="30 minutes")
+    plan = out._jdf.queryExecution().logical().toString()
+    assert "watermark" in plan.lower()
