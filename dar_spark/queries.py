@@ -721,6 +721,102 @@ SELECT vec_id_a, vec_id_b, cos_sim FROM p WHERE cos_sim >= {EMBED_DUP_THRESHOLD}
     return Q(spark_fn, oracle)
 
 
+# ---------------------------------------------------------------------------
+# engine-breadth analytics (rollup, set ops, anti-join, sessions, as-of, JSON)
+# ---------------------------------------------------------------------------
+
+Q6_SQL = """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS forecast_revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1999-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.08
+  AND l_quantity < 24"""
+
+ROLLUP_SQL = """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+ANTI_JOIN_SQL = """SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 446570)"""
+
+SET_OPS_SQL = """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 400000"""
+
+
+def _sessionize_q() -> Q:
+    """Gap-based sessionization (30-min inactivity): classic streaming-ish
+    operator expressed as two stacked windows (lag → gap flag → running
+    sum), all JVM-side."""
+
+    def _sql(epoch: str) -> str:
+        return f"""SELECT user_id, event_id, CAST(session_id AS BIGINT) AS session_id
+FROM (
+  SELECT user_id, event_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, event_id, ts,
+           CASE WHEN {epoch} - LAG({epoch}) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800 THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  ) g
+) s"""
+
+    def spark_fn(spark, sf_dir):
+        load_tables(spark, sf_dir)
+        return spark.sql(_sql("CAST(unix_timestamp(ts) AS BIGINT)"))
+
+    return Q(spark_fn, _sql("CAST(floor(epoch(ts)) AS BIGINT)"))
+
+
+def _asof_last_signup_q() -> Q:
+    """As-of join: each event paired with the user's most recent signup at
+    or before it — expressed as a running max window, avoiding the naive
+    inequality join (which would be O(n²) per user at scale)."""
+
+    def _sql(epoch: str) -> str:
+        return f"""SELECT event_id, user_id,
+  MAX(CASE WHEN event_type = 'signup' THEN {epoch} END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+    AS last_signup_epoch
+FROM events"""
+
+    def spark_fn(spark, sf_dir):
+        load_tables(spark, sf_dir)
+        return spark.sql(_sql("CAST(unix_timestamp(ts) AS BIGINT)"))
+
+    return Q(spark_fn, _sql("CAST(floor(epoch(ts)) AS BIGINT)"))
+
+
+def _events_json_q() -> Q:
+    """Semi-structured extraction: parse the JSON props column and
+    aggregate — engines differ only in the extraction function."""
+
+    def spark_fn(spark, sf_dir):
+        load_tables(spark, sf_dir)
+        return spark.sql(
+            """SELECT event_type,
+  CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type"""
+        )
+
+    oracle = """SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type"""
+    return Q(spark_fn, oracle)
+
+
 def _fuzzy_state_q() -> Q:
     """Typo-tolerant state matching (activates the reference's dead
     checkTypo tier via levenshtein — SURVEY.md §2c V4 note)."""
@@ -814,4 +910,11 @@ def build_registry() -> dict[str, Q]:
     r["embed_dup_pairs"] = _embed_dup_pairs_q()
     r["fuzzy_state_profile"] = _fuzzy_state_q()
     r["embed_lsh_topk"] = _embed_lsh_topk_q()
+    r["q6_forecast_revenue"] = _sql_q(Q6_SQL)
+    r["rollup_revenue"] = _sql_q(ROLLUP_SQL)
+    r["customers_without_orders"] = _sql_q(ANTI_JOIN_SQL)
+    r["segment_set_ops"] = _sql_q(SET_OPS_SQL)
+    r["sessionize_events"] = _sessionize_q()
+    r["asof_last_signup"] = _asof_last_signup_q()
+    r["events_json_agg"] = _events_json_q()
     return r
