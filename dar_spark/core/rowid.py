@@ -1,0 +1,48 @@
+"""Row-identity strategies (SURVEY.md §7 "what's hard / decided now").
+
+The reference keys outputs on ``zipWithIndex()`` ordinals — contiguous,
+tied to partition order, and requiring an extra job to count partition
+sizes.  Parquet has no inherent row order, so the rebuild offers three
+explicit strategies:
+
+- ``existing``: use a fixture key column (all driver tables have one) —
+  the default and the only strategy whose values are stable across runs
+  and layouts;
+- ``unique``:   monotonically_increasing_id() — unique, NOT contiguous,
+  no shuffle; right when only identity matters;
+- ``ordinal``:  row_number() over a caller-supplied sort — contiguous
+  like zipWithIndex, but over an EXPLICIT deterministic order; costs a
+  global sort (range-partitioned at scale), used only by the
+  reference-parity text renderer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_row_id(
+    df: DataFrame,
+    strategy: str = "unique",
+    existing: str | None = None,
+    order_by: list[str | Column] | None = None,
+    out_col: str = "row_id",
+) -> DataFrame:
+    if strategy == "existing":
+        if not existing:
+            raise ValueError("strategy='existing' requires an id column name")
+        return df.withColumn(out_col, F.col(existing).cast("long"))
+    if strategy == "unique":
+        return df.withColumn(out_col, F.monotonically_increasing_id())
+    if strategy == "ordinal":
+        if not order_by:
+            raise ValueError(
+                "strategy='ordinal' requires order_by — parquet has no "
+                "inherent order; an implicit one would be nondeterministic"
+            )
+        w = Window.orderBy(*order_by)
+        # row_number is 1-based; reference ordinals are 0-based
+        return df.withColumn(out_col, (F.row_number().over(w) - 1).cast("long"))
+    raise ValueError(f"unknown row-id strategy {strategy!r}")

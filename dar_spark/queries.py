@@ -619,6 +619,109 @@ FROM documents GROUP BY source"""
     return _sql_q(sql)
 
 
+NGRAM_N = 4
+NGRAM_JACCARD_THRESHOLD = 0.8
+
+
+def _ngram_jaccard_q() -> Q:
+    """Character n-gram Jaccard near-dup: candidate pairs bucketed by
+    n_chars (equal-length prefilter — cheap, deterministic), verified by
+    exact 4-gram set Jaccard.  Complements MinHash (token shingles,
+    probabilistic candidates) with an exact char-level variant."""
+
+    def spark_fn(spark, sf_dir):
+        corpus = _corpus_df(spark, sf_dir)
+        grams = (
+            f"array_distinct(transform(sequence(1, greatest(length(text) - {NGRAM_N - 1}, 0)), "
+            f"i -> substr(text, i, {NGRAM_N})))"
+        )
+        g = corpus.selectExpr(
+            "doc_id", "length(text) AS n_chars_b", f"{grams} AS gs"
+        ).filter("size(gs) > 0").cache()
+        a = g.select(
+            F.col("doc_id").alias("doc_id_a"), F.col("n_chars_b"),
+            F.col("gs").alias("ga"),
+        )
+        b = g.select(
+            F.col("doc_id").alias("doc_id_b"), F.col("n_chars_b"),
+            F.col("gs").alias("gb"),
+        )
+        p = a.join(b, "n_chars_b").filter("doc_id_a < doc_id_b").selectExpr(
+            "doc_id_a", "doc_id_b",
+            "size(array_intersect(ga, gb)) AS i",
+            "size(ga) AS na", "size(gb) AS nb",
+        )
+        return p.selectExpr(
+            "doc_id_a", "doc_id_b",
+            "round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard",
+        ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {NGRAM_JACCARD_THRESHOLD}")
+
+    oracle = f"""WITH corpus AS ({CORPUS_CTE}),
+g AS (SELECT doc_id, length(text) AS n_chars_b,
+        list_distinct(list_transform(range(1, greatest(length(text) - {NGRAM_N - 1}, 0) + 1),
+          i -> substr(text, i, {NGRAM_N}))) AS gs
+      FROM corpus),
+gf AS (SELECT * FROM g WHERE len(gs) > 0),
+p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        len(list_intersect(a.gs, b.gs)) AS i, len(a.gs) AS na, len(b.gs) AS nb
+      FROM gf a JOIN gf b ON a.n_chars_b = b.n_chars_b AND a.doc_id < b.doc_id)
+SELECT doc_id_a, doc_id_b, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+FROM p WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {NGRAM_JACCARD_THRESHOLD}"""
+    return Q(spark_fn, oracle)
+
+
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _bpe_token_count_q() -> Q:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single punctuation — the shape GPT-style
+    pre-tokenizers use)."""
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        return parallelize(t["documents"]).selectExpr(
+            "doc_id",
+            "size(split(trim(text), ' ', -1)) AS ws_tokens",
+            f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0)) AS bpe_tokens",
+        )
+
+    oracle = f"""SELECT doc_id,
+  len(string_split(trim(text), ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens
+FROM documents"""
+    return Q(spark_fn, oracle)
+
+
+ROLLING_WINDOW = 64
+ROLLING_MOD = 1000000007
+
+
+def _rolling_fingerprint_q() -> Q:
+    """Polynomial rolling-hash document fingerprint (base-31 over the
+    first 64 chars, exact bigint arithmetic — deterministic across
+    engines, unlike engine-native hash())."""
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        h = (
+            f"aggregate(transform(slice(split(text, '', -1), 1, {ROLLING_WINDOW}), "
+            f"c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), "
+            f"(a, c) -> (a * 31 + c) % {ROLLING_MOD})"
+        )
+        return parallelize(t["documents"]).selectExpr(
+            "doc_id", f"{h} AS rolling_fp"
+        )
+
+    oracle = f"""SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform((string_split(text, ''))[1:{ROLLING_WINDOW}],
+      c -> CAST(ascii(c) AS BIGINT))),
+    (a, c) -> (a * 31 + c) % {ROLLING_MOD}) AS rolling_fp
+FROM documents"""
+    return Q(spark_fn, oracle)
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------
@@ -910,6 +1013,9 @@ def build_registry() -> dict[str, Q]:
     r["embed_dup_pairs"] = _embed_dup_pairs_q()
     r["fuzzy_state_profile"] = _fuzzy_state_q()
     r["embed_lsh_topk"] = _embed_lsh_topk_q()
+    r["dedup_ngram_jaccard"] = _ngram_jaccard_q()
+    r["bpe_token_count"] = _bpe_token_count_q()
+    r["rolling_fingerprint"] = _rolling_fingerprint_q()
     r["q6_forecast_revenue"] = _sql_q(Q6_SQL)
     r["rollup_revenue"] = _sql_q(ROLLUP_SQL)
     r["customers_without_orders"] = _sql_q(ANTI_JOIN_SQL)

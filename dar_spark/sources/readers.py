@@ -1,0 +1,49 @@
+"""Input sources (SURVEY.md §2a D1): CSV with controlled inference, parquet,
+JSON.
+
+The reference reads every CSV with ``header=true, inferSchema=true``
+(phone-number-v0.py:109 et al.) — unbounded inference costs a full extra
+scan.  Here:
+
+- explicit DDL schema is first-class (zero extra scans);
+- inference is bounded by ``samplingRatio`` when no schema is given;
+- ``all_strings=True`` skips inference and types every column string —
+  what the profiler actually wants, since validators re-coerce to str
+  anyway (zip-validate.py:37).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    all_strings: bool = False,
+    sampling_ratio: float = 0.1,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    reader = spark.read.option("header", True).option("mode", mode)
+    if schema:
+        return reader.schema(schema).csv(path)
+    if all_strings:
+        return reader.option("inferSchema", False).csv(path)
+    return reader.option("inferSchema", True).option(
+        "samplingRatio", sampling_ratio
+    ).csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)

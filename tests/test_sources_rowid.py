@@ -1,0 +1,58 @@
+"""CSV reader modes and row-id strategies."""
+
+from __future__ import annotations
+
+import pytest
+
+from dar_spark.core.rowid import with_row_id
+from dar_spark.sources.readers import read_csv
+
+
+@pytest.fixture(scope="module")
+def csv_path(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "in.csv"
+    p.write_text("id,zip,val\n1,10025,3.5\n2,99999,x\n3,,7\n")
+    return str(p)
+
+
+def test_read_csv_all_strings(spark, csv_path):
+    df = read_csv(spark, csv_path, all_strings=True)
+    assert all(t == "string" for _, t in df.dtypes)
+    assert df.count() == 3
+
+
+def test_read_csv_explicit_schema(spark, csv_path):
+    df = read_csv(spark, csv_path, schema="id INT, zip STRING, val STRING")
+    assert dict(df.dtypes) == {"id": "int", "zip": "string", "val": "string"}
+
+
+def test_read_csv_inference_bounded(spark, csv_path):
+    df = read_csv(spark, csv_path, sampling_ratio=1.0)
+    assert dict(df.dtypes)["id"] == "int"
+
+
+def test_row_id_existing(spark):
+    df = spark.createDataFrame([(10, "a"), (20, "b")], "k int, v string")
+    out = with_row_id(df, "existing", existing="k")
+    assert {r.row_id for r in out.collect()} == {10, 20}
+    assert dict(out.dtypes)["row_id"] == "bigint"
+
+
+def test_row_id_unique(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "v int").repartition(8)
+    out = with_row_id(df, "unique")
+    ids = [r.row_id for r in out.collect()]
+    assert len(set(ids)) == 100
+
+
+def test_row_id_ordinal_contiguous(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "v int").repartition(8)
+    out = with_row_id(df, "ordinal", order_by=["v"])
+    rows = {r.v: r.row_id for r in out.collect()}
+    assert rows == {i: i for i in range(50)}  # zipWithIndex-style ordinals
+
+
+def test_row_id_ordinal_requires_order(spark):
+    df = spark.createDataFrame([(1,)], "v int")
+    with pytest.raises(ValueError):
+        with_row_id(df, "ordinal")
