@@ -1,0 +1,182 @@
+"""Replay the reference's committed production outputs through our
+strict-reference validators.
+
+The sample files (SURVEY.md §5) are random excerpts from the reference's
+full-scale runs: each line carries (status, value).  For families where
+the printed value is the raw input (state, boro, quick-zip, phone
+non-normalized, lat/long), re-classifying it must reproduce the recorded
+status.
+
+Known anomalies (asserted as thresholds, documented here):
+- 311_v0_random.txt contains a uniform cluster of '+1##########' values
+  recorded status 3 that the COMMITTED algorithm classifies 1 (the
+  '+'-prefix retry at phone-number-v0.py:71-81 matches them); the file
+  predates that logic.  All other lines agree.
+- parking_state.txt records 'MA' as 3 while the committed acronym check
+  (check_states.py:15-19) yields 2; a 1/590 anomaly (all other two-letter
+  acronyms in the same files are recorded 2).
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import os
+
+import pytest
+
+from dar_spark.dialect import SPARK
+from dar_spark.functions import validators as V
+
+REF = "/root/reference"
+
+
+def _parse_pair_family(path):
+    """(col, (row, status, value)) lines → [(status, value_str)]."""
+    out = []
+    for line in open(path, errors="replace"):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            t = ast.literal_eval(line)
+            out.append((t[1][1], t[1][2]))
+        except (ValueError, SyntaxError):
+            continue
+    return out
+
+
+def _parse_zip_family(path):
+    """(row, [[col, status, value]]) lines → [(status, value_str)]."""
+    out = []
+    for line in open(path, errors="replace"):
+        try:
+            t = ast.literal_eval(line.strip())
+            out.append((t[1][0][1], str(t[1][0][2])))
+        except (ValueError, SyntaxError, IndexError):
+            continue
+    return out
+
+
+def _parse_latlong(path):
+    """(row, [[kind, col, status, value]]) → [(kind, status, value_str)]."""
+    out = []
+    for line in open(path, errors="replace"):
+        try:
+            t = ast.literal_eval(line.strip())
+            kind, _col, status, value = t[1][0]
+            out.append((kind, status, repr(value) if isinstance(value, float) else str(value)))
+        except (ValueError, SyntaxError):
+            continue
+    return out
+
+
+def _replay(spark, values, sql):
+    df = spark.createDataFrame([(v,) for v in values], "x string")
+    return [r.s for r in df.selectExpr(f"({sql}) AS s").collect()]
+
+
+def _agreement(spark, rows, sql):
+    got = _replay(spark, [v for _, v in rows], sql)
+    return sum(1 for (s, _), g in zip(rows, got) if s == g), len(rows)
+
+
+@pytest.mark.parametrize(
+    "fname,min_rate",
+    [("311_state.txt", 1.0), ("dob_state.txt", 1.0), ("parking_state.txt", 0.99)],
+)
+def test_state_golden(spark, fname, min_rate):
+    rows = [
+        (s, v)
+        for s, v in _parse_pair_family(f"{REF}/state_boroughs/sample_output/{fname}")
+        if v is not None
+    ]
+    ok, n = _agreement(spark, rows, V.state_status(SPARK, "x", strict_reference=True))
+    assert n > 100 and ok / n >= min_rate, f"{ok}/{n}"
+
+
+@pytest.mark.parametrize("fname", ["311_boro.txt", "dob_boro.txt", "parking_boro.txt"])
+def test_boro_golden(spark, fname):
+    rows = [
+        (s, v)
+        for s, v in _parse_pair_family(f"{REF}/state_boroughs/sample_output/{fname}")
+        if v is not None
+    ]
+    ok, n = _agreement(spark, rows, V.boro_status(SPARK, "x"))
+    assert n > 100 and ok == n, f"{ok}/{n}"
+
+
+@pytest.mark.parametrize(
+    "fname,min_rate",
+    [
+        ("DOB_Job_App_v0_random.txt", 1.0),
+        ("Parking_Violations_v0_random.txt", 1.0),
+        ("DOB_Permit_Issuance_v0_random.txt", 1.0),
+        ("311_v0_random.txt", 0.65),  # stale pre-retry-logic file, see module doc
+    ],
+)
+def test_phone_v0_golden(spark, fname, min_rate):
+    rows = [
+        (s, str(v))
+        for s, v in _parse_pair_family(f"{REF}/phone-numbers/output_samples/{fname}")
+    ]
+    ok, n = _agreement(spark, rows, V.phone_status(SPARK, "x"))
+    assert n >= 100 and ok / n >= min_rate, f"{ok}/{n}"
+
+
+def test_quickzip_golden(spark):
+    total_ok = total = 0
+    for f in glob.glob(f"{REF}/zip-lat-long-coords/example-outputs/quick-zip/*"):
+        rows = _parse_zip_family(f)
+        if not rows:
+            continue
+        ok, n = _agreement(
+            spark, rows, V.zip_quick_status(SPARK, "x", strict_reference=True)
+        )
+        total_ok += ok
+        total += n
+    assert total > 200 and total_ok == total, f"{total_ok}/{total}"
+
+
+def test_latlong_golden(spark):
+    total_ok = total = 0
+    for f in glob.glob(f"{REF}/zip-lat-long-coords/example-outputs/lat_long/*"):
+        rows = _parse_latlong(f)
+        for kind in ("lat", "long"):
+            sub = [(s, v) for k, s, v in rows if k == kind]
+            if not sub:
+                continue
+            ok, n = _agreement(spark, sub, V.latlong_status(SPARK, "x", kind))
+            total_ok += ok
+            total += n
+    assert total > 300 and total_ok / total >= 0.99, f"{total_ok}/{total}"
+
+
+def test_coords_golden(spark):
+    """Reconstruct '(lat, long)' pairs from the nested golden lines and
+    replay both the pair status and the inner part statuses."""
+    path = f"{REF}/zip-lat-long-coords/example-outputs/coords/311-coords0-subset.txt"
+    recs = []
+    for line in open(path, errors="replace"):
+        try:
+            t = ast.literal_eval(line.strip())
+            inner = t[1][0]
+            if inner[1] == 1 and len(inner) == 4:
+                _, pair_status, lat_t, long_t = inner
+                raw = f"({lat_t[2]!r}, {long_t[2]!r})".replace("'", "")
+                recs.append((raw, pair_status, lat_t[1], long_t[1]))
+        except (ValueError, SyntaxError, IndexError):
+            continue
+    assert len(recs) > 50
+    df = spark.createDataFrame([(r[0],) for r in recs], "x string")
+    got = df.selectExpr(
+        f"({V.coords_pair_status(SPARK, 'x')}) AS p",
+        f"({V.coords_part_status(SPARK, 'x', 1)}) AS la",
+        f"({V.coords_part_status(SPARK, 'x', 2)}) AS lo",
+    ).collect()
+    bad = [
+        (r, (g.p, g.la, g.lo))
+        for r, g in zip(recs, got)
+        if (g.p, g.la, g.lo) != (r[1], r[2], r[3])
+    ]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:3]}"
