@@ -1,0 +1,90 @@
+"""Property-based tests (SURVEY.md §5 rebuild strategy item 4):
+
+- totality: every string classifies to a status in 1..5, in BOTH engines,
+  with identical results (cross-engine fuzz of the dialect emitters);
+- zip normalization idempotence: re-normalizing a normalized value is a
+  fixed point;
+- phone normalization soundness: a status-1 normalized number starts
+  with '+' and re-validates as status 1.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dar_spark.dialect import DUCKDB, SPARK
+from dar_spark.functions import validators as V
+
+# printable ASCII, the reference's input domain (CSV cells)
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=24
+)
+
+_STATUS_BUILDERS = {
+    "phone": V.phone_status,
+    "state": V.state_status,
+    "boro": V.boro_status,
+    "zip_quick": V.zip_quick_status,
+    "lat": lambda d, x: V.latlong_status(d, x, "lat"),
+    "coords": V.coords_pair_status,
+}
+
+
+def _duck_eval(sql: str, values: list[str]):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, x VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(values)))
+    return [r[0] for r in con.execute(f"SELECT ({sql}) FROM t ORDER BY i").fetchall()]
+
+
+def _spark_eval(spark, sql: str, values: list[str]):
+    df = spark.createDataFrame(list(enumerate(values)), "i long, x string")
+    return [r.s for r in df.selectExpr("i", f"({sql}) AS s").orderBy("i").collect()]
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(ascii_text, min_size=1, max_size=40))
+def test_totality_and_cross_engine_agreement(spark, values):
+    for name, build in _STATUS_BUILDERS.items():
+        got_s = _spark_eval(spark, build(SPARK, "x"), values)
+        got_d = _duck_eval(build(DUCKDB, "x"), values)
+        assert got_s == got_d, f"{name}: engine divergence on {values!r}"
+        assert all(s in (1, 2, 3, 4, 5) for s in got_s), f"{name}: non-total"
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(ascii_text, min_size=1, max_size=40))
+def test_zip_normalization_idempotent(spark, values):
+    norm = V.zip_normalized(SPARK, "x")
+    once = _spark_eval(spark, norm, values)
+    twice = _spark_eval(spark, norm, [v if v is not None else "" for v in once])
+    assert once == twice
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.from_regex(r"[0-9() +.-]{5,16}", fullmatch=True), min_size=1, max_size=30))
+def test_phone_normalized_revalidates(spark, values):
+    df = spark.createDataFrame(list(enumerate(values)), "i long, x string")
+    rows = (
+        df.selectExpr(
+            "i",
+            f"({V.phone_status(SPARK, 'x')}) AS s",
+            f"({V.phone_normalized(SPARK, 'x')}) AS n",
+        )
+        .orderBy("i")
+        .collect()
+    )
+    valid_norms = [r.n for r in rows if r.s == 1]
+    if not valid_norms:
+        return
+    assert all(n.startswith("+") for n in valid_norms)
+    df2 = spark.createDataFrame(list(enumerate(valid_norms)), "i long, x string")
+    again = [
+        r.s
+        for r in df2.selectExpr("i", f"({V.phone_status(SPARK, 'x')}) AS s")
+        .orderBy("i")
+        .collect()
+    ]
+    assert all(s == 1 for s in again)
