@@ -1,0 +1,215 @@
+"""Deduplication operators for large text corpora.
+
+Four tiers, cheapest-first (a production pipeline usually runs them in
+this order, each consuming the survivors of the previous):
+
+1. exact        — md5 content hash, one hash aggregate; O(n)
+2. fingerprint  — normalized-content hash (case/whitespace-insensitive)
+3. simhash      — 16-bit token SimHash; identical fingerprints bucket
+                  near-identical token bags; O(n) + tiny-key groupBy
+4. minhash_lsh  — 3-token-shingle MinHash, banded LSH candidates, exact
+                  Jaccard verification; finds true near-dups without the
+                  n² pair space
+
+All hashing is deterministic (seeded md5 slices — reproducible across
+runs, engines, and cluster layouts; no ml.feature RNG).  Shuffle keys
+(band buckets, simhash values, content hashes) are uniform by
+construction, so none of these skew at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(fp, n_docs, keep_id) for every group of byte-identical texts."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter("n_docs > 1")
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative of each exact-dup group — the
+    standard corpus-dedup contract."""
+    w = f"min({id_col}) OVER (PARTITION BY md5({text_col}))"
+    return df.withColumn("_keep", F.expr(w)).filter(
+        F.col(id_col) == F.col("_keep")
+    ).drop("_keep")
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Case/whitespace-normalized content fingerprint per document."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint"),
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over distinct unigrams: bit b votes ±1 by the high
+    bit of md5 hex nibble b."""
+    ex = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"array_distinct(split(lower({text_col}), ' ', -1))")
+        ).alias("tk"),
+    ).filter("tk <> ''")
+    hex_set = "('" + "', '".join(HEX_HIGH) + "')"
+    sums = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN substr(md5(tk), {b + 1}, 1) IN {hex_set} THEN 1 ELSE -1 END"
+            )
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    bits = ex.groupBy(id_col).agg(*sums)
+    fp = F.concat(
+        *[F.expr(f"CASE WHEN s{b} > 0 THEN '1' ELSE '0' END") for b in range(16)]
+    )
+    return bits.select(F.col(id_col), fp.alias("simhash"))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct n-token shingle arrays per document (tokenized in its own
+    projection — inlining the split into the transform lambda would
+    re-split per index)."""
+    idx = " || ' ' || ".join(f"element_at(w, i + {j})" for j in range(n))
+    return (
+        df.selectExpr(f"{id_col}", f"split(lower({text_col}), ' ', -1) AS w")
+        .selectExpr(
+            id_col,
+            f"array_distinct(transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
+            f"i -> {idx})) AS s",
+        )
+        .filter("size(s) > 0")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (id_a, id_b, jaccard ≥ threshold).
+
+    4 minhashes from disjoint 8-hex slices of one md5 per shingle → 2
+    bands of 2 → band-bucket self-joins → exact Jaccard verification on
+    candidates only.
+    """
+    sh = shingles(df, id_col, text_col, shingle_n).cache()
+    ex = sh.select(F.col(id_col), F.explode("s").alias("g")).withColumn(
+        "m", F.md5("g")
+    )
+    sig = ex.groupBy(id_col).agg(
+        *[F.min(F.expr(f"substr(m, {8 * j + 1}, 8)")).alias(f"h{j}") for j in range(4)]
+    )
+    bands = sig.select(
+        F.col(id_col),
+        F.concat("h0", "h1").alias("b0"),
+        F.concat("h2", "h3").alias("b1"),
+    )
+    cands = None
+    for b in ("b0", "b1"):
+        a = bands.select(F.col(id_col).alias("doc_id_a"), F.col(b).alias("bk"))
+        bb = bands.select(F.col(id_col).alias("doc_id_b"), F.col(b).alias("bk"))
+        c = (
+            a.join(bb, "bk")
+            .filter("doc_id_a < doc_id_b")
+            .select("doc_id_a", "doc_id_b")
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    sa = sh.select(F.col(id_col).alias("doc_id_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col(id_col).alias("doc_id_b"), F.col("s").alias("sb"))
+    j = (
+        cands.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .selectExpr(
+            "doc_id_a",
+            "doc_id_b",
+            "size(array_intersect(sa, sb)) AS i",
+            "size(sa) AS na",
+            "size(sb) AS nb",
+        )
+    )
+    return j.selectExpr(
+        "doc_id_a",
+        "doc_id_b",
+        "round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard",
+    ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Exact char-n-gram Jaccard over equal-length candidate buckets."""
+    grams = (
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)), "
+        f"i -> substr({text_col}, i, {n})))"
+    )
+    g = (
+        df.selectExpr(id_col, f"length({text_col}) AS n_chars_b", f"{grams} AS gs")
+        .filter("size(gs) > 0")
+        .cache()
+    )
+    a = g.select(
+        F.col(id_col).alias("doc_id_a"), "n_chars_b", F.col("gs").alias("ga")
+    )
+    b = g.select(
+        F.col(id_col).alias("doc_id_b"), "n_chars_b", F.col("gs").alias("gb")
+    )
+    p = a.join(b, "n_chars_b").filter("doc_id_a < doc_id_b").selectExpr(
+        "doc_id_a",
+        "doc_id_b",
+        "size(array_intersect(ga, gb)) AS i",
+        "size(ga) AS na",
+        "size(gb) AS nb",
+    )
+    return p.selectExpr(
+        "doc_id_a",
+        "doc_id_b",
+        "round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard",
+    ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cos_threshold: float = 0.999,
+    subset_pred: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine (brute force over an optional
+    subset; for full-corpus scale use similarity.srp_lsh_topk buckets)."""
+    e = df.select(F.col(id_col), F.expr(
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    ).alias("v"))
+    if subset_pred:
+        e = e.filter(subset_pred)
+    e = e.withColumn(
+        "nrm", F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))")
+    )
+    a = e.select(F.col(id_col).alias("vec_id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col(id_col).alias("vec_id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.join(b, F.expr("vec_id_a < vec_id_b"))
+        .selectExpr(
+            "vec_id_a",
+            "vec_id_b",
+            "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x) / (na * nb), 6) AS cos_sim",
+        )
+        .filter(f"cos_sim >= {cos_threshold}")
+    )

@@ -353,15 +353,9 @@ def _corpus_df(spark, sf_dir):
 
 def _dedup_exact_q() -> Q:
     def spark_fn(spark, sf_dir):
-        corpus = _corpus_df(spark, sf_dir)
-        return (
-            corpus.groupBy(F.md5(F.col("text")).alias("fp"))
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.min("doc_id").alias("keep_id"),
-            )
-            .filter("n_docs > 1")
-        )
+        from dar_spark.operators.dedup import exact_dup_groups
+
+        return exact_dup_groups(_corpus_df(spark, sf_dir), "doc_id", "text")
 
     oracle = f"""WITH corpus AS ({CORPUS_CTE})
 SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keep_id
@@ -387,61 +381,12 @@ def _dedup_minhash_q() -> Q:
     """
 
     def spark_fn(spark, sf_dir):
-        corpus = _corpus_df(spark, sf_dir)
-        # tokenize in a separate projection: referencing the split inside
-        # the transform lambda would re-split the text per index (O(n²))
-        shingle = (
-            "array_distinct(transform(sequence(1, greatest(size(w) - 2, 0)), "
-            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), "
-            "' ', element_at(w, i + 2))))"
+        from dar_spark.operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(
+            _corpus_df(spark, sf_dir), "doc_id", "text",
+            jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
         )
-        sh = (
-            corpus.selectExpr("doc_id", "split(lower(text), ' ', -1) AS w")
-            .selectExpr("doc_id", f"{shingle} AS s")
-            .filter("size(s) > 0")
-            .cache()
-        )
-        ex = sh.select("doc_id", F.explode("s").alias("g")).withColumn(
-            "m", F.md5("g")
-        )
-        sig = ex.groupBy("doc_id").agg(
-            *[
-                F.min(F.expr(f"substr(m, {8 * j + 1}, 8)")).alias(f"h{j}")
-                for j in range(4)
-            ]
-        )
-        bands = sig.select(
-            "doc_id",
-            F.concat("h0", "h1").alias("b0"),
-            F.concat("h2", "h3").alias("b1"),
-        )
-        cands = None
-        for b in ("b0", "b1"):
-            a = bands.select(F.col("doc_id").alias("doc_id_a"), F.col(b).alias("bk"))
-            bb = bands.select(F.col("doc_id").alias("doc_id_b"), F.col(b).alias("bk"))
-            c = a.join(bb, "bk").filter("doc_id_a < doc_id_b").select(
-                "doc_id_a", "doc_id_b"
-            )
-            cands = c if cands is None else cands.unionByName(c)
-        cands = cands.distinct()
-        sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa"))
-        sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb"))
-        j = (
-            cands.join(sa, "doc_id_a")
-            .join(sb, "doc_id_b")
-            .selectExpr(
-                "doc_id_a",
-                "doc_id_b",
-                "size(array_intersect(sa, sb)) AS i",
-                "size(sa) AS na",
-                "size(sb) AS nb",
-            )
-        )
-        return j.selectExpr(
-            "doc_id_a",
-            "doc_id_b",
-            "round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard",
-        ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {MINHASH_JACCARD_THRESHOLD}")
 
     mins = ", ".join(
         f"min(substr(md5(g), {8 * j + 1}, 8)) AS h{j}" for j in range(4)
@@ -474,26 +419,11 @@ def _dedup_simhash_q() -> Q:
     high bit of md5 hex nibble b); duplicate groups share a fingerprint."""
 
     def spark_fn(spark, sf_dir):
-        corpus = _corpus_df(spark, sf_dir)
-        ex = corpus.select(
-            "doc_id",
-            F.explode(F.expr("array_distinct(split(lower(text), ' ', -1))")).alias("tk"),
-        ).filter("tk <> ''")
-        sums = [
-            F.sum(
-                F.expr(
-                    f"CASE WHEN substr(md5(tk), {b + 1}, 1) IN {_HEX_HIGH} THEN 1 ELSE -1 END"
-                )
-            ).alias(f"s{b}")
-            for b in range(16)
-        ]
-        bits = ex.groupBy("doc_id").agg(*sums)
-        fp = F.concat(
-            *[F.expr(f"CASE WHEN s{b} > 0 THEN '1' ELSE '0' END") for b in range(16)]
-        ).alias("simhash")
+        from dar_spark.operators.dedup import simhash16
+
+        fps = simhash16(_corpus_df(spark, sf_dir), "doc_id", "text")
         return (
-            bits.select("doc_id", fp)
-            .groupBy("simhash")
+            fps.groupBy("simhash")
             .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
             .filter("n_docs > 1")
         )
@@ -630,31 +560,12 @@ def _ngram_jaccard_q() -> Q:
     probabilistic candidates) with an exact char-level variant."""
 
     def spark_fn(spark, sf_dir):
-        corpus = _corpus_df(spark, sf_dir)
-        grams = (
-            f"array_distinct(transform(sequence(1, greatest(length(text) - {NGRAM_N - 1}, 0)), "
-            f"i -> substr(text, i, {NGRAM_N})))"
+        from dar_spark.operators.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(
+            _corpus_df(spark, sf_dir), "doc_id", "text",
+            n=NGRAM_N, jaccard_threshold=NGRAM_JACCARD_THRESHOLD,
         )
-        g = corpus.selectExpr(
-            "doc_id", "length(text) AS n_chars_b", f"{grams} AS gs"
-        ).filter("size(gs) > 0").cache()
-        a = g.select(
-            F.col("doc_id").alias("doc_id_a"), F.col("n_chars_b"),
-            F.col("gs").alias("ga"),
-        )
-        b = g.select(
-            F.col("doc_id").alias("doc_id_b"), F.col("n_chars_b"),
-            F.col("gs").alias("gb"),
-        )
-        p = a.join(b, "n_chars_b").filter("doc_id_a < doc_id_b").selectExpr(
-            "doc_id_a", "doc_id_b",
-            "size(array_intersect(ga, gb)) AS i",
-            "size(ga) AS na", "size(gb) AS nb",
-        )
-        return p.selectExpr(
-            "doc_id_a", "doc_id_b",
-            "round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard",
-        ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {NGRAM_JACCARD_THRESHOLD}")
 
     oracle = f"""WITH corpus AS ({CORPUS_CTE}),
 g AS (SELECT doc_id, length(text) AS n_chars_b,

@@ -1,0 +1,67 @@
+"""Dedup library API (operators/dedup.py) behavior tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dar_spark.operators import dedup
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def _dup_corpus(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    rep = docs.select(F.col("doc_id").alias("rep_id"), F.col("text").alias("rep_text"))
+    return (
+        docs.select("doc_id", F.expr("doc_id - doc_id % 3").alias("rep_id"))
+        .join(rep, "rep_id")
+        .select("doc_id", F.col("rep_text").alias("text"))
+    )
+
+
+def test_drop_exact_dups_keeps_min_id(spark):
+    corpus = _dup_corpus(spark)
+    n = corpus.count()
+    kept = dedup.drop_exact_dups(corpus, "doc_id", "text")
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # representatives are exactly the ids ≡ 0 (mod 3) present in the corpus
+    assert ids == {i for i in range(n) if i % 3 == 0 and i < n}
+    # idempotent
+    assert dedup.drop_exact_dups(kept, "doc_id", "text").count() == kept.count()
+
+
+def test_minhash_finds_all_injected_pairs(spark):
+    corpus = _dup_corpus(spark).filter("doc_id < 90")
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup.minhash_lsh_pairs(corpus, "doc_id", "text").collect()
+    }
+    # identical docs (J=1) are always banded together: every within-triple
+    # pair must be found
+    expected = set()
+    for base in range(0, 90, 3):
+        expected |= {(base, base + 1), (base, base + 2), (base + 1, base + 2)}
+    missing = expected - pairs
+    assert not missing, f"missing {sorted(missing)[:5]}"
+
+
+def test_simhash_identical_docs_share_fingerprint(spark):
+    corpus = _dup_corpus(spark).filter("doc_id < 30")
+    fps = {r.doc_id: r.simhash for r in dedup.simhash16(corpus, "doc_id", "text").collect()}
+    for base in range(0, 30, 3):
+        assert fps[base] == fps[base + 1] == fps[base + 2]
+        assert len(fps[base]) == 16 and set(fps[base]) <= {"0", "1"}
+
+
+def test_embedding_dup_pairs(spark):
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    rep = e.select(F.col("vec_id").alias("rep_id"), F.col("embedding").alias("rv"))
+    dup = (
+        e.select("vec_id", F.expr("vec_id - vec_id % 2").alias("rep_id"))
+        .join(rep, "rep_id")
+        .select("vec_id", F.col("rv").alias("embedding"))
+        .filter("vec_id < 40")
+    )
+    pairs = dedup.embedding_dup_pairs(dup, "vec_id", "embedding", cos_threshold=0.999)
+    got = {(r.vec_id_a, r.vec_id_b) for r in pairs.collect()}
+    assert got == {(i, i + 1) for i in range(0, 40, 2)}
