@@ -121,20 +121,35 @@ def status_histogram(
     df: DataFrame, validator_columns: dict[str, str], id_col: str | None = None
 ) -> DataFrame:
     """(column, status, n) histogram for many validator/column pairs in ONE
-    scan: explode an array of structs, then a tiny hash aggregate.
+    scan and ZERO row shuffles.
 
-    At scale this is a single pass + a partial/final agg whose shuffle is
-    O(columns × 5 statuses), independent of row count.
+    Each validator's status is computed once in a projection; the counts
+    are conditional sums in a single partial+final aggregate (one row out
+    of the map side per partition — the cheapest shape Spark offers).  An
+    explode+groupBy formulation materializes rows×validators exploded
+    records and shuffles them; this stays O(columns × 5) end to end.
     """
-    structs = [
-        F.struct(
-            F.lit(name).alias("column"),
-            status_col(v, c).alias("status"),
-        )
-        for name, (v, c) in validator_columns.items()
-    ]
-    return (
-        df.select(F.explode(F.array(*structs)).alias("r"))
-        .groupBy(F.col("r.column").alias("column"), F.col("r.status").alias("status"))
-        .agg(F.count(F.lit(1)).alias("n"))
+    names = list(validator_columns)
+    proj = df.select(
+        *[
+            status_col(v, c).alias(f"_s_{i}")
+            for i, (v, c) in enumerate(validator_columns.values())
+        ]
     )
+    aggs = []
+    for i in range(len(names)):
+        for s in range(1, 6):
+            aggs.append(
+                F.sum(F.when(F.col(f"_s_{i}") == s, 1).otherwise(0)).alias(
+                    f"n_{i}_{s}"
+                )
+            )
+    row = proj.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = [
+        (name, s, int(row[f"n_{i}_{s}"] or 0))
+        for i, name in enumerate(names)
+        for s in range(1, 6)
+        if (row[f"n_{i}_{s}"] or 0) > 0
+    ]
+    return spark.createDataFrame(out, "column string, status int, n long")

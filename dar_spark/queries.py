@@ -56,11 +56,38 @@ class Q:
 
 
 def _profile_pair(name, table, k, gen, status_fn, norm_fn, **kw):
-    """Build (spark_fn, oracle_sql) for a per-row classify query."""
+    """Build (spark_fn, oracle_sql) for a per-row classify query.
+
+    The Spark side computes status in a first projection and derives
+    normalized from the precomputed columns in a second — halves the
+    codegen tree versus re-embedding the status cascade inside the
+    normalizer (the oracle stays the self-contained expression; values
+    are identical, which the parity suite asserts).
+    """
+    two_stage = {
+        # validator family -> second-stage normalized expr over (x, _c, status)
+        V.phone_status: (
+            V.phone_clean,
+            "CASE WHEN status <> 1 THEN CAST(x AS STRING) "
+            "WHEN substr(_c, 1, 1) = '1' THEN '+' || _c ELSE '+1' || _c END",
+        ),
+        V.state_status: (None, "CASE WHEN status = 4 THEN NULL ELSE CAST(x AS STRING) END"),
+        V.boro_status: (None, "CASE WHEN status = 4 THEN NULL ELSE CAST(x AS STRING) END"),
+    }
 
     def spark_fn(spark, sf_dir):
         t = load_tables(spark, sf_dir)
         df = parallelize(t[table]).selectExpr(f"{k} AS row_id", f"{gen(k)} AS x")
+        stage2 = two_stage.get(status_fn)
+        if stage2 is not None:
+            clean_fn, norm_expr = stage2
+            cols = ["row_id", "x", F.expr(status_fn(SPARK, "x", **kw)).alias("status")]
+            if clean_fn is not None:
+                cols.insert(2, F.expr(clean_fn(SPARK, "x")).alias("_c"))
+            s1 = df.select(*cols)
+            return s1.select(
+                "row_id", "status", F.expr(norm_expr).alias("normalized")
+            )
         return df.select(
             "row_id",
             F.expr(status_fn(SPARK, "x", **kw)).alias("status"),
