@@ -1,0 +1,121 @@
+"""Text-analysis expressions for training-data pipelines.
+
+All pure Column expressions (JVM-side); the registry queries and the
+operators below compose them.  Metrics follow the common pre-training
+quality-filter recipes: token counts (whitespace and BPE-ish), type-token
+ratio, stopword ratio, punctuation density, mean word length, and a
+composite quality score.  Language-ID is a stopword-count heuristic —
+deterministic, dictionary-driven, honest about being a stub for a real
+classifier (fastText-style models are not expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+# tiny per-language stopword marker sets (extendable)
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+    "es": ["el", "la", "de", "que"],
+    "fr": ["le", "la", "de", "et"],
+    "de": ["der", "die", "das", "und"],
+}
+
+
+def tokens(text_col: str) -> str:
+    return f"split(lower({text_col}), ' ', -1)"
+
+
+def token_count(text_col: str) -> Column:
+    return F.expr(f"size(split(trim({text_col}), ' ', -1))")
+
+
+def bpe_token_count(text_col: str) -> Column:
+    return F.expr(f"size(regexp_extract_all({text_col}, '{BPE_PATTERN}', 0))")
+
+
+def type_token_ratio(text_col: str) -> Column:
+    t = tokens(text_col)
+    return F.expr(
+        f"round(CAST(size(array_distinct({t})) AS DOUBLE) / size({t}), 6)"
+    )
+
+
+def stopword_ratio(text_col: str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or ["the", "a"]
+    lits = ", ".join(f"'{w}'" for w in sw)
+    t = tokens(text_col)
+    return F.expr(
+        f"round(CAST(size(filter({t}, w -> w IN ({lits}))) AS DOUBLE) / size({t}), 6)"
+    )
+
+
+def punct_density(text_col: str) -> Column:
+    return F.expr(
+        f"round(CAST(length({text_col}) - length(regexp_replace({text_col}, "
+        f"'[^a-zA-Z0-9 ]', '')) AS DOUBLE) / greatest(length({text_col}), 1), 6)"
+    )
+
+
+def mean_word_length(text_col: str) -> Column:
+    t = tokens(text_col)
+    return F.expr(
+        f"round(CAST(length(replace({text_col}, ' ', '')) AS DOUBLE) "
+        f"/ greatest(size({t}), 1), 6)"
+    )
+
+
+def quality_score(text_col: str) -> Column:
+    """Composite [0,1] score: length saturation + lexical diversity +
+    (1 - stopword dominance)."""
+    t = tokens(text_col)
+    return F.expr(
+        f"round(0.4 * least(CAST(size({t}) AS DOUBLE) / 100.0, 1.0) "
+        f"+ 0.4 * (CAST(size(array_distinct({t})) AS DOUBLE) / size({t})) "
+        f"+ 0.2 * (1.0 - CAST(size(filter({t}, w -> w IN ('the', 'a'))) AS DOUBLE) / size({t})), 6)"
+    )
+
+
+def lang_id(text_col: str) -> Column:
+    """Argmax of per-language marker-token counts; 'und' when no marker
+    hits.  Ties break by the LANG_MARKERS declaration order."""
+    t = tokens(text_col)
+    counts = {
+        lang: f"size(filter({t}, w -> w IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    langs = list(counts)
+    best = "CASE "
+    for lang in langs:
+        others = [f"{counts[lang]} >= {counts[o]}" for o in langs if o != lang]
+        best += f"WHEN {counts[lang]} > 0 AND {' AND '.join(others)} THEN '{lang}' "
+    best += "ELSE 'und' END"
+    return F.expr(best)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100000,
+    min_quality: float = 0.3,
+    max_stopword_ratio: float = 0.7,
+) -> DataFrame:
+    """The standard pre-training corpus filter: length window + quality
+    floor + stopword ceiling.  A narrow filter — fully pushdown-friendly
+    when the metrics are materialized columns."""
+    return (
+        df.withColumn("_n_tok", token_count(text_col))
+        .withColumn("_q", quality_score(text_col))
+        .withColumn("_sw", stopword_ratio(text_col))
+        .filter(
+            (F.col("_n_tok") >= min_tokens)
+            & (F.col("_n_tok") <= max_tokens)
+            & (F.col("_q") >= min_quality)
+            & (F.col("_sw") <= max_stopword_ratio)
+        )
+        .drop("_n_tok", "_q", "_sw")
+    )

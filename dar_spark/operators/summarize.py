@@ -1,0 +1,61 @@
+"""summarize() — per-column profiling aggregates (SURVEY.md §2d).
+
+The natural extension of detection: null count/rate, exact and
+approximate distinct counts, numeric min/max/mean.  Everything is one
+aggregate over one scan; exact distincts expand the aggregate (Spark's
+expand operator), approx uses HyperLogLog++ and keeps the single pass
+cheap — at 100 TB you run ``approx=True``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
+
+
+def summarize(df: DataFrame, columns: list[str] | None = None, approx: bool = False) -> DataFrame:
+    """(column_name, dtype, n_rows, n_nulls, null_rate, n_distinct,
+    min_value, max_value, mean_value) — min/max/mean as doubles for
+    numeric columns, NULL otherwise."""
+    dtypes = dict(df.dtypes)
+    columns = columns or list(dtypes)
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for c in columns:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        if approx:
+            aggs.append(F.approx_count_distinct(c).alias(f"nd_{c}"))
+        else:
+            aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        base = dtypes[c].split("(")[0]
+        if base in _NUMERIC:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"mn_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"mx_{c}"))
+            aggs.append(F.avg(F.col(c).cast("double")).alias(f"av_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    total = int(row["_total"])
+    out = []
+    for c in columns:
+        base = dtypes[c].split("(")[0]
+        numeric = base in _NUMERIC
+        n_nulls = total - int(row[f"nn_{c}"])
+        out.append(
+            (
+                c,
+                dtypes[c],
+                total,
+                n_nulls,
+                round(n_nulls / total, 6) if total else 0.0,
+                int(row[f"nd_{c}"]),
+                float(row[f"mn_{c}"]) if numeric and row[f"mn_{c}"] is not None else None,
+                float(row[f"mx_{c}"]) if numeric and row[f"mx_{c}"] is not None else None,
+                round(float(row[f"av_{c}"]), 6) if numeric and row[f"av_{c}"] is not None else None,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "column_name string, dtype string, n_rows long, n_nulls long, "
+        "null_rate double, n_distinct long, min_value double, max_value double, "
+        "mean_value double",
+    )

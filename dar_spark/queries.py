@@ -299,6 +299,64 @@ def _column_stats_q() -> Q:
     return Q(spark_fn, "\nUNION ALL\n".join(selects))
 
 
+def _summarize_q() -> Q:
+    """Per-column profiling aggregates via operators/summarize.py."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.summarize import summarize
+
+        t = load_tables(spark, sf_dir)
+        return summarize(t["lineitem"], columns=cols).select(
+            "column_name", "n_rows", "n_nulls", "n_distinct",
+            "min_value", "max_value", "mean_value",
+        )
+
+    selects = []
+    for c in cols:
+        numeric = c != "l_returnflag"
+        mn = f"CAST(MIN({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(MAX({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        av = f"round(AVG({c}), 6)" if numeric else "CAST(NULL AS DOUBLE)"
+        selects.append(
+            f"SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_value, {mx} AS max_value, {av} AS mean_value "
+            f"FROM lineitem"
+        )
+    return Q(spark_fn, "\nUNION ALL\n".join(selects))
+
+
+def _quality_filter_q() -> Q:
+    """Corpus quality filter: survivors of the standard pre-training
+    recipe (length window + quality floor + stopword ceiling)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import quality_filter
+
+        t = load_tables(spark, sf_dir)
+        return quality_filter(
+            parallelize(t["documents"]).select("doc_id", "text"),
+            min_tokens=20, min_quality=0.5, max_stopword_ratio=0.2,
+        ).select("doc_id")
+
+    d = DUCKDB
+    toks = d.split_lit("lower(text)", " ")
+    n_tok = f"len(string_split(trim(text), ' '))"
+    n_uniq = d.arr_len(d.arr_distinct(toks))
+    n_stop = d.arr_len(d.arr_filter(toks, "w -> w IN ('the', 'a')"))
+    q = (
+        f"round(0.4 * least(CAST({d.arr_len(toks)} AS DOUBLE) / 100.0, 1.0) "
+        f"+ 0.4 * (CAST({n_uniq} AS DOUBLE) / {d.arr_len(toks)}) "
+        f"+ 0.2 * (1.0 - CAST({n_stop} AS DOUBLE) / {d.arr_len(toks)}), 6)"
+    )
+    sw = f"round(CAST({n_stop} AS DOUBLE) / {d.arr_len(toks)}, 6)"
+    oracle = f"""SELECT doc_id FROM documents
+WHERE {n_tok} BETWEEN 20 AND 100000 AND {q} >= 0.5 AND {sw} <= 0.2"""
+    return Q(spark_fn, oracle)
+
+
 # ---------------------------------------------------------------------------
 # family 2: dialect-neutral analytics SQL (run verbatim on both engines)
 # ---------------------------------------------------------------------------
@@ -951,6 +1009,8 @@ def build_registry() -> dict[str, Q]:
     r["embed_dup_pairs"] = _embed_dup_pairs_q()
     r["fuzzy_state_profile"] = _fuzzy_state_q()
     r["embed_lsh_topk"] = _embed_lsh_topk_q()
+    r["summarize_lineitem"] = _summarize_q()
+    r["quality_filter_docs"] = _quality_filter_q()
     r["dedup_ngram_jaccard"] = _ngram_jaccard_q()
     r["bpe_token_count"] = _bpe_token_count_q()
     r["rolling_fingerprint"] = _rolling_fingerprint_q()

@@ -1,0 +1,77 @@
+"""Text-analysis functions and summarize() operator."""
+
+from __future__ import annotations
+
+from dar_spark.functions import text as T
+from dar_spark.operators.summarize import summarize
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def test_text_metrics_values(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("a a a a",), ("unique words only here",)],
+        "text string",
+    )
+    rows = df.select(
+        T.token_count("text").alias("n"),
+        T.type_token_ratio("text").alias("ttr"),
+        T.stopword_ratio("text").alias("sw"),
+        T.punct_density("text").alias("pd"),
+        T.mean_word_length("text").alias("mwl"),
+        T.quality_score("text").alias("q"),
+    ).collect()
+    r0 = rows[0]
+    assert r0.n == 6 and abs(r0.ttr - 5 / 6) < 1e-6 and abs(r0.sw - 2 / 6) < 1e-6
+    r1 = rows[1]
+    assert r1.ttr == 0.25 and r1.sw == 1.0
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+    assert rows[2].sw == 0.0
+
+
+def test_bpe_vs_whitespace_tokens(spark):
+    df = spark.createDataFrame([("hello, world 42",)], "text string")
+    r = df.select(
+        T.token_count("text").alias("ws"), T.bpe_token_count("text").alias("bpe")
+    ).collect()[0]
+    assert r.ws == 3 and r.bpe == 4  # comma splits off as its own token
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [("the quick fox and the dog",), ("el perro de la casa que ladra",),
+         ("der hund und die katze",), ("xyz qqq www",)],
+        "text string",
+    )
+    got = [r.lang for r in df.select(T.lang_id("text").alias("lang")).collect()]
+    assert got == ["en", "es", "de", "und"]
+
+
+def test_quality_filter_drops_junk(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a a a a a a a a a a a a a a a a a a a")]
+        + [(i, " ".join(f"w{j}x{i}" for j in range(30))) for i in range(2, 8)],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in T.quality_filter(df, min_tokens=10).select("doc_id").collect()}
+    assert 1 not in kept  # all-stopword doc dropped
+    assert kept == {2, 3, 4, 5, 6, 7}
+
+
+def test_summarize_basic(spark):
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    out = {r.column_name: r for r in summarize(li, ["l_quantity", "l_returnflag"]).collect()}
+    q = out["l_quantity"]
+    assert q.n_rows == li.count() and q.n_nulls == 0
+    assert q.min_value >= 1.0 and q.max_value <= 50.0
+    assert q.mean_value is not None and 1.0 < q.mean_value < 50.0
+    rf = out["l_returnflag"]
+    assert rf.min_value is None and rf.n_distinct <= 3
+
+
+def test_summarize_approx_mode(spark):
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    exact = {r.column_name: r.n_distinct for r in summarize(li, ["l_partkey"]).collect()}
+    approx = {r.column_name: r.n_distinct for r in summarize(li, ["l_partkey"], approx=True).collect()}
+    # HLL++ default rsd 5%
+    assert abs(approx["l_partkey"] - exact["l_partkey"]) <= 0.15 * exact["l_partkey"]
