@@ -32,7 +32,7 @@ Semantics are re-expressed (not copied) from the reference scripts:
 
 from __future__ import annotations
 
-from dar_spark.constants import (
+from dar_spark.refdata import (
     BORO_ABBREVS,
     BORO_NAMES,
     E164_PATTERN,
