@@ -1,0 +1,65 @@
+"""Join strategies for the 100 TB posture: bucketing and skew salting.
+
+- **Bucketed co-located joins**: pre-bucket both fact tables on the join
+  key at write time; Spark then sort-merge-joins bucket-by-bucket with NO
+  exchange on either side — the only way a TB×TB join avoids shuffling
+  both inputs every run.  ``write_bucketed`` / ``read_bucketed`` wrap the
+  saveAsTable plumbing; tests assert the exchange disappears.
+
+- **Salted skew joins**: when one join key carries a disproportionate
+  share of rows (the classic null/default-value hot key), AQE's skew-join
+  splitting handles moderate skew; ``salted_join`` handles the extreme
+  case explicitly by exploding the small side SALT ways and scattering
+  the big side's hot rows uniformly across salt buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed (+ sorted) table: joins and aggregations on
+    ``bucket_cols`` against tables bucketed the same way need no
+    exchange."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols).sortBy(
+        *bucket_cols
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: the (large, skewed) ``left`` scatters each
+    row to one of ``n_salts`` sub-keys; the (smaller) ``right`` replicates
+    every row across all sub-keys.  Hot keys spread over n_salts tasks
+    instead of melting one executor.  Output columns = left ∪ right \
+    {key duplicated}, like a plain join on ``key``.
+    """
+    lcol = f"_salt"
+    l = left.withColumn(
+        lcol, (F.rand(seed=7) * n_salts).cast("int")
+    )
+    r = right.withColumn(
+        "_salts", F.expr(f"sequence(0, {n_salts - 1})")
+    ).withColumn(lcol, F.explode("_salts")).drop("_salts")
+    out = l.join(r, on=[key, lcol], how=how).drop(lcol)
+    return out

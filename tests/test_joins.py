@@ -1,0 +1,60 @@
+"""Bucketed co-located joins and salted skew joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dar_spark.operators.joins import salted_join, write_bucketed
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    return str(tmp_path_factory.mktemp("wh"))
+
+
+def test_bucketed_join_has_no_exchange(spark, warehouse):
+    t = load_tables(spark, SF_DIR)
+    li = t["lineitem"].select("l_orderkey", "l_quantity")
+    od = t["orders"].select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_b", ["l_orderkey"], 8, path=f"{warehouse}/li_b")
+    write_bucketed(
+        od.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "od_b", ["l_orderkey"], 8, path=f"{warehouse}/od_b",
+    )
+    j = spark.table("li_b").join(spark.table("od_b"), "l_orderkey")
+    # disable auto-broadcast so the co-located sort-merge path is chosen
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join still shuffles"
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed left: 90% of rows share key 1
+    left = spark.range(0, 2000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 1 ELSE id END AS k", "id AS v"
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (15, "cold"), (25, "cold")], "k long, label string"
+    )
+    plain = {(r.k, r.v, r.label) for r in left.join(right, "k").collect()}
+    salted = {(r.k, r.v, r.label) for r in salted_join(left, right, "k").collect()}
+    assert salted == plain
+    assert len(salted) > 1500  # the hot key actually joined
+
+
+def test_salted_join_spreads_hot_key(spark):
+    left = spark.range(0, 1000).selectExpr("CAST(1 AS BIGINT) AS k", "id AS v")
+    right = spark.createDataFrame([(1, "x")], "k long, label string")
+    l = left.withColumn("_salt", (F.rand(seed=7) * 16).cast("int"))
+    n_buckets = l.select("_salt").distinct().count()
+    assert n_buckets >= 8  # hot key scattered across many sub-keys
+    out = salted_join(left, right, "k")
+    assert out.count() == 1000
