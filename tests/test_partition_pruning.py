@@ -1,0 +1,36 @@
+"""Partitioned profile output: reading one column's results must prune
+partitions at the scan (the 100 TB read path for per-column consumers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dar_spark import testgen
+from dar_spark.operators.profile_all import profile
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def test_partition_pruning_on_profile_output(spark, tmp_path):
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    k = "(l_orderkey * 8 + l_linenumber)"
+    wide = li.selectExpr(
+        f"{k} AS row_id",
+        f"{testgen.dirty_phone(k)} AS phone_c",
+        f"{testgen.dirty_state(k)} AS state_c",
+    ).limit(2000)
+    report = profile(wide, id_col="row_id", sample_pred=F.col("row_id") < 1500)
+    out = str(tmp_path / "prof")
+    report.write(out)
+
+    back = spark.read.parquet(out).filter(
+        "column_name = 'phone_c' AND validator = 'phone'"
+    )
+    back.collect()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the partition predicate must appear in PartitionFilters (pruned at
+    # file listing), not as a post-scan data filter
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "column_name" in pf and "validator" in pf
+    assert back.count() > 0
