@@ -299,6 +299,28 @@ def _column_stats_q() -> Q:
     return Q(spark_fn, "\nUNION ALL\n".join(selects))
 
 
+def _grouped_histogram_q() -> Q:
+    """Group-wise profiling: phone status histogram per order priority —
+    the 'quality by segment' report shape (one scan, grouped agg)."""
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        df = parallelize(t["orders"]).selectExpr(
+            "o_orderpriority AS seg",
+            f"{testgen.dirty_phone(K_ORDERS)} AS x",
+        )
+        return (
+            df.select("seg", F.expr(V.phone_status(SPARK, "x")).alias("status"))
+            .groupBy("seg", "status")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    oracle = f"""WITH base AS (SELECT o_orderpriority AS seg, {testgen.dirty_phone(K_ORDERS)} AS x FROM orders)
+SELECT seg, ({V.phone_status(DUCKDB, 'x')}) AS status, CAST(COUNT(*) AS BIGINT) AS n
+FROM base GROUP BY 1, 2"""
+    return Q(spark_fn, oracle)
+
+
 def _summarize_q() -> Q:
     """Per-column profiling aggregates via operators/summarize.py."""
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
@@ -1009,6 +1031,7 @@ def build_registry() -> dict[str, Q]:
     r["embed_dup_pairs"] = _embed_dup_pairs_q()
     r["fuzzy_state_profile"] = _fuzzy_state_q()
     r["embed_lsh_topk"] = _embed_lsh_topk_q()
+    r["grouped_phone_histogram"] = _grouped_histogram_q()
     r["summarize_lineitem"] = _summarize_q()
     r["quality_filter_docs"] = _quality_filter_q()
     r["dedup_ngram_jaccard"] = _ngram_jaccard_q()

@@ -32,10 +32,28 @@ def synthetic_zips_df(spark: SparkSession) -> DataFrame:
 
 
 def zips_df(spark: SparkSession, path: str | None = None) -> DataFrame:
+    """Load the real dictionary from a ``zips.json`` file, or from a zip
+    archive containing one (e.g. the zipcodes package distribution —
+    ``archive.zip!member.json`` selects a member; otherwise the first
+    ``*.json`` member is used).  Falls back to the synthetic dictionary.
+    """
     path = path or os.environ.get("DAR_SPARK_ZIPS_JSON", "")
+    member = None
+    if "!" in path:
+        path, member = path.split("!", 1)
     if not path or not os.path.exists(path):
         return synthetic_zips_df(spark)
-    with open(path, "rb") as f:
-        records = json.loads(f.read())
+    if path.endswith(".zip"):
+        import zipfile
+
+        with zipfile.ZipFile(path) as z:
+            if member is None:
+                member = next(
+                    n for n in z.namelist() if n.endswith(".json")
+                )
+            records = json.loads(z.read(member))
+    else:
+        with open(path, "rb") as f:
+            records = json.loads(f.read())
     codes = sorted({str(r["zip_code"])[:5] for r in records})
     return spark.createDataFrame([(c,) for c in codes], "zip_code string")

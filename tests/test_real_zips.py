@@ -1,0 +1,54 @@
+"""zip_full against the REAL 42,632-entry ZIP dictionary (loaded from the
+reference's zipcodes distribution zip — data, not code).  Skipped when the
+reference checkout is absent."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dar_spark.operators.profile import classify_zip_full
+from dar_spark.sources.zips import zips_df
+
+REF_ZIP = "/root/reference/zip-lat-long-coords/zipcodes.zip"
+
+
+@pytest.fixture(scope="module")
+def real_zips(spark):
+    if not os.path.exists(REF_ZIP):
+        pytest.skip("reference zipcodes.zip not present")
+    return zips_df(spark, f"{REF_ZIP}!zipcodes/zips.json")
+
+
+def test_real_dictionary_size(real_zips):
+    n = real_zips.count()
+    assert 40000 < n < 45000  # 42,632 records, minus zip+4 prefix collapses
+
+
+def test_zip_full_with_real_dictionary(spark, real_zips):
+    cases = [
+        ("10025", 1),         # Manhattan — real
+        ("10025-1234", 1),    # zip+4 with real prefix
+        ("00000", 5),         # well-formed, not registered
+        ("99999", 5),
+        ("100251234", 2),     # 9-digit undashed, real prefix
+        ("zip 10025", 2),     # 5 digits amid junk, real
+        ("1234", 3),
+        ("", 4),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(cases)], "row_id long, x string"
+    )
+    got = {
+        r.row_id: r.status
+        for r in classify_zip_full(df, "x", "row_id", real_zips).collect()
+    }
+    for i, (v, want) in enumerate(cases):
+        assert got[i] == want, f"{v!r}: got {got[i]}, want {want}"
+
+
+def test_env_fallback_is_synthetic(spark, monkeypatch):
+    monkeypatch.delenv("DAR_SPARK_ZIPS_JSON", raising=False)
+    df = zips_df(spark, None)
+    assert df.count() == 10000  # synthetic dictionary

@@ -1,0 +1,58 @@
+"""Edge-condition robustness: empty inputs, no detections, typed columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dar_spark.operators.detect import detect
+from dar_spark.operators.profile import classify
+from dar_spark.operators.profile_all import profile
+from dar_spark.operators.summarize import summarize
+
+
+def test_profile_empty_dataframe(spark):
+    df = spark.createDataFrame([], "zip_c string")
+    report = profile(df, sample_rows=10)
+    assert report.results.count() == 0
+    assert all(not d.detected for d in report.detections)
+
+
+def test_profile_no_string_columns(spark):
+    df = spark.createDataFrame([(1, 2.0)], "a int, b double")
+    report = profile(df)
+    assert report.results.count() == 0
+    assert report.results.columns == [
+        "column_name", "validator", "row_id", "status", "raw", "normalized"
+    ]
+
+
+def test_detect_all_null_column(spark):
+    df = spark.createDataFrame([(None,)] * 20, "x string")
+    dets = detect(df, validators=["phone", "zip_quick"], sample_rows=20)
+    assert all(not d.detected for d in dets)
+    assert all(d.n_sampled == 20 for d in dets)
+
+
+def test_classify_typed_numeric_column(spark):
+    """Validators accept non-string columns like the reference's
+    str()-coercion: an int column of 5-digit values classifies as zips."""
+    df = spark.createDataFrame(
+        [(1, 10025), (2, 1234), (3, None)], "row_id long, zip_i int"
+    )
+    out = {r.row_id: r.status for r in classify(df, "zip_quick", "zip_i", "row_id").collect()}
+    assert out[1] == 1 and out[2] == 3 and out[3] == 4
+
+
+def test_classify_double_column_as_lat(spark):
+    df = spark.createDataFrame(
+        [(1, 40.81507), (2, 95.12345), (3, None)], "row_id long, lat_d double"
+    )
+    out = {r.row_id: r.status for r in classify(df, "lat", "lat_d", "row_id").collect()}
+    assert out[1] == 1 and out[2] == 5 and out[3] == 4
+
+
+def test_summarize_with_all_null_column(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "a int, b string")
+    out = {r.column_name: r for r in summarize(df).collect()}
+    assert out["b"].n_nulls == 2 and out["b"].null_rate == 1.0
+    assert out["b"].n_distinct == 0
