@@ -963,6 +963,22 @@ SELECT row_id, ({V.state_fuzzy_status(DUCKDB, 'x')}) AS status FROM base"""
     return Q(spark_fn, oracle)
 
 
+def _embed_ivf_topk_q() -> Q:
+    """IVF-Flat ANN (rows-only: seeded k-means quantizer is not
+    SQL-expressible; recall vs brute force asserted in tests)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.similarity import ivf_topk
+
+        t = load_tables(spark, sf_dir)
+        return ivf_topk(
+            t["embeddings"], "vec_id", "embedding",
+            f"vec_id % {TOPK_QUERY_STRIDE} = 0", k=TOPK_K,
+        )
+
+    return Q(spark_fn, None)
+
+
 def _embed_lsh_topk_q() -> Q:
     """Approximate ANN via SRP-LSH (rows-only: the bucket/multiprobe scan
     path is not naturally SQL-expressible; recall vs the exact baseline
@@ -1031,6 +1047,7 @@ def build_registry() -> dict[str, Q]:
     r["embed_dup_pairs"] = _embed_dup_pairs_q()
     r["fuzzy_state_profile"] = _fuzzy_state_q()
     r["embed_lsh_topk"] = _embed_lsh_topk_q()
+    r["embed_ivf_topk"] = _embed_ivf_topk_q()
     r["grouped_phone_histogram"] = _grouped_histogram_q()
     r["summarize_lineitem"] = _summarize_q()
     r["quality_filter_docs"] = _quality_filter_q()

@@ -40,6 +40,22 @@ def test_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.15, f"recall {recall:.2f}"
 
 
+def test_ivf_recall_and_reproducibility(spark):
+    from dar_spark.operators.similarity import ivf_topk
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    pred = "vec_id % 25 = 0"
+    exact = brute_force_topk(e, "vec_id", "embedding", pred, k=5)
+    a = ivf_topk(e, "vec_id", "embedding", pred, k=5, n_lists=8, n_probe=3)
+    b = ivf_topk(e, "vec_id", "embedding", pred, k=5, n_lists=8, n_probe=3)
+    sa = {(r.query_id, r.neighbor_id) for r in a.collect()}
+    sb = {(r.query_id, r.neighbor_id) for r in b.collect()}
+    assert sa == sb  # seeded k-means → deterministic across runs
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(ex & sa) / len(ex)
+    assert recall >= 0.2, f"recall {recall:.2f}"
+
+
 def test_brute_force_schema_and_k(spark):
     e = load_tables(spark, SF_DIR)["embeddings"]
     out = brute_force_topk(e, "vec_id", "embedding", "vec_id % 100 = 0", k=4)
