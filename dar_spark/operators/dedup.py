@@ -221,6 +221,9 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
             )
         )
+        # truncate lineage every round: iterative self-joins otherwise
+        # stack plans exponentially (classic iterative-algorithm trap)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

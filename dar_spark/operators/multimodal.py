@@ -123,6 +123,44 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
+    """Arrow-batched resize stage: emits payloads whose decoded dims are
+    clamped to ``max_dim`` (aspect preserved).  The pixel resample itself
+    is a DETERMINISTIC FAKE (payload passes through, new dims recorded) —
+    a real build would call PIL ``Image.resize`` inside the batch loop;
+    the schema/batching contract is what downstream stages depend on."""
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("mime", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs = [], []
+            for p, m in zip(pdf["payload"], pdf["mime"]):
+                w, h, _ = _fake_decode(p if isinstance(p, bytes) else bytes(p), m)
+                scale = min(1.0, max_dim / max(w, h))
+                ws.append(max(1, int(w * scale)))
+                hs.append(max(1, int(h * scale)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"],
+                    "mime": pdf["mime"],
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return media.mapInPandas(batches, schema)
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling plumbing for video payloads: explodes one row per
     sampled frame index (indices from the fake-decoded frame count).  The

@@ -1,0 +1,41 @@
+"""CLI surface: profile a CSV end-to-end through dar_spark.cli.main."""
+
+from __future__ import annotations
+
+import os
+
+from dar_spark import cli
+
+
+def test_cli_profiles_csv(spark, tmp_path, capsys):
+    src = tmp_path / "in.csv"
+    rows = ["id,phone,state,note"]
+    for i in range(200):
+        phone = ["2013347135", "999-999-9999", "(212) 555-0100", "hello"][i % 4]
+        state = ["New York", "NY", "BROOKLYN", "N/A"][i % 4]
+        rows.append(f"{i},{phone},{state},note {i}")
+    src.write_text("\n".join(rows) + "\n")
+    out = str(tmp_path / "out")
+
+    rc = cli.main([str(src), "--out", out, "--validators", "phone,state"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "detected phone in 'phone'" in captured
+    assert "detected state in 'state'" in captured
+    assert os.path.isdir(out)
+
+    back = spark.read.parquet(out)
+    pairs = {
+        (r.validator, r.column_name)
+        for r in back.select("validator", "column_name").distinct().collect()
+    }
+    assert ("phone", "phone") in pairs and ("state", "state") in pairs
+    # 'note' must not be profiled
+    assert not any(c == "note" for _, c in pairs)
+
+
+def test_cli_no_detection_exit_code(spark, tmp_path):
+    src = tmp_path / "none.csv"
+    src.write_text("a,b\nfoo,bar\nbaz,qux\n")
+    rc = cli.main([str(src), "--validators", "phone", "--out", str(tmp_path / "o")])
+    assert rc == 1

@@ -54,6 +54,17 @@ def test_extract_features_dim_and_range(spark):
         assert all(0.0 <= v <= 1.0 for v in r.feature)
 
 
+def test_resize_clamps_dims(spark):
+    from dar_spark.operators.multimodal import resize_media
+
+    m = _media(spark)
+    out = resize_media(m, max_dim=24).collect()
+    assert len(out) == 60
+    for r in out:
+        assert max(r.width, r.height) <= 24 and min(r.width, r.height) >= 1
+        assert r.payload is not None
+
+
 def test_frame_sample_explodes_video(spark):
     m = _media(spark)
     frames = frame_sample(m, every_n=5)
