@@ -3,7 +3,54 @@
 A ground-up Spark DataFrame re-expression of the capabilities of
 daisycrego/dar (semantic-type detection + 5-class cell classification),
 extended with large-scale training-data operators (dedup, similarity
-search, text analysis, multimodal plumbing).  See SURVEY.md.
+search, text analysis, multimodal plumbing).  See SURVEY.md and README.md.
+
+Public API (lazy imports so ``import dar_spark`` stays cheap):
+
+    from dar_spark import profile, detect, classify, summarize
+    report = profile(df, zips=zips_df(spark))
 """
 
-__version__ = "0.1.0"
+from __future__ import annotations
+
+__version__ = "0.2.0"
+
+__all__ = [
+    "get_session",
+    "load_tables",
+    "profile",
+    "detect",
+    "classify",
+    "classify_zip_full",
+    "status_histogram",
+    "summarize",
+    "quality_filter",
+]
+
+
+def __getattr__(name):
+    if name in ("get_session", "load_tables"):
+        from dar_spark import session
+
+        return getattr(session, name)
+    if name == "profile":
+        from dar_spark.operators.profile_all import profile
+
+        return profile
+    if name == "detect":
+        from dar_spark.operators.detect import detect
+
+        return detect
+    if name in ("classify", "classify_zip_full", "status_histogram"):
+        from dar_spark.operators import profile as _p
+
+        return getattr(_p, name)
+    if name == "summarize":
+        from dar_spark.operators.summarize import summarize
+
+        return summarize
+    if name == "quality_filter":
+        from dar_spark.functions.text import quality_filter
+
+        return quality_filter
+    raise AttributeError(f"module 'dar_spark' has no attribute {name!r}")

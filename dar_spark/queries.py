@@ -416,6 +416,14 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name"""
 
+STATS_SQL = """SELECT l_returnflag,
+  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        / COUNT(*), 6) AS mean_qty,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag"""
+
 TOP_EVENTS_SQL = """SELECT user_id, event_id, value AS event_value, CAST(rn AS BIGINT) AS rank_n
 FROM (
   SELECT user_id, event_id, value,
@@ -1035,6 +1043,7 @@ def build_registry() -> dict[str, Q]:
     r["q3_shipping_priority"] = _sql_q(Q3_SQL, headline=True)
     r["q5_region_revenue"] = _sql_q(Q5_SQL)
     r["top_events_per_user"] = _sql_q(TOP_EVENTS_SQL)
+    r["stats_by_returnflag"] = _sql_q(STATS_SQL)
     r["text_stats"] = _text_stats_q()
     r["lang_id"] = _lang_id_q()
     r["doc_fingerprint"] = _fingerprint_q()

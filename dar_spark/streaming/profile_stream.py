@@ -59,11 +59,14 @@ def windowed_status_counts(
         for name, (v, c) in validator_columns.items()
     ]
     # watermarks require TIMESTAMP (with local timezone); NTZ sources are
-    # cast (session timezone is UTC in get_session, so wall-clock holds)
+    # cast (session timezone is UTC in get_session, so wall-clock holds).
+    # withWatermark is applied AFTER the explode projection: the event-time
+    # metadata must sit directly under the aggregation for its late-row
+    # filter to engage (projections can detach it).
     return (
         stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-        .withWatermark(ts_col, watermark)
         .select(F.col(ts_col), F.explode(F.array(*structs)).alias("r"))
+        .withWatermark(ts_col, watermark)
         .groupBy(
             F.window(F.col(ts_col), window_duration).alias("w"),
             F.col("r.column_name").alias("column_name"),

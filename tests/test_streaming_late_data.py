@@ -1,0 +1,80 @@
+"""Watermark semantics: a late event older than the watermark must be
+excluded from its (already finalized) window.
+
+Spark's stateful operators filter late events against the watermark of
+the PREVIOUS micro-batch (watermarkForLateEvents) while evicting with the
+current one — so an event is dropped once a full batch boundary has
+passed since the watermark overtook its window.  The fixture therefore
+interposes one batch between the watermark-advancing event and the late
+arrival (verified empirically on Spark 4.1: numRowsDroppedByWatermark=1).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from datetime import datetime
+
+from dar_spark.streaming.profile_stream import windowed_status_counts
+
+VCOLS = {"phone_c": ("phone", "phone_c")}
+SCHEMA = "ts timestamp, phone_c string"
+
+
+def _rows(*specs):
+    return [(datetime(2024, 1, 1, h, m), p) for (h, m, p) in specs]
+
+
+def test_late_event_dropped_after_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # batch 0: three valid phones in window [00:00, 01:00), plus a 03:00
+    # event that advances the watermark (10 min delay) past the window end
+    b0 = spark.createDataFrame(
+        _rows((0, 5, "2013347135"), (0, 20, "2013347136"), (0, 40, "2013347137"),
+              (3, 0, "2013347138")),
+        SCHEMA,
+    )
+    # batch 1: any on-time event (propagates the advanced watermark into
+    # the late-events filter)
+    b1 = spark.createDataFrame(_rows((3, 30, "2013347138")), SCHEMA)
+    # batch 2: a LATE valid phone at 00:30 — must be dropped
+    b2 = spark.createDataFrame(
+        _rows((0, 30, "2013347139"), (4, 0, "2013347140")), SCHEMA
+    )
+    b0.coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.2)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = windowed_status_counts(
+        stream, VCOLS, ts_col="ts", window_duration="1 hour", watermark="10 minutes"
+    )
+    name = "late_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")  # append emits only finalized windows
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    got = {
+        (r.window_start.hour, r.status): r.n
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # the [00:00, 01:00) window finalized with exactly the 3 on-time
+    # events; the late 00:30 arrival was dropped by the watermark
+    assert got.get((0, 1)) == 3, got
+    assert dropped == 1
