@@ -1,0 +1,49 @@
+"""Range join — point-in-interval joins without the O(n·m) blowup.
+
+Spark has no native range-join optimization (Databricks' range-join hint
+is proprietary); a naive ``p.ts BETWEEN r.start AND r.end`` join is a
+broadcast-nested-loop or cartesian plan.  The scalable formulation buckets
+time into fixed-width cells: every range explodes to the cells it
+overlaps, every point maps to one cell, the join becomes an equi-join on
+(bucket [, keys...]) followed by the exact BETWEEN filter.  Shuffle is
+O(points + ranges × avg_cells); bucket width trades replication against
+per-bucket fanout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_ts: str,
+    range_start: str,
+    range_end: str,
+    bucket_seconds: int = 3600,
+    keys: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point to every range with start <= ts < end.
+
+    ``keys``: optional equi-join columns shared by both sides (joined on
+    in addition to the bucket — e.g. user_id).
+    """
+    keys = keys or []
+    b = bucket_seconds
+    p = points.withColumn(
+        "_bk", F.expr(f"CAST(floor(unix_timestamp({point_ts}) / {b}) AS BIGINT)")
+    )
+    r = ranges.withColumn(
+        "_bks",
+        F.expr(
+            f"sequence(CAST(floor(unix_timestamp({range_start}) / {b}) AS BIGINT), "
+            f"CAST(floor((unix_timestamp({range_end}) - 1) / {b}) AS BIGINT))"
+        ),
+    ).withColumn("_bk", F.explode("_bks")).drop("_bks")
+    joined = p.join(r, on=["_bk", *keys], how=how).filter(
+        F.expr(f"{point_ts} >= {range_start} AND {point_ts} < {range_end}")
+    )
+    return joined.drop("_bk")

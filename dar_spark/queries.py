@@ -946,6 +946,51 @@ FROM events GROUP BY event_type"""
     return Q(spark_fn, oracle)
 
 
+TIME_ROLLUP_SQL = """SELECT event_type,
+  COALESCE(CAST(date_trunc('day', ts) AS DATE), DATE '1900-01-01') AS day_bucket,
+  CAST(grouping(date_trunc('day', ts)) AS BIGINT) AS is_total,
+  round(SUM(value), 4) AS sum_value,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)), (event_type))"""
+
+
+def _range_join_q() -> Q:
+    """Events within 2 hours after each sampled user's signup — the
+    point-in-interval join, bucketed on the Spark side (operators/ranges),
+    plain BETWEEN join in the oracle."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.ranges import range_join
+
+        t = load_tables(spark, sf_dir)
+        ev = t["events"].withColumn("ts", F.col("ts").cast("timestamp"))
+        ranges = (
+            ev.filter("event_type = 'signup' AND user_id % 10 = 0")
+            .selectExpr(
+                "user_id", "event_id AS signup_id", "ts AS r_start",
+                "ts + INTERVAL 2 HOURS AS r_end",
+            )
+        )
+        pts = ev.selectExpr("user_id", "event_id", "ts")
+        out = range_join(
+            pts, ranges, "ts", "r_start", "r_end",
+            bucket_seconds=3600, keys=["user_id"],
+        )
+        return out.filter("event_id <> signup_id").select(
+            "user_id", "signup_id", "event_id"
+        )
+
+    oracle = """SELECT p.user_id, r.signup_id, p.event_id
+FROM events p
+JOIN (SELECT user_id, event_id AS signup_id, ts AS r_start,
+             ts + INTERVAL 2 HOUR AS r_end
+      FROM events WHERE event_type = 'signup' AND user_id % 10 = 0) r
+  ON p.user_id = r.user_id AND p.ts >= r.r_start AND p.ts < r.r_end
+WHERE p.event_id <> r.signup_id"""
+    return Q(spark_fn, oracle)
+
+
 def _fuzzy_state_q() -> Q:
     """Typo-tolerant state matching (activates the reference's dead
     checkTypo tier via levenshtein — SURVEY.md §2c V4 note)."""
@@ -1044,6 +1089,8 @@ def build_registry() -> dict[str, Q]:
     r["q5_region_revenue"] = _sql_q(Q5_SQL)
     r["top_events_per_user"] = _sql_q(TOP_EVENTS_SQL)
     r["stats_by_returnflag"] = _sql_q(STATS_SQL)
+    r["time_rollup_events"] = _sql_q(TIME_ROLLUP_SQL)
+    r["range_join_signups"] = _range_join_q()
     r["text_stats"] = _text_stats_q()
     r["lang_id"] = _lang_id_q()
     r["doc_fingerprint"] = _fingerprint_q()

@@ -1,0 +1,54 @@
+"""range_join bucket-boundary correctness against a naive BETWEEN join."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from dar_spark.operators.ranges import range_join
+
+
+def _ts(h, m=0):
+    return datetime(2024, 1, 1, h, m)
+
+
+def test_range_join_boundaries(spark):
+    pts = spark.createDataFrame(
+        [(1, _ts(10, 0)), (2, _ts(10, 30)), (3, _ts(12, 0)), (4, _ts(9, 59)),
+         (5, _ts(13, 37))],
+        "pid long, ts timestamp",
+    )
+    rng = spark.createDataFrame(
+        [(100, _ts(10, 0), _ts(12, 0)),   # [10:00, 12:00): pids 1,2
+         (200, _ts(13, 0), _ts(14, 0))],  # [13:00, 14:00): pid 5
+        "rid long, r_start timestamp, r_end timestamp",
+    )
+    out = range_join(pts, rng, "ts", "r_start", "r_end", bucket_seconds=3600)
+    got = {(r.pid, r.rid) for r in out.select("pid", "rid").collect()}
+    # start inclusive (pid 1), end exclusive (pid 3 at exactly 12:00 out),
+    # multi-bucket range covered, pre-start excluded
+    assert got == {(1, 100), (2, 100), (5, 200)}
+
+
+def test_range_join_matches_naive(spark):
+    pts = spark.range(0, 500).selectExpr(
+        "id AS pid",
+        "timestamp_micros(CAST(1700000000000000 + id * 137000000 AS BIGINT)) AS ts",
+    )
+    rng = spark.range(0, 40).selectExpr(
+        "id AS rid",
+        "timestamp_micros(CAST(1700000000000000 + id * 1700000000 AS BIGINT)) AS r_start",
+        "timestamp_micros(CAST(1700000000000000 + id * 1700000000 + 3900000000 AS BIGINT)) AS r_end",
+    )
+    fast = {
+        (r.pid, r.rid)
+        for r in range_join(pts, rng, "ts", "r_start", "r_end", 3600)
+        .select("pid", "rid").collect()
+    }
+    naive = {
+        (r.pid, r.rid)
+        for r in pts.join(rng, F.expr("ts >= r_start AND ts < r_end"))
+        .select("pid", "rid").collect()
+    }
+    assert fast == naive and len(fast) > 50
