@@ -51,6 +51,31 @@ def render_zip_family(results: DataFrame, col_name: str) -> DataFrame:
     )
 
 
+def render_zip_family_grouped(results: DataFrame) -> DataFrame:
+    """Multi-column rows: ``(row_id, [[col, status, 'v'], [col2, ...]])`` —
+    the reference's groupByKey + in-group sorted() (zip-validate.py:100)
+    as sort_array(collect_list(struct)), its exact Catalyst mapping
+    (SURVEY.md §2a D13)."""
+    per_cell = results.select(
+        "row_id",
+        F.format_string(
+            "['%s', %s, '%s']",
+            F.col("column_name"),
+            F.col("status"),
+            F.coalesce(F.col("normalized"), F.lit("None")),
+        ).alias("cell"),
+    )
+    return (
+        per_cell.groupBy("row_id")
+        .agg(F.sort_array(F.collect_list("cell")).alias("cells"))
+        .select(
+            F.format_string(
+                "(%s, [%s])", F.col("row_id"), F.array_join("cells", ", ")
+            ).alias("value")
+        )
+    )
+
+
 def write_text(df: DataFrame, path: str) -> None:
     """saveAsTextFile equivalent for a single string column."""
     df.write.mode("overwrite").text(path)

@@ -95,6 +95,20 @@ def test_render_zip_family_golden_shape(spark):
     assert lines == ["(211576, [['Block', 1, '02295']])"]
 
 
+def test_render_zip_family_grouped_sorts_within_row(spark):
+    from dar_spark.sources.writers import render_zip_family_grouped
+
+    res = spark.createDataFrame(
+        [(7, "zip_b", 1, "10025"), (7, "zip_a", 3, "123"), (8, "zip_a", 4, None)],
+        "row_id long, column_name string, status int, normalized string",
+    )
+    lines = sorted(r.value for r in render_zip_family_grouped(res).collect())
+    assert lines == [
+        "(7, [['zip_a', 3, '123'], ['zip_b', 1, '10025']])",
+        "(8, [['zip_a', 4, 'None']])",
+    ]
+
+
 def test_profile_write_partitioned(spark, tmp_path):
     wide = _wide(spark).limit(500)
     report = profile(wide, id_col="row_id", sample_pred=F.col("row_id") < 1500)
