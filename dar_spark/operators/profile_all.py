@@ -11,14 +11,22 @@ status, normalized) relation written partitioned by column.  ZIP
 dictionary realness chains one broadcast join per detected zip column
 onto the same single-scan plan.
 
-At 100 TB: the scan is the only full pass; everything else is O(sample) or
-O(columns).  The output partitioning-by-column mirrors the reference's
+Execution shape: classification is TWO projections — phase 1 computes
+each pair's status (and the inputs its normalizer needs) exactly once as
+flat columns; phase 2 assembles cheap structs and explodes.  Embedding
+the full status cascade inside every struct member would re-evaluate it
+per field and push the generated code past Janino's method limits
+(whole-stage codegen falls back to interpreted mode — measured 10×
+slower at 23 pairs × 600k rows).
+
+At 100 TB: the scan is the only full pass; everything else is O(sample)
+or O(columns).  The output partitioning-by-column mirrors the reference's
 per-column output dirs while staying a single write job.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -26,7 +34,7 @@ from pyspark.sql import functions as F
 from dar_spark.dialect import SPARK
 from dar_spark.functions import validators as V
 from dar_spark.operators.detect import Detection, detect
-from dar_spark.operators.profile import normalized_col, status_col
+from dar_spark.operators.profile import status_col
 
 
 @dataclass
@@ -49,26 +57,32 @@ class ProfileReport:
         )
 
 
-def _pair_struct(validator: str, column: str, strict: bool) -> Column:
-    """struct(column_name, validator, status, raw, normalized) for one
-    detected pair — all native expressions."""
+def _phase1_cols(i: int, validator: str, column: str, strict: bool) -> list[Column]:
+    """Status + normalized for one pair, computed ONCE as flat columns."""
     kw = {}
     if validator in ("state", "zip_quick"):
         kw["strict_reference"] = strict
-    status = status_col(validator, column, **kw)
-    if validator in ("lat", "long"):
+    st = status_col(validator, column, **kw).cast("int").alias(f"_st_{i}")
+    if validator == "phone":
+        clean = V.phone_clean(SPARK, column)
+        norm = F.expr(
+            f"CASE WHEN ({V.phone_status(SPARK, column)}) <> 1 THEN CAST({column} AS STRING) "
+            f"WHEN substr({clean}, 1, 1) = '1' THEN '+' || {clean} "
+            f"ELSE '+1' || {clean} END"
+        )
+    elif validator in ("state", "boro"):
+        # normalized = NULL on disguised null, raw otherwise — derive from
+        # the status column in phase 2? phase 1 keeps it self-contained:
+        norm = F.expr(f"CAST({column} AS STRING)")
+    elif validator == "zip_quick":
+        norm = F.expr(V.zip_normalized(SPARK, column, strict))
+    elif validator in ("lat", "long"):
         norm = F.expr(V.latlong_value(SPARK, column)).cast("string")
     elif validator == "coords":
         norm = F.expr(V.coords_part_value(SPARK, column, 1)).cast("string")
-    else:
-        norm = normalized_col(validator, column, **kw)
-    return F.struct(
-        F.lit(column).alias("column_name"),
-        F.lit(validator).alias("validator"),
-        status.cast("int").alias("status"),
-        F.col(column).cast("string").alias("raw"),
-        norm.alias("normalized"),
-    )
+    else:  # pragma: no cover
+        norm = F.expr(f"CAST({column} AS STRING)")
+    return [st, norm.alias(f"_nm_{i}")]
 
 
 def profile(
@@ -103,43 +117,9 @@ def profile(
         thresholds=thresholds,
     )
     hits = [d for d in detections if d.detected]
-
-    structs = [_pair_struct(d.validator, d.column, strict_reference) for d in hits]
-
-    # chained broadcast joins for dictionary-backed zip realness
     zip_cols = [d.column for d in hits if d.validator == "zip_quick"]
-    work = df
-    if zips is not None and zip_cols:
-        zref = zips.select(F.col("zip_code"))
-        for i, c in enumerate(zip_cols):
-            key = V.zip_join_key(SPARK, c, strict_reference)
-            work = work.withColumn(f"_zip5_{i}", F.expr(key)).join(
-                F.broadcast(
-                    zref.select(
-                        F.col("zip_code").alias(f"_zip5_{i}"),
-                        F.lit(True).alias(f"_hit_{i}"),
-                    )
-                ),
-                on=f"_zip5_{i}",
-                how="left",
-            )
-            structs.append(
-                F.struct(
-                    F.lit(c).alias("column_name"),
-                    F.lit("zip_full").alias("validator"),
-                    F.expr(
-                        V.zip_full_status(
-                            SPARK, c, f"(_hit_{i} IS NOT NULL)", strict_reference
-                        )
-                    ).cast("int").alias("status"),
-                    F.col(c).cast("string").alias("raw"),
-                    F.expr(V.zip_normalized(SPARK, c, strict_reference)).alias(
-                        "normalized"
-                    ),
-                )
-            )
 
-    if not structs:
+    if not hits:
         empty = df.sparkSession.createDataFrame(
             [],
             "column_name string, validator string, row_id long, status int, "
@@ -147,9 +127,73 @@ def profile(
         )
         return ProfileReport(detections, empty)
 
-    results = work.select(
-        F.col(id_col).cast("long").alias("row_id"),
-        F.explode(F.array(*structs)).alias("r"),
+    # ---- phase 1: every pair's status/normalized once, plus zip joins ----
+    pairs = [(d.validator, d.column) for d in hits]
+    p1 = [F.col(id_col).cast("long").alias("row_id")]
+    raw_cols = sorted({c for _, c in pairs} | set(zip_cols))
+    p1 += [F.col(c).cast("string").alias(f"_raw_{c}") for c in raw_cols]
+    for i, (v, c) in enumerate(pairs):
+        p1 += _phase1_cols(i, v, c, strict_reference)
+
+    work = df
+    zstructs = []
+    if zips is not None and zip_cols:
+        zref = zips.select(F.col("zip_code"))
+        for zi, c in enumerate(zip_cols):
+            key = V.zip_join_key(SPARK, c, strict_reference)
+            work = work.withColumn(f"_zip5_{zi}", F.expr(key)).join(
+                F.broadcast(
+                    zref.select(
+                        F.col("zip_code").alias(f"_zip5_{zi}"),
+                        F.lit(True).alias(f"_hit_{zi}"),
+                    )
+                ),
+                on=f"_zip5_{zi}",
+                how="left",
+            )
+            p1.append(
+                F.expr(
+                    V.zip_full_status(
+                        SPARK, c, f"(_hit_{zi} IS NOT NULL)", strict_reference
+                    )
+                ).cast("int").alias(f"_zst_{zi}")
+            )
+            p1.append(
+                F.expr(V.zip_normalized(SPARK, c, strict_reference)).alias(
+                    f"_znm_{zi}"
+                )
+            )
+    phase1 = work.select(*p1)
+
+    # ---- phase 2: cheap struct assembly + explode -----------------------
+    structs = []
+    for i, (v, c) in enumerate(pairs):
+        norm = F.col(f"_nm_{i}")
+        if v in ("state", "boro"):
+            norm = F.when(F.col(f"_st_{i}") == 4, F.lit(None)).otherwise(norm)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(v).alias("validator"),
+                F.col(f"_st_{i}").alias("status"),
+                F.col(f"_raw_{c}").alias("raw"),
+                norm.alias("normalized"),
+            )
+        )
+    if zips is not None:
+        for zi, c in enumerate(zip_cols):
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit("zip_full").alias("validator"),
+                    F.col(f"_zst_{zi}").alias("status"),
+                    F.col(f"_raw_{c}").alias("raw"),
+                    F.col(f"_znm_{zi}").alias("normalized"),
+                )
+            )
+
+    results = phase1.select(
+        "row_id", F.explode(F.array(*structs)).alias("r")
     ).select(
         F.col("r.column_name").alias("column_name"),
         F.col("r.validator").alias("validator"),

@@ -299,6 +299,65 @@ def _column_stats_q() -> Q:
     return Q(spark_fn, "\nUNION ALL\n".join(selects))
 
 
+# detected (validator, column) pairs for the wide fixture — sf-invariant
+# because the detection sample (row_id < DETECT_SAMPLE_MAX) contains the
+# same keys at every scale factor; asserted equal at sf0.001/sf0.01.
+PROFILE_DETECTED_PAIRS = [
+    ("boro", "boro_c"), ("boro", "location"), ("boro", "state_c"),
+    ("coords", "boro_c"), ("coords", "location"), ("coords", "longitude"),
+    ("coords", "phone_c"), ("coords", "state_c"), ("coords", "zip_c"),
+    ("lat", "store_lat"), ("long", "longitude"),
+    ("phone", "location"), ("phone", "longitude"), ("phone", "phone_c"),
+    ("phone", "state_c"), ("phone", "store_lat"), ("phone", "zip_c"),
+    ("state", "boro_c"), ("state", "state_c"),
+    ("zip_quick", "state_c"), ("zip_quick", "zip_c"),
+]
+
+
+def _profile_composite_q() -> Q:
+    """The flagship composite: detect → classify every detected pair in
+    ONE scan (operators/profile_all.profile).  The Spark side runs REAL
+    detection at query time; the oracle unions the frozen pair list — a
+    detection regression therefore shows up as a row mismatch."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.profile_all import profile as run_profile
+
+        wide = _wide_df(spark, sf_dir)
+        report = run_profile(
+            wide,
+            id_col="row_id",
+            zips=synthetic_zips_df(spark),
+            sample_pred=F.col("row_id") < DETECT_SAMPLE_MAX,
+        )
+        return report.results.select(
+            "column_name", "validator", "row_id", "status"
+        )
+
+    d = DUCKDB
+    selects = []
+    for v, c in PROFILE_DETECTED_PAIRS:
+        status = _STATUS_FNS[v](d, c)
+        selects.append(
+            f"SELECT '{c}' AS column_name, '{v}' AS validator, row_id, "
+            f"({status}) AS status FROM base"
+        )
+    # zip_full rows for every zip_quick-detected column (profile_all adds
+    # them when a dictionary is supplied)
+    for c in [c for v, c in PROFILE_DETECTED_PAIRS if v == "zip_quick"]:
+        selects.append(
+            f"""SELECT '{c}' AS column_name, 'zip_full' AS validator, k.row_id,
+  ({V.zip_full_status(d, f'k.{c}', '(z.zip_code IS NOT NULL)')}) AS status
+FROM (SELECT row_id, {c}, ({V.zip_join_key(d, c)}) AS zip5 FROM base) k
+LEFT JOIN zips z ON k.zip5 = z.zip_code"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    oracle = f"""WITH zips AS ({testgen.zips_ref_duckdb_cte()}),
+base AS ({_wide_cte()})
+{union}"""
+    return Q(spark_fn, oracle, headline=True)
+
+
 def _grouped_histogram_q() -> Q:
     """Group-wise profiling: phone status histogram per order priority —
     the 'quality by segment' report shape (one scan, grouped agg)."""
@@ -1104,6 +1163,7 @@ def build_registry() -> dict[str, Q]:
     r["fuzzy_state_profile"] = _fuzzy_state_q()
     r["embed_lsh_topk"] = _embed_lsh_topk_q()
     r["embed_ivf_topk"] = _embed_ivf_topk_q()
+    r["profile_composite"] = _profile_composite_q()
     r["grouped_phone_histogram"] = _grouped_histogram_q()
     r["summarize_lineitem"] = _summarize_q()
     r["quality_filter_docs"] = _quality_filter_q()
