@@ -1,0 +1,65 @@
+"""Dataset drift detection — compare two snapshots of the same table.
+
+Built on :func:`dar_spark.operators.summarize.summarize`: one aggregate
+pass per side, then a driver-side diff of the per-column statistics
+(O(columns), never O(rows)).  Flags:
+
+- added / removed / type-changed columns (schema drift);
+- null-rate shifts beyond ``null_rate_tol``;
+- distinct-count ratio shifts beyond ``distinct_ratio_tol``;
+- numeric mean shifts beyond ``mean_shift_tol`` (relative to the old
+  mean, guarding the zero case).
+
+This is the monitoring loop a production profiler runs per
+ingest batch: summarize(new) vs the stored summarize(previous).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from dar_spark.operators.summarize import summarize
+
+
+@dataclass
+class Drift:
+    column: str
+    kind: str      # added | removed | type_changed | null_rate | n_distinct | mean_shift
+    old: object
+    new: object
+
+
+def detect_drift(
+    old: DataFrame,
+    new: DataFrame,
+    null_rate_tol: float = 0.05,
+    distinct_ratio_tol: float = 0.5,
+    mean_shift_tol: float = 0.25,
+    approx: bool = True,
+) -> list[Drift]:
+    so = {r.column_name: r for r in summarize(old, approx=approx).collect()}
+    sn = {r.column_name: r for r in summarize(new, approx=approx).collect()}
+    out: list[Drift] = []
+    for c in sorted(set(so) | set(sn)):
+        if c not in so:
+            out.append(Drift(c, "added", None, sn[c].dtype))
+            continue
+        if c not in sn:
+            out.append(Drift(c, "removed", so[c].dtype, None))
+            continue
+        o, n = so[c], sn[c]
+        if o.dtype != n.dtype:
+            out.append(Drift(c, "type_changed", o.dtype, n.dtype))
+        if abs(n.null_rate - o.null_rate) > null_rate_tol:
+            out.append(Drift(c, "null_rate", o.null_rate, n.null_rate))
+        if o.n_distinct > 0:
+            ratio = n.n_distinct / o.n_distinct
+            if abs(ratio - 1.0) > distinct_ratio_tol:
+                out.append(Drift(c, "n_distinct", o.n_distinct, n.n_distinct))
+        if o.mean_value is not None and n.mean_value is not None:
+            denom = max(abs(o.mean_value), 1e-9)
+            if abs(n.mean_value - o.mean_value) / denom > mean_shift_tol:
+                out.append(Drift(c, "mean_shift", o.mean_value, n.mean_value))
+    return out

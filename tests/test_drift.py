@@ -1,0 +1,41 @@
+"""Drift detection between table snapshots."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dar_spark.operators.drift import detect_drift
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def test_no_drift_on_identical_snapshots(spark):
+    li = load_tables(spark, SF_DIR)["lineitem"].select(
+        "l_quantity", "l_returnflag"
+    )
+    assert detect_drift(li, li, approx=False) == []
+
+
+def test_drift_detects_schema_and_stat_shifts(spark):
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    old = li.select("l_quantity", "l_discount", "l_returnflag")
+    new = (
+        li.select(
+            (F.col("l_quantity") * 10).alias("l_quantity"),     # mean shift
+            F.when(F.col("l_discount") > 0.02, None)            # null-rate shift
+            .otherwise(F.col("l_discount")).alias("l_discount"),
+            F.col("l_linestatus").alias("l_newcol"),            # added
+        )
+    )  # l_returnflag removed
+    drifts = {(d.column, d.kind) for d in detect_drift(old, new, approx=False)}
+    assert ("l_quantity", "mean_shift") in drifts
+    assert ("l_discount", "null_rate") in drifts
+    assert ("l_newcol", "added") in drifts
+    assert ("l_returnflag", "removed") in drifts
+
+
+def test_drift_type_change(spark):
+    old = spark.createDataFrame([(1, "x")], "a int, b string")
+    new = spark.createDataFrame([(1.5, "x")], "a double, b string")
+    drifts = detect_drift(old, new, approx=False)
+    assert any(d.column == "a" and d.kind == "type_changed" for d in drifts)
