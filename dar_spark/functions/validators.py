@@ -258,8 +258,11 @@ END"""
 # ---------------------------------------------------------------------------
 
 
-def latlong_null_pred(d: Dialect, x: str) -> str:
-    """latlong-validate.py:47 — empty or SUBSTRING none/null/n/a."""
+def latlong_null_pred(d: Dialect, x: str, strict_reference: bool = False) -> str:
+    """Strict: latlong-validate.py:47 — empty or SUBSTRING none/null/n/a
+    (so 'Anonex' is "null").  Fixed mode uses the whole-token predicate."""
+    if not strict_reference:
+        return default_null_pred(d, x)
     s = f"trim({d.cast_str(x)})"
     low = f"lower({s})"
     return (
@@ -268,13 +271,22 @@ def latlong_null_pred(d: Dialect, x: str) -> str:
     )
 
 
-def latlong_status(d: Dialect, x: str, kind: str, pair_mode: bool = False) -> str:
+def latlong_status(
+    d: Dialect,
+    x: str,
+    kind: str,
+    pair_mode: bool = False,
+    strict_reference: bool = False,
+) -> str:
     """kind: 'lat' (±90) or 'long' (±180).
 
-    Quirk preserved: validity requires ``len(str) > 5``, so '40.8' is a
-    status-3 outlier (latlong-validate.py:50-55).  ``pair_mode`` applies
-    the coords-validate.py:52-73 variant where out-of-range numerics map
-    to 3 instead of 5.
+    ``strict_reference=True`` reproduces the committed semantics:
+    validity requires ``len(str) > 5``, so '40.8' is a status-3 outlier
+    (latlong-validate.py:50-55), and nullness is a substring test.  The
+    default fixed mode drops the length quirk and uses the whole-token
+    null predicate (SURVEY.md §7 bug-compat surface).
+    ``pair_mode`` applies the coords-validate.py:52-73 variant where
+    out-of-range numerics map to 3 instead of 5.
     """
     bound = 90 if kind == "lat" else 180
     s = f"trim({d.cast_str(x)})"
@@ -282,10 +294,11 @@ def latlong_status(d: Dialect, x: str, kind: str, pair_mode: bool = False) -> st
     stripped = f"replace(replace({s}, 'N', ''), 'W', '')"
     v2 = d.try_double(stripped)
     oor = "3" if pair_mode else "5"
+    len_gate = f" AND length({s}) > 5" if strict_reference else ""
     return f"""CASE
-  WHEN {latlong_null_pred(d, x)} THEN 4
-  WHEN {v} IS NOT NULL AND length({s}) > 5 THEN CASE WHEN {v} BETWEEN -{bound} AND {bound} THEN 1 ELSE {oor} END
-  WHEN {v2} IS NOT NULL AND length({s}) > 5 THEN CASE WHEN {v2} BETWEEN -{bound} AND {bound} THEN 2 ELSE 3 END
+  WHEN {latlong_null_pred(d, x, strict_reference)} THEN 4
+  WHEN {v} IS NOT NULL{len_gate} THEN CASE WHEN {v} BETWEEN -{bound} AND {bound} THEN 1 ELSE {oor} END
+  WHEN {v2} IS NOT NULL{len_gate} THEN CASE WHEN {v2} BETWEEN -{bound} AND {bound} THEN 2 ELSE 3 END
   ELSE 3
 END"""
 
@@ -312,13 +325,26 @@ def _coords_cleaned(d: Dialect, x: str) -> str:
     )
 
 
-def coords_pair_status(d: Dialect, x: str) -> str:
+def coords_pair_status(d: Dialect, x: str, strict_reference: bool = False) -> str:
+    """Strict null test (coords-validate.py:39-40): a single token
+    containing n/N is "null" (so 'Bronx' → 4).  Fixed mode requires a
+    recognized null token."""
     s = _coords_cleaned(d, x)
     n_space = d.arr_len(d.split_lit(s, " "))
     n_comma = d.arr_len(d.split_lit(s, ","))
     n_runs = d.arr_len(d.split(s, "[^0-9]+"))
+    if strict_reference:
+        null_pred = (
+            f"{x} IS NULL OR ({n_space} = 1 AND "
+            f"(instr({s}, 'n') > 0 OR instr({s}, 'N') > 0 OR {s} = ''))"
+        )
+    else:
+        null_pred = (
+            f"{x} IS NULL OR ({n_space} = 1 AND "
+            f"(lower({s}) IN ('', 'none', 'null', 'n/a')))"
+        )
     return f"""CASE
-  WHEN {x} IS NULL OR ({n_space} = 1 AND (instr({s}, 'n') > 0 OR instr({s}, 'N') > 0 OR {s} = '')) THEN 4
+  WHEN {null_pred} THEN 4
   WHEN instr({s}, ',') > 0 AND {n_comma} = 2 THEN 1
   WHEN instr({s}, ' ') > 0 AND {n_space} = 2 THEN 1
   WHEN {n_runs} IN (4, 5) THEN 2
@@ -339,18 +365,25 @@ def coords_part(d: Dialect, x: str, which: int) -> str:
 END"""
 
 
-def coords_part_status(d: Dialect, x: str, which: int) -> str:
+def coords_part_status(
+    d: Dialect, x: str, which: int, strict_reference: bool = False
+) -> str:
     kind = "lat" if which == 1 else "long"
     part = coords_part(d, x, which)
+    inner = latlong_status(
+        d, part, kind, pair_mode=True, strict_reference=strict_reference
+    )
     return f"""CASE
-  WHEN ({coords_pair_status(d, x)}) <> 1 THEN NULL
-  ELSE ({latlong_status(d, part, kind, pair_mode=True)})
+  WHEN ({coords_pair_status(d, x, strict_reference)}) <> 1 THEN NULL
+  ELSE ({inner})
 END"""
 
 
-def coords_part_value(d: Dialect, x: str, which: int) -> str:
+def coords_part_value(
+    d: Dialect, x: str, which: int, strict_reference: bool = False
+) -> str:
     part = coords_part(d, x, which)
     return f"""CASE
-  WHEN ({coords_pair_status(d, x)}) <> 1 THEN NULL
+  WHEN ({coords_pair_status(d, x, strict_reference)}) <> 1 THEN NULL
   ELSE ({latlong_value(d, part)})
 END"""

@@ -21,8 +21,8 @@ _SIMPLE_VALIDATORS = {
     "state": (V.state_status, V.state_normalized),
     "boro": (V.boro_status, V.boro_normalized),
     "zip_quick": (V.zip_quick_status, V.zip_normalized),
-    "lat": (lambda d, x, **kw: V.latlong_status(d, x, "lat"), None),
-    "long": (lambda d, x, **kw: V.latlong_status(d, x, "long"), None),
+    "lat": (lambda d, x, **kw: V.latlong_status(d, x, "lat", **kw), None),
+    "long": (lambda d, x, **kw: V.latlong_status(d, x, "long", **kw), None),
     "coords": (V.coords_pair_status, None),
 }
 

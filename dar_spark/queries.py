@@ -101,7 +101,7 @@ FROM base"""
     return Q(spark_fn, oracle)
 
 
-def _latlong_pair(kind, gen):
+def _latlong_pair(kind, gen, strict: bool = False):
     def spark_fn(spark, sf_dir):
         t = load_tables(spark, sf_dir)
         df = parallelize(t["lineitem"]).selectExpr(
@@ -109,12 +109,15 @@ def _latlong_pair(kind, gen):
         )
         return df.select(
             "row_id",
-            F.expr(V.latlong_status(SPARK, "x", kind)).alias("status"),
+            F.expr(
+                V.latlong_status(SPARK, "x", kind, strict_reference=strict)
+            ).alias("status"),
             F.expr(V.latlong_value(SPARK, "x")).alias("coord"),
         )
 
+    status_sql = V.latlong_status(DUCKDB, "x", kind, strict_reference=strict)
     oracle = f"""WITH base AS (SELECT {K_LINEITEM} AS row_id, {gen(K_LINEITEM)} AS x FROM lineitem)
-SELECT row_id, ({V.latlong_status(DUCKDB, 'x', kind)}) AS status,
+SELECT row_id, ({status_sql}) AS status,
        ({V.latlong_value(DUCKDB, 'x')}) AS coord
 FROM base"""
     return Q(spark_fn, oracle)
@@ -306,7 +309,9 @@ PROFILE_DETECTED_PAIRS = [
     ("boro", "boro_c"), ("boro", "location"), ("boro", "state_c"),
     ("coords", "boro_c"), ("coords", "location"), ("coords", "longitude"),
     ("coords", "phone_c"), ("coords", "state_c"), ("coords", "zip_c"),
-    ("lat", "store_lat"), ("long", "longitude"),
+    # fixed-mode lat accepts short numerics, so the 'platform' name-gate
+    # trap column (FIXTURES.md §B3) detects — by design, with confidence
+    ("lat", "platform"), ("lat", "store_lat"), ("long", "longitude"),
     ("phone", "location"), ("phone", "longitude"), ("phone", "phone_c"),
     ("phone", "state_c"), ("phone", "store_lat"), ("phone", "zip_c"),
     ("state", "boro_c"), ("state", "state_c"),
@@ -1138,6 +1143,7 @@ def build_registry() -> dict[str, Q]:
     )
     r["zip_full_profile"] = _zip_full_pair()
     r["lat_profile"] = _latlong_pair("lat", testgen.dirty_lat)
+    r["lat_profile_strict"] = _latlong_pair("lat", testgen.dirty_lat, strict=True)
     r["long_profile"] = _latlong_pair("long", testgen.dirty_lon)
     r["coords_profile"] = _coords_pair()
     r["detect_columns"] = _detect_columns_q()

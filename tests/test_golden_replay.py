@@ -146,7 +146,10 @@ def test_latlong_golden(spark):
             sub = [(s, v) for k, s, v in rows if k == kind]
             if not sub:
                 continue
-            ok, n = _agreement(spark, sub, V.latlong_status(SPARK, "x", kind))
+            ok, n = _agreement(
+                spark, sub,
+                V.latlong_status(SPARK, "x", kind, strict_reference=True),
+            )
             total_ok += ok
             total += n
     assert total > 300 and total_ok / total >= 0.99, f"{total_ok}/{total}"
@@ -170,9 +173,9 @@ def test_coords_golden(spark):
     assert len(recs) > 50
     df = spark.createDataFrame([(r[0],) for r in recs], "x string")
     got = df.selectExpr(
-        f"({V.coords_pair_status(SPARK, 'x')}) AS p",
-        f"({V.coords_part_status(SPARK, 'x', 1)}) AS la",
-        f"({V.coords_part_status(SPARK, 'x', 2)}) AS lo",
+        f"({V.coords_pair_status(SPARK, 'x', strict_reference=True)}) AS p",
+        f"({V.coords_part_status(SPARK, 'x', 1, strict_reference=True)}) AS la",
+        f"({V.coords_part_status(SPARK, 'x', 2, strict_reference=True)}) AS lo",
     ).collect()
     bad = [
         (r, (g.p, g.la, g.lo))

@@ -95,7 +95,8 @@ ZIP_QUICK_STRICT_CASES = [
     ("10025", 1),
 ]
 
-LAT_CASES = [
+# strict_reference=True — the committed semantics (len>5 gate, substring null)
+LAT_STRICT_CASES = [
     ("40.81507", 1),
     ("-40.8150", 1),
     ("95.12345", 5),          # numeric, out of ±90
@@ -110,9 +111,25 @@ LAT_CASES = [
     (None, 4),
     ("uptown", 3),
     ("-200.12345", 5),
+    ("Anonex", 4),            # substring null quirk
 ]
 
-LON_CASES = [
+# default fixed mode — no length gate, whole-token null predicate
+LAT_FIXED_CASES = [
+    ("40.81507", 1),
+    ("40.8", 1),              # short numerics are valid in fixed mode
+    ("-73.1", 1),
+    ("95.12345", 5),
+    ("95.1", 5),
+    ("40.81507N", 2),
+    ("", 4),
+    ("null", 4),
+    (None, 4),
+    ("Anonex", 3),            # not a null token in fixed mode
+    ("uptown", 3),
+]
+
+LON_STRICT_CASES = [
     ("-73.98765", 1),
     ("179.1234", 1),
     ("-200.12345", 5),
@@ -120,7 +137,7 @@ LON_CASES = [
     ("359.98765W", 3),
 ]
 
-COORDS_CASES = [
+COORDS_STRICT_CASES = [
     # (value, pair_status, lat_status, long_status)
     ("(40.57545, -74.10785)", 1, 1, 1),
     ("40.5754 -74.1078", 1, 1, 1),
@@ -132,6 +149,15 @@ COORDS_CASES = [
     (None, 4, None, None),
     ("unknown location", 1, 3, 3),  # any 2 space-split tokens "pair up"
     ("(95.12345, -473.12345)", 1, 3, 3),  # pair splits, parts out of range → 3
+]
+
+COORDS_FIXED_CASES = [
+    ("(40.57545, -74.10785)", 1, 1, 1),
+    ("40.5, -74.1", 1, 1, 1),          # short parts valid in fixed mode
+    ("Bronx", 3, None, None),          # not a null token in fixed mode
+    ("None", 4, None, None),
+    ("", 4, None, None),
+    (None, 4, None, None),
 ]
 
 
@@ -195,23 +221,43 @@ def test_zip_quick_strict(spark):
     _check(spark, V.zip_quick_status, ZIP_QUICK_STRICT_CASES, strict_reference=True)
 
 
-def test_lat_status(spark):
-    _check(spark, lambda d, x: V.latlong_status(d, x, "lat"), LAT_CASES)
+def test_lat_status_strict(spark):
+    _check(
+        spark,
+        lambda d, x: V.latlong_status(d, x, "lat", strict_reference=True),
+        LAT_STRICT_CASES,
+    )
 
 
-def test_long_status(spark):
-    _check(spark, lambda d, x: V.latlong_status(d, x, "long"), LON_CASES)
+def test_lat_status_fixed(spark):
+    _check(spark, lambda d, x: V.latlong_status(d, x, "lat"), LAT_FIXED_CASES)
 
 
-def test_coords_status(spark):
-    for value, pair, lat_s, long_s in COORDS_CASES:
+def test_long_status_strict(spark):
+    _check(
+        spark,
+        lambda d, x: V.latlong_status(d, x, "long", strict_reference=True),
+        LON_STRICT_CASES,
+    )
+
+
+def _check_coords(spark, cases, strict):
+    for value, pair, lat_s, long_s in cases:
         for d, runner in ((SPARK, lambda e, v: _run_spark(spark, e, v)), (DUCKDB, _run_duck)):
-            got_pair = runner(V.coords_pair_status(d, "x"), value)
-            got_lat = runner(V.coords_part_status(d, "x", 1), value)
-            got_long = runner(V.coords_part_status(d, "x", 2), value)
+            got_pair = runner(V.coords_pair_status(d, "x", strict), value)
+            got_lat = runner(V.coords_part_status(d, "x", 1, strict), value)
+            got_long = runner(V.coords_part_status(d, "x", 2, strict), value)
             assert got_pair == pair, f"{d.name}: {value!r} pair -> {got_pair}, want {pair}"
             assert got_lat == lat_s, f"{d.name}: {value!r} lat -> {got_lat}, want {lat_s}"
             assert got_long == long_s, f"{d.name}: {value!r} long -> {got_long}, want {long_s}"
+
+
+def test_coords_status_strict(spark):
+    _check_coords(spark, COORDS_STRICT_CASES, True)
+
+
+def test_coords_status_fixed(spark):
+    _check_coords(spark, COORDS_FIXED_CASES, False)
 
 
 def test_zip_full_status(spark):
