@@ -58,31 +58,45 @@ class ProfileReport:
 
 
 def _phase1_cols(i: int, validator: str, column: str, strict: bool) -> list[Column]:
-    """Status + normalized for one pair, computed ONCE as flat columns."""
+    """Phase 1: the pair's status (plus any helper the normalizer needs),
+    computed ONCE as flat columns.  Normalizers run in phase 2 against
+    these columns — codegen does NOT common-subexpression-eliminate a
+    status cascade re-embedded inside a normalizer CASE (measured 2×
+    phase-1 cost), so the split is load-bearing, not cosmetic."""
     kw = {}
-    if validator in ("state", "zip_quick"):
+    if validator in ("state", "zip_quick", "lat", "long", "coords"):
         kw["strict_reference"] = strict
     st = status_col(validator, column, **kw).cast("int").alias(f"_st_{i}")
+    cols = [st]
     if validator == "phone":
-        clean = V.phone_clean(SPARK, column)
-        norm = F.expr(
-            f"CASE WHEN ({V.phone_status(SPARK, column)}) <> 1 THEN CAST({column} AS STRING) "
-            f"WHEN substr({clean}, 1, 1) = '1' THEN '+' || {clean} "
-            f"ELSE '+1' || {clean} END"
+        cols.append(F.expr(V.phone_clean(SPARK, column)).alias(f"_c_{i}"))
+    return cols
+
+
+def _phase2_norm(i: int, validator: str, column: str, strict: bool) -> Column:
+    """Phase 2: normalized value derived from phase-1 columns (no cascade
+    re-evaluation)."""
+    raw = f"_raw_{column}"
+    if validator == "phone":
+        return F.expr(
+            f"CASE WHEN _st_{i} <> 1 THEN {raw} "
+            f"WHEN substr(_c_{i}, 1, 1) = '1' THEN '+' || _c_{i} "
+            f"ELSE '+1' || _c_{i} END"
         )
-    elif validator in ("state", "boro"):
-        # normalized = NULL on disguised null, raw otherwise — derive from
-        # the status column in phase 2? phase 1 keeps it self-contained:
-        norm = F.expr(f"CAST({column} AS STRING)")
-    elif validator == "zip_quick":
-        norm = F.expr(V.zip_normalized(SPARK, column, strict))
-    elif validator in ("lat", "long"):
-        norm = F.expr(V.latlong_value(SPARK, column)).cast("string")
-    elif validator == "coords":
-        norm = F.expr(V.coords_part_value(SPARK, column, 1)).cast("string")
-    else:  # pragma: no cover
-        norm = F.expr(f"CAST({column} AS STRING)")
-    return [st, norm.alias(f"_nm_{i}")]
+    if validator in ("state", "boro"):
+        return F.when(F.col(f"_st_{i}") == 4, F.lit(None)).otherwise(F.col(raw))
+    if validator == "zip_quick":
+        return F.expr(V.zip_normalized(SPARK, raw, strict))
+    if validator in ("lat", "long"):
+        return F.expr(V.latlong_value(SPARK, raw)).cast("string")
+    if validator == "coords":
+        # part extraction gated on the precomputed pair status
+        part = V.coords_part(SPARK, raw, 1)
+        return F.expr(
+            f"CASE WHEN _st_{i} <> 1 THEN NULL "
+            f"ELSE CAST(({V.latlong_value(SPARK, part)}) AS STRING) END"
+        )
+    return F.col(raw)  # pragma: no cover
 
 
 def profile(
@@ -165,19 +179,25 @@ def profile(
             )
     phase1 = work.select(*p1)
 
-    # ---- phase 2: cheap struct assembly + explode -----------------------
+    # ---- phase 2: normalizers over the phase-1 columns ------------------
+    phase2 = phase1.select(
+        "*",
+        *[
+            _phase2_norm(i, v, c, strict_reference).alias(f"_nm_{i}")
+            for i, (v, c) in enumerate(pairs)
+        ],
+    )
+
+    # ---- phase 3: cheap struct assembly + explode -----------------------
     structs = []
     for i, (v, c) in enumerate(pairs):
-        norm = F.col(f"_nm_{i}")
-        if v in ("state", "boro"):
-            norm = F.when(F.col(f"_st_{i}") == 4, F.lit(None)).otherwise(norm)
         structs.append(
             F.struct(
                 F.lit(c).alias("column_name"),
                 F.lit(v).alias("validator"),
                 F.col(f"_st_{i}").alias("status"),
                 F.col(f"_raw_{c}").alias("raw"),
-                norm.alias("normalized"),
+                F.col(f"_nm_{i}").alias("normalized"),
             )
         )
     if zips is not None:
@@ -192,7 +212,7 @@ def profile(
                 )
             )
 
-    results = phase1.select(
+    results = phase2.select(
         "row_id", F.explode(F.array(*structs)).alias("r")
     ).select(
         F.col("r.column_name").alias("column_name"),
