@@ -112,22 +112,23 @@ def minhash_lsh_pairs(
     sig = ex.groupBy(id_col).agg(
         *[F.min(F.expr(f"substr(m, {8 * j + 1}, 8)")).alias(f"h{j}") for j in range(4)]
     )
+    # one row per (doc, band): a single self-join on (band_idx, key)
+    # replaces per-band joins + union — the band index in the join key
+    # keeps buckets from different bands apart
     bands = sig.select(
         F.col(id_col),
-        F.concat("h0", "h1").alias("b0"),
-        F.concat("h2", "h3").alias("b1"),
+        F.posexplode(
+            F.array(F.concat("h0", "h1"), F.concat("h2", "h3"))
+        ).alias("bi", "bk"),
     )
-    cands = None
-    for b in ("b0", "b1"):
-        a = bands.select(F.col(id_col).alias("doc_id_a"), F.col(b).alias("bk"))
-        bb = bands.select(F.col(id_col).alias("doc_id_b"), F.col(b).alias("bk"))
-        c = (
-            a.join(bb, "bk")
-            .filter("doc_id_a < doc_id_b")
-            .select("doc_id_a", "doc_id_b")
-        )
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
+    a = bands.select(F.col(id_col).alias("doc_id_a"), "bi", "bk")
+    b = bands.select(F.col(id_col).alias("doc_id_b"), "bi", "bk")
+    cands = (
+        a.join(b, ["bi", "bk"])
+        .filter("doc_id_a < doc_id_b")
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
     sa = sh.select(F.col(id_col).alias("doc_id_a"), F.col("s").alias("sa"))
     sb = sh.select(F.col(id_col).alias("doc_id_b"), F.col("s").alias("sb"))
     j = (
