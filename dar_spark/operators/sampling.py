@@ -1,0 +1,84 @@
+"""Deterministic sampling and dataset splitting.
+
+Training-data pipelines need sampling that is reproducible across runs,
+engines, and cluster layouts — ``df.sample()`` (seeded per-partition RNG)
+changes with partitioning, so these operators key randomness on a HASH OF
+THE ROW KEY instead: a row's bucket is a pure function of its id.
+
+- ``hash_bucket``: uniform bucket in [0, n) from md5 of the key;
+- ``deterministic_sample``: keep rows whose bucket falls below
+  fraction·n — stable membership under repartitioning and appends;
+- ``train_val_test_split``: weighted split by bucket ranges, the
+  standard corpus-split contract (every row in exactly one split,
+  membership stable forever).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.dialect import SPARK, Dialect
+
+N_BUCKETS = 10000
+
+
+def hash_bucket_sql(d: Dialect, key: str, n_buckets: int = N_BUCKETS) -> str:
+    """Uniform bucket in [0, n): first 8 hex chars of md5(key) mod n —
+    portable across Spark and DuckDB (same trick as the MinHash slices)."""
+    if d.name == "duckdb":
+        h = f"CAST(('0x' || substr(md5({d.cast_str(key)}), 1, 8)) AS BIGINT)"
+        # DuckDB lacks hex-string casts pre-1.1; use a portable fold instead
+        h = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split(substr(md5({d.cast_str(key)}), 1, 8), ''), "
+            f"c -> CAST(CASE WHEN c >= '0' AND c <= '9' THEN ascii(c) - 48 "
+            f"ELSE ascii(c) - 87 END AS BIGINT))), (a, x) -> a * 16 + x)"
+        )
+    else:
+        h = f"CAST(conv(substr(md5({d.cast_str(key)}), 1, 8), 16, 10) AS BIGINT)"
+    return f"(({h}) % {n_buckets})"
+
+
+def hash_bucket(key: str, n_buckets: int = N_BUCKETS):
+    return F.expr(hash_bucket_sql(SPARK, key, n_buckets))
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    cutoff = int(round(fraction * n_buckets))
+    return df.filter(hash_bucket(key, n_buckets) < cutoff)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Adds a ``split`` column ('train' | 'val' | 'test'); every row lands
+    in exactly one split, stable under any re-run or re-partitioning."""
+    w_train, w_val, w_test = weights
+    total = w_train + w_val + w_test
+    c1 = int(round(w_train / total * n_buckets))
+    c2 = c1 + int(round(w_val / total * n_buckets))
+    b = hash_bucket(key, n_buckets)
+    return df.withColumn(
+        "split",
+        F.when(b < c1, F.lit("train"))
+        .when(b < c2, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def split_sql(d: Dialect, key: str, weights=(0.8, 0.1, 0.1), n_buckets: int = N_BUCKETS) -> str:
+    w_train, w_val, w_test = weights
+    total = w_train + w_val + w_test
+    c1 = int(round(w_train / total * n_buckets))
+    c2 = c1 + int(round(w_val / total * n_buckets))
+    b = hash_bucket_sql(d, key, n_buckets)
+    return (
+        f"CASE WHEN {b} < {c1} THEN 'train' "
+        f"WHEN {b} < {c2} THEN 'val' ELSE 'test' END"
+    )

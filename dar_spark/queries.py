@@ -363,6 +363,25 @@ base AS ({_wide_cte()})
     return Q(spark_fn, oracle, headline=True)
 
 
+def _split_q() -> Q:
+    """Deterministic train/val/test assignment (hash-of-key buckets —
+    stable across engines, runs, and repartitioning, unlike df.sample)."""
+    from dar_spark.operators.sampling import split_sql
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.sampling import train_val_test_split
+
+        t = load_tables(spark, sf_dir)
+        return train_val_test_split(
+            t["documents"].select("doc_id"), "doc_id"
+        )
+
+    oracle = (
+        f"SELECT doc_id, {split_sql(DUCKDB, 'doc_id')} AS split FROM documents"
+    )
+    return Q(spark_fn, oracle)
+
+
 def _grouped_histogram_q() -> Q:
     """Group-wise profiling: phone status histogram per order priority —
     the 'quality by segment' report shape (one scan, grouped agg)."""
@@ -1170,6 +1189,7 @@ def build_registry() -> dict[str, Q]:
     r["embed_lsh_topk"] = _embed_lsh_topk_q()
     r["embed_ivf_topk"] = _embed_ivf_topk_q()
     r["profile_composite"] = _profile_composite_q()
+    r["train_val_test_split"] = _split_q()
     r["grouped_phone_histogram"] = _grouped_histogram_q()
     r["summarize_lineitem"] = _summarize_q()
     r["quality_filter_docs"] = _quality_filter_q()

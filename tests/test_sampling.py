@@ -1,0 +1,39 @@
+"""Deterministic sampling / splitting invariants."""
+
+from __future__ import annotations
+
+from dar_spark.operators.sampling import (
+    deterministic_sample,
+    train_val_test_split,
+)
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def test_split_partitions_every_row_once(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id")
+    out = train_val_test_split(docs, "doc_id")
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == docs.count()
+    n = docs.count()
+    assert 0.7 < counts.get("train", 0) / n < 0.9
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_split_stable_under_repartitioning(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id")
+    a = {r.doc_id: r.split for r in train_val_test_split(docs, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in train_val_test_split(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+
+
+def test_sample_is_subset_stable(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id")
+    s10 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
+    s20 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2).collect()}
+    assert s10 <= s20  # nested membership: growing the fraction only adds
+    n = docs.count()
+    assert 0.04 < len(s10) / n < 0.16
