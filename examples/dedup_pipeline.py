@@ -1,0 +1,67 @@
+"""The standard training-corpus preparation pipeline, end to end:
+
+    quality filter → exact dedup → MinHash near-dup pairs →
+    connected-components clusters → keep one doc per cluster →
+    deterministic train/val/test split
+
+    python examples/dedup_pipeline.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import dar_spark
+from dar_spark.operators.dedup import (
+    connected_components,
+    drop_exact_dups,
+    minhash_lsh_pairs,
+)
+from dar_spark.operators.sampling import train_val_test_split
+
+
+def main() -> None:
+    spark = dar_spark.get_session("example_dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = dar_spark.load_tables(spark, "/root/testdata/sf0.001")["documents"]
+
+    # inject duplicates so the pipeline has something to do (the fixture
+    # corpus is dup-free): triples share their representative's text
+    rep = docs.select(F.col("doc_id").alias("rep_id"), F.col("text").alias("rep_text"))
+    corpus = (
+        docs.select("doc_id", F.expr("doc_id - doc_id % 3").alias("rep_id"))
+        .join(rep, "rep_id")
+        .select("doc_id", F.col("rep_text").alias("text"))
+    )
+    print("corpus:", corpus.count())
+
+    filtered = dar_spark.quality_filter(corpus, min_tokens=10)
+    print("after quality filter:", filtered.count())
+
+    exact = drop_exact_dups(filtered, "doc_id", "text")
+    print("after exact dedup:", exact.count())
+
+    pairs = minhash_lsh_pairs(corpus, "doc_id", "text", jaccard_threshold=0.6)
+    clusters = connected_components(pairs)
+    reps = clusters.groupBy("cluster_id").agg(F.min("node").alias("keep_id"))
+    print("near-dup clusters:", reps.count())
+
+    deduped = exact.join(
+        clusters.filter("node <> cluster_id").select(F.col("node").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+    print("after near-dup removal:", deduped.count())
+
+    split = train_val_test_split(deduped, "doc_id")
+    for r in split.groupBy("split").count().orderBy("split").collect():
+        print(f"  {r.split}: {r['count']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Profile a table end-to-end with the library API.
+
+    python examples/profile_a_table.py [parquet-or-csv path]
+
+Defaults to a dirty wide table synthesized from the sf0.001 fixtures.
+Shows: detection with confidences, single-scan classification, status
+histograms, per-column summary statistics, partitioned parquet output.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import tempfile
+
+import dar_spark
+from dar_spark import testgen
+from dar_spark.sources.readers import read_csv
+from dar_spark.sources.zips import zips_df
+
+
+def main() -> None:
+    spark = dar_spark.get_session("example_profile")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if len(sys.argv) > 1:
+        path = sys.argv[1]
+        df = (
+            spark.read.parquet(path)
+            if path.endswith(".parquet")
+            else read_csv(spark, path, all_strings=True)
+        )
+    else:
+        li = dar_spark.load_tables(spark, "/root/testdata/sf0.001")["lineitem"]
+        k = "(l_orderkey * 8 + l_linenumber)"
+        df = li.selectExpr(
+            f"{k} AS row_id",
+            f"{testgen.dirty_phone(k)} AS phone",
+            f"{testgen.dirty_state(k)} AS state",
+            f"{testgen.dirty_zip(k)} AS zip",
+            f"{testgen.dirty_lat(k)} AS store_lat",
+        )
+
+    report = dar_spark.profile(df, zips=zips_df(spark))
+    print("== detections ==")
+    for d in report.detections:
+        if d.detected:
+            print(f"  {d.validator:10s} {d.column:12s} confidence {d.confidence:.2f}")
+
+    print("== status histogram ==")
+    for r in report.histogram().orderBy("column_name", "validator", "status").collect():
+        print(f"  {r.column_name}/{r.validator} status {r.status}: {r.n}")
+
+    print("== column summary ==")
+    for r in dar_spark.summarize(df).collect():
+        print(
+            f"  {r.column_name:12s} nulls={r.n_nulls} distinct={r.n_distinct} "
+            f"min={r.min_value} max={r.max_value}"
+        )
+
+    out = tempfile.mkdtemp() + "/profile_out"
+    report.write(out)
+    print(f"wrote {out} (partitioned by column_name/validator)")
+
+
+if __name__ == "__main__":
+    main()
