@@ -71,7 +71,10 @@ def detect(
     reference's take(100), depends on scan order.
     """
     validators = validators or list(DEFAULT_THRESHOLDS)
-    columns = columns or [c for c, t in df.dtypes if t == "string"]
+    # candidate columns default to ALL columns, like the reference's
+    # enumerate(row): validators str()-coerce, so an integer ZIP column
+    # (a common inferSchema outcome) is still detectable
+    columns = columns or list(df.columns)
     thresholds = {**DEFAULT_THRESHOLDS, **(thresholds or {})}
 
     sample = (

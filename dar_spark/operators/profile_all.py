@@ -103,6 +103,7 @@ def profile(
     df: DataFrame,
     id_col: str | None = None,
     validators: list[str] | None = None,
+    columns: list[str] | None = None,
     zips: DataFrame | None = None,
     sample_rows: int = 100,
     sample_pred: Column | None = None,
@@ -123,9 +124,12 @@ def profile(
         df = df.withColumn("_row_id", F.monotonically_increasing_id())
         id_col = "_row_id"
 
+    if columns is None:
+        columns = [c for c in df.columns if c != id_col]
     detections = detect(
         df,
         validators=validators,
+        columns=columns,
         sample_rows=sample_rows,
         sample_pred=sample_pred,
         thresholds=thresholds,

@@ -219,7 +219,11 @@ def _detect_pairs() -> list[tuple[str, str]]:
 def _detect_columns_q() -> Q:
     def spark_fn(spark, sf_dir):
         wide = _wide_df(spark, sf_dir)
-        dets = DT.detect(wide, sample_pred=F.col("row_id") < DETECT_SAMPLE_MAX)
+        dets = DT.detect(
+            wide,
+            columns=[alias for alias, _ in WIDE_COLS],
+            sample_pred=F.col("row_id") < DETECT_SAMPLE_MAX,
+        )
         out = DT.detect_df(spark, dets)
         return out.withColumnRenamed("column", "column_name")
 
@@ -332,6 +336,7 @@ def _profile_composite_q() -> Q:
         report = run_profile(
             wide,
             id_col="row_id",
+            columns=[alias for alias, _ in WIDE_COLS],
             zips=synthetic_zips_df(spark),
             sample_pred=F.col("row_id") < DETECT_SAMPLE_MAX,
         )
@@ -361,6 +366,59 @@ LEFT JOIN zips z ON k.zip5 = z.zip_code"""
 base AS ({_wide_cte()})
 {union}"""
     return Q(spark_fn, oracle, headline=True)
+
+
+def _percentiles_q() -> Q:
+    """Numeric distribution profiling: exact interpolated percentiles per
+    group (Spark ``percentile`` ≡ DuckDB ``quantile_cont``)."""
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        return t["lineitem"].groupBy("l_returnflag").agg(
+            F.expr("round(percentile(l_extendedprice, 0.25), 6)").alias("p25"),
+            F.expr("round(percentile(l_extendedprice, 0.5), 6)").alias("p50"),
+            F.expr("round(percentile(l_extendedprice, 0.75), 6)").alias("p75"),
+            F.expr("round(percentile(l_extendedprice, 0.95), 6)").alias("p95"),
+        )
+
+    oracle = """SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+FROM lineitem GROUP BY l_returnflag"""
+    return Q(spark_fn, oracle)
+
+
+def _topk_per_group_q() -> Q:
+    """Grouped top-k: the 3 most frequent tokens per document source —
+    explode → grouped count → per-group window rank."""
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        t = load_tables(spark, sf_dir)
+        counts = (
+            t["documents"]
+            .select("source", F.explode(F.expr("split(lower(text), ' ', -1)")).alias("token"))
+            .filter("token <> ''")
+            .groupBy("source", "token")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.partitionBy("source").orderBy(F.desc("n"), "token")
+        return (
+            counts.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
+            .filter("rank_n <= 3")
+        )
+
+    oracle = """SELECT source, token, n, rank_n FROM (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, token) AS BIGINT) AS rank_n
+  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS token FROM documents) x
+  WHERE token <> ''
+  GROUP BY source, token
+) r WHERE rank_n <= 3"""
+    return Q(spark_fn, oracle)
 
 
 def _split_q() -> Q:
@@ -1189,6 +1247,8 @@ def build_registry() -> dict[str, Q]:
     r["embed_lsh_topk"] = _embed_lsh_topk_q()
     r["embed_ivf_topk"] = _embed_ivf_topk_q()
     r["profile_composite"] = _profile_composite_q()
+    r["percentiles_by_returnflag"] = _percentiles_q()
+    r["token_topk_per_source"] = _topk_per_group_q()
     r["train_val_test_split"] = _split_q()
     r["grouped_phone_histogram"] = _grouped_histogram_q()
     r["summarize_lineitem"] = _summarize_q()

@@ -34,6 +34,46 @@ def test_cli_profiles_csv(spark, tmp_path, capsys):
     assert not any(c == "note" for _, c in pairs)
 
 
+def test_cli_json_output_format(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    rows = ["id,zip"] + [f"{i},{10000 + i}" for i in range(150)]
+    src.write_text("\n".join(rows) + "\n")
+    out = str(tmp_path / "out_json")
+    rc = cli.main([str(src), "--out", out, "--validators", "zip_quick",
+                   "--format", "json"])
+    assert rc == 0
+    back = spark.read.json(out).filter("validator = 'zip_quick'")
+    assert back.count() == 150
+    assert {r.status for r in back.select("status").distinct().collect()} == {1}
+
+
+def test_cli_strict_reference_mode(spark, tmp_path):
+    """In strict mode any value containing n/N is a zip 'null' (the
+    committed reference bug, zip-validate.py:38); the default classifies
+    those values on their actual shape."""
+    src = tmp_path / "strict.csv"
+    rows = ["id,zip"]
+    for i in range(120):
+        rows.append(f"{i},{10000 + i}" if i % 2 == 0 else f"{i},Anex {10001 + i}")
+    src.write_text("\n".join(rows) + "\n")
+
+    def statuses(extra):
+        out = str(tmp_path / ("o_" + ("s" if extra else "d")))
+        argv = [str(src), "--out", out, "--validators", "zip_quick"]
+        if extra:
+            argv.append("--strict-reference")
+        assert cli.main(argv) == 0
+        back = spark.read.parquet(out).filter("validator = 'zip_quick'")
+        return {r.status: r["count"] for r in back.groupBy("status").count().collect()}
+
+    default_s = statuses(False)
+    strict_s = statuses(True)
+    # 'Anex 12345' rows: junk-path status 3 in default, "null" 4 in strict
+    assert default_s.get(3, 0) == 60 and default_s.get(4, 0) == 0
+    assert strict_s.get(4, 0) == 60 and strict_s.get(3, 0) == 0
+    assert default_s.get(1) == strict_s.get(1) == 60
+
+
 def test_cli_no_detection_exit_code(spark, tmp_path):
     src = tmp_path / "none.csv"
     src.write_text("a,b\nfoo,bar\nbaz,qux\n")
