@@ -1,0 +1,39 @@
+"""Watermarked stream-stream join: the streaming analogue of the
+range/as-of join (events correlated within a time window, e.g. purchases
+attributed to the signup that preceded them).
+
+Both sides carry watermarks and the join condition bounds the event-time
+distance, so Spark can size the join state: each side buffers only rows
+younger than (watermark + window) — without the time bound the state
+would grow forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attribute_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Join right-side rows to left-side rows of the same ``key`` whose
+    timestamp falls in ``[left_ts, left_ts + within)``.
+
+    Column names from both inputs are preserved (callers alias upstream);
+    ``left_ts``/``right_ts`` must be TIMESTAMP (cast upstream for NTZ).
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        f"l.{key} = r.{key} AND "
+        f"r.{right_ts} >= l.{left_ts} AND "
+        f"r.{right_ts} < l.{left_ts} + INTERVAL {within}"
+    )
+    return l.alias("l").join(r.alias("r"), cond, "inner").drop(F.col(f"r.{key}"))

@@ -1,0 +1,64 @@
+"""Watermarked stream-stream join vs its batch equivalent."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from dar_spark.session import load_tables
+from dar_spark.streaming.join_stream import attribute_within
+from tests.conftest import SF_DIR
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    ev = load_tables(spark, SF_DIR)["events"].withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    signups = ev.filter("event_type = 'signup'").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withColumnRenamed("p_user", "user_id")
+
+    s_dir, p_dir = str(tmp_path / "s"), str(tmp_path / "p")
+    signups.coalesce(1).write.mode("overwrite").parquet(s_dir)
+    purchases.coalesce(1).write.mode("overwrite").parquet(p_dir)
+
+    s_stream = spark.readStream.schema(signups.schema).parquet(s_dir)
+    p_stream = spark.readStream.schema(purchases.schema).parquet(p_dir)
+    joined = attribute_within(
+        s_stream, p_stream, key="user_id", left_ts="s_ts", right_ts="p_ts",
+        within="2 hours", watermark="1 hour",
+    ).select("user_id", "signup_id", "purchase_id")
+
+    name = "ssj_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.user_id, r.signup_id, r.purchase_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    batch = {
+        (r.user_id, r.signup_id, r.purchase_id)
+        for r in signups.join(
+            purchases,
+            (signups.user_id == purchases.user_id)
+            & (purchases.p_ts >= signups.s_ts)
+            & (purchases.p_ts < signups.s_ts + F.expr("INTERVAL 2 HOURS")),
+        )
+        .select(signups.user_id, "signup_id", "purchase_id")
+        .collect()
+    }
+    assert len(batch) > 0
+    assert streamed == batch
