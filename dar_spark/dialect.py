@@ -47,6 +47,11 @@ class Dialect:
         return f"CAST({x} AS {t})"
 
     def try_double(self, x: str) -> str:
+        """Known divergence: DuckDB (like Python float()) accepts
+        digit-group underscores ('1_0' → 10) where Spark yields NULL.
+        The validators only reach try_cast behind digit-count gates that
+        such inputs cannot pass, except latlong — where an underscored
+        numeric is vanishingly unlikely in coordinate data."""
         return f"TRY_CAST({x} AS DOUBLE)"
 
     def try_long(self, x: str) -> str:
