@@ -1,0 +1,31 @@
+"""bench.py output contract: ONE JSON line with the driver's keys."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_driver_contract_json():
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_CPUS"] = "8"
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, f"expected exactly one JSON line, got {len(lines)}"
+    payload = json.loads(lines[-1])
+    assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
+    assert payload["unit"] == "sec" and payload["sf"] == 0.001
+    assert payload["value"] > 0
+    assert len(payload["queries"]) >= 10
+    assert all(isinstance(v, (int, float)) for v in payload["queries"].values())
