@@ -109,6 +109,7 @@ def profile(
     sample_pred: Column | None = None,
     thresholds: dict[str, int] | None = None,
     strict_reference: bool = False,
+    fields: tuple[str, ...] = ("status", "raw", "normalized"),
 ) -> ProfileReport:
     """Detect semantic datatypes, then classify every detected pair in one
     full scan.
@@ -119,7 +120,13 @@ def profile(
     ``zips``: reference dictionary DataFrame; when provided, detected
     zip_quick columns are additionally classified as zip_full via chained
     broadcast joins on the same scan.
+    ``fields``: which per-cell outputs to materialize.  Catalyst cannot
+    prune struct members through the classification explode, so a
+    status-only consumer should pass ``("status",)`` and skip the
+    normalizer work entirely (~25% of composite cost).
     """
+    want_raw = "raw" in fields
+    want_norm = "normalized" in fields
     if id_col is None:
         df = df.withColumn("_row_id", F.monotonically_increasing_id())
         id_col = "_row_id"
@@ -138,20 +145,23 @@ def profile(
     zip_cols = [d.column for d in hits if d.validator == "zip_quick"]
 
     if not hits:
-        empty = df.sparkSession.createDataFrame(
-            [],
-            "column_name string, validator string, row_id long, status int, "
-            "raw string, normalized string",
-        )
+        schema = "column_name string, validator string, row_id long, status int"
+        if want_raw:
+            schema += ", raw string"
+        if want_norm:
+            schema += ", normalized string"
+        empty = df.sparkSession.createDataFrame([], schema)
         return ProfileReport(detections, empty)
 
     # ---- phase 1: every pair's status/normalized once, plus zip joins ----
     pairs = [(d.validator, d.column) for d in hits]
     p1 = [F.col(id_col).cast("long").alias("row_id")]
-    raw_cols = sorted({c for _, c in pairs} | set(zip_cols))
-    p1 += [F.col(c).cast("string").alias(f"_raw_{c}") for c in raw_cols]
+    if want_raw or want_norm:
+        raw_cols = sorted({c for _, c in pairs} | set(zip_cols))
+        p1 += [F.col(c).cast("string").alias(f"_raw_{c}") for c in raw_cols]
     for i, (v, c) in enumerate(pairs):
-        p1 += _phase1_cols(i, v, c, strict_reference)
+        cols = _phase1_cols(i, v, c, strict_reference)
+        p1 += cols if want_norm else cols[:1]
 
     work = df
     zstructs = []
@@ -176,54 +186,57 @@ def profile(
                     )
                 ).cast("int").alias(f"_zst_{zi}")
             )
-            p1.append(
-                F.expr(V.zip_normalized(SPARK, c, strict_reference)).alias(
-                    f"_znm_{zi}"
+            if want_norm:
+                p1.append(
+                    F.expr(V.zip_normalized(SPARK, c, strict_reference)).alias(
+                        f"_znm_{zi}"
+                    )
                 )
-            )
     phase1 = work.select(*p1)
 
     # ---- phase 2: normalizers over the phase-1 columns ------------------
-    phase2 = phase1.select(
-        "*",
-        *[
-            _phase2_norm(i, v, c, strict_reference).alias(f"_nm_{i}")
-            for i, (v, c) in enumerate(pairs)
-        ],
-    )
+    if want_norm:
+        phase2 = phase1.select(
+            "*",
+            *[
+                _phase2_norm(i, v, c, strict_reference).alias(f"_nm_{i}")
+                for i, (v, c) in enumerate(pairs)
+            ],
+        )
+    else:
+        phase2 = phase1
 
     # ---- phase 3: cheap struct assembly + explode -----------------------
+    def _members(col_name, validator, st_col, nm_col):
+        m = [
+            F.lit(col_name).alias("column_name"),
+            F.lit(validator).alias("validator"),
+            F.col(st_col).alias("status"),
+        ]
+        if want_raw:
+            m.append(F.col(f"_raw_{col_name}").alias("raw"))
+        if want_norm:
+            m.append(F.col(nm_col).alias("normalized"))
+        return F.struct(*m)
+
     structs = []
     for i, (v, c) in enumerate(pairs):
-        structs.append(
-            F.struct(
-                F.lit(c).alias("column_name"),
-                F.lit(v).alias("validator"),
-                F.col(f"_st_{i}").alias("status"),
-                F.col(f"_raw_{c}").alias("raw"),
-                F.col(f"_nm_{i}").alias("normalized"),
-            )
-        )
+        structs.append(_members(c, v, f"_st_{i}", f"_nm_{i}"))
     if zips is not None:
         for zi, c in enumerate(zip_cols):
-            structs.append(
-                F.struct(
-                    F.lit(c).alias("column_name"),
-                    F.lit("zip_full").alias("validator"),
-                    F.col(f"_zst_{zi}").alias("status"),
-                    F.col(f"_raw_{c}").alias("raw"),
-                    F.col(f"_znm_{zi}").alias("normalized"),
-                )
-            )
+            structs.append(_members(c, "zip_full", f"_zst_{zi}", f"_znm_{zi}"))
 
-    results = phase2.select(
-        "row_id", F.explode(F.array(*structs)).alias("r")
-    ).select(
+    out_cols = [
         F.col("r.column_name").alias("column_name"),
         F.col("r.validator").alias("validator"),
-        "row_id",
+        F.col("row_id"),
         F.col("r.status").alias("status"),
-        F.col("r.raw").alias("raw"),
-        F.col("r.normalized").alias("normalized"),
-    )
+    ]
+    if want_raw:
+        out_cols.append(F.col("r.raw").alias("raw"))
+    if want_norm:
+        out_cols.append(F.col("r.normalized").alias("normalized"))
+    results = phase2.select(
+        "row_id", F.explode(F.array(*structs)).alias("r")
+    ).select(*out_cols)
     return ProfileReport(detections, results)

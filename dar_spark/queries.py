@@ -339,6 +339,7 @@ def _profile_composite_q() -> Q:
             columns=[alias for alias, _ in WIDE_COLS],
             zips=synthetic_zips_df(spark),
             sample_pred=F.col("row_id") < DETECT_SAMPLE_MAX,
+            fields=("status",),  # struct pruning can't cross the explode
         )
         return report.results.select(
             "column_name", "validator", "row_id", "status"
