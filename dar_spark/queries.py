@@ -566,6 +566,13 @@ STATS_SQL = """SELECT l_returnflag,
   CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY l_returnflag"""
 
+LATEST_EVENT_SQL = """SELECT user_id, event_id AS latest_event_id, event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) x WHERE rn = 1"""
+
 TOP_EVENTS_SQL = """SELECT user_id, event_id, value AS event_value, CAST(rn AS BIGINT) AS rank_n
 FROM (
   SELECT user_id, event_id, value,
@@ -1232,6 +1239,7 @@ def build_registry() -> dict[str, Q]:
     r["q5_region_revenue"] = _sql_q(Q5_SQL)
     r["top_events_per_user"] = _sql_q(TOP_EVENTS_SQL)
     r["stats_by_returnflag"] = _sql_q(STATS_SQL)
+    r["latest_event_per_user"] = _sql_q(LATEST_EVENT_SQL)
     r["time_rollup_events"] = _sql_q(TIME_ROLLUP_SQL)
     r["range_join_signups"] = _range_join_q()
     r["text_stats"] = _text_stats_q()
