@@ -1,0 +1,69 @@
+"""Frequency sketching — sublinear-memory heavy-hitter estimation.
+
+A Count-Min-style sketch expressed as DataFrame ops: each value maps to
+``depth`` hash buckets (disjoint slices of one md5 — deterministic across
+engines and runs); the sketch is the (depth × width) bucket-count table,
+and a value's frequency estimate is the MIN of its buckets' counts —
+always an overestimate, with error bounded by collisions (≈ n/width per
+row).
+
+Use case at 100 TB: the sketch aggregate is O(depth × width) memory per
+partition regardless of cardinality, where an exact groupBy on a
+heavy-tailed token column shuffles every distinct key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEPTH = 3
+WIDTH = 1024
+
+
+def _bucket_expr(value: str, row: int, width: int) -> str:
+    """Bucket for hash-row ``row``: 6 hex chars of md5 starting at offset
+    8*row, folded to an int (portable — mirrors sampling.hash_bucket)."""
+    h = f"substr(md5(CAST({value} AS STRING)), {8 * row + 1}, 6)"
+    fold = (
+        f"aggregate(transform(split({h}, '', -1), "
+        f"c -> CAST(CASE WHEN c >= '0' AND c <= '9' THEN ascii(c) - 48 "
+        f"ELSE ascii(c) - 87 END AS BIGINT)), CAST(0 AS BIGINT), "
+        f"(a, x) -> a * 16 + x)"
+    )
+    return f"({fold} % {width})"
+
+
+def cm_sketch(
+    df: DataFrame, value_col: str, depth: int = DEPTH, width: int = WIDTH
+) -> DataFrame:
+    """(row, bucket, n) bucket counts — the sketch itself."""
+    rows = None
+    for r in range(depth):
+        part = df.select(
+            F.lit(r).alias("row"),
+            F.expr(_bucket_expr(value_col, r, width)).alias("bucket"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cm_estimate(
+    sketch: DataFrame, queries: DataFrame, value_col: str,
+    depth: int = DEPTH, width: int = WIDTH,
+) -> DataFrame:
+    """Per query value: estimate = min over hash rows of its bucket count.
+    The sketch is tiny (depth × width) — broadcast to every query row."""
+    q = queries
+    for r in range(depth):
+        q = q.withColumn(f"_b_{r}", F.expr(_bucket_expr(value_col, r, width)))
+    est = None
+    for r in range(depth):
+        s = sketch.filter(F.col("row") == r).select(
+            F.col("bucket").alias(f"_b_{r}"), F.col("n").alias(f"_n_{r}")
+        )
+        q = q.join(F.broadcast(s), f"_b_{r}", "left")
+    mins = F.least(*[F.coalesce(F.col(f"_n_{r}"), F.lit(0)) for r in range(depth)])
+    return q.withColumn("cm_estimate", mins).drop(
+        *[f"_b_{r}" for r in range(depth)], *[f"_n_{r}" for r in range(depth)]
+    )

@@ -1,0 +1,46 @@
+"""Count-Min sketch invariants: overestimate-only, exact for heavy
+hitters at low load factor, deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dar_spark.operators.sketch import cm_estimate, cm_sketch
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def _tokens(spark):
+    return (
+        load_tables(spark, SF_DIR)["documents"]
+        .select(F.explode(F.expr("split(lower(text), ' ', -1)")).alias("token"))
+        .filter("token <> ''")
+    )
+
+
+def test_cm_never_underestimates(spark):
+    toks = _tokens(spark)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    sketch = cm_sketch(toks, "token")
+    est = cm_estimate(sketch, exact, "token")
+    bad = est.filter("cm_estimate < exact_n").count()
+    assert bad == 0  # CM estimates are always >= true frequency
+
+
+def test_cm_tight_for_heavy_hitters(spark):
+    toks = _tokens(spark)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n")).limit(10)
+    est = cm_estimate(cm_sketch(toks, "token"), top, "token")
+    rows = est.collect()
+    # ~40 distinct tokens into 1024 buckets: collisions are rare, so the
+    # heavy-hitter estimates should be near-exact (within 25%)
+    for r in rows:
+        assert r.cm_estimate <= r.exact_n * 1.25, (r.token, r.exact_n, r.cm_estimate)
+
+
+def test_cm_deterministic(spark):
+    toks = _tokens(spark).limit(2000)
+    a = {(r.row, r.bucket): r.n for r in cm_sketch(toks, "token").collect()}
+    b = {(r.row, r.bucket): r.n for r in cm_sketch(toks.repartition(7), "token").collect()}
+    assert a == b
