@@ -1,0 +1,21 @@
+"""docs/COVERAGE.md must stay in sync with the live registry."""
+
+from __future__ import annotations
+
+import re
+
+from dar_spark.queries import build_registry
+
+
+def test_coverage_doc_matches_registry():
+    registry = build_registry()
+    doc = open("docs/COVERAGE.md").read()
+    listed = set(re.findall(r"\| \d+ \| `([a-z0-9_]+)` \|", doc))
+    assert listed == set(registry), (
+        f"missing from doc: {sorted(set(registry) - listed)}; "
+        f"stale in doc: {sorted(listed - set(registry))}"
+    )
+    m = re.search(r"Total: (\d+) queries, (\d+) oracle-verified", doc)
+    assert m
+    assert int(m.group(1)) == len(registry)
+    assert int(m.group(2)) == sum(1 for q in registry.values() if q.oracle)
