@@ -24,6 +24,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+# Decimal-literal language accepted by Dialect.try_double (backslash-free
+# so both engines read the pattern literal identically).
+NUMERIC_PATTERN = "^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)([eE][+-]?[0-9]+)?$"
+
 
 @dataclass(frozen=True)
 class Dialect:
@@ -47,15 +51,26 @@ class Dialect:
         return f"CAST({x} AS {t})"
 
     def try_double(self, x: str) -> str:
-        """Known divergence: DuckDB (like Python float()) accepts
-        digit-group underscores ('1_0' → 10) where Spark yields NULL.
-        The validators only reach try_cast behind digit-count gates that
-        such inputs cannot pass, except latlong — where an underscored
-        numeric is vanishingly unlikely in coordinate data."""
-        return f"TRY_CAST({x} AS DOUBLE)"
+        """String → DOUBLE over an explicit decimal-literal language.
+
+        The engines' native parsers diverge at the edges: Spark (Java
+        Double.parseDouble) accepts 'D'/'F' suffixes and hex floats;
+        DuckDB (like Python float()) accepts digit-group underscores.
+        Gating both on the same backslash-free pattern closes the
+        accepted language so TRY_CAST never sees input the other engine
+        would read differently.
+        """
+        return (
+            f"(CASE WHEN {self.rlike(x, NUMERIC_PATTERN)} "
+            f"THEN TRY_CAST({x} AS DOUBLE) END)"
+        )
 
     def try_long(self, x: str) -> str:
-        return f"TRY_CAST({x} AS BIGINT)"
+        """String → BIGINT, same closed-language principle (digits only)."""
+        return (
+            f"(CASE WHEN {self.rlike(x, '^[+-]?[0-9]+$')} "
+            f"THEN TRY_CAST({x} AS BIGINT) END)"
+        )
 
     # --- arrays --------------------------------------------------------
     def split(self, x: str, sep_regex: str) -> str:

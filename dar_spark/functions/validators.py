@@ -36,6 +36,7 @@ from dar_spark.refdata import (
     BORO_ABBREVS,
     BORO_NAMES,
     E164_PATTERN,
+    NANP_AREA_CODES,
     STATE_ACRONYMS,
     STATE_NAMES,
     STATE_NAMES_LOWER,
@@ -85,6 +86,60 @@ def phone_normalized(d: Dialect, x: str) -> str:
     c = phone_clean(d, x)
     return f"""CASE
   WHEN ({phone_status(d, x)}) <> 1 THEN {d.cast_str(x)}
+  WHEN substr({c}, 1, 1) = '1' THEN '+' || {c}
+  ELSE '+1' || {c}
+END"""
+
+
+# ---------------------------------------------------------------------------
+# phone (v1: numbering-plan existence — NANP area-code table)
+# ---------------------------------------------------------------------------
+
+
+def nanp_valid_pred(d: Dialect, c: str) -> str:
+    """True iff the cleaned digit string ``c`` is a real +1 number per the
+    public numbering-plan metadata: 10-digit national number (after an
+    optional leading '1'), assigned area code, exchange starting [2-9].
+
+    The 397-entry area-code set is a literal IN list, not a broadcast
+    join: a constant hash-set membership folds into the scan filter with
+    zero exchange, which beats even a broadcast join at 100 TB (and DuckDB
+    evaluates the identical set, so the oracle is exact).
+    """
+    nat = f"(CASE WHEN substr({c}, 1, 1) = '1' THEN substr({c}, 2) ELSE {c} END)"
+    return (
+        f"(length({nat}) = 10"
+        f" AND {d.in_strings(f'substr({nat}, 1, 3)', NANP_AREA_CODES)}"
+        f" AND substr({nat}, 4, 1) >= '2' AND substr({nat}, 4, 1) <= '9')"
+    )
+
+
+def phone_v1_status(d: Dialect, x: str) -> str:
+    """v1 semantics (phone-number-v1.py:63-110): everywhere the v0 shape
+    validator says 1 (well-formed +1 number), the numbering plan decides
+    between 1 (real) and 5 (well-formed but not a valid number — e.g.
+    unassigned area code, 0/1-leading exchange); other statuses pass
+    through.  The reference asks ``phonenumbers.is_valid_number``; for
+    +1 numbers that library's answer reduces exactly to the area-code /
+    exchange predicate above for every US/Canada code (verified
+    exhaustively in tests/test_phone_v1.py against the same public
+    metadata); for thirteen Caribbean/territory codes with stricter
+    exchange plans the model is a documented superset
+    (tests/test_phone_v1.py::TERRITORY_VARIANTS)."""
+    v0 = phone_status(d, x)
+    c = phone_clean(d, x)
+    return f"""CASE
+  WHEN ({v0}) <> 1 THEN ({v0})
+  WHEN {nanp_valid_pred(d, c)} THEN 1
+  ELSE 5
+END"""
+
+
+def phone_v1_normalized(d: Dialect, x: str) -> str:
+    """E.164 normalization only for plan-confirmed numbers."""
+    c = phone_clean(d, x)
+    return f"""CASE
+  WHEN ({phone_v1_status(d, x)}) <> 1 THEN {d.cast_str(x)}
   WHEN substr({c}, 1, 1) = '1' THEN '+' || {c}
   ELSE '+1' || {c}
 END"""

@@ -69,8 +69,12 @@ def brute_force_topk(
 def _plane_component(j: int) -> str:
     """Deterministic pseudo-random hyperplane component for plane j,
     dimension i (SQL expr over i): integer-hash → centered unit range."""
+    # All arithmetic in BIGINT: the multipliers exceed int32, and under
+    # ANSI mode (the default in the driver's session) an int32 overflow is
+    # a hard error, not a wrap.  CAST(i AS BIGINT) promotes the whole chain.
     return (
-        f"(CAST(((i * 2654435761 + {j} * 1315423911 + 97) % 1000003) AS DOUBLE) "
+        f"(CAST(((CAST(i AS BIGINT) * 2654435761 "
+        f"+ CAST({j} AS BIGINT) * 1315423911 + 97) % 1000003) AS DOUBLE) "
         f"/ 1000003.0 - 0.5)"
     )
 

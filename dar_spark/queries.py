@@ -71,6 +71,11 @@ def _profile_pair(name, table, k, gen, status_fn, norm_fn, **kw):
             "CASE WHEN status <> 1 THEN CAST(x AS STRING) "
             "WHEN substr(_c, 1, 1) = '1' THEN '+' || _c ELSE '+1' || _c END",
         ),
+        V.phone_v1_status: (
+            V.phone_clean,
+            "CASE WHEN status <> 1 THEN CAST(x AS STRING) "
+            "WHEN substr(_c, 1, 1) = '1' THEN '+' || _c ELSE '+1' || _c END",
+        ),
         V.state_status: (None, "CASE WHEN status = 4 THEN NULL ELSE CAST(x AS STRING) END"),
         V.boro_status: (None, "CASE WHEN status = 4 THEN NULL ELSE CAST(x AS STRING) END"),
     }
@@ -1210,6 +1215,10 @@ def build_registry() -> dict[str, Q]:
         V.phone_status, V.phone_normalized,
     )
     r["phone_profile"].headline = True
+    r["phone_v1_profile"] = _profile_pair(
+        "phone_v1_profile", "orders", K_ORDERS, testgen.dirty_phone,
+        V.phone_v1_status, V.phone_v1_normalized,
+    )
     r["state_profile"] = _profile_pair(
         "state_profile", "orders", K_ORDERS, testgen.dirty_state,
         V.state_status, V.state_normalized,

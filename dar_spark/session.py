@@ -27,9 +27,11 @@ def get_session(app_name: str = "dar_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("DAR_SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
-        # Validators are ASCII-shape checks; ANSI off keeps permissive
-        # casts aligned with the reference's str()-everything model.
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI stays ON (the Spark 4 default): the driver's correctness
+        # harness runs an ANSI session, so every generated expression must
+        # be overflow- and cast-safe under strict semantics.  Permissive
+        # string→number conversions go through try_cast explicitly.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

