@@ -164,6 +164,68 @@ def ivf_topk(
     )
 
 
+def srp_lsh_oracle_sql(
+    stride: int, k: int, table: str = "embeddings",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``srp_lsh_topk`` — the SAME deterministic plane
+    hash, bucket assignment, Hamming-1 multiprobe, and ranked cosine,
+    emitted from the same ``_plane_component`` constants so the oracle
+    cannot drift from the Spark plan.  Dot products are explicit LEFT
+    folds (list_reduce over a 0-prepended product list) to match Spark's
+    ``aggregate`` fold order bit-for-bit, so bucket sign decisions are
+    identical IEEE arithmetic in both engines.
+    """
+
+    def fold(products: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), "
+            f"(a, x) -> a + x)"
+        )
+
+    bits = []
+    for j in range(N_PLANES):
+        prods = (
+            f"list_transform(generate_series(1, len(v)), "
+            f"i -> v[i] * {_plane_component(j)})"
+        )
+        bits.append(f"CASE WHEN {fold(prods)} >= 0 THEN '1' ELSE '0' END")
+    bucket = "concat(" + ", ".join(bits) + ")"
+    flip = (
+        "substr(qb, 1, p - 1) || "
+        "(CASE WHEN substr(qb, p, 1) = '1' THEN '0' ELSE '1' END) || "
+        "substr(qb, p + 1)"
+    )
+    cos_prods = "list_transform(generate_series(1, len(qv)), i -> qv[i] * v[i])"
+    return f"""WITH e AS (
+  SELECT {id_col} AS vec_id,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+), n AS (
+  SELECT vec_id, v,
+         sqrt({fold('list_transform(v, x -> x * x)')}) AS nrm,
+         {bucket} AS b
+  FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, b AS qb
+  FROM n WHERE vec_id % {stride} = 0
+), qp AS (
+  SELECT query_id, qv, qn,
+         CASE WHEN p = 0 THEN qb ELSE {flip} END AS b
+  FROM q CROSS JOIN range(0, {N_PLANES + 1}) t(p)
+), scored AS (
+  SELECT DISTINCT query_id, n.vec_id AS neighbor_id,
+         round({fold(cos_prods)} / (qn * nrm), 6) AS cos_sim
+  FROM qp JOIN n USING (b) WHERE n.vec_id <> qp.query_id
+), r AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank_n
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank_n FROM r WHERE rank_n <= {k}"""
+
+
 def srp_lsh_topk(
     embeddings: DataFrame,
     id_col: str,
