@@ -244,25 +244,56 @@ def embedding_dup_pairs(
     vec_col: str,
     cos_threshold: float = 0.999,
     subset_pred: str | None = None,
+    method: str = "lsh",
+    n_planes: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine (brute force over an optional
-    subset; for full-corpus scale use similarity.srp_lsh_topk buckets)."""
-    e = df.select(F.col(id_col), F.expr(
-        f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
-    ).alias("v"))
+    """Near-dup pairs by embedding cosine: (id_a, id_b, cos_sim ≥ thr).
+
+    ``method='lsh'`` (default, the scale path): each vector gets an
+    n-bit sign-random-projection bucket; candidate pairs come from a
+    bucket equi-join with Hamming-1 multiprobe on one side (covers pairs
+    a single plane splits), then exact cosine verifies candidates only.
+    The shuffle is O(N) on uniform 2^n_planes keys — no nested-loop
+    pair join anywhere in the plan (tests/test_plans.py pins this).
+
+    ``method='brute'``: the exact O(n²) pair join, for small subsets and
+    as the verification baseline (the old general path — a
+    BroadcastNestedLoopJoin, unusable at corpus scale).
+    """
+    from dar_spark.operators.similarity import _as_double_vec, _bucket_expr, _flip_bit
+
+    e = df.select(F.col(id_col), F.col(vec_col))
     if subset_pred:
         e = e.filter(subset_pred)
-    e = e.withColumn(
-        "nrm", F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))")
-    )
-    a = e.select(F.col(id_col).alias("vec_id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = e.select(F.col(id_col).alias("vec_id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    return (
-        a.join(b, F.expr("vec_id_a < vec_id_b"))
-        .selectExpr(
-            "vec_id_a",
-            "vec_id_b",
-            "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x) / (na * nb), 6) AS cos_sim",
+    e = _as_double_vec(e, vec_col)
+    if method == "brute":
+        a = e.select(F.col(id_col).alias("vec_id_a"), F.col("_v").alias("va"), F.col("_nrm").alias("na"))
+        b = e.select(F.col(id_col).alias("vec_id_b"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb"))
+        pairs = a.join(b, F.expr("vec_id_a < vec_id_b"))
+    elif method == "lsh":
+        e = e.withColumn("_b", _bucket_expr("_v", n_planes))
+        probes = [F.col("_b")] + [
+            _flip_bit(F.col("_b"), p, n_planes) for p in range(n_planes)
+        ]
+        a = e.select(
+            F.col(id_col).alias("vec_id_a"),
+            F.col("_v").alias("va"),
+            F.col("_nrm").alias("na"),
+            F.explode(F.array(*probes)).alias("_b"),
         )
-        .filter(f"cos_sim >= {cos_threshold}")
-    )
+        b = e.select(
+            F.col(id_col).alias("vec_id_b"),
+            F.col("_v").alias("vb"),
+            F.col("_nrm").alias("nb"),
+            "_b",
+        )
+        # a pair matches through exactly one probe (probe strings are
+        # distinct and b's bucket is fixed), so no pair-level dedup needed
+        pairs = a.join(b, "_b").filter("vec_id_a < vec_id_b")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return pairs.selectExpr(
+        "vec_id_a",
+        "vec_id_b",
+        "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x) / (na * nb), 6) AS cos_sim",
+    ).filter(f"cos_sim >= {cos_threshold}")

@@ -79,10 +79,10 @@ def _plane_component(j: int) -> str:
     )
 
 
-def _bucket_expr(vec: str) -> Column:
+def _bucket_expr(vec: str, n_planes: int = N_PLANES) -> Column:
     """n-bit sign bucket string for a double-array column."""
     bits = []
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         comp = _plane_component(j)
         dot = (
             f"aggregate(zip_with({vec}, transform(sequence(1, size({vec})), "
@@ -92,13 +92,13 @@ def _bucket_expr(vec: str) -> Column:
     return F.expr("concat(" + ", ".join(bits) + ")")
 
 
-def _flip_bit(bucket: Column, pos: int) -> Column:
+def _flip_bit(bucket: Column, pos: int, n_planes: int = N_PLANES) -> Column:
     return F.concat(
         F.substring(bucket, 1, pos),
         F.when(F.substring(bucket, pos + 1, 1) == "1", F.lit("0")).otherwise(
             F.lit("1")
         ),
-        F.substring(bucket, pos + 2, N_PLANES - pos - 1),
+        F.substring(bucket, pos + 2, n_planes - pos - 1),
     )
 
 
@@ -224,6 +224,55 @@ def srp_lsh_oracle_sql(
   FROM scored
 )
 SELECT query_id, neighbor_id, cos_sim, rank_n FROM r WHERE rank_n <= {k}"""
+
+
+def srp_pairs_oracle_sql(
+    source_sql: str, cos_threshold: float, n_planes: int = N_PLANES
+) -> str:
+    """DuckDB twin of ``dedup.embedding_dup_pairs(method='lsh')``.
+
+    ``source_sql`` must select ``(vec_id, v)`` with v a DOUBLE list; the
+    bucketing/multiprobe/cosine mirrors the Spark plan from the same
+    plane constants with left-fold dot products (see srp_lsh_oracle_sql).
+    """
+
+    def fold(products: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), "
+            f"(a, x) -> a + x)"
+        )
+
+    bits = []
+    for j in range(n_planes):
+        prods = (
+            f"list_transform(generate_series(1, len(v)), "
+            f"i -> v[i] * {_plane_component(j)})"
+        )
+        bits.append(f"CASE WHEN {fold(prods)} >= 0 THEN '1' ELSE '0' END")
+    bucket = "concat(" + ", ".join(bits) + ")"
+    flip = (
+        "substr(b0, 1, p - 1) || "
+        "(CASE WHEN substr(b0, p, 1) = '1' THEN '0' ELSE '1' END) || "
+        "substr(b0, p + 1)"
+    )
+    cos_prods = "list_transform(generate_series(1, len(va)), i -> va[i] * vb[i])"
+    return f"""WITH src AS ({source_sql}),
+n AS (
+  SELECT vec_id, v,
+         sqrt({fold('list_transform(v, x -> x * x)')}) AS nrm,
+         {bucket} AS b0
+  FROM src
+), a AS (
+  SELECT vec_id AS vec_id_a, v AS va, nrm AS na,
+         CASE WHEN p = 0 THEN b0 ELSE {flip} END AS b
+  FROM n CROSS JOIN range(0, {n_planes + 1}) t(p)
+), scored AS (
+  SELECT a.vec_id_a, bb.vec_id AS vec_id_b,
+         round({fold(cos_prods)} / (a.na * bb.nrm), 6) AS cos_sim
+  FROM a JOIN (SELECT vec_id, v AS vb, nrm, b0 FROM n) bb ON a.b = bb.b0
+  WHERE a.vec_id_a < bb.vec_id
+)
+SELECT vec_id_a, vec_id_b, cos_sim FROM scored WHERE cos_sim >= {cos_threshold}"""
 
 
 def srp_lsh_topk(

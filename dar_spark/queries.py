@@ -1004,6 +1004,41 @@ SELECT vec_id_a, vec_id_b, cos_sim FROM p WHERE cos_sim >= {EMBED_DUP_THRESHOLD}
     return Q(spark_fn, oracle)
 
 
+def _embed_dup_pairs_lsh_q() -> Q:
+    """Embedding near-dup pairs at FULL corpus scale: SRP-LSH bucket
+    candidates + Hamming-1 multiprobe, exact cosine only on candidates —
+    no nested-loop pair join (the plan guard in tests/test_plans.py pins
+    the absence of BroadcastNestedLoopJoin).  Dup injection (every
+    vec_id%3 group shares its leader's vector) is applied corpus-wide,
+    unlike embed_dup_pairs' 10% brute-force subset."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dedup import embedding_dup_pairs
+
+        t = load_tables(spark, sf_dir)
+        e = t["embeddings"].select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+        rep = e.select(F.col("vec_id").alias("rep_id"), F.col("v").alias("rep_v"))
+        c = (
+            e.select("vec_id", F.expr("vec_id - vec_id % 3").alias("rep_id"))
+            .join(rep, "rep_id")
+            .select("vec_id", F.col("rep_v").alias("v"))
+        )
+        return embedding_dup_pairs(
+            c, "vec_id", "v", cos_threshold=EMBED_DUP_THRESHOLD, method="lsh"
+        )
+
+    from dar_spark.operators.similarity import srp_pairs_oracle_sql
+
+    src = """SELECT a.vec_id, b.v FROM
+  (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+   FROM embeddings) b
+  JOIN (SELECT vec_id FROM embeddings) a ON b.vec_id = a.vec_id - (a.vec_id % 3)"""
+    return Q(spark_fn, srp_pairs_oracle_sql(src, EMBED_DUP_THRESHOLD))
+
+
 # ---------------------------------------------------------------------------
 # engine-breadth analytics (rollup, set ops, anti-join, sessions, as-of, JSON)
 # ---------------------------------------------------------------------------
@@ -1303,6 +1338,7 @@ def build_registry() -> dict[str, Q]:
     r["dedup_simhash"] = _dedup_simhash_q()
     r["embed_cosine_topk"] = _embed_cosine_topk_q()
     r["embed_dup_pairs"] = _embed_dup_pairs_q()
+    r["embed_dup_pairs_lsh"] = _embed_dup_pairs_lsh_q()
     r["fuzzy_state_profile"] = _fuzzy_state_q()
     r["embed_lsh_topk"] = _embed_lsh_topk_q()
     r["embed_ivf_topk"] = _embed_ivf_topk_q()

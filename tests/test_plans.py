@@ -55,3 +55,12 @@ def test_minhash_joins_broadcast_under_aqe(spark):
     # stages were re-optimized before materialization a straggler
     # sort-merge join may remain, but broadcasts must dominate
     assert p.count("BroadcastHashJoin") > p.count("SortMergeJoin")
+
+
+def test_embed_dup_pairs_lsh_no_nested_loop(spark):
+    """The scale path for embedding dedup must be a bucket equi-join:
+    a BroadcastNestedLoopJoin / CartesianProduct would be the O(n²) pair
+    scan the LSH routing exists to eliminate (VERDICT r1 item 4)."""
+    p = _executed(spark, "embed_dup_pairs_lsh")
+    assert "BroadcastNestedLoopJoin" not in p, "nested-loop pair join crept back"
+    assert "CartesianProduct" not in p
