@@ -822,11 +822,16 @@ NGRAM_N = 4
 NGRAM_JACCARD_THRESHOLD = 0.8
 
 
+NGRAM_SKETCH_BANDS = 3
+
+
 def _ngram_jaccard_q() -> Q:
-    """Character n-gram Jaccard near-dup: candidate pairs bucketed by
-    n_chars (equal-length prefilter — cheap, deterministic), verified by
-    exact 4-gram set Jaccard.  Complements MinHash (token shingles,
-    probabilistic candidates) with an exact char-level variant."""
+    """Character n-gram Jaccard near-dup: candidates bucketed by
+    (n_chars, content min-hash band) — the length equality is the
+    semantic prefilter, the 3-band min-gram sketch splits each length
+    class by content so common lengths can't form quadratic buckets at
+    corpus scale (miss P ≤ (1-0.8)^3 = 0.008 at the threshold) —
+    verified by exact 4-gram set Jaccard."""
 
     def spark_fn(spark, sf_dir):
         from dar_spark.operators.dedup import ngram_jaccard_pairs
@@ -834,17 +839,34 @@ def _ngram_jaccard_q() -> Q:
         return ngram_jaccard_pairs(
             _corpus_df(spark, sf_dir), "doc_id", "text",
             n=NGRAM_N, jaccard_threshold=NGRAM_JACCARD_THRESHOLD,
+            n_sketch_bands=NGRAM_SKETCH_BANDS,
         )
 
+    mins = ", ".join(
+        f"list_aggregate(list_transform(gs, g -> substr(md5(g), {8 * k + 1}, 8)), 'min') AS mh{k}"
+        for k in range(NGRAM_SKETCH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, n_chars_b, {k} AS bi, mh{k} AS mh FROM sk"
+        for k in range(NGRAM_SKETCH_BANDS)
+    )
     oracle = f"""WITH corpus AS ({CORPUS_CTE}),
 g AS (SELECT doc_id, length(text) AS n_chars_b,
         list_distinct(list_transform(range(1, greatest(length(text) - {NGRAM_N - 1}, 0) + 1),
           i -> substr(text, i, {NGRAM_N}))) AS gs
       FROM corpus),
 gf AS (SELECT * FROM g WHERE len(gs) > 0),
-p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+sk AS (SELECT doc_id, n_chars_b, {mins} FROM gf),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.n_chars_b
+         FROM bands a JOIN bands b
+           ON a.bi = b.bi AND a.n_chars_b = b.n_chars_b AND a.mh = b.mh
+              AND a.doc_id < b.doc_id),
+p AS (SELECT c.doc_id_a, c.doc_id_b,
         len(list_intersect(a.gs, b.gs)) AS i, len(a.gs) AS na, len(b.gs) AS nb
-      FROM gf a JOIN gf b ON a.n_chars_b = b.n_chars_b AND a.doc_id < b.doc_id)
+      FROM cand c
+      JOIN gf a ON a.doc_id = c.doc_id_a AND a.n_chars_b = c.n_chars_b
+      JOIN gf b ON b.doc_id = c.doc_id_b)
 SELECT doc_id_a, doc_id_b, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
 FROM p WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {NGRAM_JACCARD_THRESHOLD}"""
     return Q(spark_fn, oracle)

@@ -65,3 +65,78 @@ def test_embedding_dup_pairs(spark):
     pairs = dedup.embedding_dup_pairs(dup, "vec_id", "embedding", cos_threshold=0.999)
     got = {(r.vec_id_a, r.vec_id_b) for r in pairs.collect()}
     assert got == {(i, i + 1) for i in range(0, 40, 2)}
+
+
+def _perturbed_corpus(spark, n_docs=40, doc_len=20, shift=5):
+    """Pairs (2i, 2i+1) are shifted token windows over a shared stream:
+    3-shingle Jaccard ≈ (doc_len - shift - 2) / (doc_len + shift - 2)
+    ≈ 0.57 at the defaults — true near-dups AT the 0.6 boundary, where
+    the 2x2 band config's S-curve is weak by design."""
+    rows = []
+    for i in range(n_docs // 2):
+        stream = [f"w{i}x{j}" for j in range(doc_len + shift)]
+        rows.append((2 * i, " ".join(stream[:doc_len])))
+        rows.append((2 * i + 1, " ".join(stream[shift:])))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_band_parameterization_recall(spark):
+    """S-curve check (VERDICT r1 item 5): at jaccard ≈ 0.57 the default
+    2 bands x 2 rows finds ~55% of true pairs (P = 1-(1-s^2)^2 ≈ 0.54);
+    8 bands x 2 rows must lift recall to the 1-(1-s^2)^8 ≈ 0.96 range."""
+    corpus = _perturbed_corpus(spark)
+    true_pairs = {(2 * i, 2 * i + 1) for i in range(20)}
+
+    def recall(**kw):
+        got = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in dedup.minhash_lsh_pairs(
+                corpus, "doc_id", "text", jaccard_threshold=0.5, **kw
+            ).collect()
+        }
+        return len(got & true_pairs) / len(true_pairs)
+
+    r_default = recall()
+    r_wide = recall(n_bands=8, rows_per_band=2)
+    assert r_wide >= 0.85, f"8x2 recall {r_wide}"
+    assert r_wide > r_default, f"wider banding must not lower recall ({r_default} -> {r_wide})"
+
+
+def test_ngram_sketch_buckets_keep_true_pairs(spark):
+    """The content-sketch candidate key must not lose equal-length
+    near-dups: single-char substitutions at jaccard >= 0.8."""
+    base = "the quick brown fox jumps over the lazy dog again and again!"
+    rows = []
+    for i in range(12):
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base[:-1] + "?"))  # same length, 1 char off
+    corpus = spark.createDataFrame(
+        [(i, f"{t} tag{i // 2:02d}") for i, t in rows], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            corpus, "doc_id", "text", jaccard_threshold=0.8
+        ).collect()
+    }
+    expected = {(2 * i, 2 * i + 1) for i in range(12)}
+    assert expected <= pairs, f"missing {sorted(expected - pairs)[:5]}"
+
+
+def test_ngram_candidate_buckets_subquadratic(spark):
+    """Cardinality guard: 200 same-length docs with distinct content must
+    NOT produce ~200^2/2 candidate verifications.  With content-sketch
+    buckets the candidate count stays near the true-dup count."""
+    import hashlib
+
+    rows = [
+        (i, hashlib.md5(str(i).encode()).hexdigest()) for i in range(200)
+    ]  # 32 chars each: equal length, content-distinct
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    # reach into the operator's candidate stage by counting verified pairs
+    # at threshold 0: every candidate survives, so the result size IS the
+    # candidate-set size.  A bare n_chars bucket would emit all 19900.
+    n_cand = dedup.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", jaccard_threshold=0.0
+    ).count()
+    assert n_cand < 500, f"candidate explosion: {n_cand} pairs from 200 docs"
