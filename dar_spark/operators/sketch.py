@@ -10,6 +10,11 @@ row).
 Use case at 100 TB: the sketch aggregate is O(depth × width) memory per
 partition regardless of cardinality, where an exact groupBy on a
 heavy-tailed token column shuffles every distinct key.
+
+The sketch build is ONE scan: all depth bucket ids are computed per row
+and posexploded, so the input is read once regardless of depth (the
+depth-way union of the first cut read it depth times — VERDICT r1
+item 4).
 """
 
 from __future__ import annotations
@@ -17,35 +22,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dar_spark.dialect import SPARK, Dialect
+
 DEPTH = 3
 WIDTH = 1024
 
 
-def _bucket_expr(value: str, row: int, width: int) -> str:
+def bucket_sql(d: Dialect, value: str, row: int, width: int) -> str:
     """Bucket for hash-row ``row``: 6 hex chars of md5 starting at offset
-    8*row, folded to an int (portable — mirrors sampling.hash_bucket)."""
-    h = f"substr(md5(CAST({value} AS STRING)), {8 * row + 1}, 6)"
-    fold = (
-        f"aggregate(transform(split({h}, '', -1), "
-        f"c -> CAST(CASE WHEN c >= '0' AND c <= '9' THEN ascii(c) - 48 "
-        f"ELSE ascii(c) - 87 END AS BIGINT)), CAST(0 AS BIGINT), "
-        f"(a, x) -> a * 16 + x)"
+    8*row, folded to an int — emitted for either engine so the DuckDB
+    oracle computes the identical sketch."""
+    h = f"substr(md5({d.cast_str(value)}), {8 * row + 1}, 6)"
+    digit = (
+        "CAST(CASE WHEN c >= '0' AND c <= '9' THEN ascii(c) - 48 "
+        "ELSE ascii(c) - 87 END AS BIGINT)"
     )
+    if d.name == "duckdb":
+        fold = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split({h}, ''), c -> {digit})), "
+            f"(a, x) -> a * 16 + x)"
+        )
+    else:
+        fold = (
+            f"aggregate(transform(split({h}, '', -1), c -> {digit}), "
+            f"CAST(0 AS BIGINT), (a, x) -> a * 16 + x)"
+        )
     return f"({fold} % {width})"
 
 
 def cm_sketch(
     df: DataFrame, value_col: str, depth: int = DEPTH, width: int = WIDTH
 ) -> DataFrame:
-    """(row, bucket, n) bucket counts — the sketch itself."""
-    rows = None
-    for r in range(depth):
-        part = df.select(
-            F.lit(r).alias("row"),
-            F.expr(_bucket_expr(value_col, r, width)).alias("bucket"),
-        )
-        rows = part if rows is None else rows.unionByName(part)
-    return rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    """(row, bucket, n) bucket counts — the sketch itself, in one scan:
+    per input row an array of depth bucket ids, posexploded to
+    (hash_row, bucket) pairs, then one hash aggregate."""
+    buckets = F.array(
+        *[F.expr(bucket_sql(SPARK, value_col, r, width)) for r in range(depth)]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def cm_estimate(
@@ -56,8 +75,7 @@ def cm_estimate(
     The sketch is tiny (depth × width) — broadcast to every query row."""
     q = queries
     for r in range(depth):
-        q = q.withColumn(f"_b_{r}", F.expr(_bucket_expr(value_col, r, width)))
-    est = None
+        q = q.withColumn(f"_b_{r}", F.expr(bucket_sql(SPARK, value_col, r, width)))
     for r in range(depth):
         s = sketch.filter(F.col("row") == r).select(
             F.col("bucket").alias(f"_b_{r}"), F.col("n").alias(f"_n_{r}")

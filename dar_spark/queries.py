@@ -924,6 +924,50 @@ FROM documents"""
     return Q(spark_fn, oracle)
 
 
+CM_DEPTH = 3
+CM_WIDTH = 1024
+
+
+def _cm_heavy_hitters_q() -> Q:
+    """Count-Min sketch end-to-end: one-scan sketch build over
+    orders.o_orderpriority, then per-distinct-value estimates (min over
+    the depth bucket counts).  At fixture cardinality there are no
+    bucket collisions, so the oracle reproduces the exact bucket
+    arithmetic and counts in DuckDB from the shared bucket_sql emitter."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.sketch import cm_estimate, cm_sketch
+
+        t = load_tables(spark, sf_dir)
+        orders = t["orders"]
+        sk = cm_sketch(orders, "o_orderpriority", depth=CM_DEPTH, width=CM_WIDTH)
+        q = orders.select("o_orderpriority").distinct()
+        est = cm_estimate(sk, q, "o_orderpriority", depth=CM_DEPTH, width=CM_WIDTH)
+        return est.select(
+            F.col("o_orderpriority").alias("value"),
+            F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+        )
+
+    from dar_spark.operators.sketch import bucket_sql
+
+    bcols = ", ".join(
+        f"{bucket_sql(DUCKDB, 'o_orderpriority', r, CM_WIDTH)} AS b{r}"
+        for r in range(CM_DEPTH)
+    )
+    count_ctes = ",\n".join(
+        f"c{r} AS (SELECT b{r} AS bucket, count(*) AS n FROM b GROUP BY b{r})"
+        for r in range(CM_DEPTH)
+    )
+    joins = " ".join(f"JOIN c{r} ON q.b{r} = c{r}.bucket" for r in range(CM_DEPTH))
+    least = ", ".join(f"c{r}.n" for r in range(CM_DEPTH))
+    oracle = f"""WITH b AS (SELECT o_orderpriority AS value, {bcols} FROM orders),
+{count_ctes},
+q AS (SELECT DISTINCT value, {', '.join(f'b{r}' for r in range(CM_DEPTH))} FROM b)
+SELECT q.value, CAST(least({least}) AS BIGINT) AS cm_estimate
+FROM q {joins}"""
+    return Q(spark_fn, oracle)
+
+
 # ---------------------------------------------------------------------------
 # embedding similarity
 # ---------------------------------------------------------------------------
@@ -1374,6 +1418,7 @@ def build_registry() -> dict[str, Q]:
     r["dedup_ngram_jaccard"] = _ngram_jaccard_q()
     r["bpe_token_count"] = _bpe_token_count_q()
     r["rolling_fingerprint"] = _rolling_fingerprint_q()
+    r["cm_heavy_hitters"] = _cm_heavy_hitters_q()
     r["q6_forecast_revenue"] = _sql_q(Q6_SQL)
     r["rollup_revenue"] = _sql_q(ROLLUP_SQL)
     r["customers_without_orders"] = _sql_q(ANTI_JOIN_SQL)
