@@ -924,6 +924,72 @@ FROM documents"""
     return Q(spark_fn, oracle)
 
 
+def _hexv(c: str) -> str:
+    """SQL for the value of one lowercase hex char."""
+    return f"(CASE WHEN {c} >= '0' AND {c} <= '9' THEN ascii({c}) - 48 ELSE ascii({c}) - 87 END)"
+
+
+def _media_mime_sql(key: str) -> str:
+    return (
+        f"CASE WHEN {key} % 3 = 0 THEN 'image/png' "
+        f"WHEN {key} % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END"
+    )
+
+
+def _media_meta_q() -> Q:
+    """Drives the BINARY media path end-to-end under the driver's hash
+    check: attach_fake_payload → Arrow-batched mapInPandas decode
+    (multimodal.decode_media_meta).  The fake decoder derives dims from
+    md5 digest bytes of the payload, which DuckDB reproduces as hex
+    arithmetic over md5(text) — the payload is the UTF-8 bytes of text,
+    and both Python hashlib and DuckDB md5 hash exactly those bytes."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.multimodal import attach_fake_payload, decode_media_meta
+
+        t = load_tables(spark, sf_dir)
+        media = attach_fake_payload(parallelize(t["documents"]), "doc_id", "text")
+        return decode_media_meta(media)
+
+    def byte(k: int) -> str:  # k-th digest byte from the md5 hex string
+        return f"(16 * {_hexv(f'substr(m, {2 * k + 1}, 1)')} + {_hexv(f'substr(m, {2 * k + 2}, 1)')})"
+
+    oracle = f"""WITH h AS (SELECT doc_id, text, md5(text) AS m FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  {_media_mime_sql('doc_id')} AS mime,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(16 + {byte(0)} % 64 AS INT) AS width,
+  CAST(16 + {byte(1)} % 64 AS INT) AS height,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + {byte(2)} % 30 END AS INT) AS n_frames
+FROM h"""
+    return Q(spark_fn, oracle)
+
+
+def _media_frame_sample_q() -> Q:
+    """Frame-sampling plumbing through the binary path: one row per
+    sampled frame index (from the fake-decoded frame count), with a
+    per-payload sha256 digest — explode + digest both reproducible in
+    DuckDB."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.multimodal import attach_fake_payload, frame_sample
+
+        t = load_tables(spark, sf_dir)
+        media = attach_fake_payload(parallelize(t["documents"]), "doc_id", "text")
+        return frame_sample(media, every_n=10)
+
+    byte2 = f"(16 * {_hexv('substr(m, 5, 1)')} + {_hexv('substr(m, 6, 1)')})"
+    oracle = f"""WITH h AS (SELECT doc_id, text, md5(text) AS m FROM documents),
+f AS (SELECT doc_id, text,
+        CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + {byte2} % 30 END AS n_frames
+      FROM h)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  CAST(unnest(generate_series(0, greatest(n_frames - 1, 0), 10)) AS INT) AS frame_idx,
+  sha256(text || ':frame') AS frame_digest
+FROM f"""
+    return Q(spark_fn, oracle)
+
+
 CM_DEPTH = 3
 CM_WIDTH = 1024
 
@@ -1419,6 +1485,8 @@ def build_registry() -> dict[str, Q]:
     r["bpe_token_count"] = _bpe_token_count_q()
     r["rolling_fingerprint"] = _rolling_fingerprint_q()
     r["cm_heavy_hitters"] = _cm_heavy_hitters_q()
+    r["media_meta_profile"] = _media_meta_q()
+    r["media_frame_sample"] = _media_frame_sample_q()
     r["q6_forecast_revenue"] = _sql_q(Q6_SQL)
     r["rollup_revenue"] = _sql_q(ROLLUP_SQL)
     r["customers_without_orders"] = _sql_q(ANTI_JOIN_SQL)
