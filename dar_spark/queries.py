@@ -924,6 +924,71 @@ FROM documents"""
     return Q(spark_fn, oracle)
 
 
+def _rowid_ordinal_q() -> Q:
+    """SURVEY §2a D4: the 'ordinal' row-identity strategy — contiguous
+    0-based ids like the reference's zipWithIndex, but over an EXPLICIT
+    deterministic order (core/rowid.py)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.core.rowid import with_row_id
+
+        t = load_tables(spark, sf_dir)
+        return with_row_id(
+            t["orders"].select("o_orderkey"),
+            strategy="ordinal", order_by=["o_orderkey"],
+        )
+
+    oracle = """SELECT o_orderkey,
+  CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_id
+FROM orders"""
+    return Q(spark_fn, oracle)
+
+
+def _zip_render_grouped_q() -> Q:
+    """SURVEY §2a D13+D16: the reference's groupByKey + in-group sorted()
+    tuple-text render (zip-validate.py:98-102) as
+    sort_array(collect_list) + format_string — two classified zip
+    columns per row, one rendered line per row_id."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.sources.writers import render_zip_family_grouped
+
+        t = load_tables(spark, sf_dir)
+        k = K_LINEITEM
+        g1, g2 = testgen.dirty_zip(k), testgen.dirty_zip(f"({k} + 7)")
+        base = parallelize(t["lineitem"]).selectExpr(
+            f"{k} AS row_id", f"{g1} AS xa", f"{g2} AS xb"
+        )
+        cells = base.selectExpr(
+            "row_id",
+            "stack(2, "
+            f"'zip_a', ({V.zip_quick_status(SPARK, 'xa')}), ({V.zip_normalized(SPARK, 'xa')}), "
+            f"'zip_b', ({V.zip_quick_status(SPARK, 'xb')}), ({V.zip_normalized(SPARK, 'xb')})"
+            ") AS (column_name, status, normalized)",
+        )
+        return render_zip_family_grouped(cells)
+
+    def cell(col: str, x: str) -> str:
+        status = V.zip_quick_status(DUCKDB, x)
+        norm = V.zip_normalized(DUCKDB, x)
+        return (
+            f"'[''{col}'', ' || ({status}) || ', ''' || "
+            f"coalesce(({norm}), 'None') || ''']'"
+        )
+
+    k = K_LINEITEM
+    g1, g2 = testgen.dirty_zip(k), testgen.dirty_zip(f"({k} + 7)")
+    oracle = f"""WITH base AS (SELECT {k} AS row_id, {g1} AS xa, {g2} AS xb FROM lineitem),
+u AS (
+  SELECT row_id, {cell('zip_a', 'xa')} AS cell FROM base
+  UNION ALL
+  SELECT row_id, {cell('zip_b', 'xb')} AS cell FROM base
+)
+SELECT '(' || row_id || ', [' || string_agg(cell, ', ' ORDER BY cell) || '])' AS value
+FROM u GROUP BY row_id"""
+    return Q(spark_fn, oracle)
+
+
 def _hexv(c: str) -> str:
     """SQL for the value of one lowercase hex char."""
     return f"(CASE WHEN {c} >= '0' AND {c} <= '9' THEN ascii({c}) - 48 ELSE ascii({c}) - 87 END)"
@@ -1487,6 +1552,8 @@ def build_registry() -> dict[str, Q]:
     r["cm_heavy_hitters"] = _cm_heavy_hitters_q()
     r["media_meta_profile"] = _media_meta_q()
     r["media_frame_sample"] = _media_frame_sample_q()
+    r["rowid_ordinal"] = _rowid_ordinal_q()
+    r["zip_render_grouped"] = _zip_render_grouped_q()
     r["q6_forecast_revenue"] = _sql_q(Q6_SQL)
     r["rollup_revenue"] = _sql_q(ROLLUP_SQL)
     r["customers_without_orders"] = _sql_q(ANTI_JOIN_SQL)
