@@ -109,6 +109,7 @@ def profile(
     sample_pred: Column | None = None,
     thresholds: dict[str, int] | None = None,
     strict_reference: bool = False,
+    skip_first_row: bool = False,
     fields: tuple[str, ...] = ("status", "raw", "normalized"),
 ) -> ProfileReport:
     """Detect semantic datatypes, then classify every detected pair in one
@@ -124,6 +125,12 @@ def profile(
     prune struct members through the classification explode, so a
     status-only consumer should pass ``("status",)`` and skip the
     normalizer work entirely (~25% of composite cost).
+    ``skip_first_row``: SURVEY §2a D7 parity flag — the reference drops
+    the first data row of every classified column
+    (``zipWithIndex().filter(x[1] > 0)``, phone-number-v0.py:120, a
+    header artifact of its CSV→RDD path).  When True, results exclude
+    the row with the minimum id (one scalar 1-row aggregate, then a
+    pushed-down filter).
     """
     want_raw = "raw" in fields
     want_norm = "normalized" in fields
@@ -239,4 +246,8 @@ def profile(
     results = phase2.select(
         "row_id", F.explode(F.array(*structs)).alias("r")
     ).select(*out_cols)
+    if skip_first_row:
+        first = df.agg(F.min(F.col(id_col).cast("long"))).collect()[0][0]
+        if first is not None:
+            results = results.filter(F.col("row_id") > F.lit(first))
     return ProfileReport(detections, results)

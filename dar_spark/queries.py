@@ -55,7 +55,7 @@ class Q:
 # ---------------------------------------------------------------------------
 
 
-def _profile_pair(name, table, k, gen, status_fn, norm_fn, **kw):
+def _profile_pair(name, table, k, gen, status_fn, norm_fn, skip_first_row=False, **kw):
     """Build (spark_fn, oracle_sql) for a per-row classify query.
 
     The Spark side computes status in a first projection and derives
@@ -63,6 +63,10 @@ def _profile_pair(name, table, k, gen, status_fn, norm_fn, **kw):
     codegen tree versus re-embedding the status cascade inside the
     normalizer (the oracle stays the self-contained expression; values
     are identical, which the parity suite asserts).
+
+    ``skip_first_row`` is the SURVEY §2a D7 parity mode: the reference
+    drops the first data row of every classified column
+    (phone-number-v0.py:120); both sides filter row_id > min(row_id).
     """
     two_stage = {
         # validator family -> second-stage normalized expr over (x, _c, status)
@@ -83,6 +87,9 @@ def _profile_pair(name, table, k, gen, status_fn, norm_fn, **kw):
     def spark_fn(spark, sf_dir):
         t = load_tables(spark, sf_dir)
         df = parallelize(t[table]).selectExpr(f"{k} AS row_id", f"{gen(k)} AS x")
+        if skip_first_row:
+            first = t[table].agg(F.min(F.expr(k))).collect()[0][0]
+            df = df.filter(F.col("row_id") > F.lit(first))
         stage2 = two_stage.get(status_fn)
         if stage2 is not None:
             clean_fn, norm_expr = stage2
@@ -99,10 +106,13 @@ def _profile_pair(name, table, k, gen, status_fn, norm_fn, **kw):
             F.expr(norm_fn(SPARK, "x", **kw)).alias("normalized"),
         )
 
+    skip = (
+        f"\nWHERE row_id > (SELECT min({k}) FROM {table})" if skip_first_row else ""
+    )
     oracle = f"""WITH base AS (SELECT {k} AS row_id, {gen(k)} AS x FROM {table})
 SELECT row_id, ({status_fn(DUCKDB, 'x', **kw)}) AS status,
        ({norm_fn(DUCKDB, 'x', **kw)}) AS normalized
-FROM base"""
+FROM base{skip}"""
     return Q(spark_fn, oracle)
 
 
@@ -1492,6 +1502,10 @@ def build_registry() -> dict[str, Q]:
     r["phone_v1_profile"] = _profile_pair(
         "phone_v1_profile", "orders", K_ORDERS, testgen.dirty_phone,
         V.phone_v1_status, V.phone_v1_normalized,
+    )
+    r["phone_profile_skip_first"] = _profile_pair(
+        "phone_profile_skip_first", "orders", K_ORDERS, testgen.dirty_phone,
+        V.phone_status, V.phone_normalized, skip_first_row=True,
     )
     r["state_profile"] = _profile_pair(
         "state_profile", "orders", K_ORDERS, testgen.dirty_state,

@@ -118,3 +118,22 @@ def test_profile_write_partitioned(spark, tmp_path):
     assert any(p.startswith("column_name=") for p in parts)
     back = spark.read.parquet(out)
     assert back.count() == report.results.count()
+
+
+def test_skip_first_row_parity_flag(spark, tables):
+    """SURVEY §2a D7: the reference drops the first data row of every
+    classified column (phone-number-v0.py:120).  skip_first_row=True must
+    exclude exactly the min-row_id cells and nothing else."""
+    from dar_spark.operators.profile_all import profile
+
+    df = tables["orders"].select("o_orderkey", "o_orderpriority").limit(500)
+    kw = dict(
+        id_col="o_orderkey", validators=["state"], columns=["o_orderpriority"],
+        thresholds={"state": 0},  # force classification without detection hits
+    )
+    base = profile(df, **kw).results
+    skipped = profile(df, skip_first_row=True, **kw).results
+    if base.take(1):
+        mn = base.agg({"row_id": "min"}).collect()[0][0]
+        assert skipped.filter(f"row_id = {mn}").count() == 0
+        assert skipped.count() == base.filter(f"row_id > {mn}").count()
