@@ -16,6 +16,7 @@ opt-in only), profiles, writes results partitioned by column.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -49,10 +50,24 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     validators = args.validators.split(",") if args.validators else None
+    # zip_full realness needs a REAL dictionary; without --zips-json (or
+    # DAR_SPARK_ZIPS_JSON) we skip zip_full rather than silently scoring
+    # real data against the synthetic every-third-code fixture dictionary
+    # (ADVICE r1).
+    zips_path = args.zips_json or os.environ.get("DAR_SPARK_ZIPS_JSON", "")
+    if zips_path and os.path.exists(zips_path.split("!", 1)[0]):
+        zips = zips_df(spark, zips_path)
+    else:
+        zips = None
+        print(
+            "note: no ZIP dictionary configured (--zips-json); "
+            "zip_full realness classification skipped",
+            file=sys.stderr,
+        )
     report = profile(
         df,
         validators=validators,
-        zips=zips_df(spark, args.zips_json),
+        zips=zips,
         sample_rows=args.sample_rows,
         strict_reference=args.strict_reference,
     )

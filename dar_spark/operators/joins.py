@@ -53,8 +53,18 @@ def salted_join(
     every row across all sub-keys.  Hot keys spread over n_salts tasks
     instead of melting one executor.  Output columns = left ∪ right \
     {key duplicated}, like a plain join on ``key``.
+
+    Right/full outer joins are rejected: the right side is replicated
+    across all n_salts sub-keys, so an unmatched right row would be
+    emitted once per salt (ADVICE r1).
     """
-    lcol = f"_salt"
+    if how in ("right", "rightouter", "right_outer", "full", "fullouter",
+               "full_outer", "outer"):
+        raise ValueError(
+            f"salted_join cannot run how={how!r}: the replicated right "
+            "side would duplicate unmatched right rows n_salts times"
+        )
+    lcol = "_salt"
     l = left.withColumn(
         lcol, (F.rand(seed=7) * n_salts).cast("int")
     )

@@ -30,13 +30,26 @@ def range_join(
 
     ``keys``: optional equi-join columns shared by both sides (joined on
     in addition to the bucket — e.g. user_id).
+
+    Only ``how='inner'`` is supported: the exact BETWEEN predicate runs
+    as a post-join filter, which would silently drop the null-extended
+    rows of any outer join (ADVICE r1).
     """
+    if how != "inner":
+        raise ValueError(
+            "range_join supports how='inner' only: the BETWEEN predicate "
+            "is applied after the bucket equi-join, so outer-join "
+            "null-extended rows would be silently dropped"
+        )
     keys = keys or []
     b = bucket_seconds
     p = points.withColumn(
         "_bk", F.expr(f"CAST(floor(unix_timestamp({point_ts}) / {b}) AS BIGINT)")
     )
-    r = ranges.withColumn(
+    # degenerate ranges (end <= start) match no point; drop them BEFORE
+    # the bucket sequence — Spark's implicit -1 step would otherwise
+    # explode a descending bucket list for them (ADVICE r1)
+    r = ranges.filter(F.expr(f"{range_end} > {range_start}")).withColumn(
         "_bks",
         F.expr(
             f"sequence(CAST(floor(unix_timestamp({range_start}) / {b}) AS BIGINT), "

@@ -67,7 +67,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     it back to TIMESTAMP_NTZ so semantics match engines that read nanos
     natively (e.g. the DuckDB oracle).
     """
-    cache_key = (id(spark), os.path.abspath(sf_dir))
+    # Keyed on applicationId (stable per live session), not id(spark):
+    # CPython can reuse a stopped session's address, which would hand
+    # back DataFrames bound to a dead JVM session (ADVICE r1).
+    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if cache_key in _TABLE_CACHE:
         return _TABLE_CACHE[cache_key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -82,13 +82,20 @@ def windowed_status_counts(
     )
 
 
-def run_to_memory(stream_out: DataFrame, query_name: str):
+def run_to_memory(stream_out: DataFrame, query_name: str, output_mode: str = "append"):
     """Drain an availableNow micro-batch run into an in-memory table
-    (test/debug harness; production would writeStream to kafka/delta)."""
+    (test/debug harness; production would writeStream to kafka/delta).
+
+    ``output_mode`` defaults to 'append' — the only mode every streaming
+    operator in this package supports (applyInPandasWithState dedup and
+    the stream-stream join are append-only, and append is what lets the
+    watermark actually evict state).  Pass 'complete' explicitly for
+    full-result windowed aggregations (ADVICE r1: the old
+    isStreaming→complete heuristic rejected every append-only operator)."""
     q = (
         stream_out.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_out.isStreaming else "append")
+        .outputMode(output_mode if stream_out.isStreaming else "append")
         .trigger(availableNow=True)
         .start()
     )

@@ -36,7 +36,7 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
         stream, VCOLS, ts_col="ts", window_duration="1 hour", watermark="2 hours"
     )
     name = "t_" + uuid.uuid4().hex[:8]
-    run_to_memory(out, name)
+    run_to_memory(out, name, output_mode="complete")
     streamed = {
         (r.window_start, r.column_name, r.status): r.n
         for r in spark.sql(f"SELECT * FROM {name}").collect()
