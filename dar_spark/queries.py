@@ -667,10 +667,18 @@ def _dedup_minhash_q() -> Q:
             jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
         )
 
+    return Q(spark_fn, f"WITH {_minhash_pairs_ctes()}\n"
+             "SELECT doc_id_a, doc_id_b, jaccard FROM pairs", headline=True)
+
+
+def _minhash_pairs_ctes() -> str:
+    """CTE chain ending in ``pairs(doc_id_a, doc_id_b, jaccard)`` — the
+    DuckDB twin of minhash_lsh_pairs, shared by the pair query and the
+    connected-components clustering oracle."""
     mins = ", ".join(
         f"min(substr(md5(g), {8 * j + 1}, 8)) AS h{j}" for j in range(4)
     )
-    oracle = f"""WITH corpus AS ({CORPUS_CTE}),
+    return f"""corpus AS ({CORPUS_CTE}),
 t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus),
 sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
         i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM t),
@@ -684,10 +692,38 @@ cand AS (
   SELECT a.doc_id, b.doc_id FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
 ),
 j AS (SELECT c.doc_id_a, c.doc_id_b, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) AS na, len(sb.s) AS nb
-      FROM cand c JOIN shf sa ON sa.doc_id = c.doc_id_a JOIN shf sb ON sb.doc_id = c.doc_id_b)
-SELECT doc_id_a, doc_id_b, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
-FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {MINHASH_JACCARD_THRESHOLD}"""
-    return Q(spark_fn, oracle, headline=True)
+      FROM cand c JOIN shf sa ON sa.doc_id = c.doc_id_a JOIN shf sb ON sb.doc_id = c.doc_id_b),
+pairs AS (SELECT doc_id_a, doc_id_b, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {MINHASH_JACCARD_THRESHOLD})"""
+
+
+def _dup_clusters_q() -> Q:
+    """Connected-components duplicate clustering, driver-checked: Spark
+    runs iterative min-label propagation (dedup.connected_components,
+    localCheckpoint per round); DuckDB computes the same fixpoint as a
+    RECURSIVE reachability CTE over the identical minhash edge set —
+    cluster_id = min reachable node."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+        edges = minhash_lsh_pairs(
+            _corpus_df(spark, sf_dir), "doc_id", "text",
+            jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
+        )
+        return connected_components(edges)
+
+    oracle = f"""WITH RECURSIVE {_minhash_pairs_ctes()},
+sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+        UNION SELECT doc_id_b, doc_id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.a AS node, reach.r FROM sym e JOIN reach ON reach.node = e.b
+)
+SELECT node, min(r) AS cluster_id FROM reach GROUP BY node"""
+    return Q(spark_fn, oracle)
 
 
 _HEX_HIGH = "('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')"
@@ -1568,6 +1604,7 @@ def build_registry() -> dict[str, Q]:
     r["media_frame_sample"] = _media_frame_sample_q()
     r["rowid_ordinal"] = _rowid_ordinal_q()
     r["zip_render_grouped"] = _zip_render_grouped_q()
+    r["dup_clusters"] = _dup_clusters_q()
     r["q6_forecast_revenue"] = _sql_q(Q6_SQL)
     r["rollup_revenue"] = _sql_q(ROLLUP_SQL)
     r["customers_without_orders"] = _sql_q(ANTI_JOIN_SQL)
