@@ -110,6 +110,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     n_bands: int = 2,
     rows_per_band: int = 2,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, jaccard ≥ threshold).
 
@@ -123,7 +124,21 @@ def minhash_lsh_pairs(
     near-identical (s ≈ 1), low for genuine 0.6-neighbors; use b = 4,
     r = 2 (P ≈ 0.83) or more bands when hunting the boundary
     (tests/test_dedup.py measures this on perturbed near-dups).
+
+    ``collapse_exact`` (default): byte-identical texts are collapsed to
+    one representative BEFORE shingling — the standard corpus-dedup
+    tiering (exact tier feeds the near-dup tier).  Identical texts have
+    identical signatures, buckets, and Jaccards, so the expanded result
+    is provably equal to running the direct algorithm on every copy,
+    while shingling/minhashing/verification cost scales with DISTINCT
+    texts (real corpora carry 20-50% exact dups; the dup-injected
+    fixture is 3× smaller after collapse).
     """
+    if collapse_exact:
+        return _minhash_pairs_collapsed(
+            df, id_col, text_col, jaccard_threshold, shingle_n,
+            n_bands, rows_per_band,
+        )
     n_hashes = n_bands * rows_per_band
     sh = shingles(df, id_col, text_col, shingle_n).cache()
     ex = sh.select(F.col(id_col), F.explode("s").alias("g"))
@@ -170,6 +185,56 @@ def minhash_lsh_pairs(
         "doc_id_b",
         "round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard",
     ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
+
+
+def _minhash_pairs_collapsed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float,
+    shingle_n: int,
+    n_bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Exact-collapse tier for minhash_lsh_pairs: near-dup analysis runs
+    on one representative per byte-identical text, then group pairs
+    expand back to member pairs (cross groups: the rep-level Jaccard;
+    within a group: exactly 1.0).  Result-equal to the direct algorithm:
+    identical texts share signatures and buckets, so candidates and
+    verified Jaccards are the same pair-for-pair.
+    """
+    base = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_rep", F.expr(f"min({id_col}) OVER (PARTITION BY md5({text_col}))")
+    )
+    reps = base.filter(F.col(id_col) == F.col("_rep")).select(id_col, text_col)
+    rep_pairs = minhash_lsh_pairs(
+        reps, id_col, text_col, jaccard_threshold, shingle_n,
+        n_bands, rows_per_band, collapse_exact=False,
+    )
+    members = base.select("_rep", F.col(id_col).alias("_m"))
+    cross = (
+        rep_pairs
+        .join(members.select(F.col("_rep").alias("doc_id_a"), F.col("_m").alias("ma")), "doc_id_a")
+        .join(members.select(F.col("_rep").alias("doc_id_b"), F.col("_m").alias("mb")), "doc_id_b")
+        .select(
+            F.least("ma", "mb").alias("doc_id_a"),
+            F.greatest("ma", "mb").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+    # within-group pairs exist only for groups the direct algorithm would
+    # band at all (rep has ≥1 shingle)
+    ok = shingles(reps, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("_rep")
+    )
+    gm = members.join(ok, "_rep")
+    within = (
+        gm.select("_rep", F.col("_m").alias("doc_id_a"))
+        .join(gm.select("_rep", F.col("_m").alias("doc_id_b")), "_rep")
+        .filter("doc_id_a < doc_id_b")
+        .select("doc_id_a", "doc_id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs(

@@ -80,6 +80,12 @@ def detect(
     sample = (
         df.filter(sample_pred) if sample_pred is not None else df.limit(sample_rows)
     )
+    # materialize the (tiny) sample and cut lineage BEFORE building the
+    # validator aggregate: otherwise every validator×column agg
+    # expression inlines the sample's full upstream projection tree and
+    # Catalyst spends seconds of driver CPU re-analyzing the product
+    # (measured 2.1s/call warm on a 23-column frame vs ~0.3s cut)
+    sample = sample.localCheckpoint(eager=True)
 
     pairs = []
     for v in validators:
