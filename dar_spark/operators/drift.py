@@ -31,6 +31,41 @@ class Drift:
     new: object
 
 
+DRIFT_SCHEMA = (
+    "column_name string, kind string, old_num double, new_num double, "
+    "old_dtype string, new_dtype string"
+)
+
+
+def drift_frame(
+    old: DataFrame,
+    new: DataFrame,
+    null_rate_tol: float = 0.05,
+    distinct_ratio_tol: float = 0.5,
+    mean_shift_tol: float = 0.25,
+    approx: bool = True,
+) -> DataFrame:
+    """:func:`detect_drift` as a DataFrame: one row per flagged drift,
+    numeric kinds carry (old_num, new_num), schema kinds carry the
+    dtypes.  Registry/oracle-friendly shape (queries.drift_lineitem)."""
+    drifts = detect_drift(
+        old, new,
+        null_rate_tol=null_rate_tol,
+        distinct_ratio_tol=distinct_ratio_tol,
+        mean_shift_tol=mean_shift_tol,
+        approx=approx,
+    )
+    rows = []
+    for d in drifts:
+        if d.kind in ("added", "removed", "type_changed"):
+            rows.append((d.column, d.kind, None, None,
+                         None if d.old is None else str(d.old),
+                         None if d.new is None else str(d.new)))
+        else:
+            rows.append((d.column, d.kind, float(d.old), float(d.new), None, None))
+    return old.sparkSession.createDataFrame(rows, DRIFT_SCHEMA)
+
+
 def detect_drift(
     old: DataFrame,
     new: DataFrame,

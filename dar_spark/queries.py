@@ -970,6 +970,52 @@ FROM documents"""
     return Q(spark_fn, oracle)
 
 
+def _drift_q() -> Q:
+    """Snapshot drift detection (operators/drift.py) with every drift
+    kind induced: doubled quantity (mean_shift), 25% nulled discount
+    (null_rate), stringified tax (type_changed), one added and one
+    removed column; l_returnflag is the no-drift control.  The oracle
+    recomputes both snapshots' statistics and the same tolerance flags
+    in DuckDB."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.drift import drift_frame
+
+        li = load_tables(spark, sf_dir)["lineitem"]
+        old = li.selectExpr(
+            "l_quantity", "l_discount", "l_returnflag", "l_tax", "l_linenumber"
+        )
+        new = li.selectExpr(
+            "l_quantity * 2 AS l_quantity",
+            "CASE WHEN l_orderkey % 4 = 0 THEN NULL ELSE l_discount END AS l_discount",
+            "l_returnflag",
+            "CAST(l_tax AS STRING) AS l_tax",
+            "l_orderkey AS added_col",
+        )
+        return drift_frame(old, new, approx=False)
+
+    oracle = """WITH o AS (SELECT round(AVG(l_quantity), 6) AS av_q,
+  round(CAST(COUNT(*) - COUNT(l_discount) AS DOUBLE) / COUNT(*), 6) AS nr_d
+  FROM lineitem),
+n2 AS (SELECT round(AVG(l_quantity * 2), 6) AS av_q,
+  round(CAST(COUNT(*) - COUNT(CASE WHEN l_orderkey % 4 = 0 THEN NULL ELSE l_discount END) AS DOUBLE) / COUNT(*), 6) AS nr_d
+  FROM lineitem)
+SELECT 'added_col' AS column_name, 'added' AS kind,
+       CAST(NULL AS DOUBLE) AS old_num, CAST(NULL AS DOUBLE) AS new_num,
+       CAST(NULL AS VARCHAR) AS old_dtype, 'bigint' AS new_dtype
+UNION ALL
+SELECT 'l_discount', 'null_rate', o.nr_d, n2.nr_d, NULL, NULL
+FROM o, n2 WHERE abs(n2.nr_d - o.nr_d) > 0.05
+UNION ALL
+SELECT 'l_linenumber', 'removed', NULL, NULL, 'int', NULL
+UNION ALL
+SELECT 'l_quantity', 'mean_shift', o.av_q, n2.av_q, NULL, NULL
+FROM o, n2 WHERE abs(n2.av_q - o.av_q) / greatest(abs(o.av_q), 1e-9) > 0.25
+UNION ALL
+SELECT 'l_tax', 'type_changed', NULL, NULL, 'double', 'string'"""
+    return Q(spark_fn, oracle)
+
+
 def _rowid_ordinal_q() -> Q:
     """SURVEY §2a D4: the 'ordinal' row-identity strategy — contiguous
     0-based ids like the reference's zipWithIndex, but over an EXPLICIT
@@ -1605,6 +1651,7 @@ def build_registry() -> dict[str, Q]:
     r["rowid_ordinal"] = _rowid_ordinal_q()
     r["zip_render_grouped"] = _zip_render_grouped_q()
     r["dup_clusters"] = _dup_clusters_q()
+    r["drift_lineitem"] = _drift_q()
     r["q6_forecast_revenue"] = _sql_q(Q6_SQL)
     r["rollup_revenue"] = _sql_q(ROLLUP_SQL)
     r["customers_without_orders"] = _sql_q(ANTI_JOIN_SQL)
