@@ -165,13 +165,37 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling plumbing for video payloads: explodes one row per
     sampled frame index (indices from the fake-decoded frame count).  The
     per-frame payload slice is a placeholder digest — a real decoder
-    would emit the frame bytes."""
-    meta = decode_media_meta(media).select("media_id", "n_frames")
-    j = media.join(meta, "media_id")
-    return j.select(
+    would emit the frame bytes.
+
+    ONE narrow pass: frame count and digest come out of a single
+    mapInPandas stage over the payload (the first cut joined the media
+    table against its own decoded metadata — two scans + a shuffle for
+    values derivable per-row)."""
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("n_frames", IntegerType()),
+            StructField("frame_digest", StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            nf, dg = [], []
+            for p, m in zip(pdf["payload"], pdf["mime"]):
+                b = p if isinstance(p, bytes) else bytes(p)
+                nf.append(_fake_decode(b, m)[2])
+                dg.append(hashlib.sha256(b + b":frame").hexdigest())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "n_frames": nf, "frame_digest": dg}
+            )
+
+    base = media.mapInPandas(batches, schema)
+    return base.select(
         "media_id",
         F.explode(
             F.expr(f"sequence(0, greatest(n_frames - 1, 0), {every_n})")
         ).alias("frame_idx"),
-        F.sha2(F.concat(F.col("payload"), F.lit(":frame")), 256).alias("frame_digest"),
+        "frame_digest",
     )

@@ -73,6 +73,10 @@ def cm_estimate(
 ) -> DataFrame:
     """Per query value: estimate = min over hash rows of its bucket count.
     The sketch is tiny (depth × width) — broadcast to every query row."""
+    # materialize the sketch once: the depth per-row filters below would
+    # otherwise each re-execute the sketch's full input scan (≤
+    # depth×width rows — trivial to checkpoint, scan runs exactly once)
+    sketch = sketch.localCheckpoint(eager=True)
     q = queries
     for r in range(depth):
         q = q.withColumn(f"_b_{r}", F.expr(bucket_sql(SPARK, value_col, r, width)))
