@@ -970,6 +970,42 @@ FROM documents"""
     return Q(spark_fn, oracle)
 
 
+def _drop_near_dups_q() -> Q:
+    """The full corpus-dedup pipeline as one query: minhash near-dup
+    pairs → connected-components clusters → keep the min-id
+    representative of every cluster (untouched docs survive as-is).
+    This is the operator a training-data pipeline actually runs; the
+    pair/cluster queries are its observable stages."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+        corpus = _corpus_df(spark, sf_dir)
+        edges = minhash_lsh_pairs(
+            corpus, "doc_id", "text",
+            jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
+        )
+        labels = connected_components(edges)
+        drop = labels.filter("node <> cluster_id").select(
+            F.col("node").alias("doc_id")
+        )
+        return corpus.join(drop, "doc_id", "left_anti").select("doc_id")
+
+    oracle = f"""WITH RECURSIVE {_minhash_pairs_ctes()},
+sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+        UNION SELECT doc_id_b, doc_id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.a AS node, reach.r FROM sym e JOIN reach ON reach.node = e.b
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)"""
+    return Q(spark_fn, oracle)
+
+
 def _drift_q() -> Q:
     """Snapshot drift detection (operators/drift.py) with every drift
     kind induced: doubled quantity (mean_shift), 25% nulled discount
@@ -1652,6 +1688,7 @@ def build_registry() -> dict[str, Q]:
     r["zip_render_grouped"] = _zip_render_grouped_q()
     r["dup_clusters"] = _dup_clusters_q()
     r["drift_lineitem"] = _drift_q()
+    r["drop_near_dups"] = _drop_near_dups_q()
     r["q6_forecast_revenue"] = _sql_q(Q6_SQL)
     r["rollup_revenue"] = _sql_q(ROLLUP_SQL)
     r["customers_without_orders"] = _sql_q(ANTI_JOIN_SQL)
