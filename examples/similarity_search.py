@@ -1,0 +1,79 @@
+"""Embedding similarity search three ways, with measured recall:
+
+    exact brute force  →  SRP-LSH multiprobe  →  IVF-Flat (seeded k-means)
+
+    python examples/similarity_search.py
+
+Brute force is the baseline (broadcast query set, one corpus scan); the
+two approximate paths trade a bounded recall loss for sub-linear scans —
+the LSH join shuffles O(N) on 256 uniform bucket keys, IVF probes
+n_probe/n_lists of the corpus.  At 100 TB you run one of the latter.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dar_spark
+from dar_spark.operators.similarity import brute_force_topk, ivf_topk, srp_lsh_topk
+from dar_spark.session import load_tables
+
+SF_DIR = os.environ.get("DAR_SPARK_EXAMPLE_SF", "/root/testdata/sf0.01")
+K = 5
+QUERY_PRED = "vec_id % 50 = 0"
+
+
+def recall(base, approx) -> float:
+    b = {(r.query_id, r.neighbor_id) for r in base}
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    return len(a & b) / len(b) if b else 1.0
+
+
+def main() -> None:
+    spark = dar_spark.get_session("example_similarity")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    print(f"corpus: {emb.count()} vectors ({SF_DIR})")
+
+    t0 = time.perf_counter()
+    exact = brute_force_topk(emb, "vec_id", "embedding", QUERY_PRED, k=K).collect()
+    t_exact = time.perf_counter() - t0
+    print(f"brute force: {len(exact)} result rows in {t_exact:.2f}s (recall 1.000 by definition)")
+
+    t0 = time.perf_counter()
+    lsh = srp_lsh_topk(emb, "vec_id", "embedding", QUERY_PRED, k=K).collect()
+    print(f"SRP-LSH:     {len(lsh)} rows in {time.perf_counter() - t0:.2f}s, "
+          f"recall {recall(exact, lsh):.3f}  "
+          "(sign-LSH targets HIGH-similarity retrieval; this corpus's "
+          "natural neighbors are near-orthogonal, so low recall here is "
+          "the expected regime mismatch — see the dup run below)")
+
+    # LSH in its intended regime: near-identical vectors (dup detection)
+    from pyspark.sql import functions as F
+
+    rep = emb.select(F.col("vec_id").alias("rep_id"), F.col("embedding").alias("rv"))
+    dup = (
+        emb.select("vec_id", F.expr("vec_id - vec_id % 2").alias("rep_id"))
+        .join(rep, "rep_id")
+        .select("vec_id", F.col("rv").alias("embedding"))
+    )
+    exact_dup = brute_force_topk(dup, "vec_id", "embedding", "vec_id % 2 = 0", k=1).collect()
+    t0 = time.perf_counter()
+    lsh_dup = srp_lsh_topk(dup, "vec_id", "embedding", "vec_id % 2 = 0", k=1).collect()
+    print(f"SRP-LSH on dup-injected corpus (k=1): recall "
+          f"{recall(exact_dup, lsh_dup):.3f} in {time.perf_counter() - t0:.2f}s")
+
+    t0 = time.perf_counter()
+    ivf = ivf_topk(emb, "vec_id", "embedding", QUERY_PRED, k=K, n_probe=6).collect()
+    print(f"IVF-Flat:    {len(ivf)} rows in {time.perf_counter() - t0:.2f}s, "
+          f"recall {recall(exact, ivf):.3f} (n_probe=6/16 lists)")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
