@@ -82,3 +82,49 @@ def split_sql(d: Dialect, key: str, weights=(0.8, 0.1, 0.1), n_buckets: int = N_
         f"CASE WHEN {b} < {c1} THEN 'train' "
         f"WHEN {b} < {c2} THEN 'val' ELSE 'test' END"
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each group keeps its own
+    fraction of rows, membership keyed on hash(key) like the flat
+    sampler (stable across runs / layouts / appends).  The per-group
+    cutoff is a tiny CASE over ``group_col`` — no per-group jobs, no
+    shuffle, one narrow filter that pushes into the scan.
+
+    The standard rebalancing move for heavy-tailed training corpora:
+    downsample the dominant source, keep the rare ones whole.
+    """
+    b = hash_bucket(key, n_buckets)
+    cutoff = F.lit(int(round(default_fraction * n_buckets)))
+    for g, frac in sorted(fractions.items()):
+        cutoff = F.when(
+            F.col(group_col) == g, F.lit(int(round(frac * n_buckets)))
+        ).otherwise(cutoff)
+    return df.filter(b < cutoff)
+
+
+def stratified_sample_sql(
+    d: Dialect,
+    key: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """WHERE-clause twin of :func:`stratified_sample` for the oracle."""
+    b = hash_bucket_sql(d, key, n_buckets)
+    branches = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {int(round(f * n_buckets))}"
+        for g, f in sorted(fractions.items())
+    )
+    return (
+        f"({b} < (CASE {branches} "
+        f"ELSE {int(round(default_fraction * n_buckets))} END))"
+    )

@@ -970,6 +970,36 @@ FROM documents"""
     return Q(spark_fn, oracle)
 
 
+STRATA_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
+STRATA_DEFAULT = 0.1
+
+
+def _stratified_sample_q() -> Q:
+    """Per-source deterministic downsampling (heavy-tailed corpus
+    rebalance): src0 kept whole, src1 half, src2 a fifth, everything
+    else 10% — membership a pure function of doc_id, so the sample is
+    stable across runs, layouts, and appends, and the oracle reproduces
+    it exactly."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.sampling import stratified_sample
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        return stratified_sample(
+            docs.select("doc_id", "source"), "doc_id", "source",
+            STRATA_FRACTIONS, default_fraction=STRATA_DEFAULT,
+        )
+
+    from dar_spark.operators.sampling import stratified_sample_sql
+
+    pred = stratified_sample_sql(
+        DUCKDB, "doc_id", "source", STRATA_FRACTIONS,
+        default_fraction=STRATA_DEFAULT,
+    )
+    oracle = f"SELECT doc_id, source FROM documents WHERE {pred}"
+    return Q(spark_fn, oracle)
+
+
 def _drop_near_dups_q() -> Q:
     """The full corpus-dedup pipeline as one query: minhash near-dup
     pairs → connected-components clusters → keep the min-id
@@ -1689,6 +1719,7 @@ def build_registry() -> dict[str, Q]:
     r["dup_clusters"] = _dup_clusters_q()
     r["drift_lineitem"] = _drift_q()
     r["drop_near_dups"] = _drop_near_dups_q()
+    r["stratified_sample_docs"] = _stratified_sample_q()
     r["q6_forecast_revenue"] = _sql_q(Q6_SQL)
     r["rollup_revenue"] = _sql_q(ROLLUP_SQL)
     r["customers_without_orders"] = _sql_q(ANTI_JOIN_SQL)
