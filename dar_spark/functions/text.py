@@ -119,3 +119,45 @@ def quality_filter(
         )
         .drop("_n_tok", "_q", "_sw")
     )
+
+
+# --- PII redaction ----------------------------------------------------------
+# Backslash-free patterns (dialect-portable, see dialect.py header): the
+# standard scrubbing pass a training-data pipeline runs before release.
+# Order matters: the formatted-phone pattern must run before the bare
+# 10-digit run (otherwise the digits of a formatted number are consumed
+# piecemeal), and SSN-shaped ids before phones would be wrong the other
+# way — phones are redacted first here because the SSN shape (3-2-4)
+# cannot match inside a phone match's leftovers.
+
+PII_PATTERNS = [
+    ("EMAIL", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"),
+    ("PHONE", "[(]?[0-9]{3}[)]?[ .-][0-9]{3}[ .-][0-9]{4}"),
+    ("PHONE", "[0-9]{10}"),
+    ("ID", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+]
+
+
+def redact_pii_sql(d, x: str) -> str:
+    """Nested regexp_replace chain over the PII patterns — one
+    expression, evaluated engine-side; emitted for Spark or DuckDB from
+    the same pattern list so the oracle redacts byte-identically."""
+    out = d.cast_str(x)
+    for token, pat in PII_PATTERNS:
+        out = d.re_replace(out, pat, f"<{token}>")
+    return out
+
+
+def redact_pii(text_col: str) -> Column:
+    from dar_spark.dialect import SPARK
+
+    return F.expr(redact_pii_sql(SPARK, text_col))
+
+
+def pii_hit_counts(redacted_col: str) -> list[Column]:
+    """(n_emails, n_phones, n_ids) from the redaction tokens — split on
+    the literal token, count parts minus one."""
+    return [
+        (F.size(F.split(F.col(redacted_col), f"<{t}>", -1)) - 1).alias(f"n_{t.lower()}s")
+        for t in ("EMAIL", "PHONE", "ID")
+    ]

@@ -970,6 +970,47 @@ FROM documents"""
     return Q(spark_fn, oracle)
 
 
+PII_INJECT = (
+    "text || ' call ' || printf('(%03d) %03d-%04d', doc_id % 1000, "
+    "200 + doc_id % 700, doc_id % 10000) || ' or ' || "
+    "printf('%010d', doc_id * 7) || ' mail user' || printf('%d', doc_id) || "
+    "'@example.com id ' || printf('%03d-%02d-%04d', doc_id % 900, "
+    "doc_id % 90, doc_id % 9000)"
+)
+
+
+def _pii_redact_q() -> Q:
+    """PII scrubbing — the release gate of a training-data pipeline:
+    emails, formatted and bare phone numbers, and SSN-shaped ids are
+    replaced with typed tokens by one nested regexp_replace chain
+    (backslash-free patterns, engine-portable).  The fixture text gets
+    deterministic PII injected so the redaction path is exercised on
+    every row; the oracle redacts byte-identically in DuckDB."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import pii_hit_counts, redact_pii_sql
+
+        t = load_tables(spark, sf_dir)
+        base = parallelize(t["documents"]).selectExpr(
+            "doc_id", f"{PII_INJECT} AS raw"
+        )
+        red = base.select(
+            "doc_id", F.expr(redact_pii_sql(SPARK, "raw")).alias("redacted")
+        )
+        return red.select("doc_id", "redacted", *pii_hit_counts("redacted"))
+
+    from dar_spark.functions.text import redact_pii_sql
+
+    counts = ", ".join(
+        f"CAST(len(string_split(redacted, '<{t}>')) - 1 AS INT) AS n_{t.lower()}s"
+        for t in ("EMAIL", "PHONE", "ID")
+    )
+    oracle = f"""WITH base AS (SELECT doc_id, {PII_INJECT} AS raw FROM documents),
+red AS (SELECT doc_id, {redact_pii_sql(DUCKDB, 'raw')} AS redacted FROM base)
+SELECT doc_id, redacted, {counts} FROM red"""
+    return Q(spark_fn, oracle)
+
+
 STRATA_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
 STRATA_DEFAULT = 0.1
 
@@ -1720,6 +1761,7 @@ def build_registry() -> dict[str, Q]:
     r["drift_lineitem"] = _drift_q()
     r["drop_near_dups"] = _drop_near_dups_q()
     r["stratified_sample_docs"] = _stratified_sample_q()
+    r["pii_redact_docs"] = _pii_redact_q()
     r["q6_forecast_revenue"] = _sql_q(Q6_SQL)
     r["rollup_revenue"] = _sql_q(ROLLUP_SQL)
     r["customers_without_orders"] = _sql_q(ANTI_JOIN_SQL)

@@ -75,3 +75,21 @@ def test_summarize_approx_mode(spark):
     approx = {r.column_name: r.n_distinct for r in summarize(li, ["l_partkey"], approx=True).collect()}
     # HLL++ default rsd 5%
     assert abs(approx["l_partkey"] - exact["l_partkey"]) <= 0.15 * exact["l_partkey"]
+
+
+def test_pii_redaction_semantics(spark):
+    from dar_spark.functions.text import redact_pii_sql
+    from dar_spark.dialect import SPARK
+
+    cases = [
+        ("mail me at bob.smith+x@corp.io now", "mail me at <EMAIL> now"),
+        ("call (212) 555-0123 today", "call <PHONE> today"),
+        ("bare 2125550123 number", "bare <PHONE> number"),
+        ("ssn 123-45-6789 here", "ssn <ID> here"),
+        # digits inside an email must be consumed by EMAIL, not PHONE
+        ("u1234567890@example.com", "<EMAIL>"),
+        ("no pii here", "no pii here"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], "i long, x string")
+    got = [r.r for r in df.selectExpr("i", f"{redact_pii_sql(SPARK, 'x')} AS r").orderBy("i").collect()]
+    assert got == [e for _, e in cases], got
