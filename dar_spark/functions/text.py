@@ -161,3 +161,42 @@ def pii_hit_counts(redacted_col: str) -> list[Column]:
         (F.size(F.split(F.col(redacted_col), f"<{t}>", -1)) - 1).alias(f"n_{t.lower()}s")
         for t in ("EMAIL", "PHONE", "ID")
     ]
+
+
+# --- chunking ---------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    context-window prep for pre-training / RAG ingestion.
+
+    One narrow explode: tokens once per doc (own projection — inlining
+    the split into the transform lambda re-splits per index), window
+    starts via sequence(1, n, step), chunk text by array slice.  Output:
+    (id, chunk_id, chunk_text, n_chunk_tokens); the final chunk may be
+    shorter.  chunk_id = (start-1)/step is derived, not positional, so
+    the same formula reproduces in any engine.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    return (
+        df.selectExpr(id_col, f"split({text_col}, ' ', -1) AS _w")
+        .selectExpr(
+            id_col,
+            "_w",
+            f"explode(sequence(1, greatest(size(_w), 1), {step})) AS _s",
+        )
+        .selectExpr(
+            id_col,
+            f"CAST((_s - 1) DIV {step} AS INT) AS chunk_id",
+            f"array_join(slice(_w, _s, {chunk_tokens}), ' ') AS chunk_text",
+            f"size(slice(_w, _s, {chunk_tokens})) AS n_chunk_tokens",
+        )
+    )

@@ -970,6 +970,35 @@ FROM documents"""
     return Q(spark_fn, oracle)
 
 
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def _chunk_docs_q() -> Q:
+    """Overlapping token-window chunking (functions/text.chunk_documents)
+    — one narrow explode, no shuffle; the DuckDB twin slices the same
+    token lists with generate_series starts."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import chunk_documents
+
+        t = load_tables(spark, sf_dir)
+        return chunk_documents(
+            parallelize(t["documents"]), "doc_id", "text",
+            chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP,
+        )
+
+    step = CHUNK_TOKENS - CHUNK_OVERLAP
+    oracle = f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+s AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), {step})) AS st FROM w)
+SELECT doc_id,
+  CAST((st - 1) // {step} AS INT) AS chunk_id,
+  array_to_string(list_slice(t, st, st + {CHUNK_TOKENS} - 1), ' ') AS chunk_text,
+  CAST(len(list_slice(t, st, st + {CHUNK_TOKENS} - 1)) AS INT) AS n_chunk_tokens
+FROM s"""
+    return Q(spark_fn, oracle)
+
+
 PII_INJECT = (
     "text || ' call ' || printf('(%03d) %03d-%04d', doc_id % 1000, "
     "200 + doc_id % 700, doc_id % 10000) || ' or ' || "
@@ -1762,6 +1791,7 @@ def build_registry() -> dict[str, Q]:
     r["drop_near_dups"] = _drop_near_dups_q()
     r["stratified_sample_docs"] = _stratified_sample_q()
     r["pii_redact_docs"] = _pii_redact_q()
+    r["chunk_docs"] = _chunk_docs_q()
     r["q6_forecast_revenue"] = _sql_q(Q6_SQL)
     r["rollup_revenue"] = _sql_q(ROLLUP_SQL)
     r["customers_without_orders"] = _sql_q(ANTI_JOIN_SQL)
