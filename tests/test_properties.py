@@ -92,3 +92,15 @@ def test_phone_normalized_revalidates(spark, values):
         .collect()
     ]
     assert all(s == 1 for s in again)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(ascii_text, min_size=1, max_size=40))
+def test_pii_redaction_cross_engine(spark, values):
+    """redact_pii is a pure regexp chain — arbitrary printable input must
+    redact byte-identically in Spark (Java regex) and DuckDB (RE2)."""
+    from dar_spark.functions.text import redact_pii_sql
+
+    got_s = _spark_eval(spark, redact_pii_sql(SPARK, "x"), values)
+    got_d = _duck_eval(redact_pii_sql(DUCKDB, "x"), values)
+    assert got_s == got_d, f"divergence on {values!r}"
