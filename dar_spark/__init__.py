@@ -25,6 +25,15 @@ __all__ = [
     "status_histogram",
     "summarize",
     "quality_filter",
+    "chunk_documents",
+    "redact_pii",
+    "stratified_sample",
+    "train_val_test_split",
+    "drift_frame",
+    "detect_drift",
+    "minhash_lsh_pairs",
+    "drop_exact_dups",
+    "connected_components",
 ]
 
 
@@ -53,4 +62,20 @@ def __getattr__(name):
         from dar_spark.functions.text import quality_filter
 
         return quality_filter
+    if name in ("chunk_documents", "redact_pii"):
+        from dar_spark.functions import text as _t
+
+        return getattr(_t, name)
+    if name in ("stratified_sample", "train_val_test_split"):
+        from dar_spark.operators import sampling as _s
+
+        return getattr(_s, name)
+    if name in ("drift_frame", "detect_drift"):
+        from dar_spark.operators import drift as _d
+
+        return getattr(_d, name)
+    if name in ("minhash_lsh_pairs", "drop_exact_dups", "connected_components"):
+        from dar_spark.operators import dedup as _dd
+
+        return getattr(_dd, name)
     raise AttributeError(f"module 'dar_spark' has no attribute {name!r}")
