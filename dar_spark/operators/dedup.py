@@ -187,6 +187,68 @@ def minhash_lsh_pairs(
     ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
 
 
+def minhash_pairs_against(
+    new: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.6,
+    shingle_n: int = 3,
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Bipartite near-dup pairs (new_id, ref_id, jaccard ≥ threshold)
+    between a NEW batch and an existing reference corpus — the
+    incremental-ingest shape.  Both sides are signed and banded, but the
+    join is new×ref only: ingesting a batch costs O(|new| + |ref|) scan
+    plus a band equi-join, never a reference self-join (at 100 TB the
+    reference signatures/bands would be precomputed and stored, making
+    an ingest O(|new|) + one join against the band table).
+    """
+    n_hashes = n_bands * rows_per_band
+
+    def side(df: DataFrame, out_id: str):
+        sh = shingles(df, id_col, text_col, shingle_n)
+        ex = sh.select(F.col(id_col), F.explode("s").alias("g"))
+        sig = ex.groupBy(id_col).agg(
+            *[
+                F.min(F.expr(minhash_hash_expr(k))).alias(f"h{k}")
+                for k in range(n_hashes)
+            ]
+        )
+        band_keys = [
+            F.concat(*[f"h{b * rows_per_band + r}" for r in range(rows_per_band)])
+            for b in range(n_bands)
+        ]
+        bands = sig.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(F.array(*band_keys)).alias("bi", "bk"),
+        )
+        return sh, bands
+
+    sh_n, b_n = side(new, "new_id")
+    sh_r, b_r = side(ref, "ref_id")
+    cands = b_n.join(b_r, ["bi", "bk"]).select("new_id", "ref_id").distinct()
+    sa = sh_n.select(F.col(id_col).alias("new_id"), F.col("s").alias("sa"))
+    sb = sh_r.select(F.col(id_col).alias("ref_id"), F.col("s").alias("sb"))
+    j = (
+        cands.join(sa, "new_id")
+        .join(sb, "ref_id")
+        .selectExpr(
+            "new_id",
+            "ref_id",
+            "size(array_intersect(sa, sb)) AS i",
+            "size(sa) AS na",
+            "size(sb) AS nb",
+        )
+    )
+    return j.selectExpr(
+        "new_id",
+        "ref_id",
+        "round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard",
+    ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
+
+
 def _minhash_pairs_collapsed(
     df: DataFrame,
     id_col: str,

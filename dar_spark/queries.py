@@ -697,6 +697,54 @@ pairs AS (SELECT doc_id_a, doc_id_b, round(CAST(i AS DOUBLE) / (na + nb - i), 6)
 FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {MINHASH_JACCARD_THRESHOLD})"""
 
 
+INGEST_NEW_PRED = "doc_id % 5 = 4"
+
+
+def _dedup_incremental_q() -> Q:
+    """Incremental-ingest dedup: the corpus splits into an existing
+    reference (80%) and a new batch (20%); bipartite minhash banding
+    finds each new doc's near-dups in the reference without re-pairing
+    the reference against itself (dedup.minhash_pairs_against)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dedup import minhash_pairs_against
+
+        corpus = _corpus_df(spark, sf_dir)
+        new = corpus.filter(INGEST_NEW_PRED)
+        ref = corpus.filter(f"NOT ({INGEST_NEW_PRED})")
+        return minhash_pairs_against(
+            new, ref, "doc_id", "text",
+            jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
+        )
+
+    def side_ctes(prefix: str, pred: str) -> str:
+        mins = ", ".join(
+            f"min(substr(md5(g), {8 * j + 1}, 8)) AS h{j}" for j in range(4)
+        )
+        return f"""{prefix}src AS (SELECT * FROM corpus WHERE {pred}),
+{prefix}t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM {prefix}src),
+{prefix}sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM {prefix}t),
+{prefix}shf AS (SELECT * FROM {prefix}sh WHERE len(s) > 0),
+{prefix}ex AS (SELECT doc_id, unnest(s) AS g FROM {prefix}shf),
+{prefix}sig AS (SELECT doc_id, {mins} FROM {prefix}ex GROUP BY doc_id),
+{prefix}bands AS (SELECT doc_id, 0 AS bi, h0 || h1 AS bk FROM {prefix}sig
+           UNION ALL SELECT doc_id, 1, h2 || h3 FROM {prefix}sig)"""
+
+    oracle = f"""WITH corpus AS ({CORPUS_CTE}),
+{side_ctes('n', INGEST_NEW_PRED)},
+{side_ctes('r', f'NOT ({INGEST_NEW_PRED})')},
+cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+         FROM nbands a JOIN rbands b ON a.bi = b.bi AND a.bk = b.bk),
+j AS (SELECT c.new_id, c.ref_id, len(list_intersect(sa.s, sb.s)) AS i,
+        len(sa.s) AS na, len(sb.s) AS nb
+      FROM cand c JOIN nshf sa ON sa.doc_id = c.new_id
+                  JOIN rshf sb ON sb.doc_id = c.ref_id)
+SELECT new_id, ref_id, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {MINHASH_JACCARD_THRESHOLD}"""
+    return Q(spark_fn, oracle)
+
+
 def _dup_clusters_q() -> Q:
     """Connected-components duplicate clustering, driver-checked: Spark
     runs iterative min-label propagation (dedup.connected_components,
@@ -1792,6 +1840,7 @@ def build_registry() -> dict[str, Q]:
     r["stratified_sample_docs"] = _stratified_sample_q()
     r["pii_redact_docs"] = _pii_redact_q()
     r["chunk_docs"] = _chunk_docs_q()
+    r["dedup_incremental"] = _dedup_incremental_q()
     r["q6_forecast_revenue"] = _sql_q(Q6_SQL)
     r["rollup_revenue"] = _sql_q(ROLLUP_SQL)
     r["customers_without_orders"] = _sql_q(ANTI_JOIN_SQL)
