@@ -58,11 +58,19 @@ def main() -> None:
 
     load_tables(spark, sf_dir)
 
+    # two timed runs per query, report the min: the standard steady-state
+    # estimator — one-shot timings on a busy box carry ±10% scheduler
+    # noise that swamps real operator deltas
+    n_runs = int(os.environ.get("DAR_SPARK_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, q in headline.items():
-        t0 = time.perf_counter()
-        _consume(q.spark(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            _consume(q.spark(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
