@@ -200,3 +200,27 @@ def chunk_documents(
             f"size(slice(_w, _s, {chunk_tokens})) AS n_chunk_tokens",
         )
     )
+
+
+# --- text cleaning ----------------------------------------------------------
+
+
+def clean_text_sql(d, x: str) -> str:
+    """Standard crawl-text cleanup as one expression chain: strip HTML
+    tags, unescape the common entities, collapse whitespace runs, trim.
+    Backslash-free patterns — the DuckDB oracle cleans byte-identically.
+    """
+    out = d.cast_str(x)
+    out = d.re_replace(out, "<[^>]*>", " ")          # tags
+    # &amp; must unescape LAST or '&amp;lt;' would double-unescape
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&nbsp;", " "), ("&amp;", "&")]:
+        out = f"replace({out}, '{ent}', '{ch}')"
+    out = d.re_replace(out, "[ \t]+", " ")           # whitespace runs
+    return f"trim({out})"
+
+
+def clean_text(text_col: str) -> Column:
+    from dar_spark.dialect import SPARK
+
+    return F.expr(clean_text_sql(SPARK, text_col))

@@ -1018,6 +1018,34 @@ FROM documents"""
     return Q(spark_fn, oracle)
 
 
+HTML_INJECT = (
+    "'<div class=' || printf('%d', doc_id) || '><b>T&amp;C</b> ' || text || "
+    "' &lt;tail&gt;&nbsp;' || printf('%d', doc_id % 7) || '</div>'"
+)
+
+
+def _clean_docs_q() -> Q:
+    """Crawl-text cleanup (functions/text.clean_text): HTML-wrapped
+    fixture text (deterministic injected tags + entities) stripped,
+    unescaped, whitespace-collapsed — one expression chain, byte-mirrored
+    by the DuckDB oracle."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import clean_text_sql
+
+        t = load_tables(spark, sf_dir)
+        return parallelize(t["documents"]).selectExpr(
+            "doc_id",
+            f"{clean_text_sql(SPARK, HTML_INJECT)} AS clean_text",
+        )
+
+    from dar_spark.functions.text import clean_text_sql
+
+    oracle = f"""SELECT doc_id, {clean_text_sql(DUCKDB, HTML_INJECT)} AS clean_text
+FROM documents"""
+    return Q(spark_fn, oracle)
+
+
 CHUNK_TOKENS = 64
 CHUNK_OVERLAP = 16
 
@@ -1841,6 +1869,7 @@ def build_registry() -> dict[str, Q]:
     r["pii_redact_docs"] = _pii_redact_q()
     r["chunk_docs"] = _chunk_docs_q()
     r["dedup_incremental"] = _dedup_incremental_q()
+    r["clean_docs"] = _clean_docs_q()
     r["q6_forecast_revenue"] = _sql_q(Q6_SQL)
     r["rollup_revenue"] = _sql_q(ROLLUP_SQL)
     r["customers_without_orders"] = _sql_q(ANTI_JOIN_SQL)
