@@ -132,7 +132,13 @@ def quality_filter(
 
 PII_PATTERNS = [
     ("EMAIL", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"),
-    ("PHONE", "[(]?[0-9]{3}[)]?[ .-][0-9]{3}[ .-][0-9]{4}"),
+    # paren-wrapped area code, separators optional: (212)555-0123, (212) 5550123
+    ("PHONE", "[(][0-9]{3}[)][ .-]?[0-9]{3}[ .-]?[0-9]{4}"),
+    # fully separated: 212-555-0123, 212.555 0123
+    ("PHONE", "[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}"),
+    # 3-7 split: 212-5551234 (cannot eat an SSN — 3-2-4 never has 7
+    # consecutive trailing digits)
+    ("PHONE", "[0-9]{3}[ .-][0-9]{7}"),
     ("PHONE", "[0-9]{10}"),
     ("ID", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
 ]
@@ -178,10 +184,16 @@ def chunk_documents(
 
     One narrow explode: tokens once per doc (own projection — inlining
     the split into the transform lambda re-splits per index), window
-    starts via sequence(1, n, step), chunk text by array slice.  Output:
-    (id, chunk_id, chunk_text, n_chunk_tokens); the final chunk may be
-    shorter.  chunk_id = (start-1)/step is derived, not positional, so
-    the same formula reproduces in any engine.
+    starts via sequence(1, n - overlap, step), chunk text by array slice.
+    Output: (id, chunk_id, chunk_text, n_chunk_tokens); the final chunk
+    may be shorter.  chunk_id = (start-1)/step is derived, not
+    positional, so the same formula reproduces in any engine.
+
+    The start upper bound is ``greatest(n - overlap, 1)``: once a window
+    reaches the document end, no further start is generated, so no chunk
+    is ever a strict subset of its predecessor (a trailing start at
+    ``n - overlap < s <= n`` would emit <= overlap tokens the previous
+    window already covers — duplicate text in training-prep output).
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
@@ -191,7 +203,7 @@ def chunk_documents(
         .selectExpr(
             id_col,
             "_w",
-            f"explode(sequence(1, greatest(size(_w), 1), {step})) AS _s",
+            f"explode(sequence(1, greatest(size(_w) - {overlap}, 1), {step})) AS _s",
         )
         .selectExpr(
             id_col,

@@ -1066,7 +1066,7 @@ def _chunk_docs_q() -> Q:
 
     step = CHUNK_TOKENS - CHUNK_OVERLAP
     oracle = f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-s AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), {step})) AS st FROM w)
+s AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - {CHUNK_OVERLAP}, 1), {step})) AS st FROM w)
 SELECT doc_id,
   CAST((st - 1) // {step} AS INT) AS chunk_id,
   array_to_string(list_slice(t, st, st + {CHUNK_TOKENS} - 1), ' ') AS chunk_text,

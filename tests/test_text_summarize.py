@@ -85,6 +85,12 @@ def test_pii_redaction_semantics(spark):
         ("mail me at bob.smith+x@corp.io now", "mail me at <EMAIL> now"),
         ("call (212) 555-0123 today", "call <PHONE> today"),
         ("bare 2125550123 number", "bare <PHONE> number"),
+        # paren-wrapped area code with NO separator after the paren
+        ("try (212)555-0123 then", "try <PHONE> then"),
+        ("or (212)5550123 even", "or <PHONE> even"),
+        # 3-7 split
+        ("also 212-5551234 works", "also <PHONE> works"),
+        ("and 212 5551234 too", "and <PHONE> too"),
         ("ssn 123-45-6789 here", "ssn <ID> here"),
         # digits inside an email must be consumed by EMAIL, not PHONE
         ("u1234567890@example.com", "<EMAIL>"),
@@ -93,3 +99,34 @@ def test_pii_redaction_semantics(spark):
     df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], "i long, x string")
     got = [r.r for r in df.selectExpr("i", f"{redact_pii_sql(SPARK, 'x')} AS r").orderBy("i").collect()]
     assert got == [e for _, e in cases], got
+
+
+def test_chunk_documents_no_subset_chunks(spark):
+    """Every token is covered exactly by the windows, the final window may
+    be short, and NO chunk is a strict subset of its predecessor (the
+    trailing-start bug: a start past n - overlap emits <= overlap tokens
+    the previous window already covers)."""
+    # 100 tokens, chunk 64, overlap 16, step 48: starts must be 1, 49 —
+    # NOT 97 (the 4-token subset chunk)
+    n = 100
+    doc = " ".join(f"t{i}" for i in range(1, n + 1))
+    df = spark.createDataFrame([(1, doc), (2, "short doc"), (3, "x")],
+                               "doc_id long, text string")
+    rows = T.chunk_documents(df, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_id").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = by_doc[1]
+    assert [r.chunk_id for r in c1] == [0, 1]
+    assert c1[0].n_chunk_tokens == 64 and c1[1].n_chunk_tokens == 52
+    assert c1[0].chunk_text.startswith("t1 ") and c1[1].chunk_text.endswith(" t100")
+    # overlap region: last 16 tokens of chunk 0 == first 16 of chunk 1
+    assert c1[0].chunk_text.split()[-16:] == c1[1].chunk_text.split()[:16]
+    # short docs: exactly one chunk, full text
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc"
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_text == "x"
+    # no chunk's tokens are a subset of the previous chunk's tokens
+    for chunks in by_doc.values():
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert not set(cur.chunk_text.split()) <= set(prev.chunk_text.split())
