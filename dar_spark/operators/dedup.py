@@ -434,16 +434,51 @@ def embedding_dup_pairs(
 
     ``method='lsh'`` (default, the scale path): each vector gets an
     n-bit sign-random-projection bucket; candidate pairs come from a
-    bucket equi-join with Hamming-1 multiprobe on one side (covers pairs
-    a single plane splits), then exact cosine verifies candidates only.
-    The shuffle is O(N) on uniform 2^n_planes keys — no nested-loop
-    pair join anywhere in the plan (tests/test_plans.py pins this).
+    bucket equi-join with Hamming-1 multiprobe on one side, then exact
+    cosine verifies candidates only.  The shuffle is O(N) on uniform
+    2^n_planes keys — no nested-loop pair join anywhere in the plan
+    (tests/test_plans.py pins this).
+
+    APPROXIMATE — recall depends on ``cos_threshold``.  A plane splits a
+    pair at angle θ = arccos(cos) with probability p = θ/π; Hamming-1
+    multiprobe recovers pairs split by AT MOST ONE plane, so the miss
+    rate is P(≥2 planes split) = 1 − (1−p)^n − n·p·(1−p)^(n−1).  At the
+    n_planes=8 default:
+
+        cos_threshold   p = θ/π   pairs missed
+        0.999           0.014     ~0.5%
+        0.99            0.045     ~5%
+        0.95            0.101     ~19%
+        0.90            0.143     ~32%
+
+    The Hamming-1 probe assumes the NEAR-DUPLICATE regime (cos ≥ ~0.99).
+    Passing a lower threshold emits a RuntimeWarning — for broad
+    similarity sweeps use a wider probe radius, more bands, or
+    ``method='brute'`` on a subset.
 
     ``method='brute'``: the exact O(n²) pair join, for small subsets and
     as the verification baseline (the old general path — a
     BroadcastNestedLoopJoin, unusable at corpus scale).
     """
     from dar_spark.operators.similarity import _as_double_vec, _bucket_expr, _flip_bit
+
+    if method == "lsh" and cos_threshold < 0.98:
+        import math
+        import warnings
+
+        p = math.acos(min(max(cos_threshold, -1.0), 1.0)) / math.pi
+        n = n_planes
+        miss = 1.0 - (1.0 - p) ** n - n * p * (1.0 - p) ** (n - 1)
+        warnings.warn(
+            f"embedding_dup_pairs(method='lsh') with cos_threshold="
+            f"{cos_threshold} is outside the near-duplicate regime the "
+            f"Hamming-1 multiprobe assumes: ~{miss:.0%} of true pairs at "
+            f"the threshold boundary will be missed (n_planes={n}). Use "
+            f"method='brute' on a subset or a wider probe for broad "
+            f"similarity sweeps.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     e = df.select(F.col(id_col), F.col(vec_col))
     if subset_pred:

@@ -102,6 +102,27 @@ def _flip_bit(bucket: Column, pos: int, n_planes: int = N_PLANES) -> Column:
     )
 
 
+def quantizer_fit_input(
+    ml: DataFrame, id_col: str, fit_sample_max: int
+) -> DataFrame:
+    """Bounded training set for the IVF coarse quantizer.
+
+    KMeans is an iterative multi-scan; fitting it on the FULL corpus
+    means O(iterations) passes over 100 TB per index build.  Centroid
+    quality converges long before that: a deterministic hash-bucket
+    sample capped at ``fit_sample_max`` vectors trains the quantizer,
+    then ONE ``transform`` pass assigns the full corpus.  The sample is
+    ``sampling.deterministic_sample`` (hash of the id, not RNG), so
+    index builds stay reproducible across runs and repartitioning.
+    """
+    from dar_spark.operators.sampling import deterministic_sample
+
+    n = ml.count()
+    if n <= fit_sample_max:
+        return ml
+    return deterministic_sample(ml, id_col, fit_sample_max / n)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     id_col: str,
@@ -111,12 +132,17 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 2,
     seed: int = 42,
+    fit_sample_max: int = 100_000,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer (seeded, reproducible runs)
     partitions the corpus into ``n_lists`` inverted lists; each query
     probes its ``n_probe`` nearest centroids and ranks candidates by exact
     cosine.  The scan per query drops from N to ~N·n_probe/n_lists — the
     FAISS IVF-Flat recipe expressed as DataFrame ops.
+
+    The quantizer fits on at most ``fit_sample_max`` vectors (see
+    ``quantizer_fit_input``) — the full corpus is only ever scanned by
+    the single assignment pass, never by the k-means iterations.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -124,7 +150,7 @@ def ivf_topk(
     e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
     ml = e.withColumn("_feat", array_to_vector("_v"))
     km = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="_list")
-    model = km.fit(ml)
+    model = km.fit(quantizer_fit_input(ml, id_col, fit_sample_max))
     assigned = model.transform(ml).select(id_col, "_v", "_nrm", "_list")
 
     centers = model.clusterCenters()
@@ -167,6 +193,7 @@ def ivf_topk(
 def srp_lsh_oracle_sql(
     stride: int, k: int, table: str = "embeddings",
     id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
 ) -> str:
     """DuckDB twin of ``srp_lsh_topk`` — the SAME deterministic plane
     hash, bucket assignment, Hamming-1 multiprobe, and ranked cosine,
@@ -184,7 +211,7 @@ def srp_lsh_oracle_sql(
         )
 
     bits = []
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         prods = (
             f"list_transform(generate_series(1, len(v)), "
             f"i -> v[i] * {_plane_component(j)})"
@@ -212,7 +239,7 @@ def srp_lsh_oracle_sql(
 ), qp AS (
   SELECT query_id, qv, qn,
          CASE WHEN p = 0 THEN qb ELSE {flip} END AS b
-  FROM q CROSS JOIN range(0, {N_PLANES + 1}) t(p)
+  FROM q CROSS JOIN range(0, {n_planes + 1}) t(p)
 ), scored AS (
   SELECT DISTINCT query_id, n.vec_id AS neighbor_id,
          round({fold(cos_prods)} / (qn * nrm), 6) AS cos_sim
@@ -282,14 +309,20 @@ def srp_lsh_topk(
     query_pred: str,
     k: int = 5,
     multiprobe: bool = True,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Approximate top-k via sign-random-projection buckets + multiprobe.
 
     Returns the same schema as brute_force_topk; recall is measured by
     tests/test_similarity.py against the exact baseline.
+
+    ``n_planes`` is the bucket-count dial: 2^n_planes buckets, so each
+    probe drags ~N / 2^n_planes candidates.  The default suits small
+    corpora; at corpus scale grow n_planes with log2(N) so per-probe
+    candidate sets stay bounded (see SCALE.md "SRP plane count").
     """
     e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
-    e = e.withColumn("_b", _bucket_expr("_v"))
+    e = e.withColumn("_b", _bucket_expr("_v", n_planes))
 
     q = e.filter(query_pred).select(
         F.col(id_col).alias("query_id"),
@@ -300,7 +333,7 @@ def srp_lsh_topk(
     # probe set: exact bucket + hamming-1 neighbors
     probes = [F.col("_qb")]
     if multiprobe:
-        probes += [_flip_bit(F.col("_qb"), p) for p in range(N_PLANES)]
+        probes += [_flip_bit(F.col("_qb"), p, n_planes) for p in range(n_planes)]
     qp = q.select(
         "query_id", "_qv", "_qn", F.explode(F.array(*probes)).alias("_b")
     )

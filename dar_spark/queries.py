@@ -1760,12 +1760,19 @@ FROM embeddings WHERE vec_id % {TOPK_QUERY_STRIDE} = 0"""
     return Q(spark_fn, oracle)
 
 
-def _embed_lsh_topk_q() -> Q:
+def _embed_lsh_topk_q(n_planes: int | None = None) -> Q:
     """Approximate ANN via SRP-LSH.  The plane hash is deterministic
     integer arithmetic, so the WHOLE pipeline (bucket, Hamming-1
     multiprobe, ranked cosine) has an exact DuckDB twin emitted from the
     same constants (similarity.srp_lsh_oracle_sql) — a full value oracle,
-    not just a recall bound."""
+    not just a recall bound.
+
+    ``n_planes`` proves the bucket-count dial end-to-end: the p12
+    registry variant runs the same pipeline at 4096 buckets and must
+    still hash-match its (4096-bucket) oracle."""
+    from dar_spark.operators.similarity import N_PLANES, srp_lsh_oracle_sql
+
+    planes = n_planes if n_planes is not None else N_PLANES
 
     def spark_fn(spark, sf_dir):
         from dar_spark.operators.similarity import srp_lsh_topk
@@ -1773,12 +1780,10 @@ def _embed_lsh_topk_q() -> Q:
         t = load_tables(spark, sf_dir)
         return srp_lsh_topk(
             t["embeddings"], "vec_id", "embedding",
-            f"vec_id % {TOPK_QUERY_STRIDE} = 0", k=TOPK_K,
+            f"vec_id % {TOPK_QUERY_STRIDE} = 0", k=TOPK_K, n_planes=planes,
         )
 
-    from dar_spark.operators.similarity import srp_lsh_oracle_sql
-
-    return Q(spark_fn, srp_lsh_oracle_sql(TOPK_QUERY_STRIDE, TOPK_K))
+    return Q(spark_fn, srp_lsh_oracle_sql(TOPK_QUERY_STRIDE, TOPK_K, n_planes=planes))
 
 
 # ---------------------------------------------------------------------------
@@ -1911,4 +1916,7 @@ def build_registry() -> dict[str, Q]:
 def _round3_queries() -> list[tuple[str, Q]]:
     """Queries added in round 3 — kept in one place so they land inside the
     external verification window (section 2 of build_registry)."""
-    return []
+    return [
+        # the SRP plane-count dial, proven end-to-end at 4096 buckets
+        ("embed_lsh_topk_p12", _embed_lsh_topk_q(n_planes=12)),
+    ]

@@ -62,3 +62,75 @@ def test_brute_force_schema_and_k(spark):
     per = {r.query_id: r["count"] for r in out.groupBy("query_id").count().collect()}
     assert all(v == 4 for v in per.values())
     assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank_n"]
+
+
+def test_ivf_quantizer_fit_input_bounded(spark):
+    """The k-means fit set is capped: quantizer_fit_input returns the
+    full frame below the cap and a deterministic hash-bucket sample
+    (~fit_sample_max rows) above it — the full corpus is never the fit
+    input at scale."""
+    from dar_spark.operators.similarity import quantizer_fit_input
+
+    e = load_tables(spark, SF_DIR)["embeddings"].select("vec_id", "embedding")
+    n = e.count()
+    assert quantizer_fit_input(e, "vec_id", n + 1).count() == n  # below cap
+    cap = max(n // 4, 10)
+    got = quantizer_fit_input(e, "vec_id", cap).count()
+    assert got < n, "above the cap the fit input must be a strict sample"
+    assert got <= 2 * cap, f"sample {got} far above cap {cap}"
+    # deterministic: same cap → identical sample
+    a = {r.vec_id for r in quantizer_fit_input(e, "vec_id", cap).select("vec_id").collect()}
+    b = {r.vec_id for r in quantizer_fit_input(e, "vec_id", cap).select("vec_id").collect()}
+    assert a == b
+
+
+def test_ivf_sample_fit_recall(spark):
+    """Recall holds when the quantizer trains on a sample instead of the
+    full corpus (the 100 TB index-build path)."""
+    from dar_spark.operators.similarity import ivf_topk
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    pred = "vec_id % 25 = 0"
+    exact = brute_force_topk(e, "vec_id", "embedding", pred, k=5)
+    approx = ivf_topk(e, "vec_id", "embedding", pred, k=5, n_lists=8,
+                      n_probe=3, fit_sample_max=max(e.count() // 5, 50))
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.2, f"recall {recall:.2f}"
+
+
+def test_srp_n_planes_dial(spark):
+    """n_planes plumbs through: 12 planes → 12-bit buckets, results stay
+    a plausible ANN answer (exact dups still at cos 1.0)."""
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    rep = e.select(F.col("vec_id").alias("rep_id"), F.col("embedding").alias("rv"))
+    dup = (
+        e.select("vec_id", F.expr("vec_id - vec_id % 2").alias("rep_id"))
+        .join(rep, "rep_id")
+        .select("vec_id", F.col("rv").alias("embedding"))
+        .limit(200)
+    )
+    out = srp_lsh_topk(dup, "vec_id", "embedding", "vec_id % 2 = 0", k=3, n_planes=12)
+    got = {(r.query_id, r.neighbor_id): r.cos_sim for r in out.collect()}
+    hits = [v for (q, n), v in got.items() if n == q + 1]
+    assert len(hits) > 0
+    assert all(abs(v - 1.0) < 1e-9 for v in hits)
+
+
+def test_dup_pairs_low_threshold_warns(spark):
+    """embedding_dup_pairs(method='lsh') below the near-dup regime must
+    warn about the multiprobe miss rate (and not warn above it)."""
+    import warnings
+
+    from dar_spark.operators.dedup import embedding_dup_pairs
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        embedding_dup_pairs(e, "vec_id", "embedding", cos_threshold=0.95)
+        assert any("near-duplicate regime" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        embedding_dup_pairs(e, "vec_id", "embedding", cos_threshold=0.999)
+        assert not w
