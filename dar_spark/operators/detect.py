@@ -56,6 +56,8 @@ def _valid_expr(validator: str, column: str) -> Column:
 
 
 _DETECT_MEMO: dict = {}
+_DETECT_MEMO_MAX = 256  # FIFO-bounded: a long-lived session profiling many
+# inputs must not grow the memo without limit
 
 
 def detect(
@@ -79,7 +81,11 @@ def detect(
     an immutable input is pure, and both the sample job and the ~1.5 s
     of driver-side Catalyst analysis for the 100+ validator expressions
     are paid once per session instead of once per profile() call.  Pass
-    ``refresh=True`` after the underlying data changes.
+    ``refresh=True`` after the underlying data changes — the memo keys on
+    the PLAN (semanticHash), not the data, so overwriting files at the
+    same path without refresh returns the previous detections.
+    Callers get a fresh list each time; mutating it never corrupts the
+    memo.
     """
     validators = validators or list(DEFAULT_THRESHOLDS)
     # candidate columns default to ALL columns, like the reference's
@@ -100,7 +106,7 @@ def detect(
         apply_name_gates,
     )
     if not refresh and memo_key in _DETECT_MEMO:
-        return _DETECT_MEMO[memo_key]
+        return list(_DETECT_MEMO[memo_key])
     # materialize the (tiny) sample and cut lineage BEFORE building the
     # validator aggregate: otherwise every validator×column agg
     # expression inlines the sample's full upstream projection tree and
@@ -135,8 +141,10 @@ def detect(
                 detected=int(n_valid) >= thr,
             )
         )
+    if len(_DETECT_MEMO) >= _DETECT_MEMO_MAX:
+        _DETECT_MEMO.pop(next(iter(_DETECT_MEMO)))
     _DETECT_MEMO[memo_key] = out
-    return out
+    return list(out)
 
 
 def detect_df(spark, detections: list[Detection]) -> DataFrame:

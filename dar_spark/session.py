@@ -64,9 +64,24 @@ def parallelize(df, min_parts: int | None = None):
     # return >= target files and skip the shuffle entirely.
     try:
         n_files = len(df.inputFiles())
-    except Exception:  # non-file source — leave partitioning alone
+    except Exception:
+        n_files = 0
+    if n_files == 0:
+        # non-file source (createDataFrame, joins over in-memory frames):
+        # no file index to consult, so fall back to the actual partition
+        # count.  Unlike the file-scan path, the RDD conversion plan here
+        # is rooted at a LocalRelation / in-memory exchange — building it
+        # is driver-side plan work only, and this path is off the
+        # per-query hot loop (fixture scans all have files).  A
+        # 1-partition in-memory frame otherwise serializes every heavy
+        # downstream operator (ADVICE r2).
+        try:
+            if df.rdd.getNumPartitions() < target:
+                return df.repartition(target)
+        except Exception:  # streaming frames etc. — leave alone
+            pass
         return df
-    if 0 < n_files < target:
+    if n_files < target:
         return df.repartition(target)
     return df
 
