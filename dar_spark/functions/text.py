@@ -137,8 +137,12 @@ PII_PATTERNS = [
     # fully separated: 212-555-0123, 212.555 0123
     ("PHONE", "[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}"),
     # 3-7 split: 212-5551234 (cannot eat an SSN — 3-2-4 never has 7
-    # consecutive trailing digits)
-    ("PHONE", "[0-9]{3}[ .-][0-9]{7}"),
+    # consecutive trailing digits).  Separator is [.-] ONLY: with a
+    # space this backslash-free (unanchorable) pattern matches across
+    # adjacent ordinary numbers — "1999 2000000" would become
+    # "1<PHONE>" — corrupting numeric prose far more often than it
+    # catches real space-split phones.
+    ("PHONE", "[0-9]{3}[.-][0-9]{7}"),
     ("PHONE", "[0-9]{10}"),
     ("ID", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
 ]

@@ -36,7 +36,7 @@ NAME_GATES = {
 }
 
 
-@dataclass
+@dataclass(frozen=True)
 class Detection:
     validator: str
     column: str
@@ -84,8 +84,8 @@ def detect(
     ``refresh=True`` after the underlying data changes — the memo keys on
     the PLAN (semanticHash), not the data, so overwriting files at the
     same path without refresh returns the previous detections.
-    Callers get a fresh list each time; mutating it never corrupts the
-    memo.
+    Callers get a fresh list of frozen Detection records each time, so
+    neither mutating the list nor its elements can corrupt the memo.
     """
     validators = validators or list(DEFAULT_THRESHOLDS)
     # candidate columns default to ALL columns, like the reference's
@@ -141,7 +141,7 @@ def detect(
                 detected=int(n_valid) >= thr,
             )
         )
-    if len(_DETECT_MEMO) >= _DETECT_MEMO_MAX:
+    if memo_key not in _DETECT_MEMO and len(_DETECT_MEMO) >= _DETECT_MEMO_MAX:
         _DETECT_MEMO.pop(next(iter(_DETECT_MEMO)))
     _DETECT_MEMO[memo_key] = out
     return list(out)

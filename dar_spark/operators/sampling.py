@@ -47,7 +47,18 @@ def hash_bucket(key: str, n_buckets: int = N_BUCKETS):
 def deterministic_sample(
     df: DataFrame, key: str, fraction: float, n_buckets: int = N_BUCKETS
 ) -> DataFrame:
+    """Keep ~``fraction`` of rows, membership a pure function of the key.
+
+    Granularity is 1/``n_buckets``: the realized fraction is
+    round(fraction·n_buckets)/n_buckets, so a fraction far below one
+    bucket would round to an EMPTY sample — for any positive fraction the
+    cutoff clamps to >= 1 bucket (the sample is then up to one bucket's
+    worth of rows, not empty).  Callers needing a tighter bound on very
+    small fractions should raise ``n_buckets`` to match (see
+    ``similarity.quantizer_fit_input``)."""
     cutoff = int(round(fraction * n_buckets))
+    if fraction > 0:
+        cutoff = max(cutoff, 1)
     return df.filter(hash_bucket(key, n_buckets) < cutoff)
 
 

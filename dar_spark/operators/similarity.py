@@ -115,12 +115,21 @@ def quantizer_fit_input(
     ``sampling.deterministic_sample`` (hash of the id, not RNG), so
     index builds stay reproducible across runs and repartitioning.
     """
-    from dar_spark.operators.sampling import deterministic_sample
+    from dar_spark.operators.sampling import N_BUCKETS, deterministic_sample
 
     n = ml.count()
     if n <= fit_sample_max:
         return ml
-    return deterministic_sample(ml, id_col, fit_sample_max / n)
+    # Bucket granularity must grow with the corpus: at the default
+    # 10 000 buckets a multi-billion-row corpus rounds the cutoff to
+    # zero buckets (empty fit input), and even a cutoff of 1 means the
+    # sample is quantized to whole buckets of n/10 000 rows — up to ~2x
+    # the cap.  ~100 buckets per expected sampled row keeps the realized
+    # sample within ~1% of fit_sample_max at any corpus size.
+    n_buckets = max(N_BUCKETS, 100 * n // fit_sample_max)
+    return deterministic_sample(
+        ml, id_col, fit_sample_max / n, n_buckets=n_buckets
+    )
 
 
 def ivf_topk(

@@ -37,3 +37,27 @@ def test_sample_is_subset_stable(spark):
     assert s10 <= s20  # nested membership: growing the fraction only adds
     n = docs.count()
     assert 0.04 < len(s10) / n < 0.16
+
+
+def test_tiny_fraction_never_empty(spark):
+    """A positive fraction far below one bucket must clamp to one bucket,
+    not round to an empty sample (the 100 TB quantizer-fit path)."""
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id")
+    n = docs.count()
+    # n_buckets=10 so bucket 0 is guaranteed populated on a small corpus;
+    # without the clamp cutoff would be round(1e-9*10)=0 -> empty
+    got = deterministic_sample(docs, "doc_id", 1e-9, n_buckets=10).count()
+    assert 0 < got < n  # one bucket's worth, not empty, not everything
+
+
+def test_quantizer_fit_buckets_scale_with_corpus():
+    """The fit-input sampler widens n_buckets so the cutoff never rounds
+    to zero and the realized sample stays within ~1% of the cap, at ANY
+    corpus size (pure bucket math — no 2e9-row frame needed)."""
+    for n in (2_000_000_000, 50_000_000_000):
+        cap = 100_000
+        n_buckets = max(10_000, 100 * n // cap)
+        cutoff = int(round(cap / n * n_buckets))
+        assert cutoff >= 1
+        realized = cutoff * (n / n_buckets)
+        assert abs(realized - cap) / cap < 0.01

@@ -133,4 +133,11 @@ def test_dup_pairs_low_threshold_warns(spark):
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         embedding_dup_pairs(e, "vec_id", "embedding", cos_threshold=0.999)
-        assert not w
+        # only the operator's own regime warning matters — unrelated
+        # Spark/pandas deprecation warnings must not fail the test
+        assert not [
+            x
+            for x in w
+            if issubclass(x.category, RuntimeWarning)
+            and "near-duplicate regime" in str(x.message)
+        ]

@@ -88,9 +88,11 @@ def test_pii_redaction_semantics(spark):
         # paren-wrapped area code with NO separator after the paren
         ("try (212)555-0123 then", "try <PHONE> then"),
         ("or (212)5550123 even", "or <PHONE> even"),
-        # 3-7 split
+        # 3-7 split: [.-] separators only — a space variant would let the
+        # unanchored pattern bridge adjacent ordinary numbers (next case)
         ("also 212-5551234 works", "also <PHONE> works"),
-        ("and 212 5551234 too", "and <PHONE> too"),
+        ("dot 212.5551234 too", "dot <PHONE> too"),
+        ("years 1999 2000000 spent", "years 1999 2000000 spent"),
         ("ssn 123-45-6789 here", "ssn <ID> here"),
         # digits inside an email must be consumed by EMAIL, not PHONE
         ("u1234567890@example.com", "<EMAIL>"),
