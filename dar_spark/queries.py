@@ -1810,7 +1810,11 @@ def build_registry() -> dict[str, Q]:
     """
     r: dict[str, Q] = {}
 
-    # -- 1. never externally checked (added after the r02 window closed) ----
+    # -- 0. new this round (r4) ---------------------------------------------
+    for name, q in _round4_queries():
+        r[name] = q
+
+    # -- 1. checked green once in r03 ---------------------------------------
     r["rowid_ordinal"] = _rowid_ordinal_q()
     r["zip_render_grouped"] = _zip_render_grouped_q()
     r["dup_clusters"] = _dup_clusters_q()
@@ -1911,6 +1915,65 @@ def build_registry() -> dict[str, Q]:
     r["bpe_token_count"] = _bpe_token_count_q()
     r["rolling_fingerprint"] = _rolling_fingerprint_q()
     return r
+
+
+def _phone_profile_csv_q() -> Q:
+    """CSV-source profile — the reference's NATIVE input path (§2a D1):
+    every reference script reads CSV with header+inference
+    (/root/reference/phone-numbers/scripts/phone-number-v0.py:109 and 7
+    siblings).  The fixture is rendered to CSV by ``writers.write_csv``
+    (header, quoted empties, null sentinel), read back through
+    ``readers.read_csv`` with an explicit DDL schema, and classified; the
+    oracle computes the identical profile from the parquet view, so the
+    CSV write→read round-trip (header handling, quoting, '' vs NULL) is
+    itself under the driver's value-hash check — a wrong parse diverges
+    from the oracle.
+
+    The rendered CSV lives under ``<repo>/.csvcache/`` keyed by the
+    sf_dir, overwritten per invocation (idempotent; the write is one
+    narrow job over the fixture projection).
+    """
+    import hashlib
+    import os
+
+    base = _profile_pair(
+        "phone_profile", "orders", K_ORDERS, testgen.dirty_phone,
+        V.phone_status, V.phone_normalized,
+    )
+    cache_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".csvcache"
+    )
+
+    def spark_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dar_spark.sources.readers import read_csv
+        from dar_spark.sources.writers import NULL_SENTINEL, write_csv
+
+        t = load_tables(spark, sf_dir)
+        src = parallelize(t["orders"]).selectExpr(
+            f"{K_ORDERS} AS row_id", f"{testgen.dirty_phone(K_ORDERS)} AS x"
+        )
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(cache_root, f"phone-{tag}")
+        write_csv(src, path)
+        df = read_csv(
+            spark, path, schema="row_id BIGINT, x STRING",
+            null_value=NULL_SENTINEL,
+        )
+        return df.select(
+            "row_id",
+            F.expr(V.phone_status(SPARK, "x")).alias("status"),
+            F.expr(V.phone_normalized(SPARK, "x")).alias("normalized"),
+        )
+
+    return Q(spark_fn, base.oracle)
+
+
+def _round4_queries() -> list[tuple[str, Q]]:
+    """Queries added in round 4 — first in the registry so they land inside
+    the external verification window (section 1 of build_registry)."""
+    return [
+        ("phone_profile_csv", _phone_profile_csv_q()),
+    ]
 
 
 def _round3_queries() -> list[tuple[str, Q]]:

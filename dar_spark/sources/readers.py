@@ -24,8 +24,13 @@ def read_csv(
     all_strings: bool = False,
     sampling_ratio: float = 0.1,
     mode: str = "PERMISSIVE",
+    null_value: str | None = None,
 ) -> DataFrame:
+    """``null_value`` pairs with ``writers.write_csv``'s sentinel so
+    empty string and NULL survive the round-trip distinctly."""
     reader = spark.read.option("header", True).option("mode", mode)
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
     if schema:
         return reader.schema(schema).csv(path)
     if all_strings:

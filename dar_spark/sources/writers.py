@@ -76,6 +76,23 @@ def render_zip_family_grouped(results: DataFrame) -> DataFrame:
     )
 
 
+NULL_SENTINEL = "NULLSENTINEL"
+
+
+def write_csv(df: DataFrame, path: str, null_value: str = NULL_SENTINEL) -> None:
+    """Lossless CSV sink: header, quoted empty strings, and a null
+    sentinel so ``readers.read_csv(..., null_value=...)`` round-trips
+    '' vs NULL exactly (the default writer emits both as an empty field
+    and the reader collapses them to NULL)."""
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("emptyValue", '""')
+        .option("nullValue", null_value)
+        .csv(path)
+    )
+
+
 def write_text(df: DataFrame, path: str) -> None:
     """saveAsTextFile equivalent for a single string column."""
     df.write.mode("overwrite").text(path)
