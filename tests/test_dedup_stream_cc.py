@@ -33,6 +33,30 @@ def test_connected_components_chain_converges(spark):
     assert set(cc.values()) == {0}
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 120-hop chain (sliding-window chunk-overlap shape) must fully
+    converge within the DEFAULT max_iter=10: plain min-label would need
+    120 rounds; pointer jumping needs ~log2(120)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_id_a long, doc_id_b long"
+    )
+    cc = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    assert len(cc) == 121
+    assert set(cc.values()) == {0}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Hitting max_iter with labels still moving must be a loud error,
+    never a silent partial clustering."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_id_a long, doc_id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
 def test_streaming_dedup_across_microbatches(spark, tmp_path):
     """Two parquet files arriving as separate micro-batches; a fingerprint
     seen in batch 1 must be dropped from batch 2."""
