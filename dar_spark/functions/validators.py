@@ -38,6 +38,9 @@ from dar_spark.refdata import (
     E164_PATTERN,
     NANP_AREA_CODES,
     STATE_ACRONYMS,
+    TERRITORY_AREA_CODES,
+    TERRITORY_PREFIXES,
+    TERRITORY_SEVEN_DIGIT_PREFIXES,
     STATE_NAMES,
     STATE_NAMES_LOWER,
     state_abbrevs_normalized,
@@ -99,18 +102,29 @@ END"""
 def nanp_valid_pred(d: Dialect, c: str) -> str:
     """True iff the cleaned digit string ``c`` is a real +1 number per the
     public numbering-plan metadata: 10-digit national number (after an
-    optional leading '1'), assigned area code, exchange starting [2-9].
+    optional leading '1'), assigned area code, exchange starting [2-9] —
+    and, for the 13 Caribbean/territory codes whose plans restrict the
+    exchange further, the (area+exchange) prefix must be in the
+    per-code table derived from the same metadata (refdata.py); the one
+    sub-exchange rule (876-606-0XXX) is a 7-digit prefix check.  The
+    model now matches ``phonenumbers.is_valid_number`` EXACTLY for every
+    +1 area code (tests/test_phone_v1.py probes all of them, and all 800
+    exchanges per territory code).
 
-    The 397-entry area-code set is a literal IN list, not a broadcast
-    join: a constant hash-set membership folds into the scan filter with
-    zero exchange, which beats even a broadcast join at 100 TB (and DuckDB
-    evaluates the identical set, so the oracle is exact).
+    The literal IN lists (397 area codes + ~3.4k territory prefixes) are
+    constant hash-set memberships, not broadcast joins: they fold into
+    the scan filter with zero exchange, which beats even a broadcast
+    join at 100 TB (and DuckDB evaluates the identical sets, so the
+    oracle is exact).
     """
     nat = f"(CASE WHEN substr({c}, 1, 1) = '1' THEN substr({c}, 2) ELSE {c} END)"
     return (
         f"(length({nat}) = 10"
         f" AND {d.in_strings(f'substr({nat}, 1, 3)', NANP_AREA_CODES)}"
-        f" AND substr({nat}, 4, 1) >= '2' AND substr({nat}, 4, 1) <= '9')"
+        f" AND substr({nat}, 4, 1) >= '2' AND substr({nat}, 4, 1) <= '9'"
+        f" AND (NOT {d.in_strings(f'substr({nat}, 1, 3)', TERRITORY_AREA_CODES)}"
+        f"      OR {d.in_strings(f'substr({nat}, 1, 6)', TERRITORY_PREFIXES)}"
+        f"      OR {d.in_strings(f'substr({nat}, 1, 7)', TERRITORY_SEVEN_DIGIT_PREFIXES)}))"
     )
 
 

@@ -49,29 +49,85 @@ def test_area_code_set_shape():
         assert c not in NANP_AREA_CODES
 
 
-# Caribbean / territory codes whose national plans restrict the exchange
-# beyond the NANP-wide [2-9] first-digit rule; the expression model is a
-# documented superset of library validity for exactly these thirteen.
-TERRITORY_VARIANTS = {
-    "242", "246", "268", "441", "473", "524", "649", "670", "671",
-    "758", "784", "868", "876",
-}
+# r3 carried a 13-code TERRITORY_VARIANTS superset waiver here; the
+# per-code exchange tables (refdata.TERRITORY_EXCHANGES) removed it —
+# the model now matches the library exactly everywhere.
+TERRITORY_VARIANTS: set[str] = set()
+
+
+def _model_valid(area: int, exchange: str, rest: str) -> bool:
+    from dar_spark.refdata import (
+        TERRITORY_AREA_CODES,
+        TERRITORY_PREFIXES,
+        TERRITORY_SEVEN_DIGIT_PREFIXES,
+    )
+
+    a = str(area)
+    if a not in NANP_AREA_CODES or not ("2" <= exchange[0] <= "9"):
+        return False
+    if a not in TERRITORY_AREA_CODES:
+        return True
+    return (
+        a + exchange in TERRITORY_PREFIXES
+        or (a + exchange + rest[0]) in TERRITORY_SEVEN_DIGIT_PREFIXES
+    )
 
 
 def test_model_matches_library_exhaustively():
+    """STRICT equality model == library for every area code — including
+    the 13 territory codes, every exchange, multiple subscriber
+    suffixes, and all ten 876-606-X sub-exchange digits."""
     pn = _phonenumbers()
     if pn is None:
         pytest.skip("phonenumbers not importable")
+    from dar_spark.refdata import TERRITORY_AREA_CODES
+
     for area in range(200, 1000):
+        if str(area) in TERRITORY_AREA_CODES:
+            continue  # deep-probed below
         for exch1 in (0, 1, 2, 9):
             s = f"+1{area}{exch1}345678"
             lib = pn.is_valid_number(pn.parse(s, None))
-            model = str(area) in NANP_AREA_CODES and exch1 >= 2
-            if str(area) in TERRITORY_VARIANTS:
-                # model may over-accept, never under-accept
-                assert model or not lib, f"{s}: library={lib} model={model}"
-            else:
+            model = _model_valid(area, f"{exch1}34", "5678")
+            assert lib == model, f"{s}: library={lib} model={model}"
+    for a in TERRITORY_AREA_CODES:
+        for ex in range(200, 1000):
+            for rest in ("5678", "0123"):
+                s = f"+1{a}{ex}{rest}"
+                lib = pn.is_valid_number(pn.parse(s, None))
+                model = _model_valid(int(a), str(ex), rest)
                 assert lib == model, f"{s}: library={lib} model={model}"
+    for d4 in "0123456789":
+        s = f"+1876606{d4}123"
+        lib = pn.is_valid_number(pn.parse(s, None))
+        model = _model_valid(876, "606", d4 + "123")
+        assert lib == model, f"{s}: library={lib} model={model}"
+
+
+def test_sql_predicate_matches_python_model(spark):
+    """The SQL predicate (what the profiler actually evaluates) agrees
+    with the python mirror of the tables on a boundary sample."""
+    from dar_spark.functions.validators import nanp_valid_pred
+
+    cases = [
+        "2013347135",   # plain US: valid
+        "2421234567",   # BS, exchange 123 -> first digit 1: invalid
+        "2422250123",   # BS 225: valid (225 in table)
+        "2422240123",   # BS 224: invalid (not in table)
+        "8766060123",   # JM 606-0: valid via 7-digit prefix
+        "8766061123",   # JM 606-1: invalid
+        "4412951234",   # BM 295: valid
+        "4415611234",   # BM 561: invalid (56 only allows 560)
+        "4415601234",   # BM 560: valid
+    ]
+    import duckdb
+
+    for c in cases:
+        lit = "'" + c + "'"
+        got_s = spark.sql(f"SELECT {nanp_valid_pred(SPARK, lit)} AS v").collect()[0].v
+        got_d = duckdb.sql(f"SELECT {nanp_valid_pred(DUCKDB, lit)} AS v").fetchone()[0]
+        want = _model_valid(int(c[:3]), c[3:6], c[6:])
+        assert got_s == want == got_d, f"{c}: spark={got_s} duck={got_d} model={want}"
 
 
 @pytest.mark.parametrize(
