@@ -58,10 +58,12 @@ def main() -> None:
 
     load_tables(spark, sf_dir)
 
-    # two timed runs per query, report the min: the standard steady-state
-    # estimator — one-shot timings on a busy box carry ±10% scheduler
-    # noise that swamps real operator deltas
-    n_runs = int(os.environ.get("DAR_SPARK_BENCH_RUNS", "2"))
+    # min-of-N timed runs per query: the standard steady-state estimator —
+    # one-shot timings on a busy box carry ±10% scheduler noise that
+    # swamps real operator deltas (r3 recorded phantom 1.2-1.6x
+    # "regressions" with zero code changes in those paths), so N defaults
+    # to 3 and can be raised for a quieter box
+    n_runs = int(os.environ.get("DAR_SPARK_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, q in headline.items():
         best = None

@@ -1825,6 +1825,11 @@ def build_registry() -> dict[str, Q]:
     r["chunk_docs"] = _chunk_docs_q()
     r["dedup_incremental"] = _dedup_incremental_q()
     r["clean_docs"] = _clean_docs_q()
+    # LLM-pipeline flagships carry tracked bench timings (a perf
+    # regression in the dedup/redaction path must be visible per-round)
+    for flagship in ("dup_clusters", "drop_near_dups", "pii_redact_docs",
+                     "chunk_docs"):
+        r[flagship].headline = True
     r["q6_forecast_revenue"] = _sql_q(Q6_SQL)
     r["rollup_revenue"] = _sql_q(ROLLUP_SQL)
     r["customers_without_orders"] = _sql_q(ANTI_JOIN_SQL)

@@ -19,3 +19,13 @@ def test_coverage_doc_matches_registry():
     assert m
     assert int(m.group(1)) == len(registry)
     assert int(m.group(2)) == sum(1 for q in registry.values() if q.oracle)
+    # the bench-headline column must track Q.headline exactly
+    doc_headline = set(
+        re.findall(r"\| \d+ \| `([a-z0-9_]+)` \| [^|]*\| ✔ \|", doc)
+    )
+    live_headline = {n for n, q in registry.items() if q.headline}
+    assert doc_headline == live_headline, (
+        f"headline column out of sync: doc-only "
+        f"{sorted(doc_headline - live_headline)}, registry-only "
+        f"{sorted(live_headline - doc_headline)}"
+    )
