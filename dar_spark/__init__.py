@@ -34,6 +34,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "drop_exact_dups",
     "connected_components",
+    "classify_text",
+    "marker_classifier",
 ]
 
 
@@ -78,4 +80,8 @@ def __getattr__(name):
         from dar_spark.operators import dedup as _dd
 
         return getattr(_dd, name)
+    if name in ("classify_text", "marker_classifier"):
+        from dar_spark.operators import classify as _cl
+
+        return getattr(_cl, name)
     raise AttributeError(f"module 'dar_spark' has no attribute {name!r}")

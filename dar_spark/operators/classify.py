@@ -1,0 +1,120 @@
+"""Pluggable batched text classification — the lang-id / quality seam.
+
+``text.lang_id`` and ``text.quality_score`` are honest marker-word
+expression stubs: real language identification and learned quality
+scoring are models, not SQL expressions, and no model runtime ships in
+this container.  This module makes the stub a SWAPPABLE BOUNDARY,
+mirroring the phone_v1 expression/library dual
+(``functions/validators.py`` vs ``functions/phone_lib.py``):
+
+- ``classify_text(df)`` (no classifier): the expression path — pure
+  JVM columns, zero Python in the hot path.  The default, and the only
+  path the oracle queries use.
+- ``classify_text(df, classifier=f)``: an Arrow-batched ``mapInPandas``
+  stage.  ``f`` receives a ``pandas.Series`` of document texts (one
+  Arrow batch at a time — NEVER row-at-a-time) and returns a
+  ``pandas.DataFrame`` with columns ``lang`` (str) and ``quality``
+  (float).  This is where a fastText-style lang-id model or a learned
+  quality scorer plugs in; the stage is narrow (no shuffle), so it
+  scales exactly like the multimodal decode operators.
+
+``marker_classifier`` is the batched mirror of the expression stub —
+byte-identical output by construction, which lets the contract test
+(tests/test_classify.py) assert expression == batched on real data, so
+any future classifier only has to honor the schema, not re-derive it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from dar_spark.functions.text import LANG_MARKERS, lang_id, quality_score
+
+Classifier = Callable[[pd.Series], pd.DataFrame]
+
+
+def classify_text(
+    df: DataFrame,
+    text_col: str = "text",
+    classifier: Classifier | None = None,
+) -> DataFrame:
+    """Append ``lang`` and ``quality`` columns to ``df``.
+
+    Without a classifier this is the expression stub (JVM-side, the
+    scale default).  With one, the classifier runs over Arrow batches in
+    a ``mapInPandas`` stage with the same output contract.
+    """
+    if classifier is None:
+        return df.withColumn("lang", lang_id(text_col)).withColumn(
+            "quality", quality_score(text_col)
+        )
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("lang", StringType()),
+            StructField("quality", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = classifier(pdf[text_col])
+            if list(res.columns) != ["lang", "quality"]:
+                raise ValueError(
+                    "classifier must return columns ['lang', 'quality'], "
+                    f"got {list(res.columns)}"
+                )
+            out = pdf.copy()
+            out["lang"] = res["lang"].to_numpy()
+            out["quality"] = res["quality"].to_numpy()
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark's round() is HALF_UP; python's round() is half-even.  All
+    scores are non-negative, so floor(x*1e6 + 0.5) reproduces it."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _classify_one(text: Any) -> tuple[str, float | None]:
+    if text is None:
+        return "und", None
+    toks = str(text).lower().split(" ")
+    counts = {
+        lang: sum(1 for t in toks if t in set(ws))
+        for lang, ws in LANG_MARKERS.items()
+    }
+    lang = "und"
+    for cand in counts:  # declaration order = expression tie-break order
+        if counts[cand] > 0 and all(
+            counts[cand] >= counts[o] for o in counts if o != cand
+        ):
+            lang = cand
+            break
+    n = len(toks)
+    distinct = len(set(toks))
+    stop = sum(1 for t in toks if t in ("the", "a"))
+    quality = _round6_half_up(
+        0.4 * min(n / 100.0, 1.0) + 0.4 * (distinct / n) + 0.2 * (1.0 - stop / n)
+    )
+    return lang, quality
+
+
+def marker_classifier(texts: pd.Series) -> pd.DataFrame:
+    """Batched mirror of the expression stub — the default plug for the
+    seam and the reference implementation of the output contract."""
+    rows = [_classify_one(t) for t in texts]
+    return pd.DataFrame(
+        {"lang": [r[0] for r in rows], "quality": [r[1] for r in rows]}
+    )

@@ -1,0 +1,83 @@
+"""The lang-id / quality classifier seam: expression stub vs the batched
+mapInPandas path must agree exactly (so a real model swap only has to
+honor the schema, not re-derive semantics)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from dar_spark.operators.classify import classify_text, marker_classifier
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def _collect(df):
+    return sorted(
+        (r.doc_id, r.lang, r.quality)
+        for r in df.select("doc_id", "lang", "quality").collect()
+    )
+
+
+def test_expression_and_batched_paths_agree_on_corpus(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    expr = _collect(classify_text(docs))
+    batched = _collect(classify_text(docs, classifier=marker_classifier))
+    assert len(expr) > 0
+    assert expr == batched
+
+
+def test_edge_cases_agree(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the hat"),
+            (2, "el que la de que"),
+            (3, ""),
+            (4, "zzz qqq"),
+            (5, "le et de la"),          # fr/es marker tie -> es (declared first)
+            (6, "der und das die der"),
+        ],
+        "doc_id long, text string",
+    )
+    expr = _collect(classify_text(docs))
+    batched = _collect(classify_text(docs, classifier=marker_classifier))
+    assert expr == batched
+    langs = {d: l for d, l, _ in expr}
+    assert langs[1] == "en" and langs[6] == "de" and langs[4] == "und"
+
+
+def test_classifier_receives_batches_not_rows(spark):
+    """The seam is Arrow-batched: the classifier must be called once per
+    batch with a Series, not once per row.  The classifier reports its
+    batch size through the quality column (executor closures can't
+    mutate driver state), so every row carries the size of the Arrow
+    batch it arrived in."""
+
+    def batch_size_reporter(texts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"lang": ["x"] * len(texts), "quality": [float(len(texts))] * len(texts)}
+        )
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    n = docs.count()
+    sizes = [
+        r.quality
+        for r in classify_text(docs.coalesce(1), classifier=batch_size_reporter)
+        .select("quality")
+        .collect()
+    ]
+    assert len(sizes) == n
+    assert sum(set(sizes)) >= max(sizes)  # sanity: sizes are batch counts
+    assert min(sizes) > 1, "row-at-a-time calls detected"
+
+
+def test_bad_contract_is_loud(spark):
+    def wrong(texts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({"language": ["en"] * len(texts)})
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((ValueError, Exception)) as exc:
+        classify_text(docs, classifier=wrong).collect()
+    assert "lang" in str(exc.value)
