@@ -58,3 +58,49 @@ def test_salted_join_spreads_hot_key(spark):
     assert n_buckets >= 8  # hot key scattered across many sub-keys
     out = salted_join(left, right, "k")
     assert out.count() == 1000
+
+
+def test_salted_join_bounds_partition_skew(spark):
+    """Deliberate 50%-hot-key skew: with a plain shuffle join the hot
+    key's rows land in ONE task partition (~half the data on one task);
+    the salted join bounds every task partition near the uniform share.
+    Cited from docs/SCALE.md "skew".  AQE and auto-broadcast are
+    disabled so the raw (pre-mitigation) shuffle placement is visible —
+    at real scale AQE skew-splitting helps, but only below its
+    threshold factor; salting is the explicit guarantee."""
+    # 64 salts: with ~32 shuffle partitions a 16-salt scatter can still
+    # collide several sub-keys into one partition (birthday effect on
+    # murmur3(key, salt)); finer salt granularity bounds the worst task
+    n, n_salts = 40_000, 64
+    # one key owns 50% of rows; the rest are uniform
+    left = spark.range(0, n).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN CAST(777 AS BIGINT) ELSE id END AS k",
+        "id AS v",
+    )
+    right = spark.range(0, n).selectExpr("id AS k", "'r' AS label")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def max_partition_fraction(df):
+            counts = (
+                df.withColumn("_pid", F.spark_partition_id())
+                .groupBy("_pid").count().collect()
+            )
+            total = sum(r["count"] for r in counts)
+            return max(r["count"] for r in counts) / total, len(counts)
+
+        naive, _ = max_partition_fraction(left.join(right, "k"))
+        salted, n_parts = max_partition_fraction(
+            salted_join(left, right, "k", n_salts=n_salts)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    assert naive >= 0.45, f"fixture not skewed enough: {naive:.2f}"
+    # hot rows spread over 64 salt buckets: the busiest task must sit
+    # near the uniform share (1/n_parts), not at the naive ~50%
+    uniform = 1.0 / n_parts
+    assert salted <= 1.7 * uniform, (
+        f"salted join still skewed: {salted:.2f} vs uniform {uniform:.2f}"
+    )
+    assert salted < naive / 2.5

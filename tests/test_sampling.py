@@ -61,3 +61,34 @@ def test_quantizer_fit_buckets_scale_with_corpus():
         assert cutoff >= 1
         realized = cutoff * (n / n_buckets)
         assert abs(realized - cap) / cap < 0.01
+
+
+def test_stratified_sample_rebalances_skewed_source(spark):
+    """The heavy-tailed-corpus move: one source owns half the corpus;
+    stratified downsampling of the dominant source leaves rare sources
+    whole and realizes each fraction within sampling tolerance."""
+    from dar_spark.operators.sampling import stratified_sample
+
+    n = 20_000
+    docs = spark.range(0, n).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'commoncrawl' "
+        "WHEN id % 4 = 1 THEN 'books' ELSE 'wiki' END AS source",
+    )
+    out = stratified_sample(
+        docs, "doc_id", "source",
+        {"commoncrawl": 0.1, "books": 1.0, "wiki": 0.5},
+    )
+    got = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert abs(got["commoncrawl"] / (n / 2) - 0.1) < 0.02
+    assert got["books"] == n / 4  # rare source kept whole
+    assert abs(got["wiki"] / (n / 4) - 0.5) < 0.05
+    # membership is stable under repartitioning (hash-of-key, not RNG)
+    again = {
+        r.doc_id
+        for r in stratified_sample(
+            docs.repartition(17), "doc_id", "source",
+            {"commoncrawl": 0.1, "books": 1.0, "wiki": 0.5},
+        ).collect()
+    }
+    assert again == {r.doc_id for r in out.collect()}
