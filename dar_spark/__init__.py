@@ -36,6 +36,8 @@ __all__ = [
     "connected_components",
     "classify_text",
     "marker_classifier",
+    "repetition_metrics",
+    "repetition_filter",
 ]
 
 
@@ -64,7 +66,8 @@ def __getattr__(name):
         from dar_spark.functions.text import quality_filter
 
         return quality_filter
-    if name in ("chunk_documents", "redact_pii"):
+    if name in ("chunk_documents", "redact_pii", "repetition_metrics",
+                "repetition_filter"):
         from dar_spark.functions import text as _t
 
         return getattr(_t, name)

@@ -240,3 +240,83 @@ def clean_text(text_col: str) -> Column:
     from dar_spark.dialect import SPARK
 
     return F.expr(clean_text_sql(SPARK, text_col))
+
+
+# --- repetition metrics (Gopher-style pre-training filters) -----------------
+# Excess repetition is the classic crawl-quality signal (Rae et al. 2021,
+# "Scaling Language Models" §A1.1): documents dominated by one token or
+# one n-gram are boilerplate/spam.  All per-document expressions — no
+# explode, no shuffle; the mode count comes from a single fold over the
+# SORTED token array (longest equal run == count of the most frequent
+# element), so the whole metric set stays inside whole-stage codegen.
+
+
+def top_run_count(sorted_arr: str) -> str:
+    """Count of the most frequent element of a sorted string array, as
+    one ``aggregate`` fold (longest equal run).  Empty array -> 0."""
+    return (
+        f"aggregate({sorted_arr}, "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+        "(a, x) -> named_struct('prev', x, "
+        "'run', IF(x <=> a.prev, a.run + 1, 1), "
+        "'best', greatest(a.best, IF(x <=> a.prev, a.run + 1, 1))), "
+        "a -> a.best)"
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, top_unigram_frac, top_bigram_frac, dup_token_frac).
+
+    - top_unigram_frac: share of tokens taken by the most frequent token;
+    - top_bigram_frac: share of bigrams taken by the most frequent
+      bigram (0 for docs with < 2 tokens);
+    - dup_token_frac: 1 - type-token ratio.
+    """
+    base = df.selectExpr(
+        "*", f"split(lower({text_col}), ' ', -1) AS _t"
+    ).selectExpr(
+        "*",
+        # slice(_t, 1, 0) is a TYPED empty array<string>; array() is
+        # array<null> and poisons the CASE branch type
+        "CASE WHEN size(_t) < 2 THEN slice(_t, 1, 0) "
+        "ELSE transform(sequence(1, size(_t) - 1), "
+        "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1))) END AS _bg",
+    )
+    return base.selectExpr(
+        id_col,
+        "size(_t) AS n_tokens",
+        f"round(CAST({top_run_count('sort_array(_t)')} AS DOUBLE) "
+        "/ size(_t), 6) AS top_unigram_frac",
+        f"round(CAST({top_run_count('sort_array(_bg)')} AS DOUBLE) "
+        "/ greatest(size(_bg), 1), 6) AS top_bigram_frac",
+        "round(1.0 - CAST(size(array_distinct(_t)) AS DOUBLE) / size(_t), 6)"
+        " AS dup_token_frac",
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_unigram_frac: float = 0.2,
+    max_top_bigram_frac: float = 0.18,
+    max_dup_token_frac: float = 0.85,
+) -> DataFrame:
+    """Drop documents dominated by repetition (threshold defaults in the
+    Gopher ballpark, tuned per corpus).  A narrow filter over the
+    metric expressions — pushdown-friendly, keeps original columns.
+
+    Note the short-doc floor: a doc with n tokens has top_unigram_frac
+    >= 1/n and top_bigram_frac >= 1/(n-1) even with zero repetition, so
+    these thresholds implicitly drop docs shorter than ~1/threshold
+    tokens.  Compose with ``quality_filter(min_tokens=...)`` first when
+    short docs should be handled explicitly rather than swept up here.
+    """
+    m = repetition_metrics(df, id_col, text_col).where(
+        f"top_unigram_frac <= {max_top_unigram_frac} "
+        f"AND top_bigram_frac <= {max_top_bigram_frac} "
+        f"AND dup_token_frac <= {max_dup_token_frac}"
+    )
+    return df.join(m.select(id_col), id_col, "left_semi")

@@ -1973,11 +1973,57 @@ def _phone_profile_csv_q() -> Q:
     return Q(spark_fn, base.oracle)
 
 
+def _repetition_stats_q() -> Q:
+    """Gopher-style repetition metrics (functions/text.py
+    repetition_metrics): Spark computes the mode count as a single fold
+    over the sorted token array (no explode, no shuffle); the DuckDB
+    oracle derives the same counts the relational way (unnest + GROUP BY
+    + max) — two independent formulations that must agree value-exactly.
+    """
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import repetition_metrics
+
+        return repetition_metrics(load_tables(spark, sf_dir)["documents"])
+
+    oracle = """WITH docs AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), uni AS (
+  SELECT doc_id, unnest(t) AS tk FROM docs
+), uc AS (
+  SELECT doc_id, max(c) AS topu FROM (
+    SELECT doc_id, tk, count(*) AS c FROM uni GROUP BY doc_id, tk
+  ) GROUP BY doc_id
+), bg AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 2 THEN []
+              ELSE list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1]) END AS b
+  FROM docs
+), bgu AS (
+  SELECT doc_id, unnest(b) AS g FROM bg
+), bc AS (
+  SELECT doc_id, max(c) AS topb FROM (
+    SELECT doc_id, g, count(*) AS c FROM bgu GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  len(d.t) AS n_tokens,
+  round(CAST(uc.topu AS DOUBLE) / len(d.t), 6) AS top_unigram_frac,
+  round(CAST(COALESCE(bc.topb, 0) AS DOUBLE)
+        / greatest(len(d.t) - 1, 1), 6) AS top_bigram_frac,
+  round(1.0 - CAST(len(list_distinct(d.t)) AS DOUBLE) / len(d.t), 6)
+    AS dup_token_frac
+FROM docs d JOIN uc USING (doc_id) LEFT JOIN bc USING (doc_id)"""
+    return Q(spark_fn, oracle)
+
+
 def _round4_queries() -> list[tuple[str, Q]]:
     """Queries added in round 4 — first in the registry so they land inside
     the external verification window (section 1 of build_registry)."""
     return [
         ("phone_profile_csv", _phone_profile_csv_q()),
+        ("repetition_stats", _repetition_stats_q()),
     ]
 
 

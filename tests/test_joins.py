@@ -78,8 +78,13 @@ def test_salted_join_bounds_partition_skew(spark):
         "id AS v",
     )
     right = spark.range(0, n).selectExpr("id AS k", "'r' AS label")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # pin the partition count: the collision statistics (how many of the
+    # 64 salt sub-keys murmur3 into one partition) depend on it, and
+    # other tests may leave a different ambient value
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         def max_partition_fraction(df):
             counts = (
@@ -96,6 +101,7 @@ def test_salted_join_bounds_partition_skew(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     assert naive >= 0.45, f"fixture not skewed enough: {naive:.2f}"
     # hot rows spread over 64 salt buckets: the busiest task must sit
     # near the uniform share (1/n_parts), not at the naive ~50%

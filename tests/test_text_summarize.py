@@ -132,3 +132,28 @@ def test_chunk_documents_no_subset_chunks(spark):
     for chunks in by_doc.values():
         for prev, cur in zip(chunks, chunks[1:]):
             assert not set(cur.chunk_text.split()) <= set(prev.chunk_text.split())
+
+
+def test_repetition_metrics_crafted_docs(spark):
+    from dar_spark.functions.text import repetition_metrics, repetition_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),              # one token dominates
+            (2, "a b a b a b a b"),                  # one bigram dominates
+            # clean doc long enough that the 1/(n-1) bigram floor sits
+            # under the filter threshold (see repetition_filter docstring)
+            (3, "the quick brown fox jumps over one lazy dog near the river bank today"),
+            (4, "x"),                                # single token
+        ],
+        "doc_id long, text string",
+    )
+    m = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert m[1].top_unigram_frac == 1.0 and m[1].dup_token_frac == 0.75
+    # "a b" appears 4x among 7 bigrams
+    assert abs(m[2].top_bigram_frac - round(4 / 7, 6)) < 1e-9
+    assert m[3].top_unigram_frac == round(2 / 14, 6)  # "the" twice in 14
+    assert m[3].dup_token_frac == round(1 - 13 / 14, 6)
+    assert m[4].n_tokens == 1 and m[4].top_bigram_frac == 0.0
+    kept = {r.doc_id for r in repetition_filter(docs).collect()}
+    assert kept == {3}  # 4 fails top_unigram (1.0), 1 and 2 dominated
