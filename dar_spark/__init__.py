@@ -34,6 +34,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "drop_exact_dups",
     "connected_components",
+    "write_dedup_index",
+    "dedup_against_index",
     "classify_text",
     "marker_classifier",
     "repetition_metrics",
@@ -79,7 +81,8 @@ def __getattr__(name):
         from dar_spark.operators import drift as _d
 
         return getattr(_d, name)
-    if name in ("minhash_lsh_pairs", "drop_exact_dups", "connected_components"):
+    if name in ("minhash_lsh_pairs", "drop_exact_dups", "connected_components",
+                "write_dedup_index", "dedup_against_index"):
         from dar_spark.operators import dedup as _dd
 
         return getattr(_dd, name)

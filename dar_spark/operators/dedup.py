@@ -187,6 +187,38 @@ def minhash_lsh_pairs(
     ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
 
 
+def _sign_and_band(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    n_bands: int,
+    rows_per_band: int,
+    out_id: str,
+) -> tuple[DataFrame, DataFrame]:
+    """One corpus side of banded MinHash: returns (shingle sets,
+    (out_id, bi, bk) band rows).  Shared by the bipartite ingest join
+    and the persisted-index writer so the two can never drift."""
+    n_hashes = n_bands * rows_per_band
+    sh = shingles(df, id_col, text_col, shingle_n)
+    ex = sh.select(F.col(id_col), F.explode("s").alias("g"))
+    sig = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.expr(minhash_hash_expr(k))).alias(f"h{k}")
+            for k in range(n_hashes)
+        ]
+    )
+    band_keys = [
+        F.concat(*[f"h{b * rows_per_band + r}" for r in range(rows_per_band)])
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(F.array(*band_keys)).alias("bi", "bk"),
+    )
+    return sh, bands
+
+
 def minhash_pairs_against(
     new: DataFrame,
     ref: DataFrame,
@@ -201,36 +233,118 @@ def minhash_pairs_against(
     between a NEW batch and an existing reference corpus — the
     incremental-ingest shape.  Both sides are signed and banded, but the
     join is new×ref only: ingesting a batch costs O(|new| + |ref|) scan
-    plus a band equi-join, never a reference self-join (at 100 TB the
-    reference signatures/bands would be precomputed and stored, making
-    an ingest O(|new|) + one join against the band table).
+    plus a band equi-join, never a reference self-join.  For repeated
+    ingests, precompute the reference side once with
+    ``write_dedup_index`` and join via ``dedup_against_index`` — then an
+    ingest is O(|new|) + one join against the stored band table.
     """
-    n_hashes = n_bands * rows_per_band
 
     def side(df: DataFrame, out_id: str):
-        sh = shingles(df, id_col, text_col, shingle_n)
-        ex = sh.select(F.col(id_col), F.explode("s").alias("g"))
-        sig = ex.groupBy(id_col).agg(
-            *[
-                F.min(F.expr(minhash_hash_expr(k))).alias(f"h{k}")
-                for k in range(n_hashes)
-            ]
+        return _sign_and_band(
+            df, id_col, text_col, shingle_n, n_bands, rows_per_band, out_id
         )
-        band_keys = [
-            F.concat(*[f"h{b * rows_per_band + r}" for r in range(rows_per_band)])
-            for b in range(n_bands)
-        ]
-        bands = sig.select(
-            F.col(id_col).alias(out_id),
-            F.posexplode(F.array(*band_keys)).alias("bi", "bk"),
-        )
-        return sh, bands
 
     sh_n, b_n = side(new, "new_id")
     sh_r, b_r = side(ref, "ref_id")
     cands = b_n.join(b_r, ["bi", "bk"]).select("new_id", "ref_id").distinct()
     sa = sh_n.select(F.col(id_col).alias("new_id"), F.col("s").alias("sa"))
     sb = sh_r.select(F.col(id_col).alias("ref_id"), F.col("s").alias("sb"))
+    j = (
+        cands.join(sa, "new_id")
+        .join(sb, "ref_id")
+        .selectExpr(
+            "new_id",
+            "ref_id",
+            "size(array_intersect(sa, sb)) AS i",
+            "size(sa) AS na",
+            "size(sb) AS nb",
+        )
+    )
+    return j.selectExpr(
+        "new_id",
+        "ref_id",
+        "round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard",
+    ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
+
+
+def write_dedup_index(
+    ref: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+) -> None:
+    """Persist the reference side of incremental dedup: ``<path>/bands``
+    (ref_id, bi, bk) pre-shuffled onto the join key, ``<path>/shingles``
+    (ref_id, s), and ``<path>/meta`` (the signature parameters).  The
+    100 TB posture: the reference corpus is minhashed ONCE per index
+    build; every subsequent ingest batch joins against these tables
+    instead of re-scanning and re-signing the reference (ingest cost
+    drops from O(|new| + |ref|) to O(|new|) + the band equi-join).
+
+    ``bands`` is repartitioned by (bi, bk) at write time so the files
+    arrive grouped by join key; on a cluster, register it as a bucketed
+    table (``joins.write_bucketed`` on bk) to remove the ingest-side
+    exchange entirely.  ``meta`` travels with the index because a band
+    table is only joinable against a batch signed with the SAME
+    (shingle_n, n_bands, rows_per_band) — ``dedup_against_index``
+    validates and refuses a mismatch.
+    """
+    sh, bands = _sign_and_band(
+        ref, id_col, text_col, shingle_n, n_bands, rows_per_band, "ref_id"
+    )
+    bands.repartition("bi", "bk").write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+    sh.select(F.col(id_col).alias("ref_id"), "s").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/shingles")
+    meta = ref.sparkSession.createDataFrame(
+        [(shingle_n, n_bands, rows_per_band)],
+        "shingle_n int, n_bands int, rows_per_band int",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def dedup_against_index(
+    new: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.6,
+    expected_params: tuple[int, int, int] | None = None,
+) -> DataFrame:
+    """Near-dup pairs (new_id, ref_id, jaccard) of a new batch against a
+    ``write_dedup_index`` output.  Only the NEW batch is shingled and
+    signed; the reference arrives as stored band/shingle tables.
+    Result-identical to ``minhash_pairs_against(new, ref, ...)`` with
+    the index's parameters (pinned by tests/test_dedup.py).
+
+    ``expected_params`` (shingle_n, n_bands, rows_per_band) guards
+    pipelines that hard-code signature settings: a mismatch against the
+    index's stored meta raises instead of silently joining foreign band
+    keys (which would produce near-empty candidates, not an error).
+    """
+    spark = new.sparkSession
+    m = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    params = (m.shingle_n, m.n_bands, m.rows_per_band)
+    if expected_params is not None and tuple(expected_params) != params:
+        raise ValueError(
+            f"dedup index at {index_path} was built with "
+            f"(shingle_n, n_bands, rows_per_band)={params}, caller "
+            f"expected {tuple(expected_params)}"
+        )
+    sh_n, b_n = _sign_and_band(
+        new, id_col, text_col, params[0], params[1], params[2], "new_id"
+    )
+    b_r = spark.read.parquet(f"{index_path}/bands")
+    sb = spark.read.parquet(f"{index_path}/shingles").select(
+        "ref_id", F.col("s").alias("sb")
+    )
+    cands = b_n.join(b_r, ["bi", "bk"]).select("new_id", "ref_id").distinct()
+    sa = sh_n.select(F.col(id_col).alias("new_id"), F.col("s").alias("sa"))
     j = (
         cands.join(sa, "new_id")
         .join(sb, "ref_id")

@@ -700,11 +700,18 @@ FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {MINHASH_JACCARD_THRESHOLD})""
 INGEST_NEW_PRED = "doc_id % 5 = 4"
 
 
-def _dedup_incremental_q() -> Q:
+def _dedup_incremental_q(indexed: bool = False) -> Q:
     """Incremental-ingest dedup: the corpus splits into an existing
     reference (80%) and a new batch (20%); bipartite minhash banding
     finds each new doc's near-dups in the reference without re-pairing
-    the reference against itself (dedup.minhash_pairs_against)."""
+    the reference against itself (dedup.minhash_pairs_against).
+
+    ``indexed=True`` is the persisted-index variant: the reference side
+    is written once via ``dedup.write_dedup_index`` (band + shingle
+    parquet under ``<repo>/.csvcache``) and the ingest joins against the
+    STORED tables (``dedup.dedup_against_index``) — same oracle, so the
+    index write -> read round-trip is itself under the value-hash check,
+    like the CSV source query."""
 
     def spark_fn(spark, sf_dir):
         from dar_spark.operators.dedup import minhash_pairs_against
@@ -712,6 +719,27 @@ def _dedup_incremental_q() -> Q:
         corpus = _corpus_df(spark, sf_dir)
         new = corpus.filter(INGEST_NEW_PRED)
         ref = corpus.filter(f"NOT ({INGEST_NEW_PRED})")
+        if indexed:
+            import hashlib
+            import os
+
+            from dar_spark.operators.dedup import (
+                dedup_against_index,
+                write_dedup_index,
+            )
+
+            cache_root = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".csvcache",
+            )
+            tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+            path = os.path.join(cache_root, f"dedupidx-{tag}")
+            write_dedup_index(ref, path, "doc_id", "text")
+            return dedup_against_index(
+                new, path, "doc_id", "text",
+                jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
+                expected_params=(3, 2, 2),
+            )
         return minhash_pairs_against(
             new, ref, "doc_id", "text",
             jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
@@ -2024,6 +2052,7 @@ def _round4_queries() -> list[tuple[str, Q]]:
     return [
         ("phone_profile_csv", _phone_profile_csv_q()),
         ("repetition_stats", _repetition_stats_q()),
+        ("dedup_incremental_indexed", _dedup_incremental_q(indexed=True)),
     ]
 
 

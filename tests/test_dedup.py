@@ -140,3 +140,42 @@ def test_ngram_candidate_buckets_subquadratic(spark):
         corpus, "doc_id", "text", jaccard_threshold=0.0
     ).count()
     assert n_cand < 500, f"candidate explosion: {n_cand} pairs from 200 docs"
+
+
+def test_dedup_index_roundtrip_matches_direct(spark, tmp_path):
+    """write_dedup_index -> dedup_against_index must produce pair-for-pair
+    the same result as the direct bipartite join, and refuse an index
+    built with different signature parameters."""
+    import pytest
+
+    from dar_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_pairs_against,
+        write_dedup_index,
+    )
+    from dar_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    # dup-inject so near-dups actually exist across the split
+    rep = docs.selectExpr("doc_id - doc_id % 3 AS rep_id", "doc_id", "text")
+    corpus = rep.selectExpr("doc_id", "text")
+    new = corpus.filter("doc_id % 5 = 0")
+    ref = corpus.filter("doc_id % 5 <> 0")
+
+    direct = {
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in minhash_pairs_against(new, ref, "doc_id", "text", 0.6).collect()
+    }
+    idx = str(tmp_path / "idx")
+    write_dedup_index(ref, idx, "doc_id", "text")
+    via_index = {
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in dedup_against_index(new, idx, "doc_id", "text", 0.6).collect()
+    }
+    assert len(direct) > 0
+    assert via_index == direct
+
+    with pytest.raises(ValueError, match="expected"):
+        dedup_against_index(
+            new, idx, "doc_id", "text", 0.6, expected_params=(4, 8, 2)
+        )
