@@ -1,0 +1,68 @@
+"""Scalable fuzzy (edit-distance) dictionary join — FastSS blocking.
+
+The reference's typo tier (`check_states.py` checkTypo; surfaced as
+`state_fuzzy_status`, SURVEY.md §2c V4) compares each value against every
+dictionary entry with levenshtein — fine for 54 states as an inlined
+expression, quadratic death for a real dictionary (every (value, entry)
+pair scored).  The scale formulation is deletion-neighborhood blocking
+(the FastSS family): two strings are within edit distance 1 ONLY IF they
+share a key in {s} ∪ {s minus one character}, so an equi-join on
+exploded deletion keys produces a small candidate set and exact
+levenshtein verifies candidates only.
+
+Candidates are provably complete for distance ≤ 1 (equal strings share
+s; a substitution shares the both-sides deletion at the edited position;
+an insert/delete pair shares the shorter string itself) with false
+positives (e.g. transpositions) removed by the verify step — the same
+candidates-then-verify shape as the MinHash and ngram dedup operators.
+Shuffle is an equi-join on short string keys; dictionary side is
+typically broadcast by the optimizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_keys_sql(col: str) -> str:
+    """Array of FastSS depth-1 keys for a string column: the string plus
+    every single-character deletion (deduplicated).  Empty strings keep
+    just themselves (sequence(1, 0) would generate a DESCENDING range in
+    Spark, not an empty one)."""
+    variants = (
+        f"transform(sequence(1, length({col})), "
+        f"i -> concat(substr({col}, 1, i - 1), substr({col}, i + 1)))"
+    )
+    return (
+        f"CASE WHEN length({col}) = 0 OR {col} IS NULL THEN array({col}) "
+        f"ELSE array_union(array({col}), {variants}) END"
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Inner join of ``left`` and ``right`` on edit distance ≤ max_dist
+    between ``left_col`` and ``right_col``; appends a ``dist`` column.
+
+    Only ``max_dist=1`` is supported: depth-k deletion neighborhoods
+    grow O(len^k) keys per string, and the k=1 neighborhood already
+    covers the dominant dirty-data tier (single typo).  Larger radii
+    should go through the ngram-Jaccard dedup operator instead.
+    """
+    if max_dist != 1:
+        raise ValueError(
+            "fuzzy_join supports max_dist=1 (deletion-neighborhood depth 1); "
+            "use ngram_jaccard_pairs for coarser similarity"
+        )
+    lk = left.withColumn("_fk", F.explode(F.expr(deletion_keys_sql(left_col))))
+    rk = right.withColumn("_fk", F.explode(F.expr(deletion_keys_sql(right_col))))
+    cand = lk.join(rk, "_fk").drop("_fk").dropDuplicates()
+    return cand.withColumn(
+        "dist", F.expr(f"CAST(levenshtein({left_col}, {right_col}) AS INT)")
+    ).filter(f"dist <= {max_dist}")

@@ -2046,6 +2046,40 @@ FROM docs d JOIN uc USING (doc_id) LEFT JOIN bc USING (doc_id)"""
     return Q(spark_fn, oracle)
 
 
+def _fuzzy_state_join_q() -> Q:
+    """FastSS fuzzy dictionary join (operators/fuzzy.py): dirty state
+    strings matched to the state-name dictionary at edit distance ≤ 1
+    via deletion-neighborhood blocking + exact levenshtein verify.  The
+    oracle is the INDEPENDENT brute-force formulation (cross join +
+    levenshtein filter), so the blocking's completeness — every true
+    ≤1-distance pair survives the candidate stage — is what the
+    value-hash checks."""
+    from dar_spark.refdata import STATE_NAMES
+
+    gen = testgen.dirty_state(K_ORDERS)
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.fuzzy import fuzzy_join
+
+        t = load_tables(spark, sf_dir)
+        base = parallelize(t["orders"]).selectExpr(
+            f"{K_ORDERS} AS row_id", f"lower(trim({gen})) AS x"
+        )
+        names = spark.createDataFrame(
+            [(n.lower(),) for n in STATE_NAMES], "name string"
+        )
+        return fuzzy_join(base, names, "x", "name", 1)
+
+    values = ", ".join(f"('{n.lower()}')" for n in STATE_NAMES)
+    oracle = f"""WITH base AS (
+  SELECT o_orderkey AS row_id, lower(trim({gen})) AS x FROM orders
+), names(name) AS (VALUES {values})
+SELECT row_id, x, name, CAST(levenshtein(x, name) AS INT) AS dist
+FROM base CROSS JOIN names
+WHERE levenshtein(x, name) <= 1"""
+    return Q(spark_fn, oracle)
+
+
 def _round4_queries() -> list[tuple[str, Q]]:
     """Queries added in round 4 — first in the registry so they land inside
     the external verification window (section 1 of build_registry)."""
@@ -2053,6 +2087,7 @@ def _round4_queries() -> list[tuple[str, Q]]:
         ("phone_profile_csv", _phone_profile_csv_q()),
         ("repetition_stats", _repetition_stats_q()),
         ("dedup_incremental_indexed", _dedup_incremental_q(indexed=True)),
+        ("fuzzy_state_join", _fuzzy_state_join_q()),
     ]
 
 

@@ -1,0 +1,70 @@
+"""FastSS fuzzy join: deletion-neighborhood blocking completeness."""
+
+from __future__ import annotations
+
+import pytest
+
+from dar_spark.operators.fuzzy import fuzzy_join
+
+
+def test_fuzzy_join_edit_classes(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "texas"),      # exact
+            (2, "texs"),       # deletion
+            (3, "texxas"),     # insertion
+            (4, "tezas"),      # substitution
+            (5, "etxas"),      # transposition -> dist 2, must NOT match
+            (6, "utah"),       # exact, other entry
+            (7, ""),           # empty
+        ],
+        "row_id long, x string",
+    )
+    right = spark.createDataFrame([("texas",), ("utah",)], "name string")
+    got = {(r.row_id, r.name, r.dist) for r in fuzzy_join(left, right, "x", "name").collect()}
+    assert got == {
+        (1, "texas", 0),
+        (2, "texas", 1),
+        (3, "texas", 1),
+        (4, "texas", 1),
+        (6, "utah", 0),
+    }
+
+
+def test_fuzzy_join_rejects_larger_radius(spark):
+    df = spark.createDataFrame([(1, "x")], "row_id long, x string")
+    with pytest.raises(ValueError, match="max_dist=1"):
+        fuzzy_join(df, df.selectExpr("x AS name"), "x", "name", max_dist=2)
+
+
+def test_fuzzy_join_matches_brute_force(spark):
+    """Blocking completeness on fuzzed strings: candidates-then-verify
+    must equal the full cross-join answer."""
+    import random
+
+    rnd = random.Random(7)
+    words = ["alpha", "bravo", "charlie", "delta", "echo"]
+    def perturb(w):
+        ops = rnd.randrange(4)
+        i = rnd.randrange(len(w))
+        if ops == 0:
+            return w
+        if ops == 1:
+            return w[:i] + w[i + 1:]
+        if ops == 2:
+            return w[:i] + rnd.choice("abcxyz") + w[i:]
+        return w[:i] + rnd.choice("abcxyz") + w[i + 1:]
+
+    left = spark.createDataFrame(
+        [(i, perturb(rnd.choice(words))) for i in range(200)],
+        "row_id long, x string",
+    )
+    right = spark.createDataFrame([(w,) for w in words], "name string")
+    fast = {(r.row_id, r.name) for r in fuzzy_join(left, right, "x", "name").collect()}
+    brute = {
+        (r.row_id, r.name)
+        for r in left.crossJoin(right)
+        .filter("levenshtein(x, name) <= 1")
+        .collect()
+    }
+    assert fast == brute and len(brute) > 50
