@@ -43,6 +43,13 @@ def main() -> None:
     filtered = dar_spark.quality_filter(corpus, min_tokens=10)
     print("after quality filter:", filtered.count())
 
+    filtered = dar_spark.repetition_filter(filtered)
+    print("after repetition filter:", filtered.count())
+
+    filtered = filtered.withColumn(
+        "text", dar_spark.redact_pii("text")
+    )
+
     exact = drop_exact_dups(filtered, "doc_id", "text")
     print("after exact dedup:", exact.count())
 
