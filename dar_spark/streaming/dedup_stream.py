@@ -66,3 +66,40 @@ def streaming_dedup(stream_df: DataFrame, id_col: str, text_col: str) -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_near_dup_against_index(
+    stream_df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.6,
+    checkpoint_dir: str | None = None,
+    output_path: str | None = None,
+):
+    """Streaming ingest-time NEAR-dup detection: each micro-batch is
+    signed and joined against a ``dedup.write_dedup_index`` band table —
+    the streaming face of ``dedup.dedup_against_index``.
+
+    Built on ``foreachBatch``: near-dup banding + candidate verification
+    is a batch join against STORED state (the index), not stream×stream
+    state, so the right tool is the batch operator per micro-batch —
+    watermark state would wrongly age out the reference corpus.  Each
+    batch costs O(|batch|) signing + one band equi-join, identical to
+    the batch ingest path (which the oracle query value-checks).
+
+    Returns the started StreamingQuery; rows land in ``output_path`` as
+    parquet (new_id, ref_id, jaccard).
+    """
+    from dar_spark.operators.dedup import dedup_against_index
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = dedup_against_index(
+            batch_df, index_path, id_col, text_col, jaccard_threshold
+        )
+        pairs.write.mode("append").parquet(output_path)
+
+    w = stream_df.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

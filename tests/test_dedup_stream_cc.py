@@ -115,3 +115,55 @@ def test_exact_dup_groups_feeds_cc(spark):
     cc = {r.node: r.cluster_id for r in connected_components(edges).collect()}
     for node, cluster in cc.items():
         assert cluster == node - node % 3
+
+
+def test_streaming_near_dup_against_index_batch_equivalence(spark, tmp_path):
+    """Micro-batched ingest against the persisted index must produce the
+    UNION of the batch operator's pairs — streaming changes delivery,
+    not results."""
+    from dar_spark.operators.dedup import dedup_against_index, write_dedup_index
+    from dar_spark.streaming.dedup_stream import streaming_near_dup_against_index
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    rep = docs.selectExpr("doc_id - doc_id % 3 AS rep_id", "doc_id").join(
+        docs.selectExpr("doc_id AS rep_id", "text"), "rep_id"
+    ).select("doc_id", "text")
+    new = rep.filter("doc_id % 5 = 0")
+    ref = rep.filter("doc_id % 5 <> 0")
+
+    idx = str(tmp_path / "idx")
+    write_dedup_index(ref, idx, "doc_id", "text")
+    expected = {
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in dedup_against_index(new, idx, "doc_id", "text", 0.6).collect()
+    }
+
+    src = str(tmp_path / "src")
+    new.filter("doc_id < 250").coalesce(1).write.mode("overwrite").parquet(src)
+    new.filter("doc_id >= 250").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = streaming_near_dup_against_index(
+        stream, idx, "doc_id", "text", 0.6,
+        checkpoint_dir=str(tmp_path / "ck"), output_path=out_dir,
+    )
+    # availableNow semantics: drain what's there, then stop
+    import time
+    deadline = time.time() + 120
+    while q.isActive and time.time() < deadline:
+        progress = q.lastProgress
+        if progress and progress["numInputRows"] == 0 and progress["batchId"] >= 2:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+    got = {
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
