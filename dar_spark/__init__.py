@@ -36,6 +36,8 @@ __all__ = [
     "connected_components",
     "write_dedup_index",
     "dedup_against_index",
+    "write_ann_index",
+    "ann_against_index",
     "classify_text",
     "marker_classifier",
     "repetition_metrics",
@@ -90,4 +92,8 @@ def __getattr__(name):
         from dar_spark.operators import classify as _cl
 
         return getattr(_cl, name)
+    if name in ("write_ann_index", "ann_against_index"):
+        from dar_spark.operators import similarity as _sim
+
+        return getattr(_sim, name)
     raise AttributeError(f"module 'dar_spark' has no attribute {name!r}")

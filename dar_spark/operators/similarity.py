@@ -311,6 +311,83 @@ n AS (
 SELECT vec_id_a, vec_id_b, cos_sim FROM scored WHERE cos_sim >= {cos_threshold}"""
 
 
+def write_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> None:
+    """Persist the corpus side of SRP-LSH ANN: ``<path>/buckets``
+    (id, _v, _nrm, _b) pre-shuffled onto the bucket key, plus
+    ``<path>/meta`` (the plane count).  The 100 TB posture mirrors the
+    dedup index: the corpus is projected/normalized/bucketed ONCE per
+    index build; every query batch afterwards computes only its own
+    buckets and equi-joins the stored table (bucket it with
+    ``joins.write_bucketed`` on a cluster to erase the query-side
+    exchange).  The plane hash is deterministic, so a stored bucket is
+    valid forever for its n_planes — which therefore travels in meta and
+    is validated at read."""
+    e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
+    e = e.withColumn("_b", _bucket_expr("_v", n_planes))
+    e.select(id_col, "_v", "_nrm", "_b").repartition("_b").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/buckets")
+    meta = embeddings.sparkSession.createDataFrame(
+        [(n_planes,)], "n_planes int"
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ann_against_index(
+    queries: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    multiprobe: bool = True,
+    expected_n_planes: int | None = None,
+) -> DataFrame:
+    """Top-k neighbors of a query batch against a ``write_ann_index``
+    output — result-identical to ``srp_lsh_topk`` over the same corpus
+    with the index's plane count (pinned by tests/test_similarity.py).
+    Only the query batch is normalized and bucketed; the corpus arrives
+    as the stored bucket table."""
+    spark = queries.sparkSession
+    m = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    n_planes = m.n_planes
+    if expected_n_planes is not None and expected_n_planes != n_planes:
+        raise ValueError(
+            f"ANN index at {index_path} was built with n_planes="
+            f"{n_planes}, caller expected {expected_n_planes}"
+        )
+    corpus = spark.read.parquet(f"{index_path}/buckets")
+    q = _as_double_vec(queries.select(id_col, vec_col), vec_col)
+    q = q.withColumn("_qb", _bucket_expr("_v", n_planes)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_nrm").alias("_qn"),
+        "_qb",
+    )
+    probes = [F.col("_qb")]
+    if multiprobe:
+        probes += [_flip_bit(F.col("_qb"), p, n_planes) for p in range(n_planes)]
+    qp = q.select(
+        "query_id", "_qv", "_qn", F.explode(F.array(*probes)).alias("_b")
+    )
+    cand = qp.join(corpus, "_b").filter(F.expr(f"{id_col} <> query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _cosine("_qv", "_v", "_qn", "_nrm").alias("cos_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
+        .filter(f"rank_n <= {k}")
+    )
+
+
 def srp_lsh_topk(
     embeddings: DataFrame,
     id_col: str,

@@ -2080,6 +2080,41 @@ WHERE levenshtein(x, name) <= 1"""
     return Q(spark_fn, oracle)
 
 
+def _embed_lsh_topk_indexed_q() -> Q:
+    """Persisted-index ANN: the corpus buckets are written once
+    (similarity.write_ann_index under ``<repo>/.csvcache``) and the
+    query batch joins the STORED bucket table
+    (similarity.ann_against_index).  Same oracle as ``embed_lsh_topk``
+    — the index write -> read round-trip is under the value-hash check,
+    mirroring dedup_incremental_indexed."""
+    from dar_spark.operators.similarity import N_PLANES, srp_lsh_oracle_sql
+
+    def spark_fn(spark, sf_dir):
+        import hashlib
+        import os
+
+        from dar_spark.operators.similarity import (
+            ann_against_index,
+            write_ann_index,
+        )
+
+        t = load_tables(spark, sf_dir)
+        cache_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".csvcache",
+        )
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(cache_root, f"annidx-{tag}")
+        write_ann_index(t["embeddings"], path, "vec_id", "embedding")
+        queries = t["embeddings"].filter(f"vec_id % {TOPK_QUERY_STRIDE} = 0")
+        return ann_against_index(
+            queries, path, "vec_id", "embedding", k=TOPK_K,
+            expected_n_planes=N_PLANES,
+        )
+
+    return Q(spark_fn, srp_lsh_oracle_sql(TOPK_QUERY_STRIDE, TOPK_K))
+
+
 def _round4_queries() -> list[tuple[str, Q]]:
     """Queries added in round 4 — first in the registry so they land inside
     the external verification window (section 1 of build_registry)."""
@@ -2088,6 +2123,7 @@ def _round4_queries() -> list[tuple[str, Q]]:
         ("repetition_stats", _repetition_stats_q()),
         ("dedup_incremental_indexed", _dedup_incremental_q(indexed=True)),
         ("fuzzy_state_join", _fuzzy_state_join_q()),
+        ("embed_lsh_topk_indexed", _embed_lsh_topk_indexed_q()),
     ]
 
 

@@ -141,3 +141,36 @@ def test_dup_pairs_low_threshold_warns(spark):
             if issubclass(x.category, RuntimeWarning)
             and "near-duplicate regime" in str(x.message)
         ]
+
+
+def test_ann_index_roundtrip_matches_direct(spark, tmp_path):
+    """write_ann_index -> ann_against_index must equal srp_lsh_topk over
+    the same corpus, and refuse an index built with a different plane
+    count."""
+    import pytest
+
+    from dar_spark.operators.similarity import (
+        ann_against_index,
+        write_ann_index,
+    )
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    pred = "vec_id % 25 = 0"
+    direct = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank_n)
+        for r in srp_lsh_topk(e, "vec_id", "embedding", pred, k=5).collect()
+    }
+    idx = str(tmp_path / "annidx")
+    write_ann_index(e, idx, "vec_id", "embedding")
+    via_index = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank_n)
+        for r in ann_against_index(
+            e.filter(pred), idx, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    assert len(direct) > 0
+    assert via_index == direct
+
+    with pytest.raises(ValueError, match="n_planes"):
+        ann_against_index(e.filter(pred), idx, "vec_id", "embedding",
+                          expected_n_planes=12)
