@@ -54,15 +54,33 @@ def fuzzy_join(
     grow O(len^k) keys per string, and the k=1 neighborhood already
     covers the dominant dirty-data tier (single typo).  Larger radii
     should go through the ngram-Jaccard dedup operator instead.
+
+    Matches brute-force cross-join-plus-filter semantics exactly,
+    including input multiplicity: a pair sharing several deletion keys
+    is emitted once, but genuinely duplicate left (or right) rows each
+    produce their own output row — the dedup is on ephemeral per-row
+    ids, never on the data columns.
     """
     if max_dist != 1:
         raise ValueError(
             "fuzzy_join supports max_dist=1 (deletion-neighborhood depth 1); "
             "use ngram_jaccard_pairs for coarser similarity"
         )
-    lk = left.withColumn("_fk", F.explode(F.expr(deletion_keys_sql(left_col))))
-    rk = right.withColumn("_fk", F.explode(F.expr(deletion_keys_sql(right_col))))
-    cand = lk.join(rk, "_fk").drop("_fk").dropDuplicates()
+    # Ephemeral row identities let us collapse ONLY the join-induced
+    # multiplicity (one left row × one right row matching via several
+    # shared deletion keys) — long-keyed dedup, cheaper at scale than a
+    # distinct over wide string columns and correct for duplicate rows.
+    lk = left.withColumn("_lid", F.monotonically_increasing_id()).withColumn(
+        "_fk", F.explode(F.expr(deletion_keys_sql(left_col)))
+    )
+    rk = right.withColumn("_rid", F.monotonically_increasing_id()).withColumn(
+        "_fk", F.explode(F.expr(deletion_keys_sql(right_col)))
+    )
+    cand = (
+        lk.join(rk, "_fk")
+        .dropDuplicates(["_lid", "_rid"])
+        .drop("_fk", "_lid", "_rid")
+    )
     return cand.withColumn(
         "dist", F.expr(f"CAST(levenshtein({left_col}, {right_col}) AS INT)")
     ).filter(f"dist <= {max_dist}")

@@ -2038,11 +2038,12 @@ def _repetition_stats_q() -> Q:
 SELECT d.doc_id,
   len(d.t) AS n_tokens,
   round(CAST(uc.topu AS DOUBLE) / len(d.t), 6) AS top_unigram_frac,
-  round(CAST(COALESCE(bc.topb, 0) AS DOUBLE)
-        / greatest(len(d.t) - 1, 1), 6) AS top_bigram_frac,
+  CASE WHEN d.t IS NULL THEN NULL
+       ELSE round(CAST(COALESCE(bc.topb, 0) AS DOUBLE)
+                  / greatest(len(d.t) - 1, 1), 6) END AS top_bigram_frac,
   round(1.0 - CAST(len(list_distinct(d.t)) AS DOUBLE) / len(d.t), 6)
     AS dup_token_frac
-FROM docs d JOIN uc USING (doc_id) LEFT JOIN bc USING (doc_id)"""
+FROM docs d LEFT JOIN uc USING (doc_id) LEFT JOIN bc USING (doc_id)"""
     return Q(spark_fn, oracle)
 
 

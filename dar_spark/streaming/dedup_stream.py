@@ -71,11 +71,11 @@ def streaming_dedup(stream_df: DataFrame, id_col: str, text_col: str) -> DataFra
 def streaming_near_dup_against_index(
     stream_df: DataFrame,
     index_path: str,
+    output_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.6,
     checkpoint_dir: str | None = None,
-    output_path: str | None = None,
 ):
     """Streaming ingest-time NEAR-dup detection: each micro-batch is
     signed and joined against a ``dedup.write_dedup_index`` band table —
@@ -88,16 +88,35 @@ def streaming_near_dup_against_index(
     batch costs O(|batch|) signing + one band equi-join, identical to
     the batch ingest path (which the oracle query value-checks).
 
+    foreachBatch is at-least-once: after a failure/restart from
+    ``checkpoint_dir``, the recovered micro-batch re-runs.  The sink is
+    therefore idempotent — each batch writes to its own
+    ``batch_id=<n>`` partition with dynamic overwrite, so a replayed
+    batch replaces its previous output instead of appending duplicates.
+
     Returns the started StreamingQuery; rows land in ``output_path`` as
-    parquet (new_id, ref_id, jaccard).
+    parquet (new_id, ref_id, jaccard) partitioned by batch_id.
     """
     from dar_spark.operators.dedup import dedup_against_index
+
+    if not output_path:
+        raise ValueError(
+            "output_path is required (a None sink would only fail "
+            "asynchronously inside the first micro-batch)"
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         pairs = dedup_against_index(
             batch_df, index_path, id_col, text_col, jaccard_threshold
         )
-        pairs.write.mode("append").parquet(output_path)
+        # Idempotent replay: overwrite exactly this batch's partition.
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_path)
+        )
 
     w = stream_df.writeStream.foreachBatch(handle).outputMode("append")
     if checkpoint_dir:

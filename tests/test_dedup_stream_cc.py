@@ -148,8 +148,8 @@ def test_streaming_near_dup_against_index_batch_equivalence(spark, tmp_path):
     )
     out_dir = str(tmp_path / "out")
     q = streaming_near_dup_against_index(
-        stream, idx, "doc_id", "text", 0.6,
-        checkpoint_dir=str(tmp_path / "ck"), output_path=out_dir,
+        stream, idx, out_dir, "doc_id", "text", 0.6,
+        checkpoint_dir=str(tmp_path / "ck"),
     )
     # availableNow semantics: drain what's there, then stop
     import time
@@ -167,3 +167,30 @@ def test_streaming_near_dup_against_index_batch_equivalence(spark, tmp_path):
     }
     assert len(expected) > 0
     assert got == expected
+
+
+def test_connected_components_converged_input_single_round(spark):
+    """An already-converged graph (single edge, settles in round 1) must
+    be accepted with max_iter=1: the initial label sum is the seed, so
+    the first settled round is observable without an extra no-change
+    round."""
+    edges = spark.createDataFrame([(1, 1)], "doc_id_a long, doc_id_b long")
+    cc = {r.node: r.cluster_id for r in connected_components(edges, max_iter=1).collect()}
+    assert cc == {1: 1}
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches localCheckpoint -> reliable checkpoint();
+    labels must be identical under both modes."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 30) if i % 7 != 6],
+        "doc_id_a long, doc_id_b long",
+    )
+    local = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    reliable = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            edges, checkpoint_dir=str(tmp_path / "ck")
+        ).collect()
+    }
+    assert reliable == local and len(local) > 20

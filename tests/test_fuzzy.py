@@ -68,3 +68,18 @@ def test_fuzzy_join_matches_brute_force(spark):
         .collect()
     }
     assert fast == brute and len(brute) > 50
+
+
+def test_fuzzy_join_preserves_duplicate_left_rows(spark):
+    """Brute-force cross-join semantics include input multiplicity:
+    two identical left rows must each emit their matches (the dedup is
+    on join-induced key multiplicity only, never on data columns)."""
+    left = spark.createDataFrame(
+        [("texs",), ("texs",), ("utah",)], "x string"
+    )
+    right = spark.createDataFrame([("texas",), ("utah",)], "name string")
+    got = sorted(
+        (r.x, r.name, r.dist)
+        for r in fuzzy_join(left, right, "x", "name").collect()
+    )
+    assert got == [("texs", "texas", 1), ("texs", "texas", 1), ("utah", "utah", 0)]

@@ -157,3 +157,22 @@ def test_repetition_metrics_crafted_docs(spark):
     assert m[4].n_tokens == 1 and m[4].top_bigram_frac == 0.0
     kept = {r.doc_id for r in repetition_filter(docs).collect()}
     assert kept == {3}  # 4 fails top_unigram (1.0), 1 and 2 dominated
+
+
+def test_repetition_metrics_null_text_kept_with_null_metrics(spark):
+    """NULL-text rows are kept with NULL metrics (and the registry
+    oracle LEFT JOINs + NULL-guards to match — ADVICE r4)."""
+    from dar_spark.functions.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert set(rows) == {1, 2}
+    r2 = rows[2]
+    assert (
+        r2.n_tokens is None
+        and r2.top_unigram_frac is None
+        and r2.top_bigram_frac is None
+        and r2.dup_token_frac is None
+    )
