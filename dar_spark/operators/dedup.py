@@ -606,6 +606,7 @@ def embedding_dup_pairs(
     subset_pred: str | None = None,
     method: str = "lsh",
     n_planes: int = 8,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine: (id_a, id_b, cos_sim ≥ thr).
 
@@ -628,10 +629,22 @@ def embedding_dup_pairs(
         0.95            0.101     ~19%
         0.90            0.143     ~32%
 
-    The Hamming-1 probe assumes the NEAR-DUPLICATE regime (cos ≥ ~0.99).
-    Passing a lower threshold emits a RuntimeWarning — for broad
-    similarity sweeps use a wider probe radius, more bands, or
-    ``method='brute'`` on a subset.
+    With ONE band, Hamming-1 multiprobe assumes the NEAR-DUPLICATE
+    regime (cos ≥ ~0.99).  The BROAD-similarity regime (cos 0.8–0.98) is
+    served by ``n_bands`` > 1: each band is an INDEPENDENT set of
+    ``n_planes`` hyperplanes (the SRP analogue of MinHash banding);
+    candidates are the union over bands of same-band-bucket pairs (with
+    per-band Hamming-1 multiprobe), deduped per pair, then exact-cosine
+    verified.  With per-band candidate probability
+    q = (1−p)^n + n·p·(1−p)^(n−1), a pair is found with probability
+    1 − (1−q)^B.  At n_planes=8, cos_threshold=0.95 (p = θ/π ≈ 0.101):
+    q ≈ 0.81, so B=3 bands capture ~99.3% of boundary pairs vs 81% for
+    one band.  Cost scales linearly with B: each band adds one exploded
+    probe set and one equi-join shuffle's worth of rows — still O(B·N)
+    on uniform keys, never all-pairs.
+
+    A configuration whose expected boundary miss rate exceeds 5% emits a
+    RuntimeWarning with the band count that would fix it.
 
     ``method='brute'``: the exact O(n²) pair join, for small subsets and
     as the verification baseline (the old general path — a
@@ -639,23 +652,26 @@ def embedding_dup_pairs(
     """
     from dar_spark.operators.similarity import _as_double_vec, _bucket_expr, _flip_bit
 
-    if method == "lsh" and cos_threshold < 0.98:
+    if method == "lsh":
         import math
-        import warnings
 
         p = math.acos(min(max(cos_threshold, -1.0), 1.0)) / math.pi
         n = n_planes
-        miss = 1.0 - (1.0 - p) ** n - n * p * (1.0 - p) ** (n - 1)
-        warnings.warn(
-            f"embedding_dup_pairs(method='lsh') with cos_threshold="
-            f"{cos_threshold} is outside the near-duplicate regime the "
-            f"Hamming-1 multiprobe assumes: ~{miss:.0%} of true pairs at "
-            f"the threshold boundary will be missed (n_planes={n}). Use "
-            f"method='brute' on a subset or a wider probe for broad "
-            f"similarity sweeps.",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+        q = (1.0 - p) ** n + n * p * (1.0 - p) ** (n - 1)
+        miss = (1.0 - q) ** n_bands
+        if miss > 0.05:
+            import warnings
+
+            need = max(1, math.ceil(math.log(0.05) / math.log(1.0 - q)))
+            warnings.warn(
+                f"embedding_dup_pairs(method='lsh') at cos_threshold="
+                f"{cos_threshold} with n_planes={n}, n_bands={n_bands} "
+                f"misses ~{miss:.0%} of true pairs at the threshold "
+                f"boundary; use n_bands>={need} for <=5% miss, or "
+                f"method='brute' on a subset.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     e = df.select(F.col(id_col), F.col(vec_col))
     if subset_pred:
@@ -666,25 +682,39 @@ def embedding_dup_pairs(
         b = e.select(F.col(id_col).alias("vec_id_b"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb"))
         pairs = a.join(b, F.expr("vec_id_a < vec_id_b"))
     elif method == "lsh":
-        e = e.withColumn("_b", _bucket_expr("_v", n_planes))
-        probes = [F.col("_b")] + [
-            _flip_bit(F.col("_b"), p, n_planes) for p in range(n_planes)
-        ]
+        for t in range(n_bands):
+            e = e.withColumn(f"_b{t}", _bucket_expr("_v", n_planes, band=t))
+        # band-prefixed keys keep band t buckets joinable only with band
+        # t buckets — one equi-join carries all bands at once
+        a_probes: list = []
+        b_keys: list = []
+        for t in range(n_bands):
+            bt = F.col(f"_b{t}")
+            pre = F.lit(f"{t}:")
+            a_probes.append(F.concat(pre, bt))
+            a_probes += [
+                F.concat(pre, _flip_bit(bt, p, n_planes))
+                for p in range(n_planes)
+            ]
+            b_keys.append(F.concat(pre, bt))
         a = e.select(
             F.col(id_col).alias("vec_id_a"),
             F.col("_v").alias("va"),
             F.col("_nrm").alias("na"),
-            F.explode(F.array(*probes)).alias("_b"),
+            F.explode(F.array(*a_probes)).alias("_b"),
         )
         b = e.select(
             F.col(id_col).alias("vec_id_b"),
             F.col("_v").alias("vb"),
             F.col("_nrm").alias("nb"),
-            "_b",
+            F.explode(F.array(*b_keys)).alias("_b"),
         )
-        # a pair matches through exactly one probe (probe strings are
-        # distinct and b's bucket is fixed), so no pair-level dedup needed
         pairs = a.join(b, "_b").filter("vec_id_a < vec_id_b")
+        if n_bands > 1:
+            # within one band a pair matches through exactly one probe,
+            # but several bands can each find the same pair — dedup on
+            # the two long ids (cheap), never on the vector payload
+            pairs = pairs.dropDuplicates(["vec_id_a", "vec_id_b"])
     else:
         raise ValueError(f"unknown method {method!r}")
     return pairs.selectExpr(

@@ -79,11 +79,16 @@ def _plane_component(j: int) -> str:
     )
 
 
-def _bucket_expr(vec: str, n_planes: int = N_PLANES) -> Column:
-    """n-bit sign bucket string for a double-array column."""
+def _bucket_expr(vec: str, n_planes: int = N_PLANES, band: int = 0) -> Column:
+    """n-bit sign bucket string for a double-array column.
+
+    ``band`` selects an INDEPENDENT plane set (global plane index
+    ``band * n_planes + j``), so banded LSH draws fresh hyperplanes per
+    band from the same deterministic hash; band 0 is the original set.
+    """
     bits = []
     for j in range(n_planes):
-        comp = _plane_component(j)
+        comp = _plane_component(band * n_planes + j)
         dot = (
             f"aggregate(zip_with({vec}, transform(sequence(1, size({vec})), "
             f"i -> {comp}), (x, y) -> x * y), 0D, (a, x) -> a + x)"
@@ -263,13 +268,19 @@ SELECT query_id, neighbor_id, cos_sim, rank_n FROM r WHERE rank_n <= {k}"""
 
 
 def srp_pairs_oracle_sql(
-    source_sql: str, cos_threshold: float, n_planes: int = N_PLANES
+    source_sql: str,
+    cos_threshold: float,
+    n_planes: int = N_PLANES,
+    n_bands: int = 1,
 ) -> str:
     """DuckDB twin of ``dedup.embedding_dup_pairs(method='lsh')``.
 
     ``source_sql`` must select ``(vec_id, v)`` with v a DOUBLE list; the
     bucketing/multiprobe/cosine mirrors the Spark plan from the same
     plane constants with left-fold dot products (see srp_lsh_oracle_sql).
+    ``n_bands`` > 1 mirrors the banded plan: one independent plane set
+    per band (global plane index band*n_planes+j), band-prefixed bucket
+    keys, candidates unioned across bands and deduped per pair.
     """
 
     def fold(products: str) -> str:
@@ -278,34 +289,44 @@ def srp_pairs_oracle_sql(
             f"(a, x) -> a + x)"
         )
 
-    bits = []
-    for j in range(n_planes):
-        prods = (
-            f"list_transform(generate_series(1, len(v)), "
-            f"i -> v[i] * {_plane_component(j)})"
-        )
-        bits.append(f"CASE WHEN {fold(prods)} >= 0 THEN '1' ELSE '0' END")
-    bucket = "concat(" + ", ".join(bits) + ")"
+    band_buckets = []
+    for t in range(n_bands):
+        bits = []
+        for j in range(n_planes):
+            prods = (
+                f"list_transform(generate_series(1, len(v)), "
+                f"i -> v[i] * {_plane_component(t * n_planes + j)})"
+            )
+            bits.append(f"CASE WHEN {fold(prods)} >= 0 THEN '1' ELSE '0' END")
+        band_buckets.append("concat(" + ", ".join(bits) + ")")
+    bs = "[" + ", ".join(band_buckets) + "]"
     flip = (
-        "substr(b0, 1, p - 1) || "
-        "(CASE WHEN substr(b0, p, 1) = '1' THEN '0' ELSE '1' END) || "
-        "substr(b0, p + 1)"
+        "substr(bt, 1, p - 1) || "
+        "(CASE WHEN substr(bt, p, 1) = '1' THEN '0' ELSE '1' END) || "
+        "substr(bt, p + 1)"
     )
     cos_prods = "list_transform(generate_series(1, len(va)), i -> va[i] * vb[i])"
     return f"""WITH src AS ({source_sql}),
 n AS (
   SELECT vec_id, v,
          sqrt({fold('list_transform(v, x -> x * x)')}) AS nrm,
-         {bucket} AS b0
+         {bs} AS bs
   FROM src
 ), a AS (
   SELECT vec_id AS vec_id_a, v AS va, nrm AS na,
-         CASE WHEN p = 0 THEN b0 ELSE {flip} END AS b
-  FROM n CROSS JOIN range(0, {n_planes + 1}) t(p)
+         CAST(t AS VARCHAR) || ':' ||
+           (CASE WHEN p = 0 THEN bt ELSE {flip} END) AS b
+  FROM (SELECT *, bs[t + 1] AS bt
+        FROM n CROSS JOIN range(0, {n_bands}) tt(t))
+       CROSS JOIN range(0, {n_planes + 1}) pp(p)
+), bb AS (
+  SELECT vec_id, v AS vb, nrm,
+         CAST(t AS VARCHAR) || ':' || bs[t + 1] AS b
+  FROM n CROSS JOIN range(0, {n_bands}) tt(t)
 ), scored AS (
-  SELECT a.vec_id_a, bb.vec_id AS vec_id_b,
+  SELECT DISTINCT a.vec_id_a, bb.vec_id AS vec_id_b,
          round({fold(cos_prods)} / (a.na * bb.nrm), 6) AS cos_sim
-  FROM a JOIN (SELECT vec_id, v AS vb, nrm, b0 FROM n) bb ON a.b = bb.b0
+  FROM a JOIN bb ON a.b = bb.b
   WHERE a.vec_id_a < bb.vec_id
 )
 SELECT vec_id_a, vec_id_b, cos_sim FROM scored WHERE cos_sim >= {cos_threshold}"""

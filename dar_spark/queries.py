@@ -1838,7 +1838,11 @@ def build_registry() -> dict[str, Q]:
     """
     r: dict[str, Q] = {}
 
-    # -- 0. new this round (r4) ---------------------------------------------
+    # -- 0. new this round (r5) ---------------------------------------------
+    for name, q in _round5_queries():
+        r[name] = q
+
+    # -- 0b. checked green once in r04 --------------------------------------
     for name, q in _round4_queries():
         r[name] = q
 
@@ -2114,6 +2118,99 @@ def _embed_lsh_topk_indexed_q() -> Q:
         )
 
     return Q(spark_fn, srp_lsh_oracle_sql(TOPK_QUERY_STRIDE, TOPK_K))
+
+
+BANDED_COS_THRESHOLD = 0.95  # broad-similarity regime, NOT near-dup
+BANDED_NOISE_SCALE = 0.1  # perturbation putting injected pairs at cos ~0.92-0.98
+BANDED_N_BANDS = 3  # ~99.3% boundary recall at n_planes=8 (see dedup.py)
+
+
+def _embed_dup_pairs_banded_q() -> Q:
+    """Banded SRP-LSH in the BROAD-similarity regime (operators/dedup.py
+    embedding_dup_pairs n_bands>1): every vec_id%3 group gets its
+    leader's vector perturbed by deterministic integer-hash noise, so
+    within-group cosines spread across ~0.92-0.98 and the 0.95 threshold
+    actually bites at the boundary.  Three independent 8-plane bands
+    (union of candidates, per-pair dedup, exact-cosine verify) replace
+    the single-band Hamming-1 probe that is only valid for cos>=0.99.
+    The oracle is the exact DuckDB twin of the banded plan (same plane
+    constants, same left-fold IEEE arithmetic), so band bucketing,
+    cross-band dedup, and the boundary filter are all under the
+    value-hash."""
+
+    def noise_term(idx: str, vid: str) -> str:
+        # identical token-for-token arithmetic in both engines: BIGINT
+        # hash -> DOUBLE in [0,1) -> centered -> scaled
+        return (
+            f"{BANDED_NOISE_SCALE} * (CAST(((CAST({idx} AS BIGINT) * 2246822519 "
+            f"+ {vid} * 3266489917 + 119) % 1000003) AS DOUBLE) "
+            f"/ 1000003.0 - 0.5)"
+        )
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dedup import embedding_dup_pairs
+
+        t = load_tables(spark, sf_dir)
+        e = t["embeddings"].select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+        rep = e.select(F.col("vec_id").alias("rep_id"), F.col("v").alias("rep_v"))
+        perturbed = (
+            "transform(sequence(1, size(rep_v)), "
+            f"i -> element_at(rep_v, i) + {noise_term('i', 'vec_id')})"
+        )
+        c = (
+            e.select("vec_id", F.expr("vec_id - vec_id % 3").alias("rep_id"))
+            .join(rep, "rep_id")
+            .select(
+                "vec_id",
+                F.expr(
+                    f"CASE WHEN vec_id % 3 = 0 THEN rep_v ELSE {perturbed} END"
+                ).alias("v"),
+            )
+        )
+        return embedding_dup_pairs(
+            c, "vec_id", "v",
+            cos_threshold=BANDED_COS_THRESHOLD,
+            method="lsh",
+            n_bands=BANDED_N_BANDS,
+        )
+
+    from dar_spark.operators.similarity import srp_pairs_oracle_sql
+
+    src = f"""SELECT a.vec_id,
+  CASE WHEN a.vec_id % 3 = 0 THEN b.v
+       ELSE list_transform(generate_series(1, len(b.v)),
+            i -> b.v[i] + {_noise_sql_i()}) END AS v
+FROM (SELECT vec_id FROM embeddings) a
+JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings) b
+  ON b.vec_id = a.vec_id - (a.vec_id % 3)"""
+    return Q(
+        spark_fn,
+        srp_pairs_oracle_sql(
+            src, BANDED_COS_THRESHOLD, n_bands=BANDED_N_BANDS
+        ),
+    )
+
+
+def _noise_sql_i() -> str:
+    """DuckDB spelling of the perturbation term (vec_id comes from the
+    outer query's a.vec_id; i from generate_series)."""
+    return (
+        f"{BANDED_NOISE_SCALE} * (CAST(((CAST(i AS BIGINT) * 2246822519 "
+        f"+ a.vec_id * 3266489917 + 119) % 1000003) AS DOUBLE) "
+        f"/ 1000003.0 - 0.5)"
+    )
+
+
+def _round5_queries() -> list[tuple[str, Q]]:
+    """Queries added in round 5 — first in the registry so they land inside
+    the external verification window (section 0 of build_registry)."""
+    return [
+        ("embed_dup_pairs_banded", _embed_dup_pairs_banded_q()),
+    ]
 
 
 def _round4_queries() -> list[tuple[str, Q]]:

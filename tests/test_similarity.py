@@ -119,28 +119,36 @@ def test_srp_n_planes_dial(spark):
 
 
 def test_dup_pairs_low_threshold_warns(spark):
-    """embedding_dup_pairs(method='lsh') below the near-dup regime must
-    warn about the multiprobe miss rate (and not warn above it)."""
+    """embedding_dup_pairs(method='lsh') with a band count insufficient
+    for the threshold must warn with the fixing band count — and a
+    sufficient configuration (more bands, or near-dup regime) must
+    not."""
     import warnings
 
     from dar_spark.operators.dedup import embedding_dup_pairs
+
+    def regime_warnings(w):
+        return [
+            x
+            for x in w
+            if issubclass(x.category, RuntimeWarning)
+            and "misses ~" in str(x.message)
+        ]
 
     e = load_tables(spark, SF_DIR)["embeddings"]
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         embedding_dup_pairs(e, "vec_id", "embedding", cos_threshold=0.95)
-        assert any("near-duplicate regime" in str(x.message) for x in w)
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        embedding_dup_pairs(e, "vec_id", "embedding", cos_threshold=0.999)
-        # only the operator's own regime warning matters — unrelated
-        # Spark/pandas deprecation warnings must not fail the test
-        assert not [
-            x
-            for x in w
-            if issubclass(x.category, RuntimeWarning)
-            and "near-duplicate regime" in str(x.message)
-        ]
+        (msg,) = regime_warnings(w)
+        assert "n_bands>=2" in str(msg.message)
+    for kwargs in (
+        {"cos_threshold": 0.95, "n_bands": 3},
+        {"cos_threshold": 0.999},
+    ):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            embedding_dup_pairs(e, "vec_id", "embedding", **kwargs)
+            assert not regime_warnings(w)
 
 
 def test_ann_index_roundtrip_matches_direct(spark, tmp_path):
@@ -174,3 +182,94 @@ def test_ann_index_roundtrip_matches_direct(spark, tmp_path):
     with pytest.raises(ValueError, match="n_planes"):
         ann_against_index(e.filter(pred), idx, "vec_id", "embedding",
                           expected_n_planes=12)
+
+
+def _perturbed_corpus(spark):
+    """Every vec_id%3 group shares its leader's vector perturbed by
+    deterministic hash noise — within-group cosines spread ~0.92-0.98
+    (the broad-similarity regime, same construction as the
+    embed_dup_pairs_banded registry query)."""
+    from dar_spark.queries import BANDED_NOISE_SCALE
+
+    e = load_tables(spark, SF_DIR)["embeddings"].select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    rep = e.select(F.col("vec_id").alias("rep_id"), F.col("v").alias("rep_v"))
+    perturbed = (
+        "transform(sequence(1, size(rep_v)), "
+        f"i -> element_at(rep_v, i) + {BANDED_NOISE_SCALE} * "
+        "(CAST(((CAST(i AS BIGINT) * 2246822519 + vec_id * 3266489917 + 119) "
+        "% 1000003) AS DOUBLE) / 1000003.0 - 0.5))"
+    )
+    return (
+        e.select("vec_id", F.expr("vec_id - vec_id % 3").alias("rep_id"))
+        .join(rep, "rep_id")
+        .select(
+            "vec_id",
+            F.expr(f"CASE WHEN vec_id % 3 = 0 THEN rep_v ELSE {perturbed} END").alias("v"),
+        )
+    )
+
+
+def test_banded_srp_recall_vs_brute(spark):
+    """At cos_threshold=0.95 (broad regime), 3 bands must recover
+    >=95% of the true pairs (theory: ~99.3%) while the single-band
+    Hamming-1 probe misses materially more — the band count is the
+    recall dial."""
+    import warnings
+
+    from dar_spark.operators.dedup import embedding_dup_pairs
+
+    c = _perturbed_corpus(spark)
+    brute = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in embedding_dup_pairs(
+            c, "vec_id", "v", cos_threshold=0.95, method="brute"
+        ).collect()
+    }
+    assert len(brute) > 100
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        banded = {
+            (r.vec_id_a, r.vec_id_b)
+            for r in embedding_dup_pairs(
+                c, "vec_id", "v", cos_threshold=0.95, method="lsh", n_bands=3
+            ).collect()
+        }
+        single = {
+            (r.vec_id_a, r.vec_id_b)
+            for r in embedding_dup_pairs(
+                c, "vec_id", "v", cos_threshold=0.95, method="lsh", n_bands=1
+            ).collect()
+        }
+    assert banded <= brute and single <= brute  # no false positives ever
+    assert len(banded) / len(brute) >= 0.95
+    assert len(banded) >= len(single)
+
+
+def test_banded_srp_single_band_unchanged(spark):
+    """n_bands=1 must reproduce the pre-banding plan's results exactly
+    (band 0 uses the original plane set)."""
+    from dar_spark.operators.dedup import embedding_dup_pairs
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    rep = e.selectExpr("vec_id AS rep_id", "embedding AS rv")
+    dup = (
+        e.selectExpr("vec_id", "vec_id - vec_id % 3 AS rep_id")
+        .join(rep, "rep_id")
+        .select("vec_id", F.col("rv").alias("embedding"))
+    )
+    got = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in embedding_dup_pairs(
+            dup, "vec_id", "embedding", cos_threshold=0.999
+        ).collect()
+    }
+    # every within-group pair is an exact duplicate pair -> must be found
+    n = e.count()
+    expected = set()
+    for leader in range(0, n, 3):
+        ids = [i for i in (leader, leader + 1, leader + 2) if i < n]
+        expected |= {(a, b) for a in ids for b in ids if a < b}
+    assert got == expected
