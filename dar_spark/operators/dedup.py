@@ -291,21 +291,87 @@ def write_dedup_index(
     table is only joinable against a batch signed with the SAME
     (shingle_n, n_bands, rows_per_band) — ``dedup_against_index``
     validates and refuses a mismatch.
+
+    The band/shingle tables are partitioned by an ``ingest`` label
+    (``base`` for the initial build); ``append_to_dedup_index`` grows
+    the index by writing new labels, and replay-safe writers overwrite
+    exactly their own label's partition.
     """
     sh, bands = _sign_and_band(
         ref, id_col, text_col, shingle_n, n_bands, rows_per_band, "ref_id"
     )
-    bands.repartition("bi", "bk").write.mode("overwrite").parquet(
-        f"{path}/bands"
+    (
+        bands.repartition("bi", "bk")
+        .withColumn("ingest", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("ingest")
+        .parquet(f"{path}/bands")
     )
-    sh.select(F.col(id_col).alias("ref_id"), "s").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/shingles")
+    (
+        sh.select(F.col(id_col).alias("ref_id"), "s")
+        .withColumn("ingest", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("ingest")
+        .parquet(f"{path}/shingles")
+    )
     meta = ref.sparkSession.createDataFrame(
         [(shingle_n, n_bands, rows_per_band)],
         "shingle_n int, n_bands int, rows_per_band int",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_to_dedup_index(
+    new: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ingest_label: str | None = None,
+) -> str:
+    """Grow a ``write_dedup_index`` output with an accepted batch — sign
+    the batch with the index's STORED parameters (read from meta, so the
+    appended rows are joinable by construction) and write it as a new
+    ``ingest=<label>`` partition of the band/shingle tables.  No rebuild:
+    cost is O(|batch|) signing + two partitioned writes, never a rescan
+    of the existing index — the lifecycle a production ingest pipeline
+    needs when the reference is 100 TB and batches arrive hourly.
+
+    Replay safety: the write overwrites exactly the ``ingest_label``
+    partition (dynamic partition overwrite), so a retried append with
+    the same label replaces itself instead of duplicating rows.  Pass an
+    explicit, stable label from at-least-once callers (the streaming
+    ingest uses ``stream-<batch_id>``); the default label numbers itself
+    after the existing partitions, which is only safe for one writer at
+    a time.  Caller contract: batch ids must be disjoint from ids
+    already in the index (checking would scan the index; dedup the batch
+    against the index FIRST — that is the normal call order).
+
+    Returns the ingest label used.
+    """
+    spark = new.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    if ingest_label is None:
+        existing = (
+            spark.read.parquet(f"{path}/bands")
+            .select("ingest").distinct().count()
+        )
+        ingest_label = f"append-{existing}"
+    sh, bands = _sign_and_band(
+        new, id_col, text_col, m.shingle_n, m.n_bands, m.rows_per_band,
+        "ref_id",
+    )
+    for df, sub in (
+        (bands.repartition("bi", "bk"), "bands"),
+        (sh.select(F.col(id_col).alias("ref_id"), "s"), "shingles"),
+    ):
+        (
+            df.withColumn("ingest", F.lit(ingest_label))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest")
+            .parquet(f"{path}/{sub}")
+        )
+    return ingest_label
 
 
 def dedup_against_index(

@@ -348,16 +348,66 @@ def write_ann_index(
     ``joins.write_bucketed`` on a cluster to erase the query-side
     exchange).  The plane hash is deterministic, so a stored bucket is
     valid forever for its n_planes — which therefore travels in meta and
-    is validated at read."""
+    is validated at read.
+
+    The bucket table is partitioned by an ``ingest`` label (``base`` for
+    the initial build); ``append_to_ann_index`` grows the index by
+    writing new labels with replay-safe partition overwrite."""
     e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
     e = e.withColumn("_b", _bucket_expr("_v", n_planes))
-    e.select(id_col, "_v", "_nrm", "_b").repartition("_b").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/buckets")
+    (
+        e.select(id_col, "_v", "_nrm", "_b")
+        .repartition("_b")
+        .withColumn("ingest", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("ingest")
+        .parquet(f"{path}/buckets")
+    )
     meta = embeddings.sparkSession.createDataFrame(
         [(n_planes,)], "n_planes int"
     )
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_to_ann_index(
+    new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ingest_label: str | None = None,
+) -> str:
+    """Grow a ``write_ann_index`` output with a new vector batch: bucket
+    the batch with the index's STORED plane count (so appended rows are
+    joinable by construction) and write it as a new ``ingest=<label>``
+    partition — O(|batch|), no rebuild, no rescan of the stored corpus.
+
+    Same replay contract as ``append_to_dedup_index``: an explicit
+    stable label makes retries overwrite themselves; the default label
+    numbers itself after existing partitions (single writer only).
+    Caller must ensure batch ids are disjoint from the stored corpus.
+
+    Returns the ingest label used.
+    """
+    spark = new.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    if ingest_label is None:
+        existing = (
+            spark.read.parquet(f"{path}/buckets")
+            .select("ingest").distinct().count()
+        )
+        ingest_label = f"append-{existing}"
+    e = _as_double_vec(new.select(id_col, vec_col), vec_col)
+    e = e.withColumn("_b", _bucket_expr("_v", m.n_planes))
+    (
+        e.select(id_col, "_v", "_nrm", "_b")
+        .repartition("_b")
+        .withColumn("ingest", F.lit(ingest_label))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest")
+        .parquet(f"{path}/buckets")
+    )
+    return ingest_label
 
 
 def ann_against_index(

@@ -700,7 +700,10 @@ FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {MINHASH_JACCARD_THRESHOLD})""
 INGEST_NEW_PRED = "doc_id % 5 = 4"
 
 
-def _dedup_incremental_q(indexed: bool = False) -> Q:
+APPEND_BATCH_PRED = "doc_id % 5 = 3"  # the batch grown into the index
+
+
+def _dedup_incremental_q(indexed: bool = False, appended: bool = False) -> Q:
     """Incremental-ingest dedup: the corpus splits into an existing
     reference (80%) and a new batch (20%); bipartite minhash banding
     finds each new doc's near-dups in the reference without re-pairing
@@ -711,7 +714,15 @@ def _dedup_incremental_q(indexed: bool = False) -> Q:
     parquet under ``<repo>/.csvcache``) and the ingest joins against the
     STORED tables (``dedup.dedup_against_index``) — same oracle, so the
     index write -> read round-trip is itself under the value-hash check,
-    like the CSV source query."""
+    like the CSV source query.
+
+    ``appended=True`` additionally exercises the index LIFECYCLE: the
+    reference is split 3:1, the index is built from the larger part and
+    GROWN with ``dedup.append_to_dedup_index`` on the rest, then the new
+    batch dedups against the grown index.  The oracle is the identical
+    bipartite formulation against the full reference — i.e. the
+    value-hash asserts append == rebuild, the round-trip-oracle pattern
+    applied to index growth."""
 
     def spark_fn(spark, sf_dir):
         from dar_spark.operators.dedup import minhash_pairs_against
@@ -724,6 +735,7 @@ def _dedup_incremental_q(indexed: bool = False) -> Q:
             import os
 
             from dar_spark.operators.dedup import (
+                append_to_dedup_index,
                 dedup_against_index,
                 write_dedup_index,
             )
@@ -733,8 +745,19 @@ def _dedup_incremental_q(indexed: bool = False) -> Q:
                 ".csvcache",
             )
             tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-            path = os.path.join(cache_root, f"dedupidx-{tag}")
-            write_dedup_index(ref, path, "doc_id", "text")
+            kind = "dedupgrown" if appended else "dedupidx"
+            path = os.path.join(cache_root, f"{kind}-{tag}")
+            if appended:
+                write_dedup_index(
+                    ref.filter(f"NOT ({APPEND_BATCH_PRED})"), path,
+                    "doc_id", "text",
+                )
+                append_to_dedup_index(
+                    ref.filter(APPEND_BATCH_PRED), path, "doc_id", "text",
+                    ingest_label="grow-0",
+                )
+            else:
+                write_dedup_index(ref, path, "doc_id", "text")
             return dedup_against_index(
                 new, path, "doc_id", "text",
                 jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
@@ -2210,6 +2233,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
     the external verification window (section 0 of build_registry)."""
     return [
         ("embed_dup_pairs_banded", _embed_dup_pairs_banded_q()),
+        ("dedup_index_append", _dedup_incremental_q(indexed=True, appended=True)),
     ]
 
 

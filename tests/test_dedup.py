@@ -179,3 +179,47 @@ def test_dedup_index_roundtrip_matches_direct(spark, tmp_path):
         dedup_against_index(
             new, idx, "doc_id", "text", 0.6, expected_params=(4, 8, 2)
         )
+
+
+def test_append_to_dedup_index_equals_rebuild(spark, tmp_path):
+    """Index lifecycle: build(ref1) + append(ref2) must dedup a batch
+    identically to build(ref1 ∪ ref2), and a replayed append with the
+    same label must overwrite itself (at-least-once safety)."""
+    from dar_spark.operators.dedup import (
+        append_to_dedup_index,
+        dedup_against_index,
+        write_dedup_index,
+    )
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    rep = docs.selectExpr("doc_id - doc_id % 3 AS rep_id", "doc_id").join(
+        docs.selectExpr("doc_id AS rep_id", "text"), "rep_id"
+    ).select("doc_id", "text")
+    new = rep.filter("doc_id % 5 = 4")
+    ref1 = rep.filter("doc_id % 5 IN (0, 1)")
+    ref2 = rep.filter("doc_id % 5 IN (2, 3)")
+
+    full = str(tmp_path / "full")
+    write_dedup_index(ref1.unionByName(ref2), full, "doc_id", "text")
+    expected = {
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in dedup_against_index(new, full, "doc_id", "text", 0.6).collect()
+    }
+
+    grown = str(tmp_path / "grown")
+    write_dedup_index(ref1, grown, "doc_id", "text")
+    label = append_to_dedup_index(ref2, grown, "doc_id", "text")
+    got = {
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in dedup_against_index(new, grown, "doc_id", "text", 0.6).collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
+
+    # replay: same label again -> partition overwritten, result unchanged
+    append_to_dedup_index(ref2, grown, "doc_id", "text", ingest_label=label)
+    replayed = {
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in dedup_against_index(new, grown, "doc_id", "text", 0.6).collect()
+    }
+    assert replayed == expected

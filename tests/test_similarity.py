@@ -273,3 +273,43 @@ def test_banded_srp_single_band_unchanged(spark):
         ids = [i for i in (leader, leader + 1, leader + 2) if i < n]
         expected |= {(a, b) for a in ids for b in ids if a < b}
     assert got == expected
+
+
+def test_append_to_ann_index_equals_rebuild(spark, tmp_path):
+    """ANN index lifecycle: build(half) + append(half) must answer a
+    query batch identically to a full rebuild, and a replayed append
+    with the same label must overwrite itself."""
+    from dar_spark.operators.similarity import (
+        ann_against_index,
+        append_to_ann_index,
+        write_ann_index,
+    )
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    half1 = e.filter("vec_id % 2 = 0")
+    half2 = e.filter("vec_id % 2 = 1")
+    q = e.filter("vec_id % 25 = 0")
+
+    full = str(tmp_path / "full")
+    write_ann_index(e, full, "vec_id", "embedding")
+    expected = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank_n)
+        for r in ann_against_index(q, full, "vec_id", "embedding", k=5).collect()
+    }
+
+    grown = str(tmp_path / "grown")
+    write_ann_index(half1, grown, "vec_id", "embedding")
+    label = append_to_ann_index(half2, grown, "vec_id", "embedding")
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank_n)
+        for r in ann_against_index(q, grown, "vec_id", "embedding", k=5).collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
+
+    append_to_ann_index(half2, grown, "vec_id", "embedding", ingest_label=label)
+    replayed = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank_n)
+        for r in ann_against_index(q, grown, "vec_id", "embedding", k=5).collect()
+    }
+    assert replayed == expected
