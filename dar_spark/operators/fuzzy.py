@@ -25,19 +25,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def deletion_keys_sql(col: str) -> str:
-    """Array of FastSS depth-1 keys for a string column: the string plus
-    every single-character deletion (deduplicated).  Empty strings keep
-    just themselves (sequence(1, 0) would generate a DESCENDING range in
-    Spark, not an empty one)."""
-    variants = (
+def deletion_keys_sql(col: str, depth: int = 1) -> str:
+    """Array of FastSS deletion-neighborhood keys for a string column:
+    the string plus every single-character deletion, and with
+    ``depth=2`` also every two-character deletion (positions i < j of
+    the ORIGINAL string), all deduplicated.  Empty strings keep just
+    themselves (sequence(1, 0) would generate a DESCENDING range in
+    Spark, not an empty one); the depth-2 tier guards length >= 2 the
+    same way."""
+    if depth not in (1, 2):
+        raise ValueError(f"deletion depth must be 1 or 2, got {depth}")
+    d1 = (
         f"transform(sequence(1, length({col})), "
         f"i -> concat(substr({col}, 1, i - 1), substr({col}, i + 1)))"
     )
+    keys = f"array_union(array({col}), {d1})"
+    if depth == 2:
+        # delete original positions i < j: chars 1..i-1, i+1..j-1, j+1..
+        d2 = (
+            f"flatten(transform(sequence(1, length({col}) - 1), "
+            f"i -> transform(sequence(i + 1, length({col})), "
+            f"j -> concat(substr({col}, 1, i - 1), "
+            f"substr({col}, i + 1, j - i - 1), substr({col}, j + 1)))))"
+        )
+        keys = (
+            f"CASE WHEN length({col}) < 2 THEN {keys} "
+            f"ELSE array_union({keys}, array_distinct({d2})) END"
+        )
     return (
         f"CASE WHEN length({col}) = 0 OR {col} IS NULL THEN array({col}) "
-        f"ELSE array_union(array({col}), {variants}) END"
+        f"ELSE {keys} END"
     )
+
+
+MAX_KEY_LEN_D2 = 64  # depth-2 key-count guard: 64 chars -> ~2 081 keys/string
 
 
 def fuzzy_join(
@@ -46,14 +67,20 @@ def fuzzy_join(
     left_col: str,
     right_col: str,
     max_dist: int = 1,
+    max_key_len: int = MAX_KEY_LEN_D2,
 ) -> DataFrame:
     """Inner join of ``left`` and ``right`` on edit distance ≤ max_dist
     between ``left_col`` and ``right_col``; appends a ``dist`` column.
 
-    Only ``max_dist=1`` is supported: depth-k deletion neighborhoods
-    grow O(len^k) keys per string, and the k=1 neighborhood already
-    covers the dominant dirty-data tier (single typo).  Larger radii
-    should go through the ngram-Jaccard dedup operator instead.
+    ``max_dist`` of 1 or 2 (FastSS deletion-neighborhood depth = the
+    radius; two strings within distance k always share a depth-k
+    deletion key, so candidates are provably complete and exact
+    levenshtein verifies them).  Depth 2 generates O(len²/2) keys per
+    string (~100 for a 14-char state name), which is why it is a
+    dictionary-join radius, not a free-text one: strings longer than
+    ``max_key_len`` raise rather than silently exploding the key space
+    (64 chars is already ~2 081 keys/row; use ngram_jaccard_pairs for
+    long-string similarity).
 
     Matches brute-force cross-join-plus-filter semantics exactly,
     including input multiplicity: a pair sharing several deletion keys
@@ -61,20 +88,32 @@ def fuzzy_join(
     produce their own output row — the dedup is on ephemeral per-row
     ids, never on the data columns.
     """
-    if max_dist != 1:
+    if max_dist not in (1, 2):
         raise ValueError(
-            "fuzzy_join supports max_dist=1 (deletion-neighborhood depth 1); "
-            "use ngram_jaccard_pairs for coarser similarity"
+            "fuzzy_join supports max_dist in (1, 2) (deletion-neighborhood "
+            "depth 1/2); use ngram_jaccard_pairs for coarser similarity"
         )
+    if max_dist == 2:
+        # loud guard, not a silent truncation: one over-long string
+        # would quietly add thousands of keys per row at 100 TB
+        for df, c in ((left, left_col), (right, right_col)):
+            over = df.filter(f"length({c}) > {max_key_len}").limit(1).count()
+            if over:
+                raise ValueError(
+                    f"fuzzy_join(max_dist=2): column {c} has values longer "
+                    f"than max_key_len={max_key_len} (O(len^2) deletion "
+                    "keys per string); raise max_key_len explicitly or use "
+                    "ngram_jaccard_pairs for long strings"
+                )
     # Ephemeral row identities let us collapse ONLY the join-induced
     # multiplicity (one left row × one right row matching via several
     # shared deletion keys) — long-keyed dedup, cheaper at scale than a
     # distinct over wide string columns and correct for duplicate rows.
     lk = left.withColumn("_lid", F.monotonically_increasing_id()).withColumn(
-        "_fk", F.explode(F.expr(deletion_keys_sql(left_col)))
+        "_fk", F.explode(F.expr(deletion_keys_sql(left_col, max_dist)))
     )
     rk = right.withColumn("_rid", F.monotonically_increasing_id()).withColumn(
-        "_fk", F.explode(F.expr(deletion_keys_sql(right_col)))
+        "_fk", F.explode(F.expr(deletion_keys_sql(right_col, max_dist)))
     )
     cand = (
         lk.join(rk, "_fk")

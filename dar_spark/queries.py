@@ -671,15 +671,17 @@ def _dedup_minhash_q() -> Q:
              "SELECT doc_id_a, doc_id_b, jaccard FROM pairs", headline=True)
 
 
-def _minhash_pairs_ctes() -> str:
+def _minhash_pairs_ctes(define_corpus: bool = True) -> str:
     """CTE chain ending in ``pairs(doc_id_a, doc_id_b, jaccard)`` — the
     DuckDB twin of minhash_lsh_pairs, shared by the pair query and the
-    connected-components clustering oracle."""
+    connected-components clustering oracle.  With ``define_corpus=False``
+    the caller must define a ``corpus(doc_id, text)`` CTE itself (the
+    pipeline oracle feeds its filtered+redacted set in)."""
     mins = ", ".join(
         f"min(substr(md5(g), {8 * j + 1}, 8)) AS h{j}" for j in range(4)
     )
-    return f"""corpus AS ({CORPUS_CTE}),
-t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus),
+    head = f"corpus AS ({CORPUS_CTE}),\n" if define_corpus else ""
+    return f"""{head}t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus),
 sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
         i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM t),
 shf AS (SELECT * FROM sh WHERE len(s) > 0),
@@ -1868,6 +1870,15 @@ def build_registry() -> dict[str, Q]:
     # -- 0b. checked green once in r04 --------------------------------------
     for name, q in _round4_queries():
         r[name] = q
+    # index write+read cost and the new banded/fuzzy scale paths are
+    # exactly where a perf regression would hide (the r4 widening caught
+    # the un-checkpointed CC loop this way) — keep them benched
+    for flagship in (
+        "repetition_stats", "fuzzy_state_join", "dedup_incremental_indexed",
+        "embed_lsh_topk_indexed", "embed_dup_pairs_banded",
+        "dedup_index_append", "pipeline_e2e",
+    ):
+        r[flagship].headline = True
 
     # -- 1. checked green once in r03 ---------------------------------------
     r["rowid_ordinal"] = _rowid_ordinal_q()
@@ -2143,6 +2154,175 @@ def _embed_lsh_topk_indexed_q() -> Q:
     return Q(spark_fn, srp_lsh_oracle_sql(TOPK_QUERY_STRIDE, TOPK_K))
 
 
+def _fuzzy_state_join_d2_q() -> Q:
+    """FastSS depth-2 fuzzy dictionary join (operators/fuzzy.py
+    max_dist=2): state names dirtied with deterministic 0/1/2-edit
+    variants (char deletions, substitutions, double-deletes, two-char
+    suffix noise, plus unmatched numeric garbage), matched to the state
+    dictionary at edit distance <= 2.  The oracle is the INDEPENDENT
+    brute-force cross join + levenshtein filter, so depth-2 blocking
+    completeness — every true <=2-distance pair survives the candidate
+    stage — is what the value-hash checks."""
+    from dar_spark.refdata import STATE_NAMES
+
+    names_l = sorted(n.lower() for n in STATE_NAMES)
+    n_names = len(names_l)
+
+    def variant(name_expr: str, k: str) -> str:
+        n = name_expr
+        return (
+            f"CASE ({k}) * 7 % 8 "
+            f"WHEN 0 THEN {n} "
+            f"WHEN 1 THEN substr({n}, 2) "
+            f"WHEN 2 THEN substr({n}, 1, 1) || substr({n}, 3) "
+            f"WHEN 3 THEN substr({n}, 3) "
+            f"WHEN 4 THEN 'x' || substr({n}, 2) "
+            f"WHEN 5 THEN 'x' || substr({n}, 3) "
+            f"WHEN 6 THEN {n} || 'xq' "
+            f"ELSE printf('%05d', ({k}) % 100000) END"
+        )
+
+    lits = ", ".join(f"'{n}'" for n in names_l)
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.fuzzy import fuzzy_join
+
+        t = load_tables(spark, sf_dir)
+        name_expr = (
+            f"element_at(array({lits}), "
+            f"CAST(({K_ORDERS}) % {n_names} AS INT) + 1)"
+        )
+        base = parallelize(t["orders"]).selectExpr(
+            f"{K_ORDERS} AS row_id",
+            f"{variant(name_expr, K_ORDERS)} AS x",
+        )
+        names = spark.createDataFrame([(n,) for n in names_l], "name string")
+        return fuzzy_join(base, names, "x", "name", max_dist=2)
+
+    duck_name = f"(ARRAY[{lits}])[(o_orderkey) % {n_names} + 1]"
+    values = ", ".join(f"('{n}')" for n in names_l)
+    oracle = f"""WITH base AS (
+  SELECT o_orderkey AS row_id, {variant(duck_name, 'o_orderkey')} AS x
+  FROM orders
+), names(name) AS (VALUES {values})
+SELECT row_id, x, name, CAST(levenshtein(x, name) AS INT) AS dist
+FROM base CROSS JOIN names
+WHERE levenshtein(x, name) <= 2"""
+    return Q(spark_fn, oracle)
+
+
+def _pipeline_e2e_q() -> Q:
+    """The whole training-corpus preparation pipeline as ONE oracle
+    query — the first thing a real LLM-data user runs (promoted from
+    examples/dedup_pipeline.py per the r4 brief):
+
+        dup-injected corpus + injected PII
+        → quality filter (token window + quality floor + stopword cap)
+        → repetition filter (Gopher metrics)
+        → PII redaction
+        → MinHash-LSH near-dup pairs → connected components → keep the
+          min-id representative per cluster
+        → deterministic train/val/test split
+
+    Composes five operator families end-to-end; the DuckDB twin chains
+    the proven oracle formulations of every stage (text metrics,
+    relational repetition counts, byte-identical redaction, banded
+    minhash + RECURSIVE reachability, hash-bucket split) over the same
+    inputs.  Redaction deliberately runs BEFORE dedup: group members
+    differ only in their injected PII, so redaction canonicalizes them
+    back to near-identical texts and the dedup stage has real work.
+    """
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import (
+            quality_filter,
+            redact_pii_sql,
+            repetition_filter,
+        )
+        from dar_spark.operators.dedup import (
+            connected_components,
+            minhash_lsh_pairs,
+        )
+        from dar_spark.operators.sampling import train_val_test_split
+
+        corpus = _corpus_df(spark, sf_dir).selectExpr(
+            "doc_id", f"{PII_INJECT} AS text"
+        )
+        kept = quality_filter(corpus, min_tokens=10)
+        kept = repetition_filter(kept)
+        red = kept.select(
+            "doc_id", F.expr(redact_pii_sql(SPARK, "text")).alias("text")
+        )
+        edges = minhash_lsh_pairs(
+            red, "doc_id", "text",
+            jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
+        )
+        labels = connected_components(edges)
+        drop = labels.filter("node <> cluster_id").select(
+            F.col("node").alias("doc_id")
+        )
+        deduped = red.join(drop, "doc_id", "left_anti")
+        return train_val_test_split(deduped, "doc_id")
+
+    from dar_spark.functions.text import redact_pii_sql
+    from dar_spark.operators.sampling import split_sql
+
+    d = DUCKDB
+    toks = d.split_lit("lower(text)", " ")
+    n_uniq = d.arr_len(d.arr_distinct(toks))
+    n_stop = d.arr_len(d.arr_filter(toks, "t -> t IN ('the', 'a')"))
+    n_tok_q = d.arr_len(toks)
+    quality = (
+        f"round(0.4 * least(CAST({n_tok_q} AS DOUBLE) / 100.0, 1.0) "
+        f"+ 0.4 * (CAST({n_uniq} AS DOUBLE) / {n_tok_q}) "
+        f"+ 0.2 * (1.0 - CAST({n_stop} AS DOUBLE) / {n_tok_q}), 6)"
+    )
+    sw_ratio = f"round(CAST({n_stop} AS DOUBLE) / {n_tok_q}, 6)"
+    n_tok = d.arr_len(d.split_lit("trim(text)", " "))
+    oracle = f"""WITH RECURSIVE base AS ({CORPUS_CTE}),
+pii AS (SELECT doc_id, {PII_INJECT} AS text FROM base),
+qf AS (SELECT doc_id, text FROM pii
+       WHERE {n_tok} >= 10 AND {n_tok} <= 100000
+         AND {quality} >= 0.3 AND {sw_ratio} <= 0.7),
+rt AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM qf),
+runi AS (SELECT doc_id, unnest(t) AS tk FROM rt),
+ruc AS (SELECT doc_id, max(c) AS topu FROM (
+    SELECT doc_id, tk, count(*) AS c FROM runi GROUP BY doc_id, tk
+  ) GROUP BY doc_id),
+rbg AS (SELECT doc_id,
+         CASE WHEN len(t) < 2 THEN []
+              ELSE list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1]) END AS b
+        FROM rt),
+rbgu AS (SELECT doc_id, unnest(b) AS g FROM rbg),
+rbc AS (SELECT doc_id, max(c) AS topb FROM (
+    SELECT doc_id, g, count(*) AS c FROM rbgu GROUP BY doc_id, g
+  ) GROUP BY doc_id),
+rmet AS (SELECT d.doc_id,
+    round(CAST(ruc.topu AS DOUBLE) / len(d.t), 6) AS tuf,
+    round(CAST(COALESCE(rbc.topb, 0) AS DOUBLE)
+          / greatest(len(d.t) - 1, 1), 6) AS tbf,
+    round(1.0 - CAST(len(list_distinct(d.t)) AS DOUBLE) / len(d.t), 6) AS dtf
+  FROM rt d JOIN ruc USING (doc_id) LEFT JOIN rbc USING (doc_id)),
+rf AS (SELECT qf.doc_id, qf.text FROM qf JOIN rmet USING (doc_id)
+       WHERE tuf <= 0.2 AND tbf <= 0.18 AND dtf <= 0.85),
+corpus AS (SELECT doc_id, {redact_pii_sql(DUCKDB, 'text')} AS text FROM rf),
+{_minhash_pairs_ctes(define_corpus=False)},
+sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+        UNION SELECT doc_id_b, doc_id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.a AS node, reach.r FROM sym e JOIN reach ON reach.node = e.b
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, text, {split_sql(DUCKDB, 'doc_id')} AS split
+FROM corpus
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)"""
+    return Q(spark_fn, oracle)
+
+
 BANDED_COS_THRESHOLD = 0.95  # broad-similarity regime, NOT near-dup
 BANDED_NOISE_SCALE = 0.1  # perturbation putting injected pairs at cos ~0.92-0.98
 BANDED_N_BANDS = 3  # ~99.3% boundary recall at n_planes=8 (see dedup.py)
@@ -2234,6 +2414,8 @@ def _round5_queries() -> list[tuple[str, Q]]:
     return [
         ("embed_dup_pairs_banded", _embed_dup_pairs_banded_q()),
         ("dedup_index_append", _dedup_incremental_q(indexed=True, appended=True)),
+        ("pipeline_e2e", _pipeline_e2e_q()),
+        ("fuzzy_state_join_d2", _fuzzy_state_join_d2_q()),
     ]
 
 

@@ -33,8 +33,8 @@ def test_fuzzy_join_edit_classes(spark):
 
 def test_fuzzy_join_rejects_larger_radius(spark):
     df = spark.createDataFrame([(1, "x")], "row_id long, x string")
-    with pytest.raises(ValueError, match="max_dist=1"):
-        fuzzy_join(df, df.selectExpr("x AS name"), "x", "name", max_dist=2)
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_join(df, df.selectExpr("x AS name"), "x", "name", max_dist=3)
 
 
 def test_fuzzy_join_matches_brute_force(spark):
@@ -83,3 +83,56 @@ def test_fuzzy_join_preserves_duplicate_left_rows(spark):
         for r in fuzzy_join(left, right, "x", "name").collect()
     )
     assert got == [("texs", "texas", 1), ("texs", "texas", 1), ("utah", "utah", 0)]
+
+
+def test_fuzzy_join_depth2_matches_brute_force(spark):
+    """Depth-2 deletion neighborhoods must equal the cross-join answer
+    at edit distance <= 2 (completeness: any <=2-distance pair shares a
+    depth-2 deletion key)."""
+    import random
+
+    rnd = random.Random(11)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+
+    def edit(w):
+        i = rnd.randrange(len(w))
+        op = rnd.randrange(3)
+        if op == 0:
+            return w[:i] + w[i + 1:]
+        if op == 1:
+            return w[:i] + rnd.choice("abcxyz") + w[i:]
+        return w[:i] + rnd.choice("abcxyz") + w[i + 1:]
+
+    def perturb(w):
+        for _ in range(rnd.randrange(4)):  # 0-3 edits
+            w = edit(w)
+        return w
+
+    left = spark.createDataFrame(
+        [(i, perturb(rnd.choice(words))) for i in range(300)],
+        "row_id long, x string",
+    )
+    right = spark.createDataFrame([(w,) for w in words], "name string")
+    fast = {
+        (r.row_id, r.name, r.dist)
+        for r in fuzzy_join(left, right, "x", "name", max_dist=2).collect()
+    }
+    brute = {
+        (r.row_id, r.name, r.dist)
+        for r in left.crossJoin(right)
+        .selectExpr("row_id", "name", "CAST(levenshtein(x, name) AS INT) AS dist")
+        .filter("dist <= 2")
+        .collect()
+    }
+    assert fast == brute
+    assert len({t for t in brute if t[2] == 2}) > 20  # distance-2 tier real
+
+
+def test_fuzzy_join_depth2_key_length_guard(spark):
+    left = spark.createDataFrame([(1, "x" * 80)], "row_id long, x string")
+    right = spark.createDataFrame([("texas",)], "name string")
+    with pytest.raises(ValueError, match="max_key_len"):
+        fuzzy_join(left, right, "x", "name", max_dist=2)
+    # explicit raise of the cap is allowed
+    out = fuzzy_join(left, right, "x", "name", max_dist=2, max_key_len=100)
+    assert out.count() == 0
