@@ -25,10 +25,27 @@ def read_csv(
     sampling_ratio: float = 0.1,
     mode: str = "PERMISSIVE",
     null_value: str | None = None,
+    multiline: bool = True,
 ) -> DataFrame:
     """``null_value`` pairs with ``writers.write_csv``'s sentinel so
-    empty string and NULL survive the round-trip distinctly."""
-    reader = spark.read.option("header", True).option("mode", mode)
+    empty string and NULL survive the round-trip distinctly.  Quote
+    escaping is RFC-4180 doubled quotes (matching ``write_csv`` and
+    every standard producer), not Spark's backslash default.
+
+    ``multiline=True`` (default) parses quoted fields containing
+    newlines (the reference's real NYC 311 CSVs have multiline
+    free-text columns).  Scale note: multiline disables intra-file
+    split parallelism — each file is one task.  That is inherent to the
+    format (a reader cannot start mid-file when newlines may be
+    quoted); parallelism comes from file count, so keep multi-file
+    layouts.  Pass ``multiline=False`` for newline-free CSVs to restore
+    intra-file splitting."""
+    reader = (
+        spark.read.option("header", True)
+        .option("mode", mode)
+        .option("escape", '"')
+        .option("multiLine", multiline)
+    )
     if null_value is not None:
         reader = reader.option("nullValue", null_value)
     if schema:

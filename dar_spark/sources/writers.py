@@ -80,15 +80,22 @@ NULL_SENTINEL = "NULLSENTINEL"
 
 
 def write_csv(df: DataFrame, path: str, null_value: str = NULL_SENTINEL) -> None:
-    """Lossless CSV sink: header, quoted empty strings, and a null
+    """Lossless RFC-4180 CSV sink: header, quoted empty strings, a null
     sentinel so ``readers.read_csv(..., null_value=...)`` round-trips
     '' vs NULL exactly (the default writer emits both as an empty field
-    and the reader collapses them to NULL)."""
+    and the reader collapses them to NULL), doubled-quote escaping
+    (Spark's default backslash escape is non-standard — DuckDB and most
+    other readers cannot even sniff it), and whitespace preserved
+    verbatim (the writer's ignore*WhiteSpace options default to TRUE and
+    silently trim ' padded ' fields)."""
     (
         df.write.mode("overwrite")
         .option("header", True)
         .option("emptyValue", '""')
         .option("nullValue", null_value)
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .csv(path)
     )
 

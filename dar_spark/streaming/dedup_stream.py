@@ -76,6 +76,7 @@ def streaming_near_dup_against_index(
     text_col: str = "text",
     jaccard_threshold: float = 0.6,
     checkpoint_dir: str | None = None,
+    append_accepted: bool = False,
 ):
     """Streaming ingest-time NEAR-dup detection: each micro-batch is
     signed and joined against a ``dedup.write_dedup_index`` band table —
@@ -94,10 +95,23 @@ def streaming_near_dup_against_index(
     ``batch_id=<n>`` partition with dynamic overwrite, so a replayed
     batch replaces its previous output instead of appending duplicates.
 
+    ``append_accepted=True`` closes the ingest loop: docs with NO
+    near-dup above the threshold (against the index as of their batch)
+    are APPENDED to the index as ``ingest=stream-<batch_id>`` partitions
+    (``dedup.append_to_dedup_index``), so later batches also dedup
+    against earlier accepted stream docs — the stream-grown index equals
+    the index a sequential batch-ingest loop would build (tested), and
+    replayed batches overwrite their own ingest partition rather than
+    double-appending.  One writer stream per index (the batch_id
+    namespace is per-stream).
+
     Returns the started StreamingQuery; rows land in ``output_path`` as
     parquet (new_id, ref_id, jaccard) partitioned by batch_id.
     """
-    from dar_spark.operators.dedup import dedup_against_index
+    from dar_spark.operators.dedup import (
+        append_to_dedup_index,
+        dedup_against_index,
+    )
 
     if not output_path:
         raise ValueError(
@@ -109,6 +123,10 @@ def streaming_near_dup_against_index(
         pairs = dedup_against_index(
             batch_df, index_path, id_col, text_col, jaccard_threshold
         )
+        if append_accepted:
+            # pairs is reused (write + anti-join) — keep it materialized
+            # instead of re-running the band join per consumer
+            pairs = pairs.localCheckpoint(eager=True)
         # Idempotent replay: overwrite exactly this batch's partition.
         (
             pairs.withColumn("batch_id", F.lit(batch_id))
@@ -117,6 +135,16 @@ def streaming_near_dup_against_index(
             .partitionBy("batch_id")
             .parquet(output_path)
         )
+        if append_accepted:
+            accepted = batch_df.join(
+                pairs.select(F.col("new_id").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+            append_to_dedup_index(
+                accepted, index_path, id_col, text_col,
+                ingest_label=f"stream-{batch_id}",
+            )
 
     w = stream_df.writeStream.foreachBatch(handle).outputMode("append")
     if checkpoint_dir:

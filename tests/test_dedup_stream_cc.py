@@ -194,3 +194,91 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
         ).collect()
     }
     assert reliable == local and len(local) > 20
+
+
+def test_streaming_ingest_append_equals_sequential_batch(spark, tmp_path):
+    """append_accepted=True: the stream-grown index must equal the index
+    a sequential batch-ingest loop builds (same batch boundaries), and
+    the emitted pairs must include new-vs-accepted-stream-doc matches
+    from later batches."""
+    from dar_spark.operators.dedup import (
+        append_to_dedup_index,
+        dedup_against_index,
+        write_dedup_index,
+    )
+    from dar_spark.streaming.dedup_stream import streaming_near_dup_against_index
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    rep = docs.selectExpr("doc_id - doc_id % 4 AS rep_id", "doc_id").join(
+        docs.selectExpr("doc_id AS rep_id", "text"), "rep_id"
+    ).select("doc_id", "text")
+    # index holds MOST quad leaders (every third quad's leader is held
+    # out), the stream brings two more members per quad in two batches:
+    # batch-1 members of leaderless quads are accepted and grown into
+    # the index, so their batch-2 quad-mates must match THEM, not base
+    ref = rep.filter("doc_id % 4 = 0 AND doc_id % 12 <> 0")
+    b1 = rep.filter("doc_id % 4 = 1")
+    b2 = rep.filter("doc_id % 4 = 2")
+
+    # --- sequential batch reference ---
+    ref_idx = str(tmp_path / "refidx")
+    write_dedup_index(ref, ref_idx, "doc_id", "text")
+    expected_pairs = set()
+    for i, b in enumerate((b1, b2)):
+        p = dedup_against_index(b, ref_idx, "doc_id", "text", 0.6)
+        p = p.localCheckpoint(eager=True)
+        expected_pairs |= {
+            (r.new_id, r.ref_id, r.jaccard) for r in p.collect()
+        }
+        accepted = b.join(
+            p.selectExpr("new_id AS doc_id").distinct(), "doc_id", "left_anti"
+        )
+        append_to_dedup_index(
+            accepted, ref_idx, "doc_id", "text", ingest_label=f"stream-{i}"
+        )
+
+    # --- streamed version over the same batch boundaries ---
+    st_idx = str(tmp_path / "stidx")
+    write_dedup_index(ref, st_idx, "doc_id", "text")
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = streaming_near_dup_against_index(
+        stream, st_idx, out_dir, "doc_id", "text", 0.6,
+        checkpoint_dir=str(tmp_path / "ck"), append_accepted=True,
+    )
+    import time
+    deadline = time.time() + 120
+    while q.isActive and time.time() < deadline:
+        progress = q.lastProgress
+        if progress and progress["numInputRows"] == 0 and progress["batchId"] >= 2:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+
+    got_pairs = {
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(expected_pairs) > 0
+    assert got_pairs == expected_pairs
+    # cross-batch growth actually happened: some batch-2 doc matched a
+    # batch-1 accepted doc (ref_id % 4 == 1)
+    assert any(ref_id % 4 == 1 for _, ref_id, _ in got_pairs)
+
+    # the grown indexes are row-identical
+    def rows(path):
+        return {
+            tuple(tuple(x) if isinstance(x, list) else x for x in r)
+            for r in spark.read.parquet(path).drop("ingest").collect()
+        }
+
+    for sub in ("bands", "shingles"):
+        assert rows(f"{ref_idx}/{sub}") == rows(f"{st_idx}/{sub}")
