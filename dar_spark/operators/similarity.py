@@ -208,6 +208,7 @@ def srp_lsh_oracle_sql(
     stride: int, k: int, table: str = "embeddings",
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = N_PLANES,
+    n_bands: int = 1,
 ) -> str:
     """DuckDB twin of ``srp_lsh_topk`` — the SAME deterministic plane
     hash, bucket assignment, Hamming-1 multiprobe, and ranked cosine,
@@ -215,7 +216,9 @@ def srp_lsh_oracle_sql(
     cannot drift from the Spark plan.  Dot products are explicit LEFT
     folds (list_reduce over a 0-prepended product list) to match Spark's
     ``aggregate`` fold order bit-for-bit, so bucket sign decisions are
-    identical IEEE arithmetic in both engines.
+    identical IEEE arithmetic in both engines.  ``n_bands`` mirrors the
+    banded plan (independent plane set per band, band-prefixed keys,
+    per-(query, neighbor) dedup across bands).
     """
 
     def fold(products: str) -> str:
@@ -224,18 +227,21 @@ def srp_lsh_oracle_sql(
             f"(a, x) -> a + x)"
         )
 
-    bits = []
-    for j in range(n_planes):
-        prods = (
-            f"list_transform(generate_series(1, len(v)), "
-            f"i -> v[i] * {_plane_component(j)})"
-        )
-        bits.append(f"CASE WHEN {fold(prods)} >= 0 THEN '1' ELSE '0' END")
-    bucket = "concat(" + ", ".join(bits) + ")"
+    band_buckets = []
+    for t in range(n_bands):
+        bits = []
+        for j in range(n_planes):
+            prods = (
+                f"list_transform(generate_series(1, len(v)), "
+                f"i -> v[i] * {_plane_component(t * n_planes + j)})"
+            )
+            bits.append(f"CASE WHEN {fold(prods)} >= 0 THEN '1' ELSE '0' END")
+        band_buckets.append("concat(" + ", ".join(bits) + ")")
+    bs = "[" + ", ".join(band_buckets) + "]"
     flip = (
-        "substr(qb, 1, p - 1) || "
-        "(CASE WHEN substr(qb, p, 1) = '1' THEN '0' ELSE '1' END) || "
-        "substr(qb, p + 1)"
+        "substr(bt, 1, p - 1) || "
+        "(CASE WHEN substr(bt, p, 1) = '1' THEN '0' ELSE '1' END) || "
+        "substr(bt, p + 1)"
     )
     cos_prods = "list_transform(generate_series(1, len(qv)), i -> qv[i] * v[i])"
     return f"""WITH e AS (
@@ -245,19 +251,25 @@ def srp_lsh_oracle_sql(
 ), n AS (
   SELECT vec_id, v,
          sqrt({fold('list_transform(v, x -> x * x)')}) AS nrm,
-         {bucket} AS b
+         {bs} AS bs
   FROM e
+), corpus AS (
+  SELECT vec_id, v, nrm, CAST(t AS VARCHAR) || ':' || bs[t + 1] AS b
+  FROM n CROSS JOIN range(0, {n_bands}) tt(t)
 ), q AS (
-  SELECT vec_id AS query_id, v AS qv, nrm AS qn, b AS qb
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, bs
   FROM n WHERE vec_id % {stride} = 0
 ), qp AS (
   SELECT query_id, qv, qn,
-         CASE WHEN p = 0 THEN qb ELSE {flip} END AS b
-  FROM q CROSS JOIN range(0, {n_planes + 1}) t(p)
+         CAST(t AS VARCHAR) || ':' ||
+           (CASE WHEN p = 0 THEN bt ELSE {flip} END) AS b
+  FROM (SELECT *, bs[t + 1] AS bt
+        FROM q CROSS JOIN range(0, {n_bands}) tt(t))
+       CROSS JOIN range(0, {n_planes + 1}) pp(p)
 ), scored AS (
-  SELECT DISTINCT query_id, n.vec_id AS neighbor_id,
+  SELECT DISTINCT query_id, corpus.vec_id AS neighbor_id,
          round({fold(cos_prods)} / (qn * nrm), 6) AS cos_sim
-  FROM qp JOIN n USING (b) WHERE n.vec_id <> qp.query_id
+  FROM qp JOIN corpus USING (b) WHERE corpus.vec_id <> qp.query_id
 ), r AS (
   SELECT query_id, neighbor_id, cos_sim,
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -338,6 +350,7 @@ def write_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
+    n_bands: int = 1,
 ) -> None:
     """Persist the corpus side of SRP-LSH ANN: ``<path>/buckets``
     (id, _v, _nrm, _b) pre-shuffled onto the bucket key, plus
@@ -352,11 +365,14 @@ def write_ann_index(
 
     The bucket table is partitioned by an ``ingest`` label (``base`` for
     the initial build); ``append_to_ann_index`` grows the index by
-    writing new labels with replay-safe partition overwrite."""
+    writing new labels with replay-safe partition overwrite.
+
+    ``n_bands`` stores one band-prefixed bucket row per vector per band
+    (independent plane sets — the broad-similarity recall dial, see
+    ``srp_lsh_topk``); it travels in meta alongside n_planes."""
     e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
-    e = e.withColumn("_b", _bucket_expr("_v", n_planes))
     (
-        e.select(id_col, "_v", "_nrm", "_b")
+        _banded_bucket_rows(e, id_col, n_planes, n_bands)
         .repartition("_b")
         .withColumn("ingest", F.lit("base"))
         .write.mode("overwrite")
@@ -364,9 +380,20 @@ def write_ann_index(
         .parquet(f"{path}/buckets")
     )
     meta = embeddings.sparkSession.createDataFrame(
-        [(n_planes,)], "n_planes int"
+        [(n_planes, n_bands)], "n_planes int, n_bands int"
     )
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _banded_bucket_rows(
+    e: DataFrame, id_col: str, n_planes: int, n_bands: int
+) -> DataFrame:
+    """(id, _v, _nrm, _b) with one band-prefixed bucket row per band —
+    the stored-corpus shape shared by index build and append."""
+    for t in range(n_bands):
+        e = e.withColumn(f"_b{t}", _bucket_expr("_v", n_planes, band=t))
+    keys = [F.concat(F.lit(f"{t}:"), F.col(f"_b{t}")) for t in range(n_bands)]
+    return e.select(id_col, "_v", "_nrm", F.explode(F.array(*keys)).alias("_b"))
 
 
 def append_to_ann_index(
@@ -397,9 +424,8 @@ def append_to_ann_index(
         )
         ingest_label = f"append-{existing}"
     e = _as_double_vec(new.select(id_col, vec_col), vec_col)
-    e = e.withColumn("_b", _bucket_expr("_v", m.n_planes))
     (
-        e.select(id_col, "_v", "_nrm", "_b")
+        _banded_bucket_rows(e, id_col, m.n_planes, m.n_bands)
         .repartition("_b")
         .withColumn("ingest", F.lit(ingest_label))
         .write.mode("overwrite")
@@ -426,7 +452,7 @@ def ann_against_index(
     as the stored bucket table."""
     spark = queries.sparkSession
     m = spark.read.parquet(f"{index_path}/meta").collect()[0]
-    n_planes = m.n_planes
+    n_planes, n_bands = m.n_planes, m.n_bands
     if expected_n_planes is not None and expected_n_planes != n_planes:
         raise ValueError(
             f"ANN index at {index_path} was built with n_planes="
@@ -434,15 +460,24 @@ def ann_against_index(
         )
     corpus = spark.read.parquet(f"{index_path}/buckets")
     q = _as_double_vec(queries.select(id_col, vec_col), vec_col)
-    q = q.withColumn("_qb", _bucket_expr("_v", n_planes)).select(
+    for t in range(n_bands):
+        q = q.withColumn(f"_qb{t}", _bucket_expr("_v", n_planes, band=t))
+    q = q.select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("_qv"),
         F.col("_nrm").alias("_qn"),
-        "_qb",
+        *[F.col(f"_qb{t}") for t in range(n_bands)],
     )
-    probes = [F.col("_qb")]
-    if multiprobe:
-        probes += [_flip_bit(F.col("_qb"), p, n_planes) for p in range(n_planes)]
+    probes = []
+    for t in range(n_bands):
+        bt = F.col(f"_qb{t}")
+        pre = F.lit(f"{t}:")
+        probes.append(F.concat(pre, bt))
+        if multiprobe:
+            probes += [
+                F.concat(pre, _flip_bit(bt, p, n_planes))
+                for p in range(n_planes)
+            ]
     qp = q.select(
         "query_id", "_qv", "_qn", F.explode(F.array(*probes)).alias("_b")
     )
@@ -467,6 +502,7 @@ def srp_lsh_topk(
     k: int = 5,
     multiprobe: bool = True,
     n_planes: int = N_PLANES,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Approximate top-k via sign-random-projection buckets + multiprobe.
 
@@ -477,24 +513,45 @@ def srp_lsh_topk(
     probe drags ~N / 2^n_planes candidates.  The default suits small
     corpora; at corpus scale grow n_planes with log2(N) so per-probe
     candidate sets stay bounded (see SCALE.md "SRP plane count").
+
+    ``n_bands`` is the recall dial (the SRP analogue of MinHash banding,
+    shared with ``dedup.embedding_dup_pairs``): each band is an
+    independent plane set (global plane index band*n_planes+j),
+    candidates are unioned across bands via band-prefixed bucket keys in
+    ONE equi-join and deduped per (query, neighbor).  Cost is linear in
+    B; candidate probability at angle θ is 1−(1−q)^B with q the
+    per-band probe-hit probability.
     """
     e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
-    e = e.withColumn("_b", _bucket_expr("_v", n_planes))
-
+    for t in range(n_bands):
+        e = e.withColumn(f"_b{t}", _bucket_expr("_v", n_planes, band=t))
+    corpus_keys = [
+        F.concat(F.lit(f"{t}:"), F.col(f"_b{t}")) for t in range(n_bands)
+    ]
+    corpus = e.select(
+        id_col, "_v", "_nrm", F.explode(F.array(*corpus_keys)).alias("_b")
+    )
     q = e.filter(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("_qv"),
         F.col("_nrm").alias("_qn"),
-        F.col("_b").alias("_qb"),
+        *[F.col(f"_b{t}").alias(f"_qb{t}") for t in range(n_bands)],
     )
-    # probe set: exact bucket + hamming-1 neighbors
-    probes = [F.col("_qb")]
-    if multiprobe:
-        probes += [_flip_bit(F.col("_qb"), p, n_planes) for p in range(n_planes)]
+    # probe set per band: exact bucket + hamming-1 neighbors
+    probes = []
+    for t in range(n_bands):
+        bt = F.col(f"_qb{t}")
+        pre = F.lit(f"{t}:")
+        probes.append(F.concat(pre, bt))
+        if multiprobe:
+            probes += [
+                F.concat(pre, _flip_bit(bt, p, n_planes))
+                for p in range(n_planes)
+            ]
     qp = q.select(
         "query_id", "_qv", "_qn", F.explode(F.array(*probes)).alias("_b")
     )
-    cand = qp.join(e, "_b").filter(F.expr(f"{id_col} <> query_id"))
+    cand = qp.join(corpus, "_b").filter(F.expr(f"{id_col} <> query_id"))
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),

