@@ -408,6 +408,34 @@ def append_to_dedup_index(
     return ingest_label
 
 
+def compact_dedup_index(spark, path: str, dest: str) -> None:
+    """Rewrite a grown index (many ``ingest=`` partitions from appends /
+    streaming) as a fresh single-generation index at ``dest`` — pure
+    I/O, no re-signing: band rows are re-clustered onto the (bi, bk)
+    join key across ALL generations (append-created partitions are each
+    internally clustered, but a reader joining the whole table sees the
+    clustering degrade as generations accumulate) and the small-file
+    count drops back to one generation's worth.  ``dest`` must differ
+    from ``path`` — compact-to-new + atomic swap by the caller, never
+    in-place (a failed in-place rewrite would destroy the only copy).
+    Results are identical before and after (tested)."""
+    if dest == path:
+        raise ValueError("compact_dedup_index requires dest != path")
+    spark.read.parquet(f"{path}/meta").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{dest}/meta")
+    for sub, cluster in (("bands", ["bi", "bk"]), ("shingles", None)):
+        df = spark.read.parquet(f"{path}/{sub}").drop("ingest")
+        if cluster:
+            df = df.repartition(*cluster)
+        (
+            df.withColumn("ingest", F.lit("base"))
+            .write.mode("overwrite")
+            .partitionBy("ingest")
+            .parquet(f"{dest}/{sub}")
+        )
+
+
 def dedup_against_index(
     new: DataFrame,
     index_path: str,

@@ -436,6 +436,27 @@ def append_to_ann_index(
     return ingest_label
 
 
+def compact_ann_index(spark, path: str, dest: str) -> None:
+    """ANN twin of ``dedup.compact_dedup_index``: rewrite all ingest
+    generations of the bucket table as one fresh ``base`` generation at
+    ``dest``, re-clustered on the bucket key — pure I/O, no re-hashing;
+    never in-place."""
+    if dest == path:
+        raise ValueError("compact_ann_index requires dest != path")
+    spark.read.parquet(f"{path}/meta").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{dest}/meta")
+    (
+        spark.read.parquet(f"{path}/buckets")
+        .drop("ingest")
+        .repartition("_b")
+        .withColumn("ingest", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("ingest")
+        .parquet(f"{dest}/buckets")
+    )
+
+
 def ann_against_index(
     queries: DataFrame,
     index_path: str,

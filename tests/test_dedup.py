@@ -223,3 +223,46 @@ def test_append_to_dedup_index_equals_rebuild(spark, tmp_path):
         for r in dedup_against_index(new, grown, "doc_id", "text", 0.6).collect()
     }
     assert replayed == expected
+
+
+def test_compact_dedup_index_preserves_results(spark, tmp_path):
+    """build + append + compact -> the compacted index answers
+    identically to the grown one, holds a single generation, and
+    refuses in-place compaction."""
+    import pytest
+
+    from dar_spark.operators.dedup import (
+        append_to_dedup_index,
+        compact_dedup_index,
+        dedup_against_index,
+        write_dedup_index,
+    )
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    rep = docs.selectExpr("doc_id - doc_id % 3 AS rep_id", "doc_id").join(
+        docs.selectExpr("doc_id AS rep_id", "text"), "rep_id"
+    ).select("doc_id", "text")
+    new = rep.filter("doc_id % 5 = 4")
+    grown = str(tmp_path / "grown")
+    write_dedup_index(rep.filter("doc_id % 5 IN (0, 1)"), grown, "doc_id", "text")
+    append_to_dedup_index(rep.filter("doc_id % 5 = 2"), grown, "doc_id", "text")
+    append_to_dedup_index(rep.filter("doc_id % 5 = 3"), grown, "doc_id", "text")
+    before = {
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in dedup_against_index(new, grown, "doc_id", "text", 0.6).collect()
+    }
+
+    compacted = str(tmp_path / "compacted")
+    compact_dedup_index(spark, grown, compacted)
+    after = {
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in dedup_against_index(new, compacted, "doc_id", "text", 0.6).collect()
+    }
+    assert len(before) > 0 and after == before
+    gens = {
+        r.ingest
+        for r in spark.read.parquet(f"{compacted}/bands").select("ingest").distinct().collect()
+    }
+    assert gens == {"base"}
+    with pytest.raises(ValueError, match="dest != path"):
+        compact_dedup_index(spark, grown, grown)

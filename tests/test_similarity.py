@@ -339,3 +339,29 @@ def test_banded_topk_recall_at_least_single_band(spark):
     r3 = len(ex & three) / len(ex)
     assert r3 >= r1
     assert r3 >= 0.25, f"banded recall {r3:.2f}"
+
+
+def test_compact_ann_index_preserves_results(spark, tmp_path):
+    from dar_spark.operators.similarity import (
+        ann_against_index,
+        append_to_ann_index,
+        compact_ann_index,
+        write_ann_index,
+    )
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    q = e.filter("vec_id % 25 = 0")
+    grown = str(tmp_path / "grown")
+    write_ann_index(e.filter("vec_id % 2 = 0"), grown, "vec_id", "embedding")
+    append_to_ann_index(e.filter("vec_id % 2 = 1"), grown, "vec_id", "embedding")
+    before = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank_n)
+        for r in ann_against_index(q, grown, "vec_id", "embedding", k=5).collect()
+    }
+    compacted = str(tmp_path / "compacted")
+    compact_ann_index(spark, grown, compacted)
+    after = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank_n)
+        for r in ann_against_index(q, compacted, "vec_id", "embedding", k=5).collect()
+    }
+    assert len(before) > 0 and after == before
