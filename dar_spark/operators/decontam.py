@@ -1,0 +1,68 @@
+"""Benchmark decontamination — drop training documents that share any
+word n-gram with an evaluation/benchmark set.
+
+The standard pre-training hygiene pass (the reference corpus has no
+analogue; this belongs to the LLM-data extension families): any training
+document containing a benchmark n-gram (n ~ 8-13 words in production)
+is removed so evals stay uncontaminated.
+
+Scale shape: the benchmark side is DISTINCT n-grams of the (small) eval
+set — broadcast by the optimizer — so the training side's exploded
+n-grams are probed map-side in a broadcast LEFT SEMI join: no shuffle of
+the ~n-grams-per-doc × corpus expansion, one scan of the corpus.  With a
+benchmark too large to broadcast the same plan degrades gracefully to a
+hash-partitioned semi join on the uniform md5-able gram key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ngram_rows(
+    df: DataFrame, id_col: str | None, text_col: str, n: int
+) -> DataFrame:
+    """One row per distinct word n-gram: (id?, g).  Lowercased,
+    whitespace-tokenized — mirrors dedup.shingles tokenization."""
+    idx = " || ' ' || ".join(f"element_at(w, i + {j})" for j in range(n))
+    ids = [id_col] if id_col else []
+    return (
+        df.selectExpr(*ids, f"split(lower({text_col}), ' ', -1) AS w")
+        .filter(f"size(w) >= {n}")
+        .selectExpr(
+            *ids,
+            f"array_distinct(transform(sequence(1, greatest(size(w) - {n - 1}, 0)), "
+            f"i -> {idx})) AS gs",
+        )
+        .select(*ids, F.explode("gs").alias("g"))
+    )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Distinct ids of training docs sharing >= 1 word n-gram with the
+    benchmark set."""
+    dg = _ngram_rows(docs, id_col, text_col, n)
+    bg = _ngram_rows(bench, None, bench_text_col, n).distinct()
+    return dg.join(bg, "g", "left_semi").select(id_col).distinct()
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Training docs with every benchmark-overlapping document removed
+    (docs too short to contain an n-gram trivially survive)."""
+    hits = contamination_hits(docs, bench, id_col, text_col, bench_text_col, n)
+    return docs.join(hits, id_col, "left_anti")

@@ -2235,6 +2235,45 @@ WHERE levenshtein(x, name) <= 2"""
     return Q(spark_fn, oracle)
 
 
+DECONTAM_N = 8  # word n-gram width; production uses ~8-13
+DECONTAM_BENCH_PRED = "doc_id % 31 = 0"  # the held-out benchmark rows
+
+
+def _decontaminate_q() -> Q:
+    """Benchmark decontamination (operators/decontam.py): drop every
+    training doc sharing a word 8-gram with the benchmark set.  The
+    benchmark is a held-out slice of the dup-injected corpus, so the
+    benchmark rows' duplicate group-mates are guaranteed contamination
+    the n-gram probe must catch.  The oracle recomputes the overlap
+    relationally (unnest + DISTINCT + semi join) in DuckDB."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.decontam import decontaminate
+
+        corpus = _corpus_df(spark, sf_dir)
+        bench = corpus.filter(DECONTAM_BENCH_PRED).select("text")
+        return decontaminate(corpus, bench, n=DECONTAM_N).select("doc_id")
+
+    n = DECONTAM_N
+    gram = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    def grams(src: str) -> str:
+        return (
+            f"SELECT {src} list_distinct(list_transform("
+            f"range(1, greatest(len(w) - {n - 1}, 0) + 1), i -> {gram})) AS gs"
+        )
+    oracle = f"""WITH corpus AS ({CORPUS_CTE}),
+dt AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus),
+dg AS (SELECT doc_id, unnest(gs) AS g FROM (
+    {grams('doc_id,')} FROM dt WHERE len(w) >= {n})),
+bt AS (SELECT string_split(lower(text), ' ') AS w FROM corpus
+       WHERE {DECONTAM_BENCH_PRED}),
+bg AS (SELECT DISTINCT unnest(gs) AS g FROM (
+    {grams('')} FROM bt WHERE len(w) >= {n})),
+hits AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g))
+SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM hits)"""
+    return Q(spark_fn, oracle)
+
+
 def _pipeline_e2e_q() -> Q:
     """The whole training-corpus preparation pipeline as ONE oracle
     query — the first thing a real LLM-data user runs (promoted from
@@ -2441,6 +2480,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("pipeline_e2e", _pipeline_e2e_q()),
         ("fuzzy_state_join_d2", _fuzzy_state_join_d2_q()),
         ("embed_lsh_topk_banded", _embed_lsh_topk_banded_q()),
+        ("decontaminate_docs", _decontaminate_q()),
     ]
 
 

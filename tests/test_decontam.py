@@ -1,0 +1,40 @@
+"""Benchmark decontamination: n-gram overlap removal."""
+
+from __future__ import annotations
+
+from dar_spark.operators.decontam import contamination_hits, decontaminate
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def test_decontaminate_drops_benchmark_overlaps(spark):
+    """Docs sharing an n-gram with the benchmark are dropped; short and
+    unrelated docs survive."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words entirely here okay then"),
+            (3, "short doc"),  # < n tokens: trivially clean
+            (4, "prefix text the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("answer is the quick brown fox jumps over the lazy dog",)],
+        "text string",
+    )
+    kept = {r.doc_id for r in decontaminate(docs, bench, n=8).collect()}
+    assert kept == {2, 3}
+    hits = {r.doc_id for r in contamination_hits(docs, bench, n=8).collect()}
+    assert hits == {1, 4}
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark n-gram set must arrive as a broadcast — shuffling
+    the exploded corpus n-grams would be the scale killer."""
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    bench = docs.filter("doc_id % 31 = 0").select("text")
+    out = decontaminate(docs, bench)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() > 0
