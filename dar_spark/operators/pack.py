@@ -1,0 +1,63 @@
+"""Sequence packing — concat-then-chunk assignment of documents into
+fixed-length training sequences (the GPT-style packing a tokenize→pack
+pipeline runs after cleaning/dedup; no reference analogue — LLM-data
+extension family).
+
+Semantics: within a packing bucket, documents are laid end-to-end in
+doc-id order and the token stream is chunked every ``max_len`` tokens.
+Each document is annotated with where it lands: the sequence its first
+token falls in (``start_seq``), its offset there, and the sequence of
+its last token (``end_seq`` > start_seq means the doc spans a chunk
+boundary — consumers either accept the split or re-pad, both standard).
+
+Scale shape: a GLOBAL running sum would be one totally-ordered window —
+a single-task scan at any size.  Packing instead runs per hash bucket
+(``n_buckets`` independent token streams): the window partitions by
+bucket, so the cumsum parallelizes across buckets while staying
+deterministic (bucket = md5 of the id, order = id).  Buckets introduce
+no quality loss — production packers shard the corpus anyway; pick
+n_buckets >= cluster parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dar_spark.operators.sampling import hash_bucket
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 512,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(id, bucket, n_tokens, start_seq, offset, end_seq) packing plan.
+
+    NULL-text rows are excluded (they carry no tokens to pack).
+    """
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            hash_bucket(id_col, n_buckets).alias("bucket"),
+            F.expr(f"size(split(trim({text_col}), ' ', -1))").alias("n_tokens"),
+        )
+    )
+    cum = base.withColumn("_cum", F.sum("n_tokens").over(w))
+    return cum.selectExpr(
+        id_col,
+        "bucket",
+        "n_tokens",
+        f"CAST(floor((_cum - n_tokens) / {max_len}) AS BIGINT) AS start_seq",
+        f"CAST((_cum - n_tokens) % {max_len} AS BIGINT) AS offset",
+        f"CAST(floor((_cum - 1) / {max_len}) AS BIGINT) AS end_seq",
+    )

@@ -2235,6 +2235,47 @@ WHERE levenshtein(x, name) <= 2"""
     return Q(spark_fn, oracle)
 
 
+PACK_MAX_LEN = 128  # tokens per packed sequence (fixture docs ~60 tokens)
+PACK_BUCKETS = 16
+
+
+def _pack_sequences_q() -> Q:
+    """Sequence packing (operators/pack.py): concat-then-chunk packing
+    plan per hash bucket.  The oracle reproduces the bucketed running
+    sum relationally (SUM OVER (PARTITION BY bucket ORDER BY doc_id))
+    from the same md5 bucket hash, so bucket assignment, cumsum order,
+    and the chunk arithmetic are all under the value-hash."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.pack import pack_sequences
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        return pack_sequences(
+            docs, "doc_id", "text",
+            max_len=PACK_MAX_LEN, n_buckets=PACK_BUCKETS,
+        )
+
+    from dar_spark.operators.sampling import hash_bucket_sql
+
+    b = hash_bucket_sql(DUCKDB, "doc_id", PACK_BUCKETS)
+    oracle = f"""WITH base AS (
+  SELECT doc_id, {b} AS bucket,
+         len(string_split(trim(text), ' ')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, bucket, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+)
+SELECT doc_id, bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(floor((cum - n_tokens) / {PACK_MAX_LEN}) AS BIGINT) AS start_seq,
+  CAST((cum - n_tokens) % {PACK_MAX_LEN} AS BIGINT) AS offset,
+  CAST(floor((cum - 1) / {PACK_MAX_LEN}) AS BIGINT) AS end_seq
+FROM c"""
+    return Q(spark_fn, oracle)
+
+
 DECONTAM_N = 8  # word n-gram width; production uses ~8-13
 DECONTAM_BENCH_PRED = "doc_id % 31 = 0"  # the held-out benchmark rows
 
@@ -2481,6 +2522,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("fuzzy_state_join_d2", _fuzzy_state_join_d2_q()),
         ("embed_lsh_topk_banded", _embed_lsh_topk_banded_q()),
         ("decontaminate_docs", _decontaminate_q()),
+        ("pack_sequences_docs", _pack_sequences_q()),
     ]
 
 

@@ -1,0 +1,45 @@
+"""Sequence packing: concat-then-chunk plan correctness."""
+
+from __future__ import annotations
+
+from dar_spark.operators.pack import pack_sequences
+
+
+def test_pack_sequences_chunk_arithmetic(spark):
+    """Single bucket, known token counts: offsets and seq ids follow the
+    concat-then-chunk layout exactly."""
+    docs = spark.createDataFrame(
+        [(1, "a " * 10), (2, "b " * 100), (3, "c " * 30)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pack_sequences(
+        docs, max_len=64, n_buckets=1
+    ).collect()}
+    # trim() drops the trailing space: counts are exactly 10, 100, 30
+    assert out[1].n_tokens == 10 and out[2].n_tokens == 100 and out[3].n_tokens == 30
+    assert (out[1].start_seq, out[1].offset, out[1].end_seq) == (0, 0, 0)
+    # doc 2 starts at token 10 (seq 0), last token is #109 (seq 1): spans
+    assert (out[2].start_seq, out[2].offset, out[2].end_seq) == (0, 10, 1)
+    # doc 3 starts at token 110 -> seq 1 offset 46; last token #139 -> seq 2
+    assert (out[3].start_seq, out[3].offset, out[3].end_seq) == (1, 46, 2)
+
+
+def test_pack_sequences_bucket_determinism(spark):
+    """Same input -> identical plan regardless of partition layout, and
+    every bucket's stream is dense (offsets within a seq never collide)."""
+    from dar_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    a = sorted(tuple(r) for r in pack_sequences(docs).collect())
+    b = sorted(
+        tuple(r) for r in pack_sequences(docs.repartition(7)).collect()
+    )
+    assert a == b and len(a) > 0
+    # per (bucket, start_seq): offsets strictly increase with doc order
+    by_seq = {}
+    for doc_id, bucket, n, s, off, e in a:
+        by_seq.setdefault((bucket, s), []).append((doc_id, off))
+    for seq, entries in by_seq.items():
+        offs = [o for _, o in sorted(entries)]
+        assert offs == sorted(offs)
