@@ -61,3 +61,51 @@ def pack_sequences(
         f"CAST((_cum - n_tokens) % {max_len} AS BIGINT) AS offset",
         f"CAST(floor((_cum - 1) / {max_len}) AS BIGINT) AS end_seq",
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Domain mixing by TOKEN budget: keep documents of each group in
+    deterministic hash order until the group's token budget is reached
+    (the doc that crosses the budget is the last one kept — budgets are
+    honored to within one document, the standard packing tolerance).
+
+    Row-fraction sampling (``stratified_sample``) mis-weights corpora
+    whose document lengths differ by orders of magnitude across sources;
+    training mixes are specified in tokens.  Order within a group is
+    md5(id) — stable under re-runs, appends, and repartitioning, and
+    uncorrelated with document content or position.
+
+    One window per group key (shuffle on group_col — bounded
+    cardinality: sources, not documents); groups without a budget entry
+    get ``default_budget`` (0 = dropped).
+    """
+    from dar_spark.operators.sampling import hash_bucket
+
+    order = hash_bucket(id_col, 1_000_003)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order.asc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    entries = ", ".join(
+        f"'{k}', CAST({v} AS BIGINT)" for k, v in sorted(budgets.items())
+    )
+    budget = (
+        f"coalesce(element_at(map({entries}), {group_col}), "
+        f"CAST({default_budget} AS BIGINT))"
+    )
+    base = df.filter(F.col(text_col).isNotNull()).withColumn(
+        "n_tokens", F.expr(f"size(split(trim({text_col}), ' ', -1))")
+    )
+    cum = base.withColumn("_cum", F.sum("n_tokens").over(w))
+    return (
+        cum.filter(f"_cum - n_tokens < {budget}")
+        .drop("_cum")
+    )

@@ -2276,6 +2276,53 @@ FROM c"""
     return Q(spark_fn, oracle)
 
 
+TOKEN_BUDGETS = {"src0": 1_000_000_000, "src1": 800, "src2": 400}
+TOKEN_BUDGET_DEFAULT = 600
+
+
+def _token_budget_sample_q() -> Q:
+    """Token-budget domain mixing (operators/pack.py
+    token_budget_sample): per-source token budgets honored in
+    deterministic hash order — src0 unlimited, src1/src2 tight, all
+    other sources at the default.  The oracle reproduces the hash
+    ordering, windowed token cumsum, and budget cutoff relationally."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.pack import token_budget_sample
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        out = token_budget_sample(
+            docs.select("doc_id", "source", "text"),
+            TOKEN_BUDGETS, default_budget=TOKEN_BUDGET_DEFAULT,
+        )
+        return out.selectExpr(
+            "doc_id", "source", "CAST(n_tokens AS BIGINT) AS n_tokens"
+        )
+
+    from dar_spark.operators.sampling import hash_bucket_sql
+
+    ordh = hash_bucket_sql(DUCKDB, "doc_id", 1_000_003)
+    cases = " ".join(
+        f"WHEN '{k}' THEN CAST({v} AS BIGINT)"
+        for k, v in sorted(TOKEN_BUDGETS.items())
+    )
+    budget = f"CASE source {cases} ELSE CAST({TOKEN_BUDGET_DEFAULT} AS BIGINT) END"
+    oracle = f"""WITH base AS (
+  SELECT doc_id, source,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         {ordh} AS ord
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM c WHERE cum - n_tokens < {budget}"""
+    return Q(spark_fn, oracle)
+
+
 DECONTAM_N = 8  # word n-gram width; production uses ~8-13
 DECONTAM_BENCH_PRED = "doc_id % 31 = 0"  # the held-out benchmark rows
 
@@ -2523,6 +2570,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("embed_lsh_topk_banded", _embed_lsh_topk_banded_q()),
         ("decontaminate_docs", _decontaminate_q()),
         ("pack_sequences_docs", _pack_sequences_q()),
+        ("token_budget_sample_docs", _token_budget_sample_q()),
     ]
 
 

@@ -43,3 +43,38 @@ def test_pack_sequences_bucket_determinism(spark):
     for seq, entries in by_seq.items():
         offs = [o for _, o in sorted(entries)]
         assert offs == sorted(offs)
+
+
+def test_token_budget_sample_semantics(spark):
+    """Budgets are honored to within one document, kept sets are
+    deterministic hash-order prefixes (stable under repartitioning), and
+    unbudgeted groups get the default."""
+    from dar_spark.operators.pack import token_budget_sample
+    from dar_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    docs = load_tables(spark, SF_DIR)["documents"].select(
+        "doc_id", "source", "text"
+    )
+    budgets = {"src0": 10**9, "src1": 800}
+    out = token_budget_sample(docs, budgets, default_budget=600)
+    rows = [(r.doc_id, r.source, r.n_tokens) for r in out.collect()]
+    per = {}
+    for _, s, n in rows:
+        per[s] = per.get(s, 0) + n
+    n_src0 = docs.filter("source = 'src0'").count()
+    assert sum(1 for _, s, _ in rows if s == "src0") == n_src0  # unlimited
+    # budget exceeded by at most the last doc's tokens
+    max_doc = max(n for _, s, n in rows if s == "src1")
+    assert per["src1"] >= 800 and per["src1"] < 800 + max_doc
+    for s, tot in per.items():
+        if s not in budgets:
+            assert tot < 600 + max(n for _, g, n in rows if g == s)
+    # deterministic under layout changes
+    again = sorted(
+        (r.doc_id, r.source, r.n_tokens)
+        for r in token_budget_sample(
+            docs.repartition(13), budgets, default_budget=600
+        ).collect()
+    )
+    assert again == sorted(rows)
