@@ -314,9 +314,25 @@ def repetition_filter(
     tokens.  Compose with ``quality_filter(min_tokens=...)`` first when
     short docs should be handled explicitly rather than swept up here.
     """
-    m = repetition_metrics(df, id_col, text_col).where(
-        f"top_unigram_frac <= {max_top_unigram_frac} "
-        f"AND top_bigram_frac <= {max_top_bigram_frac} "
-        f"AND dup_token_frac <= {max_dup_token_frac}"
+    # The metrics are pure per-row expressions, so the filter is inline —
+    # joining repetition_metrics back (the obvious formulation) would add
+    # a corpus-wide shuffle for values computable in place.  NULL text
+    # yields NULL metrics -> NULL condition -> dropped, matching the
+    # join-back semantics.
+    base = df.selectExpr(
+        "*", f"split(lower({text_col}), ' ', -1) AS _t"
+    ).selectExpr(
+        "*",
+        "CASE WHEN size(_t) < 2 THEN slice(_t, 1, 0) "
+        "ELSE transform(sequence(1, size(_t) - 1), "
+        "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1))) END AS _bg",
     )
-    return df.join(m.select(id_col), id_col, "left_semi")
+    cond = (
+        f"round(CAST({top_run_count('sort_array(_t)')} AS DOUBLE) "
+        f"/ size(_t), 6) <= {max_top_unigram_frac} "
+        f"AND round(CAST({top_run_count('sort_array(_bg)')} AS DOUBLE) "
+        f"/ greatest(size(_bg), 1), 6) <= {max_top_bigram_frac} "
+        "AND round(1.0 - CAST(size(array_distinct(_t)) AS DOUBLE) "
+        f"/ size(_t), 6) <= {max_dup_token_frac}"
+    )
+    return base.filter(cond).drop("_t", "_bg")

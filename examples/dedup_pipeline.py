@@ -65,9 +65,41 @@ def main() -> None:
     )
     print("after near-dup removal:", deduped.count())
 
-    split = train_val_test_split(deduped, "doc_id")
+    # benchmark decontamination: drop docs sharing an 8-gram with a
+    # held-out eval slice
+    from dar_spark.operators.decontam import decontaminate
+
+    bench = corpus.filter("doc_id % 31 = 0").select("text")
+    deduped = decontaminate(deduped, bench)
+    print("after decontamination:", deduped.count())
+
+    # token-budget domain mixing, then the train/val/test split
+    from dar_spark.operators.pack import pack_sequences, token_budget_sample
+
+    docs_src = dar_spark.load_tables(spark, "/root/testdata/sf0.001")[
+        "documents"
+    ].select("doc_id", "source")
+    mixed = token_budget_sample(
+        deduped.join(docs_src, "doc_id"),
+        {"src0": 10**9, "src1": 800, "src2": 400},
+        default_budget=600,
+    )
+    print("after token-budget mixing:", mixed.count())
+
+    split = train_val_test_split(mixed, "doc_id")
     for r in split.groupBy("split").count().orderBy("split").collect():
         print(f"  {r.split}: {r['count']}")
+
+    # sequence-packing plan for the training split
+    plan = pack_sequences(split.filter("split = 'train'"), max_len=128)
+    n_seqs = (
+        plan.groupBy("bucket")
+        .agg(F.expr("max(end_seq) + 1").alias("n"))
+        .agg(F.sum("n").alias("total"))
+        .collect()[0]
+        .total
+    )
+    print("packed train sequences:", n_seqs)
 
 
 if __name__ == "__main__":
