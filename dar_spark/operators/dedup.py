@@ -152,8 +152,12 @@ def minhash_lsh_pairs(
     # one row per (doc, band): a single self-join on (band_idx, key)
     # replaces per-band joins + union — the band index in the join key
     # keeps buckets from different bands apart.  Signatures are per-row
-    # expressions (no explode+groupBy shuffle; see _bands_from_shingles)
-    bands = _bands_from_shingles(sh, id_col, n_bands, rows_per_band, id_col)
+    # expressions (no explode+groupBy shuffle; see _bands_from_shingles);
+    # the band table is cached because BOTH sides of the self-join read
+    # it — without this each side re-evaluates the md5 signature chain
+    # (the old groupBy formulation got the same effect from exchange
+    # reuse).  Tiny: n_bands rows per doc, three short columns.
+    bands = _bands_from_shingles(sh, id_col, n_bands, rows_per_band, id_col).cache()
     a = bands.select(F.col(id_col).alias("doc_id_a"), "bi", "bk")
     b = bands.select(F.col(id_col).alias("doc_id_b"), "bi", "bk")
     cands = (
