@@ -64,3 +64,19 @@ def test_embed_dup_pairs_lsh_no_nested_loop(spark):
     p = _executed(spark, "embed_dup_pairs_lsh")
     assert "BroadcastNestedLoopJoin" not in p, "nested-loop pair join crept back"
     assert "CartesianProduct" not in p
+
+
+def test_round5_queries_no_scale_killers(spark):
+    """The r5 flagships must stay free of nested-loop joins, cartesian
+    products, and single-partition exchanges (windows are partitioned by
+    bucket/source by design)."""
+    for name in (
+        "pipeline_e2e", "dedup_index_append", "pack_sequences_docs",
+        "token_budget_sample_docs", "decontaminate_docs",
+        "embed_dup_pairs_banded", "fuzzy_state_join_d2",
+        "embed_lsh_topk_banded",
+    ):
+        p = _executed(spark, name)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "SinglePartition" not in p, name
