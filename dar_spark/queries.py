@@ -1900,7 +1900,8 @@ def build_registry() -> dict[str, Q]:
     for flagship in (
         "repetition_stats", "fuzzy_state_join", "dedup_incremental_indexed",
         "embed_lsh_topk_indexed", "embed_dup_pairs_banded",
-        "dedup_index_append", "pipeline_e2e",
+        "dedup_index_append", "pipeline_e2e", "decontaminate_docs",
+        "pack_sequences_docs", "token_budget_sample_docs",
     ):
         r[flagship].headline = True
 
