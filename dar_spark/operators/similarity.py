@@ -24,7 +24,15 @@ N_PLANES = 8
 
 
 def _as_double_vec(df: DataFrame, vec_col: str) -> DataFrame:
-    return df.withColumn(
+    """Projected (_v, _nrm) vector frame.  Runs through
+    ``session.parallelize`` first: every consumer immediately evaluates
+    interpreted higher-order-function expressions (casts, norms, plane
+    dots) per row, and on a few-file layout that work would otherwise
+    execute inside the scan's single task.  No-op on any multi-split
+    production layout."""
+    from dar_spark.session import parallelize
+
+    return parallelize(df).withColumn(
         "_v", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
     ).withColumn(
         "_nrm",
