@@ -137,6 +137,29 @@ class Dialect:
         lits = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
         return f"{x} IN ({lits})"
 
+    def arr_sum_long(self, a: str) -> str:
+        """Left-fold integer sum of an array.  Both emitters fold in
+        element order (Spark ``aggregate``, DuckDB ``list_reduce`` over a
+        0-prepended list), so the two engines add in the same order —
+        for BIGINT that is associativity-safe anyway, but the shared
+        shape keeps the DOUBLE variants honest."""
+        if self.name == "duckdb":
+            return (
+                f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                f"list_transform({a}, x -> CAST(x AS BIGINT))), (a, x) -> a + x)"
+            )
+        return f"aggregate({a}, CAST(0 AS BIGINT), (a, x) -> a + x)"
+
+    def str_arr_lit(self, values: list[str]) -> str:
+        lits = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+        if self.name == "duckdb":
+            return f"[{lits}]"
+        return f"array({lits})"
+
+    def arr_contains(self, a: str, x: str) -> str:
+        fn = "list_contains" if self.name == "duckdb" else "array_contains"
+        return f"{fn}({a}, {x})"
+
 
 SPARK = Dialect("spark")
 DUCKDB = Dialect("duckdb")

@@ -336,3 +336,145 @@ def repetition_filter(
         f"/ size(_t), 6) <= {max_dup_token_frac}"
     )
     return base.filter(cond).drop("_t", "_bg")
+
+
+# --- Gopher document-quality rules (Rae et al. 2021, §A1.1) -----------------
+# The full heuristic rule set from the Gopher paper's quality filter, as
+# ONE dialect-shared expression list: word-count window, mean-word-length
+# window, symbol-to-word ceiling, alphabetic-word floor, stopword-presence
+# floor.  Pure per-row expressions (no explode, no shuffle) in both
+# engines, so the DuckDB oracle computes byte-identical metrics.
+
+# "must contain at least 2 of the following stop words" — the paper's set
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_metrics_sql(d, x: str) -> list[tuple[str, str]]:
+    """(name, expr) pairs for the Gopher quality metrics over text ``x``.
+
+    Emitted per dialect so the Spark plan and the DuckDB oracle evaluate
+    the same logical expressions:
+
+    - ``n_words``: whitespace token count;
+    - ``mean_word_len``: integer length sum (left fold) / n_words;
+    - ``symbol_word_ratio``: ('#' count + '...' count) / n_words;
+    - ``alpha_word_ratio``: words containing an ASCII letter / n_words;
+    - ``stopword_hits``: how many of GOPHER_STOPWORDS appear in the doc.
+    """
+    w = d.split_lit(f"lower({x})", " ")
+    n = f"CAST({d.arr_len(w)} AS BIGINT)"
+    sum_len = d.arr_sum_long(d.arr_transform(w, "t -> length(t)"))
+    hash_cnt = f"(length({x}) - length(replace({x}, '#', '')))"
+    ell_cnt = f"((length({x}) - length(replace({x}, '...', ''))) / 3)"
+    alpha = d.arr_len(d.arr_filter(w, f"t -> {d.rlike('t', '[a-zA-Z]')}"))
+    stop_hits = d.arr_len(
+        d.arr_filter(d.str_arr_lit(GOPHER_STOPWORDS), f"s -> {d.arr_contains(w, 's')}")
+    )
+    return [
+        ("n_words", n),
+        ("mean_word_len", f"round(CAST({sum_len} AS DOUBLE) / {n}, 6)"),
+        (
+            "symbol_word_ratio",
+            f"round(CAST({hash_cnt} + {ell_cnt} AS DOUBLE) / {n}, 6)",
+        ),
+        ("alpha_word_ratio", f"round(CAST({alpha} AS DOUBLE) / {n}, 6)"),
+        ("stopword_hits", f"CAST({stop_hits} AS BIGINT)"),
+    ]
+
+
+def gopher_flags_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> list[tuple[str, str]]:
+    """(name, expr) pass flags over the gopher_metrics_sql columns plus a
+    combined ``keep`` flag — INT 0/1 so both engines hash identically.
+    Thresholds default to the paper's published bounds."""
+    flags = [
+        ("flag_word_count", f"n_words BETWEEN {min_words} AND {max_words}"),
+        (
+            "flag_mean_word_len",
+            f"mean_word_len BETWEEN {min_mean_word_len} AND {max_mean_word_len}",
+        ),
+        ("flag_symbol_ratio", f"symbol_word_ratio <= {max_symbol_word_ratio}"),
+        ("flag_alpha_ratio", f"alpha_word_ratio >= {min_alpha_word_ratio}"),
+        ("flag_stopwords", f"stopword_hits >= {min_stopword_hits}"),
+    ]
+    out = [(name, f"CASE WHEN {cond} THEN 1 ELSE 0 END") for name, cond in flags]
+    keep = " + ".join(expr for _, expr in out)
+    out.append(("keep", f"CASE WHEN ({keep}) = {len(flags)} THEN 1 ELSE 0 END"))
+    return out
+
+
+def gopher_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", **thresholds
+) -> DataFrame:
+    """Per-doc Gopher quality metrics + pass flags + combined keep flag.
+
+    Two projections (metrics, then flags over the named metric columns)
+    — both narrow, whole-stage-codegen, zero shuffle; filter on
+    ``keep = 1`` for the actual corpus filter."""
+    from dar_spark.dialect import SPARK
+
+    metrics = df.select(
+        F.col(id_col),
+        *[
+            F.expr(e).alias(name)
+            for name, e in gopher_metrics_sql(SPARK, text_col)
+        ],
+    )
+    return metrics.select(
+        "*",
+        *[F.expr(e).alias(name) for name, e in gopher_flags_sql(**thresholds)],
+    )
+
+
+# --- TF-IDF keyword extraction ----------------------------------------------
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF:
+    score = tf * ln((N + 1) / (doc_freq + 1)).
+
+    Plan shape: one explode, two hash aggregations on uniform token
+    keys (term frequency, then document frequency — both map-side
+    combinable), the 1-row corpus count broadcast, and a per-doc
+    window top-k.  No driver collect; the doc-frequency join key is a
+    token (uniform, high-cardinality) so the join shuffles O(distinct
+    terms), never O(corpus).
+    """
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.expr(f"split(lower({text_col}), ' ', -1)")).alias("token"),
+    )
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    n = df.select(F.countDistinct(id_col).alias("_n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.expr(
+                "round(tf * ln((CAST(_n AS DOUBLE) + 1.0) "
+                "/ (CAST(doc_freq AS DOUBLE) + 1.0)), 6)"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("token"))
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
+        .filter(f"rank_n <= {k}")
+        .select(id_col, "token", "tf", "doc_freq", "tfidf", "rank_n")
+    )

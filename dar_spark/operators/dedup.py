@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
@@ -854,3 +855,139 @@ def embedding_dup_pairs(
         "vec_id_b",
         "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x) / (na * nb), 6) AS cos_sim",
     ).filter(f"cos_sim >= {cos_threshold}")
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """Chunk-level exact dedup with document reassembly — the
+    paragraph/exact-substring dedup of RefinedWeb (Penedo et al. 2023
+    §4.2) and The Pile, approximated at fixed token-window granularity
+    (the fixture text has no paragraph breaks; on real corpora pass the
+    paragraph-split output instead).
+
+    Every document is cut into NON-overlapping ``chunk_tokens`` windows
+    (lossless: rejoining the windows reproduces the text), each distinct
+    chunk text keeps only its FIRST occurrence in (id, chunk_id) order,
+    and documents are reassembled from their surviving chunks.  A
+    document whose every chunk appeared earlier vanishes entirely —
+    true dedup semantics, not marking.
+
+    Plan shape: one narrow explode, a first-occurrence window on
+    ``md5(chunk_text)`` (hash-uniform keys — no skew even when one
+    boilerplate chunk dominates the corpus, because the PARTITION key is
+    the hash and ROW_NUMBER is a streaming rank, not a collect), then
+    one groupBy(id) to rebuild.  Output: (id, text_dedup, n_kept,
+    n_chunks).
+    """
+    from dar_spark.functions.text import chunk_documents
+
+    ch = chunk_documents(
+        df, id_col, text_col, chunk_tokens=chunk_tokens, overlap=0
+    )
+    first = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("chunk_id"))
+    per_doc = Window.partitionBy(id_col)
+    kept = (
+        ch.withColumn("_h", F.md5(F.col("chunk_text")))
+        .withColumn("n_chunks", F.count("*").over(per_doc))
+        .withColumn("_rn", F.row_number().over(first))
+        .filter("_rn = 1")
+    )
+    return kept.groupBy(id_col).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(chunk_id, chunk_text))), s -> s.chunk_text), ' ')"
+        ).alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+        F.max("n_chunks").alias("n_chunks"),
+    )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    cos_threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space coarsely, then drop within-cluster semantic
+    duplicates above a cosine threshold, keeping one representative.
+
+    Deterministic re-expression: centroids are the ``n_clusters``
+    vectors with the smallest md5(id) — a reproducible hash-order
+    sample standing in for the paper's k-means fit (the IVF operator's
+    sampled KMeans is the upgrade path when approximate centroids
+    suffice; an ORDER-BY-hash LIMIT keeps this operator byte-replayable
+    in any engine).  Every vector joins the broadcast centroid set once
+    (argmin euclidean, ties to the lower centroid id), then a
+    within-cluster self-join marks any vector with a smaller-id
+    neighbor at cosine >= threshold as a duplicate.
+
+    Output: (id, cluster_id, keep INT) for every input row.
+
+    Scale: assignment is ONE pass over the corpus against broadcast
+    centroids.  The self-join shuffles on cluster_id, so ``n_clusters``
+    is the dial — it must grow ~sqrt(N) (the paper uses 50k clusters
+    for LAION) both to bound the O(sum c_i^2) within-cluster pair work
+    and to keep the shuffle keys numerous enough to spread; the tiny
+    default suits the test fixture only.  For near-dup thresholds
+    (cos >= 0.99) prefer ``embedding_dup_pairs`` — banded SRP buckets
+    scale without the cluster-size quadratic term.
+    """
+    from dar_spark.operators.similarity import _as_double_vec
+
+    e = _as_double_vec(df.select(id_col, vec_col), vec_col)
+    cent = (
+        e.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("_cid"), F.col("_v").alias("_cv"))
+    )
+    d = e.crossJoin(F.broadcast(cent)).withColumn(
+        "_dist",
+        F.expr(
+            "aggregate(zip_with(_v, _cv, (x, y) -> (x - y) * (x - y)), "
+            "0D, (a, x) -> a + x)"
+        ),
+    )
+    wa = Window.partitionBy(id_col).orderBy("_dist", "_cid")
+    a = (
+        d.withColumn("_rn", F.row_number().over(wa))
+        .filter("_rn = 1")
+        .select(id_col, "_v", "_nrm", F.col("_cid").alias("cluster_id"))
+    )
+    left = a.select(
+        F.col(id_col).alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"),
+        "cluster_id",
+    )
+    right = a.select(
+        F.col(id_col).alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+        "cluster_id",
+    )
+    dup = (
+        left.join(right, "cluster_id")
+        .filter("_ida < _idb")
+        .withColumn(
+            "_cos",
+            F.expr(
+                "round(aggregate(zip_with(_va, _vb, (x, y) -> x * y), 0D, "
+                "(a, x) -> a + x) / (_na * _nb), 6)"
+            ),
+        )
+        .filter(f"_cos >= {cos_threshold}")
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return a.join(dup, id_col, "left").select(
+        F.col(id_col),
+        "cluster_id",
+        F.when(F.col("_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )

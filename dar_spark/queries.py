@@ -2572,6 +2572,11 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("decontaminate_docs", _decontaminate_q()),
         ("pack_sequences_docs", _pack_sequences_q()),
         ("token_budget_sample_docs", _token_budget_sample_q()),
+        ("chunk_dedup_docs", _chunk_dedup_q()),
+        ("semdedup_embed", _semdedup_q()),
+        ("tfidf_topk", _tfidf_topk_q()),
+        ("gopher_quality_docs", _gopher_quality_q()),
+        ("late_order_priority", _sql_q(LATE_PRIORITY_SQL)),
     ]
 
 
@@ -2594,3 +2599,195 @@ def _round3_queries() -> list[tuple[str, Q]]:
         # the SRP plane-count dial, proven end-to-end at 4096 buckets
         ("embed_lsh_topk_p12", _embed_lsh_topk_q(n_planes=12)),
     ]
+
+
+# ---------------------------------------------------------------------------
+# round-5 second wave: chunk dedup, SemDeDup, TF-IDF, Gopher rules, semi-join
+# ---------------------------------------------------------------------------
+
+CD_TOKENS = 32  # chunk_dedup window (non-overlapping, lossless rejoin)
+
+
+def _chunk_dedup_q() -> Q:
+    """Chunk-level exact dedup over the dup-injected corpus
+    (operators/dedup.chunk_dedup): every distinct 32-token window keeps
+    its first (doc_id, chunk_id) occurrence, docs are reassembled from
+    surviving chunks, fully-duplicate docs vanish.  The oracle recomputes
+    the same windows relationally and reassembles with list(ORDER BY)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dedup import chunk_dedup
+
+        return chunk_dedup(
+            _corpus_df(spark, sf_dir), "doc_id", "text", chunk_tokens=CD_TOKENS
+        )
+
+    oracle = f"""WITH corpus AS ({CORPUS_CTE}),
+w AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+s AS (SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t), 1), {CD_TOKENS})) AS st
+      FROM w),
+c AS (SELECT doc_id,
+        CAST((st - 1) // {CD_TOKENS} AS INT) AS chunk_id,
+        array_to_string(list_slice(t, st, st + {CD_TOKENS} - 1), ' ') AS chunk_text
+      FROM s),
+k AS (SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                           ORDER BY doc_id, chunk_id) AS rn,
+        COUNT(*) OVER (PARTITION BY doc_id) AS n_chunks
+      FROM c)
+SELECT doc_id,
+  array_to_string(list(chunk_text ORDER BY chunk_id), ' ') AS text_dedup,
+  CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(max(n_chunks) AS BIGINT) AS n_chunks
+FROM k WHERE rn = 1 GROUP BY doc_id"""
+    return Q(spark_fn, oracle, headline=True)
+
+
+SEMDEDUP_K = 8
+SEMDEDUP_COS = 0.95
+
+
+def _semdedup_q() -> Q:
+    """SemDeDup pruning (operators/dedup.semdedup_prune): hash-order
+    centroid sample, broadcast argmin assignment, within-cluster
+    smaller-id-neighbor test at cos >= 0.95.  The oracle replays centroid
+    choice, assignment, and the pair test with left-fold dot products
+    (same IEEE order as Spark's aggregate)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dedup import semdedup_prune
+
+        t = load_tables(spark, sf_dir)
+        return semdedup_prune(
+            t["embeddings"], "vec_id", "embedding",
+            n_clusters=SEMDEDUP_K, cos_threshold=SEMDEDUP_COS,
+        )
+
+    def fold(products: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    sq_dist = fold(
+        "list_transform(generate_series(1, len(v)), "
+        "i -> (v[i] - cv[i]) * (v[i] - cv[i]))"
+    )
+    dot_ab = fold(
+        "list_transform(generate_series(1, len(va)), i -> va[i] * vb[i])"
+    )
+    oracle = f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt({fold('list_transform(v, x -> x * x)')}) AS nrm
+  FROM e
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {SEMDEDUP_K}
+), d AS (
+  SELECT vec_id, v, nrm, cid, {sq_dist} AS dist
+  FROM n CROSS JOIN cent
+), a AS (
+  SELECT vec_id, v, nrm, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn
+    FROM d) WHERE rn = 1
+), dup AS (
+  SELECT DISTINCT q.vec_id
+  FROM (SELECT vec_id, v AS va, nrm AS na, cid FROM a) p
+  JOIN (SELECT vec_id, v AS vb, nrm AS nb, cid FROM a) q
+    ON p.cid = q.cid AND p.vec_id < q.vec_id
+  WHERE round({dot_ab} / (p.na * q.nb), 6) >= {SEMDEDUP_COS}
+)
+SELECT a.vec_id, a.cid AS cluster_id,
+       CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM a LEFT JOIN dup ON a.vec_id = dup.vec_id"""
+    return Q(spark_fn, oracle, headline=True)
+
+
+TFIDF_K = 3
+
+
+def _tfidf_topk_q() -> Q:
+    """Top-3 characteristic terms per doc by smoothed TF-IDF
+    (functions/text.tfidf_topk) — explode, two map-side-combinable
+    aggregations, broadcast corpus count, per-doc window top-k."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import tfidf_topk
+
+        t = load_tables(spark, sf_dir)
+        return tfidf_topk(
+            parallelize(t["documents"]), "doc_id", "text", k=TFIDF_K
+        )
+
+    oracle = f"""WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(*) AS doc_freq FROM tf GROUP BY token
+), nn AS (
+  SELECT count(DISTINCT doc_id) AS _n FROM documents
+), s AS (
+  SELECT doc_id, token, tf, doc_freq,
+         round(tf * ln((CAST(_n AS DOUBLE) + 1.0)
+                       / (CAST(doc_freq AS DOUBLE) + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nn
+), r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, token) AS BIGINT) AS rank_n
+  FROM s
+)
+SELECT doc_id, token, tf, doc_freq, tfidf, rank_n
+FROM r WHERE rank_n <= {TFIDF_K}"""
+    return Q(spark_fn, oracle)
+
+
+def _gopher_quality_q() -> Q:
+    """Full Gopher heuristic rule set (functions/text.gopher_quality):
+    per-doc metrics + per-rule pass flags + combined keep — pure
+    expressions in both engines, zero shuffle."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import gopher_quality
+
+        t = load_tables(spark, sf_dir)
+        return gopher_quality(parallelize(t["documents"]), "doc_id", "text")
+
+    from dar_spark.functions.text import gopher_flags_sql, gopher_metrics_sql
+
+    metric_cols = ",\n  ".join(
+        f"{e} AS {name}" for name, e in gopher_metrics_sql(DUCKDB, "text")
+    )
+    flag_cols = ",\n  ".join(
+        f"{e} AS {name}" for name, e in gopher_flags_sql()
+    )
+    oracle = f"""WITH m AS (
+  SELECT doc_id,
+  {metric_cols}
+  FROM documents
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_ratio,
+  stopword_hits,
+  {flag_cols}
+FROM m"""
+    return Q(spark_fn, oracle)
+
+
+# TPC-H Q4 shape on the available columns: orders with at least one
+# late-shipped lineitem (> 60 days after the order date), counted by
+# priority.  The correlated EXISTS becomes a LEFT SEMI sort-merge join on
+# the order key with the date bound as a join-side filter — the
+# complement of the customers_without_orders ANTI join already covered.
+LATE_PRIORITY_SQL = """SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority"""

@@ -266,3 +266,87 @@ def test_compact_dedup_index_preserves_results(spark, tmp_path):
     assert gens == {"base"}
     with pytest.raises(ValueError, match="dest != path"):
         compact_dedup_index(spark, grown, grown)
+
+
+# --- chunk-level exact dedup ------------------------------------------------
+
+
+def test_chunk_dedup_drops_whole_duplicate_docs(spark):
+    """In the dup-injected corpus, docs 1,2 mod 3 are byte-identical to
+    their triple representative: every chunk duplicates one seen earlier,
+    so only the representatives survive, with all chunks intact."""
+    corpus = _dup_corpus(spark).filter("doc_id < 30")
+    out = dedup.chunk_dedup(corpus, "doc_id", "text", chunk_tokens=16)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {0, 3, 6, 9, 12, 15, 18, 21, 24, 27}
+    for r in rows.values():
+        assert r.n_kept == r.n_chunks
+
+
+def test_chunk_dedup_reassembly_is_lossless_without_dups(spark):
+    """A corpus with no duplicate chunks must round-trip byte-identically
+    (non-overlapping windows rejoin to the original text).  Tokens are
+    globally unique so no chunk — including ragged tail chunks — can
+    collide across documents."""
+    rows = [
+        (d, " ".join(f"t{d}_{i}" for i in range(7 + 13 * d)))
+        for d in range(6)
+    ]
+    uniq = spark.createDataFrame(rows, "doc_id int, text string")
+    out = dedup.chunk_dedup(uniq, "doc_id", "text", chunk_tokens=16)
+    got = {r.doc_id: r.text_dedup for r in out.collect()}
+    assert got == dict(rows)
+
+
+def test_chunk_dedup_partial_overlap_keeps_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d w x y z"),  # chunks: "a b c d", "w x y z"
+            (2, "a b c d p q r s"),  # first chunk dup of doc 1's
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in dedup.chunk_dedup(df, "doc_id", "text", 4).collect()}
+    assert out[1].text_dedup == "a b c d w x y z"
+    assert out[2].text_dedup == "p q r s"
+    assert (out[2].n_kept, out[2].n_chunks) == (1, 2)
+
+
+# --- SemDeDup ---------------------------------------------------------------
+
+
+def test_semdedup_keeps_one_representative_per_dup_group(spark):
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    out = dedup.semdedup_prune(emb, "vec_id", "embedding",
+                               n_clusters=4, cos_threshold=0.99)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    kept = {r.vec_id for r in rows if r.keep == 1}
+    dropped = {r.vec_id for r in rows if r.keep == 0}
+    # every dropped vector has a kept-or-earlier neighbor above the
+    # threshold in the SAME cluster and with a smaller id
+    cluster = {r.vec_id: r.cluster_id for r in rows}
+    pairs = dedup.embedding_dup_pairs(
+        emb, "vec_id", "embedding", cos_threshold=0.99, method="brute"
+    ).collect()
+    nbrs = {}
+    for p in pairs:
+        nbrs.setdefault(p.vec_id_b, set()).add(p.vec_id_a)
+    for v in dropped:
+        assert any(cluster[a] == cluster[v] for a in nbrs.get(v, ())), (
+            f"{v} dropped without a smaller-id same-cluster neighbor"
+        )
+    # no two kept vectors in the same cluster exceed the threshold
+    kept_pairs = [
+        p for p in pairs
+        if p.vec_id_a in kept and p.vec_id_b in kept
+        and cluster[p.vec_id_a] == cluster[p.vec_id_b]
+    ]
+    assert kept_pairs == []
+
+
+def test_semdedup_is_deterministic(spark):
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    a = sorted(map(tuple, dedup.semdedup_prune(emb).collect()))
+    b = sorted(map(tuple, dedup.semdedup_prune(emb.repartition(7)).collect()))
+    assert a == b

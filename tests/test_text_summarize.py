@@ -176,3 +176,43 @@ def test_repetition_metrics_null_text_kept_with_null_metrics(spark):
         and r2.top_bigram_frac is None
         and r2.dup_token_frac is None
     )
+
+
+# --- Gopher rule set / TF-IDF ----------------------------------------------
+
+
+def test_gopher_rules_on_crafted_docs(spark):
+    from dar_spark.functions.text import gopher_quality
+
+    good = " ".join(
+        "the be to of and that have with word" for _ in range(10)
+    )  # 90 words, all stopword-rich alpha text
+    short = "tiny doc"
+    symbols = " ".join("#" * 3 for _ in range(60))  # no alpha, all symbols
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in gopher_quality(df).collect()}
+    assert out[1].keep == 1
+    assert (out[1].flag_word_count, out[1].flag_stopwords) == (1, 1)
+    assert out[2].keep == 0 and out[2].flag_word_count == 0
+    assert out[3].keep == 0
+    assert out[3].flag_alpha_ratio == 0 and out[3].flag_symbol_ratio == 0
+    assert out[3].n_words == 60
+
+
+def test_tfidf_ranks_rare_terms_over_common(spark):
+    from dar_spark.functions.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared shared rare1 rare1 rare1"),
+            (2, "shared shared other other"),
+            (3, "shared shared filler filler"),
+        ],
+        "doc_id int, text string",
+    )
+    out = tfidf_topk(df, k=1).collect()
+    top = {r.doc_id: r.token for r in out}
+    # 'shared' appears in every doc (idf ~ ln(4/4) = 0) — never the top term
+    assert top == {1: "rare1", 2: "other", 3: "filler"}
