@@ -182,6 +182,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = 64,
     overlap: int = 16,
+    carry_total: bool = False,
 ) -> DataFrame:
     """Split documents into overlapping token windows — the standard
     context-window prep for pre-training / RAG ingestion.
@@ -198,15 +199,27 @@ def chunk_documents(
     is ever a strict subset of its predecessor (a trailing start at
     ``n - overlap < s <= n`` would emit <= overlap tokens the previous
     window already covers — duplicate text in training-prep output).
+
+    ``carry_total`` adds ``n_doc_chunks`` (the document's total chunk
+    count) as a closed-form per-row expression computed BEFORE the
+    explode — consumers that need it (chunk_dedup's survivor stats)
+    would otherwise pay a corpus-wide count window + extra exchange to
+    recover a value already known at generation time.
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
+    # number of generated starts in sequence(1, greatest(n-overlap,1), step)
+    total = (
+        f"CAST((greatest(size(_w) - {overlap}, 1) - 1) DIV {step} + 1 AS BIGINT)"
+        " AS n_doc_chunks"
+    )
     return (
         df.selectExpr(id_col, f"split({text_col}, ' ', -1) AS _w")
         .selectExpr(
             id_col,
             "_w",
+            *([total] if carry_total else []),
             f"explode(sequence(1, greatest(size(_w) - {overlap}, 1), {step})) AS _s",
         )
         .selectExpr(
@@ -214,6 +227,7 @@ def chunk_documents(
             f"CAST((_s - 1) DIV {step} AS INT) AS chunk_id",
             f"array_join(slice(_w, _s, {chunk_tokens}), ' ') AS chunk_text",
             f"size(slice(_w, _s, {chunk_tokens})) AS n_chunk_tokens",
+            *(["n_doc_chunks"] if carry_total else []),
         )
     )
 

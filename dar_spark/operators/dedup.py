@@ -879,20 +879,23 @@ def chunk_dedup(
     Plan shape: one narrow explode, a first-occurrence window on
     ``md5(chunk_text)`` (hash-uniform keys — no skew even when one
     boilerplate chunk dominates the corpus, because the PARTITION key is
-    the hash and ROW_NUMBER is a streaming rank, not a collect), then
-    one groupBy(id) to rebuild.  Output: (id, text_dedup, n_kept,
-    n_chunks).
+    the hash and ROW_NUMBER is a streaming rank, not a collect; Spark
+    compiles the rank-1 filter to WindowGroupLimit, a streaming top-1
+    per partition), then one groupBy(id) to rebuild.  The per-doc total
+    chunk count rides along as a closed-form expression from the
+    chunker (``carry_total``) — no second corpus-wide window.  Output:
+    (id, text_dedup, n_kept, n_chunks).
     """
     from dar_spark.functions.text import chunk_documents
 
     ch = chunk_documents(
-        df, id_col, text_col, chunk_tokens=chunk_tokens, overlap=0
+        df, id_col, text_col, chunk_tokens=chunk_tokens, overlap=0,
+        carry_total=True,
     )
     first = Window.partitionBy("_h").orderBy(F.col(id_col), F.col("chunk_id"))
-    per_doc = Window.partitionBy(id_col)
     kept = (
         ch.withColumn("_h", F.md5(F.col("chunk_text")))
-        .withColumn("n_chunks", F.count("*").over(per_doc))
+        .withColumnRenamed("n_doc_chunks", "n_chunks")
         .withColumn("_rn", F.row_number().over(first))
         .filter("_rn = 1")
     )
@@ -954,10 +957,16 @@ def semdedup_prune(
         ),
     )
     wa = Window.partitionBy(id_col).orderBy("_dist", "_cid")
+    # the assignment table feeds BOTH sides of the pair join AND the
+    # final keep-flag join — cached, the corpus-wide argmin pass runs
+    # once instead of three times (same reasoning as the minhash band
+    # table; at cluster scale this is the difference between one and
+    # three full-corpus scans)
     a = (
         d.withColumn("_rn", F.row_number().over(wa))
         .filter("_rn = 1")
         .select(id_col, "_v", "_nrm", F.col("_cid").alias("cluster_id"))
+        .cache()
     )
     left = a.select(
         F.col(id_col).alias("_ida"),
