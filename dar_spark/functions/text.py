@@ -492,3 +492,71 @@ def tfidf_topk(
         .filter(f"rank_n <= {k}")
         .select(id_col, "token", "tf", "doc_freq", "tfidf", "rank_n")
     )
+
+
+# --- bigram-LM perplexity scoring (CCNet-style quality signal) --------------
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document negative log-likelihood under an add-one-smoothed
+    bigram language model trained on the corpus itself — the CCNet
+    quality signal (Wenzek et al. 2020: LM perplexity buckets web text
+    into head/middle/tail quality tiers; unusual token sequences score
+    high).  Output: (id, n_bigrams, avg_nll), docs with < 2 tokens
+    dropped (no bigram to score).
+
+    P(cur | prev) = (c(prev, cur) + 1) / (c(prev) + V), with c(prev)
+    the bigram-context count and V the corpus vocabulary size.  The
+    per-bigram NLL is rounded to 6 decimals and summed as
+    DECIMAL(28, 6) — an exact, order-independent aggregate, so the
+    engines cannot drift by float summation order (the Q1 decimal-sum
+    recipe applied to log space; ln() itself is evaluated on identical
+    integer-ratio doubles in both engines).
+
+    Plan shape: bigram positions are exploded FIRST (one narrow
+    Generate; building gram arrays and exploding them afterwards lets
+    Catalyst push an inferred filter with the full gram chain into the
+    scan — see decontam._ngram_rows), then two map-side-combinable
+    count aggregations on uniform bigram/context keys, one broadcast
+    1-row vocabulary count, and joins back to the exploded stream.  At
+    corpus scale Zipf-hot context keys (e.g. "the") are AQE skew-join
+    territory; counts tables stay proportional to distinct n-grams,
+    never the corpus.
+    """
+    w = df.selectExpr(
+        id_col, f"split(lower({text_col}), ' ', -1) AS _w"
+    ).filter("size(_w) >= 2")
+    bg = w.selectExpr(
+        id_col, "_w", "explode(sequence(1, size(_w) - 1)) AS _i"
+    ).selectExpr(
+        id_col,
+        "element_at(_w, _i) AS prev",
+        "element_at(_w, _i + 1) AS cur",
+    )
+    cb = bg.groupBy("prev", "cur").agg(F.count("*").alias("c_bigram"))
+    cu = bg.groupBy("prev").agg(F.count("*").alias("c_context"))
+    tok = df.selectExpr(f"explode(split(lower({text_col}), ' ', -1)) AS t")
+    v = tok.agg(F.countDistinct("t").alias("_v"))
+    scored = (
+        bg.join(cb, ["prev", "cur"])
+        .join(cu, "prev")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "_nll",
+            F.expr(
+                "round(-ln((CAST(c_bigram AS DOUBLE) + 1.0) "
+                "/ (CAST(c_context AS DOUBLE) + CAST(_v AS DOUBLE))), 6)"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr(
+            "round(CAST(SUM(CAST(_nll AS DECIMAL(28, 6))) AS DOUBLE) "
+            "/ count(*), 6)"
+        ).alias("avg_nll"),
+    )

@@ -89,3 +89,113 @@ def cm_estimate(
     return q.withColumn("cm_estimate", mins).drop(
         *[f"_b_{r}" for r in range(depth)], *[f"_n_{r}" for r in range(depth)]
     )
+
+
+# --- HyperLogLog distinct-count sketch --------------------------------------
+
+HLL_REGISTER_BITS = 8          # m = 256 registers
+HLL_M = 1 << HLL_REGISTER_BITS
+# Flajolet et al. 2007 bias constant for m >= 128
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_register_sql(d: Dialect, value: str) -> tuple[str, str]:
+    """(register, rho) expressions for one input value, either dialect.
+
+    Register = first 2 md5 hex chars (8 bits); rho = 1 + number of
+    leading zero BITS in the next 16 hex chars (capped at 64 so the
+    scaled power-of-two term below stays integral).  The leading-zero
+    count reads the hex string directly — strip the zero chars with an
+    anchored regex, then a CASE maps the first nonzero hex char to its
+    0-3 leading zero bits — so both engines compute rho without any
+    binary conversion.
+    """
+    h = f"md5({d.cast_str(value)})"
+    reg = f"substr({h}, 1, 2)"
+    rest = f"substr({h}, 3, 16)"
+    stripped = d.re_replace(rest, "^0+", "")
+    lz_first = (
+        f"(CASE WHEN substr({stripped}, 1, 1) = '1' THEN 3 "
+        f"WHEN substr({stripped}, 1, 1) IN ('2', '3') THEN 2 "
+        f"WHEN substr({stripped}, 1, 1) IN ('4', '5', '6', '7') THEN 1 "
+        f"ELSE 0 END)"
+    )
+    rho = (
+        f"(CASE WHEN {stripped} = '' THEN 64 "
+        f"ELSE least(4 * (16 - length({stripped})) + {lz_first} + 1, 64) END)"
+    )
+    return reg, rho
+
+
+def hll_estimate_sql() -> str:
+    """Corrected-estimate expression over the summary columns
+    (n_registers_hit, _scaled) — engine-neutral SQL shared by the Spark
+    operator and the DuckDB oracle.  The alpha literal is cast to DOUBLE
+    explicitly: both engines parse bare decimal literals as DECIMAL, and
+    DuckDB's decimal multiplication overflows where Spark silently
+    promotes."""
+    m = HLL_M
+    est = (
+        f"(CAST({HLL_ALPHA} AS DOUBLE) * {m} * {m} "
+        f"* power(CAST(2 AS DOUBLE), 64)) "
+        f"/ (CAST(_scaled AS DOUBLE) "
+        f"+ CAST({m} - n_registers_hit AS DOUBLE) * power(CAST(2 AS DOUBLE), 64))"
+    )
+    return (
+        f"CASE WHEN {m} - n_registers_hit > 0 AND {est} < 2.5 * {m} "
+        f"THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - n_registers_hit)) "
+        f"ELSE {est} END"
+    )
+
+
+def hll_distinct(df: DataFrame, value_col: str) -> DataFrame:
+    """One-row HyperLogLog cardinality estimate for ``value_col``:
+    (m, n_registers_hit, hll_estimate, n_exact, rel_error).
+
+    Why not ``approx_count_distinct``: Spark's builtin is a different
+    (non-portable) HLL++ implementation — this operator's sketch is a
+    deterministic expression both engines evaluate identically, so the
+    estimate itself sits under the value-hash oracle, and the
+    register-table intermediate is reusable as a mergeable per-partition
+    summary (union two register tables, max per register — the standard
+    HLL merge).
+
+    Scale shape: one scan computing (register, rho) per row, a 256-key
+    map-side-combinable max aggregate, one final row.  The registers'
+    2^-M sum is accumulated as DECIMAL-scaled powers of two
+    (2^(64 - M), exactly representable), so the aggregate is
+    order-independent — the Q1 decimal-sum recipe — and the two engines
+    cannot drift by float summation order.  The small-range linear
+    counting correction (Flajolet et al. 2007) applies below 2.5 m.
+
+    ``n_exact``/``rel_error`` are validation columns (they cost an exact
+    distinct aggregate); drop them in production use — the sketch
+    columns alone never shuffle more than 256 keys.
+    """
+    reg, rho = hll_register_sql(SPARK, value_col)
+    regs = (
+        df.select(F.expr(reg).alias("_reg"), F.expr(rho).alias("_rho"))
+        .groupBy("_reg")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    m = HLL_M
+    summed = regs.agg(
+        F.count("*").alias("n_registers_hit"),
+        F.expr(
+            "SUM(CAST(power(CAST(2 AS DOUBLE), 64 - _m) AS DECIMAL(38, 0)))"
+        ).alias("_scaled"),
+    )
+    exact = df.agg(
+        F.countDistinct(F.expr(value_col)).alias("n_exact")
+    )
+    corrected = hll_estimate_sql()
+    return (
+        summed.crossJoin(F.broadcast(exact))
+        .selectExpr(
+            f"CAST({m} AS BIGINT) AS m",
+            "CAST(n_registers_hit AS BIGINT) AS n_registers_hit",
+            f"round({corrected}, 3) AS hll_estimate",
+            "CAST(n_exact AS BIGINT) AS n_exact",
+            f"round(abs({corrected} - n_exact) / n_exact, 4) AS rel_error",
+        )
+    )

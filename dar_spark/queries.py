@@ -2577,6 +2577,8 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("tfidf_topk", _tfidf_topk_q()),
         ("gopher_quality_docs", _gopher_quality_q()),
         ("late_order_priority", _sql_q(LATE_PRIORITY_SQL)),
+        ("lm_perplexity_docs", _lm_perplexity_q()),
+        ("hll_distinct_users", _hll_distinct_q()),
     ]
 
 
@@ -2791,3 +2793,80 @@ WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey
                 AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
 GROUP BY o_orderpriority"""
+
+
+def _lm_perplexity_q() -> Q:
+    """Bigram-LM quality scoring (functions/text.lm_perplexity): add-one
+    smoothed self-perplexity in NLL space, decimal-summed so both
+    engines aggregate order-independently."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import lm_perplexity
+
+        t = load_tables(spark, sf_dir)
+        return lm_perplexity(parallelize(t["documents"]), "doc_id", "text")
+
+    oracle = """WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 2
+), bg AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM w)
+), cb AS (
+  SELECT prev, cur, count(*) AS c_bigram FROM bg GROUP BY prev, cur
+), cu AS (
+  SELECT prev, count(*) AS c_context FROM bg GROUP BY prev
+), vv AS (
+  SELECT count(DISTINCT t) AS _v
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+), s AS (
+  SELECT doc_id,
+         round(-ln((CAST(c_bigram AS DOUBLE) + 1.0)
+                   / (CAST(c_context AS DOUBLE) + CAST(_v AS DOUBLE))), 6) AS nll
+  FROM bg JOIN cb USING (prev, cur) JOIN cu USING (prev) CROSS JOIN vv
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(CAST(SUM(CAST(nll AS DECIMAL(28, 6))) AS DOUBLE) / count(*), 6) AS avg_nll
+FROM s GROUP BY doc_id"""
+    return Q(spark_fn, oracle)
+
+
+def _hll_distinct_q() -> Q:
+    """HyperLogLog distinct-user estimate over events
+    (operators/sketch.hll_distinct) — deterministic md5 registers, the
+    DECIMAL-scaled 2^-M sum, linear-counting correction; the oracle
+    computes the identical sketch AND the exact count it approximates."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.sketch import hll_distinct
+
+        t = load_tables(spark, sf_dir)
+        return hll_distinct(parallelize(t["events"]), "user_id")
+
+    from dar_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate_sql,
+        hll_register_sql,
+    )
+
+    reg, rho = hll_register_sql(DUCKDB, "user_id")
+    m = HLL_M
+    corrected = hll_estimate_sql()
+    oracle = f"""WITH r AS (
+  SELECT {reg} AS _reg, {rho} AS _rho FROM events
+), regs AS (
+  SELECT _reg, max(_rho) AS _m FROM r GROUP BY _reg
+), s AS (
+  SELECT count(*) AS n_registers_hit,
+         SUM(CAST(power(CAST(2 AS DOUBLE), 64 - _m) AS DECIMAL(38, 0))) AS _scaled
+  FROM regs
+), e AS (
+  SELECT count(DISTINCT user_id) AS n_exact FROM events
+)
+SELECT CAST({m} AS BIGINT) AS m,
+  CAST(n_registers_hit AS BIGINT) AS n_registers_hit,
+  round({corrected}, 3) AS hll_estimate,
+  CAST(n_exact AS BIGINT) AS n_exact,
+  round(abs({corrected} - n_exact) / n_exact, 4) AS rel_error
+FROM s CROSS JOIN e"""
+    return Q(spark_fn, oracle)

@@ -58,3 +58,47 @@ def test_cm_sketch_single_scan(spark, tables):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1, f"expected one parquet scan:\n{final[:500]}"
     assert "Union" not in final, "depth-way union of scans crept back"
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """HLL relative error should sit within ~3 standard errors of the
+    1.04/sqrt(m) bound for a 256-register sketch."""
+    from dar_spark.operators.sketch import HLL_M, hll_distinct
+
+    df = spark.range(0, 2000).selectExpr("CAST(id * 7919 AS STRING) AS v")
+    row = hll_distinct(df, "v").collect()[0]
+    assert row.n_exact == 2000
+    bound = 3 * 1.04 / (HLL_M ** 0.5)
+    assert row.rel_error <= bound, f"rel_error {row.rel_error} > {bound}"
+
+
+def test_hll_register_table_merges(spark):
+    """The register table of a union equals the elementwise max of the
+    parts' register tables — the standard HLL merge property, which is
+    what makes the sketch a valid per-partition summary."""
+    from pyspark.sql import functions as F
+
+    from dar_spark.operators.sketch import SPARK as SP
+    from dar_spark.operators.sketch import hll_register_sql
+
+    reg, rho = hll_register_sql(SP, "v")
+    a = spark.range(0, 500).selectExpr("CAST(id AS STRING) AS v")
+    b = spark.range(300, 900).selectExpr("CAST(id AS STRING) AS v")
+
+    def regs(df):
+        return (
+            df.select(F.expr(reg).alias("r"), F.expr(rho).alias("p"))
+            .groupBy("r").agg(F.max("p").alias("m"))
+        )
+
+    merged = (
+        regs(a).unionByName(regs(b))
+        .groupBy("r").agg(F.max("m").alias("m"))
+    )
+    direct = regs(a.unionByName(b))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

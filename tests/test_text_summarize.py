@@ -216,3 +216,18 @@ def test_tfidf_ranks_rare_terms_over_common(spark):
     top = {r.doc_id: r.token for r in out}
     # 'shared' appears in every doc (idf ~ ln(4/4) = 0) — never the top term
     assert top == {1: "rare1", 2: "other", 3: "filler"}
+
+
+def test_lm_perplexity_scores_unusual_text_higher(spark):
+    """A doc of corpus-typical bigrams must score lower NLL than a doc
+    of bigrams that appear nowhere else in the corpus."""
+    from dar_spark.functions.text import lm_perplexity
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(10)] + [(99, "zyx wvu tsr qpo nml")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r.avg_nll for r in lm_perplexity(df).collect()}
+    assert out[0] == out[5]          # identical docs, identical score
+    assert out[99] > out[0] + 0.5    # unseen bigrams pay the smoothing floor
+    n_bg = {r.doc_id: r.n_bigrams for r in lm_perplexity(df).collect()}
+    assert n_bg[0] == 5 and n_bg[99] == 4
