@@ -1,0 +1,60 @@
+"""Native session-window streaming aggregation.
+
+The batch registry sessionizes with stacked windows (lag -> gap flag ->
+running sum, `queries._sessionize_q`); Structured Streaming cannot run
+unbounded windows, so the streaming path uses Spark's NATIVE
+``session_window`` state store operator instead: per (key, session)
+state that extends while events keep arriving within the gap and closes
+— and is evicted — once the watermark passes the session end.  State is
+O(open sessions), bounded by the watermark; no custom
+applyInPandasWithState needed.
+
+Boundary semantics: ``session_window(ts, gap)`` spans [start,
+last_event + gap), so an event exactly ``gap`` after its predecessor
+starts a NEW session, while the lag-based batch formulation's
+``diff > gap`` test keeps it.  A gap of ``g + 1 seconds`` therefore
+reproduces the batch ``> g`` semantics exactly —
+tests/test_session_stream.py pins the two formulations equal on the
+events fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def session_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(key, session) stats: (key, session_start, session_end,
+    n_events, sum_value).  Works on a stream (watermarked state-store
+    session windows) and on a batch frame (watermark is a no-op there),
+    so the batch-equivalence test runs the IDENTICAL code path."""
+    # watermarks require zoned TIMESTAMP; the fixtures carry
+    # TIMESTAMP_NTZ (session.load_tables nanos conversion) — cast on
+    # BOTH paths so batch and stream window boundaries agree
+    src = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if df.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            F.expr("round(sum_value, 6)").alias("sum_value"),
+        )
+    )

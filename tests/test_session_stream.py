@@ -1,0 +1,68 @@
+"""Native session_window streaming: batch equivalence + lag-formulation
+cross-check."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from dar_spark.session import load_tables
+from dar_spark.streaming.profile_stream import run_to_memory
+from dar_spark.streaming.session_stream import session_stats
+from tests.conftest import SF_DIR
+
+
+def test_session_stream_matches_batch(spark, tmp_path):
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "ts", "user_id", "event_id", "value"
+    )
+    src = str(tmp_path / "sess_src")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = session_stats(stream, gap="30 minutes", watermark="4 hours")
+    name = "t_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="complete")
+    streamed = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in session_stats(ev, gap="30 minutes").collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_session_window_matches_lag_sessionization(spark):
+    """session_window with gap g+1s must produce the same per-user
+    session COUNT as the batch lag-> running-sum formulation with
+    strict > g — the two sessionizers are independent algorithms (state
+    store vs stacked windows) over identical semantics."""
+    ev = load_tables(spark, SF_DIR)["events"]
+    native = (
+        session_stats(ev, gap="1801 seconds")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    lag = spark.sql(
+        """SELECT user_id, CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, event_id, ts,
+           CASE WHEN CAST(unix_timestamp(ts) AS BIGINT)
+                     - LAG(CAST(unix_timestamp(ts) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800 THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  ) g
+) s GROUP BY user_id"""
+    )
+    a = {r.user_id: r.n_sessions for r in native.collect()}
+    b = {r.user_id: r.n_sessions for r in lag.collect()}
+    assert a == b and len(a) > 0
