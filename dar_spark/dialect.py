@@ -160,6 +160,10 @@ class Dialect:
         fn = "list_contains" if self.name == "duckdb" else "array_contains"
         return f"{fn}({a}, {x})"
 
+    def int_div(self, x: str, y: str) -> str:
+        op = "//" if self.name == "duckdb" else "DIV"
+        return f"({x} {op} {y})"
+
 
 SPARK = Dialect("spark")
 DUCKDB = Dialect("duckdb")

@@ -2579,6 +2579,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("late_order_priority", _sql_q(LATE_PRIORITY_SQL)),
         ("lm_perplexity_docs", _lm_perplexity_q()),
         ("hll_distinct_users", _hll_distinct_q()),
+        ("zorder_keys_lineitem", _zorder_q()),
     ]
 
 
@@ -2869,4 +2870,33 @@ SELECT CAST({m} AS BIGINT) AS m,
   CAST(n_exact AS BIGINT) AS n_exact,
   round(abs({corrected} - n_exact) / n_exact, 4) AS rel_error
 FROM s CROSS JOIN e"""
+    return Q(spark_fn, oracle)
+
+
+def _zorder_q() -> Q:
+    """Morton keys for (l_partkey, l_suppkey) — the clustering key
+    write_zordered lays files out by (operators/zorder.py).  Pure
+    unrolled integer arithmetic, value-hash-checked against the DuckDB
+    twin; the layout/pruning behavior is pinned by tests/test_zorder.py."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.zorder import with_zvalue
+
+        t = load_tables(spark, sf_dir)
+        base = parallelize(t["lineitem"]).selectExpr(
+            f"{K_LINEITEM} AS row_id", "l_partkey", "l_suppkey"
+        )
+        return with_zvalue(base, "l_partkey", "l_suppkey").select(
+            "row_id", "zvalue"
+        )
+
+    from dar_spark.operators.zorder import Z_BITS, zvalue_sql
+
+    m = 1 << Z_BITS
+    zx = f"(((l_partkey) % {m} + {m}) % {m})"
+    zy = f"(((l_suppkey) % {m} + {m}) % {m})"
+    oracle = (
+        f"SELECT {K_LINEITEM} AS row_id, "
+        f"{zvalue_sql(DUCKDB, zx, zy)} AS zvalue FROM lineitem"
+    )
     return Q(spark_fn, oracle)

@@ -1,0 +1,85 @@
+"""Z-order clustering: Morton-key correctness + the data-skipping win."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dar_spark.operators.zorder import with_zvalue, write_zordered, zvalue_sql
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def _morton_py(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for j in range(bits):
+        z |= ((x >> j) & 1) << (2 * j)
+        z |= ((y >> j) & 1) << (2 * j + 1)
+    return z
+
+
+def test_zvalue_matches_python_reference(spark):
+    rows = [(i, (i * 37) % 65536, (i * 91) % 65536) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, x int, y int")
+    got = {r.id: r.zvalue for r in with_zvalue(df, "x", "y").collect()}
+    for i, x, y in rows:
+        assert got[i] == _morton_py(x, y), (i, x, y)
+
+
+def test_write_zordered_roundtrip_and_pruning(spark, tmp_path):
+    """The z-ordered layout must (a) preserve the data exactly and
+    (b) bound BOTH clustering columns per file, where a single-column
+    sort leaves the second column full-range in every file — the stats
+    a parquet reader prunes row groups with."""
+    li = load_tables(spark, SF_DIR)["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    zpath = str(tmp_path / "zordered")
+    spath = str(tmp_path / "sorted")
+    write_zordered(li, zpath, "l_partkey", "l_suppkey", n_files=8)
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(spath)
+    )
+
+    z = spark.read.parquet(zpath)
+    assert sorted(map(tuple, z.collect())) == sorted(map(tuple, li.collect()))
+
+    def file_stats(path):
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax"),
+                F.min("l_suppkey").alias("smin"), F.max("l_suppkey").alias("smax"),
+            )
+            .collect()
+        )
+
+    # box predicate selective on the SECOND dimension
+    lo, hi = 0, 1
+
+    def candidates(stats):
+        return sum(1 for r in stats if r.smin <= hi and r.smax >= lo)
+
+    zs, ss = file_stats(zpath), file_stats(spath)
+    assert len(zs) > 1 and len(ss) > 1
+    # partkey-sorted layout: every file spans the full suppkey range
+    assert candidates(ss) == len(ss)
+    # z-ordered layout: most files' suppkey range excludes the box
+    assert candidates(zs) < len(zs), (
+        f"z-order produced no suppkey pruning: {[(r.smin, r.smax) for r in zs]}"
+    )
+
+
+def test_zvalue_dialects_agree(duck):
+    from dar_spark.dialect import DUCKDB
+
+    sql = zvalue_sql(DUCKDB, "x", "y", 16)
+    rows = duck.execute(
+        f"SELECT x, y, {sql} AS z FROM (SELECT i * 37 %% 65536 AS x, "
+        f"i * 91 %% 65536 AS y FROM range(0, 200) t(i))"
+        .replace("%%", "%")
+    ).fetchall()
+    for x, y, z in rows:
+        assert z == _morton_py(x, y), (x, y)
