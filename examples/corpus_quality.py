@@ -1,0 +1,59 @@
+"""Corpus quality analysis — the scoring side of a training-data
+pipeline (the companion to examples/dedup_pipeline.py's filtering side):
+
+    Gopher rule flags → bigram-LM perplexity → TF-IDF keywords →
+    chunk-level exact dedup stats → HLL distinct-source check
+
+    python examples/corpus_quality.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import dar_spark
+from dar_spark.functions.text import gopher_quality, lm_perplexity, tfidf_topk
+from dar_spark.operators.dedup import chunk_dedup
+from dar_spark.operators.sketch import hll_distinct
+
+
+def main() -> None:
+    spark = dar_spark.get_session("example_quality")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = dar_spark.load_tables(spark, "/root/testdata/sf0.001")["documents"]
+
+    # the synthetic corpus carries only one of the paper's stopwords, so
+    # relax that floor to 1; real corpora keep the published default of 2
+    flags = gopher_quality(docs, min_stopword_hits=1)
+    breakdown = flags.agg(
+        *[F.sum(c).alias(c) for c in (
+            "flag_word_count", "flag_mean_word_len", "flag_symbol_ratio",
+            "flag_alpha_ratio", "flag_stopwords", "keep")]
+    ).collect()[0]
+    print(f"gopher rules ({docs.count()} docs):", breakdown.asDict())
+
+    ppl = lm_perplexity(docs)
+    worst = ppl.orderBy(F.desc("avg_nll")).limit(3).collect()
+    print("highest-NLL (most unusual) docs:",
+          [(r.doc_id, r.avg_nll) for r in worst])
+
+    terms = tfidf_topk(docs, k=1)
+    print("sample characteristic terms:",
+          [(r.doc_id, r.token) for r in terms.orderBy("doc_id").limit(5).collect()])
+
+    cd = chunk_dedup(docs, chunk_tokens=16)
+    dup_chunks = cd.selectExpr("sum(n_chunks - n_kept) AS d").collect()[0].d
+    print("duplicate 16-token chunks across the corpus:", dup_chunks)
+
+    hll = hll_distinct(docs, "source").collect()[0]
+    print(f"distinct sources: exact={hll.n_exact} "
+          f"hll={hll.hll_estimate} (rel_error={hll.rel_error})")
+
+
+if __name__ == "__main__":
+    main()

@@ -104,3 +104,32 @@ def test_pii_redaction_cross_engine(spark, values):
     got_s = _spark_eval(spark, redact_pii_sql(SPARK, "x"), values)
     got_d = _duck_eval(redact_pii_sql(DUCKDB, "x"), values)
     assert got_s == got_d, f"divergence on {values!r}"
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(ascii_text, min_size=1, max_size=30))
+def test_gopher_metrics_cross_engine(spark, values):
+    """Every Gopher quality metric must evaluate identically in both
+    engines on arbitrary printable input (shared-dialect emitters)."""
+    from dar_spark.functions.text import gopher_metrics_sql
+
+    for name, se in gopher_metrics_sql(SPARK, "x"):
+        de = dict(gopher_metrics_sql(DUCKDB, "x"))[name]
+        got_s = _spark_eval(spark, se, values)
+        got_d = _duck_eval(de, values)
+        assert [float(a) if a is not None else None for a in got_s] == [
+            float(b) if b is not None else None for b in got_d
+        ], f"{name} diverged on {values!r}"
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(ascii_text, min_size=1, max_size=40))
+def test_hll_register_cross_engine(spark, values):
+    """(register, rho) of the HLL sketch must be identical per value in
+    both engines — the whole sketch then agrees by construction."""
+    from dar_spark.operators.sketch import hll_register_sql
+
+    sreg, srho = hll_register_sql(SPARK, "x")
+    dreg, drho = hll_register_sql(DUCKDB, "x")
+    assert _spark_eval(spark, sreg, values) == _duck_eval(dreg, values)
+    assert _spark_eval(spark, srho, values) == _duck_eval(drho, values)
