@@ -2829,7 +2829,7 @@ def _lm_perplexity_q() -> Q:
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
   round(CAST(SUM(CAST(nll AS DECIMAL(28, 6))) AS DOUBLE) / count(*), 6) AS avg_nll
 FROM s GROUP BY doc_id"""
-    return Q(spark_fn, oracle)
+    return Q(spark_fn, oracle, headline=True)
 
 
 def _hll_distinct_q() -> Q:
