@@ -80,3 +80,35 @@ def test_round5_queries_no_scale_killers(spark):
         assert "BroadcastNestedLoopJoin" not in p, name
         assert "CartesianProduct" not in p, name
         assert "SinglePartition" not in p, name
+
+
+def test_decontaminate_scan_stays_cheap(spark):
+    """Regression guard for the Generate-pushdown fix: the parquet scan
+    of decontaminate_docs must never contain the n-gram build (an
+    inferred non-empty filter over the gram array, inlined with the
+    token split re-evaluated per element — measured 11 s vs 1.75 s at
+    sf0.1).  Only the cheap token-count bound may reach the scan."""
+    p = _executed(spark, "decontaminate_docs")
+    for scan in re.findall(r"FileScan parquet[^\n]*", p):
+        assert "element_at" not in scan, "gram chain pushed into scan"
+        assert "list_slice" not in scan and "slice(" not in scan, scan
+
+
+def test_second_wave_plan_shapes(spark):
+    """The newest corpus operators keep their intended shapes: no
+    nested-loop or cartesian joins (SemDeDup's 8-row centroid broadcast
+    cross join is the one sanctioned BNLJ, mirroring IVF), and
+    lm_perplexity/tfidf broadcast their 1-row corpus counts instead of
+    shuffling them."""
+    for name in ("chunk_dedup_docs", "tfidf_topk", "lm_perplexity_docs",
+                 "gopher_quality_docs", "hll_distinct_users"):
+        p = _executed(spark, name)
+        assert "CartesianProduct" not in p, name
+        if name in ("tfidf_topk", "lm_perplexity_docs", "hll_distinct_users"):
+            # the 1-row count side arrives broadcast
+            assert "BroadcastExchange" in p, name
+        if name in ("chunk_dedup_docs", "gopher_quality_docs"):
+            assert "BroadcastNestedLoopJoin" not in p, name
+    p = _executed(spark, "semdedup_embed")
+    # assignment table materialized once, reused by all three consumers
+    assert p.count("InMemoryTableScan") >= 2, "semdedup cache lost"
