@@ -1,0 +1,91 @@
+"""Bloom-filter semi-join pre-filtering.
+
+When a big probe table must be semi-joined against a build side too
+large to broadcast raw (a 100M-key customer dim against a 100 TB fact
+table), the classic fix is to broadcast the build side's BLOOM FILTER
+instead: a few megabits that reject most non-matching probe rows at the
+scan, leaving the real join a fraction of its input.  Spark's own
+runtime bloom (`spark.sql.optimizer.runtime.bloomFilter.enabled`) does
+this opportunistically; this operator is the explicit, deterministic,
+engine-portable version — md5-slice hash positions, so the DuckDB
+oracle reproduces the EXACT output including the false positives.
+
+Scale shape: the build pass aggregates DISTINCT bit positions — bounded
+by ``m_bits`` (the dial), never by build cardinality — collects at most
+``m_bits`` ints to the driver (2^16 default = a 64 KB bitmap), and
+embeds the bitmap as a broadcast literal in the probe filter, which is
+a narrow whole-stage-codegen substr test, no join at all.  False
+positive rate ≈ (1 - e^(-k·n/m))^k; size m ≈ 10 bits/key for ~1% at
+k = 3.  The filter output is a SUPERSET of the true semi join — always
+follow with the real join for exactness; the operator's value is the
+shuffle it prevents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.dialect import Dialect
+
+M_BITS = 1 << 16
+K_HASHES = 3
+
+
+def bloom_position_sql(d: Dialect, key: str, i: int, m_bits: int) -> str:
+    """Bit position for hash i of a key: 6-hex md5 slice folded to an
+    int, mod m_bits — same fold both engines (see sketch.bucket_sql)."""
+    from dar_spark.operators.sketch import bucket_sql
+
+    return bucket_sql(d, key, i, m_bits)
+
+
+def build_bloom_bitmap(
+    build: DataFrame, key_col: str, m_bits: int = M_BITS, k: int = K_HASHES
+) -> str:
+    """'0'/'1' bitmap string of length m_bits covering every build key's
+    k positions.  Driver memory is O(m_bits) — the distinct-position
+    aggregate is capped by the bitmap size regardless of build rows."""
+    from dar_spark.dialect import SPARK
+
+    pos_cols = [
+        F.expr(bloom_position_sql(SPARK, key_col, i, m_bits))
+        for i in range(k)
+    ]
+    positions = (
+        build.select(F.explode(F.array(*pos_cols)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bits = ["0"] * m_bits
+    for r in positions:
+        bits[r.p] = "1"
+    return "".join(bits)
+
+
+def bloom_semi_filter(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    m_bits: int = M_BITS,
+    k: int = K_HASHES,
+) -> DataFrame:
+    """Probe rows whose key passes the build side's bloom filter — a
+    deterministic superset of the true semi join, produced WITHOUT
+    shuffling the probe side.  The bitmap rides as a broadcast 1-row
+    frame (one copy shipped, not k inline literals in the plan text);
+    the probe side sees a narrow codegen substr test per hash."""
+    from dar_spark.dialect import SPARK
+
+    bitmap = build_bloom_bitmap(build, build_key, m_bits, k)
+    bm = probe.sparkSession.createDataFrame([(bitmap,)], "_bloom_bm string")
+    tests = [
+        f"substr(_bloom_bm, ({bloom_position_sql(SPARK, probe_key, i, m_bits)}) + 1, 1) = '1'"
+        for i in range(k)
+    ]
+    return (
+        probe.crossJoin(F.broadcast(bm))
+        .filter(" AND ".join(tests))
+        .drop("_bloom_bm")
+    )

@@ -2580,6 +2580,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("lm_perplexity_docs", _lm_perplexity_q()),
         ("hll_distinct_users", _hll_distinct_q()),
         ("zorder_keys_lineitem", _zorder_q()),
+        ("bloom_prefilter_orders", _bloom_prefilter_q()),
     ]
 
 
@@ -2899,4 +2900,44 @@ def _zorder_q() -> Q:
         f"SELECT {K_LINEITEM} AS row_id, "
         f"{zvalue_sql(DUCKDB, zx, zy)} AS zvalue FROM lineitem"
     )
+    return Q(spark_fn, oracle)
+
+
+def _bloom_prefilter_q() -> Q:
+    """Bloom semi-join pre-filter (operators/bloom.py): orders rows
+    passing the bloom of a customer subset — a deterministic superset of
+    the true semi join (the md5-position hashing reproduces the exact
+    false positives in both engines).  The oracle expresses the bitmap
+    test relationally: every probe position IN the build side's distinct
+    position set."""
+    from dar_spark.operators.bloom import K_HASHES, M_BITS
+
+    build_pred = "c_custkey % 7 = 0"
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.bloom import bloom_semi_filter
+
+        t = load_tables(spark, sf_dir)
+        probe = parallelize(t["orders"]).select("o_orderkey", "o_custkey")
+        build = t["customer"].filter(build_pred)
+        return bloom_semi_filter(probe, "o_custkey", build, "c_custkey")
+
+    from dar_spark.operators.bloom import bloom_position_sql
+
+    pos = [
+        bloom_position_sql(DUCKDB, "c_custkey", i, M_BITS)
+        for i in range(K_HASHES)
+    ]
+    probe_pos = [
+        bloom_position_sql(DUCKDB, "o_custkey", i, M_BITS)
+        for i in range(K_HASHES)
+    ]
+    union = " UNION ".join(
+        f"SELECT {p} AS p FROM customer WHERE {build_pred}" for p in pos
+    )
+    tests = " AND ".join(
+        f"({pp}) IN (SELECT p FROM bp)" for pp in probe_pos
+    )
+    oracle = f"""WITH bp AS ({union})
+SELECT o_orderkey, o_custkey FROM orders WHERE {tests}"""
     return Q(spark_fn, oracle)

@@ -1,0 +1,35 @@
+"""Bloom semi-join pre-filter: superset guarantee + selectivity."""
+
+from __future__ import annotations
+
+from dar_spark.operators.bloom import bloom_semi_filter, build_bloom_bitmap
+from dar_spark.session import load_tables, parallelize
+from tests.conftest import SF_DIR
+
+
+def test_bloom_filter_is_superset_of_semi_join(spark):
+    t = load_tables(spark, SF_DIR)
+    probe = parallelize(t["orders"]).select("o_orderkey", "o_custkey")
+    build = t["customer"].filter("c_custkey % 7 = 0")
+    passed = {r.o_orderkey for r in
+              bloom_semi_filter(probe, "o_custkey", build, "c_custkey").collect()}
+    true_semi = {
+        r.o_orderkey
+        for r in probe.join(
+            build.select("c_custkey"),
+            probe.o_custkey == build.c_custkey, "left_semi",
+        ).collect()
+    }
+    n_probe = probe.count()
+    assert true_semi <= passed          # no false negatives, ever
+    # with 64k bits and ~100 keys the filter must actually reject rows
+    assert len(passed) < n_probe
+    # false-positive rate stays in the design envelope (<< 5% here)
+    fp = (len(passed) - len(true_semi)) / max(n_probe - len(true_semi), 1)
+    assert fp < 0.05, f"false-positive rate {fp:.3f}"
+
+
+def test_bloom_bitmap_bounded_by_m_bits(spark):
+    t = load_tables(spark, SF_DIR)
+    bm = build_bloom_bitmap(t["customer"], "c_custkey", m_bits=1024, k=3)
+    assert len(bm) == 1024 and set(bm) <= {"0", "1"}
