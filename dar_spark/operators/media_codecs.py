@@ -1,0 +1,140 @@
+"""REAL codecs for codec-free media formats.
+
+The container has no PIL/libav, which blocks JPEG/PNG/MP4 — but
+uncompressed formats need no codec library at all: 24-bit BMP and PCM-16
+WAV are fixed layouts parsed with ``struct`` + numpy.  These are genuine
+encoders/decoders (byte-exact round-trip, bottom-up BMP row order, row
+padding, RIFF chunk walking), so the multimodal pipeline's decode stage
+is REAL for these mimes and a labeled fake only where a codec is
+genuinely required (see operators/multimodal.py).
+
+Everything is deterministic, so the registry query's DuckDB oracle can
+recompute pixel/sample statistics FROM THE GENERATIVE FORMULA without
+ever seeing the bytes — a decoder bug (forgetting BMP's bottom-up
+storage, the BGR channel order, or row padding) breaks the value hash.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- BMP (24-bit uncompressed, BITMAPINFOHEADER) ----------------------------
+
+
+def bmp_pixel(seed: int, x: int, y: int, c: int) -> int:
+    """Generative pixel formula (c: 0=R 1=G 2=B) — shared with the
+    DuckDB oracle, which evaluates it relationally over the (x, y)
+    grid."""
+    return (seed + 7 * x + 13 * y + 29 * c) % 256
+
+
+def make_bmp(width: int, height: int, seed: int) -> bytes:
+    """Encode a real 24-bit BMP: BGR pixels, rows padded to 4 bytes,
+    stored bottom-up (positive height), 54-byte header."""
+    row_len = (width * 3 + 3) & ~3
+    img_size = row_len * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):          # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            row += bytes(
+                (bmp_pixel(seed, x, y, 2),       # B
+                 bmp_pixel(seed, x, y, 1),       # G
+                 bmp_pixel(seed, x, y, 0))       # R
+            )
+        row += b"\x00" * (row_len - width * 3)
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
+def parse_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to an (H, W, 3) uint8 RGB array
+    in top-down order.  Raises ValueError on anything else — loud, not
+    a silent fake."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    row_len = (width * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_len * height,
+                        offset=offset)
+    rows = raw.reshape(height, row_len)[:, : width * 3].reshape(
+        height, width, 3
+    )
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]                      # BGR -> RGB
+
+
+def resize_nearest(img: np.ndarray, max_dim: int) -> np.ndarray:
+    """REAL nearest-neighbor resample (aspect-preserving clamp to
+    max_dim) — pure numpy index arithmetic, no codec needed."""
+    h, w = img.shape[:2]
+    scale = min(1.0, max_dim / max(h, w))
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    ys = (np.arange(nh) * (h / nh)).astype(np.int64)
+    xs = (np.arange(nw) * (w / nw)).astype(np.int64)
+    return img[ys][:, xs]
+
+
+# --- WAV (PCM-16 mono) ------------------------------------------------------
+
+
+def wav_sample(seed: int, i: int) -> int:
+    """Generative sample formula (signed 16-bit) — shared with the
+    oracle."""
+    return ((seed + 37 * i) % 65536) - 32768
+
+
+def make_wav(n_samples: int, rate: int, seed: int) -> bytes:
+    """Encode a real PCM-16 mono WAV (RIFF/fmt/data chunks)."""
+    samples = np.array(
+        [wav_sample(seed, i) for i in range(n_samples)], dtype="<i2"
+    )
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def parse_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode PCM-16 mono WAV by walking RIFF chunks.  Returns
+    (sample_rate, int16 sample array); loud ValueError otherwise."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_format != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={audio_format} ch={channels} bits={bits}"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)             # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, samples

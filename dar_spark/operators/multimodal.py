@@ -6,12 +6,15 @@ steps are Arrow-batched ``mapInPandas`` stages so Python touches data
 in columnar batches, never row-at-a-time, and each stage is a narrow
 transformation (no shuffle).
 
-The image/audio codec libraries are NOT in this container, so the decode
-cores are DETERMINISTIC FAKES (clearly marked below): they derive
-plausible metadata from payload bytes.  The Spark-side plumbing — schema,
-batch iteration, UDF signatures, partition behavior — is real and tested;
-swapping the fake for PIL/libav is a pure function replacement inside the
-pandas iterator.
+Decode is REAL for codec-free formats: 24-bit BMP and PCM-16 WAV parse
+for real via operators/media_codecs.py (struct + numpy — no codec
+library needed), and the bmp/wav stat stages below are value-hash-
+oracled against the generative pixel/sample formulas.  Codec-REQUIRING
+formats (png/mp4) still use DETERMINISTIC FAKES (clearly marked): the
+container has no PIL/libav.  The Spark-side plumbing — schema, batch
+iteration, UDF signatures, partition behavior — is identical either
+way; swapping a fake for a codec is a pure function replacement inside
+the pandas iterator.
 """
 
 from __future__ import annotations
@@ -69,12 +72,28 @@ def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _fake_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
-    """DETERMINISTIC FAKE decoder.
+    """Decoder dispatch.
 
-    A real implementation would be ``PIL.Image.open(io.BytesIO(payload))``
-    etc.; this container has no codec libs, so dimensions are derived
-    from a digest of the payload — stable across runs and machines.
+    ``image/bmp`` and ``audio/wav`` decode FOR REAL
+    (operators/media_codecs.py — uncompressed formats need no codec
+    library; the registry query media_bmp_decode value-hash-checks the
+    pixel parse against the generative formula).  Codec-requiring mimes
+    (png/mp4) fall back to the DETERMINISTIC FAKE below — dimensions
+    derived from a payload digest, stable across runs — because this
+    container has no PIL/libav; swapping the fake for a codec is a pure
+    function replacement here.
     """
+    from dar_spark.operators.media_codecs import parse_bmp, parse_wav
+
+    if mime == "image/bmp":
+        img = parse_bmp(payload)
+        return img.shape[1], img.shape[0], 1
+    if mime == "audio/wav":
+        try:
+            _, samples = parse_wav(payload)
+            return len(samples), 1, 1
+        except ValueError:
+            pass  # synthetic fixture payloads are not real WAV — fake below
     h = hashlib.md5(payload).digest()
     width = 16 + h[0] % 64
     height = 16 + h[1] % 64
@@ -199,3 +218,100 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         ).alias("frame_idx"),
         "frame_digest",
     )
+
+
+# --- REAL decode stages (codec-free formats) --------------------------------
+
+BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("corner", IntegerType()),
+        StructField("y_moment", LongType()),
+    ]
+)
+
+
+def bmp_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode: parse each 24-bit BMP payload
+    (operators/media_codecs.parse_bmp — bottom-up rows, BGR order, row
+    padding all handled for real) and emit integer pixel statistics.
+    The stats are chosen to catch decoder bugs: channel sums (BGR swap),
+    the top-left corner sum (vertical flip), and the y-weighted R moment
+    (row order).  All integer aggregates — engine-exact, so the DuckDB
+    oracle recomputes them from the generative pixel formula without
+    ever seeing the bytes.  Arrow-batched mapInPandas, narrow."""
+    import numpy as np
+
+    from dar_spark.operators.media_codecs import parse_bmp
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                "corner", "y_moment",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = parse_bmp(p if isinstance(p, bytes) else bytes(p))
+                h, w = img.shape[:2]
+                img64 = img.astype(np.int64)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(img64[:, :, 0].sum()))
+                out["sum_g"].append(int(img64[:, :, 1].sum()))
+                out["sum_b"].append(int(img64[:, :, 2].sum()))
+                out["corner"].append(int(img64[0, 0].sum()))
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                out["y_moment"].append(int((img64[:, :, 0] * ys).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, BMP_STATS_SCHEMA)
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sum_sq", LongType()),
+        StructField("n_nonneg", IntegerType()),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+def wav_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode: walk each PCM-16 WAV's RIFF chunks
+    (operators/media_codecs.parse_wav) and emit integer sample
+    statistics (energy, non-negative count, sign crossings) the DuckDB
+    oracle recomputes from the generative sample formula."""
+    import numpy as np
+
+    from dar_spark.operators.media_codecs import parse_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "sum_sq",
+                "n_nonneg", "zero_crossings",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = parse_wav(p if isinstance(p, bytes) else bytes(p))
+                s64 = s.astype(np.int64)
+                nonneg = s64 >= 0
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(s64))
+                out["sum_sq"].append(int((s64 * s64).sum()))
+                out["n_nonneg"].append(int(nonneg.sum()))
+                out["zero_crossings"].append(
+                    int((nonneg[1:] != nonneg[:-1]).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, WAV_STATS_SCHEMA)

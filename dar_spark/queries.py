@@ -2581,6 +2581,8 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("hll_distinct_users", _hll_distinct_q()),
         ("zorder_keys_lineitem", _zorder_q()),
         ("bloom_prefilter_orders", _bloom_prefilter_q()),
+        ("media_bmp_decode", _bmp_decode_q()),
+        ("media_wav_decode", _wav_decode_q()),
     ]
 
 
@@ -2940,4 +2942,128 @@ def _bloom_prefilter_q() -> Q:
     )
     oracle = f"""WITH bp AS ({union})
 SELECT o_orderkey, o_custkey FROM orders WHERE {tests}"""
+    return Q(spark_fn, oracle)
+
+
+def _bmp_decode_q() -> Q:
+    """REAL image decode under the value hash: executors ENCODE a true
+    24-bit BMP per doc (operators/media_codecs.make_bmp — bottom-up
+    rows, BGR, padding), the decode stage parses the BYTES back
+    (parse_bmp), and the oracle recomputes the pixel statistics from
+    the generative formula having never seen a byte.  Any decoder slip
+    (row order, channel order, padding) breaks the hash."""
+
+    def spark_fn(spark, sf_dir):
+        import pandas as pd
+
+        from dar_spark.operators.multimodal import bmp_decode_stats
+
+        t = load_tables(spark, sf_dir)
+        base = parallelize(t["documents"]).selectExpr(
+            "CAST(doc_id AS BIGINT) AS media_id",
+            "CAST(4 + doc_id % 13 AS INT) AS _w",
+            "CAST(3 + doc_id % 7 AS INT) AS _h",
+            "CAST(doc_id % 251 AS INT) AS _seed",
+        )
+
+        def gen(it):
+            from dar_spark.operators.media_codecs import make_bmp
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "payload": [
+                            make_bmp(int(w), int(h), int(s))
+                            for w, h, s in zip(pdf["_w"], pdf["_h"], pdf["_seed"])
+                        ],
+                    }
+                )
+
+        media = base.mapInPandas(gen, "media_id long, payload binary")
+        return bmp_decode_stats(media)
+
+    oracle = """WITH d AS (
+  SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS w,
+         CAST(3 + doc_id % 7 AS INT) AS h,
+         CAST(doc_id % 251 AS INT) AS seed
+  FROM documents
+), gx AS (SELECT doc_id, w, h, seed, unnest(range(0, w)) AS x FROM d),
+g AS (SELECT doc_id, w, h, seed, x, unnest(range(0, h)) AS y FROM gx),
+px AS (
+  SELECT doc_id, w, h, seed, x, y,
+         (seed + 7 * x + 13 * y) % 256 AS r,
+         (seed + 7 * x + 13 * y + 29) % 256 AS gc,
+         (seed + 7 * x + 13 * y + 58) % 256 AS b
+  FROM g
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+  CAST(SUM(r) AS BIGINT) AS sum_r,
+  CAST(SUM(gc) AS BIGINT) AS sum_g,
+  CAST(SUM(b) AS BIGINT) AS sum_b,
+  CAST((seed % 256) + ((seed + 29) % 256) + ((seed + 58) % 256) AS INT) AS corner,
+  CAST(SUM(y * r) AS BIGINT) AS y_moment
+FROM px GROUP BY doc_id, w, h, seed"""
+    return Q(spark_fn, oracle)
+
+
+def _wav_decode_q() -> Q:
+    """REAL audio decode under the value hash: executors encode true
+    PCM-16 WAVs, the decode stage walks the RIFF chunks back to
+    samples, and the oracle recomputes energy / sign statistics from
+    the generative sample formula."""
+
+    def spark_fn(spark, sf_dir):
+        import pandas as pd
+
+        from dar_spark.operators.multimodal import wav_decode_stats
+
+        t = load_tables(spark, sf_dir)
+        base = parallelize(t["documents"]).selectExpr(
+            "CAST(doc_id AS BIGINT) AS media_id",
+            "CAST(50 + doc_id % 100 AS INT) AS _n",
+            "CAST(8000 + (doc_id % 3) * 4000 AS INT) AS _rate",
+            "CAST(doc_id % 1000 AS INT) AS _seed",
+        )
+
+        def gen(it):
+            from dar_spark.operators.media_codecs import make_wav
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "payload": [
+                            make_wav(int(n), int(r), int(s))
+                            for n, r, s in zip(pdf["_n"], pdf["_rate"], pdf["_seed"])
+                        ],
+                    }
+                )
+
+        media = base.mapInPandas(gen, "media_id long, payload binary")
+        return wav_decode_stats(media)
+
+    oracle = """WITH d AS (
+  SELECT doc_id, CAST(50 + doc_id % 100 AS INT) AS n,
+         CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+         CAST(doc_id % 1000 AS INT) AS seed
+  FROM documents
+), s AS (
+  SELECT doc_id, n, rate, seed, unnest(range(0, n)) AS i FROM d
+), v AS (
+  SELECT doc_id, n, rate, i,
+         ((seed + 37 * i) % 65536) - 32768 AS smp
+  FROM s
+), w AS (
+  SELECT doc_id, n, rate, i, smp,
+         LAG(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM v
+)
+SELECT doc_id AS media_id, rate AS sample_rate, n AS n_samples,
+  CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+  CAST(SUM(CASE WHEN smp >= 0 THEN 1 ELSE 0 END) AS INT) AS n_nonneg,
+  CAST(SUM(CASE WHEN prev IS NOT NULL
+            AND (smp >= 0) <> (prev >= 0) THEN 1 ELSE 0 END) AS INT)
+    AS zero_crossings
+FROM w GROUP BY doc_id, n, rate"""
     return Q(spark_fn, oracle)

@@ -1,0 +1,65 @@
+"""Real BMP/WAV codecs: byte-exact round trips, orientation, resize,
+loud failures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dar_spark.operators.media_codecs import (
+    bmp_pixel,
+    make_bmp,
+    make_wav,
+    parse_bmp,
+    parse_wav,
+    resize_nearest,
+    wav_sample,
+)
+
+
+def test_bmp_round_trip_every_pixel():
+    for w, h, seed in [(1, 1, 0), (4, 3, 200), (13, 7, 251), (5, 8, 17)]:
+        img = parse_bmp(make_bmp(w, h, seed))
+        assert img.shape == (h, w, 3)
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    assert img[y, x, c] == bmp_pixel(seed, x, y, c)
+
+
+def test_bmp_row_padding_matters():
+    # widths 1..4 exercise 0-3 pad bytes per row
+    for w in (1, 2, 3, 4):
+        img = parse_bmp(make_bmp(w, 2, 9))
+        assert img.shape == (2, w, 3)
+        assert img[1, w - 1, 2] == bmp_pixel(9, w - 1, 1, 2)
+
+
+def test_bmp_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_bmp(b"not a bitmap at all")
+
+
+def test_wav_round_trip_and_chunk_walk():
+    rate, s = parse_wav(make_wav(250, 16000, 123))
+    assert rate == 16000 and len(s) == 250
+    assert all(int(s[i]) == wav_sample(123, i) for i in range(250))
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        parse_wav(b"plain text payload")
+
+
+def test_resize_nearest_exact_indices():
+    img = parse_bmp(make_bmp(8, 8, 5))
+    small = resize_nearest(img, 4)
+    assert small.shape == (4, 4, 3)
+    # nearest-neighbor: output pixel (i, j) = input pixel (2i, 2j)
+    for i in range(4):
+        for j in range(4):
+            assert (small[i, j] == img[2 * i, 2 * j]).all()
+    # upscaling never happens
+    assert resize_nearest(img, 100).shape == (8, 8, 3)
