@@ -30,9 +30,11 @@ def bmp_pixel(seed: int, x: int, y: int, c: int) -> int:
     return (seed + 7 * x + 13 * y + 29 * c) % 256
 
 
-def make_bmp(width: int, height: int, seed: int) -> bytes:
-    """Encode a real 24-bit BMP: BGR pixels, rows padded to 4 bytes,
-    stored bottom-up (positive height), 54-byte header."""
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a real 24-bit BMP: BGR
+    pixels, rows padded to 4 bytes, stored bottom-up (positive height),
+    54-byte header."""
+    height, width = img.shape[:2]
     row_len = (width * 3 + 3) & ~3
     img_size = row_len * height
     header = struct.pack(
@@ -40,18 +42,20 @@ def make_bmp(width: int, height: int, seed: int) -> bytes:
     ) + struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
-    rows = []
-    for y in range(height - 1, -1, -1):          # bottom-up storage
-        row = bytearray()
+    bgr = img[::-1, :, ::-1]                     # bottom-up rows, RGB -> BGR
+    padded = np.zeros((height, row_len), dtype=np.uint8)
+    padded[:, : width * 3] = bgr.reshape(height, width * 3)
+    return header + padded.tobytes()
+
+
+def make_bmp(width: int, height: int, seed: int) -> bytes:
+    """Encode the generative-formula image as a real 24-bit BMP."""
+    img = np.empty((height, width, 3), dtype=np.uint8)
+    for y in range(height):
         for x in range(width):
-            row += bytes(
-                (bmp_pixel(seed, x, y, 2),       # B
-                 bmp_pixel(seed, x, y, 1),       # G
-                 bmp_pixel(seed, x, y, 0))       # R
-            )
-        row += b"\x00" * (row_len - width * 3)
-        rows.append(bytes(row))
-    return header + b"".join(rows)
+            for c in range(3):
+                img[y, x, c] = bmp_pixel(seed, x, y, c)
+    return encode_bmp(img)
 
 
 def parse_bmp(payload: bytes) -> np.ndarray:

@@ -143,11 +143,14 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
-    """Arrow-batched resize stage: emits payloads whose decoded dims are
-    clamped to ``max_dim`` (aspect preserved).  The pixel resample itself
-    is a DETERMINISTIC FAKE (payload passes through, new dims recorded) —
-    a real build would call PIL ``Image.resize`` inside the batch loop;
-    the schema/batching contract is what downstream stages depend on."""
+    """Arrow-batched resize stage: clamps each payload's decoded dims to
+    ``max_dim`` (aspect preserved).
+
+    ``image/bmp`` resizes FOR REAL: parse → nearest-neighbor resample →
+    re-encode (operators/media_codecs) — the emitted payload is a valid
+    BMP of the new size (round-trip pinned by tests/test_multimodal.py).
+    Codec-requiring mimes keep the DETERMINISTIC FAKE (payload passes
+    through, new dims recorded); a real build swaps in PIL here."""
 
     schema = StructType(
         [
@@ -160,17 +163,31 @@ def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dar_spark.operators.media_codecs import (
+            encode_bmp,
+            parse_bmp,
+            resize_nearest,
+        )
+
         for pdf in it:
-            ws, hs = [], []
+            ws, hs, payloads = [], [], []
             for p, m in zip(pdf["payload"], pdf["mime"]):
-                w, h, _ = _fake_decode(p if isinstance(p, bytes) else bytes(p), m)
-                scale = min(1.0, max_dim / max(w, h))
-                ws.append(max(1, int(w * scale)))
-                hs.append(max(1, int(h * scale)))
+                b = p if isinstance(p, bytes) else bytes(p)
+                if m == "image/bmp":
+                    small = resize_nearest(parse_bmp(b), max_dim)
+                    payloads.append(encode_bmp(small))
+                    hs.append(small.shape[0])
+                    ws.append(small.shape[1])
+                else:
+                    w, h, _ = _fake_decode(b, m)
+                    scale = min(1.0, max_dim / max(w, h))
+                    ws.append(max(1, int(w * scale)))
+                    hs.append(max(1, int(h * scale)))
+                    payloads.append(b)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": pdf["payload"],
+                    "payload": payloads,
                     "mime": pdf["mime"],
                     "width": ws,
                     "height": hs,

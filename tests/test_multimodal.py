@@ -72,3 +72,28 @@ def test_frame_sample_explodes_video(spark):
     # every media has at least one sampled frame (index 0)
     assert set(per) == {r.media_id for r in m.select("media_id").collect()}
     assert all(v >= 1 for v in per.values())
+
+
+def test_resize_media_bmp_is_real(spark):
+    """For image/bmp the resize stage must emit a VALID smaller BMP whose
+    pixels equal the numpy nearest-neighbor reference."""
+    from pyspark.sql import functions as F
+
+    from dar_spark.operators.media_codecs import (
+        make_bmp,
+        parse_bmp,
+        resize_nearest,
+    )
+    from dar_spark.operators.multimodal import resize_media
+
+    rows = [(i, make_bmp(8 + i, 6 + i, i * 31), "image/bmp") for i in range(6)]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, mime string"
+    )
+    out = {r.media_id: r for r in resize_media(media, max_dim=5).collect()}
+    for i, payload, _ in rows:
+        expect = resize_nearest(parse_bmp(payload), 5)
+        got = parse_bmp(bytes(out[i].payload))
+        assert got.shape == expect.shape
+        assert (got == expect).all()
+        assert (out[i].height, out[i].width) == expect.shape[:2]
