@@ -1,0 +1,61 @@
+"""Unicode normalization — the first cleaning pass on crawled text.
+
+Web text mixes composed and decomposed forms (é vs e+combining-acute),
+compatibility ligatures, and width variants; dedup hashes, tokenizers,
+and dictionary joins all silently fragment unless the corpus is
+normalized first.  Spark has no NFC builtin, so this is an
+Arrow-batched pandas_udf over stdlib ``unicodedata`` (no external
+dependency) — columnar batches, narrow, never row-at-a-time Python.
+
+The DuckDB oracle uses ``nfc_normalize`` — an independent
+implementation of the same Unicode algorithm — so the registry query
+cross-checks two normalizers (the DuckDB<->Python agreement is also
+directly fuzzed in tests/test_normalize.py).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# StringType() object, not the "string" DDL form: parsing DDL at
+# decoration time requires an active SparkSession, which module import
+# must not assume
+
+
+@pandas_udf(StringType())
+def _nfc_udf(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda v: None if v is None else unicodedata.normalize("NFC", v)
+    )
+
+
+@pandas_udf(StringType())
+def _nfkc_udf(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda v: None if v is None else unicodedata.normalize("NFKC", v)
+    )
+
+
+def nfc(col: str) -> Column:
+    return _nfc_udf(F.col(col))
+
+
+def nfkc(col: str) -> Column:
+    """NFKC also folds compatibility forms (ligatures, full-width) —
+    the aggressive variant most tokenizer pipelines run."""
+    return _nfkc_udf(F.col(col))
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", form: str = "NFC"
+) -> DataFrame:
+    """Replace ``text_col`` with its normalized form (NFC or NFKC)."""
+    fn = {"NFC": nfc, "NFKC": nfkc}[form]
+    return df.withColumn(text_col, fn(text_col))

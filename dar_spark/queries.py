@@ -2583,6 +2583,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("bloom_prefilter_orders", _bloom_prefilter_q()),
         ("media_bmp_decode", _bmp_decode_q()),
         ("media_wav_decode", _wav_decode_q()),
+        ("normalize_docs", _normalize_docs_q()),
     ]
 
 
@@ -3066,4 +3067,43 @@ SELECT doc_id AS media_id, rate AS sample_rate, n AS n_samples,
             AND (smp >= 0) <> (prev >= 0) THEN 1 ELSE 0 END) AS INT)
     AS zero_crossings
 FROM w GROUP BY doc_id, n, rate"""
+    return Q(spark_fn, oracle)
+
+
+def _normalize_docs_q() -> Q:
+    """Unicode NFC normalization (operators/normalize.py): decomposed
+    sequences are injected so the fixture's ASCII text gains real
+    combining characters, then Spark normalizes via stdlib unicodedata
+    (Arrow-batched pandas_udf) while DuckDB normalizes with its own
+    independent nfc_normalize — two implementations of the Unicode
+    algorithm under one value hash.
+
+    The combining marks are embedded as literal UTF-8 in the shared
+    expression string (NOT chr(): Spark's chr is ASCII-only — chr(769)
+    wraps mod 256 — while DuckDB's is full Unicode)."""
+    # e+U+0301 -> é, A+U+030A -> Å, U+212B ANGSTROM SIGN -> U+00C5
+    inject = (
+        f"text || ' cafe{chr(0x301)} A{chr(0x30A)} {chr(0x212B)}'"
+    )
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.normalize import nfc
+
+        t = load_tables(spark, sf_dir)
+        raw = parallelize(t["documents"]).selectExpr(
+            "doc_id", f"{inject} AS raw"
+        )
+        return raw.select(
+            "doc_id",
+            nfc("raw").alias("text_norm"),
+            F.expr("CAST(length(raw) AS BIGINT)").alias("n_chars_raw"),
+        ).withColumn(
+            "n_chars_norm", F.expr("CAST(length(text_norm) AS BIGINT)")
+        )
+
+    oracle = f"""SELECT doc_id,
+  nfc_normalize({inject}) AS text_norm,
+  CAST(length({inject}) AS BIGINT) AS n_chars_raw,
+  CAST(length(nfc_normalize({inject})) AS BIGINT) AS n_chars_norm
+FROM documents"""
     return Q(spark_fn, oracle)

@@ -1,0 +1,46 @@
+"""Unicode normalization: curated forms + DuckDB/Python agreement."""
+
+from __future__ import annotations
+
+import unicodedata
+
+import duckdb
+import pytest
+
+from dar_spark.operators.normalize import normalize_text
+
+CASES = [
+    "café",          # e + combining acute -> é
+    "Å",             # A + combining ring -> Å
+    "Å",              # ANGSTROM SIGN -> Å (NFC maps to U+00C5)
+    "already composed é å",
+    "plain ascii stays",
+    "",
+]
+
+
+def test_nfc_matches_python_reference(spark):
+    df = spark.createDataFrame(list(enumerate(CASES)), "i long, text string")
+    got = {r.i: r.text for r in normalize_text(df).collect()}
+    for i, s in enumerate(CASES):
+        assert got[i] == unicodedata.normalize("NFC", s), repr(s)
+
+
+def test_nfkc_folds_compat_forms(spark):
+    df = spark.createDataFrame(
+        [(0, "ﬁle Ａ ①")], "i long, text string"
+    )  # ﬁ ligature, full-width A, circled one
+    out = normalize_text(df, form="NFKC").collect()[0].text
+    assert out == "file A 1"
+
+
+def test_duckdb_and_python_nfc_agree_on_curated_set():
+    con = duckdb.connect()
+    for s in CASES + ["x́̂", "naı̈ve"]:
+        d = con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+        assert d == unicodedata.normalize("NFC", s), repr(s)
+
+
+def test_null_text_passes_through(spark):
+    df = spark.createDataFrame([(0, None)], "i long, text string")
+    assert normalize_text(df).collect()[0].text is None
