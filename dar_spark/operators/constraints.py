@@ -1,0 +1,96 @@
+"""Declarative data-quality constraint checking (Deequ-style).
+
+The reference profiles cell quality; production tables also need
+TABLE-level contracts: completeness (null budget), uniqueness (key
+integrity), compliance (domain predicates), and referential integrity
+(foreign keys resolve).  This operator evaluates a rule list and emits
+one row per rule: (rule, metric, threshold, passed) — the shape a data
+contract gate consumes.
+
+Scale shape: every row-local rule (completeness / compliance) folds
+into ONE conditional-aggregate pass over the table — adding rules adds
+expressions, not scans.  Uniqueness adds count(distinct) (exact by
+default — it IS the integrity question); referential rules each run a
+null-safe anti-join miss count against their dimension (broadcast when
+the dim is small, AQE otherwise).  Results are O(rules) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def constraint_report(
+    df: DataFrame,
+    rules: list[dict],
+    dims: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Evaluate rules over ``df``.
+
+    Rule dicts:
+      {"name", "type": "completeness", "col", "threshold"}
+      {"name", "type": "uniqueness",  "col", "threshold"}
+      {"name", "type": "compliance",  "pred", "threshold"}  # SQL bool expr
+      {"name", "type": "referential", "col", "dim", "dim_col", "threshold"}
+        (dim resolved via the ``dims`` mapping)
+
+    Metrics are fractions in [0, 1], rounded to 6; passed = metric >=
+    threshold.  NULL rows count as non-compliant for ``compliance``.
+    """
+    agg_rules = [r for r in rules if r["type"] != "referential"]
+    ref_rules = [r for r in rules if r["type"] == "referential"]
+
+    exprs = [F.count(F.lit(1)).alias("_n")]
+    for r in agg_rules:
+        if r["type"] == "completeness":
+            # integer operands: avg(int) is DOUBLE in both engines, while a
+            # 1.0 literal is DECIMAL and Spark's decimal avg keeps
+            # only 5 fractional digits
+            e = f"avg(CASE WHEN {r['col']} IS NOT NULL THEN 1 ELSE 0 END)"
+        elif r["type"] == "uniqueness":
+            e = (
+                f"CAST(count(DISTINCT {r['col']}) AS DOUBLE) / count(1)"
+            )
+        elif r["type"] == "compliance":
+            e = (
+                f"avg(CASE WHEN ({r['pred']}) THEN 1 ELSE 0 END)"
+            )
+        else:
+            raise ValueError(f"unknown rule type {r['type']!r}")
+        exprs.append(F.expr(f"round({e}, 6)").alias(r["name"]))
+    one = df.agg(*exprs)
+
+    structs = [
+        F.struct(
+            F.lit(r["name"]).alias("rule"),
+            F.col(r["name"]).alias("metric"),
+            F.lit(float(r["threshold"])).alias("threshold"),
+        )
+        for r in agg_rules
+    ]
+    out = one.select(
+        F.explode(F.array(*structs)).alias("_r")
+    ).select("_r.rule", "_r.metric", "_r.threshold")
+
+    for r in ref_rules:
+        dim = dims[r["dim"]]
+        probe = df.select(F.col(r["col"]).alias("_k")).filter("_k IS NOT NULL")
+        miss = probe.join(
+            dim.select(F.col(r["dim_col"]).alias("_k")).distinct(),
+            "_k",
+            "left_anti",
+        )
+        m = probe.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+            miss.agg(F.count(F.lit(1)).alias("bad"))
+        ).selectExpr(
+            f"'{r['name']}' AS rule",
+            "round(1.0 - CAST(bad AS DOUBLE) / greatest(n, 1), 6) AS metric",
+            f"CAST({float(r['threshold'])} AS DOUBLE) AS threshold",
+        )
+        out = out.unionByName(m)
+
+    return out.selectExpr(
+        "rule", "metric", "threshold",
+        "CASE WHEN metric >= threshold THEN 1 ELSE 0 END AS passed",
+    )

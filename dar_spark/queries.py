@@ -2584,6 +2584,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("media_bmp_decode", _bmp_decode_q()),
         ("media_wav_decode", _wav_decode_q()),
         ("normalize_docs", _normalize_docs_q()),
+        ("constraint_report_orders", _constraints_q()),
     ]
 
 
@@ -3106,4 +3107,84 @@ def _normalize_docs_q() -> Q:
   CAST(length({inject}) AS BIGINT) AS n_chars_raw,
   CAST(length(nfc_normalize({inject})) AS BIGINT) AS n_chars_norm
 FROM documents"""
+    return Q(spark_fn, oracle)
+
+
+def _constraints_q() -> Q:
+    """Deequ-style data-contract gate (operators/constraints.py) over a
+    deterministically DIRTIED orders frame — nulls, sign flips, domain
+    escapes, dangling FKs, and duplicate keys are injected by modulus so
+    every rule has a fractional metric the value hash can discriminate
+    (on the clean fixture all metrics are 1.0 and a broken formula could
+    hide).  One conditional-agg scan for the row-local rules plus one
+    anti-join miss count; the oracle recomputes every metric as plain
+    SQL over the same injected dirt."""
+
+    DIRTY = """SELECT o_orderkey,
+  CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END AS custkey_d,
+  CASE WHEN o_orderkey % 17 = 0 THEN -o_totalprice ELSE o_totalprice END AS price_d,
+  CASE WHEN o_orderkey % 11 = 0 THEN 'X-BOGUS' ELSE o_orderpriority END AS prio_d,
+  CASE WHEN o_orderkey % 19 = 0 THEN o_custkey + 900000000 ELSE o_custkey END AS fk_d,
+  o_orderkey % 23 AS dup_key
+FROM orders"""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.constraints import constraint_report
+
+        t = load_tables(spark, sf_dir)
+        parallelize(t["orders"])  # registers view via load_tables
+        dirty = spark.sql(DIRTY)
+        rules = [
+            {"name": "custkey_complete", "type": "completeness",
+             "col": "custkey_d", "threshold": 0.95},
+            {"name": "orderkey_unique", "type": "uniqueness",
+             "col": "o_orderkey", "threshold": 1.0},
+            {"name": "dupkey_unique", "type": "uniqueness",
+             "col": "dup_key", "threshold": 0.5},
+            {"name": "price_positive", "type": "compliance",
+             "pred": "price_d > 0", "threshold": 0.95},
+            {"name": "priority_domain", "type": "compliance",
+             "pred": "prio_d IN ('1-URGENT', '2-HIGH', '3-MEDIUM', "
+                     "'4-NOT SPECIFIED', '5-LOW')", "threshold": 0.95},
+            {"name": "custkey_resolves", "type": "referential",
+             "col": "fk_d", "dim": "customer",
+             "dim_col": "c_custkey", "threshold": 0.99},
+        ]
+        return constraint_report(
+            dirty, rules, dims={"customer": t["customer"]}
+        )
+
+    oracle = f"""WITH d AS ({DIRTY}), m AS (
+  SELECT
+    round(avg(CASE WHEN custkey_d IS NOT NULL THEN 1 ELSE 0 END), 6)
+      AS custkey_complete,
+    round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(1), 6)
+      AS orderkey_unique,
+    round(CAST(count(DISTINCT dup_key) AS DOUBLE) / count(1), 6)
+      AS dupkey_unique,
+    round(avg(CASE WHEN (price_d > 0) THEN 1 ELSE 0 END), 6)
+      AS price_positive,
+    round(avg(CASE WHEN (prio_d IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+      '4-NOT SPECIFIED', '5-LOW')) THEN 1 ELSE 0 END), 6)
+      AS priority_domain
+  FROM d
+), ref AS (
+  SELECT round(1.0 - CAST(
+           (SELECT count(*) FROM d WHERE d.fk_d IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = d.fk_d)) AS DOUBLE)
+         / greatest((SELECT count(*) FROM d
+                     WHERE fk_d IS NOT NULL), 1), 6) AS metric
+)
+SELECT rule, metric, threshold,
+       CASE WHEN metric >= threshold THEN 1 ELSE 0 END AS passed
+FROM (
+  SELECT 'custkey_complete' AS rule, custkey_complete AS metric,
+         CAST(0.95 AS DOUBLE) AS threshold FROM m
+  UNION ALL SELECT 'orderkey_unique', orderkey_unique, 1.0 FROM m
+  UNION ALL SELECT 'dupkey_unique', dupkey_unique, 0.5 FROM m
+  UNION ALL SELECT 'price_positive', price_positive, 0.95 FROM m
+  UNION ALL SELECT 'priority_domain', priority_domain, 0.95 FROM m
+  UNION ALL SELECT 'custkey_resolves', metric, 0.99 FROM ref
+)"""
     return Q(spark_fn, oracle)

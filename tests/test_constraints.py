@@ -1,0 +1,60 @@
+"""Deequ-style constraint report: exact metrics on crafted dirty data."""
+
+from __future__ import annotations
+
+from dar_spark.operators.constraints import constraint_report
+
+
+def test_constraint_metrics_exact(spark):
+    rows = [
+        (1, 10, "A", 5.0),
+        (2, 10, "A", -1.0),     # price violation
+        (3, None, "B", 2.0),    # null custkey
+        (4, 99, "Z", 3.0),      # dangling FK + bad domain
+    ]
+    df = spark.createDataFrame(rows, "k long, fk long, cat string, price double")
+    dim = spark.createDataFrame([(10,), (11,)], "id long")
+    out = {
+        r.rule: r
+        for r in constraint_report(
+            df,
+            [
+                {"name": "fk_complete", "type": "completeness",
+                 "col": "fk", "threshold": 0.9},
+                {"name": "k_unique", "type": "uniqueness",
+                 "col": "k", "threshold": 1.0},
+                {"name": "cat_unique", "type": "uniqueness",
+                 "col": "cat", "threshold": 1.0},
+                {"name": "price_pos", "type": "compliance",
+                 "pred": "price > 0", "threshold": 0.9},
+                {"name": "cat_domain", "type": "compliance",
+                 "pred": "cat IN ('A', 'B')", "threshold": 0.8},
+                {"name": "fk_resolves", "type": "referential",
+                 "col": "fk", "dim": "d", "dim_col": "id", "threshold": 1.0},
+            ],
+            dims={"d": dim},
+        ).collect()
+    }
+    assert (out["fk_complete"].metric, out["fk_complete"].passed) == (0.75, 0)
+    assert (out["k_unique"].metric, out["k_unique"].passed) == (1.0, 1)
+    assert (out["cat_unique"].metric, out["cat_unique"].passed) == (0.75, 0)
+    assert (out["price_pos"].metric, out["price_pos"].passed) == (0.75, 0)
+    assert (out["cat_domain"].metric, out["cat_domain"].passed) == (0.75, 0)
+    # 3 non-null fks, 1 dangling (99) -> 2/3
+    assert out["fk_resolves"].metric == 0.666667
+    assert out["fk_resolves"].passed == 0
+
+
+def test_constraint_report_single_scan_for_row_rules(spark):
+    """All row-local rules fold into one aggregate over one scan."""
+    df = spark.range(0, 100).selectExpr("id AS k", "id % 3 AS v")
+    rep = constraint_report(
+        df,
+        [
+            {"name": "a", "type": "completeness", "col": "v", "threshold": 1.0},
+            {"name": "b", "type": "compliance", "pred": "v < 2", "threshold": 0.5},
+        ],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 2  # one logical source (AQE may restate)
+    assert {r.rule: r.passed for r in rep.collect()} == {"a": 1, "b": 1}
