@@ -2585,6 +2585,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("media_wav_decode", _wav_decode_q()),
         ("normalize_docs", _normalize_docs_q()),
         ("constraint_report_orders", _constraints_q()),
+        ("order_price_quartiles", _sql_q(QUARTILE_SQL)),
     ]
 
 
@@ -3188,3 +3189,13 @@ FROM (
   UNION ALL SELECT 'custkey_resolves', metric, 0.99 FROM ref
 )"""
     return Q(spark_fn, oracle)
+
+
+# ntile + percent_rank — rank-function surfaces not covered elsewhere
+# (sessionize uses lag, top_events row_number, asof running max)
+QUARTILE_SQL = """SELECT o_orderkey, o_orderpriority,
+  CAST(ntile(4) OVER w AS INT) AS price_quartile,
+  round(percent_rank() OVER w, 6) AS price_pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)"""
