@@ -2586,6 +2586,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("normalize_docs", _normalize_docs_q()),
         ("constraint_report_orders", _constraints_q()),
         ("order_price_quartiles", _sql_q(QUARTILE_SQL)),
+        ("quality_tiers_docs", _quality_tiers_q()),
     ]
 
 
@@ -3199,3 +3200,47 @@ QUARTILE_SQL = """SELECT o_orderkey, o_orderpriority,
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey)"""
+
+
+def _quality_tiers_q() -> Q:
+    """CCNet's head/middle/tail bucketing (Wenzek et al. 2020 §4.3):
+    rank documents by bigram-LM NLL and cut into three equal tiers —
+    the standard way LM perplexity becomes a curation decision.
+    Composes lm_perplexity with an ntile window; ties broken by doc_id
+    for a deterministic total order.
+
+    Scale note: the exact-equal-tier ntile here is a GLOBAL window
+    (one-partition sort) — correct and oracle-checkable, but at corpus
+    scale the production form is CCNet's own: learn the two NLL
+    thresholds from a sample (deterministic_sample + percentile), then
+    tier with a narrow per-row CASE — no global sort, tiers
+    approximately equal.  The thresholds path reuses operators already
+    in the registry (sampling + percentiles)."""
+
+    def spark_fn(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        from dar_spark.functions.text import lm_perplexity
+
+        t = load_tables(spark, sf_dir)
+        scored = lm_perplexity(parallelize(t["documents"]), "doc_id", "text")
+        w = Window.orderBy("avg_nll", "doc_id")
+        return scored.select(
+            "doc_id", "avg_nll",
+            F.ntile(3).over(w).cast("int").alias("tier_n"),
+            F.expr(
+                "CASE ntile(3) OVER (ORDER BY avg_nll, doc_id) "
+                "WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+                "ELSE 'tail' END"
+            ).alias("tier"),
+        )
+
+    # reuse the proven lm_perplexity oracle formulation, then tier
+    base = _lm_perplexity_q().oracle
+    oracle = f"""WITH scored AS ({base})
+SELECT doc_id, avg_nll,
+  CAST(ntile(3) OVER (ORDER BY avg_nll, doc_id) AS INT) AS tier_n,
+  CASE ntile(3) OVER (ORDER BY avg_nll, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+FROM scored"""
+    return Q(spark_fn, oracle)
