@@ -1,0 +1,126 @@
+"""Byte-pair-encoding vocabulary induction (Sennrich et al. 2016).
+
+The text family counts BPE-ish tokens with a fixed regex; this operator
+LEARNS the merges — the actual tokenizer-training step of an LLM data
+pipeline — as a distributed iterative algorithm:
+
+- the unit of work is the DISTINCT-word frequency table (classic BPE
+  trains on word shapes × frequency, not the corpus): at 100 TB the
+  corpus may be petabytes while distinct words are ~10-100M rows — the
+  aggregation that gets there is the only corpus-scale pass;
+- each round: weighted adjacent-pair counts (one narrow explode over
+  the word table + a map-side-combinable sum on uniform pair keys), a
+  1-row argmax collect (the same driver budget as the CC convergence
+  check), then a per-row fold that merges the winning pair inside each
+  word's symbol array — no shuffle in the merge step;
+- per-round ``localCheckpoint`` truncates lineage exactly like
+  connected_components (pass reliable storage in production via the
+  same pattern).
+
+Tie-break is deterministic (max count, then lexicographic pair), so
+the learned merge sequence is reproducible and
+tests/test_bpe.py pins it against an independent pure-Python reference
+implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker, per the original BPE formulation
+
+
+def _word_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(syms array<string>, freq) per DISTINCT word — the training set."""
+    return (
+        df.select(
+            F.explode(F.expr(f"split(lower({text_col}), ' ', -1)")).alias("w")
+        )
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .selectExpr(
+            f"concat(split(w, '', -1), array('{END}')) AS syms", "freq"
+        )
+    )
+
+
+_MERGE_FOLD = """aggregate(
+  {src},
+  named_struct('acc', CAST(array() AS ARRAY<STRING>), 'pend', CAST(NULL AS STRING)),
+  (st, x) -> CASE
+    WHEN st.pend IS NULL THEN named_struct('acc', st.acc, 'pend', x)
+    WHEN st.pend = '{a}' AND x = '{b}'
+      THEN named_struct('acc', concat(st.acc, array('{ab}')), 'pend', CAST(NULL AS STRING))
+    ELSE named_struct('acc', concat(st.acc, array(st.pend)), 'pend', x)
+  END,
+  st -> CASE WHEN st.pend IS NULL THEN st.acc
+             ELSE concat(st.acc, array(st.pend)) END
+)"""
+
+
+def _q(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _merge_expr(src: str, a: str, b: str) -> str:
+    """Left-to-right single-pass merge of adjacent (a, b) into ab inside
+    the symbol-array expression ``src`` — matching the reference
+    implementation's greedy non-overlapping semantics ('aaa' with pair
+    (a,a) -> ['aa','a'])."""
+    return _MERGE_FOLD.format(src=src, a=_q(a), b=_q(b), ab=_q(a + b))
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the merge
+    list in training order.  Stops early when no adjacent pair repeats."""
+    words = _word_table(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            # fully-merged single-symbol words contribute no pairs — and
+            # sequence(1, 0) would run DESCENDING ([1, 0]), indexing out
+            # of bounds under ANSI
+            words.filter("size(syms) >= 2")
+            .selectExpr(
+                "freq",
+                "explode(transform(sequence(1, size(syms) - 1), "
+                "i -> struct(element_at(syms, i) AS a, "
+                "element_at(syms, i + 1) AS b))) AS p",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), "a", "b").limit(1).collect()
+        if not top or top[0].n < 2:
+            break
+        a, b = top[0].a, top[0].b
+        merges.append((a, b))
+        words = words.selectExpr(
+            f"{_merge_expr('syms', a, b)} AS syms", "freq"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Apply a learned merge list per word: (id, tokens array<string>,
+    n_tokens).  Each word becomes chars + the end marker, the merges
+    fold in training order INSIDE a transform lambda (nested
+    higher-order functions — all whole-stage expressions, no Python),
+    and the per-word token lists flatten into one stream."""
+    per_word = f"concat(split(w, '', -1), array('{END}'))"
+    for a, b in merges:
+        per_word = _merge_expr(per_word, a, b)
+    expr = (
+        f"flatten(transform(filter(split(lower({text_col}), ' ', -1), "
+        f"w -> w <> ''), w -> {per_word}))"
+    )
+    return df.selectExpr(id_col, f"{expr} AS tokens").selectExpr(
+        id_col, "tokens", "CAST(size(tokens) AS INT) AS n_tokens"
+    )

@@ -2587,6 +2587,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("constraint_report_orders", _constraints_q()),
         ("order_price_quartiles", _sql_q(QUARTILE_SQL)),
         ("quality_tiers_docs", _quality_tiers_q()),
+        ("bpe_merges_docs", _bpe_merges_q()),
     ]
 
 
@@ -3243,4 +3244,65 @@ SELECT doc_id, avg_nll,
   CASE ntile(3) OVER (ORDER BY avg_nll, doc_id)
     WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
 FROM scored"""
+    return Q(spark_fn, oracle)
+
+
+BPE_MERGES = 4
+
+
+def _bpe_merges_q() -> Q:
+    """BPE vocabulary induction under the value hash
+    (operators/bpe.train_bpe): the Spark trainer iterates weighted
+    pair-count rounds over the distinct-word table; the oracle unrolls
+    the SAME number of rounds as DuckDB CTEs, representing each word as
+    a unit-separator-joined token string whose merge step is a plain
+    string replace (left-to-right non-overlapping — exactly the greedy
+    fold semantics).  Tie-break (max count, then lexicographic pair) is
+    identical on both sides."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.bpe import train_bpe
+
+        t = load_tables(spark, sf_dir)
+        merges = train_bpe(
+            parallelize(t["documents"]), "text", n_merges=BPE_MERGES
+        )
+        return spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "merge_idx int, a string, b string",
+        )
+
+    sep = "chr(31)"
+    rounds = []
+    w_prev = (
+        "SELECT array_to_string(list_concat(string_split(w, ''), ['</w>']), "
+        f"{sep}) AS w, freq FROM ("
+        "SELECT w, CAST(count(*) AS BIGINT) AS freq FROM ("
+        "SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents"
+        ") WHERE w <> '' GROUP BY w)"
+    )
+    ctes = [f"w0 AS ({w_prev})"]
+    for i in range(BPE_MERGES):
+        ctes.append(
+            f"""t{i} AS (SELECT string_split(w, {sep}) AS s, freq FROM w{i}),
+p{i} AS (
+  SELECT s[j] AS a, s[j + 1] AS b, SUM(freq) AS n
+  FROM (SELECT s, freq, unnest(range(1, len(s))) AS j FROM t{i}
+        WHERE len(s) >= 2)
+  GROUP BY s[j], s[j + 1]
+),
+m{i} AS (SELECT a, b FROM p{i} WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1),
+w{i + 1} AS (
+  SELECT replace(w, (SELECT a || {sep} || b FROM m{i}),
+                    (SELECT a || b FROM m{i})) AS w, freq
+  FROM w{i}
+)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS merge_idx, a, b FROM m{i}" for i in range(BPE_MERGES)
+    )
+    oracle = (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(merge_idx AS INT) AS merge_idx, a, b FROM ({unions})"
+    )
     return Q(spark_fn, oracle)

@@ -1,0 +1,93 @@
+"""BPE vocabulary induction vs an independent pure-Python reference."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from dar_spark.operators.bpe import END, bpe_segment, train_bpe
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def _ref_train(texts, n_merges):
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                words[tuple(list(w) + [END])] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), n = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if n < 2:
+            break
+        merges.append((a, b))
+        new = Counter()
+        for syms, f in words.items():
+            new[tuple(_ref_apply(list(syms), a, b))] += f
+        words = new
+    return merges
+
+
+def _ref_apply(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_segment(text, merges):
+    toks = []
+    for w in text.lower().split(" "):
+        if not w:
+            continue
+        syms = list(w) + [END]
+        for a, b in merges:
+            syms = _ref_apply(syms, a, b)
+        toks.extend(syms)
+    return toks
+
+
+def test_train_bpe_matches_reference_on_crafted_corpus(spark):
+    texts = ["low lower lowest", "new newer newest", "low low new"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    got = train_bpe(df, "text", n_merges=8)
+    want = _ref_train(texts, 8)
+    assert got == want, f"\nspark: {got}\nref:   {want}"
+
+
+def test_train_bpe_matches_reference_on_fixture(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].filter("doc_id < 40")
+    texts = [r.text for r in docs.select("text").collect()]
+    got = train_bpe(docs, "text", n_merges=6)
+    want = _ref_train(texts, 6)
+    assert got == want, f"\nspark: {got}\nref:   {want}"
+
+
+def test_bpe_segment_matches_reference(spark):
+    texts = ["low lower lowest", "new newer newest", "low low new"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    merges = _ref_train(texts, 8)
+    out = {r.doc_id: list(r.tokens) for r in bpe_segment(df, merges).collect()}
+    for i, t in enumerate(texts):
+        assert out[i] == _ref_segment(t, merges), (i, t)
+
+
+def test_bpe_tokens_reconstruct_text(spark):
+    df = spark.createDataFrame([(0, "abra cadabra abra")], "doc_id int, text string")
+    merges = train_bpe(df, "text", n_merges=5)
+    toks = bpe_segment(df, merges).collect()[0].tokens
+    rebuilt = "".join(toks).replace(END, " ").strip()
+    assert rebuilt == "abra cadabra abra"
