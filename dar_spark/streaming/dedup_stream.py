@@ -150,3 +150,25 @@ def streaming_near_dup_against_index(
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
+
+
+def drop_duplicates_within_watermark(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once-per-key emission with BOUNDED state: Spark's native
+    ``dropDuplicatesWithinWatermark`` keeps a key's dedup state only
+    until the watermark passes it, so state is O(keys per watermark
+    window) instead of O(all keys ever) — the correct primitive when
+    upstream delivery is at-least-once and duplicates arrive close
+    together (the common case), while the applyInPandasWithState dedup
+    in this module remains the tool for unbounded exact dedup.
+
+    The event-time column is cast to zoned TIMESTAMP (watermark
+    requirement; fixtures carry TIMESTAMP_NTZ)."""
+    src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

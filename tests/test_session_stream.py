@@ -66,3 +66,29 @@ FROM (
     a = {r.user_id: r.n_sessions for r in native.collect()}
     b = {r.user_id: r.n_sessions for r in lag.collect()}
     assert a == b and len(a) > 0
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """A stream carrying each event twice must emit each key exactly
+    once, matching batch dropDuplicates on the key set."""
+    from dar_spark.streaming.dedup_stream import (
+        drop_duplicates_within_watermark,
+    )
+
+    ev = load_tables(spark, SF_DIR)["events"].select("ts", "event_id", "value")
+    doubled = ev.unionByName(ev)
+    src = str(tmp_path / "dup_src")
+    doubled.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(doubled.schema).parquet(src)
+    out = drop_duplicates_within_watermark(
+        stream, ["event_id"], watermark="4 hours"
+    )
+    name = "t_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="append")
+    n_keys = ev.select("event_id").distinct().count()
+    rows = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n
+    distinct = spark.sql(
+        f"SELECT count(DISTINCT event_id) AS n FROM {name}"
+    ).collect()[0].n
+    assert rows == distinct == n_keys
