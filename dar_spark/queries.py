@@ -2588,6 +2588,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("order_price_quartiles", _sql_q(QUARTILE_SQL)),
         ("quality_tiers_docs", _quality_tiers_q()),
         ("bpe_merges_docs", _bpe_merges_q()),
+        ("phone_profile_sqlfn", _phone_profile_sqlfn_q()),
     ]
 
 
@@ -3305,4 +3306,35 @@ w{i + 1} AS (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT CAST(merge_idx AS INT) AS merge_idx, a, b FROM ({unions})"
     )
+    return Q(spark_fn, oracle)
+
+
+def _phone_profile_sqlfn_q() -> Q:
+    """The phone profiler through the registered SQL-function surface
+    (dar_spark/sqlfunc.py): a pure-SQL caller using
+    dar_phone_status/dar_phone_normalized must produce byte-identical
+    results to the expression API — the functions are Catalyst macros
+    emitted from the same dialect builders, and this query puts that
+    claim under the driver's value hash."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.sqlfunc import register_sql_functions
+
+        register_sql_functions(spark)
+        load_tables(spark, sf_dir)
+        gen = testgen.dirty_phone("o_orderkey")
+        return spark.sql(
+            f"""SELECT o_orderkey AS row_id, {gen} AS x,
+  dar_phone_status({gen}) AS status,
+  dar_phone_normalized({gen}) AS normalized
+FROM orders"""
+        )
+
+    d = DUCKDB
+    gen = testgen.dirty_phone("o_orderkey")
+    oracle = f"""WITH base AS (SELECT o_orderkey AS row_id, {gen} AS x FROM orders)
+SELECT row_id, x,
+  CAST(({V.phone_status(d, 'x')}) AS INT) AS status,
+  ({V.phone_normalized(d, 'x')}) AS normalized
+FROM base"""
     return Q(spark_fn, oracle)

@@ -1,0 +1,75 @@
+"""SQL-surface registration: the validator/text suite as SQL functions.
+
+Spark 4's SQL-defined functions (CREATE FUNCTION ... RETURN <expr>) let
+a pure-SQL user call the whole classification suite without touching
+the Python API:
+
+    SELECT dar_phone_status(phone_col), dar_phone_normalized(phone_col)
+    FROM my_table
+
+Each function body IS the same dialect-emitted expression the DataFrame
+operators use — one source of truth, so SQL callers get byte-identical
+semantics (and the expression inlines into the caller's plan: these are
+macros to Catalyst, NOT UDF black boxes — pushdown and codegen behave
+as if the expression were written inline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from dar_spark.dialect import SPARK
+from dar_spark.functions import validators as V
+
+
+def _catalog() -> list[tuple[str, str, str, str]]:
+    """(name, arg DDL, return DDL, body expr) for every SQL function."""
+    d = SPARK
+    from dar_spark.functions.text import (
+        gopher_metrics_sql,
+        redact_pii_sql,
+    )
+
+    cat = [
+        ("dar_phone_status", "x STRING", "INT",
+         f"CAST(({V.phone_status(d, 'x')}) AS INT)"),
+        ("dar_phone_normalized", "x STRING", "STRING",
+         V.phone_normalized(d, "x")),
+        ("dar_phone_v1_status", "x STRING", "INT",
+         f"CAST(({V.phone_v1_status(d, 'x')}) AS INT)"),
+        ("dar_state_status", "x STRING", "INT",
+         f"CAST(({V.state_status(d, 'x')}) AS INT)"),
+        ("dar_state_normalized", "x STRING", "STRING",
+         V.state_normalized(d, "x")),
+        ("dar_boro_status", "x STRING", "INT",
+         f"CAST(({V.boro_status(d, 'x')}) AS INT)"),
+        ("dar_zip_quick_status", "x STRING", "INT",
+         f"CAST(({V.zip_quick_status(d, 'x')}) AS INT)"),
+        ("dar_zip_normalized", "x STRING", "STRING",
+         V.zip_normalized(d, "x")),
+        ("dar_lat_status", "x STRING", "INT",
+         f"CAST(({V.latlong_status(d, 'x', 'lat')}) AS INT)"),
+        ("dar_long_status", "x STRING", "INT",
+         f"CAST(({V.latlong_status(d, 'x', 'long')}) AS INT)"),
+        ("dar_coords_status", "x STRING", "INT",
+         f"CAST(({V.coords_pair_status(d, 'x')}) AS INT)"),
+        ("dar_redact_pii", "x STRING", "STRING", redact_pii_sql(d, "x")),
+    ]
+    for name, expr in gopher_metrics_sql(d, "x"):
+        ret = "BIGINT" if name in ("n_words", "stopword_hits") else "DOUBLE"
+        cat.append((f"dar_gopher_{name}", "x STRING", ret, expr))
+    return cat
+
+
+def register_sql_functions(spark: SparkSession) -> list[str]:
+    """CREATE OR REPLACE TEMPORARY FUNCTION for the whole catalog;
+    returns the registered names.  Temporary = session-scoped, no
+    metastore writes; call once per session (idempotent)."""
+    names = []
+    for name, arg, ret, body in _catalog():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({arg}) "
+            f"RETURNS {ret} RETURN {body}"
+        )
+        names.append(name)
+    return names

@@ -1,0 +1,52 @@
+"""SQL-function registration: byte-identical to the expression API."""
+
+from __future__ import annotations
+
+from dar_spark import testgen
+from dar_spark.dialect import SPARK
+from dar_spark.functions import validators as V
+from dar_spark.session import load_tables
+from dar_spark.sqlfunc import register_sql_functions
+from tests.conftest import SF_DIR
+
+
+def test_sql_functions_match_expression_api(spark):
+    names = register_sql_functions(spark)
+    assert len(names) >= 15
+    load_tables(spark, SF_DIR)
+    rows = spark.sql(
+        f"""SELECT o_orderkey,
+      dar_phone_status({testgen.dirty_phone('o_orderkey')}) AS s_fn,
+      CAST(({V.phone_status(SPARK, testgen.dirty_phone('o_orderkey'))}) AS INT) AS s_expr,
+      dar_phone_normalized({testgen.dirty_phone('o_orderkey')}) AS n_fn,
+      ({V.phone_normalized(SPARK, testgen.dirty_phone('o_orderkey'))}) AS n_expr
+    FROM orders"""
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.s_fn == r.s_expr and r.n_fn == r.n_expr
+
+
+def test_sql_functions_inline_into_plans(spark):
+    """SQL functions are macros, not UDF black boxes: the caller's plan
+    must stay free of any python/UDF eval node."""
+    register_sql_functions(spark)
+    load_tables(spark, SF_DIR)
+    df = spark.sql(
+        "SELECT dar_zip_quick_status(CAST(o_orderkey AS STRING)) AS s "
+        "FROM orders WHERE dar_state_status('New York') BETWEEN 1 AND 5"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert df.count() > 0
+
+
+def test_sql_redact_and_gopher_functions(spark):
+    register_sql_functions(spark)
+    r = spark.sql(
+        "SELECT dar_redact_pii('call 201-555-0123 or mail a@b.com') AS red, "
+        "dar_gopher_n_words('one two three') AS nw, "
+        "dar_gopher_stopword_hits('the cat and the hat') AS sh"
+    ).collect()[0]
+    assert "<PHONE>" in r.red and "<EMAIL>" in r.red
+    assert r.nw == 3 and r.sh == 2
