@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from dar_spark.operators.summarize import summarize
 
@@ -98,3 +99,46 @@ def detect_drift(
             if abs(n.mean_value - o.mean_value) / denom > mean_shift_tol:
                 out.append(Drift(c, "mean_shift", o.mean_value, n.mean_value))
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level change-data-capture between two snapshots: one
+    null-safe full-outer join on the key emits (key..., change) with
+    change in {'inserted', 'deleted', 'changed'}; unchanged rows are
+    filtered out BEFORE the result materializes, so output scales with
+    the delta, not the table.  Complements ``drift()`` (which compares
+    column-level summaries): drift says a snapshot moved, snapshot_diff
+    says which rows moved.
+
+    Shuffle is the key-hash join; at warehouse scale run both sides
+    through the same bucketing (joins.write_bucketed) to erase it.
+    """
+    o = old.select(
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    ).withColumn("_in_old", F.lit(1))
+    n = new.select(
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    ).withColumn("_in_new", F.lit(1))
+    j = o.join(n, key_cols, "full_outer")
+    same = " AND ".join(
+        f"(_o_{c} <=> _n_{c})" for c in compare_cols
+    )
+    return (
+        j.withColumn(
+            "change",
+            F.expr(
+                "CASE WHEN _in_old IS NULL THEN 'inserted' "
+                "WHEN _in_new IS NULL THEN 'deleted' "
+                f"WHEN NOT ({same}) THEN 'changed' END"
+            ),
+        )
+        .filter("change IS NOT NULL")
+        .select(*key_cols, "change")
+    )

@@ -1,0 +1,56 @@
+"""MERGE INTO (upsert) semantics on plain parquet — copy-on-write.
+
+Plain-parquet tables have no transaction log, so upsert is rewrite:
+matched target rows are replaced by their update row, unmatched update
+rows are inserted.  Without a partition column the whole table
+rewrites; WITH one, only the partitions containing touched keys rewrite
+(dynamic partition overwrite) — the Hive/Delta copy-on-write pattern,
+where write amplification is bounded by partition granularity instead
+of table size.
+
+The merged frame is eagerly materialized (``localCheckpoint``) before
+the overwrite: Spark cannot atomically overwrite a path its own plan is
+still reading, and the checkpoint disconnects the lineage.  On a real
+cluster prefer the write-to-new-path + swap pattern for crash safety —
+this operator documents the semantics and the partition-pruned rewrite
+shape (a mid-write crash here, as in Hive, needs a re-run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> None:
+    target = spark.read.parquet(target_path)
+    if partition_col is None:
+        merged = target.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        ).unionByName(updates)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            target_path
+        )
+        return
+    # partition-pruned rewrite: only partitions holding touched keys
+    touched = [
+        r[0]
+        for r in updates.select(partition_col).distinct().collect()
+    ]
+    tpart = target.filter(F.col(partition_col).isin(touched))
+    merged = tpart.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    ).unionByName(updates)
+    (
+        merged.localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(target_path)
+    )

@@ -2589,6 +2589,8 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("quality_tiers_docs", _quality_tiers_q()),
         ("bpe_merges_docs", _bpe_merges_q()),
         ("phone_profile_sqlfn", _phone_profile_sqlfn_q()),
+        ("snapshot_diff_orders", _snapshot_diff_q()),
+        ("merge_upsert_orders", _merge_upsert_q()),
     ]
 
 
@@ -3337,4 +3339,77 @@ SELECT row_id, x,
   CAST(({V.phone_status(d, 'x')}) AS INT) AS status,
   ({V.phone_normalized(d, 'x')}) AS normalized
 FROM base"""
+    return Q(spark_fn, oracle)
+
+
+def _snapshot_diff_q() -> Q:
+    """Row-level CDC between two deterministic snapshot views of orders
+    (operators/drift.snapshot_diff): the 'new' snapshot drops some keys,
+    adds others, and perturbs some prices, so all three change kinds
+    appear.  The oracle recomputes the diff with a relational
+    FULL OUTER JOIN + IS NOT DISTINCT FROM."""
+
+    OLD = "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 <> 0"
+    NEW = ("SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 "
+           "THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice "
+           "FROM orders WHERE o_orderkey % 13 <> 0")
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.drift import snapshot_diff
+
+        load_tables(spark, sf_dir)
+        return snapshot_diff(
+            spark.sql(OLD), spark.sql(NEW),
+            ["o_orderkey"], ["o_totalprice"],
+        )
+
+    oracle = f"""WITH o AS ({OLD}), n AS ({NEW})
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+  CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+       WHEN n.o_orderkey IS NULL THEN 'deleted'
+       WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+         THEN 'changed' END AS change
+FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+WHERE (CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+       WHEN n.o_orderkey IS NULL THEN 'deleted'
+       WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+         THEN 'changed' END) IS NOT NULL"""
+    return Q(spark_fn, oracle)
+
+
+def _merge_upsert_q() -> Q:
+    """MERGE upsert round-trip under the value hash
+    (operators/merge.merge_upsert): the target table is WRITTEN to
+    parquet, merged copy-on-write with an update batch (price bumps on
+    matched keys + brand-new keys), and read BACK — while the oracle
+    computes the post-merge state relationally without any file I/O, so
+    the write -> merge -> read round trip is what the hash checks (the
+    persisted-index oracle pattern applied to upsert)."""
+
+    TARGET = "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0"
+    UPDATES = ("SELECT o_orderkey, o_custkey, o_totalprice + 100 AS o_totalprice "
+               "FROM orders WHERE o_orderkey % 5 = 0")
+
+    def spark_fn(spark, sf_dir):
+        import hashlib
+        import os
+
+        from dar_spark.operators.merge import merge_upsert
+
+        load_tables(spark, sf_dir)
+        cache_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".csvcache",
+        )
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(cache_root, f"mergetgt-{tag}")
+        spark.sql(TARGET).write.mode("overwrite").parquet(path)
+        merge_upsert(spark, path, spark.sql(UPDATES), ["o_orderkey"])
+        return spark.read.parquet(path)
+
+    oracle = f"""WITH t AS ({TARGET}), u AS ({UPDATES})
+SELECT o_orderkey, o_custkey, o_totalprice FROM t
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice FROM u"""
     return Q(spark_fn, oracle)

@@ -1,0 +1,61 @@
+"""merge_upsert: MERGE semantics + partition-pruned rewrite."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dar_spark.operators.merge import merge_upsert
+
+
+def test_merge_upsert_whole_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "d")], "k long, v string"
+    )
+    merge_upsert(spark, path, updates, ["k"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "p")
+    df = spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id % 4 AS INT) AS part", "'old' AS v"
+    )
+    df.write.partitionBy("part").parquet(path)
+    before = {
+        p: sorted(os.listdir(os.path.join(path, p)))
+        for p in os.listdir(path) if p.startswith("part=")
+    }
+    updates = spark.createDataFrame(
+        [(1, 1, "new"), (101, 1, "new")], "k long, part int, v string"
+    )
+    merge_upsert(spark, path, updates, ["k"], partition_col="part")
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got[1] == "new" and got[101] == "new" and got[0] == "old"
+    assert len(got) == 101
+    after = {
+        p: sorted(os.listdir(os.path.join(path, p)))
+        for p in os.listdir(path) if p.startswith("part=")
+    }
+    # untouched partitions keep their exact files; part=1 was rewritten
+    for p in before:
+        if p == "part=1":
+            assert before[p] != after[p]
+        else:
+            assert before[p] == after[p], p
+
+
+def test_merge_upsert_idempotent_replay(spark, tmp_path):
+    path = str(tmp_path / "r")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(path)
+    updates = spark.createDataFrame([(1, "A"), (2, "b")], "k long, v string")
+    merge_upsert(spark, path, updates, ["k"])
+    merge_upsert(spark, path, updates, ["k"])  # replay
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == [(1, "A"), (2, "b")]
