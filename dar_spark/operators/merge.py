@@ -54,3 +54,42 @@ def merge_upsert(
         .partitionBy(partition_col)
         .parquet(target_path)
     )
+
+
+def scd2_from_log(
+    log: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change log: one window
+    pass turns (key, ts, values) events into validity intervals
+    (key, values, valid_from, valid_to, is_current) — valid_to is the
+    NEXT change's timestamp (lead), NULL while current.  Consecutive
+    events with unchanged values are collapsed first (null-safe
+    compare against lag), so a noisy log that re-states the same value
+    does not fragment history.
+
+    Shuffle: one hash partition on the key for both windows (the second
+    window reuses the first's partitioning — no second exchange)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    same_as_prev = " AND ".join(
+        f"({c} <=> lag({c}) OVER (PARTITION BY "
+        + ", ".join(key_cols)
+        + f" ORDER BY {ts_col}))"
+        for c in value_cols
+    )
+    changed = log.withColumn(
+        "_restate", F.expr(same_as_prev)
+    ).filter("NOT _restate OR _restate IS NULL").drop("_restate")
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn(
+            "is_current",
+            F.expr("CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END"),
+        )
+        .drop(ts_col)
+    )

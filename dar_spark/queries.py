@@ -2591,6 +2591,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("phone_profile_sqlfn", _phone_profile_sqlfn_q()),
         ("snapshot_diff_orders", _snapshot_diff_q()),
         ("merge_upsert_orders", _merge_upsert_q()),
+        ("scd2_user_events", _scd2_q()),
     ]
 
 
@@ -3412,4 +3413,39 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM t
 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
 UNION ALL
 SELECT o_orderkey, o_custkey, o_totalprice FROM u"""
+    return Q(spark_fn, oracle)
+
+
+def _scd2_q() -> Q:
+    """SCD2 history from the events log (operators/merge.scd2_from_log):
+    per-user event_type changes become validity intervals; re-stated
+    values collapse.  The oracle is an independent lag/lead formulation
+    in DuckDB."""
+
+    LOG = ("SELECT user_id, ts, event_type FROM events "
+           "WHERE event_id % 4 = 0")
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.merge import scd2_from_log
+
+        load_tables(spark, sf_dir)
+        return scd2_from_log(
+            spark.sql(LOG), ["user_id"], "ts", ["event_type"]
+        )
+
+    oracle = f"""WITH log AS ({LOG}),
+c AS (
+  SELECT * FROM (
+    SELECT user_id, ts, event_type,
+           event_type IS NOT DISTINCT FROM
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+             AS restate
+    FROM log)
+  WHERE NOT restate OR restate IS NULL
+)
+SELECT user_id, event_type, ts AS valid_from,
+  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+  CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+       THEN 1 ELSE 0 END AS is_current
+FROM c"""
     return Q(spark_fn, oracle)
