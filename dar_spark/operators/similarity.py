@@ -591,3 +591,67 @@ def srp_lsh_topk(
         scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
         .filter(f"rank_n <= {k}")
     )
+
+
+def whiten_embeddings_by_group(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding standardization: within each group every
+    dimension is centered and scaled to unit variance — the usual prep
+    before cosine retrieval when groups (languages, sources, model
+    versions) occupy different regions of the space.
+
+    This is the grouped-map ``applyInPandas`` pattern (one Arrow batch
+    per group, numpy vectorized inside): the right tool when the
+    per-group computation needs the WHOLE group as a matrix (column
+    means/stds here; PCA/UMAP in general), which per-row expressions
+    cannot see.  Shuffle is the one hash partition on the group key;
+    groups must fit in executor memory — the operator's documented
+    envelope (salt or sample groups beyond it).
+
+    Constant dimensions pass through centered (std 0 -> divisor 1).
+    tests/test_similarity.py pins equality with an expression-level
+    mean/std formulation within float tolerance.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(group_col, StringType()),
+            StructField("whitened", ArrayType(DoubleType())),
+        ]
+    )
+
+    def whiten(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        mu = m.mean(axis=0)
+        sd = m.std(axis=0)
+        sd[sd == 0.0] = 1.0
+        w = (m - mu) / sd
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                group_col: pdf[group_col].astype(str).values,
+                "whitened": list(w),
+            }
+        )
+
+    src = df.select(
+        F.col(id_col), F.col(group_col).cast("string").alias(group_col),
+        F.col(vec_col),
+    )
+    return src.groupBy(group_col).applyInPandas(whiten, out_schema)

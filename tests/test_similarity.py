@@ -365,3 +365,41 @@ def test_compact_ann_index_preserves_results(spark, tmp_path):
         for r in ann_against_index(q, compacted, "vec_id", "embedding", k=5).collect()
     }
     assert len(before) > 0 and after == before
+
+
+def test_whiten_embeddings_matches_expression_formulation(spark):
+    """The grouped-map whitening must equal the relational mean/std
+    formulation (explode -> per-(group, dim) aggregates -> join back)
+    within float tolerance, and produce unit variance per dimension."""
+    import math
+
+    from dar_spark.operators.similarity import whiten_embeddings_by_group
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    got = {
+        r.vec_id: list(r.whitened)
+        for r in whiten_embeddings_by_group(emb).collect()
+    }
+    assert len(got) == emb.count()
+
+    ref = (
+        emb.selectExpr(
+            "vec_id", "CAST(label AS STRING) AS label",
+            "posexplode(embedding) AS (dim, x)",
+        )
+        .selectExpr("vec_id", "label", "dim", "CAST(x AS DOUBLE) AS x")
+    )
+    stats = ref.groupBy("label", "dim").agg(
+        F.avg("x").alias("mu"),
+        F.expr("stddev_pop(x)").alias("sd"),
+    )
+    joined = ref.join(stats, ["label", "dim"]).selectExpr(
+        "vec_id", "dim",
+        "(x - mu) / (CASE WHEN sd = 0 THEN 1 ELSE sd END) AS w",
+    )
+    expect = {}
+    for r in joined.collect():
+        expect.setdefault(r.vec_id, {})[r.dim] = r.w
+    for vid, arr in got.items():
+        for d, v in enumerate(arr):
+            assert math.isclose(v, expect[vid][d], rel_tol=1e-9, abs_tol=1e-9)
