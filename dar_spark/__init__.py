@@ -42,6 +42,22 @@ __all__ = [
     "marker_classifier",
     "repetition_metrics",
     "repetition_filter",
+    "chunk_dedup",
+    "semdedup_prune",
+    "gopher_quality",
+    "tfidf_topk",
+    "lm_perplexity",
+    "hll_distinct",
+    "normalize_text",
+    "constraint_report",
+    "train_bpe",
+    "bpe_segment",
+    "bloom_semi_filter",
+    "write_zordered",
+    "snapshot_diff",
+    "merge_upsert",
+    "scd2_from_log",
+    "register_sql_functions",
 ]
 
 
@@ -96,4 +112,48 @@ def __getattr__(name):
         from dar_spark.operators import similarity as _sim
 
         return getattr(_sim, name)
+    if name in ("chunk_dedup", "semdedup_prune"):
+        from dar_spark.operators import dedup as _dd2
+
+        return getattr(_dd2, name)
+    if name in ("gopher_quality", "tfidf_topk", "lm_perplexity"):
+        from dar_spark.functions import text as _t2
+
+        return getattr(_t2, name)
+    if name == "hll_distinct":
+        from dar_spark.operators.sketch import hll_distinct
+
+        return hll_distinct
+    if name == "normalize_text":
+        from dar_spark.operators.normalize import normalize_text
+
+        return normalize_text
+    if name == "constraint_report":
+        from dar_spark.operators.constraints import constraint_report
+
+        return constraint_report
+    if name in ("train_bpe", "bpe_segment"):
+        from dar_spark.operators import bpe as _bpe
+
+        return getattr(_bpe, name)
+    if name == "bloom_semi_filter":
+        from dar_spark.operators.bloom import bloom_semi_filter
+
+        return bloom_semi_filter
+    if name == "write_zordered":
+        from dar_spark.operators.zorder import write_zordered
+
+        return write_zordered
+    if name == "snapshot_diff":
+        from dar_spark.operators.drift import snapshot_diff
+
+        return snapshot_diff
+    if name in ("merge_upsert", "scd2_from_log"):
+        from dar_spark.operators import merge as _m
+
+        return getattr(_m, name)
+    if name == "register_sql_functions":
+        from dar_spark.sqlfunc import register_sql_functions
+
+        return register_sql_functions
     raise AttributeError(f"module 'dar_spark' has no attribute {name!r}")
