@@ -117,6 +117,9 @@ def snapshot_diff(
 
     Shuffle is the key-hash join; at warehouse scale run both sides
     through the same bucketing (joins.write_bucketed) to erase it.
+    Keys must be unique WITHIN each snapshot (the usual table-key
+    contract) — duplicated keys multiply through the join; gate with
+    ``constraints.constraint_report`` uniqueness when unsure.
     """
     o = old.select(
         *[F.col(k) for k in key_cols],

@@ -28,7 +28,23 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: list[str],
     partition_col: str | None = None,
+    validate_unique: bool = True,
 ) -> None:
+    """See module docstring.  ``validate_unique`` (default on) raises
+    when the update batch carries duplicate keys — MERGE semantics are
+    undefined for them (both copies would land in the target); one
+    O(|updates|) aggregate, disable only when upstream already
+    guarantees uniqueness."""
+    if validate_unique:
+        n, d = updates.agg(
+            F.count(F.lit(1)), F.countDistinct(*[F.col(k) for k in key_cols])
+        ).collect()[0]
+        if n != d:
+            raise ValueError(
+                f"merge_upsert: update batch has {n - d} duplicate-key "
+                f"rows on {key_cols}; MERGE is undefined for them — "
+                "dedupe upstream (e.g. latest-per-key) first"
+            )
     target = spark.read.parquet(target_path)
     if partition_col is None:
         merged = target.join(
@@ -71,7 +87,11 @@ def scd2_from_log(
     does not fragment history.
 
     Shuffle: one hash partition on the key for both windows (the second
-    window reuses the first's partitioning — no second exchange)."""
+    window reuses the first's partitioning — no second exchange;
+    AQE-final-plan verified).  ``ts_col`` must be unique per key — equal
+    timestamps make lag/lead ordering, and therefore interval
+    boundaries, nondeterministic; pre-aggregate to latest-per-(key, ts)
+    first if the log can carry same-instant events."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*key_cols).orderBy(ts_col)

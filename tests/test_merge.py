@@ -59,3 +59,17 @@ def test_merge_upsert_idempotent_replay(spark, tmp_path):
     merge_upsert(spark, path, updates, ["k"])  # replay
     got = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert got == [(1, "A"), (2, "b")]
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "dup")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(path)
+    dup_updates = spark.createDataFrame(
+        [(2, "x"), (2, "y")], "k long, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate-key"):
+        merge_upsert(spark, path, dup_updates, ["k"])
+    # target untouched by the failed merge
+    assert spark.read.parquet(path).count() == 1
