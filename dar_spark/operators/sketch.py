@@ -199,3 +199,48 @@ def hll_distinct(df: DataFrame, value_col: str) -> DataFrame:
             f"round(abs({corrected} - n_exact) / n_exact, 4) AS rel_error",
         )
     )
+
+
+def hll_distinct_by(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group HyperLogLog estimates: one row per group with
+    (group, n_registers_hit, hll_estimate, n_exact, rel_error).
+
+    Same register math as ``hll_distinct``; the register aggregate keys
+    on (group, register) — at most groups × 256 rows, map-side
+    combinable — which is exactly the mergeable-summary shape: a
+    per-day/per-partition register table unions into any coarser
+    rollup with max-per-register.  The exact column is validation-only,
+    as in the global variant."""
+    reg, rho = hll_register_sql(SPARK, value_col)
+    m = HLL_M
+    regs = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.expr(reg).alias("_reg"),
+            F.expr(rho).alias("_rho"),
+        )
+        .groupBy("_g", "_reg")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    summed = regs.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_registers_hit"),
+        F.expr(
+            "SUM(CAST(power(CAST(2 AS DOUBLE), 64 - _m) AS DECIMAL(38, 0)))"
+        ).alias("_scaled"),
+    )
+    exact = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.countDistinct(F.expr(value_col)).alias("n_exact")
+    )
+    corrected = hll_estimate_sql()
+    return (
+        summed.join(exact, "_g")
+        .selectExpr(
+            f"_g AS {group_col}",
+            "CAST(n_registers_hit AS BIGINT) AS n_registers_hit",
+            f"round({corrected}, 3) AS hll_estimate",
+            "CAST(n_exact AS BIGINT) AS n_exact",
+            f"round(abs({corrected} - n_exact) / n_exact, 4) AS rel_error",
+        )
+    )

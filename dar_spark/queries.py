@@ -2592,6 +2592,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("snapshot_diff_orders", _snapshot_diff_q()),
         ("merge_upsert_orders", _merge_upsert_q()),
         ("scd2_user_events", _scd2_q()),
+        ("hll_users_by_event_type", _hll_by_group_q()),
     ]
 
 
@@ -3448,4 +3449,47 @@ SELECT user_id, event_type, ts AS valid_from,
   CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
        THEN 1 ELSE 0 END AS is_current
 FROM c"""
+    return Q(spark_fn, oracle)
+
+
+def _hll_by_group_q() -> Q:
+    """Grouped HLL (operators/sketch.hll_distinct_by): distinct users
+    per event_type — the register table keyed on (group, register), the
+    mergeable-rollup shape; oracle recomputes sketch AND exact per
+    group."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.sketch import hll_distinct_by
+
+        t = load_tables(spark, sf_dir)
+        return hll_distinct_by(
+            parallelize(t["events"]), "event_type", "user_id"
+        )
+
+    from dar_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate_sql,
+        hll_register_sql,
+    )
+
+    reg, rho = hll_register_sql(DUCKDB, "user_id")
+    corrected = hll_estimate_sql()
+    oracle = f"""WITH r AS (
+  SELECT event_type AS _g, {reg} AS _reg, {rho} AS _rho FROM events
+), regs AS (
+  SELECT _g, _reg, max(_rho) AS _m FROM r GROUP BY _g, _reg
+), s AS (
+  SELECT _g, count(*) AS n_registers_hit,
+         SUM(CAST(power(CAST(2 AS DOUBLE), 64 - _m) AS DECIMAL(38, 0))) AS _scaled
+  FROM regs GROUP BY _g
+), e AS (
+  SELECT event_type AS _g, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT s._g AS event_type,
+  CAST(n_registers_hit AS BIGINT) AS n_registers_hit,
+  round({corrected}, 3) AS hll_estimate,
+  CAST(n_exact AS BIGINT) AS n_exact,
+  round(abs({corrected} - n_exact) / n_exact, 4) AS rel_error
+FROM s JOIN e ON s._g = e._g"""
     return Q(spark_fn, oracle)
