@@ -2593,6 +2593,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("merge_upsert_orders", _merge_upsert_q()),
         ("scd2_user_events", _scd2_q()),
         ("hll_users_by_event_type", _hll_by_group_q()),
+        ("quality_tiers_sampled", _quality_tiers_sampled_q()),
     ]
 
 
@@ -3492,4 +3493,53 @@ SELECT s._g AS event_type,
   CAST(n_exact AS BIGINT) AS n_exact,
   round(abs({corrected} - n_exact) / n_exact, 4) AS rel_error
 FROM s JOIN e ON s._g = e._g"""
+    return Q(spark_fn, oracle)
+
+
+TIER_SAMPLE_FRACTION = 0.5
+
+
+def _quality_tiers_sampled_q() -> Q:
+    """The SCALE-SAFE tier path promised by quality_tiers_docs: learn
+    the two NLL thresholds from a deterministic hash-bucket sample
+    (exact interpolated percentiles on the sample — a 1-row broadcast),
+    then tier every document with a narrow CASE.  No global sort
+    anywhere; tiers are approximately equal (exactly what CCNet ships).
+    The oracle replays sample membership, quantile_cont thresholds, and
+    the CASE."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import lm_perplexity
+        from dar_spark.operators.sampling import deterministic_sample
+
+        t = load_tables(spark, sf_dir)
+        scored = lm_perplexity(parallelize(t["documents"]), "doc_id", "text")
+        sample = deterministic_sample(
+            scored, "doc_id", TIER_SAMPLE_FRACTION
+        )
+        thr = sample.agg(
+            F.expr("round(percentile(avg_nll, CAST(1 AS DOUBLE)/3), 6)").alias("_t1"),
+            F.expr("round(percentile(avg_nll, CAST(2 AS DOUBLE)/3), 6)").alias("_t2"),
+        )
+        return scored.crossJoin(F.broadcast(thr)).selectExpr(
+            "doc_id", "avg_nll",
+            "CASE WHEN avg_nll <= _t1 THEN 'head' "
+            "WHEN avg_nll <= _t2 THEN 'middle' ELSE 'tail' END AS tier",
+        )
+
+    from dar_spark.operators.sampling import N_BUCKETS, hash_bucket_sql
+
+    cutoff = max(int(round(TIER_SAMPLE_FRACTION * N_BUCKETS)), 1)
+    bucket = hash_bucket_sql(DUCKDB, "doc_id")
+    base = _lm_perplexity_q().oracle
+    oracle = f"""WITH scored AS ({base}),
+thr AS (
+  SELECT round(quantile_cont(avg_nll, CAST(1 AS DOUBLE)/3), 6) AS _t1,
+         round(quantile_cont(avg_nll, CAST(2 AS DOUBLE)/3), 6) AS _t2
+  FROM scored WHERE {bucket} < {cutoff}
+)
+SELECT doc_id, avg_nll,
+  CASE WHEN avg_nll <= _t1 THEN 'head'
+       WHEN avg_nll <= _t2 THEN 'middle' ELSE 'tail' END AS tier
+FROM scored CROSS JOIN thr"""
     return Q(spark_fn, oracle)
