@@ -1,0 +1,33 @@
+"""Streaming HyperLogLog: running distinct-count registers on a stream.
+
+The HLL register table is a running MAX per register — exactly the
+aggregate Structured Streaming maintains natively, with state bounded
+at ``HLL_M`` rows per (optional) group no matter how long the stream
+runs.  Draining the stream and estimating from the final registers
+gives the SAME answer as the batch sketch over the union of all
+micro-batches (max is order- and batch-insensitive), which
+tests/test_sketch_stream.py pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.operators.sketch import SPARK, hll_register_sql
+
+
+def streaming_hll_registers(
+    stream_df: DataFrame, value_col: str
+) -> DataFrame:
+    """(register, m) running maxima for a streaming source — state is
+    <= 256 rows; feed the drained table to the estimate expression or
+    merge it with stored register tables (max per register)."""
+    reg, rho = hll_register_sql(SPARK, value_col)
+    return (
+        stream_df.select(
+            F.expr(reg).alias("_reg"), F.expr(rho).alias("_rho")
+        )
+        .groupBy("_reg")
+        .agg(F.max("_rho").alias("_m"))
+    )

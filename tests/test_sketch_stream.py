@@ -1,0 +1,39 @@
+"""Streaming HLL registers == batch registers (order/batch invariance)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from dar_spark.operators.sketch import SPARK as SP
+from dar_spark.operators.sketch import hll_register_sql
+from dar_spark.session import load_tables
+from dar_spark.streaming.profile_stream import run_to_memory
+from dar_spark.streaming.sketch_stream import streaming_hll_registers
+from tests.conftest import SF_DIR
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    ev = load_tables(spark, SF_DIR)["events"].select("user_id")
+    src = str(tmp_path / "hll_src")
+    # several files so the stream drains in multiple batches
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_hll_registers(stream, "user_id")
+    name = "t_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="complete")
+    streamed = {
+        (r._reg, r._m) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    reg, rho = hll_register_sql(SP, "user_id")
+    batch = {
+        (r._reg, r._m)
+        for r in ev.select(F.expr(reg).alias("_reg"), F.expr(rho).alias("_rho"))
+        .groupBy("_reg").agg(F.max("_rho").alias("_m")).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
