@@ -1,0 +1,74 @@
+"""Warehouse maintenance — contracts, diffs, upserts, history:
+
+    constraint gate → snapshot CDC → MERGE upsert → SCD2 history
+
+    python examples/warehouse_maintenance.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dar_spark
+from dar_spark.operators.constraints import constraint_report
+from dar_spark.operators.drift import snapshot_diff
+from dar_spark.operators.merge import merge_upsert, scd2_from_log
+
+
+def main() -> None:
+    spark = dar_spark.get_session("example_warehouse")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = dar_spark.load_tables(spark, "/root/testdata/sf0.001")
+
+    # 1. data contract gate on the incoming batch
+    report = constraint_report(
+        t["orders"],
+        [
+            {"name": "key_unique", "type": "uniqueness",
+             "col": "o_orderkey", "threshold": 1.0},
+            {"name": "custkey_resolves", "type": "referential",
+             "col": "o_custkey", "dim": "customer",
+             "dim_col": "c_custkey", "threshold": 1.0},
+            {"name": "price_positive", "type": "compliance",
+             "pred": "o_totalprice > 0", "threshold": 1.0},
+        ],
+        dims={"customer": t["customer"]},
+    )
+    for r in report.collect():
+        print(f"contract {r.rule}: metric={r.metric} passed={bool(r.passed)}")
+
+    # 2. what changed between yesterday's and today's snapshot?
+    old = spark.sql("SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 <> 0")
+    new = spark.sql(
+        "SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 "
+        "ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 13 <> 0"
+    )
+    diff = snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+    print("CDC:", {r.change: r.n for r in diff.groupBy("change").count()
+                   .withColumnRenamed("count", "n").collect()})
+
+    # 3. apply the delta as a MERGE upsert on a parquet table
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "orders_tbl")
+        old.write.parquet(path)
+        updates = new.join(
+            diff.filter("change IN ('inserted', 'changed')"), "o_orderkey", "left_semi"
+        )
+        merge_upsert(spark, path, updates, ["o_orderkey"])
+        print("post-merge rows:", spark.read.parquet(path).count())
+
+    # 4. SCD2 history from the event log
+    hist = scd2_from_log(
+        spark.sql("SELECT user_id, ts, event_type FROM events WHERE event_id % 4 = 0"),
+        ["user_id"], "ts", ["event_type"],
+    )
+    print("SCD2 rows:", hist.count(), "current:",
+          hist.filter("is_current = 1").count())
+
+
+if __name__ == "__main__":
+    main()
