@@ -58,6 +58,12 @@ __all__ = [
     "merge_upsert",
     "scd2_from_log",
     "register_sql_functions",
+    "line_dedup",
+    "line_frequencies",
+    "repeat_upsample",
+    "shuffle_order",
+    "url_normalize",
+    "registered_domain",
 ]
 
 
@@ -156,4 +162,20 @@ def __getattr__(name):
         from dar_spark.sqlfunc import register_sql_functions
 
         return register_sql_functions
+    if name in ("line_dedup", "line_frequencies"):
+        from dar_spark.operators import lines as _ln
+
+        return getattr(_ln, name)
+    if name == "repeat_upsample":
+        from dar_spark.operators.sampling import repeat_upsample
+
+        return repeat_upsample
+    if name == "shuffle_order":
+        from dar_spark.operators.pack import shuffle_order
+
+        return shuffle_order
+    if name in ("url_normalize", "registered_domain"):
+        from dar_spark.functions import url as _u
+
+        return getattr(_u, name)
     raise AttributeError(f"module 'dar_spark' has no attribute {name!r}")

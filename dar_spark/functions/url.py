@@ -1,0 +1,73 @@
+"""URL canonicalization and registered-domain extraction.
+
+Web-scale training corpora (Common Crawl derivatives: C4, RefinedWeb,
+FineWeb) dedup and filter at TWO url granularities before any content
+hashing: exact-URL dedup over a *canonical* form (scheme, ``www.``,
+query strings, fragments, and trailing slashes stripped — the same page
+is crawled under dozens of spellings), and domain-level curation
+(per-registered-domain document counts drive blocklists and spam caps;
+RefinedWeb §3.1, C4's badlist filtering).
+
+Both are pure string expressions here — dialect-shared builders in the
+validator style (`functions/validators.py`), so the Spark plan stays
+inside whole-stage codegen and the DuckDB oracle evaluates the *same*
+logical expression.  No UDFs, no `urllib` on the hot path.
+
+Canonicalization contract (documented, deliberately minimal — the
+C4-style recipe, not a full RFC 3986 resolver):
+
+1. trim surrounding whitespace;
+2. strip the scheme (``http://`` / ``https://``, case-insensitive);
+3. strip the fragment (``#...``) then the query string (``?...``);
+4. lowercase the AUTHORITY only (paths stay case-sensitive —
+   ``/About`` and ``/about`` are different pages on real servers);
+5. strip one leading ``www.``;
+6. strip trailing slashes from the path.
+
+Non-default ports are preserved (":8080" distinguishes real origins);
+userinfo is out of scope for crawl data.  The registered domain is the
+last two dot-labels of the host — the public-suffix-list refinement
+(``co.uk``) is a data-file upgrade, not a structural change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from dar_spark.dialect import SPARK, Dialect
+
+# case-insensitive scheme matcher, backslash-free (dialect portability
+# rule: no escapes inside single-quoted regex literals)
+_SCHEME = "^[hH][tT][tT][pP][sS]?://"
+
+
+def url_normalize_sql(d: Dialect, x: str) -> str:
+    """Canonical URL per the module contract, as one nested expression."""
+    t = d.re_replace(f"trim({x})", _SCHEME, "")
+    t = d.re_replace(t, "#.*$", "")
+    t = d.re_replace(t, "[?].*$", "")
+    # authority = up to the first '/', lowercased, www-stripped; the path
+    # keeps its case and loses trailing slashes
+    host = f"split_part({t}, '/', 1)"
+    path = f"substr({t}, length({host}) + 1)"
+    norm_host = d.re_replace(f"lower({host})", "^www[.]", "")
+    norm_path = d.re_replace(path, "/+$", "")
+    return f"({norm_host} || {norm_path})"
+
+
+def registered_domain_sql(d: Dialect, x: str) -> str:
+    """Last two dot-labels of the canonical host (port excluded):
+    ``blog.example.com:8080/p`` → ``example.com``.  Hosts with a single
+    label (``localhost``) pass through unchanged."""
+    host = f"split_part(split_part({url_normalize_sql(d, x)}, '/', 1), ':', 1)"
+    two = f"regexp_extract({host}, '([^.]+[.][^.]+)$', 1)"
+    return f"(CASE WHEN {two} = '' THEN {host} ELSE {two} END)"
+
+
+def url_normalize(col: str) -> Column:
+    return F.expr(url_normalize_sql(SPARK, col))
+
+
+def registered_domain(col: str) -> Column:
+    return F.expr(registered_domain_sql(SPARK, col))

@@ -1,0 +1,124 @@
+"""Line-level boilerplate removal (CCNet-style cross-corpus line dedup).
+
+CCNet (Wenzek et al. 2020, arXiv:1911.00359 §3.1) removes web
+boilerplate — cookie banners, navigation menus, share buttons — by
+hashing every LINE of every document and dropping lines whose hash
+repeats across the corpus.  This is distinct from both document-level
+dedup (``dedup.exact_dup_groups``) and window-level substring dedup
+(``dedup.chunk_dedup``): the unit is the line, the criterion is
+cross-document FREQUENCY (how many distinct docs contain this exact
+line), and surviving lines are reassembled in their original order.
+
+Scale shape (the 100 TB argument):
+
+1. one narrow ``posexplode`` per document (no shuffle);
+2. one groupBy on ``md5(line)`` — hash-uniform keys, no skew even when
+   one cookie banner dominates the corpus, because the KEY is the hash;
+3. the boilerplate set (lines in > ``max_docs`` distinct docs) is SMALL
+   by construction — frequent lines collapse to few distinct keys — so
+   the removal join is a **broadcast LEFT ANTI**, not a big-big shuffle.
+   ``broadcast_threshold`` guards the assumption: if the boilerplate
+   key count exceeds it the operator falls back to a shuffle anti-join
+   on the same uniform hash key (still skew-free) instead of OOMing
+   the driver;
+4. one groupBy(id) to reassemble — shuffle on the doc key, same width
+   as the input.
+
+Reference scope note: the reference engine (dar) has no line-dedup
+operator; this is part of the LLM-training-data extension family the
+build brief asks for alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+    line_sep: str = "\n",
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Drop every line that occurs in more than ``max_docs`` DISTINCT
+    documents; reassemble each document from its surviving lines in
+    original order.  Documents whose every line was boilerplate vanish
+    (true-removal semantics, matching ``chunk_dedup``).
+
+    Line identity is ``md5(trim(line))`` — leading/trailing whitespace
+    does not defeat the match, interior spacing does (CCNet hashes raw
+    lines; the trim is the one normalization real pipelines always add).
+    Empty lines are ignored for counting and never re-emitted.
+
+    Output: (id, text_clean, n_lines, n_kept), one row per surviving
+    document.
+    """
+    # the per-doc non-empty line count is a closed-form expression over
+    # the source text — computed BEFORE the explode and carried on every
+    # line row, so reassembly needs no second per-doc aggregation/join
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.size(
+                F.filter(
+                    F.split(F.col(text_col), line_sep),
+                    lambda x: F.trim(x) != F.lit(""),
+                )
+            ).cast("bigint").alias("n_lines"),
+            F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+                "line_no", "line"
+            ),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+        .withColumn("_k", F.md5("line"))
+    )
+
+    counts = lines.groupBy("_k").agg(
+        F.countDistinct(id_col).alias("_n_docs")
+    )
+    boiler = counts.filter(F.col("_n_docs") > max_docs).select("_k")
+
+    n_boiler = boiler.limit(broadcast_threshold + 1).count()
+    if n_boiler <= broadcast_threshold:
+        kept = lines.join(F.broadcast(boiler), "_k", "left_anti")
+    else:
+        kept = lines.join(boiler, "_k", "left_anti")
+
+    return kept.groupBy(id_col).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(line_no, line))), s -> s.line), '\\n')"
+        ).alias("text_clean"),
+        F.max("n_lines").alias("n_lines"),
+        F.count("*").alias("n_kept"),
+    ).select(id_col, "text_clean", "n_lines", "n_kept")
+
+
+def line_frequencies(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Per-line corpus frequency table: (line, n_docs, n_total) — the
+    diagnostic view behind :func:`line_dedup`'s threshold choice.  Same
+    explode + hash-uniform groupBy; emits the line text via ``min``
+    (all rows in a hash group share it)."""
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), line_sep)).alias("line"),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+        .withColumn("_k", F.md5("line"))
+    )
+    return lines.groupBy("_k").agg(
+        F.min("line").alias("line"),
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count("*").alias("n_total"),
+    ).select("line", "n_docs", "n_total")

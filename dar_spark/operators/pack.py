@@ -109,3 +109,64 @@ def token_budget_sample(
         cum.filter(f"_cum - n_tokens < {budget}")
         .drop("_cum")
     )
+
+
+def shuffle_order(
+    df: DataFrame,
+    key: str,
+    out_col: str = "shuffle_pos",
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    contiguous 0-based position equal to the rank of ``md5(key)`` over
+    the whole dataset — a reproducible permutation (same corpus → same
+    order, on any engine, any layout), which is what makes training
+    runs replayable and resumable; ``df.orderBy(rand())`` is neither.
+
+    Scale shape — the naive formulation is ``row_number() OVER (ORDER BY
+    md5(key))``: a GLOBAL window, which Spark executes as a single-task
+    sort at any size.  This operator instead ranks in two phases:
+
+    1. bucket by the leading ``prefix_chars`` hex chars of the hash
+       (16^prefix_chars buckets) — an ORDER-PRESERVING prefix of the
+       global sort key, unlike a mod bucket;
+    2. count rows per bucket (one tiny aggregate, ≤ 16^prefix_chars
+       rows to the driver), prefix-sum the counts into bucket offsets,
+       broadcast them back, and rank WITHIN each bucket by the full
+       hash (a partitioned window — all buckets rank in parallel).
+
+    Global position = bucket offset + within-bucket rank.  Ties are
+    impossible in practice (md5 collision) but the within-bucket order
+    still appends ``key`` so the permutation is total by construction.
+
+    The driver sees only the bucket-count vector; grow ``prefix_chars``
+    to 3 (4096 buckets) beyond ~10k-task clusters.
+
+    Output: input columns + ``out_col``.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(key).cast("string"))
+    d2 = df.withColumn("_h", h).withColumn(
+        "_bkt", F.conv(F.substring("_h", 1, prefix_chars), 16, 10).cast("int")
+    )
+    counts = sorted(
+        (r["_bkt"], r["n"])
+        for r in d2.groupBy("_bkt").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for bkt, n in counts:
+        offsets.append((bkt, acc))
+        acc += n
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_bkt int, _off bigint"
+    )
+    w = Window.partitionBy("_bkt").orderBy("_h", key)
+    return (
+        d2.join(F.broadcast(off_df), "_bkt")
+        .withColumn(
+            out_col,
+            (F.col("_off") + F.row_number().over(w) - F.lit(1)).cast("bigint"),
+        )
+        .drop("_h", "_bkt", "_off")
+    )

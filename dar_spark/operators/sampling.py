@@ -139,3 +139,84 @@ def stratified_sample_sql(
         f"({b} < (CASE {branches} "
         f"ELSE {int(round(default_fraction * n_buckets))} END))"
     )
+
+
+def repeat_upsample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Per-group mixture weighting with FRACTIONAL REPEAT FACTORS — the
+    upsampling half of corpus mixing that :func:`stratified_sample`
+    (weights ≤ 1) cannot express.  A group with weight 2.5 emits every
+    row twice and a deterministic 50% of rows a third time; weight 0.4
+    emits 40% of rows once (so the operator subsumes downsampling).
+    This is the "epochs per source" dial of LLM data recipes (e.g.
+    Llama-style Wikipedia ~2.4 epochs, The Pile's per-subset epochs).
+
+    Replication is ``floor(w)`` copies plus one extra copy when the
+    row's hash bucket falls below ``frac(w)·n_buckets`` — membership of
+    the extra copy is a pure function of the row key, so the realized
+    mixture is stable across runs, layouts, and appends, and appending
+    new rows never flips existing rows' copy counts.
+
+    Output: input columns + ``copy_n`` (1-based copy ordinal), one row
+    per copy.  ``(key, copy_n)`` is the stable unique key downstream
+    shuffling/packing should use.
+
+    Scale: ``n_copies`` is a pure projection, the explode is narrow
+    (no shuffle at all), and output size is exactly Σ w_g·|g| — the
+    operator adds zero exchanges to whatever consumes it.
+    """
+    w_expr = F.lit(float(default_weight))
+    for g, w in sorted(weights.items()):
+        w_expr = F.when(F.col(group_col) == g, F.lit(float(w))).otherwise(w_expr)
+    b = hash_bucket(key, n_buckets)
+    n_copies = (
+        F.floor(w_expr).cast("int")
+        + (b < F.round((w_expr - F.floor(w_expr)) * n_buckets).cast("bigint"))
+        .cast("int")
+    )
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn("copy_n", F.explode(F.expr("sequence(1, _n_copies)")))
+        .withColumn("copy_n", F.col("copy_n").cast("bigint"))
+        .drop("_n_copies")
+    )
+
+
+def repeat_upsample_sql(
+    d: Dialect,
+    table_sql: str,
+    key: str,
+    group_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """Oracle twin of :func:`repeat_upsample`: SELECT *, copy_n FROM
+    (table_sql) replicated per the same hash rule (DuckDB lateral
+    generate_series)."""
+    branches = " ".join(
+        f"WHEN {group_col} = '{g}' THEN CAST({float(w)} AS DOUBLE)"
+        for g, w in sorted(weights.items())
+    )
+    w = f"(CASE {branches} ELSE CAST({float(default_weight)} AS DOUBLE) END)"
+    b = hash_bucket_sql(d, key, n_buckets)
+    n = (
+        f"(CAST(floor({w}) AS INT) + CAST(({b} < CAST(round(({w} - floor({w})) "
+        f"* {n_buckets}, 0) AS BIGINT)) AS INT))"
+    )
+    return (
+        # DuckDB's generate_series table function rejects lateral column
+        # arguments; unnest(range(...)) in the SELECT list is the
+        # supported spelling (rows with an empty range vanish, which is
+        # exactly the weight-0 drop semantics)
+        f"SELECT * EXCLUDE (_nc, copy_n), CAST(copy_n AS BIGINT) AS copy_n "
+        f"FROM (SELECT t.*, unnest(range(1, t._nc + 1)) AS copy_n "
+        f"      FROM (SELECT *, {n} AS _nc FROM ({table_sql})) t)"
+    )

@@ -2564,6 +2564,12 @@ def _round5_queries() -> list[tuple[str, Q]]:
     """Queries added in round 5 — first in the registry so they land inside
     the external verification window (section 0 of build_registry)."""
     return [
+        ("line_dedup_docs", _line_dedup_q()),
+        ("mixture_upsample_docs", _mixture_upsample_q()),
+        ("domain_stats", _domain_stats_q()),
+        ("orders_orc_roundtrip", _orders_orc_q()),
+        ("docs_jsonl_roundtrip", _docs_jsonl_q()),
+        ("shuffle_order_docs", _shuffle_order_q()),
         ("embed_dup_pairs_banded", _embed_dup_pairs_banded_q()),
         ("dedup_index_append", _dedup_incremental_q(indexed=True, appended=True)),
         ("pipeline_e2e", _pipeline_e2e_q()),
@@ -3542,4 +3548,268 @@ SELECT doc_id, avg_nll,
   CASE WHEN avg_nll <= _t1 THEN 'head'
        WHEN avg_nll <= _t2 THEN 'middle' ELSE 'tail' END AS tier
 FROM scored CROSS JOIN thr"""
+    return Q(spark_fn, oracle)
+
+
+# ---------------------------------------------------------------------------
+# round-5 third wave: line dedup, mixture upsampling, URL curation,
+# ORC/JSONL round-trips, deterministic shuffle order
+# ---------------------------------------------------------------------------
+
+LD_LINE_TOKENS = 8   # synthetic line width (tokens) for the line-dedup query
+LD_MAX_DOCS = 30     # boilerplate threshold: > this many distinct docs
+
+
+def _lined_corpus_sql(d: Dialect) -> str:
+    """Shared line synthesis: the fixture text is a single-line token
+    stream, so both engines deterministically cut it into 8-token lines
+    and inject the SAME boilerplate banner as the first and last line of
+    every document — the cookie-banner fixture line_dedup must remove.
+    Emitted from one builder so the Spark input and the oracle input are
+    the same logical text."""
+    banner = "'subscribe to our newsletter for daily updates now'"
+    if d.name == "duckdb":
+        t = "string_split(text, ' ')"
+        body = (
+            f"array_to_string(list_transform("
+            f"range(0, CAST(ceil(len({t}) / {LD_LINE_TOKENS}.0) AS INT)), "
+            f"g -> array_to_string({t}[g * {LD_LINE_TOKENS} + 1 : "
+            f"g * {LD_LINE_TOKENS} + {LD_LINE_TOKENS}], ' ')), chr(10))"
+        )
+    else:
+        t = "split(text, ' ')"
+        body = (
+            f"array_join(transform("
+            f"sequence(0, CAST(ceil(size({t}) / {LD_LINE_TOKENS}.0) AS INT) - 1), "
+            f"g -> array_join(slice({t}, g * {LD_LINE_TOKENS} + 1, "
+            f"{LD_LINE_TOKENS}), ' ')), chr(10))"
+        )
+    return f"({banner} || chr(10) || {body} || chr(10) || {banner})"
+
+
+def _line_dedup_q() -> Q:
+    """CCNet-style cross-corpus line dedup (operators/lines.py): every
+    doc gains an identical banner line top and bottom (present in all
+    ~N docs), body lines repeat only within a doc's ~3-copy dup group.
+    With max_docs=30 the banner is boilerplate and every body line
+    survives, so the operator must strip exactly the banners and
+    reassemble the body in order.  The oracle recomputes the whole
+    pipeline relationally (explode → frequency → anti-join →
+    string_agg ORDER BY line_no)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.lines import line_dedup
+
+        lined = _corpus_df(spark, sf_dir).select(
+            "doc_id", F.expr(_lined_corpus_sql(SPARK)).alias("text")
+        )
+        return line_dedup(
+            lined, "doc_id", "text", max_docs=LD_MAX_DOCS
+        )
+
+    oracle = f"""WITH corpus AS ({CORPUS_CTE}),
+lined AS (SELECT doc_id, {_lined_corpus_sql(DUCKDB)} AS text FROM corpus),
+rawlines AS (
+  -- parallel unnests of equal length zip in DuckDB: ordinal + line
+  SELECT doc_id,
+         unnest(range(0, len(l))) AS line_no,
+         trim(unnest(l)) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM lined)
+), lines AS (
+  SELECT * FROM rawlines WHERE line <> ''
+), boiler AS (
+  SELECT md5(line) AS k FROM lines
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > {LD_MAX_DOCS}
+), nl AS (
+  SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY 1
+), kept AS (
+  SELECT * FROM lines WHERE md5(line) NOT IN (SELECT k FROM boiler)
+)
+SELECT kept.doc_id,
+       string_agg(kept.line, chr(10) ORDER BY kept.line_no) AS text_clean,
+       MAX(nl.n_lines) AS n_lines,
+       COUNT(*) AS n_kept
+FROM kept JOIN nl ON nl.doc_id = kept.doc_id
+GROUP BY kept.doc_id"""
+    return Q(spark_fn, oracle, headline=True)
+
+
+MIX_WEIGHTS = {"src0": 2.5, "src1": 0.4, "src2": 3.0, "src3": 0.0}
+
+
+def _mixture_upsample_q() -> Q:
+    """Fractional repeat-factor mixture weighting
+    (operators/sampling.repeat_upsample): src0 ~2.5 epochs, src1
+    downsampled to 40%, src2 exactly 3 epochs, src3 dropped, the rest
+    1 epoch.  The oracle replays the identical hash rule with a DuckDB
+    lateral generate_series, so copy counts — including the
+    hash-gated fractional copies — are value-checked row by row."""
+    from dar_spark.operators.sampling import repeat_upsample, repeat_upsample_sql
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        docs = parallelize(t["documents"]).select("doc_id", "source", "n_chars")
+        return repeat_upsample(
+            docs, "doc_id", "source", MIX_WEIGHTS
+        )
+
+    oracle = repeat_upsample_sql(
+        DUCKDB,
+        "SELECT doc_id, source, n_chars FROM documents",
+        "doc_id", "source", MIX_WEIGHTS,
+    )
+    return Q(spark_fn, oracle)
+
+
+DOMAIN_SPAM_DOCS = 300  # registered domains above this doc count are flagged
+
+
+def _domain_stats_q() -> Q:
+    """URL canonicalization + registered-domain curation
+    (functions/url.py): dirty crawl URLs (scheme/case/www/query/
+    fragment/trailing-slash variants) are canonicalized and aggregated
+    per registered domain — doc counts, DISTINCT canonical URLs (the
+    url-level dedup signal: variant spellings must collapse), and a
+    spam flag.  Both engines evaluate the same dialect-built string
+    expressions; a normalization divergence shifts n_urls and fails
+    the hash."""
+    from dar_spark.functions.url import registered_domain_sql, url_normalize_sql
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        urls = parallelize(t["orders"]).selectExpr(
+            f"{testgen.dirty_url(K_ORDERS)} AS url"
+        )
+        return urls.selectExpr(
+            f"{url_normalize_sql(SPARK, 'url')} AS norm_url",
+            f"{registered_domain_sql(SPARK, 'url')} AS domain",
+        ).groupBy("domain").agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("norm_url").alias("n_urls"),
+        ).withColumn("is_spam", F.col("n_docs") > DOMAIN_SPAM_DOCS)
+
+    oracle = f"""WITH urls AS (
+  SELECT {testgen.dirty_url(K_ORDERS)} AS url FROM orders
+), norm AS (
+  SELECT {url_normalize_sql(DUCKDB, 'url')} AS norm_url,
+         {registered_domain_sql(DUCKDB, 'url')} AS domain
+  FROM urls
+)
+SELECT domain, COUNT(*) AS n_docs,
+       COUNT(DISTINCT norm_url) AS n_urls,
+       (COUNT(*) > {DOMAIN_SPAM_DOCS}) AS is_spam
+FROM norm GROUP BY domain"""
+    return Q(spark_fn, oracle)
+
+
+def _orders_orc_q() -> Q:
+    """ORC round-trip (sources read_orc/write_orc): the orders
+    projection is written to ORC, read back through the vectorized ORC
+    scan, and aggregated per priority; the oracle aggregates the
+    parquet view directly, so ORC type fidelity (BIGINT/DOUBLE/
+    TIMESTAMP/VARCHAR) is itself under the value hash — the same
+    round-trip-oracle pattern as phone_profile_csv (CSV) and
+    events_jsonl_roundtrip (JSONL)."""
+    import hashlib
+    import os
+
+    cache_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".orccache"
+    )
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.sources.readers import read_orc
+        from dar_spark.sources.writers import write_orc
+
+        t = load_tables(spark, sf_dir)
+        src = parallelize(t["orders"]).select(
+            "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+        )
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(cache_root, f"orders-{tag}")
+        write_orc(src, path)
+        back = read_orc(spark, path)
+        return back.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("total_price"),
+            F.expr("CAST(MIN(o_orderdate) AS DATE)").alias("first_date"),
+            F.expr("CAST(MAX(o_orderdate) AS DATE)").alias("last_date"),
+        )
+
+    oracle = """SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+  CAST(MIN(o_orderdate) AS DATE) AS first_date,
+  CAST(MAX(o_orderdate) AS DATE) AS last_date
+FROM orders GROUP BY o_orderpriority"""
+    return Q(spark_fn, oracle)
+
+
+def _docs_jsonl_q() -> Q:
+    """JSONL round-trip (sources read_jsonl/write_jsonl): the documents
+    table — with NULLs injected into ``lang`` to exercise the
+    omitted-field path — is written as JSON-Lines, read back with an
+    EXPLICIT schema (the at-scale contract: no inference pass), and
+    aggregated per (lang, source).  The oracle aggregates parquet with
+    the same NULL injection, so JSON string escaping, NULL omission,
+    and numeric typing all sit under the value hash."""
+    import hashlib
+    import os
+
+    cache_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jsonlcache"
+    )
+    lang_case = "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END"
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.sources.readers import read_jsonl
+        from dar_spark.sources.writers import write_jsonl
+
+        t = load_tables(spark, sf_dir)
+        src = parallelize(t["documents"]).selectExpr(
+            "doc_id", "text", f"{lang_case} AS lang", "source", "n_chars"
+        )
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(cache_root, f"docs-{tag}")
+        write_jsonl(src, path)
+        back = read_jsonl(
+            spark, path,
+            schema="doc_id BIGINT, text STRING, lang STRING, "
+                   "source STRING, n_chars BIGINT",
+        )
+        return back.groupBy("lang", "source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("CAST(SUM(length(text)) AS BIGINT)").alias("total_text_chars"),
+        )
+
+    oracle = f"""SELECT {lang_case} AS lang, source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(length(text)) AS BIGINT) AS total_text_chars
+FROM documents GROUP BY 1, 2"""
+    return Q(spark_fn, oracle)
+
+
+def _shuffle_order_q() -> Q:
+    """Deterministic global shuffle (operators/pack.shuffle_order): the
+    contiguous md5-rank permutation computed by the two-phase
+    bucket-offset plan (order-preserving hash-prefix buckets +
+    parallel within-bucket windows) must equal the oracle's single
+    global ROW_NUMBER — i.e. the distributed ranking is EXACTLY the
+    naive global sort's answer, which is the whole point."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.pack import shuffle_order
+
+        t = load_tables(spark, sf_dir)
+        docs = parallelize(t["documents"]).select("doc_id")
+        return shuffle_order(docs, "doc_id")
+
+    oracle = """SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+       AS BIGINT) AS shuffle_pos
+FROM documents"""
     return Q(spark_fn, oracle)

@@ -69,3 +69,24 @@ def read_json(
     if schema:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSON-Lines reader with an EXPLICIT schema by default contract:
+    schema inference is a full extra pass over the data (prohibitive at
+    corpus scale) and types drift per-file without one.  Alias of
+    :func:`read_json` — Spark's json source is line-delimited unless
+    ``multiLine`` is set — named for the interchange format LLM corpus
+    tooling actually speaks."""
+    return read_json(spark, path, schema=schema)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the columnar format of the Hive/Hadoop estate many
+    production corpora still live in.  Spark's native vectorized ORC
+    reader supports the same predicate pushdown and column pruning as
+    parquet (PushedFilters shows in `.explain`), so queries over ORC
+    inputs keep the parquet plan shape."""
+    return spark.read.orc(path)

@@ -113,3 +113,18 @@ def write_profile_parquet(results: DataFrame, path: str) -> None:
         .partitionBy("column_name", "validator")
         .parquet(path)
     )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-Lines sink (one object per line, gzip-friendly, the lingua
+    franca of LLM-corpus interchange).  NULL fields are omitted per
+    line — the reader contract (`readers.read_jsonl` with an explicit
+    schema) restores them as typed NULLs, which the jsonl round-trip
+    oracle query verifies under the value hash."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink with snappy compression — pairs with `readers.read_orc`;
+    the round-trip is oracle-verified (orders_orc_roundtrip)."""
+    df.write.mode("overwrite").option("compression", "snappy").orc(path)

@@ -151,3 +151,22 @@ def zips_ref_duckdb_cte() -> str:
         f"SELECT printf('%05d', 10000 + i * 3) AS zip_code "
         f"FROM range({ZIPS_REF_N}) t(i)"
     )
+
+
+def dirty_url(k: str) -> str:
+    """Web-crawl URL mix: scheme/case/www/query/fragment/trailing-slash
+    variants that all canonicalize onto a small set of normalized URLs
+    (the dedup signal), plus distinct long-tail pages.  Engine-portable
+    (printf + || only), same contract as the other dirty_* generators."""
+    return f"""CASE ({k}) % 10
+  WHEN 0 THEN 'http://Example.com/a/' || printf('%d', ({k}) % 50)
+  WHEN 1 THEN 'https://www.example.com/a/' || printf('%d', ({k}) % 50)
+  WHEN 2 THEN 'HTTPS://EXAMPLE.COM/a/' || printf('%d', ({k}) % 50) || '/'
+  WHEN 3 THEN 'https://example.com/a/' || printf('%d', ({k}) % 50) || '?utm_source=feed'
+  WHEN 4 THEN 'https://news-site.org/article#section-' || printf('%d', ({k}) % 7)
+  WHEN 5 THEN 'http://www.news-site.org/article'
+  WHEN 6 THEN 'https://blog.example.com/post/' || printf('%d', ({k}) % 1000)
+  WHEN 7 THEN 'http://spam.biz/page?id=' || printf('%d', ({k}) % 100000)
+  WHEN 8 THEN 'https://archive.example.com:8080/item/' || printf('%d', ({k}) % 200)
+  ELSE ' https://docs.rare-host.net/v' || printf('%d', ({k}) % 3) || '/guide '
+END"""

@@ -1,0 +1,172 @@
+"""Line-level boilerplate removal, mixture upsampling, URL curation, and
+deterministic shuffle order — wave-3 operator invariants (the oracle
+queries check end-to-end values; these pin semantics the oracles can't
+see, like stability under repartitioning and append-monotonicity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dar_spark.operators.lines import line_dedup, line_frequencies
+from dar_spark.operators.pack import shuffle_order
+from dar_spark.operators.sampling import repeat_upsample
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def _toy_docs(spark):
+    banner = "subscribe now"
+    rows = [
+        (1, f"{banner}\nalpha beta\ngamma delta\n{banner}"),
+        (2, f"{banner}\nalpha beta\nepsilon zeta\n{banner}"),
+        (3, f"{banner}\nunique line here\n{banner}"),
+        (4, f"{banner}\n{banner}"),  # nothing but boilerplate
+        (5, "  alpha beta  \nsolo"),  # trim: matches docs 1-2's line
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_strips_boilerplate_keeps_order(spark):
+    out = {
+        r.doc_id: r
+        for r in line_dedup(_toy_docs(spark), max_docs=2).collect()
+    }
+    # banner is in 4 docs (> 2) -> dropped; "alpha beta" is in 3 docs
+    # (1, 2, 5 after trim) -> also dropped at max_docs=2
+    assert out[1].text_clean == "gamma delta"
+    assert out[2].text_clean == "epsilon zeta"
+    assert out[3].text_clean == "unique line here"
+    assert 4 not in out  # all-boilerplate doc vanishes entirely
+    assert out[5].text_clean == "solo"
+    assert out[1].n_lines == 4 and out[1].n_kept == 1
+    assert out[5].n_lines == 2 and out[5].n_kept == 1
+
+
+def test_line_dedup_threshold_dial(spark):
+    # max_docs=4: only the banner (4 distinct docs... actually 4) stays,
+    # threshold is strict '>', so banner survives at 4
+    out = {
+        r.doc_id: r
+        for r in line_dedup(_toy_docs(spark), max_docs=4).collect()
+    }
+    assert out[4].text_clean == "subscribe now\nsubscribe now"
+    assert out[4].n_kept == 2
+
+
+def test_line_dedup_stable_under_repartition(spark):
+    docs = _toy_docs(spark)
+    a = sorted(map(tuple, line_dedup(docs, max_docs=2).collect()))
+    b = sorted(map(tuple, line_dedup(docs.repartition(7), max_docs=2).collect()))
+    assert a == b
+
+
+def test_line_frequencies_counts_docs_not_occurrences(spark):
+    freq = {
+        r.line: (r.n_docs, r.n_total)
+        for r in line_frequencies(_toy_docs(spark)).collect()
+    }
+    # banner appears twice in each of docs 1-4: 4 docs, 8 occurrences
+    assert freq["subscribe now"] == (4, 8)
+    assert freq["alpha beta"] == (3, 3)
+
+
+def test_repeat_upsample_counts(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "source")
+    weights = {"src0": 2.5, "src1": 0.4, "src2": 3.0, "src3": 0.0}
+    out = repeat_upsample(docs, "doc_id", "source", weights)
+    per_doc = (
+        out.groupBy("doc_id", "source").agg(F.max("copy_n").alias("n"))
+        .collect()
+    )
+    base = {r.doc_id: r.source for r in docs.collect()}
+    seen_sources = set()
+    for r in per_doc:
+        seen_sources.add(r.source)
+        w = weights.get(r.source, 1.0)
+        import math
+
+        lo, hi = math.floor(w), math.ceil(w)
+        assert lo <= r.n <= max(hi, 1), (r.source, r.n)
+        # copy_n is contiguous 1..n
+    assert "src3" not in seen_sources  # weight 0 drops the source
+    # weight-1 sources emit exactly one copy per doc
+    n_src4 = sum(1 for d, s in base.items() if s == "src4")
+    n_out_src4 = sum(1 for r in per_doc if r.source == "src4")
+    assert n_out_src4 == n_src4
+    # src2 weight 3.0: every doc exactly 3 copies
+    assert all(r.n == 3 for r in per_doc if r.source == "src2")
+    # src0 weight 2.5: realized mean in [2, 3], strictly between for a
+    # non-trivial corpus
+    src0 = [r.n for r in per_doc if r.source == "src0"]
+    assert src0 and 2.0 < sum(src0) / len(src0) < 3.0
+
+
+def test_repeat_upsample_append_stability(spark):
+    """Appending new rows never flips existing rows' copy counts."""
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "source")
+    half = docs.filter("doc_id % 2 = 0")
+    w = {"src0": 1.5}
+    full = {
+        (r.doc_id, r.copy_n)
+        for r in repeat_upsample(docs, "doc_id", "source", w).collect()
+    }
+    part = {
+        (r.doc_id, r.copy_n)
+        for r in repeat_upsample(half, "doc_id", "source", w).collect()
+    }
+    assert part <= full
+    assert part == {(d, c) for d, c in full if d % 2 == 0}
+
+
+def test_shuffle_order_equals_global_rank(spark):
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id")
+    got = {r.doc_id: r.shuffle_pos for r in shuffle_order(docs, "doc_id").collect()}
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    want = {
+        r.doc_id: r.pos
+        for r in docs.withColumn(
+            "pos", (F.row_number().over(w) - 1).cast("bigint")
+        ).collect()
+    }
+    assert got == want
+    n = len(want)
+    assert sorted(got.values()) == list(range(n))  # contiguous permutation
+
+
+def test_shuffle_order_stable_under_repartition_and_prefix(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id")
+    a = {r.doc_id: r.shuffle_pos for r in shuffle_order(docs, "doc_id").collect()}
+    b = {
+        r.doc_id: r.shuffle_pos
+        for r in shuffle_order(docs.repartition(11), "doc_id", prefix_chars=1).collect()
+    }
+    assert a == b  # bucket granularity must not change the permutation
+
+
+def test_url_normalize_cases(spark):
+    from dar_spark.functions.url import registered_domain, url_normalize
+
+    cases = [
+        ("http://Example.com/a/1", "example.com/a/1", "example.com"),
+        ("https://www.example.com/a/1", "example.com/a/1", "example.com"),
+        ("HTTPS://EXAMPLE.COM/A/1/", "example.com/A/1", "example.com"),
+        ("https://example.com/a?x=1#f", "example.com/a", "example.com"),
+        ("https://b.example.com:8080/p", "b.example.com:8080/p", "example.com"),
+        (" https://host.net/x ", "host.net/x", "host.net"),
+        ("http://localhost/admin", "localhost/admin", "localhost"),
+        ("https://wwwx.com/q", "wwwx.com/q", "wwwx.com"),  # not 'www.'
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    by_url = {
+        r.url: r
+        for r in df.select(
+            "url",
+            url_normalize("url").alias("n"),
+            registered_domain("url").alias("d"),
+        ).collect()
+    }
+    for u, want_n, want_d in cases:
+        assert by_url[u].n == want_n, (u, by_url[u].n, want_n)
+        assert by_url[u].d == want_d, (u, by_url[u].d, want_d)
