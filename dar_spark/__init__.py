@@ -64,6 +64,7 @@ __all__ = [
     "shuffle_order",
     "url_normalize",
     "registered_domain",
+    "pr_curve",
 ]
 
 
@@ -178,4 +179,8 @@ def __getattr__(name):
         from dar_spark.functions import url as _u
 
         return getattr(_u, name)
+    if name == "pr_curve":
+        from dar_spark.operators.evalmetrics import pr_curve
+
+        return pr_curve
     raise AttributeError(f"module 'dar_spark' has no attribute {name!r}")

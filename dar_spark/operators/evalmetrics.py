@@ -1,0 +1,118 @@
+"""Classifier threshold evaluation: histogram-based precision/recall.
+
+Every quality-filter rollout ends at the same question: *where do I put
+the threshold?*  Given per-row (score, label) — a quality score and a
+ground-truth bit — the PR curve answers it: for each candidate
+threshold t, precision and recall of the rule ``score >= t``.
+
+The textbook formulation sorts all N rows by score and runs a global
+cumulative sum — a single-task window at any scale, the same trap as a
+global ROW_NUMBER.  The scale-correct shape (what every metrics
+library's "binned PR" mode does) is:
+
+1. quantize scores into ``n_bins`` fixed-width buckets and aggregate
+   ``(n_pos, n_neg)`` per bucket — ONE shuffle on a bounded key domain
+   (≤ n_bins groups, uniform by construction);
+2. cumulative-sum over the bucket table descending — a window over a
+   BOUNDED table (n_bins rows, not N), safe in one partition forever.
+
+Precision/recall are exact for thresholds ON bucket boundaries; between
+boundaries the curve is a step approximation whose resolution is the
+bin width — ``n_bins`` is the fidelity dial, and 10^4 bins costs the
+same one aggregate as 10^2.
+
+No reference analogue (dar has no classifier tooling) — part of the
+LLM-training-data extension family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 100,
+) -> DataFrame:
+    """Precision/recall at every populated score bucket.
+
+    ``score_col`` must lie in [0, 1] (clamped); ``label_col`` is any
+    expression castable to a 0/1 int.  Output, one row per POPULATED
+    bucket, descending-threshold semantics::
+
+        threshold   : bucket lower edge b/n_bins (DOUBLE, 6 dp)
+        n_ge        : rows with score >= threshold
+        tp          : true positives  (label=1, score >= threshold)
+        precision   : tp / n_ge          (6 dp)
+        recall      : tp / total positives (6 dp)
+
+    The driver never sees row-level data; the cumsum window runs over
+    ≤ n_bins rows.
+    """
+    b = F.least(
+        F.floor(
+            F.greatest(F.least(F.col(score_col), F.lit(1.0)), F.lit(0.0))
+            * n_bins
+        ).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    lab = F.col(label_col).cast("int")
+    buckets = (
+        df.select(b.alias("_b"), lab.alias("_y"))
+        .groupBy("_b")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("_y").alias("_pos"),
+        )
+    )
+    w = Window.orderBy(F.desc("_b")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total_pos = Window.partitionBy()
+    return (
+        buckets.withColumn("n_ge", F.sum("_n").over(w).cast("bigint"))
+        .withColumn("tp", F.sum("_pos").over(w).cast("bigint"))
+        .withColumn("_all_pos", F.sum("_pos").over(total_pos))
+        .select(
+            F.round(F.col("_b").cast("double") / n_bins, 6).alias("threshold"),
+            "n_ge",
+            "tp",
+            F.round(F.col("tp") / F.col("n_ge"), 6).alias("precision"),
+            F.round(F.col("tp") / F.col("_all_pos"), 6).alias("recall"),
+        )
+    )
+
+
+def pr_curve_oracle_sql(
+    source_sql: str, score: str, label: str, n_bins: int = 100
+) -> str:
+    """DuckDB twin of :func:`pr_curve` over ``source_sql`` (any SELECT
+    exposing the score and label expressions)."""
+    b = (
+        f"least(CAST(floor(greatest(least({score}, 1.0), 0.0) * {n_bins}) "
+        f"AS INT), {n_bins - 1})"
+    )
+    return f"""WITH src AS ({source_sql}),
+buckets AS (
+  SELECT {b} AS _b, COUNT(*) AS _n,
+         SUM(CAST({label} AS INT)) AS _pos
+  FROM src GROUP BY 1
+), cum AS (
+  SELECT _b,
+         SUM(_n)  OVER (ORDER BY _b DESC
+                        ROWS UNBOUNDED PRECEDING) AS n_ge,
+         SUM(_pos) OVER (ORDER BY _b DESC
+                        ROWS UNBOUNDED PRECEDING) AS tp,
+         SUM(_pos) OVER () AS _all_pos
+  FROM buckets
+)
+SELECT round(CAST(_b AS DOUBLE) / {n_bins}, 6) AS threshold,
+       CAST(n_ge AS BIGINT) AS n_ge,
+       CAST(tp AS BIGINT) AS tp,
+       round(CAST(tp AS DOUBLE) / n_ge, 6) AS precision,
+       round(CAST(tp AS DOUBLE) / _all_pos, 6) AS recall
+FROM cum"""

@@ -80,7 +80,10 @@ def line_dedup(
     counts = lines.groupBy("_k").agg(
         F.countDistinct(id_col).alias("_n_docs")
     )
-    boiler = counts.filter(F.col("_n_docs") > max_docs).select("_k")
+    # persist the (small) boilerplate key set: the size probe below and
+    # the anti-join both consume it, and without the cache each would
+    # re-run the full explode + groupBy lineage over the corpus
+    boiler = counts.filter(F.col("_n_docs") > max_docs).select("_k").persist()
 
     n_boiler = boiler.limit(broadcast_threshold + 1).count()
     if n_boiler <= broadcast_threshold:

@@ -2570,6 +2570,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("orders_orc_roundtrip", _orders_orc_q()),
         ("docs_jsonl_roundtrip", _docs_jsonl_q()),
         ("shuffle_order_docs", _shuffle_order_q()),
+        ("pr_curve_quality", _pr_curve_q()),
         ("embed_dup_pairs_banded", _embed_dup_pairs_banded_q()),
         ("dedup_index_append", _dedup_incremental_q(indexed=True, appended=True)),
         ("pipeline_e2e", _pipeline_e2e_q()),
@@ -3812,4 +3813,37 @@ def _shuffle_order_q() -> Q:
   CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
        AS BIGINT) AS shuffle_pos
 FROM documents"""
+    return Q(spark_fn, oracle)
+
+
+def _pr_curve_q() -> Q:
+    """Histogram-based precision/recall curve
+    (operators/evalmetrics.pr_curve): the quality score as a classifier
+    for lang='en', evaluated at 100 score buckets.  Both engines bucket
+    → per-bucket (n, positives) → descending cumsum, so the
+    bounded-window scale shape is itself what the hash verifies."""
+    from dar_spark.operators.evalmetrics import pr_curve, pr_curve_oracle_sql
+    from dar_spark.functions.text import quality_score
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        scored = parallelize(t["documents"]).select(
+            quality_score("text").alias("score"),
+            (F.col("lang") == "en").alias("label"),
+        )
+        return pr_curve(scored, "score", "label", n_bins=100)
+
+    d = DUCKDB
+    toks = d.split_lit("lower(text)", " ")
+    n_uniq = d.arr_len(d.arr_distinct(toks))
+    n_stop = d.arr_len(d.arr_filter(toks, "w -> w IN ('the', 'a')"))
+    q = (
+        f"round(0.4 * least(CAST({d.arr_len(toks)} AS DOUBLE) / 100.0, 1.0) "
+        f"+ 0.4 * (CAST({n_uniq} AS DOUBLE) / {d.arr_len(toks)}) "
+        f"+ 0.2 * (1.0 - CAST({n_stop} AS DOUBLE) / {d.arr_len(toks)}), 6)"
+    )
+    oracle = pr_curve_oracle_sql(
+        f"SELECT {q} AS score, (lang = 'en') AS label FROM documents",
+        "score", "label", n_bins=100,
+    )
     return Q(spark_fn, oracle)

@@ -1,0 +1,96 @@
+"""The data-mixing tail of a pre-training pipeline, end to end:
+
+    line-level boilerplate removal → per-source mixture weighting
+    (fractional repeat factors) → deterministic global shuffle →
+    threshold tuning with a PR curve
+
+This picks up where examples/dedup_pipeline.py stops (a deduped
+corpus) and produces the actual training order: boilerplate-free
+documents, each source repeated per its epoch weight, shuffled by a
+reproducible permutation.  Every step is hash-deterministic — rerunning
+the pipeline (or re-running it on a different cluster layout) yields
+byte-identical training order, which is what makes runs comparable and
+resumable.
+
+    python examples/mixture_recipe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import dar_spark
+from dar_spark.operators.evalmetrics import pr_curve
+from dar_spark.operators.lines import line_dedup, line_frequencies
+from dar_spark.operators.pack import shuffle_order
+from dar_spark.operators.sampling import repeat_upsample
+
+
+def main() -> None:
+    spark = dar_spark.get_session("example_mixture")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = dar_spark.load_tables(spark, "/root/testdata/sf0.001")["documents"]
+
+    # give every doc a boilerplate banner so line_dedup has work (the
+    # fixture is single-line); real corpora arrive with newlines
+    banner = "subscribe to our newsletter"
+    lined = docs.select(
+        "doc_id", "source",
+        F.concat(F.lit(banner + "\n"), "text").alias("text"),
+    )
+
+    # 0. diagnose: which lines repeat across the corpus?
+    top = line_frequencies(lined, "doc_id", "text").orderBy(F.desc("n_docs"))
+    print("most frequent lines (the boilerplate candidates):")
+    for r in top.limit(3).collect():
+        print(f"  {r.n_docs:5d} docs  {r.line[:60]!r}")
+
+    # 1. strip lines present in > 30 distinct docs
+    clean = line_dedup(lined, "doc_id", "text", max_docs=30)
+    print(f"\nafter line dedup: {clean.count()} docs, banner lines gone")
+
+    # 2. mixture weighting: epochs per source (weights > 1 replicate)
+    weights = {"src0": 2.5, "src1": 0.5, "src2": 3.0}
+    mixed = repeat_upsample(
+        clean.join(docs.select("doc_id", "source"), "doc_id"),
+        "doc_id", "source", weights,
+    )
+    print("\nrealized mixture (rows per source):")
+    for r in mixed.groupBy("source").count().orderBy("source").limit(5).collect():
+        print(f"  {r.source}: {r['count']}")
+
+    # 3. deterministic global shuffle -> the training order
+    # (key on doc_id * 10 + copy_n so copies land far apart)
+    ordered = shuffle_order(
+        mixed.withColumn("seq_id", F.expr("doc_id * 10 + copy_n")),
+        "seq_id",
+    )
+    print("\nfirst 5 training rows (stable across reruns):")
+    for r in ordered.orderBy("shuffle_pos").limit(5).collect():
+        print(f"  pos {r.shuffle_pos}: doc {r.doc_id} copy {r.copy_n}")
+
+    # 4. where should a quality threshold sit? PR curve against a
+    # ground-truth bit (here: lang == 'en' as the stand-in target)
+    from dar_spark.functions.text import quality_score
+
+    curve = pr_curve(
+        docs.select(
+            quality_score("text").alias("score"),
+            (F.col("lang") == "en").alias("label"),
+        ),
+        "score", "label", n_bins=20,
+    )
+    print("\nquality-score PR curve (threshold, precision, recall):")
+    for r in curve.orderBy(F.desc("threshold")).limit(5).collect():
+        print(f"  >= {r.threshold:0.2f}: P={r.precision:0.3f} R={r.recall:0.3f}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

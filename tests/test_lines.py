@@ -170,3 +170,31 @@ def test_url_normalize_cases(spark):
     for u, want_n, want_d in cases:
         assert by_url[u].n == want_n, (u, by_url[u].n, want_n)
         assert by_url[u].d == want_d, (u, by_url[u].d, want_d)
+
+
+def test_pr_curve_semantics(spark):
+    """Known fixture: recall is monotone non-decreasing as the threshold
+    drops, the bottom bucket's recall is 1.0 and its precision is the
+    base rate, and counts match hand computation."""
+    from dar_spark.operators.evalmetrics import pr_curve
+
+    rows = [
+        (0.95, 1), (0.9, 1), (0.85, 0), (0.6, 1), (0.55, 0),
+        (0.3, 0), (0.2, 1), (0.05, 0),
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = sorted(
+        pr_curve(df, "score", "label", n_bins=10).collect(),
+        key=lambda r: -r.threshold,
+    )
+    # thresholds: populated buckets only, descending
+    assert [r.threshold for r in out] == [0.9, 0.8, 0.6, 0.5, 0.3, 0.2, 0.0]
+    # at threshold 0.9: scores {0.95, 0.9} -> n_ge=2, tp=2
+    assert (out[0].n_ge, out[0].tp) == (2, 2)
+    assert out[0].precision == 1.0 and out[0].recall == 0.5
+    # recall monotone non-decreasing going down the thresholds
+    recalls = [r.recall for r in out]
+    assert recalls == sorted(recalls)
+    # bottom bucket covers everything: recall 1, precision = base rate
+    assert out[-1].n_ge == 8 and out[-1].tp == 4
+    assert out[-1].recall == 1.0 and out[-1].precision == 0.5
