@@ -65,6 +65,8 @@ __all__ = [
     "url_normalize",
     "registered_domain",
     "pr_curve",
+    "roc_auc",
+    "calibration_bins",
 ]
 
 
@@ -179,8 +181,8 @@ def __getattr__(name):
         from dar_spark.functions import url as _u
 
         return getattr(_u, name)
-    if name == "pr_curve":
-        from dar_spark.operators.evalmetrics import pr_curve
+    if name in ("pr_curve", "roc_auc", "calibration_bins"):
+        from dar_spark.operators import evalmetrics as _em
 
-        return pr_curve
+        return getattr(_em, name)
     raise AttributeError(f"module 'dar_spark' has no attribute {name!r}")

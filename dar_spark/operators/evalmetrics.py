@@ -116,3 +116,151 @@ SELECT round(CAST(_b AS DOUBLE) / {n_bins}, 6) AS threshold,
        round(CAST(tp AS DOUBLE) / n_ge, 6) AS precision,
        round(CAST(tp AS DOUBLE) / _all_pos, 6) AS recall
 FROM cum"""
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Area under the ROC curve, histogram-estimated: bucket the scores
+    (one bounded-key aggregate, same shape as :func:`pr_curve`), build
+    the (FPR, TPR) staircase by descending-threshold cumsums over the
+    ≤ n_bins bucket table, and integrate by trapezoid.  Ties within a
+    bucket contribute the trapezoid's average — exactly the standard
+    tie-corrected AUC when every distinct score lands in its own bucket,
+    and a ≤ 1/n_bins-resolution estimate otherwise.
+
+    Output: one row (auc DOUBLE 6 dp, n_pos, n_neg).
+    """
+    b = F.least(
+        F.floor(
+            F.greatest(F.least(F.col(score_col), F.lit(1.0)), F.lit(0.0))
+            * n_bins
+        ).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    lab = F.col(label_col).cast("int")
+    buckets = (
+        df.select(b.alias("_b"), lab.alias("_y"))
+        .groupBy("_b")
+        .agg(
+            F.sum("_y").alias("_pos"),
+            (F.count("*") - F.sum("_y")).alias("_neg"),
+        )
+    )
+    w = Window.orderBy(F.desc("_b")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    stair = (
+        buckets.withColumn("_cpos", F.sum("_pos").over(w))
+        .withColumn("_cneg", F.sum("_neg").over(w))
+        .withColumn("_tpos", F.sum("_pos").over(tot))
+        .withColumn("_tneg", F.sum("_neg").over(tot))
+    )
+    # per-bucket trapezoid: d(FPR) * (TPR_prev + TPR_cur)/2, in counts
+    # to stay exact: _neg * (prev_cpos + cpos) / 2, normalized at the end
+    w2 = Window.orderBy(F.desc("_b"))
+    contrib = (
+        F.col("_neg")
+        * (F.coalesce(F.lag("_cpos").over(w2), F.lit(0)) + F.col("_cpos"))
+        / F.lit(2.0)
+    )
+    return stair.withColumn("_a", contrib).groupBy().agg(
+        F.round(
+            F.sum("_a") / (F.max("_tpos") * F.max("_tneg")), 6
+        ).alias("auc"),
+        F.max("_tpos").cast("bigint").alias("n_pos"),
+        F.max("_tneg").cast("bigint").alias("n_neg"),
+    )
+
+
+def roc_auc_oracle_sql(
+    source_sql: str, score: str, label: str, n_bins: int = 1000
+) -> str:
+    """DuckDB twin of :func:`roc_auc`."""
+    b = (
+        f"least(CAST(floor(greatest(least({score}, 1.0), 0.0) * {n_bins}) "
+        f"AS INT), {n_bins - 1})"
+    )
+    return f"""WITH src AS ({source_sql}),
+buckets AS (
+  SELECT {b} AS _b,
+         SUM(CAST({label} AS INT)) AS _pos,
+         COUNT(*) - SUM(CAST({label} AS INT)) AS _neg
+  FROM src GROUP BY 1
+), stair AS (
+  SELECT _b, _pos, _neg,
+         SUM(_pos) OVER (ORDER BY _b DESC ROWS UNBOUNDED PRECEDING) AS _cpos,
+         SUM(_pos) OVER () AS _tpos,
+         SUM(_neg) OVER () AS _tneg
+  FROM buckets
+), contrib AS (
+  SELECT _tpos, _tneg,
+         _neg * (COALESCE(lag(_cpos) OVER (ORDER BY _b DESC), 0) + _cpos)
+           / 2.0 AS _a
+  FROM stair
+)
+SELECT round(SUM(_a) / (MAX(_tpos) * MAX(_tneg)), 6) AS auc,
+       CAST(MAX(_tpos) AS BIGINT) AS n_pos,
+       CAST(MAX(_tneg) AS BIGINT) AS n_neg
+FROM contrib"""
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram data: per score bucket, the mean predicted
+    score vs the empirical positive rate, plus each bucket's weight —
+    everything needed for ECE (expected calibration error =
+    Σ w_i · |mean_score_i − pos_rate_i|) and the plot itself.  One
+    bounded-key aggregate; no windows at all.
+
+    Output per populated bucket: (bin_lo, n, mean_score, pos_rate).
+    """
+    b = F.least(
+        F.floor(
+            F.greatest(F.least(F.col(score_col), F.lit(1.0)), F.lit(0.0))
+            * n_bins
+        ).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    lab = F.col(label_col).cast("int")
+    return (
+        df.select(
+            b.alias("_b"),
+            F.col(score_col).cast("double").alias("_s"),
+            lab.alias("_y"),
+        )
+        .groupBy("_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("_s"), 6).alias("mean_score"),
+            F.round(F.avg("_y"), 6).alias("pos_rate"),
+        )
+        .select(
+            F.round(F.col("_b").cast("double") / n_bins, 6).alias("bin_lo"),
+            "n", "mean_score", "pos_rate",
+        )
+    )
+
+
+def calibration_oracle_sql(
+    source_sql: str, score: str, label: str, n_bins: int = 10
+) -> str:
+    """DuckDB twin of :func:`calibration_bins`."""
+    b = (
+        f"least(CAST(floor(greatest(least({score}, 1.0), 0.0) * {n_bins}) "
+        f"AS INT), {n_bins - 1})"
+    )
+    return f"""WITH src AS ({source_sql})
+SELECT round(CAST({b} AS DOUBLE) / {n_bins}, 6) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(AVG(CAST({score} AS DOUBLE)), 6) AS mean_score,
+       round(AVG(CAST({label} AS INT)), 6) AS pos_rate
+FROM src GROUP BY 1"""

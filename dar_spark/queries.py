@@ -2571,6 +2571,8 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("docs_jsonl_roundtrip", _docs_jsonl_q()),
         ("shuffle_order_docs", _shuffle_order_q()),
         ("pr_curve_quality", _pr_curve_q()),
+        ("roc_auc_quality", _roc_auc_q()),
+        ("calibration_quality", _calibration_q()),
         ("embed_dup_pairs_banded", _embed_dup_pairs_banded_q()),
         ("dedup_index_append", _dedup_incremental_q(indexed=True, appended=True)),
         ("pipeline_e2e", _pipeline_e2e_q()),
@@ -3823,15 +3825,26 @@ def _pr_curve_q() -> Q:
     → per-bucket (n, positives) → descending cumsum, so the
     bounded-window scale shape is itself what the hash verifies."""
     from dar_spark.operators.evalmetrics import pr_curve, pr_curve_oracle_sql
-    from dar_spark.functions.text import quality_score
+
+    spark_src, duck_src = _quality_label_source()
 
     def spark_fn(spark, sf_dir):
+        return pr_curve(spark_src(spark, sf_dir), "score", "label", n_bins=100)
+
+    return Q(spark_fn, pr_curve_oracle_sql(duck_src, "score", "label", n_bins=100))
+
+
+def _quality_label_source():
+    """Shared (score, label) source for the classifier-metrics queries:
+    the composite quality score as a predictor of lang='en'."""
+    from dar_spark.functions.text import quality_score
+
+    def spark_src(spark, sf_dir):
         t = load_tables(spark, sf_dir)
-        scored = parallelize(t["documents"]).select(
+        return parallelize(t["documents"]).select(
             quality_score("text").alias("score"),
             (F.col("lang") == "en").alias("label"),
         )
-        return pr_curve(scored, "score", "label", n_bins=100)
 
     d = DUCKDB
     toks = d.split_lit("lower(text)", " ")
@@ -3842,8 +3855,42 @@ def _pr_curve_q() -> Q:
         f"+ 0.4 * (CAST({n_uniq} AS DOUBLE) / {d.arr_len(toks)}) "
         f"+ 0.2 * (1.0 - CAST({n_stop} AS DOUBLE) / {d.arr_len(toks)}), 6)"
     )
-    oracle = pr_curve_oracle_sql(
-        f"SELECT {q} AS score, (lang = 'en') AS label FROM documents",
-        "score", "label", n_bins=100,
+    duck_src = f"SELECT {q} AS score, (lang = 'en') AS label FROM documents"
+    return spark_src, duck_src
+
+
+def _roc_auc_q() -> Q:
+    """Tie-corrected ROC AUC (operators/evalmetrics.roc_auc): one-row
+    trapezoid integral over the 1000-bucket staircase; the oracle
+    rebuilds the identical staircase relationally, so bucketing,
+    cumsums, tie handling, and the final normalization all sit under
+    one value hash."""
+    from dar_spark.operators.evalmetrics import roc_auc, roc_auc_oracle_sql
+
+    spark_src, duck_src = _quality_label_source()
+
+    def spark_fn(spark, sf_dir):
+        return roc_auc(spark_src(spark, sf_dir), "score", "label", n_bins=1000)
+
+    return Q(spark_fn, roc_auc_oracle_sql(duck_src, "score", "label", n_bins=1000))
+
+
+def _calibration_q() -> Q:
+    """Reliability-diagram bins (operators/evalmetrics.calibration_bins):
+    mean predicted score vs empirical positive rate per bucket — the ECE
+    inputs — as ONE bounded-key aggregate, no windows."""
+    from dar_spark.operators.evalmetrics import (
+        calibration_bins,
+        calibration_oracle_sql,
     )
-    return Q(spark_fn, oracle)
+
+    spark_src, duck_src = _quality_label_source()
+
+    def spark_fn(spark, sf_dir):
+        return calibration_bins(
+            spark_src(spark, sf_dir), "score", "label", n_bins=10
+        )
+
+    return Q(
+        spark_fn, calibration_oracle_sql(duck_src, "score", "label", n_bins=10)
+    )

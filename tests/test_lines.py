@@ -198,3 +198,49 @@ def test_pr_curve_semantics(spark):
     # bottom bucket covers everything: recall 1, precision = base rate
     assert out[-1].n_ge == 8 and out[-1].tp == 4
     assert out[-1].recall == 1.0 and out[-1].precision == 0.5
+
+
+def test_roc_auc_matches_pairwise_formula(spark):
+    """AUC from the bucket staircase == the Mann-Whitney pairwise
+    statistic (concordant + ties/2) / (n_pos * n_neg) when every
+    distinct score has its own bucket."""
+    from dar_spark.operators.evalmetrics import roc_auc
+
+    rows = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 0), (0.6, 1),
+        (0.4, 0), (0.3, 1), (0.2, 0), (0.2, 0), (0.1, 0),
+    ]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    stat = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = roc_auc(df, "score", "label", n_bins=1000).collect()[0]
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    assert abs(got.auc - round(stat, 6)) < 1e-9, (got.auc, stat)
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    from dar_spark.operators.evalmetrics import roc_auc
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "score double, label int"
+    )
+    assert roc_auc(perfect, "score", "label").collect()[0].auc == 1.0
+    inverted = spark.createDataFrame(
+        [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)], "score double, label int"
+    )
+    assert roc_auc(inverted, "score", "label").collect()[0].auc == 0.0
+
+
+def test_calibration_bins_values(spark):
+    from dar_spark.operators.evalmetrics import calibration_bins
+
+    rows = [(0.05, 0), (0.15, 0), (0.15, 1), (0.95, 1), (0.85, 1), (0.85, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r.bin_lo: r for r in calibration_bins(df, "score", "label", n_bins=10).collect()}
+    assert out[0.0].n == 1 and out[0.0].pos_rate == 0.0
+    assert out[0.1].n == 2 and out[0.1].pos_rate == 0.5
+    assert out[0.8].n == 2 and out[0.8].mean_score == 0.85
+    assert out[0.9].n == 1 and out[0.9].pos_rate == 1.0

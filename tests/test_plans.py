@@ -112,3 +112,51 @@ def test_second_wave_plan_shapes(spark):
     p = _executed(spark, "semdedup_embed")
     # assignment table materialized once, reused by all three consumers
     assert p.count("InMemoryTableScan") >= 2, "semdedup cache lost"
+
+
+def test_third_wave_plan_shapes(spark):
+    """Wave-3 operators keep their intended shapes.
+
+    - line_dedup: boilerplate removal arrives as a BROADCAST left-anti
+      join (the frequent-line key set is small by construction);
+    - mixture upsample: a narrow explode — ZERO exchanges anywhere;
+    - shuffle order: no single-partition exchange (the rank windows
+      partition by the hash-prefix bucket; only the tiny offset table
+      broadcasts);
+    - domain stats / ORC round-trip: pure-JVM expressions, and the ORC
+      path is a real vectorized FileScan orc.
+    """
+    p = _executed(spark, "line_dedup_docs")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, "anti-join not broadcast"
+    assert "CartesianProduct" not in p
+
+    p = _executed(spark, "mixture_upsample_docs")
+    # the only exchange allowed is the query-level parallelize() round
+    # robin (test-layout spreading); the operator itself must add no
+    # hash/range shuffle
+    assert "hashpartitioning" not in p.lower(), "upsample must add no shuffle"
+    assert "rangepartitioning" not in p.lower(), "upsample must add no shuffle"
+    assert "Python" not in p
+
+    p = _executed(spark, "shuffle_order_docs")
+    assert "SinglePartition" not in p, "global-sort trap reintroduced"
+    assert "BroadcastHashJoin" in p  # the 256-row offset table
+
+    p = _executed(spark, "domain_stats")
+    assert "Python" not in p and "CartesianProduct" not in p
+
+    p = _executed(spark, "orders_orc_roundtrip")
+    assert "FileScan orc" in p, "ORC read fell back to a non-vectorized path"
+
+
+def test_pr_curve_cumsum_is_over_buckets_only(spark):
+    """pr_curve's windows run AFTER the bucket aggregate: the plan's
+    single-partition exchange (sanctioned — it moves <= n_bins rows)
+    must sit above a HashAggregate, never directly above the scan."""
+    p = _executed(spark, "pr_curve_quality")
+    assert "HashAggregate" in p
+    # the aggregate appears below the window in the plan text (executed
+    # plans print top-down: Window first, HashAggregate further down)
+    assert p.index("Window") < p.index("HashAggregate"), (
+        "window is not consuming the bucket aggregate"
+    )
