@@ -67,6 +67,8 @@ __all__ = [
     "pr_curve",
     "roc_auc",
     "calibration_bins",
+    "group_sample_k",
+    "ngram_novelty",
 ]
 
 
@@ -185,4 +187,12 @@ def __getattr__(name):
         from dar_spark.operators import evalmetrics as _em
 
         return getattr(_em, name)
+    if name == "group_sample_k":
+        from dar_spark.operators.sampling import group_sample_k
+
+        return group_sample_k
+    if name == "ngram_novelty":
+        from dar_spark.operators.novelty import ngram_novelty
+
+        return ngram_novelty
     raise AttributeError(f"module 'dar_spark' has no attribute {name!r}")

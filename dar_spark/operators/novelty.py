@@ -1,0 +1,108 @@
+"""Per-document n-gram novelty: how much of a document is unique to it.
+
+The memorization-risk diagnostic of corpus curation: a document whose
+token n-grams mostly appear in OTHER documents is boilerplate, a
+template instance, or a near-duplicate the hash-based dedups missed; a
+document whose n-grams appear nowhere else is genuinely novel content.
+Dedup operators (``operators/dedup``) answer "is this a duplicate —
+yes/no"; novelty is the continuous version, scored per document, usable
+as a filter weight or sort key.
+
+Scale shape:
+
+1. one narrow explode to per-doc DISTINCT shingles (dedup within doc
+   first — a repeated phrase inside one doc is not evidence of
+   cross-doc sharing);
+2. shingle-frequency aggregate on ``md5(shingle)`` — hash-uniform keys,
+   the same skew-free shuffle as MinHash banding;
+3. join the per-shingle doc counts back to the per-doc shingle rows —
+   a big join, but equi on the uniform hash key (AQE handles the rest),
+   and the frequency side carries TWO columns;
+4. one groupBy(doc) to aggregate the novelty fraction.
+
+No reference analogue — LLM-pipeline extension family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Score each document by the fraction of its distinct token
+    ``n``-grams that appear in NO other document.
+
+    Output per input doc (docs with < n tokens emit 0 shingles and are
+    dropped — they carry no n-gram evidence):
+
+        n_shingles   : distinct n-grams in the doc
+        n_novel      : of those, how many occur in no other doc
+        novelty_frac : n_novel / n_shingles (6 dp)
+
+    Exact duplicates score 0.0 (every shingle shared); fully unique
+    text scores 1.0.
+    """
+    toks = f"split(trim(lower({text_col})), ' +')"
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size({toks}) < {n} THEN array() "
+                    f"ELSE transform(sequence(1, size({toks}) - {n} + 1), "
+                    f"i -> array_join(slice({toks}, i, {n}), ' ')) END"
+                )
+            ).alias("_g"),
+        )
+        .select(id_col, F.md5("_g").alias("_k"))
+        .distinct()
+    )
+    freq = grams.groupBy("_k").agg(
+        F.count("*").alias("_n_docs")
+    )
+    return (
+        grams.join(freq, "_k")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("_n_docs") == 1).cast("int")).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novelty_frac"
+            ),
+        )
+    )
+
+
+def ngram_novelty_oracle_sql(
+    source_sql: str, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> str:
+    """DuckDB twin of :func:`ngram_novelty` over ``source_sql``."""
+    toks = f"regexp_split_to_array(trim(lower({text_col})), ' +')"
+    return f"""WITH src AS ({source_sql}),
+grams AS (
+  SELECT DISTINCT {id_col},
+         md5(unnest(list_transform(
+           generate_series(1, greatest(len({toks}) - {n} + 1, 0)),
+           i -> array_to_string({toks}[i : i + {n} - 1], ' ')))) AS _k
+  FROM src
+), freq AS (
+  SELECT _k, COUNT(*) AS _n_docs FROM grams GROUP BY 1
+)
+SELECT g.{id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CAST(f._n_docs = 1 AS INT)) AS BIGINT) AS n_novel,
+       round(CAST(SUM(CAST(f._n_docs = 1 AS INT)) AS DOUBLE) / COUNT(*), 6)
+         AS novelty_frac
+FROM grams g JOIN freq f USING (_k)
+GROUP BY g.{id_col}"""

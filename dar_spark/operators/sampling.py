@@ -220,3 +220,47 @@ def repeat_upsample_sql(
         f"FROM (SELECT t.*, unnest(range(1, t._nc + 1)) AS copy_n "
         f"      FROM (SELECT *, {n} AS _nc FROM ({table_sql})) t)"
     )
+
+
+def group_sample_k(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """Fixed-size deterministic sample: the ``k`` rows of each group
+    with the smallest ``md5(key)`` — what reservoir sampling gives you,
+    but reproducible (same corpus → same sample, any engine, any
+    layout) and re-runnable (appends can only displace, never reshuffle,
+    members).  The standard tool for building eval slices and human
+    review queues: "5 documents per language", "10 duplicate pairs per
+    cluster".
+
+    Scale shape: one partitioned window ordered by the hash.  Spark
+    compiles the ``row_number() <= k`` filter to **WindowGroupLimit** —
+    a streaming per-partition top-k that keeps k rows per group in
+    memory, never the group — so a group with a billion rows costs the
+    same state as a group with ten.  Output: input columns + ``sample_rank``
+    (1-based within the group).
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, key)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def group_sample_k_sql(
+    d: Dialect, table_sql: str, key: str, group_col: str, k: int
+) -> str:
+    """Oracle twin of :func:`group_sample_k`."""
+    h = f"md5({d.cast_str(key)})"
+    return (
+        f"SELECT * FROM ("
+        f"SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY {group_col} "
+        f"ORDER BY {h}, {key}) AS BIGINT) AS sample_rank "
+        f"FROM ({table_sql})) WHERE sample_rank <= {k}"
+    )

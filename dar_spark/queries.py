@@ -2573,6 +2573,8 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("pr_curve_quality", _pr_curve_q()),
         ("roc_auc_quality", _roc_auc_q()),
         ("calibration_quality", _calibration_q()),
+        ("ngram_novelty_docs", _ngram_novelty_q()),
+        ("group_sample_docs", _group_sample_q()),
         ("embed_dup_pairs_banded", _embed_dup_pairs_banded_q()),
         ("dedup_index_append", _dedup_incremental_q(indexed=True, appended=True)),
         ("pipeline_e2e", _pipeline_e2e_q()),
@@ -3894,3 +3896,38 @@ def _calibration_q() -> Q:
     return Q(
         spark_fn, calibration_oracle_sql(duck_src, "score", "label", n_bins=10)
     )
+
+
+def _ngram_novelty_q() -> Q:
+    """Per-doc n-gram novelty (operators/novelty.py) over the
+    dup-injected corpus: members of full duplicate groups must score
+    0.0 (every shingle shared with the group), group remainders score
+    by their genuine uniqueness.  The oracle recomputes the whole
+    explode → frequency → join → aggregate relationally."""
+    from dar_spark.operators.novelty import ngram_novelty, ngram_novelty_oracle_sql
+
+    def spark_fn(spark, sf_dir):
+        return ngram_novelty(_corpus_df(spark, sf_dir), "doc_id", "text", n=3)
+
+    return Q(spark_fn, ngram_novelty_oracle_sql(CORPUS_CTE, "doc_id", "text", n=3))
+
+
+GS_K = 5
+
+
+def _group_sample_q() -> Q:
+    """Deterministic k-per-group sampling
+    (operators/sampling.group_sample_k): 5 docs per language by hash
+    rank — the eval-slice/review-queue builder; the plan compiles to
+    WindowGroupLimit (streaming per-group top-k)."""
+    from dar_spark.operators.sampling import group_sample_k, group_sample_k_sql
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        docs = parallelize(t["documents"]).select("doc_id", "lang")
+        return group_sample_k(docs, "doc_id", "lang", GS_K)
+
+    oracle = group_sample_k_sql(
+        DUCKDB, "SELECT doc_id, lang FROM documents", "doc_id", "lang", GS_K
+    )
+    return Q(spark_fn, oracle)

@@ -244,3 +244,52 @@ def test_calibration_bins_values(spark):
     assert out[0.1].n == 2 and out[0.1].pos_rate == 0.5
     assert out[0.8].n == 2 and out[0.8].mean_score == 0.85
     assert out[0.9].n == 1 and out[0.9].pos_rate == 1.0
+
+
+def test_group_sample_k_invariants(spark):
+    from dar_spark.operators.sampling import group_sample_k
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "lang")
+    out = group_sample_k(docs, "doc_id", "lang", 5)
+    rows = out.collect()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r.lang, []).append(r.sample_rank)
+    for g, ranks in per_group.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+    # stable under repartition
+    a = sorted((r.doc_id, r.sample_rank) for r in rows)
+    b = sorted(
+        (r.doc_id, r.sample_rank)
+        for r in group_sample_k(docs.repartition(9), "doc_id", "lang", 5).collect()
+    )
+    assert a == b
+    # append stability: sampling a superset can only displace members by
+    # smaller hashes, never reorder survivors' relative ranks
+    half = docs.filter("doc_id % 2 = 0")
+    h = {r.doc_id for r in group_sample_k(half, "doc_id", "lang", 3).collect()}
+    f = {r.doc_id for r in group_sample_k(docs, "doc_id", "lang", 3).collect()}
+    # the full-corpus winners restricted to even ids are a subset of the
+    # half-corpus winners (full competition is at least as fierce)
+    assert {d for d in f if d % 2 == 0} <= h
+
+
+def test_ngram_novelty_extremes(spark):
+    from dar_spark.operators.novelty import ngram_novelty
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),  # exact dup of 1 -> 0.0
+        (3, "one two three four five six"),     # fully unique -> 1.0
+        (4, "alpha beta gamma zeta eta theta"), # shares one 3-gram with 1/2
+        (5, "xy"),                              # < 3 tokens -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[1].novelty_frac == 0.0 and out[2].novelty_frac == 0.0
+    assert out[3].novelty_frac == 1.0
+    assert 5 not in out
+    # doc 4: 4 shingles, 'alpha beta gamma' shared -> 3/4 novel
+    assert out[4].n_shingles == 4 and out[4].n_novel == 3
+    assert out[4].novelty_frac == 0.75

@@ -160,3 +160,19 @@ def test_pr_curve_cumsum_is_over_buckets_only(spark):
     assert p.index("Window") < p.index("HashAggregate"), (
         "window is not consuming the bucket aggregate"
     )
+
+
+def test_group_sample_uses_window_group_limit(spark):
+    """group_sample_k's rank filter must compile to WindowGroupLimit —
+    the streaming per-group top-k that bounds state at k rows per group
+    regardless of group size."""
+    p = _executed(spark, "group_sample_docs")
+    assert "WindowGroupLimit" in p, "row_number<=k not pushed into the window"
+
+
+def test_ngram_novelty_join_is_hash_equi(spark):
+    """novelty's frequency join must be a hash equi-join on the shingle
+    hash, never a nested loop / cartesian."""
+    p = _executed(spark, "ngram_novelty_docs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
