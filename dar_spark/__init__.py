@@ -69,6 +69,7 @@ __all__ = [
     "calibration_bins",
     "group_sample_k",
     "ngram_novelty",
+    "embedding_outliers",
 ]
 
 
@@ -191,8 +192,8 @@ def __getattr__(name):
         from dar_spark.operators.sampling import group_sample_k
 
         return group_sample_k
-    if name == "ngram_novelty":
-        from dar_spark.operators.novelty import ngram_novelty
+    if name in ("ngram_novelty", "embedding_outliers"):
+        from dar_spark.operators import novelty as _nv
 
-        return ngram_novelty
+        return getattr(_nv, name)
     raise AttributeError(f"module 'dar_spark' has no attribute {name!r}")

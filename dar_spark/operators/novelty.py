@@ -106,3 +106,108 @@ SELECT g.{id_col},
          AS novelty_frac
 FROM grams g JOIN freq f USING (_k)
 GROUP BY g.{id_col}"""
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    cos_threshold: float = 0.0,
+) -> DataFrame:
+    """Embedding QA: flag vectors far from their group's centroid —
+    mislabeled rows, encoder glitches, and genuine semantic outliers all
+    surface as low cosine-to-own-centroid.  The per-group mean direction
+    is the one-pass, label-free anomaly baseline every embedding
+    pipeline runs before trusting a new encoder drop.
+
+    Scale shape: centroids need per-dimension means — ONE narrow
+    posexplode to (group, dim, val), one aggregate on the bounded
+    (groups × dims) key domain, one ``collect_list`` reassembly to a
+    per-group centroid array (groups × dims rows total — tiny).  The
+    corpus itself is touched by exactly one more pass: a **broadcast**
+    join on the group key and an expression-level cosine (zip_with
+    fold) — no per-vector shuffle, no second explode.
+
+    Centroid components are rounded to 6 dp BEFORE the cosine so the
+    DuckDB oracle (independent AVG association) sees bit-identical
+    centroid inputs; the cosine itself is the same left fold both
+    engines use throughout the similarity family.
+
+    Output: (id, group, cos_centroid, is_outlier).
+    """
+    e = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    dims = e.select(
+        group_col, F.posexplode("_v").alias("_d", "_x")
+    )
+    cent = (
+        dims.groupBy(group_col, "_d")
+        .agg(F.round(F.avg("_x"), 6).alias("_m"))
+        .groupBy(group_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_d, _m))), s -> s._m)"
+            ).alias("_c")
+        )
+    )
+    scored = e.join(F.broadcast(cent), group_col).select(
+        id_col,
+        group_col,
+        F.expr(
+            "round(aggregate(zip_with(_v, _c, (x, y) -> x * y), 0D, (a, x) -> a + x) "
+            "/ (sqrt(aggregate(transform(_v, x -> x * x), 0D, (a, x) -> a + x)) "
+            "* sqrt(aggregate(transform(_c, x -> x * x), 0D, (a, x) -> a + x))), 6)"
+        ).alias("cos_centroid"),
+    )
+    return scored.withColumn(
+        "is_outlier", F.col("cos_centroid") < cos_threshold
+    )
+
+
+def embedding_outliers_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    cos_threshold: float = 0.0,
+) -> str:
+    """DuckDB twin of :func:`embedding_outliers` — same rounded
+    centroids, same left-fold cosine (list_reduce over a 0-prepended
+    product list, matching Spark's ``aggregate`` order)."""
+
+    def fold(products: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), "
+            f"(a, x) -> a + x)"
+        )
+
+    cos_prods = "list_transform(generate_series(1, len(v)), i -> v[i] * c[i])"
+    return f"""WITH e AS (
+  SELECT {id_col}, {group_col},
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+), dims AS (
+  SELECT {group_col},
+         unnest(range(1, len(v) + 1)) AS d,
+         unnest(v) AS x
+  FROM e
+), cent AS (
+  SELECT {group_col}, list(m ORDER BY d) AS c
+  FROM (SELECT {group_col}, d, round(AVG(x), 6) AS m
+        FROM dims GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT e.{id_col}, e.{group_col},
+       round({fold(cos_prods)} /
+             (sqrt({fold('list_transform(v, x -> x * x)')}) *
+              sqrt({fold('list_transform(c, x -> x * x)')})), 6)
+         AS cos_centroid,
+       (round({fold(cos_prods)} /
+             (sqrt({fold('list_transform(v, x -> x * x)')}) *
+              sqrt({fold('list_transform(c, x -> x * x)')})), 6)
+        < {cos_threshold}) AS is_outlier
+FROM e JOIN cent USING ({group_col})"""

@@ -2575,6 +2575,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("calibration_quality", _calibration_q()),
         ("ngram_novelty_docs", _ngram_novelty_q()),
         ("group_sample_docs", _group_sample_q()),
+        ("embedding_outliers_label", _embedding_outliers_q()),
         ("embed_dup_pairs_banded", _embed_dup_pairs_banded_q()),
         ("dedup_index_append", _dedup_incremental_q(indexed=True, appended=True)),
         ("pipeline_e2e", _pipeline_e2e_q()),
@@ -3931,3 +3932,20 @@ def _group_sample_q() -> Q:
         DUCKDB, "SELECT doc_id, lang FROM documents", "doc_id", "lang", GS_K
     )
     return Q(spark_fn, oracle)
+
+
+def _embedding_outliers_q() -> Q:
+    """Per-label centroid outlier flags (operators/novelty.
+    embedding_outliers): centroid components are rounded before the
+    cosine so both engines fold bit-identical inputs; the flag at
+    cos < 0 splits the fixture meaningfully (median cos ≈ 0.14)."""
+    from dar_spark.operators.novelty import (
+        embedding_outliers,
+        embedding_outliers_oracle_sql,
+    )
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        return embedding_outliers(parallelize(t["embeddings"]))
+
+    return Q(spark_fn, embedding_outliers_oracle_sql())

@@ -293,3 +293,27 @@ def test_ngram_novelty_extremes(spark):
     # doc 4: 4 shingles, 'alpha beta gamma' shared -> 3/4 novel
     assert out[4].n_shingles == 4 and out[4].n_novel == 3
     assert out[4].novelty_frac == 0.75
+
+
+def test_embedding_outliers_flags_planted_outlier(spark):
+    """A vector pointing opposite its group's direction must be flagged;
+    aligned vectors must not."""
+    from dar_spark.operators.novelty import embedding_outliers
+
+    rows = [
+        (1, [1.0, 0.1, 0.0], "a"),
+        (2, [0.9, 0.2, 0.1], "a"),
+        (3, [1.1, 0.0, 0.05], "a"),
+        (4, [-1.0, -0.1, 0.0], "a"),   # planted: anti-aligned
+        (5, [0.0, 1.0, 0.0], "b"),
+        (6, [0.1, 0.9, 0.0], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {r.vec_id: r for r in embedding_outliers(
+        df, group_col="label", cos_threshold=0.0
+    ).collect()}
+    assert out[4].is_outlier and out[4].cos_centroid < 0
+    for i in (1, 2, 3, 5, 6):
+        assert not out[i].is_outlier, (i, out[i].cos_centroid)
