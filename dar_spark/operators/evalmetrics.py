@@ -240,7 +240,13 @@ def calibration_bins(
         .groupBy("_b")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("_s"), 6).alias("mean_score"),
+            # order-independent mean (docs/ORACLE.md §2): scores are
+            # rounded then summed exactly as DECIMAL; pos_rate is an
+            # integer-sum ratio, exact in both engines by construction
+            F.expr(
+                "round(CAST(SUM(CAST(round(_s, 6) AS DECIMAL(18,8))) "
+                "AS DOUBLE) / COUNT(*), 6)"
+            ).alias("mean_score"),
             F.round(F.avg("_y"), 6).alias("pos_rate"),
         )
         .select(
@@ -261,6 +267,8 @@ def calibration_oracle_sql(
     return f"""WITH src AS ({source_sql})
 SELECT round(CAST({b} AS DOUBLE) / {n_bins}, 6) AS bin_lo,
        CAST(COUNT(*) AS BIGINT) AS n,
-       round(AVG(CAST({score} AS DOUBLE)), 6) AS mean_score,
+       round(CAST(SUM(CAST(round(CAST({score} AS DOUBLE), 6)
+                           AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_score,
        round(AVG(CAST({label} AS INT)), 6) AS pos_rate
 FROM src GROUP BY 1"""

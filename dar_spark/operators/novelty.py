@@ -129,9 +129,11 @@ def embedding_outliers(
     join on the group key and an expression-level cosine (zip_with
     fold) — no per-vector shuffle, no second explode.
 
-    Centroid components are rounded to 6 dp BEFORE the cosine so the
-    DuckDB oracle (independent AVG association) sees bit-identical
-    centroid inputs; the cosine itself is the same left fold both
+    Centroid means follow the repo's order-independent-sum discipline
+    (docs/ORACLE.md §2): components are rounded to 6 dp, summed EXACTLY
+    as DECIMAL (association-free), and divided once — so Spark and the
+    DuckDB oracle compute bit-identical centroids by construction, not
+    by rounding luck.  The cosine itself is the same left fold both
     engines use throughout the similarity family.
 
     Output: (id, group, cos_centroid, is_outlier).
@@ -146,7 +148,12 @@ def embedding_outliers(
     )
     cent = (
         dims.groupBy(group_col, "_d")
-        .agg(F.round(F.avg("_x"), 6).alias("_m"))
+        .agg(
+            F.expr(
+                "round(CAST(SUM(CAST(round(_x, 6) AS DECIMAL(18,8))) AS DOUBLE)"
+                " / COUNT(*), 6)"
+            ).alias("_m")
+        )
         .groupBy(group_col)
         .agg(
             F.expr(
@@ -197,7 +204,9 @@ def embedding_outliers_oracle_sql(
   FROM e
 ), cent AS (
   SELECT {group_col}, list(m ORDER BY d) AS c
-  FROM (SELECT {group_col}, d, round(AVG(x), 6) AS m
+  FROM (SELECT {group_col}, d,
+               round(CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,8))) AS DOUBLE)
+                     / COUNT(*), 6) AS m
         FROM dims GROUP BY 1, 2)
   GROUP BY 1
 )

@@ -3910,7 +3910,13 @@ def _ngram_novelty_q() -> Q:
     def spark_fn(spark, sf_dir):
         return ngram_novelty(_corpus_df(spark, sf_dir), "doc_id", "text", n=3)
 
-    return Q(spark_fn, ngram_novelty_oracle_sql(CORPUS_CTE, "doc_id", "text", n=3))
+    # headline: the frequency join back to per-doc shingles is the one
+    # big-big uniform join in the wave — track its cost per round
+    return Q(
+        spark_fn,
+        ngram_novelty_oracle_sql(CORPUS_CTE, "doc_id", "text", n=3),
+        headline=True,
+    )
 
 
 GS_K = 5
