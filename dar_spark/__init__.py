@@ -70,6 +70,7 @@ __all__ = [
     "group_sample_k",
     "ngram_novelty",
     "embedding_outliers",
+    "source_overlap",
 ]
 
 
@@ -192,7 +193,7 @@ def __getattr__(name):
         from dar_spark.operators.sampling import group_sample_k
 
         return group_sample_k
-    if name in ("ngram_novelty", "embedding_outliers"):
+    if name in ("ngram_novelty", "embedding_outliers", "source_overlap"):
         from dar_spark.operators import novelty as _nv
 
         return getattr(_nv, name)

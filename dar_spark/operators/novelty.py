@@ -220,3 +220,93 @@ SELECT e.{id_col}, e.{group_col},
               sqrt({fold('list_transform(c, x -> x * x)')})), 6)
         < {cos_threshold}) AS is_outlier
 FROM e JOIN cent USING ({group_col})"""
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise content overlap between corpus partitions (sources,
+    dumps, snapshots): for every unordered pair of groups, the overlap
+    coefficient |A∩B| / min(|A|, |B|) over DISTINCT token n-gram sets.
+    The leakage report run before mixing corpora — a "new" crawl that
+    overlaps 0.9 with an existing dump adds storage, not information,
+    and a benchmark source overlapping a training source is
+    contamination (`operators/decontam` scores it doc-by-doc; this is
+    the corpus-level triage that tells you WHERE to point it).
+
+    Scale shape: per-group distinct shingle hashes (explode + distinct —
+    hash-uniform), group set sizes from one bounded aggregate, and the
+    intersection via a self-equi-join on the shingle hash.  Per-key fan
+    out is bounded by the number of GROUPS sharing the shingle (≤ S per
+    key, S² pairs worst case) — never by document count, so a
+    billion-doc corpus with 20 sources joins exactly as safely as the
+    fixture.  Output: S(S-1)/2 rows.
+    """
+    toks = f"split(trim(lower({text_col})), ' +')"
+    grams = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size({toks}) < {n} THEN array() "
+                    f"ELSE transform(sequence(1, size({toks}) - {n} + 1), "
+                    f"i -> array_join(slice({toks}, i, {n}), ' ')) END"
+                )
+            ).alias("_gram"),
+        )
+        .select("_g", F.md5("_gram").alias("_k"))
+        .distinct()
+    )
+    sizes = grams.groupBy("_g").agg(F.count("*").alias("_sz"))
+    a = grams.select(F.col("_g").alias("group_a"), "_k")
+    b = grams.select(F.col("_g").alias("group_b"), "_k")
+    inter = (
+        a.join(b, "_k")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sz_a = sizes.select(F.col("_g").alias("group_a"), F.col("_sz").alias("_sa"))
+    sz_b = sizes.select(F.col("_g").alias("group_b"), F.col("_sz").alias("_sb"))
+    return (
+        inter.join(F.broadcast(sz_a), "group_a")
+        .join(F.broadcast(sz_b), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("_sa", "_sb"), 6
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+def source_overlap_sql(
+    source_sql: str, group_col: str = "source", text_col: str = "text", n: int = 3
+) -> str:
+    """DuckDB twin of :func:`source_overlap`."""
+    toks = f"regexp_split_to_array(trim(lower({text_col})), ' +')"
+    return f"""WITH src AS ({source_sql}),
+grams AS (
+  SELECT DISTINCT {group_col} AS g,
+         md5(unnest(list_transform(
+           generate_series(1, greatest(len({toks}) - {n} + 1, 0)),
+           i -> array_to_string({toks}[i : i + {n} - 1], ' ')))) AS k
+  FROM src
+), sizes AS (
+  SELECT g, COUNT(*) AS sz FROM grams GROUP BY 1
+), inter AS (
+  SELECT a.g AS group_a, b.g AS group_b, COUNT(*) AS n_shared
+  FROM grams a JOIN grams b USING (k)
+  WHERE a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b, CAST(n_shared AS BIGINT) AS n_shared,
+       round(CAST(n_shared AS DOUBLE) / least(sa.sz, sb.sz), 6) AS overlap_coef
+FROM inter
+JOIN sizes sa ON sa.g = inter.group_a
+JOIN sizes sb ON sb.g = inter.group_b"""

@@ -2576,6 +2576,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("ngram_novelty_docs", _ngram_novelty_q()),
         ("group_sample_docs", _group_sample_q()),
         ("embedding_outliers_label", _embedding_outliers_q()),
+        ("source_overlap_docs", _source_overlap_q()),
         ("embed_dup_pairs_banded", _embed_dup_pairs_banded_q()),
         ("dedup_index_append", _dedup_incremental_q(indexed=True, appended=True)),
         ("pipeline_e2e", _pipeline_e2e_q()),
@@ -3955,3 +3956,23 @@ def _embedding_outliers_q() -> Q:
         return embedding_outliers(parallelize(t["embeddings"]))
 
     return Q(spark_fn, embedding_outliers_oracle_sql())
+
+
+def _source_overlap_q() -> Q:
+    """Pairwise source-overlap matrix (operators/novelty.source_overlap)
+    over the RAW documents table (each source holds distinct docs, so
+    overlap comes from the small shared vocabulary's repeated 3-grams —
+    a non-trivial mid-range coefficient, not 0 or 1)."""
+    from dar_spark.operators.novelty import source_overlap, source_overlap_sql
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        return source_overlap(
+            parallelize(t["documents"]).select("source", "text"),
+            "source", "text", n=3,
+        )
+
+    return Q(
+        spark_fn,
+        source_overlap_sql("SELECT source, text FROM documents", "source", "text", n=3),
+    )

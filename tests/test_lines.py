@@ -317,3 +317,19 @@ def test_embedding_outliers_flags_planted_outlier(spark):
     assert out[4].is_outlier and out[4].cos_centroid < 0
     for i in (1, 2, 3, 5, 6):
         assert not out[i].is_outlier, (i, out[i].cos_centroid)
+
+
+def test_source_overlap_known_sets(spark):
+    """Hand-checkable: A and B share one 3-gram, C shares none."""
+    from dar_spark.operators.novelty import source_overlap
+
+    rows = [
+        ("A", "alpha beta gamma delta"),     # grams: abg, bgd
+        ("B", "alpha beta gamma zeta"),      # grams: abg, bgz
+        ("C", "one two three four"),         # grams: ott, ttf
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r.group_a, r.group_b): r for r in source_overlap(df).collect()}
+    assert set(out) == {("A", "B")}  # zero-overlap pairs are absent
+    r = out[("A", "B")]
+    assert r.n_shared == 1 and r.overlap_coef == 0.5  # 1 / min(2, 2)
