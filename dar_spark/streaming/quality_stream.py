@@ -1,0 +1,70 @@
+"""Streaming classifier-quality monitor — windowed score buckets.
+
+The batch evaluators (``operators/evalmetrics``) reduce classifier
+quality to per-bucket (count, positives) tables; those bucket counts
+are PURELY ADDITIVE, which makes them exactly the aggregate Structured
+Streaming can maintain incrementally: a tumbling-window groupBy on
+(window, bucket) with a watermark.  Each emitted window row feeds the
+same downstream math as the batch path — PR points, calibration bins,
+drift between windows — so "did last hour's quality-filter precision
+move" is one more windowed aggregate, not a new system.
+
+State is O(windows in flight × n_bins) — bounded by the watermark and
+the bucket count, independent of stream length; shuffle keys are
+(window, bucket), bounded cardinality.
+
+Verified by batch equivalence (tests/test_quality_stream.py): draining
+the stream over the fixture yields byte-identical bucket rows to the
+batch aggregate over the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_score_buckets(
+    stream_df: DataFrame,
+    score_col: str,
+    label_col: str,
+    ts_col: str,
+    n_bins: int = 20,
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window (window_start, bucket, n, n_pos) — the streaming
+    precursor of ``evalmetrics.pr_curve``/``calibration_bins``.  Late
+    rows beyond the watermark drop from their window (standard
+    semantics); the bucketing expression matches the batch operators
+    exactly, so batch and stream cannot drift."""
+    b = F.least(
+        F.floor(
+            F.greatest(F.least(F.col(score_col), F.lit(1.0)), F.lit(0.0))
+            * n_bins
+        ).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    return (
+        stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .select(
+            F.col(ts_col),
+            b.alias("bucket"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window_duration).alias("w"),
+            "bucket",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_y").alias("n_pos"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "bucket",
+            "n",
+            "n_pos",
+        )
+    )

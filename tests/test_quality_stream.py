@@ -1,0 +1,118 @@
+"""Streaming quality monitor: availableNow drain vs batch equivalence,
+plus the PR-point handoff from streamed buckets."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from dar_spark.functions.text import quality_score
+from dar_spark.session import load_tables
+from dar_spark.streaming.profile_stream import run_to_memory
+from dar_spark.streaming.quality_stream import windowed_score_buckets
+from tests.conftest import SF_DIR
+
+
+def _scored_events(spark):
+    """Events joined to document text by key mod — a scored, labeled,
+    timestamped stream."""
+    ev = load_tables(spark, SF_DIR)["events"].select("ts", "event_id")
+    docs = load_tables(spark, SF_DIR)["documents"].select(
+        "doc_id", "text", "lang"
+    )
+    n = docs.count()
+    return (
+        ev.withColumn("doc_id", F.expr(f"event_id % {n}"))
+        .join(docs, "doc_id")
+        .select(
+            "ts",
+            quality_score("text").alias("score"),
+            (F.col("lang") == "en").alias("label"),
+        )
+    )
+
+
+def test_streamed_buckets_match_batch(spark, tmp_path):
+    src = str(tmp_path / "qstream_src")
+    scored = _scored_events(spark)
+    scored.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(scored.schema).parquet(src)
+    out = windowed_score_buckets(
+        stream, "score", "label", ts_col="ts",
+        n_bins=20, window_duration="1 hour", watermark="2 hours",
+    )
+    name = "t_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="complete")
+    streamed = {
+        (r.window_start, r.bucket): (r.n, r.n_pos)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    b = F.least(
+        F.floor(
+            F.greatest(F.least(F.col("score"), F.lit(1.0)), F.lit(0.0)) * 20
+        ).cast("int"),
+        F.lit(19),
+    )
+    batch = (
+        scored.withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            F.window("ts", "1 hour").alias("w"),
+            b.alias("bucket"),
+            F.col("label").cast("int").alias("_y"),
+        )
+        .groupBy(F.col("w.start").alias("window_start"), "bucket")
+        .agg(F.count("*").alias("n"), F.sum("_y").alias("n_pos"))
+    )
+    expected = {
+        (r.window_start, r.bucket): (r.n, r.n_pos) for r in batch.collect()
+    }
+    assert streamed == expected
+    assert len(streamed) > 0
+
+
+def test_streamed_buckets_feed_pr_math(spark, tmp_path):
+    """Summing streamed bucket rows across windows and running the
+    batch PR cumsum over them equals pr_curve on the raw rows — the
+    handoff contract that makes the stream a drop-in quality monitor."""
+    from pyspark.sql.window import Window
+
+    from dar_spark.operators.evalmetrics import pr_curve
+
+    src = str(tmp_path / "qstream_src2")
+    scored = _scored_events(spark)
+    scored.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(scored.schema).parquet(src)
+    out = windowed_score_buckets(
+        stream, "score", "label", ts_col="ts",
+        n_bins=20, window_duration="1 hour", watermark="2 hours",
+    )
+    name = "t_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="complete")
+
+    rolled = (
+        spark.sql(f"SELECT * FROM {name}")
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("_n"), F.sum("n_pos").alias("_pos"))
+    )
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    from_stream = {
+        r.threshold: (r.n_ge, r.tp)
+        for r in rolled.withColumn("n_ge", F.sum("_n").over(w).cast("bigint"))
+        .withColumn("tp", F.sum("_pos").over(w).cast("bigint"))
+        .select(
+            F.round(F.col("bucket").cast("double") / 20, 6).alias("threshold"),
+            "n_ge", "tp",
+        )
+        .collect()
+    }
+    direct = {
+        r.threshold: (r.n_ge, r.tp)
+        for r in pr_curve(scored, "score", "label", n_bins=20).collect()
+    }
+    assert from_stream == direct
