@@ -2577,6 +2577,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("group_sample_docs", _group_sample_q()),
         ("embedding_outliers_label", _embedding_outliers_q()),
         ("source_overlap_docs", _source_overlap_q()),
+        ("bpe_segment_docs", _bpe_segment_q()),
         ("embed_dup_pairs_banded", _embed_dup_pairs_banded_q()),
         ("dedup_index_append", _dedup_incremental_q(indexed=True, appended=True)),
         ("pipeline_e2e", _pipeline_e2e_q()),
@@ -3976,3 +3977,51 @@ def _source_overlap_q() -> Q:
         spark_fn,
         source_overlap_sql("SELECT source, text FROM documents", "source", "text", n=3),
     )
+
+
+SEG_MERGES = [("e", "</w>"), ("t", "h"), ("th", "e</w>")]
+
+
+def _bpe_segment_q() -> Q:
+    """BPE tokenization with a FIXED merge list under the value hash
+    (operators/bpe.bpe_segment): Spark folds the merges inside nested
+    higher-order transforms; the oracle re-applies them as
+    unit-separator string replaces (the same greedy left-to-right
+    semantics the induction oracle already proved equivalent).  The
+    merge chain builds a 'the</w>' single token, so the dominant
+    stopword's fusion is what the per-doc token counts verify."""
+    from dar_spark.operators.bpe import bpe_segment
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        return bpe_segment(
+            parallelize(t["documents"]), SEG_MERGES
+        ).selectExpr(
+            "doc_id",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "array_join(tokens, ' ') AS tokens_str",
+        )
+
+    sep = "chr(31)"
+    merged = "w"
+    for a, b in SEG_MERGES:
+        merged = (
+            f"replace({merged}, '{a}' || {sep} || '{b}', '{a}{b}')"
+        )
+    oracle = f"""WITH words AS (
+  SELECT doc_id, ord,
+         array_to_string(list_concat(string_split(w, ''), ['</w>']), {sep}) AS w
+  FROM (SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS w,
+               unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS ord
+        FROM documents)
+  WHERE w <> ''
+), merged AS (
+  SELECT doc_id, ord, {merged} AS w FROM words
+)
+SELECT doc_id,
+       CAST(SUM(len(string_split(w, {sep}))) AS BIGINT) AS n_tokens,
+       array_to_string(list(array_to_string(string_split(w, {sep}), ' ')
+                            ORDER BY ord), ' ') AS tokens_str
+FROM merged GROUP BY doc_id"""
+    return Q(spark_fn, oracle)
