@@ -560,3 +560,41 @@ def lm_perplexity(
             "/ count(*), 6)"
         ).alias("avg_nll"),
     )
+
+
+# --- Unicode script detection -------------------------------------------
+
+# literal BMP character-range classes (backslash-free: actual unicode
+# chars in the pattern, parsed identically by Java regex and RE2)
+SCRIPT_CLASSES = {
+    "latin": "[a-zA-ZÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "cjk": "[一-鿿぀-ヿ가-힯]",
+    "arabic": "[؀-ۿ]",
+    "digit": "[0-9]",
+}
+
+
+def script_counts_sql(d, x: str) -> list[tuple[str, str]]:
+    """(name, count-expr) per script class: chars of the class in ``x``,
+    counted as length(x) − length(x with the class stripped) — one
+    regexp_replace per class, no explode, identical in both engines
+    because the range endpoints are literal BMP characters."""
+    out = []
+    for name, cls in SCRIPT_CLASSES.items():
+        stripped = d.re_replace(x, cls, "")
+        out.append((name, f"(length({x}) - length({stripped}))"))
+    return out
+
+
+def dominant_script_sql(d, x: str) -> str:
+    """Name of the script class with the most characters (ties broken
+    by the fixed class order above; 'none' when all are zero)."""
+    counts = script_counts_sql(d, x)
+    best = "'none'"
+    best_n = "0"
+    # fold in REVERSE order so earlier classes win ties
+    for name, n in reversed(counts):
+        best = f"(CASE WHEN {n} >= {best_n} AND {n} > 0 THEN '{name}' ELSE {best} END)"
+        best_n = f"(CASE WHEN {n} >= {best_n} THEN {n} ELSE {best_n} END)"
+    return best

@@ -2578,6 +2578,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("embedding_outliers_label", _embedding_outliers_q()),
         ("source_overlap_docs", _source_overlap_q()),
         ("bpe_segment_docs", _bpe_segment_q()),
+        ("script_profile_docs", _script_profile_q()),
         ("embed_dup_pairs_banded", _embed_dup_pairs_banded_q()),
         ("dedup_index_append", _dedup_incremental_q(indexed=True, appended=True)),
         ("pipeline_e2e", _pipeline_e2e_q()),
@@ -4024,4 +4025,58 @@ SELECT doc_id,
        array_to_string(list(array_to_string(string_split(w, {sep}), ' ')
                             ORDER BY ord), ' ') AS tokens_str
 FROM merged GROUP BY doc_id"""
+    return Q(spark_fn, oracle)
+
+
+def _script_profile_q() -> Q:
+    """Per-doc Unicode script detection (functions/text.script_counts_sql
+    / dominant_script_sql): the ASCII fixture gains a deterministic run
+    of Cyrillic / CJK / Arabic characters (literal BMP chars embedded in
+    the shared expression, varying per doc so every dominance branch is
+    exercised); both engines count each class by strip-and-diff and
+    pick the argmax."""
+    cyr = "привет мир" + chr(0x404) + chr(0x45F)
+    cjk = "你好世界" + chr(0x3042) + chr(0xAC00)
+    ara = chr(0x645) + chr(0x631) + chr(0x62D) + chr(0x628) + chr(0x627)
+    inject = (
+        "CASE doc_id % 4 "
+        f"WHEN 0 THEN text "
+        # floor-then-cast: DuckDB CAST(double AS INT) rounds, Spark
+        # truncates — floor() first makes the repeat count identical
+        f"WHEN 1 THEN '{cyr} {cyr} {cyr} ' || repeat('{cyr} ', CAST(floor(n_chars / 12.0) AS INT)) "
+        f"WHEN 2 THEN substr(text, 1, 10) || ' {cjk}{cjk}{cjk}{cjk}' "
+        f"ELSE '{ara} {ara} 12345 ' || substr(text, 1, 8) END"
+    )
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import dominant_script_sql, script_counts_sql
+
+        t = load_tables(spark, sf_dir)
+        raw = parallelize(t["documents"]).selectExpr(
+            "doc_id", f"({inject}) AS x"
+        )
+        cols = [
+            F.expr(f"CAST({n} AS BIGINT)").alias(f"n_{name}")
+            for name, n in script_counts_sql(SPARK, "x")
+        ]
+        return raw.select(
+            "doc_id",
+            *cols,
+            F.expr(dominant_script_sql(SPARK, "x")).alias("dominant"),
+        )
+
+    from dar_spark.functions.text import dominant_script_sql, script_counts_sql
+
+    d = DUCKDB
+    count_cols = ",\n  ".join(
+        f"CAST({n} AS BIGINT) AS n_{name}"
+        for name, n in script_counts_sql(d, "x")
+    )
+    oracle = f"""WITH raw AS (
+  SELECT doc_id, ({inject}) AS x FROM documents
+)
+SELECT doc_id,
+  {count_cols},
+  ({dominant_script_sql(d, 'x')}) AS dominant
+FROM raw"""
     return Q(spark_fn, oracle)

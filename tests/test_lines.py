@@ -333,3 +333,25 @@ def test_source_overlap_known_sets(spark):
     assert set(out) == {("A", "B")}  # zero-overlap pairs are absent
     r = out[("A", "B")]
     assert r.n_shared == 1 and r.overlap_coef == 0.5  # 1 / min(2, 2)
+
+
+def test_dominant_script_cases(spark):
+    from dar_spark.dialect import SPARK as SPK
+    from dar_spark.functions.text import dominant_script_sql
+
+    cases = [
+        ("hello world", "latin"),
+        ("привет мир", "cyrillic"),
+        ("你好世界", "cjk"),
+        ("مرحبا", "arabic"),
+        ("12345", "digit"),
+        ("hello 你好", "latin"),      # tie count 5-4 -> latin
+        ("!!! ???", "none"),
+        ("ab 12 cd", "latin"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "x string")
+    got = {r.x: r.d for r in df.selectExpr(
+        "x", f"({dominant_script_sql(SPK, 'x')}) AS d"
+    ).collect()}
+    for t, want in cases:
+        assert got[t] == want, (t, got[t], want)
