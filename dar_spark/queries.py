@@ -2579,6 +2579,8 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("source_overlap_docs", _source_overlap_q()),
         ("bpe_segment_docs", _bpe_segment_q()),
         ("script_profile_docs", _script_profile_q()),
+        ("retention_cohorts", _sql_q(RETENTION_SQL)),
+        ("signup_purchase_funnel", _sql_q(FUNNEL_SQL)),
         ("embed_dup_pairs_banded", _embed_dup_pairs_banded_q()),
         ("dedup_index_append", _dedup_incremental_q(indexed=True, appended=True)),
         ("pipeline_e2e", _pipeline_e2e_q()),
@@ -4080,3 +4082,37 @@ SELECT doc_id,
   ({dominant_script_sql(d, 'x')}) AS dominant
 FROM raw"""
     return Q(spark_fn, oracle)
+
+
+# Cohort retention: users grouped by first-active week, counted per
+# activity week.  Dialect-neutral (date_trunc/CAST/COUNT DISTINCT are
+# identical in Spark and DuckDB), keyed by the actual week dates so no
+# engine-specific date arithmetic is needed.
+RETENTION_SQL = """WITH ue AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events GROUP BY user_id, CAST(date_trunc('week', ts) AS DATE)
+), cohort AS (
+  SELECT user_id, MIN(w) AS cw FROM ue GROUP BY user_id
+)
+SELECT cohort.cw AS cohort_week, ue.w AS activity_week,
+       CAST(COUNT(DISTINCT ue.user_id) AS BIGINT) AS n_users
+FROM ue JOIN cohort ON cohort.user_id = ue.user_id
+GROUP BY cohort.cw, ue.w"""
+
+# Conversion funnel: of users whose first signup is at s_ts, how many
+# purchase within 7 days — the A-then-B-within-T sequence question.
+FUNNEL_SQL = """WITH s AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_signup,
+       CAST(COUNT(DISTINCT CASE WHEN p.ts >= s.s_ts
+                 AND p.ts <= s.s_ts + INTERVAL 7 DAY
+                 THEN s.user_id END) AS BIGINT) AS n_converted,
+       round(CAST(COUNT(DISTINCT CASE WHEN p.ts >= s.s_ts
+                 AND p.ts <= s.s_ts + INTERVAL 7 DAY
+                 THEN s.user_id END) AS DOUBLE)
+             / COUNT(DISTINCT s.user_id), 6) AS conversion_rate
+FROM s LEFT JOIN p ON p.user_id = s.user_id"""
