@@ -71,6 +71,7 @@ __all__ = [
     "ngram_novelty",
     "embedding_outliers",
     "source_overlap",
+    "weighted_sample_k",
 ]
 
 
@@ -189,10 +190,10 @@ def __getattr__(name):
         from dar_spark.operators import evalmetrics as _em
 
         return getattr(_em, name)
-    if name == "group_sample_k":
-        from dar_spark.operators.sampling import group_sample_k
+    if name in ("group_sample_k", "weighted_sample_k"):
+        from dar_spark.operators import sampling as _ws
 
-        return group_sample_k
+        return getattr(_ws, name)
     if name in ("ngram_novelty", "embedding_outliers", "source_overlap"):
         from dar_spark.operators import novelty as _nv
 

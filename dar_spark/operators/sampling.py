@@ -264,3 +264,69 @@ def group_sample_k_sql(
         f"ORDER BY {h}, {key}) AS BIGINT) AS sample_rank "
         f"FROM ({table_sql})) WHERE sample_rank <= {k}"
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis exponential race — each row draws an
+    exponential arrival time ``-ln(u)/w`` from a hash-derived uniform
+    ``u`` and the ``k`` earliest arrivals win — so inclusion
+    probability scales with weight, yet the sample is a pure function
+    of the row keys (reruns, layouts, and engines agree).  The standard
+    quality-weighted corpus subsample ("keep 1M docs, favor high
+    quality") without ``rand()``'s partition-dependence.
+
+    Rows with weight <= 0 or NULL are excluded (they can never win a
+    weighted race).  Ties in the rounded race score break by ``key``.
+
+    Scale shape: the race score is a pure projection; global top-k by
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each
+    partition keeps its local k, the driver merges partition winners —
+    no global sort, no single-task window.
+
+    Output: input columns + ``race_score`` (6 dp).
+    """
+    h = (
+        f"CAST(conv(substr(md5(CAST({key} AS STRING)), 1, 8), 16, 10) "
+        f"AS BIGINT)"
+    )
+    u = f"(({h}) + 0.5) / 4294967296.0"
+    score = (
+        f"round(-ln({u}) / CAST({weight_col} AS DOUBLE), 6)"
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("race_score", F.expr(score))
+        .orderBy("race_score", key)
+        .limit(k)
+    )
+
+
+def weighted_sample_k_sql(
+    d: Dialect, table_sql: str, key: str, weight_col: str, k: int
+) -> str:
+    """Oracle twin of :func:`weighted_sample_k` — same hash-uniform,
+    same exponential race, same rounded tie-break."""
+    if d.name == "duckdb":
+        h = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split(substr(md5({d.cast_str(key)}), 1, 8), ''), "
+            f"c -> CAST(CASE WHEN c >= '0' AND c <= '9' THEN ascii(c) - 48 "
+            f"ELSE ascii(c) - 87 END AS BIGINT))), (a, x) -> a * 16 + x)"
+        )
+    else:
+        h = (
+            f"CAST(conv(substr(md5({d.cast_str(key)}), 1, 8), 16, 10) AS BIGINT)"
+        )
+    u = f"(({h}) + 0.5) / 4294967296.0"
+    score = f"round(-ln({u}) / CAST({weight_col} AS DOUBLE), 6)"
+    return (
+        f"SELECT *, {score} AS race_score FROM ({table_sql}) "
+        f"WHERE {weight_col} IS NOT NULL AND {weight_col} > 0 "
+        f"ORDER BY race_score, {key} LIMIT {k}"
+    )

@@ -2580,6 +2580,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("bpe_segment_docs", _bpe_segment_q()),
         ("script_profile_docs", _script_profile_q()),
         ("retention_cohorts", _sql_q(RETENTION_SQL)),
+        ("weighted_sample_docs", _weighted_sample_q()),
         ("signup_purchase_funnel", _sql_q(FUNNEL_SQL)),
         ("embed_dup_pairs_banded", _embed_dup_pairs_banded_q()),
         ("dedup_index_append", _dedup_incremental_q(indexed=True, appended=True)),
@@ -4116,3 +4117,26 @@ SELECT CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_signup,
                  THEN s.user_id END) AS DOUBLE)
              / COUNT(DISTINCT s.user_id), 6) AS conversion_rate
 FROM s LEFT JOIN p ON p.user_id = s.user_id"""
+
+
+WS_K = 100
+
+
+def _weighted_sample_q() -> Q:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.weighted_sample_k): 100 documents drawn with
+    probability scaled by n_chars via the Efraimidis–Spirakis
+    exponential race over hash-derived uniforms — both engines compute
+    the same uniforms (md5-slice integer), the same race scores, and
+    the same top-k."""
+    from dar_spark.operators.sampling import weighted_sample_k, weighted_sample_k_sql
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        docs = parallelize(t["documents"]).select("doc_id", "n_chars")
+        return weighted_sample_k(docs, "doc_id", "n_chars", WS_K)
+
+    oracle = weighted_sample_k_sql(
+        DUCKDB, "SELECT doc_id, n_chars FROM documents", "doc_id", "n_chars", WS_K
+    )
+    return Q(spark_fn, oracle)

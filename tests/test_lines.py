@@ -355,3 +355,26 @@ def test_dominant_script_cases(spark):
     ).collect()}
     for t, want in cases:
         assert got[t] == want, (t, got[t], want)
+
+
+def test_weighted_sample_k_invariants(spark):
+    """Deterministic size-k sample, stable under repartitioning, zero
+    and NULL weights never sampled, and the weighting is real: in a
+    two-tier corpus the heavy tier wins far more slots than its row
+    share."""
+    from dar_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(1, 2001)]
+    rows += [(9001, 0.0), (9002, None)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample_k(df, "id", "w", 100)
+    got = out.collect()
+    assert len(got) == 100
+    ids = {r.id for r in got}
+    assert 9001 not in ids and 9002 not in ids
+    # heavy rows are 10% of the corpus but should take well over half
+    # the slots at a 100:1 weight ratio
+    heavy = sum(1 for r in got if r.id % 10 == 0)
+    assert heavy > 60, heavy
+    again = {r.id for r in weighted_sample_k(df.repartition(13), "id", "w", 100).collect()}
+    assert again == ids

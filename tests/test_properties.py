@@ -133,3 +133,51 @@ def test_hll_register_cross_engine(spark, values):
     dreg, drho = hll_register_sql(DUCKDB, "x")
     assert _spark_eval(spark, sreg, values) == _duck_eval(dreg, values)
     assert _spark_eval(spark, srho, values) == _duck_eval(drho, values)
+
+
+url_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(url_text, min_size=1, max_size=30))
+def test_url_normalize_cross_engine_and_idempotent(spark, values):
+    """url_normalize agrees across engines on arbitrary printable input
+    and is idempotent: a canonical URL canonicalizes to itself (the
+    property that makes url-level dedup keys stable)."""
+    from dar_spark.functions.url import url_normalize_sql
+
+    got_s = _spark_eval(spark, url_normalize_sql(SPARK, "x"), values)
+    got_d = _duck_eval(url_normalize_sql(DUCKDB, "x"), values)
+    assert got_s == got_d, f"engine divergence on {values!r}"
+    twice = _spark_eval(
+        spark,
+        url_normalize_sql(SPARK, url_normalize_sql(SPARK, "x")),
+        values,
+    )
+    assert twice == got_s, f"not idempotent on {values!r}"
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.text(max_size=30), min_size=1, max_size=30))
+def test_script_counts_cross_engine_on_unicode(spark, values):
+    """Script-class counts agree across engines on ARBITRARY unicode
+    (not just ASCII): literal-BMP-range classes must parse identically
+    in Java regex and RE2, and length() must count codepoints the same
+    way for every BMP input hypothesis generates."""
+    from dar_spark.functions.text import script_counts_sql
+
+    # surrogate-free: Spark length() counts UTF-16 units, DuckDB counts
+    # codepoints — astral chars (and lone surrogates hypothesis emits)
+    # differ by construction; the operators document BMP scope
+    values = [
+        "".join(c for c in v if ord(c) < 0xD800 or 0xE000 <= ord(c) <= 0xFFFF)
+        for v in values
+    ]
+    for name, n in script_counts_sql(SPARK, "x"):
+        got_s = _spark_eval(spark, n, values)
+        dn = dict(script_counts_sql(DUCKDB, "x"))[name]
+        got_d = _duck_eval(dn, values)
+        assert got_s == got_d, f"{name}: divergence on {values!r}"
