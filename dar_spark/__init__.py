@@ -72,6 +72,7 @@ __all__ = [
     "embedding_outliers",
     "source_overlap",
     "weighted_sample_k",
+    "cdc_chunk_documents",
 ]
 
 
@@ -100,8 +101,8 @@ def __getattr__(name):
         from dar_spark.functions.text import quality_filter
 
         return quality_filter
-    if name in ("chunk_documents", "redact_pii", "repetition_metrics",
-                "repetition_filter"):
+    if name in ("chunk_documents", "cdc_chunk_documents", "redact_pii",
+                "repetition_metrics", "repetition_filter"):
         from dar_spark.functions import text as _t
 
         return getattr(_t, name)

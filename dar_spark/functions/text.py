@@ -598,3 +598,105 @@ def dominant_script_sql(d, x: str) -> str:
         best = f"(CASE WHEN {n} >= {best_n} AND {n} > 0 THEN '{name}' ELSE {best} END)"
         best_n = f"(CASE WHEN {n} >= {best_n} THEN {n} ELSE {best_n} END)"
     return best
+
+
+# --- content-defined chunking ------------------------------------------
+
+
+CDC_MOD = 1000000007
+
+
+def cdc_chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask: int = 16,
+) -> DataFrame:
+    """Content-defined chunking at token granularity: a chunk boundary
+    falls AFTER every token whose deterministic hash is divisible by
+    ``mask`` — so boundaries are decided by content, not position, and
+    inserting or deleting a token disturbs only the chunk containing
+    the edit (all later chunks keep their text and their hashes).
+    That locality is what makes CDC the dedup-storage chunking (LBFS,
+    restic, borg): fixed windows (``chunk_dedup``) shift every
+    subsequent chunk after one insertion; CDC chunks re-align.
+
+    Expected chunk length is ``mask`` tokens (geometric).  The token
+    hash is the same exact-bigint polynomial used by
+    ``rolling_fingerprint`` — portable, engine-identical.
+
+    Scale shape: one narrow posexplode, a running boundary count as a
+    window partitioned BY DOCUMENT (per-doc ordering state, parallel
+    across docs), one groupBy(doc, chunk) reassembly ordered by
+    position.  Output: (id, chunk_id, chunk_text, n_tokens).
+    """
+    from pyspark.sql.window import Window
+
+    toks = f"split(trim(lower({text_col})), ' +')"
+    th = (
+        "aggregate(transform(split(_tok, '', -1), "
+        "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), "
+        f"(a, c) -> (a * 31 + c) % {CDC_MOD})"
+    )
+    pos = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.expr(toks)).alias("_p", "_tok"),
+        )
+        .withColumn("_b", F.expr(f"CAST(({th}) % {mask} = 0 AS INT)"))
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pos.withColumn(
+        "chunk_id", F.coalesce(F.sum("_b").over(w), F.lit(0)).cast("bigint")
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(_p, _tok))), s -> s._tok), ' ')"
+            ).alias("chunk_text"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+def cdc_chunk_oracle_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask: int = 16,
+) -> str:
+    """DuckDB twin of :func:`cdc_chunk_documents`."""
+    toks = f"regexp_split_to_array(trim(lower({text_col})), ' +')"
+    th = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(tok, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, c) -> (a * 31 + c) % {CDC_MOD})"
+    )
+    return f"""WITH src AS ({source_sql}),
+pos AS (
+  SELECT {id_col},
+         unnest(range(1, len({toks}) + 1)) AS p,
+         unnest({toks}) AS tok
+  FROM src
+), flagged AS (
+  SELECT {id_col}, p, tok,
+         CAST(({th}) % {mask} = 0 AS INT) AS b
+  FROM pos
+), chunked AS (
+  SELECT {id_col}, p, tok,
+         CAST(COALESCE(SUM(b) OVER (PARTITION BY {id_col} ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS chunk_id
+  FROM flagged
+)
+SELECT {id_col}, chunk_id,
+       string_agg(tok, ' ' ORDER BY p) AS chunk_text,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM chunked GROUP BY {id_col}, chunk_id"""

@@ -2581,6 +2581,7 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("script_profile_docs", _script_profile_q()),
         ("retention_cohorts", _sql_q(RETENTION_SQL)),
         ("weighted_sample_docs", _weighted_sample_q()),
+        ("cdc_chunk_docs", _cdc_chunk_q()),
         ("signup_purchase_funnel", _sql_q(FUNNEL_SQL)),
         ("embed_dup_pairs_banded", _embed_dup_pairs_banded_q()),
         ("dedup_index_append", _dedup_incremental_q(indexed=True, appended=True)),
@@ -4140,3 +4141,22 @@ def _weighted_sample_q() -> Q:
         DUCKDB, "SELECT doc_id, n_chars FROM documents", "doc_id", "n_chars", WS_K
     )
     return Q(spark_fn, oracle)
+
+
+def _cdc_chunk_q() -> Q:
+    """Content-defined chunking (functions/text.cdc_chunk_documents):
+    token-hash-decided boundaries, expected 16-token chunks; the oracle
+    recomputes the boundary flags, the per-doc running chunk index, and
+    the ordered reassembly relationally."""
+    from dar_spark.functions.text import cdc_chunk_documents, cdc_chunk_oracle_sql
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        return cdc_chunk_documents(
+            parallelize(t["documents"]).select("doc_id", "text")
+        )
+
+    return Q(
+        spark_fn,
+        cdc_chunk_oracle_sql("SELECT doc_id, text FROM documents"),
+    )

@@ -378,3 +378,33 @@ def test_weighted_sample_k_invariants(spark):
     assert heavy > 60, heavy
     again = {r.id for r in weighted_sample_k(df.repartition(13), "id", "w", 100).collect()}
     assert again == ids
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """THE content-defined property: inserting one token near the start
+    disturbs only the chunk containing the edit — every later chunk's
+    text survives verbatim.  Fixed windows cannot do this (all
+    subsequent windows shift)."""
+    from dar_spark.functions.text import cdc_chunk_documents
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu "
+            "one two three four five six seven eight nine ten")
+    edited = base.replace("alpha bravo", "alpha INSERTED bravo", 1)
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunk_documents(df, mask=4)
+    chunks = {1: [], 2: []}
+    for r in sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_id)):
+        chunks[r.doc_id].append(r.chunk_text)
+    shared = set(chunks[1]) & set(chunks[2])
+    only_base = set(chunks[1]) - set(chunks[2])
+    # all but the edited chunk must re-align: exactly one chunk of the
+    # base doc has no counterpart (the one that absorbed the insertion)
+    assert len(only_base) == 1, (only_base, chunks)
+    assert len(shared) >= len(chunks[1]) - 1
+    # reassembly is lossless
+    assert " ".join(chunks[1]) == base.lower()
+    assert " ".join(chunks[2]) == edited.lower()
