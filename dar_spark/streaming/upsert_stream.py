@@ -1,0 +1,96 @@
+"""Streaming upsert sink — a CDC/update stream merged into a parquet
+table per micro-batch.
+
+The pattern every warehouse-facing pipeline ends with: a stream of
+row-level updates (CDC events, dimension refreshes, profile rewrites)
+applied to a keyed table so the table always holds the LATEST row per
+key.  Structured Streaming has no MERGE sink for plain parquet; this
+wires ``foreachBatch`` to ``operators/merge.merge_upsert`` so streaming
+and batch upserts share one implementation and cannot drift.
+
+Replay semantics: ``foreachBatch`` is at-least-once — after a failure
+with a checkpoint the recovered micro-batch re-runs.  An upsert of the
+same rows is IDEMPOTENT by construction (the second application
+replaces the same keys with the same values), so no batch-id bookkeeping
+is needed — the property the batch-duplicate test pins.
+
+Within-batch ordering: a micro-batch may carry several updates for one
+key; MERGE semantics are undefined for duplicate keys, so the handler
+first collapses each key to its latest row by ``seq_col`` (event-time
+or CDC log sequence).  Ties on ``seq_col`` break deterministically by
+the remaining columns' max — but give real pipelines a real sequence
+column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def latest_per_key(
+    updates: DataFrame, key_cols: list[str], seq_col: str
+) -> DataFrame:
+    """Collapse an update batch to one row per key: the row with the
+    highest ``seq_col`` (ties broken by every other column descending,
+    so the result is deterministic for any input)."""
+    others = [c for c in updates.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in [seq_col] + [c for c in others if c != seq_col]]
+    )
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+
+
+def streaming_upsert(
+    updates_stream: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    seq_col: str,
+    checkpoint_dir: str | None = None,
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Start a stream that merges every micro-batch into the parquet
+    table at ``target_path`` (which must exist — seed it with the
+    initial snapshot).  Returns the StreamingQuery."""
+    if not target_path:
+        raise ValueError(
+            "target_path is required (a None target would only fail "
+            "inside the first micro-batch, after the query started)"
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from dar_spark.operators.merge import merge_upsert
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        latest = latest_per_key(batch_df, key_cols, seq_col)
+        # out-of-order guard: a later micro-batch can deliver an OLDER
+        # change for a key (cross-batch reordering is routine in CDC
+        # feeds); applying it would regress the table.  Only rows at or
+        # beyond the target's current sequence merge.
+        tgt = spark.read.parquet(target_path).select(
+            *key_cols, F.col(seq_col).alias("_tseq")
+        )
+        fresh = (
+            latest.join(tgt, key_cols, "left")
+            .filter(F.col("_tseq").isNull() | (F.col(seq_col) >= F.col("_tseq")))
+            .drop("_tseq")
+        )
+        if fresh.isEmpty():
+            return
+        merge_upsert(
+            spark, target_path, fresh, key_cols,
+            validate_unique=False,  # latest_per_key just guaranteed it
+        )
+
+    writer = updates_stream.writeStream.foreachBatch(handle).outputMode(
+        "append"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()

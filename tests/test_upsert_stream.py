@@ -1,0 +1,103 @@
+"""Streaming upsert sink: stream-merged table == batch merge; replaying
+the same batch is a no-op (idempotent upserts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dar_spark.session import load_tables
+from dar_spark.streaming.upsert_stream import latest_per_key, streaming_upsert
+from tests.conftest import SF_DIR
+
+import pytest
+
+
+def _snapshot_and_updates(spark):
+    """Seed table: one row per user (first event); updates: later
+    events rewriting value, several per user."""
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "user_id", "ts", "event_type", "value"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type", "value")
+    ranked = ev.withColumn("_rn", F.row_number().over(w))
+    seed = ranked.filter("_rn = 1").drop("_rn")
+    updates = ranked.filter("_rn > 1").drop("_rn")
+    return seed, updates
+
+
+def test_stream_upsert_equals_batch_merge(spark, tmp_path):
+    seed, updates = _snapshot_and_updates(spark)
+    target = str(tmp_path / "target")
+    seed.write.parquet(target)
+    src = str(tmp_path / "updates_src")
+    updates.write.parquet(src)
+
+    stream = spark.readStream.schema(updates.schema).parquet(src)
+    q = streaming_upsert(
+        stream, target, key_cols=["user_id"], seq_col="ts",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.user_id: (r.ts, r.event_type, r.value)
+        for r in spark.read.parquet(target).collect()
+    }
+    # expected: latest event per user overall (seed row only for
+    # single-event users)
+    expected = {
+        r.user_id: (r.ts, r.event_type, r.value)
+        for r in latest_per_key(
+            seed.unionByName(updates), ["user_id"], "ts"
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) == seed.count()
+
+
+def test_upsert_replay_is_idempotent(spark, tmp_path):
+    seed, updates = _snapshot_and_updates(spark)
+    target = str(tmp_path / "target")
+    seed.write.parquet(target)
+    batch = latest_per_key(updates, ["user_id"], "ts")
+
+    from dar_spark.operators.merge import merge_upsert
+
+    merge_upsert(spark, target, batch, ["user_id"], validate_unique=False)
+    once = sorted(map(tuple, spark.read.parquet(target).collect()))
+    # replay the SAME batch (at-least-once redelivery)
+    merge_upsert(spark, target, batch, ["user_id"], validate_unique=False)
+    twice = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert once == twice
+
+
+def test_streaming_upsert_requires_target(spark):
+    with pytest.raises(ValueError, match="target_path"):
+        streaming_upsert(None, "", ["k"], "ts")
+
+
+def test_out_of_order_batch_does_not_regress(spark, tmp_path):
+    """A later micro-batch delivering an OLDER change for a key must
+    not overwrite the newer row already in the table."""
+    from dar_spark.streaming.upsert_stream import streaming_upsert
+
+    target = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, 100, "new")], "k long, seq long, v string"
+    ).write.parquet(target)
+    # the stream delivers a STALE update (seq 50 < 100)
+    src = str(tmp_path / "late_src")
+    spark.createDataFrame(
+        [(1, 50, "stale"), (2, 10, "fresh-key")], "k long, seq long, v string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k long, seq long, v string").parquet(src)
+    q = streaming_upsert(
+        stream, target, key_cols=["k"], seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+    got = {r.k: (r.seq, r.v) for r in spark.read.parquet(target).collect()}
+    assert got[1] == (100, "new")       # stale update rejected
+    assert got[2] == (10, "fresh-key")  # unseen key inserted
