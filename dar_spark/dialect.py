@@ -164,6 +164,28 @@ class Dialect:
         op = "//" if self.name == "duckdb" else "DIV"
         return f"({x} {op} {y})"
 
+    def avg_6dp(self, dec_sum: str, count: str) -> str:
+        """Half-up 6-dp mean of an exact DECIMAL(…,6) sum over a count,
+        computed ENTIRELY in integer arithmetic — the engine-identical
+        replacement for ``round(CAST(sum AS DOUBLE) / count, 6)``.
+
+        The naive form diverges on decimal halves: e.g. 67.766590 / 20
+        = 3.3883295 exactly, whose nearest double lies just BELOW the
+        half — Spark's round (BigDecimal of the exact binary value)
+        rounds down while DuckDB's (shortest decimal re-presentation)
+        rounds up.  Six-dp sums divided by small counts land on such
+        halves SYSTEMATICALLY, not with float-noise probability.
+
+        Here: numerator n = sum·10⁶ (exact BIGINT), then
+        half-up(n/c) = (2n + c) intdiv (2c) for positive values, and
+        the final /10⁶ is a single exact-operand IEEE division —
+        identical in every engine.  Requires sum·10⁶ < 2⁶²/4 (|sum| <
+        ~2.3e12), ample for per-group aggregates; both operands must be
+        non-negative."""
+        n = f"CAST({dec_sum} * 1000000 AS BIGINT)"
+        half_up = self.int_div(f"(2 * {n} + {count})", f"(2 * {count})")
+        return f"(CAST({half_up} AS DOUBLE) / 1000000.0)"
+
 
 SPARK = Dialect("spark")
 DUCKDB = Dialect("duckdb")

@@ -31,6 +31,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dar_spark.dialect import SPARK
+
+
+def _avg6(d, dec_sum: str, count: str = "COUNT(*)") -> str:
+    """Engine-identical half-up 6-dp mean (see Dialect.avg_6dp)."""
+    return d.avg_6dp(dec_sum, count)
+
 
 def pr_curve(
     df: DataFrame,
@@ -240,14 +247,16 @@ def calibration_bins(
         .groupBy("_b")
         .agg(
             F.count("*").alias("n"),
-            # order-independent mean (docs/ORACLE.md §2): scores are
-            # rounded then summed exactly as DECIMAL; pos_rate is an
-            # integer-sum ratio, exact in both engines by construction
+            # order-independent, half-up-exact mean (docs/ORACLE.md §2 +
+            # Dialect.avg_6dp): scores are rounded then summed exactly
+            # as DECIMAL, and the /count runs in integer arithmetic so
+            # decimal-half quotients round identically in both engines
             F.expr(
-                "round(CAST(SUM(CAST(round(_s, 6) AS DECIMAL(18,8))) "
-                "AS DOUBLE) / COUNT(*), 6)"
+                _avg6(SPARK, "SUM(CAST(round(_s, 6) AS DECIMAL(18,6)))")
             ).alias("mean_score"),
-            F.round(F.avg("_y"), 6).alias("pos_rate"),
+            F.expr(
+                _avg6(SPARK, "SUM(CAST(_y AS DECIMAL(18,6)))")
+            ).alias("pos_rate"),
         )
         .select(
             F.round(F.col("_b").cast("double") / n_bins, 6).alias("bin_lo"),
@@ -264,11 +273,16 @@ def calibration_oracle_sql(
         f"least(CAST(floor(greatest(least({score}, 1.0), 0.0) * {n_bins}) "
         f"AS INT), {n_bins - 1})"
     )
+    from dar_spark.dialect import DUCKDB
+
+    ms = _avg6(
+        DUCKDB,
+        f"SUM(CAST(round(CAST({score} AS DOUBLE), 6) AS DECIMAL(18,6)))",
+    )
+    pr = _avg6(DUCKDB, f"SUM(CAST(CAST({label} AS INT) AS DECIMAL(18,6)))")
     return f"""WITH src AS ({source_sql})
 SELECT round(CAST({b} AS DOUBLE) / {n_bins}, 6) AS bin_lo,
        CAST(COUNT(*) AS BIGINT) AS n,
-       round(CAST(SUM(CAST(round(CAST({score} AS DOUBLE), 6)
-                           AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
-         AS mean_score,
-       round(AVG(CAST({label} AS INT)), 6) AS pos_rate
+       {ms} AS mean_score,
+       {pr} AS pos_rate
 FROM src GROUP BY 1"""

@@ -131,10 +131,12 @@ def embedding_outliers(
 
     Centroid means follow the repo's order-independent-sum discipline
     (docs/ORACLE.md §2): components are rounded to 6 dp, summed EXACTLY
-    as DECIMAL (association-free), and divided once — so Spark and the
-    DuckDB oracle compute bit-identical centroids by construction, not
-    by rounding luck.  The cosine itself is the same left fold both
-    engines use throughout the similarity family.
+    as DECIMAL (association-free), and the mean is the half-up INTEGER
+    division of ``Dialect.avg_6dp`` — so Spark and the DuckDB oracle
+    compute bit-identical centroids by construction, including on
+    decimal-half quotients where engine round() disagrees.  The cosine
+    itself is the same left fold both engines use throughout the
+    similarity family.
 
     Output: (id, group, cos_centroid, is_outlier).
     """
@@ -146,12 +148,24 @@ def embedding_outliers(
     dims = e.select(
         group_col, F.posexplode("_v").alias("_d", "_x")
     )
+    from dar_spark.dialect import SPARK as _SPK
+
     cent = (
         dims.groupBy(group_col, "_d")
         .agg(
+            # half-up integer mean (Dialect.avg_6dp) — decimal-half
+            # quotients would otherwise round differently per engine.
+            # avg_6dp requires non-negative operands; components are
+            # shifted into [0, 2] (unit-norm-ish embeddings are within
+            # [-1, 1]) and the shift subtracted after: the +1 moves the
+            # integer numerator by exactly 10^6 * count, which shifts
+            # the half-up quotient by exactly 10^6 — lossless.
             F.expr(
-                "round(CAST(SUM(CAST(round(_x, 6) AS DECIMAL(18,8))) AS DOUBLE)"
-                " / COUNT(*), 6)"
+                "("
+                + _SPK.avg_6dp(
+                    "SUM(CAST(round(_x, 6) + 1 AS DECIMAL(18,6)))", "COUNT(*)"
+                )
+                + " - 1.0)"
             ).alias("_m")
         )
         .groupBy(group_col)
@@ -192,6 +206,11 @@ def embedding_outliers_oracle_sql(
             f"(a, x) -> a + x)"
         )
 
+    from dar_spark.dialect import DUCKDB as _DK
+
+    _DUCK_AVG6 = _DK.avg_6dp(
+        "SUM(CAST(round(x, 6) + 1 AS DECIMAL(18,6)))", "COUNT(*)"
+    )
     cos_prods = "list_transform(generate_series(1, len(v)), i -> v[i] * c[i])"
     return f"""WITH e AS (
   SELECT {id_col}, {group_col},
@@ -205,8 +224,7 @@ def embedding_outliers_oracle_sql(
 ), cent AS (
   SELECT {group_col}, list(m ORDER BY d) AS c
   FROM (SELECT {group_col}, d,
-               round(CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,8))) AS DOUBLE)
-                     / COUNT(*), 6) AS m
+               ({_DUCK_AVG6} - 1.0) AS m
         FROM dims GROUP BY 1, 2)
   GROUP BY 1
 )

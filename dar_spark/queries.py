@@ -2840,7 +2840,7 @@ def _lm_perplexity_q() -> Q:
         t = load_tables(spark, sf_dir)
         return lm_perplexity(parallelize(t["documents"]), "doc_id", "text")
 
-    oracle = """WITH w AS (
+    oracle = f"""WITH w AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
   WHERE len(string_split(lower(text), ' ')) >= 2
 ), bg AS (
@@ -2860,7 +2860,7 @@ def _lm_perplexity_q() -> Q:
   FROM bg JOIN cb USING (prev, cur) JOIN cu USING (prev) CROSS JOIN vv
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-  round(CAST(SUM(CAST(nll AS DECIMAL(28, 6))) AS DOUBLE) / count(*), 6) AS avg_nll
+  {DUCKDB.avg_6dp("SUM(CAST(nll AS DECIMAL(28, 6)))", "count(*)")} AS avg_nll
 FROM s GROUP BY doc_id"""
     return Q(spark_fn, oracle, headline=True)
 
