@@ -73,6 +73,7 @@ __all__ = [
     "source_overlap",
     "weighted_sample_k",
     "cdc_chunk_documents",
+    "key_skew_report",
 ]
 
 
@@ -135,10 +136,10 @@ def __getattr__(name):
         from dar_spark.functions import text as _t2
 
         return getattr(_t2, name)
-    if name == "hll_distinct":
-        from dar_spark.operators.sketch import hll_distinct
+    if name in ("hll_distinct", "key_skew_report"):
+        from dar_spark.operators import sketch as _sk
 
-        return hll_distinct
+        return getattr(_sk, name)
     if name == "normalize_text":
         from dar_spark.operators.normalize import normalize_text
 

@@ -244,3 +244,47 @@ def hll_distinct_by(
             f"round(abs({corrected} - n_exact) / n_exact, 4) AS rel_error",
         )
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostics: the ``top_n`` heaviest keys
+    with their share of all rows and the ratio to a uniform key's
+    expected share — the numbers that decide between a plain shuffle
+    join, AQE skew handling, and the salted join
+    (``operators/joins.salted_join``).  Run it BEFORE the join that
+    might need saving.
+
+    Output per heavy key: (key_value, n_rows, row_share, skew_factor)
+    where skew_factor = n_rows / (total / distinct_keys) — 1.0 means
+    perfectly uniform, 100 means this key is 100x a fair share.
+
+    Scale: one groupBy on the key (the same shuffle the candidate join
+    would do — but aggregated, so the output is distinct-key-sized, and
+    the heavy hitters survive any partial-aggregate pushdown), one
+    1-row total/distinct aggregate joined broadcast, top-n via
+    TakeOrderedAndProject.
+    """
+    counts = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
+        F.count("*").alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count("*").alias("_distinct"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key_value",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("row_share"),
+            F.round(
+                F.col("n_rows") / (F.col("_total") / F.col("_distinct")), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n_rows"), "key_value")
+        .limit(top_n)
+    )

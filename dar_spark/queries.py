@@ -2582,6 +2582,9 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("retention_cohorts", _sql_q(RETENTION_SQL)),
         ("weighted_sample_docs", _weighted_sample_q()),
         ("cdc_chunk_docs", _cdc_chunk_q()),
+        ("key_skew_events", _key_skew_q()),
+        ("activity_gaps", _sql_q(ACTIVITY_GAPS_SQL)),
+        ("event_type_pivot", _sql_q(EVENT_PIVOT_SQL)),
         ("signup_purchase_funnel", _sql_q(FUNNEL_SQL)),
         ("embed_dup_pairs_banded", _embed_dup_pairs_banded_q()),
         ("dedup_index_append", _dedup_incremental_q(indexed=True, appended=True)),
@@ -4160,3 +4163,52 @@ def _cdc_chunk_q() -> Q:
         spark_fn,
         cdc_chunk_oracle_sql("SELECT doc_id, text FROM documents"),
     )
+
+
+def _key_skew_q() -> Q:
+    """Shuffle-key skew diagnostics (operators/sketch.key_skew_report)
+    over the events user_id — the pre-join report that decides between
+    plain shuffle, AQE skew handling, and the salted join."""
+    from dar_spark.operators.sketch import key_skew_report
+
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        return key_skew_report(parallelize(t["events"]), "user_id", top_n=10)
+
+    oracle = """WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key_value, COUNT(*) AS n_rows
+  FROM events GROUP BY 1
+), totals AS (
+  SELECT SUM(n_rows) AS _total, COUNT(*) AS _distinct FROM counts
+)
+SELECT key_value, CAST(n_rows AS BIGINT) AS n_rows,
+       round(CAST(n_rows AS DOUBLE) / _total, 6) AS row_share,
+       round(CAST(n_rows AS DOUBLE) / (CAST(_total AS DOUBLE) / _distinct), 6)
+         AS skew_factor
+FROM counts CROSS JOIN totals
+ORDER BY n_rows DESC, key_value LIMIT 10"""
+    return Q(spark_fn, oracle)
+
+
+# Inactivity gaps: per user, the silences longer than a day between
+# consecutive events — the sessionization complement (where sessions
+# END), dialect-neutral window SQL.
+ACTIVITY_GAPS_SQL = """WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id, prev_ts AS gap_start, ts AS gap_end
+FROM o
+WHERE prev_ts IS NOT NULL AND ts > prev_ts + INTERVAL 1 DAY"""
+
+# event_type x week count matrix via conditional aggregation — the
+# engine-portable PIVOT (Spark's pivot() and DuckDB's PIVOT differ
+# syntactically; SUM(CASE) is identical in both).
+EVENT_PIVOT_SQL = """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY CAST(date_trunc('week', ts) AS DATE)"""
