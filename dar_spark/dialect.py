@@ -164,6 +164,17 @@ class Dialect:
         op = "//" if self.name == "duckdb" else "DIV"
         return f"({x} {op} {y})"
 
+    def trim_ascii(self, x: str) -> str:
+        """Strip ASCII spaces only — engine-identical, unlike bare
+        ``trim()``: DuckDB's trim strips ALL unicode whitespace (U+00A0
+        non-breaking space included — ubiquitous in web text as &nbsp;)
+        while Spark's strips only ' '.  Treating NBSP as content is the
+        deliberate choice for text pipelines (it IS content); deep
+        cross-engine fuzz caught the bare-trim divergence."""
+        if self.name == "duckdb":
+            return f"trim({x}, ' ')"
+        return f"trim({x})"
+
     def avg_6dp(self, dec_sum: str, count: str) -> str:
         """Half-up 6-dp mean of an exact DECIMAL(…,6) sum over a count,
         computed ENTIRELY in integer arithmetic — the engine-identical

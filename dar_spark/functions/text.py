@@ -247,7 +247,7 @@ def clean_text_sql(d, x: str) -> str:
                     ("&nbsp;", " "), ("&amp;", "&")]:
         out = f"replace({out}, '{ent}', '{ch}')"
     out = d.re_replace(out, "[ \t]+", " ")           # whitespace runs
-    return f"trim({out})"
+    return d.trim_ascii(out)
 
 
 def clean_text(text_col: str) -> Column:
@@ -677,7 +677,7 @@ def cdc_chunk_oracle_sql(
     mask: int = 16,
 ) -> str:
     """DuckDB twin of :func:`cdc_chunk_documents`."""
-    toks = f"regexp_split_to_array(trim(lower({text_col})), ' +')"
+    toks = f"regexp_split_to_array(trim(lower({text_col}), ' '), ' +')"
     th = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(string_split(tok, ''), "

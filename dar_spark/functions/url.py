@@ -44,7 +44,7 @@ _SCHEME = "^[hH][tT][tT][pP][sS]?://"
 
 def url_normalize_sql(d: Dialect, x: str) -> str:
     """Canonical URL per the module contract, as one nested expression."""
-    t = d.re_replace(f"trim({x})", _SCHEME, "")
+    t = d.re_replace(d.trim_ascii(x), _SCHEME, "")
     t = d.re_replace(t, "#.*$", "")
     t = d.re_replace(t, "[?].*$", "")
     # authority = up to the first '/', lowercased, www-stripped; the path

@@ -88,7 +88,7 @@ def ngram_novelty_oracle_sql(
     source_sql: str, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> str:
     """DuckDB twin of :func:`ngram_novelty` over ``source_sql``."""
-    toks = f"regexp_split_to_array(trim(lower({text_col})), ' +')"
+    toks = f"regexp_split_to_array(trim(lower({text_col}), ' '), ' +')"
     return f"""WITH src AS ({source_sql}),
 grams AS (
   SELECT DISTINCT {id_col},
@@ -307,7 +307,7 @@ def source_overlap_sql(
     source_sql: str, group_col: str = "source", text_col: str = "text", n: int = 3
 ) -> str:
     """DuckDB twin of :func:`source_overlap`."""
-    toks = f"regexp_split_to_array(trim(lower({text_col})), ' +')"
+    toks = f"regexp_split_to_array(trim(lower({text_col}), ' '), ' +')"
     return f"""WITH src AS ({source_sql}),
 grams AS (
   SELECT DISTINCT {group_col} AS g,

@@ -522,7 +522,7 @@ def _quality_filter_q() -> Q:
 
     d = DUCKDB
     toks = d.split_lit("lower(text)", " ")
-    n_tok = f"len(string_split(trim(text), ' '))"
+    n_tok = f"len(string_split(trim(text, ' '), ' '))"
     n_uniq = d.arr_len(d.arr_distinct(toks))
     n_stop = d.arr_len(d.arr_filter(toks, "w -> w IN ('the', 'a')"))
     q = (
@@ -933,7 +933,7 @@ def _fingerprint_q() -> Q:
 
     return Q(
         spark_fn,
-        "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
+        "SELECT doc_id, md5(lower(trim(text, ' '))) AS fingerprint FROM documents",
     )
 
 
@@ -1036,7 +1036,7 @@ def _bpe_token_count_q() -> Q:
         )
 
     oracle = f"""SELECT doc_id,
-  len(string_split(trim(text), ' ')) AS ws_tokens,
+  len(string_split(trim(text, ' '), ' ')) AS ws_tokens,
   len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens
 FROM documents"""
     return Q(spark_fn, oracle)
@@ -2136,7 +2136,7 @@ def _fuzzy_state_join_q() -> Q:
 
     values = ", ".join(f"('{n.lower()}')" for n in STATE_NAMES)
     oracle = f"""WITH base AS (
-  SELECT o_orderkey AS row_id, lower(trim({gen})) AS x FROM orders
+  SELECT o_orderkey AS row_id, lower(trim({gen}, ' ')) AS x FROM orders
 ), names(name) AS (VALUES {values})
 SELECT row_id, x, name, CAST(levenshtein(x, name) AS INT) AS dist
 FROM base CROSS JOIN names
@@ -2261,7 +2261,7 @@ def _pack_sequences_q() -> Q:
     b = hash_bucket_sql(DUCKDB, "doc_id", PACK_BUCKETS)
     oracle = f"""WITH base AS (
   SELECT doc_id, {b} AS bucket,
-         len(string_split(trim(text), ' ')) AS n_tokens
+         len(string_split(trim(text, ' '), ' ')) AS n_tokens
   FROM documents WHERE text IS NOT NULL
 ), c AS (
   SELECT doc_id, bucket, n_tokens,
@@ -2310,7 +2310,7 @@ def _token_budget_sample_q() -> Q:
     budget = f"CASE source {cases} ELSE CAST({TOKEN_BUDGET_DEFAULT} AS BIGINT) END"
     oracle = f"""WITH base AS (
   SELECT doc_id, source,
-         len(string_split(trim(text), ' ')) AS n_tokens,
+         len(string_split(trim(text, ' '), ' ')) AS n_tokens,
          {ordh} AS ord
   FROM documents WHERE text IS NOT NULL
 ), c AS (
@@ -3629,7 +3629,7 @@ rawlines AS (
   -- parallel unnests of equal length zip in DuckDB: ordinal + line
   SELECT doc_id,
          unnest(range(0, len(l))) AS line_no,
-         trim(unnest(l)) AS line
+         trim(unnest(l), ' ') AS line
   FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM lined)
 ), lines AS (
   SELECT * FROM rawlines WHERE line <> ''
