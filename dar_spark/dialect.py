@@ -164,6 +164,13 @@ class Dialect:
         op = "//" if self.name == "duckdb" else "DIV"
         return f"({x} {op} {y})"
 
+    def shl(self, x: str, n: str) -> str:
+        """Integer left shift (BIGINT): exact powers of two without
+        trusting libm pow()."""
+        if self.name == "duckdb":
+            return f"({x} << ({n}))"
+        return f"shiftleft({x}, {n})"
+
     def trim_ascii(self, x: str) -> str:
         """Strip ASCII spaces only — engine-identical, unlike bare
         ``trim()``: DuckDB's trim strips ALL unicode whitespace (U+00A0
@@ -195,6 +202,25 @@ class Dialect:
         non-negative."""
         n = f"CAST({dec_sum} * 1000000 AS BIGINT)"
         half_up = self.int_div(f"(2 * {n} + {count})", f"(2 * {count})")
+        return f"(CAST({half_up} AS DOUBLE) / 1000000.0)"
+
+    def ratio_6dp(self, num: str, den: str) -> str:
+        """Half-up 6-dp ratio of two NON-NEGATIVE integer expressions,
+        entirely in integer arithmetic — the ``avg_6dp`` shape
+        generalized to arbitrary integer numerator/denominator, for
+        precision/recall/share/rate columns.
+
+        ``round(CAST(num AS DOUBLE) / den, 6)`` is the same
+        decimal-half trap as the naive mean: an integer quotient whose
+        exact decimal expansion terminates in 5 at the 7th digit is not
+        binary-exact, so Spark (BigDecimal of the double) and DuckDB
+        (shortest-repr) round opposite ways.  Here
+        half_up(10^6·num/den) = (2·10^6·num + den) intdiv (2·den), and
+        the final /10^6 is one exact-operand IEEE division.  Requires
+        num < ~4.6e12 (2·10⁶·num + den < 2⁶³) and den > 0."""
+        n = f"(CAST({num} AS BIGINT) * 1000000)"
+        d = f"CAST({den} AS BIGINT)"
+        half_up = self.int_div(f"(2 * {n} + {d})", f"(2 * {d})")
         return f"(CAST({half_up} AS DOUBLE) / 1000000.0)"
 
 

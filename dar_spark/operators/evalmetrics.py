@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dar_spark.dialect import SPARK
+from dar_spark.dialect import DUCKDB, SPARK
 
 
 def _avg6(d, dec_sum: str, count: str = "COUNT(*)") -> str:
@@ -88,8 +88,12 @@ def pr_curve(
             F.round(F.col("_b").cast("double") / n_bins, 6).alias("threshold"),
             "n_ge",
             "tp",
-            F.round(F.col("tp") / F.col("n_ge"), 6).alias("precision"),
-            F.round(F.col("tp") / F.col("_all_pos"), 6).alias("recall"),
+            # integer half-up ratios (Dialect.ratio_6dp): tp/n_ge with
+            # an odd tp can terminate in 5 at the 7th decimal, where
+            # engine round() diverges (threshold = _b/n_bins is safe —
+            # it terminates within 6 decimals for any _b)
+            F.expr(SPARK.ratio_6dp("tp", "n_ge")).alias("precision"),
+            F.expr(SPARK.ratio_6dp("tp", "_all_pos")).alias("recall"),
         )
     )
 
@@ -120,8 +124,8 @@ buckets AS (
 SELECT round(CAST(_b AS DOUBLE) / {n_bins}, 6) AS threshold,
        CAST(n_ge AS BIGINT) AS n_ge,
        CAST(tp AS BIGINT) AS tp,
-       round(CAST(tp AS DOUBLE) / n_ge, 6) AS precision,
-       round(CAST(tp AS DOUBLE) / _all_pos, 6) AS recall
+       {DUCKDB.ratio_6dp("tp", "n_ge")} AS precision,
+       {DUCKDB.ratio_6dp("tp", "_all_pos")} AS recall
 FROM cum"""
 
 
@@ -241,7 +245,14 @@ def calibration_bins(
     return (
         df.select(
             b.alias("_b"),
-            F.col(score_col).cast("double").alias("_s"),
+            # same [0,1] clamp as the bucket assignment: an out-of-range
+            # score must not drag mean_score outside its bucket's range,
+            # and a negative score would violate avg_6dp's non-negative
+            # operand precondition
+            F.greatest(
+                F.least(F.col(score_col).cast("double"), F.lit(1.0)),
+                F.lit(0.0),
+            ).alias("_s"),
             lab.alias("_y"),
         )
         .groupBy("_b")
@@ -273,11 +284,10 @@ def calibration_oracle_sql(
         f"least(CAST(floor(greatest(least({score}, 1.0), 0.0) * {n_bins}) "
         f"AS INT), {n_bins - 1})"
     )
-    from dar_spark.dialect import DUCKDB
-
+    clamped = f"greatest(least(CAST({score} AS DOUBLE), 1.0), 0.0)"
     ms = _avg6(
         DUCKDB,
-        f"SUM(CAST(round(CAST({score} AS DOUBLE), 6) AS DECIMAL(18,6)))",
+        f"SUM(CAST(round({clamped}, 6) AS DECIMAL(18,6)))",
     )
     pr = _avg6(DUCKDB, f"SUM(CAST(CAST({label} AS INT) AS DECIMAL(18,6)))")
     return f"""WITH src AS ({source_sql})

@@ -80,10 +80,22 @@ def line_dedup(
     counts = lines.groupBy("_k").agg(
         F.countDistinct(id_col).alias("_n_docs")
     )
-    # persist the (small) boilerplate key set: the size probe below and
-    # the anti-join both consume it, and without the cache each would
-    # re-run the full explode + groupBy lineage over the corpus
-    boiler = counts.filter(F.col("_n_docs") > max_docs).select("_k").persist()
+    # materialize the (small) boilerplate key set ONCE: the size probe
+    # below and the anti-join both consume it, and without this each
+    # would re-run the full explode + groupBy lineage over the corpus.
+    # localCheckpoint (not persist): persist() registers in the
+    # CacheManager and the blocks would outlive the returned DataFrame
+    # for the application's lifetime unless the caller unpersists;
+    # localCheckpoint blocks are reclaimed by the ContextCleaner when
+    # the DataFrame is garbage-collected.  Caveat (documented Spark
+    # semantics): localCheckpoint output is non-replicated, so an
+    # executor loss mid-job forces recomputation failure rather than
+    # lineage replay — acceptable for this small derived set.
+    boiler = (
+        counts.filter(F.col("_n_docs") > max_docs)
+        .select("_k")
+        .localCheckpoint(eager=True)
+    )
 
     n_boiler = boiler.limit(broadcast_threshold + 1).count()
     if n_boiler <= broadcast_threshold:

@@ -28,6 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dar_spark.dialect import DUCKDB as _DK
+from dar_spark.dialect import SPARK as _SPK
+
 
 def ngram_novelty(
     df: DataFrame,
@@ -77,7 +80,10 @@ def ngram_novelty(
             id_col,
             "n_shingles",
             F.col("n_novel").cast("bigint").alias("n_novel"),
-            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+            # integer half-up ratio (Dialect.ratio_6dp): quotients
+            # terminating in 5 at the 7th decimal round differently in
+            # Spark vs DuckDB under the naive round(CAST/div, 6)
+            F.expr(_SPK.ratio_6dp("n_novel", "n_shingles")).alias(
                 "novelty_frac"
             ),
         )
@@ -102,7 +108,7 @@ grams AS (
 SELECT g.{id_col},
        CAST(COUNT(*) AS BIGINT) AS n_shingles,
        CAST(SUM(CAST(f._n_docs = 1 AS INT)) AS BIGINT) AS n_novel,
-       round(CAST(SUM(CAST(f._n_docs = 1 AS INT)) AS DOUBLE) / COUNT(*), 6)
+       {_DK.ratio_6dp("SUM(CAST(f._n_docs = 1 AS INT))", "COUNT(*)")}
          AS novelty_frac
 FROM grams g JOIN freq f USING (_k)
 GROUP BY g.{id_col}"""
@@ -148,22 +154,24 @@ def embedding_outliers(
     dims = e.select(
         group_col, F.posexplode("_v").alias("_d", "_x")
     )
-    from dar_spark.dialect import SPARK as _SPK
-
     cent = (
         dims.groupBy(group_col, "_d")
         .agg(
             # half-up integer mean (Dialect.avg_6dp) — decimal-half
             # quotients would otherwise round differently per engine.
             # avg_6dp requires non-negative operands; components are
-            # shifted into [0, 2] (unit-norm-ish embeddings are within
-            # [-1, 1]) and the shift subtracted after: the +1 moves the
-            # integer numerator by exactly 10^6 * count, which shifts
-            # the half-up quotient by exactly 10^6 — lossless.
+            # CLAMPED to [-1, 1] (unit-norm embeddings already are;
+            # the clamp makes the precondition a guarantee instead of
+            # an assumption about the input) then shifted into [0, 2]
+            # and the shift subtracted after: the +1 moves the integer
+            # numerator by exactly 10^6 * count, which shifts the
+            # half-up quotient by exactly 10^6 — lossless.
             F.expr(
                 "("
                 + _SPK.avg_6dp(
-                    "SUM(CAST(round(_x, 6) + 1 AS DECIMAL(18,6)))", "COUNT(*)"
+                    "SUM(CAST(round(greatest(least(_x, 1D), -1D), 6) + 1 "
+                    "AS DECIMAL(18,6)))",
+                    "COUNT(*)",
                 )
                 + " - 1.0)"
             ).alias("_m")
@@ -206,10 +214,10 @@ def embedding_outliers_oracle_sql(
             f"(a, x) -> a + x)"
         )
 
-    from dar_spark.dialect import DUCKDB as _DK
-
     _DUCK_AVG6 = _DK.avg_6dp(
-        "SUM(CAST(round(x, 6) + 1 AS DECIMAL(18,6)))", "COUNT(*)"
+        "SUM(CAST(round(greatest(least(x, CAST(1 AS DOUBLE)), "
+        "CAST(-1 AS DOUBLE)), 6) + 1 AS DECIMAL(18,6)))",
+        "COUNT(*)",
     )
     cos_prods = "list_transform(generate_series(1, len(v)), i -> v[i] * c[i])"
     return f"""WITH e AS (
@@ -296,8 +304,9 @@ def source_overlap(
             "group_a",
             "group_b",
             "n_shared",
-            F.round(
-                F.col("n_shared") / F.least("_sa", "_sb"), 6
+            # integer half-up ratio — see novelty_frac above
+            F.expr(
+                _SPK.ratio_6dp("n_shared", "least(_sa, _sb)")
             ).alias("overlap_coef"),
         )
     )
@@ -324,7 +333,7 @@ grams AS (
   GROUP BY 1, 2
 )
 SELECT group_a, group_b, CAST(n_shared AS BIGINT) AS n_shared,
-       round(CAST(n_shared AS DOUBLE) / least(sa.sz, sb.sz), 6) AS overlap_coef
+       {_DK.ratio_6dp("n_shared", "least(sa.sz, sb.sz)")} AS overlap_coef
 FROM inter
 JOIN sizes sa ON sa.g = inter.group_a
 JOIN sizes sb ON sb.g = inter.group_b"""

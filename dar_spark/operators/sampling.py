@@ -26,17 +26,7 @@ N_BUCKETS = 10000
 def hash_bucket_sql(d: Dialect, key: str, n_buckets: int = N_BUCKETS) -> str:
     """Uniform bucket in [0, n): first 8 hex chars of md5(key) mod n —
     portable across Spark and DuckDB (same trick as the MinHash slices)."""
-    if d.name == "duckdb":
-        h = f"CAST(('0x' || substr(md5({d.cast_str(key)}), 1, 8)) AS BIGINT)"
-        # DuckDB lacks hex-string casts pre-1.1; use a portable fold instead
-        h = (
-            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform(string_split(substr(md5({d.cast_str(key)}), 1, 8), ''), "
-            f"c -> CAST(CASE WHEN c >= '0' AND c <= '9' THEN ascii(c) - 48 "
-            f"ELSE ascii(c) - 87 END AS BIGINT))), (a, x) -> a * 16 + x)"
-        )
-    else:
-        h = f"CAST(conv(substr(md5({d.cast_str(key)}), 1, 8), 16, 10) AS BIGINT)"
+    h = _hex32_sql(d, key)
     return f"(({h}) % {n_buckets})"
 
 
@@ -266,6 +256,65 @@ def group_sample_k_sql(
     )
 
 
+# --- deterministic exponential race (Efraimidis–Spirakis) ------------
+# race score = -ln(u)/w from the hash-derived uniform u = (2h+1)/2^33.
+# ln() is NOT portable: JVM Math.log and DuckDB's libm log are each
+# within 1 ulp but neither is correctly rounded, and a 1-ulp
+# disagreement landing near the top-k cutoff flips sample membership
+# between engines.  So ln is computed with ARITHMETIC ONLY — IEEE
+# +,-,*,/ are correctly rounded, hence bit-identical across engines:
+#
+#   n  = 2h+1 (odd, < 2^33);  bit length bl via bin() (exact string op)
+#   m  = n / 2^(bl-1) ∈ [1,2)          (exact dyadic double)
+#   ln m = 2z(1 + z²/3 + z⁴/5 + … + z¹²/13),  z = (m-1)/(m+1) ≤ 1/3
+#   -ln u = (34-bl)·ln2 − ln m          (ln2: shared decimal literal)
+#
+# Series truncation error < 5e-9 — it perturbs arrival times (sampling
+# statistics) negligibly, and parity needs only that both engines
+# compute the SAME function, which pure arithmetic guarantees.  The
+# score is emitted UNROUNDED — with a deterministic score there is
+# nothing for a final round() to absorb, only 7th-digit-half divergence
+# for it to introduce.
+_LN2 = "0.6931471805599453"
+_LNM_SERIES = (
+    "(2.0 * _z * (1.0 + _z2 * (0.3333333333333333 + _z2 * (0.2 + "
+    "_z2 * (0.14285714285714285 + _z2 * (0.1111111111111111 + "
+    "_z2 * (0.09090909090909091 + _z2 * 0.07692307692307693)))))))"
+)
+_RACE_HELPERS = ("_n", "_bl", "_m", "_z", "_z2")
+
+
+def _hex32_sql(d: Dialect, key: str) -> str:
+    """First 8 hex chars of md5(key) as a BIGINT in [0, 2^32)."""
+    if d.name == "duckdb":
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split(substr(md5({d.cast_str(key)}), 1, 8), ''), "
+            f"c -> CAST(CASE WHEN c >= '0' AND c <= '9' THEN ascii(c) - 48 "
+            f"ELSE ascii(c) - 87 END AS BIGINT))), (a, x) -> a * 16 + x)"
+        )
+    return f"CAST(conv(substr(md5({d.cast_str(key)}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _race_layers(d: Dialect, key: str, weight_col: str) -> list[tuple[str, str]]:
+    """(column, expression) layers for the deterministic race score;
+    each layer may reference earlier ones, so the md5 hash and the
+    series argument are evaluated once per row, not once per term."""
+    pow2 = d.shl("CAST(1 AS BIGINT)", "(_bl - 1)")
+    return [
+        ("_n", f"(2 * ({_hex32_sql(d, key)}) + 1)"),
+        ("_bl", "length(bin(_n))"),
+        ("_m", f"(CAST(_n AS DOUBLE) / CAST({pow2} AS DOUBLE))"),
+        ("_z", "((_m - 1.0) / (_m + 1.0))"),
+        ("_z2", "(_z * _z)"),
+        (
+            "race_score",
+            f"(((34 - _bl) * {_LN2} - {_LNM_SERIES}) "
+            f"/ CAST({weight_col} AS DOUBLE))",
+        ),
+    ]
+
+
 def weighted_sample_k(
     df: DataFrame,
     key: str,
@@ -281,52 +330,39 @@ def weighted_sample_k(
     quality-weighted corpus subsample ("keep 1M docs, favor high
     quality") without ``rand()``'s partition-dependence.
 
+    ``ln`` is evaluated by a fixed arithmetic-only series (see module
+    comment above) so the score is bit-identical across engines — libm
+    ``ln`` differs by 1 ulp between JVM and DuckDB, which can flip
+    membership exactly at the top-k cutoff.
+
     Rows with weight <= 0 or NULL are excluded (they can never win a
-    weighted race).  Ties in the rounded race score break by ``key``.
+    weighted race).  Ties in the race score break by ``key``.
 
     Scale shape: the race score is a pure projection; global top-k by
     ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each
     partition keeps its local k, the driver merges partition winners —
     no global sort, no single-task window.
 
-    Output: input columns + ``race_score`` (6 dp).
+    Output: input columns + ``race_score`` (unrounded DOUBLE).
     """
-    h = (
-        f"CAST(conv(substr(md5(CAST({key} AS STRING)), 1, 8), 16, 10) "
-        f"AS BIGINT)"
-    )
-    u = f"(({h}) + 0.5) / 4294967296.0"
-    score = (
-        f"round(-ln({u}) / CAST({weight_col} AS DOUBLE), 6)"
-    )
-    return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn("race_score", F.expr(score))
-        .orderBy("race_score", key)
-        .limit(k)
-    )
+    out = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    for name, expr in _race_layers(SPARK, key, weight_col):
+        out = out.withColumn(name, F.expr(expr))
+    return out.drop(*_RACE_HELPERS).orderBy("race_score", key).limit(k)
 
 
 def weighted_sample_k_sql(
     d: Dialect, table_sql: str, key: str, weight_col: str, k: int
 ) -> str:
     """Oracle twin of :func:`weighted_sample_k` — same hash-uniform,
-    same exponential race, same rounded tie-break."""
-    if d.name == "duckdb":
-        h = (
-            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform(string_split(substr(md5({d.cast_str(key)}), 1, 8), ''), "
-            f"c -> CAST(CASE WHEN c >= '0' AND c <= '9' THEN ascii(c) - 48 "
-            f"ELSE ascii(c) - 87 END AS BIGINT))), (a, x) -> a * 16 + x)"
-        )
-    else:
-        h = (
-            f"CAST(conv(substr(md5({d.cast_str(key)}), 1, 8), 16, 10) AS BIGINT)"
-        )
-    u = f"(({h}) + 0.5) / 4294967296.0"
-    score = f"round(-ln({u}) / CAST({weight_col} AS DOUBLE), 6)"
+    same arithmetic-only exponential race, same tie-break."""
+    q = f"({table_sql})"
+    for name, expr in _race_layers(d, key, weight_col):
+        q = f"(SELECT *, {expr} AS {name} FROM {q})"
+    exclude_kw = "EXCLUDE" if d.name == "duckdb" else "EXCEPT"
+    helpers = ", ".join(_RACE_HELPERS)
     return (
-        f"SELECT *, {score} AS race_score FROM ({table_sql}) "
+        f"SELECT * {exclude_kw} ({helpers}) FROM {q} "
         f"WHERE {weight_col} IS NOT NULL AND {weight_col} > 0 "
         f"ORDER BY race_score, {key} LIMIT {k}"
     )

@@ -259,7 +259,7 @@ def key_skew_report(
     might need saving.
 
     Output per heavy key: (key_value, n_rows, row_share, skew_factor)
-    where skew_factor = n_rows / (total / distinct_keys) — 1.0 means
+    where skew_factor = (n_rows · distinct_keys) / total — 1.0 means
     perfectly uniform, 100 means this key is 100x a fair share.
 
     Scale: one groupBy on the key (the same shuffle the candidate join
@@ -280,9 +280,18 @@ def key_skew_report(
         .select(
             "key_value",
             "n_rows",
-            F.round(F.col("n_rows") / F.col("_total"), 6).alias("row_share"),
-            F.round(
-                F.col("n_rows") / (F.col("_total") / F.col("_distinct")), 6
+            # row_share: integer half-up ratio (Dialect.ratio_6dp) —
+            # the naive round(CAST/div, 6) diverges across engines on
+            # 7th-digit decimal halves.  skew_factor's numerator is a
+            # PRODUCT (n_rows·distinct) that can exceed ratio_6dp's
+            # BIGINT bound at scale, so it is emitted as the UNROUNDED
+            # IEEE expression (n_rows·distinct)/total instead: every
+            # double op is correctly rounded, so the bits are
+            # engine-identical without any final round() to diverge.
+            F.expr(SPARK.ratio_6dp("n_rows", "_total")).alias("row_share"),
+            F.expr(
+                "(CAST(n_rows AS DOUBLE) * CAST(_distinct AS DOUBLE))"
+                " / CAST(_total AS DOUBLE)"
             ).alias("skew_factor"),
         )
         .orderBy(F.desc("n_rows"), "key_value")

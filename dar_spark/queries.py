@@ -4106,6 +4106,11 @@ GROUP BY cohort.cw, ue.w"""
 
 # Conversion funnel: of users whose first signup is at s_ts, how many
 # purchase within 7 days — the A-then-B-within-T sequence question.
+# conversion_rate is the UNROUNDED IEEE quotient: every double op is
+# correctly rounded so both engines produce identical bits, whereas a
+# final round(x, 6) diverges on 7th-digit decimal halves (and the
+# dialect-neutral single-SQL-string form here cannot use the
+# dialect-split integer intdiv of Dialect.ratio_6dp).
 FUNNEL_SQL = """WITH s AS (
   SELECT user_id, MIN(ts) AS s_ts FROM events
   WHERE event_type = 'signup' GROUP BY user_id
@@ -4116,10 +4121,10 @@ SELECT CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_signup,
        CAST(COUNT(DISTINCT CASE WHEN p.ts >= s.s_ts
                  AND p.ts <= s.s_ts + INTERVAL 7 DAY
                  THEN s.user_id END) AS BIGINT) AS n_converted,
-       round(CAST(COUNT(DISTINCT CASE WHEN p.ts >= s.s_ts
+       CAST(COUNT(DISTINCT CASE WHEN p.ts >= s.s_ts
                  AND p.ts <= s.s_ts + INTERVAL 7 DAY
                  THEN s.user_id END) AS DOUBLE)
-             / COUNT(DISTINCT s.user_id), 6) AS conversion_rate
+             / CAST(COUNT(DISTINCT s.user_id) AS DOUBLE) AS conversion_rate
 FROM s LEFT JOIN p ON p.user_id = s.user_id"""
 
 
@@ -4175,16 +4180,16 @@ def _key_skew_q() -> Q:
         t = load_tables(spark, sf_dir)
         return key_skew_report(parallelize(t["events"]), "user_id", top_n=10)
 
-    oracle = """WITH counts AS (
+    oracle = f"""WITH counts AS (
   SELECT CAST(user_id AS VARCHAR) AS key_value, COUNT(*) AS n_rows
   FROM events GROUP BY 1
 ), totals AS (
   SELECT SUM(n_rows) AS _total, COUNT(*) AS _distinct FROM counts
 )
 SELECT key_value, CAST(n_rows AS BIGINT) AS n_rows,
-       round(CAST(n_rows AS DOUBLE) / _total, 6) AS row_share,
-       round(CAST(n_rows AS DOUBLE) / (CAST(_total AS DOUBLE) / _distinct), 6)
-         AS skew_factor
+       {DUCKDB.ratio_6dp("n_rows", "_total")} AS row_share,
+       (CAST(n_rows AS DOUBLE) * CAST(_distinct AS DOUBLE))
+         / CAST(_total AS DOUBLE) AS skew_factor
 FROM counts CROSS JOIN totals
 ORDER BY n_rows DESC, key_value LIMIT 10"""
     return Q(spark_fn, oracle)
