@@ -139,7 +139,18 @@ def phone_v1_status(d: Dialect, x: str) -> str:
     exhaustively in tests/test_phone_v1.py against the same public
     metadata); for thirteen Caribbean/territory codes with stricter
     exchange plans the model is a documented superset
-    (tests/test_phone_v1.py::TERRITORY_VARIANTS)."""
+    (tests/test_phone_v1.py::TERRITORY_VARIANTS).
+
+    SCOPE: the expression model is +1 (NANP) ONLY.  The reference's
+    ``phonenumbers.parse(x, None)`` (phone-number-v1.py:88) validates
+    any country, so a well-formed NON-NANP number — '+442071838750',
+    '+33 1 40 22 33 44' — is status 1 there but status 5 here (the
+    shape check passes, the 10-digit NANP check fails).  The divergence
+    is pinned per class in tests/test_phone_v1.py (international
+    corpus: testgen.dirty_phone_intl, registry query
+    ``phone_v1_intl_profile``); full library semantics require the
+    Arrow path in functions/phone_lib.py (phonenumbers not installable
+    in this container)."""
     v0 = phone_status(d, x)
     c = phone_clean(d, x)
     return f"""CASE

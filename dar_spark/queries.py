@@ -1887,7 +1887,13 @@ def build_registry() -> dict[str, Q]:
     """
     r: dict[str, Q] = {}
 
-    # -- 0. new this round (r5) ---------------------------------------------
+    # -- 0. never externally checked + new this round (r6) ------------------
+    for name, q in _never_checked_queries():
+        r[name] = q
+    for name, q in _round6_queries():
+        r[name] = q
+
+    # -- 0a. checked green once in r05 --------------------------------------
     for name, q in _round5_queries():
         r[name] = q
 
@@ -2614,8 +2620,40 @@ def _round5_queries() -> list[tuple[str, Q]]:
         ("snapshot_diff_orders", _snapshot_diff_q()),
         ("merge_upsert_orders", _merge_upsert_q()),
         ("scd2_user_events", _scd2_q()),
+    ]
+
+
+def _never_checked_queries() -> list[tuple[str, Q]]:
+    """The only registry entries with no external CORRECTNESS row yet:
+    registered in r5 but cut by the 50-entry check window (they landed
+    at positions 50-51).  FIRST in the registry until a driver check
+    records them green."""
+    return [
         ("hll_users_by_event_type", _hll_by_group_q()),
         ("quality_tiers_sampled", _quality_tiers_sampled_q()),
+    ]
+
+
+def _phone_v1_intl_q() -> Q:
+    """phone_v1 over a NON-NANP corpus — the documented scope limit of
+    the expression model.  validators.phone_v1_status is exact for +1
+    only; the reference's phonenumbers path (phone-number-v1.py:88,
+    ``parse(x, None)``) validates any country, so a well-formed
+    international like '+442071838750' is 1 there and 5 here.  This
+    query pins the MODEL's statuses cross-engine (both emitters produce
+    the same 5s); the model-vs-library divergence table is asserted in
+    tests/test_phone_v1.py (import-gated on phonenumbers)."""
+    return _profile_pair(
+        "phone_v1_intl_profile", "orders", K_ORDERS,
+        testgen.dirty_phone_intl, V.phone_v1_status, V.phone_v1_normalized,
+    )
+
+
+def _round6_queries() -> list[tuple[str, Q]]:
+    """Queries added in round 6 — right after the never-checked pair so
+    they land inside the external verification window."""
+    return [
+        ("phone_v1_intl_profile", _phone_v1_intl_q()),
     ]
 
 

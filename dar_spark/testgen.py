@@ -34,6 +34,29 @@ def dirty_phone(k: str) -> str:
 END"""
 
 
+def dirty_phone_intl(k: str) -> str:
+    """Non-NANP ``+CC`` mix for the phone_v1 international-scope pin.
+
+    The expression model (validators.phone_v1_status) is exact for +1
+    ONLY; the reference's library path (phonenumbers.parse(x, None) at
+    phone-number-v1.py:88) validates any country.  Classes 0-3 are
+    library-VALID internationals (UK London, FR Paris, AU Sydney, JP
+    Tokyo) — the model classifies all of them 5; classes 4-5 are
+    library-invalid internationals (agree at 5/3-vs-5); classes 6-7 are
+    NANP controls (exact agreement).  The full divergence table is
+    asserted in tests/test_phone_v1.py."""
+    return f"""CASE ({k}) % 8
+  WHEN 0 THEN '+44 20 7' || printf('%03d %04d', ({k}) % 1000, ({k}) % 10000)
+  WHEN 1 THEN '+33 1 ' || printf('%02d %02d %02d %02d', 40 + ({k}) % 60, ({k}) % 100, ({k}) % 100, ({k}) % 100)
+  WHEN 2 THEN '+61 2 ' || printf('%04d %04d', 8000 + ({k}) % 2000, ({k}) % 10000)
+  WHEN 3 THEN '+81 3 ' || printf('%04d %04d', 3000 + ({k}) % 4000, ({k}) % 10000)
+  WHEN 4 THEN '+44 20 ' || printf('%02d', ({k}) % 100)
+  WHEN 5 THEN '+999 ' || printf('%03d %04d', ({k}) % 1000, ({k}) % 10000)
+  WHEN 6 THEN '+1 ' || printf('(212) 555-%04d', 1000 + ({k}) % 9000)
+  ELSE '+1 ' || printf('(%03d) 555-%04d', 100 + ({k}) % 100, ({k}) % 10000)
+END"""
+
+
 def dirty_state(k: str) -> str:
     return f"""CASE ({k}) % 12
   WHEN 0 THEN 'New York'

@@ -154,6 +154,76 @@ def test_v1_statuses(spark, value, expected):
     assert row.s == expected, f"{value!r}: got {row.s}, want {expected}"
 
 
+# international (non-NANP) scope pin -----------------------------------------
+#
+# The expression model is +1-exact ONLY; the reference's library path
+# (phonenumbers.parse(x, None), phone-number-v1.py:88) validates any
+# country.  Per generator class of testgen.dirty_phone_intl:
+#
+#   class  corpus                      model  library   divergence
+#   0      +44 20 7xxx xxxx (London)     5       1      model under-accepts
+#   1      +33 1 xx xx xx xx (Paris)     5       1      model under-accepts
+#   2      +61 2 8xxx xxxx (Sydney)      5       1      model under-accepts
+#   3      +81 3 3xxx xxxx (Tokyo)       5       1      model under-accepts
+#   4      +44 20 xx (too short)         5       5      agree
+#   5      +999 xxx xxxx (bad CC)        5       3      model 5, library 3
+#   6      +1 (212) 555-xxxx             1       1      agree (NANP)
+#   7      +1 (1xx) 555-xxxx             5       5      agree (NANP invalid)
+#
+# "library" = the reference flow as ported in phone_lib._classify_series
+# (try raw, then +1-, then +-prefixed parse; 1 if any candidate is
+# valid, else 5 if any parsed, else 3).
+EXPECTED_INTL = {
+    0: (5, 1), 1: (5, 1), 2: (5, 1), 3: (5, 1),
+    4: (5, 5), 5: (5, 3), 6: (1, 1), 7: (5, 5),
+}
+
+
+def _lib_status(pn, s: str) -> int:
+    """The reference v1 flow (mirrors phone_lib._classify_series)."""
+    status = 3
+    for cand in (s, "+1" + s, "+" + s):
+        try:
+            n = pn.parse(cand, None)
+        except pn.NumberParseException:
+            continue
+        if pn.is_valid_number(n):
+            return 1
+        status = 5
+    return status
+
+
+def test_intl_divergence_pinned():
+    """Every class of the international corpus produces exactly the
+    documented (model, library) status pair — the model side always
+    (cross-engine via DuckDB here, Spark-vs-DuckDB via the
+    phone_v1_intl_profile parity query), the library side whenever the
+    public phonenumbers package is importable."""
+    import duckdb
+
+    from dar_spark import testgen
+
+    pn = _phonenumbers()
+    rows = duckdb.sql(
+        f"SELECT k % 8 AS cls, x, ({V.phone_v1_status(DUCKDB, 'x')}) AS s "
+        f"FROM (SELECT k, ({testgen.dirty_phone_intl('k')}) AS x "
+        f"FROM (SELECT unnest(range(0, 64)) AS k))"
+    ).fetchall()
+    assert len(rows) == 64
+    for cls, x, model_status in rows:
+        want_model, want_lib = EXPECTED_INTL[cls]
+        assert model_status == want_model, (
+            f"class {cls} {x!r}: model={model_status}, want {want_model}"
+        )
+        if pn is not None:
+            lib = _lib_status(pn, x)
+            assert lib == want_lib, (
+                f"class {cls} {x!r}: library={lib}, want {want_lib}"
+            )
+    if pn is None:  # pragma: no cover - container-dependent
+        pytest.skip("phonenumbers not importable: library column not verified")
+
+
 def test_v1_spark_duckdb_agree(spark):
     import duckdb
 
