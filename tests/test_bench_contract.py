@@ -24,8 +24,17 @@ def test_bench_emits_driver_contract_json():
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     assert len(lines) == 1, f"expected exactly one JSON line, got {len(lines)}"
     payload = json.loads(lines[-1])
-    assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(payload) == {
+        "metric", "value", "unit", "queries", "sf",
+        "calibration_seconds", "queries_normalized", "value_normalized",
+    }
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
     assert payload["value"] > 0
     assert len(payload["queries"]) >= 10
     assert all(isinstance(v, (int, float)) for v in payload["queries"].values())
+    # calibration: a fixed codegen scan on the same boot; normalized
+    # figures are timing / calibration so cross-round comparison can
+    # divide out box-level noise
+    assert payload["calibration_seconds"] > 0
+    assert set(payload["queries_normalized"]) == set(payload["queries"])
+    assert payload["value_normalized"] > 0
