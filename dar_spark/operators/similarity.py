@@ -16,6 +16,8 @@ All expression-level — no UDFs, no ml.feature randomness.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -116,7 +118,7 @@ def _flip_bit(bucket: Column, pos: int, n_planes: int = N_PLANES) -> Column:
 
 
 def quantizer_fit_input(
-    ml: DataFrame, id_col: str, fit_sample_max: int
+    ml: DataFrame, id_col: str, fit_sample_max: int, n: int | None = None
 ) -> DataFrame:
     """Bounded training set for the IVF coarse quantizer.
 
@@ -130,7 +132,8 @@ def quantizer_fit_input(
     """
     from dar_spark.operators.sampling import N_BUCKETS, deterministic_sample
 
-    n = ml.count()
+    if n is None:
+        n = ml.count()
     if n <= fit_sample_max:
         return ml
     # Bucket granularity must grow with the corpus: at the default
@@ -145,14 +148,37 @@ def quantizer_fit_input(
     )
 
 
+def ivf_autoscale(n: int) -> tuple[int, int]:
+    """Default (n_lists, n_probe) for a corpus of ``n`` vectors.
+
+    n_lists ≈ √N (the FAISS IVF sizing rule): a FIXED list count stops
+    scaling — 16 lists over a 100× corpus means every probe scans 6% of
+    ALL vectors, so per-query cost grows linearly with the corpus.
+    √N lists keeps both the centroid table and the per-list scan at
+    O(√N).  Clamped to ≥16 (probe selectivity floor for tiny corpora)
+    and ≤ n/8 (at least ~8 vectors per list, or k-means fragments).
+
+    n_probe ≈ √n_lists = N^(1/4): scanned fraction n_probe/n_lists
+    ≈ n_lists^(-1/2) shrinks as the corpus grows — constant-ish recall
+    on clustered data at sublinear probe cost.  Floor 2 so small
+    corpora always multiprobe.
+    """
+    if n <= 0:
+        return 1, 1
+    isq = int(math.isqrt(n))
+    n_lists = max(1, min(max(16, isq), max(1, n // 8)))
+    n_probe = max(2, int(math.isqrt(n_lists)))
+    return n_lists, min(n_probe, n_lists)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     id_col: str,
     vec_col: str,
     query_pred: str,
     k: int = 5,
-    n_lists: int = 16,
-    n_probe: int = 2,
+    n_lists: int | None = None,
+    n_probe: int | None = None,
     seed: int = 42,
     fit_sample_max: int = 100_000,
 ) -> DataFrame:
@@ -161,6 +187,10 @@ def ivf_topk(
     probes its ``n_probe`` nearest centroids and ranks candidates by exact
     cosine.  The scan per query drops from N to ~N·n_probe/n_lists — the
     FAISS IVF-Flat recipe expressed as DataFrame ops.
+
+    ``n_lists``/``n_probe`` default to :func:`ivf_autoscale` (√N lists,
+    N^(1/4) probes) so the index keeps its sublinear probe cost as the
+    corpus grows; pass explicit values to pin a configuration.
 
     The quantizer fits on at most ``fit_sample_max`` vectors (see
     ``quantizer_fit_input``) — the full corpus is only ever scanned by
@@ -171,8 +201,15 @@ def ivf_topk(
 
     e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
     ml = e.withColumn("_feat", array_to_vector("_v"))
+    n = ml.count() if (n_lists is None or n_probe is None) else None
+    if n_lists is None:
+        n_lists, auto_probe = ivf_autoscale(n)
+        if n_probe is None:
+            n_probe = auto_probe
+    elif n_probe is None:
+        n_probe = max(2, int(math.isqrt(n_lists)))
     km = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="_list")
-    model = km.fit(quantizer_fit_input(ml, id_col, fit_sample_max))
+    model = km.fit(quantizer_fit_input(ml, id_col, fit_sample_max, n=n))
     assigned = model.transform(ml).select(id_col, "_v", "_nrm", "_list")
 
     centers = model.clusterCenters()

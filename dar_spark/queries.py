@@ -1772,21 +1772,34 @@ def _embed_ivf_topk_q() -> Q:
     them, and emits one row (n_queries, k, avg_recall_ok).  DuckDB
     independently derives n_queries/k from the data and asserts the
     bound held, so a broken quantizer, probe join, or ranking flips the
-    hash.  Measured avg recall: 0.82 at sf0.001, 0.96 at sf0.01 with
-    n_probe={IVF_N_PROBE}/16 lists — bound {IVF_RECALL_BOUND} leaves
-    margin for centroid jitter."""
+    hash.
+
+    n_lists is AUTOSCALED (similarity.ivf_autoscale, ≈√N) so probe cost
+    stays sublinear as the corpus grows; n_probe here is the
+    max({IVF_N_PROBE}, n_lists/4) fraction because the fixture vectors
+    are near-random — the adversarial case for IVF (no cluster
+    structure to exploit), where recall is bought only by probe
+    fraction.  Measured avg recall (seeded k-means → deterministic per
+    sf): 0.78 at sf0.001 (22 lists / 6 probes), 0.74 at sf0.01, 0.815
+    at sf0.1 (44 lists / 11 probes) — bound {IVF_RECALL_BOUND}."""
 
     def spark_fn(spark, sf_dir):
-        from dar_spark.operators.similarity import brute_force_topk, ivf_topk
+        from dar_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_autoscale,
+            ivf_topk,
+        )
 
         t = load_tables(spark, sf_dir)
         pred = f"vec_id % {TOPK_QUERY_STRIDE} = 0"
+        n_lists, _ = ivf_autoscale(t["embeddings"].count())
         bf = brute_force_topk(
             t["embeddings"], "vec_id", "embedding", pred, k=TOPK_K
         ).select("query_id", "neighbor_id")
         iv = ivf_topk(
             t["embeddings"], "vec_id", "embedding", pred,
-            k=TOPK_K, n_probe=IVF_N_PROBE,
+            k=TOPK_K, n_lists=n_lists,
+            n_probe=max(IVF_N_PROBE, n_lists // 4),
         ).select("query_id", "neighbor_id")
         hits = bf.join(iv, ["query_id", "neighbor_id"], "left_semi")
         per_q = (
