@@ -73,3 +73,63 @@ def salted_join(
     ).withColumn(lcol, F.explode("_salts")).drop("_salts")
     out = l.join(r, on=[key, lcol], how=how).drop(lcol)
     return out
+
+
+def decide_join_strategy(
+    probe: DataFrame,
+    key: str,
+    skew_threshold: float = 8.0,
+    min_hot_rows: int = 1_000_000,
+):
+    """Measure, then decide: run ``sketch.key_skew_report`` on the probe
+    (large/skewed) side and salt only when the heaviest key is heavy
+    BOTH relatively (``skew_factor`` = its rows vs a uniform key's fair
+    share) and absolutely (``n_rows`` — a hot key that still fits one
+    task comfortably is cheaper to leave to AQE's skew splitting than to
+    pay the right side's ×n_salts replication).
+
+    Returns ``(salt: bool, top_row | None)`` — the report row travels
+    back so callers can log WHY the decision fell the way it did.
+
+    Cost: one aggregate over the probe side — the same shuffle width the
+    candidate join would pay, aggregated down to distinct-key size.
+    """
+    from dar_spark.operators.sketch import key_skew_report
+
+    top = key_skew_report(probe, key, top_n=1).collect()
+    if not top:
+        return False, None
+    r = top[0]
+    return (
+        r.skew_factor >= skew_threshold and r.n_rows >= min_hot_rows
+    ), r
+
+
+def join_skew_safe(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    n_salts: int = 16,
+    skew_threshold: float = 8.0,
+    min_hot_rows: int = 1_000_000,
+) -> DataFrame:
+    """The diagnostics→remedy wiring: ``key_skew_report`` decides,
+    ``salted_join`` (or a plain equi-join) executes.  Results are
+    IDENTICAL either way — the salt is only a co-key that scatters hot
+    rows across tasks — so the choice is purely a physical one, and the
+    oracle query (``skew_safe_join_events``) pins both paths to the
+    same value hash.
+
+    ``how`` is restricted to the salted-join-safe kinds when salting
+    triggers (inner/left family); see :func:`salted_join`.  Thresholds:
+    ``skew_threshold`` is the relative bar (heaviest key ≥ this many
+    fair shares), ``min_hot_rows`` the absolute one — defaults target
+    cluster scale, so small-fixture tests pass explicit values.
+    """
+    salt, _top = decide_join_strategy(
+        left, key, skew_threshold=skew_threshold, min_hot_rows=min_hot_rows
+    )
+    if salt:
+        return salted_join(left, right, key, how=how, n_salts=n_salts)
+    return left.join(right, on=key, how=how)

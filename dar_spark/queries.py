@@ -2662,11 +2662,50 @@ def _phone_v1_intl_q() -> Q:
     )
 
 
+SKEWED_UK = "(CASE WHEN user_id % 10 < 3 THEN -1 ELSE user_id END)"
+
+
+def _skew_safe_join_q() -> Q:
+    """Diagnostics-driven skew join (operators/joins.join_skew_safe):
+    a synthetic hot key (~30% of events collapse onto uk = -1, skew
+    factor ≈ 30 vs threshold 8) forces the salted path, and the oracle
+    is the PLAIN SQL join — identical value hashes prove the salt is
+    physical-only.  Fixture-scaled min_hot_rows; the production default
+    (1M rows) leaves sub-task-sized hot keys to AQE."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.joins import join_skew_safe
+
+        t = load_tables(spark, sf_dir)
+        ev = parallelize(t["events"]).selectExpr(
+            "event_id", f"{SKEWED_UK} AS uk"
+        )
+        dims = ev.groupBy("uk").agg(F.count(F.lit(1)).alias("n_ev"))
+        return join_skew_safe(
+            ev, dims, "uk", skew_threshold=8.0, min_hot_rows=1
+        ).select(
+            "event_id",
+            F.col("uk").cast("bigint").alias("uk"),
+            F.col("n_ev").cast("bigint").alias("n_ev"),
+        )
+
+    oracle = f"""WITH ev AS (
+  SELECT event_id, {SKEWED_UK} AS uk FROM events
+), dims AS (
+  SELECT uk, COUNT(*) AS n_ev FROM ev GROUP BY uk
+)
+SELECT ev.event_id, CAST(ev.uk AS BIGINT) AS uk,
+       CAST(dims.n_ev AS BIGINT) AS n_ev
+FROM ev JOIN dims ON ev.uk = dims.uk"""
+    return Q(spark_fn, oracle)
+
+
 def _round6_queries() -> list[tuple[str, Q]]:
     """Queries added in round 6 — right after the never-checked pair so
     they land inside the external verification window."""
     return [
         ("phone_v1_intl_profile", _phone_v1_intl_q()),
+        ("skew_safe_join_events", _skew_safe_join_q()),
     ]
 
 

@@ -50,6 +50,43 @@ def test_salted_join_matches_plain_join(spark):
     assert len(salted) > 1500  # the hot key actually joined
 
 
+def test_join_skew_safe_decision_and_equivalence(spark):
+    """The diagnostics→remedy wiring: a skewed key trips the salted
+    path, a uniform key stays on the plain join, and both produce the
+    plain join's exact result set."""
+    from dar_spark.operators.joins import decide_join_strategy, join_skew_safe
+
+    skewed = spark.range(0, 2000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 1 ELSE id END AS k", "id AS v"
+    )
+    uniform = spark.range(0, 2000).selectExpr("id % 100 AS k", "id AS v")
+    right = spark.createDataFrame(
+        [(1, "hot"), (15, "cold"), (25, "cold"), (7, "cold")],
+        "k long, label string",
+    )
+
+    salt, top = decide_join_strategy(skewed, "k", min_hot_rows=1)
+    assert salt and top.key_value == "1" and top.skew_factor > 8
+    salt_u, _ = decide_join_strategy(uniform, "k", min_hot_rows=1)
+    assert not salt_u
+
+    plain = {(r.k, r.v, r.label) for r in skewed.join(right, "k").collect()}
+    safe_df = join_skew_safe(skewed, right, "k", min_hot_rows=1)
+    assert {(r.k, r.v, r.label) for r in safe_df.collect()} == plain
+    # the skewed input really took the salted plan: the replicated right
+    # side's salt explode is in the physical plan
+    plan = safe_df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, "skewed input did not take the salted path"
+    plan_u = (
+        join_skew_safe(uniform, right, "k", min_hot_rows=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_salt" not in plan_u, "uniform input paid the salt replication"
+    # production absolute bar: a 1800-row hot key is not worth salting
+    salt_abs, _ = decide_join_strategy(skewed, "k")
+    assert not salt_abs
+
+
 def test_salted_join_spreads_hot_key(spark):
     left = spark.range(0, 1000).selectExpr("CAST(1 AS BIGINT) AS k", "id AS v")
     right = spark.createDataFrame([(1, "x")], "k long, label string")
