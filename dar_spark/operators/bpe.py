@@ -78,7 +78,13 @@ def train_bpe(
     n_merges: int = 10,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the merge
-    list in training order.  Stops early when no adjacent pair repeats."""
+    list in training order.  Stops early when no adjacent pair repeats.
+
+    Driver-paced: one aggregate + one argmax collect per merge, so the
+    practical ceiling is a few hundred merges; for real vocabularies
+    (8k-32k) use :func:`train_bpe_batched` — the same merge list
+    (equality pinned in tests/test_bpe.py) at up to ``batch_k``× fewer
+    rounds."""
     words = _word_table(df, text_col).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -104,6 +110,100 @@ def train_bpe(
         words = words.selectExpr(
             f"{_merge_expr('syms', a, b)} AS syms", "freq"
         ).localCheckpoint(eager=True)
+    return merges
+
+
+def train_bpe_batched(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    batch_k: int = 8,
+) -> list[tuple[str, str]]:
+    """:func:`train_bpe` with up to ``batch_k`` merges accepted per
+    distributed round — same merge list, ~k× fewer driver round-trips.
+
+    ``train_bpe`` is driver-paced: one pair-count aggregate + one
+    argmax collect PER MERGE, so a 32k-vocab run is 32k Spark jobs.
+    This variant accepts a PREFIX of the global top candidates per
+    round, guarded so the result provably equals the sequential merge
+    list (pinned in tests/test_bpe.py):
+
+    - candidates are the global top-``batch_k`` pairs in sequential
+      order (count desc, then lexicographic);
+    - a candidate is accepted only if symbol-disjoint from every merge
+      already accepted this round (disjoint merges leave each other's
+      pair counts invariant);
+    - its count must strictly exceed every previously-accepted merge's
+      NEW-PAIR BOUND: merging (a,b) can only create pairs (x,ab) /
+      (ab,y), whose counts are bounded by the current counts of (x,a) /
+      (b,y) — so ``NB = max over x,y of those counts`` (one tiny extra
+      aggregate per round) caps what the sequential argmax could see
+      next.  Strict ``>`` dodges the lexicographic tie-break;
+    - acceptance stops at the FIRST rejection (prefix property): every
+      pair outside the accepted prefix has count ≤ the last accepted
+      merge, invariant or reduced by it — so the sequential argmax
+      after each accepted merge is exactly the next accepted one.
+
+    Worst case (every top pair chains into the next, e.g. a single
+    repeated character) the batch degrades to size 1 and the cost
+    equals ``train_bpe``; typical text accepts 4-8 per round.
+    """
+    words = _word_table(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        pairs = (
+            words.filter("size(syms) >= 2")
+            .selectExpr(
+                "freq",
+                "explode(transform(sequence(1, size(syms) - 1), "
+                "i -> struct(element_at(syms, i) AS a, "
+                "element_at(syms, i + 1) AS b))) AS p",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+        ).localCheckpoint(eager=True)
+        top = (
+            pairs.orderBy(F.desc("n"), "a", "b")
+            .limit(min(batch_k, n_merges - len(merges)))
+            .collect()
+        )
+        top = [r for r in top if r.n >= 2]
+        if not top:
+            break
+        # new-pair bounds for the candidates' boundary symbols, one
+        # bounded aggregate: max n over pairs flowing INTO each a
+        # (b = a_cand) and OUT OF each b (a = b_cand)
+        a_set = [r.a for r in top]
+        b_set = [r.b for r in top]
+        max_in = {
+            r.b: r.m
+            for r in pairs.filter(F.col("b").isin(a_set))
+            .groupBy("b").agg(F.max("n").alias("m")).collect()
+        }
+        max_out = {
+            r.a: r.m
+            for r in pairs.filter(F.col("a").isin(b_set))
+            .groupBy("a").agg(F.max("n").alias("m")).collect()
+        }
+        accepted: list[tuple[str, str]] = []
+        used: set[str] = set()
+        nb_cap = 0
+        for r in top:
+            sym = {r.a, r.b, r.a + r.b}
+            if accepted and (sym & used or r.n <= nb_cap):
+                break
+            accepted.append((r.a, r.b))
+            used |= sym
+            nb_cap = max(
+                nb_cap, max_in.get(r.a, 0), max_out.get(r.b, 0)
+            )
+        merges.extend(accepted)
+        src = "syms"
+        for a, b in accepted:
+            src = _merge_expr(src, a, b)
+        words = words.selectExpr(f"{src} AS syms", "freq").localCheckpoint(
+            eager=True
+        )
     return merges
 
 

@@ -3379,10 +3379,13 @@ def _bpe_merges_q() -> Q:
     identical on both sides."""
 
     def spark_fn(spark, sf_dir):
-        from dar_spark.operators.bpe import train_bpe
+        from dar_spark.operators.bpe import train_bpe_batched
 
         t = load_tables(spark, sf_dir)
-        merges = train_bpe(
+        # batched trainer: provably the sequential merge list
+        # (tests/test_bpe.py pins equality) at ~batch_k× fewer driver
+        # round-trips
+        merges = train_bpe_batched(
             parallelize(t["documents"]), "text", n_merges=BPE_MERGES
         )
         return spark.createDataFrame(

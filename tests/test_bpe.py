@@ -75,6 +75,43 @@ def test_train_bpe_matches_reference_on_fixture(spark):
     assert got == want, f"\nspark: {got}\nref:   {want}"
 
 
+def test_train_bpe_batched_equals_sequential_crafted(spark):
+    """Merge-list equality, batched vs sequential, on corpora that
+    exercise both acceptance (disjoint frequent pairs) and the
+    conservative fallback (chaining pairs)."""
+    from dar_spark.operators.bpe import train_bpe_batched
+
+    corpora = [
+        ["low lower lowest", "new newer newest", "low low new"],
+        # heavy chaining: every top pair feeds the next (batch must
+        # degrade toward size 1 and still match)
+        ["aaaa aaa aa", "aaaaa aaaa", "aa aa aa"],
+        ["the cat sat on the mat", "the bat sat on the hat",
+         "a cat and a bat", "mat hat bat cat"],
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        for k in (1, 4, 8):
+            got = train_bpe_batched(df, "text", n_merges=10, batch_k=k)
+            want = _ref_train(texts, 10)
+            assert got == want, f"k={k} {texts[0]!r}\nbatched: {got}\nref: {want}"
+
+
+def test_train_bpe_batched_equals_sequential_fixture(spark):
+    """Equality against both the sequential Spark trainer and the pure
+    Python reference on real fixture text, deep enough (24 merges) that
+    several batch rounds happen."""
+    from dar_spark.operators.bpe import train_bpe, train_bpe_batched
+
+    docs = load_tables(spark, SF_DIR)["documents"].filter("doc_id < 40")
+    texts = [r.text for r in docs.select("text").collect()]
+    got = train_bpe_batched(docs, "text", n_merges=24, batch_k=8)
+    assert got == _ref_train(texts, 24)
+    assert got[:6] == train_bpe(docs, "text", n_merges=6)
+
+
 def test_bpe_segment_matches_reference(spark):
     texts = ["low lower lowest", "new newer newest", "low low new"]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
