@@ -448,6 +448,7 @@ def dedup_against_index(
     text_col: str = "text",
     jaccard_threshold: float = 0.6,
     expected_params: tuple[int, int, int] | None = None,
+    exclude_ingest: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs (new_id, ref_id, jaccard) of a new batch against a
     ``write_dedup_index`` output.  Only the NEW batch is shingled and
@@ -459,6 +460,14 @@ def dedup_against_index(
     pipelines that hard-code signature settings: a mismatch against the
     index's stored meta raises instead of silently joining foreign band
     keys (which would produce near-empty candidates, not an error).
+
+    ``exclude_ingest`` drops one ingest partition from the reference
+    side — the replay-idempotence hook: when an at-least-once caller
+    re-runs a batch whose PREVIOUS attempt already appended its
+    accepted docs under this label, excluding that label makes the
+    replay see the index exactly as the first attempt did (otherwise
+    every replayed doc matches itself at jaccard 1.0).  The ingest
+    column is a partition key, so the filter prunes whole directories.
     """
     spark = new.sparkSession
     m = spark.read.parquet(f"{index_path}/meta").collect()[0]
@@ -473,9 +482,11 @@ def dedup_against_index(
         new, id_col, text_col, params[0], params[1], params[2], "new_id"
     )
     b_r = spark.read.parquet(f"{index_path}/bands")
-    sb = spark.read.parquet(f"{index_path}/shingles").select(
-        "ref_id", F.col("s").alias("sb")
-    )
+    sb_raw = spark.read.parquet(f"{index_path}/shingles")
+    if exclude_ingest is not None:
+        b_r = b_r.filter(F.col("ingest") != exclude_ingest)
+        sb_raw = sb_raw.filter(F.col("ingest") != exclude_ingest)
+    sb = sb_raw.select("ref_id", F.col("s").alias("sb"))
     cands = b_n.join(b_r, ["bi", "bk"]).select("new_id", "ref_id").distinct()
     sa = sh_n.select(F.col(id_col).alias("new_id"), F.col("s").alias("sa"))
     j = (

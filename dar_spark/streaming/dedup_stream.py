@@ -120,8 +120,16 @@ def streaming_near_dup_against_index(
         )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # Replay idempotence needs more than the partition overwrites
+        # below: a crashed batch's first attempt may ALREADY have
+        # appended its accepted docs (ingest=stream-<batch_id>) before
+        # the commit was lost, and a replay that joins against them
+        # would match every doc to itself at jaccard 1.0.  Excluding
+        # this batch's own ingest label makes the replay see the index
+        # exactly as the first attempt did (partition-pruned filter).
         pairs = dedup_against_index(
-            batch_df, index_path, id_col, text_col, jaccard_threshold
+            batch_df, index_path, id_col, text_col, jaccard_threshold,
+            exclude_ingest=f"stream-{batch_id}" if append_accepted else None,
         )
         if append_accepted:
             # pairs is reused (write + anti-join) — keep it materialized

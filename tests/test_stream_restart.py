@@ -1,0 +1,177 @@
+"""Real StreamingQuery stop → restart-from-checkpoint integration.
+
+The replay-idempotence unit tests call the foreachBatch handlers twice
+by hand; these tests drive the ACTUAL recovery machinery: a query runs
+and terminates, the checkpoint's last commit marker is deleted —
+exactly the state left by a crash in the at-least-once window between
+the sink write and the commit record — more data arrives, and a NEW
+query restarts from the same checkpoint.  Structured Streaming then
+re-executes the uncommitted batch from the offset log (same batch_id,
+same input files) before processing the new data, so the sinks'
+idempotence contracts are exercised by the engine itself.  Final output
+must equal the uninterrupted run's, row for row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def _crash_after_last_sink_write(checkpoint_dir: str) -> int:
+    """Turn a cleanly-stopped checkpoint into a crashed-mid-commit one:
+    remove the newest commit marker, leaving its offsets entry intact.
+    Returns the batch id that will replay on restart."""
+    cdir = os.path.join(checkpoint_dir, "commits")
+    nums = [f for f in os.listdir(cdir) if f.isdigit()]
+    assert nums, f"no commits recorded under {cdir}"
+    last = max(nums, key=int)
+    os.remove(os.path.join(cdir, last))
+    # the local-FS checksum shadow must go too, or the replayed batch's
+    # commit rename fails on the stale .crc
+    crc = os.path.join(cdir, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return int(last)
+
+
+def _drain(q, timeout: int = 120) -> None:
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(timeout)
+
+
+def test_upsert_stream_restart_from_checkpoint(spark, tmp_path):
+    """streaming_upsert: run batch A, crash before its commit, restart
+    with batch B also pending → A replays, B applies, and the table
+    equals the uninterrupted A+B run."""
+    from dar_spark.streaming.upsert_stream import streaming_upsert
+
+    seed = spark.createDataFrame(
+        [(1, 0, "s1"), (2, 0, "s2"), (3, 0, "s3")], "k long, seq long, v string"
+    )
+    batch_a = spark.createDataFrame(
+        [(1, 10, "a1"), (2, 10, "a2"), (4, 10, "a4")], "k long, seq long, v string"
+    )
+    batch_b = spark.createDataFrame(
+        [(1, 20, "b1"), (3, 20, "b3"), (5, 20, "b5")], "k long, seq long, v string"
+    )
+
+    def run(target, ck, src, files):
+        for i, b in enumerate(files):
+            b.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("k long, seq long, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_upsert(
+            stream, target, key_cols=["k"], seq_col="seq", checkpoint_dir=ck
+        )
+        q.awaitTermination(120)
+
+    # uninterrupted reference: one run over both batches
+    ref_target = str(tmp_path / "ref_target")
+    seed.write.parquet(ref_target)
+    run(ref_target, str(tmp_path / "ref_ck"), str(tmp_path / "ref_src"),
+        [batch_a, batch_b])
+    expected = {
+        (r.k, r.seq, r.v) for r in spark.read.parquet(ref_target).collect()
+    }
+
+    # interrupted run: A, crash-before-commit, then B + restart
+    target = str(tmp_path / "target")
+    seed.write.parquet(target)
+    ck = str(tmp_path / "ck")
+    src = str(tmp_path / "src")
+    run(target, ck, src, [batch_a])
+    mid = {(r.k, r.seq, r.v) for r in spark.read.parquet(target).collect()}
+    assert (1, 10, "a1") in mid and (4, 10, "a4") in mid
+
+    replayed = _crash_after_last_sink_write(ck)
+    run(target, ck, src, [batch_b])  # restarts from the same checkpoint
+
+    got = {(r.k, r.seq, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == expected, f"replayed batch {replayed} diverged: {got ^ expected}"
+
+
+def test_dedup_ingest_stream_restart_from_checkpoint(spark, tmp_path):
+    """streaming_near_dup_against_index with append_accepted: crash
+    before the commit of the batch that both wrote pairs AND grew the
+    index, restart with more data → the replayed batch overwrites its
+    own batch_id/ingest partitions and the final pairs + index equal
+    the uninterrupted run's."""
+    from dar_spark.operators.dedup import write_dedup_index
+    from dar_spark.streaming.dedup_stream import streaming_near_dup_against_index
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    rep = docs.selectExpr("doc_id - doc_id % 4 AS rep_id", "doc_id").join(
+        docs.selectExpr("doc_id AS rep_id", "text"), "rep_id"
+    ).select("doc_id", "text")
+    ref = rep.filter("doc_id % 4 = 0 AND doc_id % 12 <> 0")
+    b1 = rep.filter("doc_id % 4 = 1")
+    b2 = rep.filter("doc_id % 4 = 2")
+
+    def run(idx, out, ck, src, batches):
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_near_dup_against_index(
+            stream, idx, out, "doc_id", "text", 0.6,
+            checkpoint_dir=ck, append_accepted=True,
+        )
+        _drain(q)
+
+    def index_docs(idx):
+        return {
+            r.ref_id
+            for r in spark.read.parquet(f"{idx}/shingles").select("ref_id").collect()
+        }
+
+    # uninterrupted reference
+    ref_idx = str(tmp_path / "refidx")
+    write_dedup_index(ref, ref_idx, "doc_id", "text")
+    ref_out = str(tmp_path / "refout")
+    run(ref_idx, ref_out, str(tmp_path / "refck"), str(tmp_path / "refsrc"),
+        [b1, b2])
+    expected_pairs = {
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in spark.read.parquet(ref_out).collect()
+    }
+    expected_index = index_docs(ref_idx)
+    assert expected_pairs
+
+    # interrupted run
+    idx = str(tmp_path / "idx")
+    write_dedup_index(ref, idx, "doc_id", "text")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    src = str(tmp_path / "src")
+    run(idx, out, ck, src, [b1])
+    replayed = _crash_after_last_sink_write(ck)
+    run(idx, out, ck, src, [b2])  # b1's batch replays first
+
+    got_pairs = {
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got_pairs == expected_pairs, (
+        f"replayed batch {replayed}: pair diff {got_pairs ^ expected_pairs}"
+    )
+    assert index_docs(idx) == expected_index
+    # and the replay really did not double-append: one partition per
+    # ingest label in the grown index
+    labels = [
+        r.ingest
+        for r in spark.read.parquet(f"{idx}/shingles")
+        .select("ingest").distinct().collect()
+    ]
+    assert sorted(labels) == sorted(set(labels))
