@@ -20,7 +20,8 @@ the pandas iterator.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
 
 import pandas as pd
 
@@ -71,29 +72,89 @@ def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
-    """Decoder dispatch.
+# --- decoder registry (the codec seam) --------------------------------------
+#
+# A real PIL/libav build must drop in WITHOUT touching the operators
+# below, so the seam is a per-mime registry of small pure functions with
+# a pinned contract (tests/test_multimodal.py registers a third toy
+# codec through it and runs the unmodified operators end-to-end):
+#
+# - ``decode_meta(payload) -> (width, height, n_frames)``: raise
+#   ``ValueError`` for bytes the codec cannot parse — the operator then
+#   falls back to the clearly-labeled DETERMINISTIC FAKE (digest-derived
+#   dims), never crashes the stage.
+# - ``resize(payload, max_dim) -> (new_payload, new_width, new_height)``
+#   (optional): must emit a re-encoded payload of the same format, and
+#   raise ``ValueError`` for undecodable bytes (same fallback: payload
+#   passes through with fake-scaled dims).  Mimes without the hook keep
+#   their payload and get fake-scaled dims.
+#
+# Operators SNAPSHOT the registry when they build their plan (the
+# closures ship the snapshot to executors by value — a module-level
+# lookup would re-import this module worker-side and lose runtime
+# registrations), so register decoders BEFORE calling an operator.
 
-    ``image/bmp`` and ``audio/wav`` decode FOR REAL
-    (operators/media_codecs.py — uncompressed formats need no codec
-    library; the registry query media_bmp_decode value-hash-checks the
-    pixel parse against the generative formula).  Codec-requiring mimes
-    (png/mp4) fall back to the DETERMINISTIC FAKE below — dimensions
-    derived from a payload digest, stable across runs — because this
-    container has no PIL/libav; swapping the fake for a codec is a pure
-    function replacement here.
-    """
-    from dar_spark.operators.media_codecs import parse_bmp, parse_wav
 
-    if mime == "image/bmp":
-        img = parse_bmp(payload)
-        return img.shape[1], img.shape[0], 1
-    if mime == "audio/wav":
-        try:
-            _, samples = parse_wav(payload)
-            return len(samples), 1, 1
-        except ValueError:
-            pass  # synthetic fixture payloads are not real WAV — fake below
+@dataclass(frozen=True)
+class MediaDecoder:
+    """One mime's codec hooks; see the registry contract above."""
+
+    decode_meta: Callable[[bytes], tuple[int, int, int]]
+    resize: Callable[[bytes, int], tuple[bytes, int, int]] | None = None
+
+
+_DECODERS: dict[str, MediaDecoder] = {}
+
+
+def register_decoder(mime: str, decoder: MediaDecoder) -> None:
+    _DECODERS[mime] = decoder
+
+
+def unregister_decoder(mime: str) -> None:
+    _DECODERS.pop(mime, None)
+
+
+def registered_decoders() -> dict[str, MediaDecoder]:
+    """Snapshot for closure capture (dict copy, decoders are frozen)."""
+    return dict(_DECODERS)
+
+
+def _bmp_meta(payload: bytes) -> tuple[int, int, int]:
+    from dar_spark.operators.media_codecs import parse_bmp
+
+    img = parse_bmp(payload)
+    return img.shape[1], img.shape[0], 1
+
+
+def _bmp_resize(payload: bytes, max_dim: int) -> tuple[bytes, int, int]:
+    from dar_spark.operators.media_codecs import (
+        encode_bmp,
+        parse_bmp,
+        resize_nearest,
+    )
+
+    small = resize_nearest(parse_bmp(payload), max_dim)
+    return encode_bmp(small), small.shape[1], small.shape[0]
+
+
+def _wav_meta(payload: bytes) -> tuple[int, int, int]:
+    from dar_spark.operators.media_codecs import parse_wav
+
+    _, samples = parse_wav(payload)  # raises ValueError on non-WAV bytes
+    return len(samples), 1, 1
+
+
+# codec-free formats decode FOR REAL out of the box (media_codecs.py);
+# png/mp4 have NO registered decoder in this container (no PIL/libav)
+# and always take the labeled fake fallback
+register_decoder("image/bmp", MediaDecoder(_bmp_meta, _bmp_resize))
+register_decoder("audio/wav", MediaDecoder(_wav_meta))
+
+
+def _fallback_meta(payload: bytes, mime: str) -> tuple[int, int, int]:
+    """DETERMINISTIC FAKE metadata — digest-derived dims, stable across
+    runs — for mimes with no registered decoder (or payloads their
+    decoder rejects)."""
     h = hashlib.md5(payload).digest()
     width = 16 + h[0] % 64
     height = 16 + h[1] % 64
@@ -101,14 +162,29 @@ def _fake_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
+def _decode_meta(
+    decoders: dict[str, MediaDecoder], payload: bytes, mime: str
+) -> tuple[int, int, int]:
+    """Registry dispatch with the contract's fake fallback."""
+    d = decoders.get(mime)
+    if d is not None:
+        try:
+            return d.decode_meta(payload)
+        except ValueError:
+            pass  # undecodable bytes (e.g. synthetic fixtures) — fake below
+    return _fallback_meta(payload, mime)
+
+
 def decode_media_meta(media: DataFrame) -> DataFrame:
     """Arrow-batched metadata extraction: mapInPandas over (media_id,
     payload, mime) → MEDIA_META_SCHEMA.  Narrow; preserves partitioning."""
 
+    decoders = registered_decoders()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             metas = [
-                _fake_decode(p if isinstance(p, bytes) else bytes(p), m)
+                _decode_meta(decoders, p if isinstance(p, bytes) else bytes(p), m)
                 for p, m in zip(pdf["payload"], pdf["mime"])
             ]
             yield pd.DataFrame(
@@ -146,11 +222,12 @@ def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
     """Arrow-batched resize stage: clamps each payload's decoded dims to
     ``max_dim`` (aspect preserved).
 
-    ``image/bmp`` resizes FOR REAL: parse → nearest-neighbor resample →
-    re-encode (operators/media_codecs) — the emitted payload is a valid
-    BMP of the new size (round-trip pinned by tests/test_multimodal.py).
-    Codec-requiring mimes keep the DETERMINISTIC FAKE (payload passes
-    through, new dims recorded); a real build swaps in PIL here."""
+    Mimes whose registered decoder has a ``resize`` hook (image/bmp out
+    of the box) resize FOR REAL: parse → resample → re-encode — the
+    emitted payload is a valid file of the new size (round-trip pinned
+    by tests/test_multimodal.py).  Other mimes keep the DETERMINISTIC
+    FAKE (payload passes through, new dims recorded); a real build
+    registers a PIL-backed decoder instead of touching this operator."""
 
     schema = StructType(
         [
@@ -162,24 +239,27 @@ def resize_media(media: DataFrame, max_dim: int = 32) -> DataFrame:
         ]
     )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from dar_spark.operators.media_codecs import (
-            encode_bmp,
-            parse_bmp,
-            resize_nearest,
-        )
+    decoders = registered_decoders()
 
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ws, hs, payloads = [], [], []
             for p, m in zip(pdf["payload"], pdf["mime"]):
                 b = p if isinstance(p, bytes) else bytes(p)
-                if m == "image/bmp":
-                    small = resize_nearest(parse_bmp(b), max_dim)
-                    payloads.append(encode_bmp(small))
-                    hs.append(small.shape[0])
-                    ws.append(small.shape[1])
+                d = decoders.get(m)
+                resized = None
+                if d is not None and d.resize is not None:
+                    try:
+                        resized = d.resize(b, max_dim)
+                    except ValueError:
+                        resized = None  # undecodable bytes — fake path below
+                if resized is not None:
+                    new_payload, w, h = resized
+                    payloads.append(new_payload)
+                    ws.append(w)
+                    hs.append(h)
                 else:
-                    w, h, _ = _fake_decode(b, m)
+                    w, h, _ = _decode_meta(decoders, b, m)
                     scale = min(1.0, max_dim / max(w, h))
                     ws.append(max(1, int(w * scale)))
                     hs.append(max(1, int(h * scale)))
@@ -216,12 +296,14 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
         ]
     )
 
+    decoders = registered_decoders()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             nf, dg = [], []
             for p, m in zip(pdf["payload"], pdf["mime"]):
                 b = p if isinstance(p, bytes) else bytes(p)
-                nf.append(_fake_decode(b, m)[2])
+                nf.append(_decode_meta(decoders, b, m)[2])
                 dg.append(hashlib.sha256(b + b":frame").hexdigest())
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "n_frames": nf, "frame_digest": dg}

@@ -97,3 +97,82 @@ def test_resize_media_bmp_is_real(spark):
         assert got.shape == expect.shape
         assert (got == expect).all()
         assert (out[i].height, out[i].width) == expect.shape[:2]
+
+
+def test_decoder_registry_contract_toy_codec(spark):
+    """A third codec drops in through the registry WITHOUT touching the
+    operators: a toy ASCII 'PNM-ish' format (header 'TOY <w> <h> <f>|'
+    + raw bytes) registered for a fresh mime, with a resize hook that
+    re-encodes the header.  decode_media_meta / resize_media /
+    frame_sample must all pick it up; unregistering restores the
+    deterministic fake path."""
+    from dar_spark.operators.multimodal import (
+        MediaDecoder,
+        decode_media_meta,
+        frame_sample,
+        register_decoder,
+        resize_media,
+        unregister_decoder,
+    )
+
+    MIME = "image/x-toy"
+
+    def toy_meta(payload: bytes):
+        head, _, _body = payload.partition(b"|")
+        tag, w, h, f = head.split()
+        if tag != b"TOY":
+            raise ValueError("not a toy payload")
+        return int(w), int(h), int(f)
+
+    def toy_resize(payload: bytes, max_dim: int):
+        w, h, f = toy_meta(payload)
+        scale = min(1.0, max_dim / max(w, h))
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        return b"TOY %d %d %d|resized" % (nw, nh, f), nw, nh
+
+    def toy_payload(w, h, f):
+        return b"TOY %d %d %d|data" % (w, h, f)
+
+    rows = [
+        (0, toy_payload(40, 20, 1), MIME),
+        (1, toy_payload(100, 10, 7), MIME),
+        (2, b"not a toy at all", MIME),        # decoder raises -> fake
+        (3, toy_payload(8, 8, 25), "video/x-toyless"),  # unregistered
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, mime string"
+    )
+
+    register_decoder(MIME, MediaDecoder(toy_meta, toy_resize))
+    try:
+        meta = {r.media_id: r for r in decode_media_meta(media).collect()}
+        assert (meta[0].width, meta[0].height, meta[0].n_frames) == (40, 20, 1)
+        assert (meta[1].width, meta[1].height, meta[1].n_frames) == (100, 10, 7)
+        # contract: undecodable bytes fall back to the deterministic fake
+        import hashlib
+
+        d = hashlib.md5(b"not a toy at all").digest()
+        assert (meta[2].width, meta[2].height) == (16 + d[0] % 64, 16 + d[1] % 64)
+        # unregistered mime: fake, video branch of the frame formula
+        d3 = hashlib.md5(rows[3][1]).digest()
+        assert meta[3].n_frames == 1 + d3[2] % 30
+
+        rs = {r.media_id: r for r in resize_media(media, max_dim=10).collect()}
+        assert (rs[0].width, rs[0].height) == (10, 5)
+        assert bytes(rs[0].payload) == b"TOY 10 5 1|resized"
+        assert (rs[1].width, rs[1].height) == (10, 1)
+        # no resize hook -> payload passes through
+        assert bytes(rs[3].payload) == rows[3][1]
+
+        fs = {
+            (r.media_id, r.frame_idx)
+            for r in frame_sample(media, every_n=3).collect()
+        }
+        assert {(1, 0), (1, 3), (1, 6)} <= fs  # 7 toy frames sampled by 3
+    finally:
+        unregister_decoder(MIME)
+
+    # after unregistering, the toy mime is fake-decoded again
+    meta2 = {r.media_id: r for r in decode_media_meta(media).collect()}
+    d0 = hashlib.md5(rows[0][1]).digest()
+    assert (meta2[0].width, meta2[0].height) == (16 + d0[0] % 64, 16 + d0[1] % 64)
