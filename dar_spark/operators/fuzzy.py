@@ -93,27 +93,36 @@ def fuzzy_join(
             "fuzzy_join supports max_dist in (1, 2) (deletion-neighborhood "
             "depth 1/2); use ngram_jaccard_pairs for coarser similarity"
         )
-    if max_dist == 2:
-        # loud guard, not a silent truncation: one over-long string
-        # would quietly add thousands of keys per row at 100 TB
-        for df, c in ((left, left_col), (right, right_col)):
-            over = df.filter(f"length({c}) > {max_key_len}").limit(1).count()
-            if over:
-                raise ValueError(
-                    f"fuzzy_join(max_dist=2): column {c} has values longer "
-                    f"than max_key_len={max_key_len} (O(len^2) deletion "
-                    "keys per string); raise max_key_len explicitly or use "
-                    "ngram_jaccard_pairs for long strings"
-                )
+    def keys_expr(c: str) -> str:
+        keys = deletion_keys_sql(c, max_dist)
+        if max_dist != 2:
+            return keys
+        # Loud guard, not a silent truncation: one over-long string
+        # would quietly add thousands of keys per row at 100 TB.
+        # IN-PLAN via raise_error — evaluated on the same scan the join
+        # already does, so the guard costs zero extra actions (the old
+        # eager check ran a count() over each side first: two full
+        # scans before any work).  Trade: the error surfaces when the
+        # join executes, as a task failure carrying this message plus
+        # the offending value's prefix.
+        return (
+            f"CASE WHEN length({c}) > {max_key_len} THEN "
+            f"raise_error(concat('fuzzy_join(max_dist=2): max_key_len="
+            f"{max_key_len} exceeded (O(len^2) deletion keys per string); "
+            f"raise max_key_len explicitly or use ngram_jaccard_pairs for "
+            f"long strings. Offending {c} value: ', substr({c}, 1, 80))) "
+            f"ELSE {keys} END"
+        )
+
     # Ephemeral row identities let us collapse ONLY the join-induced
     # multiplicity (one left row × one right row matching via several
     # shared deletion keys) — long-keyed dedup, cheaper at scale than a
     # distinct over wide string columns and correct for duplicate rows.
     lk = left.withColumn("_lid", F.monotonically_increasing_id()).withColumn(
-        "_fk", F.explode(F.expr(deletion_keys_sql(left_col, max_dist)))
+        "_fk", F.explode(F.expr(keys_expr(left_col)))
     )
     rk = right.withColumn("_rid", F.monotonically_increasing_id()).withColumn(
-        "_fk", F.explode(F.expr(deletion_keys_sql(right_col, max_dist)))
+        "_fk", F.explode(F.expr(keys_expr(right_col)))
     )
     cand = (
         lk.join(rk, "_fk")

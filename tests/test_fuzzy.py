@@ -131,8 +131,12 @@ def test_fuzzy_join_depth2_matches_brute_force(spark):
 def test_fuzzy_join_depth2_key_length_guard(spark):
     left = spark.createDataFrame([(1, "x" * 80)], "row_id long, x string")
     right = spark.createDataFrame([("texas",)], "name string")
-    with pytest.raises(ValueError, match="max_key_len"):
-        fuzzy_join(left, right, "x", "name", max_dist=2)
+    # the guard is IN-PLAN (raise_error on the join's own scan — no
+    # eager pre-count scans), so it fires when the join executes
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="max_key_len"):
+        fuzzy_join(left, right, "x", "name", max_dist=2).count()
     # explicit raise of the cap is allowed
     out = fuzzy_join(left, right, "x", "name", max_dist=2, max_key_len=100)
     assert out.count() == 0
