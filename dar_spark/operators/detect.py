@@ -83,7 +83,10 @@ def detect(
     are paid once per session instead of once per profile() call.  Pass
     ``refresh=True`` after the underlying data changes — the memo keys on
     the PLAN (semanticHash), not the data, so overwriting files at the
-    same path without refresh returns the previous detections.
+    same path without refresh returns the previous detections.  (The
+    CLI cannot hit this: each invocation is a fresh process with an
+    empty memo.  The hazard is long-lived sessions — notebooks,
+    services — that re-read a path after rewriting it.)
     Callers get a fresh list of frozen Detection records each time, so
     neither mutating the list nor its elements can corrupt the memo.
     """
