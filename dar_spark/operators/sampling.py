@@ -275,11 +275,24 @@ def group_sample_k_sql(
 # score is emitted UNROUNDED — with a deterministic score there is
 # nothing for a final round() to absorb, only 7th-digit-half divergence
 # for it to introduce.
-_LN2 = "0.6931471805599453"
+# Every non-integer constant is CAST to DOUBLE explicitly: a bare
+# decimal literal is DECIMAL-typed in both engines, and whether an
+# engine multiplies exactly in decimal THEN converts, or converts THEN
+# multiplies in double, shifts the result by 1-2 ulp (caught by the
+# bit-identity property test for ln2 · small-int).  Forcing DOUBLE
+# makes both engines take the convert-then-multiply path.
+def _dlit(x: str) -> str:
+    return f"CAST({x} AS DOUBLE)"
+
+
+_LN2 = _dlit("0.6931471805599453")
 _LNM_SERIES = (
-    "(2.0 * _z * (1.0 + _z2 * (0.3333333333333333 + _z2 * (0.2 + "
-    "_z2 * (0.14285714285714285 + _z2 * (0.1111111111111111 + "
-    "_z2 * (0.09090909090909091 + _z2 * 0.07692307692307693)))))))"
+    f"({_dlit('2.0')} * _z * ({_dlit('1.0')} + _z2 * "
+    f"({_dlit('0.3333333333333333')} + _z2 * ({_dlit('0.2')} + "
+    f"_z2 * ({_dlit('0.14285714285714285')} + _z2 * "
+    f"({_dlit('0.1111111111111111')} + _z2 * "
+    f"({_dlit('0.09090909090909091')} + _z2 * "
+    f"{_dlit('0.07692307692307693')})))))))"
 )
 _RACE_HELPERS = ("_n", "_bl", "_m", "_z", "_z2")
 
@@ -305,7 +318,7 @@ def _race_layers(d: Dialect, key: str, weight_col: str) -> list[tuple[str, str]]
         ("_n", f"(2 * ({_hex32_sql(d, key)}) + 1)"),
         ("_bl", "length(bin(_n))"),
         ("_m", f"(CAST(_n AS DOUBLE) / CAST({pow2} AS DOUBLE))"),
-        ("_z", "((_m - 1.0) / (_m + 1.0))"),
+        ("_z", f"((_m - {_dlit('1.0')}) / (_m + {_dlit('1.0')}))"),
         ("_z2", "(_z * _z)"),
         (
             "race_score",

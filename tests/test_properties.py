@@ -187,3 +187,106 @@ def test_script_counts_cross_engine_on_unicode(spark, values):
         dn = dict(script_counts_sql(DUCKDB, "x"))[name]
         got_d = _duck_eval(dn, values)
         assert got_s == got_d, f"{name}: divergence on {values!r}"
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4_000_000_000_000),
+            st.integers(min_value=1, max_value=10_000_000),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ratio_6dp_cross_engine_and_half_up(spark, pairs):
+    """Dialect.ratio_6dp: both engines produce the identical double, and
+    it equals exact rational half-up rounding to 6 dp.  Random pairs
+    plus seeded decimal-half landmines (quotients terminating in 5 at
+    the 7th digit — where round(CAST/div) diverges)."""
+    from fractions import Fraction
+
+    # landmines: num/den = k/2_000_000 → 7th decimal digit exactly 5
+    pairs = pairs + [(3, 2_000_000), (1_000_001, 2_000_000), (7, 4_000_000)]
+    nums = [p[0] for p in pairs]
+    dens = [p[1] for p in pairs]
+    sdf = spark.createDataFrame(
+        list(zip(range(len(pairs)), nums, dens)), "i long, n long, d long"
+    )
+    got_s = [
+        r.v for r in sdf.selectExpr(
+            "i", f"({SPARK.ratio_6dp('n', 'd')}) AS v"
+        ).orderBy("i").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, n BIGINT, d BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)", list(zip(range(len(pairs)), nums, dens))
+    )
+    got_d = [
+        r[0] for r in con.execute(
+            f"SELECT ({DUCKDB.ratio_6dp('n', 'd')}) FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert got_s == got_d, f"engine divergence: {list(zip(pairs, got_s, got_d))}"
+    for (n, d), got in zip(pairs, got_s):
+        q = Fraction(n, d) * 1_000_000
+        half_up = (2 * q.numerator + q.denominator) // (2 * q.denominator)
+        assert got == half_up / 1_000_000.0, f"{n}/{d}: {got} != half-up"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.one_of(
+                st.integers(min_value=1, max_value=10**9).map(float),
+                st.floats(
+                    min_value=1e-6, max_value=1e9,
+                    allow_nan=False, allow_infinity=False,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_race_score_cross_engine_bit_identical(spark, rows):
+    """weighted_sample_k's arithmetic-only -ln(u)/w: bit-identical
+    doubles in both engines for arbitrary keys and weights (the libm
+    ln it replaced was only 1-ulp-close, which flips top-k cutoffs)."""
+    import struct
+
+    from dar_spark.operators.sampling import _race_layers
+
+    keys = [k for k, _ in rows]
+    ws = [w for _, w in rows]
+    sdf = spark.createDataFrame(
+        list(zip(range(len(rows)), keys, ws)), "i long, k long, w double"
+    )
+    for name, expr in _race_layers(SPARK, "k", "w"):
+        sdf = sdf.selectExpr("*", f"({expr}) AS {name}")
+    got_s = [r.race_score for r in sdf.orderBy("i").collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, k BIGINT, w DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)", list(zip(range(len(rows)), keys, ws))
+    )
+    q = "t"
+    for name, expr in _race_layers(DUCKDB, "k", "w"):
+        q = f"(SELECT *, ({expr}) AS {name} FROM {q})"
+    got_d = [
+        r[0] for r in con.execute(
+            f"SELECT race_score FROM {q} ORDER BY i"
+        ).fetchall()
+    ]
+
+    def bits(x):
+        return struct.pack("<d", x)
+
+    for (k, w), s, d in zip(rows, got_s, got_d):
+        assert bits(s) == bits(d), f"key={k} w={w}: {s!r} != {d!r}"
+        assert s > 0
