@@ -1,0 +1,46 @@
+"""ANSI-on vs ANSI-off result equality for the benched queries.
+
+bench.py measures with ``spark.sql.ansi.enabled=false`` (unchecked
+arithmetic, ~25% faster on expression-heavy scans) while the whole
+correctness harness runs ANSI-on.  get_session documents the two modes
+as semantically identical for this package (every string→number cast is
+regex-gated try_cast); this test makes that claim an invariant instead
+of an assertion: every headline query must produce the identical row
+multiset under both settings in the same session.
+
+A query that silently relied on non-ANSI wrap-around arithmetic or
+lenient casts would diverge here (different values ANSI-off) or fail
+the ANSI-on parity suite (error), so the benched configuration can
+never drift from the verified one.
+"""
+
+from __future__ import annotations
+
+from dar_spark.queries import build_registry
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(map(repr, df.collect()))
+
+
+def test_headline_queries_ansi_invariant(spark):
+    registry = build_registry()
+    headline = {n: q for n, q in registry.items() if q.headline}
+    assert len(headline) >= 10
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    diffs = []
+    try:
+        for name, q in headline.items():
+            spark.conf.set("spark.sql.ansi.enabled", "true")
+            on = _rows(q.spark(spark, SF_DIR))
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+            off = _rows(q.spark(spark, SF_DIR))
+            if on != off:
+                sample = [
+                    (a, b) for a, b in zip(on, off) if a != b
+                ][:3]
+                diffs.append((name, len(on), len(off), sample))
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert not diffs, f"ANSI-dependent results: {diffs}"
