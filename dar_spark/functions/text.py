@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dar_spark.dialect import SPARK, Dialect
+
 BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 # tiny per-language stopword marker sets (extendable)
@@ -37,46 +39,76 @@ def bpe_token_count(text_col: str) -> Column:
     return F.expr(f"size(regexp_extract_all({text_col}, '{BPE_PATTERN}', 0))")
 
 
+# All ratio outputs below are integer half-up ratios (Dialect.ratio_6dp)
+# — never round(CAST(int)/int, 6), which diverges across engines when
+# the quotient terminates in 5 at the 7th decimal (a 640-token doc with
+# an odd numerator does exactly that).  See docs/ORACLE.md §2.
+
+
 def type_token_ratio(text_col: str) -> Column:
     t = tokens(text_col)
     return F.expr(
-        f"round(CAST(size(array_distinct({t})) AS DOUBLE) / size({t}), 6)"
+        SPARK.ratio_6dp(f"size(array_distinct({t}))", f"size({t})")
     )
+
+
+def stopword_ratio_sql(
+    d: Dialect, text_col: str, stopwords: list[str] | None = None
+) -> str:
+    """Dialect-shared stopword-share expression (Spark plan and DuckDB
+    oracle emit the same logical ratio)."""
+    sw = stopwords or ["the", "a"]
+    lits = ", ".join(f"'{w}'" for w in sw)
+    t = d.split_lit(f"lower({text_col})", " ")
+    n_stop = d.arr_len(d.arr_filter(t, f"w -> w IN ({lits})"))
+    return d.ratio_6dp(n_stop, d.arr_len(t))
 
 
 def stopword_ratio(text_col: str, stopwords: list[str] | None = None) -> Column:
-    sw = stopwords or ["the", "a"]
-    lits = ", ".join(f"'{w}'" for w in sw)
-    t = tokens(text_col)
-    return F.expr(
-        f"round(CAST(size(filter({t}, w -> w IN ({lits}))) AS DOUBLE) / size({t}), 6)"
-    )
+    return F.expr(stopword_ratio_sql(SPARK, text_col, stopwords))
 
 
 def punct_density(text_col: str) -> Column:
+    n_punct = (
+        f"(length({text_col}) - length(regexp_replace({text_col}, "
+        f"'[^a-zA-Z0-9 ]', '')))"
+    )
     return F.expr(
-        f"round(CAST(length({text_col}) - length(regexp_replace({text_col}, "
-        f"'[^a-zA-Z0-9 ]', '')) AS DOUBLE) / greatest(length({text_col}), 1), 6)"
+        SPARK.ratio_6dp(n_punct, f"greatest(length({text_col}), 1)")
     )
 
 
 def mean_word_length(text_col: str) -> Column:
     t = tokens(text_col)
     return F.expr(
-        f"round(CAST(length(replace({text_col}, ' ', '')) AS DOUBLE) "
-        f"/ greatest(size({t}), 1), 6)"
+        SPARK.ratio_6dp(
+            f"length(replace({text_col}, ' ', ''))",
+            f"greatest(size({t}), 1)",
+        )
     )
+
+
+def quality_score_sql(d: Dialect, text_col: str) -> str:
+    """Composite [0,1] score — length saturation + lexical diversity +
+    (1 - stopword dominance) — as ONE exact integer rational:
+
+        0.4·min(n,100)/100 + 0.4·u/n + 0.2·(n-s)/n
+      = (4·min(n,100)·n + 400·u + 200·(n-s)) / (1000·n)
+
+    so the composite never goes through double arithmetic before the
+    6-dp rounding (where the engines could split on a decimal half)."""
+    t = d.split_lit(f"lower({text_col})", " ")
+    n = d.arr_len(t)
+    u = d.arr_len(d.arr_distinct(t))
+    s = d.arr_len(d.arr_filter(t, "w -> w IN ('the', 'a')"))
+    num = f"(4 * least({n}, 100) * {n} + 400 * {u} + 200 * ({n} - {s}))"
+    return d.ratio_6dp(num, f"(1000 * {n})")
 
 
 def quality_score(text_col: str) -> Column:
     """Composite [0,1] score: length saturation + lexical diversity +
-    (1 - stopword dominance)."""
-    t = tokens(text_col)
-    return F.expr(
-        f"round(0.4 * least(CAST(size({t}) AS DOUBLE) / 100.0, 1.0) "
-        f"+ 0.4 * (CAST(size(array_distinct({t})) AS DOUBLE) / size({t})) "
-        f"+ 0.2 * (1.0 - CAST(size(filter({t}, w -> w IN ('the', 'a'))) AS DOUBLE) / size({t})), 6)"
-    )
+    (1 - stopword dominance).  See :func:`quality_score_sql`."""
+    return F.expr(quality_score_sql(SPARK, text_col))
 
 
 def lang_id(text_col: str) -> Column:
@@ -301,12 +333,14 @@ def repetition_metrics(
     return base.selectExpr(
         id_col,
         "size(_t) AS n_tokens",
-        f"round(CAST({top_run_count('sort_array(_t)')} AS DOUBLE) "
-        "/ size(_t), 6) AS top_unigram_frac",
-        f"round(CAST({top_run_count('sort_array(_bg)')} AS DOUBLE) "
-        "/ greatest(size(_bg), 1), 6) AS top_bigram_frac",
-        "round(1.0 - CAST(size(array_distinct(_t)) AS DOUBLE) / size(_t), 6)"
-        " AS dup_token_frac",
+        f"{SPARK.ratio_6dp(top_run_count('sort_array(_t)'), 'size(_t)')} "
+        "AS top_unigram_frac",
+        f"{SPARK.ratio_6dp(top_run_count('sort_array(_bg)'), 'greatest(size(_bg), 1)')} "
+        "AS top_bigram_frac",
+        # 1 - distinct/size restated as (size-distinct)/size: integer
+        # half-up, engine-identical
+        f"{SPARK.ratio_6dp('(size(_t) - size(array_distinct(_t)))', 'size(_t)')} "
+        "AS dup_token_frac",
     )
 
 
@@ -342,12 +376,12 @@ def repetition_filter(
         "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1))) END AS _bg",
     )
     cond = (
-        f"round(CAST({top_run_count('sort_array(_t)')} AS DOUBLE) "
-        f"/ size(_t), 6) <= {max_top_unigram_frac} "
-        f"AND round(CAST({top_run_count('sort_array(_bg)')} AS DOUBLE) "
-        f"/ greatest(size(_bg), 1), 6) <= {max_top_bigram_frac} "
-        "AND round(1.0 - CAST(size(array_distinct(_t)) AS DOUBLE) "
-        f"/ size(_t), 6) <= {max_dup_token_frac}"
+        f"{SPARK.ratio_6dp(top_run_count('sort_array(_t)'), 'size(_t)')} "
+        f"<= {max_top_unigram_frac} "
+        f"AND {SPARK.ratio_6dp(top_run_count('sort_array(_bg)'), 'greatest(size(_bg), 1)')} "
+        f"<= {max_top_bigram_frac} "
+        f"AND {SPARK.ratio_6dp('(size(_t) - size(array_distinct(_t)))', 'size(_t)')} "
+        f"<= {max_dup_token_frac}"
     )
     return base.filter(cond).drop("_t", "_bg")
 
@@ -379,19 +413,21 @@ def gopher_metrics_sql(d, x: str) -> list[tuple[str, str]]:
     n = f"CAST({d.arr_len(w)} AS BIGINT)"
     sum_len = d.arr_sum_long(d.arr_transform(w, "t -> length(t)"))
     hash_cnt = f"(length({x}) - length(replace({x}, '#', '')))"
-    ell_cnt = f"((length({x}) - length(replace({x}, '...', ''))) / 3)"
+    # exact integer ellipsis count (the char-delta is divisible by 3);
+    # the former ``/ 3`` made it a DOUBLE and pushed the ratio through
+    # the engine-divergent round(CAST/div) path
+    ell_cnt = d.int_div(
+        f"(length({x}) - length(replace({x}, '...', '')))", "3"
+    )
     alpha = d.arr_len(d.arr_filter(w, f"t -> {d.rlike('t', '[a-zA-Z]')}"))
     stop_hits = d.arr_len(
         d.arr_filter(d.str_arr_lit(GOPHER_STOPWORDS), f"s -> {d.arr_contains(w, 's')}")
     )
     return [
         ("n_words", n),
-        ("mean_word_len", f"round(CAST({sum_len} AS DOUBLE) / {n}, 6)"),
-        (
-            "symbol_word_ratio",
-            f"round(CAST({hash_cnt} + {ell_cnt} AS DOUBLE) / {n}, 6)",
-        ),
-        ("alpha_word_ratio", f"round(CAST({alpha} AS DOUBLE) / {n}, 6)"),
+        ("mean_word_len", d.ratio_6dp(sum_len, n)),
+        ("symbol_word_ratio", d.ratio_6dp(f"({hash_cnt} + {ell_cnt})", n)),
+        ("alpha_word_ratio", d.ratio_6dp(alpha, n)),
         ("stopword_hits", f"CAST({stop_hits} AS BIGINT)"),
     ]
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dar_spark.dialect import SPARK
+
 
 def constraint_report(
     df: DataFrame,
@@ -41,24 +43,25 @@ def constraint_report(
     agg_rules = [r for r in rules if r["type"] != "referential"]
     ref_rules = [r for r in rules if r["type"] == "referential"]
 
+    # Every metric is an integer half-up ratio (Dialect.ratio_6dp):
+    # avg(0/1 CASE) and distinct/count are sums of ints over counts —
+    # exactly the decimal-half class where round(CAST/div) and engine
+    # AVG diverge (docs/ORACLE.md §2).  greatest(count,1) keeps the
+    # empty-table metric at 0.0 (a failing gate) instead of an error.
+    den = "greatest(count(1), 1)"
     exprs = [F.count(F.lit(1)).alias("_n")]
     for r in agg_rules:
         if r["type"] == "completeness":
-            # integer operands: avg(int) is DOUBLE in both engines, while a
-            # 1.0 literal is DECIMAL and Spark's decimal avg keeps
-            # only 5 fractional digits
-            e = f"avg(CASE WHEN {r['col']} IS NOT NULL THEN 1 ELSE 0 END)"
+            num = f"SUM(CASE WHEN {r['col']} IS NOT NULL THEN 1 ELSE 0 END)"
         elif r["type"] == "uniqueness":
-            e = (
-                f"CAST(count(DISTINCT {r['col']}) AS DOUBLE) / count(1)"
-            )
+            num = f"count(DISTINCT {r['col']})"
         elif r["type"] == "compliance":
-            e = (
-                f"avg(CASE WHEN ({r['pred']}) THEN 1 ELSE 0 END)"
-            )
+            num = f"SUM(CASE WHEN ({r['pred']}) THEN 1 ELSE 0 END)"
         else:
             raise ValueError(f"unknown rule type {r['type']!r}")
-        exprs.append(F.expr(f"round({e}, 6)").alias(r["name"]))
+        exprs.append(
+            F.expr(SPARK.ratio_6dp(f"COALESCE({num}, 0)", den)).alias(r["name"])
+        )
     one = df.agg(*exprs)
 
     structs = [
@@ -85,7 +88,10 @@ def constraint_report(
             miss.agg(F.count(F.lit(1)).alias("bad"))
         ).selectExpr(
             f"'{r['name']}' AS rule",
-            "round(1.0 - CAST(bad AS DOUBLE) / greatest(n, 1), 6) AS metric",
+            # 1 - bad/n restated as (n-bad)/n: integer half-up ratio
+            # (Dialect.ratio_6dp), engine-identical on decimal halves
+            f"{SPARK.ratio_6dp('(greatest(n, 1) - bad)', 'greatest(n, 1)')}"
+            " AS metric",
             f"CAST({float(r['threshold'])} AS DOUBLE) AS threshold",
         )
         out = out.unionByName(m)

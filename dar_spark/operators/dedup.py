@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dar_spark.dialect import SPARK
+
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
@@ -183,7 +185,12 @@ def minhash_lsh_pairs(
     return j.selectExpr(
         "doc_id_a",
         "doc_id_b",
-        "round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard",
+        # integer half-up ratio (Dialect.ratio_6dp): the naive round
+        # diverges across engines when i/(na+nb-i) terminates in 5 at
+        # the 7th decimal (e.g. odd i over a 640-shingle union); the
+        # THRESHOLD filter below stays on the unrounded IEEE quotient,
+        # which is engine-identical without rounding
+        f"{SPARK.ratio_6dp('i', '(na + nb - i)')} AS jaccard",
     ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
 
 
@@ -282,7 +289,12 @@ def minhash_pairs_against(
     return j.selectExpr(
         "new_id",
         "ref_id",
-        "round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard",
+        # integer half-up ratio (Dialect.ratio_6dp): the naive round
+        # diverges across engines when i/(na+nb-i) terminates in 5 at
+        # the 7th decimal (e.g. odd i over a 640-shingle union); the
+        # THRESHOLD filter below stays on the unrounded IEEE quotient,
+        # which is engine-identical without rounding
+        f"{SPARK.ratio_6dp('i', '(na + nb - i)')} AS jaccard",
     ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
 
 
@@ -503,7 +515,12 @@ def dedup_against_index(
     return j.selectExpr(
         "new_id",
         "ref_id",
-        "round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard",
+        # integer half-up ratio (Dialect.ratio_6dp): the naive round
+        # diverges across engines when i/(na+nb-i) terminates in 5 at
+        # the 7th decimal (e.g. odd i over a 640-shingle union); the
+        # THRESHOLD filter below stays on the unrounded IEEE quotient,
+        # which is engine-identical without rounding
+        f"{SPARK.ratio_6dp('i', '(na + nb - i)')} AS jaccard",
     ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
 
 
@@ -623,7 +640,12 @@ def ngram_jaccard_pairs(
     return p.selectExpr(
         "doc_id_a",
         "doc_id_b",
-        "round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard",
+        # integer half-up ratio (Dialect.ratio_6dp): the naive round
+        # diverges across engines when i/(na+nb-i) terminates in 5 at
+        # the 7th decimal (e.g. odd i over a 640-shingle union); the
+        # THRESHOLD filter below stays on the unrounded IEEE quotient,
+        # which is engine-identical without rounding
+        f"{SPARK.ratio_6dp('i', '(na + nb - i)')} AS jaccard",
     ).filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
 
 

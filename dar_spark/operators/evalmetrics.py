@@ -171,17 +171,21 @@ def roc_auc(
         .withColumn("_tpos", F.sum("_pos").over(tot))
         .withColumn("_tneg", F.sum("_neg").over(tot))
     )
-    # per-bucket trapezoid: d(FPR) * (TPR_prev + TPR_cur)/2, in counts
-    # to stay exact: _neg * (prev_cpos + cpos) / 2, normalized at the end
+    # per-bucket trapezoid: d(FPR) * (TPR_prev + TPR_cur)/2, kept as
+    # DOUBLED integer counts — _neg * (prev_cpos + cpos) — so the sum
+    # is exact (DECIMAL, order-independent) and the final auc is ONE
+    # unrounded IEEE quotient: correctly-rounded ops are bit-identical
+    # across engines, whereas round() on this exact rational is the
+    # decimal-half divergence class (docs/ORACLE.md §2)
     w2 = Window.orderBy(F.desc("_b"))
-    contrib = (
-        F.col("_neg")
-        * (F.coalesce(F.lag("_cpos").over(w2), F.lit(0)) + F.col("_cpos"))
-        / F.lit(2.0)
+    contrib = F.col("_neg") * (
+        F.coalesce(F.lag("_cpos").over(w2), F.lit(0)) + F.col("_cpos")
     )
-    return stair.withColumn("_a", contrib).groupBy().agg(
-        F.round(
-            F.sum("_a") / (F.max("_tpos") * F.max("_tneg")), 6
+    return stair.withColumn("_a2", contrib).groupBy().agg(
+        F.expr(
+            "CAST(SUM(CAST(_a2 AS DECIMAL(38,0))) AS DOUBLE) "
+            "/ ((CAST(2 AS DOUBLE) * CAST(MAX(_tpos) AS DOUBLE)) "
+            "* CAST(MAX(_tneg) AS DOUBLE))"
         ).alias("auc"),
         F.max("_tpos").cast("bigint").alias("n_pos"),
         F.max("_tneg").cast("bigint").alias("n_neg"),
@@ -211,10 +215,12 @@ buckets AS (
 ), contrib AS (
   SELECT _tpos, _tneg,
          _neg * (COALESCE(lag(_cpos) OVER (ORDER BY _b DESC), 0) + _cpos)
-           / 2.0 AS _a
+           AS _a2
   FROM stair
 )
-SELECT round(SUM(_a) / (MAX(_tpos) * MAX(_tneg)), 6) AS auc,
+SELECT CAST(SUM(CAST(_a2 AS DECIMAL(38,0))) AS DOUBLE)
+         / ((CAST(2 AS DOUBLE) * CAST(MAX(_tpos) AS DOUBLE))
+            * CAST(MAX(_tneg) AS DOUBLE)) AS auc,
        CAST(MAX(_tpos) AS BIGINT) AS n_pos,
        CAST(MAX(_tneg) AS BIGINT) AS n_neg
 FROM contrib"""

@@ -32,25 +32,51 @@ def summarize(df: DataFrame, columns: list[str] | None = None, approx: bool = Fa
         if base in _NUMERIC:
             aggs.append(F.min(F.col(c).cast("double")).alias(f"mn_{c}"))
             aggs.append(F.max(F.col(c).cast("double")).alias(f"mx_{c}"))
-            aggs.append(F.avg(F.col(c).cast("double")).alias(f"av_{c}"))
+            # exact, ORDER-INDEPENDENT mean inputs: round each value to
+            # 6 dp (lossless for the profiled column classes) and sum
+            # as DECIMAL — a double AVG's float sum depends on
+            # partition order, and python round() is half-EVEN where
+            # every SQL engine here rounds half-up (docs/ORACLE.md §2)
+            aggs.append(
+                F.sum(
+                    F.round(F.col(c).cast("double"), 6).cast("decimal(38,6)")
+                ).alias(f"av_{c}")
+            )
+            aggs.append(F.count(F.col(c)).alias(f"avn_{c}"))
     row = df.agg(*aggs).collect()[0]
     total = int(row["_total"])
+
+    def _mean6(dec_sum, n) -> float | None:
+        """Half-up (away from zero) 6-dp mean in exact integer
+        arithmetic — the driver-side twin of Dialect.avg_6dp, extended
+        to negative sums."""
+        if dec_sum is None or not n:
+            return None
+        micro = int(dec_sum.scaleb(6))  # exact: DECIMAL(38,6) -> int
+        sign = -1 if micro < 0 else 1
+        return sign * ((2 * abs(micro) + n) // (2 * n)) / 1_000_000.0
+
     out = []
     for c in columns:
         base = dtypes[c].split("(")[0]
         numeric = base in _NUMERIC
         n_nulls = total - int(row[f"nn_{c}"])
+        null_rate = (
+            ((2 * 1_000_000 * n_nulls + total) // (2 * total)) / 1_000_000.0
+            if total
+            else 0.0
+        )
         out.append(
             (
                 c,
                 dtypes[c],
                 total,
                 n_nulls,
-                round(n_nulls / total, 6) if total else 0.0,
+                null_rate,
                 int(row[f"nd_{c}"]),
                 float(row[f"mn_{c}"]) if numeric and row[f"mn_{c}"] is not None else None,
                 float(row[f"mx_{c}"]) if numeric and row[f"mx_{c}"] is not None else None,
-                round(float(row[f"av_{c}"]), 6) if numeric and row[f"av_{c}"] is not None else None,
+                _mean6(row[f"av_{c}"], int(row[f"avn_{c}"])) if numeric else None,
             )
         )
     return df.sparkSession.createDataFrame(

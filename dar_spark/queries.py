@@ -496,7 +496,16 @@ def _summarize_q() -> Q:
         numeric = c != "l_returnflag"
         mn = f"CAST(MIN({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
         mx = f"CAST(MAX({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
-        av = f"round(AVG({c}), 6)" if numeric else "CAST(NULL AS DOUBLE)"
+        # order-independent half-up mean (Dialect.avg_6dp) — round(AVG)
+        # is the decimal-half engine-divergence class
+        av = (
+            DUCKDB.avg_6dp(
+                f"SUM(CAST(round(CAST({c} AS DOUBLE), 6) AS DECIMAL(38,6)))",
+                f"COUNT({c})",
+            )
+            if numeric
+            else "CAST(NULL AS DOUBLE)"
+        )
         selects.append(
             f"SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
             f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls, "
@@ -520,17 +529,11 @@ def _quality_filter_q() -> Q:
             min_tokens=20, min_quality=0.5, max_stopword_ratio=0.2,
         ).select("doc_id")
 
-    d = DUCKDB
-    toks = d.split_lit("lower(text)", " ")
+    from dar_spark.functions.text import quality_score_sql, stopword_ratio_sql
+
     n_tok = f"len(string_split(trim(text, ' '), ' '))"
-    n_uniq = d.arr_len(d.arr_distinct(toks))
-    n_stop = d.arr_len(d.arr_filter(toks, "w -> w IN ('the', 'a')"))
-    q = (
-        f"round(0.4 * least(CAST({d.arr_len(toks)} AS DOUBLE) / 100.0, 1.0) "
-        f"+ 0.4 * (CAST({n_uniq} AS DOUBLE) / {d.arr_len(toks)}) "
-        f"+ 0.2 * (1.0 - CAST({n_stop} AS DOUBLE) / {d.arr_len(toks)}), 6)"
-    )
-    sw = f"round(CAST({n_stop} AS DOUBLE) / {d.arr_len(toks)}, 6)"
+    q = quality_score_sql(DUCKDB, "text")
+    sw = stopword_ratio_sql(DUCKDB, "text")
     oracle = f"""SELECT doc_id FROM documents
 WHERE {n_tok} BETWEEN 20 AND 100000 AND {q} >= 0.5 AND {sw} <= 0.2"""
     return Q(spark_fn, oracle)
@@ -576,10 +579,15 @@ GROUP BY r_name"""
 STATS_SQL = """SELECT l_returnflag,
   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
   round(stddev_samp(l_extendedprice), 4) AS sd_price,
-  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        / COUNT(*), 6) AS mean_qty,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS mean_qty,
   CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY l_returnflag"""
+# mean_qty is the UNROUNDED IEEE quotient of an exact DECIMAL sum — the
+# deterministic form (round() on an exact rational is the decimal-half
+# divergence class); corr/stddev keep their coarse rounds, which there
+# absorb genuinely different internal summation algorithms, not
+# engine-identical values.
 
 LATEST_EVENT_SQL = """SELECT user_id, event_id AS latest_event_id, event_type
 FROM (
@@ -695,7 +703,7 @@ cand AS (
 ),
 j AS (SELECT c.doc_id_a, c.doc_id_b, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) AS na, len(sb.s) AS nb
       FROM cand c JOIN shf sa ON sa.doc_id = c.doc_id_a JOIN shf sb ON sb.doc_id = c.doc_id_b),
-pairs AS (SELECT doc_id_a, doc_id_b, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+pairs AS (SELECT doc_id_a, doc_id_b, (CAST(((2 * (CAST(i AS BIGINT) * 1000000) + CAST((na + nb - i) AS BIGINT)) // (2 * CAST((na + nb - i) AS BIGINT))) AS DOUBLE) / 1000000.0) AS jaccard
 FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {MINHASH_JACCARD_THRESHOLD})"""
 
 
@@ -793,7 +801,7 @@ j AS (SELECT c.new_id, c.ref_id, len(list_intersect(sa.s, sb.s)) AS i,
         len(sa.s) AS na, len(sb.s) AS nb
       FROM cand c JOIN nshf sa ON sa.doc_id = c.new_id
                   JOIN rshf sb ON sb.doc_id = c.ref_id)
-SELECT new_id, ref_id, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+SELECT new_id, ref_id, (CAST(((2 * (CAST(i AS BIGINT) * 1000000) + CAST((na + nb - i) AS BIGINT)) // (2 * CAST((na + nb - i) AS BIGINT))) AS DOUBLE) / 1000000.0) AS jaccard
 FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {MINHASH_JACCARD_THRESHOLD}"""
     return Q(spark_fn, oracle)
 
@@ -859,43 +867,44 @@ FROM fps GROUP BY simhash HAVING COUNT(*) > 1"""
     return Q(spark_fn, oracle)
 
 
-def _text_stats_q() -> Q:
-    def spark_fn(spark, sf_dir):
-        t = load_tables(spark, sf_dir)
-        d = SPARK
-        toks = d.split_lit("lower(text)", " ")
-        n_tokens = d.arr_len(toks)
-        n_uniq = d.arr_len(d.arr_distinct(toks))
-        n_the = d.arr_len(d.arr_filter(toks, "t -> t = 'the'"))
-        n_a = d.arr_len(d.arr_filter(toks, "t -> t = 'a'"))
-        return t["documents"].selectExpr(
-            "doc_id",
-            "length(text) AS n_chars_calc",
-            f"{n_tokens} AS n_tokens",
-            f"{n_uniq} AS n_uniq",
-            f"round(CAST({n_uniq} AS DOUBLE) / {n_tokens}, 6) AS ttr",
-            f"round(CAST({n_the} + {n_a} AS DOUBLE) / {n_tokens}, 6) AS stop_ratio",
-            f"round(0.4 * least(CAST({n_tokens} AS DOUBLE) / 100.0, 1.0) "
-            f"+ 0.4 * (CAST({n_uniq} AS DOUBLE) / {n_tokens}) "
-            f"+ 0.2 * (1.0 - CAST({n_the} + {n_a} AS DOUBLE) / {n_tokens}), 6) AS quality_score",
-        )
-
-    d = DUCKDB
+def _text_stats_exprs(d: Dialect) -> list[str]:
+    """Dialect-shared projection list for text_stats.  All three ratio
+    outputs are integer half-up ratios (Dialect.ratio_6dp): ttr and
+    stop_ratio directly, and quality_score restated as one exact
+    rational — 0.4·min(n,100)/100 + 0.4·u/n + 0.2·(n-s)/n =
+    (4·min(n,100)·n + 400·u + 200·(n-s)) / (1000·n) — so no
+    double-arithmetic composite ever reaches a round() where the
+    engines could split on a 7th-digit decimal half."""
     toks = d.split_lit("lower(text)", " ")
     n_tokens = d.arr_len(toks)
     n_uniq = d.arr_len(d.arr_distinct(toks))
     n_the = d.arr_len(d.arr_filter(toks, "t -> t = 'the'"))
     n_a = d.arr_len(d.arr_filter(toks, "t -> t = 'a'"))
-    oracle = f"""SELECT doc_id,
-  length(text) AS n_chars_calc,
-  {n_tokens} AS n_tokens,
-  {n_uniq} AS n_uniq,
-  round(CAST({n_uniq} AS DOUBLE) / {n_tokens}, 6) AS ttr,
-  round(CAST({n_the} + {n_a} AS DOUBLE) / {n_tokens}, 6) AS stop_ratio,
-  round(0.4 * least(CAST({n_tokens} AS DOUBLE) / 100.0, 1.0)
-      + 0.4 * (CAST({n_uniq} AS DOUBLE) / {n_tokens})
-      + 0.2 * (1.0 - CAST({n_the} + {n_a} AS DOUBLE) / {n_tokens}), 6) AS quality_score
-FROM documents"""
+    n_stop = f"({n_the} + {n_a})"
+    q_num = (
+        f"(4 * least({n_tokens}, 100) * {n_tokens} + 400 * {n_uniq} "
+        f"+ 200 * ({n_tokens} - {n_stop}))"
+    )
+    q_den = f"(1000 * {n_tokens})"
+    return [
+        "doc_id",
+        "length(text) AS n_chars_calc",
+        f"{n_tokens} AS n_tokens",
+        f"{n_uniq} AS n_uniq",
+        f"{d.ratio_6dp(n_uniq, n_tokens)} AS ttr",
+        f"{d.ratio_6dp(n_stop, n_tokens)} AS stop_ratio",
+        f"{d.ratio_6dp(q_num, q_den)} AS quality_score",
+    ]
+
+
+def _text_stats_q() -> Q:
+    def spark_fn(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        return t["documents"].selectExpr(*_text_stats_exprs(SPARK))
+
+    oracle = (
+        "SELECT " + ",\n  ".join(_text_stats_exprs(DUCKDB)) + "\nFROM documents"
+    )
     return Q(spark_fn, oracle, headline=True)
 
 
@@ -1014,7 +1023,7 @@ p AS (SELECT c.doc_id_a, c.doc_id_b,
       FROM cand c
       JOIN gf a ON a.doc_id = c.doc_id_a AND a.n_chars_b = c.n_chars_b
       JOIN gf b ON b.doc_id = c.doc_id_b)
-SELECT doc_id_a, doc_id_b, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+SELECT doc_id_a, doc_id_b, (CAST(((2 * (CAST(i AS BIGINT) * 1000000) + CAST((na + nb - i) AS BIGINT)) // (2 * CAST((na + nb - i) AS BIGINT))) AS DOUBLE) / 1000000.0) AS jaccard
 FROM p WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {NGRAM_JACCARD_THRESHOLD}"""
     return Q(spark_fn, oracle)
 
@@ -1259,11 +1268,19 @@ def _drift_q() -> Q:
         )
         return drift_frame(old, new, approx=False)
 
-    oracle = """WITH o AS (SELECT round(AVG(l_quantity), 6) AS av_q,
-  round(CAST(COUNT(*) - COUNT(l_discount) AS DOUBLE) / COUNT(*), 6) AS nr_d
+    _avg = lambda c: DUCKDB.avg_6dp(  # noqa: E731 — mirrors summarize()
+        f"SUM(CAST(round(CAST({c} AS DOUBLE), 6) AS DECIMAL(38,6)))",
+        f"COUNT({c})",
+    )
+    _nr = lambda c: DUCKDB.ratio_6dp(  # noqa: E731
+        f"(COUNT(*) - COUNT({c}))", "COUNT(*)"
+    )
+    nulled = "CASE WHEN l_orderkey % 4 = 0 THEN NULL ELSE l_discount END"
+    oracle = f"""WITH o AS (SELECT {_avg('l_quantity')} AS av_q,
+  {_nr('l_discount')} AS nr_d
   FROM lineitem),
-n2 AS (SELECT round(AVG(l_quantity * 2), 6) AS av_q,
-  round(CAST(COUNT(*) - COUNT(CASE WHEN l_orderkey % 4 = 0 THEN NULL ELSE l_discount END) AS DOUBLE) / COUNT(*), 6) AS nr_d
+n2 AS (SELECT {_avg('l_quantity * 2')} AS av_q,
+  {_nr(nulled)} AS nr_d
   FROM lineitem)
 SELECT 'added_col' AS column_name, 'added' AS kind,
        CAST(NULL AS DOUBLE) AS old_num, CAST(NULL AS DOUBLE) AS new_num,
@@ -2096,7 +2113,7 @@ def _repetition_stats_q() -> Q:
 
         return repetition_metrics(load_tables(spark, sf_dir)["documents"])
 
-    oracle = """WITH docs AS (
+    oracle = f"""WITH docs AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ), uni AS (
   SELECT doc_id, unnest(t) AS tk FROM docs
@@ -2119,11 +2136,11 @@ def _repetition_stats_q() -> Q:
 )
 SELECT d.doc_id,
   len(d.t) AS n_tokens,
-  round(CAST(uc.topu AS DOUBLE) / len(d.t), 6) AS top_unigram_frac,
+  {DUCKDB.ratio_6dp("uc.topu", "len(d.t)")} AS top_unigram_frac,
   CASE WHEN d.t IS NULL THEN NULL
-       ELSE round(CAST(COALESCE(bc.topb, 0) AS DOUBLE)
-                  / greatest(len(d.t) - 1, 1), 6) END AS top_bigram_frac,
-  round(1.0 - CAST(len(list_distinct(d.t)) AS DOUBLE) / len(d.t), 6)
+       ELSE {DUCKDB.ratio_6dp("COALESCE(bc.topb, 0)", "greatest(len(d.t) - 1, 1)")}
+       END AS top_bigram_frac,
+  {DUCKDB.ratio_6dp("(len(d.t) - len(list_distinct(d.t)))", "len(d.t)")}
     AS dup_token_frac
 FROM docs d LEFT JOIN uc USING (doc_id) LEFT JOIN bc USING (doc_id)"""
     return Q(spark_fn, oracle)
@@ -2438,17 +2455,11 @@ def _pipeline_e2e_q() -> Q:
     from dar_spark.functions.text import redact_pii_sql
     from dar_spark.operators.sampling import split_sql
 
+    from dar_spark.functions.text import quality_score_sql, stopword_ratio_sql
+
     d = DUCKDB
-    toks = d.split_lit("lower(text)", " ")
-    n_uniq = d.arr_len(d.arr_distinct(toks))
-    n_stop = d.arr_len(d.arr_filter(toks, "t -> t IN ('the', 'a')"))
-    n_tok_q = d.arr_len(toks)
-    quality = (
-        f"round(0.4 * least(CAST({n_tok_q} AS DOUBLE) / 100.0, 1.0) "
-        f"+ 0.4 * (CAST({n_uniq} AS DOUBLE) / {n_tok_q}) "
-        f"+ 0.2 * (1.0 - CAST({n_stop} AS DOUBLE) / {n_tok_q}), 6)"
-    )
-    sw_ratio = f"round(CAST({n_stop} AS DOUBLE) / {n_tok_q}, 6)"
+    quality = quality_score_sql(d, "text")
+    sw_ratio = stopword_ratio_sql(d, "text")
     n_tok = d.arr_len(d.split_lit("trim(text)", " "))
     oracle = f"""WITH RECURSIVE base AS ({CORPUS_CTE}),
 pii AS (SELECT doc_id, {PII_INJECT} AS text FROM base),
@@ -2470,10 +2481,9 @@ rbc AS (SELECT doc_id, max(c) AS topb FROM (
     SELECT doc_id, g, count(*) AS c FROM rbgu GROUP BY doc_id, g
   ) GROUP BY doc_id),
 rmet AS (SELECT d.doc_id,
-    round(CAST(ruc.topu AS DOUBLE) / len(d.t), 6) AS tuf,
-    round(CAST(COALESCE(rbc.topb, 0) AS DOUBLE)
-          / greatest(len(d.t) - 1, 1), 6) AS tbf,
-    round(1.0 - CAST(len(list_distinct(d.t)) AS DOUBLE) / len(d.t), 6) AS dtf
+    (CAST(((2 * (CAST(ruc.topu AS BIGINT) * 1000000) + CAST(len(d.t) AS BIGINT)) // (2 * CAST(len(d.t) AS BIGINT))) AS DOUBLE) / 1000000.0) AS tuf,
+    (CAST(((2 * (CAST(COALESCE(rbc.topb, 0) AS BIGINT) * 1000000) + CAST(greatest(len(d.t) - 1, 1) AS BIGINT)) // (2 * CAST(greatest(len(d.t) - 1, 1) AS BIGINT))) AS DOUBLE) / 1000000.0) AS tbf,
+    (CAST(((2 * (CAST((len(d.t) - len(list_distinct(d.t))) AS BIGINT) * 1000000) + CAST(len(d.t) AS BIGINT)) // (2 * CAST(len(d.t) AS BIGINT))) AS DOUBLE) / 1000000.0) AS dtf
   FROM rt d JOIN ruc USING (doc_id) LEFT JOIN rbc USING (doc_id)),
 rf AS (SELECT qf.doc_id, qf.text FROM qf JOIN rmet USING (doc_id)
        WHERE tuf <= 0.2 AND tbf <= 0.18 AND dtf <= 0.85),
@@ -3275,27 +3285,32 @@ FROM orders"""
             dirty, rules, dims={"customer": t["customer"]}
         )
 
+    dden = "greatest(count(1), 1)"
+    _r6 = DUCKDB.ratio_6dp
+    ref_n = (
+        "greatest((SELECT count(*) FROM d WHERE fk_d IS NOT NULL), 1)"
+    )
+    ref_bad = (
+        "(SELECT count(*) FROM d WHERE d.fk_d IS NOT NULL "
+        "AND NOT EXISTS (SELECT 1 FROM customer c "
+        "WHERE c.c_custkey = d.fk_d))"
+    )
     oracle = f"""WITH d AS ({DIRTY}), m AS (
   SELECT
-    round(avg(CASE WHEN custkey_d IS NOT NULL THEN 1 ELSE 0 END), 6)
+    {_r6("SUM(CASE WHEN custkey_d IS NOT NULL THEN 1 ELSE 0 END)", dden)}
       AS custkey_complete,
-    round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(1), 6)
+    {_r6("count(DISTINCT o_orderkey)", dden)}
       AS orderkey_unique,
-    round(CAST(count(DISTINCT dup_key) AS DOUBLE) / count(1), 6)
+    {_r6("count(DISTINCT dup_key)", dden)}
       AS dupkey_unique,
-    round(avg(CASE WHEN (price_d > 0) THEN 1 ELSE 0 END), 6)
+    {_r6("SUM(CASE WHEN (price_d > 0) THEN 1 ELSE 0 END)", dden)}
       AS price_positive,
-    round(avg(CASE WHEN (prio_d IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
-      '4-NOT SPECIFIED', '5-LOW')) THEN 1 ELSE 0 END), 6)
+    {_r6("SUM(CASE WHEN (prio_d IN ('1-URGENT', '2-HIGH', '3-MEDIUM', "
+         "'4-NOT SPECIFIED', '5-LOW')) THEN 1 ELSE 0 END)", dden)}
       AS priority_domain
   FROM d
 ), ref AS (
-  SELECT round(1.0 - CAST(
-           (SELECT count(*) FROM d WHERE d.fk_d IS NOT NULL
-            AND NOT EXISTS (SELECT 1 FROM customer c
-                            WHERE c.c_custkey = d.fk_d)) AS DOUBLE)
-         / greatest((SELECT count(*) FROM d
-                     WHERE fk_d IS NOT NULL), 1), 6) AS metric
+  SELECT {_r6(f"({ref_n} - {ref_bad})", ref_n)} AS metric
 )
 SELECT rule, metric, threshold,
        CASE WHEN metric >= threshold THEN 1 ELSE 0 END AS passed
@@ -3952,15 +3967,9 @@ def _quality_label_source():
             (F.col("lang") == "en").alias("label"),
         )
 
-    d = DUCKDB
-    toks = d.split_lit("lower(text)", " ")
-    n_uniq = d.arr_len(d.arr_distinct(toks))
-    n_stop = d.arr_len(d.arr_filter(toks, "w -> w IN ('the', 'a')"))
-    q = (
-        f"round(0.4 * least(CAST({d.arr_len(toks)} AS DOUBLE) / 100.0, 1.0) "
-        f"+ 0.4 * (CAST({n_uniq} AS DOUBLE) / {d.arr_len(toks)}) "
-        f"+ 0.2 * (1.0 - CAST({n_stop} AS DOUBLE) / {d.arr_len(toks)}), 6)"
-    )
+    from dar_spark.functions.text import quality_score_sql
+
+    q = quality_score_sql(DUCKDB, "text")
     duck_src = f"SELECT {q} AS score, (lang = 'en') AS label FROM documents"
     return spark_src, duck_src
 

@@ -218,7 +218,9 @@ def test_roc_auc_matches_pairwise_formula(spark):
     df = spark.createDataFrame(rows, "score double, label int")
     got = roc_auc(df, "score", "label", n_bins=1000).collect()[0]
     assert got.n_pos == len(pos) and got.n_neg == len(neg)
-    assert abs(got.auc - round(stat, 6)) < 1e-9, (got.auc, stat)
+    # auc is now UNROUNDED (the deterministic cross-engine form) and
+    # matches the exact pairwise Mann-Whitney statistic to float eps
+    assert abs(got.auc - stat) < 1e-12, (got.auc, stat)
 
 
 def test_roc_auc_perfect_and_inverted(spark):
