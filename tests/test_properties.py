@@ -290,3 +290,36 @@ def test_race_score_cross_engine_bit_identical(spark, rows):
     for (k, w), s, d in zip(rows, got_s, got_d):
         assert bits(s) == bits(d), f"key={k} w={w}: {s!r} != {d!r}"
         assert s > 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(url_text, min_size=1, max_size=30))
+def test_text_ratio_builders_cross_engine(spark, values):
+    """The dialect-shared text-ratio builders (quality_score_sql,
+    stopword_ratio_sql) and gopher metrics must agree value-exactly on
+    fuzzed text including NBSP + multibyte chars — all are ratio_6dp
+    integer ratios now, so any disagreement is an emitter bug, not
+    float noise."""
+    from dar_spark.functions.text import (
+        gopher_metrics_sql,
+        quality_score_sql,
+        stopword_ratio_sql,
+    )
+
+    g_s = gopher_metrics_sql(SPARK, "x")
+    g_d = gopher_metrics_sql(DUCKDB, "x")
+    got_pairs = []
+    for (name, s_expr), (_, d_expr) in zip(g_s, g_d):
+        got_s = _spark_eval(spark, s_expr, values)
+        got_d = _duck_eval(d_expr, values)
+        got_pairs.append((f"gopher_{name}", got_s, got_d))
+    for name, build in [
+        ("quality", lambda d: quality_score_sql(d, "x")),
+        ("stopword", lambda d: stopword_ratio_sql(d, "x")),
+    ]:
+        got_pairs.append(
+            (name, _spark_eval(spark, build(SPARK), values),
+             _duck_eval(build(DUCKDB), values))
+        )
+    for name, got_s, got_d in got_pairs:
+        assert got_s == got_d, f"{name}: divergence on {values!r}"
