@@ -69,6 +69,36 @@ def test_summarize_basic(spark):
     assert rf.min_value is None and rf.n_distinct <= 3
 
 
+def test_summarize_mean_exact_half_up_and_negatives(spark):
+    """The mean path is exact integer half-up (away from zero), not
+    python round()'s half-even, and handles negative sums — the values
+    are hand-computable: mean(0.0000015, 0.0000025) = 0.000002 exactly,
+    whose half-up 6-dp is 0.000002; a decimal-half case:
+    mean(1, 2) = 1.5 -> 1.5; and a 7th-digit half:
+    mean(0.000001, 0.000002) = 0.0000015 -> 0.000002 (half-UP, where
+    python round() would give 0.000002 too but round(2.5e-6·...) class
+    flips), negative mirror -0.0000015 -> -0.000002 (away from zero)."""
+    df = spark.createDataFrame(
+        [(0.000001,), (0.000002,)], "x double"
+    )
+    out = {r.column_name: r for r in summarize(df, ["x"]).collect()}
+    assert out["x"].mean_value == 0.000002  # half-up, not half-even
+
+    neg = spark.createDataFrame(
+        [(-0.000001,), (-0.000002,)], "x double"
+    )
+    outn = {r.column_name: r for r in summarize(neg, ["x"]).collect()}
+    assert outn["x"].mean_value == -0.000002  # away from zero
+
+    # null_rate is likewise half-up: 1 null of 4 rows = 0.25 exactly
+    withnull = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,)], "x double"
+    )
+    outw = {r.column_name: r for r in summarize(withnull, ["x"]).collect()}
+    assert outw["x"].null_rate == 0.25
+    assert outw["x"].mean_value == 2.0
+
+
 def test_summarize_approx_mode(spark):
     li = load_tables(spark, SF_DIR)["lineitem"]
     exact = {r.column_name: r.n_distinct for r in summarize(li, ["l_partkey"]).collect()}
