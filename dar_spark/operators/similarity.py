@@ -692,3 +692,56 @@ def whiten_embeddings_by_group(
         F.col(vec_col),
     )
     return src.groupBy(group_col).applyInPandas(whiten, out_schema)
+
+
+# --- INT8 scalar quantization (embedding-store compression) -----------------
+#
+# The 100 TB embedding-store lever: a float32 corpus quantized to int8
+# is 4x smaller on disk and in shuffle, and symmetric per-vector scalar
+# quantization (scale = max|x|/127) keeps cosine rankings nearly intact
+# for ANN candidate generation (verify on the full-precision vectors,
+# exactly like the LSH/IVF rerank step).  Pure whole-stage expressions —
+# no UDFs — and every arithmetic step is engine-deterministic:
+# ``floor(x/scale + 0.5)`` instead of round() (floor and the add are
+# correctly-rounded IEEE ops, so both engines produce identical codes;
+# round()'s half handling is the known cross-engine divergence class).
+
+
+def quantize_expr_sql(d, vec: str) -> tuple[str, str]:
+    """(scale_expr, qvec_expr) for symmetric per-vector INT8
+    quantization of the double array ``vec`` — dialect-shared so the
+    DuckDB oracle reproduces the codes bit-for-bit.  Zero vectors get
+    scale 0 and all-zero codes (the CASE guard, not a NaN division)."""
+    absmax = d.arr_transform(vec, "x -> abs(CAST(x AS DOUBLE))")
+    if d.name == "duckdb":
+        mx = f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {absmax}), (a, x) -> greatest(a, x))"
+    else:
+        mx = f"aggregate({absmax}, CAST(0 AS DOUBLE), (a, x) -> greatest(a, x))"
+    scale = f"(({mx}) / CAST(127 AS DOUBLE))"
+    q = d.arr_transform(
+        vec,
+        f"x -> CAST(CASE WHEN {scale} = CAST(0 AS DOUBLE) THEN 0 "
+        f"ELSE floor(CAST(x AS DOUBLE) / {scale} + CAST(0.5 AS DOUBLE)) "
+        f"END AS INT)",
+    )
+    return scale, q
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, scale DOUBLE, qvec array<int>): symmetric INT8 codes with
+    the per-vector dequantization scale.  Reconstruction error is
+    bounded by scale/2 per component (pinned in tests); dequantize with
+    ``transform(qvec, q -> q * scale)``."""
+    from dar_spark.dialect import SPARK as _SPK
+    from dar_spark.session import parallelize
+
+    scale, q = quantize_expr_sql(_SPK, vec_col)
+    return parallelize(embeddings.select(id_col, vec_col)).select(
+        id_col,
+        F.expr(scale).alias("scale"),
+        F.expr(q).alias("qvec"),
+    )

@@ -2710,12 +2710,49 @@ FROM ev JOIN dims ON ev.uk = dims.uk"""
     return Q(spark_fn, oracle)
 
 
+def _embed_quantize_q() -> Q:
+    """INT8 embedding quantization (similarity.quantize_embeddings):
+    per-vector symmetric codes — the 4× embedding-store compression
+    lever for 100 TB ANN.  Codes AND the float scale are both under the
+    value hash: the dequantization scale is an unrounded IEEE quotient
+    (max|x|/127 — deterministic) and the codes use floor(x/s + 0.5)
+    instead of round(), so the oracle reproduces both bit-for-bit."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.similarity import quantize_embeddings
+
+        t = load_tables(spark, sf_dir)
+        out = quantize_embeddings(t["embeddings"], "vec_id", "embedding")
+        # serialize the code array for the hash compare: engines
+        # stringify native arrays differently, a joined string is
+        # byte-identical
+        return out.select(
+            "vec_id",
+            "scale",
+            F.expr(
+                SPARK.arr_join(
+                    SPARK.arr_transform("qvec", "q -> CAST(q AS STRING)"), ","
+                )
+            ).alias("qcodes"),
+        )
+
+    from dar_spark.operators.similarity import quantize_expr_sql
+
+    d = DUCKDB
+    scale, q = quantize_expr_sql(d, "embedding")
+    qcodes = d.arr_join(d.arr_transform(q, "q -> CAST(q AS VARCHAR)"), ",")
+    oracle = f"""SELECT vec_id, {scale} AS scale, {qcodes} AS qcodes
+FROM embeddings"""
+    return Q(spark_fn, oracle)
+
+
 def _round6_queries() -> list[tuple[str, Q]]:
     """Queries added in round 6 — right after the never-checked pair so
     they land inside the external verification window."""
     return [
         ("phone_v1_intl_profile", _phone_v1_intl_q()),
         ("skew_safe_join_events", _skew_safe_join_q()),
+        ("embed_quantize_docs", _embed_quantize_q()),
     ]
 
 

@@ -137,6 +137,51 @@ def test_ivf_autoscaled_recall_sf01(spark):
     assert recall >= 0.7, f"recall {recall:.3f}"
 
 
+def test_quantize_embeddings_contract(spark):
+    """INT8 codes: every code in [-127, 127], reconstruction error
+    bounded by scale/2 per component, zero vectors get scale 0 and
+    all-zero codes, and dequantized cosine stays close to the
+    full-precision cosine (the ANN candidate-generation use)."""
+    import math
+
+    from dar_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (0, [0.5, -1.0, 0.25, 0.125]),
+        (1, [0.0, 0.0, 0.0, 0.0]),          # zero vector
+        (2, [1e-8, -1e-8, 1e-8, -1e-8]),    # tiny magnitudes
+        (3, [100.0, -50.0, 25.0, -12.5]),
+        (4, [0.3, 0.3, 0.3, 0.3]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    by_id = dict(rows)
+    for vid, vec in rows:
+        r = out[vid]
+        mx = max(abs(x) for x in vec)
+        assert r.scale == mx / 127.0
+        assert all(-127 <= q <= 127 for q in r.qvec), r.qvec
+        if mx == 0:
+            assert r.scale == 0 and all(q == 0 for q in r.qvec)
+            continue
+        for x, qcode in zip(vec, r.qvec):
+            assert abs(x - qcode * r.scale) <= r.scale / 2 + 1e-15, (vid, x, qcode)
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return num / (na * nb)
+
+    deq = {
+        vid: [q * out[vid].scale for q in out[vid].qvec]
+        for vid, _ in rows
+        if vid != 1
+    }
+    for vid in deq:
+        assert abs(cos(deq[vid], by_id[vid]) - 1.0) < 0.01, vid
+
+
 def test_srp_n_planes_dial(spark):
     """n_planes plumbs through: 12 planes → 12-bit buckets, results stay
     a plausible ANN answer (exact dups still at cos 1.0)."""
