@@ -745,3 +745,50 @@ def quantize_embeddings(
         F.expr(scale).alias("scale"),
         F.expr(q).alias("qvec"),
     )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id % 50 = 0",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k over the INT8 codes — the compressed
+    scan path: per-vector scales CANCEL in cosine (cos = Σqa·qb /
+    (|qa|·|qb|)), so ranking needs ONLY the integer codes — an exact
+    integer dot product over integer norms, 4× less data moved than the
+    float scan.  cos_q is the UNROUNDED IEEE quotient of exact integer
+    operands (sqrt is correctly rounded), hence bit-identical across
+    engines — the oracle value-matches every score, not just a recall
+    bound.
+
+    Zero vectors (all-zero codes — only the exactly-zero input, since
+    any nonzero vector's max component codes to ±127) are excluded from
+    both sides.
+    """
+    q = quantize_embeddings(embeddings, id_col, vec_col)
+    e = q.withColumn(
+        "_n2",
+        F.expr("aggregate(qvec, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT) * x)"),
+    ).filter("_n2 > 0")
+    qs = e.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("_qq"),
+        F.col("_n2").alias("_qn2"),
+    )
+    j = e.join(F.broadcast(qs), F.expr(f"{id_col} <> query_id"))
+    scored = j.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(
+            "CAST(aggregate(zip_with(_qq, qvec, (x, y) -> CAST(x AS BIGINT) * y), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) "
+            "/ (sqrt(CAST(_qn2 AS DOUBLE)) * sqrt(CAST(_n2 AS DOUBLE)))"
+        ).alias("cos_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
+        .filter(f"rank_n <= {k}")
+    )

@@ -2746,6 +2746,59 @@ FROM embeddings"""
     return Q(spark_fn, oracle)
 
 
+def _embed_quantized_topk_q() -> Q:
+    """Cosine top-k over the INT8 codes (similarity.quantized_topk):
+    per-vector scales cancel in cosine, so the compressed scan ranks by
+    an exact integer dot product over integer norms — cos_q is an
+    unrounded IEEE quotient of exact operands, value-matched by the
+    oracle (not a recall bound: every score, every rank)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.similarity import quantized_topk
+
+        t = load_tables(spark, sf_dir)
+        return quantized_topk(
+            t["embeddings"], "vec_id", "embedding",
+            query_pred=f"vec_id % {TOPK_QUERY_STRIDE} = 0", k=TOPK_K,
+        )
+
+    from dar_spark.operators.similarity import quantize_expr_sql
+
+    d = DUCKDB
+    _, qv = quantize_expr_sql(d, "embedding")
+    fold0 = "list_reduce(list_prepend(CAST(0 AS BIGINT), {a}), (a, x) -> a + x)"
+    n2 = fold0.format(
+        a="list_transform(qv, x -> CAST(x AS BIGINT) * x)"
+    )
+    dot = fold0.format(
+        a="list_transform(generate_series(1, len(qq)), i -> CAST(qq[i] AS BIGINT) * nv[i])"
+    )
+    oracle = f"""WITH e AS (
+  SELECT vec_id, {qv} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv, {n2} AS n2 FROM e
+), nz AS (SELECT * FROM n WHERE n2 > 0),
+qs AS (
+  SELECT vec_id AS query_id, qv AS qq, n2 AS qn2 FROM nz
+  WHERE query_id % {TOPK_QUERY_STRIDE} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST({dot.replace('nv', 'c.qv').replace('qq', 'q.qq')} AS DOUBLE)
+           / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+           AS cos_q
+  FROM qs q JOIN nz c ON c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_q,
+       CAST(rn AS BIGINT) AS rank_n
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_q DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {TOPK_K}"""
+    return Q(spark_fn, oracle)
+
+
 def _round6_queries() -> list[tuple[str, Q]]:
     """Queries added in round 6 — right after the never-checked pair so
     they land inside the external verification window."""
@@ -2753,6 +2806,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("phone_v1_intl_profile", _phone_v1_intl_q()),
         ("skew_safe_join_events", _skew_safe_join_q()),
         ("embed_quantize_docs", _embed_quantize_q()),
+        ("embed_quantized_topk", _embed_quantized_topk_q()),
     ]
 
 

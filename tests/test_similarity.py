@@ -182,6 +182,27 @@ def test_quantize_embeddings_contract(spark):
         assert abs(cos(deq[vid], by_id[vid]) - 1.0) < 0.01, vid
 
 
+def test_quantized_topk_recall_vs_full_precision(spark):
+    """The compressed scan must be a faithful ANN candidate generator:
+    INT8-code top-5 recall vs the float top-5 on the fixture corpus.
+    Symmetric per-vector INT8 keeps cosine rankings nearly intact —
+    measured ≥ 0.9 here (deterministic: no RNG anywhere)."""
+    from dar_spark.operators.similarity import quantized_topk
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    pred = "vec_id % 25 = 0"
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(e, "vec_id", "embedding", pred, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in quantized_topk(e, "vec_id", "embedding", pred, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"quantized recall {recall:.3f}"
+
+
 def test_srp_n_planes_dial(spark):
     """n_planes plumbs through: 12 planes → 12-bit buckets, results stay
     a plausible ANN answer (exact dups still at cos 1.0)."""
