@@ -156,6 +156,30 @@ class Dialect:
             return f"[{lits}]"
         return f"array({lits})"
 
+    def arr_min(self, a: str) -> str:
+        """Minimum element of a non-empty array; element-exact (the
+        returned value IS an element, so equality probes against it are
+        bit-identical across engines)."""
+        if self.name == "duckdb":
+            return f"list_aggregate({a}, 'min')"
+        return f"array_min({a})"
+
+    def arr_position(self, a: str, x: str) -> str:
+        """1-based index of the FIRST exact-equality occurrence of x
+        (Spark array_position / DuckDB list_position)."""
+        fn = "list_position" if self.name == "duckdb" else "array_position"
+        return f"{fn}({a}, {x})"
+
+    def arr_flatten(self, a: str) -> str:
+        return f"flatten({a})"
+
+    def arr_slice(self, a: str, start: str, length: str) -> str:
+        """length-element slice starting at 1-based ``start``.  Spark
+        slice(a, start, length); DuckDB list_slice is end-INCLUSIVE."""
+        if self.name == "duckdb":
+            return f"list_slice({a}, {start}, ({start}) + ({length}) - 1)"
+        return f"slice({a}, {start}, {length})"
+
     def arr_contains(self, a: str, x: str) -> str:
         fn = "list_contains" if self.name == "duckdb" else "array_contains"
         return f"{fn}({a}, {x})"

@@ -2799,6 +2799,149 @@ FROM (
     return Q(spark_fn, oracle)
 
 
+def _embed_pq_codes_q() -> Q:
+    """Product-quantization encode (similarity.pq_encode): 64-dim
+    float64 → 8 codeword ids against a deterministic sample-anchor
+    codebook — the 64× store compression tier past INT8's 4×.  Codes
+    are argmin positions of bit-identical shared-shape distance folds,
+    so the oracle reproduces every code exactly."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.similarity import pq_encode
+
+        t = load_tables(spark, sf_dir)
+        out = pq_encode(t["embeddings"], "vec_id", "embedding")
+        return out.select(
+            "vec_id",
+            F.expr(
+                SPARK.arr_join(
+                    SPARK.arr_transform("codes", "c -> CAST(c AS STRING)"), ","
+                )
+            ).alias("pq_codes"),
+        )
+
+    from dar_spark.operators.similarity import pq_codes_sql, pq_oracle_ctes
+
+    d = DUCKDB
+    csql = pq_codes_sql(d, "_v", "_anchors")
+    joined = d.arr_join(d.arr_transform(csql, "c -> CAST(c AS VARCHAR)"), ",")
+    oracle = f"""WITH {pq_oracle_ctes(d)}
+SELECT vec_id, {joined} AS pq_codes FROM _e CROSS JOIN _cb"""
+    return Q(spark_fn, oracle)
+
+
+def _embed_pq_topk_q() -> Q:
+    """ADC top-k over PQ codes (similarity.pq_topk): full-precision
+    queries vs reconstructed neighbors — the corpus side of the scan
+    reads 8 ints per row instead of 64 doubles.  score_pq is an
+    unrounded IEEE quotient of shared-shape folds: the oracle
+    value-matches every score and rank, not just a recall bound."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.similarity import pq_topk
+
+        t = load_tables(spark, sf_dir)
+        return pq_topk(
+            t["embeddings"], "vec_id", "embedding",
+            query_pred=f"vec_id % {TOPK_QUERY_STRIDE} = 0", k=TOPK_K,
+        )
+
+    from dar_spark.operators.similarity import (
+        pq_codes_sql,
+        pq_dot_sql,
+        pq_norm2_sql,
+        pq_oracle_ctes,
+        pq_reconstruct_sql,
+    )
+
+    d = DUCKDB
+    csql = pq_codes_sql(d, "_v", "_anchors")
+    rv = pq_reconstruct_sql(d, "codes", "_anchors")
+    rn2 = pq_norm2_sql(d, "_rv")
+    qn2 = pq_norm2_sql(d, "_v")
+    oracle = f"""WITH {pq_oracle_ctes(d)},
+enc AS (SELECT vec_id, {csql} AS codes FROM _e CROSS JOIN _cb),
+rec AS (SELECT vec_id, {rv} AS _rv FROM enc CROSS JOIN _cb),
+recn AS (SELECT vec_id, _rv, {rn2} AS _rn2 FROM rec WHERE {rn2} > 0),
+qs AS (SELECT vec_id AS query_id, _v AS _qv, {qn2} AS _qn2 FROM _e
+       WHERE vec_id % {TOPK_QUERY_STRIDE} = 0 AND {qn2} > 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {pq_dot_sql(d, "q._qv", "c._rv")} / (sqrt(q._qn2) * sqrt(c._rn2))
+           AS score_pq
+  FROM recn c JOIN qs q ON c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, score_pq, CAST(rn AS BIGINT) AS rank_n FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score_pq DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= {TOPK_K}"""
+    return Q(spark_fn, oracle)
+
+
+PQ_OVERFETCH = 8
+
+
+def _embed_pq_rerank_q() -> Q:
+    """PQ shortlist → exact rerank (similarity.pq_topk_rerank): the
+    production recipe — compressed ADC scan picks k·overfetch
+    candidates, full-precision cosine reranks only those rows.  Both
+    stages are shared-shape IEEE folds, so the oracle value-matches the
+    final ranks AND scores end to end (recall vs brute force is pinned
+    separately in tests/test_similarity.py)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.similarity import pq_topk_rerank
+
+        t = load_tables(spark, sf_dir)
+        return pq_topk_rerank(
+            t["embeddings"], "vec_id", "embedding",
+            query_pred=f"vec_id % {TOPK_QUERY_STRIDE} = 0",
+            k=TOPK_K, overfetch=PQ_OVERFETCH,
+        )
+
+    from dar_spark.operators.similarity import (
+        pq_codes_sql,
+        pq_dot_sql,
+        pq_norm2_sql,
+        pq_oracle_ctes,
+        pq_reconstruct_sql,
+    )
+
+    d = DUCKDB
+    csql = pq_codes_sql(d, "_v", "_anchors")
+    rv = pq_reconstruct_sql(d, "codes", "_anchors")
+    rn2 = pq_norm2_sql(d, "_rv")
+    qn2 = pq_norm2_sql(d, "_v")
+    oracle = f"""WITH {pq_oracle_ctes(d)},
+enc AS (SELECT vec_id, {csql} AS codes FROM _e CROSS JOIN _cb),
+rec AS (SELECT vec_id, {rv} AS _rv FROM enc CROSS JOIN _cb),
+recn AS (SELECT vec_id, _rv, {rn2} AS _rn2 FROM rec WHERE {rn2} > 0),
+qs AS (SELECT vec_id AS query_id, _v AS _qv, {qn2} AS _qn2 FROM _e
+       WHERE vec_id % {TOPK_QUERY_STRIDE} = 0 AND {qn2} > 0),
+adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {pq_dot_sql(d, "q._qv", "c._rv")} / (sqrt(q._qn2) * sqrt(c._rn2))
+           AS score_pq
+  FROM recn c JOIN qs q ON c.vec_id <> q.query_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score_pq DESC, neighbor_id) AS rn
+    FROM adc) WHERE rn <= {TOPK_K * PQ_OVERFETCH}),
+cand AS (
+  SELECT s.query_id, s.neighbor_id, n._v AS _nv, {pq_norm2_sql(d, "n._v")} AS _nn2
+  FROM short s JOIN _e n ON n.vec_id = s.neighbor_id),
+rr AS (
+  SELECT c.query_id, c.neighbor_id,
+         {pq_dot_sql(d, "q._qv", "c._nv")} / (sqrt(q._qn2) * sqrt(c._nn2))
+           AS cos_exact
+  FROM cand c JOIN qs q ON q.query_id = c.query_id)
+SELECT query_id, neighbor_id, cos_exact, CAST(rn AS BIGINT) AS rank_n FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_exact DESC, neighbor_id) AS rn
+  FROM rr) WHERE rn <= {TOPK_K}"""
+    return Q(spark_fn, oracle)
+
+
 def _round6_queries() -> list[tuple[str, Q]]:
     """Queries added in round 6 — right after the never-checked pair so
     they land inside the external verification window."""
@@ -2807,6 +2950,9 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("skew_safe_join_events", _skew_safe_join_q()),
         ("embed_quantize_docs", _embed_quantize_q()),
         ("embed_quantized_topk", _embed_quantized_topk_q()),
+        ("embed_pq_codes", _embed_pq_codes_q()),
+        ("embed_pq_topk", _embed_pq_topk_q()),
+        ("embed_pq_rerank", _embed_pq_rerank_q()),
     ]
 
 

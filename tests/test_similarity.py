@@ -506,3 +506,75 @@ def test_whiten_embeddings_matches_expression_formulation(spark):
     for vid, arr in got.items():
         for d, v in enumerate(arr):
             assert math.isclose(v, expect[vid][d], rel_tol=1e-9, abs_tol=1e-9)
+
+
+# --- Product quantization ---------------------------------------------
+
+
+def test_pq_codes_shape_and_range(spark):
+    from dar_spark.operators.similarity import PQ_KS, PQ_M, pq_encode
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    out = pq_encode(e).selectExpr(
+        "size(codes) AS m",
+        f"aggregate(codes, true, (a, c) -> a AND c >= 0 AND c < {PQ_KS}) AS ok",
+    )
+    rows = out.collect()
+    assert all(r.m == PQ_M for r in rows)
+    assert all(r.ok for r in rows)
+
+
+def test_pq_encode_stable_under_repartition(spark):
+    """The md5-ranked codebook (not RNG, not partition order) makes the
+    whole encode deterministic under any physical layout."""
+    from dar_spark.operators.similarity import pq_encode
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    a = {
+        (r.vec_id, tuple(r.codes))
+        for r in pq_encode(e).collect()
+    }
+    b = {
+        (r.vec_id, tuple(r.codes))
+        for r in pq_encode(e.repartition(7)).collect()
+    }
+    assert a == b
+
+
+def test_pq_recall_floor_and_rerank_lift(spark):
+    """Pure-ADC recall on the near-random fixture (PQ's adversarial
+    case: no cluster structure, 16 sample codewords) has a measured
+    floor, and the shortlist→exact-rerank recipe must lift it
+    substantially — the whole point of the two-stage design."""
+    from dar_spark.operators.similarity import pq_topk, pq_topk_rerank
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    pred = "vec_id % 50 = 0"
+    exact = brute_force_topk(e, "vec_id", "embedding", pred, k=5)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    adc = {(r.query_id, r.neighbor_id) for r in pq_topk(e, query_pred=pred, k=5).collect()}
+    rr = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk_rerank(e, query_pred=pred, k=5, overfetch=8).collect()
+    }
+    r_adc = len(ex & adc) / len(ex)
+    r_rr = len(ex & rr) / len(ex)
+    assert r_adc >= 0.15, f"ADC recall {r_adc:.2f}"
+    assert r_rr >= 0.5, f"rerank recall {r_rr:.2f}"
+    assert r_rr > r_adc, f"rerank {r_rr:.2f} must beat pure ADC {r_adc:.2f}"
+
+
+def test_pq_codebook_larger_ks_not_worse(spark):
+    """More codewords = finer quantization: ks=64 pure-ADC recall must
+    be at least ks=16's on the same fixture (monotone lever, measured
+    0.22 -> 0.32 at sf0.01)."""
+    from dar_spark.operators.similarity import pq_topk
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    pred = "vec_id % 50 = 0"
+    exact = brute_force_topk(e, "vec_id", "embedding", pred, k=5)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    r16 = len(ex & {(r.query_id, r.neighbor_id) for r in pq_topk(e, query_pred=pred, ks=16).collect()}) / len(ex)
+    r64 = len(ex & {(r.query_id, r.neighbor_id) for r in pq_topk(e, query_pred=pred, ks=64).collect()}) / len(ex)
+    assert r64 >= r16, f"ks=64 recall {r64:.2f} < ks=16 {r16:.2f}"
