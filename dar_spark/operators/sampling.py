@@ -379,3 +379,43 @@ def weighted_sample_k_sql(
         f"WHERE {weight_col} IS NOT NULL AND {weight_col} > 0 "
         f"ORDER BY race_score, {key} LIMIT {k}"
     )
+
+
+def leak_safe_split(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    jaccard_threshold: float = 0.6,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(id, cluster_id, split): near-dup-aware train/val/test assignment.
+
+    A flat hash split (``train_val_test_split`` keyed on the doc id)
+    leaks eval text into training whenever two near-duplicates land in
+    different splits — the classic benchmark-contamination mechanism
+    inside a single corpus.  Here the split key is the CLUSTER id: the
+    minimum doc id of the document's connected component in the minhash
+    near-dup graph (``dedup.minhash_lsh_pairs`` →
+    ``dedup.connected_components``); docs with no near-dup are their own
+    cluster.  Every member of a component shares the key, so near-dups
+    land in the same split BY CONSTRUCTION — the guarantee is the key
+    choice, not a post-hoc check.
+
+    Scale shape: the labels table holds only clustered docs (a small
+    fraction of any deduplicated corpus), the join back is a key
+    equi-join, and the split itself is the same stateless hash-bucket
+    rule as the flat splitter — deterministic under repartitioning.
+    """
+    from dar_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    edges = minhash_lsh_pairs(
+        docs, id_col, text_col, jaccard_threshold=jaccard_threshold
+    )
+    labels = connected_components(edges).withColumnRenamed("node", id_col)
+    keyed = (
+        docs.select(id_col)
+        .join(labels, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    return train_val_test_split(keyed, "cluster_id", weights, n_buckets)

@@ -2942,6 +2942,42 @@ SELECT query_id, neighbor_id, cos_exact, CAST(rn AS BIGINT) AS rank_n FROM (
     return Q(spark_fn, oracle)
 
 
+def _split_leak_safe_q() -> Q:
+    """Near-dup-cluster-aware train/val/test split
+    (sampling.leak_safe_split): the split key is the connected-component
+    id of the minhash near-dup graph, so near-duplicates can never
+    straddle splits (the leakage a flat doc-id split permits — pinned by
+    tests/test_sampling.py).  Oracle: the dup_clusters RECURSIVE
+    reachability CTE + the same hash-bucket split rule on cluster_id."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.sampling import leak_safe_split
+
+        return leak_safe_split(
+            _corpus_df(spark, sf_dir), "doc_id", "text",
+            jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
+        )
+
+    from dar_spark.operators.sampling import split_sql
+
+    split = split_sql(DUCKDB, "cluster_id")
+    oracle = f"""WITH RECURSIVE {_minhash_pairs_ctes()},
+sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+        UNION SELECT doc_id_b, doc_id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.a AS node, reach.r FROM sym e JOIN reach ON reach.node = e.b
+),
+labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+keyed AS (
+  SELECT c.doc_id, COALESCE(l.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id)
+SELECT doc_id, cluster_id, {split} AS split FROM keyed"""
+    return Q(spark_fn, oracle)
+
+
 def _round6_queries() -> list[tuple[str, Q]]:
     """Queries added in round 6 — right after the never-checked pair so
     they land inside the external verification window."""
@@ -2953,6 +2989,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("embed_pq_codes", _embed_pq_codes_q()),
         ("embed_pq_topk", _embed_pq_topk_q()),
         ("embed_pq_rerank", _embed_pq_rerank_q()),
+        ("split_leak_safe", _split_leak_safe_q()),
     ]
 
 

@@ -92,3 +92,50 @@ def test_stratified_sample_rebalances_skewed_source(spark):
         ).collect()
     }
     assert again == {r.doc_id for r in out.collect()}
+
+
+def test_leak_safe_split_never_splits_near_dups(spark):
+    """The leakage guarantee itself: every minhash near-dup pair lands
+    in the SAME split, while the flat doc-id split demonstrably leaks on
+    the same corpus (so the cluster key is doing real work)."""
+    from dar_spark.operators.dedup import minhash_lsh_pairs
+    from dar_spark.operators.sampling import leak_safe_split
+    from dar_spark.queries import _corpus_df
+
+    docs = _corpus_df(spark, SF_DIR)
+    out = leak_safe_split(docs, "doc_id", "text")
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    edges = [
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    ]
+    assert edges, "fixture must contain near-dup pairs"
+    assert all(split_of[a] == split_of[b] for a, b in edges)
+
+    flat = {
+        r.doc_id: r.split
+        for r in train_val_test_split(
+            docs.select("doc_id"), "doc_id"
+        ).collect()
+    }
+    leaked = [(a, b) for a, b in edges if flat[a] != flat[b]]
+    assert leaked, "flat split should leak on this corpus (else the test is vacuous)"
+
+
+def test_leak_safe_split_covers_every_doc_once(spark):
+    from dar_spark.operators.sampling import leak_safe_split
+    from dar_spark.queries import _corpus_df
+
+    docs = _corpus_df(spark, SF_DIR)
+    out = leak_safe_split(docs, "doc_id", "text")
+    n = docs.count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    from pyspark.sql import functions as F
+
+    props = {
+        r.split: r.n
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert props.get("train", 0) > props.get("val", 0)
+    assert props.get("train", 0) > props.get("test", 0)
