@@ -1068,3 +1068,138 @@ def pq_topk_rerank(
         scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
         .filter(f"rank_n <= {k}")
     )
+
+
+def decontaminate_by_embedding(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cos_threshold: float = 0.9,
+    n_planes: int = N_PLANES,
+    n_bands: int = 1,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus row
+    whose cosine to ANY benchmark vector reaches ``cos_threshold`` —
+    the semantic complement of the n-gram ``decontaminate_docs`` (which
+    misses paraphrases; embeddings catch them).  Returns
+    (id, contaminated) for every corpus row.
+
+    Scale shape: candidates come from an SRP bucket equi-join — the
+    (small) benchmark side is the one expanded with Hamming-1 multiprobe
+    keys, so the corpus contributes exactly ``n_bands`` rows each and is
+    never pair-joined.  Same APPROXIMATE recall model as
+    ``embedding_dup_pairs`` (miss rate = P(≥2 planes split) per band);
+    raise ``n_bands`` to tighten it.  The cosine verify compares the
+    unrounded shared-shape fold to the threshold — no float column in
+    the output, so the oracle matches exactly.
+    """
+    c = _as_double_vec(corpus.select(id_col, vec_col), vec_col)
+    for t in range(n_bands):
+        c = c.withColumn(f"_b{t}", _bucket_expr("_v", n_planes, band=t))
+    ckeys = [F.concat(F.lit(f"{t}:"), F.col(f"_b{t}")) for t in range(n_bands)]
+    cx = c.select(
+        id_col, "_v", "_nrm", F.explode(F.array(*ckeys)).alias("_b")
+    )
+
+    b = _as_double_vec(benchmark.select(id_col, vec_col), vec_col)
+    for t in range(n_bands):
+        b = b.withColumn(f"_b{t}", _bucket_expr("_v", n_planes, band=t))
+    probes = []
+    for t in range(n_bands):
+        bt = F.col(f"_b{t}")
+        pre = F.lit(f"{t}:")
+        probes.append(F.concat(pre, bt))
+        probes += [
+            F.concat(pre, _flip_bit(bt, p, n_planes)) for p in range(n_planes)
+        ]
+    bx = b.select(
+        F.col("_v").alias("_bv"),
+        F.col("_nrm").alias("_bn"),
+        F.explode(F.array(*probes)).alias("_b"),
+    )
+    hits = (
+        cx.join(bx, "_b")
+        .filter(
+            F.expr(
+                "aggregate(zip_with(_v, _bv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+                f" / (_nrm * _bn) >= {cos_threshold}"
+            )
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_hit", F.lit(0)).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def srp_against_oracle_sql(
+    corpus_sql: str,
+    bench_sql: str,
+    cos_threshold: float,
+    n_planes: int = N_PLANES,
+    n_bands: int = 1,
+) -> str:
+    """DuckDB twin of ``decontaminate_by_embedding``: both source SQLs
+    must select (vec_id, v DOUBLE list); the bench side carries the
+    multiprobe flip expansion, mirroring the Spark plan from the same
+    plane constants."""
+
+    def fold(products: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), "
+            f"(a, x) -> a + x)"
+        )
+
+    band_buckets = []
+    for t in range(n_bands):
+        bits = []
+        for j in range(n_planes):
+            prods = (
+                f"list_transform(generate_series(1, len(v)), "
+                f"i -> v[i] * {_plane_component(t * n_planes + j)})"
+            )
+            bits.append(f"CASE WHEN {fold(prods)} >= 0 THEN '1' ELSE '0' END")
+        band_buckets.append("concat(" + ", ".join(bits) + ")")
+    bs = "[" + ", ".join(band_buckets) + "]"
+    flip = (
+        "substr(bt, 1, p - 1) || "
+        "(CASE WHEN substr(bt, p, 1) = '1' THEN '0' ELSE '1' END) || "
+        "substr(bt, p + 1)"
+    )
+    cos_prods = "list_transform(generate_series(1, len(cv)), i -> cv[i] * bv[i])"
+    return f"""WITH corp AS ({corpus_sql}),
+bench AS ({bench_sql}),
+cn AS (
+  SELECT vec_id, v,
+         sqrt({fold('list_transform(v, x -> x * x)')}) AS nrm, {bs} AS bs
+  FROM corp
+), bn AS (
+  SELECT v, sqrt({fold('list_transform(v, x -> x * x)')}) AS nrm, {bs} AS bs
+  FROM bench
+), cx AS (
+  SELECT vec_id, v AS cv, nrm AS cnrm,
+         CAST(t AS VARCHAR) || ':' || bs[t + 1] AS b
+  FROM cn CROSS JOIN range(0, {n_bands}) tt(t)
+), bx AS (
+  SELECT v AS bv, nrm AS bnrm,
+         CAST(t AS VARCHAR) || ':' ||
+           (CASE WHEN p = 0 THEN bt ELSE {flip} END) AS b
+  FROM (SELECT *, bs[t + 1] AS bt
+        FROM bn CROSS JOIN range(0, {n_bands}) tt(t))
+       CROSS JOIN range(0, {n_planes + 1}) pp(p)
+), hits AS (
+  SELECT DISTINCT cx.vec_id
+  FROM cx JOIN bx ON cx.b = bx.b
+  WHERE {fold(cos_prods)} / (cx.cnrm * bx.bnrm) >= {cos_threshold}
+)
+SELECT c.vec_id,
+       CAST(CASE WHEN h.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS contaminated
+FROM corp c LEFT JOIN hits h ON h.vec_id = c.vec_id"""

@@ -2942,6 +2942,94 @@ SELECT query_id, neighbor_id, cos_exact, CAST(rn AS BIGINT) AS rank_n FROM (
     return Q(spark_fn, oracle)
 
 
+DECON_EMBED_THRESHOLD = 0.9
+
+
+def _decontaminate_embed_q() -> Q:
+    """Embedding-space decontamination
+    (similarity.decontaminate_by_embedding): corpus rows whose cosine to
+    any benchmark vector reaches 0.9 are flagged — the paraphrase-proof
+    complement of the n-gram decontaminate_docs.  The benchmark set
+    shares exact vectors with the corpus on vec_id%5<>0 AND %7=0 (ids
+    offset so the spaces stay disjoint), so the planted contamination is
+    deterministic; the SRP candidate model is the same approximate
+    recall curve as embedding_dup_pairs, mirrored exactly by the
+    oracle's twin plane hash."""
+
+    CORPUS = (
+        "SELECT vec_id, {v} AS v FROM embeddings WHERE vec_id % 5 <> 0"
+    )
+    BENCH = (
+        "SELECT vec_id + 1000000 AS vec_id, {v} AS v FROM embeddings "
+        "WHERE vec_id % 7 = 0"
+    )
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.similarity import decontaminate_by_embedding
+
+        load_tables(spark, sf_dir)
+        v = SPARK.arr_transform("embedding", "x -> CAST(x AS DOUBLE)")
+        corpus = spark.sql(CORPUS.format(v=v))
+        bench = spark.sql(BENCH.format(v=v))
+        return decontaminate_by_embedding(
+            corpus, bench, "vec_id", "v",
+            cos_threshold=DECON_EMBED_THRESHOLD,
+        )
+
+    from dar_spark.operators.similarity import srp_against_oracle_sql
+
+    dv = DUCKDB.arr_transform("embedding", "x -> CAST(x AS DOUBLE)")
+    oracle = srp_against_oracle_sql(
+        CORPUS.format(v=dv), BENCH.format(v=dv), DECON_EMBED_THRESHOLD
+    )
+    return Q(spark_fn, oracle)
+
+
+ROLLUP_OLD_SNAP = (
+    "SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 11 <> 0"
+)
+ROLLUP_NEW_SNAP = (
+    "SELECT o_custkey, CASE WHEN o_orderkey % 5 = 0 "
+    "THEN o_totalprice + 50 ELSE o_totalprice END AS o_totalprice "
+    "FROM orders WHERE o_orderkey % 13 <> 0"
+)
+
+
+def _rollup_incremental_q() -> Q:
+    """Incremental materialized-rollup maintenance
+    (operators/merge.incremental_rollup): the per-customer revenue
+    rollup of an 'old' orders snapshot is advanced to the 'new'
+    snapshot by merging ONLY the CDC delta (multiset added/removed
+    rows) — never rescanning the new fact table.  The oracle is a FULL
+    recompute on the new snapshot: two genuinely different computations
+    must hash-match, which is the correctness statement of view
+    maintenance (exact DECIMAL partials make ⊕/⊖ associative)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.merge import (
+            incremental_rollup,
+            rollup_finalize,
+            rollup_from_facts,
+        )
+
+        load_tables(spark, sf_dir)
+        old = spark.sql(ROLLUP_OLD_SNAP)
+        new = spark.sql(ROLLUP_NEW_SNAP)
+        added = new.exceptAll(old)
+        removed = old.exceptAll(new)
+        base = rollup_from_facts(old, ["o_custkey"], {"sum_price": "o_totalprice"})
+        out = incremental_rollup(
+            base, added, removed, ["o_custkey"], {"sum_price": "o_totalprice"}
+        )
+        return rollup_finalize(out, ["sum_price"])
+
+    oracle = f"""WITH newt AS ({ROLLUP_NEW_SNAP})
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM newt GROUP BY o_custkey"""
+    return Q(spark_fn, oracle)
+
+
 def _split_leak_safe_q() -> Q:
     """Near-dup-cluster-aware train/val/test split
     (sampling.leak_safe_split): the split key is the connected-component
@@ -2990,6 +3078,8 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("embed_pq_topk", _embed_pq_topk_q()),
         ("embed_pq_rerank", _embed_pq_rerank_q()),
         ("split_leak_safe", _split_leak_safe_q()),
+        ("rollup_incremental_orders", _rollup_incremental_q()),
+        ("decontaminate_embed", _decontaminate_embed_q()),
     ]
 
 

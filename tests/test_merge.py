@@ -73,3 +73,45 @@ def test_merge_upsert_rejects_duplicate_update_keys(spark, tmp_path):
         merge_upsert(spark, path, dup_updates, ["k"])
     # target untouched by the failed merge
     assert spark.read.parquet(path).count() == 1
+
+
+# --- incremental rollup maintenance -----------------------------------
+
+
+def _facts(spark, rows):
+    return spark.createDataFrame(rows, "g string, x double")
+
+
+def test_incremental_rollup_matches_full_recompute(spark):
+    from dar_spark.operators.merge import incremental_rollup, rollup_from_facts
+
+    old = _facts(spark, [("a", 1.0), ("a", 2.5), ("b", 4.0), ("c", 1.25)])
+    new = _facts(spark, [("a", 1.0), ("a", 9.0), ("b", 4.0), ("d", 7.5)])
+    added = new.exceptAll(old)
+    removed = old.exceptAll(new)
+    base = rollup_from_facts(old, ["g"], {"s": "x"})
+    inc = incremental_rollup(base, added, removed, ["g"], {"s": "x"})
+    full = rollup_from_facts(new, ["g"], {"s": "x"})
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_incremental_rollup_empty_delta_is_noop(spark):
+    from dar_spark.operators.merge import incremental_rollup, rollup_from_facts
+
+    old = _facts(spark, [("a", 1.0), ("b", 2.0)])
+    empty = _facts(spark, []).filter("1 = 0")
+    base = rollup_from_facts(old, ["g"], {"s": "x"})
+    inc = incremental_rollup(base, empty, empty, ["g"], {"s": "x"})
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_incremental_rollup_drops_vanished_groups(spark):
+    from dar_spark.operators.merge import incremental_rollup, rollup_from_facts
+
+    old = _facts(spark, [("a", 1.0), ("b", 2.0)])
+    removed = _facts(spark, [("b", 2.0)])
+    added = _facts(spark, []).filter("1 = 0")
+    base = rollup_from_facts(old, ["g"], {"s": "x"})
+    inc = incremental_rollup(base, added, removed, ["g"], {"s": "x"})
+    got = {r.g for r in inc.collect()}
+    assert got == {"a"}

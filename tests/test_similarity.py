@@ -578,3 +578,26 @@ def test_pq_codebook_larger_ks_not_worse(spark):
     r16 = len(ex & {(r.query_id, r.neighbor_id) for r in pq_topk(e, query_pred=pred, ks=16).collect()}) / len(ex)
     r64 = len(ex & {(r.query_id, r.neighbor_id) for r in pq_topk(e, query_pred=pred, ks=64).collect()}) / len(ex)
     assert r64 >= r16, f"ks=64 recall {r64:.2f} < ks=16 {r16:.2f}"
+
+
+def test_decontaminate_by_embedding_catches_planted_exact_dups(spark):
+    """Exact copies share every SRP bucket — planted contamination must
+    be flagged with recall 1.0; rows with no benchmark twin on the
+    near-random fixture stay clean at threshold 0.9."""
+    from dar_spark.operators.similarity import decontaminate_by_embedding
+
+    e = load_tables(spark, SF_DIR)["embeddings"].selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    )
+    corpus = e.filter("vec_id % 5 <> 0")
+    bench = e.filter("vec_id % 7 = 0").selectExpr(
+        "vec_id + 1000000 AS vec_id", "v"
+    )
+    out = {r.vec_id: r.contaminated for r in decontaminate_by_embedding(
+        corpus, bench, "vec_id", "v", cos_threshold=0.9
+    ).collect()}
+    planted = {r.vec_id for r in corpus.filter("vec_id % 7 = 0").collect()}
+    assert planted, "fixture must plant contamination"
+    assert all(out[i] == 1 for i in planted)
+    clean = [i for i, c in out.items() if i not in planted and c == 0]
+    assert len(clean) > 0.9 * (len(out) - len(planted))
