@@ -741,3 +741,120 @@ SELECT {id_col}, chunk_id,
        string_agg(tok, ' ' ORDER BY p) AS chunk_text,
        CAST(COUNT(*) AS BIGINT) AS n_tokens
 FROM chunked GROUP BY {id_col}, chunk_id"""
+
+
+# --- BM25 keyword search ----------------------------------------------
+
+
+def bm25_exprs(
+    d: Dialect, text_col: str, terms: list[str],
+    k1: float = 1.2, b: float = 0.75,
+) -> tuple[list[str], list[str], str]:
+    """Dialect-shared BM25 (Lucene idf variant) for a FIXED query-term
+    set: returns (per-doc projection exprs, corpus-stats agg exprs,
+    per-doc score expr over the joined stats row).
+
+    Scan-based scoring — no inverted index, no explode: per-doc term
+    frequencies are array-filter lengths inside ONE projection, the
+    corpus stats (N, Σdl, per-term df) are ONE aggregate row broadcast
+    back, and the score is a fixed left-to-right chain over the terms.
+    Every operand is an integer or an integer-ratio double and the
+    chain order is identical in both emitters, so scores are
+    bit-identical cross-engine (the tfidf/lm_perplexity ln()
+    precedent); constants are CAST(... AS DOUBLE) to dodge the
+    decimal-literal promotion ulp trap.
+
+    idf_t = ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) ≥ 0;
+    score = Σ_t idf_t · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    """
+    toks = d.split_lit(f"lower({text_col})", " ")
+    proj = [f"{d.arr_len(toks)} AS dl"]
+    for i, t in enumerate(terms):
+        lit = t.replace("'", "''")
+        tf = d.arr_len(d.arr_filter(toks, f"t -> t = '{lit}'"))
+        proj.append(f"{tf} AS tf_{i}")
+    aggs = [
+        "CAST(COUNT(*) AS BIGINT) AS n_docs",
+        "CAST(SUM(dl) AS BIGINT) AS sum_dl",
+    ] + [
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    ]
+    k1s = f"CAST({k1} AS DOUBLE)"
+    bs = f"CAST({b} AS DOUBLE)"
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    parts = []
+    for i in range(len(terms)):
+        idf = (
+            f"ln(CAST(1 AS DOUBLE) + "
+            f"(CAST(n_docs - df_{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)) / "
+            f"(CAST(df_{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+        )
+        norm = (
+            f"(CAST(tf_{i} AS DOUBLE) + {k1s} * "
+            f"(CAST(1 AS DOUBLE) - {bs} + {bs} * CAST(dl AS DOUBLE) / {avgdl}))"
+        )
+        parts.append(
+            f"({idf} * CAST(tf_{i} AS DOUBLE) * ({k1s} + CAST(1 AS DOUBLE)) "
+            f"/ {norm})"
+        )
+    score = parts[0]
+    for p in parts[1:]:
+        score = f"({score} + {p})"
+    return proj, aggs, score
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a fixed keyword query by BM25:
+    (id, score_bm25, rank_n).  Docs matching no term are filtered before
+    the (tiny) global top-k window; the corpus-stats row is broadcast.
+    """
+    proj, aggs, score = bm25_exprs(SPARK, text_col, terms, k1, b)
+    per_doc = df.selectExpr(id_col, *proj)
+    stats = per_doc.groupBy().agg(*[F.expr(a) for a in aggs])
+    any_tf = " + ".join(f"tf_{i}" for i in range(len(terms)))
+    scored = (
+        per_doc.join(F.broadcast(stats))
+        .filter(f"({any_tf}) > 0")
+        .selectExpr(id_col, f"{score} AS score_bm25")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score_bm25"), F.col(id_col))
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
+        .filter(f"rank_n <= {k}")
+    )
+
+
+def bm25_oracle_sql(
+    d: Dialect,
+    table_sql: str,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of ``bm25_search`` from the same expression builder."""
+    proj, aggs, score = bm25_exprs(d, text_col, terms, k1, b)
+    any_tf = " + ".join(f"tf_{i}" for i in range(len(terms)))
+    return f"""WITH src AS ({table_sql}),
+per_doc AS (SELECT {id_col}, {', '.join(proj)} FROM src),
+stats AS (SELECT {', '.join(aggs)} FROM per_doc),
+scored AS (
+  SELECT {id_col}, {score} AS score_bm25
+  FROM per_doc CROSS JOIN stats
+  WHERE ({any_tf}) > 0)
+SELECT {id_col}, score_bm25, CAST(rn AS BIGINT) AS rank_n FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score_bm25 DESC, {id_col}) AS rn
+  FROM scored) WHERE rn <= {k}"""

@@ -2942,6 +2942,35 @@ SELECT query_id, neighbor_id, cos_exact, CAST(rn AS BIGINT) AS rank_n FROM (
     return Q(spark_fn, oracle)
 
 
+BM25_TERMS = ["query", "window", "merge"]
+BM25_K = 10
+
+
+def _bm25_search_q() -> Q:
+    """BM25 keyword retrieval (functions/text.bm25_search): top-10 docs
+    for a fixed 3-term query, scan-scored with no explode — per-doc tf
+    from array-filter lengths, one broadcast corpus-stats row, scores a
+    fixed-order chain of integer-ratio ln() terms so both engines
+    produce bit-identical doubles (value-matched, not rank-only)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import bm25_search
+
+        t = load_tables(spark, sf_dir)
+        return bm25_search(
+            parallelize(t["documents"]), "doc_id", "text",
+            BM25_TERMS, k=BM25_K,
+        )
+
+    from dar_spark.functions.text import bm25_oracle_sql
+
+    oracle = bm25_oracle_sql(
+        DUCKDB, "SELECT doc_id, text FROM documents", "doc_id", "text",
+        BM25_TERMS, k=BM25_K,
+    )
+    return Q(spark_fn, oracle)
+
+
 DECON_EMBED_THRESHOLD = 0.9
 
 
@@ -3080,6 +3109,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("split_leak_safe", _split_leak_safe_q()),
         ("rollup_incremental_orders", _rollup_incremental_q()),
         ("decontaminate_embed", _decontaminate_embed_q()),
+        ("bm25_search_docs", _bm25_search_q()),
     ]
 
 

@@ -1,0 +1,47 @@
+"""BM25 ranking semantics on controlled mini-corpora."""
+
+from __future__ import annotations
+
+from dar_spark.functions.text import bm25_search
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bm25_higher_tf_ranks_higher(spark):
+    d = _docs(spark, [
+        (1, "cat dog bird"),
+        (2, "cat cat dog"),
+        (3, "dog bird fish"),
+    ])
+    out = bm25_search(d, "doc_id", "text", ["cat"], k=3).collect()
+    ranks = {r.doc_id: r.rank_n for r in out}
+    assert set(ranks) == {1, 2}  # doc 3 has no match
+    assert ranks[2] < ranks[1]
+
+
+def test_bm25_length_normalization_prefers_shorter(spark):
+    d = _docs(spark, [
+        (1, "cat " + "filler " * 20),
+        (2, "cat filler"),
+    ])
+    out = bm25_search(d, "doc_id", "text", ["cat"], k=2).collect()
+    ranks = {r.doc_id: r.rank_n for r in out}
+    assert ranks[2] < ranks[1]
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    rows = [(i, "common filler") for i in range(1, 9)]
+    rows += [(9, "common extra"), (10, "rare extra")]
+    d = _docs(spark, rows)
+    out = bm25_search(d, "doc_id", "text", ["common", "rare"], k=10).collect()
+    scores = {r.doc_id: r.score_bm25 for r in out}
+    # doc 10 matches only the rare term; doc 9 only the common one —
+    # equal tf and dl, so idf decides
+    assert scores[10] > scores[9]
+
+
+def test_bm25_no_match_empty(spark):
+    d = _docs(spark, [(1, "cat dog")])
+    assert bm25_search(d, "doc_id", "text", ["zebra"], k=5).count() == 0
