@@ -1203,3 +1203,24 @@ cn AS (
 SELECT c.vec_id,
        CAST(CASE WHEN h.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS contaminated
 FROM corp c LEFT JOIN hits h ON h.vec_id = c.vec_id"""
+
+
+def srp_autoscale(n: int, target_candidates: int = 4096) -> int:
+    """Default SRP plane count for a corpus of ``n`` vectors: the
+    SCALE.md sizing rule ``n_planes ≈ log2(N / C)`` made executable —
+    each probe drags ~N / 2^n_planes candidates, so a FIXED plane count
+    stops scaling exactly the way a fixed IVF list count does (the
+    ``ivf_autoscale`` argument applied to buckets).  Clamped to
+    [N_PLANES, 24]: the floor keeps tiny corpora at the tested default,
+    the ceiling bounds the multiprobe expansion (n_planes+1 probe rows
+    per query per band) and string-bucket width.
+
+    ceil(log2) keeps the realized per-probe candidate count AT OR BELOW
+    the target; 1e9 vectors at the default C=4096 → 18 planes; 500 →
+    the floor 8.
+    """
+    if n <= 0:
+        return N_PLANES
+    ratio = max(1, -(-n // max(1, target_candidates)))
+    need = (ratio - 1).bit_length()
+    return max(N_PLANES, min(24, need))

@@ -297,3 +297,137 @@ def key_skew_report(
         .orderBy(F.desc("n_rows"), "key_value")
         .limit(top_n)
     )
+
+
+def quantile_hist_exprs(
+    d: Dialect, value: str, n_bins: int
+) -> tuple[str, str]:
+    """Dialect-shared pieces of the histogram quantile sketch:
+    (bin-index expr over a joined (mn, wd) stats row, the shared
+    bin-width expr).  Bin index = clamp(floor((x - mn)/wd), 0, B-1) —
+    identical IEEE ops both engines, so bin assignment (and therefore
+    every downstream estimate) is bit-identical."""
+    wd = f"((mx - mn) / CAST({n_bins} AS DOUBLE))"
+    idx = (
+        f"CAST(least(greatest(floor((CAST({value} AS DOUBLE) - mn) / {wd}), "
+        f"CAST(0 AS DOUBLE)), CAST({n_bins - 1} AS DOUBLE)) AS INT)"
+    )
+    return idx, wd
+
+
+def approx_quantiles_hist(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    n_bins: int = 256,
+) -> DataFrame:
+    """Mergeable histogram quantile estimate: (prob, q_est).
+
+    Exact percentiles need a global sort (or a full multiset collect);
+    Spark's approx_percentile is neither cross-engine reproducible nor
+    mergeable across pre-aggregated partitions.  This is the two-pass
+    fixed-bin recipe: pass 1 takes global (min, max) — a map-side
+    combinable agg — pass 2 histograms values into ``n_bins`` uniform
+    bins (map-side combinable counts; the histogram MERGES by adding
+    counts, so per-partition/per-day histograms roll up for free), and
+    the quantile is linear interpolation inside the bin where the
+    cumulative count crosses p·N.  Error is bounded by one bin width of
+    the value RANGE (pinned in tests vs exact percentiles); degenerate
+    min==max collapses to that single value.  NULLs are excluded, like
+    percentile_cont.
+
+    Every arithmetic step is a shared-shape IEEE expression over exact
+    integer counts, so the DuckDB oracle value-matches the estimates.
+    """
+    from dar_spark.dialect import SPARK as _SPK
+
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("_x")
+    )
+    stats = vals.groupBy().agg(
+        F.expr("CAST(min(_x) AS DOUBLE)").alias("mn"),
+        F.expr("CAST(max(_x) AS DOUBLE)").alias("mx"),
+        F.expr("COUNT(*)").cast("bigint").alias("n"),
+    )
+    idx, _ = quantile_hist_exprs(_SPK, "_x", n_bins)
+    hist = (
+        vals.join(F.broadcast(stats))
+        .select(F.expr(f"CASE WHEN mx = mn THEN 0 ELSE {idx} END").alias("bin"))
+        .groupBy("bin")
+        .agg(F.expr("COUNT(*)").cast("bigint").alias("cnt"))
+    )
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.expr(
+            "SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)"
+        ).alias("cum"),
+    )
+    pdf = df.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "prob double"
+    )
+    # target rank: ceil(p * n) clamped to [1, n]
+    j = pdf.crossJoin(F.broadcast(stats)).withColumn(
+        "rank_t",
+        F.expr("least(greatest(CAST(ceil(prob * n) AS BIGINT), 1), n)"),
+    )
+    # first bin whose cumulative count reaches the target rank
+    hit = (
+        j.join(F.broadcast(cum), F.expr("cum >= rank_t"))
+        .groupBy("prob", "mn", "mx", "n", "rank_t")
+        .agg(
+            F.expr("min_by(struct(bin, cnt, cum), bin).bin").alias("bin"),
+            F.expr("min_by(struct(bin, cnt, cum), bin).cnt").alias("cnt"),
+            F.expr("min_by(struct(bin, cnt, cum), bin).cum").alias("cum"),
+        )
+    )
+    est = (
+        f"CASE WHEN mx = mn THEN mn ELSE "
+        f"mn + ((mx - mn) / CAST({n_bins} AS DOUBLE)) * "
+        f"(CAST(bin AS DOUBLE) + "
+        f"CAST(rank_t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) END"
+    )
+    return hit.select("prob", F.expr(est).alias("q_est")).orderBy("prob")
+
+
+def quantile_hist_oracle_sql(
+    d: Dialect,
+    source_sql: str,
+    value: str,
+    probs: list[float],
+    n_bins: int = 256,
+) -> str:
+    """DuckDB twin of ``approx_quantiles_hist`` from the same bin and
+    interpolation expressions."""
+    idx, _ = quantile_hist_exprs(d, "_x", n_bins)
+    plist = ", ".join(f"({float(p)})" for p in probs)
+    est = (
+        f"CASE WHEN mx = mn THEN mn ELSE "
+        f"mn + ((mx - mn) / CAST({n_bins} AS DOUBLE)) * "
+        f"(CAST(bin AS DOUBLE) + "
+        f"CAST(rank_t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) END"
+    )
+    return f"""WITH src AS ({source_sql}),
+vals AS (SELECT CAST({value} AS DOUBLE) AS _x FROM src WHERE {value} IS NOT NULL),
+stats AS (SELECT CAST(min(_x) AS DOUBLE) AS mn, CAST(max(_x) AS DOUBLE) AS mx,
+                 CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+hist AS (
+  SELECT CASE WHEN mx = mn THEN 0 ELSE {idx} END AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals CROSS JOIN stats GROUP BY 1),
+cum AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum
+  FROM hist),
+pr AS (SELECT * FROM (VALUES {plist}) t(prob)),
+tgt AS (
+  SELECT prob, mn, mx, n,
+         least(greatest(CAST(ceil(prob * n) AS BIGINT), 1), n) AS rank_t
+  FROM pr CROSS JOIN stats),
+hit AS (
+  SELECT t.prob, t.mn, t.mx, t.rank_t, c.bin, c.cnt, c.cum,
+         ROW_NUMBER() OVER (PARTITION BY t.prob ORDER BY c.bin) AS rn
+  FROM tgt t JOIN cum c ON c.cum >= t.rank_t)
+SELECT prob, {est} AS q_est FROM hit WHERE rn = 1"""

@@ -2939,6 +2939,36 @@ SELECT query_id, neighbor_id, cos_exact, CAST(rn AS BIGINT) AS rank_n FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY cos_exact DESC, neighbor_id) AS rn
   FROM rr) WHERE rn <= {TOPK_K}"""
+    return Q(spark_fn, oracle, headline=True)
+
+
+QHIST_PROBS = [0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def _quantile_hist_q() -> Q:
+    """Mergeable histogram quantile sketch
+    (operators/sketch.approx_quantiles_hist): two map-side-combinable
+    passes (global min/max, then 256 uniform-bin counts) replace the
+    global sort exact percentiles need; per-partition histograms roll up
+    by adding counts.  Estimates are linear interpolation over exact
+    integer counts — bit-identical cross-engine (value-matched, and the
+    one-bin-width error bound vs exact percentile_cont is pinned in
+    tests/test_sketch.py)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.sketch import approx_quantiles_hist
+
+        t = load_tables(spark, sf_dir)
+        return approx_quantiles_hist(
+            t["lineitem"], "l_extendedprice", QHIST_PROBS
+        )
+
+    from dar_spark.operators.sketch import quantile_hist_oracle_sql
+
+    oracle = quantile_hist_oracle_sql(
+        DUCKDB, "SELECT l_extendedprice FROM lineitem",
+        "l_extendedprice", QHIST_PROBS,
+    )
     return Q(spark_fn, oracle)
 
 
@@ -2968,7 +2998,7 @@ def _bm25_search_q() -> Q:
         DUCKDB, "SELECT doc_id, text FROM documents", "doc_id", "text",
         BM25_TERMS, k=BM25_K,
     )
-    return Q(spark_fn, oracle)
+    return Q(spark_fn, oracle, headline=True)
 
 
 DECON_EMBED_THRESHOLD = 0.9
@@ -3110,6 +3140,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("rollup_incremental_orders", _rollup_incremental_q()),
         ("decontaminate_embed", _decontaminate_embed_q()),
         ("bm25_search_docs", _bm25_search_q()),
+        ("quantile_hist_lineitem", _quantile_hist_q()),
     ]
 
 

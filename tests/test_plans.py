@@ -176,3 +176,36 @@ def test_ngram_novelty_join_is_hash_equi(spark):
     p = _executed(spark, "ngram_novelty_docs")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_round6_third_wave_plan_shapes(spark):
+    """The r6 third-wave operators keep their intended shapes.
+
+    - PQ: the ONLY nested-loop joins are the sanctioned one-row
+      codebook broadcasts and the broadcast query-set scan (the ADC
+      design); no cartesian, and crucially NO shuffle join anywhere in
+      encode/topk — the compressed scan is map-side work.
+    - rerank: the shortlist joins back by key as broadcast EQUI joins.
+    - bm25: the one-row stats broadcast is the only nested loop; the
+      global top-k window over matched docs is the sanctioned
+      SinglePartition (tiny input by construction).
+    - split/decontaminate/rollup: equi or pure-aggregate plans — no
+      nested loop, no cartesian.
+    """
+    shapes = {
+        "embed_pq_codes": dict(bnlj_max=2, smj_max=0),
+        "embed_pq_topk": dict(bnlj_max=6, smj_max=0),
+        "embed_pq_rerank": dict(bnlj_max=6, smj_max=0),
+        "bm25_search_docs": dict(bnlj_max=2, smj_max=0),
+        "split_leak_safe": dict(bnlj_max=0),
+        "rollup_incremental_orders": dict(bnlj_max=0, smj_max=0),
+        "decontaminate_embed": dict(bnlj_max=0),
+    }
+    for name, lim in shapes.items():
+        p = _executed(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert p.count("BroadcastNestedLoopJoin") <= lim["bnlj_max"], name
+        if "smj_max" in lim:
+            assert p.count("SortMergeJoin") <= lim["smj_max"], (
+                f"{name}: unexpected shuffle join"
+            )

@@ -601,3 +601,22 @@ def test_decontaminate_by_embedding_catches_planted_exact_dups(spark):
     assert all(out[i] == 1 for i in planted)
     clean = [i for i, c in out.items() if i not in planted and c == 0]
     assert len(clean) > 0.9 * (len(out) - len(planted))
+
+
+def test_srp_autoscale_rule():
+    """ceil(log2(N/C)) clamped to [8, 24]: per-probe candidates stay at
+    or below the target and tiny corpora keep the tested default."""
+    from dar_spark.operators.similarity import srp_autoscale
+
+    assert srp_autoscale(0) == 8
+    assert srp_autoscale(500) == 8
+    assert srp_autoscale(10**9) == 18
+    # realized candidates <= target at every decade
+    for n in (10**4, 10**6, 10**8, 10**10):
+        p = srp_autoscale(n)
+        if p < 24:
+            assert n / (2 ** p) <= 4096
+    # monotone in N, capped
+    assert srp_autoscale(10**12) == 24
+    ps = [srp_autoscale(10**e) for e in range(3, 13)]
+    assert ps == sorted(ps)

@@ -102,3 +102,53 @@ def test_hll_register_table_merges(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+# --- histogram quantile sketch ----------------------------------------
+
+
+def test_quantile_hist_error_bound_vs_exact(spark, duck):
+    """Every estimate lies within ONE bin width of the true
+    percentile_cont — the sketch's documented error bound."""
+    from dar_spark.operators.sketch import approx_quantiles_hist
+    from dar_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    t = load_tables(spark, SF_DIR)
+    probs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = {r.prob: r.q_est for r in approx_quantiles_hist(
+        t["lineitem"], "l_extendedprice", probs, n_bins=256
+    ).collect()}
+    mn, mx = duck.execute(
+        "SELECT min(l_extendedprice), max(l_extendedprice) FROM lineitem"
+    ).fetchone()
+    bw = (mx - mn) / 256
+    for p in probs:
+        exact = duck.execute(
+            f"SELECT quantile_cont(l_extendedprice, {p}) FROM lineitem"
+        ).fetchone()[0]
+        assert abs(est[p] - exact) <= bw, (p, est[p], exact, bw)
+
+
+def test_quantile_hist_merges_like_partitions(spark):
+    """The histogram is mergeable by construction: estimating over the
+    union equals estimating over the same rows in any partition layout
+    (the property that lets per-day histograms roll up)."""
+    from dar_spark.operators.sketch import approx_quantiles_hist
+    from dar_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    t = load_tables(spark, SF_DIR)
+    a = approx_quantiles_hist(t["lineitem"], "l_extendedprice", [0.5]).collect()
+    b = approx_quantiles_hist(
+        t["lineitem"].repartition(13), "l_extendedprice", [0.5]
+    ).collect()
+    assert a[0].q_est == b[0].q_est
+
+
+def test_quantile_hist_degenerate_single_value(spark):
+    from dar_spark.operators.sketch import approx_quantiles_hist
+
+    df = spark.createDataFrame([(7.5,)] * 10 + [(None,)], "x double")
+    out = approx_quantiles_hist(df, "x", [0.1, 0.9]).collect()
+    assert all(r.q_est == 7.5 for r in out)
