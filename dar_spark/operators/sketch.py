@@ -356,6 +356,21 @@ def approx_quantiles_hist(
         .groupBy("bin")
         .agg(F.expr("COUNT(*)").cast("bigint").alias("cnt"))
     )
+    return quantiles_from_hist(df.sparkSession, hist, stats, probs, n_bins)
+
+
+def quantiles_from_hist(
+    spark,
+    hist: DataFrame,
+    stats: DataFrame,
+    probs: list[float],
+    n_bins: int,
+) -> DataFrame:
+    """Estimate (prob, q_est) from a (bin, cnt) histogram plus a one-row
+    (mn, mx, n) stats frame — the shared tail of the batch sketch and
+    the streaming drain (``streaming.quantile_stream``): linear
+    interpolation inside the bin where the cumulative count crosses
+    ceil(p·n)."""
     cum = hist.select(
         "bin",
         "cnt",
@@ -364,9 +379,7 @@ def approx_quantiles_hist(
             "AND CURRENT ROW)"
         ).alias("cum"),
     )
-    pdf = df.sparkSession.createDataFrame(
-        [(float(p),) for p in probs], "prob double"
-    )
+    pdf = spark.createDataFrame([(float(p),) for p in probs], "prob double")
     # target rank: ceil(p * n) clamped to [1, n]
     j = pdf.crossJoin(F.broadcast(stats)).withColumn(
         "rank_t",

@@ -1,0 +1,110 @@
+"""Time-series regularization: resample to a fixed grid + forward fill.
+
+Event streams are irregular; training-feature and monitoring pipelines
+want one row per (key, grid step) with the last observed value carried
+forward through the silent steps.  The scalable formulation:
+
+1. per-key span: one aggregate for (min, max) event time;
+2. grid: ``sequence(floor(min), floor(max), interval)`` exploded —
+   output size is the GRID (span/step per key), never events × grid;
+3. per-step aggregate of the observed values (left join on the
+   truncated timestamp — an equi-join);
+4. forward fill: ``last(value, ignoreNulls) OVER (PARTITION BY key
+   ORDER BY step)`` — one partitioned window, no loops.
+
+Steps before a key's first observation stay NULL (nothing to carry);
+``max_gap_steps`` optionally re-NULLs values carried further than a
+bound, the usual staleness guard in feature pipelines.
+
+Keys partition the window, so skew follows event-key skew; the grid
+explode is bounded per key by span/step — for multi-year spans at fine
+steps, pre-filter the time window (the caller knows the horizon).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_expr: str,
+    step: str = "1 hour",
+    max_gap_steps: int | None = None,
+) -> DataFrame:
+    """(key, step_ts, observed, filled): per-key fixed-grid resample of
+    ``value_expr`` (an aggregate SQL expression over each step's rows,
+    e.g. ``COUNT(*)`` or ``SUM(amount)``) with forward fill.
+
+    ``observed`` is the step's own aggregate (NULL on silent steps);
+    ``filled`` carries the last non-NULL observation forward, re-NULLed
+    past ``max_gap_steps`` if set.
+    """
+    tr = f"date_trunc('hour', {ts_col})" if step == "1 hour" else None
+    if tr is None:
+        # generic step: truncate by integer arithmetic on epoch seconds
+        secs = {"1 minute": 60, "15 minutes": 900, "1 hour": 3600,
+                "1 day": 86400}[step]
+        tr = (
+            f"to_timestamp((CAST(unix_timestamp({ts_col}) AS BIGINT) "
+            f"DIV {secs}) * {secs})"
+        )
+    ev = df.select(
+        F.col(key_col).alias("_k"),
+        F.expr(tr).alias("_t"),
+        F.col("*"),
+    )
+    span = ev.groupBy("_k").agg(
+        F.min("_t").alias("_lo"), F.max("_t").alias("_hi")
+    )
+    grid = span.select(
+        "_k",
+        F.explode(
+            F.expr(f"sequence(_lo, _hi, interval {step})")
+        ).alias("step_ts"),
+    )
+    obs = ev.groupBy("_k", "_t").agg(F.expr(value_expr).alias("observed"))
+    j = grid.join(
+        obs,
+        (grid["_k"] == obs["_k"]) & (grid["step_ts"] == obs["_t"]),
+        "left",
+    ).select(grid["_k"].alias("key"), "step_ts", "observed")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("key").orderBy("step_ts")
+    out = j.withColumn(
+        "filled", F.last("observed", ignorenulls=True).over(w)
+    )
+    if max_gap_steps is not None:
+        # steps since the last observation: rank distance to the most
+        # recent non-null step
+        wlast = Window.partitionBy("key").orderBy("step_ts")
+        out = (
+            out.withColumn(
+                "_last_obs_ts",
+                F.last(
+                    F.when(F.col("observed").isNotNull(), F.col("step_ts")),
+                    ignorenulls=True,
+                ).over(wlast),
+            )
+            .withColumn(
+                "_gap",
+                F.expr(
+                    "CAST((unix_timestamp(step_ts) - "
+                    "unix_timestamp(_last_obs_ts)) / "
+                    f"(unix_timestamp(step_ts + interval {step}) "
+                    "- unix_timestamp(step_ts)) AS BIGINT)"
+                ),
+            )
+            .withColumn(
+                "filled",
+                F.when(
+                    F.col("_gap") <= max_gap_steps, F.col("filled")
+                ),
+            )
+            .drop("_last_obs_ts", "_gap")
+        )
+    return out

@@ -2942,6 +2942,64 @@ SELECT query_id, neighbor_id, cos_exact, CAST(rn AS BIGINT) AS rank_n FROM (
     return Q(spark_fn, oracle, headline=True)
 
 
+RESAMPLE_MAX_GAP = 3
+
+
+def _resample_ffill_q() -> Q:
+    """Fixed-grid resample + forward fill
+    (operators/timeseries.resample_ffill): daily purchase counts per
+    user on a sparse stream (~0.45 events/user-day, so silent days are
+    the common case), last observation carried at most 3 days.  The
+    oracle forward-fills with the engine-portable gaps-and-islands
+    recipe (COUNT-over window → MAX per island) instead of Spark's
+    last(ignorenulls) — two different formulations, same fill."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.timeseries import resample_ffill
+
+        t = load_tables(spark, sf_dir)
+        ev = t["events"].filter("event_type = 'purchase'")
+        return resample_ffill(
+            ev, "user_id", "ts", "CAST(COUNT(*) AS BIGINT)",
+            step="1 day", max_gap_steps=RESAMPLE_MAX_GAP,
+        ).select(
+            F.col("key").cast("bigint").alias("key"),
+            "step_ts",
+            F.col("observed").cast("bigint").alias("observed"),
+            F.col("filled").cast("bigint").alias("filled"),
+        )
+
+    oracle = f"""WITH ev AS (
+  SELECT user_id AS _k,
+         to_timestamp((CAST(epoch(ts) AS BIGINT) // 86400) * 86400) AS _t
+  FROM events WHERE event_type = 'purchase'
+),
+span AS (SELECT _k, min(_t) AS _lo, max(_t) AS _hi FROM ev GROUP BY _k),
+grid AS (SELECT _k, unnest(generate_series(_lo, _hi, INTERVAL 1 DAY)) AS step_ts
+         FROM span),
+obs AS (SELECT _k, _t, CAST(COUNT(*) AS BIGINT) AS observed
+        FROM ev GROUP BY _k, _t),
+j AS (SELECT g._k AS key, g.step_ts, o.observed
+      FROM grid g LEFT JOIN obs o ON o._k = g._k AND o._t = g.step_ts),
+isl AS (
+  SELECT key, step_ts, observed,
+         COUNT(observed) OVER (PARTITION BY key ORDER BY step_ts) AS grp
+  FROM j),
+ff AS (
+  SELECT key, step_ts, observed,
+         MAX(observed) OVER (PARTITION BY key, grp) AS filled0,
+         MAX(CASE WHEN observed IS NOT NULL THEN step_ts END)
+           OVER (PARTITION BY key ORDER BY step_ts) AS last_ts
+  FROM isl)
+SELECT CAST(key AS BIGINT) AS key, CAST(step_ts AS TIMESTAMP) AS step_ts,
+       observed,
+       CASE WHEN CAST((epoch(step_ts) - epoch(last_ts)) // 86400 AS BIGINT)
+                 <= {RESAMPLE_MAX_GAP}
+            THEN CAST(filled0 AS BIGINT) END AS filled
+FROM ff"""
+    return Q(spark_fn, oracle)
+
+
 QHIST_PROBS = [0.25, 0.5, 0.75, 0.95, 0.99]
 
 
@@ -3141,6 +3199,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("decontaminate_embed", _decontaminate_embed_q()),
         ("bm25_search_docs", _bm25_search_q()),
         ("quantile_hist_lineitem", _quantile_hist_q()),
+        ("resample_ffill_events", _resample_ffill_q()),
     ]
 
 

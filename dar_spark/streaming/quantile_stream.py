@@ -1,0 +1,68 @@
+"""Streaming quantile estimation via the mergeable histogram sketch.
+
+The batch sketch (``operators/sketch.approx_quantiles_hist``) is two
+passes because it must DISCOVER the value range; a stream cannot re-scan
+history, so the streaming variant takes a FIXED [mn, mx] range up front
+(the standard streaming-histogram contract — bins must mean the same
+thing in every micro-batch) and maintains running per-bin counts: a
+plain streaming groupBy whose state is bounded at ``n_bins`` rows no
+matter how long the stream runs.  Out-of-range values clamp into the
+edge bins, so estimates degrade gracefully (they saturate at the
+configured range) instead of silently re-binning.
+
+Draining the running counts and estimating through the SAME
+``quantiles_from_hist`` tail as the batch sketch gives the identical
+answer to a batch computation over the union of all micro-batches with
+the same fixed range — counts are order- and batch-insensitive sums —
+which tests/test_sketch_stream.py pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.dialect import SPARK
+from dar_spark.operators.sketch import quantile_hist_exprs, quantiles_from_hist
+
+
+def streaming_quantile_bins(
+    stream_df: DataFrame,
+    value_col: str,
+    mn: float,
+    mx: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Running (bin, cnt) counts over a stream with a fixed range —
+    state <= n_bins rows; run with outputMode('complete') or drain via
+    foreachBatch."""
+    idx, _ = quantile_hist_exprs(SPARK, "_x", n_bins)
+    return (
+        stream_df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(value_col).cast("double").alias("_x"),
+            F.lit(float(mn)).alias("mn"),
+            F.lit(float(mx)).alias("mx"),
+        )
+        .select(F.expr(f"CASE WHEN mx = mn THEN 0 ELSE {idx} END").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def quantiles_from_bins(
+    spark,
+    bins: DataFrame,
+    mn: float,
+    mx: float,
+    probs: list[float],
+    n_bins: int = 256,
+) -> DataFrame:
+    """(prob, q_est) from drained (bin, cnt) rows + the fixed range —
+    the batch sketch's estimate tail applied to streaming state."""
+    stats = bins.groupBy().agg(
+        F.lit(float(mn)).alias("mn"),
+        F.lit(float(mx)).alias("mx"),
+        F.expr("SUM(cnt)").cast("bigint").alias("n"),
+    )
+    return quantiles_from_hist(spark, bins, stats, probs, n_bins)

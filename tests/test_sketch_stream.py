@@ -37,3 +37,54 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         .groupBy("_reg").agg(F.max("_rho").alias("_m")).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_streaming_quantile_bins_match_batch(spark, tmp_path):
+    """Drained streaming bin counts == batch histogram with the same
+    fixed range, and the estimates through the shared tail are
+    byte-equal — counts are order- and batch-insensitive sums."""
+    from dar_spark.streaming.quantile_stream import (
+        quantiles_from_bins,
+        streaming_quantile_bins,
+    )
+
+    li = load_tables(spark, SF_DIR)["lineitem"].select("l_extendedprice")
+    mn, mx = 0.0, 120000.0
+    src = str(tmp_path / "qh_src")
+    li.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(li.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    bins = streaming_quantile_bins(stream, "l_extendedprice", mn, mx)
+    name = "t_" + uuid.uuid4().hex[:8]
+    run_to_memory(bins, name, output_mode="complete")
+    drained = spark.sql(f"SELECT * FROM {name}")
+
+    # the same builder over the batch frame IS the batch histogram
+    batch_bins = streaming_quantile_bins(li, "l_extendedprice", mn, mx)
+    sb = sorted((r.bin, r.cnt) for r in drained.collect())
+    bb = sorted((r.bin, r.cnt) for r in batch_bins.collect())
+    assert sb == bb and len(sb) > 10
+
+    probs = [0.25, 0.5, 0.9]
+    qs = quantiles_from_bins(spark, drained, mn, mx, probs)
+    qb = quantiles_from_bins(spark, batch_bins, mn, mx, probs)
+    assert [(r.prob, r.q_est) for r in qs.collect()] == [
+        (r.prob, r.q_est) for r in qb.collect()
+    ]
+
+
+def test_streaming_quantile_clamps_out_of_range(spark):
+    """Values beyond the configured range saturate into edge bins
+    rather than erroring or re-binning (graceful degradation)."""
+    from dar_spark.streaming.quantile_stream import streaming_quantile_bins
+
+    df = spark.createDataFrame(
+        [(-100.0,), (0.5,), (999.0,)], "x double"
+    )
+    rows = {r.bin: r.cnt for r in streaming_quantile_bins(
+        df, "x", 0.0, 1.0, n_bins=4
+    ).collect()}
+    # 0.5 → bin floor(0.5/0.25) = 2; -100 clamps to 0; 999 clamps to 3
+    assert rows == {0: 1, 2: 1, 3: 1}

@@ -1,0 +1,72 @@
+"""resample_ffill: grid construction and fill semantics."""
+
+from __future__ import annotations
+
+from dar_spark.operators.timeseries import resample_ffill
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+
+
+def test_resample_grid_covers_span_and_fills(spark):
+    rows = [
+        (1, "2024-01-01 05:00:00", 1.0),
+        (1, "2024-01-03 09:00:00", 2.0),
+        (1, "2024-01-06 01:00:00", 3.0),
+    ]
+    df = _ev(spark, [(k, __import__("datetime").datetime.fromisoformat(t), v)
+                     for k, t, v in rows])
+    out = {
+        (r.key, str(r.step_ts)): (r.observed, r.filled)
+        for r in resample_ffill(
+            df, "k", "ts", "CAST(COUNT(*) AS BIGINT)", step="1 day"
+        ).collect()
+    }
+    # 6 daily steps (Jan 1 .. Jan 6)
+    assert len(out) == 6
+    assert out[(1, "2024-01-01 00:00:00")] == (1, 1)
+    assert out[(1, "2024-01-02 00:00:00")] == (None, 1)  # carried
+    assert out[(1, "2024-01-03 00:00:00")] == (1, 1)
+    assert out[(1, "2024-01-05 00:00:00")] == (None, 1)
+    assert out[(1, "2024-01-06 00:00:00")] == (1, 1)
+
+
+def test_resample_max_gap_renulls_stale_fills(spark):
+    import datetime as dt
+
+    df = _ev(spark, [
+        (1, dt.datetime(2024, 1, 1), 1.0),
+        (1, dt.datetime(2024, 1, 10), 2.0),
+    ])
+    out = {
+        str(r.step_ts): r.filled
+        for r in resample_ffill(
+            df, "k", "ts", "CAST(COUNT(*) AS BIGINT)",
+            step="1 day", max_gap_steps=2,
+        ).collect()
+    }
+    assert out["2024-01-02 00:00:00"] == 1  # gap 1
+    assert out["2024-01-03 00:00:00"] == 1  # gap 2
+    assert out["2024-01-04 00:00:00"] is None  # gap 3 > 2 -> stale
+    assert out["2024-01-10 00:00:00"] == 1
+
+
+def test_resample_keys_are_independent(spark):
+    import datetime as dt
+
+    df = _ev(spark, [
+        (1, dt.datetime(2024, 1, 1), 1.0),
+        (2, dt.datetime(2024, 2, 1), 5.0),
+        (2, dt.datetime(2024, 2, 3), 6.0),
+    ])
+    out = resample_ffill(
+        df, "k", "ts", "CAST(SUM(v) AS DOUBLE)", step="1 day"
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r)
+    assert len(by_key[1]) == 1 and len(by_key[2]) == 3
+    # key 2's silent middle day carries 5.0, never key 1's value
+    mid = [r for r in by_key[2] if r.observed is None]
+    assert len(mid) == 1 and mid[0].filled == 5.0
