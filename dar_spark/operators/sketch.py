@@ -338,11 +338,15 @@ def approx_quantiles_hist(
 
     Every arithmetic step is a shared-shape IEEE expression over exact
     integer counts, so the DuckDB oracle value-matches the estimates.
+
+    Non-finite values are EXCLUDED like NULLs: a single ±inf would
+    stretch the range so every finite value lands in one bin (silent
+    total precision loss), and NaN poisons the min/max entirely.
     """
     from dar_spark.dialect import SPARK as _SPK
 
-    vals = df.filter(F.col(value_col).isNotNull()).select(
-        F.col(value_col).cast("double").alias("_x")
+    vals = df.select(F.col(value_col).cast("double").alias("_x")).filter(
+        "_x IS NOT NULL AND NOT isnan(_x) AND abs(_x) <> double('inf')"
     )
     stats = vals.groupBy().agg(
         F.expr("CAST(min(_x) AS DOUBLE)").alias("mn"),
@@ -422,7 +426,8 @@ def quantile_hist_oracle_sql(
         f"CAST(rank_t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) END"
     )
     return f"""WITH src AS ({source_sql}),
-vals AS (SELECT CAST({value} AS DOUBLE) AS _x FROM src WHERE {value} IS NOT NULL),
+vals AS (SELECT CAST({value} AS DOUBLE) AS _x FROM src
+         WHERE {value} IS NOT NULL AND isfinite(CAST({value} AS DOUBLE))),
 stats AS (SELECT CAST(min(_x) AS DOUBLE) AS mn, CAST(max(_x) AS DOUBLE) AS mx,
                  CAST(COUNT(*) AS BIGINT) AS n FROM vals),
 hist AS (
@@ -434,7 +439,7 @@ cum AS (
          SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
                         AND CURRENT ROW) AS cum
   FROM hist),
-pr AS (SELECT * FROM (VALUES {plist}) t(prob)),
+pr AS (SELECT CAST(prob AS DOUBLE) AS prob FROM (VALUES {plist}) t(prob)),
 tgt AS (
   SELECT prob, mn, mx, n,
          least(greatest(CAST(ceil(prob * n) AS BIGINT), 1), n) AS rank_t

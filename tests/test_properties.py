@@ -323,3 +323,42 @@ def test_text_ratio_builders_cross_engine(spark, values):
         )
     for name, got_s, got_d in got_pairs:
         assert got_s == got_d, f"{name}: divergence on {values!r}"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            allow_nan=False, allow_infinity=False,
+            min_value=-1e9, max_value=1e9,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_quantile_hist_cross_engine_bit_identity(spark, values):
+    """The histogram quantile estimate is the SAME double in both
+    engines for arbitrary finite inputs — bin assignment, counts, and
+    the interpolation are shared-shape IEEE expressions."""
+    from dar_spark.operators.sketch import (
+        approx_quantiles_hist,
+        quantile_hist_oracle_sql,
+    )
+
+    probs = [0.1, 0.5, 0.9]
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = {
+        r.prob: r.q_est
+        for r in approx_quantiles_hist(df, "x", probs, n_bins=16).collect()
+    }
+    con = duckdb.connect()
+    vals_sql = " UNION ALL ".join(
+        f"SELECT CAST({v!r} AS DOUBLE) AS x" for v in values
+    )
+    exp = {
+        p: q
+        for p, q in con.execute(
+            quantile_hist_oracle_sql(DUCKDB, vals_sql, "x", probs, n_bins=16)
+        ).fetchall()
+    }
+    assert got == exp

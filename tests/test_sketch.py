@@ -152,3 +152,20 @@ def test_quantile_hist_degenerate_single_value(spark):
     df = spark.createDataFrame([(7.5,)] * 10 + [(None,)], "x double")
     out = approx_quantiles_hist(df, "x", [0.1, 0.9]).collect()
     assert all(r.q_est == 7.5 for r in out)
+
+
+def test_quantile_hist_ignores_non_finite(spark):
+    """inf/NaN are excluded like NULLs — one inf must not stretch the
+    range and collapse every finite value into a single bin."""
+    import math
+
+    from dar_spark.operators.sketch import approx_quantiles_hist
+
+    base = [(float(i),) for i in range(1, 101)]
+    df = spark.createDataFrame(
+        base + [(math.inf,), (-math.inf,), (math.nan,), (None,)], "x double"
+    )
+    clean = spark.createDataFrame(base, "x double")
+    a = approx_quantiles_hist(df, "x", [0.5]).collect()[0].q_est
+    b = approx_quantiles_hist(clean, "x", [0.5]).collect()[0].q_est
+    assert a == b
