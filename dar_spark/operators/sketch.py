@@ -449,3 +449,130 @@ hit AS (
          ROW_NUMBER() OVER (PARTITION BY t.prob ORDER BY c.bin) AS rn
   FROM tgt t JOIN cum c ON c.cum >= t.rank_t)
 SELECT prob, {est} AS q_est FROM hit WHERE rn = 1"""
+
+
+def approx_quantiles_hist_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: list[float],
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-group histogram quantiles: (group, prob, q_est) — the
+    grouped form of ``approx_quantiles_hist`` (per-domain p95 document
+    length, per-source score percentiles, …).
+
+    Same two-pass recipe per group: (mn, mx, n) per group, then
+    (group, bin) counts — both map-side-combinable aggregates keyed on
+    the group — a per-group running-sum window over ≤ n_bins rows, and
+    the same interpolation.  State per group is bounded at n_bins rows,
+    so a million groups cost a million × 256-row histogram table, never
+    a sort of the raw values.  Hot groups skew exactly as their data
+    does (AQE territory); the window partitions by group.  NULL and
+    non-finite values excluded as in the flat sketch; NULL groups kept
+    as their own group (standard groupBy semantics).
+    """
+    from dar_spark.dialect import SPARK as _SPK
+
+    vals = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter("_x IS NOT NULL AND NOT isnan(_x) AND abs(_x) <> double('inf')")
+    stats = vals.groupBy("_g").agg(
+        F.expr("CAST(min(_x) AS DOUBLE)").alias("mn"),
+        F.expr("CAST(max(_x) AS DOUBLE)").alias("mx"),
+        F.expr("COUNT(*)").cast("bigint").alias("n"),
+    )
+    idx, _ = quantile_hist_exprs(_SPK, "_x", n_bins)
+    hist = (
+        vals.join(stats, vals["_g"] == stats["_g"])
+        .drop(stats["_g"])
+        .select(
+            "_g",
+            F.expr(f"CASE WHEN mx = mn THEN 0 ELSE {idx} END").alias("bin"),
+        )
+        .groupBy("_g", "bin")
+        .agg(F.expr("COUNT(*)").cast("bigint").alias("cnt"))
+    )
+    cum = hist.select(
+        "_g",
+        "bin",
+        "cnt",
+        F.expr(
+            "SUM(cnt) OVER (PARTITION BY _g ORDER BY bin "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("cum"),
+    )
+    pdf = df.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "prob double"
+    )
+    j = stats.crossJoin(F.broadcast(pdf)).withColumn(
+        "rank_t",
+        F.expr("least(greatest(CAST(ceil(prob * n) AS BIGINT), 1), n)"),
+    )
+    hit = (
+        j.join(cum, (j["_g"] == cum["_g"]) & F.expr("cum >= rank_t"))
+        .drop(cum["_g"])
+        .groupBy("_g", "prob", "mn", "mx", "n", "rank_t")
+        .agg(
+            F.expr("min_by(struct(bin, cnt, cum), bin).bin").alias("bin"),
+            F.expr("min_by(struct(bin, cnt, cum), bin).cnt").alias("cnt"),
+            F.expr("min_by(struct(bin, cnt, cum), bin).cum").alias("cum"),
+        )
+    )
+    est = (
+        f"CASE WHEN mx = mn THEN mn ELSE "
+        f"mn + ((mx - mn) / CAST({n_bins} AS DOUBLE)) * "
+        f"(CAST(bin AS DOUBLE) + "
+        f"CAST(rank_t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) END"
+    )
+    return hit.select(
+        F.col("_g").alias("grp"), "prob", F.expr(est).alias("q_est")
+    ).orderBy("grp", "prob")
+
+
+def quantile_hist_by_oracle_sql(
+    d: Dialect,
+    source_sql: str,
+    group: str,
+    value: str,
+    probs: list[float],
+    n_bins: int = 256,
+) -> str:
+    """DuckDB twin of ``approx_quantiles_hist_by``."""
+    idx, _ = quantile_hist_exprs(d, "_x", n_bins)
+    plist = ", ".join(f"({float(p)})" for p in probs)
+    est = (
+        f"CASE WHEN mx = mn THEN mn ELSE "
+        f"mn + ((mx - mn) / CAST({n_bins} AS DOUBLE)) * "
+        f"(CAST(bin AS DOUBLE) + "
+        f"CAST(rank_t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) END"
+    )
+    return f"""WITH src AS ({source_sql}),
+vals AS (SELECT {group} AS _g, CAST({value} AS DOUBLE) AS _x FROM src
+         WHERE {value} IS NOT NULL AND isfinite(CAST({value} AS DOUBLE))),
+stats AS (SELECT _g, CAST(min(_x) AS DOUBLE) AS mn,
+                 CAST(max(_x) AS DOUBLE) AS mx,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM vals GROUP BY _g),
+hist AS (
+  SELECT v._g, CASE WHEN mx = mn THEN 0 ELSE {idx} END AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals v JOIN stats s ON s._g IS NOT DISTINCT FROM v._g
+  GROUP BY 1, 2),
+cum AS (
+  SELECT _g, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY _g ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist),
+pr AS (SELECT CAST(prob AS DOUBLE) AS prob FROM (VALUES {plist}) t(prob)),
+tgt AS (
+  SELECT s._g, prob, mn, mx, n,
+         least(greatest(CAST(ceil(prob * n) AS BIGINT), 1), n) AS rank_t
+  FROM stats s CROSS JOIN pr),
+hit AS (
+  SELECT t._g, t.prob, t.mn, t.mx, t.rank_t, c.bin, c.cnt, c.cum,
+         ROW_NUMBER() OVER (PARTITION BY t._g, t.prob ORDER BY c.bin) AS rn
+  FROM tgt t JOIN cum c ON c._g IS NOT DISTINCT FROM t._g
+                       AND c.cum >= t.rank_t)
+SELECT _g AS grp, prob, {est} AS q_est FROM hit WHERE rn = 1"""

@@ -2942,6 +2942,31 @@ SELECT query_id, neighbor_id, cos_exact, CAST(rn AS BIGINT) AS rank_n FROM (
     return Q(spark_fn, oracle, headline=True)
 
 
+def _quantile_hist_by_q() -> Q:
+    """Grouped histogram quantiles
+    (operators/sketch.approx_quantiles_hist_by): per-event_type value
+    percentiles — per-group state bounded at n_bins rows, the shape
+    that replaces a per-group sort at warehouse scale.  Same
+    shared-expression interpolation as the flat sketch: value-matched
+    bit-for-bit."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.sketch import approx_quantiles_hist_by
+
+        t = load_tables(spark, sf_dir)
+        return approx_quantiles_hist_by(
+            t["events"], "event_type", "value", QHIST_PROBS
+        )
+
+    from dar_spark.operators.sketch import quantile_hist_by_oracle_sql
+
+    oracle = quantile_hist_by_oracle_sql(
+        DUCKDB, "SELECT event_type, value FROM events",
+        "event_type", "value", QHIST_PROBS,
+    )
+    return Q(spark_fn, oracle)
+
+
 RESAMPLE_MAX_GAP = 3
 
 
@@ -3200,6 +3225,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("bm25_search_docs", _bm25_search_q()),
         ("quantile_hist_lineitem", _quantile_hist_q()),
         ("resample_ffill_events", _resample_ffill_q()),
+        ("quantile_hist_by_event_type", _quantile_hist_by_q()),
     ]
 
 

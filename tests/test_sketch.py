@@ -169,3 +169,34 @@ def test_quantile_hist_ignores_non_finite(spark):
     a = approx_quantiles_hist(df, "x", [0.5]).collect()[0].q_est
     b = approx_quantiles_hist(clean, "x", [0.5]).collect()[0].q_est
     assert a == b
+
+
+def test_quantile_hist_by_matches_per_group_flat(spark):
+    """The grouped sketch equals running the flat sketch per group —
+    same counts, same interpolation, just keyed."""
+    from dar_spark.operators.sketch import (
+        approx_quantiles_hist,
+        approx_quantiles_hist_by,
+    )
+    from dar_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    probs = [0.25, 0.5, 0.9]
+    grouped = {
+        (r.grp, r.prob): r.q_est
+        for r in approx_quantiles_hist_by(
+            ev, "event_type", "value", probs
+        ).collect()
+    }
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    assert len(types) >= 3
+    for t in types:
+        flat = {
+            r.prob: r.q_est
+            for r in approx_quantiles_hist(
+                ev.filter(F.col("event_type") == t), "value", probs
+            ).collect()
+        }
+        for p in probs:
+            assert grouped[(t, p)] == flat[p], (t, p)
