@@ -1224,3 +1224,122 @@ def srp_autoscale(n: int, target_candidates: int = 4096) -> int:
     ratio = max(1, -(-n // max(1, target_candidates)))
     need = (ratio - 1).bit_length()
     return max(N_PLANES, min(24, need))
+
+
+def write_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ks: int = PQ_KS,
+    m: int = PQ_M,
+) -> None:
+    """Persist a PQ index: ``<path>/codebook`` (the one-row anchor
+    frame), ``<path>/codes`` (id, codes — m small ints per vector, the
+    ~64× compressed corpus) partitioned by an ``ingest`` label, and
+    ``<path>/meta`` (ks, m, validated at read).  The corpus is encoded
+    ONCE per build; every query batch afterwards reads codes + the tiny
+    codebook — never the float vectors.
+
+    The codebook is FROZEN at build time: appends encode against the
+    stored anchors (not a refit), so codes stay comparable across
+    ingest generations — the standard PQ-index contract (FAISS retrains
+    only on rebuild, for the same reason).
+    """
+    cb = pq_fit_codebook(embeddings, id_col, vec_col, ks)
+    cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    spark = embeddings.sparkSession
+    stored_cb = spark.read.parquet(f"{path}/codebook")
+    (
+        pq_encode(embeddings, id_col, vec_col, ks, m, codebook=stored_cb)
+        .withColumn("ingest", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("ingest")
+        .parquet(f"{path}/codes")
+    )
+    spark.createDataFrame([(ks, m)], "ks int, m int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+
+
+def append_to_pq_index(
+    new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ingest_label: str | None = None,
+) -> str:
+    """Encode a new vector batch against the index's STORED codebook and
+    write it as a fresh ``ingest=<label>`` partition — O(|batch|), no
+    refit, no rescan.  Same replay contract as ``append_to_ann_index``
+    (stable label → retries overwrite themselves); batch ids must be
+    disjoint from the stored corpus.  Returns the label used."""
+    spark = new.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    if ingest_label is None:
+        existing = (
+            spark.read.parquet(f"{path}/codes")
+            .select("ingest").distinct().count()
+        )
+        ingest_label = f"append-{existing}"
+    cb = spark.read.parquet(f"{path}/codebook")
+    (
+        pq_encode(new, id_col, vec_col, meta.ks, meta.m, codebook=cb)
+        .withColumn("ingest", F.lit(ingest_label))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest")
+        .parquet(f"{path}/codes")
+    )
+    return ingest_label
+
+
+def pq_index_topk(
+    queries: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k of a full-precision query batch against a stored PQ
+    index: reconstruct candidates from codes + the broadcast stored
+    codebook, rank by the same shared-shape fold as ``pq_topk``.  The
+    index holds CODES ONLY — for the exact-rerank tier, join the ADC
+    shortlist back to wherever the full vectors live (the index is the
+    compressed scan, not the primary store)."""
+    from dar_spark.dialect import SPARK as _SPK
+
+    spark = queries.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    cb = spark.read.parquet(f"{index_path}/codebook")
+    codes = spark.read.parquet(f"{index_path}/codes")
+    rec = codes.crossJoin(F.broadcast(cb)).select(
+        id_col,
+        F.expr(pq_reconstruct_sql(_SPK, "codes", "_anchors", meta.m)).alias(
+            "_rv"
+        ),
+    ).withColumn("_rn2", F.expr(pq_norm2_sql(_SPK, "_rv"))).filter("_rn2 > 0")
+    e = _as_double_vec(queries.select(id_col, vec_col), vec_col)
+    qs = (
+        e.select(
+            F.col(id_col).alias("query_id"),
+            F.col("_v").alias("_qv"),
+            F.expr(pq_norm2_sql(_SPK, "_v")).alias("_qn2"),
+        )
+        .filter("_qn2 > 0")
+    )
+    j = rec.join(F.broadcast(qs), F.expr(f"{id_col} <> query_id"))
+    scored = j.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(
+            f"{pq_dot_sql(_SPK, '_qv', '_rv')} / (sqrt(_qn2) * sqrt(_rn2))"
+        ).alias("score_pq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_pq"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
+        .filter(f"rank_n <= {k}")
+    )

@@ -2942,6 +2942,83 @@ SELECT query_id, neighbor_id, cos_exact, CAST(rn AS BIGINT) AS rank_n FROM (
     return Q(spark_fn, oracle, headline=True)
 
 
+def _pq_index_append_q() -> Q:
+    """PQ index lifecycle under the value hash
+    (similarity.write_pq_index / append_to_pq_index / pq_index_topk):
+    build on 3/4 of the corpus, append the last quarter as an O(batch)
+    ingest encoded against the FROZEN stored codebook, search the
+    combined index.  The oracle recomputes ADC directly with anchors
+    ranked over the BASE corpus only — so the hash pins both the
+    round trip AND the frozen-codebook append contract (a refit on
+    append would re-rank anchors and break it)."""
+
+    BASE_PRED = "vec_id % 4 <> 3"
+    BATCH_PRED = "vec_id % 4 = 3"
+
+    def spark_fn(spark, sf_dir):
+        import hashlib
+        import os
+
+        from dar_spark.operators.similarity import (
+            append_to_pq_index,
+            pq_index_topk,
+            write_pq_index,
+        )
+
+        t = load_tables(spark, sf_dir)
+        emb = t["embeddings"]
+        cache_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".csvcache",
+        )
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(cache_root, f"pqindex-{tag}")
+        write_pq_index(emb.filter(BASE_PRED), path)
+        append_to_pq_index(emb.filter(BATCH_PRED), path, ingest_label="b1")
+        return pq_index_topk(
+            emb.filter(f"vec_id % {TOPK_QUERY_STRIDE} = 0"), path, k=TOPK_K
+        )
+
+    from dar_spark.operators.similarity import (
+        pq_codes_sql,
+        pq_dot_sql,
+        pq_norm2_sql,
+        pq_anchor_rank_sql,
+        pq_reconstruct_sql,
+        PQ_KS,
+    )
+
+    d = DUCKDB
+    hb = pq_anchor_rank_sql(d, "vec_id")
+    dv = d.arr_transform("embedding", "x -> CAST(x AS DOUBLE)")
+    csql = pq_codes_sql(d, "_v", "_anchors")
+    rv = pq_reconstruct_sql(d, "codes", "_anchors")
+    rn2 = pq_norm2_sql(d, "_rv")
+    qn2 = pq_norm2_sql(d, "_v")
+    oracle = f"""WITH _pqa AS (
+  SELECT {hb} AS _hb, vec_id AS _aid, {dv} AS _av FROM embeddings
+  WHERE {BASE_PRED}
+  ORDER BY _hb, _aid LIMIT {PQ_KS}
+),
+_cb AS (SELECT list(_av ORDER BY _hb, _aid) AS _anchors FROM _pqa),
+_e AS (SELECT vec_id, {dv} AS _v FROM embeddings),
+enc AS (SELECT vec_id, {csql} AS codes FROM _e CROSS JOIN _cb),
+rec AS (SELECT vec_id, {rv} AS _rv FROM enc CROSS JOIN _cb),
+recn AS (SELECT vec_id, _rv, {rn2} AS _rn2 FROM rec WHERE {rn2} > 0),
+qs AS (SELECT vec_id AS query_id, _v AS _qv, {qn2} AS _qn2 FROM _e
+       WHERE vec_id % {TOPK_QUERY_STRIDE} = 0 AND {qn2} > 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {pq_dot_sql(d, "q._qv", "c._rv")} / (sqrt(q._qn2) * sqrt(c._rn2))
+           AS score_pq
+  FROM recn c JOIN qs q ON c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, score_pq, CAST(rn AS BIGINT) AS rank_n FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score_pq DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= {TOPK_K}"""
+    return Q(spark_fn, oracle)
+
+
 def _quantile_hist_by_q() -> Q:
     """Grouped histogram quantiles
     (operators/sketch.approx_quantiles_hist_by): per-event_type value
@@ -3226,6 +3303,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("quantile_hist_lineitem", _quantile_hist_q()),
         ("resample_ffill_events", _resample_ffill_q()),
         ("quantile_hist_by_event_type", _quantile_hist_by_q()),
+        ("pq_index_append_topk", _pq_index_append_q()),
     ]
 
 

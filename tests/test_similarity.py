@@ -620,3 +620,55 @@ def test_srp_autoscale_rule():
     assert srp_autoscale(10**12) == 24
     ps = [srp_autoscale(10**e) for e in range(3, 13)]
     assert ps == sorted(ps)
+
+
+def test_pq_index_append_replay_idempotent(spark, tmp_path):
+    """Re-running an append with the same ingest label overwrites
+    itself — search results are identical after a replay (the
+    at-least-once retry contract every ingest pipeline needs)."""
+    from dar_spark.operators.similarity import (
+        append_to_pq_index,
+        pq_index_topk,
+        write_pq_index,
+    )
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    path = str(tmp_path / "pqidx")
+    write_pq_index(e.filter("vec_id % 4 <> 3"), path)
+    append_to_pq_index(e.filter("vec_id % 4 = 3"), path, ingest_label="b1")
+    once = sorted(
+        map(tuple, pq_index_topk(e.filter("vec_id % 50 = 0"), path).collect())
+    )
+    append_to_pq_index(e.filter("vec_id % 4 = 3"), path, ingest_label="b1")
+    twice = sorted(
+        map(tuple, pq_index_topk(e.filter("vec_id % 50 = 0"), path).collect())
+    )
+    assert once == twice and len(once) > 0
+
+
+def test_pq_index_codes_match_direct_encode_with_frozen_codebook(spark, tmp_path):
+    """Index codes (base + append) equal a direct pq_encode of the full
+    corpus against the BASE-fitted codebook — the frozen-codebook
+    contract, code for code."""
+    from dar_spark.operators.similarity import (
+        append_to_pq_index,
+        pq_encode,
+        pq_fit_codebook,
+        write_pq_index,
+    )
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    path = str(tmp_path / "pqidx2")
+    base = e.filter("vec_id % 4 <> 3")
+    write_pq_index(base, path)
+    append_to_pq_index(e.filter("vec_id % 4 = 3"), path, ingest_label="b1")
+    stored = {
+        (r.vec_id, tuple(r.codes))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    cb = pq_fit_codebook(base, "vec_id", "embedding")
+    direct = {
+        (r.vec_id, tuple(r.codes))
+        for r in pq_encode(e, "vec_id", "embedding", codebook=cb).collect()
+    }
+    assert stored == direct
