@@ -138,3 +138,61 @@ def test_csv_fuzz_roundtrip(spark, tmp_path):
     exp, got, duck = _csv_roundtrip(spark, tmp_path, vals)
     assert got == exp
     assert duck == exp
+
+
+# --- round-6 third-wave edge conditions -------------------------------
+
+
+def test_quantile_hist_empty_input(spark):
+    from dar_spark.operators.sketch import approx_quantiles_hist
+
+    df = spark.createDataFrame([], "x double")
+    assert approx_quantiles_hist(df, "x", [0.5]).count() == 0
+
+
+def test_bm25_empty_corpus(spark):
+    from dar_spark.functions.text import bm25_search
+
+    df = spark.createDataFrame([], "doc_id bigint, text string")
+    assert bm25_search(df, "doc_id", "text", ["cat"]).count() == 0
+
+
+def test_resample_ffill_empty_input(spark):
+    from dar_spark.operators.timeseries import resample_ffill
+
+    df = spark.createDataFrame([], "k bigint, ts timestamp, v double")
+    assert resample_ffill(df, "k", "ts", "COUNT(*)").count() == 0
+
+
+def test_pq_encode_empty_corpus(spark):
+    from dar_spark.operators.similarity import pq_encode
+
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert pq_encode(df).count() == 0
+
+
+def test_incremental_rollup_from_empty_base(spark):
+    """Bootstrapping: an empty base plus an all-insert delta equals a
+    fresh rollup of the delta."""
+    from dar_spark.operators.merge import incremental_rollup, rollup_from_facts
+
+    empty = spark.createDataFrame([], "g string, x double")
+    delta = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, x double")
+    base = rollup_from_facts(empty, ["g"], {"s": "x"})
+    inc = incremental_rollup(base, delta, empty, ["g"], {"s": "x"})
+    full = rollup_from_facts(delta, ["g"], {"s": "x"})
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_leak_safe_split_no_dups_degenerates_to_flat(spark):
+    """A corpus with NO near-dups must reduce to the flat split (every
+    cluster is a singleton keyed on its own id)."""
+    from dar_spark.operators.sampling import leak_safe_split, train_val_test_split
+
+    rows = [(i, f"unique text number {i} with no overlap token{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    safe = {(r.doc_id, r.split) for r in leak_safe_split(df, "doc_id", "text").collect()}
+    flat = {(r.doc_id, r.split) for r in train_val_test_split(
+        df.select("doc_id"), "doc_id"
+    ).collect()}
+    assert safe == flat
