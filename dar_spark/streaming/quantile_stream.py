@@ -66,3 +66,48 @@ def quantiles_from_bins(
         F.expr("SUM(cnt)").cast("bigint").alias("n"),
     )
     return quantiles_from_hist(spark, bins, stats, probs, n_bins)
+
+
+def streaming_windowed_quantile_bins(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    mn: float,
+    mx: float,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-event-time-window running bin counts — the p95-per-hour
+    monitoring shape: (window_start, window_end, bin, cnt) with state
+    bounded at n_bins rows PER OPEN WINDOW and the watermark closing
+    windows (late rows beyond it are dropped by the engine, the
+    standard trade).  Feed any closed window's rows to
+    ``quantiles_from_bins`` for its percentile estimates; windows merge
+    across restarts because bin counts are sums."""
+    idx, _ = quantile_hist_exprs(SPARK, "_x", n_bins)
+    return (
+        stream_df.filter(F.col(value_col).isNotNull())
+        .select(
+            # watermarks require TIMESTAMP (with zone); the fixtures
+            # load as TIMESTAMP_NTZ — the cast reinterprets in session
+            # tz (UTC), which shifts nothing for window arithmetic
+            F.col(ts_col).cast("timestamp").alias("_ts"),
+            F.col(value_col).cast("double").alias("_x"),
+            F.lit(float(mn)).alias("mn"),
+            F.lit(float(mx)).alias("mx"),
+        )
+        .withWatermark("_ts", watermark)
+        .select(
+            "_ts",
+            F.expr(f"CASE WHEN mx = mn THEN 0 ELSE {idx} END").alias("bin"),
+        )
+        .groupBy(F.window("_ts", window).alias("w"), "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bin",
+            "cnt",
+        )
+    )

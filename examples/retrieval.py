@@ -1,0 +1,63 @@
+"""Hybrid retrieval over the documents/embeddings fixtures:
+
+    keyword (BM25, scan-scored)  +  semantic (stored PQ index, ADC)
+
+    python examples/retrieval.py
+
+BM25 needs no index here — term frequencies are array-filter lengths in
+one scan and the corpus stats are a single broadcast row, so a fixed
+keyword query costs one pass.  The semantic side builds a PQ index once
+(codes are ~64× smaller than the float vectors), then answers query
+batches from codes + the broadcast codebook without ever re-reading the
+embeddings.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dar_spark
+from dar_spark.functions.text import bm25_search
+from dar_spark.operators.similarity import pq_index_topk, write_pq_index
+from dar_spark.session import load_tables
+
+SF_DIR = os.environ.get("DAR_SPARK_EXAMPLE_SF", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    spark = dar_spark.get_session("example_retrieval")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = load_tables(spark, SF_DIR)
+
+    terms = ["query", "window", "merge"]
+    t0 = time.perf_counter()
+    hits = bm25_search(t["documents"], "doc_id", "text", terms, k=5).collect()
+    print(f"BM25 {terms}: top-{len(hits)} in {time.perf_counter() - t0:.2f}s")
+    for r in hits:
+        print(f"  doc {r.doc_id}  score {r.score_bm25:.4f}")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "pqidx")
+        t0 = time.perf_counter()
+        write_pq_index(t["embeddings"], path)
+        print(f"\nPQ index built in {time.perf_counter() - t0:.2f}s "
+              f"(codes: 8 ints/vector vs 64 doubles)")
+        queries = t["embeddings"].filter("vec_id % 100 = 0")
+        t0 = time.perf_counter()
+        nn = pq_index_topk(queries, path, k=3).collect()
+        print(f"ADC search: {len(nn)} result rows in "
+              f"{time.perf_counter() - t0:.2f}s")
+        for r in nn[:6]:
+            print(f"  q {r.query_id} -> {r.neighbor_id}  "
+                  f"score_pq {r.score_pq:.4f}  rank {r.rank_n}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -88,3 +88,53 @@ def test_streaming_quantile_clamps_out_of_range(spark):
     ).collect()}
     # 0.5 → bin floor(0.5/0.25) = 2; -100 clamps to 0; 999 clamps to 3
     assert rows == {0: 1, 2: 1, 3: 1}
+
+
+def test_streaming_windowed_quantile_matches_batch_per_window(spark, tmp_path):
+    """Each drained window's bins equal the batch histogram of that
+    window's rows, and the per-window median through the shared tail
+    matches — windows are independent mergeable histograms."""
+    from dar_spark.streaming.quantile_stream import (
+        quantiles_from_bins,
+        streaming_windowed_quantile_bins,
+        streaming_quantile_bins,
+    )
+
+    ev = load_tables(spark, SF_DIR)["events"].select("ts", "value")
+    mn, mx = 0.0, 1000.0
+    src = str(tmp_path / "wq_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_windowed_quantile_bins(
+        stream, "ts", "value", mn, mx, window="1 day", watermark="10 days"
+    )
+    name = "t_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="complete")
+    drained = spark.sql(f"SELECT * FROM {name}")
+    wins = [r.window_start for r in drained.select("window_start").distinct().collect()]
+    assert len(wins) >= 5
+    for w in sorted(wins)[:3]:
+        batch_rows = ev.filter(
+            (F.col("ts") >= w) & (F.col("ts") < F.lit(w) + F.expr("interval 1 day"))
+        )
+        bb = sorted(
+            (r.bin, r.cnt)
+            for r in streaming_quantile_bins(batch_rows, "value", mn, mx).collect()
+        )
+        sb = sorted(
+            (r.bin, r.cnt)
+            for r in drained.filter(F.col("window_start") == w)
+            .select("bin", "cnt").collect()
+        )
+        assert sb == bb and len(sb) > 0
+        qs = quantiles_from_bins(
+            spark, drained.filter(F.col("window_start") == w).select("bin", "cnt"),
+            mn, mx, [0.5],
+        ).collect()[0].q_est
+        qb = quantiles_from_bins(
+            spark, streaming_quantile_bins(batch_rows, "value", mn, mx),
+            mn, mx, [0.5],
+        ).collect()[0].q_est
+        assert qs == qb
