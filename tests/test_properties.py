@@ -362,3 +362,47 @@ def test_quantile_hist_cross_engine_bit_identity(spark, values):
         ).fetchall()
     }
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                # letters + space: BM25 tokenizes on single spaces, and
+                # the fuzz should exercise empty tokens from runs of
+                # spaces as well as unicode letters
+                categories=("Ll", "Lu"), include_characters=" ",
+            ),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bm25_cross_engine_bit_identity(spark, texts):
+    """BM25 scores are the SAME doubles in both engines for arbitrary
+    text corpora — tf/dl/df are integers, idf is ln() of identical
+    integer-ratio doubles, and the term chain adds in a fixed order."""
+    from dar_spark.functions.text import bm25_oracle_sql, bm25_search
+
+    terms = ["a", "b"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r.doc_id, r.score_bm25, r.rank_n)
+        for r in bm25_search(df, "doc_id", "text", terms, k=50).collect()
+    )
+    con = duckdb.connect()
+    src = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS doc_id, "
+        f"'{t.replace(chr(39), chr(39) * 2)}' AS text"
+        for i, t in rows
+    )
+    exp = sorted(
+        (d, s, r)
+        for d, s, r in con.execute(
+            bm25_oracle_sql(DUCKDB, src, "doc_id", "text", terms, k=50)
+        ).fetchall()
+    )
+    assert got == exp
