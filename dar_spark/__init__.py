@@ -74,6 +74,25 @@ __all__ = [
     "weighted_sample_k",
     "cdc_chunk_documents",
     "key_skew_report",
+    "join_skew_safe",
+    "quantize_embeddings",
+    "quantized_topk",
+    "pq_encode",
+    "pq_topk",
+    "pq_topk_rerank",
+    "write_pq_index",
+    "append_to_pq_index",
+    "pq_index_topk",
+    "srp_autoscale",
+    "decontaminate_by_embedding",
+    "bm25_search",
+    "approx_quantiles_hist",
+    "approx_quantiles_hist_by",
+    "leak_safe_split",
+    "rollup_from_facts",
+    "incremental_rollup",
+    "rollup_finalize",
+    "resample_ffill",
 ]
 
 
@@ -200,4 +219,35 @@ def __getattr__(name):
         from dar_spark.operators import novelty as _nv
 
         return getattr(_nv, name)
+    if name == "join_skew_safe":
+        from dar_spark.operators.joins import join_skew_safe
+
+        return join_skew_safe
+    if name in ("quantize_embeddings", "quantized_topk", "pq_encode",
+                "pq_topk", "pq_topk_rerank", "write_pq_index",
+                "append_to_pq_index", "pq_index_topk", "srp_autoscale",
+                "decontaminate_by_embedding"):
+        from dar_spark.operators import similarity as _sim2
+
+        return getattr(_sim2, name)
+    if name == "bm25_search":
+        from dar_spark.functions.text import bm25_search
+
+        return bm25_search
+    if name in ("approx_quantiles_hist", "approx_quantiles_hist_by"):
+        from dar_spark.operators import sketch as _sk2
+
+        return getattr(_sk2, name)
+    if name == "leak_safe_split":
+        from dar_spark.operators.sampling import leak_safe_split
+
+        return leak_safe_split
+    if name in ("rollup_from_facts", "incremental_rollup", "rollup_finalize"):
+        from dar_spark.operators import merge as _m2
+
+        return getattr(_m2, name)
+    if name == "resample_ffill":
+        from dar_spark.operators.timeseries import resample_ffill
+
+        return resample_ffill
     raise AttributeError(f"module 'dar_spark' has no attribute {name!r}")
