@@ -826,13 +826,15 @@ def bm25_search(
         .filter(f"({any_tf}) > 0")
         .selectExpr(id_col, f"{score} AS score_bm25")
     )
+    # distributed top-k: orderBy+limit is TakeOrderedAndProject
+    # (per-partition top-k, k-row driver merge) — a global rank WINDOW
+    # here would funnel EVERY matching doc through one partition, which
+    # for a common term is the corpus
+    top = scored.orderBy(F.desc("score_bm25"), F.col(id_col)).limit(k)
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.desc("score_bm25"), F.col(id_col))
-    return (
-        scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
-        .filter(f"rank_n <= {k}")
-    )
+    return top.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
 
 
 def bm25_oracle_sql(

@@ -209,3 +209,20 @@ def test_round6_third_wave_plan_shapes(spark):
             assert p.count("SortMergeJoin") <= lim["smj_max"], (
                 f"{name}: unexpected shuffle join"
             )
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """BM25's global top-k must be TakeOrderedAndProject (per-partition
+    top-k + k-row merge) — a rank window over ALL matching docs would
+    funnel the corpus through one partition for a common term."""
+    p = _executed(spark, "bm25_search_docs")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_pq_rank_windows_get_group_limit(spark):
+    """The PQ per-query rank-<=k filters must compile to
+    WindowGroupLimit (partial top-k per partition BEFORE the shuffle) —
+    without it each query's window partition holds the whole corpus."""
+    for name in ("embed_pq_topk", "embed_pq_rerank"):
+        p = _executed(spark, name)
+        assert "WindowGroupLimit" in p, name
