@@ -1343,3 +1343,194 @@ def pq_index_topk(
         scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
         .filter(f"rank_n <= {k}")
     )
+
+
+def pq_lsh_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id % 50 = 0",
+    k: int = 5,
+    overfetch: int = 8,
+    ks: int = PQ_KS,
+    m: int = PQ_M,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """The production ANN composite: SRP bucket ROUTING × PQ compressed
+    SCORING × exact rerank — each stage cuts a different cost.
+
+    - routing: candidates come from the query's SRP bucket plus
+      Hamming-1 multiprobe (an equi-join on 2^n_planes uniform keys),
+      so each query touches ~N·(n_planes+1)/2^n_planes rows instead of
+      N — the |Q|×N broadcast scan of ``pq_topk`` disappears;
+    - scoring: the routed candidates are ranked by ADC over the m-int
+      codes (the 64× smaller payload);
+    - rerank: exact cosine on the k·overfetch shortlist only.
+
+    Everything stays deterministic (plane hash + sample-anchor
+    codebook), so unlike IVF-PQ the WHOLE composite sits under the
+    value hash.  Returns (query_id, neighbor_id, cos_exact, rank_n).
+
+    Recall regime is the ROUTING's: sign-LSH targets HIGH-similarity
+    retrieval (measured 1.0 on exact-dup queries, but ~0.1 for the
+    near-orthogonal natural neighbors of the random fixture — the same
+    regime split documented on ``srp_lsh_topk``).  For broad-similarity
+    workloads raise ``n_bands`` on the routing or fall back to the
+    full-scan ``pq_topk_rerank`` (0.64 on the same fixture).
+    """
+    from dar_spark.dialect import SPARK as _SPK
+
+    cb = pq_fit_codebook(embeddings, id_col, vec_col, ks)
+    enc = pq_encode(embeddings, id_col, vec_col, ks, m, codebook=cb)
+    e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
+    bucketed = e.withColumn("_b", _bucket_expr("_v", n_planes))
+    rec = (
+        enc.join(bucketed.select(id_col, "_b"), id_col)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            id_col,
+            "_b",
+            F.expr(
+                pq_reconstruct_sql(_SPK, "codes", "_anchors", m)
+            ).alias("_rv"),
+        )
+        .withColumn("_rn2", F.expr(pq_norm2_sql(_SPK, "_rv")))
+        .filter("_rn2 > 0")
+    )
+    q = bucketed.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.expr(pq_norm2_sql(_SPK, "_v")).alias("_qn2"),
+        F.col("_b").alias("_qb"),
+    ).filter("_qn2 > 0")
+    probes = [F.col("_qb")] + [
+        _flip_bit(F.col("_qb"), p, n_planes) for p in range(n_planes)
+    ]
+    qp = q.select(
+        "query_id", "_qv", "_qn2", F.explode(F.array(*probes)).alias("_b")
+    )
+    cand = qp.join(rec, "_b").filter(F.expr(f"{id_col} <> query_id"))
+    adc = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(
+            f"{pq_dot_sql(_SPK, '_qv', '_rv')} / (sqrt(_qn2) * sqrt(_rn2))"
+        ).alias("score_pq"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_pq"), F.col("neighbor_id")
+    )
+    short = (
+        adc.withColumn("_r", F.row_number().over(w))
+        .filter(f"_r <= {k * overfetch}")
+        .select("query_id", "neighbor_id")
+    )
+    full = e.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_v").alias("_nv"),
+        F.expr(pq_norm2_sql(_SPK, "_v")).alias("_nn2"),
+    )
+    rr = (
+        full.join(F.broadcast(short), "neighbor_id")
+        .join(
+            F.broadcast(
+                q.select("query_id", "_qv", "_qn2")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                f"{pq_dot_sql(_SPK, '_qv', '_nv')} / (sqrt(_qn2) * sqrt(_nn2))"
+            ).alias("cos_exact"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_exact"), F.col("neighbor_id")
+    )
+    return (
+        rr.withColumn("rank_n", F.row_number().over(w2).cast("bigint"))
+        .filter(f"rank_n <= {k}")
+    )
+
+
+def pq_lsh_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 50,
+    k: int = 5,
+    overfetch: int = 8,
+    ks: int = PQ_KS,
+    m: int = PQ_M,
+    n_planes: int = N_PLANES,
+) -> str:
+    """DuckDB twin of ``pq_lsh_topk``: the srp bucket hash, the PQ
+    codebook/codes/reconstruction, ADC shortlist, and exact rerank —
+    all from the same shared expression builders, so the composite's
+    scores and ranks value-match end to end."""
+    from dar_spark.dialect import DUCKDB as d
+
+    def fold(products: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), "
+            f"(a, x) -> a + x)"
+        )
+
+    bits = []
+    for j in range(n_planes):
+        prods = (
+            f"list_transform(generate_series(1, len(_v)), "
+            f"i -> _v[i] * {_plane_component(j)})"
+        )
+        bits.append(f"CASE WHEN {fold(prods)} >= 0 THEN '1' ELSE '0' END")
+    bucket = "concat(" + ", ".join(bits) + ")"
+    flip = (
+        "substr(qb, 1, p - 1) || "
+        "(CASE WHEN substr(qb, p, 1) = '1' THEN '0' ELSE '1' END) || "
+        "substr(qb, p + 1)"
+    )
+    csql = pq_codes_sql(d, "_v", "_anchors", m)
+    rv = pq_reconstruct_sql(d, "codes", "_anchors", m)
+    rn2 = pq_norm2_sql(d, "_rv")
+    qn2 = pq_norm2_sql(d, "_v")
+    return f"""WITH {pq_oracle_ctes(d, table, id_col, vec_col, ks)},
+bkt AS (SELECT {id_col}, _v, {bucket} AS b FROM _e),
+enc AS (SELECT {id_col}, {csql} AS codes FROM _e CROSS JOIN _cb),
+rec AS (SELECT {id_col}, {rv} AS _rv FROM enc CROSS JOIN _cb),
+recn AS (
+  SELECT r.{id_col}, r._rv, {rn2} AS _rn2, b.b
+  FROM rec r JOIN bkt b ON b.{id_col} = r.{id_col}
+  WHERE {rn2} > 0),
+qs AS (
+  SELECT {id_col} AS query_id, _v AS _qv, {qn2} AS _qn2, b AS qb
+  FROM bkt WHERE {id_col} % {query_mod} = 0 AND {qn2} > 0),
+qp AS (
+  SELECT query_id, _qv, _qn2,
+         CASE WHEN p = 0 THEN qb ELSE {flip} END AS b
+  FROM qs CROSS JOIN range(0, {n_planes + 1}) pp(p)),
+adc AS (
+  SELECT DISTINCT q.query_id, c.{id_col} AS neighbor_id,
+         {pq_dot_sql(d, "q._qv", "c._rv")} / (sqrt(q._qn2) * sqrt(c._rn2))
+           AS score_pq
+  FROM qp q JOIN recn c ON c.b = q.b AND c.{id_col} <> q.query_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score_pq DESC, neighbor_id) AS rn
+    FROM adc) WHERE rn <= {k * overfetch}),
+fullv AS (SELECT {id_col} AS neighbor_id, _v AS _nv, {qn2} AS _nn2
+         FROM _e),
+rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         {pq_dot_sql(d, "q._qv", "f._nv")} / (sqrt(q._qn2) * sqrt(f._nn2))
+           AS cos_exact
+  FROM short s
+  JOIN fullv f ON f.neighbor_id = s.neighbor_id
+  JOIN (SELECT DISTINCT query_id, _qv, _qn2 FROM qs) q
+    ON q.query_id = s.query_id)
+SELECT query_id, neighbor_id, cos_exact, CAST(rn AS BIGINT) AS rank_n FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_exact DESC, neighbor_id) AS rn
+  FROM rr) WHERE rn <= {k}"""

@@ -2942,6 +2942,33 @@ SELECT query_id, neighbor_id, cos_exact, CAST(rn AS BIGINT) AS rank_n FROM (
     return Q(spark_fn, oracle, headline=True)
 
 
+def _pq_lsh_topk_q() -> Q:
+    """The routed-compressed-rerank ANN composite
+    (similarity.pq_lsh_topk): SRP buckets cut the candidate set, PQ
+    codes cut the scan payload, exact cosine reranks the shortlist —
+    and unlike IVF-PQ, every stage is deterministic, so the WHOLE
+    composite value-matches the oracle (scores and ranks)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.similarity import pq_lsh_topk
+
+        t = load_tables(spark, sf_dir)
+        return pq_lsh_topk(
+            t["embeddings"], "vec_id", "embedding",
+            query_pred=f"vec_id % {TOPK_QUERY_STRIDE} = 0",
+            k=TOPK_K, overfetch=PQ_OVERFETCH,
+        )
+
+    from dar_spark.operators.similarity import pq_lsh_oracle_sql
+
+    return Q(
+        spark_fn,
+        pq_lsh_oracle_sql(
+            query_mod=TOPK_QUERY_STRIDE, k=TOPK_K, overfetch=PQ_OVERFETCH
+        ),
+    )
+
+
 def _pq_index_append_q() -> Q:
     """PQ index lifecycle under the value hash
     (similarity.write_pq_index / append_to_pq_index / pq_index_topk):
@@ -3304,6 +3331,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("resample_ffill_events", _resample_ffill_q()),
         ("quantile_hist_by_event_type", _quantile_hist_by_q()),
         ("pq_index_append_topk", _pq_index_append_q()),
+        ("embed_pq_lsh_topk", _pq_lsh_topk_q()),
     ]
 
 

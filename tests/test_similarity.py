@@ -672,3 +672,24 @@ def test_pq_index_codes_match_direct_encode_with_frozen_codebook(spark, tmp_path
         for r in pq_encode(e, "vec_id", "embedding", codebook=cb).collect()
     }
     assert stored == direct
+
+
+def test_pq_lsh_composite_finds_exact_dups(spark):
+    """The routed composite in its intended regime: identical vectors
+    share every SRP bucket AND every PQ code, so dup-injected pairs are
+    retrieved at rank 1 with exact cosine ~1."""
+    from dar_spark.operators.similarity import pq_lsh_topk
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    rep = e.select(F.col("vec_id").alias("rep_id"), F.col("embedding").alias("rv"))
+    dup = (
+        e.select("vec_id", F.expr("vec_id - vec_id % 2").alias("rep_id"))
+        .join(rep, "rep_id")
+        .select("vec_id", F.col("rv").alias("embedding"))
+        .limit(200)
+    )
+    out = pq_lsh_topk(dup, "vec_id", "embedding", "vec_id % 2 = 0", k=1)
+    got = {(r.query_id, r.neighbor_id): r.cos_exact for r in out.collect()}
+    hits = [v for (q, n), v in got.items() if n == q + 1]
+    assert len(hits) > 0
+    assert all(abs(v - 1.0) < 1e-9 for v in hits)
