@@ -352,8 +352,13 @@ def test_quantile_hist_cross_engine_bit_identity(spark, values):
         for r in approx_quantiles_hist(df, "x", probs, n_bins=16).collect()
     }
     con = duckdb.connect()
+    # string-cast injection: DuckDB parses a bare decimal literal as
+    # DECIMAL and its DECIMAL->DOUBLE cast is not correctly rounded
+    # (900719925.9921875 comes back 1 ulp off), while CAST(varchar AS
+    # DOUBLE) is exact — the registry oracles read parquet and never
+    # hit this, it is purely a harness-injection concern
     vals_sql = " UNION ALL ".join(
-        f"SELECT CAST({v!r} AS DOUBLE) AS x" for v in values
+        f"SELECT CAST('{v!r}' AS DOUBLE) AS x" for v in values
     )
     exp = {
         p: q
