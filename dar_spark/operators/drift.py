@@ -145,3 +145,146 @@ def snapshot_diff(
         .filter("change IS NOT NULL")
         .select(*key_cols, "change")
     )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — THE standard score for "has this feature's distribution
+    moved": PSI = Σ_i (p_i − q_i)·ln(p_i/q_i) over fixed bins, with the
+    conventional reading < 0.1 stable, 0.1–0.2 moderate, ≥ 0.2 drifted.
+
+    Bins are uniform over the OLD (reference) snapshot's [min, max] —
+    the reference defines the grid, the standard monitoring setup — and
+    new-snapshot values outside it clamp into the edge bins (that mass
+    movement IS drift, so it must count).  Shares are Laplace-smoothed,
+    (cnt_i + 1)/(n + n_bins), so empty bins never produce ln(0), and
+    every arithmetic step is a ratio of exact integers or ln() of their
+    quotient — engine-identical, and the final Σ is a left fold over
+    the bin-sorted term array (never a SUM aggregate, whose addition
+    order differs per engine).  One row out:
+    (n_old, n_new, psi, drifted).
+
+    Scale shape: two map-side-combinable passes over each snapshot
+    (min/max on the reference, bin counts on both) and a ≤ n_bins-row
+    merge — the cost profile of ``approx_quantiles_hist``, never a
+    sort.  NULL and non-finite values are excluded on both sides.
+    """
+    from dar_spark.operators.sketch import quantile_hist_exprs
+    from dar_spark.dialect import SPARK as _SPK
+
+    def vals(df):
+        return df.select(
+            F.col(value_col).cast("double").alias("_x")
+        ).filter(
+            "_x IS NOT NULL AND NOT isnan(_x) AND abs(_x) <> double('inf')"
+        )
+
+    o, n = vals(old), vals(new)
+    ref = o.groupBy().agg(
+        F.expr("CAST(min(_x) AS DOUBLE)").alias("mn"),
+        F.expr("CAST(max(_x) AS DOUBLE)").alias("mx"),
+    )
+    idx, _ = quantile_hist_exprs(_SPK, "_x", n_bins)
+
+    def hist(df, out):
+        return (
+            df.join(F.broadcast(ref))
+            .select(
+                F.expr(f"CASE WHEN mx = mn THEN 0 ELSE {idx} END").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.expr("COUNT(*)").cast("bigint").alias(out))
+        )
+
+    ho, hn = hist(o, "c_old"), hist(n, "c_new")
+    grid = old.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    merged = (
+        grid.join(ho, "bin", "left")
+        .join(hn, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+    )
+    term = (
+        "(CAST(s.c_old + 1 AS DOUBLE) / CAST(t_old + {b} AS DOUBLE) "
+        " - CAST(s.c_new + 1 AS DOUBLE) / CAST(t_new + {b} AS DOUBLE)) * "
+        "ln((CAST(s.c_old + 1 AS DOUBLE) / CAST(t_old + {b} AS DOUBLE)) "
+        "  / (CAST(s.c_new + 1 AS DOUBLE) / CAST(t_new + {b} AS DOUBLE)))"
+    ).format(b=n_bins)
+    return (
+        merged.groupBy()
+        .agg(
+            F.expr("SUM(c_old)").cast("bigint").alias("t_old"),
+            F.expr("SUM(c_new)").cast("bigint").alias("t_new"),
+            F.expr(
+                "sort_array(collect_list(struct(bin, c_old, c_new)))"
+            ).alias("_bins"),
+        )
+        .select(
+            F.col("t_old").alias("n_old"),
+            F.col("t_new").alias("n_new"),
+            F.expr(
+                f"aggregate(_bins, CAST(0 AS DOUBLE), (a, s) -> a + {term})"
+            ).alias("psi"),
+        )
+        .withColumn("drifted", F.expr("CAST(psi >= 0.2 AS INT)"))
+    )
+
+
+def psi_drift_oracle_sql(
+    d,
+    old_sql: str,
+    new_sql: str,
+    value: str,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB twin of ``psi_drift`` — same bins, same Laplace shares,
+    same bin-ordered left fold."""
+    from dar_spark.operators.sketch import quantile_hist_exprs
+
+    idx, _ = quantile_hist_exprs(d, "_x", n_bins)
+    term = (
+        "(CAST(s.c_old + 1 AS DOUBLE) / CAST(t_old + {b} AS DOUBLE) "
+        " - CAST(s.c_new + 1 AS DOUBLE) / CAST(t_new + {b} AS DOUBLE)) * "
+        "ln((CAST(s.c_old + 1 AS DOUBLE) / CAST(t_old + {b} AS DOUBLE)) "
+        "  / (CAST(s.c_new + 1 AS DOUBLE) / CAST(t_new + {b} AS DOUBLE)))"
+    ).format(b=n_bins)
+    return f"""WITH oldt AS ({old_sql}), newt AS ({new_sql}),
+vo AS (SELECT CAST({value} AS DOUBLE) AS _x FROM oldt
+       WHERE {value} IS NOT NULL AND isfinite(CAST({value} AS DOUBLE))),
+vn AS (SELECT CAST({value} AS DOUBLE) AS _x FROM newt
+       WHERE {value} IS NOT NULL AND isfinite(CAST({value} AS DOUBLE))),
+ref AS (SELECT CAST(min(_x) AS DOUBLE) AS mn, CAST(max(_x) AS DOUBLE) AS mx
+        FROM vo),
+ho AS (SELECT CASE WHEN mx = mn THEN 0 ELSE {idx} END AS bin,
+              CAST(COUNT(*) AS BIGINT) AS c_old
+       FROM vo CROSS JOIN ref GROUP BY 1),
+hn AS (SELECT CASE WHEN mx = mn THEN 0 ELSE {idx} END AS bin,
+              CAST(COUNT(*) AS BIGINT) AS c_new
+       FROM vn CROSS JOIN ref GROUP BY 1),
+grid AS (SELECT CAST(range AS INT) AS bin FROM range(0, {n_bins})),
+merged AS (
+  SELECT g.bin, COALESCE(ho.c_old, 0) AS c_old, COALESCE(hn.c_new, 0) AS c_new
+  FROM grid g LEFT JOIN ho ON ho.bin = g.bin LEFT JOIN hn ON hn.bin = g.bin),
+packed AS (
+  SELECT CAST(SUM(c_old) AS BIGINT) AS t_old,
+         CAST(SUM(c_new) AS BIGINT) AS t_new,
+         list(struct_pack(bin := bin, c_old := c_old, c_new := c_new)
+              ORDER BY bin) AS _bins
+  FROM merged)
+SELECT t_old AS n_old, t_new AS n_new,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(_bins, s -> {term})), (a, x) -> a + x) AS psi,
+       CAST((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(_bins, s -> {term})), (a, x) -> a + x)) >= 0.2
+         AS INT) AS drifted
+FROM packed"""

@@ -2942,6 +2942,36 @@ SELECT query_id, neighbor_id, cos_exact, CAST(rn AS BIGINT) AS rank_n FROM (
     return Q(spark_fn, oracle, headline=True)
 
 
+PSI_OLD = "SELECT l_extendedprice FROM lineitem WHERE l_orderkey % 2 = 0"
+PSI_NEW = ("SELECT l_extendedprice + 20000 AS l_extendedprice "
+           "FROM lineitem WHERE l_orderkey % 2 = 1")
+
+
+def _psi_drift_q() -> Q:
+    """Population Stability Index drift score (drift.psi_drift): the
+    standard 'did this feature's distribution move' number, over
+    reference-defined bins with Laplace-smoothed shares.  The +20000
+    shift on the new snapshot moves mass decisively across bins
+    (drifted = 1); every ratio is exact-integer arithmetic and the Σ is
+    a bin-ordered left fold, so psi itself is bit-identical
+    cross-engine — value-matched, not threshold-matched."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.drift import psi_drift
+
+        load_tables(spark, sf_dir)
+        return psi_drift(
+            spark.sql(PSI_OLD), spark.sql(PSI_NEW), "l_extendedprice"
+        )
+
+    from dar_spark.operators.drift import psi_drift_oracle_sql
+
+    return Q(
+        spark_fn,
+        psi_drift_oracle_sql(DUCKDB, PSI_OLD, PSI_NEW, "l_extendedprice"),
+    )
+
+
 def _pq_lsh_topk_q() -> Q:
     """The routed-compressed-rerank ANN composite
     (similarity.pq_lsh_topk): SRP buckets cut the candidate set, PQ
@@ -3332,6 +3362,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("quantile_hist_by_event_type", _quantile_hist_by_q()),
         ("pq_index_append_topk", _pq_index_append_q()),
         ("embed_pq_lsh_topk", _pq_lsh_topk_q()),
+        ("psi_drift_lineitem", _psi_drift_q()),
     ]
 
 

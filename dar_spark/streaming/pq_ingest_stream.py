@@ -1,0 +1,40 @@
+"""Streaming PQ-index ingest: encode arriving vector batches against the
+frozen stored codebook and append them as replay-safe partitions.
+
+Encoding is a stateless map (codes depend only on the vector and the
+codebook frozen at build time), so the streaming form is the batch
+``append_to_pq_index`` driven by ``foreachBatch`` with the ingest label
+``stream-<batch_id>``: a replayed micro-batch overwrites its OWN
+partition instead of double-appending, and the stream-grown index is
+byte-equal to a sequential batch-ingest loop (pinned in
+tests/test_stream_restart.py-style replay below).  One writer stream per
+index — the batch_id namespace is per-stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def streaming_pq_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+):
+    """Start a stream appending every micro-batch to the PQ index at
+    ``index_path`` (must already exist — the codebook is frozen at
+    build).  Returns the started StreamingQuery."""
+    from dar_spark.operators.similarity import append_to_pq_index
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        append_to_pq_index(
+            batch_df, index_path, id_col, vec_col,
+            ingest_label=f"stream-{batch_id}",
+        )
+
+    w = stream_df.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

@@ -39,3 +39,44 @@ def test_drift_type_change(spark):
     new = spark.createDataFrame([(1.5, "x")], "a double, b string")
     drifts = detect_drift(old, new, approx=False)
     assert any(d.column == "a" and d.kind == "type_changed" for d in drifts)
+
+
+# --- PSI drift --------------------------------------------------------
+
+
+def test_psi_identical_snapshots_near_zero(spark):
+    """Same distribution on both sides -> PSI ~ 0 (smoothing keeps it
+    tiny but nonzero when counts differ slightly), not drifted."""
+    from dar_spark.operators.drift import psi_drift
+    from dar_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    r = psi_drift(li, li, "l_extendedprice").collect()[0]
+    assert r.psi < 0.01 and r.drifted == 0
+
+
+def test_psi_shifted_snapshot_drifts(spark):
+    """A +20000 shift moves bin mass decisively: PSI >= 0.2."""
+    from dar_spark.operators.drift import psi_drift
+    from dar_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    shifted = li.selectExpr("l_extendedprice + 20000 AS l_extendedprice")
+    r = psi_drift(li, shifted, "l_extendedprice").collect()[0]
+    assert r.psi >= 0.2 and r.drifted == 1
+
+
+def test_psi_is_signless_on_direction(spark):
+    """PSI is symmetric-ish in magnitude for opposite shifts — both
+    directions must flag (the score sums signed terms whose product
+    with the log is always >= 0)."""
+    from dar_spark.operators.drift import psi_drift
+    from dar_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    down = li.selectExpr("l_extendedprice - 20000 AS l_extendedprice")
+    r = psi_drift(li, down, "l_extendedprice").collect()[0]
+    assert r.psi > 0 and r.drifted == 1

@@ -138,3 +138,61 @@ def test_streaming_windowed_quantile_matches_batch_per_window(spark, tmp_path):
             mn, mx, [0.5],
         ).collect()[0].q_est
         assert qs == qb
+
+
+def test_streaming_pq_ingest_equals_batch_appends(spark, tmp_path):
+    """The stream-grown PQ index holds exactly the codes a sequential
+    batch-ingest loop would produce, and a replayed batch (same label)
+    overwrites itself."""
+    from dar_spark.operators.similarity import (
+        append_to_pq_index,
+        pq_encode,
+        pq_fit_codebook,
+        write_pq_index,
+    )
+    from dar_spark.streaming.pq_ingest_stream import streaming_pq_ingest
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    base = e.filter("vec_id % 3 = 0")
+    incoming = e.filter("vec_id % 3 <> 0")
+
+    path = str(tmp_path / "pq_stream_idx")
+    write_pq_index(base, path)
+    src = str(tmp_path / "src")
+    incoming.repartition(3).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(incoming.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = streaming_pq_ingest(
+        stream, path, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    stored = {
+        (r.vec_id, tuple(r.codes))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    cb = pq_fit_codebook(base, "vec_id", "embedding")
+    expected = {
+        (r.vec_id, tuple(r.codes))
+        for r in pq_encode(
+            base.unionByName(incoming), "vec_id", "embedding", codebook=cb
+        ).collect()
+    }
+    assert stored == expected
+
+    # replay contract: appending the same content under the same label
+    # twice leaves the index byte-identical (overwrite, not double-add)
+    extra = incoming.filter("vec_id % 5 = 1")
+    append_to_pq_index(extra, path, ingest_label="manual")
+    once = sorted(
+        (r.vec_id, tuple(r.codes))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    append_to_pq_index(extra, path, ingest_label="manual")
+    twice = sorted(
+        (r.vec_id, tuple(r.codes))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    assert once == twice
