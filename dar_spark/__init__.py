@@ -93,6 +93,9 @@ __all__ = [
     "incremental_rollup",
     "rollup_finalize",
     "resample_ffill",
+    "psi_drift",
+    "psi_report",
+    "pq_lsh_topk",
 ]
 
 
@@ -250,4 +253,12 @@ def __getattr__(name):
         from dar_spark.operators.timeseries import resample_ffill
 
         return resample_ffill
+    if name in ("psi_drift", "psi_report"):
+        from dar_spark.operators import drift as _dr
+
+        return getattr(_dr, name)
+    if name == "pq_lsh_topk":
+        from dar_spark.operators.similarity import pq_lsh_topk
+
+        return pq_lsh_topk
     raise AttributeError(f"module 'dar_spark' has no attribute {name!r}")

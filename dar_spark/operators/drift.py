@@ -288,3 +288,23 @@ SELECT t_old AS n_old, t_new AS n_new,
          list_transform(_bins, s -> {term})), (a, x) -> a + x)) >= 0.2
          AS INT) AS drifted
 FROM packed"""
+
+
+def psi_report(
+    old: DataFrame,
+    new: DataFrame,
+    value_cols: list[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-column PSI in one frame: (column, n_old, n_new, psi,
+    drifted) — the monitoring loop's per-feature drift table.  Each
+    column runs the same two-pass histogram recipe; the union keeps one
+    row per column (columns × 2 scans of single projected columns, all
+    map-side-combinable — the frame is O(columns), never O(rows))."""
+    out = None
+    for c in value_cols:
+        r = psi_drift(old, new, c, n_bins).select(
+            F.lit(c).alias("column"), "n_old", "n_new", "psi", "drifted"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

@@ -80,3 +80,23 @@ def test_psi_is_signless_on_direction(spark):
     down = li.selectExpr("l_extendedprice - 20000 AS l_extendedprice")
     r = psi_drift(li, down, "l_extendedprice").collect()[0]
     assert r.psi > 0 and r.drifted == 1
+
+
+def test_psi_report_multi_column(spark):
+    from dar_spark.operators.drift import psi_report
+    from dar_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    shifted = li.selectExpr(
+        "l_extendedprice + 20000 AS l_extendedprice",
+        "l_quantity",
+        "l_discount",
+    )
+    rows = {r.column: r for r in psi_report(
+        li, shifted, ["l_extendedprice", "l_quantity", "l_discount"]
+    ).collect()}
+    assert set(rows) == {"l_extendedprice", "l_quantity", "l_discount"}
+    assert rows["l_extendedprice"].drifted == 1
+    assert rows["l_quantity"].drifted == 0
+    assert rows["l_discount"].drifted == 0
