@@ -96,6 +96,7 @@ __all__ = [
     "psi_drift",
     "psi_report",
     "pq_lsh_topk",
+    "partition_advisor",
 ]
 
 
@@ -261,4 +262,8 @@ def __getattr__(name):
         from dar_spark.operators.similarity import pq_lsh_topk
 
         return pq_lsh_topk
+    if name == "partition_advisor":
+        from dar_spark.operators.layout import partition_advisor
+
+        return partition_advisor
     raise AttributeError(f"module 'dar_spark' has no attribute {name!r}")

@@ -1,0 +1,100 @@
+"""Partition-layout advisor: judge candidate partition columns.
+
+Choosing `partitionBy` columns for a 100 TB write is a cardinality and
+skew question: too many distinct values shatters the table into
+millions of small files (file-listing and footer overhead dominate),
+too few leaves nothing to prune, and a hot key concentrates the write
+and every downstream scan on one partition.  This advisor answers it
+with the SAME aggregation a partitioned write would shuffle on — one
+groupBy per candidate — so its cost previews the write's.
+
+Verdicts (tunable thresholds):
+- ``too_many_partitions``: distinct > max_partitions (small-file storm);
+- ``too_few_partitions``: distinct < min_partitions (no pruning, and on
+  a cluster fewer write tasks than executors);
+- ``skewed``: the hottest key holds > hot_share of rows;
+- ``ok`` otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.dialect import Dialect
+
+
+def _verdict_sql(
+    max_partitions: int, min_partitions: int, hot_share: float
+) -> str:
+    """Shared CASE over (n_distinct, n_rows, max_rows) — hot share is
+    compared via integer cross-multiplication (max_rows·10⁶ >
+    hot_share·10⁶·n_rows), so no float division decides a verdict."""
+    hs = int(round(hot_share * 1_000_000))
+    return (
+        f"CASE WHEN n_distinct > {max_partitions} THEN 'too_many_partitions' "
+        f"WHEN n_distinct < {min_partitions} THEN 'too_few_partitions' "
+        f"WHEN max_rows * 1000000 > {hs} * n_rows THEN 'skewed' "
+        f"ELSE 'ok' END"
+    )
+
+
+def partition_advisor(
+    df: DataFrame,
+    candidate_cols: list[str],
+    max_partitions: int = 100_000,
+    min_partitions: int = 8,
+    hot_share: float = 0.2,
+) -> DataFrame:
+    """(column, n_rows, n_distinct, max_rows, avg_rows_per_partition,
+    verdict) for each candidate partition column.  NULL keys count as
+    their own partition (Hive writes them as __HIVE_DEFAULT_PARTITION__).
+    """
+    from dar_spark.dialect import SPARK as _SPK
+
+    out = None
+    for c in candidate_cols:
+        per_key = df.groupBy(F.col(c).alias("_k")).agg(
+            F.expr("COUNT(*)").cast("bigint").alias("_cnt")
+        )
+        r = per_key.groupBy().agg(
+            F.expr("CAST(SUM(_cnt) AS BIGINT)").alias("n_rows"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_distinct"),
+            F.expr("CAST(MAX(_cnt) AS BIGINT)").alias("max_rows"),
+        ).select(
+            F.lit(c).alias("column"),
+            "n_rows",
+            "n_distinct",
+            "max_rows",
+            F.expr(_SPK.ratio_6dp("n_rows", "n_distinct")).alias(
+                "avg_rows_per_partition"
+            ),
+            F.expr(
+                _verdict_sql(max_partitions, min_partitions, hot_share)
+            ).alias("verdict"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def partition_advisor_oracle_sql(
+    d: Dialect,
+    table: str,
+    candidate_cols: list[str],
+    max_partitions: int = 100_000,
+    min_partitions: int = 8,
+    hot_share: float = 0.2,
+) -> str:
+    """DuckDB twin from the same verdict CASE and ratio builder."""
+    parts = []
+    for c in candidate_cols:
+        parts.append(f"""SELECT '{c}' AS column, n_rows, n_distinct, max_rows,
+       {d.ratio_6dp('n_rows', 'n_distinct')} AS avg_rows_per_partition,
+       {_verdict_sql(max_partitions, min_partitions, hot_share)} AS verdict
+FROM (
+  SELECT CAST(SUM(_cnt) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(_cnt) AS BIGINT) AS max_rows
+  FROM (SELECT {c} AS _k, CAST(COUNT(*) AS BIGINT) AS _cnt
+        FROM {table} GROUP BY {c}))""")
+    return "\nUNION ALL\n".join(parts)

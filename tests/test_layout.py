@@ -1,0 +1,38 @@
+"""partition_advisor verdict semantics on controlled frames."""
+
+from __future__ import annotations
+
+from dar_spark.operators.layout import partition_advisor
+
+
+def test_advisor_verdict_classes(spark):
+    rows = []
+    # 1000 rows: 'hot' holds 500 (skewed at 0.2); 'uniform' has 20 even
+    # keys (ok); 'unique' is row-unique (too many at max=100);
+    # 'constant' is one value (too few at min=8)
+    for i in range(1000):
+        rows.append((
+            "h" if i < 500 else f"h{i % 50}",
+            f"u{i % 20}",
+            f"x{i}",
+            "c",
+        ))
+    df = spark.createDataFrame(rows, "hot string, uniform string, unique string, constant string")
+    out = {r.column: r.verdict for r in partition_advisor(
+        df, ["hot", "uniform", "unique", "constant"],
+        max_partitions=100, min_partitions=8,
+    ).collect()}
+    assert out == {
+        "hot": "skewed",
+        "uniform": "ok",
+        "unique": "too_many_partitions",
+        "constant": "too_few_partitions",
+    }
+
+
+def test_advisor_counts_null_as_its_own_partition(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), (None,)] * 10, "k string"
+    )
+    r = partition_advisor(df, ["k"], min_partitions=1).collect()[0]
+    assert r.n_distinct == 2 and r.n_rows == 30
