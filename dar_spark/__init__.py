@@ -95,6 +95,7 @@ __all__ = [
     "resample_ffill",
     "psi_drift",
     "psi_report",
+    "ks_drift",
     "pq_lsh_topk",
     "partition_advisor",
 ]
@@ -254,7 +255,7 @@ def __getattr__(name):
         from dar_spark.operators.timeseries import resample_ffill
 
         return resample_ffill
-    if name in ("psi_drift", "psi_report"):
+    if name in ("psi_drift", "psi_report", "ks_drift"):
         from dar_spark.operators import drift as _dr
 
         return getattr(_dr, name)

@@ -308,3 +308,138 @@ def psi_report(
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+def ks_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance over the shared histogram
+    grid: sup_i |F_old(i) − F_new(i)| — the CDF-based companion to
+    :func:`psi_drift` (PSI weights by share movement; KS reads the worst
+    single point of CDF separation and needs no smoothing).  Evaluated
+    at bin edges, so it lower-bounds the exact KS by at most one bin's
+    mass — fine for drift MONITORING, not a significance test.
+
+    One row: (n_old, n_new, ks_stat, at_bin) with at_bin the first bin
+    achieving the sup (deterministic tie-break).  Engine-exact: CDF
+    values are quotients of exact integers, and the sup/argmax is an
+    exact comparison of those bit-identical doubles.  Cost profile
+    identical to psi_drift (two histogram passes, ≤ n_bins-row merge).
+    """
+    from dar_spark.operators.sketch import quantile_hist_exprs
+    from dar_spark.dialect import SPARK as _SPK
+
+    def vals(df):
+        return df.select(
+            F.col(value_col).cast("double").alias("_x")
+        ).filter(
+            "_x IS NOT NULL AND NOT isnan(_x) AND abs(_x) <> double('inf')"
+        )
+
+    o, n = vals(old), vals(new)
+    ref = o.groupBy().agg(
+        F.expr("CAST(min(_x) AS DOUBLE)").alias("mn"),
+        F.expr("CAST(max(_x) AS DOUBLE)").alias("mx"),
+    )
+    idx, _ = quantile_hist_exprs(_SPK, "_x", n_bins)
+
+    def hist(df, out):
+        return (
+            df.join(F.broadcast(ref))
+            .select(
+                F.expr(f"CASE WHEN mx = mn THEN 0 ELSE {idx} END").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.expr("COUNT(*)").cast("bigint").alias(out))
+        )
+
+    merged = (
+        old.sparkSession.range(n_bins)
+        .select(F.col("id").cast("int").alias("bin"))
+        .join(hist(o, "c_old"), "bin", "left")
+        .join(hist(n, "c_new"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+    )
+    cum = merged.select(
+        "bin",
+        F.expr(
+            "SUM(c_old) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)"
+        ).alias("cum_old"),
+        F.expr(
+            "SUM(c_new) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)"
+        ).alias("cum_new"),
+    )
+    tot = merged.groupBy().agg(
+        F.expr("CAST(SUM(c_old) AS BIGINT)").alias("n_old"),
+        F.expr("CAST(SUM(c_new) AS BIGINT)").alias("n_new"),
+    )
+    diff = cum.join(F.broadcast(tot)).select(
+        "n_old",
+        "n_new",
+        "bin",
+        F.expr(
+            "abs(CAST(cum_old AS DOUBLE) / CAST(n_old AS DOUBLE) "
+            "- CAST(cum_new AS DOUBLE) / CAST(n_new AS DOUBLE))"
+        ).alias("_d"),
+    )
+    return diff.groupBy("n_old", "n_new").agg(
+        F.expr("MAX(_d)").alias("ks_stat"),
+        # first bin achieving the sup: minimize (-d, bin)
+        F.expr("CAST(min_by(bin, struct(-_d, bin)) AS INT)").alias("at_bin"),
+    )
+
+
+def ks_drift_oracle_sql(
+    d,
+    old_sql: str,
+    new_sql: str,
+    value: str,
+    n_bins: int = 256,
+) -> str:
+    """DuckDB twin of ``ks_drift``."""
+    from dar_spark.operators.sketch import quantile_hist_exprs
+
+    idx, _ = quantile_hist_exprs(d, "_x", n_bins)
+    return f"""WITH oldt AS ({old_sql}), newt AS ({new_sql}),
+vo AS (SELECT CAST({value} AS DOUBLE) AS _x FROM oldt
+       WHERE {value} IS NOT NULL AND isfinite(CAST({value} AS DOUBLE))),
+vn AS (SELECT CAST({value} AS DOUBLE) AS _x FROM newt
+       WHERE {value} IS NOT NULL AND isfinite(CAST({value} AS DOUBLE))),
+ref AS (SELECT CAST(min(_x) AS DOUBLE) AS mn, CAST(max(_x) AS DOUBLE) AS mx
+        FROM vo),
+ho AS (SELECT CASE WHEN mx = mn THEN 0 ELSE {idx} END AS bin,
+              CAST(COUNT(*) AS BIGINT) AS c_old
+       FROM vo CROSS JOIN ref GROUP BY 1),
+hn AS (SELECT CASE WHEN mx = mn THEN 0 ELSE {idx} END AS bin,
+              CAST(COUNT(*) AS BIGINT) AS c_new
+       FROM vn CROSS JOIN ref GROUP BY 1),
+grid AS (SELECT CAST(range AS INT) AS bin FROM range(0, {n_bins})),
+merged AS (
+  SELECT g.bin, COALESCE(ho.c_old, 0) AS c_old, COALESCE(hn.c_new, 0) AS c_new
+  FROM grid g LEFT JOIN ho ON ho.bin = g.bin LEFT JOIN hn ON hn.bin = g.bin),
+cum AS (
+  SELECT bin,
+         SUM(c_old) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_old,
+         SUM(c_new) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_new
+  FROM merged),
+tot AS (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+               CAST(SUM(c_new) AS BIGINT) AS n_new FROM merged),
+diff AS (
+  SELECT n_old, n_new, bin,
+         abs(CAST(cum_old AS DOUBLE) / CAST(n_old AS DOUBLE)
+             - CAST(cum_new AS DOUBLE) / CAST(n_new AS DOUBLE)) AS _d
+  FROM cum CROSS JOIN tot)
+SELECT n_old, n_new, _d AS ks_stat, CAST(bin AS INT) AS at_bin FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY _d DESC, bin) AS rn FROM diff)
+WHERE rn = 1"""

@@ -2973,6 +2973,29 @@ def _partition_advisor_q() -> Q:
     )
 
 
+def _ks_drift_q() -> Q:
+    """Kolmogorov–Smirnov drift distance (drift.ks_drift): the
+    CDF-based companion to PSI — sup over the shared bin grid of the
+    empirical-CDF gap, with the first sup-achieving bin reported.  CDF
+    values are quotients of exact integers, so the statistic AND the
+    argmax bin value-match cross-engine."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.drift import ks_drift
+
+        load_tables(spark, sf_dir)
+        return ks_drift(
+            spark.sql(PSI_OLD), spark.sql(PSI_NEW), "l_extendedprice"
+        )
+
+    from dar_spark.operators.drift import ks_drift_oracle_sql
+
+    return Q(
+        spark_fn,
+        ks_drift_oracle_sql(DUCKDB, PSI_OLD, PSI_NEW, "l_extendedprice"),
+    )
+
+
 PSI_OLD = "SELECT l_extendedprice FROM lineitem WHERE l_orderkey % 2 = 0"
 PSI_NEW = ("SELECT l_extendedprice + 20000 AS l_extendedprice "
            "FROM lineitem WHERE l_orderkey % 2 = 1")
@@ -3395,6 +3418,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("embed_pq_lsh_topk", _pq_lsh_topk_q()),
         ("psi_drift_lineitem", _psi_drift_q()),
         ("partition_advisor_events", _partition_advisor_q()),
+        ("ks_drift_lineitem", _ks_drift_q()),
     ]
 
 

@@ -100,3 +100,17 @@ def test_psi_report_multi_column(spark):
     assert rows["l_extendedprice"].drifted == 1
     assert rows["l_quantity"].drifted == 0
     assert rows["l_discount"].drifted == 0
+
+
+def test_ks_identical_zero_and_shift_positive(spark):
+    from dar_spark.operators.drift import ks_drift
+    from dar_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    same = ks_drift(li, li, "l_extendedprice").collect()[0]
+    assert same.ks_stat == 0.0
+    shifted = li.selectExpr("l_extendedprice + 20000 AS l_extendedprice")
+    moved = ks_drift(li, shifted, "l_extendedprice").collect()[0]
+    assert 0.1 < moved.ks_stat <= 1.0
+    assert 0 <= moved.at_bin < 256
