@@ -69,6 +69,37 @@ def main() -> None:
     print("SCD2 rows:", hist.count(), "current:",
           hist.filter("is_current = 1").count())
 
+    # 5. distribution-drift scores between the snapshots (histogram
+    # recipe: two map-side passes each, never a sort)
+    from dar_spark.operators.drift import ks_drift, psi_drift
+
+    p = psi_drift(old, new, "o_totalprice").collect()[0]
+    k = ks_drift(old, new, "o_totalprice").collect()[0]
+    print(f"PSI {p.psi:.4f} (drifted={p.drifted})  "
+          f"KS {k.ks_stat:.4f} at bin {k.at_bin}")
+
+    # 6. advance the per-customer revenue rollup incrementally from the
+    # CDC delta (never rescanning the fact table), equal to a full
+    # recompute by construction
+    from dar_spark.operators.merge import (
+        incremental_rollup, rollup_finalize, rollup_from_facts,
+    )
+
+    o2 = spark.sql("SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 11 <> 0")
+    n2 = spark.sql(
+        "SELECT o_custkey, CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 "
+        "ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 13 <> 0"
+    )
+    roll = rollup_finalize(
+        incremental_rollup(
+            rollup_from_facts(o2, ["o_custkey"], {"sum_price": "o_totalprice"}),
+            n2.exceptAll(o2), o2.exceptAll(n2),
+            ["o_custkey"], {"sum_price": "o_totalprice"},
+        ),
+        ["sum_price"],
+    )
+    print("incremental rollup groups:", roll.count())
+
 
 if __name__ == "__main__":
     main()
