@@ -115,3 +115,52 @@ def test_incremental_rollup_drops_vanished_groups(spark):
     inc = incremental_rollup(base, added, removed, ["g"], {"s": "x"})
     got = {r.g for r in inc.collect()}
     assert got == {"a"}
+
+
+def test_incremental_rollup_fuzz_random_multiset_deltas(spark):
+    """Random add/remove multisets (including rows repeated several
+    times, fully-removed groups, and brand-new groups) maintained
+    incrementally must equal the full recompute of the resulting
+    multiset — the view-maintenance algebra under fire."""
+    import random
+
+    from dar_spark.operators.merge import incremental_rollup, rollup_from_facts
+
+    rng = random.Random(20260814)
+    groups = ["a", "b", "c", "d"]
+    for trial in range(5):
+        old_rows = [
+            (rng.choice(groups), float(rng.randint(1, 50)))
+            for _ in range(rng.randint(3, 25))
+        ]
+        # removals: a random sub-multiset of old; additions: random rows
+        removed_rows = rng.sample(old_rows, rng.randint(0, len(old_rows)))
+        added_rows = [
+            (rng.choice(groups + ["e"]), float(rng.randint(1, 50)))
+            for _ in range(rng.randint(0, 15))
+        ]
+        new_rows = list(old_rows)
+        for r in removed_rows:
+            new_rows.remove(r)
+        new_rows += added_rows
+
+        schema = "g string, x double"
+        old = spark.createDataFrame(old_rows, schema)
+        base = rollup_from_facts(old, ["g"], {"s": "x"})
+        added = (
+            spark.createDataFrame(added_rows, schema)
+            if added_rows else old.filter("1 = 0")
+        )
+        removed = (
+            spark.createDataFrame(removed_rows, schema)
+            if removed_rows else old.filter("1 = 0")
+        )
+        inc = incremental_rollup(base, added, removed, ["g"], {"s": "x"})
+        full = rollup_from_facts(
+            spark.createDataFrame(new_rows, schema)
+            if new_rows else old.filter("1 = 0"),
+            ["g"], {"s": "x"},
+        )
+        assert sorted(map(tuple, inc.collect())) == sorted(
+            map(tuple, full.collect())
+        ), f"trial {trial}"

@@ -70,3 +70,49 @@ def test_resample_keys_are_independent(spark):
     # key 2's silent middle day carries 5.0, never key 1's value
     mid = [r for r in by_key[2] if r.observed is None]
     assert len(mid) == 1 and mid[0].filled == 5.0
+
+
+def test_resample_ffill_fuzz_vs_python_reference(spark):
+    """Randomized event patterns through resample_ffill must match a
+    direct pure-Python forward-fill with the same staleness rule —
+    catches off-by-one in grid bounds and gap arithmetic."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(5):
+        rows = []
+        expected = {}
+        for key in (1, 2, 3):
+            # duplicate days allowed, so carried fills have DISTINCT
+            # counts (not all 1s) and the carry value itself is tested
+            days = sorted(rng.choices(range(30), k=rng.randint(1, 12)))
+            for d in days:
+                rows.append((key, dt.datetime(2024, 3, 1 + d), 1.0))
+            # python reference: daily grid, count per day, ffill <= 2
+            lo, hi = days[0], days[-1]
+            last_obs = None
+            for d in range(lo, hi + 1):
+                obs = days.count(d) or None
+                if obs is not None:
+                    last_obs = d
+                fill = (
+                    obs if obs is not None
+                    else (
+                        days.count(last_obs)
+                        if last_obs is not None and d - last_obs <= 2
+                        else None
+                    )
+                )
+                expected[(key, dt.datetime(2024, 3, 1 + d))] = (obs, fill)
+        from dar_spark.operators.timeseries import resample_ffill
+
+        df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+        got = {
+            (r.key, r.step_ts): (r.observed, r.filled)
+            for r in resample_ffill(
+                df, "k", "ts", "CAST(COUNT(*) AS INT)",
+                step="1 day", max_gap_steps=2,
+            ).collect()
+        }
+        assert got == expected, f"trial {trial}"
