@@ -96,6 +96,7 @@ __all__ = [
     "psi_drift",
     "psi_report",
     "ks_drift",
+    "psi_between_bins",
     "pq_lsh_topk",
     "partition_advisor",
 ]
@@ -255,7 +256,7 @@ def __getattr__(name):
         from dar_spark.operators.timeseries import resample_ffill
 
         return resample_ffill
-    if name in ("psi_drift", "psi_report", "ks_drift"):
+    if name in ("psi_drift", "psi_report", "ks_drift", "psi_between_bins"):
         from dar_spark.operators import drift as _dr
 
         return getattr(_dr, name)

@@ -443,3 +443,61 @@ diff AS (
 SELECT n_old, n_new, _d AS ks_stat, CAST(bin AS INT) AS at_bin FROM (
   SELECT *, ROW_NUMBER() OVER (ORDER BY _d DESC, bin) AS rn FROM diff)
 WHERE rn = 1"""
+
+
+def psi_between_bins(
+    bins_a: DataFrame,
+    bins_b: DataFrame,
+    n_bins: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """PSI from two (bin, cnt) histogram frames over the SAME grid —
+    the composition point for streaming drift monitoring: feed a stored
+    reference histogram as ``bins_a`` and a drained
+    ``streaming_windowed_quantile_bins`` window (grouped by its window
+    columns) as ``bins_b`` to score each window against the reference.
+
+    ``group_cols`` names columns of ``bins_b`` to score independently
+    (e.g. ["window_start"]); the reference is broadcast to every group.
+    Same Laplace smoothing and bin-ordered left fold as
+    :func:`psi_drift`, so scores are engine-exact and agree with
+    psi_drift run on the same underlying rows (pinned in tests).
+    """
+    gc = group_cols or []
+    a = bins_a.groupBy().agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("t_old"),
+        F.expr("sort_array(collect_list(struct(bin, cnt)))").alias("_ba"),
+    )
+    b = bins_b.groupBy(*gc).agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("t_new"),
+        F.expr("sort_array(collect_list(struct(bin, cnt)))").alias("_bb"),
+    )
+    # densify both sides onto the full grid inside expressions: missing
+    # bins count 0 (filter+element lookup per grid position)
+    def dense(src: str) -> str:
+        return (
+            f"transform(sequence(0, {n_bins - 1}), i -> "
+            f"coalesce(element_at(map_from_entries({src}), i), CAST(0 AS BIGINT)))"
+        )
+
+    term = (
+        "(CAST(co + 1 AS DOUBLE) / CAST(t_old + {b} AS DOUBLE) "
+        " - CAST(cn + 1 AS DOUBLE) / CAST(t_new + {b} AS DOUBLE)) * "
+        "ln((CAST(co + 1 AS DOUBLE) / CAST(t_old + {b} AS DOUBLE)) "
+        "  / (CAST(cn + 1 AS DOUBLE) / CAST(t_new + {b} AS DOUBLE)))"
+    ).format(b=n_bins)
+    return (
+        b.crossJoin(F.broadcast(a))
+        .withColumn("_da", F.expr(dense("_ba")))
+        .withColumn("_db", F.expr(dense("_bb")))
+        .select(
+            *gc,
+            "t_old",
+            "t_new",
+            F.expr(
+                "aggregate(zip_with(_da, _db, (co, cn) -> "
+                f"{term}), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            ).alias("psi"),
+        )
+        .withColumn("drifted", F.expr("CAST(psi >= 0.2 AS INT)"))
+    )

@@ -114,3 +114,48 @@ def test_ks_identical_zero_and_shift_positive(spark):
     moved = ks_drift(li, shifted, "l_extendedprice").collect()[0]
     assert 0.1 < moved.ks_stat <= 1.0
     assert 0 <= moved.at_bin < 256
+
+
+def test_psi_between_bins_matches_psi_drift(spark):
+    """The bins-level composition must equal psi_drift on the same rows
+    when fed histograms over psi_drift's own grid — the contract that
+    lets stored/streamed histograms replace raw-row access."""
+    from dar_spark.operators.drift import psi_between_bins, psi_drift
+    from dar_spark.session import load_tables
+    from dar_spark.streaming.quantile_stream import streaming_quantile_bins
+    from tests.conftest import SF_DIR
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    old = li.filter("l_orderkey % 2 = 0").select("l_extendedprice")
+    new = li.filter("l_orderkey % 2 = 1").selectExpr(
+        "l_extendedprice + 20000 AS l_extendedprice"
+    )
+    direct = psi_drift(old, new, "l_extendedprice", n_bins=10).collect()[0]
+    mn, mx = old.selectExpr(
+        "CAST(min(l_extendedprice) AS DOUBLE)",
+        "CAST(max(l_extendedprice) AS DOUBLE)",
+    ).collect()[0]
+    ba = streaming_quantile_bins(old, "l_extendedprice", mn, mx, n_bins=10)
+    bb = streaming_quantile_bins(new, "l_extendedprice", mn, mx, n_bins=10)
+    composed = psi_between_bins(ba, bb, n_bins=10).collect()[0]
+    assert composed.psi == direct.psi
+    assert composed.drifted == direct.drifted == 1
+
+
+def test_psi_between_bins_per_window_groups(spark):
+    """Grouped scoring: each window column value gets its own PSI
+    against the broadcast reference."""
+    from dar_spark.operators.drift import psi_between_bins
+
+    ref = spark.createDataFrame(
+        [(0, 50), (1, 50)], "bin int, cnt bigint"
+    )
+    wins = spark.createDataFrame(
+        [("w1", 0, 50), ("w1", 1, 50), ("w2", 0, 95), ("w2", 1, 5)],
+        "window_start string, bin int, cnt bigint",
+    )
+    rows = {r.window_start: r for r in psi_between_bins(
+        ref, wins, n_bins=2, group_cols=["window_start"]
+    ).collect()}
+    assert rows["w1"].psi < 0.01 and rows["w1"].drifted == 0
+    assert rows["w2"].psi > 0.2 and rows["w2"].drifted == 1
