@@ -720,9 +720,13 @@ def quantize_expr_sql(d, vec: str) -> tuple[str, str]:
     scale = f"(({mx}) / CAST(127 AS DOUBLE))"
     q = d.arr_transform(
         vec,
+        # TINYINT, not INT: the codes are the STORE — int32 codes waste
+        # 4 bytes/component and halve the measured compression (2.4x
+        # parquet-real vs ~4x); floor(x/scale + 0.5) ranges [-127, 127]
+        # by construction (|x| <= absmax), so int8 always fits
         f"x -> CAST(CASE WHEN {scale} = CAST(0 AS DOUBLE) THEN 0 "
         f"ELSE floor(CAST(x AS DOUBLE) / {scale} + CAST(0.5 AS DOUBLE)) "
-        f"END AS INT)",
+        f"END AS TINYINT)",
     )
     return scale, q
 
@@ -852,7 +856,10 @@ def pq_codes_sql(d, vec: str, anchors: str, m: int = PQ_M) -> str:
     dims = d.int_seq(f"s * {ds} + 1", f"s * {ds} + {ds}")
     dist = _fold_sum_double(d, d.arr_transform(dims, f"i -> {diff} * {diff}"))
     dists = d.arr_transform(anchors, f"a -> {dist}")
-    code = f"CAST({d.arr_position(dists, d.arr_min(dists))} - 1 AS INT)"
+    # SMALLINT codes: the code table is the compressed store, and int32
+    # wastes half the measured ratio; 2 bytes covers ks up to 32767
+    # (production 256 included)
+    code = f"CAST({d.arr_position(dists, d.arr_min(dists))} - 1 AS SMALLINT)"
     return d.arr_transform(d.int_seq("0", str(m - 1)), f"s -> {code}")
 
 
