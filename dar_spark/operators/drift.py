@@ -147,6 +147,55 @@ def snapshot_diff(
     )
 
 
+# Shared by psi_drift / ks_drift: the reference-grid histogram pair.
+_FINITE_PRED = "_x IS NOT NULL AND NOT isnan(_x) AND abs(_x) <> double('inf')"
+
+
+def _ref_binned_hists(
+    old: DataFrame, new: DataFrame, value_col: str, n_bins: int
+) -> DataFrame:
+    """(bin, c_old, c_new) over the full grid: bins uniform on the OLD
+    snapshot's finite [min, max], values clamped into edge bins, NULL/
+    non-finite excluded on both sides — the single definition both
+    drift scores share."""
+    from dar_spark.operators.sketch import quantile_hist_exprs
+    from dar_spark.dialect import SPARK as _SPK
+
+    def vals(df):
+        return df.select(
+            F.col(value_col).cast("double").alias("_x")
+        ).filter(_FINITE_PRED)
+
+    o, n = vals(old), vals(new)
+    ref = o.groupBy().agg(
+        F.expr("CAST(min(_x) AS DOUBLE)").alias("mn"),
+        F.expr("CAST(max(_x) AS DOUBLE)").alias("mx"),
+    )
+    idx, _ = quantile_hist_exprs(_SPK, "_x", n_bins)
+
+    def hist(df, out):
+        return (
+            df.join(F.broadcast(ref))
+            .select(
+                F.expr(f"CASE WHEN mx = mn THEN 0 ELSE {idx} END").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.expr("COUNT(*)").cast("bigint").alias(out))
+        )
+
+    return (
+        old.sparkSession.range(n_bins)
+        .select(F.col("id").cast("int").alias("bin"))
+        .join(hist(o, "c_old"), "bin", "left")
+        .join(hist(n, "c_new"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+    )
+
+
 def psi_drift(
     old: DataFrame,
     new: DataFrame,
@@ -172,48 +221,10 @@ def psi_drift(
     Scale shape: two map-side-combinable passes over each snapshot
     (min/max on the reference, bin counts on both) and a ≤ n_bins-row
     merge — the cost profile of ``approx_quantiles_hist``, never a
-    sort.  NULL and non-finite values are excluded on both sides.
+    sort.  NULL and non-finite values are excluded on both sides
+    (``_ref_binned_hists``, shared with :func:`ks_drift`).
     """
-    from dar_spark.operators.sketch import quantile_hist_exprs
-    from dar_spark.dialect import SPARK as _SPK
-
-    def vals(df):
-        return df.select(
-            F.col(value_col).cast("double").alias("_x")
-        ).filter(
-            "_x IS NOT NULL AND NOT isnan(_x) AND abs(_x) <> double('inf')"
-        )
-
-    o, n = vals(old), vals(new)
-    ref = o.groupBy().agg(
-        F.expr("CAST(min(_x) AS DOUBLE)").alias("mn"),
-        F.expr("CAST(max(_x) AS DOUBLE)").alias("mx"),
-    )
-    idx, _ = quantile_hist_exprs(_SPK, "_x", n_bins)
-
-    def hist(df, out):
-        return (
-            df.join(F.broadcast(ref))
-            .select(
-                F.expr(f"CASE WHEN mx = mn THEN 0 ELSE {idx} END").alias("bin")
-            )
-            .groupBy("bin")
-            .agg(F.expr("COUNT(*)").cast("bigint").alias(out))
-        )
-
-    ho, hn = hist(o, "c_old"), hist(n, "c_new")
-    grid = old.sparkSession.range(n_bins).select(
-        F.col("id").cast("int").alias("bin")
-    )
-    merged = (
-        grid.join(ho, "bin", "left")
-        .join(hn, "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("c_old", F.lit(0)).alias("c_old"),
-            F.coalesce("c_new", F.lit(0)).alias("c_new"),
-        )
-    )
+    merged = _ref_binned_hists(old, new, value_col, n_bins)
     term = (
         "(CAST(s.c_old + 1 AS DOUBLE) / CAST(t_old + {b} AS DOUBLE) "
         " - CAST(s.c_new + 1 AS DOUBLE) / CAST(t_new + {b} AS DOUBLE)) * "
@@ -327,46 +338,10 @@ def ks_drift(
     achieving the sup (deterministic tie-break).  Engine-exact: CDF
     values are quotients of exact integers, and the sup/argmax is an
     exact comparison of those bit-identical doubles.  Cost profile
-    identical to psi_drift (two histogram passes, ≤ n_bins-row merge).
+    identical to psi_drift (two histogram passes, ≤ n_bins-row merge;
+    ``_ref_binned_hists`` is the shared definition).
     """
-    from dar_spark.operators.sketch import quantile_hist_exprs
-    from dar_spark.dialect import SPARK as _SPK
-
-    def vals(df):
-        return df.select(
-            F.col(value_col).cast("double").alias("_x")
-        ).filter(
-            "_x IS NOT NULL AND NOT isnan(_x) AND abs(_x) <> double('inf')"
-        )
-
-    o, n = vals(old), vals(new)
-    ref = o.groupBy().agg(
-        F.expr("CAST(min(_x) AS DOUBLE)").alias("mn"),
-        F.expr("CAST(max(_x) AS DOUBLE)").alias("mx"),
-    )
-    idx, _ = quantile_hist_exprs(_SPK, "_x", n_bins)
-
-    def hist(df, out):
-        return (
-            df.join(F.broadcast(ref))
-            .select(
-                F.expr(f"CASE WHEN mx = mn THEN 0 ELSE {idx} END").alias("bin")
-            )
-            .groupBy("bin")
-            .agg(F.expr("COUNT(*)").cast("bigint").alias(out))
-        )
-
-    merged = (
-        old.sparkSession.range(n_bins)
-        .select(F.col("id").cast("int").alias("bin"))
-        .join(hist(o, "c_old"), "bin", "left")
-        .join(hist(n, "c_new"), "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("c_old", F.lit(0)).alias("c_old"),
-            F.coalesce("c_new", F.lit(0)).alias("c_new"),
-        )
-    )
+    merged = _ref_binned_hists(old, new, value_col, n_bins)
     cum = merged.select(
         "bin",
         F.expr(
@@ -386,15 +361,24 @@ def ks_drift(
         "n_old",
         "n_new",
         "bin",
+        # nullif: an empty (or all-NULL/non-finite) side has no CDF —
+        # report ks_stat NULL instead of an ANSI DIVIDE_BY_ZERO crash
+        # (psi_drift's smoothing makes it graceful; KS must match)
         F.expr(
-            "abs(CAST(cum_old AS DOUBLE) / CAST(n_old AS DOUBLE) "
-            "- CAST(cum_new AS DOUBLE) / CAST(n_new AS DOUBLE))"
+            "abs(CAST(cum_old AS DOUBLE) / CAST(nullif(n_old, 0) AS DOUBLE) "
+            "- CAST(cum_new AS DOUBLE) / CAST(nullif(n_new, 0) AS DOUBLE))"
         ).alias("_d"),
     )
     return diff.groupBy("n_old", "n_new").agg(
         F.expr("MAX(_d)").alias("ks_stat"),
-        # first bin achieving the sup: minimize (-d, bin)
-        F.expr("CAST(min_by(bin, struct(-_d, bin)) AS INT)").alias("at_bin"),
+        # first bin achieving the sup: minimize (-d, bin); NULL _d rows
+        # coalesce to a key larger than any real -d so they always lose,
+        # and the CASE nulls at_bin when no real d exists at all
+        F.expr(
+            "CASE WHEN MAX(_d) IS NOT NULL THEN "
+            "CAST(min_by(bin, struct(coalesce(-_d, CAST(1 AS DOUBLE)), bin)) "
+            "AS INT) END"
+        ).alias("at_bin"),
     )
 
 
@@ -437,11 +421,13 @@ tot AS (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
                CAST(SUM(c_new) AS BIGINT) AS n_new FROM merged),
 diff AS (
   SELECT n_old, n_new, bin,
-         abs(CAST(cum_old AS DOUBLE) / CAST(n_old AS DOUBLE)
-             - CAST(cum_new AS DOUBLE) / CAST(n_new AS DOUBLE)) AS _d
+         abs(CAST(cum_old AS DOUBLE) / CAST(nullif(n_old, 0) AS DOUBLE)
+             - CAST(cum_new AS DOUBLE) / CAST(nullif(n_new, 0) AS DOUBLE)) AS _d
   FROM cum CROSS JOIN tot)
-SELECT n_old, n_new, _d AS ks_stat, CAST(bin AS INT) AS at_bin FROM (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY _d DESC, bin) AS rn FROM diff)
+SELECT n_old, n_new, _d AS ks_stat,
+       CASE WHEN _d IS NOT NULL THEN CAST(bin AS INT) END AS at_bin FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY _d DESC NULLS LAST, bin) AS rn
+  FROM diff)
 WHERE rn = 1"""
 
 

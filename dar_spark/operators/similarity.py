@@ -943,8 +943,17 @@ def pq_encode(
         id_col,
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
     )
+    # LOUD in-plan guard: dim % m != 0 would silently drop the trailing
+    # dims from every code (the reconstruction is m·(dim DIV m) wide and
+    # the ADC dot then indexes past it — an ANSI crash far from the
+    # cause).  assert_true raises per offending row with the real reason.
+    guarded = (
+        f"IF(assert_true(size(_v) % {m} = 0, "
+        f"'pq_encode: vector dim must be divisible by m={m}') IS NULL, "
+        f"{pq_codes_sql(_SPK, '_v', '_anchors', m)}, NULL)"
+    )
     return e.crossJoin(F.broadcast(cb)).select(
-        id_col, F.expr(pq_codes_sql(_SPK, "_v", "_anchors", m)).alias("codes")
+        id_col, F.expr(guarded).alias("codes")
     )
 
 
@@ -1058,6 +1067,11 @@ def pq_topk_rerank(
             F.col("_v").alias("_nv"),
             F.expr(pq_norm2_sql(_SPK, "_v")).alias("_nn2"),
         )
+        # zero-norm candidates (only the exactly-zero vector) would put
+        # sqrt(0) in the denominator — ANSI DIVIDE_BY_ZERO; their PQ
+        # reconstruction can still be nonzero, so the ADC shortlist does
+        # NOT exclude them for us
+        .filter("_nn2 > 0")
         .join(F.broadcast(short), "neighbor_id")
         .join(F.broadcast(qs), "query_id")
     )
@@ -1101,7 +1115,12 @@ def decontaminate_by_embedding(
     unrounded shared-shape fold to the threshold — no float column in
     the output, so the oracle matches exactly.
     """
-    c = _as_double_vec(corpus.select(id_col, vec_col), vec_col)
+    c = _as_double_vec(corpus.select(id_col, vec_col), vec_col).filter(
+        # zero-norm vectors still hash to a bucket (all-'0' bits) and
+        # would divide by zero in the cosine verify — ANSI error / NaN
+        # oracle divergence; a zero vector can't be contaminated anyway
+        "_nrm > 0"
+    )
     for t in range(n_bands):
         c = c.withColumn(f"_b{t}", _bucket_expr("_v", n_planes, band=t))
     ckeys = [F.concat(F.lit(f"{t}:"), F.col(f"_b{t}")) for t in range(n_bands)]
@@ -1109,7 +1128,9 @@ def decontaminate_by_embedding(
         id_col, "_v", "_nrm", F.explode(F.array(*ckeys)).alias("_b")
     )
 
-    b = _as_double_vec(benchmark.select(id_col, vec_col), vec_col)
+    b = _as_double_vec(benchmark.select(id_col, vec_col), vec_col).filter(
+        "_nrm > 0"
+    )
     for t in range(n_bands):
         b = b.withColumn(f"_b{t}", _bucket_expr("_v", n_planes, band=t))
     probes = []
@@ -1188,9 +1209,11 @@ cn AS (
   SELECT vec_id, v,
          sqrt({fold('list_transform(v, x -> x * x)')}) AS nrm, {bs} AS bs
   FROM corp
+  WHERE {fold('list_transform(v, x -> x * x)')} > 0
 ), bn AS (
   SELECT v, sqrt({fold('list_transform(v, x -> x * x)')}) AS nrm, {bs} AS bs
   FROM bench
+  WHERE {fold('list_transform(v, x -> x * x)')} > 0
 ), cx AS (
   SELECT vec_id, v AS cv, nrm AS cnrm,
          CAST(t AS VARCHAR) || ':' || bs[t + 1] AS b
@@ -1436,7 +1459,7 @@ def pq_lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col("_v").alias("_nv"),
         F.expr(pq_norm2_sql(_SPK, "_v")).alias("_nn2"),
-    )
+    ).filter("_nn2 > 0")  # same zero-norm ANSI guard as pq_topk_rerank
     rr = (
         full.join(F.broadcast(short), "neighbor_id")
         .join(
@@ -1528,7 +1551,7 @@ short AS (
               ORDER BY score_pq DESC, neighbor_id) AS rn
     FROM adc) WHERE rn <= {k * overfetch}),
 fullv AS (SELECT {id_col} AS neighbor_id, _v AS _nv, {qn2} AS _nn2
-         FROM _e),
+         FROM _e WHERE {qn2} > 0),
 rr AS (
   SELECT s.query_id, s.neighbor_id,
          {pq_dot_sql(d, "q._qv", "f._nv")} / (sqrt(q._qn2) * sqrt(f._nn2))

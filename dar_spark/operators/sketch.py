@@ -485,7 +485,10 @@ def approx_quantiles_hist_by(
     )
     idx, _ = quantile_hist_exprs(_SPK, "_x", n_bins)
     hist = (
-        vals.join(stats, vals["_g"] == stats["_g"])
+        # eqNullSafe: a NULL group is its own group (standard groupBy
+        # semantics, and what the DuckDB oracle's IS NOT DISTINCT FROM
+        # does) — a null-unsafe join would silently drop its quantiles
+        vals.join(stats, vals["_g"].eqNullSafe(stats["_g"]))
         .drop(stats["_g"])
         .select(
             "_g",
@@ -511,7 +514,7 @@ def approx_quantiles_hist_by(
         F.expr("least(greatest(CAST(ceil(prob * n) AS BIGINT), 1), n)"),
     )
     hit = (
-        j.join(cum, (j["_g"] == cum["_g"]) & F.expr("cum >= rank_t"))
+        j.join(cum, j["_g"].eqNullSafe(cum["_g"]) & F.expr("cum >= rank_t"))
         .drop(cum["_g"])
         .groupBy("_g", "prob", "mn", "mx", "n", "rank_t")
         .agg(

@@ -2929,7 +2929,8 @@ short AS (
     FROM adc) WHERE rn <= {TOPK_K * PQ_OVERFETCH}),
 cand AS (
   SELECT s.query_id, s.neighbor_id, n._v AS _nv, {pq_norm2_sql(d, "n._v")} AS _nn2
-  FROM short s JOIN _e n ON n.vec_id = s.neighbor_id),
+  FROM short s JOIN _e n ON n.vec_id = s.neighbor_id
+  WHERE {pq_norm2_sql(d, "n._v")} > 0),
 rr AS (
   SELECT c.query_id, c.neighbor_id,
          {pq_dot_sql(d, "q._qv", "c._nv")} / (sqrt(q._qn2) * sqrt(c._nn2))

@@ -38,9 +38,14 @@ def streaming_quantile_bins(
     foreachBatch."""
     idx, _ = quantile_hist_exprs(SPARK, "_x", n_bins)
     return (
-        stream_df.filter(F.col(value_col).isNotNull())
+        stream_df.select(F.col(value_col).cast("double").alias("_x"))
+        # same exclusion as the batch sketch: NaN would land in bin 0 as
+        # a phantom observation and ±inf in the edge bins, inflating n
+        # and skewing every estimate (and any psi_between_bins scoring
+        # against a batch-built reference would report phantom drift)
+        .filter("_x IS NOT NULL AND NOT isnan(_x) AND abs(_x) <> double('inf')")
         .select(
-            F.col(value_col).cast("double").alias("_x"),
+            "_x",
             F.lit(float(mn)).alias("mn"),
             F.lit(float(mx)).alias("mx"),
         )
@@ -87,8 +92,7 @@ def streaming_windowed_quantile_bins(
     across restarts because bin counts are sums."""
     idx, _ = quantile_hist_exprs(SPARK, "_x", n_bins)
     return (
-        stream_df.filter(F.col(value_col).isNotNull())
-        .select(
+        stream_df.select(
             # watermarks require TIMESTAMP (with zone); the fixtures
             # load as TIMESTAMP_NTZ — the cast reinterprets in session
             # tz (UTC), which shifts nothing for window arithmetic
@@ -97,6 +101,8 @@ def streaming_windowed_quantile_bins(
             F.lit(float(mn)).alias("mn"),
             F.lit(float(mx)).alias("mx"),
         )
+        # batch-sketch parity: exclude NaN/±inf, not just NULL
+        .filter("_x IS NOT NULL AND NOT isnan(_x) AND abs(_x) <> double('inf')")
         .withWatermark("_ts", watermark)
         .select(
             "_ts",

@@ -159,3 +159,16 @@ def test_psi_between_bins_per_window_groups(spark):
     ).collect()}
     assert rows["w1"].psi < 0.01 and rows["w1"].drifted == 0
     assert rows["w2"].psi > 0.2 and rows["w2"].drifted == 1
+
+
+def test_ks_empty_side_is_graceful(spark):
+    """An empty (or all-NULL) snapshot must yield ks_stat NULL, not an
+    ANSI DIVIDE_BY_ZERO crash — matching psi_drift's graceful row."""
+    from dar_spark.operators.drift import ks_drift
+
+    old = spark.createDataFrame([(float(i),) for i in range(10)], "x double")
+    empty = spark.createDataFrame([(None,)], "x double")
+    r = ks_drift(old, empty, "x").collect()[0]
+    assert r.n_new == 0 and r.ks_stat is None and r.at_bin is None
+    r2 = ks_drift(empty, old, "x").collect()[0]
+    assert r2.n_old == 0 and r2.ks_stat is None

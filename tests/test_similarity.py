@@ -693,3 +693,22 @@ def test_pq_lsh_composite_finds_exact_dups(spark):
     hits = [v for (q, n), v in got.items() if n == q + 1]
     assert len(hits) > 0
     assert all(abs(v - 1.0) < 1e-9 for v in hits)
+
+
+def test_pq_encode_rejects_indivisible_dim(spark):
+    """dim % m != 0 must raise loudly at encode (the alternative is
+    silently never encoding the trailing dims, then an ANSI crash deep
+    in the ADC dot product)."""
+    import pytest
+
+    from dar_spark.operators.similarity import pq_encode
+
+    df = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(6)]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="divisible by m"):
+        pq_encode(df, ks=4, m=4).collect()
+    # divisible dim still encodes fine with the guard in place
+    ok = pq_encode(df, ks=4, m=3)
+    assert ok.count() == 20

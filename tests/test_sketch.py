@@ -200,3 +200,19 @@ def test_quantile_hist_by_matches_per_group_flat(spark):
         }
         for p in probs:
             assert grouped[(t, p)] == flat[p], (t, p)
+
+
+def test_quantile_hist_by_keeps_null_group(spark):
+    """A NULL group value is its own group — the null-safe join
+    contract the oracle's IS NOT DISTINCT FROM already had."""
+    from dar_spark.operators.sketch import approx_quantiles_hist_by
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 5.0), (None, 7.0)],
+        "g string, x double",
+    )
+    rows = {(r.grp, r.prob): r.q_est for r in approx_quantiles_hist_by(
+        df, "g", "x", [0.5]
+    ).collect()}
+    assert ("a", 0.5) in rows and (None, 0.5) in rows
+    assert 5.0 <= rows[(None, 0.5)] <= 7.0

@@ -196,3 +196,20 @@ def test_streaming_pq_ingest_equals_batch_appends(spark, tmp_path):
         for r in spark.read.parquet(f"{path}/codes").collect()
     )
     assert once == twice
+
+
+def test_streaming_quantile_bins_exclude_non_finite(spark):
+    """NaN/inf are excluded exactly as the batch sketch excludes them
+    — a NaN must not become a phantom bin-0 observation."""
+    import math
+
+    from dar_spark.streaming.quantile_stream import streaming_quantile_bins
+
+    df = spark.createDataFrame(
+        [(0.5,), (math.nan,), (math.inf,), (-math.inf,), (None,)],
+        "x double",
+    )
+    rows = {r.bin: r.cnt for r in streaming_quantile_bins(
+        df, "x", 0.0, 1.0, n_bins=4
+    ).collect()}
+    assert rows == {2: 1}
