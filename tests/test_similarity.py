@@ -712,3 +712,22 @@ def test_pq_encode_rejects_indivisible_dim(spark):
     # divisible dim still encodes fine with the guard in place
     ok = pq_encode(df, ks=4, m=3)
     assert ok.count() == 20
+
+
+def test_decontaminate_handles_zero_vectors(spark):
+    """All-zero vectors on either side must neither crash (ANSI
+    divide-by-zero in the cosine verify) nor be flagged — a zero vector
+    has no direction to be contaminated in."""
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 0.0])], "vec_id bigint, v array<double>"
+    )
+    from dar_spark.operators.similarity import decontaminate_by_embedding
+
+    out = {r.vec_id: r.contaminated for r in decontaminate_by_embedding(
+        corpus, bench, "vec_id", "v", cos_threshold=0.9
+    ).collect()}
+    assert out[1] == 1      # exact twin of bench 100
+    assert out[2] == 0      # zero vector: excluded, never flagged
+    assert out[3] == 0
