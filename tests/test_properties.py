@@ -411,3 +411,53 @@ def test_bm25_cross_engine_bit_identity(spark, texts):
         ).fetchall()
     )
     assert got == exp
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False,
+                  min_value=-1e6, max_value=1e6),
+        min_size=1, max_size=40,
+    ),
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False,
+                  min_value=-1e6, max_value=1e6),
+        min_size=0, max_size=40,
+    ),
+)
+def test_psi_and_ks_cross_engine_bit_identity(spark, old_vals, new_vals):
+    """PSI and KS are the SAME doubles in both engines for arbitrary
+    finite snapshots (including an empty new side): integer-ratio
+    operands, shared fold order, ln() on identical doubles."""
+    from dar_spark.operators.drift import (
+        ks_drift,
+        ks_drift_oracle_sql,
+        psi_drift,
+        psi_drift_oracle_sql,
+    )
+
+    old = spark.createDataFrame([(v,) for v in old_vals], "x double")
+    new = (
+        spark.createDataFrame([(v,) for v in new_vals], "x double")
+        if new_vals else old.filter("1 = 0")
+    )
+    p = psi_drift(old, new, "x").collect()[0]
+    k = ks_drift(old, new, "x").collect()[0]
+
+    def sql_vals(vals):
+        if not vals:
+            return "SELECT CAST(NULL AS DOUBLE) AS x WHERE 1 = 0"
+        return " UNION ALL ".join(
+            f"SELECT CAST('{v!r}' AS DOUBLE) AS x" for v in vals
+        )
+
+    con = duckdb.connect()
+    po = con.execute(psi_drift_oracle_sql(
+        DUCKDB, sql_vals(old_vals), sql_vals(new_vals), "x"
+    )).fetchone()
+    ko = con.execute(ks_drift_oracle_sql(
+        DUCKDB, sql_vals(old_vals), sql_vals(new_vals), "x"
+    )).fetchone()
+    assert (p.n_old, p.n_new, p.psi, p.drifted) == po
+    assert (k.n_old, k.n_new, k.ks_stat, k.at_bin) == ko

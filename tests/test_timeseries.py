@@ -116,3 +116,28 @@ def test_resample_ffill_fuzz_vs_python_reference(spark):
             ).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_resample_minute_step_branch(spark):
+    """The epoch-arithmetic truncation branch ('15 minutes' — the
+    non-date_trunc path) produces a correct quarter-hour grid."""
+    import datetime as dt
+
+    df = _ev(spark, [
+        (1, dt.datetime(2024, 1, 1, 10, 7), 1.0),
+        (1, dt.datetime(2024, 1, 1, 10, 22), 2.0),
+        (1, dt.datetime(2024, 1, 1, 11, 1), 3.0),
+    ])
+    out = {
+        str(r.step_ts): (r.observed, r.filled)
+        for r in resample_ffill(
+            df, "k", "ts", "CAST(COUNT(*) AS BIGINT)", step="15 minutes"
+        ).collect()
+    }
+    # grid 10:00 .. 11:00 = 5 steps
+    assert len(out) == 5
+    assert out["2024-01-01 10:00:00"] == (1, 1)
+    assert out["2024-01-01 10:15:00"] == (1, 1)
+    assert out["2024-01-01 10:30:00"] == (None, 1)
+    assert out["2024-01-01 10:45:00"] == (None, 1)
+    assert out["2024-01-01 11:00:00"] == (1, 1)
