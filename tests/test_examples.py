@@ -1,0 +1,36 @@
+"""Every examples/ script runs end-to-end at the smallest fixture.
+
+The examples are the user-facing API tour — a refactor that breaks one
+breaks the README's promises.  Each runs in a SUBPROCESS because they
+own their SparkSession lifecycle (spark.stop() would kill the shared
+test session); sf0.001 keeps each under ~a minute.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES = sorted(glob.glob(
+    os.path.join(os.path.dirname(__file__), "..", "examples", "*.py")
+))
+
+
+@pytest.mark.parametrize(
+    "path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES]
+)
+def test_example_runs(path):
+    env = dict(os.environ)
+    env["DAR_SPARK_EXAMPLE_SF"] = "/root/testdata/sf0.001"
+    env["PYTHONPATH"] = os.path.join(os.path.dirname(__file__), "..")
+    r = subprocess.run(
+        [sys.executable, path],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert r.returncode == 0, (
+        f"{os.path.basename(path)} failed:\n{r.stdout[-800:]}\n{r.stderr[-800:]}"
+    )
