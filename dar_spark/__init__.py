@@ -99,6 +99,10 @@ __all__ = [
     "psi_between_bins",
     "pq_lsh_topk",
     "partition_advisor",
+    "pmi_bigrams",
+    "join_explosion_report",
+    "write_text_index",
+    "bm25_index_topk",
 ]
 
 
@@ -268,4 +272,16 @@ def __getattr__(name):
         from dar_spark.operators.layout import partition_advisor
 
         return partition_advisor
+    if name == "pmi_bigrams":
+        from dar_spark.operators.collocations import pmi_bigrams
+
+        return pmi_bigrams
+    if name == "join_explosion_report":
+        from dar_spark.operators.joins import join_explosion_report
+
+        return join_explosion_report
+    if name in ("write_text_index", "bm25_index_topk"):
+        from dar_spark.operators import invindex as _ii
+
+        return getattr(_ii, name)
     raise AttributeError(f"module 'dar_spark' has no attribute {name!r}")

@@ -228,6 +228,31 @@ class Dialect:
         half_up = self.int_div(f"(2 * {n} + {count})", f"(2 * {count})")
         return f"(CAST({half_up} AS DOUBLE) / 1000000.0)"
 
+    def wide_int(self, x: str) -> str:
+        """Lift an integer expression into 128-bit integer arithmetic
+        (HUGEINT in DuckDB, DECIMAL(38,0) in Spark) BEFORE any
+        multiplication — a product of corpus-scale counts (e.g. PMI's
+        c12·U²) overflows BIGINT long before it overflows 38 digits,
+        and under Spark ANSI the BIGINT overflow is a job-killing
+        error while the DECIMAL(38,0) product is exact."""
+        t = "HUGEINT" if self.name == "duckdb" else "DECIMAL(38,0)"
+        return f"CAST({x} AS {t})"
+
+    def big_ratio_6dp(self, num: str, den: str) -> str:
+        """``ratio_6dp`` lifted into 128-bit integer arithmetic for WIDE
+        numerators: half-up 6-dp ratio of two NON-NEGATIVE integer
+        expressions that are already :meth:`wide_int`-typed (so products
+        inside them stay exact up to 38 digits).
+
+        The half-up quotient 10⁶·num/den must fit in BIGINT, i.e.
+        num/den < ~9.2e12: Spark's decimal ``DIV`` returns BIGINT and
+        silently WRAPS an overflowing quotient even under ANSI
+        (measured on 4.1), so callers must bound the ratio — e.g. a
+        PMI lift is ≤ U/min_count.  ``den`` > 0."""
+        n = f"(2 * ({num}) * 1000000 + ({den}))"
+        half_up = self.int_div(n, f"(2 * ({den}))")
+        return f"(CAST(CAST({half_up} AS BIGINT) AS DOUBLE) / 1000000.0)"
+
     def ratio_6dp(self, num: str, den: str) -> str:
         """Half-up 6-dp ratio of two NON-NEGATIVE integer expressions,
         entirely in integer arithmetic — the ``avg_6dp`` shape

@@ -1,0 +1,148 @@
+"""Bigram collocation mining: PMI-lift scored adjacent word pairs.
+
+Part of the LLM-training-data extension surface (SURVEY.md §2d): corpus
+co-occurrence statistics drive tokenizer/vocab decisions (which pairs
+deserve a merged token) and boilerplate discovery (templated phrases
+score far above chance).  The reference engine has no collocation
+operator — this is net-new capability, not parity.
+
+Scoring.  Classic PMI is ln(p(w1,w2) / (p(w1)·p(w2))); ln() is monotone,
+so ranking by the *lift* ratio
+
+    lift = (c12 / B) / ((c1 / U) · (c2 / U)) = c12·U² / (c1·c2·B)
+
+orders pairs identically while staying a RATIONAL number computable
+exactly in both engines: the numerator c12·U² is a product of
+corpus-scale counts, evaluated in 128-bit integer arithmetic
+(``Dialect.wide_int`` → ``big_ratio_6dp``) so the half-up 6-dp score is
+bit-identical cross-engine with no libm ln() in the loop.  lift > 1
+means "more often than chance"; PMI = ln(lift) if a caller wants nats.
+
+Scale shape (the 100 TB argument):
+
+- unigram and bigram counts are two hash-aggregates with map-side
+  partial aggregation — the word-count plan; no windows, no self-joins;
+- corpus totals (U, B) are ONE broadcast one-row aggregate;
+- the count-join attaching c1/c2 to each surviving bigram runs on the
+  min_count-filtered bigram table (vocabulary-bounded, not
+  corpus-bounded); AQE broadcasts the unigram side when it is small;
+- top-k is orderBy+limit = TakeOrderedAndProject (per-partition top-k,
+  k-row driver merge) — never a global rank window over the vocabulary.
+
+Bound: ``big_ratio_6dp`` needs the scaled quotient 10⁶·lift in BIGINT;
+lift ≤ U/min_count, so any corpus under ~9×10¹²·min_count tokens is
+safe — comfortably past 100 TB of text for min_count ≥ 2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.dialect import SPARK, Dialect
+
+
+def _toks_sql(d: Dialect, text_col: str) -> str:
+    """Whitespace tokens of lower(text), empties dropped (a run of
+    spaces must not mint '' unigrams that distort U)."""
+    raw = d.split_lit(f"lower({text_col})", " ")
+    return d.arr_filter(raw, "t -> t <> ''")
+
+
+# Spark-side adjacent pairs: slice from position 2, lambda index i is
+# 0-based over the slice so element_at(_t, i+1) is the left neighbour.
+# slice(…, 2, greatest(n-1, 0)) is [] for 0/1-token docs — no
+# sequence(1, n-1) pitfall (Spark's sequence DESCENDS when n-1 < 1).
+_BIGRAMS = (
+    "transform(slice(_t, 2, greatest(size(_t) - 1, 0)), "
+    "(w, i) -> struct(element_at(_t, i + 1) AS w1, w AS w2))"
+)
+
+
+def _lift_sql(d: Dialect) -> str:
+    """Half-up 6-dp lift over (n_pair, n_w1, n_w2, n_uni, n_bi)."""
+    w = d.wide_int
+    num = f"{w('n_pair')} * {w('n_uni')} * {w('n_uni')}"
+    den = f"{w('n_w1')} * {w('n_w2')} * {w('n_bi')}"
+    return d.big_ratio_6dp(num, den)
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k adjacent word pairs by PMI lift:
+    (w1, w2, n_pair, n_w1, n_w2, lift_6dp, rank_n)."""
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .selectExpr(f"{_toks_sql(SPARK, text_col)} AS _t")
+    )
+    tot = base.agg(
+        F.expr("CAST(SUM(size(_t)) AS BIGINT)").alias("n_uni"),
+        F.expr("CAST(SUM(greatest(size(_t) - 1, 0)) AS BIGINT)").alias("n_bi"),
+    )
+    uni = (
+        base.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    bi = (
+        base.select(F.explode(F.expr(_BIGRAMS)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .join(F.broadcast(tot))
+        .selectExpr(
+            "w1", "w2", "n_pair", "n_w1", "n_w2",
+            f"{_lift_sql(SPARK)} AS lift_6dp",
+        )
+    )
+    top = scored.orderBy(
+        F.desc("lift_6dp"), F.col("w1"), F.col("w2")
+    ).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("lift_6dp"), F.col("w1"), F.col("w2"))
+    return top.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
+
+
+def pmi_bigrams_oracle_sql(
+    d: Dialect,
+    table_sql: str,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`pmi_bigrams` from the same lift builder.
+    Bigrams come from two PARALLEL unnests of equal-length lists (the
+    cdc_chunk oracle precedent); range(1, len) is empty for 0/1-token
+    docs in DuckDB, mirroring the Spark slice guard."""
+    toks = _toks_sql(d, text_col)
+    return f"""WITH src AS ({table_sql}),
+tk AS (SELECT {toks} AS _t FROM src WHERE {text_col} IS NOT NULL),
+tot AS (SELECT CAST(SUM(len(_t)) AS BIGINT) AS n_uni,
+               CAST(SUM(greatest(len(_t) - 1, 0)) AS BIGINT) AS n_bi FROM tk),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+        FROM (SELECT unnest(_t) AS w FROM tk) GROUP BY w),
+bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM (
+         SELECT unnest(list_transform(range(1, len(_t)), i -> _t[i])) AS w1,
+                unnest(list_transform(range(1, len(_t)), i -> _t[i + 1])) AS w2
+         FROM tk)
+       GROUP BY w1, w2 HAVING COUNT(*) >= {min_count}),
+scored AS (
+  SELECT b.w1, b.w2, b.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+         {_lift_sql(d)} AS lift_6dp
+  FROM bi b
+  JOIN uni u1 ON b.w1 = u1.w
+  JOIN uni u2 ON b.w2 = u2.w
+  CROSS JOIN tot)
+SELECT w1, w2, n_pair, n_w1, n_w2, lift_6dp, CAST(rn AS BIGINT) AS rank_n
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift_6dp DESC, w1, w2) AS rn
+      FROM scored) WHERE rn <= {k}"""

@@ -1,0 +1,143 @@
+"""Persisted inverted index for BM25 retrieval.
+
+``functions/text.bm25_search`` scores a fixed term set with one full
+corpus scan — right when the query arrives once.  A retrieval serving
+path runs MANY queries against the same corpus; this module trades one
+indexing pass for per-query cost proportional to the query terms'
+posting lists, the same build-once/O(query) contract as the MinHash
+dedup index (dedup.py) and the PQ vector index (similarity.py).
+
+Layout under ``path`` (all parquet):
+
+- ``postings/`` — (token, doc_id, tf, dl), PARTITIONED BY pt =
+  pmod(hash(token), n_buckets) and sorted by token within files, so a
+  query prunes to its terms' bucket directories (partition pruning)
+  and row-group min/max statistics skip non-matching tokens inside
+  them.  ``dl`` is denormalized onto every posting — BM25's length
+  normalization then needs NO join against a doc-length table (at
+  corpus scale that join would shuffle the full doc table per query).
+- ``meta/`` — one row (n_docs, sum_dl): the only corpus-global state.
+
+Parity: tokenization (split of lower(text) on single spaces, empties
+KEPT for dl exactly as the scan scorer keeps them), tf/df integers and
+the score chain are shared with ``bm25_exprs``, so the indexed path is
+bit-identical to the scan path — ``bm25_search_docs``'s oracle verifies
+this query's output too.
+
+Scale shape: the build is one scan + explode + hash-aggregate on
+(token, doc_id) — the doc_id co-key keeps stop-word keys unskewed; the
+bucketed write spreads writers by (pt, token).  A query scans only
+matching buckets, derives per-term df and the per-doc tf pivot from
+those postings (candidate-set-sized, not corpus-sized), broadcasts the
+one-row stats, and takes top-k via TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dar_spark.dialect import SPARK
+
+N_BUCKETS = 64
+
+
+def write_text_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> None:
+    """Build the inverted index at ``path`` (overwrite)."""
+    toks = SPARK.split_lit(f"lower({text_col})", " ")
+    base = df.selectExpr(
+        f"{id_col} AS doc_id",
+        f"{toks} AS _t",
+    ).select("doc_id", "_t", F.expr("size(_t)").alias("dl"))
+    posts = (
+        base.select("doc_id", "dl", F.explode("_t").alias("token"))
+        .groupBy("token", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("pt", F.pmod(F.hash("token"), F.lit(n_buckets)))
+    )
+    sc = df.sparkSession.sparkContext
+    (
+        posts.repartition(sc.defaultParallelism, "pt", "token")
+        .sortWithinPartitions("token")
+        .write.mode("overwrite")
+        .partitionBy("pt")
+        .parquet(os.path.join(path, "postings"))
+    )
+    meta = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        F.lit(n_buckets).cast("int").alias("n_buckets"),
+    )
+    meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
+    """pt values of the query terms — computed with Spark's own hash()
+    so driver and executor agree; a |terms|-row local job (index-meta
+    scale, like the PQ index's codebook read)."""
+    tdf = spark.createDataFrame([(t,) for t in terms], "token string")
+    rows = tdf.select(
+        F.pmod(F.hash("token"), F.lit(n_buckets)).alias("pt")
+    ).distinct().collect()
+    return [r["pt"] for r in rows]
+
+
+def bm25_index_topk(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k (doc_id, score_bm25, rank_n) for ``terms`` against the
+    stored index — bit-identical to ``bm25_search`` on the indexed
+    corpus."""
+    from dar_spark.functions.text import bm25_exprs
+
+    meta = spark.read.parquet(os.path.join(path, "meta"))
+    n_buckets = meta.select("n_buckets").first()["n_buckets"]
+    posts = spark.read.parquet(os.path.join(path, "postings"))
+    buckets = _term_buckets(spark, terms, n_buckets)
+    hits = posts.filter(
+        F.col("pt").isin(buckets) & F.col("token").isin(terms)
+    )
+    # per-term document frequencies: one tiny row from the pruned scan
+    dfs = hits.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    stats = meta.select("n_docs", "sum_dl").join(F.broadcast(dfs))
+    # per-doc tf pivot; (token, doc_id) is unique so MAX picks the value
+    per_doc = hits.groupBy("doc_id").agg(
+        F.max("dl").alias("dl"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("token") == t, F.col("tf"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    _, _, score = bm25_exprs(SPARK, "<unused>", terms, k1, b)
+    scored = per_doc.join(F.broadcast(stats)).selectExpr(
+        "doc_id", f"{score} AS score_bm25"
+    )
+    top = scored.orderBy(F.desc("score_bm25"), F.col("doc_id")).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score_bm25"), F.col("doc_id"))
+    return top.withColumn("rank_n", F.row_number().over(w).cast("bigint"))

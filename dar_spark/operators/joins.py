@@ -133,3 +133,101 @@ def join_skew_safe(
     if salt:
         return salted_join(left, right, key, how=how, n_salts=n_salts)
     return left.join(right, on=key, how=how)
+
+
+def _explosion_verdict_sql(explosive_share: tuple[int, int]) -> str:
+    """CASE verdict over (out_rows, total_out): 'explosive' when one
+    key alone produces more than num/den of the join's output rows.
+    Decided by integer cross-multiplication (the partition_advisor
+    precedent, layout.py) — no float division decides a verdict."""
+    num, den = explosive_share
+    return (
+        f"CASE WHEN out_rows * {den} > total_out * {num} "
+        "THEN 'explosive' ELSE 'ok' END"
+    )
+
+
+def join_explosion_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+    top_k: int = 20,
+    explosive_share: tuple[int, int] = (1, 10),
+) -> DataFrame:
+    """Pre-join blowup forecast: for each join key, the exact number of
+    output rows an inner equi-join would emit (n_left·n_right), its
+    share of the total, and an 'explosive'/'ok' verdict — the
+    diagnostic a pipeline runs BEFORE committing a TB×TB join, and the
+    cross-side complement of ``key_skew_report`` (sketch.py), which
+    sees only one input's histogram and so cannot predict the product.
+
+    Output (top_k keys by out_rows): (join_key, n_left, n_right,
+    out_rows, share_6dp, verdict).
+
+    Scale shape: one hash-aggregate per side (map-side partial combine
+    shrinks each to its key cardinality), an equi-join of the two COUNT
+    tables (key-cardinality-sized, not input-sized), a broadcast
+    one-row total, and a TakeOrderedAndProject top-k.  The forecast
+    never materializes the join it predicts.
+
+    ``share_6dp`` uses 128-bit arithmetic end-to-end: a single hot key
+    in a 10¹⁰×10¹⁰-row join yields out_rows ~10¹⁴ and totals past
+    BIGINT; ``left_key``/``right_key`` may be expressions.
+    """
+    rk = right_key if right_key is not None else left_key
+    ca = left.selectExpr(f"{left_key} AS join_key").groupBy("join_key").agg(
+        F.count("*").alias("n_left")
+    )
+    cb = right.selectExpr(f"{rk} AS join_key").groupBy("join_key").agg(
+        F.count("*").alias("n_right")
+    )
+    from dar_spark.dialect import SPARK
+
+    w = SPARK.wide_int
+    per_key = ca.join(cb, "join_key").selectExpr(
+        "join_key", "n_left", "n_right",
+        f"{w('n_left')} * {w('n_right')} AS out_rows",
+    )
+    tot = per_key.agg(F.expr("SUM(out_rows)").alias("total_out"))
+    scored = per_key.join(F.broadcast(tot)).selectExpr(
+        "join_key", "n_left", "n_right",
+        "CAST(out_rows AS BIGINT) AS out_rows",
+        f"{SPARK.big_ratio_6dp(w('out_rows'), 'total_out')} AS share_6dp",
+        f"{_explosion_verdict_sql(explosive_share)} AS verdict",
+    )
+    return scored.orderBy(
+        F.desc("out_rows"), F.col("join_key")
+    ).limit(top_k)
+
+
+def join_explosion_oracle_sql(
+    d,
+    left_sql: str,
+    right_sql: str,
+    left_key: str,
+    right_key: str | None = None,
+    top_k: int = 20,
+    explosive_share: tuple[int, int] = (1, 10),
+) -> str:
+    """DuckDB twin of :func:`join_explosion_report` from the same
+    verdict and ratio builders."""
+    rk = right_key if right_key is not None else left_key
+    w = d.wide_int
+    return f"""WITH ca AS (
+  SELECT {left_key} AS join_key, CAST(COUNT(*) AS BIGINT) AS n_left
+  FROM ({left_sql}) GROUP BY 1),
+cb AS (
+  SELECT {rk} AS join_key, CAST(COUNT(*) AS BIGINT) AS n_right
+  FROM ({right_sql}) GROUP BY 1),
+per_key AS (
+  SELECT ca.join_key, n_left, n_right,
+         {w('n_left')} * {w('n_right')} AS out_rows
+  FROM ca JOIN cb ON ca.join_key = cb.join_key),
+tot AS (SELECT SUM(out_rows) AS total_out FROM per_key)
+SELECT join_key, n_left, n_right,
+       CAST(out_rows AS BIGINT) AS out_rows,
+       {d.big_ratio_6dp(w('out_rows'), 'total_out')} AS share_6dp,
+       {_explosion_verdict_sql(explosive_share)} AS verdict
+FROM per_key CROSS JOIN tot
+ORDER BY CAST(out_rows AS BIGINT) DESC, join_key LIMIT {top_k}"""

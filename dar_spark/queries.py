@@ -3397,6 +3397,103 @@ SELECT doc_id, cluster_id, {split} AS split FROM keyed"""
     return Q(spark_fn, oracle)
 
 
+PMI_MIN_COUNT = 5
+PMI_K = 20
+
+
+def _pmi_bigrams_q() -> Q:
+    """Bigram collocation mining (operators/collocations.pmi_bigrams):
+    top-20 adjacent pairs by PMI lift = c12·U²/(c1·c2·B), an exact
+    rational scored in 128-bit integer arithmetic (Dialect.wide_int +
+    big_ratio_6dp) so the ranking is ln()-free and bit-identical
+    cross-engine.  Two word-count hash-aggregates, a broadcast totals
+    row, TakeOrderedAndProject top-k."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.collocations import pmi_bigrams
+
+        t = load_tables(spark, sf_dir)
+        return pmi_bigrams(
+            parallelize(t["documents"]), "text",
+            min_count=PMI_MIN_COUNT, k=PMI_K,
+        )
+
+    from dar_spark.operators.collocations import pmi_bigrams_oracle_sql
+
+    return Q(
+        spark_fn,
+        pmi_bigrams_oracle_sql(
+            DUCKDB, "SELECT doc_id, text FROM documents", "text",
+            min_count=PMI_MIN_COUNT, k=PMI_K,
+        ),
+    )
+
+
+def _bm25_indexed_q() -> Q:
+    """Inverted-index BM25 (operators/invindex): build the partitioned
+    postings index (pt = pmod(hash(token), 64) partition dirs, dl
+    denormalized onto postings), then answer the same fixed 3-term
+    query as bm25_search_docs FROM THE INDEX — bucket-pruned scan, df
+    and tf pivots over the posting lists only, shared bm25_exprs score
+    chain.  The oracle is the direct-scan recompute, so the hash pins
+    index build + query ≡ scan scoring bit-for-bit."""
+
+    def spark_fn(spark, sf_dir):
+        import hashlib
+        import os
+
+        from dar_spark.operators.invindex import (
+            bm25_index_topk,
+            write_text_index,
+        )
+
+        t = load_tables(spark, sf_dir)
+        cache_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".csvcache",
+        )
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(cache_root, f"textindex-{tag}")
+        write_text_index(t["documents"], path)
+        return bm25_index_topk(spark, path, BM25_TERMS, k=BM25_K)
+
+    from dar_spark.functions.text import bm25_oracle_sql
+
+    oracle = bm25_oracle_sql(
+        DUCKDB, "SELECT doc_id, text FROM documents", "doc_id", "text",
+        BM25_TERMS, k=BM25_K,
+    )
+    return Q(spark_fn, oracle)
+
+
+def _join_explosion_q() -> Q:
+    """Pre-join blowup forecast (operators/joins.join_explosion_report)
+    on the skewed synthetic key (SKEWED_UK, the skew_safe_join fixture):
+    per-key n_left·n_right in 128-bit arithmetic, share of total output,
+    'explosive'/'ok' verdicts by integer cross-multiplication.  The
+    self-join's hot key (-1, ~30% of rows) dominates the forecast —
+    both verdict branches exercised."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.joins import join_explosion_report
+
+        t = load_tables(spark, sf_dir)
+        return join_explosion_report(
+            t["events"], t["events"], SKEWED_UK,
+            top_k=15, explosive_share=(1, 10),
+        )
+
+    from dar_spark.operators.joins import join_explosion_oracle_sql
+
+    return Q(
+        spark_fn,
+        join_explosion_oracle_sql(
+            DUCKDB, "SELECT * FROM events", "SELECT * FROM events",
+            SKEWED_UK, top_k=15, explosive_share=(1, 10),
+        ),
+    )
+
+
 def _round6_queries() -> list[tuple[str, Q]]:
     """Queries added in round 6 — right after the never-checked pair so
     they land inside the external verification window."""
@@ -3420,6 +3517,9 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("psi_drift_lineitem", _psi_drift_q()),
         ("partition_advisor_events", _partition_advisor_q()),
         ("ks_drift_lineitem", _ks_drift_q()),
+        ("pmi_bigrams_docs", _pmi_bigrams_q()),
+        ("bm25_indexed_search", _bm25_indexed_q()),
+        ("join_explosion_events", _join_explosion_q()),
     ]
 
 

@@ -1,0 +1,159 @@
+"""PMI-lift collocations + join-explosion forecast: semantics and
+cross-engine bit-identity on controlled mini-corpora."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dar_spark.dialect import DUCKDB, SPARK
+from dar_spark.operators.collocations import pmi_bigrams, pmi_bigrams_oracle_sql
+from dar_spark.operators.joins import (
+    join_explosion_oracle_sql,
+    join_explosion_report,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _duck_docs(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    return con
+
+
+def _parity(spark, rows, min_count=1, k=50):
+    s = sorted(
+        tuple(r)
+        for r in pmi_bigrams(
+            _docs(spark, rows), "text", min_count=min_count, k=k
+        ).collect()
+    )
+    con = _duck_docs(rows)
+    o = sorted(
+        tuple(r)
+        for r in con.execute(
+            pmi_bigrams_oracle_sql(
+                DUCKDB, "SELECT doc_id, text FROM d", "text",
+                min_count=min_count, k=k,
+            )
+        ).fetchall()
+    )
+    assert s == o
+    return s
+
+
+def test_pmi_templated_pair_beats_chance(spark):
+    # "new york" always adjacent; "the"/"dog" co-occur only by chance
+    rows = [(i, "new york the dog saw the cat") for i in range(4)]
+    rows += [(10 + i, "the dog ran to new york today") for i in range(4)]
+    out = _parity(spark, rows)
+    lift = {(w1, w2): l for (w1, w2, _, _, _, l, _) in out}
+    assert lift[("new", "york")] > lift[("the", "dog")]
+    assert lift[("new", "york")] > 1.0
+
+
+def test_pmi_edge_docs(spark):
+    # empty text, 1-token doc, NULL text, multi-space runs: no bigrams
+    # minted across them, empties never become unigrams
+    rows = [
+        (1, "a  b   a b"),  # runs of spaces
+        (2, ""),
+        (3, "solo"),
+        (4, None),
+        (5, "a b"),
+    ]
+    out = _parity(spark, rows)
+    pairs = {(w1, w2): c for (w1, w2, c, *_r) in out}
+    assert pairs[("a", "b")] == 3
+    assert all(w1 != "" and w2 != "" for (w1, w2) in pairs)
+    # unigram total U = 4 (doc1) + 1 (solo) + 2 (doc5) = 7; the counts
+    # columns let us check via n_w of 'a' (3) and 'b' (3)
+    (_, _, c12, n_a, n_b, lift, _) = next(
+        r for r in out if (r[0], r[1]) == ("a", "b")
+    )
+    assert (c12, n_a, n_b) == (3, 3, 3)
+    # lift = c12*U^2 / (ca*cb*B), B = 3+1 = 4: 3*49/(3*3*4) = 4.083333
+    assert lift == pytest.approx(4.083333, abs=1e-9)
+
+
+def test_pmi_min_count_filters(spark):
+    rows = [(1, "x y x z"), (2, "x y")]
+    out = _parity(spark, rows, min_count=2)
+    assert {(w1, w2) for (w1, w2, *_r) in out} == {("x", "y")}
+
+
+def test_big_ratio_6dp_decimal_half_bit_identity(spark):
+    """The half-up 6-dp quotient is identical in both engines on exact
+    decimal-half quotients AND on wide numerators whose 10⁶-scaled
+    half-up form 2·10⁶·num + den overflows int64 (num ~1.3e13)."""
+    cases = [
+        ("7", "2000000"),          # 0.0000035 — decimal half at 6 dp
+        ("1", "3"),                # repeating
+        ("5", "8"),                # terminating
+        ("3 * 2097152 * 2097152", "2097152 * 2"),  # wide numerator
+    ]
+    for num, den in cases:
+        w_s, w_d = SPARK.wide_int, DUCKDB.wide_int
+
+        def _wide(w, e):
+            parts = [p.strip() for p in e.split("*")]
+            return " * ".join(w(p) for p in parts)
+
+        s = spark.sql(
+            f"SELECT {SPARK.big_ratio_6dp(_wide(w_s, num), _wide(w_s, den))} AS v"
+        ).collect()[0]["v"]
+        d = duckdb.sql(
+            f"SELECT {DUCKDB.big_ratio_6dp(_wide(w_d, num), _wide(w_d, den))} AS v"
+        ).fetchone()[0]
+        assert s == d, (num, den, s, d)
+
+
+def test_join_explosion_verdicts_and_null_keys(spark):
+    left = spark.createDataFrame(
+        [(1,)] * 8 + [(2,)] * 1 + [(None,)] * 3, "k int"
+    )
+    right = spark.createDataFrame(
+        [(1,)] * 8 + [(2,)] * 2 + [(3,)] * 5 + [(None,)] * 2, "k int"
+    )
+    out = {
+        r.join_key: r
+        for r in join_explosion_report(
+            left, right, "k", top_k=10, explosive_share=(1, 2)
+        ).collect()
+    }
+    # NULL keys never match in an inner equi-join: absent from forecast;
+    # key 3 matches nothing on the left: absent
+    assert set(out) == {1, 2}
+    assert (out[1].n_left, out[1].n_right, out[1].out_rows) == (8, 8, 64)
+    assert out[1].verdict == "explosive"  # 64 of 66 total
+    assert out[2].verdict == "ok"
+    assert out[1].share_6dp == pytest.approx(0.969697, abs=1e-9)
+
+
+def test_join_explosion_parity_mini(spark):
+    lrows = [(i % 3,) for i in range(20)]
+    rrows = [(i % 4,) for i in range(17)]
+    l = spark.createDataFrame(lrows, "k int")
+    r = spark.createDataFrame(rrows, "k int")
+    s = sorted(
+        tuple(x)
+        for x in join_explosion_report(l, r, "k", top_k=5).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k INT)")
+    con.executemany("INSERT INTO l VALUES (?)", lrows)
+    con.execute("CREATE TABLE r (k INT)")
+    con.executemany("INSERT INTO r VALUES (?)", rrows)
+    o = sorted(
+        tuple(x)
+        for x in con.execute(
+            join_explosion_oracle_sql(
+                DUCKDB, "SELECT * FROM l", "SELECT * FROM r", "k", top_k=5
+            )
+        ).fetchall()
+    )
+    assert s == o

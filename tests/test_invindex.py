@@ -1,0 +1,89 @@
+"""Inverted-index BM25: index path ≡ scan path, pruning, edge cases."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dar_spark.functions.text import bm25_search
+from dar_spark.operators.invindex import (
+    bm25_index_topk,
+    write_text_index,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture()
+def idx_path(tmp_path):
+    return str(tmp_path / "textindex")
+
+
+CORPUS = [
+    (1, "cat dog bird"),
+    (2, "cat cat dog"),
+    (3, "dog bird fish"),
+    (4, "the  quick  brown fox"),  # double spaces: dl counts empties
+    (5, ""),
+    (6, "cat"),
+]
+
+
+def test_index_equals_scan(spark, idx_path):
+    d = _docs(spark, CORPUS)
+    write_text_index(d, idx_path)
+    for terms in (["cat"], ["cat", "dog"], ["fox", "fish", "zebra"]):
+        idx = sorted(
+            tuple(r) for r in bm25_index_topk(spark, idx_path, terms, k=10).collect()
+        )
+        scan = sorted(
+            tuple(r)
+            for r in bm25_search(d, "doc_id", "text", terms, k=10).collect()
+        )
+        assert idx == scan, terms
+
+
+def test_index_no_match_empty(spark, idx_path):
+    write_text_index(_docs(spark, CORPUS), idx_path)
+    assert bm25_index_topk(spark, idx_path, ["zebra"], k=5).count() == 0
+
+
+def test_index_overwrite_is_idempotent(spark, idx_path):
+    d = _docs(spark, CORPUS)
+    write_text_index(d, idx_path)
+    first = sorted(
+        tuple(r)
+        for r in bm25_index_topk(spark, idx_path, ["cat", "dog"], k=10).collect()
+    )
+    write_text_index(d, idx_path)  # rebuild over existing files
+    again = sorted(
+        tuple(r)
+        for r in bm25_index_topk(spark, idx_path, ["cat", "dog"], k=10).collect()
+    )
+    assert first == again
+
+
+def test_index_query_prunes_partitions(spark, idx_path):
+    """The postings scan must carry a pt partition filter and a token
+    pushdown — the contract that keeps per-query cost proportional to
+    the query terms' posting lists, not the corpus."""
+    write_text_index(_docs(spark, CORPUS), idx_path)
+    plan = (
+        bm25_index_topk(spark, idx_path, ["cat"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*pt#", plan)
+    assert "In(token" in plan or "EqualTo(token" in plan
+    # layout on disk: bucket directories exist
+    dirs = [
+        p for p in os.listdir(os.path.join(idx_path, "postings"))
+        if p.startswith("pt=")
+    ]
+    assert dirs
