@@ -102,6 +102,7 @@ __all__ = [
     "pmi_bigrams",
     "join_explosion_report",
     "write_text_index",
+    "append_to_text_index",
     "bm25_index_topk",
 ]
 
@@ -280,7 +281,7 @@ def __getattr__(name):
         from dar_spark.operators.joins import join_explosion_report
 
         return join_explosion_report
-    if name in ("write_text_index", "bm25_index_topk"):
+    if name in ("write_text_index", "append_to_text_index", "bm25_index_topk"):
         from dar_spark.operators import invindex as _ii
 
         return getattr(_ii, name)

@@ -9,14 +9,17 @@ dedup index (dedup.py) and the PQ vector index (similarity.py).
 
 Layout under ``path`` (all parquet):
 
-- ``postings/`` — (token, doc_id, tf, dl), PARTITIONED BY pt =
-  pmod(hash(token), n_buckets) and sorted by token within files, so a
-  query prunes to its terms' bucket directories (partition pruning)
-  and row-group min/max statistics skip non-matching tokens inside
-  them.  ``dl`` is denormalized onto every posting — BM25's length
+- ``postings/`` — (token, doc_id, tf, dl), PARTITIONED BY
+  (ingest=<generation>, pt = pmod(hash(token), n_buckets)) and sorted
+  by token within files, so a query prunes to its terms' bucket
+  directories across every generation (partition pruning) and
+  row-group min/max statistics skip non-matching tokens inside them.
+  ``dl`` is denormalized onto every posting — BM25's length
   normalization then needs NO join against a doc-length table (at
   corpus scale that join would shuffle the full doc table per query).
-- ``meta/`` — one row (n_docs, sum_dl): the only corpus-global state.
+- ``meta/`` — one (n_docs, sum_dl, n_buckets) row PER GENERATION;
+  queries SUM them, so appends keep corpus stats exact without
+  rewriting any stored state.
 
 Parity: tokenization (split of lower(text) on single spaces, empties
 KEPT for dl exactly as the scan scorer keeps them), tf/df integers and
@@ -44,14 +47,8 @@ from dar_spark.dialect import SPARK
 N_BUCKETS = 64
 
 
-def write_text_index(
-    df: DataFrame,
-    path: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_buckets: int = N_BUCKETS,
-) -> None:
-    """Build the inverted index at ``path`` (overwrite)."""
+def _postings(df: DataFrame, id_col: str, text_col: str, n_buckets: int):
+    """(postings, meta) DataFrames for one document batch."""
     toks = SPARK.split_lit(f"lower({text_col})", " ")
     base = df.selectExpr(
         f"{id_col} AS doc_id",
@@ -63,20 +60,76 @@ def write_text_index(
         .agg(F.count("*").alias("tf"))
         .withColumn("pt", F.pmod(F.hash("token"), F.lit(n_buckets)))
     )
-    sc = df.sparkSession.sparkContext
-    (
-        posts.repartition(sc.defaultParallelism, "pt", "token")
-        .sortWithinPartitions("token")
-        .write.mode("overwrite")
-        .partitionBy("pt")
-        .parquet(os.path.join(path, "postings"))
-    )
     meta = base.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
         F.lit(n_buckets).cast("int").alias("n_buckets"),
     )
-    meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    return posts, meta
+
+
+def _write_generation(
+    posts: DataFrame, meta: DataFrame, path: str, label: str, dynamic: bool
+) -> None:
+    """One ``ingest=<label>`` generation of postings + its meta row.
+    ``dynamic=False`` (the build) statically overwrites the WHOLE tree
+    so stale generations from a previous build cannot survive;
+    ``dynamic=True`` (appends) rewrites exactly this generation's
+    partitions, so replaying a stable label overwrites itself (the
+    append_to_pq_index replay contract)."""
+    sc = posts.sparkSession.sparkContext
+    pw = (
+        posts.withColumn("ingest", F.lit(label))
+        .repartition(sc.defaultParallelism, "pt", "token")
+        .sortWithinPartitions("token")
+        .write.mode("overwrite")
+    )
+    mw = meta.withColumn("ingest", F.lit(label)).write.mode("overwrite")
+    if dynamic:
+        pw = pw.option("partitionOverwriteMode", "dynamic")
+        mw = mw.option("partitionOverwriteMode", "dynamic")
+    pw.partitionBy("ingest", "pt").parquet(os.path.join(path, "postings"))
+    mw.partitionBy("ingest").parquet(os.path.join(path, "meta"))
+
+
+def write_text_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> None:
+    """Build the inverted index at ``path`` (overwrite) as the
+    ``ingest=base`` generation; grow it with :func:`append_to_text_index`."""
+    posts, meta = _postings(df, id_col, text_col, n_buckets)
+    _write_generation(posts, meta, path, "base", dynamic=False)
+
+
+def append_to_text_index(
+    new: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ingest_label: str | None = None,
+) -> str:
+    """Index a new document batch as a fresh ``ingest=<label>``
+    generation — O(|batch|): tokenize and bucket only the batch, never
+    rescan the stored corpus.  Corpus stats stay exact because each
+    generation carries its own (n_docs, sum_dl) meta row and queries
+    SUM them; doc ids must be disjoint from the stored corpus.  A
+    stable label makes retries overwrite themselves (dynamic partition
+    overwrite).  Returns the label used."""
+    spark = new.sparkSession
+    stored = spark.read.parquet(os.path.join(path, "meta"))
+    n_buckets = stored.select("n_buckets").first()["n_buckets"]
+    if ingest_label is None:
+        n_gen = stored.select("ingest").distinct().count()
+        ingest_label = f"append-{n_gen}"
+    if ingest_label == "base":
+        raise ValueError("ingest_label 'base' is reserved for the build")
+    posts, meta = _postings(new, id_col, text_col, n_buckets)
+    _write_generation(posts, meta, path, ingest_label, dynamic=True)
+    return ingest_label
 
 
 def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
@@ -119,7 +172,12 @@ def bm25_index_topk(
             for i, t in enumerate(terms)
         ]
     )
-    stats = meta.select("n_docs", "sum_dl").join(F.broadcast(dfs))
+    # corpus totals = SUM over generation meta rows (base + appends)
+    totals = meta.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    )
+    stats = totals.join(F.broadcast(dfs))
     # per-doc tf pivot; (token, doc_id) is unique so MAX picks the value
     per_doc = hits.groupBy("doc_id").agg(
         F.max("dl").alias("dl"),

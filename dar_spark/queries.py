@@ -3466,6 +3466,49 @@ def _bm25_indexed_q() -> Q:
     return Q(spark_fn, oracle)
 
 
+def _bm25_index_append_q() -> Q:
+    """Inverted-index ingest lifecycle (invindex.append_to_text_index):
+    build the postings index on 3/4 of the corpus, append the last
+    quarter as an O(batch) generation (own ingest= partition + its own
+    meta row; corpus stats are the SUM over generation rows), query the
+    combined index.  The oracle scores the FULL corpus directly, so the
+    hash pins append completeness — a lost batch, stale generation, or
+    wrong summed stats all shift df/n_docs and break the BM25 doubles."""
+
+    BASE_PRED = "doc_id % 4 <> 3"
+    BATCH_PRED = "doc_id % 4 = 3"
+
+    def spark_fn(spark, sf_dir):
+        import hashlib
+        import os
+
+        from dar_spark.operators.invindex import (
+            append_to_text_index,
+            bm25_index_topk,
+            write_text_index,
+        )
+
+        t = load_tables(spark, sf_dir)
+        docs = t["documents"]
+        cache_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".csvcache",
+        )
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(cache_root, f"textidxappend-{tag}")
+        write_text_index(docs.filter(BASE_PRED), path)
+        append_to_text_index(docs.filter(BATCH_PRED), path, ingest_label="b1")
+        return bm25_index_topk(spark, path, BM25_TERMS, k=BM25_K)
+
+    from dar_spark.functions.text import bm25_oracle_sql
+
+    oracle = bm25_oracle_sql(
+        DUCKDB, "SELECT doc_id, text FROM documents", "doc_id", "text",
+        BM25_TERMS, k=BM25_K,
+    )
+    return Q(spark_fn, oracle)
+
+
 def _join_explosion_q() -> Q:
     """Pre-join blowup forecast (operators/joins.join_explosion_report)
     on the skewed synthetic key (SKEWED_UK, the skew_safe_join fixture):
@@ -3520,6 +3563,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("pmi_bigrams_docs", _pmi_bigrams_q()),
         ("bm25_indexed_search", _bm25_indexed_q()),
         ("join_explosion_events", _join_explosion_q()),
+        ("bm25_index_append_search", _bm25_index_append_q()),
     ]
 
 

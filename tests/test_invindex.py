@@ -8,6 +8,7 @@ import pytest
 
 from dar_spark.functions.text import bm25_search
 from dar_spark.operators.invindex import (
+    append_to_text_index,
     bm25_index_topk,
     write_text_index,
 )
@@ -81,9 +82,76 @@ def test_index_query_prunes_partitions(spark, idx_path):
 
     assert re.search(r"PartitionFilters: \[[^\]]*pt#", plan)
     assert "In(token" in plan or "EqualTo(token" in plan
-    # layout on disk: bucket directories exist
+    # layout on disk: generation + bucket directories exist
     dirs = [
-        p for p in os.listdir(os.path.join(idx_path, "postings"))
+        p
+        for p in os.listdir(os.path.join(idx_path, "postings", "ingest=base"))
         if p.startswith("pt=")
     ]
     assert dirs
+
+
+def test_append_equals_full_rebuild(spark, idx_path):
+    """Base on 2/3 of the corpus + O(batch) append of the rest must
+    score every query identically to a scan over the full corpus."""
+    base = [r for r in CORPUS if r[0] % 3 != 0]
+    batch = [r for r in CORPUS if r[0] % 3 == 0]
+    write_text_index(_docs(spark, base), idx_path)
+    label = append_to_text_index(_docs(spark, batch), idx_path)
+    assert label == "append-1"
+    for terms in (["cat", "dog"], ["fox", "fish"]):
+        idx = sorted(
+            tuple(r)
+            for r in bm25_index_topk(spark, idx_path, terms, k=10).collect()
+        )
+        scan = sorted(
+            tuple(r)
+            for r in bm25_search(
+                _docs(spark, CORPUS), "doc_id", "text", terms, k=10
+            ).collect()
+        )
+        assert idx == scan, terms
+
+
+def test_append_replay_is_idempotent(spark, idx_path):
+    base = [r for r in CORPUS if r[0] % 3 != 0]
+    batch = [r for r in CORPUS if r[0] % 3 == 0]
+    write_text_index(_docs(spark, base), idx_path)
+    append_to_text_index(_docs(spark, batch), idx_path, ingest_label="b1")
+    once = sorted(
+        tuple(r)
+        for r in bm25_index_topk(spark, idx_path, ["cat", "dog"], k=10).collect()
+    )
+    # at-least-once delivery: the same batch lands again under the
+    # same label — dynamic partition overwrite must replace, not add
+    append_to_text_index(_docs(spark, batch), idx_path, ingest_label="b1")
+    twice = sorted(
+        tuple(r)
+        for r in bm25_index_topk(spark, idx_path, ["cat", "dog"], k=10).collect()
+    )
+    assert once == twice
+
+
+def test_append_base_label_rejected(spark, idx_path):
+    write_text_index(_docs(spark, CORPUS), idx_path)
+    with pytest.raises(ValueError):
+        append_to_text_index(_docs(spark, CORPUS), idx_path, ingest_label="base")
+
+
+def test_rebuild_clears_stale_generations(spark, idx_path):
+    """A fresh build over an index that had appends must not leave the
+    old append generation contributing postings or meta rows."""
+    write_text_index(_docs(spark, CORPUS[:3]), idx_path)
+    append_to_text_index(_docs(spark, CORPUS[3:]), idx_path, ingest_label="b1")
+    write_text_index(_docs(spark, CORPUS[:3]), idx_path)  # rebuild, no b1
+    idx = sorted(
+        tuple(r)
+        for r in bm25_index_topk(spark, idx_path, ["cat", "dog"], k=10).collect()
+    )
+    scan = sorted(
+        tuple(r)
+        for r in bm25_search(
+            _docs(spark, CORPUS[:3]), "doc_id", "text", ["cat", "dog"], k=10
+        ).collect()
+    )
+    assert idx == scan
