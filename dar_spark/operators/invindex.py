@@ -199,3 +199,26 @@ def bm25_index_topk(
 
     w = Window.orderBy(F.desc("score_bm25"), F.col("doc_id"))
     return top.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
+
+
+def compact_text_index(spark: SparkSession, path: str, dest: str) -> None:
+    """Rewrite a grown index (many ``ingest=`` generations from appends
+    or streaming) as a fresh single-generation index at ``dest`` — pure
+    I/O, no re-tokenizing: postings are re-clustered by (pt, token)
+    across ALL generations (each append is internally clustered, but a
+    reader sees clustering and file counts degrade as generations
+    accumulate) and the generation meta rows collapse to one exact
+    total.  ``dest`` must differ from ``path`` — compact-to-new +
+    atomic swap by the caller, never in-place (the
+    compact_dedup_index contract).  Query results are identical before
+    and after (tested)."""
+    if dest == path:
+        raise ValueError("compact_text_index requires dest != path")
+    meta = spark.read.parquet(os.path.join(path, "meta"))
+    total = meta.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        F.max("n_buckets").cast("int").alias("n_buckets"),
+    )
+    posts = spark.read.parquet(os.path.join(path, "postings")).drop("ingest")
+    _write_generation(posts, total, dest, "base", dynamic=False)

@@ -1,0 +1,41 @@
+"""Streaming inverted-index ingest: tokenize arriving document batches
+and append them as replay-safe index generations.
+
+Postings derivation is a stateless map over the batch (tokens, tf and
+dl depend only on the document; corpus stats live in per-generation
+meta rows that queries SUM), so the streaming form is the batch
+``append_to_text_index`` driven by ``foreachBatch`` with the ingest
+label ``stream-<batch_id>``: a replayed micro-batch overwrites its OWN
+generation instead of double-appending, and the stream-grown index
+scores queries identically to a sequential batch-ingest loop (pinned
+in tests/test_invindex.py).  One writer stream per index — the
+batch_id namespace is per-stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def streaming_text_index_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+):
+    """Start a stream appending every micro-batch to the inverted index
+    at ``index_path`` (must already exist — built by
+    ``write_text_index``).  Returns the started StreamingQuery."""
+    from dar_spark.operators.invindex import append_to_text_index
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        append_to_text_index(
+            batch_df, index_path, id_col, text_col,
+            ingest_label=f"stream-{batch_id}",
+        )
+
+    w = stream_df.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

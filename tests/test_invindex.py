@@ -155,3 +155,62 @@ def test_rebuild_clears_stale_generations(spark, idx_path):
         ).collect()
     )
     assert idx == scan
+
+
+def test_compact_preserves_query_results(spark, idx_path, tmp_path):
+    from dar_spark.operators.invindex import compact_text_index
+
+    base = [r for r in CORPUS if r[0] % 3 != 0]
+    batch = [r for r in CORPUS if r[0] % 3 == 0]
+    write_text_index(_docs(spark, base), idx_path)
+    append_to_text_index(_docs(spark, batch), idx_path, ingest_label="b1")
+    before = sorted(
+        tuple(r)
+        for r in bm25_index_topk(spark, idx_path, ["cat", "dog"], k=10).collect()
+    )
+    dest = str(tmp_path / "compacted")
+    compact_text_index(spark, idx_path, dest)
+    after = sorted(
+        tuple(r)
+        for r in bm25_index_topk(spark, dest, ["cat", "dog"], k=10).collect()
+    )
+    assert before == after
+    # one generation and one meta row remain
+    meta = spark.read.parquet(os.path.join(dest, "meta"))
+    assert meta.count() == 1
+    assert [r.ingest for r in meta.select("ingest").collect()] == ["base"]
+    with pytest.raises(ValueError):
+        compact_text_index(spark, idx_path, idx_path)
+
+
+def test_streaming_ingest_equals_batch_appends(spark, idx_path, tmp_path):
+    """The stream-grown inverted index scores queries exactly as a
+    sequential batch-ingest loop over the same batches."""
+    from dar_spark.streaming.invindex_stream import streaming_text_index_ingest
+
+    base = [r for r in CORPUS if r[0] % 3 != 0]
+    incoming = [r for r in CORPUS if r[0] % 3 == 0]
+    write_text_index(_docs(spark, base), idx_path)
+    src = str(tmp_path / "src")
+    _docs(spark, incoming).repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_text_index_ingest(
+        stream, idx_path, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = sorted(
+        tuple(r)
+        for r in bm25_index_topk(spark, idx_path, ["cat", "dog"], k=10).collect()
+    )
+    scan = sorted(
+        tuple(r)
+        for r in bm25_search(
+            _docs(spark, CORPUS), "doc_id", "text", ["cat", "dog"], k=10
+        ).collect()
+    )
+    assert streamed == scan
