@@ -100,6 +100,7 @@ __all__ = [
     "pq_lsh_topk",
     "partition_advisor",
     "pmi_bigrams",
+    "merge_phrases",
     "join_explosion_report",
     "write_text_index",
     "append_to_text_index",
@@ -273,10 +274,10 @@ def __getattr__(name):
         from dar_spark.operators.layout import partition_advisor
 
         return partition_advisor
-    if name == "pmi_bigrams":
-        from dar_spark.operators.collocations import pmi_bigrams
+    if name in ("pmi_bigrams", "merge_phrases"):
+        from dar_spark.operators import collocations as _co
 
-        return pmi_bigrams
+        return getattr(_co, name)
     if name == "join_explosion_report":
         from dar_spark.operators.joins import join_explosion_report
 

@@ -146,3 +146,120 @@ scored AS (
 SELECT w1, w2, n_pair, n_w1, n_w2, lift_6dp, CAST(rn AS BIGINT) AS rank_n
 FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift_6dp DESC, w1, w2) AS rn
       FROM scored) WHERE rn <= {k}"""
+
+
+def _pair_lit_list(pairs: list[tuple[str, str]]) -> str:
+    """SQL IN-list of 'w1 w2' literals (tokens are whitespace-split, so
+    the space-joined form is unambiguous)."""
+    items = ", ".join(
+        "'" + f"{a} {b}".replace("'", "''") + "'" for a, b in pairs
+    )
+    return f"({items})"
+
+
+def merge_phrases(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    joiner: str = "_",
+) -> DataFrame:
+    """word2phrase-style apply step for learned collocations: greedy
+    left-to-right, non-overlapping merge of each adjacent pair in
+    ``pairs`` into one ``w1_w2`` token ("new york" → "new_york"), the
+    unigram-level analogue of ``bpe_segment``.  Output per non-NULL-text
+    doc: (id, text_merged, n_tokens_before, n_tokens_after).
+
+    Scale shape: ONE projection — the merge is a left fold over the
+    token array (state = emitted tokens + the pending previous token),
+    entirely inside whole-stage codegen; no explode, no window, no
+    shuffle.  Greedy semantics pinned by the relational oracle: inside
+    a maximal run of consecutive matching positions, merges start at
+    even offsets (position i merges iff it matches and i-1 did not
+    merge).
+    """
+    in_list = _pair_lit_list(pairs)
+    toks = _toks_sql(SPARK, text_col)
+    fold = (
+        "aggregate(_t, "
+        "struct(CAST(array() AS array<string>) AS acc, "
+        "CAST(NULL AS string) AS pend), "
+        "(s, x) -> CASE "
+        "WHEN s.pend IS NULL THEN struct(s.acc AS acc, x AS pend) "
+        f"WHEN concat(s.pend, ' ', x) IN {in_list} "
+        f"THEN struct(concat(s.acc, array(concat(s.pend, '{joiner}', x))) "
+        "AS acc, CAST(NULL AS string) AS pend) "
+        "ELSE struct(concat(s.acc, array(s.pend)) AS acc, x AS pend) END, "
+        "s -> CASE WHEN s.pend IS NULL THEN s.acc "
+        "ELSE concat(s.acc, array(s.pend)) END)"
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .selectExpr(id_col, f"{toks} AS _t")
+        .selectExpr(id_col, "_t", f"{fold} AS _m")
+        .selectExpr(
+            id_col,
+            "array_join(_m, ' ') AS text_merged",
+            "CAST(size(_t) AS BIGINT) AS n_tokens_before",
+            "CAST(size(_m) AS BIGINT) AS n_tokens_after",
+        )
+    )
+
+
+def merge_phrases_oracle_sql(
+    d: Dialect,
+    table_sql: str,
+    pairs: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    joiner: str = "_",
+) -> str:
+    """DuckDB twin of :func:`merge_phrases` — the greedy fold recomputed
+    RELATIONALLY (the cdc_chunk oracle precedent): match flags from
+    lead(), maximal match-runs by gaps-and-islands, merge starts at
+    even in-run offsets, consumed positions dropped, text reassembled
+    with string_agg ORDER BY position."""
+    in_list = _pair_lit_list(pairs)
+    toks = _toks_sql(d, text_col)
+    return f"""WITH src AS ({table_sql}),
+tk AS (SELECT {id_col}, {toks} AS _t FROM src WHERE {text_col} IS NOT NULL),
+pos AS (
+  SELECT {id_col}, len(_t) AS n,
+         unnest(range(1, len(_t) + 1)) AS p,
+         unnest(_t) AS tok
+  FROM tk),
+flagged AS (
+  SELECT *, COALESCE(
+           tok || ' ' || lead(tok) OVER (PARTITION BY {id_col} ORDER BY p)
+             IN {in_list}, FALSE) AS m,
+         lead(tok) OVER (PARTITION BY {id_col} ORDER BY p) AS nxt
+  FROM pos),
+runs AS (
+  SELECT {id_col}, p,
+         p - ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY p) AS isl
+  FROM flagged WHERE m),
+starts AS (
+  SELECT {id_col}, p,
+         (p - MIN(p) OVER (PARTITION BY {id_col}, isl)) % 2 = 0 AS st
+  FROM runs),
+emitted AS (
+  SELECT f.{id_col}, f.p, f.n,
+         CASE WHEN COALESCE(s.st, FALSE)
+              THEN f.tok || '{joiner}' || f.nxt
+              ELSE f.tok END AS out_tok
+  FROM flagged f
+  LEFT JOIN starts s ON s.{id_col} = f.{id_col} AND s.p = f.p
+  LEFT JOIN starts c ON c.{id_col} = f.{id_col} AND c.p = f.p - 1
+                        AND c.st
+  WHERE c.p IS NULL),
+agg AS (
+  SELECT {id_col},
+         COALESCE(string_agg(out_tok, ' ' ORDER BY p), '') AS text_merged,
+         CAST(MAX(n) AS BIGINT) AS n_tokens_before,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens_after
+  FROM emitted GROUP BY {id_col})
+SELECT t.{id_col},
+       COALESCE(a.text_merged, '') AS text_merged,
+       CAST(COALESCE(a.n_tokens_before, 0) AS BIGINT) AS n_tokens_before,
+       CAST(COALESCE(a.n_tokens_after, 0) AS BIGINT) AS n_tokens_after
+FROM tk t LEFT JOIN agg a ON a.{id_col} = t.{id_col}"""

@@ -3466,6 +3466,33 @@ def _bm25_indexed_q() -> Q:
     return Q(spark_fn, oracle)
 
 
+PHRASE_PAIRS = [("hash", "join"), ("table", "scan"), ("batch", "batch")]
+
+
+def _phrase_merge_q() -> Q:
+    """Collocation apply step (collocations.merge_phrases): greedy
+    non-overlapping merge of learned word pairs into single tokens
+    (word2phrase), as ONE fold-projection — no explode, no shuffle.
+    The oracle recomputes the greedy fold relationally (match runs by
+    gaps-and-islands, merges at even in-run offsets), so the hash pins
+    the fold's greedy semantics, not just token counts."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.collocations import merge_phrases
+
+        t = load_tables(spark, sf_dir)
+        return merge_phrases(parallelize(t["documents"]), PHRASE_PAIRS)
+
+    from dar_spark.operators.collocations import merge_phrases_oracle_sql
+
+    return Q(
+        spark_fn,
+        merge_phrases_oracle_sql(
+            DUCKDB, "SELECT doc_id, text FROM documents", PHRASE_PAIRS
+        ),
+    )
+
+
 def _bm25_index_append_q() -> Q:
     """Inverted-index ingest lifecycle (invindex.append_to_text_index):
     build the postings index on 3/4 of the corpus, append the last
@@ -3564,6 +3591,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("bm25_indexed_search", _bm25_indexed_q()),
         ("join_explosion_events", _join_explosion_q()),
         ("bm25_index_append_search", _bm25_index_append_q()),
+        ("phrase_merge_docs", _phrase_merge_q()),
     ]
 
 

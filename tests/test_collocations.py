@@ -157,3 +157,68 @@ def test_join_explosion_parity_mini(spark):
         ).fetchall()
     )
     assert s == o
+
+
+def _merge_parity(spark, rows, pairs):
+    from dar_spark.operators.collocations import (
+        merge_phrases,
+        merge_phrases_oracle_sql,
+    )
+
+    s = sorted(
+        tuple(r)
+        for r in merge_phrases(_docs(spark, rows), pairs).collect()
+    )
+    con = _duck_docs(rows)
+    o = sorted(
+        tuple(r)
+        for r in con.execute(
+            merge_phrases_oracle_sql(
+                DUCKDB, "SELECT doc_id, text FROM d", pairs
+            )
+        ).fetchall()
+    )
+    assert s == o
+    return {r[0]: r[1:] for r in s}
+
+
+def test_merge_phrases_greedy_non_overlapping(spark):
+    pairs = [("a", "b"), ("b", "a"), ("a", "a")]
+    out = _merge_parity(
+        spark,
+        [
+            (1, "a b a"),      # (a,b) wins greedily; trailing a alone
+            (2, "a a a"),      # (a,a) then lone a
+            (3, "a b a b"),    # two disjoint merges
+            (4, "x a b y"),    # merge mid-sentence
+            (5, "b a a b"),    # (b,a) first, then (a,b)
+        ],
+        pairs,
+    )
+    assert out[1] == ("a_b a", 3, 2)
+    assert out[2] == ("a_a a", 3, 2)
+    assert out[3] == ("a_b a_b", 4, 2)
+    assert out[4] == ("x a_b y", 4, 3)
+    assert out[5] == ("b_a a_b", 4, 2)
+
+
+def test_merge_phrases_edges(spark):
+    pairs = [("new", "york")]
+    out = _merge_parity(
+        spark,
+        [
+            (1, ""),                       # empty → empty
+            (2, "solo"),                   # 1 token
+            (3, "new  york"),              # space runs still adjacent
+            (4, None),                     # NULL text dropped
+            (5, "york new"),               # wrong order: no merge
+            (6, "new york new york new"),  # repeats + trailing partial
+        ],
+        pairs,
+    )
+    assert 4 not in out
+    assert out[1] == ("", 0, 0)
+    assert out[2] == ("solo", 1, 1)
+    assert out[3] == ("new_york", 2, 1)
+    assert out[5] == ("york new", 2, 2)
+    assert out[6] == ("new_york new_york new", 5, 3)
