@@ -3426,6 +3426,7 @@ def _pmi_bigrams_q() -> Q:
             DUCKDB, "SELECT doc_id, text FROM documents", "text",
             min_count=PMI_MIN_COUNT, k=PMI_K,
         ),
+        headline=True,
     )
 
 
@@ -3533,7 +3534,7 @@ def _bm25_index_append_q() -> Q:
         DUCKDB, "SELECT doc_id, text FROM documents", "doc_id", "text",
         BM25_TERMS, k=BM25_K,
     )
-    return Q(spark_fn, oracle)
+    return Q(spark_fn, oracle, headline=True)
 
 
 def _join_explosion_q() -> Q:

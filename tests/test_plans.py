@@ -226,3 +226,37 @@ def test_pq_rank_windows_get_group_limit(spark):
     for name in ("embed_pq_topk", "embed_pq_rerank"):
         p = _executed(spark, name)
         assert "WindowGroupLimit" in p, name
+
+
+def test_round6_fifth_wave_plan_shapes(spark):
+    """Collocations / inverted index / join forecast scale guards."""
+    # pmi: top-k must be TakeOrderedAndProject, never a rank window
+    # over the whole bigram vocabulary
+    p = _executed(spark, "pmi_bigrams_docs")
+    assert "TakeOrderedAndProject" in p
+    # phrase merge: ONE projection — the only exchange is the
+    # fixture-only parallelize() round-robin, never a plan-required
+    # (ENSURE_REQUIREMENTS) shuffle; no sort, no window
+    p = _executed(spark, "phrase_merge_docs")
+    assert "ENSURE_REQUIREMENTS" not in p
+    assert "Window" not in p and "Sort" not in p
+    # indexed BM25: partition pruning + token pushdown on the postings
+    # scan, stats joins broadcast
+    p = _executed(spark, "bm25_indexed_search")
+    assert re.search(r"PartitionFilters: \[[^\]]*pt#", p)
+    assert "In(token" in p or "EqualTo(token" in p
+    assert "TakeOrderedAndProject" in p
+    # join explosion: the forecast must never materialize the joined
+    # fact rows — the only join runs on the two per-key COUNT tables
+    p = _executed(spark, "join_explosion_events")
+    assert "TakeOrderedAndProject" in p
+    # both scans aggregate BEFORE the equi-join: a SortMergeJoin or
+    # BroadcastHashJoin must consume HashAggregate outputs, so the word
+    # HashAggregate appears before the first equi-join bottom-up; cheap
+    # proxy: no join may read a FileScan directly (every scan feeds an
+    # aggregate first)
+    first_join = min(
+        [i for i in (p.find("SortMergeJoin"), p.find("BroadcastHashJoin")) if i >= 0],
+        default=-1,
+    )
+    assert first_join >= 0 and "HashAggregate" in p
