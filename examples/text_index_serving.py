@@ -1,0 +1,97 @@
+"""Serving-side text retrieval: the persisted inverted index lifecycle
+plus corpus phrase statistics:
+
+    build postings index → O(batch) append → BM25 from pruned buckets →
+    compact generations → PMI collocations → phrase-merged corpus
+
+    python examples/text_index_serving.py
+
+examples/retrieval.py scores BM25 with a scan — right when a query
+arrives once.  This example is the many-queries shape: pay one indexing
+pass, then each query reads only its terms' pt=hash-bucket directories
+(partition pruning) and scores bit-identically to the scan.  The PMI →
+merge_phrases pair at the end is the learn→apply loop for collocations
+(word2phrase): mine statistically-bound word pairs, then rewrite the
+corpus with them fused into single tokens.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dar_spark
+from dar_spark.functions.text import bm25_search
+from dar_spark.operators.collocations import merge_phrases, pmi_bigrams
+from dar_spark.operators.invindex import (
+    append_to_text_index,
+    bm25_index_topk,
+    compact_text_index,
+    write_text_index,
+)
+from dar_spark.session import load_tables
+
+SF_DIR = os.environ.get("DAR_SPARK_EXAMPLE_SF", "/root/testdata/sf0.01")
+TERMS = ["query", "window", "merge"]
+
+
+def main() -> None:
+    spark = dar_spark.get_session("example_text_index")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_tables(spark, SF_DIR)["documents"]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "tidx")
+        t0 = time.perf_counter()
+        write_text_index(docs.filter("doc_id % 4 <> 3"), path)
+        print(f"index built on 3/4 corpus in {time.perf_counter() - t0:.2f}s")
+
+        t0 = time.perf_counter()
+        append_to_text_index(docs.filter("doc_id % 4 = 3"), path,
+                             ingest_label="late-quarter")
+        print(f"last quarter appended in {time.perf_counter() - t0:.2f}s "
+              "(batch only — stored corpus untouched)")
+
+        t0 = time.perf_counter()
+        idx_hits = bm25_index_topk(spark, path, TERMS, k=5).collect()
+        dt_idx = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        scan_hits = bm25_search(docs, "doc_id", "text", TERMS, k=5).collect()
+        dt_scan = time.perf_counter() - t0
+        same = sorted(map(tuple, idx_hits)) == sorted(map(tuple, scan_hits))
+        print(f"BM25 {TERMS}: index {dt_idx:.2f}s vs scan {dt_scan:.2f}s — "
+              f"identical results: {same}")
+        for r in idx_hits:
+            print(f"  doc {r.doc_id}  score {r.score_bm25:.4f}")
+
+        dest = os.path.join(tmp, "tidx-compact")
+        t0 = time.perf_counter()
+        compact_text_index(spark, path, dest)
+        after = bm25_index_topk(spark, dest, TERMS, k=5).collect()
+        print(f"compacted to one generation in {time.perf_counter() - t0:.2f}s"
+              f" — results preserved: "
+              f"{sorted(map(tuple, after)) == sorted(map(tuple, idx_hits))}")
+
+    print("\ntop collocations by PMI lift (exact 128-bit rational — no ln):")
+    top = pmi_bigrams(docs, min_count=5, k=5).collect()
+    for r in top:
+        print(f"  {r.w1} {r.w2}  lift {r.lift_6dp:.3f}  "
+              f"(pair {r.n_pair}, {r.n_w1}x{r.n_w2})")
+
+    pairs = [(r.w1, r.w2) for r in top[:3]]
+    merged = merge_phrases(docs, pairs)
+    stats = merged.selectExpr(
+        "SUM(n_tokens_before) AS before", "SUM(n_tokens_after) AS after"
+    ).collect()[0]
+    print(f"\nphrase-merged corpus with top-3 pairs: "
+          f"{stats.before} -> {stats.after} tokens "
+          f"({stats.before - stats.after} merges)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
