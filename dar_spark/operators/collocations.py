@@ -49,14 +49,32 @@ def _toks_sql(d: Dialect, text_col: str) -> str:
     return d.arr_filter(raw, "t -> t <> ''")
 
 
-# Spark-side adjacent pairs: slice from position 2, lambda index i is
-# 0-based over the slice so element_at(_t, i+1) is the left neighbour.
-# slice(…, 2, greatest(n-1, 0)) is [] for 0/1-token docs — no
-# sequence(1, n-1) pitfall (Spark's sequence DESCENDS when n-1 < 1).
-_BIGRAMS = (
-    "transform(slice(_t, 2, greatest(size(_t) - 1, 0)), "
-    "(w, i) -> struct(element_at(_t, i + 1) AS w1, w AS w2))"
-)
+# Spark-side ordered pairs at token offsets 1..W (W=1 → adjacent
+# bigrams; W>1 → directional skip-grams).  For offset d the right words
+# are slice(_t, d+1, …) and the 0-based slice index i maps the LEFT
+# partner to element_at(_t, i+1) — the slice start encodes d, so one
+# lambda serves every offset and flatten() unions them.  slice with
+# greatest(n-d, 0) is [] for short docs — no sequence(1, n-1) pitfall
+# (Spark's sequence DESCENDS when n-1 < 1); sequence(1, W) is safe
+# because W ≥ 1 is a compile-time constant.
+def _pairs_expr(window: int) -> str:
+    return (
+        f"flatten(transform(sequence(1, {window}), "
+        "d -> transform(slice(_t, d + 1, greatest(size(_t) - d, 0)), "
+        "(w, i) -> struct(element_at(_t, i + 1) AS w1, w AS w2))))"
+    )
+
+
+def _n_pairs_sql(d: Dialect, window: int, n: str) -> str:
+    """Closed-form Σ_{d=1..W} max(n-d, 0): W·n − W(W+1)/2 when n ≥ W,
+    else n(n−1)/2 — engine-identical integer arithmetic, no fold
+    (n(n−1) is always even, so the integer division is exact)."""
+    w = window
+    half = d.int_div(f"({n} * ({n} - 1))", "2")
+    return (
+        f"(CASE WHEN {n} >= {w} THEN {w} * {n} - {w * (w + 1) // 2} "
+        f"ELSE {half} END)"
+    )
 
 
 def _lift_sql(d: Dialect) -> str:
@@ -72,16 +90,27 @@ def pmi_bigrams(
     text_col: str = "text",
     min_count: int = 5,
     k: int = 20,
+    window: int = 1,
 ) -> DataFrame:
-    """Top-k adjacent word pairs by PMI lift:
-    (w1, w2, n_pair, n_w1, n_w2, lift_6dp, rank_n)."""
+    """Top-k ordered word pairs by PMI lift:
+    (w1, w2, n_pair, n_w1, n_w2, lift_6dp, rank_n).
+
+    ``window=1`` counts adjacent bigrams; ``window=W`` counts
+    directional skip-grams — (left, right) pairs at every token offset
+    1..W, the co-occurrence statistic word-embedding pipelines train
+    on.  Pair extraction stays a single flattened projection (W slices
+    of the same array), so cost grows ~W× in exploded rows, never in
+    plan shape."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
     base = (
         df.filter(F.col(text_col).isNotNull())
         .selectExpr(f"{_toks_sql(SPARK, text_col)} AS _t")
     )
+    n_pairs = _n_pairs_sql(SPARK, window, "size(_t)")
     tot = base.agg(
         F.expr("CAST(SUM(size(_t)) AS BIGINT)").alias("n_uni"),
-        F.expr("CAST(SUM(greatest(size(_t) - 1, 0)) AS BIGINT)").alias("n_bi"),
+        F.expr(f"CAST(SUM({n_pairs}) AS BIGINT)").alias("n_bi"),
     )
     uni = (
         base.select(F.explode("_t").alias("w"))
@@ -89,7 +118,7 @@ def pmi_bigrams(
         .agg(F.count("*").alias("n_w"))
     )
     bi = (
-        base.select(F.explode(F.expr(_BIGRAMS)).alias("p"))
+        base.select(F.explode(F.expr(_pairs_expr(window))).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_pair"))
@@ -119,22 +148,31 @@ def pmi_bigrams_oracle_sql(
     text_col: str = "text",
     min_count: int = 5,
     k: int = 20,
+    window: int = 1,
 ) -> str:
     """DuckDB twin of :func:`pmi_bigrams` from the same lift builder.
-    Bigrams come from two PARALLEL unnests of equal-length lists (the
-    cdc_chunk oracle precedent); range(1, len) is empty for 0/1-token
-    docs in DuckDB, mirroring the Spark slice guard."""
+    Pairs come from PARALLEL unnests of equal-length lists (the
+    cdc_chunk oracle precedent) — one UNION ALL block per offset d;
+    range(1, n+1-d) is empty for short docs, mirroring the Spark slice
+    guard."""
     toks = _toks_sql(d, text_col)
+    pair_blocks = "\n         UNION ALL\n         ".join(
+        f"SELECT unnest(list_transform(range(1, len(_t) + 1 - {o}), "
+        f"i -> _t[i])) AS w1,\n"
+        f"                unnest(list_transform(range(1, len(_t) + 1 - {o}), "
+        f"i -> _t[i + {o}])) AS w2\n"
+        f"         FROM tk"
+        for o in range(1, window + 1)
+    )
+    n_pairs = _n_pairs_sql(d, window, "len(_t)")
     return f"""WITH src AS ({table_sql}),
 tk AS (SELECT {toks} AS _t FROM src WHERE {text_col} IS NOT NULL),
 tot AS (SELECT CAST(SUM(len(_t)) AS BIGINT) AS n_uni,
-               CAST(SUM(greatest(len(_t) - 1, 0)) AS BIGINT) AS n_bi FROM tk),
+               CAST(SUM({n_pairs}) AS BIGINT) AS n_bi FROM tk),
 uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
         FROM (SELECT unnest(_t) AS w FROM tk) GROUP BY w),
 bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM (
-         SELECT unnest(list_transform(range(1, len(_t)), i -> _t[i])) AS w1,
-                unnest(list_transform(range(1, len(_t)), i -> _t[i + 1])) AS w2
-         FROM tk)
+         {pair_blocks})
        GROUP BY w1, w2 HAVING COUNT(*) >= {min_count}),
 scored AS (
   SELECT b.w1, b.w2, b.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,

@@ -3430,6 +3430,34 @@ def _pmi_bigrams_q() -> Q:
     )
 
 
+def _pmi_skipgram_q() -> Q:
+    """Directional skip-gram PMI (window=3): the co-occurrence
+    statistic word-embedding pipelines train on, same exact-rational
+    lift as the bigram query — pair totals use the closed-form
+    Σ max(n-d, 0) so B stays integer-exact.  Pair extraction is ONE
+    flattened projection (3 slices of the token array), cost ~W× rows,
+    identical plan shape."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.collocations import pmi_bigrams
+
+        t = load_tables(spark, sf_dir)
+        return pmi_bigrams(
+            parallelize(t["documents"]), "text",
+            min_count=PMI_MIN_COUNT, k=PMI_K, window=3,
+        )
+
+    from dar_spark.operators.collocations import pmi_bigrams_oracle_sql
+
+    return Q(
+        spark_fn,
+        pmi_bigrams_oracle_sql(
+            DUCKDB, "SELECT doc_id, text FROM documents", "text",
+            min_count=PMI_MIN_COUNT, k=PMI_K, window=3,
+        ),
+    )
+
+
 def _bm25_indexed_q() -> Q:
     """Inverted-index BM25 (operators/invindex): build the partitioned
     postings index (pt = pmod(hash(token), 64) partition dirs, dl
@@ -3593,6 +3621,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("join_explosion_events", _join_explosion_q()),
         ("bm25_index_append_search", _bm25_index_append_q()),
         ("phrase_merge_docs", _phrase_merge_q()),
+        ("pmi_skipgram_docs", _pmi_skipgram_q()),
     ]
 
 

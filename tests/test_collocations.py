@@ -222,3 +222,56 @@ def test_merge_phrases_edges(spark):
     assert out[3] == ("new_york", 2, 1)
     assert out[5] == ("york new", 2, 2)
     assert out[6] == ("new_york new_york new", 5, 3)
+
+
+def _skipgram_parity(spark, rows, window, min_count=1, k=100):
+    s = sorted(
+        tuple(r)
+        for r in pmi_bigrams(
+            _docs(spark, rows), "text", min_count=min_count, k=k,
+            window=window,
+        ).collect()
+    )
+    con = _duck_docs(rows)
+    o = sorted(
+        tuple(r)
+        for r in con.execute(
+            pmi_bigrams_oracle_sql(
+                DUCKDB, "SELECT doc_id, text FROM d", "text",
+                min_count=min_count, k=k, window=window,
+            )
+        ).fetchall()
+    )
+    assert s == o
+    return {(w1, w2): (c, lift) for (w1, w2, c, _, _, lift, _) in s}
+
+
+def test_skipgram_window_counts(spark):
+    rows = [(1, "a b c d"), (2, "a c")]
+    out = _skipgram_parity(spark, rows, window=2)
+    # window=2 over "a b c d": offsets 1 → (a,b)(b,c)(c,d); 2 → (a,c)(b,d)
+    # plus "a c" offset 1 → (a,c).  Directional: (c,a) never appears.
+    assert out[("a", "b")][0] == 1
+    assert out[("a", "c")][0] == 2
+    assert out[("b", "d")][0] == 1
+    assert ("c", "a") not in out
+    # short doc "a c" contributes only its offset-1 pair at window=2
+    out3 = _skipgram_parity(spark, [(1, "a c")], window=3)
+    assert out3 == {("a", "c"): out3[("a", "c")]}
+
+
+def test_skipgram_window1_equals_bigrams(spark):
+    rows = [(i, "x y z x y") for i in range(3)] + [(9, "z z")]
+    w1 = _skipgram_parity(spark, rows, window=1)
+    base = {
+        (r[0], r[1]): (r[2], r[5])
+        for r in _parity(spark, rows, min_count=1, k=100)
+    }
+    assert w1 == base
+
+
+def test_skipgram_edge_docs(spark):
+    out = _skipgram_parity(
+        spark, [(1, ""), (2, "solo"), (3, None), (4, "p q")], window=4
+    )
+    assert set(out) == {("p", "q")}
