@@ -1033,3 +1033,57 @@ def semdedup_prune(
         "cluster_id",
         F.when(F.col("_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
     )
+
+
+def drop_near_dups_keep_best(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "n_chars",
+    jaccard_threshold: float = 0.6,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dup removal with a QUALITY-AWARE representative: instead of
+    the min-id policy (``drop_near_dups``), every duplicate cluster
+    keeps its highest-``score_col`` member (ties → min id), the "keep
+    the best version" policy real training pipelines run — longest
+    document, highest quality score, newest crawl, whatever the score
+    encodes.  Output: (id, cluster_id, score) for every surviving doc;
+    untouched docs survive with cluster_id = their own id.
+
+    Scale shape: the rank window runs ONLY over docs that appear in a
+    duplicate cluster (inner join against the CC labels — pair-graph-
+    sized, not corpus-sized), compiled to WindowGroupLimit (partial
+    top-1 before the shuffle); the untouched majority of the corpus
+    passes through a broadcast-able anti-join with NO window and no
+    extra shuffle.  The min-id variant's plan, plus one bounded rank.
+    """
+    edges = minhash_lsh_pairs(
+        df, id_col, text_col,
+        jaccard_threshold=jaccard_threshold, **lsh_kwargs,
+    )
+    labels = connected_components(edges)
+    base = df.selectExpr(
+        f"{id_col} AS _id", f"CAST({score_col} AS BIGINT) AS _score"
+    )
+    in_cluster = base.join(
+        labels.select(F.col("node").alias("_id"), "cluster_id"), "_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_score"), F.asc("_id")
+    )
+    winners = (
+        in_cluster.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("_id", "cluster_id", "_score")
+    )
+    untouched = base.join(
+        labels.select(F.col("node").alias("_id")), "_id", "left_anti"
+    ).select("_id", F.col("_id").alias("cluster_id"), "_score")
+    return (
+        winners.unionByName(untouched)
+        .selectExpr(
+            f"_id AS {id_col}", "cluster_id",
+            f"_score AS {score_col}",
+        )
+    )

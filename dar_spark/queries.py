@@ -1244,6 +1244,50 @@ WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)"""
     return Q(spark_fn, oracle)
 
 
+def _dedup_keep_best_q() -> Q:
+    """Quality-aware near-dup removal (dedup.drop_near_dups_keep_best):
+    every duplicate cluster keeps its highest-score member instead of
+    the min-id one — the "keep the best version" policy real training
+    pipelines run (longest doc, best quality score, newest crawl).  The
+    score here is a synthetic deterministic quality ``(doc_id*37)%101``
+    so that within most triples the winner is NOT the min id, making
+    the policy observable under the value hash.  The oracle recomputes
+    pairs → connected components → rank-1-per-cluster in DuckDB."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dedup import drop_near_dups_keep_best
+
+        corpus = _corpus_df(spark, sf_dir).withColumn(
+            "quality", F.expr("(doc_id * 37) % 101")
+        )
+        return drop_near_dups_keep_best(
+            corpus, "doc_id", "text", score_col="quality",
+            jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
+        )
+
+    oracle = f"""WITH RECURSIVE {_minhash_pairs_ctes()},
+sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+        UNION SELECT doc_id_b, doc_id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.a AS node, reach.r FROM sym e JOIN reach ON reach.node = e.b
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+scored AS (SELECT doc_id, (doc_id * 37) % 101 AS quality FROM corpus),
+ranked AS (
+  SELECT s.doc_id, cc.cluster_id, s.quality,
+         ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY s.quality DESC, s.doc_id) AS rn
+  FROM scored s JOIN cc ON cc.node = s.doc_id)
+SELECT doc_id, cluster_id, quality FROM ranked WHERE rn = 1
+UNION ALL
+SELECT doc_id, doc_id AS cluster_id, quality FROM scored
+WHERE doc_id NOT IN (SELECT node FROM cc)"""
+    return Q(spark_fn, oracle)
+
+
 def _drift_q() -> Q:
     """Snapshot drift detection (operators/drift.py) with every drift
     kind induced: doubled quantity (mean_shift), 25% nulled discount
@@ -3622,6 +3666,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("bm25_index_append_search", _bm25_index_append_q()),
         ("phrase_merge_docs", _phrase_merge_q()),
         ("pmi_skipgram_docs", _pmi_skipgram_q()),
+        ("dedup_keep_best_docs", _dedup_keep_best_q()),
     ]
 
 

@@ -350,3 +350,40 @@ def test_semdedup_is_deterministic(spark):
     a = sorted(map(tuple, dedup.semdedup_prune(emb).collect()))
     b = sorted(map(tuple, dedup.semdedup_prune(emb.repartition(7)).collect()))
     assert a == b
+
+
+def test_keep_best_picks_highest_score_per_cluster(spark):
+    corpus = _dup_corpus(spark).filter("doc_id < 90").withColumn(
+        "quality", F.expr("(doc_id * 37) % 101")
+    )
+    out = dedup.drop_near_dups_keep_best(
+        corpus, "doc_id", "text", score_col="quality"
+    ).collect()
+    survivors = {r.doc_id: r for r in out}
+    # identical triples (base, base+1, base+2): exactly one survivor,
+    # and it is the max-quality member (ties -> min id)
+    for base in range(0, 90, 3):
+        members = [(((i * 37) % 101), -i) for i in range(base, base + 3)]
+        best = -max(members)[1]
+        in_cluster = [i for i in range(base, base + 3) if i in survivors]
+        assert in_cluster == [best], f"triple {base}: {in_cluster} != {best}"
+        assert survivors[best].quality == (best * 37) % 101
+    # min-id policy would have kept exactly the base ids; the score
+    # policy must differ somewhere or the test proves nothing
+    assert any(i % 3 != 0 for i in survivors)
+
+
+def test_keep_best_untouched_docs_survive_as_own_cluster(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].select(
+        "doc_id", "text", "n_chars"
+    ).filter("doc_id < 40")
+    out = dedup.drop_near_dups_keep_best(docs, "doc_id", "text")
+    rows = {r.doc_id: r for r in out.collect()}
+    # unique-text corpus: everything survives, each its own cluster
+    # (near-identical generated docs may still band together; allow
+    # only self-clusters OR genuine duplicate clusters)
+    assert len(rows) <= 40
+    for r in rows.values():
+        if r.cluster_id == r.doc_id:
+            continue
+        assert r.cluster_id in range(0, 40)
