@@ -105,6 +105,10 @@ __all__ = [
     "write_text_index",
     "append_to_text_index",
     "bm25_index_topk",
+    "drop_near_dups_keep_best",
+    "lsh_shard_router",
+    "dup_cluster_stats",
+    "filter_funnel",
 ]
 
 
@@ -286,4 +290,13 @@ def __getattr__(name):
         from dar_spark.operators import invindex as _ii
 
         return getattr(_ii, name)
+    if name in ("drop_near_dups_keep_best", "lsh_shard_router",
+                "dup_cluster_stats"):
+        from dar_spark.operators import dedup as _dd3
+
+        return getattr(_dd3, name)
+    if name == "filter_funnel":
+        from dar_spark.operators.funnel import filter_funnel
+
+        return filter_funnel
     raise AttributeError(f"module 'dar_spark' has no attribute {name!r}")

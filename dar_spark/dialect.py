@@ -195,6 +195,20 @@ class Dialect:
             return f"({x} << ({n}))"
         return f"shiftleft({x}, {n})"
 
+    def hex32(self, x: str) -> str:
+        """First 8 hex chars of md5(x) as a BIGINT in [0, 2^32) — the
+        deterministic portable hash behind routing / sampling / tie-break
+        decisions (one md5, identical in both engines).  ``x`` must be a
+        string expression (callers cast first)."""
+        if self.name == "duckdb":
+            return (
+                f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                f"list_transform(string_split(substr(md5({x}), 1, 8), ''), "
+                f"c -> CAST(CASE WHEN c >= '0' AND c <= '9' THEN ascii(c) - 48 "
+                f"ELSE ascii(c) - 87 END AS BIGINT))), (a, x) -> a * 16 + x)"
+            )
+        return f"CAST(conv(substr(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+
     def trim_ascii(self, x: str) -> str:
         """Strip ASCII spaces only — engine-identical, unlike bare
         ``trim()``: DuckDB's trim strips ALL unicode whitespace (U+00A0

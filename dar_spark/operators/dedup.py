@@ -1087,3 +1087,70 @@ def drop_near_dups_keep_best(
             f"_score AS {score_col}",
         )
     )
+
+
+def lsh_shard_router(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    shingle_n: int = 3,
+    n_bands: int = 2,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Shard router for SCALE-OUT near-dup detection: assign every doc
+    to the shard(s) of its LSH band keys, so that every candidate pair
+    the global banded self-join would find shares at least one shard —
+    a shard-local pair scan then finds exactly the global candidate set
+    while each shard runs as an independent, partition-local job (no
+    corpus-wide self-join shuffle; the 100 TB dedup becomes n_shards
+    embarrassingly-parallel jobs, e.g. one Spark job per shard dir of a
+    ``partitionBy("shard")`` write).
+
+    Guarantee: candidates share a full (band idx, band key), and shard
+    is a pure function of that pair, so co-location is by construction
+    — asserted against ``minhash_lsh_pairs`` in tests.
+
+    Docs with < shingle_n tokens emit no bands (they can never be LSH
+    candidates); they are routed by exact-text hash instead so exact
+    duplicates still co-locate.
+
+    Output: DISTINCT (id, shard), ≤ n_bands rows per doc.
+    """
+    sh = shingles(df, id_col, text_col, n=shingle_n)
+    bands = _bands_from_shingles(sh, id_col, n_bands, rows_per_band, id_col)
+    shard_of = lambda key: F.expr(  # noqa: E731
+        f"{SPARK.hex32(key)} % {n_shards}"
+    ).cast("int")
+    routed = bands.select(
+        id_col,
+        shard_of("CAST(bi AS STRING) || ':' || bk").alias("shard"),
+    ).distinct()
+    short = (
+        df.selectExpr(id_col, f"lower({text_col}) AS _t")
+        .filter(f"size(split(_t, ' ', -1)) < {shingle_n}")
+        .select(id_col, shard_of("_t").alias("shard"))
+    )
+    return routed.unionByName(short)
+
+
+def dup_cluster_stats(edges: DataFrame) -> DataFrame:
+    """Cluster-size histogram over near-dup clusters — the dedup-rate
+    report a pipeline run logs: for each duplicate-cluster size, how
+    many clusters have it and how many docs (and thus docs removable =
+    n_docs - n_clusters) they hold.  Input is the pair frame from any
+    of the pair finders; sizes come from ``connected_components``.
+
+    Tiny output (distinct sizes); the only corpus-scale work is the CC
+    labeling itself.  Output: (cluster_size, n_clusters, n_docs,
+    n_removable) ordered nowhere — callers sort.
+    """
+    labels = connected_components(edges)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        (F.sum("cluster_size") - F.count("*")).alias("n_removable"),
+    )

@@ -1,0 +1,71 @@
+"""Filter-cascade observability: a one-scan survival report.
+
+A training-data pipeline is a cascade of filters (length window →
+quality floor → stopword ceiling → lang gate → dedup …) and the first
+question about any run is "where did my data go?".  The naive answer —
+run each filter and ``count()`` — scans the corpus once PER STAGE.
+``filter_funnel`` computes the whole report in ONE scan: per-row
+cumulative pass flags (pure projections, whole-stage codegen), a single
+1-row conditional aggregate, then ``stack`` explodes the aggregate into
+one row per stage with no driver round-trip.  At 100 TB this is the
+difference between one pass and k passes.
+
+Stage semantics are SEQUENTIAL (each stage sees only the survivors of
+the previous one), matching how the filters actually compose; a NULL
+predicate counts as not-passing, like a WHERE clause.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.dialect import SPARK
+
+_STAGE_NAME = re.compile(r"^[a-z][a-z0-9_]*$")
+
+
+def filter_funnel(df: DataFrame, stages: list[tuple[str, str]]) -> DataFrame:
+    """Survival report for an ordered filter cascade.
+
+    ``stages`` is a list of (name, spark-SQL boolean predicate).  Output
+    is one row per stage: ``(stage_id, stage, n_in, n_out, drop_share)``
+    where ``n_in`` of stage *i* is ``n_out`` of stage *i-1* (stage 0
+    starts from the full row count) and ``drop_share`` is the half-up
+    6-dp share of ``n_in`` dropped at this stage (0.0 when ``n_in`` is
+    0 — an upstream stage already drained the corpus).
+    """
+    if not stages:
+        raise ValueError("filter_funnel needs at least one stage")
+    for name, _ in stages:
+        if not _STAGE_NAME.match(name):
+            raise ValueError(f"stage name {name!r} must be a simple identifier")
+
+    proj = df
+    for i, (_, pred) in enumerate(stages):
+        passed = F.when(F.expr(pred), F.lit(1)).otherwise(F.lit(0))
+        prev = F.col(f"_c{i - 1}") if i else F.lit(1)
+        proj = proj.withColumn(f"_c{i}", (prev * passed).cast("bigint"))
+    agg = proj.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.coalesce(F.sum(f"_c{i}"), F.lit(0)).cast("bigint").alias(f"_s{i}")
+            for i in range(len(stages))
+        ],
+    )
+    entries = []
+    for i, (name, _) in enumerate(stages):
+        n_in = "_n" if i == 0 else f"_s{i - 1}"
+        entries.append(f"{i}, '{name}', {n_in}, _s{i}")
+    out = agg.selectExpr(
+        f"stack({len(stages)}, {', '.join(entries)}) "
+        "AS (stage_id, stage, n_in, n_out)"
+    )
+    return out.withColumn(
+        "drop_share",
+        F.when(F.col("n_in") == 0, F.lit(0.0)).otherwise(
+            F.expr(SPARK.ratio_6dp("(n_in - n_out)", "n_in"))
+        ),
+    )

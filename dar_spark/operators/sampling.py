@@ -299,14 +299,7 @@ _RACE_HELPERS = ("_n", "_bl", "_m", "_z", "_z2")
 
 def _hex32_sql(d: Dialect, key: str) -> str:
     """First 8 hex chars of md5(key) as a BIGINT in [0, 2^32)."""
-    if d.name == "duckdb":
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform(string_split(substr(md5({d.cast_str(key)}), 1, 8), ''), "
-            f"c -> CAST(CASE WHEN c >= '0' AND c <= '9' THEN ascii(c) - 48 "
-            f"ELSE ascii(c) - 87 END AS BIGINT))), (a, x) -> a * 16 + x)"
-        )
-    return f"CAST(conv(substr(md5({d.cast_str(key)}), 1, 8), 16, 10) AS BIGINT)"
+    return d.hex32(d.cast_str(key))
 
 
 def _race_layers(d: Dialect, key: str, weight_col: str) -> list[tuple[str, str]]:

@@ -3637,6 +3637,123 @@ def _join_explosion_q() -> Q:
     )
 
 
+def _filter_funnel_q() -> Q:
+    """One-scan filter-cascade survival report (operators/funnel.py):
+    the quality_filter_docs recipe split into its three sequential
+    stages, with per-stage n_in/n_out/drop_share — the "where did my
+    data go" table a pipeline run logs, computed in ONE corpus scan
+    (cumulative pass flags → one conditional aggregate → stack)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import quality_score_sql, stopword_ratio_sql
+        from dar_spark.operators.funnel import filter_funnel
+
+        t = load_tables(spark, sf_dir)
+        docs = parallelize(t["documents"]).select("doc_id", "text")
+        return filter_funnel(docs, [
+            ("token_window",
+             "size(split(trim(text), ' ', -1)) BETWEEN 20 AND 100000"),
+            ("quality_floor", f"{quality_score_sql(SPARK, 'text')} >= 0.5"),
+            ("stopword_ceiling",
+             f"{stopword_ratio_sql(SPARK, 'text')} <= 0.2"),
+        ])
+
+    from dar_spark.functions.text import quality_score_sql, stopword_ratio_sql
+
+    tok = "len(string_split(trim(text, ' '), ' '))"
+    q = quality_score_sql(DUCKDB, "text")
+    sw = stopword_ratio_sql(DUCKDB, "text")
+    share = lambda n_in, n_out: (  # noqa: E731
+        f"CASE WHEN {n_in} = 0 THEN 0.0 "
+        f"ELSE {DUCKDB.ratio_6dp(f'({n_in} - {n_out})', n_in)} END"
+    )
+    oracle = f"""WITH f AS (SELECT
+  CASE WHEN {tok} BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS p0,
+  CASE WHEN {q} >= 0.5 THEN 1 ELSE 0 END AS p1,
+  CASE WHEN {sw} <= 0.2 THEN 1 ELSE 0 END AS p2
+FROM documents),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(p0), 0) AS BIGINT) AS s0,
+             CAST(COALESCE(SUM(p0 * p1), 0) AS BIGINT) AS s1,
+             CAST(COALESCE(SUM(p0 * p1 * p2), 0) AS BIGINT) AS s2
+      FROM f)
+SELECT 0 AS stage_id, 'token_window' AS stage, n AS n_in, s0 AS n_out,
+       {share('n', 's0')} AS drop_share FROM a
+UNION ALL
+SELECT 1, 'quality_floor', s0, s1, {share('s0', 's1')} FROM a
+UNION ALL
+SELECT 2, 'stopword_ceiling', s1, s2, {share('s1', 's2')} FROM a"""
+    return Q(spark_fn, oracle)
+
+
+N_ROUTER_SHARDS = 8
+
+
+def _shard_router_q() -> Q:
+    """LSH band → shard routing (dedup.lsh_shard_router): the scale-out
+    plan for 100 TB near-dup detection — co-locate every LSH candidate
+    pair in at least one of n independent shards so dedup runs as n
+    partition-local jobs instead of one corpus-wide self-join.  The
+    oracle recomputes band keys and the identical md5-based shard hash."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dedup import lsh_shard_router
+
+        return lsh_shard_router(
+            _corpus_df(spark, sf_dir), "doc_id", "text",
+            n_shards=N_ROUTER_SHARDS,
+        )
+
+    n = N_ROUTER_SHARDS
+    band_shard = DUCKDB.hex32("CAST(bi AS VARCHAR) || ':' || bk")
+    text_shard = DUCKDB.hex32("lower(text)")
+    oracle = f"""WITH {_minhash_pairs_ctes()},
+br AS (SELECT doc_id, 0 AS bi, b0 AS bk FROM bands
+       UNION ALL SELECT doc_id, 1, b1 FROM bands),
+routed AS (SELECT DISTINCT doc_id,
+                  CAST({band_shard} % {n} AS INT) AS shard FROM br),
+short AS (SELECT doc_id, CAST({text_shard} % {n} AS INT) AS shard
+          FROM corpus WHERE len(string_split(lower(text), ' ')) < 3)
+SELECT doc_id, shard FROM routed
+UNION ALL SELECT doc_id, shard FROM short"""
+    return Q(spark_fn, oracle)
+
+
+def _dup_cluster_stats_q() -> Q:
+    """Cluster-size histogram over the near-dup clusters
+    (dedup.dup_cluster_stats) — the dedup-rate report: per duplicate-
+    cluster size, how many clusters / docs / removable docs.  The
+    oracle recomputes pairs → recursive CC → the same two-level
+    aggregation."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dedup import dup_cluster_stats, minhash_lsh_pairs
+
+        edges = minhash_lsh_pairs(
+            _corpus_df(spark, sf_dir), "doc_id", "text",
+            jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
+        )
+        return dup_cluster_stats(edges)
+
+    oracle = f"""WITH RECURSIVE {_minhash_pairs_ctes()},
+sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+        UNION SELECT doc_id_b, doc_id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.a AS node, reach.r FROM sym e JOIN reach ON reach.node = e.b
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM cc GROUP BY cluster_id)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_removable
+FROM sizes GROUP BY cluster_size"""
+    return Q(spark_fn, oracle)
+
+
 def _round6_queries() -> list[tuple[str, Q]]:
     """Queries added in round 6 — right after the never-checked pair so
     they land inside the external verification window."""
@@ -3667,6 +3784,9 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("phrase_merge_docs", _phrase_merge_q()),
         ("pmi_skipgram_docs", _pmi_skipgram_q()),
         ("dedup_keep_best_docs", _dedup_keep_best_q()),
+        ("filter_funnel_docs", _filter_funnel_q()),
+        ("dedup_shard_router_docs", _shard_router_q()),
+        ("dup_cluster_stats_docs", _dup_cluster_stats_q()),
     ]
 
 

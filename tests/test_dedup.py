@@ -387,3 +387,47 @@ def test_keep_best_untouched_docs_survive_as_own_cluster(spark):
         if r.cluster_id == r.doc_id:
             continue
         assert r.cluster_id in range(0, 40)
+
+
+def test_shard_router_colocates_every_candidate_pair(spark):
+    corpus = _dup_corpus(spark).filter("doc_id < 120")
+    shards = {}
+    for r in dedup.lsh_shard_router(corpus, "doc_id", "text", n_shards=4).collect():
+        shards.setdefault(r.doc_id, set()).add(r.shard)
+    # every doc is routed, to at most n_bands shards
+    assert set(shards) == {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert all(1 <= len(s) <= 2 for s in shards.values())
+    # co-location guarantee: every LSH candidate pair shares >= 1 shard
+    pairs = dedup.minhash_lsh_pairs(corpus, "doc_id", "text").collect()
+    assert pairs, "fixture must produce candidate pairs"
+    for p in pairs:
+        assert shards[p.doc_id_a] & shards[p.doc_id_b], (
+            f"pair ({p.doc_id_a}, {p.doc_id_b}) not co-located"
+        )
+
+
+def test_shard_router_short_docs_route_by_exact_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "hi there"), (2, "hi there"), (3, "bye"),
+         (4, "a much longer document with plenty of tokens inside")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r.shard for r in
+           dedup.lsh_shard_router(docs, "doc_id", "text", n_shards=16).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # exact dups among short docs land on the same shard
+    assert out[1] == out[2]
+
+
+def test_dup_cluster_stats_accounts_for_every_labeled_doc(spark):
+    corpus = _dup_corpus(spark).filter("doc_id < 90")
+    edges = dedup.minhash_lsh_pairs(corpus, "doc_id", "text")
+    stats = dedup.dup_cluster_stats(edges).collect()
+    labeled = dedup.connected_components(edges).count()
+    assert sum(r.n_docs for r in stats) == labeled
+    for r in stats:
+        assert r.cluster_size >= 2          # clusters are dup groups
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_removable == r.n_docs - r.n_clusters
+    # identical triples dominate the fixture: size-3 clusters exist
+    assert any(r.cluster_size == 3 for r in stats)

@@ -1,0 +1,62 @@
+"""filter_funnel (operators/funnel.py) semantics tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from dar_spark.operators.funnel import filter_funnel
+
+
+def _rows(df):
+    return {r.stage: r for r in df.collect()}
+
+
+def test_funnel_sequential_counts(spark):
+    df = spark.range(100).selectExpr("id", "id % 10 AS d")
+    out = _rows(filter_funnel(df, [
+        ("evens", "id % 2 = 0"),          # 50 survive
+        ("small_digit", "d < 6"),         # evens with d in {0,2,4} -> 30
+        ("nonzero", "id > 0"),            # drops id=0 -> 29
+    ]))
+    assert (out["evens"].n_in, out["evens"].n_out) == (100, 50)
+    assert (out["small_digit"].n_in, out["small_digit"].n_out) == (50, 30)
+    assert (out["nonzero"].n_in, out["nonzero"].n_out) == (30, 29)
+    assert out["evens"].drop_share == 0.5
+    assert out["small_digit"].drop_share == 0.4
+    # stage ids are the declaration order
+    assert [out[s].stage_id for s in ("evens", "small_digit", "nonzero")] == [0, 1, 2]
+
+
+def test_funnel_null_predicate_counts_as_drop(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "id INT, s STRING"
+    )
+    out = _rows(filter_funnel(df, [("has_s", "length(s) > 0")]))
+    assert (out["has_s"].n_in, out["has_s"].n_out) == (3, 2)
+
+
+def test_funnel_drained_stage_reports_zero_share(spark):
+    df = spark.range(10)
+    out = _rows(filter_funnel(df, [
+        ("none", "id < 0"),
+        ("after_drain", "id % 2 = 0"),
+    ]))
+    assert (out["none"].n_in, out["none"].n_out) == (10, 0)
+    assert out["none"].drop_share == 1.0
+    assert (out["after_drain"].n_in, out["after_drain"].n_out) == (0, 0)
+    assert out["after_drain"].drop_share == 0.0
+
+
+def test_funnel_empty_input(spark):
+    df = spark.range(0)
+    out = _rows(filter_funnel(df, [("any", "id > 0")]))
+    assert (out["any"].n_in, out["any"].n_out) == (0, 0)
+    assert out["any"].drop_share == 0.0
+
+
+def test_funnel_rejects_bad_stage_names(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        filter_funnel(df, [("bad name'", "id > 0")])
+    with pytest.raises(ValueError):
+        filter_funnel(df, [])

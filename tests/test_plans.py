@@ -260,3 +260,23 @@ def test_round6_fifth_wave_plan_shapes(spark):
         default=-1,
     )
     assert first_join >= 0 and "HashAggregate" in p
+
+
+def test_round6_sixth_wave_plan_shapes(spark):
+    """Keep-best dedup / funnel / shard router scale guards."""
+    # funnel: ONE scan of the corpus — cumulative flags are projections
+    # feeding a single partial+final aggregate pair; no join, no window
+    p = _executed(spark, "filter_funnel_docs").split("== Initial Plan ==")[0]
+    assert p.count("FileScan") == 1, "funnel must scan the corpus exactly once"
+    assert "Join" not in p and "Window" not in p
+    # shard router: bands + short-doc fallback are a UNION of two
+    # branches over projections — the only joins in the plan are the
+    # fixture's broadcast corpus-builder, never a routing shuffle join
+    p = _executed(spark, "dedup_shard_router_docs")
+    assert "Union" in p
+    assert "SortMergeJoin" not in p and "Window" not in p
+    # keep-best: the rank window runs AFTER an (inner) join against the
+    # cluster labels — i.e. over pair-graph-sized input — and is a
+    # partial top-1 (WindowGroupLimit), not a full sort-rank
+    p = _executed(spark, "dedup_keep_best_docs")
+    assert "WindowGroupLimit" in p
