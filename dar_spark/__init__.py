@@ -109,6 +109,7 @@ __all__ = [
     "lsh_shard_router",
     "dup_cluster_stats",
     "filter_funnel",
+    "extend_clusters",
 ]
 
 
@@ -291,7 +292,7 @@ def __getattr__(name):
 
         return getattr(_ii, name)
     if name in ("drop_near_dups_keep_best", "lsh_shard_router",
-                "dup_cluster_stats"):
+                "dup_cluster_stats", "extend_clusters"):
         from dar_spark.operators import dedup as _dd3
 
         return getattr(_dd3, name)

@@ -289,3 +289,63 @@ class Dialect:
 
 SPARK = Dialect("spark")
 DUCKDB = Dialect("duckdb")
+
+
+# --- shared software ln --------------------------------------------------
+# libm ln() is NOT cross-engine bit-identical: JVM Math.log guarantees
+# only <= 1 ulp (semi-monotonic), DuckDB uses the platform libm — on the
+# same double argument the two can differ in the last bit, which a
+# value-hash oracle sees (the PSI fuzz found a 3x5-row falsifying
+# example).  Every ln in an oracle-paired operator therefore goes
+# through THIS shared formulation — basic IEEE ops only (+ - * /), each
+# exactly rounded and hence engine-identical, the same pattern as the
+# weighted-sampling race score (operators/sampling.py):
+#
+#   n (positive BIGINT) = m · 2^(bl-1),  m = n / 2^(bl-1) ∈ [1, 2)
+#   ln n = (bl-1)·ln2 + ln m,   ln m = 2·atanh(z), z = (m-1)/(m+1)
+#
+# z ∈ [0, 1/3), so the 7-term odd series truncates below 1e-8 absolute —
+# far beyond any monitoring-score need; parity needs only that both
+# engines compute the SAME function, which pure arithmetic guarantees.
+# Every non-integer constant is CAST to DOUBLE explicitly: a bare
+# decimal literal is DECIMAL-typed in both engines, and whether an
+# engine multiplies exactly in decimal THEN converts, or converts THEN
+# multiplies in double, shifts the result by 1-2 ulp.
+def dlit(x: str) -> str:
+    return f"CAST({x} AS DOUBLE)"
+
+
+LN2 = dlit("0.6931471805599453")
+
+
+def lnm_series(z: str, z2: str) -> str:
+    """ln(m) for m ∈ [1, 2) from precomputed z=(m-1)/(m+1), z2=z·z."""
+    return (
+        f"({dlit('2.0')} * {z} * ({dlit('1.0')} + {z2} * "
+        f"({dlit('0.3333333333333333')} + {z2} * ({dlit('0.2')} + "
+        f"{z2} * ({dlit('0.14285714285714285')} + {z2} * "
+        f"({dlit('0.1111111111111111')} + {z2} * "
+        f"({dlit('0.09090909090909091')} + {z2} * "
+        f"{dlit('0.07692307692307693')})))))))"
+    )
+
+
+def ln_bigint_layers(d: Dialect, prefix: str, n_expr: str) -> list[tuple[str, str]]:
+    """(column, expression) layers computing ``{prefix}_ln`` = ln of a
+    POSITIVE BIGINT expression.  Layered so each piece (bit length,
+    mantissa, z, z²) is evaluated once per row; callers chain them as
+    projections (Spark ``withColumn`` / DuckDB nested SELECTs)."""
+    p = prefix
+    pow2 = d.shl("CAST(1 AS BIGINT)", f"({p}_bl - 1)")
+    return [
+        (f"{p}_n", f"CAST({n_expr} AS BIGINT)"),
+        (f"{p}_bl", f"length(bin({p}_n))"),
+        (f"{p}_m", f"(CAST({p}_n AS DOUBLE) / CAST({pow2} AS DOUBLE))"),
+        (f"{p}_z", f"(({p}_m - {dlit('1.0')}) / ({p}_m + {dlit('1.0')}))"),
+        (f"{p}_z2", f"({p}_z * {p}_z)"),
+        (
+            f"{p}_ln",
+            f"(CAST(({p}_bl - 1) AS DOUBLE) * {LN2} + "
+            f"{lnm_series(f'{p}_z', f'{p}_z2')})",
+        ),
+    ]

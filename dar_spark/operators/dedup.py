@@ -1154,3 +1154,51 @@ def dup_cluster_stats(edges: DataFrame) -> DataFrame:
         F.sum("cluster_size").alias("n_docs"),
         (F.sum("cluster_size") - F.count("*")).alias("n_removable"),
     )
+
+
+def extend_clusters(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_iter: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Incremental cluster MAINTENANCE: fold a batch of new near-dup
+    edges into existing ``connected_components`` labels without
+    re-clustering the full pair graph — the label-side completion of
+    the incremental-dedup story (``minhash_pairs_against`` /
+    ``dedup_against_index`` find the batch's edges in O(batch); this
+    folds them into the standing cluster assignment in O(batch +
+    touched clusters)).
+
+    How: each EXISTING cluster is compressed to a star (node →
+    cluster_id edges, diameter 2), so only the clusters touched by a
+    new-edge endpoint re-enter the CC loop, together with the new
+    edges; untouched clusters pass through a broadcast-able anti-join
+    unchanged.  Labels are min-node ids, and min over a merged
+    component equals min over its parts, so the result is IDENTICAL to
+    re-running CC over (old edges ∪ new edges) — asserted by the
+    registry oracle (`dedup_clusters_incremental`) and tests.
+
+    Output: (node, cluster_id) for every node in the old labels or the
+    new edges.
+    """
+    ends = (
+        new_edges.selectExpr(f"{src} AS node")
+        .unionByName(new_edges.selectExpr(f"{dst} AS node"))
+        .distinct()
+    )
+    touched = labels.join(ends, "node").select("cluster_id").distinct()
+    affected = labels.join(touched, "cluster_id")
+    star = affected.selectExpr("node AS doc_id_a", "cluster_id AS doc_id_b")
+    merged = star.unionByName(
+        new_edges.selectExpr(f"{src} AS doc_id_a", f"{dst} AS doc_id_b")
+    )
+    relabeled = connected_components(
+        merged, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    )
+    untouched = labels.join(touched, "cluster_id", "left_anti")
+    return untouched.select("node", "cluster_id").unionByName(
+        relabeled.select("node", "cluster_id")
+    )

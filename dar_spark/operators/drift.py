@@ -21,7 +21,38 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dar_spark.dialect import SPARK as _SPARK
+from dar_spark.dialect import Dialect, ln_bigint_layers
 from dar_spark.operators.summarize import summarize
+
+
+def _psi_term_layers(
+    d: Dialect, n_bins: int, co: str = "co", cn: str = "cn"
+) -> list[tuple[str, str]]:
+    """(column, expression) layers computing the per-bin PSI term
+    ``_term = (p - q) · ln(p/q)`` with Laplace-smoothed shares
+    p = (co+1)/(t_old+B), q = (cn+1)/(t_new+B) — and ln taken through
+    the dialect's ARITHMETIC-ONLY formulation (``ln_bigint_layers``),
+    never libm: JVM Math.log and DuckDB's libm are each ≤1 ulp but not
+    correctly rounded, and the PSI fuzz found real falsifying inputs.
+    Each ln argument is an exact positive BIGINT (the smoothed ratio is
+    decomposed as ln(co+1) − ln(t_old+B) − ln(cn+1) + ln(t_new+B) with
+    fixed parenthesization), so every step is engine-identical."""
+    layers: list[tuple[str, str]] = []
+    for p, n in (
+        ("_lco", f"({co} + 1)"),
+        ("_lto", f"(t_old + {n_bins})"),
+        ("_lcn", f"({cn} + 1)"),
+        ("_ltn", f"(t_new + {n_bins})"),
+    ):
+        layers += ln_bigint_layers(d, p, n)
+    layers.append((
+        "_term",
+        f"((CAST({co} + 1 AS DOUBLE) / CAST(t_old + {n_bins} AS DOUBLE) "
+        f"- CAST({cn} + 1 AS DOUBLE) / CAST(t_new + {n_bins} AS DOUBLE)) "
+        f"* ((_lco_ln - _lto_ln) - (_lcn_ln - _ltn_ln)))",
+    ))
+    return layers
 
 
 @dataclass
@@ -212,11 +243,13 @@ def psi_drift(
     new-snapshot values outside it clamp into the edge bins (that mass
     movement IS drift, so it must count).  Shares are Laplace-smoothed,
     (cnt_i + 1)/(n + n_bins), so empty bins never produce ln(0), and
-    every arithmetic step is a ratio of exact integers or ln() of their
-    quotient — engine-identical, and the final Σ is a left fold over
-    the bin-sorted term array (never a SUM aggregate, whose addition
-    order differs per engine).  One row out:
-    (n_old, n_new, psi, drifted).
+    every arithmetic step is a ratio of exact integers or an
+    ARITHMETIC-ONLY ln of an exact integer (``_psi_term_layers`` —
+    libm ln is ≤1-ulp-but-not-correctly-rounded in both engines and
+    the fuzz found real divergent inputs; series ln is bit-identical,
+    within ~1e-8 of libm).  The final Σ is a left fold over the
+    bin-sorted term array (never a SUM aggregate, whose addition order
+    differs per engine).  One row out: (n_old, n_new, psi, drifted).
 
     Scale shape: two map-side-combinable passes over each snapshot
     (min/max on the reference, bin counts on both) and a ≤ n_bins-row
@@ -225,26 +258,25 @@ def psi_drift(
     (``_ref_binned_hists``, shared with :func:`ks_drift`).
     """
     merged = _ref_binned_hists(old, new, value_col, n_bins)
-    term = (
-        "(CAST(s.c_old + 1 AS DOUBLE) / CAST(t_old + {b} AS DOUBLE) "
-        " - CAST(s.c_new + 1 AS DOUBLE) / CAST(t_new + {b} AS DOUBLE)) * "
-        "ln((CAST(s.c_old + 1 AS DOUBLE) / CAST(t_old + {b} AS DOUBLE)) "
-        "  / (CAST(s.c_new + 1 AS DOUBLE) / CAST(t_new + {b} AS DOUBLE)))"
-    ).format(b=n_bins)
+    totals = merged.groupBy().agg(
+        F.expr("SUM(c_old)").cast("bigint").alias("t_old"),
+        F.expr("SUM(c_new)").cast("bigint").alias("t_new"),
+    )
+    rows = merged.crossJoin(F.broadcast(totals))
+    for col, expr in _psi_term_layers(_SPARK, n_bins, "c_old", "c_new"):
+        rows = rows.withColumn(col, F.expr(expr))
     return (
-        merged.groupBy()
+        rows.groupBy()
         .agg(
-            F.expr("SUM(c_old)").cast("bigint").alias("t_old"),
-            F.expr("SUM(c_new)").cast("bigint").alias("t_new"),
-            F.expr(
-                "sort_array(collect_list(struct(bin, c_old, c_new)))"
-            ).alias("_bins"),
+            F.expr("MAX(t_old)").alias("n_old"),
+            F.expr("MAX(t_new)").alias("n_new"),
+            F.expr("sort_array(collect_list(struct(bin, _term)))").alias("_tb"),
         )
         .select(
-            F.col("t_old").alias("n_old"),
-            F.col("t_new").alias("n_new"),
+            "n_old",
+            "n_new",
             F.expr(
-                f"aggregate(_bins, CAST(0 AS DOUBLE), (a, s) -> a + {term})"
+                "aggregate(_tb, CAST(0 AS DOUBLE), (a, s) -> a + s._term)"
             ).alias("psi"),
         )
         .withColumn("drifted", F.expr("CAST(psi >= 0.2 AS INT)"))
@@ -263,12 +295,13 @@ def psi_drift_oracle_sql(
     from dar_spark.operators.sketch import quantile_hist_exprs
 
     idx, _ = quantile_hist_exprs(d, "_x", n_bins)
-    term = (
-        "(CAST(s.c_old + 1 AS DOUBLE) / CAST(t_old + {b} AS DOUBLE) "
-        " - CAST(s.c_new + 1 AS DOUBLE) / CAST(t_new + {b} AS DOUBLE)) * "
-        "ln((CAST(s.c_old + 1 AS DOUBLE) / CAST(t_old + {b} AS DOUBLE)) "
-        "  / (CAST(s.c_new + 1 AS DOUBLE) / CAST(t_new + {b} AS DOUBLE)))"
-    ).format(b=n_bins)
+    layer_ctes, prev = [], "l0"
+    for i, (col, expr) in enumerate(
+        _psi_term_layers(d, n_bins, "c_old", "c_new"), 1
+    ):
+        layer_ctes.append(f"l{i} AS (SELECT *, {expr} AS {col} FROM {prev})")
+        prev = f"l{i}"
+    layers_sql = ",\n".join(layer_ctes)
     return f"""WITH oldt AS ({old_sql}), newt AS ({new_sql}),
 vo AS (SELECT CAST({value} AS DOUBLE) AS _x FROM oldt
        WHERE {value} IS NOT NULL AND isfinite(CAST({value} AS DOUBLE))),
@@ -286,19 +319,21 @@ grid AS (SELECT CAST(range AS INT) AS bin FROM range(0, {n_bins})),
 merged AS (
   SELECT g.bin, COALESCE(ho.c_old, 0) AS c_old, COALESCE(hn.c_new, 0) AS c_new
   FROM grid g LEFT JOIN ho ON ho.bin = g.bin LEFT JOIN hn ON hn.bin = g.bin),
+tot AS (SELECT CAST(SUM(c_old) AS BIGINT) AS t_old,
+               CAST(SUM(c_new) AS BIGINT) AS t_new
+        FROM merged),
+l0 AS (SELECT * FROM merged CROSS JOIN tot),
+{layers_sql},
 packed AS (
-  SELECT CAST(SUM(c_old) AS BIGINT) AS t_old,
-         CAST(SUM(c_new) AS BIGINT) AS t_new,
-         list(struct_pack(bin := bin, c_old := c_old, c_new := c_new)
-              ORDER BY bin) AS _bins
-  FROM merged)
-SELECT t_old AS n_old, t_new AS n_new,
-       list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         list_transform(_bins, s -> {term})), (a, x) -> a + x) AS psi,
-       CAST((list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         list_transform(_bins, s -> {term})), (a, x) -> a + x)) >= 0.2
-         AS INT) AS drifted
-FROM packed"""
+  SELECT MAX(t_old) AS n_old, MAX(t_new) AS n_new,
+         list(struct_pack(bin := bin, t := _term) ORDER BY bin) AS _tb
+  FROM {prev}),
+fin AS (
+  SELECT n_old, n_new,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(_tb, s -> s.t)), (a, x) -> a + x) AS psi
+  FROM packed)
+SELECT n_old, n_new, psi, CAST(psi >= 0.2 AS INT) AS drifted FROM fin"""
 
 
 def psi_report(
@@ -466,13 +501,12 @@ def psi_between_bins(
             f"coalesce(element_at(map_from_entries({src}), i), CAST(0 AS BIGINT)))"
         )
 
-    term = (
-        "(CAST(co + 1 AS DOUBLE) / CAST(t_old + {b} AS DOUBLE) "
-        " - CAST(cn + 1 AS DOUBLE) / CAST(t_new + {b} AS DOUBLE)) * "
-        "ln((CAST(co + 1 AS DOUBLE) / CAST(t_old + {b} AS DOUBLE)) "
-        "  / (CAST(cn + 1 AS DOUBLE) / CAST(t_new + {b} AS DOUBLE)))"
-    ).format(b=n_bins)
-    return (
+    # explode the dense grids back to (group, bin, co, cn) rows so the
+    # arithmetic-ln layers (see _psi_term_layers — libm ln is not
+    # cross-engine bit-identical) can be per-row projections; the frame
+    # is ≤ n_bins rows per group, so the explode+regroup is tiny and
+    # the fold stays the same bin-ordered left fold as psi_drift
+    rows = (
         b.crossJoin(F.broadcast(a))
         .withColumn("_da", F.expr(dense("_ba")))
         .withColumn("_db", F.expr(dense("_bb")))
@@ -480,9 +514,30 @@ def psi_between_bins(
             *gc,
             "t_old",
             "t_new",
+            F.posexplode(
+                F.expr("zip_with(_da, _db, (co, cn) -> struct(co, cn))")
+            ).alias("bin", "_cc"),
+        )
+        .select(
+            *gc, "t_old", "t_new", "bin",
+            F.col("_cc.co").alias("co"), F.col("_cc.cn").alias("cn"),
+        )
+    )
+    for col, expr in _psi_term_layers(_SPARK, n_bins, "co", "cn"):
+        rows = rows.withColumn(col, F.expr(expr))
+    return (
+        rows.groupBy(*gc)
+        .agg(
+            F.expr("MAX(t_old)").alias("t_old"),
+            F.expr("MAX(t_new)").alias("t_new"),
+            F.expr("sort_array(collect_list(struct(bin, _term)))").alias("_tb"),
+        )
+        .select(
+            *gc,
+            "t_old",
+            "t_new",
             F.expr(
-                "aggregate(zip_with(_da, _db, (co, cn) -> "
-                f"{term}), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                "aggregate(_tb, CAST(0 AS DOUBLE), (a, s) -> a + s._term)"
             ).alias("psi"),
         )
         .withColumn("drifted", F.expr("CAST(psi >= 0.2 AS INT)"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dar_spark.dialect import SPARK, Dialect
+from dar_spark.dialect import LN2, SPARK, Dialect, dlit, lnm_series
 
 N_BUCKETS = 10000
 
@@ -275,25 +275,12 @@ def group_sample_k_sql(
 # score is emitted UNROUNDED — with a deterministic score there is
 # nothing for a final round() to absorb, only 7th-digit-half divergence
 # for it to introduce.
-# Every non-integer constant is CAST to DOUBLE explicitly: a bare
-# decimal literal is DECIMAL-typed in both engines, and whether an
-# engine multiplies exactly in decimal THEN converts, or converts THEN
-# multiplies in double, shifts the result by 1-2 ulp (caught by the
-# bit-identity property test for ln2 · small-int).  Forcing DOUBLE
-# makes both engines take the convert-then-multiply path.
-def _dlit(x: str) -> str:
-    return f"CAST({x} AS DOUBLE)"
-
-
-_LN2 = _dlit("0.6931471805599453")
-_LNM_SERIES = (
-    f"({_dlit('2.0')} * _z * ({_dlit('1.0')} + _z2 * "
-    f"({_dlit('0.3333333333333333')} + _z2 * ({_dlit('0.2')} + "
-    f"_z2 * ({_dlit('0.14285714285714285')} + _z2 * "
-    f"({_dlit('0.1111111111111111')} + _z2 * "
-    f"({_dlit('0.09090909090909091')} + _z2 * "
-    f"{_dlit('0.07692307692307693')})))))))"
-)
+# The arithmetic-ln machinery (dlit / LN2 / lnm_series) lives in
+# dar_spark.dialect so the drift scores share the identical series; the
+# local aliases keep this module's race layers byte-stable.
+_dlit = dlit
+_LN2 = LN2
+_LNM_SERIES = lnm_series("_z", "_z2")
 _RACE_HELPERS = ("_n", "_bl", "_m", "_z", "_z2")
 
 

@@ -835,6 +835,48 @@ SELECT node, min(r) AS cluster_id FROM reach GROUP BY node"""
     return Q(spark_fn, oracle)
 
 
+CLUSTER_BATCH_PRED = "doc_id_a % 5 = 4 OR doc_id_b % 5 = 4"
+
+
+def _clusters_incremental_q() -> Q:
+    """Incremental cluster maintenance (dedup.extend_clusters): edges
+    touching a ``doc_id % 5 = 4`` endpoint arrive as a LATER batch; the
+    base labels are clustered first, then the batch is folded in by
+    re-clustering only the touched clusters' star edges + new edges.
+    The oracle is full CC over ALL edges — the value hash asserts
+    extend == full recompute."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dedup import (
+            connected_components,
+            extend_clusters,
+            minhash_lsh_pairs,
+        )
+
+        edges = minhash_lsh_pairs(
+            _corpus_df(spark, sf_dir), "doc_id", "text",
+            jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
+        )
+        # the pair frame feeds both the base and the batch split: cache
+        # once, like the CC loop's own edge materialization
+        edges = edges.localCheckpoint(eager=False)
+        base = edges.filter(f"NOT ({CLUSTER_BATCH_PRED})")
+        batch = edges.filter(CLUSTER_BATCH_PRED)
+        return extend_clusters(connected_components(base), batch)
+
+    oracle = f"""WITH RECURSIVE {_minhash_pairs_ctes()},
+sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+        UNION SELECT doc_id_b, doc_id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.a AS node, reach.r FROM sym e JOIN reach ON reach.node = e.b
+)
+SELECT node, min(r) AS cluster_id FROM reach GROUP BY node"""
+    return Q(spark_fn, oracle)
+
+
 _HEX_HIGH = "('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')"
 
 
@@ -3787,6 +3829,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("filter_funnel_docs", _filter_funnel_q()),
         ("dedup_shard_router_docs", _shard_router_q()),
         ("dup_cluster_stats_docs", _dup_cluster_stats_q()),
+        ("dedup_clusters_incremental", _clusters_incremental_q()),
     ]
 
 

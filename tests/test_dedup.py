@@ -431,3 +431,65 @@ def test_dup_cluster_stats_accounts_for_every_labeled_doc(spark):
         assert r.n_removable == r.n_docs - r.n_clusters
     # identical triples dominate the fixture: size-3 clusters exist
     assert any(r.cluster_size == 3 for r in stats)
+
+
+def test_shard_local_dedup_equals_global(spark, tmp_path):
+    """The router's whole point: write the corpus once per shard, run
+    the pair finder INSIDE each shard independently, and the union of
+    shard-local pairs equals the global self-join's pairs — the 100 TB
+    dedup as n embarrassingly-parallel jobs."""
+    corpus = _dup_corpus(spark).filter("doc_id < 150")
+    n_shards = 4
+    routed = dedup.lsh_shard_router(corpus, "doc_id", "text", n_shards=n_shards)
+    # shard-partitioned copy of the corpus (docs duplicated into every
+    # shard they route to — ≤ n_bands× write amplification)
+    out = str(tmp_path / "sharded")
+    routed.join(corpus, "doc_id").write.partitionBy("shard").parquet(out)
+    local_pairs = set()
+    for shard in range(n_shards):
+        part = spark.read.parquet(f"{out}/shard={shard}")
+        if not part.head(1):
+            continue
+        local_pairs |= {
+            (r.doc_id_a, r.doc_id_b)
+            for r in dedup.minhash_lsh_pairs(part, "doc_id", "text").collect()
+        }
+    global_pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup.minhash_lsh_pairs(corpus, "doc_id", "text").collect()
+    }
+    assert local_pairs == global_pairs
+
+
+def test_extend_clusters_merges_and_passes_through(spark):
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5), (10, 10), (11, 10)],
+        "node BIGINT, cluster_id BIGINT",
+    )
+    # one edge merges clusters {1,2} and {5,6}; one attaches a brand-new
+    # node 7 to nothing old; cluster {10,11} is untouched
+    new_edges = spark.createDataFrame(
+        [(2, 5), (7, 8)], "doc_id_a BIGINT, doc_id_b BIGINT"
+    )
+    out = {r.node: r.cluster_id
+           for r in dedup.extend_clusters(labels, new_edges).collect()}
+    assert out == {1: 1, 2: 1, 5: 1, 6: 1, 10: 10, 11: 10, 7: 7, 8: 7}
+
+
+def test_extend_clusters_equals_full_recompute(spark):
+    corpus = _dup_corpus(spark).filter("doc_id < 150")
+    edges = dedup.minhash_lsh_pairs(corpus, "doc_id", "text")
+    edges = edges.localCheckpoint(eager=False)
+    base = edges.filter("doc_id_a % 5 != 4 AND doc_id_b % 5 != 4")
+    batch = edges.filter("doc_id_a % 5 = 4 OR doc_id_b % 5 = 4")
+    inc = sorted(
+        (r.node, r.cluster_id)
+        for r in dedup.extend_clusters(
+            dedup.connected_components(base), batch
+        ).collect()
+    )
+    full = sorted(
+        (r.node, r.cluster_id)
+        for r in dedup.connected_components(edges).collect()
+    )
+    assert inc == full and inc, "incremental must equal full recompute"
