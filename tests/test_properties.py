@@ -11,7 +11,7 @@
 from __future__ import annotations
 
 import duckdb
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from dar_spark.dialect import DUCKDB, SPARK
@@ -426,6 +426,10 @@ def test_bm25_cross_engine_bit_identity(spark, texts):
         min_size=0, max_size=40,
     ),
 )
+# the input that falsified libm-ln PSI (JVM Math.log vs DuckDB libm
+# disagreed in the last bit) — pinned so the arithmetic-ln fix stays
+# regression-guarded even with a fresh hypothesis database
+@example(old_vals=[1.1, -1.5, 3.0], new_vals=[0.0, 0.0, 1.0, 1.0, 1.0])
 def test_psi_and_ks_cross_engine_bit_identity(spark, old_vals, new_vals):
     """PSI and KS are the SAME doubles in both engines for arbitrary
     finite snapshots (including an empty new side): integer-ratio
