@@ -1,0 +1,120 @@
+"""Scale-out dedup lifecycle — how the 100 TB job is actually shaped:
+
+    filter-funnel observability → LSH shard routing →
+    shard-local pair finding → incremental cluster maintenance →
+    keep-the-best-version survivors → dedup-rate report
+
+    python examples/dedup_at_scale.py
+
+Each stage is the scale posture, demonstrated at fixture size: the
+router turns the corpus-wide banded self-join into n independent
+partition-local jobs (every LSH candidate pair co-locates in ≥1
+shard); a later batch's edges fold into the standing cluster labels by
+re-clustering ONLY the touched clusters (never the full pair graph);
+and the survivor policy keeps each cluster's best-scored member, not
+just the min id.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import dar_spark
+from dar_spark.operators.dedup import (
+    connected_components,
+    drop_near_dups_keep_best,
+    dup_cluster_stats,
+    extend_clusters,
+    lsh_shard_router,
+    minhash_lsh_pairs,
+)
+from dar_spark.operators.funnel import filter_funnel
+
+N_SHARDS = 4
+
+
+def main() -> None:
+    spark = dar_spark.get_session("example_dedup_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = dar_spark.load_tables(spark, "/root/testdata/sf0.001")["documents"]
+
+    # make duplicates observable at fixture size: triples share a text
+    rep = docs.select(
+        F.col("doc_id").alias("rep_id"), F.col("text").alias("rep_text")
+    )
+    corpus = (
+        docs.select("doc_id", F.expr("doc_id - doc_id % 3").alias("rep_id"),
+                    "n_chars")
+        .join(rep, "rep_id")
+        .select("doc_id", F.col("rep_text").alias("text"), "n_chars")
+    )
+
+    # 1. where does the data go?  One corpus scan for the whole report.
+    print("== filter funnel (one scan) ==")
+    funnel = filter_funnel(corpus, [
+        ("has_tokens", "size(split(trim(text), ' ', -1)) >= 5"),
+        ("not_too_long", "length(text) <= 100000"),
+    ])
+    for r in funnel.orderBy("stage_id").collect():
+        print(f"  {r.stage}: {r.n_in} -> {r.n_out} (drop {r.drop_share})")
+
+    # 2. route every doc to the shard(s) of its LSH band keys and write
+    #    the corpus partitioned by shard — from here each shard is an
+    #    INDEPENDENT dedup job (at 100 TB: one job per shard dir).
+    routed = lsh_shard_router(corpus, "doc_id", "text", n_shards=N_SHARDS)
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "sharded")
+        routed.join(corpus, "doc_id").write.partitionBy("shard").parquet(out)
+
+        print(f"== shard-local pair finding ({N_SHARDS} independent jobs) ==")
+        local_pairs = None
+        for shard in range(N_SHARDS):
+            part = spark.read.parquet(os.path.join(out, f"shard={shard}"))
+            pairs = minhash_lsh_pairs(part, "doc_id", "text")
+            print(f"  shard {shard}: {pairs.count()} candidate pairs")
+            local_pairs = pairs if local_pairs is None else (
+                local_pairs.unionByName(pairs)
+            )
+        # pairs found in several shards collapse to one edge
+        edges = local_pairs.dropDuplicates(["doc_id_a", "doc_id_b"])
+        n_global = minhash_lsh_pairs(corpus, "doc_id", "text").count()
+        print(f"  union of shard-local pairs: {edges.count()} "
+              f"(global self-join finds {n_global})")
+
+        # 3. cluster, then fold a LATER batch in incrementally: only the
+        #    clusters a new edge touches re-enter the CC loop.
+        edges = edges.localCheckpoint(eager=False)
+        base = edges.filter("doc_id_a % 5 != 4 AND doc_id_b % 5 != 4")
+        batch = edges.filter("doc_id_a % 5 = 4 OR doc_id_b % 5 = 4")
+        labels = connected_components(base)
+        print("== incremental cluster maintenance ==")
+        print(f"  base clusters over {labels.count()} docs; "
+              f"folding in {batch.count()} new edges")
+        extended = extend_clusters(labels, batch)
+        print(f"  extended labels cover {extended.count()} docs")
+
+        # 4. keep the BEST version of every near-dup cluster (here: the
+        #    longest doc), not the min id
+        survivors = drop_near_dups_keep_best(
+            corpus, "doc_id", "text", score_col="n_chars"
+        )
+        print("== keep-best survivors ==")
+        print(f"  {corpus.count()} docs -> {survivors.count()} survivors")
+
+        # 5. the run report: how much was removable, by cluster size
+        print("== dedup-rate report ==")
+        for r in dup_cluster_stats(edges).orderBy("cluster_size").collect():
+            print(f"  size {r.cluster_size}: {r.n_clusters} clusters, "
+                  f"{r.n_removable} removable docs")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
