@@ -27,7 +27,11 @@ from dar_spark.dialect import SPARK
 _STAGE_NAME = re.compile(r"^[a-z][a-z0-9_]*$")
 
 
-def filter_funnel(df: DataFrame, stages: list[tuple[str, str]]) -> DataFrame:
+def filter_funnel(
+    df: DataFrame,
+    stages: list[tuple[str, str]],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Survival report for an ordered filter cascade.
 
     ``stages`` is a list of (name, spark-SQL boolean predicate).  Output
@@ -36,6 +40,13 @@ def filter_funnel(df: DataFrame, stages: list[tuple[str, str]]) -> DataFrame:
     starts from the full row count) and ``drop_share`` is the half-up
     6-dp share of ``n_in`` dropped at this stage (0.0 when ``n_in`` is
     0 — an upstream stage already drained the corpus).
+
+    ``group_cols`` computes an independent funnel PER GROUP (one row
+    per group × stage, group columns lead the output) — the
+    "which domain/language is my filter eating" report, still in one
+    scan: the aggregate keys on the groups, everything else is
+    unchanged.  Group count should be bounded (domains, languages);
+    the report is group×stage-sized.
     """
     if not stages:
         raise ValueError("filter_funnel needs at least one stage")
@@ -43,12 +54,13 @@ def filter_funnel(df: DataFrame, stages: list[tuple[str, str]]) -> DataFrame:
         if not _STAGE_NAME.match(name):
             raise ValueError(f"stage name {name!r} must be a simple identifier")
 
+    gc = group_cols or []
     proj = df
     for i, (_, pred) in enumerate(stages):
         passed = F.when(F.expr(pred), F.lit(1)).otherwise(F.lit(0))
         prev = F.col(f"_c{i - 1}") if i else F.lit(1)
         proj = proj.withColumn(f"_c{i}", (prev * passed).cast("bigint"))
-    agg = proj.agg(
+    agg = proj.groupBy(*gc).agg(
         F.count(F.lit(1)).alias("_n"),
         *[
             F.coalesce(F.sum(f"_c{i}"), F.lit(0)).cast("bigint").alias(f"_s{i}")
@@ -60,8 +72,9 @@ def filter_funnel(df: DataFrame, stages: list[tuple[str, str]]) -> DataFrame:
         n_in = "_n" if i == 0 else f"_s{i - 1}"
         entries.append(f"{i}, '{name}', {n_in}, _s{i}")
     out = agg.selectExpr(
+        *gc,
         f"stack({len(stages)}, {', '.join(entries)}) "
-        "AS (stage_id, stage, n_in, n_out)"
+        "AS (stage_id, stage, n_in, n_out)",
     )
     return out.withColumn(
         "drop_share",

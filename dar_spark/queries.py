@@ -3728,6 +3728,54 @@ SELECT 2, 'stopword_ceiling', s1, s2, {share('s1', 's2')} FROM a"""
     return Q(spark_fn, oracle)
 
 
+def _filter_funnel_by_lang_q() -> Q:
+    """Per-group funnel (filter_funnel with group_cols): the same
+    three-stage cascade reported independently per document language —
+    "which language is my filter eating" — still one corpus scan, the
+    aggregate just keys on the group."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import quality_score_sql, stopword_ratio_sql
+        from dar_spark.operators.funnel import filter_funnel
+
+        t = load_tables(spark, sf_dir)
+        docs = parallelize(t["documents"]).select("doc_id", "text", "lang")
+        return filter_funnel(docs, [
+            ("token_window",
+             "size(split(trim(text), ' ', -1)) BETWEEN 20 AND 100000"),
+            ("quality_floor", f"{quality_score_sql(SPARK, 'text')} >= 0.5"),
+            ("stopword_ceiling",
+             f"{stopword_ratio_sql(SPARK, 'text')} <= 0.2"),
+        ], group_cols=["lang"])
+
+    from dar_spark.functions.text import quality_score_sql, stopword_ratio_sql
+
+    tok = "len(string_split(trim(text, ' '), ' '))"
+    q = quality_score_sql(DUCKDB, "text")
+    sw = stopword_ratio_sql(DUCKDB, "text")
+    share = lambda n_in, n_out: (  # noqa: E731
+        f"CASE WHEN {n_in} = 0 THEN 0.0 "
+        f"ELSE {DUCKDB.ratio_6dp(f'({n_in} - {n_out})', n_in)} END"
+    )
+    oracle = f"""WITH f AS (SELECT lang,
+  CASE WHEN {tok} BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS p0,
+  CASE WHEN {q} >= 0.5 THEN 1 ELSE 0 END AS p1,
+  CASE WHEN {sw} <= 0.2 THEN 1 ELSE 0 END AS p2
+FROM documents),
+a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(p0), 0) AS BIGINT) AS s0,
+             CAST(COALESCE(SUM(p0 * p1), 0) AS BIGINT) AS s1,
+             CAST(COALESCE(SUM(p0 * p1 * p2), 0) AS BIGINT) AS s2
+      FROM f GROUP BY lang)
+SELECT lang, 0 AS stage_id, 'token_window' AS stage, n AS n_in, s0 AS n_out,
+       {share('n', 's0')} AS drop_share FROM a
+UNION ALL
+SELECT lang, 1, 'quality_floor', s0, s1, {share('s0', 's1')} FROM a
+UNION ALL
+SELECT lang, 2, 'stopword_ceiling', s1, s2, {share('s1', 's2')} FROM a"""
+    return Q(spark_fn, oracle)
+
+
 N_ROUTER_SHARDS = 8
 
 
@@ -3830,6 +3878,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("dedup_shard_router_docs", _shard_router_q()),
         ("dup_cluster_stats_docs", _dup_cluster_stats_q()),
         ("dedup_clusters_incremental", _clusters_incremental_q()),
+        ("filter_funnel_by_lang", _filter_funnel_by_lang_q()),
     ]
 
 

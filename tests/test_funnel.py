@@ -60,3 +60,17 @@ def test_funnel_rejects_bad_stage_names(spark):
         filter_funnel(df, [("bad name'", "id > 0")])
     with pytest.raises(ValueError):
         filter_funnel(df, [])
+
+
+def test_funnel_grouped_is_independent_per_group(spark):
+    df = spark.range(100).selectExpr("id", "CAST(id % 2 AS STRING) AS g")
+    out = {(r.g, r.stage): r for r in filter_funnel(
+        df, [("lt_fifty", "id < 50"), ("mult_of_4", "id % 4 = 0")],
+        group_cols=["g"],
+    ).collect()}
+    # group '0' (evens): 50 rows, 25 < 50, of those 13 are %4==0 (0..48)
+    assert (out[("0", "lt_fifty")].n_in, out[("0", "lt_fifty")].n_out) == (50, 25)
+    assert (out[("0", "mult_of_4")].n_in, out[("0", "mult_of_4")].n_out) == (25, 13)
+    # group '1' (odds): nothing is a multiple of 4
+    assert (out[("1", "mult_of_4")].n_in, out[("1", "mult_of_4")].n_out) == (25, 0)
+    assert out[("1", "mult_of_4")].drop_share == 1.0
