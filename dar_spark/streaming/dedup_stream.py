@@ -180,3 +180,116 @@ def drop_duplicates_within_watermark(
     return src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def streaming_cluster_maintenance(
+    stream_df: DataFrame,
+    index_path: str,
+    labels_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.6,
+    checkpoint_dir: str | None = None,
+    max_iter: int = 10,
+):
+    """Streaming near-dup CLUSTER maintenance: keep a (node, cluster_id)
+    connected-components labeling current as documents stream in — the
+    streaming face of ``dedup.extend_clusters``.
+
+    Per micro-batch (foreachBatch — the state is stored tables, not
+    stream×stream watermark state):
+
+    1. batch ↔ index edges via ``dedup_against_index`` (O(|batch|)
+       signing + one band equi-join) plus batch-internal edges via
+       ``minhash_lsh_pairs`` over the batch alone;
+    2. fold them into the standing labels with ``extend_clusters`` —
+       only the touched clusters re-enter the CC loop;
+    3. write the updated labeling as ``version=<batch_id>`` and append
+       EVERY batch doc to the index (``ingest=stream-<batch_id>``), so
+       later batches find their edges to these docs.
+
+    Equivalence: every banded pair (a, b) with a earlier is found when
+    b's batch probes the index (which then contains a), and
+    within-batch pairs come from step 1's self-join — so the union of
+    streamed edges is the global pair set, and since extend == full
+    recompute, the FINAL labels version equals batch
+    ``connected_components(minhash_lsh_pairs(all docs))`` (tested).
+
+    Replay safety (foreachBatch is at-least-once): a replayed batch
+    reads only ``version < batch_id`` labels and an index view
+    excluding its own ``stream-<batch_id>`` partition — exactly the
+    state its first attempt saw — and its writes (dynamic partition
+    overwrite on version / ingest label) replace themselves.  Old
+    label versions are the run's history; compact by deleting
+    ``version<n`` directories out-of-band.
+
+    The labeling must start from a reference whose INTERNAL dups are
+    already clustered: build the index with ``write_dedup_index`` and
+    seed ``labels_path`` with ``connected_components`` over the
+    reference's pairs (version=-1), or start from an empty index and
+    no labels directory (the stream builds everything).
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from dar_spark.operators.dedup import (
+        append_to_dedup_index,
+        dedup_against_index,
+        extend_clusters,
+        minhash_lsh_pairs,
+    )
+
+    if not labels_path or not output_ok(labels_path):
+        raise ValueError("labels_path is required")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # reused by the cross probe, the internal self-join, and the
+        # index append — materialize once
+        batch_df = batch_df.localCheckpoint(eager=True)
+        cross = dedup_against_index(
+            batch_df, index_path, id_col, text_col, jaccard_threshold,
+            exclude_ingest=f"stream-{batch_id}",
+        )
+        internal = minhash_lsh_pairs(
+            batch_df, id_col, text_col,
+            jaccard_threshold=jaccard_threshold,
+        )
+        edges = cross.selectExpr(
+            "new_id AS doc_id_a", "ref_id AS doc_id_b"
+        ).unionByName(internal.select("doc_id_a", "doc_id_b"))
+        try:
+            stored = spark.read.parquet(labels_path).filter(
+                f"version < {batch_id}"
+            )
+            latest = stored.agg(F.max("version")).collect()[0][0]
+            labels = (
+                stored.filter(f"version = {latest}")
+                .select("node", "cluster_id")
+                if latest is not None
+                else spark.createDataFrame([], "node BIGINT, cluster_id BIGINT")
+            )
+        except AnalysisException:
+            labels = spark.createDataFrame([], "node BIGINT, cluster_id BIGINT")
+        extended = extend_clusters(labels, edges, max_iter=max_iter)
+        (
+            extended.withColumn("version", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("version")
+            .parquet(labels_path)
+        )
+        append_to_dedup_index(
+            batch_df, index_path, id_col, text_col,
+            ingest_label=f"stream-{batch_id}",
+        )
+
+    w = stream_df.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def output_ok(path: str) -> bool:
+    """Eager path validation hook (non-empty string); kept tiny so the
+    ValueError surfaces at start() time, not inside the first batch."""
+    return bool(path and path.strip())

@@ -282,3 +282,133 @@ def test_streaming_ingest_append_equals_sequential_batch(spark, tmp_path):
 
     for sub in ("bands", "shingles"):
         assert rows(f"{ref_idx}/{sub}") == rows(f"{st_idx}/{sub}")
+
+
+def _streamed_corpus(spark, n=200):
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    rep = docs.selectExpr("doc_id - doc_id % 3 AS rep_id", "doc_id").join(
+        docs.selectExpr("doc_id AS rep_id", "text"), "rep_id"
+    ).select("doc_id", "text")
+    return rep.filter(f"doc_id < {n}")
+
+
+def _seed_cluster_state(spark, corpus, tmp_path):
+    """Index + seeded labels (version=-1) for the reference slice;
+    returns (ref, new, idx_path, labels_path)."""
+    from dar_spark.operators.dedup import minhash_lsh_pairs, write_dedup_index
+
+    ref = corpus.filter("doc_id % 4 <> 0")
+    new = corpus.filter("doc_id % 4 = 0")
+    idx = str(tmp_path / "idx")
+    write_dedup_index(ref, idx, "doc_id", "text")
+    labels_path = str(tmp_path / "labels")
+    (
+        connected_components(minhash_lsh_pairs(ref, "doc_id", "text"))
+        .withColumn("version", F.lit(-1))
+        .write.partitionBy("version").parquet(labels_path)
+    )
+    return ref, new, idx, labels_path
+
+
+def _latest_labels(spark, labels_path):
+    stored = spark.read.parquet(labels_path)
+    latest = stored.agg(F.max("version")).collect()[0][0]
+    return {
+        r.node: r.cluster_id
+        for r in stored.filter(f"version = {latest}").collect()
+    }
+
+
+def test_streaming_cluster_maintenance_equals_batch_cc(spark, tmp_path):
+    """After the stream drains, the latest labels version must equal
+    connected_components over the GLOBAL pair set — streaming changes
+    delivery, not the clustering."""
+    from dar_spark.operators.dedup import minhash_lsh_pairs
+    from dar_spark.streaming.dedup_stream import streaming_cluster_maintenance
+
+    corpus = _streamed_corpus(spark)
+    ref, new, idx, labels_path = _seed_cluster_state(spark, corpus, tmp_path)
+
+    src = str(tmp_path / "src")
+    new.filter("doc_id < 100").coalesce(1).write.mode("overwrite").parquet(src)
+    new.filter("doc_id >= 100").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_cluster_maintenance(
+        stream, idx, labels_path, "doc_id", "text",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got = _latest_labels(spark, labels_path)
+    expected = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            minhash_lsh_pairs(corpus, "doc_id", "text")
+        ).collect()
+    }
+    assert len(expected) > 100
+    assert got == expected
+
+
+def test_streaming_cluster_maintenance_restart_from_checkpoint(spark, tmp_path):
+    """Crash between the label/index writes and the commit marker, then
+    restart with more data pending: the replayed batch must see the
+    state its first attempt saw (version < batch_id labels, index
+    without its own stream-<id> partition) and the final labels must
+    equal the uninterrupted run's."""
+    import os
+
+    from dar_spark.operators.dedup import minhash_lsh_pairs
+    from dar_spark.streaming.dedup_stream import streaming_cluster_maintenance
+
+    corpus = _streamed_corpus(spark)
+    ref, new, idx, labels_path = _seed_cluster_state(spark, corpus, tmp_path)
+
+    src = str(tmp_path / "src")
+    new.filter("doc_id < 100").coalesce(1).write.mode("overwrite").parquet(src)
+    ck = str(tmp_path / "ck")
+
+    def start():
+        stream = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return streaming_cluster_maintenance(
+            stream, idx, labels_path, "doc_id", "text", checkpoint_dir=ck,
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    # crash: drop the newest commit marker (its sink writes persist)
+    cdir = os.path.join(ck, "commits")
+    last = max((f for f in os.listdir(cdir) if f.isdigit()), key=int)
+    os.remove(os.path.join(cdir, last))
+    crc = os.path.join(cdir, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # more data arrives; restart replays the uncommitted batch first
+    new.filter("doc_id >= 100").coalesce(1).write.mode("append").parquet(src)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got = _latest_labels(spark, labels_path)
+    expected = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            minhash_lsh_pairs(corpus, "doc_id", "text")
+        ).collect()
+    }
+    assert got == expected
