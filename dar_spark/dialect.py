@@ -267,6 +267,23 @@ class Dialect:
         half_up = self.int_div(n, f"(2 * ({den}))")
         return f"(CAST(CAST({half_up} AS BIGINT) AS DOUBLE) / 1000000.0)"
 
+    def ln_posint(self, n: str) -> str:
+        """Self-contained ARITHMETIC-ONLY ln of a positive BIGINT
+        expression — the inline form of :func:`ln_bigint_layers` for
+        call sites embedded inside larger shared-SQL strings (score
+        chains, oracle CTEs) where layered projections don't fit.
+        Same formula, same bit-identical guarantee; the operand is
+        repeated textually (~80×), so keep ``n`` a short column
+        expression — Catalyst/DuckDB common-subexpression elimination
+        collapses the repeats at runtime."""
+        nn = f"CAST({n} AS BIGINT)"
+        bl = f"length(bin({nn}))"
+        pow2 = self.shl("CAST(1 AS BIGINT)", f"({bl} - 1)")
+        m = f"(CAST({nn} AS DOUBLE) / CAST({pow2} AS DOUBLE))"
+        z = f"(({m} - {dlit('1.0')}) / ({m} + {dlit('1.0')}))"
+        z2 = f"({z} * {z})"
+        return f"(CAST(({bl} - 1) AS DOUBLE) * {LN2} + {lnm_series(z, z2)})"
+
     def ratio_6dp(self, num: str, den: str) -> str:
         """Half-up 6-dp ratio of two NON-NEGATIVE integer expressions,
         entirely in integer arithmetic — the ``avg_6dp`` shape

@@ -515,10 +515,15 @@ def tfidf_topk(
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n))
         .withColumn(
+            # ln((N+1)/(df+1)) as a difference of arithmetic-only lns
+            # of exact BIGINTs (Dialect.ln_posint) — libm ln is not
+            # cross-engine bit-identical (PSI fuzz falsified it); the
+            # 6-dp round would leave a ~1e-9 residual flip risk.
             "tfidf",
             F.expr(
-                "round(tf * ln((CAST(_n AS DOUBLE) + 1.0) "
-                "/ (CAST(doc_freq AS DOUBLE) + 1.0)), 6)"
+                "round(CAST(tf AS DOUBLE) * "
+                f"({SPARK.ln_posint('(_n + 1)')} - "
+                f"{SPARK.ln_posint('(doc_freq + 1)')}), 6)"
             ),
         )
     )
@@ -550,8 +555,8 @@ def lm_perplexity(
     per-bigram NLL is rounded to 6 decimals and summed as
     DECIMAL(28, 6) — an exact, order-independent aggregate, so the
     engines cannot drift by float summation order (the Q1 decimal-sum
-    recipe applied to log space; ln() itself is evaluated on identical
-    integer-ratio doubles in both engines).
+    recipe applied to log space; ln() goes through the arithmetic-only
+    Dialect.ln_posint — libm ln is not cross-engine bit-identical).
 
     Plan shape: bigram positions are exploded FIRST (one narrow
     Generate; building gram arrays and exploding them afterwards lets
@@ -582,10 +587,12 @@ def lm_perplexity(
         .join(cu, "prev")
         .crossJoin(F.broadcast(v))
         .withColumn(
+            # -ln((c12+1)/(c1+V)) = ln(c1+V) - ln(c12+1), arithmetic-
+            # only lns of exact BIGINTs (see tfidf note / PSI fuzz)
             "_nll",
             F.expr(
-                "round(-ln((CAST(c_bigram AS DOUBLE) + 1.0) "
-                "/ (CAST(c_context AS DOUBLE) + CAST(_v AS DOUBLE))), 6)"
+                f"round({SPARK.ln_posint('(c_context + _v)')} - "
+                f"{SPARK.ln_posint('(c_bigram + 1)')}, 6)"
             ),
         )
     )
@@ -760,9 +767,10 @@ def bm25_exprs(
     back, and the score is a fixed left-to-right chain over the terms.
     Every operand is an integer or an integer-ratio double and the
     chain order is identical in both emitters, so scores are
-    bit-identical cross-engine (the tfidf/lm_perplexity ln()
-    precedent); constants are CAST(... AS DOUBLE) to dodge the
-    decimal-literal promotion ulp trap.
+    bit-identical cross-engine (idf via the arithmetic-only
+    Dialect.ln_posint — libm ln is not); constants are
+    CAST(... AS DOUBLE) to dodge the decimal-literal promotion ulp
+    trap.
 
     idf_t = ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) ≥ 0;
     score = Σ_t idf_t · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
@@ -785,10 +793,15 @@ def bm25_exprs(
     avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
     parts = []
     for i in range(len(terms)):
+        # idf = ln(1 + (N - df + 0.5)/(df + 0.5)) = ln((2N+2)/(2df+1)),
+        # taken as a DIFFERENCE of arithmetic-only lns of exact BIGINTs
+        # (Dialect.ln_posint): libm ln is <=1-ulp-but-not-correctly-
+        # rounded in both engines (the PSI fuzz falsified it on real
+        # inputs), and bm25 scores are emitted UNROUNDED, so a single
+        # divergent ulp would break the value hash.
         idf = (
-            f"ln(CAST(1 AS DOUBLE) + "
-            f"(CAST(n_docs - df_{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)) / "
-            f"(CAST(df_{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+            f"({d.ln_posint(f'(2 * n_docs + 2)')} - "
+            f"{d.ln_posint(f'(2 * df_{i} + 1)')})"
         )
         norm = (
             f"(CAST(tf_{i} AS DOUBLE) + {k1s} * "

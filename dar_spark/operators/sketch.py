@@ -127,13 +127,17 @@ def hll_register_sql(d: Dialect, value: str) -> tuple[str, str]:
     return reg, rho
 
 
-def hll_estimate_sql() -> str:
+def hll_estimate_sql(d: Dialect | None = None) -> str:
     """Corrected-estimate expression over the summary columns
-    (n_registers_hit, _scaled) — engine-neutral SQL shared by the Spark
-    operator and the DuckDB oracle.  The alpha literal is cast to DOUBLE
-    explicitly: both engines parse bare decimal literals as DECIMAL, and
-    DuckDB's decimal multiplication overflows where Spark silently
-    promotes."""
+    (n_registers_hit, _scaled), shared by the Spark operator and the
+    DuckDB oracle (dialected only for the linear-counting ln — see
+    below).  The alpha literal is cast to DOUBLE explicitly: both
+    engines parse bare decimal literals as DECIMAL, and DuckDB's
+    decimal multiplication overflows where Spark silently promotes.
+    The linear-counting branch's ln goes through Dialect.ln_posint
+    (m and m - hits are exact positive BIGINTs): libm ln is not
+    cross-engine bit-identical — the PSI fuzz falsified it."""
+    d = d or SPARK
     m = HLL_M
     est = (
         f"(CAST({HLL_ALPHA} AS DOUBLE) * {m} * {m} "
@@ -141,9 +145,13 @@ def hll_estimate_sql() -> str:
         f"/ (CAST(_scaled AS DOUBLE) "
         f"+ CAST({m} - n_registers_hit AS DOUBLE) * power(CAST(2 AS DOUBLE), 64))"
     )
+    lin = (
+        f"{m} * ({d.ln_posint(str(m))} - "
+        f"{d.ln_posint(f'({m} - n_registers_hit)')})"
+    )
     return (
         f"CASE WHEN {m} - n_registers_hit > 0 AND {est} < 2.5 * {m} "
-        f"THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - n_registers_hit)) "
+        f"THEN {lin} "
         f"ELSE {est} END"
     )
 

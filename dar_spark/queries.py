@@ -4037,8 +4037,8 @@ def _tfidf_topk_q() -> Q:
   SELECT count(DISTINCT doc_id) AS _n FROM documents
 ), s AS (
   SELECT doc_id, token, tf, doc_freq,
-         round(tf * ln((CAST(_n AS DOUBLE) + 1.0)
-                       / (CAST(doc_freq AS DOUBLE) + 1.0)), 6) AS tfidf
+         round(CAST(tf AS DOUBLE) * ({DUCKDB.ln_posint('(_n + 1)')}
+                       - {DUCKDB.ln_posint('(doc_freq + 1)')}), 6) AS tfidf
   FROM tf JOIN dfreq USING (token) CROSS JOIN nn
 ), r AS (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -4121,8 +4121,8 @@ def _lm_perplexity_q() -> Q:
   FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
 ), s AS (
   SELECT doc_id,
-         round(-ln((CAST(c_bigram AS DOUBLE) + 1.0)
-                   / (CAST(c_context AS DOUBLE) + CAST(_v AS DOUBLE))), 6) AS nll
+         round({DUCKDB.ln_posint('(c_context + _v)')}
+               - {DUCKDB.ln_posint('(c_bigram + 1)')}, 6) AS nll
   FROM bg JOIN cb USING (prev, cur) JOIN cu USING (prev) CROSS JOIN vv
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
@@ -4151,7 +4151,7 @@ def _hll_distinct_q() -> Q:
 
     reg, rho = hll_register_sql(DUCKDB, "user_id")
     m = HLL_M
-    corrected = hll_estimate_sql()
+    corrected = hll_estimate_sql(DUCKDB)
     oracle = f"""WITH r AS (
   SELECT {reg} AS _reg, {rho} AS _rho FROM events
 ), regs AS (
@@ -4767,7 +4767,7 @@ def _hll_by_group_q() -> Q:
     )
 
     reg, rho = hll_register_sql(DUCKDB, "user_id")
-    corrected = hll_estimate_sql()
+    corrected = hll_estimate_sql(DUCKDB)
     oracle = f"""WITH r AS (
   SELECT event_type AS _g, {reg} AS _reg, {rho} AS _rho FROM events
 ), regs AS (
