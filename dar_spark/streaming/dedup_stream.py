@@ -293,3 +293,25 @@ def output_ok(path: str) -> bool:
     """Eager path validation hook (non-empty string); kept tiny so the
     ValueError surfaces at start() time, not inside the first batch."""
     return bool(path and path.strip())
+
+
+def compact_cluster_labels(spark, labels_path: str, dest: str) -> int:
+    """Close the labels lifecycle: ``streaming_cluster_maintenance``
+    writes one ``version=<batch_id>`` partition per micro-batch, so an
+    hourly stream accumulates thousands of dead generations (only the
+    newest is ever read).  Compaction rewrites ONLY the latest version
+    into ``dest`` (same version id, so a stream restarted against the
+    compacted table keeps reading ``version < batch_id`` correctly) —
+    compact-to-new + caller swap, exactly like
+    ``dedup.compact_dedup_index``, never in-place.  Returns the version
+    id kept.  Pure I/O: no re-clustering, no re-signing."""
+    stored = spark.read.parquet(labels_path)
+    latest = stored.agg(F.max("version")).collect()[0][0]
+    if latest is None:
+        raise ValueError(f"no labels versions under {labels_path}")
+    (
+        stored.filter(f"version = {latest}")
+        .write.partitionBy("version")
+        .parquet(dest)
+    )
+    return int(latest)

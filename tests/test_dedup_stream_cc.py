@@ -412,3 +412,39 @@ def test_streaming_cluster_maintenance_restart_from_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_compact_cluster_labels_keeps_latest_only(spark, tmp_path):
+    from dar_spark.streaming.dedup_stream import (
+        compact_cluster_labels,
+        streaming_cluster_maintenance,
+    )
+
+    corpus = _streamed_corpus(spark, n=120)
+    ref, new, idx, labels_path = _seed_cluster_state(spark, corpus, tmp_path)
+    src = str(tmp_path / "src")
+    new.filter("doc_id < 60").coalesce(1).write.mode("overwrite").parquet(src)
+    new.filter("doc_id >= 60").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_cluster_maintenance(
+        stream, idx, labels_path, "doc_id", "text",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    before = _latest_labels(spark, labels_path)
+    n_versions = spark.read.parquet(labels_path).select("version").distinct().count()
+    assert n_versions >= 3  # seed + 2 batches
+
+    dest = str(tmp_path / "compacted")
+    kept = compact_cluster_labels(spark, labels_path, dest)
+    compacted = spark.read.parquet(dest)
+    assert compacted.select("version").distinct().count() == 1
+    assert compacted.agg(F.max("version")).collect()[0][0] == kept
+    assert _latest_labels(spark, dest) == before
