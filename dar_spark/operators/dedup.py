@@ -1063,9 +1063,10 @@ def drop_near_dups_keep_best(
         jaccard_threshold=jaccard_threshold, **lsh_kwargs,
     )
     labels = connected_components(edges)
-    base = df.selectExpr(
-        f"{id_col} AS _id", f"CAST({score_col} AS BIGINT) AS _score"
-    )
+    # score kept in its NATIVE type: a BIGINT cast here would truncate
+    # fractional quality scores (e.g. quality_score's 0-1 doubles) and
+    # silently degrade the policy to min-id
+    base = df.selectExpr(f"{id_col} AS _id", f"{score_col} AS _score")
     in_cluster = base.join(
         labels.select(F.col("node").alias("_id"), "cluster_id"), "_id"
     )
@@ -1113,7 +1114,9 @@ def lsh_shard_router(
 
     Docs with < shingle_n tokens emit no bands (they can never be LSH
     candidates); they are routed by exact-text hash instead so exact
-    duplicates still co-locate.
+    duplicates still co-locate.  NULL text hashes as the empty string —
+    every doc gets a non-NULL shard (a NULL shard would land in the
+    default Hive partition and vanish from a per-shard job loop).
 
     Output: DISTINCT (id, shard), ≤ n_bands rows per doc.
     """
@@ -1127,7 +1130,7 @@ def lsh_shard_router(
         shard_of("CAST(bi AS STRING) || ':' || bk").alias("shard"),
     ).distinct()
     short = (
-        df.selectExpr(id_col, f"lower({text_col}) AS _t")
+        df.selectExpr(id_col, f"coalesce(lower({text_col}), '') AS _t")
         .filter(f"size(split(_t, ' ', -1)) < {shingle_n}")
         .select(id_col, shard_of("_t").alias("shard"))
     )

@@ -258,11 +258,24 @@ def psi_drift(
     (``_ref_binned_hists``, shared with :func:`ks_drift`).
     """
     merged = _ref_binned_hists(old, new, value_col, n_bins)
-    totals = merged.groupBy().agg(
+    # ONE aggregate consumes the histogram lineage (totals + packed
+    # bins together — a separate totals aggregate cross-joined back
+    # re-executes the two-snapshot scan pipeline); the ln layers then
+    # run on the re-exploded ≤ n_bins rows, which are plan-trivial
+    packed = merged.groupBy().agg(
         F.expr("SUM(c_old)").cast("bigint").alias("t_old"),
         F.expr("SUM(c_new)").cast("bigint").alias("t_new"),
+        F.expr("sort_array(collect_list(struct(bin, c_old, c_new)))").alias("_bins"),
     )
-    rows = merged.crossJoin(F.broadcast(totals))
+    rows = packed.select(
+        "t_old", "t_new", F.explode("_bins").alias("_s")
+    ).select(
+        "t_old",
+        "t_new",
+        F.col("_s.bin").alias("bin"),
+        F.col("_s.c_old").alias("c_old"),
+        F.col("_s.c_new").alias("c_new"),
+    )
     for col, expr in _psi_term_layers(_SPARK, n_bins, "c_old", "c_new"):
         rows = rows.withColumn(col, F.expr(expr))
     return (

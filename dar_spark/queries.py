@@ -707,6 +707,32 @@ pairs AS (SELECT doc_id_a, doc_id_b, (CAST(((2 * (CAST(i AS BIGINT) * 1000000) +
 FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {MINHASH_JACCARD_THRESHOLD})"""
 
 
+def _cc_ctes(label_cte: str | None = "cc") -> str:
+    """sym/nodes/reach CTE chain — the RECURSIVE min-reachable-node
+    fixpoint over a ``pairs(doc_id_a, doc_id_b)`` CTE, i.e. the DuckDB
+    twin of ``dedup.connected_components``, shared by every clustering
+    oracle (factored like ``_minhash_pairs_ctes`` so a change to the
+    label rule cannot silently diverge between oracles).  With
+    ``label_cte=None`` the caller writes its own final labeling select
+    over ``reach``; otherwise a ``<label_cte>(node, cluster_id)`` CTE
+    is appended.  Callers must open with ``WITH RECURSIVE``."""
+    base = """sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+        UNION SELECT doc_id_b, doc_id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.a AS node, reach.r FROM sym e JOIN reach ON reach.node = e.b
+)"""
+    if label_cte is None:
+        return base
+    return (
+        base
+        + f""",
+{label_cte} AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)"""
+    )
+
+
 INGEST_NEW_PRED = "doc_id % 5 = 4"
 
 
@@ -823,14 +849,7 @@ def _dup_clusters_q() -> Q:
         return connected_components(edges)
 
     oracle = f"""WITH RECURSIVE {_minhash_pairs_ctes()},
-sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
-        UNION SELECT doc_id_b, doc_id_a FROM pairs),
-nodes AS (SELECT DISTINCT a AS node FROM sym),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT e.a AS node, reach.r FROM sym e JOIN reach ON reach.node = e.b
-)
+{_cc_ctes(None)}
 SELECT node, min(r) AS cluster_id FROM reach GROUP BY node"""
     return Q(spark_fn, oracle)
 
@@ -865,14 +884,7 @@ def _clusters_incremental_q() -> Q:
         return extend_clusters(connected_components(base), batch)
 
     oracle = f"""WITH RECURSIVE {_minhash_pairs_ctes()},
-sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
-        UNION SELECT doc_id_b, doc_id_a FROM pairs),
-nodes AS (SELECT DISTINCT a AS node FROM sym),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT e.a AS node, reach.r FROM sym e JOIN reach ON reach.node = e.b
-)
+{_cc_ctes(None)}
 SELECT node, min(r) AS cluster_id FROM reach GROUP BY node"""
     return Q(spark_fn, oracle)
 
@@ -1272,15 +1284,7 @@ def _drop_near_dups_q() -> Q:
         return corpus.join(drop, "doc_id", "left_anti").select("doc_id")
 
     oracle = f"""WITH RECURSIVE {_minhash_pairs_ctes()},
-sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
-        UNION SELECT doc_id_b, doc_id_a FROM pairs),
-nodes AS (SELECT DISTINCT a AS node FROM sym),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT e.a AS node, reach.r FROM sym e JOIN reach ON reach.node = e.b
-),
-cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+{_cc_ctes()}
 SELECT doc_id FROM corpus
 WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)"""
     return Q(spark_fn, oracle)
@@ -1308,15 +1312,7 @@ def _dedup_keep_best_q() -> Q:
         )
 
     oracle = f"""WITH RECURSIVE {_minhash_pairs_ctes()},
-sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
-        UNION SELECT doc_id_b, doc_id_a FROM pairs),
-nodes AS (SELECT DISTINCT a AS node FROM sym),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT e.a AS node, reach.r FROM sym e JOIN reach ON reach.node = e.b
-),
-cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+{_cc_ctes()},
 scored AS (SELECT doc_id, (doc_id * 37) % 101 AS quality FROM corpus),
 ranked AS (
   SELECT s.doc_id, cc.cluster_id, s.quality,
@@ -2575,15 +2571,7 @@ rf AS (SELECT qf.doc_id, qf.text FROM qf JOIN rmet USING (doc_id)
        WHERE tuf <= 0.2 AND tbf <= 0.18 AND dtf <= 0.85),
 corpus AS (SELECT doc_id, {redact_pii_sql(DUCKDB, 'text')} AS text FROM rf),
 {_minhash_pairs_ctes(define_corpus=False)},
-sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
-        UNION SELECT doc_id_b, doc_id_a FROM pairs),
-nodes AS (SELECT DISTINCT a AS node FROM sym),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT e.a AS node, reach.r FROM sym e JOIN reach ON reach.node = e.b
-),
-cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+{_cc_ctes()}
 SELECT doc_id, text, {split_sql(DUCKDB, 'doc_id')} AS split
 FROM corpus
 WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)"""
@@ -3467,15 +3455,7 @@ def _split_leak_safe_q() -> Q:
 
     split = split_sql(DUCKDB, "cluster_id")
     oracle = f"""WITH RECURSIVE {_minhash_pairs_ctes()},
-sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
-        UNION SELECT doc_id_b, doc_id_a FROM pairs),
-nodes AS (SELECT DISTINCT a AS node FROM sym),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT e.a AS node, reach.r FROM sym e JOIN reach ON reach.node = e.b
-),
-labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+{_cc_ctes("labels")},
 keyed AS (
   SELECT c.doc_id, COALESCE(l.cluster_id, c.doc_id) AS cluster_id
   FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id)
@@ -3796,14 +3776,15 @@ def _shard_router_q() -> Q:
 
     n = N_ROUTER_SHARDS
     band_shard = DUCKDB.hex32("CAST(bi AS VARCHAR) || ':' || bk")
-    text_shard = DUCKDB.hex32("lower(text)")
+    text_shard = DUCKDB.hex32("coalesce(lower(text), '')")
     oracle = f"""WITH {_minhash_pairs_ctes()},
 br AS (SELECT doc_id, 0 AS bi, b0 AS bk FROM bands
        UNION ALL SELECT doc_id, 1, b1 FROM bands),
 routed AS (SELECT DISTINCT doc_id,
                   CAST({band_shard} % {n} AS INT) AS shard FROM br),
 short AS (SELECT doc_id, CAST({text_shard} % {n} AS INT) AS shard
-          FROM corpus WHERE len(string_split(lower(text), ' ')) < 3)
+          FROM corpus
+          WHERE len(string_split(coalesce(lower(text), ''), ' ')) < 3)
 SELECT doc_id, shard FROM routed
 UNION ALL SELECT doc_id, shard FROM short"""
     return Q(spark_fn, oracle)
@@ -3826,15 +3807,7 @@ def _dup_cluster_stats_q() -> Q:
         return dup_cluster_stats(edges)
 
     oracle = f"""WITH RECURSIVE {_minhash_pairs_ctes()},
-sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
-        UNION SELECT doc_id_b, doc_id_a FROM pairs),
-nodes AS (SELECT DISTINCT a AS node FROM sym),
-reach AS (
-  SELECT node, node AS r FROM nodes
-  UNION
-  SELECT e.a AS node, reach.r FROM sym e JOIN reach ON reach.node = e.b
-),
-cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+{_cc_ctes()},
 sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
           FROM cc GROUP BY cluster_id)
 SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,

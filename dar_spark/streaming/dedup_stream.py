@@ -194,7 +194,11 @@ def streaming_cluster_maintenance(
 ):
     """Streaming near-dup CLUSTER maintenance: keep a (node, cluster_id)
     connected-components labeling current as documents stream in — the
-    streaming face of ``dedup.extend_clusters``.
+    streaming face of ``dedup.extend_clusters``.  ``checkpoint_dir`` is
+    REQUIRED: without one, a restarted query resets batch ids to 0, and
+    batch 0's ``version < 0`` read plus its dynamic overwrites of
+    ``version=0`` / ``ingest=stream-0`` would interleave two
+    incompatible runs' state in the labels table and the index.
 
     Per micro-batch (foreachBatch — the state is stored tables, not
     stream×stream watermark state):
@@ -238,8 +242,14 @@ def streaming_cluster_maintenance(
         minhash_lsh_pairs,
     )
 
-    if not labels_path or not output_ok(labels_path):
+    if not (labels_path and labels_path.strip()):
         raise ValueError("labels_path is required")
+    if not (checkpoint_dir and checkpoint_dir.strip()):
+        raise ValueError(
+            "checkpoint_dir is required: a restart without one resets "
+            "batch ids and corrupts the versioned labels table and the "
+            "stream-<batch_id> index partitions"
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -287,12 +297,6 @@ def streaming_cluster_maintenance(
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w.start()
-
-
-def output_ok(path: str) -> bool:
-    """Eager path validation hook (non-empty string); kept tiny so the
-    ValueError surfaces at start() time, not inside the first batch."""
-    return bool(path and path.strip())
 
 
 def compact_cluster_labels(spark, labels_path: str, dest: str) -> int:

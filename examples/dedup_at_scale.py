@@ -75,7 +75,11 @@ def main() -> None:
         print(f"== shard-local pair finding ({N_SHARDS} independent jobs) ==")
         local_pairs = None
         for shard in range(N_SHARDS):
-            part = spark.read.parquet(os.path.join(out, f"shard={shard}"))
+            shard_dir = os.path.join(out, f"shard={shard}")
+            if not os.path.isdir(shard_dir):  # no doc routed here
+                print(f"  shard {shard}: empty")
+                continue
+            part = spark.read.parquet(shard_dir)
             pairs = minhash_lsh_pairs(part, "doc_id", "text")
             print(f"  shard {shard}: {pairs.count()} candidate pairs")
             local_pairs = pairs if local_pairs is None else (

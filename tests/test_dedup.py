@@ -445,11 +445,15 @@ def test_shard_local_dedup_equals_global(spark, tmp_path):
     # shard they route to — ≤ n_bands× write amplification)
     out = str(tmp_path / "sharded")
     routed.join(corpus, "doc_id").write.partitionBy("shard").parquet(out)
+    import os
+
     local_pairs = set()
     for shard in range(n_shards):
-        part = spark.read.parquet(f"{out}/shard={shard}")
-        if not part.head(1):
+        # a shard no doc routed to has no directory at all — reading it
+        # would raise PATH_NOT_FOUND, the per-shard job just skips it
+        if not os.path.isdir(f"{out}/shard={shard}"):
             continue
+        part = spark.read.parquet(f"{out}/shard={shard}")
         local_pairs |= {
             (r.doc_id_a, r.doc_id_b)
             for r in dedup.minhash_lsh_pairs(part, "doc_id", "text").collect()
@@ -493,3 +497,17 @@ def test_extend_clusters_equals_full_recompute(spark):
         for r in dedup.connected_components(edges).collect()
     )
     assert inc == full and inc, "incremental must equal full recompute"
+
+
+def test_keep_best_fractional_scores_not_truncated(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon", 0.10),
+         (1, "alpha beta gamma delta epsilon", 0.95),
+         (2, "alpha beta gamma delta epsilon", 0.40)],
+        "doc_id BIGINT, text STRING, quality DOUBLE",
+    )
+    out = dedup.drop_near_dups_keep_best(
+        docs, "doc_id", "text", score_col="quality"
+    ).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 1 and out[0].quality == 0.95
