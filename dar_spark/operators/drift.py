@@ -356,17 +356,110 @@ def psi_report(
     n_bins: int = 10,
 ) -> DataFrame:
     """Per-column PSI in one frame: (column, n_old, n_new, psi,
-    drifted) — the monitoring loop's per-feature drift table.  Each
-    column runs the same two-pass histogram recipe; the union keeps one
-    row per column (columns × 2 scans of single projected columns, all
-    map-side-combinable — the frame is O(columns), never O(rows))."""
-    out = None
-    for c in value_cols:
-        r = psi_drift(old, new, c, n_bins).select(
-            F.lit(c).alias("column"), "n_old", "n_new", "psi", "drifted"
+    drifted) — the monitoring loop's per-feature drift table.
+
+    THREE scans total regardless of column count — one min/max pass
+    over the reference, then ONE conditional-sum histogram aggregate
+    per snapshot covering every column at once (columns × n_bins
+    map-side-combinable sums, the profile_histogram shape) — where the
+    per-column composition cost 3 scans PER column.  All per-column
+    assembly (stack → explode → ln layers → bin-ordered fold) runs on
+    the O(columns × n_bins) aggregate output.  Values are
+    bit-identical to :func:`psi_drift` run per column (same bin
+    expressions, Laplace shares, arithmetic ln, fold order — pinned in
+    tests)."""
+    import re as _re
+
+    from dar_spark.operators.sketch import quantile_hist_exprs
+
+    if not value_cols:
+        raise ValueError("psi_report needs at least one column")
+
+    def fin(c: str) -> str:
+        x = f"CAST({c} AS DOUBLE)"
+        return (
+            f"({x} IS NOT NULL AND NOT isnan({x}) "
+            f"AND abs({x}) <> double('inf'))"
         )
-        out = r if out is None else out.unionByName(r)
-    return out
+
+    ref = old.agg(*[
+        F.expr(
+            f"CAST({agg}(CASE WHEN {fin(c)} THEN CAST({c} AS DOUBLE) END) "
+            f"AS DOUBLE)"
+        ).alias(f"{name}_{i}")
+        for i, c in enumerate(value_cols)
+        for agg, name in (("min", "mn"), ("max", "mx"))
+    ])
+
+    def hist(df: DataFrame, pre: str) -> DataFrame:
+        sums = []
+        for i, c in enumerate(value_cols):
+            idx, _ = quantile_hist_exprs(
+                _SPARK, f"CAST({c} AS DOUBLE)", n_bins
+            )
+            idx = _re.sub(r"\bmn\b", f"mn_{i}", idx)
+            idx = _re.sub(r"\bmx\b", f"mx_{i}", idx)
+            bin_expr = f"CASE WHEN mx_{i} = mn_{i} THEN 0 ELSE {idx} END"
+            sums += [
+                F.expr(
+                    f"CAST(COALESCE(SUM(CASE WHEN {fin(c)} AND "
+                    f"{bin_expr} = {b} THEN 1 ELSE 0 END), 0) AS BIGINT)"
+                ).alias(f"{pre}_{i}_{b}")
+                for b in range(n_bins)
+            ]
+        return df.crossJoin(F.broadcast(ref)).agg(*sums)
+
+    h, g = hist(old, "h"), hist(new, "g")
+    entries = []
+    for i, c in enumerate(value_cols):
+        ho = ", ".join(f"h_{i}_{b}" for b in range(n_bins))
+        hn = ", ".join(f"g_{i}_{b}" for b in range(n_bins))
+        lit = c.replace("'", "''")
+        entries.append(f"'{lit}', array({ho}), array({hn})")
+    rows = (
+        h.crossJoin(g)
+        .selectExpr(
+            f"stack({len(value_cols)}, {', '.join(entries)}) "
+            "AS (column, _ho, _hn)"
+        )
+        .withColumn(
+            "t_old", F.expr("aggregate(_ho, CAST(0 AS BIGINT), (a, x) -> a + x)")
+        )
+        .withColumn(
+            "t_new", F.expr("aggregate(_hn, CAST(0 AS BIGINT), (a, x) -> a + x)")
+        )
+        .select(
+            "column",
+            "t_old",
+            "t_new",
+            F.posexplode(
+                F.expr("zip_with(_ho, _hn, (co, cn) -> struct(co, cn))")
+            ).alias("bin", "_cc"),
+        )
+        .select(
+            "column", "t_old", "t_new", "bin",
+            F.col("_cc.co").alias("co"), F.col("_cc.cn").alias("cn"),
+        )
+    )
+    for col, expr in _psi_term_layers(_SPARK, n_bins, "co", "cn"):
+        rows = rows.withColumn(col, F.expr(expr))
+    return (
+        rows.groupBy("column")
+        .agg(
+            F.expr("MAX(t_old)").alias("n_old"),
+            F.expr("MAX(t_new)").alias("n_new"),
+            F.expr("sort_array(collect_list(struct(bin, _term)))").alias("_tb"),
+        )
+        .select(
+            "column",
+            "n_old",
+            "n_new",
+            F.expr(
+                "aggregate(_tb, CAST(0 AS DOUBLE), (a, s) -> a + s._term)"
+            ).alias("psi"),
+        )
+        .withColumn("drifted", F.expr("CAST(psi >= 0.2 AS INT)"))
+    )
 
 
 def ks_drift(

@@ -172,3 +172,33 @@ def test_ks_empty_side_is_graceful(spark):
     assert r.n_new == 0 and r.ks_stat is None and r.at_bin is None
     r2 = ks_drift(empty, old, "x").collect()[0]
     assert r2.n_old == 0 and r2.ks_stat is None
+
+
+def test_psi_report_bit_identical_to_per_column_psi_drift(spark):
+    """The one-scan-per-snapshot report must produce EXACTLY the doubles
+    psi_drift computes per column — same bins, shares, arithmetic ln,
+    fold order — including a NULL/NaN-bearing column."""
+    from dar_spark.operators.drift import psi_drift, psi_report
+    from dar_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    cols = ["l_extendedprice", "l_quantity", "l_discount", "l_nullish"]
+    old = li.selectExpr(
+        "l_extendedprice", "l_quantity", "l_discount",
+        "CASE WHEN l_orderkey % 7 = 0 THEN CAST('NaN' AS DOUBLE) "
+        "WHEN l_orderkey % 5 = 0 THEN NULL "
+        "ELSE l_tax END AS l_nullish",
+    )
+    new = old.selectExpr(
+        "l_extendedprice + 20000 AS l_extendedprice",
+        "l_quantity", "l_discount", "l_nullish",
+    )
+    report = {r.column: r for r in psi_report(old, new, cols).collect()}
+    assert set(report) == set(cols)
+    for c in cols:
+        d = psi_drift(old, new, c).collect()[0]
+        r = report[c]
+        assert (r.n_old, r.n_new, r.psi, r.drifted) == (
+            d.n_old, d.n_new, d.psi, d.drifted
+        ), c

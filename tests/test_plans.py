@@ -280,3 +280,21 @@ def test_round6_sixth_wave_plan_shapes(spark):
     # partial top-1 (WindowGroupLimit), not a full sort-rank
     p = _executed(spark, "dedup_keep_best_docs")
     assert "WindowGroupLimit" in p
+
+
+def test_psi_report_scans_constant_in_columns(spark):
+    """psi_report must scan each snapshot a CONSTANT number of times
+    (ref min/max + one histogram aggregate per snapshot = 3 scans),
+    never per-column — the profile_composite lesson applied to drift."""
+    from dar_spark.operators.drift import psi_report
+    from dar_spark.session import load_tables
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    cols = ["l_extendedprice", "l_quantity", "l_discount", "l_tax"]
+    old = li.selectExpr(*cols)
+    new = li.selectExpr("l_extendedprice * 2 AS l_extendedprice", *cols[1:])
+    df = psi_report(old, new, cols)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]
+    assert p.count("FileScan") <= 3, "psi_report scans must not scale with columns"
