@@ -3101,6 +3101,45 @@ def _psi_drift_q() -> Q:
     )
 
 
+PSI_REPORT_COLS = ["l_extendedprice", "l_quantity", "l_discount"]
+PSI_REPORT_OLD = (
+    "SELECT l_extendedprice, l_quantity, l_discount "
+    "FROM lineitem WHERE l_orderkey % 2 = 0"
+)
+PSI_REPORT_NEW = (
+    "SELECT l_extendedprice + 20000 AS l_extendedprice, l_quantity, "
+    "l_discount FROM lineitem WHERE l_orderkey % 2 = 1"
+)
+
+
+def _psi_report_q() -> Q:
+    """Per-feature drift table (drift.psi_report): three columns scored
+    in THREE scans total (one histogram aggregate per snapshot covers
+    every column — the profile_histogram shape applied to drift).  The
+    oracle is per-column psi_drift_oracle_sql UNION ALL — i.e. the
+    value hash asserts the single-pass report is bit-identical to the
+    per-column composition."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.drift import psi_report
+
+        load_tables(spark, sf_dir)
+        return psi_report(
+            spark.sql(PSI_REPORT_OLD), spark.sql(PSI_REPORT_NEW),
+            PSI_REPORT_COLS,
+        )
+
+    from dar_spark.operators.drift import psi_drift_oracle_sql
+
+    parts = [
+        f"SELECT '{c}' AS column, * FROM ("
+        + psi_drift_oracle_sql(DUCKDB, PSI_REPORT_OLD, PSI_REPORT_NEW, c)
+        + ")"
+        for c in PSI_REPORT_COLS
+    ]
+    return Q(spark_fn, "\nUNION ALL\n".join(parts))
+
+
 def _pq_lsh_topk_q() -> Q:
     """The routed-compressed-rerank ANN composite
     (similarity.pq_lsh_topk): SRP buckets cut the candidate set, PQ
@@ -3852,6 +3891,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("dup_cluster_stats_docs", _dup_cluster_stats_q()),
         ("dedup_clusters_incremental", _clusters_incremental_q()),
         ("filter_funnel_by_lang", _filter_funnel_by_lang_q()),
+        ("psi_report_lineitem", _psi_report_q()),
     ]
 
 
