@@ -95,6 +95,7 @@ __all__ = [
     "resample_ffill",
     "psi_drift",
     "psi_report",
+    "ks_report",
     "ks_drift",
     "psi_between_bins",
     "pq_lsh_topk",
@@ -267,7 +268,8 @@ def __getattr__(name):
         from dar_spark.operators.timeseries import resample_ffill
 
         return resample_ffill
-    if name in ("psi_drift", "psi_report", "ks_drift", "psi_between_bins"):
+    if name in ("psi_drift", "psi_report", "ks_drift", "ks_report",
+                "psi_between_bins"):
         from dar_spark.operators import drift as _dr
 
         return getattr(_dr, name)

@@ -349,31 +349,26 @@ fin AS (
 SELECT n_old, n_new, psi, CAST(psi >= 0.2 AS INT) AS drifted FROM fin"""
 
 
-def psi_report(
+def _multi_col_bin_rows(
     old: DataFrame,
     new: DataFrame,
     value_cols: list[str],
-    n_bins: int = 10,
+    n_bins: int,
 ) -> DataFrame:
-    """Per-column PSI in one frame: (column, n_old, n_new, psi,
-    drifted) — the monitoring loop's per-feature drift table.
-
-    THREE scans total regardless of column count — one min/max pass
-    over the reference, then ONE conditional-sum histogram aggregate
-    per snapshot covering every column at once (columns × n_bins
-    map-side-combinable sums, the profile_histogram shape) — where the
-    per-column composition cost 3 scans PER column.  All per-column
-    assembly (stack → explode → ln layers → bin-ordered fold) runs on
-    the O(columns × n_bins) aggregate output.  Values are
-    bit-identical to :func:`psi_drift` run per column (same bin
-    expressions, Laplace shares, arithmetic ln, fold order — pinned in
-    tests)."""
+    """(column, t_old, t_new, bin, co, cn) — the shared THREE-scan base
+    for :func:`psi_report` and :func:`ks_report`: reference min/max,
+    then one conditional-sum histogram aggregate per snapshot covering
+    every column (columns × n_bins map-side-combinable sums); the
+    per-column grids are re-assembled with stack/explode on the 1-row
+    aggregate output.  Bin assignment is the exact expression
+    ``_ref_binned_hists`` uses per column, so downstream scores are
+    bit-identical to the single-column operators."""
     import re as _re
 
     from dar_spark.operators.sketch import quantile_hist_exprs
 
     if not value_cols:
-        raise ValueError("psi_report needs at least one column")
+        raise ValueError("drift report needs at least one column")
 
     def fin(c: str) -> str:
         x = f"CAST({c} AS DOUBLE)"
@@ -441,6 +436,29 @@ def psi_report(
             F.col("_cc.co").alias("co"), F.col("_cc.cn").alias("cn"),
         )
     )
+    return rows
+
+
+def psi_report(
+    old: DataFrame,
+    new: DataFrame,
+    value_cols: list[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-column PSI in one frame: (column, n_old, n_new, psi,
+    drifted) — the monitoring loop's per-feature drift table.
+
+    THREE scans total regardless of column count — one min/max pass
+    over the reference, then ONE conditional-sum histogram aggregate
+    per snapshot covering every column at once (columns × n_bins
+    map-side-combinable sums, the profile_histogram shape) — where the
+    per-column composition cost 3 scans PER column.  All per-column
+    assembly (stack → explode → ln layers → bin-ordered fold) runs on
+    the O(columns × n_bins) aggregate output.  Values are
+    bit-identical to :func:`psi_drift` run per column (same bin
+    expressions, Laplace shares, arithmetic ln, fold order — pinned in
+    tests)."""
+    rows = _multi_col_bin_rows(old, new, value_cols, n_bins)
     for col, expr in _psi_term_layers(_SPARK, n_bins, "co", "cn"):
         rows = rows.withColumn(col, F.expr(expr))
     return (
@@ -647,4 +665,55 @@ def psi_between_bins(
             ).alias("psi"),
         )
         .withColumn("drifted", F.expr("CAST(psi >= 0.2 AS INT)"))
+    )
+
+
+def ks_report(
+    old: DataFrame,
+    new: DataFrame,
+    value_cols: list[str],
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-column KS distances in the same THREE total scans as
+    :func:`psi_report` (shared ``_multi_col_bin_rows`` base): one row
+    per column, (column, n_old, n_new, ks_stat, at_bin) — values
+    bit-identical to :func:`ks_drift` run per column (same bin
+    expressions, cumulative integer sums, nullif CDF guards, min_by
+    tie-break — pinned in tests).  The cumulative windows partition by
+    column over the O(columns × n_bins) aggregate output, never the
+    corpus."""
+    rows = _multi_col_bin_rows(old, new, value_cols, n_bins)
+    cum = rows.select(
+        "column",
+        "t_old",
+        "t_new",
+        "bin",
+        F.expr(
+            "SUM(co) OVER (PARTITION BY column ORDER BY bin "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("cum_old"),
+        F.expr(
+            "SUM(cn) OVER (PARTITION BY column ORDER BY bin "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("cum_new"),
+    )
+    diff = cum.select(
+        "column",
+        F.col("t_old").alias("n_old"),
+        F.col("t_new").alias("n_new"),
+        "bin",
+        F.expr(
+            "abs(CAST(cum_old AS DOUBLE) / CAST(nullif(n_old, 0) AS DOUBLE) "
+            "- CAST(cum_new AS DOUBLE) / CAST(nullif(n_new, 0) AS DOUBLE))"
+        ).alias("_d"),
+    )
+    return diff.groupBy("column").agg(
+        F.expr("MAX(n_old)").alias("n_old"),
+        F.expr("MAX(n_new)").alias("n_new"),
+        F.expr("MAX(_d)").alias("ks_stat"),
+        F.expr(
+            "CASE WHEN MAX(_d) IS NOT NULL THEN "
+            "CAST(min_by(bin, struct(coalesce(-_d, CAST(1 AS DOUBLE)), bin)) "
+            "AS INT) END"
+        ).alias("at_bin"),
     )

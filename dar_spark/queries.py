@@ -3140,6 +3140,31 @@ def _psi_report_q() -> Q:
     return Q(spark_fn, "\nUNION ALL\n".join(parts))
 
 
+def _ks_report_q() -> Q:
+    """Per-feature KS table (drift.ks_report): same three-scan base as
+    psi_report; the oracle is per-column ks_drift_oracle_sql UNION ALL,
+    so the value hash asserts single-pass == per-column composition."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.drift import ks_report
+
+        load_tables(spark, sf_dir)
+        return ks_report(
+            spark.sql(PSI_REPORT_OLD), spark.sql(PSI_REPORT_NEW),
+            PSI_REPORT_COLS,
+        )
+
+    from dar_spark.operators.drift import ks_drift_oracle_sql
+
+    parts = [
+        f"SELECT '{c}' AS column, * FROM ("
+        + ks_drift_oracle_sql(DUCKDB, PSI_REPORT_OLD, PSI_REPORT_NEW, c)
+        + ")"
+        for c in PSI_REPORT_COLS
+    ]
+    return Q(spark_fn, "\nUNION ALL\n".join(parts))
+
+
 def _pq_lsh_topk_q() -> Q:
     """The routed-compressed-rerank ANN composite
     (similarity.pq_lsh_topk): SRP buckets cut the candidate set, PQ
@@ -3892,6 +3917,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("dedup_clusters_incremental", _clusters_incremental_q()),
         ("filter_funnel_by_lang", _filter_funnel_by_lang_q()),
         ("psi_report_lineitem", _psi_report_q()),
+        ("ks_report_lineitem", _ks_report_q()),
     ]
 
 

@@ -202,3 +202,28 @@ def test_psi_report_bit_identical_to_per_column_psi_drift(spark):
         assert (r.n_old, r.n_new, r.psi, r.drifted) == (
             d.n_old, d.n_new, d.psi, d.drifted
         ), c
+
+
+def test_ks_report_bit_identical_to_per_column_ks_drift(spark):
+    from dar_spark.operators.drift import ks_drift, ks_report
+    from dar_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    cols = ["l_extendedprice", "l_quantity", "l_nullish"]
+    old = li.selectExpr(
+        "l_extendedprice", "l_quantity",
+        "CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_tax END AS l_nullish",
+    )
+    new = old.selectExpr(
+        "l_extendedprice + 20000 AS l_extendedprice", "l_quantity", "l_nullish"
+    )
+    report = {r.column: r for r in ks_report(old, new, cols).collect()}
+    assert set(report) == set(cols)
+    for c in cols:
+        d = ks_drift(old, new, c).collect()[0]
+        r = report[c]
+        assert (r.n_old, r.n_new, r.ks_stat, r.at_bin) == (
+            d.n_old, d.n_new, d.ks_stat, d.at_bin
+        ), c
+    assert report["l_extendedprice"].ks_stat > report["l_quantity"].ks_stat
