@@ -511,3 +511,15 @@ def test_keep_best_fractional_scores_not_truncated(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].doc_id == 1 and out[0].quality == 0.95
+
+
+def test_extend_clusters_empty_batch_is_identity(spark):
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5)], "node BIGINT, cluster_id BIGINT"
+    )
+    empty = spark.createDataFrame([], "doc_id_a BIGINT, doc_id_b BIGINT")
+    out = sorted(
+        (r.node, r.cluster_id)
+        for r in dedup.extend_clusters(labels, empty).collect()
+    )
+    assert out == [(1, 1), (2, 1), (5, 5)]

@@ -465,3 +465,29 @@ def test_psi_and_ks_cross_engine_bit_identity(spark, old_vals, new_vals):
     )).fetchone()
     assert (p.n_old, p.n_new, p.psi, p.drifted) == po
     assert (k.n_old, k.n_new, k.ks_stat, k.at_bin) == ko
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=2**52), min_size=1, max_size=24))
+def test_ln_posint_cross_engine_bit_identity(spark, ns):
+    """Dialect.ln_posint must be the SAME double in both engines for any
+    positive BIGINT (basic IEEE ops only), and within 2e-8 of libm —
+    the guarantee every migrated score (bm25/tfidf/lm/HLL/PSI) rests
+    on."""
+    import math
+
+    from dar_spark.dialect import DUCKDB, SPARK
+
+    df = spark.createDataFrame([(n,) for n in ns], "v LONG")
+    sp = {
+        r.v: r.l
+        for r in df.selectExpr("v", f"{SPARK.ln_posint('v')} AS l").collect()
+    }
+    con = duckdb.connect()
+    src = " UNION ALL ".join(f"SELECT CAST({n} AS BIGINT) AS v" for n in ns)
+    du = dict(con.execute(
+        f"SELECT v, {DUCKDB.ln_posint('v')} FROM ({src})"
+    ).fetchall())
+    for n in ns:
+        assert sp[n] == du[n], f"cross-engine split at {n}"
+        assert abs(sp[n] - math.log(n)) < 2e-8, f"accuracy at {n}"
