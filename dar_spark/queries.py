@@ -1323,7 +1323,7 @@ SELECT doc_id, cluster_id, quality FROM ranked WHERE rn = 1
 UNION ALL
 SELECT doc_id, doc_id AS cluster_id, quality FROM scored
 WHERE doc_id NOT IN (SELECT node FROM cc)"""
-    return Q(spark_fn, oracle)
+    return Q(spark_fn, oracle, headline=True)
 
 
 def _drift_q() -> Q:
@@ -3137,7 +3137,7 @@ def _psi_report_q() -> Q:
         + ")"
         for c in PSI_REPORT_COLS
     ]
-    return Q(spark_fn, "\nUNION ALL\n".join(parts))
+    return Q(spark_fn, "\nUNION ALL\n".join(parts), headline=True)
 
 
 def _ks_report_q() -> Q:
@@ -3775,7 +3775,7 @@ UNION ALL
 SELECT 1, 'quality_floor', s0, s1, {share('s0', 's1')} FROM a
 UNION ALL
 SELECT 2, 'stopword_ceiling', s1, s2, {share('s1', 's2')} FROM a"""
-    return Q(spark_fn, oracle)
+    return Q(spark_fn, oracle, headline=True)
 
 
 def _filter_funnel_by_lang_q() -> Q:
