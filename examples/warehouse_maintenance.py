@@ -69,14 +69,18 @@ def main() -> None:
     print("SCD2 rows:", hist.count(), "current:",
           hist.filter("is_current = 1").count())
 
-    # 5. distribution-drift scores between the snapshots (histogram
-    # recipe: two map-side passes each, never a sort)
-    from dar_spark.operators.drift import ks_drift, psi_drift
+    # 5. distribution-drift scores between the snapshots — the
+    # single-pass per-feature reports: THREE scans total for ANY number
+    # of monitored columns (values bit-identical to per-column
+    # psi_drift/ks_drift)
+    from dar_spark.operators.drift import ks_report, psi_report
 
-    p = psi_drift(old, new, "o_totalprice").collect()[0]
-    k = ks_drift(old, new, "o_totalprice").collect()[0]
-    print(f"PSI {p.psi:.4f} (drifted={p.drifted})  "
-          f"KS {k.ks_stat:.4f} at bin {k.at_bin}")
+    cols = ["o_totalprice", "o_orderkey"]
+    psis = {r.column: r for r in psi_report(old, new, cols).collect()}
+    kss = {r.column: r for r in ks_report(old, new, cols, n_bins=64).collect()}
+    for c in cols:
+        print(f"  {c}: PSI {psis[c].psi:.4f} (drifted={psis[c].drifted})  "
+              f"KS {kss[c].ks_stat:.4f} at bin {kss[c].at_bin}")
 
     # 6. advance the per-customer revenue rollup incrementally from the
     # CDC delta (never rescanning the fact table), equal to a full
