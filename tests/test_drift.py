@@ -227,3 +227,28 @@ def test_ks_report_bit_identical_to_per_column_ks_drift(spark):
             d.n_old, d.n_new, d.ks_stat, d.at_bin
         ), c
     assert report["l_extendedprice"].ks_stat > report["l_quantity"].ks_stat
+
+
+def test_reports_degenerate_columns_match_single_column_ops(spark):
+    """Constant column (mx == mn), all-NULL column, and an EMPTY new
+    snapshot — the degenerate corners — must match the single-column
+    operators exactly through the shared multi-column base."""
+    from dar_spark.operators.drift import ks_drift, ks_report, psi_drift, psi_report
+
+    old = spark.createDataFrame(
+        [(1.0, 5.0, None), (2.0, 5.0, None), (3.0, 5.0, None)],
+        "a DOUBLE, const DOUBLE, nul DOUBLE",
+    )
+    new = old.filter("1 = 0")
+    cols = ["a", "const", "nul"]
+    pr = {r.column: r for r in psi_report(old, new, cols).collect()}
+    kr = {r.column: r for r in ks_report(old, new, cols).collect()}
+    for c in cols:
+        d = psi_drift(old, new, c).collect()[0]
+        assert (pr[c].n_old, pr[c].n_new, pr[c].psi, pr[c].drifted) == (
+            d.n_old, d.n_new, d.psi, d.drifted
+        ), f"psi {c}"
+        k = ks_drift(old, new, c).collect()[0]
+        assert (kr[c].n_old, kr[c].n_new, kr[c].ks_stat, kr[c].at_bin) == (
+            k.n_old, k.n_new, k.ks_stat, k.at_bin
+        ), f"ks {c}"
