@@ -88,6 +88,7 @@ __all__ = [
     "bm25_search",
     "approx_quantiles_hist",
     "approx_quantiles_hist_by",
+    "quantile_report",
     "leak_safe_split",
     "rollup_from_facts",
     "incremental_rollup",
@@ -252,7 +253,8 @@ def __getattr__(name):
         from dar_spark.functions.text import bm25_search
 
         return bm25_search
-    if name in ("approx_quantiles_hist", "approx_quantiles_hist_by"):
+    if name in ("approx_quantiles_hist", "approx_quantiles_hist_by",
+                "quantile_report"):
         from dar_spark.operators import sketch as _sk2
 
         return getattr(_sk2, name)

@@ -587,3 +587,116 @@ hit AS (
   FROM tgt t JOIN cum c ON c._g IS NOT DISTINCT FROM t._g
                        AND c.cum >= t.rank_t)
 SELECT _g AS grp, prob, {est} AS q_est FROM hit WHERE rn = 1"""
+
+
+def quantile_report(
+    df: DataFrame,
+    value_cols: list[str],
+    probs: list[float],
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-column histogram quantiles in TWO scans total regardless of
+    column count — one min/max/count aggregate covering every column,
+    then ONE conditional-sum histogram aggregate (columns × n_bins
+    map-side-combinable sums; the psi_report/profile_histogram shape
+    applied to quantiles).  Per-column composition via
+    :func:`approx_quantiles_hist` costs 2 scans PER column.
+
+    Output: (column, prob, q_est), values bit-identical to
+    ``approx_quantiles_hist`` run per column — same finite mask, bin
+    expressions, rank arithmetic, and interpolation (pinned in tests).
+    Columns with no finite values emit no rows, like the single-column
+    operator.
+    """
+    import re as _re
+
+    if not value_cols:
+        raise ValueError("quantile_report needs at least one column")
+
+    def fin(c: str) -> str:
+        x = f"CAST({c} AS DOUBLE)"
+        return (
+            f"({x} IS NOT NULL AND NOT isnan({x}) "
+            f"AND abs({x}) <> double('inf'))"
+        )
+
+    stats = df.agg(*[
+        F.expr(e).alias(a)
+        for i, c in enumerate(value_cols)
+        for e, a in (
+            (f"CAST(min(CASE WHEN {fin(c)} THEN CAST({c} AS DOUBLE) END) "
+             f"AS DOUBLE)", f"mn_{i}"),
+            (f"CAST(max(CASE WHEN {fin(c)} THEN CAST({c} AS DOUBLE) END) "
+             f"AS DOUBLE)", f"mx_{i}"),
+            (f"CAST(COALESCE(SUM(CASE WHEN {fin(c)} THEN 1 ELSE 0 END), 0) "
+             f"AS BIGINT)", f"n_{i}"),
+        )
+    ])
+    sums = []
+    for i, c in enumerate(value_cols):
+        idx, _ = quantile_hist_exprs(SPARK, f"CAST({c} AS DOUBLE)", n_bins)
+        idx = _re.sub(r"\bmn\b", f"mn_{i}", idx)
+        idx = _re.sub(r"\bmx\b", f"mx_{i}", idx)
+        bin_expr = f"CASE WHEN mx_{i} = mn_{i} THEN 0 ELSE {idx} END"
+        sums += [
+            F.expr(
+                f"CAST(COALESCE(SUM(CASE WHEN {fin(c)} AND "
+                f"{bin_expr} = {b} THEN 1 ELSE 0 END), 0) AS BIGINT)"
+            ).alias(f"q_{i}_{b}")
+            for b in range(n_bins)
+        ]
+    hist1 = df.crossJoin(F.broadcast(stats)).agg(*sums)
+
+    entries = []
+    for i, c in enumerate(value_cols):
+        arr = ", ".join(f"q_{i}_{b}" for b in range(n_bins))
+        lit = c.replace("'", "''")
+        entries.append(f"'{lit}', array({arr}), mn_{i}, mx_{i}, n_{i}")
+    per_col = (
+        hist1.crossJoin(F.broadcast(stats))
+        .selectExpr(
+            f"stack({len(value_cols)}, {', '.join(entries)}) "
+            "AS (column, _h, mn, mx, n)"
+        )
+    )
+    stats_rows = per_col.select("column", "mn", "mx", "n")
+    hist = (
+        per_col.select("column", F.posexplode("_h").alias("bin", "cnt"))
+        # observed bins only — the single-column path's groupBy emits no
+        # zero-count bins, and the first-crossing join relies on cnt >= 1
+        .filter("cnt > 0")
+    )
+    cum = hist.select(
+        F.col("column").alias("_hc"),
+        "bin",
+        "cnt",
+        F.expr(
+            "SUM(cnt) OVER (PARTITION BY column ORDER BY bin "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("cum"),
+    )
+    pdf = df.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "prob double"
+    )
+    j = pdf.crossJoin(F.broadcast(stats_rows)).withColumn(
+        "rank_t",
+        F.expr("least(greatest(CAST(ceil(prob * n) AS BIGINT), 1), n)"),
+    )
+    hit = (
+        j.join(F.broadcast(cum), F.expr("_hc = column AND cum >= rank_t"))
+        .groupBy("column", "prob", "mn", "mx", "n", "rank_t")
+        .agg(
+            F.expr("min_by(struct(bin, cnt, cum), bin).bin").alias("bin"),
+            F.expr("min_by(struct(bin, cnt, cum), bin).cnt").alias("cnt"),
+            F.expr("min_by(struct(bin, cnt, cum), bin).cum").alias("cum"),
+        )
+    )
+    est = (
+        f"CASE WHEN mx = mn THEN mn ELSE "
+        f"mn + ((mx - mn) / CAST({n_bins} AS DOUBLE)) * "
+        f"(CAST(bin AS DOUBLE) + "
+        f"CAST(rank_t - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) END"
+    )
+    return hit.select("column", "prob", F.expr(est).alias("q_est")).orderBy(
+        "column", "prob"
+    )

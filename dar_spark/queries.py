@@ -3388,6 +3388,40 @@ def _quantile_hist_q() -> Q:
     return Q(spark_fn, oracle)
 
 
+QREPORT_COLS = ["l_extendedprice", "l_quantity", "l_discount"]
+
+
+def _quantile_report_q() -> Q:
+    """Per-column quantile report (sketch.quantile_report): three
+    columns in TWO scans total — one min/max/count aggregate + one
+    conditional-sum histogram aggregate covering every column.  The
+    oracle is per-column quantile_hist_oracle_sql UNION ALL, so the
+    value hash asserts the single-pass report is bit-identical to the
+    per-column composition."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.sketch import quantile_report
+
+        t = load_tables(spark, sf_dir)
+        # 64 bins: the aggregate holds columns x bins conditional sums
+        # and whole-stage-codegen compile time dominates at check scale
+        return quantile_report(
+            t["lineitem"], QREPORT_COLS, QHIST_PROBS, n_bins=64
+        )
+
+    from dar_spark.operators.sketch import quantile_hist_oracle_sql
+
+    parts = [
+        f"SELECT '{c}' AS column, * FROM ("
+        + quantile_hist_oracle_sql(
+            DUCKDB, f"SELECT {c} FROM lineitem", c, QHIST_PROBS, n_bins=64
+        )
+        + ")"
+        for c in QREPORT_COLS
+    ]
+    return Q(spark_fn, "\nUNION ALL\n".join(parts))
+
+
 BM25_TERMS = ["query", "window", "merge"]
 BM25_K = 10
 
@@ -3924,6 +3958,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("filter_funnel_by_lang", _filter_funnel_by_lang_q()),
         ("psi_report_lineitem", _psi_report_q()),
         ("ks_report_lineitem", _ks_report_q()),
+        ("quantile_report_lineitem", _quantile_report_q()),
     ]
 
 

@@ -216,3 +216,28 @@ def test_quantile_hist_by_keeps_null_group(spark):
     ).collect()}
     assert ("a", 0.5) in rows and (None, 0.5) in rows
     assert 5.0 <= rows[(None, 0.5)] <= 7.0
+
+
+def test_quantile_report_bit_identical_to_per_column(spark):
+    from dar_spark.operators.sketch import approx_quantiles_hist, quantile_report
+    from dar_spark.session import load_tables
+    from tests.conftest import SF_DIR
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    src = li.selectExpr(
+        "l_extendedprice", "l_quantity",
+        "CASE WHEN l_orderkey % 7 = 0 THEN CAST('NaN' AS DOUBLE) "
+        "WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_tax END AS l_nullish",
+        "CAST(NULL AS DOUBLE) AS l_empty",
+    )
+    cols = ["l_extendedprice", "l_quantity", "l_nullish", "l_empty"]
+    probs = [0.1, 0.5, 0.9, 0.99]
+    rep = {(r.column, r.prob): r.q_est
+           for r in quantile_report(src, cols, probs, n_bins=64).collect()}
+    for c in cols:
+        single = {r.prob: r.q_est
+                  for r in approx_quantiles_hist(src, c, probs, n_bins=64).collect()}
+        got = {p: rep.get((c, p)) for p in probs if (c, p) in rep}
+        assert got == single, c
+    # the all-NULL column emits no rows in either formulation
+    assert not any(c == "l_empty" for c, _ in rep)
