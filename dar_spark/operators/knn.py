@@ -1,0 +1,181 @@
+"""kNN over embeddings: semi-supervised label propagation + hard-negative
+mining — the two standard "use the embedding space to build training
+data" operators.
+
+- ``knn_classify``: assign each unlabeled vector the majority label of
+  its k nearest labeled seeds.  The seed set is aggregated into ONE row
+  (array of (label, vec, norm) structs) and broadcast, so the whole
+  operator is a single MAP-ONLY projection over the unlabeled corpus —
+  zero shuffles, no window, no groupBy.  Per row: score every seed
+  (fold over the broadcast array), sort, slice k, vote.  This is the
+  shape that survives 100 TB of unlabeled data: cost is
+  O(|corpus| x |seeds| x dim) spread over executors with nothing to
+  exchange.  Bounded seed sets (10^4-10^5) are the norm for label
+  propagation; for larger seed sets route candidate generation through
+  the ANN index (operators/similarity.pq_index_topk) and vote on its
+  output instead.
+- ``hard_negatives``: for each labeled anchor, the k most-similar
+  vectors whose label DIFFERS — the contrastive-training mining step
+  (near but wrong = hard negative).  Anchors are the small side
+  (mining runs per training batch), broadcast against one corpus scan;
+  ranking is a per-anchor window.  An optional ``[sim_lo, sim_hi)``
+  band selects semi-hard negatives (close enough to matter, not
+  near-duplicates).
+
+Votes are compared by (count, summed similarity, smaller label) — the
+similarity sum is kept in exact integer 1e-6 units (cosines are already
+rounded to 6 dp) so the tally is associative and engine-identical; a
+double sum would re-associate differently across engines and plans.
+
+No reference-repo counterpart (the reference has no embedding ops);
+these extend SURVEY.md §2d's similarity-search family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dar_spark.operators.similarity import _as_double_vec
+
+# cosine in exact 1e-6 integer units: cos6 is round(x, 6), so
+# cos6 * 1e6 is within ~1e-9 of an integer and the 0-dp round is exact.
+_COS6_INT = "CAST(round(-x.nc * 1000000.0, 0) AS BIGINT)"
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_pred: str,
+    k: int = 5,
+) -> DataFrame:
+    """Majority-vote kNN labeling of the rows matching ``query_pred``
+    against the seed set of all non-matching rows with a non-null label.
+
+    Output: ``(id_col, pred_label, n_votes, vote_sim)`` — the winning
+    label, how many of the k neighbors carried it, and the (exact,
+    6 dp) sum of their cosines.  Ties break by higher vote-similarity
+    then smaller label.  Zero-norm vectors are excluded from both sides
+    (cosine undefined; under ANSI the division would be an error).
+
+    Plan shape: seed aggregation is one tiny single-row aggregate; the
+    classify pass is scan -> project (the cross join is a broadcast of
+    that single row) — ``tests/test_knn.py`` pins zero exchanges on the
+    classify side.
+    """
+    e = _as_double_vec(
+        embeddings.select(id_col, vec_col, label_col), vec_col
+    ).filter("_nrm > 0")
+    seeds = (
+        e.filter(f"NOT ({query_pred})")
+        .filter(F.col(label_col).isNotNull())
+        .select(
+            F.struct(
+                F.col(label_col).alias("l"),
+                F.col("_v").alias("sv"),
+                F.col("_nrm").alias("sn"),
+            ).alias("_s")
+        )
+        .agg(F.collect_list("_s").alias("_seeds"))
+    )
+    q = e.filter(query_pred).select(id_col, "_v", "_nrm")
+    cos6 = (
+        "round(aggregate(zip_with(_v, s.sv, (x, y) -> x * y), 0D, "
+        "(a, x) -> a + x) / (_nrm * s.sn), 6)"
+    )
+    scored = q.crossJoin(F.broadcast(seeds)).withColumn(
+        # ascending struct sort = (cos DESC, label ASC); equal (cos6,
+        # label) structs are interchangeable for the vote multiset, so
+        # the k-boundary is deterministic
+        "_topk",
+        F.expr(
+            f"slice(array_sort(transform(_seeds, s -> "
+            f"struct(-{cos6} AS nc, s.l AS l))), 1, {k})"
+        ),
+    )
+    votes = scored.withColumn(
+        "_votes",
+        F.expr(
+            "transform(array_distinct(transform(_topk, x -> x.l)), L -> struct("
+            "size(filter(_topk, x -> x.l = L)) AS cnt, "
+            f"aggregate(filter(_topk, x -> x.l = L), 0L, (a, x) -> a + {_COS6_INT}) AS s6, "
+            "-L AS nl))"
+        ),
+    ).withColumn("_best", F.expr("array_max(_votes)"))
+    return votes.select(
+        F.col(id_col),
+        F.expr("-_best.nl").alias("pred_label"),
+        F.expr("CAST(_best.cnt AS BIGINT)").alias("n_votes"),
+        F.expr("CAST(_best.s6 AS DOUBLE) / 1000000.0").alias("vote_sim"),
+    )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    anchor_pred: str,
+    k: int = 5,
+    sim_lo: float | None = None,
+    sim_hi: float | None = None,
+) -> DataFrame:
+    """Top-k nearest DIFFERENT-label vectors per anchor.
+
+    Output: ``(anchor_id, anchor_label, negative_id, negative_label,
+    cos_sim, rank_n)``.  ``sim_lo``/``sim_hi`` bound the admissible
+    cosine band (semi-hard mining: ``sim_hi`` excludes near-duplicate
+    false negatives, ``sim_lo`` drops easy negatives that contribute no
+    gradient).
+
+    Scale shape: anchors broadcast (one corpus scan, no shuffle to
+    join); the per-anchor ranking shuffles the scored candidate rows on
+    anchor_id — |anchors| x |corpus| rows, fine for per-batch mining
+    where |anchors| is bounded.  Full-corpus x corpus mining should
+    generate candidates with the persisted ANN index
+    (similarity.pq_index_topk / ann_against_index) and apply the same
+    label filter + band on its output.
+    """
+    e = _as_double_vec(
+        embeddings.select(id_col, vec_col, label_col), vec_col
+    ).filter("_nrm > 0")
+    a = e.filter(anchor_pred).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col("_v").alias("av"),
+        F.col("_nrm").alias("an"),
+    )
+    c = e.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        "_v",
+        "_nrm",
+    )
+    j = c.join(
+        F.broadcast(a),
+        F.expr(
+            "negative_label IS NOT NULL AND negative_label <> anchor_label"
+        ),
+    )
+    scored = j.selectExpr(
+        "anchor_id",
+        "anchor_label",
+        "negative_id",
+        "negative_label",
+        "round(aggregate(zip_with(av, _v, (x, y) -> x * y), 0D, "
+        "(a, x) -> a + x) / (an * _nrm), 6) AS cos_sim",
+    )
+    if sim_lo is not None:
+        scored = scored.filter(F.col("cos_sim") >= sim_lo)
+    if sim_hi is not None:
+        scored = scored.filter(F.col("cos_sim") < sim_hi)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
+        .filter(f"rank_n <= {k}")
+    )

@@ -3921,6 +3921,80 @@ FROM sizes GROUP BY cluster_size"""
     return Q(spark_fn, oracle)
 
 
+KNN_QUERY_PRED = "vec_id % 10 = 0"  # 10% of vectors get propagated labels
+KNN_K = 7
+HN_ANCHOR_PRED = "vec_id % 25 = 0"  # per-batch mining anchors
+HN_K = 5
+
+
+def _knn_label_prop_q() -> Q:
+    """Semi-supervised kNN label propagation (operators/knn.knn_classify):
+    the labeled seed set (90% of vectors) is folded into ONE broadcast
+    row and every unlabeled vector scores/sorts/votes over it in a
+    single map-only projection — zero shuffles on the corpus side (the
+    plan guard in tests/test_knn.py pins this).  Vote tallies compare
+    (count, exact 1e-6-unit similarity sum, smaller label), so the
+    winner is engine-deterministic."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.knn import knn_classify
+
+        t = load_tables(spark, sf_dir)
+        return knn_classify(
+            t["embeddings"], "vec_id", "embedding", "label",
+            KNN_QUERY_PRED, k=KNN_K,
+        )
+
+    oracle = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      WHERE sqrt(list_dot_product(v, v)) > 0),
+q AS (SELECT vec_id, v AS qv, nrm AS qn FROM n WHERE {KNN_QUERY_PRED}),
+s AS (SELECT v, nrm, label FROM n WHERE NOT ({KNN_QUERY_PRED}) AND label IS NOT NULL),
+p AS (SELECT q.vec_id, s.label AS l,
+        round(list_dot_product(q.qv, s.v) / (q.qn * s.nrm), 6) AS c FROM q, s),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, l ASC) AS rn FROM p),
+tk AS (SELECT vec_id, l, c FROM r WHERE rn <= {KNN_K}),
+v AS (SELECT vec_id, l, COUNT(*) AS cnt,
+        SUM(CAST(round(c * 1000000.0, 0) AS BIGINT)) AS s6 FROM tk GROUP BY vec_id, l),
+b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cnt DESC, s6 DESC, l ASC) AS rb FROM v)
+SELECT vec_id, l AS pred_label, CAST(cnt AS BIGINT) AS n_votes,
+       CAST(s6 AS DOUBLE) / 1000000.0 AS vote_sim FROM b WHERE rb = 1"""
+    return Q(spark_fn, oracle, headline=True)
+
+
+def _hard_negatives_q() -> Q:
+    """Contrastive hard-negative mining (operators/knn.hard_negatives):
+    per anchor, the k most-similar DIFFERENT-label vectors with a
+    non-negative-cosine admissibility band (sim_lo=0).  Anchors
+    broadcast; one corpus scan; per-anchor window rank."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.knn import hard_negatives
+
+        t = load_tables(spark, sf_dir)
+        return hard_negatives(
+            t["embeddings"], "vec_id", "embedding", "label",
+            HN_ANCHOR_PRED, k=HN_K, sim_lo=0.0,
+        )
+
+    oracle = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      WHERE sqrt(list_dot_product(v, v)) > 0),
+a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av, nrm AS an
+      FROM n WHERE {HN_ANCHOR_PRED}),
+c AS (SELECT vec_id AS negative_id, label AS negative_label, v, nrm FROM n),
+p AS (SELECT a.anchor_id, a.anchor_label, c.negative_id, c.negative_label,
+        round(list_dot_product(a.av, c.v) / (a.an * c.nrm), 6) AS cos_sim
+      FROM c, a
+      WHERE c.negative_label IS NOT NULL AND c.negative_label <> a.anchor_label),
+f AS (SELECT * FROM p WHERE cos_sim >= 0.0),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+        ORDER BY cos_sim DESC, negative_id) AS BIGINT) AS rank_n FROM f)
+SELECT anchor_id, anchor_label, negative_id, negative_label, cos_sim, rank_n
+FROM r WHERE rank_n <= {HN_K}"""
+    return Q(spark_fn, oracle)
+
+
 def _round6_queries() -> list[tuple[str, Q]]:
     """Queries added in round 6 — right after the never-checked pair so
     they land inside the external verification window."""
@@ -3959,6 +4033,8 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("psi_report_lineitem", _psi_report_q()),
         ("ks_report_lineitem", _ks_report_q()),
         ("quantile_report_lineitem", _quantile_report_q()),
+        ("knn_label_prop", _knn_label_prop_q()),
+        ("hard_negatives_embed", _hard_negatives_q()),
     ]
 
 

@@ -1,0 +1,123 @@
+"""Semantics of operators/knn.py: kNN label propagation + hard-negative
+mining on hand-built geometry (2-dim vectors with obvious nearest
+neighbors), plus the degenerate corners the fixtures don't cover
+(zero-norm vectors, null labels, empty seed set, similarity bands).
+
+All vector components are dyadic rationals (0.5, 0.25, ...) so the
+float32 storage type is exact and expected cosines can be computed with
+Python float64 math verbatim.  Cross-engine parity of the registry
+queries is covered by tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from dar_spark.operators.knn import hard_negatives, knn_classify
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "id BIGINT, vec ARRAY<FLOAT>, label INT")
+
+
+def _cos6(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return round(dot / (na * nb), 6)
+
+
+GEOM = [
+    # label 1 clusters near the x-axis, label 2 near the y-axis
+    (1, [1.0, 0.0], 1),
+    (2, [0.875, 0.125], 1),
+    (3, [0.75, 0.25], 1),
+    (4, [0.0, 1.0], 2),
+    (5, [0.125, 0.875], 2),
+    (8, [0.9375, 0.0625], None),  # null label: never votes
+    (9, [0.0, 0.0], 1),  # zero norm: excluded entirely
+    (100, [0.75, 0.375], None),  # query, x-ward
+    (101, [0.25, 0.875], None),  # query, y-ward
+]
+VECS = {r[0]: r[1] for r in GEOM}
+
+
+@pytest.fixture(scope="module")
+def geom(spark):
+    return _emb(spark, GEOM)
+
+
+def test_knn_classify_majority_vote(geom):
+    out = knn_classify(geom, "id", "vec", "label", "id >= 100", k=3)
+    got = {r["id"]: (r["pred_label"], r["n_votes"]) for r in out.collect()}
+    # query 100 points x-ward: its 3 nearest labeled seeds are 1,2,3
+    # (all label 1); the null-label id 8 and zero-vector id 9 never vote
+    assert got[100] == (1, 3)
+    # query 101 points y-ward: nearest are 4,5 (label 2) + one x seed
+    assert got[101] == (2, 2)
+
+
+def test_knn_classify_vote_sim_is_topk_cosine_sum(geom):
+    out = knn_classify(geom, "id", "vec", "label", "id = 100", k=2).collect()
+    (r,) = out
+    cosines = sorted(
+        (_cos6(VECS[100], VECS[s]) for s in (1, 2, 3)), reverse=True
+    )
+    assert r["pred_label"] == 1 and r["n_votes"] == 2
+    assert r["vote_sim"] == pytest.approx(sum(cosines[:2]), abs=1e-9)
+
+
+def test_knn_classify_empty_seed_set(spark):
+    df = _emb(spark, [(1, [1.0, 0.0], None), (2, [0.0, 1.0], None)])
+    out = knn_classify(df, "id", "vec", "label", "id >= 1", k=3).collect()
+    # no labeled seeds: every query row survives with NULL prediction
+    assert len(out) == 2
+    assert all(r["pred_label"] is None and r["n_votes"] is None for r in out)
+
+
+def test_knn_classify_vote_tie_breaks_to_higher_sim_sum(spark):
+    df = _emb(
+        spark,
+        [
+            (1, [0.5, 0.5], 1),
+            (2, [0.0, 1.0], 2),
+            (100, [0.25, 0.75], None),
+        ],
+    )
+    out = knn_classify(df, "id", "vec", "label", "id = 100", k=2).collect()
+    (r,) = out
+    # one vote each; label 1's cosine to the query is lower than label
+    # 2's, so label 2 wins the 1-1 tie on similarity sum
+    c1 = _cos6([0.25, 0.75], [0.5, 0.5])
+    c2 = _cos6([0.25, 0.75], [0.0, 1.0])
+    assert c2 > c1
+    assert r["pred_label"] == 2 and r["n_votes"] == 1
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(geom):
+    out = hard_negatives(geom, "id", "vec", "label", "id = 1", k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank_n"])
+    assert [r["anchor_id"] for r in rows] == [1, 1]
+    # nearest different-label vectors to (1,0): id 5 then id 4 (label
+    # 2); same-label ids 2,3 and null-label id 8 are excluded
+    assert [r["negative_id"] for r in rows] == [5, 4]
+    assert all(r["negative_label"] == 2 for r in rows)
+    assert rows[0]["cos_sim"] == _cos6(VECS[1], VECS[5])
+    assert rows[1]["cos_sim"] == _cos6(VECS[1], VECS[4])
+
+
+def test_hard_negatives_band(geom):
+    hi = _cos6(VECS[1], VECS[5])  # exclude the closest negative
+    out = hard_negatives(
+        geom, "id", "vec", "label", "id = 1", k=5, sim_lo=0.0, sim_hi=hi
+    ).collect()
+    # only id 4 (cos exactly 0.0) remains inside [0, hi)
+    assert [(r["negative_id"], r["cos_sim"]) for r in out] == [(4, 0.0)]
+
+
+def test_hard_negatives_anchor_without_label_peers(spark):
+    # all vectors share one label: no admissible negatives, empty output
+    df = _emb(spark, [(1, [1.0, 0.0], 1), (2, [0.875, 0.125], 1)])
+    assert hard_negatives(df, "id", "vec", "label", "id = 1", k=3).count() == 0

@@ -298,3 +298,18 @@ def test_psi_report_scans_constant_in_columns(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     p = p.split("== Initial Plan ==")[0]
     assert p.count("FileScan") <= 3, "psi_report scans must not scale with columns"
+
+
+def test_knn_classify_is_map_only(spark):
+    """knn_label_prop: the classify pass must be scan -> project with
+    the seed set folded into one broadcast row — the ONLY exchanges
+    allowed are the tiny single-partition seed aggregate and its
+    broadcast; a hash-partition shuffle or a window would mean the
+    corpus side stopped being map-only and the operator no longer
+    scales to an unbounded unlabeled set."""
+    p = _executed(spark, "knn_label_prop")
+    p = p.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in p
+    assert "hashpartitioning" not in p, "corpus side must not shuffle"
+    assert "Window" not in p and "SortMergeJoin" not in p
+    assert "Python" not in p
