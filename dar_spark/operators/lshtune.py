@@ -1,0 +1,197 @@
+"""MinHash-LSH parameter tuning: MEASURED precision/recall per
+(bands, rows_per_band) setting, against exact-Jaccard ground truth.
+
+The S-curve ``P(candidate) = 1 - (1 - s^r)^b`` says what a setting
+*should* catch; this report says what it *did* catch on your corpus —
+shingle-set sizes, skew, and the threshold interact in ways the formula
+ignores.  Run it on a bounded sample (10^3-10^5 docs), pick the
+cheapest setting whose measured recall clears your bar, then run
+``dedup.minhash_lsh_pairs`` at corpus scale with it.  This is the
+standard LSH tuning loop (datasketch's ``lsh.optimal_param`` solves the
+integral; here the corpus itself is the integrand).
+
+Cost shape: the ground-truth stage is an ALL-PAIRS exact Jaccard over
+the sample — O(sample^2), which is the point of the tool and the reason
+the input must be a sample, never the corpus (a loud guard refuses
+unbounded inputs).  Everything else is linear: signatures are computed
+ONCE for max(b*r) hashes and every setting's bands are sliced from
+them in a single explode, so adding settings adds band rows, not scans.
+Each setting uses the FIRST b*r hashes exactly as
+``dedup.minhash_lsh_pairs(n_bands=b, rows_per_band=r)`` would — the
+measured numbers transfer verbatim.
+
+No reference counterpart (SURVEY.md §2d extension); the knob being
+tuned is the reference's near-dup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.dialect import DUCKDB, SPARK
+from dar_spark.operators.dedup import minhash_hash_expr, shingles
+
+DEFAULT_SETTINGS: tuple[tuple[int, int], ...] = ((1, 2), (2, 2), (4, 2), (2, 4))
+
+# all-pairs ground truth: refuse inputs that are clearly not samples
+MAX_SAMPLE_DOCS = 200_000
+
+
+def lsh_tuning_report(
+    sample: DataFrame,
+    id_col: str,
+    text_col: str,
+    settings: tuple[tuple[int, int], ...] = DEFAULT_SETTINGS,
+    jaccard_threshold: float = 0.6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One row per setting: ``(n_bands, rows_per_band, n_hashes,
+    n_candidates, n_true_pairs, n_caught, precision, recall)``.
+
+    ``n_true_pairs`` is the exact count of sample pairs with Jaccard >=
+    threshold (same for every row); ``n_caught`` the candidates among
+    them.  precision/recall are half-up 6-dp integer ratios
+    (Dialect.ratio_6dp), NULL when their denominator is 0.
+    """
+    if not settings:
+        raise ValueError("lsh_tuning_report: settings must be non-empty")
+    n_docs = sample.select(id_col).limit(MAX_SAMPLE_DOCS + 1).count()
+    if n_docs > MAX_SAMPLE_DOCS:
+        raise ValueError(
+            f"lsh_tuning_report: input has > {MAX_SAMPLE_DOCS} docs; the "
+            "ground-truth stage is all-pairs exact Jaccard — pass a sample "
+            "(e.g. a hash-bucket slice), not the corpus"
+        )
+    spark = sample.sparkSession
+    max_k = max(b * r for b, r in settings)
+    # shingle sets feed three consumers (signatures + both truth sides)
+    sh = shingles(sample, id_col, text_col, shingle_n).cache()
+    sig = sh.select(
+        F.col(id_col),
+        *[
+            F.expr(f"array_min(transform(s, g -> {minhash_hash_expr(k)}))").alias(
+                f"h{k}"
+            )
+            for k in range(max_k)
+        ],
+    )
+    # every setting's band rows in ONE explode over the shared signatures
+    entries = []
+    for si, (b, r) in enumerate(settings):
+        for bi in range(b):
+            key = " || ".join(f"h{bi * r + j}" for j in range(r))
+            entries.append(f"struct({si} AS si, {bi} AS bi, {key} AS bk)")
+    bands = sig.selectExpr(
+        id_col, f"explode(array({', '.join(entries)})) AS e"
+    ).selectExpr(id_col, "e.si AS si", "e.bi AS bi", "e.bk AS bk")
+    ba = bands.select(F.col(id_col).alias("ida"), "si", "bi", "bk")
+    bb = bands.select(F.col(id_col).alias("idb"), "si", "bi", "bk")
+    cands = (
+        ba.join(bb, ["si", "bi", "bk"])
+        .filter("ida < idb")
+        .select("si", "ida", "idb")
+        .distinct()
+        .cache()  # consumed by both the per-setting count and the truth join
+    )
+    sa = sh.select(F.col(id_col).alias("ida"), F.col("s").alias("sa"))
+    sb = sh.select(F.col(id_col).alias("idb"), F.col("s").alias("sb"))
+    # ground truth: all-pairs exact Jaccard on the SAMPLE (the threshold
+    # compares the unrounded IEEE quotient — engine-identical)
+    truth = (
+        sa.join(sb, F.expr("ida < idb"))
+        .selectExpr(
+            "ida",
+            "idb",
+            "size(array_intersect(sa, sb)) AS i",
+            "size(sa) AS na",
+            "size(sb) AS nb",
+        )
+        .filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
+        .select("ida", "idb")
+        .cache()  # consumed by the scalar count and the caught join
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_cand = cands.groupBy("si").agg(F.count(F.lit(1)).alias("n_candidates"))
+    caught = (
+        cands.join(truth, ["ida", "idb"])
+        .groupBy("si")
+        .agg(F.count(F.lit(1)).alias("n_caught"))
+    )
+    base = spark.createDataFrame(
+        [(si, b, r, b * r) for si, (b, r) in enumerate(settings)],
+        "si INT, n_bands INT, rows_per_band INT, n_hashes INT",
+    )
+    rep = (
+        base.join(n_cand, "si", "left")
+        .join(caught, "si", "left")
+        .crossJoin(F.broadcast(n_true))
+    )
+    return rep.selectExpr(
+        "n_bands",
+        "rows_per_band",
+        "n_hashes",
+        "CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates",
+        "CAST(n_true_pairs AS BIGINT) AS n_true_pairs",
+        "CAST(coalesce(n_caught, 0) AS BIGINT) AS n_caught",
+        "CASE WHEN coalesce(n_candidates, 0) > 0 THEN "
+        + SPARK.ratio_6dp("coalesce(n_caught, 0)", "n_candidates")
+        + " END AS precision",
+        "CASE WHEN n_true_pairs > 0 THEN "
+        + SPARK.ratio_6dp("coalesce(n_caught, 0)", "n_true_pairs")
+        + " END AS recall",
+    )
+
+
+def lsh_tuning_oracle_sql(
+    corpus_cte: str,
+    settings: tuple[tuple[int, int], ...] = DEFAULT_SETTINGS,
+    jaccard_threshold: float = 0.6,
+) -> str:
+    """DuckDB twin of :func:`lsh_tuning_report` (3-token shingles) over a
+    ``corpus(doc_id, text)`` SELECT — same md5-slice signatures, same
+    first-b*r-hashes banding, same half-up ratios."""
+    max_k = max(b * r for b, r in settings)
+    mins = ", ".join(f"min({minhash_hash_expr(k)}) AS h{k}" for k in range(max_k))
+    band_rows = []
+    for si, (b, r) in enumerate(settings):
+        for bi in range(b):
+            key = " || ".join(f"h{bi * r + j}" for j in range(r))
+            band_rows.append(f"SELECT doc_id, {si} AS si, {bi} AS bi, {key} AS bk FROM sig")
+    base_rows = ", ".join(
+        f"({si}, {b}, {r}, {b * r})" for si, (b, r) in enumerate(settings)
+    )
+    d = DUCKDB
+    prec = d.ratio_6dp("coalesce(ca.n_caught, 0)", "nc.n_candidates")
+    rec = d.ratio_6dp("coalesce(ca.n_caught, 0)", "nt.n_true_pairs")
+    return f"""WITH corpus AS ({corpus_cte}),
+t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s FROM t),
+shf AS (SELECT * FROM sh WHERE len(s) > 0),
+ex AS (SELECT doc_id, unnest(s) AS g FROM shf),
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+bands AS ({" UNION ALL ".join(band_rows)}),
+cand AS (SELECT DISTINCT a.si, a.doc_id AS ida, b.doc_id AS idb
+         FROM bands a JOIN bands b
+           ON a.si = b.si AND a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+tp AS (SELECT sa.doc_id AS ida, sb.doc_id AS idb,
+         len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) AS na, len(sb.s) AS nb
+       FROM shf sa JOIN shf sb ON sa.doc_id < sb.doc_id),
+truth AS (SELECT ida, idb FROM tp
+          WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}),
+nt AS (SELECT COUNT(*) AS n_true_pairs FROM truth),
+nc AS (SELECT si, COUNT(*) AS n_candidates FROM cand GROUP BY si),
+ca AS (SELECT c.si, COUNT(*) AS n_caught FROM cand c
+       JOIN truth t ON t.ida = c.ida AND t.idb = c.idb GROUP BY c.si),
+base AS (SELECT * FROM (VALUES {base_rows}) AS v(si, n_bands, rows_per_band, n_hashes))
+SELECT b.n_bands, b.rows_per_band, b.n_hashes,
+       CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(nt.n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(coalesce(ca.n_caught, 0) AS BIGINT) AS n_caught,
+       CASE WHEN coalesce(nc.n_candidates, 0) > 0 THEN {prec} END AS precision,
+       CASE WHEN nt.n_true_pairs > 0 THEN {rec} END AS recall
+FROM base b
+LEFT JOIN nc ON nc.si = b.si
+LEFT JOIN ca ON ca.si = b.si
+CROSS JOIN nt"""

@@ -3921,6 +3921,59 @@ FROM sizes GROUP BY cluster_size"""
     return Q(spark_fn, oracle)
 
 
+# LSH tuning sample: 20% of the dup-injected corpus, with per-group
+# suffix perturbations so ground-truth Jaccard spans ~0.6-1.0 (pure
+# exact-dup groups would make every setting's recall trivially 1.0) —
+# group member %3=1 gains 4 tokens, %3=2 gains 12.
+TUNING_CORPUS_CTE = (
+    "SELECT a.doc_id, CASE WHEN a.doc_id % 3 = 1 THEN b.text || ' qa qb qc qd' "
+    "WHEN a.doc_id % 3 = 2 THEN b.text || ' qe qf qg qh qi qj qk ql qm qn qo qp' "
+    "ELSE b.text END AS text "
+    "FROM documents a JOIN documents b ON b.doc_id = a.doc_id - (a.doc_id % 3) "
+    "WHERE a.doc_id % 20 < 4"
+)
+
+
+def _tuning_sample_df(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    docs = parallelize(t["documents"]).select("doc_id", "text")
+    rep = docs.select(
+        F.col("doc_id").alias("rep_id"), F.col("text").alias("rep_text")
+    )
+    return (
+        docs.select("doc_id", F.expr("doc_id - doc_id % 3").alias("rep_id"))
+        .filter("doc_id % 20 < 4")
+        .join(rep, "rep_id")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN doc_id % 3 = 1 THEN rep_text || ' qa qb qc qd' "
+                "WHEN doc_id % 3 = 2 THEN rep_text || "
+                "' qe qf qg qh qi qj qk ql qm qn qo qp' "
+                "ELSE rep_text END"
+            ).alias("text"),
+        )
+    )
+
+
+def _lsh_tuning_q() -> Q:
+    """Measured LSH tuning report (operators/lshtune.lsh_tuning_report):
+    per (bands, rows) setting, banded-candidate precision/recall against
+    exact-Jaccard ground truth on a perturbed near-dup sample.  The
+    report is what picks minhash_lsh_pairs' parameters before a corpus
+    run; its numbers transfer because each setting bands the FIRST b*r
+    hashes exactly as the production operator does."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.lshtune import lsh_tuning_report
+
+        return lsh_tuning_report(_tuning_sample_df(spark, sf_dir), "doc_id", "text")
+
+    from dar_spark.operators.lshtune import lsh_tuning_oracle_sql
+
+    return Q(spark_fn, lsh_tuning_oracle_sql(TUNING_CORPUS_CTE), headline=True)
+
+
 KNN_QUERY_PRED = "vec_id % 10 = 0"  # 10% of vectors get propagated labels
 KNN_K = 7
 HN_ANCHOR_PRED = "vec_id % 25 = 0"  # per-batch mining anchors
@@ -4035,6 +4088,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("quantile_report_lineitem", _quantile_report_q()),
         ("knn_label_prop", _knn_label_prop_q()),
         ("hard_negatives_embed", _hard_negatives_q()),
+        ("lsh_tuning_report_docs", _lsh_tuning_q()),
     ]
 
 

@@ -1,0 +1,69 @@
+"""Semantics of operators/lshtune.lsh_tuning_report: exact-dup pairs are
+always caught (identical signatures collide in every setting), truth
+counting matches hand-computed Jaccard, guards fire.  Cross-engine
+parity of the registry query is covered by tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import dar_spark.operators.lshtune as LT
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+WORDS = " ".join(f"w{i}" for i in range(20))
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return _docs(
+        spark,
+        [
+            (1, WORDS),
+            (2, WORDS),  # exact dup of 1: Jaccard 1.0, caught by EVERY setting
+            (3, " ".join(f"z{i}" for i in range(20))),  # disjoint vocab
+        ],
+    )
+
+
+def test_exact_dups_always_caught(sample):
+    rep = LT.lsh_tuning_report(sample, "doc_id", "text").collect()
+    assert len(rep) == len(LT.DEFAULT_SETTINGS)
+    for r in rep:
+        # the only >= 0.6 pair is (1,2); identical texts have identical
+        # signatures, so every setting catches it
+        assert r["n_true_pairs"] == 1
+        assert r["n_caught"] == 1
+        assert r["recall"] == 1.0
+        assert r["n_candidates"] >= 1
+        assert r["precision"] is not None and 0.0 < r["precision"] <= 1.0
+        assert r["n_hashes"] == r["n_bands"] * r["rows_per_band"]
+
+
+def test_no_truth_pairs_gives_null_recall(spark):
+    df = _docs(
+        spark,
+        [(1, WORDS), (2, " ".join(f"z{i}" for i in range(20)))],
+    )
+    rep = LT.lsh_tuning_report(df, "doc_id", "text").collect()
+    for r in rep:
+        assert r["n_true_pairs"] == 0 and r["n_caught"] == 0
+        assert r["recall"] is None
+        # no candidates between disjoint-vocab docs either
+        assert r["n_candidates"] == 0 and r["precision"] is None
+
+
+def test_sample_size_guard(spark, monkeypatch):
+    monkeypatch.setattr(LT, "MAX_SAMPLE_DOCS", 2)
+    df = _docs(spark, [(i, WORDS) for i in range(4)])
+    with pytest.raises(ValueError, match="all-pairs"):
+        LT.lsh_tuning_report(df, "doc_id", "text")
+
+
+def test_empty_settings_rejected(sample):
+    with pytest.raises(ValueError, match="non-empty"):
+        LT.lsh_tuning_report(sample, "doc_id", "text", settings=())
