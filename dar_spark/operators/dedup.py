@@ -1159,6 +1159,48 @@ def dup_cluster_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def dup_source_matrix(
+    edges: DataFrame,
+    doc_meta: DataFrame,
+    id_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Cross-group near-dup matrix: for each (group_a, group_b) pair —
+    normalized so group_a <= group_b — the number of near-dup pairs
+    straddling (or inside) it, and its half-up 6-dp share of all pairs.
+    The standard "which sources copy from each other" diagnostic before
+    deciding mixing weights: a large off-diagonal cell means two
+    sources substantially overlap and their budgets double-count.
+
+    ``edges`` is the pair frame from any pair finder (ids ``doc_id_a``
+    / ``doc_id_b``); ``doc_meta`` maps ``id_col`` to ``group_col``.
+    Cost: two broadcast-or-hash joins of the PAIR frame (pair-graph
+    sized, not corpus sized) against the meta projection, one tiny
+    aggregate.  Output: (group_a, group_b, n_dup_pairs, pair_share).
+    """
+    m = doc_meta.select(F.col(id_col), F.col(group_col))
+    ga = m.select(
+        F.col(id_col).alias("doc_id_a"), F.col(group_col).alias("_ga")
+    )
+    gb = m.select(
+        F.col(id_col).alias("doc_id_b"), F.col(group_col).alias("_gb")
+    )
+    cells = (
+        edges.join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
+        .selectExpr("least(_ga, _gb) AS group_a", "greatest(_ga, _gb) AS group_b")
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+    total = cells.agg(F.sum("n_dup_pairs").alias("_tot"))
+    return cells.crossJoin(F.broadcast(total)).selectExpr(
+        "group_a",
+        "group_b",
+        "CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs",
+        f"{SPARK.ratio_6dp('n_dup_pairs', '_tot')} AS pair_share",
+    )
+
+
 def extend_clusters(
     labels: DataFrame,
     new_edges: DataFrame,

@@ -113,6 +113,55 @@ def knn_classify(
     )
 
 
+def knn_holdout_eval(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    holdout_pred: str,
+    k: int = 5,
+) -> DataFrame:
+    """Measured kNN propagation quality: hold out the labeled rows
+    matching ``holdout_pred``, re-predict them from the remaining seeds
+    with :func:`knn_classify`, and report per-true-label accuracy —
+    the number every label-propagation run should log before its
+    predictions are trusted downstream (the same measure-don't-guess
+    loop as ``lshtune.lsh_tuning_report`` for LSH parameters).
+
+    Output: ``(label, n_eval, n_correct, accuracy)`` with accuracy a
+    half-up 6-dp integer ratio.  Rows whose prediction is NULL (empty
+    seed set) count as incorrect.  Cost: the classify pass itself plus
+    one broadcast join back to the held-out truth labels and a tiny
+    per-label aggregate.
+    """
+    from dar_spark.dialect import SPARK
+
+    pred = knn_classify(
+        embeddings, id_col, vec_col, label_col, holdout_pred, k=k
+    )
+    truth = (
+        embeddings.filter(holdout_pred)
+        .filter(F.col(label_col).isNotNull())
+        .select(F.col(id_col), F.col(label_col).alias("label"))
+    )
+    scored = truth.join(pred, id_col, "left")
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.expr("CAST(pred_label IS NOT NULL AND pred_label = label AS INT)")
+            ).alias("_c"),
+        )
+        .selectExpr(
+            "label",
+            "CAST(_n AS BIGINT) AS n_eval",
+            "CAST(_c AS BIGINT) AS n_correct",
+            f"{SPARK.ratio_6dp('_c', '_n')} AS accuracy",
+        )
+    )
+
+
 def hard_negatives(
     embeddings: DataFrame,
     id_col: str,

@@ -3998,21 +3998,91 @@ def _knn_label_prop_q() -> Q:
             KNN_QUERY_PRED, k=KNN_K,
         )
 
-    oracle = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e
-      WHERE sqrt(list_dot_product(v, v)) > 0),
-q AS (SELECT vec_id, v AS qv, nrm AS qn FROM n WHERE {KNN_QUERY_PRED}),
-s AS (SELECT v, nrm, label FROM n WHERE NOT ({KNN_QUERY_PRED}) AND label IS NOT NULL),
-p AS (SELECT q.vec_id, s.label AS l,
-        round(list_dot_product(q.qv, s.v) / (q.qn * s.nrm), 6) AS c FROM q, s),
-r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, l ASC) AS rn FROM p),
-tk AS (SELECT vec_id, l, c FROM r WHERE rn <= {KNN_K}),
-v AS (SELECT vec_id, l, COUNT(*) AS cnt,
-        SUM(CAST(round(c * 1000000.0, 0) AS BIGINT)) AS s6 FROM tk GROUP BY vec_id, l),
-b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cnt DESC, s6 DESC, l ASC) AS rb FROM v)
+    oracle = f"""WITH {_knn_vote_ctes(KNN_QUERY_PRED, KNN_K)}
 SELECT vec_id, l AS pred_label, CAST(cnt AS BIGINT) AS n_votes,
        CAST(s6 AS DOUBLE) / 1000000.0 AS vote_sim FROM b WHERE rb = 1"""
     return Q(spark_fn, oracle, headline=True)
+
+
+def _knn_vote_ctes(query_pred: str, k: int) -> str:
+    """CTE chain ending in ``b(vec_id, l, cnt, s6, rb)`` — the DuckDB
+    twin of ``knn.knn_classify`` (rb = 1 is the winning vote), shared
+    by the label-propagation query and the hold-out eval so the two
+    oracles cannot drift."""
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      WHERE sqrt(list_dot_product(v, v)) > 0),
+q AS (SELECT vec_id, v AS qv, nrm AS qn FROM n WHERE {query_pred}),
+s AS (SELECT v, nrm, label FROM n WHERE NOT ({query_pred}) AND label IS NOT NULL),
+p AS (SELECT q.vec_id, s.label AS l,
+        round(list_dot_product(q.qv, s.v) / (q.qn * s.nrm), 6) AS c FROM q, s),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, l ASC) AS rn FROM p),
+tk AS (SELECT vec_id, l, c FROM r WHERE rn <= {k}),
+v AS (SELECT vec_id, l, COUNT(*) AS cnt,
+        SUM(CAST(round(c * 1000000.0, 0) AS BIGINT)) AS s6 FROM tk GROUP BY vec_id, l),
+b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cnt DESC, s6 DESC, l ASC) AS rb FROM v)"""
+
+
+KNN_EVAL_PRED = "vec_id % 7 = 0"  # hold out ~14% of labeled vectors
+
+
+def _knn_holdout_eval_q() -> Q:
+    """Hold-out accuracy of kNN propagation (knn.knn_holdout_eval):
+    re-predict held-out labeled vectors from the remaining seeds and
+    report per-true-label accuracy — the measured-quality loop for
+    knn_label_prop.  NULL predictions count as incorrect."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.knn import knn_holdout_eval
+
+        t = load_tables(spark, sf_dir)
+        return knn_holdout_eval(
+            t["embeddings"], "vec_id", "embedding", "label",
+            KNN_EVAL_PRED, k=KNN_K,
+        )
+
+    oracle = f"""WITH {_knn_vote_ctes(KNN_EVAL_PRED, KNN_K)},
+pr AS (SELECT vec_id, l AS pl FROM b WHERE rb = 1),
+truth AS (SELECT vec_id, label FROM embeddings
+          WHERE ({KNN_EVAL_PRED}) AND label IS NOT NULL),
+j AS (SELECT t.label, pr.pl FROM truth t LEFT JOIN pr ON pr.vec_id = t.vec_id),
+g AS (SELECT label, COUNT(*) AS _n,
+        SUM(CAST(pl IS NOT NULL AND pl = label AS INT)) AS _c
+      FROM j GROUP BY label)
+SELECT label, CAST(_n AS BIGINT) AS n_eval, CAST(_c AS BIGINT) AS n_correct,
+       {DUCKDB.ratio_6dp('_c', '_n')} AS accuracy FROM g"""
+    return Q(spark_fn, oracle)
+
+
+def _dup_source_matrix_q() -> Q:
+    """Cross-source near-dup matrix (dedup.dup_source_matrix): minhash
+    pair frame joined to each side's source, cells normalized to
+    (least, greatest), with each cell's half-up share of all pairs —
+    the which-sources-copy-from-each-other mixing diagnostic."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dedup import dup_source_matrix, minhash_lsh_pairs
+
+        t = load_tables(spark, sf_dir)
+        edges = minhash_lsh_pairs(
+            _corpus_df(spark, sf_dir), "doc_id", "text",
+            jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
+        )
+        return dup_source_matrix(edges, t["documents"], "doc_id", "source")
+
+    oracle = f"""WITH {_minhash_pairs_ctes()},
+cells AS (SELECT least(da.source, db.source) AS group_a,
+                 greatest(da.source, db.source) AS group_b,
+                 COUNT(*) AS n
+          FROM pairs p
+          JOIN documents da ON da.doc_id = p.doc_id_a
+          JOIN documents db ON db.doc_id = p.doc_id_b
+          GROUP BY 1, 2),
+tot AS (SELECT SUM(n) AS t FROM cells)
+SELECT group_a, group_b, CAST(n AS BIGINT) AS n_dup_pairs,
+       {DUCKDB.ratio_6dp('n', 'tot.t')} AS pair_share
+FROM cells, tot"""
+    return Q(spark_fn, oracle)
 
 
 def _hard_negatives_q() -> Q:
@@ -4089,6 +4159,8 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("knn_label_prop", _knn_label_prop_q()),
         ("hard_negatives_embed", _hard_negatives_q()),
         ("lsh_tuning_report_docs", _lsh_tuning_q()),
+        ("knn_holdout_eval_embed", _knn_holdout_eval_q()),
+        ("dup_source_matrix_docs", _dup_source_matrix_q()),
     ]
 
 

@@ -523,3 +523,27 @@ def test_extend_clusters_empty_batch_is_identity(spark):
         for r in dedup.extend_clusters(labels, empty).collect()
     )
     assert out == [(1, 1), (2, 1), (5, 5)]
+
+
+def test_dup_source_matrix_cells_and_shares(spark):
+    from dar_spark.operators.dedup import dup_source_matrix
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (6, 7)],
+        "doc_id_a BIGINT, doc_id_b BIGINT",
+    )
+    meta = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "books"), (4, "books"),
+         (5, "web"), (6, "code"), (7, "code")],
+        "doc_id BIGINT, source STRING",
+    )
+    rows = {
+        (r["group_a"], r["group_b"]): (r["n_dup_pairs"], r["pair_share"])
+        for r in dup_source_matrix(edges, meta, "doc_id", "source").collect()
+    }
+    # (1,2) web-web; (1,3) and (4,5) both normalize to (books, web);
+    # (6,7) code-code — 4 pairs total
+    assert rows[("web", "web")] == (1, 0.25)
+    assert rows[("books", "web")] == (2, 0.5)
+    assert rows[("code", "code")] == (1, 0.25)
+    assert len(rows) == 3

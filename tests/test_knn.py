@@ -121,3 +121,27 @@ def test_hard_negatives_anchor_without_label_peers(spark):
     # all vectors share one label: no admissible negatives, empty output
     df = _emb(spark, [(1, [1.0, 0.0], 1), (2, [0.875, 0.125], 1)])
     assert hard_negatives(df, "id", "vec", "label", "id = 1", k=3).count() == 0
+
+
+def test_knn_holdout_eval_accuracy(geom):
+    from dar_spark.operators.knn import knn_holdout_eval
+
+    # hold out id 3 (x-cluster, label 1): remaining x seeds 1,2 out-vote
+    # the y-cluster, so the prediction is correct
+    out = knn_holdout_eval(geom, "id", "vec", "label", "id = 3", k=3).collect()
+    (r,) = out
+    assert (r["label"], r["n_eval"], r["n_correct"]) == (1, 1, 1)
+    assert r["accuracy"] == 1.0
+
+
+def test_knn_holdout_eval_null_pred_counts_wrong(spark):
+    from dar_spark.operators.knn import knn_holdout_eval
+
+    # every labeled row is held out: no seeds remain, predictions are
+    # NULL, and NULL counts as incorrect (zero-vector id 9 included in
+    # the eval set but unpredictable)
+    df = _emb(spark, [(1, [1.0, 0.0], 1), (2, [0.5, 0.5], 1)])
+    out = knn_holdout_eval(df, "id", "vec", "label", "id >= 1", k=3).collect()
+    (r,) = out
+    assert (r["label"], r["n_eval"], r["n_correct"]) == (1, 2, 0)
+    assert r["accuracy"] == 0.0
