@@ -228,20 +228,40 @@ def _bands_from_shingles(
     (~100× the corpus row count) to recompute per-doc minima that are a
     pure function of the row — at 100 TB that shuffle is the whole job.
     Same values (lexicographic min over the same md5 slices)."""
-    sig = sh.select(
-        F.col(id_col),
-        *[
-            F.expr(f"array_min(transform(s, g -> {minhash_hash_expr(k)}))").alias(f"h{k}")
-            for k in range(n_bands * rows_per_band)
-        ],
-    )
+    sig = minhash_sig(sh, id_col, n_bands * rows_per_band)
     band_keys = [
-        F.concat(*[f"h{b * rows_per_band + r}" for r in range(rows_per_band)])
-        for b in range(n_bands)
+        F.expr(band_key_expr(b, rows_per_band)) for b in range(n_bands)
     ]
     return sig.select(
         F.col(id_col).alias(out_id),
         F.posexplode(F.array(*band_keys)).alias("bi", "bk"),
+    )
+
+
+def minhash_sig(sh: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
+    """Per-row minhash signature columns ``h0..h{n_hashes-1}`` over a
+    shingle-set frame — the signature layout every banded consumer
+    (production pairing AND the lshtune report) derives its band keys
+    from, factored out so they cannot drift."""
+    return sh.select(
+        F.col(id_col),
+        *[
+            F.expr(f"array_min(transform(s, g -> {minhash_hash_expr(k)}))").alias(
+                f"h{k}"
+            )
+            for k in range(n_hashes)
+        ],
+    )
+
+
+def band_key_expr(band: int, rows_per_band: int) -> str:
+    """SQL expression for band ``band``'s bucket key: the concatenation
+    of that band's ``rows_per_band`` signature columns, banding the
+    FIRST n_bands*rows_per_band hashes in row-major order.  Shared by
+    ``_bands_from_shingles`` and ``lshtune.lsh_tuning_report`` so the
+    tuner measures exactly the production banding."""
+    return " || ".join(
+        f"h{band * rows_per_band + j}" for j in range(rows_per_band)
     )
 
 

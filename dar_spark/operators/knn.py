@@ -37,7 +37,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dar_spark.operators.similarity import _as_double_vec
+from dar_spark.operators.similarity import _as_double_vec, _cosine
+
+_NUMERIC_LABEL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_numeric_label(df: DataFrame, label_col: str, op: str) -> None:
+    """knn_classify's tie-break negates the label inside a struct sort,
+    which assumes an integer label; fail loudly up front instead of
+    with a runtime ANSI cast error (or a silent numeric-string cast)."""
+    dt = dict(df.dtypes).get(label_col)
+    if dt not in _NUMERIC_LABEL_TYPES:
+        raise ValueError(
+            f"{op}: label column {label_col!r} has type {dt} — integer "
+            "labels required (ties break toward the smaller label); "
+            "map string labels to codes first"
+        )
 
 # cosine in exact 1e-6 integer units: cos6 is round(x, 6), so
 # cos6 * 1e6 is within ~1e-9 of an integer and the 0-dp round is exact.
@@ -66,6 +81,7 @@ def knn_classify(
     that single row) — ``tests/test_knn.py`` pins zero exchanges on the
     classify side.
     """
+    _require_numeric_label(embeddings, label_col, "knn_classify")
     e = _as_double_vec(
         embeddings.select(id_col, vec_col, label_col), vec_col
     ).filter("_nrm > 0")
@@ -209,13 +225,12 @@ def hard_negatives(
             "negative_label IS NOT NULL AND negative_label <> anchor_label"
         ),
     )
-    scored = j.selectExpr(
+    scored = j.select(
         "anchor_id",
         "anchor_label",
         "negative_id",
         "negative_label",
-        "round(aggregate(zip_with(av, _v, (x, y) -> x * y), 0D, "
-        "(a, x) -> a + x) / (an * _nrm), 6) AS cos_sim",
+        _cosine("av", "_v", "an", "_nrm").alias("cos_sim"),
     )
     if sim_lo is not None:
         scored = scored.filter(F.col("cos_sim") >= sim_lo)

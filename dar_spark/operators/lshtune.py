@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dar_spark.dialect import DUCKDB, SPARK
-from dar_spark.operators.dedup import minhash_hash_expr, shingles
+from dar_spark.operators.dedup import (
+    band_key_expr,
+    minhash_hash_expr,
+    minhash_sig,
+    shingles,
+)
 
 DEFAULT_SETTINGS: tuple[tuple[int, int], ...] = ((1, 2), (2, 2), (4, 2), (2, 4))
 
@@ -56,6 +61,12 @@ def lsh_tuning_report(
     """
     if not settings:
         raise ValueError("lsh_tuning_report: settings must be non-empty")
+    for b, r in settings:
+        if b < 1 or r < 1:
+            raise ValueError(
+                f"lsh_tuning_report: setting ({b}, {r}) — bands and "
+                "rows_per_band must both be >= 1"
+            )
     n_docs = sample.select(id_col).limit(MAX_SAMPLE_DOCS + 1).count()
     if n_docs > MAX_SAMPLE_DOCS:
         raise ValueError(
@@ -67,24 +78,26 @@ def lsh_tuning_report(
     max_k = max(b * r for b, r in settings)
     # shingle sets feed three consumers (signatures + both truth sides)
     sh = shingles(sample, id_col, text_col, shingle_n).cache()
-    sig = sh.select(
-        F.col(id_col),
-        *[
-            F.expr(f"array_min(transform(s, g -> {minhash_hash_expr(k)}))").alias(
-                f"h{k}"
-            )
-            for k in range(max_k)
-        ],
-    )
+    # dedup.minhash_sig / band_key_expr are the PRODUCTION signature
+    # layout and banding — shared, not copied, so the tuner can never
+    # measure a different algorithm than minhash_lsh_pairs runs
+    sig = minhash_sig(sh, id_col, max_k)
     # every setting's band rows in ONE explode over the shared signatures
     entries = []
     for si, (b, r) in enumerate(settings):
         for bi in range(b):
-            key = " || ".join(f"h{bi * r + j}" for j in range(r))
-            entries.append(f"struct({si} AS si, {bi} AS bi, {key} AS bk)")
-    bands = sig.selectExpr(
-        id_col, f"explode(array({', '.join(entries)})) AS e"
-    ).selectExpr(id_col, "e.si AS si", "e.bi AS bi", "e.bk AS bk")
+            entries.append(
+                f"struct({si} AS si, {bi} AS bi, {band_key_expr(bi, r)} AS bk)"
+            )
+    bands = (
+        sig.selectExpr(id_col, f"explode(array({', '.join(entries)})) AS e")
+        .selectExpr(id_col, "e.si AS si", "e.bi AS bi", "e.bk AS bk")
+        # both self-join sides read the band table: without the cache
+        # each side re-evaluates the full max_k md5 signature chain —
+        # the most expensive per-row work here (same reasoning as the
+        # cached bands in minhash_lsh_pairs)
+        .cache()
+    )
     ba = bands.select(F.col(id_col).alias("ida"), "si", "bi", "bk")
     bb = bands.select(F.col(id_col).alias("idb"), "si", "bi", "bk")
     cands = (

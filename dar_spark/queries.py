@@ -3998,9 +3998,14 @@ def _knn_label_prop_q() -> Q:
             KNN_QUERY_PRED, k=KNN_K,
         )
 
+    # LEFT JOIN from q: with an empty seed set knn_classify keeps every
+    # query row with a NULL prediction, and the oracle must agree (the
+    # fixture never exercises this corner, so the equality is pinned
+    # here, not by parity data)
     oracle = f"""WITH {_knn_vote_ctes(KNN_QUERY_PRED, KNN_K)}
-SELECT vec_id, l AS pred_label, CAST(cnt AS BIGINT) AS n_votes,
-       CAST(s6 AS DOUBLE) / 1000000.0 AS vote_sim FROM b WHERE rb = 1"""
+SELECT q.vec_id, pr.l AS pred_label, CAST(pr.cnt AS BIGINT) AS n_votes,
+       CAST(pr.s6 AS DOUBLE) / 1000000.0 AS vote_sim
+FROM q LEFT JOIN (SELECT * FROM b WHERE rb = 1) pr ON pr.vec_id = q.vec_id"""
     return Q(spark_fn, oracle, headline=True)
 
 

@@ -138,10 +138,18 @@ def test_knn_holdout_eval_null_pred_counts_wrong(spark):
     from dar_spark.operators.knn import knn_holdout_eval
 
     # every labeled row is held out: no seeds remain, predictions are
-    # NULL, and NULL counts as incorrect (zero-vector id 9 included in
-    # the eval set but unpredictable)
+    # NULL, and NULL counts as incorrect
     df = _emb(spark, [(1, [1.0, 0.0], 1), (2, [0.5, 0.5], 1)])
     out = knn_holdout_eval(df, "id", "vec", "label", "id >= 1", k=3).collect()
     (r,) = out
     assert (r["label"], r["n_eval"], r["n_correct"]) == (1, 2, 0)
     assert r["accuracy"] == 0.0
+
+
+def test_knn_classify_rejects_string_labels(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.0, 1.0], "b")],
+        "id BIGINT, vec ARRAY<FLOAT>, label STRING",
+    )
+    with pytest.raises(ValueError, match="integer labels required"):
+        knn_classify(df, "id", "vec", "label", "id = 1", k=1)

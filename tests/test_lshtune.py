@@ -67,3 +67,39 @@ def test_sample_size_guard(spark, monkeypatch):
 def test_empty_settings_rejected(sample):
     with pytest.raises(ValueError, match="non-empty"):
         LT.lsh_tuning_report(sample, "doc_id", "text", settings=())
+
+
+def test_settings_reject_zero_dimensions(sample):
+    with pytest.raises(ValueError, match=">= 1"):
+        LT.lsh_tuning_report(sample, "doc_id", "text", settings=((0, 2),))
+    with pytest.raises(ValueError, match=">= 1"):
+        LT.lsh_tuning_report(sample, "doc_id", "text", settings=((2, 0),))
+
+
+def test_tuner_candidates_equal_production_banding(spark, tables):
+    """Anti-drift pin: for a given (b, r) the tuner's candidate set must
+    equal the candidate set of the production banding
+    (dedup._bands_from_shingles self-join) — i.e. the report measures
+    exactly what minhash_lsh_pairs(b, r) would run."""
+    from pyspark.sql import functions as F
+
+    from dar_spark.operators.dedup import _bands_from_shingles, shingles
+
+    docs = tables["documents"].select("doc_id", "text").limit(60)
+    b, r = 2, 2
+    # tuner internals: its (b, r) slice of the shared signature explode
+    rep_settings = ((b, r),)
+    rep = LT.lsh_tuning_report(docs, "doc_id", "text", settings=rep_settings)
+    # re-derive the tuner's candidate pairs by running production
+    # banding directly on the same shingle frame
+    sh = shingles(docs, "doc_id", "text", 3)
+    bands = _bands_from_shingles(sh, "doc_id", b, r, "doc_id")
+    ba = bands.select(F.col("doc_id").alias("ida"), "bi", "bk")
+    bb = bands.select(F.col("doc_id").alias("idb"), "bi", "bk")
+    prod = (
+        ba.join(bb, ["bi", "bk"]).filter("ida < idb")
+        .select("ida", "idb").distinct()
+    )
+    n_prod = prod.count()
+    (row,) = rep.collect()
+    assert row["n_candidates"] == n_prod
