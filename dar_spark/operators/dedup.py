@@ -784,6 +784,61 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def srp_candidate_pairs(
+    e: DataFrame,
+    id_col: str,
+    n_planes: int,
+    n_bands: int,
+) -> DataFrame:
+    """Banded SRP candidate pairs over a ``(_v, _nrm)`` vector frame
+    (``similarity._as_double_vec`` output): per band an independent
+    plane set buckets every vector, the a-side probes its bucket plus
+    all Hamming-1 flips, and one band-prefixed equi-join carries all
+    bands at once.  Returns ``(vec_id_a, vec_id_b, va, na, vb, nb)``
+    with ``vec_id_a < vec_id_b``, distinct per pair.
+
+    This IS the production candidate stage of ``embedding_dup_pairs``
+    (method='lsh'); ``lshtune.srp_tuning_report`` reuses it so its
+    measured numbers describe exactly the candidates production would
+    verify."""
+    from dar_spark.operators.similarity import _bucket_expr, _flip_bit
+
+    for t in range(n_bands):
+        e = e.withColumn(f"_b{t}", _bucket_expr("_v", n_planes, band=t))
+    # band-prefixed keys keep band t buckets joinable only with band
+    # t buckets — one equi-join carries all bands at once
+    a_probes: list = []
+    b_keys: list = []
+    for t in range(n_bands):
+        bt = F.col(f"_b{t}")
+        pre = F.lit(f"{t}:")
+        a_probes.append(F.concat(pre, bt))
+        a_probes += [
+            F.concat(pre, _flip_bit(bt, p, n_planes))
+            for p in range(n_planes)
+        ]
+        b_keys.append(F.concat(pre, bt))
+    a = e.select(
+        F.col(id_col).alias("vec_id_a"),
+        F.col("_v").alias("va"),
+        F.col("_nrm").alias("na"),
+        F.explode(F.array(*a_probes)).alias("_b"),
+    )
+    b = e.select(
+        F.col(id_col).alias("vec_id_b"),
+        F.col("_v").alias("vb"),
+        F.col("_nrm").alias("nb"),
+        F.explode(F.array(*b_keys)).alias("_b"),
+    )
+    pairs = a.join(b, "_b").filter("vec_id_a < vec_id_b")
+    if n_bands > 1:
+        # within one band a pair matches through exactly one probe,
+        # but several bands can each find the same pair — dedup on
+        # the two long ids (cheap), never on the vector payload
+        pairs = pairs.dropDuplicates(["vec_id_a", "vec_id_b"])
+    return pairs
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -836,7 +891,7 @@ def embedding_dup_pairs(
     as the verification baseline (the old general path — a
     BroadcastNestedLoopJoin, unusable at corpus scale).
     """
-    from dar_spark.operators.similarity import _as_double_vec, _bucket_expr, _flip_bit
+    from dar_spark.operators.similarity import _as_double_vec
 
     if method == "lsh":
         import math
@@ -868,39 +923,7 @@ def embedding_dup_pairs(
         b = e.select(F.col(id_col).alias("vec_id_b"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb"))
         pairs = a.join(b, F.expr("vec_id_a < vec_id_b"))
     elif method == "lsh":
-        for t in range(n_bands):
-            e = e.withColumn(f"_b{t}", _bucket_expr("_v", n_planes, band=t))
-        # band-prefixed keys keep band t buckets joinable only with band
-        # t buckets — one equi-join carries all bands at once
-        a_probes: list = []
-        b_keys: list = []
-        for t in range(n_bands):
-            bt = F.col(f"_b{t}")
-            pre = F.lit(f"{t}:")
-            a_probes.append(F.concat(pre, bt))
-            a_probes += [
-                F.concat(pre, _flip_bit(bt, p, n_planes))
-                for p in range(n_planes)
-            ]
-            b_keys.append(F.concat(pre, bt))
-        a = e.select(
-            F.col(id_col).alias("vec_id_a"),
-            F.col("_v").alias("va"),
-            F.col("_nrm").alias("na"),
-            F.explode(F.array(*a_probes)).alias("_b"),
-        )
-        b = e.select(
-            F.col(id_col).alias("vec_id_b"),
-            F.col("_v").alias("vb"),
-            F.col("_nrm").alias("nb"),
-            F.explode(F.array(*b_keys)).alias("_b"),
-        )
-        pairs = a.join(b, "_b").filter("vec_id_a < vec_id_b")
-        if n_bands > 1:
-            # within one band a pair matches through exactly one probe,
-            # but several bands can each find the same pair — dedup on
-            # the two long ids (cheap), never on the vector payload
-            pairs = pairs.dropDuplicates(["vec_id_a", "vec_id_b"])
+        pairs = srp_candidate_pairs(e, id_col, n_planes, n_bands)
     else:
         raise ValueError(f"unknown method {method!r}")
     return pairs.selectExpr(

@@ -156,6 +156,197 @@ def lsh_tuning_report(
     )
 
 
+SRP_DEFAULT_SETTINGS: tuple[tuple[int, int], ...] = (
+    (12, 1),
+    (8, 1),
+    (8, 2),
+    (8, 3),
+)
+
+
+def srp_tuning_report(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    settings: tuple[tuple[int, int], ...] = SRP_DEFAULT_SETTINGS,
+    cos_threshold: float = 0.9,
+) -> DataFrame:
+    """The embedding-side twin of :func:`lsh_tuning_report`: per
+    (n_planes, n_bands) setting, MEASURED precision/recall of the
+    banded-SRP candidate stage against exact-cosine ground truth on a
+    bounded sample.  The S-curve 1-(1-q)^B (dedup.embedding_dup_pairs'
+    docstring) predicts the boundary catch rate; this reports what the
+    planes actually did on your vectors.
+
+    Candidates come from ``dedup.srp_candidate_pairs`` — the SAME code
+    production verification consumes — so the numbers transfer
+    verbatim.  Ground truth is all-pairs exact cosine (the threshold
+    compares the unrounded IEEE quotient), hence the sample guard.
+
+    Output: ``(n_planes, n_bands, n_candidates, n_true_pairs,
+    n_caught, precision, recall)``; ratios are half-up 6-dp, NULL on a
+    zero denominator.
+    """
+    from dar_spark.operators.dedup import srp_candidate_pairs
+    from dar_spark.operators.similarity import _as_double_vec
+
+    if not settings:
+        raise ValueError("srp_tuning_report: settings must be non-empty")
+    for np_, nb_ in settings:
+        if np_ < 1 or nb_ < 1:
+            raise ValueError(
+                f"srp_tuning_report: setting ({np_}, {nb_}) — n_planes and "
+                "n_bands must both be >= 1"
+            )
+    n_vecs = embeddings.select(id_col).limit(MAX_SAMPLE_DOCS + 1).count()
+    if n_vecs > MAX_SAMPLE_DOCS:
+        raise ValueError(
+            f"srp_tuning_report: input has > {MAX_SAMPLE_DOCS} vectors; the "
+            "ground-truth stage is all-pairs exact cosine — pass a sample, "
+            "not the corpus"
+        )
+    spark = embeddings.sparkSession
+    # both the truth self-join sides and every setting's candidate pass
+    # read the projected vectors: cache once
+    e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col).cache()
+    cand = None
+    for si, (np_, nb_) in enumerate(settings):
+        c = srp_candidate_pairs(e, id_col, np_, nb_).select(
+            F.lit(si).alias("si"),
+            F.col("vec_id_a").alias("ida"),
+            F.col("vec_id_b").alias("idb"),
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.cache()  # per-setting count + truth join both read it
+    a = e.select(
+        F.col(id_col).alias("ida"), F.col("_v").alias("va"), F.col("_nrm").alias("na")
+    )
+    b = e.select(
+        F.col(id_col).alias("idb"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb")
+    )
+    truth = (
+        a.join(b, F.expr("ida < idb"))
+        .filter(
+            "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x) "
+            f"/ (na * nb) >= {cos_threshold}"
+        )
+        .select("ida", "idb")
+        .cache()
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_cand = cand.groupBy("si").agg(F.count(F.lit(1)).alias("n_candidates"))
+    caught = (
+        cand.join(truth, ["ida", "idb"])
+        .groupBy("si")
+        .agg(F.count(F.lit(1)).alias("n_caught"))
+    )
+    base = spark.createDataFrame(
+        [(si, np_, nb_) for si, (np_, nb_) in enumerate(settings)],
+        "si INT, n_planes INT, n_bands INT",
+    )
+    rep = (
+        base.join(n_cand, "si", "left")
+        .join(caught, "si", "left")
+        .crossJoin(F.broadcast(n_true))
+    )
+    return rep.selectExpr(
+        "n_planes",
+        "n_bands",
+        "CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates",
+        "CAST(n_true_pairs AS BIGINT) AS n_true_pairs",
+        "CAST(coalesce(n_caught, 0) AS BIGINT) AS n_caught",
+        "CASE WHEN coalesce(n_candidates, 0) > 0 THEN "
+        + SPARK.ratio_6dp("coalesce(n_caught, 0)", "n_candidates")
+        + " END AS precision",
+        "CASE WHEN n_true_pairs > 0 THEN "
+        + SPARK.ratio_6dp("coalesce(n_caught, 0)", "n_true_pairs")
+        + " END AS recall",
+    )
+
+
+def srp_tuning_oracle_sql(
+    source_sql: str,
+    settings: tuple[tuple[int, int], ...] = SRP_DEFAULT_SETTINGS,
+    cos_threshold: float = 0.9,
+) -> str:
+    """DuckDB twin of :func:`srp_tuning_report` over a
+    ``src(vec_id, v)`` SELECT (v DOUBLE list) — same plane constants,
+    same bucket+Hamming-1 probe candidates (modeled on
+    ``similarity.srp_pairs_oracle_sql``), same half-up ratios."""
+    from dar_spark.operators.similarity import _plane_component
+
+    def fold(products: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), "
+            f"(a, x) -> a + x)"
+        )
+
+    cand_blocks = []
+    for si, (np_, nb_) in enumerate(settings):
+        band_buckets = []
+        for t in range(nb_):
+            bits = []
+            for j in range(np_):
+                prods = (
+                    f"list_transform(generate_series(1, len(v)), "
+                    f"i -> v[i] * {_plane_component(t * np_ + j)})"
+                )
+                bits.append(
+                    f"CASE WHEN {fold(prods)} >= 0 THEN '1' ELSE '0' END"
+                )
+            band_buckets.append("concat(" + ", ".join(bits) + ")")
+        bs = "[" + ", ".join(band_buckets) + "]"
+        flip = (
+            "substr(bt, 1, p - 1) || "
+            "(CASE WHEN substr(bt, p, 1) = '1' THEN '0' ELSE '1' END) || "
+            "substr(bt, p + 1)"
+        )
+        cand_blocks.append(
+            f"""SELECT DISTINCT {si} AS si, a.vec_id AS ida, b.vec_id AS idb
+  FROM (SELECT vec_id,
+               CAST(t AS VARCHAR) || ':' ||
+                 (CASE WHEN p = 0 THEN bt ELSE {flip} END) AS bkey
+        FROM (SELECT vec_id, bs[t + 1] AS bt, t
+              FROM (SELECT vec_id, {bs} AS bs FROM src)
+                   CROSS JOIN range(0, {nb_}) tt(t))
+             CROSS JOIN range(0, {np_ + 1}) pp(p)) a
+  JOIN (SELECT vec_id,
+               CAST(t AS VARCHAR) || ':' || bs[t + 1] AS bkey
+        FROM (SELECT vec_id, {bs} AS bs FROM src)
+             CROSS JOIN range(0, {nb_}) tt(t)) b
+    ON a.bkey = b.bkey AND a.vec_id < b.vec_id"""
+        )
+    cos_prods = "list_transform(generate_series(1, len(va)), i -> va[i] * vb[i])"
+    base_rows = ", ".join(
+        f"({si}, {np_}, {nb_})" for si, (np_, nb_) in enumerate(settings)
+    )
+    d = DUCKDB
+    prec = d.ratio_6dp("coalesce(ca.n_caught, 0)", "nc.n_candidates")
+    rec = d.ratio_6dp("coalesce(ca.n_caught, 0)", "nt.n_true_pairs")
+    return f"""WITH src AS ({source_sql}),
+cand AS ({" UNION ALL ".join(cand_blocks)}),
+pv AS (SELECT vec_id, v, sqrt({fold('list_transform(v, x -> x * x)')}) AS nrm FROM src),
+tp AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+         {fold(cos_prods.replace('va', 'a.v').replace('vb', 'b.v'))} / (a.nrm * b.nrm) AS cs
+       FROM pv a JOIN pv b ON a.vec_id < b.vec_id),
+truth AS (SELECT ida, idb FROM tp WHERE cs >= {cos_threshold}),
+nt AS (SELECT COUNT(*) AS n_true_pairs FROM truth),
+nc AS (SELECT si, COUNT(*) AS n_candidates FROM cand GROUP BY si),
+ca AS (SELECT c.si, COUNT(*) AS n_caught FROM cand c
+       JOIN truth t ON t.ida = c.ida AND t.idb = c.idb GROUP BY c.si),
+base AS (SELECT * FROM (VALUES {base_rows}) AS v(si, n_planes, n_bands))
+SELECT b.n_planes, b.n_bands,
+       CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(nt.n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(coalesce(ca.n_caught, 0) AS BIGINT) AS n_caught,
+       CASE WHEN coalesce(nc.n_candidates, 0) > 0 THEN {prec} END AS precision,
+       CASE WHEN nt.n_true_pairs > 0 THEN {rec} END AS recall
+FROM base b
+LEFT JOIN nc ON nc.si = b.si
+LEFT JOIN ca ON ca.si = b.si
+CROSS JOIN nt"""
+
+
 def lsh_tuning_oracle_sql(
     corpus_cte: str,
     settings: tuple[tuple[int, int], ...] = DEFAULT_SETTINGS,

@@ -3974,6 +3974,83 @@ def _lsh_tuning_q() -> Q:
     return Q(spark_fn, lsh_tuning_oracle_sql(TUNING_CORPUS_CTE), headline=True)
 
 
+# SRP tuning sample: 30% of vectors, dup-injected from the %3 group
+# representative, with two deterministic perturbation amplitudes (1/20,
+# 1/5 — exact-op rationals, no literal risk) so ground-truth cosine
+# clusters at ~1.0 / ~0.99 / ~0.89 around the 0.9 threshold.  The
+# per-dim perturbation is the plane-hash shape: integer hash of
+# (dim, vec_id) centered to [-1/2, 1/2].
+_SRP_AMP = (
+    "CASE WHEN vec_id % 3 = 1 THEN CAST(1 AS DOUBLE) / 20 "
+    "WHEN vec_id % 3 = 2 THEN CAST(1 AS DOUBLE) / 5 "
+    "ELSE CAST(0 AS DOUBLE) END"
+)
+
+
+def _srp_pert(i: str, vid: str) -> str:
+    return (
+        f"(CAST(((CAST({i} AS BIGINT) * 2654435761 + CAST({vid} AS BIGINT) * 97 "
+        f"+ 13) % 1000003) AS DOUBLE) / 1000003.0 - 0.5)"
+    )
+
+
+SRP_TUNING_SRC = f"""SELECT a.vec_id,
+  list_transform(generate_series(1, len(b.v)), i ->
+    b.v[i] + ({_SRP_AMP.replace('vec_id', 'a.vec_id')})
+           * {_srp_pert('i', 'a.vec_id')}) AS v
+FROM embeddings a
+JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+  ON b.vec_id = a.vec_id - (a.vec_id % 3)
+WHERE a.vec_id % 10 < 3"""
+
+
+def _srp_tuning_sample_df(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    e = parallelize(t["embeddings"]).select("vec_id", "embedding")
+    rep = e.select(
+        F.col("vec_id").alias("rep_id"), F.col("embedding").alias("rv")
+    )
+    return (
+        e.select("vec_id", F.expr("vec_id - vec_id % 3").alias("rep_id"))
+        .filter("vec_id % 10 < 3")
+        .join(rep, "rep_id")
+        .selectExpr(
+            "vec_id",
+            "transform(sequence(1, size(rv)), i -> "
+            f"CAST(element_at(rv, i) AS DOUBLE) + ({_SRP_AMP}) "
+            f"* {_srp_pert('i', 'vec_id')}) AS v",
+        )
+    )
+
+
+SRP_TUNING_THRESHOLD = 0.9
+
+
+def _srp_tuning_q() -> Q:
+    """Measured SRP tuning report (lshtune.srp_tuning_report): per
+    (n_planes, n_bands) setting, candidate precision/recall against
+    exact-cosine ground truth on a perturbed near-dup vector sample —
+    the plane-count/band-count dial measured instead of S-curve-guessed.
+    Candidates come from dedup.srp_candidate_pairs, the production
+    stage itself."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.lshtune import srp_tuning_report
+
+        return srp_tuning_report(
+            _srp_tuning_sample_df(spark, sf_dir), "vec_id", "v",
+            cos_threshold=SRP_TUNING_THRESHOLD,
+        )
+
+    from dar_spark.operators.lshtune import srp_tuning_oracle_sql
+
+    return Q(
+        spark_fn,
+        srp_tuning_oracle_sql(SRP_TUNING_SRC, cos_threshold=SRP_TUNING_THRESHOLD),
+        headline=True,
+    )
+
+
 KNN_QUERY_PRED = "vec_id % 10 = 0"  # 10% of vectors get propagated labels
 KNN_K = 7
 HN_ANCHOR_PRED = "vec_id % 25 = 0"  # per-batch mining anchors
@@ -4166,6 +4243,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("lsh_tuning_report_docs", _lsh_tuning_q()),
         ("knn_holdout_eval_embed", _knn_holdout_eval_q()),
         ("dup_source_matrix_docs", _dup_source_matrix_q()),
+        ("srp_tuning_report_embed", _srp_tuning_q()),
     ]
 
 

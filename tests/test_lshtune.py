@@ -103,3 +103,56 @@ def test_tuner_candidates_equal_production_banding(spark, tables):
     n_prod = prod.count()
     (row,) = rep.collect()
     assert row["n_candidates"] == n_prod
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id BIGINT, v ARRAY<DOUBLE>")
+
+
+def test_srp_exact_dups_always_caught(spark):
+    # identical vectors share every bucket in every setting; the
+    # orthogonal third vector is never a true pair
+    df = _vecs(
+        spark,
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0])],
+    )
+    rep = LT.srp_tuning_report(
+        df, "vec_id", "v", settings=((4, 1), (4, 2)), cos_threshold=0.99
+    ).collect()
+    assert len(rep) == 2
+    for r in rep:
+        assert r["n_true_pairs"] == 1
+        assert r["n_caught"] == 1 and r["recall"] == 1.0
+
+
+def test_srp_settings_guards(spark):
+    df = _vecs(spark, [(1, [1.0, 0.0])])
+    with pytest.raises(ValueError, match="non-empty"):
+        LT.srp_tuning_report(df, "vec_id", "v", settings=())
+    with pytest.raises(ValueError, match=">= 1"):
+        LT.srp_tuning_report(df, "vec_id", "v", settings=((0, 1),))
+
+
+def test_srp_sample_size_guard(spark, monkeypatch):
+    monkeypatch.setattr(LT, "MAX_SAMPLE_DOCS", 2)
+    df = _vecs(spark, [(i, [1.0, 0.0]) for i in range(4)])
+    with pytest.raises(ValueError, match="all-pairs"):
+        LT.srp_tuning_report(df, "vec_id", "v")
+
+
+def test_srp_tuner_candidates_equal_production(spark, tables):
+    """Anti-drift pin: the tuner's per-setting candidate count equals
+    the production candidate stage (dedup.srp_candidate_pairs) run
+    directly — by construction they share the code, so this guards the
+    wiring (si tagging, union, dedup)."""
+    from dar_spark.operators.dedup import srp_candidate_pairs
+    from dar_spark.operators.similarity import _as_double_vec
+
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(80)
+    rep = LT.srp_tuning_report(
+        emb, "vec_id", "embedding", settings=((6, 2),), cos_threshold=0.9
+    )
+    e = _as_double_vec(emb, "embedding")
+    n_prod = srp_candidate_pairs(e, "vec_id", 6, 2).count()
+    (row,) = rep.collect()
+    assert row["n_candidates"] == n_prod
