@@ -1,0 +1,133 @@
+"""Zipf fit report: per-group token-frequency spectrum diagnostics.
+
+A natural-language corpus follows Zipf's law — ln(freq) ≈ a − s·ln(rank)
+with s ≈ 1.  A source whose fitted slope is far from −1 (or whose fit
+is computed over a tiny type inventory) is usually not natural text:
+boilerplate/template farms flatten the head (|s| small), ID-like or
+machine-generated token soup steepens and shortens the tail.  The
+report fits ordinary least squares over the top-N (ln rank, ln freq)
+points per group — the corpus-hygiene cousin of the Gopher quality
+rules, at source granularity instead of document granularity.
+
+Cross-engine exactness: both ln's are ``Dialect.ln_posint`` on exact
+positive BIGINTs (rank, frequency) — arithmetic-only, bit-identical by
+construction (libm ln is NOT; see dialect.py).  The per-group sums fold
+the ≤ top_n points in RANK ORDER (sorted array on the Spark side,
+``list(... ORDER BY rank)`` in DuckDB), so double addition order is
+identical and no decimal rounding is needed anywhere; the closing
+slope/intercept arithmetic is exact-operand IEEE ops on identical
+doubles.  Outputs are therefore unrounded.
+
+Scale shape: one explode + one (group, token) hash aggregate over the
+corpus; the rank window runs over the TYPE table (vocabulary-sized, not
+corpus-sized) per group; the fit itself touches ≤ top_n rows per group
+collected into a single bounded array.  No reference counterpart
+(SURVEY.md §2d text-analysis extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dar_spark.dialect import DUCKDB, SPARK
+
+DEFAULT_TOP_N = 200
+
+
+def zipf_report(
+    df: DataFrame,
+    text_col: str,
+    group_col: str | None = None,
+    top_n: int = DEFAULT_TOP_N,
+) -> DataFrame:
+    """Output: ``(group, n_types, zipf_slope, zipf_intercept)`` — OLS
+    fit of ln(freq) on ln(rank) over each group's ``top_n`` most
+    frequent tokens (rank ties broken by token).  ``n_types`` is the
+    number of points fitted (min(top_n, vocabulary)); slope/intercept
+    are NULL when fewer than 2 points or a degenerate x-variance (a
+    single rank) make the fit undefined.  With ``group_col=None`` one
+    corpus-wide row is returned under group ``'(all)'``.
+    """
+    g = group_col or "group"
+    base = df.selectExpr(
+        (f"CAST({group_col} AS STRING) AS _g" if group_col else "'(all)' AS _g"),
+        f"{text_col} AS _t",
+    )
+    tok = base.selectExpr(
+        "_g", "explode(split(lower(_t), ' ', -1)) AS tok"
+    ).filter("tok <> ''")
+    wf = tok.groupBy("_g", "tok").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("_g").orderBy(F.desc("f"), F.asc("tok"))
+    r = wf.withColumn("rnk", F.row_number().over(w)).filter(f"rnk <= {top_n}")
+    t = r.selectExpr(
+        "_g",
+        "rnk",
+        f"{SPARK.ln_posint('rnk')} AS lx",
+        f"{SPARK.ln_posint('f')} AS ly",
+    )
+    pts = t.groupBy("_g").agg(
+        F.expr("sort_array(collect_list(struct(rnk, lx, ly)))").alias("pts")
+    )
+    folded = pts.selectExpr(
+        "_g",
+        "CAST(size(pts) AS DOUBLE) AS n",
+        "aggregate(pts, 0D, (a, p) -> a + p.lx) AS sx",
+        "aggregate(pts, 0D, (a, p) -> a + p.ly) AS sy",
+        "aggregate(pts, 0D, (a, p) -> a + p.lx * p.ly) AS sxy",
+        "aggregate(pts, 0D, (a, p) -> a + p.lx * p.lx) AS sxx",
+    )
+    return folded.selectExpr(
+        f"_g AS {g}",
+        "CAST(n AS BIGINT) AS n_types",
+        "CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0D THEN "
+        "(n * sxy - sx * sy) / (n * sxx - sx * sx) END AS zipf_slope",
+        "CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0D THEN "
+        "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n "
+        "END AS zipf_intercept",
+    )
+
+
+def zipf_oracle_sql(
+    table: str,
+    text_col: str,
+    group_col: str | None = None,
+    top_n: int = DEFAULT_TOP_N,
+) -> str:
+    """DuckDB twin of :func:`zipf_report` — same ln_posint points, rank
+    ordering, rank-ordered folds, and closing arithmetic."""
+    d = DUCKDB
+    g = group_col or "group"
+    gsel = (
+        f"CAST({group_col} AS VARCHAR)" if group_col else "'(all)'"
+    )
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), {a}), (a, x) -> a + x)"
+    )
+    prods = "list_transform(generate_series(1, len(xs)), i -> xs[i] * ys[i])"
+    sqs = "list_transform(xs, x -> x * x)"
+    return f"""WITH tk AS (SELECT {gsel} AS _g,
+        unnest(string_split(lower({text_col}), ' ')) AS tok FROM {table}),
+wf AS (SELECT _g, tok, COUNT(*) AS f FROM tk WHERE tok <> '' GROUP BY 1, 2),
+r AS (SELECT _g, f, tok,
+        ROW_NUMBER() OVER (PARTITION BY _g ORDER BY f DESC, tok ASC) AS rnk
+      FROM wf),
+t AS (SELECT _g, rnk, {d.ln_posint('rnk')} AS lx, {d.ln_posint('f')} AS ly
+      FROM r WHERE rnk <= {top_n}),
+pts AS (SELECT _g, CAST(COUNT(*) AS DOUBLE) AS n,
+          list(lx ORDER BY rnk) AS xs, list(ly ORDER BY rnk) AS ys
+        FROM t GROUP BY _g),
+s AS (SELECT _g, n,
+        {fold.format(a='xs')} AS sx,
+        {fold.format(a='ys')} AS sy,
+        {fold.format(a=prods)} AS sxy,
+        {fold.format(a=sqs)} AS sxx
+      FROM pts)
+SELECT _g AS {g}, CAST(n AS BIGINT) AS n_types,
+  CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> CAST(0 AS DOUBLE) THEN
+    (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS zipf_slope,
+  CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> CAST(0 AS DOUBLE) THEN
+    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+  END AS zipf_intercept
+FROM s"""

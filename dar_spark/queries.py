@@ -4051,6 +4051,23 @@ def _srp_tuning_q() -> Q:
     )
 
 
+def _zipf_report_q() -> Q:
+    """Per-source Zipf fit (operators/zipf.zipf_report): OLS slope and
+    intercept of ln(freq) on ln(rank) over each source's top-200 token
+    types — both lns arithmetic-only (ln_posint on exact BIGINTs), all
+    folds rank-ordered, output unrounded and bit-identical."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.zipf import zipf_report
+
+        t = load_tables(spark, sf_dir)
+        return zipf_report(t["documents"], "text", "source")
+
+    from dar_spark.operators.zipf import zipf_oracle_sql
+
+    return Q(spark_fn, zipf_oracle_sql("documents", "text", "source"))
+
+
 KNN_QUERY_PRED = "vec_id % 10 = 0"  # 10% of vectors get propagated labels
 KNN_K = 7
 HN_ANCHOR_PRED = "vec_id % 25 = 0"  # per-batch mining anchors
@@ -4244,6 +4261,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("knn_holdout_eval_embed", _knn_holdout_eval_q()),
         ("dup_source_matrix_docs", _dup_source_matrix_q()),
         ("srp_tuning_report_embed", _srp_tuning_q()),
+        ("zipf_report_docs", _zipf_report_q()),
     ]
 
 

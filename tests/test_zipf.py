@@ -1,0 +1,51 @@
+"""Semantics of operators/zipf.zipf_report on hand-built token counts.
+Cross-engine parity of the registry query is covered by
+tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from dar_spark.operators.zipf import zipf_report
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "src STRING, text STRING")
+
+
+def test_two_point_fit_is_exact(spark):
+    # freqs 4 (rank 1) and 2 (rank 2): slope = (ln2-ln4)/(ln2-ln1) = -1,
+    # intercept = ln4 (the fit passes through both points)
+    df = _docs(spark, [("s", "a a a a b b")])
+    (r,) = zipf_report(df, "text", "src").collect()
+    assert r["n_types"] == 2
+    assert r["zipf_slope"] == pytest.approx(-1.0, abs=1e-7)
+    assert r["zipf_intercept"] == pytest.approx(math.log(4.0), abs=1e-7)
+
+
+def test_single_type_has_null_fit(spark):
+    df = _docs(spark, [("s", "a a a")])
+    (r,) = zipf_report(df, "text", "src").collect()
+    assert r["n_types"] == 1
+    assert r["zipf_slope"] is None and r["zipf_intercept"] is None
+
+
+def test_uniform_freqs_fit_zero_slope(spark):
+    # all types equally frequent: y constant -> slope 0, intercept ln f
+    df = _docs(spark, [("s", "a b c a b c")])
+    (r,) = zipf_report(df, "text", "src").collect()
+    assert r["n_types"] == 3
+    assert r["zipf_slope"] == pytest.approx(0.0, abs=1e-7)
+    assert r["zipf_intercept"] == pytest.approx(math.log(2.0), abs=1e-7)
+
+
+def test_ungrouped_single_row_and_top_n(spark):
+    df = _docs(spark, [("s1", "a a b"), ("s2", "c d e f")])
+    rows = zipf_report(df, "text", None, top_n=3).collect()
+    (r,) = rows
+    assert r["group"] == "(all)"
+    # 6 types corpus-wide, truncated to top_n=3
+    assert r["n_types"] == 3
