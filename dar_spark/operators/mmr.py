@@ -1,0 +1,302 @@
+"""MMR (Maximal Marginal Relevance) diverse top-k selection.
+
+Retrieval and eval-set construction want the k best items that are not
+near-copies of each other: MMR (Carbonell & Goldstein 1998) greedily
+picks argmax of ``λ·rel − (1−λ)·max_{s∈selected} sim(c, s)`` — the
+classic relevance/diversity dial (λ=1 is plain top-k, λ→0 pure
+diversity).
+
+Spark-first shape: the greedy loop looks sequential, but its INPUT is
+bounded — candidates per query come from an ANN stage (top 20–100), so
+the whole selection runs per row over one collected candidate array:
+one shuffle to group candidates by query, then a RUNTIME fold
+``aggregate(sequence(1, k), empty, (sel, _) -> step(sel))`` whose step
+filters the remaining candidates, scores them against the selected
+set, and appends the fold-argmax.  The iteration state lives in a
+LAMBDA VARIABLE, not a column alias — Catalyst cannot inline it, so
+the plan is O(1) in k (a chained-projection formulation of the same
+loop was measured to blow up the optimizer super-exponentially and OOM
+the driver at k=5).  No driver loop, no UDF, no shuffle beyond the
+candidate grouping; at 100 TB the expensive part stays the ANN
+candidate generation (similarity.py).
+
+Cross-engine exactness: unit vectors are exact-op divisions, dots fold
+in array order, λ is an exact rational, and the argmax uses an
+explicit (score, smaller-id) tie-break.  The DuckDB oracle is an
+INDEPENDENT relational formulation of the same greedy program
+(precomputed pairwise sims + k chained argmax CTEs, materialized) —
+DuckDB 1.0 mis-evaluates nested lambdas over list-of-struct columns
+when rows share a chunk (and can segfault), so the oracle avoids the
+list-fold construction entirely; MAX over a set is order-exact, so the
+two programs agree bit for bit and outputs ship unrounded.
+
+No reference counterpart (SURVEY.md §2d similarity-search extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.dialect import DUCKDB, SPARK, Dialect
+
+
+def _ns(d: Dialect, **fields: str) -> str:
+    if d.name == "duckdb":
+        inner = ", ".join(f"{k} := {v}" for k, v in fields.items())
+        return f"struct_pack({inner})"
+    inner = ", ".join(f"'{k}', {v}" for k, v in fields.items())
+    return f"named_struct({inner})"
+
+
+def _dot(d: Dialect, u1: str, u2: str) -> str:
+    """Array-order left-fold dot product of two DOUBLE arrays."""
+    if d.name == "duckdb":
+        prods = (
+            f"list_transform(generate_series(1, len({u1})), "
+            f"di -> ({u1})[di] * ({u2})[di])"
+        )
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {prods}), "
+            f"(a, x) -> a + x)"
+        )
+    return (
+        f"aggregate(zip_with({u1}, {u2}, (x, y) -> x * y), 0D, "
+        f"(a, x) -> a + x)"
+    )
+
+
+def _arr_max(d: Dialect, a: str) -> str:
+    return (
+        f"list_aggregate({a}, 'max')" if d.name == "duckdb" else f"array_max({a})"
+    )
+
+
+def _arr_append(d: Dialect, a: str, x: str) -> str:
+    if d.name == "duckdb":
+        return f"list_append({a}, {x})"
+    return f"concat({a}, array({x}))"
+
+
+def _empty_u(d: Dialect) -> str:
+    if d.name == "duckdb":
+        return "CAST([] AS DOUBLE[])"
+    return "CAST(array() AS ARRAY<DOUBLE>)"
+
+
+def _check_params(k: int, lam_num: int, lam_den: int) -> None:
+    if not (0 <= lam_num <= lam_den) or lam_den <= 0:
+        raise ValueError("mmr: need 0 <= lam_num <= lam_den, lam_den > 0")
+    if k < 1:
+        raise ValueError("mmr: k must be >= 1")
+
+
+def mmr_init_expr(d: Dialect, pts: str) -> str:
+    """Empty, correctly-typed selection array: a zero-length slice of
+    the candidate array mapped to the selection element shape
+    struct(score, id, rel, u)."""
+    seed = _ns(d, score="CAST(0 AS DOUBLE)", id="c.id", rel="c.rel", u="c.u")
+    return d.arr_slice(d.arr_transform(pts, f"c -> {seed}"), "1", "0")
+
+
+def mmr_step_expr(
+    d: Dialect,
+    sel: str,
+    pts: str,
+    lam_num: int = 1,
+    lam_den: int = 2,
+) -> str:
+    """One greedy step: given the selected array ``sel`` (lambda var or
+    column) and the candidate array ``pts`` (struct(id, rel, u), u a
+    unit DOUBLE array), return the selection with the MMR argmax
+    appended (unchanged when no candidates remain).  ``max sim`` over
+    an empty selection is 0, so the first step reduces to
+    argmax(λ·rel) with the same expression.  Constant-size expression —
+    the iteration scaffold supplies the repetition at RUNTIME."""
+    wn = f"CAST({lam_num} AS DOUBLE)"
+    wd = f"CAST({lam_den - lam_num} AS DOUBLE)"
+    wden = f"CAST({lam_den} AS DOUBLE)"
+    ids = d.arr_transform(sel, "s -> s.id")
+    rem = d.arr_filter(pts, f"c -> NOT {d.arr_contains(ids, 'c.id')}")
+    sims = d.arr_transform(sel, f"s -> {_dot(d, 'c.u', 's.u')}")
+    ms = f"coalesce({_arr_max(d, sims)}, CAST(0 AS DOUBLE))"
+    scored_elem = _ns(
+        d,
+        score=f"({wn} * c.rel - {wd} * {ms}) / {wden}",
+        id="c.id",
+        rel="c.rel",
+        u="c.u",
+    )
+    scored = d.arr_transform(rem, f"c -> {scored_elem}")
+    sentinel = _ns(
+        d,
+        score="CAST('-Infinity' AS DOUBLE)",
+        id="CAST(-1 AS BIGINT)",
+        rel="CAST(0 AS DOUBLE)",
+        u=_empty_u(d),
+    )
+    if d.name == "duckdb":
+        best = (
+            f"list_reduce(list_prepend({sentinel}, {scored}), "
+            "(a, x) -> CASE WHEN x.score > a.score OR "
+            "(x.score = a.score AND x.id < a.id) THEN x ELSE a END)"
+        )
+    else:
+        best = (
+            f"aggregate({scored}, {sentinel}, "
+            "(a, x) -> CASE WHEN x.score > a.score OR "
+            "(x.score = a.score AND x.id < a.id) THEN x ELSE a END)"
+        )
+    # the sentinel survives the fold only when rem was empty (every real
+    # candidate has a finite score and wins); its id marks that case
+    picked = f"{best}"
+    return (
+        f"CASE WHEN {d.arr_len(rem)} = 0 THEN {sel} "
+        f"ELSE {_arr_append(d, sel, picked)} END"
+    )
+
+
+def mmr_ranked_expr(d: Dialect, sel: str) -> str:
+    """Final output array: struct(rank_n, id, rel, score) in selection
+    order."""
+    g = d.arr_get(sel, "j")
+    out = _ns(
+        d,
+        rank_n="CAST(j AS BIGINT)",
+        id=f"{g}.id",
+        rel=f"{g}.rel",
+        score=f"{g}.score",
+    )
+    return d.arr_transform(d.int_seq("1", d.arr_len(sel)), f"j -> {out}")
+
+
+def mmr_select(
+    candidates: DataFrame,
+    query_col: str,
+    id_col: str,
+    rel_col: str,
+    vec_col: str,
+    k: int = 5,
+    lam_num: int = 1,
+    lam_den: int = 2,
+) -> DataFrame:
+    """Greedy MMR over per-query candidate sets.
+
+    ``candidates`` holds (query_col, id_col, rel_col, vec_col) rows —
+    typically an ANN top-N output joined back to its vectors.  Vectors
+    are unit-normalized here (zero-norm candidates are dropped: their
+    similarity is undefined).  Output: ``(query_col, rank_n,
+    selected_id, rel, mmr_score)``, ≤ k rows per query in selection
+    order.  Ties break toward the smaller candidate id; duplicate
+    candidate ids within one query must be pre-deduped by the caller
+    (the selection skips already-picked ids, so duplicates would be
+    re-considered as fresh candidates).
+    """
+    _check_params(k, lam_num, lam_den)
+    d = SPARK
+    base = (
+        candidates.selectExpr(
+            f"{query_col} AS _q",
+            f"{id_col} AS _id",
+            f"CAST({rel_col} AS DOUBLE) AS _rel",
+            f"CAST({vec_col} AS ARRAY<DOUBLE>) AS _v",
+        )
+        .withColumn(
+            "_n",
+            F.expr(
+                "sqrt(aggregate(transform(_v, x -> x * x), 0D, (a, x) -> a + x))"
+            ),
+        )
+        .filter("_n > 0")
+        .selectExpr("_q", "_id", "_rel", "transform(_v, x -> x / _n) AS _u")
+    )
+    pts = base.groupBy("_q").agg(
+        F.expr(
+            "sort_array(collect_list(named_struct("
+            "'id', _id, 'rel', _rel, 'u', _u)))"
+        ).alias("pts")
+    )
+    step = mmr_step_expr(d, "sel", "pts", lam_num, lam_den)
+    fold = (
+        f"aggregate(sequence(1, {k}), {mmr_init_expr(d, 'pts')}, "
+        f"(sel, st) -> {step})"
+    )
+    out = pts.withColumn("_sel", F.expr(fold)).withColumn(
+        "mmr", F.expr(mmr_ranked_expr(d, "_sel"))
+    )
+    return out.select(
+        F.col("_q").alias(query_col), F.explode("mmr").alias("m")
+    ).selectExpr(
+        query_col,
+        "m.rank_n AS rank_n",
+        "m.id AS selected_id",
+        "m.rel AS rel",
+        "m.score AS mmr_score",
+    )
+
+
+def mmr_oracle_sql(
+    cand_cte: str,
+    k: int,
+    lam_num: int = 1,
+    lam_den: int = 2,
+    query_col: str = "_q",
+) -> str:
+    """DuckDB twin of :func:`mmr_select` from a ``cand(_q, id, rel, u)``
+    CTE (u a unit-norm DOUBLE list) — an INDEPENDENT relational
+    formulation of the same greedy program: all pairwise candidate
+    similarities are precomputed once (array-order fold dots, so each
+    sim is bit-identical to the Spark side's), then k chained CTEs pick
+    the per-query argmax of (λ·rel − (1−λ)·max-sim-to-selected) with
+    the same (score DESC, id ASC) tie-break.
+
+    Deliberately NOT the list-fold program Spark runs: DuckDB 1.0
+    mis-evaluates (and can segfault on) nested lambdas over
+    list-of-struct columns when several rows share a vector chunk, so
+    the oracle stays on plain joins + single-level folds; agreeing
+    values from two formulations is also the stronger check.
+    MAX over a set is order-exact, so the relational max-sim equals the
+    fold's array_max bit for bit."""
+    _check_params(k, lam_num, lam_den)
+    wn = f"CAST({lam_num} AS DOUBLE)"
+    wd = f"CAST({lam_den - lam_num} AS DOUBLE)"
+    wden = f"CAST({lam_den} AS DOUBLE)"
+    ctes = [
+        f"cand AS MATERIALIZED ({cand_cte})",
+        f"""sims AS MATERIALIZED (SELECT a._q, a.id AS ia, b.id AS ib,
+          {_dot(DUCKDB, 'a.u', 'b.u')} AS sim
+        FROM cand a JOIN cand b ON a._q = b._q AND a.id <> b.id)""",
+        f"""sel1 AS MATERIALIZED (SELECT _q, id, rel, score, CAST(1 AS BIGINT) AS rank_n FROM (
+          SELECT _q, id, rel, score,
+                 ROW_NUMBER() OVER (PARTITION BY _q ORDER BY score DESC, id) AS rn
+          FROM (SELECT _q, id, rel,
+                  ({wn} * rel - {wd} * CAST(0 AS DOUBLE)) / {wden} AS score
+                FROM cand)) WHERE rn = 1)""",
+    ]
+    for i in range(2, k + 1):
+        prev = f"sel{i - 1}"
+        ctes.append(
+            f"""ms{i} AS MATERIALIZED (SELECT c._q, c.id, c.rel, MAX(p.sim) AS ms
+          FROM cand c
+          JOIN {prev} s ON s._q = c._q
+          JOIN sims p ON p._q = c._q AND p.ia = c.id AND p.ib = s.id
+          WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                            WHERE x._q = c._q AND x.id = c.id)
+          GROUP BY c._q, c.id, c.rel)"""
+        )
+        ctes.append(
+            f"""sel{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL
+          SELECT _q, id, rel, score, CAST({i} AS BIGINT) AS rank_n FROM (
+            SELECT _q, id, rel, score,
+                   ROW_NUMBER() OVER (PARTITION BY _q ORDER BY score DESC, id) AS rn
+            FROM (SELECT _q, id, rel,
+                    ({wn} * rel - {wd} * ms) / {wden} AS score
+                  FROM ms{i})) WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT _q AS {query_col}, rank_n, id AS selected_id, rel, score AS mmr_score
+FROM sel{k}"""
+    )

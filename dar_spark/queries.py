@@ -4068,6 +4068,82 @@ def _zipf_report_q() -> Q:
     return Q(spark_fn, zipf_oracle_sql("documents", "text", "source"))
 
 
+MMR_STRIDE = 25  # vec_id % 25 == 0 are the MMR query vectors
+MMR_CANDS = 20  # ANN-stage candidate pool per query
+MMR_K = 5
+
+
+def _mmr_select_q() -> Q:
+    """MMR diverse top-k (operators/mmr.mmr_select): brute-force top-20
+    cosine candidates per query (the ANN stage stand-in), then the
+    greedy λ=1/2 relevance-vs-diversity selection of 5 — run entirely
+    as per-row expressions over the collected candidate array, one
+    dialect-shared layer program on both engines."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.mmr import mmr_select
+
+        t = load_tables(spark, sf_dir)
+        e = t["embeddings"].select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        ).withColumn(
+            "nrm",
+            F.expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"),
+        ).filter("nrm > 0")
+        q = e.filter(f"vec_id % {MMR_STRIDE} = 0").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        scored = e.join(F.broadcast(q), F.expr("vec_id <> query_id")).selectExpr(
+            "query_id",
+            "vec_id AS neighbor_id",
+            "v",
+            "round(aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, "
+            "(a, x) -> a + x) / (qn * nrm), 6) AS cos_sim",
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.col("neighbor_id")
+        )
+        cands = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(f"rn <= {MMR_CANDS}")
+            .select("query_id", "neighbor_id", "cos_sim", "v")
+        )
+        return mmr_select(
+            cands, "query_id", "neighbor_id", "cos_sim", "v", k=MMR_K
+        )
+
+    from dar_spark.operators.mmr import mmr_oracle_sql
+
+    cand_cte = f"""SELECT query_id AS _q, neighbor_id AS id, cos_sim AS rel,
+       list_transform(v, x -> x / nrm) AS u
+FROM (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id, v, nrm, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.v, e.nrm,
+             round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) AS cos_sim
+      FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            WHERE sqrt(list_dot_product(v, v)) > 0) e,
+           (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            WHERE sqrt(list_dot_product(v, v)) > 0
+              AND vec_id % {MMR_STRIDE} = 0) q
+      WHERE e.vec_id <> q.vec_id
+    )
+  ) WHERE rn <= {MMR_CANDS}
+)"""
+    oracle = mmr_oracle_sql(cand_cte, MMR_K, query_col="query_id")
+    return Q(spark_fn, oracle, headline=True)
+
+
 KNN_QUERY_PRED = "vec_id % 10 = 0"  # 10% of vectors get propagated labels
 KNN_K = 7
 HN_ANCHOR_PRED = "vec_id % 25 = 0"  # per-batch mining anchors
@@ -4262,6 +4338,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("dup_source_matrix_docs", _dup_source_matrix_q()),
         ("srp_tuning_report_embed", _srp_tuning_q()),
         ("zipf_report_docs", _zipf_report_q()),
+        ("mmr_select_embed", _mmr_select_q()),
     ]
 
 

@@ -1,0 +1,90 @@
+"""Semantics of operators/mmr.mmr_select on hand-built geometry: the
+relevance/diversity trade-off, λ extremes, ties, zero norms, and
+k > candidates.  Cross-engine parity of the registry query is covered
+by tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dar_spark.operators.mmr import mmr_select
+
+
+def _cands(spark, rows):
+    return spark.createDataFrame(
+        rows, "q BIGINT, cid BIGINT, rel DOUBLE, v ARRAY<DOUBLE>"
+    )
+
+
+# A and B point the same way (near-dups); C is orthogonal with lower
+# relevance.  Plain top-2 = A,B; MMR at λ=1/2 must pick A then C.
+DUPSET = [
+    (1, 10, 0.9, [1.0, 0.0]),
+    (1, 11, 0.85, [1.0, 0.0]),
+    (1, 12, 0.5, [0.0, 1.0]),
+]
+
+
+def test_mmr_prefers_diversity_over_near_dup(spark):
+    rows = sorted(
+        mmr_select(_cands(spark, DUPSET), "q", "cid", "rel", "v", k=2).collect(),
+        key=lambda r: r["rank_n"],
+    )
+    assert [r["selected_id"] for r in rows] == [10, 12]
+    # rank 1 score = λ·rel; rank 2 = λ·rel − (1−λ)·0 (orthogonal)
+    assert rows[0]["mmr_score"] == pytest.approx(0.45)
+    assert rows[1]["mmr_score"] == pytest.approx(0.25)
+
+
+def test_mmr_lambda_one_is_plain_topk(spark):
+    rows = sorted(
+        mmr_select(
+            _cands(spark, DUPSET), "q", "cid", "rel", "v",
+            k=3, lam_num=1, lam_den=1,
+        ).collect(),
+        key=lambda r: r["rank_n"],
+    )
+    # no diversity penalty: pure relevance order A, B, C
+    assert [r["selected_id"] for r in rows] == [10, 11, 12]
+
+
+def test_mmr_k_exceeding_candidates_stops_early(spark):
+    rows = mmr_select(
+        _cands(spark, DUPSET), "q", "cid", "rel", "v", k=10
+    ).collect()
+    assert len(rows) == 3
+    assert sorted(r["rank_n"] for r in rows) == [1, 2, 3]
+
+
+def test_mmr_tie_breaks_to_smaller_id(spark):
+    rows = sorted(
+        mmr_select(
+            _cands(
+                spark,
+                [(1, 20, 0.7, [1.0, 0.0]), (1, 7, 0.7, [0.0, 1.0])],
+            ),
+            "q", "cid", "rel", "v", k=1,
+        ).collect(),
+        key=lambda r: r["rank_n"],
+    )
+    assert [r["selected_id"] for r in rows] == [7]
+
+
+def test_mmr_drops_zero_norm_candidates(spark):
+    rows = mmr_select(
+        _cands(
+            spark,
+            [(1, 1, 0.99, [0.0, 0.0]), (1, 2, 0.5, [1.0, 0.0])],
+        ),
+        "q", "cid", "rel", "v", k=2,
+    ).collect()
+    assert [r["selected_id"] for r in rows] == [2]
+
+
+def test_mmr_param_guards(spark):
+    df = _cands(spark, DUPSET)
+    with pytest.raises(ValueError, match="k must be"):
+        mmr_select(df, "q", "cid", "rel", "v", k=0)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_select(df, "q", "cid", "rel", "v", k=1, lam_num=3, lam_den=2)

@@ -313,3 +313,24 @@ def test_knn_classify_is_map_only(spark):
     assert "hashpartitioning" not in p, "corpus side must not shuffle"
     assert "Window" not in p and "SortMergeJoin" not in p
     assert "Python" not in p
+
+
+def test_mmr_runtime_fold_plan_is_constant_in_k(spark):
+    """mmr_select iterates via a runtime sequence fold whose state is a
+    lambda variable: the optimized plan must contain exactly ONE
+    aggregate-fold projection regardless of k (the chained-projection
+    formulation inlined super-exponentially and OOMed the driver), and
+    the only exchange is the candidate grouping."""
+    from dar_spark.operators.mmr import mmr_select
+    from dar_spark.session import load_tables
+
+    e = load_tables(spark, SF_DIR)["embeddings"].selectExpr(
+        "CAST(1 AS BIGINT) AS q", "vec_id AS cid",
+        "CAST(vec_id % 7 AS DOUBLE) AS rel", "embedding AS v",
+    ).limit(30)
+    df = mmr_select(e, "q", "cid", "rel", "v", k=8)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]
+    assert p.count("sequence(1, 8") <= 1
+    assert "Python" not in p and "CartesianProduct" not in p
