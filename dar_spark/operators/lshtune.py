@@ -273,34 +273,17 @@ def srp_tuning_oracle_sql(
     ``src(vec_id, v)`` SELECT (v DOUBLE list) — same plane constants,
     same bucket+Hamming-1 probe candidates (modeled on
     ``similarity.srp_pairs_oracle_sql``), same half-up ratios."""
-    from dar_spark.operators.similarity import _plane_component
+    from dar_spark.operators.similarity import (
+        DUCK_FLIP,
+        duck_band_buckets,
+        duck_fold,
+    )
 
-    def fold(products: str) -> str:
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), "
-            f"(a, x) -> a + x)"
-        )
-
+    fold = duck_fold
     cand_blocks = []
     for si, (np_, nb_) in enumerate(settings):
-        band_buckets = []
-        for t in range(nb_):
-            bits = []
-            for j in range(np_):
-                prods = (
-                    f"list_transform(generate_series(1, len(v)), "
-                    f"i -> v[i] * {_plane_component(t * np_ + j)})"
-                )
-                bits.append(
-                    f"CASE WHEN {fold(prods)} >= 0 THEN '1' ELSE '0' END"
-                )
-            band_buckets.append("concat(" + ", ".join(bits) + ")")
-        bs = "[" + ", ".join(band_buckets) + "]"
-        flip = (
-            "substr(bt, 1, p - 1) || "
-            "(CASE WHEN substr(bt, p, 1) = '1' THEN '0' ELSE '1' END) || "
-            "substr(bt, p + 1)"
-        )
+        bs = duck_band_buckets(np_, nb_)
+        flip = DUCK_FLIP
         cand_blocks.append(
             f"""SELECT DISTINCT {si} AS si, a.vec_id AS ida, b.vec_id AS idb
   FROM (SELECT vec_id,

@@ -41,6 +41,18 @@ from pyspark.sql import functions as F
 from dar_spark.dialect import DUCKDB, SPARK, Dialect
 
 
+def _require_spark(d: Dialect) -> None:
+    """The fold program is SPARK-ONLY: DuckDB 1.0 mis-evaluates (and can
+    segfault on) nested lambdas over list-of-struct columns, so the
+    oracle must go through :func:`mmr_oracle_sql` — never through these
+    builders."""
+    if d.name != "spark":
+        raise ValueError(
+            "mmr fold builders are Spark-only (DuckDB 1.0 nested-lambda "
+            "bug); use mmr_oracle_sql for the DuckDB side"
+        )
+
+
 def _ns(d: Dialect, **fields: str) -> str:
     if d.name == "duckdb":
         inner = ", ".join(f"{k} := {v}" for k, v in fields.items())
@@ -95,6 +107,7 @@ def mmr_init_expr(d: Dialect, pts: str) -> str:
     """Empty, correctly-typed selection array: a zero-length slice of
     the candidate array mapped to the selection element shape
     struct(score, id, rel, u)."""
+    _require_spark(d)
     seed = _ns(d, score="CAST(0 AS DOUBLE)", id="c.id", rel="c.rel", u="c.u")
     return d.arr_slice(d.arr_transform(pts, f"c -> {seed}"), "1", "0")
 
@@ -113,6 +126,7 @@ def mmr_step_expr(
     an empty selection is 0, so the first step reduces to
     argmax(λ·rel) with the same expression.  Constant-size expression —
     the iteration scaffold supplies the repetition at RUNTIME."""
+    _require_spark(d)
     wn = f"CAST({lam_num} AS DOUBLE)"
     wd = f"CAST({lam_den - lam_num} AS DOUBLE)"
     wden = f"CAST({lam_den} AS DOUBLE)"
@@ -135,30 +149,26 @@ def mmr_step_expr(
         rel="CAST(0 AS DOUBLE)",
         u=_empty_u(d),
     )
-    if d.name == "duckdb":
-        best = (
-            f"list_reduce(list_prepend({sentinel}, {scored}), "
-            "(a, x) -> CASE WHEN x.score > a.score OR "
-            "(x.score = a.score AND x.id < a.id) THEN x ELSE a END)"
-        )
-    else:
-        best = (
-            f"aggregate({scored}, {sentinel}, "
-            "(a, x) -> CASE WHEN x.score > a.score OR "
-            "(x.score = a.score AND x.id < a.id) THEN x ELSE a END)"
-        )
+    # Spark-only by the guard above; a DuckDB arm here would be
+    # untestable dead code (the oracle goes through mmr_oracle_sql)
+    best = (
+        f"aggregate({scored}, {sentinel}, "
+        "(a, x) -> CASE WHEN x.score > a.score OR "
+        "(x.score = a.score AND x.id < a.id) THEN x ELSE a END)"
+    )
     # the sentinel survives the fold only when rem was empty (every real
-    # candidate has a finite score and wins); its id marks that case
-    picked = f"{best}"
+    # candidate has a finite score and wins, NULL-rel rows having been
+    # dropped upstream); the rem-emptiness CASE keeps it out anyway
     return (
         f"CASE WHEN {d.arr_len(rem)} = 0 THEN {sel} "
-        f"ELSE {_arr_append(d, sel, picked)} END"
+        f"ELSE {_arr_append(d, sel, best)} END"
     )
 
 
 def mmr_ranked_expr(d: Dialect, sel: str) -> str:
     """Final output array: struct(rank_n, id, rel, score) in selection
     order."""
+    _require_spark(d)
     g = d.arr_get(sel, "j")
     out = _ns(
         d,
@@ -185,17 +195,20 @@ def mmr_select(
     ``candidates`` holds (query_col, id_col, rel_col, vec_col) rows —
     typically an ANN top-N output joined back to its vectors.  Vectors
     are unit-normalized here (zero-norm candidates are dropped: their
-    similarity is undefined).  Output: ``(query_col, rank_n,
-    selected_id, rel, mmr_score)``, ≤ k rows per query in selection
-    order.  Ties break toward the smaller candidate id; duplicate
-    candidate ids within one query must be pre-deduped by the caller
-    (the selection skips already-picked ids, so duplicates would be
-    re-considered as fresh candidates).
+    similarity is undefined; NULL-relevance candidates are dropped too —
+    inside the fold a NULL score poisons every comparison and the
+    argmax sentinel would leak into the output).  Output:
+    ``(query_col, rank_n, selected_id, rel, mmr_score)``, ≤ k rows per
+    query in selection order.  Ties break toward the smaller candidate
+    id; duplicate candidate ids within one query must be pre-deduped by
+    the caller (the selection skips already-picked ids, so duplicates
+    would be re-considered as fresh candidates).
     """
     _check_params(k, lam_num, lam_den)
     d = SPARK
     base = (
-        candidates.selectExpr(
+        candidates.filter(F.col(rel_col).isNotNull())
+        .selectExpr(
             f"{query_col} AS _q",
             f"{id_col} AS _id",
             f"CAST({rel_col} AS DOUBLE) AS _rel",

@@ -117,6 +117,43 @@ def _flip_bit(bucket: Column, pos: int, n_planes: int = N_PLANES) -> Column:
     )
 
 
+def duck_fold(products: str) -> str:
+    """DuckDB left fold of a DOUBLE product list — byte-identical to the
+    local ``fold`` closures it replaced; every SRP oracle emitter MUST
+    use this (and the two helpers below) so the bucket-key grammar has
+    exactly one definition to keep in sync with _bucket_expr/_flip_bit."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), "
+        f"(a, x) -> a + x)"
+    )
+
+
+def duck_band_buckets(n_planes: int, n_bands: int) -> str:
+    """DuckDB list expression of per-band SRP bucket strings over a
+    ``v`` DOUBLE-list column — the oracle twin of ``_bucket_expr`` for
+    bands 0..n_bands-1 (global plane index band*n_planes+j)."""
+    band_buckets = []
+    for t in range(n_bands):
+        bits = []
+        for j in range(n_planes):
+            prods = (
+                f"list_transform(generate_series(1, len(v)), "
+                f"i -> v[i] * {_plane_component(t * n_planes + j)})"
+            )
+            bits.append(f"CASE WHEN {duck_fold(prods)} >= 0 THEN '1' ELSE '0' END")
+        band_buckets.append("concat(" + ", ".join(bits) + ")")
+    return "[" + ", ".join(band_buckets) + "]"
+
+
+# the oracle twin of _flip_bit over (bt, p) columns: p = 0 keeps the
+# bucket, p = 1..n_planes flips 1-indexed position p
+DUCK_FLIP = (
+    "substr(bt, 1, p - 1) || "
+    "(CASE WHEN substr(bt, p, 1) = '1' THEN '0' ELSE '1' END) || "
+    "substr(bt, p + 1)"
+)
+
+
 def quantizer_fit_input(
     ml: DataFrame, id_col: str, fit_sample_max: int, n: int | None = None
 ) -> DataFrame:
@@ -266,28 +303,9 @@ def srp_lsh_oracle_sql(
     per-(query, neighbor) dedup across bands).
     """
 
-    def fold(products: str) -> str:
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), "
-            f"(a, x) -> a + x)"
-        )
-
-    band_buckets = []
-    for t in range(n_bands):
-        bits = []
-        for j in range(n_planes):
-            prods = (
-                f"list_transform(generate_series(1, len(v)), "
-                f"i -> v[i] * {_plane_component(t * n_planes + j)})"
-            )
-            bits.append(f"CASE WHEN {fold(prods)} >= 0 THEN '1' ELSE '0' END")
-        band_buckets.append("concat(" + ", ".join(bits) + ")")
-    bs = "[" + ", ".join(band_buckets) + "]"
-    flip = (
-        "substr(bt, 1, p - 1) || "
-        "(CASE WHEN substr(bt, p, 1) = '1' THEN '0' ELSE '1' END) || "
-        "substr(bt, p + 1)"
-    )
+    fold = duck_fold
+    bs = duck_band_buckets(n_planes, n_bands)
+    flip = DUCK_FLIP
     cos_prods = "list_transform(generate_series(1, len(qv)), i -> qv[i] * v[i])"
     return f"""WITH e AS (
   SELECT {id_col} AS vec_id,
@@ -340,28 +358,9 @@ def srp_pairs_oracle_sql(
     keys, candidates unioned across bands and deduped per pair.
     """
 
-    def fold(products: str) -> str:
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), "
-            f"(a, x) -> a + x)"
-        )
-
-    band_buckets = []
-    for t in range(n_bands):
-        bits = []
-        for j in range(n_planes):
-            prods = (
-                f"list_transform(generate_series(1, len(v)), "
-                f"i -> v[i] * {_plane_component(t * n_planes + j)})"
-            )
-            bits.append(f"CASE WHEN {fold(prods)} >= 0 THEN '1' ELSE '0' END")
-        band_buckets.append("concat(" + ", ".join(bits) + ")")
-    bs = "[" + ", ".join(band_buckets) + "]"
-    flip = (
-        "substr(bt, 1, p - 1) || "
-        "(CASE WHEN substr(bt, p, 1) = '1' THEN '0' ELSE '1' END) || "
-        "substr(bt, p + 1)"
-    )
+    fold = duck_fold
+    bs = duck_band_buckets(n_planes, n_bands)
+    flip = DUCK_FLIP
     cos_prods = "list_transform(generate_series(1, len(va)), i -> va[i] * vb[i])"
     return f"""WITH src AS ({source_sql}),
 n AS (
@@ -1180,28 +1179,9 @@ def srp_against_oracle_sql(
     multiprobe flip expansion, mirroring the Spark plan from the same
     plane constants."""
 
-    def fold(products: str) -> str:
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), "
-            f"(a, x) -> a + x)"
-        )
-
-    band_buckets = []
-    for t in range(n_bands):
-        bits = []
-        for j in range(n_planes):
-            prods = (
-                f"list_transform(generate_series(1, len(v)), "
-                f"i -> v[i] * {_plane_component(t * n_planes + j)})"
-            )
-            bits.append(f"CASE WHEN {fold(prods)} >= 0 THEN '1' ELSE '0' END")
-        band_buckets.append("concat(" + ", ".join(bits) + ")")
-    bs = "[" + ", ".join(band_buckets) + "]"
-    flip = (
-        "substr(bt, 1, p - 1) || "
-        "(CASE WHEN substr(bt, p, 1) = '1' THEN '0' ELSE '1' END) || "
-        "substr(bt, p + 1)"
-    )
+    fold = duck_fold
+    bs = duck_band_buckets(n_planes, n_bands)
+    flip = DUCK_FLIP
     cos_prods = "list_transform(generate_series(1, len(cv)), i -> cv[i] * bv[i])"
     return f"""WITH corp AS ({corpus_sql}),
 bench AS ({bench_sql}),

@@ -56,7 +56,8 @@ def zipf_report(
         f"{text_col} AS _t",
     )
     tok = base.selectExpr(
-        "_g", "explode(split(lower(_t), ' ', -1)) AS tok"
+        "_g",
+        f"explode({SPARK.split_lit('lower(_t)', ' ')}) AS tok",
     ).filter("tok <> ''")
     wf = tok.groupBy("_g", "tok").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("_g").orderBy(F.desc("f"), F.asc("tok"))
@@ -108,7 +109,7 @@ def zipf_oracle_sql(
     prods = "list_transform(generate_series(1, len(xs)), i -> xs[i] * ys[i])"
     sqs = "list_transform(xs, x -> x * x)"
     return f"""WITH tk AS (SELECT {gsel} AS _g,
-        unnest(string_split(lower({text_col}), ' ')) AS tok FROM {table}),
+        unnest({d.split_lit(f'lower({text_col})', ' ')}) AS tok FROM {table}),
 wf AS (SELECT _g, tok, COUNT(*) AS f FROM tk WHERE tok <> '' GROUP BY 1, 2),
 r AS (SELECT _g, f, tok,
         ROW_NUMBER() OVER (PARTITION BY _g ORDER BY f DESC, tok ASC) AS rnk

@@ -4077,8 +4077,11 @@ def _mmr_select_q() -> Q:
     """MMR diverse top-k (operators/mmr.mmr_select): brute-force top-20
     cosine candidates per query (the ANN stage stand-in), then the
     greedy λ=1/2 relevance-vs-diversity selection of 5 — run entirely
-    as per-row expressions over the collected candidate array, one
-    dialect-shared layer program on both engines."""
+    as per-row expressions over the collected candidate array.  The
+    DuckDB oracle is an INDEPENDENT relational program (materialized
+    pairwise sims + chained argmax CTEs; see operators/mmr.py for the
+    DuckDB 1.0 nested-lambda bug that rules out the fold there), so the
+    hash match is two formulations agreeing bit for bit."""
 
     def spark_fn(spark, sf_dir):
         from dar_spark.operators.mmr import mmr_select
@@ -4096,12 +4099,13 @@ def _mmr_select_q() -> Q:
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
         )
-        scored = e.join(F.broadcast(q), F.expr("vec_id <> query_id")).selectExpr(
+        from dar_spark.operators.similarity import _cosine
+
+        scored = e.join(F.broadcast(q), F.expr("vec_id <> query_id")).select(
             "query_id",
-            "vec_id AS neighbor_id",
+            F.col("vec_id").alias("neighbor_id"),
             "v",
-            "round(aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, "
-            "(a, x) -> a + x) / (qn * nrm), 6) AS cos_sim",
+            _cosine("qv", "v", "qn", "nrm").alias("cos_sim"),
         )
         from pyspark.sql.window import Window
 

@@ -88,3 +88,23 @@ def test_mmr_param_guards(spark):
         mmr_select(df, "q", "cid", "rel", "v", k=0)
     with pytest.raises(ValueError, match="lam"):
         mmr_select(df, "q", "cid", "rel", "v", k=1, lam_num=3, lam_den=2)
+
+
+def test_mmr_null_rel_candidates_dropped(spark):
+    # a NULL relevance would poison the fold comparisons and leak the
+    # -Infinity sentinel into the output; such candidates are dropped
+    rows = [(1, 10, None, [1.0, 0.0]), (1, 11, 0.5, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "q BIGINT, cid BIGINT, rel DOUBLE, v ARRAY<DOUBLE>"
+    )
+    out = mmr_select(df, "q", "cid", "rel", "v", k=2).collect()
+    assert [r["selected_id"] for r in out] == [11]
+    assert all(r["selected_id"] != -1 for r in out)
+
+
+def test_mmr_fold_builders_are_spark_only():
+    from dar_spark.dialect import DUCKDB
+    from dar_spark.operators.mmr import mmr_step_expr
+
+    with pytest.raises(ValueError, match="Spark-only"):
+        mmr_step_expr(DUCKDB, "sel", "pts")
