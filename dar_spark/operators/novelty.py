@@ -114,6 +114,59 @@ FROM grams g JOIN freq f USING (_k)
 GROUP BY g.{id_col}"""
 
 
+def group_centroids(e: DataFrame, group_col: str) -> DataFrame:
+    """Exact per-group centroid arrays ``(group_col, _c)`` from a frame
+    with a ``_v`` DOUBLE-array column — the order-independent
+    rounded-DECIMAL mean (clamp to [-1,1], +1 shift for avg_6dp's
+    non-negative precondition, shift subtracted losslessly), shared by
+    ``embedding_outliers`` and ``class_separation_report`` so the two
+    can never compute different centroids."""
+    dims = e.select(group_col, F.posexplode("_v").alias("_d", "_x"))
+    return (
+        dims.groupBy(group_col, "_d")
+        .agg(
+            F.expr(
+                "("
+                + _SPK.avg_6dp(
+                    "SUM(CAST(round(greatest(least(_x, 1D), -1D), 6) + 1 "
+                    "AS DECIMAL(18,6)))",
+                    "COUNT(*)",
+                )
+                + " - 1.0)"
+            ).alias("_m")
+        )
+        .groupBy(group_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_d, _m))), s -> s._m)"
+            ).alias("_c")
+        )
+    )
+
+
+def duck_centroid_ctes(group_col: str) -> str:
+    """DuckDB twin of :func:`group_centroids`: ``dims``/``cent`` CTE
+    bodies over an existing ``e({group_col}, v)`` CTE, ending in
+    ``cent({group_col}, c)``."""
+    avg6 = _DK.avg_6dp(
+        "SUM(CAST(round(greatest(least(x, CAST(1 AS DOUBLE)), "
+        "CAST(-1 AS DOUBLE)), 6) + 1 AS DECIMAL(18,6)))",
+        "COUNT(*)",
+    )
+    return f"""dims AS (
+  SELECT {group_col},
+         unnest(range(1, len(v) + 1)) AS d,
+         unnest(v) AS x
+  FROM e
+), cent AS (
+  SELECT {group_col}, list(m ORDER BY d) AS c
+  FROM (SELECT {group_col}, d,
+               ({avg6} - 1.0) AS m
+        FROM dims GROUP BY 1, 2)
+  GROUP BY 1
+)"""
+
+
 def embedding_outliers(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -151,38 +204,7 @@ def embedding_outliers(
         F.col(group_col),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
     )
-    dims = e.select(
-        group_col, F.posexplode("_v").alias("_d", "_x")
-    )
-    cent = (
-        dims.groupBy(group_col, "_d")
-        .agg(
-            # half-up integer mean (Dialect.avg_6dp) — decimal-half
-            # quotients would otherwise round differently per engine.
-            # avg_6dp requires non-negative operands; components are
-            # CLAMPED to [-1, 1] (unit-norm embeddings already are;
-            # the clamp makes the precondition a guarantee instead of
-            # an assumption about the input) then shifted into [0, 2]
-            # and the shift subtracted after: the +1 moves the integer
-            # numerator by exactly 10^6 * count, which shifts the
-            # half-up quotient by exactly 10^6 — lossless.
-            F.expr(
-                "("
-                + _SPK.avg_6dp(
-                    "SUM(CAST(round(greatest(least(_x, 1D), -1D), 6) + 1 "
-                    "AS DECIMAL(18,6)))",
-                    "COUNT(*)",
-                )
-                + " - 1.0)"
-            ).alias("_m")
-        )
-        .groupBy(group_col)
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(_d, _m))), s -> s._m)"
-            ).alias("_c")
-        )
-    )
+    cent = group_centroids(e, group_col)
     scored = e.join(F.broadcast(cent), group_col).select(
         id_col,
         group_col,
@@ -214,28 +236,12 @@ def embedding_outliers_oracle_sql(
             f"(a, x) -> a + x)"
         )
 
-    _DUCK_AVG6 = _DK.avg_6dp(
-        "SUM(CAST(round(greatest(least(x, CAST(1 AS DOUBLE)), "
-        "CAST(-1 AS DOUBLE)), 6) + 1 AS DECIMAL(18,6)))",
-        "COUNT(*)",
-    )
     cos_prods = "list_transform(generate_series(1, len(v)), i -> v[i] * c[i])"
     return f"""WITH e AS (
   SELECT {id_col}, {group_col},
          list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
   FROM {table}
-), dims AS (
-  SELECT {group_col},
-         unnest(range(1, len(v) + 1)) AS d,
-         unnest(v) AS x
-  FROM e
-), cent AS (
-  SELECT {group_col}, list(m ORDER BY d) AS c
-  FROM (SELECT {group_col}, d,
-               ({_DUCK_AVG6} - 1.0) AS m
-        FROM dims GROUP BY 1, 2)
-  GROUP BY 1
-)
+), {duck_centroid_ctes(group_col)}
 SELECT e.{id_col}, e.{group_col},
        round({fold(cos_prods)} /
              (sqrt({fold('list_transform(v, x -> x * x)')}) *
@@ -337,3 +343,144 @@ SELECT group_a, group_b, CAST(n_shared AS BIGINT) AS n_shared,
 FROM inter
 JOIN sizes sa ON sa.g = inter.group_a
 JOIN sizes sb ON sb.g = inter.group_b"""
+
+
+def class_separation_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding-space separation: is this space LEARNABLE for
+    these labels?  For each label: how tightly its vectors hug their
+    own centroid (mean cosine-to-centroid) and how close the nearest
+    OTHER centroid sits — the margin between the two is the probe-
+    before-you-train diagnostic (margin <= 0 means the class centers
+    are no better separated than the class is cohesive: a linear probe
+    will struggle, and kNN propagation over this space is noise).
+
+    Output: ``(label, n_vecs, intra_mean_cos, nn_label, nn_cos,
+    margin)`` with margin = intra_mean_cos - nn_cos; nn columns are
+    NULL when only one label exists.  NULL labels are excluded.
+
+    Scale shape: centroids via :func:`group_centroids` (one narrow
+    posexplode + bounded (labels x dims) aggregate); ONE more corpus
+    pass scores cosine-to-own-centroid through a broadcast join; the
+    centroid-to-centroid stage is labels² rows — trivial.  Means follow
+    the order-independent rounded-DECIMAL discipline (+1 shift for
+    avg_6dp, subtracted losslessly), so the report is engine-exact.
+    """
+    e = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(label_col),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    cent = group_centroids(e, label_col).cache()  # intra join + self-join
+    cos6 = (
+        "round(aggregate(zip_with(_v, _c, (x, y) -> x * y), 0D, (a, x) -> a + x) "
+        "/ (sqrt(aggregate(transform(_v, x -> x * x), 0D, (a, x) -> a + x)) "
+        "* sqrt(aggregate(transform(_c, x -> x * x), 0D, (a, x) -> a + x))), 6)"
+    )
+    scored = e.join(F.broadcast(cent), label_col).selectExpr(
+        label_col, f"{cos6} AS _cc"
+    )
+    intra = scored.groupBy(label_col).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_vecs"),
+        # cosines lie in [-1, 1]: same +1 shift as the centroid means
+        F.expr(
+            "("
+            + _SPK.avg_6dp(
+                "SUM(CAST(_cc + 1 AS DECIMAL(18,6)))", "COUNT(*)"
+            )
+            + " - 1.0)"
+        ).alias("intra_mean_cos"),
+    )
+    ca = cent.select(F.col(label_col), F.col("_c").alias("_ca"))
+    cb = cent.select(
+        F.col(label_col).alias("_lb"), F.col("_c").alias("_cb")
+    )
+    cc = (
+        ca.join(cb, F.expr(f"{label_col} <> _lb"))
+        .selectExpr(
+            label_col,
+            "_lb",
+            "round(aggregate(zip_with(_ca, _cb, (x, y) -> x * y), 0D, (a, x) -> a + x) "
+            "/ (sqrt(aggregate(transform(_ca, x -> x * x), 0D, (a, x) -> a + x)) "
+            "* sqrt(aggregate(transform(_cb, x -> x * x), 0D, (a, x) -> a + x))), 6) AS _cc",
+        )
+    )
+    nn = (
+        cc.groupBy(label_col)
+        .agg(F.expr("max(struct(_cc, -_lb AS _nl))").alias("_s"))
+        .selectExpr(
+            label_col,
+            "-_s._nl AS nn_label",
+            "_s._cc AS nn_cos",
+        )
+    )
+    return intra.join(nn, label_col, "left").selectExpr(
+        label_col,
+        "n_vecs",
+        "intra_mean_cos",
+        "nn_label",
+        "nn_cos",
+        "intra_mean_cos - nn_cos AS margin",
+    )
+
+
+def class_separation_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of :func:`class_separation_report` — shared centroid
+    CTEs (:func:`duck_centroid_ctes`), same left-fold cosines, same
+    shifted avg_6dp means, ROW_NUMBER nearest-centroid with the same
+    (cos DESC, label ASC) tie-break."""
+
+    def fold(products: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {products}), "
+            f"(a, x) -> a + x)"
+        )
+
+    cos_vc = "list_transform(generate_series(1, len(v)), i -> v[i] * c[i])"
+    cos_ab = "list_transform(generate_series(1, len(ca)), i -> ca[i] * cb[i])"
+    avg6 = _DK.avg_6dp("SUM(CAST(cc + 1 AS DECIMAL(18,6)))", "COUNT(*)")
+    return f"""WITH e AS (
+  SELECT {id_col}, {label_col},
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table} WHERE {label_col} IS NOT NULL
+), {duck_centroid_ctes(label_col)},
+scored AS (
+  SELECT e.{label_col},
+         round({fold(cos_vc)} /
+               (sqrt({fold('list_transform(v, x -> x * x)')}) *
+                sqrt({fold('list_transform(c, x -> x * x)')})), 6) AS cc
+  FROM e JOIN cent USING ({label_col})
+),
+intra AS (
+  SELECT {label_col}, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         ({avg6} - 1.0) AS intra_mean_cos
+  FROM scored GROUP BY 1
+),
+pairs AS (
+  SELECT a.{label_col}, b.{label_col} AS lb,
+         round({fold(cos_ab)} /
+               (sqrt({fold('list_transform(ca, x -> x * x)')}) *
+                sqrt({fold('list_transform(cb, x -> x * x)')})), 6) AS cc
+  FROM (SELECT {label_col}, c AS ca FROM cent) a
+  JOIN (SELECT {label_col}, c AS cb FROM cent) b
+    ON a.{label_col} <> b.{label_col}
+),
+nn AS (
+  SELECT {label_col}, lb AS nn_label, cc AS nn_cos
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {label_col}
+          ORDER BY cc DESC, lb ASC) AS rn FROM pairs)
+  WHERE rn = 1
+)
+SELECT i.{label_col} AS {label_col}, i.n_vecs, i.intra_mean_cos,
+       nn.nn_label, nn.nn_cos,
+       i.intra_mean_cos - nn.nn_cos AS margin
+FROM intra i LEFT JOIN nn USING ({label_col})"""

@@ -4068,6 +4068,25 @@ def _zipf_report_q() -> Q:
     return Q(spark_fn, zipf_oracle_sql("documents", "text", "source"))
 
 
+def _class_separation_q() -> Q:
+    """Per-label embedding separation report (novelty.
+    class_separation_report): intra-class mean cosine-to-centroid vs
+    nearest-other-centroid cosine and the margin between them — the
+    is-this-space-learnable probe before kNN propagation or classifier
+    training.  Centroids share group_centroids/duck_centroid_ctes with
+    embedding_outliers."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.novelty import class_separation_report
+
+        t = load_tables(spark, sf_dir)
+        return class_separation_report(t["embeddings"])
+
+    from dar_spark.operators.novelty import class_separation_oracle_sql
+
+    return Q(spark_fn, class_separation_oracle_sql())
+
+
 MMR_STRIDE = 25  # vec_id % 25 == 0 are the MMR query vectors
 MMR_CANDS = 20  # ANN-stage candidate pool per query
 MMR_K = 5
@@ -4343,6 +4362,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("srp_tuning_report_embed", _srp_tuning_q()),
         ("zipf_report_docs", _zipf_report_q()),
         ("mmr_select_embed", _mmr_select_q()),
+        ("class_separation_embed", _class_separation_q()),
     ]
 
 

@@ -731,3 +731,33 @@ def test_decontaminate_handles_zero_vectors(spark):
     assert out[1] == 1      # exact twin of bench 100
     assert out[2] == 0      # zero vector: excluded, never flagged
     assert out[3] == 0
+
+
+def test_class_separation_report_semantics(spark):
+    """Two tight orthogonal clusters: each label's intra cohesion ~1,
+    nearest-other cosine ~0, margin ~1; the single-label corner yields
+    NULL nn columns."""
+    from dar_spark.operators.novelty import class_separation_report
+
+    rows = [
+        (1, [1.0, 0.0], 1), (2, [1.0, 0.0], 1),
+        (3, [0.0, 1.0], 2), (4, [0.0, 1.0], 2),
+        (5, [0.5, 0.5], None),  # NULL label excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    got = {r["label"]: r for r in class_separation_report(df).collect()}
+    assert set(got) == {1, 2}
+    for lab, other in ((1, 2), (2, 1)):
+        r = got[lab]
+        assert r["n_vecs"] == 2
+        assert r["intra_mean_cos"] == 1.0
+        assert r["nn_label"] == other
+        assert abs(r["nn_cos"]) < 1e-6
+        assert r["margin"] == r["intra_mean_cos"] - r["nn_cos"]
+
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1), (2, [0.875, 0.125], 1)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+    )
+    (r,) = class_separation_report(one).collect()
+    assert r["nn_label"] is None and r["nn_cos"] is None and r["margin"] is None
