@@ -717,3 +717,148 @@ def ks_report(
             "AS INT) END"
         ).alias("at_bin"),
     )
+
+
+def psi_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group PSI of a numeric column against the WHOLE corpus:
+    which partition (source, dump, language, shard) is distributionally
+    anomalous on this feature — the mixing diagnostic run before
+    assigning per-source weights, and the per-slice monitoring view of
+    :func:`psi_drift` (group-vs-book, the index-monitoring convention;
+    the corpus includes the group itself, so a group that IS most of
+    the corpus scores near 0 by construction).
+
+    Output one row per group: ``(group_col, n_group, n_total, psi,
+    drifted)`` with the conventional >= 0.2 flag.  Bins are uniform on
+    the CORPUS [min, max] (every group shares one grid — that is what
+    makes the scores comparable); NULL/non-finite values and NULL
+    groups are excluded.
+
+    Scale shape: TWO corpus scans total (global min/max, then one
+    (group, bin) conditional count) regardless of group count; the
+    global per-bin histogram is the SUM of the per-group counts — never
+    a third scan.  All PSI arithmetic runs on groups x n_bins rows
+    through the same `_psi_term_layers` (arithmetic-only ln, exact
+    integer ratios) and bin-ordered left folds as ``psi_drift``, so the
+    report is engine-exact.
+    """
+    v = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(_FINITE_PRED).filter("_g IS NOT NULL")
+    ref = v.groupBy().agg(
+        F.expr("CAST(min(_x) AS DOUBLE)").alias("mn"),
+        F.expr("CAST(max(_x) AS DOUBLE)").alias("mx"),
+    )
+    from dar_spark.operators.sketch import quantile_hist_exprs
+
+    idx, _ = quantile_hist_exprs(_SPARK, "_x", n_bins)
+    gb = (
+        v.join(F.broadcast(ref))
+        .select(
+            "_g",
+            F.expr(f"CASE WHEN mx = mn THEN 0 ELSE {idx} END").alias("bin"),
+        )
+        .groupBy("_g", "bin")
+        .agg(F.expr("COUNT(*)").cast("bigint").alias("c_grp"))
+        .cache()  # grid, global histogram, and totals all derive from it
+    )
+    grid = (
+        gb.select("_g")
+        .distinct()
+        .crossJoin(
+            df.sparkSession.range(n_bins).select(
+                F.col("id").cast("int").alias("bin")
+            )
+        )
+        .join(gb, ["_g", "bin"], "left")
+        .select("_g", "bin", F.coalesce("c_grp", F.lit(0)).alias("c_new"))
+    )
+    glob = gb.groupBy("bin").agg(F.expr("SUM(c_grp)").cast("bigint").alias("c_old"))
+    tg = gb.groupBy("_g").agg(F.expr("SUM(c_grp)").cast("bigint").alias("t_new"))
+    tot = gb.groupBy().agg(F.expr("SUM(c_grp)").cast("bigint").alias("t_old"))
+    rows = (
+        # LEFT join: a bin nobody hit (possible on a gappy grid) is
+        # absent from glob, but Laplace smoothing must still see all
+        # n_bins bins on both sides
+        grid.join(F.broadcast(glob), "bin", "left")
+        .withColumn("c_old", F.coalesce("c_old", F.lit(0).cast("bigint")))
+        .join(F.broadcast(tg), "_g")
+        .crossJoin(F.broadcast(tot))
+    )
+    for col, expr in _psi_term_layers(_SPARK, n_bins, "c_old", "c_new"):
+        rows = rows.withColumn(col, F.expr(expr))
+    return (
+        rows.groupBy("_g")
+        .agg(
+            F.expr("MAX(t_new)").alias("n_group"),
+            F.expr("MAX(t_old)").alias("n_total"),
+            F.expr("sort_array(collect_list(struct(bin, _term)))").alias("_tb"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "n_group",
+            "n_total",
+            F.expr(
+                "aggregate(_tb, CAST(0 AS DOUBLE), (a, s) -> a + s._term)"
+            ).alias("psi"),
+        )
+        .withColumn("drifted", F.expr("CAST(psi >= 0.2 AS INT)"))
+    )
+
+
+def psi_by_group_oracle_sql(
+    d,
+    source_sql: str,
+    value: str,
+    group: str,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB twin of :func:`psi_by_group` — same corpus-grid bins,
+    same Laplace shares and arithmetic-only ln layers, same bin-ordered
+    per-group fold."""
+    from dar_spark.operators.sketch import quantile_hist_exprs
+
+    idx, _ = quantile_hist_exprs(d, "_x", n_bins)
+    layer_ctes, prev = [], "l0"
+    for i, (col, expr) in enumerate(
+        _psi_term_layers(d, n_bins, "c_old", "c_new"), 1
+    ):
+        layer_ctes.append(f"l{i} AS (SELECT *, {expr} AS {col} FROM {prev})")
+        prev = f"l{i}"
+    layers_sql = ",\n".join(layer_ctes)
+    return f"""WITH src AS ({source_sql}),
+v AS (SELECT {group} AS _g, CAST({value} AS DOUBLE) AS _x FROM src
+      WHERE {value} IS NOT NULL AND isfinite(CAST({value} AS DOUBLE))
+        AND {group} IS NOT NULL),
+ref AS (SELECT CAST(min(_x) AS DOUBLE) AS mn, CAST(max(_x) AS DOUBLE) AS mx FROM v),
+gb AS (SELECT _g, CASE WHEN mx = mn THEN 0 ELSE {idx} END AS bin,
+              CAST(COUNT(*) AS BIGINT) AS c_grp
+       FROM v CROSS JOIN ref GROUP BY 1, 2),
+grid AS (SELECT g._g, CAST(b.range AS INT) AS bin, COALESCE(gb.c_grp, 0) AS c_new
+         FROM (SELECT DISTINCT _g FROM gb) g
+         CROSS JOIN range(0, {n_bins}) b
+         LEFT JOIN gb ON gb._g = g._g AND gb.bin = CAST(b.range AS INT)),
+gall AS (SELECT bin, CAST(SUM(c_grp) AS BIGINT) AS c_old FROM gb GROUP BY 1),
+tg AS (SELECT _g, CAST(SUM(c_grp) AS BIGINT) AS t_new FROM gb GROUP BY 1),
+tot AS (SELECT CAST(SUM(c_grp) AS BIGINT) AS t_old FROM gb),
+l0 AS (SELECT grid._g, grid.bin, COALESCE(gall.c_old, 0) AS c_old,
+              grid.c_new, tg.t_new, tot.t_old
+       FROM grid LEFT JOIN gall USING (bin) JOIN tg USING (_g) CROSS JOIN tot),
+{layers_sql},
+packed AS (
+  SELECT _g, MAX(t_new) AS n_group, MAX(t_old) AS n_total,
+         list(struct_pack(bin := bin, t := _term) ORDER BY bin) AS _tb
+  FROM {prev} GROUP BY _g),
+fin AS (
+  SELECT _g, n_group, n_total,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(_tb, s -> s.t)), (a, x) -> a + x) AS psi
+  FROM packed)
+SELECT _g AS {group}, n_group, n_total, psi,
+       CAST(psi >= 0.2 AS INT) AS drifted FROM fin"""

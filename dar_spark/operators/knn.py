@@ -178,6 +178,66 @@ def knn_holdout_eval(
     )
 
 
+def _contrastive_pairs(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    anchor_pred: str,
+    k: int,
+    sim_lo: float | None,
+    sim_hi: float | None,
+    same_label: bool,
+    peer_name: str,
+) -> DataFrame:
+    """Shared mining core: per anchor, the k most-similar vectors whose
+    label matches (positives) or differs (negatives), within an
+    optional cosine band.  Anchors broadcast against one corpus scan;
+    the per-anchor rank shuffles |anchors| x |corpus| scored rows."""
+    op = "=" if same_label else "<>"
+    e = _as_double_vec(
+        embeddings.select(id_col, vec_col, label_col), vec_col
+    ).filter("_nrm > 0")
+    a = e.filter(anchor_pred).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col("_v").alias("av"),
+        F.col("_nrm").alias("an"),
+    )
+    c = e.select(
+        F.col(id_col).alias(f"{peer_name}_id"),
+        F.col(label_col).alias(f"{peer_name}_label"),
+        "_v",
+        "_nrm",
+    )
+    j = c.join(
+        F.broadcast(a),
+        F.expr(
+            f"{peer_name}_label IS NOT NULL "
+            f"AND {peer_name}_label {op} anchor_label "
+            f"AND {peer_name}_id <> anchor_id"
+        ),
+    )
+    scored = j.select(
+        "anchor_id",
+        "anchor_label",
+        f"{peer_name}_id",
+        f"{peer_name}_label",
+        _cosine("av", "_v", "an", "_nrm").alias("cos_sim"),
+    )
+    if sim_lo is not None:
+        scored = scored.filter(F.col("cos_sim") >= sim_lo)
+    if sim_hi is not None:
+        scored = scored.filter(F.col("cos_sim") < sim_hi)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.col(f"{peer_name}_id")
+    )
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
+        .filter(f"rank_n <= {k}")
+    )
+
+
 def hard_negatives(
     embeddings: DataFrame,
     id_col: str,
@@ -204,42 +264,31 @@ def hard_negatives(
     (similarity.pq_index_topk / ann_against_index) and apply the same
     label filter + band on its output.
     """
-    e = _as_double_vec(
-        embeddings.select(id_col, vec_col, label_col), vec_col
-    ).filter("_nrm > 0")
-    a = e.filter(anchor_pred).select(
-        F.col(id_col).alias("anchor_id"),
-        F.col(label_col).alias("anchor_label"),
-        F.col("_v").alias("av"),
-        F.col("_nrm").alias("an"),
+    return _contrastive_pairs(
+        embeddings, id_col, vec_col, label_col, anchor_pred,
+        k, sim_lo, sim_hi, same_label=False, peer_name="negative",
     )
-    c = e.select(
-        F.col(id_col).alias("negative_id"),
-        F.col(label_col).alias("negative_label"),
-        "_v",
-        "_nrm",
-    )
-    j = c.join(
-        F.broadcast(a),
-        F.expr(
-            "negative_label IS NOT NULL AND negative_label <> anchor_label"
-        ),
-    )
-    scored = j.select(
-        "anchor_id",
-        "anchor_label",
-        "negative_id",
-        "negative_label",
-        _cosine("av", "_v", "an", "_nrm").alias("cos_sim"),
-    )
-    if sim_lo is not None:
-        scored = scored.filter(F.col("cos_sim") >= sim_lo)
-    if sim_hi is not None:
-        scored = scored.filter(F.col("cos_sim") < sim_hi)
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.desc("cos_sim"), F.col("negative_id")
-    )
-    return (
-        scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
-        .filter(f"rank_n <= {k}")
+
+
+def positive_pairs(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    anchor_pred: str,
+    k: int = 5,
+    sim_lo: float | None = None,
+    sim_hi: float | None = None,
+) -> DataFrame:
+    """Top-k nearest SAME-label vectors per anchor (the anchor itself
+    excluded) — the anchor-positive half of a contrastive training
+    batch, mirroring :func:`hard_negatives` exactly (one shared core,
+    one flipped label predicate).  ``sim_hi`` drops exact-duplicate
+    positives (cos ~1 teaches nothing); ``sim_lo`` keeps the pair
+    semantically related.  Output: ``(anchor_id, anchor_label,
+    positive_id, positive_label, cos_sim, rank_n)``.
+    """
+    return _contrastive_pairs(
+        embeddings, id_col, vec_col, label_col, anchor_pred,
+        k, sim_lo, sim_hi, same_label=True, peer_name="positive",
     )

@@ -4087,6 +4087,28 @@ def _class_separation_q() -> Q:
     return Q(spark_fn, class_separation_oracle_sql())
 
 
+def _psi_by_group_q() -> Q:
+    """Per-source PSI of document length vs the whole corpus
+    (drift.psi_by_group): which source's length distribution is
+    anomalous — the mixing diagnostic, two corpus scans total, engine-
+    exact via the shared _psi_term_layers arithmetic."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.drift import psi_by_group
+
+        t = load_tables(spark, sf_dir)
+        return psi_by_group(t["documents"], "n_chars", "source")
+
+    from dar_spark.operators.drift import psi_by_group_oracle_sql
+
+    return Q(
+        spark_fn,
+        psi_by_group_oracle_sql(
+            DUCKDB, "SELECT * FROM documents", "n_chars", "source"
+        ),
+    )
+
+
 MMR_STRIDE = 25  # vec_id % 25 == 0 are the MMR query vectors
 MMR_CANDS = 20  # ANN-stage candidate pool per query
 MMR_K = 5
@@ -4298,21 +4320,68 @@ def _hard_negatives_q() -> Q:
             HN_ANCHOR_PRED, k=HN_K, sim_lo=0.0,
         )
 
-    oracle = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    oracle = _contrastive_oracle_sql(
+        HN_ANCHOR_PRED, HN_K, same_label=False, peer="negative", sim_lo=0.0
+    )
+    return Q(spark_fn, oracle)
+
+
+def _contrastive_oracle_sql(
+    anchor_pred: str,
+    k: int,
+    same_label: bool,
+    peer: str,
+    sim_lo: float | None = None,
+    sim_hi: float | None = None,
+) -> str:
+    """DuckDB twin of knn._contrastive_pairs — one builder for the
+    negative- and positive-mining oracles so the two cannot drift."""
+    op = "=" if same_label else "<>"
+    band = ""
+    if sim_lo is not None:
+        band += f" AND cos_sim >= {sim_lo}"
+    if sim_hi is not None:
+        band += f" AND cos_sim < {sim_hi}"
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
 n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e
       WHERE sqrt(list_dot_product(v, v)) > 0),
 a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av, nrm AS an
-      FROM n WHERE {HN_ANCHOR_PRED}),
-c AS (SELECT vec_id AS negative_id, label AS negative_label, v, nrm FROM n),
-p AS (SELECT a.anchor_id, a.anchor_label, c.negative_id, c.negative_label,
+      FROM n WHERE {anchor_pred}),
+c AS (SELECT vec_id AS {peer}_id, label AS {peer}_label, v, nrm FROM n),
+p AS (SELECT a.anchor_id, a.anchor_label, c.{peer}_id, c.{peer}_label,
         round(list_dot_product(a.av, c.v) / (a.an * c.nrm), 6) AS cos_sim
       FROM c, a
-      WHERE c.negative_label IS NOT NULL AND c.negative_label <> a.anchor_label),
-f AS (SELECT * FROM p WHERE cos_sim >= 0.0),
+      WHERE c.{peer}_label IS NOT NULL AND c.{peer}_label {op} a.anchor_label
+        AND c.{peer}_id <> a.anchor_id),
+f AS (SELECT * FROM p WHERE 1 = 1{band}),
 r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
-        ORDER BY cos_sim DESC, negative_id) AS BIGINT) AS rank_n FROM f)
-SELECT anchor_id, anchor_label, negative_id, negative_label, cos_sim, rank_n
-FROM r WHERE rank_n <= {HN_K}"""
+        ORDER BY cos_sim DESC, {peer}_id) AS BIGINT) AS rank_n FROM f)
+SELECT anchor_id, anchor_label, {peer}_id, {peer}_label, cos_sim, rank_n
+FROM r WHERE rank_n <= {k}"""
+
+
+PP_SIM_HI = 0.999  # exclude exact-duplicate positives (cos ~1)
+
+
+def _positive_pairs_q() -> Q:
+    """Anchor-positive mining (knn.positive_pairs): top-k nearest
+    SAME-label vectors per anchor with an exact-dup-excluding upper
+    band — the positive half of a contrastive batch, sharing the
+    mining core and oracle builder with hard_negatives."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.knn import positive_pairs
+
+        t = load_tables(spark, sf_dir)
+        return positive_pairs(
+            t["embeddings"], "vec_id", "embedding", "label",
+            HN_ANCHOR_PRED, k=HN_K, sim_hi=PP_SIM_HI,
+        )
+
+    oracle = _contrastive_oracle_sql(
+        HN_ANCHOR_PRED, HN_K, same_label=True, peer="positive",
+        sim_hi=PP_SIM_HI,
+    )
     return Q(spark_fn, oracle)
 
 
@@ -4363,6 +4432,8 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("zipf_report_docs", _zipf_report_q()),
         ("mmr_select_embed", _mmr_select_q()),
         ("class_separation_embed", _class_separation_q()),
+        ("positive_pairs_embed", _positive_pairs_q()),
+        ("psi_by_source_docs", _psi_by_group_q()),
     ]
 
 

@@ -252,3 +252,45 @@ def test_reports_degenerate_columns_match_single_column_ops(spark):
         assert (kr[c].n_old, kr[c].n_new, kr[c].ks_stat, kr[c].at_bin) == (
             k.n_old, k.n_new, k.ks_stat, k.at_bin
         ), f"ks {c}"
+
+
+def test_psi_by_group_single_group_is_zero(spark):
+    # one group IS the corpus: p = q in every bin, PSI exactly 0
+    from dar_spark.operators.drift import psi_by_group
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(40)], "src STRING, x DOUBLE"
+    )
+    (r,) = psi_by_group(df, "x", "src").collect()
+    assert (r["src"], r["n_group"], r["n_total"]) == ("a", 40, 40)
+    assert r["psi"] == 0.0 and r["drifted"] == 0
+
+
+def test_psi_by_group_flags_shifted_group(spark):
+    # group b lives entirely in the top bins: large PSI, flagged;
+    # group a is most of the corpus so its PSI stays small
+    from dar_spark.operators.drift import psi_by_group
+
+    rows = [("a", float(i % 100)) for i in range(400)]
+    rows += [("b", 95.0 + (i % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "src STRING, x DOUBLE")
+    got = {r["src"]: r for r in psi_by_group(df, "x", "src").collect()}
+    assert got["b"]["psi"] > 0.2 and got["b"]["drifted"] == 1
+    assert got["a"]["psi"] < 0.1 and got["a"]["drifted"] == 0
+    assert got["a"]["n_total"] == 440 == got["b"]["n_total"]
+
+
+def test_psi_by_group_constant_column_and_null_group(spark):
+    # mx = mn collapses every value into bin 0 (no division by zero);
+    # NULL groups and non-finite values are excluded
+    from dar_spark.operators.drift import psi_by_group
+
+    df = spark.createDataFrame(
+        [("a", 7.0), ("a", 7.0), ("b", 7.0), (None, 7.0),
+         ("b", float("nan"))],
+        "src STRING, x DOUBLE",
+    )
+    got = {r["src"]: r for r in psi_by_group(df, "x", "src").collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["n_total"] == 3
+    assert got["b"]["n_group"] == 1

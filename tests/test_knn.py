@@ -153,3 +153,29 @@ def test_knn_classify_rejects_string_labels(spark):
     )
     with pytest.raises(ValueError, match="integer labels required"):
         knn_classify(df, "id", "vec", "label", "id = 1", k=1)
+
+
+def test_positive_pairs_same_label_excluding_self(geom):
+    from dar_spark.operators.knn import positive_pairs
+
+    out = positive_pairs(geom, "id", "vec", "label", "id = 1", k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank_n"])
+    # same-label peers of anchor 1 (label 1): ids 2 then 3 by cosine;
+    # the anchor itself, the other label, and null labels are excluded
+    assert [r["positive_id"] for r in rows] == [2, 3]
+    assert all(r["positive_label"] == 1 for r in rows)
+    assert rows[0]["cos_sim"] == _cos6(VECS[1], VECS[2])
+
+
+def test_positive_pairs_sim_hi_drops_exact_dups(spark):
+    from dar_spark.operators.knn import positive_pairs
+
+    df = _emb(
+        spark,
+        [(1, [1.0, 0.0], 1), (2, [1.0, 0.0], 1), (3, [0.875, 0.125], 1)],
+    )
+    out = positive_pairs(
+        df, "id", "vec", "label", "id = 1", k=3, sim_hi=0.999
+    ).collect()
+    # id 2 is an exact duplicate (cos 1.0): excluded by the band
+    assert [r["positive_id"] for r in out] == [3]
