@@ -719,6 +719,58 @@ def ks_report(
     )
 
 
+def _group_grid_hists(
+    df: DataFrame, value_col: str, group_col: str, n_bins: int
+) -> DataFrame:
+    """(_g, bin, c_new, c_old, t_new, t_old) over the full groups x bins
+    grid: per-group bin counts (c_new/t_new), corpus counts derived as
+    the SUM over groups (c_old/t_old — never a second value scan), bins
+    uniform on the CORPUS [min, max].  The shared two-scan frame behind
+    ``psi_by_group`` and ``ks_by_group``; empty bins stay present on
+    BOTH sides (LEFT joins) so smoothing/CDFs see the whole grid."""
+    from dar_spark.operators.sketch import quantile_hist_exprs
+
+    v = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(_FINITE_PRED).filter("_g IS NOT NULL")
+    ref = v.groupBy().agg(
+        F.expr("CAST(min(_x) AS DOUBLE)").alias("mn"),
+        F.expr("CAST(max(_x) AS DOUBLE)").alias("mx"),
+    )
+    idx, _ = quantile_hist_exprs(_SPARK, "_x", n_bins)
+    gb = (
+        v.join(F.broadcast(ref))
+        .select(
+            "_g",
+            F.expr(f"CASE WHEN mx = mn THEN 0 ELSE {idx} END").alias("bin"),
+        )
+        .groupBy("_g", "bin")
+        .agg(F.expr("COUNT(*)").cast("bigint").alias("c_grp"))
+        .cache()  # grid, global histogram, and totals all derive from it
+    )
+    grid = (
+        gb.select("_g")
+        .distinct()
+        .crossJoin(
+            df.sparkSession.range(n_bins).select(
+                F.col("id").cast("int").alias("bin")
+            )
+        )
+        .join(gb, ["_g", "bin"], "left")
+        .select("_g", "bin", F.coalesce("c_grp", F.lit(0)).alias("c_new"))
+    )
+    glob = gb.groupBy("bin").agg(F.expr("SUM(c_grp)").cast("bigint").alias("c_old"))
+    tg = gb.groupBy("_g").agg(F.expr("SUM(c_grp)").cast("bigint").alias("t_new"))
+    tot = gb.groupBy().agg(F.expr("SUM(c_grp)").cast("bigint").alias("t_old"))
+    return (
+        grid.join(F.broadcast(glob), "bin", "left")
+        .withColumn("c_old", F.coalesce("c_old", F.lit(0).cast("bigint")))
+        .join(F.broadcast(tg), "_g")
+        .crossJoin(F.broadcast(tot))
+    )
+
+
 def psi_by_group(
     df: DataFrame,
     value_col: str,
@@ -747,50 +799,7 @@ def psi_by_group(
     integer ratios) and bin-ordered left folds as ``psi_drift``, so the
     report is engine-exact.
     """
-    v = df.select(
-        F.col(group_col).alias("_g"),
-        F.col(value_col).cast("double").alias("_x"),
-    ).filter(_FINITE_PRED).filter("_g IS NOT NULL")
-    ref = v.groupBy().agg(
-        F.expr("CAST(min(_x) AS DOUBLE)").alias("mn"),
-        F.expr("CAST(max(_x) AS DOUBLE)").alias("mx"),
-    )
-    from dar_spark.operators.sketch import quantile_hist_exprs
-
-    idx, _ = quantile_hist_exprs(_SPARK, "_x", n_bins)
-    gb = (
-        v.join(F.broadcast(ref))
-        .select(
-            "_g",
-            F.expr(f"CASE WHEN mx = mn THEN 0 ELSE {idx} END").alias("bin"),
-        )
-        .groupBy("_g", "bin")
-        .agg(F.expr("COUNT(*)").cast("bigint").alias("c_grp"))
-        .cache()  # grid, global histogram, and totals all derive from it
-    )
-    grid = (
-        gb.select("_g")
-        .distinct()
-        .crossJoin(
-            df.sparkSession.range(n_bins).select(
-                F.col("id").cast("int").alias("bin")
-            )
-        )
-        .join(gb, ["_g", "bin"], "left")
-        .select("_g", "bin", F.coalesce("c_grp", F.lit(0)).alias("c_new"))
-    )
-    glob = gb.groupBy("bin").agg(F.expr("SUM(c_grp)").cast("bigint").alias("c_old"))
-    tg = gb.groupBy("_g").agg(F.expr("SUM(c_grp)").cast("bigint").alias("t_new"))
-    tot = gb.groupBy().agg(F.expr("SUM(c_grp)").cast("bigint").alias("t_old"))
-    rows = (
-        # LEFT join: a bin nobody hit (possible on a gappy grid) is
-        # absent from glob, but Laplace smoothing must still see all
-        # n_bins bins on both sides
-        grid.join(F.broadcast(glob), "bin", "left")
-        .withColumn("c_old", F.coalesce("c_old", F.lit(0).cast("bigint")))
-        .join(F.broadcast(tg), "_g")
-        .crossJoin(F.broadcast(tot))
-    )
+    rows = _group_grid_hists(df, value_col, group_col, n_bins)
     for col, expr in _psi_term_layers(_SPARK, n_bins, "c_old", "c_new"):
         rows = rows.withColumn(col, F.expr(expr))
     return (
@@ -812,27 +821,18 @@ def psi_by_group(
     )
 
 
-def psi_by_group_oracle_sql(
-    d,
-    source_sql: str,
-    value: str,
-    group: str,
-    n_bins: int = 10,
+def _duck_group_grid_ctes(
+    source_sql: str, value: str, group: str, n_bins: int
 ) -> str:
-    """DuckDB twin of :func:`psi_by_group` — same corpus-grid bins,
-    same Laplace shares and arithmetic-only ln layers, same bin-ordered
-    per-group fold."""
+    """DuckDB twin of :func:`_group_grid_hists`: CTE chain ending in
+    ``base(_g, bin, c_old, c_new, t_new, t_old)`` over the full
+    groups x bins grid — shared by the psi_by_group and ks_by_group
+    oracles."""
+    from dar_spark.dialect import DUCKDB
     from dar_spark.operators.sketch import quantile_hist_exprs
 
-    idx, _ = quantile_hist_exprs(d, "_x", n_bins)
-    layer_ctes, prev = [], "l0"
-    for i, (col, expr) in enumerate(
-        _psi_term_layers(d, n_bins, "c_old", "c_new"), 1
-    ):
-        layer_ctes.append(f"l{i} AS (SELECT *, {expr} AS {col} FROM {prev})")
-        prev = f"l{i}"
-    layers_sql = ",\n".join(layer_ctes)
-    return f"""WITH src AS ({source_sql}),
+    idx, _ = quantile_hist_exprs(DUCKDB, "_x", n_bins)
+    return f"""src AS ({source_sql}),
 v AS (SELECT {group} AS _g, CAST({value} AS DOUBLE) AS _x FROM src
       WHERE {value} IS NOT NULL AND isfinite(CAST({value} AS DOUBLE))
         AND {group} IS NOT NULL),
@@ -847,9 +847,30 @@ grid AS (SELECT g._g, CAST(b.range AS INT) AS bin, COALESCE(gb.c_grp, 0) AS c_ne
 gall AS (SELECT bin, CAST(SUM(c_grp) AS BIGINT) AS c_old FROM gb GROUP BY 1),
 tg AS (SELECT _g, CAST(SUM(c_grp) AS BIGINT) AS t_new FROM gb GROUP BY 1),
 tot AS (SELECT CAST(SUM(c_grp) AS BIGINT) AS t_old FROM gb),
-l0 AS (SELECT grid._g, grid.bin, COALESCE(gall.c_old, 0) AS c_old,
+base AS (SELECT grid._g, grid.bin, COALESCE(gall.c_old, 0) AS c_old,
               grid.c_new, tg.t_new, tot.t_old
-       FROM grid LEFT JOIN gall USING (bin) JOIN tg USING (_g) CROSS JOIN tot),
+       FROM grid LEFT JOIN gall USING (bin) JOIN tg USING (_g) CROSS JOIN tot)"""
+
+
+def psi_by_group_oracle_sql(
+    d,
+    source_sql: str,
+    value: str,
+    group: str,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB twin of :func:`psi_by_group` — same corpus-grid bins,
+    same Laplace shares and arithmetic-only ln layers, same bin-ordered
+    per-group fold."""
+    layer_ctes, prev = [], "l0"
+    for i, (col, expr) in enumerate(
+        _psi_term_layers(d, n_bins, "c_old", "c_new"), 1
+    ):
+        layer_ctes.append(f"l{i} AS (SELECT *, {expr} AS {col} FROM {prev})")
+        prev = f"l{i}"
+    layers_sql = ",\n".join(layer_ctes)
+    return f"""WITH {_duck_group_grid_ctes(source_sql, value, group, n_bins)},
+l0 AS (SELECT * FROM base),
 {layers_sql},
 packed AS (
   SELECT _g, MAX(t_new) AS n_group, MAX(t_old) AS n_total,
@@ -862,3 +883,89 @@ fin AS (
   FROM packed)
 SELECT _g AS {group}, n_group, n_total, psi,
        CAST(psi >= 0.2 AS INT) AS drifted FROM fin"""
+
+
+def ks_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-group KS distance of a numeric column against the WHOLE
+    corpus: the CDF-based companion to :func:`psi_by_group` (PSI weighs
+    total share movement; KS reads the single worst point of CDF
+    separation, no smoothing).  Same two-scan frame
+    (:func:`_group_grid_hists`), same grid, same caveat as
+    :func:`ks_drift`: evaluated at bin edges, a monitoring score rather
+    than a significance test, and a group that IS most of the corpus
+    scores near 0 by construction.
+
+    Output per group: ``(group_col, n_group, n_total, ks_stat,
+    at_bin)`` — at_bin the first bin achieving the sup.
+    """
+    rows = _group_grid_hists(df, value_col, group_col, n_bins)
+    cum = rows.select(
+        "_g",
+        "bin",
+        "t_new",
+        "t_old",
+        F.expr(
+            "SUM(c_old) OVER (PARTITION BY _g ORDER BY bin "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("cum_old"),
+        F.expr(
+            "SUM(c_new) OVER (PARTITION BY _g ORDER BY bin "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("cum_new"),
+    )
+    diff = cum.select(
+        "_g",
+        "t_new",
+        "t_old",
+        "bin",
+        # groups exist only with >= 1 finite value, so both totals are
+        # positive; the quotients are exact-integer ratios
+        F.expr(
+            "abs(CAST(cum_old AS DOUBLE) / CAST(t_old AS DOUBLE) "
+            "- CAST(cum_new AS DOUBLE) / CAST(t_new AS DOUBLE))"
+        ).alias("_d"),
+    )
+    return diff.groupBy("_g").agg(
+        F.expr("CAST(MAX(t_new) AS BIGINT)").alias("n_group"),
+        F.expr("CAST(MAX(t_old) AS BIGINT)").alias("n_total"),
+        F.expr("MAX(_d)").alias("ks_stat"),
+        F.expr("CAST(min_by(bin, struct(-_d, bin)) AS INT)").alias("at_bin"),
+    ).withColumnRenamed("_g", group_col)
+
+
+def ks_by_group_oracle_sql(
+    d,
+    source_sql: str,
+    value: str,
+    group: str,
+    n_bins: int = 256,
+) -> str:
+    """DuckDB twin of :func:`ks_by_group` — shared group-grid CTEs,
+    same per-group cumulative sums and (max d, first bin) selection."""
+    return f"""WITH {_duck_group_grid_ctes(source_sql, value, group, n_bins)},
+cum AS (
+  SELECT _g, bin, t_new, t_old,
+         SUM(c_old) OVER (PARTITION BY _g ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_old,
+         SUM(c_new) OVER (PARTITION BY _g ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_new
+  FROM base),
+diff AS (
+  SELECT _g, t_new, t_old, bin,
+         abs(CAST(cum_old AS DOUBLE) / CAST(t_old AS DOUBLE)
+             - CAST(cum_new AS DOUBLE) / CAST(t_new AS DOUBLE)) AS _d
+  FROM cum)
+SELECT _g AS {group},
+       CAST(t_new AS BIGINT) AS n_group,
+       CAST(t_old AS BIGINT) AS n_total,
+       _d AS ks_stat, CAST(bin AS INT) AS at_bin
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY _g
+        ORDER BY _d DESC, bin) AS rn
+  FROM diff)
+WHERE rn = 1"""

@@ -4109,6 +4109,27 @@ def _psi_by_group_q() -> Q:
     )
 
 
+def _ks_by_group_q() -> Q:
+    """Per-source KS distance of document length vs the whole corpus
+    (drift.ks_by_group): the CDF companion to psi_by_source_docs on
+    the shared two-scan group-grid frame."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.drift import ks_by_group
+
+        t = load_tables(spark, sf_dir)
+        return ks_by_group(t["documents"], "n_chars", "source", n_bins=64)
+
+    from dar_spark.operators.drift import ks_by_group_oracle_sql
+
+    return Q(
+        spark_fn,
+        ks_by_group_oracle_sql(
+            DUCKDB, "SELECT * FROM documents", "n_chars", "source", n_bins=64
+        ),
+    )
+
+
 MMR_STRIDE = 25  # vec_id % 25 == 0 are the MMR query vectors
 MMR_CANDS = 20  # ANN-stage candidate pool per query
 MMR_K = 5
@@ -4434,6 +4455,7 @@ def _round6_queries() -> list[tuple[str, Q]]:
         ("class_separation_embed", _class_separation_q()),
         ("positive_pairs_embed", _positive_pairs_q()),
         ("psi_by_source_docs", _psi_by_group_q()),
+        ("ks_by_source_docs", _ks_by_group_q()),
     ]
 
 

@@ -294,3 +294,27 @@ def test_psi_by_group_constant_column_and_null_group(spark):
     assert set(got) == {"a", "b"}
     assert got["a"]["n_total"] == 3
     assert got["b"]["n_group"] == 1
+
+
+def test_ks_by_group_single_group_is_zero(spark):
+    from dar_spark.operators.drift import ks_by_group
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(40)], "src STRING, x DOUBLE"
+    )
+    (r,) = ks_by_group(df, "x", "src", n_bins=16).collect()
+    assert (r["src"], r["n_group"], r["n_total"]) == ("a", 40, 40)
+    assert r["ks_stat"] == 0.0
+
+
+def test_ks_by_group_detects_shifted_group(spark):
+    from dar_spark.operators.drift import ks_by_group
+
+    rows = [("a", float(i % 100)) for i in range(400)]
+    rows += [("b", 95.0 + (i % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "src STRING, x DOUBLE")
+    got = {r["src"]: r for r in ks_by_group(df, "x", "src", n_bins=20).collect()}
+    # group b's CDF stays 0 until the top bins: KS near max(F_corpus)
+    assert got["b"]["ks_stat"] > 0.8
+    assert got["a"]["ks_stat"] < 0.1
+    assert 0 <= got["b"]["at_bin"] < 20
