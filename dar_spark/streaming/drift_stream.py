@@ -1,0 +1,86 @@
+"""Streaming drift monitoring: score an incoming stream against a
+STATIC reference distribution, continuously.
+
+Composition of two proven pieces rather than new machinery:
+
+1. ``quantile_stream.streaming_quantile_bins`` maintains running
+   (bin, cnt) counts over the stream on a FIXED grid — state bounded at
+   ``n_bins`` rows forever (the windowed variant gives per-event-time-
+   window counts instead: the psi-per-hour shape).
+2. ``drift.psi_between_bins`` scores any drained bin frame against the
+   reference histogram with the same Laplace-smoothed, arithmetic-ln,
+   bin-ordered-fold PSI as the batch ``psi_drift``.
+
+The ONE contract that makes the composition sound: both histograms
+must use the SAME grid, i.e. the same (mn, mx, n_bins).  A streaming
+job cannot re-scan history to discover its range, so the reference
+defines it (``reference_bins`` returns the range alongside the counts)
+and stream values outside clamp into the edge bins — that mass
+movement IS drift and must count, exactly as in batch ``psi_drift``.
+
+tests/test_drift_stream.py pins end-to-end equality: a real multi-batch
+stream drained through this module scores IDENTICALLY (bit-for-bit) to
+batch ``psi_drift(reference, union-of-batches)`` on the same grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from dar_spark.streaming.quantile_stream import streaming_quantile_bins
+
+
+def reference_bins(
+    ref: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> tuple[DataFrame, float, float]:
+    """(bins, mn, mx) for a static reference frame: the grid the stream
+    must be binned on.  The bin builder is the SAME expression the
+    stream side uses (``streaming_quantile_bins`` applied to a batch
+    frame is just a batch groupBy), so the two sides can never bin
+    differently."""
+    from pyspark.sql import functions as F
+
+    row = (
+        ref.select(F.col(value_col).cast("double").alias("_x"))
+        .filter(
+            "_x IS NOT NULL AND NOT isnan(_x) AND abs(_x) <> double('inf')"
+        )
+        .groupBy()
+        .agg(F.expr("min(_x)").alias("mn"), F.expr("max(_x)").alias("mx"))
+        .collect()[0]
+    )
+    mn, mx = float(row["mn"]), float(row["mx"])
+    return streaming_quantile_bins(ref, value_col, mn, mx, n_bins), mn, mx
+
+
+def streaming_drift_bins(
+    stream_df: DataFrame,
+    value_col: str,
+    mn: float,
+    mx: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Running (bin, cnt) state for the stream side of the monitor, on
+    the reference's grid — run with outputMode('complete') (state is
+    ≤ n_bins rows) and score any drain with :func:`score_bins`."""
+    return streaming_quantile_bins(stream_df, value_col, mn, mx, n_bins)
+
+
+def score_bins(
+    ref_bins: DataFrame,
+    stream_bins: DataFrame,
+    n_bins: int = 10,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """PSI of drained stream counts against the reference histogram —
+    ``drift.psi_between_bins`` with the argument order fixed to the
+    monitoring convention (reference = old side).  Pass ``group_cols``
+    (e.g. window columns from ``streaming_windowed_quantile_bins``) to
+    score each group independently."""
+    from dar_spark.operators.drift import psi_between_bins
+
+    return psi_between_bins(
+        ref_bins, stream_bins, n_bins=n_bins, group_cols=group_cols
+    )

@@ -1,0 +1,122 @@
+"""End-to-end streaming drift monitor: a REAL multi-batch stream
+drained through streaming/drift_stream.py scores bit-identically to
+batch psi_drift over the same rows on the same grid."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def run_to_memory(df, name, output_mode="complete"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+
+def test_streaming_psi_matches_batch_psi_drift(spark, tmp_path):
+    from dar_spark.operators.drift import psi_drift
+    from dar_spark.streaming.drift_stream import (
+        reference_bins,
+        score_bins,
+        streaming_drift_bins,
+    )
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    # reference = discount distribution of one order-key slice;
+    # stream = a DIFFERENT slice shifted by a constant (real drift)
+    ref = li.filter("l_orderkey % 3 = 0").select("l_discount")
+    new = li.filter("l_orderkey % 3 = 1").selectExpr(
+        "l_discount + 0.02 AS l_discount"
+    )
+    n_bins = 10
+    rbins, mn, mx = reference_bins(ref, "l_discount", n_bins)
+
+    src = str(tmp_path / "drift_src")
+    new.repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    sbins = streaming_drift_bins(stream, "l_discount", mn, mx, n_bins)
+    name = "t_" + uuid.uuid4().hex[:8]
+    run_to_memory(sbins, name, output_mode="complete")
+    drained = spark.sql(f"SELECT * FROM {name}")
+
+    (streamed,) = score_bins(rbins, drained, n_bins=n_bins).collect()
+    (batch,) = psi_drift(ref, new, "l_discount", n_bins=n_bins).collect()
+    assert streamed["psi"] == batch["psi"]
+    assert (streamed["t_old"], streamed["t_new"]) == (
+        batch["n_old"], batch["n_new"],
+    )
+    # the shift is real drift; the monitor must see it
+    assert streamed["psi"] > 0.0
+
+
+def test_streaming_windowed_psi_per_window(spark, tmp_path):
+    """Per-event-time-window PSI: each closed window scores against the
+    reference independently, equal to psi_drift on that window's rows."""
+    from dar_spark.operators.drift import psi_drift
+    from dar_spark.streaming.drift_stream import reference_bins, score_bins
+    from dar_spark.streaming.quantile_stream import (
+        streaming_windowed_quantile_bins,
+    )
+
+    li = load_tables(spark, SF_DIR)["lineitem"]
+    ref = li.filter("l_orderkey % 3 = 0").select("l_discount")
+    n_bins = 10
+    rbins, mn, mx = reference_bins(ref, "l_discount", n_bins)
+
+    # two hour-windows with different shifts: only the second drifts
+    new = (
+        li.filter("l_orderkey % 3 = 1")
+        .selectExpr(
+            "CASE WHEN l_orderkey % 2 = 0 "
+            "THEN timestamp'2024-01-01 00:10:00' "
+            "ELSE timestamp'2024-01-01 01:10:00' END AS ts",
+            "CASE WHEN l_orderkey % 2 = 0 THEN l_discount "
+            "ELSE l_discount + 0.03 END AS l_discount",
+        )
+    )
+    src = str(tmp_path / "wdrift_src")
+    new.repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    wbins = streaming_windowed_quantile_bins(
+        stream, "ts", "l_discount", mn, mx,
+        window="1 hour", watermark="2 hours", n_bins=n_bins,
+    )
+    name = "t_" + uuid.uuid4().hex[:8]
+    run_to_memory(wbins, name, output_mode="complete")
+    drained = spark.sql(f"SELECT * FROM {name}")
+
+    scored = {
+        str(r["window_start"]): r["psi"]
+        for r in score_bins(
+            rbins, drained, n_bins=n_bins, group_cols=["window_start"]
+        ).collect()
+    }
+    assert len(scored) == 2
+    # per-window equality vs batch psi_drift on that window's rows
+    even = li.filter("l_orderkey % 3 = 1 AND l_orderkey % 2 = 0").select(
+        "l_discount"
+    )
+    odd = li.filter("l_orderkey % 3 = 1 AND l_orderkey % 2 = 1").selectExpr(
+        "l_discount + 0.03 AS l_discount"
+    )
+    (b_even,) = psi_drift(ref, even, "l_discount", n_bins=n_bins).collect()
+    (b_odd,) = psi_drift(ref, odd, "l_discount", n_bins=n_bins).collect()
+    assert scored["2024-01-01 00:00:00"] == b_even["psi"]
+    assert scored["2024-01-01 01:00:00"] == b_odd["psi"]
+    assert b_odd["psi"] > b_even["psi"]
