@@ -361,7 +361,14 @@ def class_separation_report(
 
     Output: ``(label, n_vecs, intra_mean_cos, nn_label, nn_cos,
     margin)`` with margin = intra_mean_cos - nn_cos; nn columns are
-    NULL when only one label exists.  NULL labels are excluded.
+    NULL when only one label exists.  NULL labels and zero-norm vectors
+    are excluded (cosine undefined); a label whose surviving vectors
+    cancel to a ZERO centroid gets NULL intra/nn/margin and is excluded
+    from every other label's nearest-centroid search — both engines
+    agree on these NULLs (Spark would otherwise produce NaNs where
+    DuckDB produces NULLs).  Labels must be integers (the
+    nearest-centroid tie-break negates the label, same contract as
+    knn_classify — guarded loudly).
 
     Scale shape: centroids via :func:`group_centroids` (one narrow
     posexplode + bounded (labels x dims) aggregate); ONE more corpus
@@ -370,34 +377,63 @@ def class_separation_report(
     the order-independent rounded-DECIMAL discipline (+1 shift for
     avg_6dp, subtracted losslessly), so the report is engine-exact.
     """
-    e = df.filter(F.col(label_col).isNotNull()).select(
-        F.col(id_col),
-        F.col(label_col),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
+    from dar_spark.operators.knn import _require_numeric_label
+
+    _require_numeric_label(df, label_col, "class_separation_report")
+    e = (
+        df.filter(F.col(label_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
+        )
+        # zero-norm vectors have no direction: excluded like the kNN
+        # mining family, and mirrored in the oracle
+        .filter(
+            "sqrt(aggregate(transform(_v, x -> x * x), 0D, (a, x) -> a + x)) > 0"
+        )
     )
-    cent = group_centroids(e, label_col).cache()  # intra join + self-join
+    cent = (
+        group_centroids(e, label_col)
+        # a zero centroid (members cancel) makes every cosine 0/0 —
+        # NaN on Spark, NULL on DuckDB; gate on the centroid norm so
+        # both engines emit NULL
+        .withColumn(
+            "_cn",
+            F.expr("sqrt(aggregate(transform(_c, x -> x * x), 0D, (a, x) -> a + x))"),
+        )
+        .cache()  # intra join + self-join
+    )
     cos6 = (
+        "CASE WHEN _cn > 0 THEN "
         "round(aggregate(zip_with(_v, _c, (x, y) -> x * y), 0D, (a, x) -> a + x) "
         "/ (sqrt(aggregate(transform(_v, x -> x * x), 0D, (a, x) -> a + x)) "
-        "* sqrt(aggregate(transform(_c, x -> x * x), 0D, (a, x) -> a + x))), 6)"
+        "* _cn), 6) END"
     )
     scored = e.join(F.broadcast(cent), label_col).selectExpr(
         label_col, f"{cos6} AS _cc"
     )
     intra = scored.groupBy(label_col).agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_vecs"),
-        # cosines lie in [-1, 1]: same +1 shift as the centroid means
+        # cosines lie in [-1, 1]: same +1 shift as the centroid means;
+        # a degenerate (zero-centroid) label has only NULL cosines —
+        # COUNT(_cc) = 0 — and reports NULL instead of dividing by zero
         F.expr(
-            "("
+            "CASE WHEN COUNT(_cc) > 0 THEN ("
             + _SPK.avg_6dp(
-                "SUM(CAST(_cc + 1 AS DECIMAL(18,6)))", "COUNT(*)"
+                "SUM(CAST(_cc + 1 AS DECIMAL(18,6)))", "COUNT(_cc)"
             )
-            + " - 1.0)"
+            + " - 1.0) END"
         ).alias("intra_mean_cos"),
     )
-    ca = cent.select(F.col(label_col), F.col("_c").alias("_ca"))
-    cb = cent.select(
-        F.col(label_col).alias("_lb"), F.col("_c").alias("_cb")
+    cent_nz = cent.filter("_cn > 0")
+    ca = cent_nz.select(
+        F.col(label_col), F.col("_c").alias("_ca"), F.col("_cn").alias("_na")
+    )
+    cb = cent_nz.select(
+        F.col(label_col).alias("_lb"),
+        F.col("_c").alias("_cb"),
+        F.col("_cn").alias("_nb"),
     )
     cc = (
         ca.join(cb, F.expr(f"{label_col} <> _lb"))
@@ -405,8 +441,7 @@ def class_separation_report(
             label_col,
             "_lb",
             "round(aggregate(zip_with(_ca, _cb, (x, y) -> x * y), 0D, (a, x) -> a + x) "
-            "/ (sqrt(aggregate(transform(_ca, x -> x * x), 0D, (a, x) -> a + x)) "
-            "* sqrt(aggregate(transform(_cb, x -> x * x), 0D, (a, x) -> a + x))), 6) AS _cc",
+            "/ (_na * _nb), 6) AS _cc",
         )
     )
     nn = (
@@ -447,31 +482,37 @@ def class_separation_oracle_sql(
 
     cos_vc = "list_transform(generate_series(1, len(v)), i -> v[i] * c[i])"
     cos_ab = "list_transform(generate_series(1, len(ca)), i -> ca[i] * cb[i])"
-    avg6 = _DK.avg_6dp("SUM(CAST(cc + 1 AS DECIMAL(18,6)))", "COUNT(*)")
+    avg6 = _DK.avg_6dp("SUM(CAST(cc + 1 AS DECIMAL(18,6)))", "COUNT(cc)")
     return f"""WITH e AS (
-  SELECT {id_col}, {label_col},
-         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
-  FROM {table} WHERE {label_col} IS NOT NULL
+  SELECT * FROM (
+    SELECT {id_col}, {label_col},
+           list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+    FROM {table} WHERE {label_col} IS NOT NULL)
+  WHERE sqrt({fold('list_transform(v, x -> x * x)')}) > 0
 ), {duck_centroid_ctes(label_col)},
+centn AS (
+  SELECT {label_col}, c,
+         sqrt({fold('list_transform(c, x -> x * x)')}) AS cn
+  FROM cent
+),
 scored AS (
   SELECT e.{label_col},
-         round({fold(cos_vc)} /
-               (sqrt({fold('list_transform(v, x -> x * x)')}) *
-                sqrt({fold('list_transform(c, x -> x * x)')})), 6) AS cc
-  FROM e JOIN cent USING ({label_col})
+         CASE WHEN cn > 0 THEN
+           round({fold(cos_vc)} /
+                 (sqrt({fold('list_transform(v, x -> x * x)')}) * cn), 6)
+         END AS cc
+  FROM e JOIN centn USING ({label_col})
 ),
 intra AS (
   SELECT {label_col}, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         ({avg6} - 1.0) AS intra_mean_cos
+         CASE WHEN COUNT(cc) > 0 THEN ({avg6} - 1.0) END AS intra_mean_cos
   FROM scored GROUP BY 1
 ),
 pairs AS (
   SELECT a.{label_col}, b.{label_col} AS lb,
-         round({fold(cos_ab)} /
-               (sqrt({fold('list_transform(ca, x -> x * x)')}) *
-                sqrt({fold('list_transform(cb, x -> x * x)')})), 6) AS cc
-  FROM (SELECT {label_col}, c AS ca FROM cent) a
-  JOIN (SELECT {label_col}, c AS cb FROM cent) b
+         round({fold(cos_ab)} / (a.na * b.nb), 6) AS cc
+  FROM (SELECT {label_col}, c AS ca, cn AS na FROM centn WHERE cn > 0) a
+  JOIN (SELECT {label_col}, c AS cb, cn AS nb FROM centn WHERE cn > 0) b
     ON a.{label_col} <> b.{label_col}
 ),
 nn AS (

@@ -42,15 +42,21 @@ def reference_bins(
     differently."""
     from pyspark.sql import functions as F
 
+    from dar_spark.operators.drift import _FINITE_PRED
+
     row = (
         ref.select(F.col(value_col).cast("double").alias("_x"))
-        .filter(
-            "_x IS NOT NULL AND NOT isnan(_x) AND abs(_x) <> double('inf')"
-        )
+        .filter(_FINITE_PRED)
         .groupBy()
         .agg(F.expr("min(_x)").alias("mn"), F.expr("max(_x)").alias("mx"))
         .collect()[0]
     )
+    if row["mn"] is None or row["mx"] is None:
+        raise ValueError(
+            "reference_bins: reference frame has no finite values in "
+            f"{value_col!r} — a drift monitor needs a non-empty reference "
+            "distribution to define the grid"
+        )
     mn, mx = float(row["mn"]), float(row["mx"])
     return streaming_quantile_bins(ref, value_col, mn, mx, n_bins), mn, mx
 

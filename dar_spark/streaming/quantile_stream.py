@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dar_spark.dialect import SPARK
+from dar_spark.operators.drift import _FINITE_PRED
 from dar_spark.operators.sketch import quantile_hist_exprs, quantiles_from_hist
 
 
@@ -43,7 +44,7 @@ def streaming_quantile_bins(
         # a phantom observation and ±inf in the edge bins, inflating n
         # and skewing every estimate (and any psi_between_bins scoring
         # against a batch-built reference would report phantom drift)
-        .filter("_x IS NOT NULL AND NOT isnan(_x) AND abs(_x) <> double('inf')")
+        .filter(_FINITE_PRED)
         .select(
             "_x",
             F.lit(float(mn)).alias("mn"),
@@ -102,7 +103,7 @@ def streaming_windowed_quantile_bins(
             F.lit(float(mx)).alias("mx"),
         )
         # batch-sketch parity: exclude NaN/±inf, not just NULL
-        .filter("_x IS NOT NULL AND NOT isnan(_x) AND abs(_x) <> double('inf')")
+        .filter(_FINITE_PRED)
         .withWatermark("_ts", watermark)
         .select(
             "_ts",

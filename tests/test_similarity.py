@@ -761,3 +761,40 @@ def test_class_separation_report_semantics(spark):
     )
     (r,) = class_separation_report(one).collect()
     assert r["nn_label"] is None and r["nn_cos"] is None and r["margin"] is None
+
+
+def test_class_separation_degenerate_corners(spark):
+    """Zero-norm vectors excluded; a label whose members cancel to a
+    zero centroid reports NULL intra/nn and never appears as anyone's
+    nearest neighbor; string labels rejected loudly."""
+    from dar_spark.operators.novelty import class_separation_report
+
+    rows = [
+        (1, [1.0, 0.0], 1), (2, [-1.0, 0.0], 1),  # zero centroid
+        (3, [0.0, 1.0], 2), (4, [0.0, 1.0], 2),
+        (5, [1.0, 0.0], 3), (6, [1.0, 0.0], 3),
+        (7, [0.0, 0.0], 2),  # zero-norm vector excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    got = {r["label"]: r for r in class_separation_report(df).collect()}
+    assert got[1]["intra_mean_cos"] is None
+    assert got[1]["nn_label"] is None and got[1]["margin"] is None
+    # labels 2 and 3 see each other (orthogonal), never the zero label 1
+    assert got[2]["nn_label"] == 3 and got[3]["nn_label"] == 2
+    assert got[2]["n_vecs"] == 2  # zero-norm id 7 excluded
+
+    sdf = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a")], "vec_id BIGINT, embedding ARRAY<FLOAT>, label STRING"
+    )
+    import pytest as _pt
+    with _pt.raises(ValueError, match="integer labels required"):
+        class_separation_report(sdf)
+
+
+def test_reference_bins_empty_reference_raises(spark):
+    from dar_spark.streaming.drift_stream import reference_bins
+
+    df = spark.createDataFrame([(float("nan"),), (None,)], "x DOUBLE")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no finite values"):
+        reference_bins(df, "x")
