@@ -1,0 +1,32 @@
+"""Ingest-generation label derivation shared by every persisted index
+(minhash dedup bands, SRP ANN buckets, PQ codes, BM25 text postings).
+
+Each index stores generations as ``ingest=<label>`` partitions and
+appends with dynamic partition overwrite, so a default label that
+collides with an EXISTING generation silently clobbers that
+generation's rows.  A ``COUNT(DISTINCT ingest)``-based default does
+collide after mixed stream-/explicitly-labeled generations or
+out-of-band partition deletes; the max-suffix rule here cannot.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def next_append_label(gen_df: DataFrame) -> str:
+    """Collision-free default label for a new generation:
+    ``append-{max existing 'append-N' suffix + 1}`` (``append-1`` when
+    no numbered generation exists).  ``gen_df`` is any stored index
+    table carrying the ``ingest`` partition column; the scan is
+    metadata-scale (distinct partition values)."""
+    row = (
+        gen_df.select("ingest")
+        .distinct()
+        .selectExpr(
+            "MAX(CASE WHEN ingest RLIKE '^append-[0-9]+$' "
+            "THEN CAST(substring(ingest, 8) AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END) AS m"
+        )
+        .first()
+    )
+    return f"append-{(row['m'] or 0) + 1}"

@@ -775,6 +775,10 @@ def bm25_exprs(
     idf_t = ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) ≥ 0;
     score = Σ_t idf_t · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
     """
+    if not terms:
+        # parts[0] below and the '(...) > 0' match predicate both
+        # assume at least one term; fail loudly at build time
+        raise ValueError("terms must be non-empty")
     toks = d.split_lit(f"lower({text_col})", " ")
     proj = [f"{d.arr_len(toks)} AS dl"]
     for i, t in enumerate(terms):

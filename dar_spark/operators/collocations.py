@@ -189,6 +189,13 @@ FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift_6dp DESC, w1, w2) AS rn
 def _pair_lit_list(pairs: list[tuple[str, str]]) -> str:
     """SQL IN-list of 'w1 w2' literals (tokens are whitespace-split, so
     the space-joined form is unambiguous)."""
+    if not pairs:
+        # an empty list would render 'IN ()' — a plan-time syntax error
+        # in both engines; fail loudly at build time instead
+        raise ValueError(
+            "merge_phrases requires a non-empty pairs list (an empty "
+            "IN-list is invalid SQL); call collocation_report first"
+        )
     items = ", ".join(
         "'" + f"{a} {b}".replace("'", "''") + "'" for a, b in pairs
     )

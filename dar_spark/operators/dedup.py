@@ -430,11 +430,11 @@ def append_to_dedup_index(
     spark = new.sparkSession
     m = spark.read.parquet(f"{path}/meta").collect()[0]
     if ingest_label is None:
-        existing = (
+        from dar_spark.core.ingest import next_append_label
+
+        ingest_label = next_append_label(
             spark.read.parquet(f"{path}/bands")
-            .select("ingest").distinct().count()
         )
-        ingest_label = f"append-{existing}"
     _write_index_tables(
         spark,
         shingles(new, id_col, text_col, m.shingle_n).select(
@@ -805,6 +805,13 @@ def srp_candidate_pairs(
 
     for t in range(n_bands):
         e = e.withColumn(f"_b{t}", _bucket_expr("_v", n_planes, band=t))
+    # BOTH sides of the candidate self-join read this frame; without a
+    # cache each side re-evaluates the per-band dot-product bucket
+    # expressions over the whole corpus (the minhash twin caches its
+    # band table for exactly this reason, and srp_tuning_report caches
+    # the same frame).  Tiny: one row per vector, vector + n_bands
+    # short bucket strings.
+    e = e.cache()
     # band-prefixed keys keep band t buckets joinable only with band
     # t buckets — one equi-join carries all bands at once
     a_probes: list = []

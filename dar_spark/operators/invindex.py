@@ -123,8 +123,9 @@ def append_to_text_index(
     stored = spark.read.parquet(os.path.join(path, "meta"))
     n_buckets = stored.select("n_buckets").first()["n_buckets"]
     if ingest_label is None:
-        n_gen = stored.select("ingest").distinct().count()
-        ingest_label = f"append-{n_gen}"
+        from dar_spark.core.ingest import next_append_label
+
+        ingest_label = next_append_label(stored)
     if ingest_label == "base":
         raise ValueError("ingest_label 'base' is reserved for the build")
     posts, meta = _postings(new, id_col, text_col, n_buckets)
@@ -156,6 +157,8 @@ def bm25_index_topk(
     corpus."""
     from dar_spark.functions.text import bm25_exprs
 
+    if not terms:
+        raise ValueError("terms must be non-empty")
     meta = spark.read.parquet(os.path.join(path, "meta"))
     n_buckets = meta.select("n_buckets").first()["n_buckets"]
     posts = spark.read.parquet(os.path.join(path, "postings"))

@@ -117,22 +117,38 @@ GROUP BY g.{id_col}"""
 def group_centroids(e: DataFrame, group_col: str) -> DataFrame:
     """Exact per-group centroid arrays ``(group_col, _c)`` from a frame
     with a ``_v`` DOUBLE-array column — the order-independent
-    rounded-DECIMAL mean (clamp to [-1,1], +1 shift for avg_6dp's
-    non-negative precondition, shift subtracted losslessly), shared by
-    ``embedding_outliers`` and ``class_separation_report`` so the two
-    can never compute different centroids."""
+    rounded-DECIMAL mean (+16 shift for avg_6dp's non-negative
+    precondition; an integer shift over a non-null count cancels
+    EXACTLY under avg_6dp's integer half-up division, so the shift is
+    lossless), shared by ``embedding_outliers`` and
+    ``class_separation_report`` so the two can never compute different
+    centroids.
+
+    Components MUST lie in [-16, 16] (unit-norm and modestly-scaled
+    embeddings): out-of-range components RAISE at runtime rather than
+    silently distorting the centroid (a clamp would).  NULL components
+    are excluded from BOTH the sum and the count (the mean of the
+    non-null observations); a dimension with no non-null observation
+    in a group is NULL."""
     dims = e.select(group_col, F.posexplode("_v").alias("_d", "_x"))
+    guarded = (
+        "CASE WHEN _x IS NULL THEN CAST(NULL AS DOUBLE) "
+        "WHEN abs(_x) <= 16D THEN _x "
+        "ELSE CAST(raise_error('group_centroids: embedding component "
+        "outside [-16,16]') AS DOUBLE) END"
+    )
     return (
         dims.groupBy(group_col, "_d")
         .agg(
             F.expr(
-                "("
+                "CASE WHEN COUNT(_x) = 0 THEN CAST(NULL AS DOUBLE) "
+                "ELSE ("
                 + _SPK.avg_6dp(
-                    "SUM(CAST(round(greatest(least(_x, 1D), -1D), 6) + 1 "
+                    f"SUM(CAST(round({guarded}, 6) + 16 "
                     "AS DECIMAL(18,6)))",
-                    "COUNT(*)",
+                    "COUNT(_x)",
                 )
-                + " - 1.0)"
+                + " - 16.0) END"
             ).alias("_m")
         )
         .groupBy(group_col)
@@ -148,10 +164,15 @@ def duck_centroid_ctes(group_col: str) -> str:
     """DuckDB twin of :func:`group_centroids`: ``dims``/``cent`` CTE
     bodies over an existing ``e({group_col}, v)`` CTE, ending in
     ``cent({group_col}, c)``."""
+    guarded = (
+        "CASE WHEN x IS NULL THEN CAST(NULL AS DOUBLE) "
+        "WHEN abs(x) <= CAST(16 AS DOUBLE) THEN x "
+        "ELSE CAST(error('group_centroids: embedding component outside "
+        "[-16,16]') AS DOUBLE) END"
+    )
     avg6 = _DK.avg_6dp(
-        "SUM(CAST(round(greatest(least(x, CAST(1 AS DOUBLE)), "
-        "CAST(-1 AS DOUBLE)), 6) + 1 AS DECIMAL(18,6)))",
-        "COUNT(*)",
+        f"SUM(CAST(round({guarded}, 6) + 16 AS DECIMAL(18,6)))",
+        "COUNT(x)",
     )
     return f"""dims AS (
   SELECT {group_col},
@@ -161,7 +182,8 @@ def duck_centroid_ctes(group_col: str) -> str:
 ), cent AS (
   SELECT {group_col}, list(m ORDER BY d) AS c
   FROM (SELECT {group_col}, d,
-               ({avg6} - 1.0) AS m
+               CASE WHEN COUNT(x) = 0 THEN CAST(NULL AS DOUBLE)
+                    ELSE ({avg6} - 16.0) END AS m
         FROM dims GROUP BY 1, 2)
   GROUP BY 1
 )"""

@@ -462,11 +462,11 @@ def append_to_ann_index(
     spark = new.sparkSession
     m = spark.read.parquet(f"{path}/meta").collect()[0]
     if ingest_label is None:
-        existing = (
+        from dar_spark.core.ingest import next_append_label
+
+        ingest_label = next_append_label(
             spark.read.parquet(f"{path}/buckets")
-            .select("ingest").distinct().count()
         )
-        ingest_label = f"append-{existing}"
     e = _as_double_vec(new.select(id_col, vec_col), vec_col)
     (
         _banded_bucket_rows(e, id_col, m.n_planes, m.n_bands)
@@ -1287,11 +1287,11 @@ def append_to_pq_index(
     spark = new.sparkSession
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     if ingest_label is None:
-        existing = (
+        from dar_spark.core.ingest import next_append_label
+
+        ingest_label = next_append_label(
             spark.read.parquet(f"{path}/codes")
-            .select("ingest").distinct().count()
         )
-        ingest_label = f"append-{existing}"
     cb = spark.read.parquet(f"{path}/codebook")
     (
         pq_encode(new, id_col, vec_col, meta.ks, meta.m, codebook=cb)

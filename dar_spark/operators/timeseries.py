@@ -42,6 +42,10 @@ def resample_ffill(
     ``observed`` is the step's own aggregate (NULL on silent steps);
     ``filled`` carries the last non-NULL observation forward, re-NULLed
     past ``max_gap_steps`` if set.
+
+    Rows with a NULL key are EXCLUDED: the grid-to-observation join is
+    null-unsafe equality, so a NULL-key grid would emit all-NULL
+    observed/filled rows — silently misleading output rather than data.
     """
     tr = f"date_trunc('hour', {ts_col})" if step == "1 hour" else None
     if tr is None:
@@ -52,7 +56,7 @@ def resample_ffill(
             f"to_timestamp((CAST(unix_timestamp({ts_col}) AS BIGINT) "
             f"DIV {secs}) * {secs})"
         )
-    ev = df.select(
+    ev = df.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col).alias("_k"),
         F.expr(tr).alias("_t"),
         F.col("*"),

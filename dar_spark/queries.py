@@ -3330,7 +3330,7 @@ def _resample_ffill_q() -> Q:
     oracle = f"""WITH ev AS (
   SELECT user_id AS _k,
          to_timestamp((CAST(epoch(ts) AS BIGINT) // 86400) * 86400) AS _t
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
 ),
 span AS (SELECT _k, min(_t) AS _lo, max(_t) AS _hi FROM ev GROUP BY _k),
 grid AS (SELECT _k, unnest(generate_series(_lo, _hi, INTERVAL 1 DAY)) AS step_ts

@@ -1,0 +1,104 @@
+"""Round-7 advisor fixes: loud guards replacing silent misbehavior.
+
+- group_centroids raises on out-of-range embedding components (both
+  engines) instead of silently clamping;
+- resample_ffill excludes NULL keys instead of emitting all-NULL rows;
+- merge_phrases / bm25_exprs reject empty inputs at build time;
+- default ingest labels derive from the max existing append-N suffix,
+  so mixed stream-/explicit-labeled generations cannot collide.
+"""
+from __future__ import annotations
+
+import pytest
+
+
+def test_group_centroids_raises_on_out_of_range(spark):
+    from dar_spark.operators.novelty import group_centroids
+
+    df = spark.createDataFrame(
+        [("a", [0.5, 17.0]), ("a", [0.1, 0.2])],
+        "label string, _v array<double>",
+    )
+    with pytest.raises(Exception, match="outside \\[-16,16\\]"):
+        group_centroids(df, "label").collect()
+
+
+def test_group_centroids_in_range_and_null_ok(spark):
+    from dar_spark.operators.novelty import group_centroids
+
+    df = spark.createDataFrame(
+        [("a", [1.5, None, None]), ("a", [0.5, 0.25, None])],
+        "label string, _v array<double>",
+    )
+    [row] = group_centroids(df, "label").collect()
+    # non-unit-norm components are fine up to |16|; NULL components are
+    # excluded from both sum and count; an all-NULL dim is NULL
+    assert row["_c"] == [1.0, 0.25, None]
+
+
+def test_duck_centroid_guard_raises(duck):
+    from dar_spark.operators.novelty import duck_centroid_ctes
+
+    sql = (
+        "WITH e AS (SELECT 'a' AS label, [0.5, 17.0]::DOUBLE[] AS v), "
+        + duck_centroid_ctes("label")
+        + " SELECT * FROM cent"
+    )
+    with pytest.raises(Exception, match="outside \\[-16,16\\]"):
+        duck.execute(sql).fetchall()
+
+
+def test_resample_ffill_excludes_null_keys(spark):
+    from dar_spark.operators.timeseries import resample_ffill
+
+    df = spark.createDataFrame(
+        [(None, "2024-01-01 00:30:00"), ("k1", "2024-01-01 01:30:00")],
+        "k string, ts string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    rows = resample_ffill(df, "k", "ts", "COUNT(*)").collect()
+    assert {r["key"] for r in rows} == {"k1"}
+
+
+def test_merge_phrases_empty_pairs_raises(spark):
+    from dar_spark.operators.collocations import (
+        merge_phrases,
+        merge_phrases_oracle_sql,
+    )
+    from dar_spark.queries import DUCKDB
+
+    df = spark.createDataFrame([("d1", "a b")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="non-empty pairs"):
+        merge_phrases(df, [])
+    with pytest.raises(ValueError, match="non-empty pairs"):
+        merge_phrases_oracle_sql(DUCKDB, "documents", [])
+
+
+def test_bm25_empty_terms_raises(spark):
+    from dar_spark.functions.text import bm25_exprs
+    from dar_spark.operators.invindex import bm25_index_topk
+    from dar_spark.queries import SPARK
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_exprs(SPARK, "text", [])
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_index_topk(spark, "/nonexistent", [])
+
+
+@pytest.mark.parametrize(
+    "labels,expected",
+    [
+        (["base"], "append-1"),
+        (["base", "append-1"], "append-2"),
+        # the COUNT(DISTINCT)-based default would return append-3 here
+        # and clobber the existing append-3 generation
+        (["base", "append-3", "stream-x"], "append-4"),
+        # out-of-band delete of append-1: count-based would re-issue
+        # append-2 over the survivor
+        (["base", "append-2"], "append-3"),
+    ],
+)
+def test_next_append_label_collision_free(spark, labels, expected):
+    from dar_spark.core.ingest import next_append_label
+
+    df = spark.createDataFrame([(l,) for l in labels], "ingest string")
+    assert next_append_label(df) == expected
