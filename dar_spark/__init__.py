@@ -43,6 +43,7 @@ __all__ = [
     "repetition_metrics",
     "repetition_filter",
     "chunk_dedup",
+    "chunk_dedup_cdc",
     "semdedup_prune",
     "gopher_quality",
     "tfidf_topk",
@@ -99,6 +100,8 @@ __all__ = [
     "ks_report",
     "ks_drift",
     "psi_between_bins",
+    "embedding_drift",
+    "srp_bucket_bins",
     "pq_lsh_topk",
     "partition_advisor",
     "pmi_bigrams",
@@ -166,7 +169,7 @@ def __getattr__(name):
         from dar_spark.operators import similarity as _sim
 
         return getattr(_sim, name)
-    if name in ("chunk_dedup", "semdedup_prune"):
+    if name in ("chunk_dedup", "chunk_dedup_cdc", "semdedup_prune"):
         from dar_spark.operators import dedup as _dd2
 
         return getattr(_dd2, name)
@@ -271,7 +274,7 @@ def __getattr__(name):
 
         return resample_ffill
     if name in ("psi_drift", "psi_report", "ks_drift", "ks_report",
-                "psi_between_bins"):
+                "psi_between_bins", "embedding_drift", "srp_bucket_bins"):
         from dar_spark.operators import drift as _dr
 
         return getattr(_dr, name)

@@ -35,6 +35,8 @@ from __future__ import annotations
 from dar_spark.refdata import (
     BORO_ABBREVS,
     BORO_NAMES,
+    E164_CC_BY_LEN,
+    E164_CC_LEN_PAIRS,
     E164_PATTERN,
     NANP_AREA_CODES,
     STATE_ACRONYMS,
@@ -128,6 +130,41 @@ def nanp_valid_pred(d: Dialect, c: str) -> str:
     )
 
 
+def _intl_cc_expr(d: Dialect, c: str) -> str:
+    """ITU E.164 country code at the head of the digit string ``c``, or
+    NULL if none matches.  E.164 codes are a prefix code, so at most
+    one of the 1/2/3-digit memberships can hit — three constant
+    hash-set tests, same zero-exchange strategy as the NANP tables."""
+    return f"""CASE
+  WHEN {d.in_strings(f"substr({c}, 1, 1)", E164_CC_BY_LEN[1])} THEN substr({c}, 1, 1)
+  WHEN {d.in_strings(f"substr({c}, 1, 2)", E164_CC_BY_LEN[2])} THEN substr({c}, 1, 2)
+  WHEN {d.in_strings(f"substr({c}, 1, 3)", E164_CC_BY_LEN[3])} THEN substr({c}, 1, 3)
+  ELSE NULL
+END"""
+
+
+def _intl_status_expr(d: Dialect, c: str) -> str:
+    """Status of a '+'-prefixed non-NANP digit string ``c`` under the
+    ITU E.164 model: 1 when the leading country code is assigned AND
+    the remaining national number has a possible length for that code
+    (phonenumbers general_desc possible lengths, refdata.py), 5 when
+    the code is assigned but the length is not (parsed-but-invalid,
+    phone-number-v1.py:88 flow), 3 when no assigned code matches
+    (NumberParseException flow).  The (code, length) decision is ONE
+    'cc:len' hash-set membership; residual divergence vs the library
+    (per-country digit-pattern metadata beyond length) is fuzz-pinned
+    in tests/test_phone_v1.py."""
+    cc = _intl_cc_expr(d, c)
+    pair = (
+        f"(({cc}) || ':' || {d.cast_str(f'(length({c}) - length({cc}))')})"
+    )
+    return f"""CASE
+  WHEN {d.in_strings(pair, E164_CC_LEN_PAIRS)} THEN 1
+  WHEN ({cc}) IS NOT NULL THEN 5
+  ELSE 3
+END"""
+
+
 def phone_v1_status(d: Dialect, x: str) -> str:
     """v1 semantics (phone-number-v1.py:63-110): everywhere the v0 shape
     validator says 1 (well-formed +1 number), the numbering plan decides
@@ -141,19 +178,24 @@ def phone_v1_status(d: Dialect, x: str) -> str:
     exchange plans the model is a documented superset
     (tests/test_phone_v1.py::TERRITORY_VARIANTS).
 
-    SCOPE: the expression model is +1 (NANP) ONLY.  The reference's
-    ``phonenumbers.parse(x, None)`` (phone-number-v1.py:88) validates
-    any country, so a well-formed NON-NANP number — '+442071838750',
-    '+33 1 40 22 33 44' — is status 1 there but status 5 here (the
-    shape check passes, the 10-digit NANP check fails).  The divergence
-    is pinned per class in tests/test_phone_v1.py (international
-    corpus: testgen.dirty_phone_intl, registry query
-    ``phone_v1_intl_profile``); full library semantics require the
-    Arrow path in functions/phone_lib.py (phonenumbers not installable
-    in this container)."""
+    SCOPE: the expression model is exact for +1 (NANP).  A '+'-prefixed
+    NON-NANP number routes to the ITU E.164 branch
+    (:func:`_intl_status_expr`): assigned country code + possible
+    national length → 1 ('+442071838750' matches the reference's
+    ``phonenumbers.parse(x, None)`` at phone-number-v1.py:88), assigned
+    code + impossible length → 5, unassigned code → 3.  The model is a
+    documented SUPERSET of library validity for non-NANP (length-valid
+    but pattern-invalid numbers are 1 here, 5 there) — the residual is
+    fuzz-pinned in tests/test_phone_v1.py; exact per-country plan
+    semantics stay behind the Arrow path in functions/phone_lib.py.
+    A PLUS-LESS international digit string keeps the historical NANP
+    routing (the reference's own '+1'-prepend retry flow)."""
     v0 = phone_status(d, x)
     c = phone_clean(d, x)
+    has_plus = f"substr(ltrim({d.cast_str(x)}), 1, 1) = '+'"
     return f"""CASE
+  WHEN ({v0}) IN (4, 5) THEN ({v0})
+  WHEN {has_plus} AND substr({c}, 1, 1) <> '1' THEN ({_intl_status_expr(d, c)})
   WHEN ({v0}) <> 1 THEN ({v0})
   WHEN {nanp_valid_pred(d, c)} THEN 1
   ELSE 5
@@ -161,11 +203,14 @@ END"""
 
 
 def phone_v1_normalized(d: Dialect, x: str) -> str:
-    """E.164 normalization only for plan-confirmed numbers."""
+    """E.164 normalization only for plan-confirmed numbers; a
+    '+'-prefixed international keeps its own country code."""
     c = phone_clean(d, x)
+    has_plus = f"substr(ltrim({d.cast_str(x)}), 1, 1) = '+'"
     return f"""CASE
   WHEN ({phone_v1_status(d, x)}) <> 1 THEN {d.cast_str(x)}
   WHEN substr({c}, 1, 1) = '1' THEN '+' || {c}
+  WHEN {has_plus} THEN '+' || {c}
   ELSE '+1' || {c}
 END"""
 

@@ -992,6 +992,62 @@ def chunk_dedup(
     )
 
 
+def chunk_dedup_cdc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask: int = 16,
+) -> DataFrame:
+    """Shift-robust chunk dedup: ``chunk_dedup``'s first-occurrence
+    machinery over CONTENT-DEFINED chunks
+    (``functions.text.cdc_chunk_documents``) instead of the fixed
+    token grid.
+
+    Closes the documented recall gap of :func:`chunk_dedup`: a
+    duplicate passage offset by k tokens never re-aligns with a fixed
+    grid, but CDC boundaries depend only on token content, so two
+    copies chunk identically from the first in-passage boundary on —
+    at ANY offset (a stride-s sliding grid only re-aligns offsets
+    ≡ 0 mod s, and pays s× the chunk volume for it).  This is the
+    RefinedWeb/The Pile exact-substring dedup intent (Penedo et al.
+    2023 §4.2) at expected-``mask``-token granularity.
+
+    Plan shape: the chunker's narrow posexplode + per-doc boundary
+    window, ONE doc-partitioned count window for the per-doc chunk
+    total (CDC has no closed-form count, unlike the grid chunker's
+    ``carry_total``), then the same hash-uniform first-occurrence
+    WindowGroupLimit and one groupBy(id) reassembly.  Output:
+    (id, text_dedup, n_kept, n_chunks) — a document whose every chunk
+    appeared earlier vanishes entirely.
+    """
+    from dar_spark.functions.text import cdc_chunk_documents
+
+    ch = cdc_chunk_documents(df, id_col, text_col, mask=mask)
+    kept = (
+        ch.withColumn(
+            "n_chunks", F.count("*").over(Window.partitionBy(id_col))
+        )
+        .withColumn("_h", F.md5(F.col("chunk_text")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_h").orderBy(
+                    F.col(id_col), F.col("chunk_id")
+                )
+            ),
+        )
+        .filter("_rn = 1")
+    )
+    return kept.groupBy(id_col).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(chunk_id, chunk_text))), s -> s.chunk_text), ' ')"
+        ).alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+        F.max("n_chunks").alias("n_chunks"),
+    )
+
+
 def semdedup_prune(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -21,6 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dar_spark.dialect import DUCKDB as _DUCK
 from dar_spark.dialect import SPARK as _SPARK
 from dar_spark.dialect import Dialect, ln_bigint_layers
 from dar_spark.operators.summarize import summarize
@@ -666,6 +667,116 @@ def psi_between_bins(
         )
         .withColumn("drifted", F.expr("CAST(psi >= 0.2 AS INT)"))
     )
+
+
+def srp_bucket_bins(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """(bin, cnt) SRP sign-bucket histogram of an embedding column —
+    the ONE binning expression shared by batch :func:`embedding_drift`,
+    the static reference, and the streaming monitor
+    (``streaming.embed_drift_stream``), so no two sides can ever bin
+    differently.  The 2^n_planes sign buckets are a deterministic
+    coarse partition of direction space (the SAME hyperplanes the ANN
+    family hashes with, ``similarity._bucket_expr``), which is what
+    makes the histogram position-free: no (min, max) handshake, the
+    grid is defined by the planes alone.
+
+    Works on batch AND streaming frames alike: a map-only bucket
+    projection plus one hash aggregate on ≤ 2^n_planes keys (streaming
+    state is bounded at that many rows in complete mode).  NULL vectors
+    are excluded."""
+    from dar_spark.operators.similarity import _bucket_expr
+
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .withColumn(
+            "_v", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+        )
+        .withColumn("_bk", _bucket_expr("_v", n_planes))
+        .select(F.expr("CAST(conv(_bk, 2, 10) AS INT)").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding-DISTRIBUTION drift: PSI between the SRP sign-bucket
+    histograms of two snapshots — the embedding-space twin of
+    :func:`psi_drift`.  Scalar drift (psi_report/ks_report) cannot see
+    a direction change in embedding space (an encoder swap can keep
+    every per-dimension marginal while rotating the population); the
+    bucket histogram is a coarse directional density, and categorical
+    PSI over it (same Laplace smoothing, same arithmetic-only ln,
+    same bin-ordered fold via :func:`psi_between_bins`) scores the
+    shift engine-exactly.
+
+    Scale shape: each snapshot is touched ONCE (map-only bucket
+    expression + hash-agg on 2^n_planes keys); the PSI fold runs on
+    2·2^n_planes tiny rows.  Output: (t_old, t_new, psi, drifted)."""
+    n_bins = 2 ** n_planes
+    return psi_between_bins(
+        srp_bucket_bins(old, vec_col, n_planes),
+        srp_bucket_bins(new, vec_col, n_planes),
+        n_bins,
+    )
+
+
+def embedding_drift_oracle_sql(
+    old_sql: str,
+    new_sql: str,
+    n_planes: int = 6,
+) -> str:
+    """DuckDB twin of :func:`embedding_drift` over two ``(v)``
+    DOUBLE-list SELECTs — same plane constants and fold order
+    (``similarity.duck_bucket_int``), same PSI layers as
+    ``psi_drift_oracle_sql``."""
+    from dar_spark.operators.similarity import duck_bucket_int
+
+    n_bins = 2 ** n_planes
+    bin_ = duck_bucket_int(n_planes)
+    layer_ctes, prev = [], "l0"
+    for i, (col, expr) in enumerate(
+        _psi_term_layers(_DUCK, n_bins, "c_old", "c_new"), 1
+    ):
+        layer_ctes.append(f"l{i} AS (SELECT *, {expr} AS {col} FROM {prev})")
+        prev = f"l{i}"
+    layers_sql = ",\n".join(layer_ctes)
+    return f"""WITH o AS ({old_sql}), n AS ({new_sql}),
+vo AS (SELECT list_transform(v, x -> CAST(x AS DOUBLE)) AS v FROM o
+       WHERE v IS NOT NULL),
+vn AS (SELECT list_transform(v, x -> CAST(x AS DOUBLE)) AS v FROM n
+       WHERE v IS NOT NULL),
+ho AS (SELECT {bin_} AS bin, CAST(COUNT(*) AS BIGINT) AS c_old
+       FROM vo GROUP BY 1),
+hn AS (SELECT {bin_} AS bin, CAST(COUNT(*) AS BIGINT) AS c_new
+       FROM vn GROUP BY 1),
+grid AS (SELECT CAST(range AS INT) AS bin FROM range(0, {n_bins})),
+merged AS (
+  SELECT g.bin, COALESCE(ho.c_old, 0) AS c_old, COALESCE(hn.c_new, 0) AS c_new
+  FROM grid g LEFT JOIN ho ON ho.bin = g.bin LEFT JOIN hn ON hn.bin = g.bin),
+tot AS (SELECT CAST(SUM(c_old) AS BIGINT) AS t_old,
+               CAST(SUM(c_new) AS BIGINT) AS t_new
+        FROM merged),
+l0 AS (SELECT * FROM merged CROSS JOIN tot),
+{layers_sql},
+packed AS (
+  SELECT MAX(t_old) AS t_old, MAX(t_new) AS t_new,
+         list(struct_pack(bin := bin, t := _term) ORDER BY bin) AS _tb
+  FROM {prev}),
+fin AS (
+  SELECT t_old, t_new,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(_tb, s -> s.t)), (a, x) -> a + x) AS psi
+  FROM packed)
+SELECT t_old, t_new, psi, CAST(psi >= 0.2 AS INT) AS drifted FROM fin"""
 
 
 def ks_report(

@@ -145,6 +145,25 @@ def duck_band_buckets(n_planes: int, n_bands: int) -> str:
     return "[" + ", ".join(band_buckets) + "]"
 
 
+def duck_bucket_int(n_planes: int, band: int = 0) -> str:
+    """Oracle twin of ``CAST(conv(_bucket_expr(v), 2, 10) AS INT)`` over
+    a ``v`` DOUBLE-list column: the SRP sign bucket as an INTEGER bin
+    (bit j carries weight 2^(n_planes-1-j), the base-2 string order) —
+    the form drift's categorical-PSI grid needs.  Same plane constants
+    and left-fold dot products as ``duck_band_buckets``."""
+    bits = []
+    for j in range(n_planes):
+        prods = (
+            f"list_transform(generate_series(1, len(v)), "
+            f"i -> v[i] * {_plane_component(band * n_planes + j)})"
+        )
+        bits.append(
+            f"(CASE WHEN {duck_fold(prods)} >= 0 "
+            f"THEN {1 << (n_planes - 1 - j)} ELSE 0 END)"
+        )
+    return "CAST((" + " + ".join(bits) + ") AS INT)"
+
+
 # the oracle twin of _flip_bit over (bt, p) columns: p = 0 keeps the
 # bucket, p = 1..n_planes flips 1-indexed position p
 DUCK_FLIP = (

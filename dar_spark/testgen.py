@@ -37,14 +37,14 @@ END"""
 def dirty_phone_intl(k: str) -> str:
     """Non-NANP ``+CC`` mix for the phone_v1 international-scope pin.
 
-    The expression model (validators.phone_v1_status) is exact for +1
-    ONLY; the reference's library path (phonenumbers.parse(x, None) at
-    phone-number-v1.py:88) validates any country.  Classes 0-3 are
-    library-VALID internationals (UK London, FR Paris, AU Sydney, JP
-    Tokyo) — the model classifies all of them 5; classes 4-5 are
-    library-invalid internationals (agree at 5/3-vs-5); classes 6-7 are
-    NANP controls (exact agreement).  The full divergence table is
-    asserted in tests/test_phone_v1.py."""
+    The model's ITU E.164 branch (validators._intl_status_expr) agrees
+    with the reference's library path (phonenumbers.parse(x, None) at
+    phone-number-v1.py:88) on every class here: classes 0-3 are
+    library-valid internationals (UK London, FR Paris, AU Sydney, JP
+    Tokyo) → 1; class 4 is length-invalid → 5; class 5 is an
+    unassigned country code → 3; classes 6-7 are NANP controls.  The
+    full agreement table and the length-superset residual are asserted
+    in tests/test_phone_v1.py."""
     return f"""CASE ({k}) % 8
   WHEN 0 THEN '+44 20 7' || printf('%03d %04d', ({k}) % 1000, ({k}) % 10000)
   WHEN 1 THEN '+33 1 ' || printf('%02d %02d %02d %02d', 40 + ({k}) % 60, ({k}) % 100, ({k}) % 100, ({k}) % 100)

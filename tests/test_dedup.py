@@ -312,6 +312,51 @@ def test_chunk_dedup_partial_overlap_keeps_first_occurrence(spark):
     assert (out[2].n_kept, out[2].n_chunks) == (1, 2)
 
 
+def test_chunk_dedup_cdc_catches_offset_duplicate_grid_misses(spark):
+    """A long passage duplicated at a 3-token offset: invisible to the
+    fixed 16-token grid (no window of the shifted copy aligns with the
+    original's grid), but CDC boundaries re-align on content, so the
+    shifted copy's chunks dedup away from the first in-passage boundary
+    on."""
+    import random
+
+    rng = random.Random(11)
+    passage = " ".join(f"w{rng.randint(0, 9)}{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, passage), (2, "pad1 pad2 pad3 " + passage)],
+        "doc_id int, text string",
+    )
+    grid = {
+        r.doc_id: r
+        for r in dedup.chunk_dedup(df, "doc_id", "text", 16).collect()
+    }
+    # every 16-token window of doc 2 straddles doc 1's grid -> nothing
+    # collapses; the duplicate passage is fully invisible to the grid
+    assert grid[2].n_kept == grid[2].n_chunks
+    cdc = {
+        r.doc_id: r
+        for r in dedup.chunk_dedup_cdc(df, "doc_id", "text", mask=16).collect()
+    }
+    assert cdc[1].n_kept == cdc[1].n_chunks  # first occurrence intact
+    # doc 2 keeps only its head chunk(s) before the first shared
+    # boundary — the bulk of the shifted duplicate collapses
+    assert cdc[2].n_kept < cdc[2].n_chunks
+    assert cdc[2].n_kept <= max(1, cdc[2].n_chunks // 3)
+
+
+def test_chunk_dedup_cdc_lossless_without_dups(spark):
+    """Globally-unique tokens: nothing collapses and reassembly
+    round-trips byte-identically (CDC windows rejoin losslessly)."""
+    rows = [
+        (d, " ".join(f"u{d}x{i}" for i in range(5 + 11 * d)))
+        for d in range(5)
+    ]
+    uniq = spark.createDataFrame(rows, "doc_id int, text string")
+    out = dedup.chunk_dedup_cdc(uniq, "doc_id", "text", mask=8)
+    got = {r.doc_id: r.text_dedup for r in out.collect()}
+    assert got == dict(rows)
+
+
 # --- SemDeDup ---------------------------------------------------------------
 
 

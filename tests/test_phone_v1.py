@@ -156,26 +156,32 @@ def test_v1_statuses(spark, value, expected):
 
 # international (non-NANP) scope pin -----------------------------------------
 #
-# The expression model is +1-exact ONLY; the reference's library path
-# (phonenumbers.parse(x, None), phone-number-v1.py:88) validates any
-# country.  Per generator class of testgen.dirty_phone_intl:
+# '+'-prefixed non-NANP numbers route to the ITU E.164 branch
+# (validators._intl_status_expr): assigned country code + possible
+# national length → 1, assigned code + impossible length → 5,
+# unassigned code → 3 — matching the reference's
+# phonenumbers.parse(x, None) flow (phone-number-v1.py:88) everywhere
+# length decides validity.  Per generator class of
+# testgen.dirty_phone_intl:
 #
 #   class  corpus                      model  library   divergence
-#   0      +44 20 7xxx xxxx (London)     5       1      model under-accepts
-#   1      +33 1 xx xx xx xx (Paris)     5       1      model under-accepts
-#   2      +61 2 8xxx xxxx (Sydney)      5       1      model under-accepts
-#   3      +81 3 3xxx xxxx (Tokyo)       5       1      model under-accepts
+#   0      +44 20 7xxx xxxx (London)     1       1      agree
+#   1      +33 1 xx xx xx xx (Paris)     1       1      agree
+#   2      +61 2 8xxx xxxx (Sydney)      1       1      agree
+#   3      +81 3 3xxx xxxx (Tokyo)       1       1      agree
 #   4      +44 20 xx (too short)         5       5      agree
-#   5      +999 xxx xxxx (bad CC)        5       3      model 5, library 3
+#   5      +999 xxx xxxx (bad CC)        3       3      agree
 #   6      +1 (212) 555-xxxx             1       1      agree (NANP)
 #   7      +1 (1xx) 555-xxxx             5       5      agree (NANP invalid)
 #
 # "library" = the reference flow as ported in phone_lib._classify_series
 # (try raw, then +1-, then +-prefixed parse; 1 if any candidate is
-# valid, else 5 if any parsed, else 3).
+# valid, else 5 if any parsed, else 3).  The residual divergence class
+# (length-possible but pattern-invalid → model 1, library 5) is pinned
+# by test_intl_model_is_length_superset_of_library below.
 EXPECTED_INTL = {
-    0: (5, 1), 1: (5, 1), 2: (5, 1), 3: (5, 1),
-    4: (5, 5), 5: (5, 3), 6: (1, 1), 7: (5, 5),
+    0: (1, 1), 1: (1, 1), 2: (1, 1), 3: (1, 1),
+    4: (5, 5), 5: (3, 3), 6: (1, 1), 7: (5, 5),
 }
 
 
@@ -222,6 +228,54 @@ def test_intl_divergence_pinned():
             )
     if pn is None:  # pragma: no cover - container-dependent
         pytest.skip("phonenumbers not importable: library column not verified")
+
+
+def test_intl_model_is_length_superset_of_library():
+    """Fuzz the ITU branch against the public library over '+CC' +
+    random digits for a spread of country codes and lengths:
+
+    - library-valid  ⇒ model 1 (the model NEVER rejects a valid number)
+    - model 5 (known code, impossible length) ⇒ library says invalid
+    - model 3 (unknown code) ⇒ library cannot parse (status 3)
+    - model 1 may be library 5 — the documented length-superset
+      residual (pattern metadata beyond length) — but never library 3.
+    """
+    import duckdb
+
+    pn = _phonenumbers()
+    if pn is None:
+        pytest.skip("phonenumbers not importable")
+    import random
+
+    from dar_spark.refdata import E164_CC_NSN_LENGTHS
+
+    rng = random.Random(7)
+    ccs = rng.sample(sorted(E164_CC_NSN_LENGTHS), 40) + ["999", "99", "210"]
+    cases = []
+    for cc in ccs:
+        for _ in range(6):
+            n = rng.randint(4, 14)
+            nat = "".join(rng.choice("0123456789") for _ in range(n))
+            if len(set(cc + nat)) == 1:
+                continue  # all-same digits hit the v0 null tier
+            cases.append(f"+{cc}{nat}")
+    residual = 0
+    for s in cases:
+        model = duckdb.sql(
+            f"SELECT ({V.phone_v1_status(DUCKDB, repr(s))}) AS s"
+        ).fetchone()[0]
+        lib = _lib_status(pn, s)
+        if lib == 1:
+            assert model == 1, f"{s}: library valid but model {model}"
+        if model == 5:
+            assert lib != 1, f"{s}: model 5 but library valid"
+        if model == 3:
+            assert lib == 3, f"{s}: model 3 (unknown CC) but library {lib}"
+        if model == 1 and lib != 1:
+            assert lib == 5, f"{s}: model 1, library {lib} (expected 5)"
+            residual += 1
+    # the residual class exists (the superset is real, not vacuous)
+    assert residual > 0
 
 
 def test_v1_spark_duckdb_agree(spark):

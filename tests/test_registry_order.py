@@ -1,0 +1,67 @@
+"""Registry ordering contract: the external correctness check covers a
+bounded PREFIX of build_registry() (observed: first 50 entries), so the
+window must always hold (a) every never-checked/new query and (b) the
+stalest-evidence entries.  These tests recompute evidence age from the
+committed CORRECTNESS_r0N.json artifacts, so the hardcoded
+queries.EVIDENCE_ROUND lists cannot silently drift from the files and
+the rotation cannot silently regress.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from dar_spark.queries import EVIDENCE_ROUND, build_registry
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def _evidence_rounds() -> dict[str, int]:
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
+        data = json.load(open(path))
+        for name in data.get("queries", data):
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def test_evidence_lists_match_artifacts():
+    """queries.EVIDENCE_ROUND is regenerated from the CORRECTNESS files
+    each round — this fails the moment it goes stale."""
+    actual = _evidence_rounds()
+    r = build_registry()
+    for name in r:
+        want = actual.get(name)
+        got = EVIDENCE_ROUND.get(name)
+        if want is None:
+            assert got is None, f"{name}: no artifact row but listed as r{got}"
+        else:
+            assert got == want, f"{name}: artifact says r{want}, list says r{got}"
+
+
+def test_never_checked_queries_lead_the_window():
+    """Every registry entry with NO external evidence row sits inside
+    the first-50 window (the r5 lesson: two queries sat at positions
+    50-51 for four rounds and were never checked)."""
+    actual = _evidence_rounds()
+    names = list(build_registry())
+    unchecked = [n for n in names if n not in actual]
+    missing = [n for n in unchecked if n not in names[:WINDOW]]
+    assert not missing, f"never-checked queries outside the window: {missing}"
+
+
+def test_window_holds_the_stalest_evidence():
+    """No entry outside the window may have strictly older evidence
+    than an entry inside it — the rotation refreshes oldest-first."""
+    actual = _evidence_rounds()
+    names = list(build_registry())
+    inside = [actual.get(n, 0) for n in names[:WINDOW]]
+    outside = [actual.get(n, 0) for n in names[WINDOW:]]
+    if not outside:
+        return
+    assert max(inside) <= min(outside), (
+        f"window max evidence r{max(inside)} > outside min r{min(outside)}"
+    )

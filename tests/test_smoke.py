@@ -1,0 +1,72 @@
+"""Smoke lane: one representative registry query per operator family,
+value-compared against its DuckDB oracle at sf0.001 — the fast
+iteration loop (`pytest -m smoke`, target < 5 min) between full-suite
+runs.  The full suite (`pytest tests/`) remains the merge gate; this
+lane exists because the full lane is ~30 min single-process.
+
+Family representatives are chosen to touch every major subsystem:
+profilers/validators, detection, dedup (exact/minhash/CC/chunk/CDC),
+ANN (SRP/IVF/PQ), text quality, sketches, drift (scalar + embedding),
+joins, warehouse/merge, sampling, eval metrics, multimodal, timeseries.
+"""
+from __future__ import annotations
+
+import pytest
+
+from tests.test_oracle_parity import (
+    REGISTRY,
+    _normalize,
+    _values_equal,
+)
+from tests.conftest import SF_DIR
+
+pytestmark = pytest.mark.smoke
+
+FAMILY_REPS = [
+    "phone_profile",            # profiler/validator family
+    "phone_v1_intl_profile",    # numbering-plan + ITU E.164 branch
+    "detect_columns",           # detection
+    "profile_composite",        # one-scan composite profiler
+    "dedup_exact",              # exact dedup
+    "dedup_minhash_lsh",        # minhash near-dup
+    "dup_clusters",             # connected components
+    "chunk_dedup_cdc_docs",     # shift-robust CDC chunk dedup (r7)
+    "embed_lsh_topk",           # SRP ANN
+    "embed_pq_topk",            # PQ ANN
+    "embed_drift_embed",        # embedding-space drift (r7)
+    "psi_report_lineitem",      # scalar drift report
+    "quantile_hist_lineitem",   # sketches
+    "gopher_quality_docs",      # text quality
+    "bm25_search_docs",         # keyword scoring
+    "skew_safe_join_events",    # join family
+    "merge_upsert_orders",      # warehouse/MERGE
+    "split_leak_safe",          # sampling/splits
+    "roc_auc_quality",          # eval metrics
+    "media_bmp_decode",         # multimodal
+    "resample_ffill_events",    # timeseries
+    "q1_pricing_summary",       # TPC-H-ish SQL
+]
+
+
+def test_family_reps_exist():
+    missing = [n for n in FAMILY_REPS if n not in REGISTRY]
+    assert not missing, f"smoke reps no longer in registry: {missing}"
+
+
+@pytest.mark.parametrize("name", FAMILY_REPS)
+def test_smoke_query_matches_oracle(name, spark, duck):
+    q = REGISTRY[name]
+    sdf = q.spark(spark, SF_DIR)
+    spark_pd = _normalize(sdf.toPandas())
+    duck_pd = _normalize(duck.execute(q.oracle).fetchdf())
+    assert list(spark_pd.columns) == list(duck_pd.columns)
+    assert len(spark_pd) == len(duck_pd) > 0
+    for c in spark_pd.columns:
+        bad = [
+            (i, a, b)
+            for i, (a, b) in enumerate(
+                zip(spark_pd[c].tolist(), duck_pd[c].tolist())
+            )
+            if not _values_equal(a, b)
+        ]
+        assert not bad, f"{name}.{c}: first mismatches {bad[:5]}"
