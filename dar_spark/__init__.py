@@ -102,6 +102,8 @@ __all__ = [
     "psi_between_bins",
     "embedding_drift",
     "srp_bucket_bins",
+    "rrf_fuse",
+    "knn_label_noise",
     "pq_lsh_topk",
     "partition_advisor",
     "pmi_bigrams",

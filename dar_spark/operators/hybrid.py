@@ -1,0 +1,90 @@
+"""Hybrid retrieval: Reciprocal Rank Fusion of independent ranked lists.
+
+RRF (Cormack, Clarke & Buettcher 2009) is the standard way to combine a
+lexical ranking (BM25) with a semantic one (embedding cosine) without
+score calibration: ``score(d) = Σ_i 1/(k0 + rank_i(d))`` over the lists
+where d appears, k0 = 60 by convention.  Rank-based fusion is immune to
+the incomparable score scales that break naive score averaging.
+
+Scale shape: every input is already a top-k list (a few rows), so the
+fusion itself is a chain of tiny full-outer joins plus one fixed
+left-to-right sum — the expensive parts stay in the retrievers, which
+each have their own scale path (bm25_index_topk, ann_against_index).
+The per-list reciprocal terms are summed in LIST ORDER with CAST
+doubles, so scores are bit-identical cross-engine.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Fuse ranked lists — each input carries (id_col, rank_n) — into
+    (id_col, rrf_score, n_lists, rank_n), top-k by fused score.
+
+    The driver-side loop runs over the LIST COUNT only (2-4 retrievers,
+    never data); each list is top-k-sized, so the global rank window at
+    the end orders ≤ Σ k_i rows."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    out: DataFrame | None = None
+    for i, r in enumerate(rankings):
+        ri = r.select(F.col(id_col), F.col("rank_n").alias(f"_r{i}"))
+        out = ri if out is None else out.join(ri, id_col, "full_outer")
+    n = len(rankings)
+    score = " + ".join(
+        f"coalesce(CAST(1 AS DOUBLE) / CAST({k0} + _r{i} AS DOUBLE), "
+        "CAST(0 AS DOUBLE))"
+        for i in range(n)
+    )
+    n_lists = " + ".join(f"CAST(_r{i} IS NOT NULL AS INT)" for i in range(n))
+    fused = out.selectExpr(
+        id_col,
+        f"({score}) AS rrf_score",
+        f"({n_lists}) AS n_lists",
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.col(id_col))
+    return fused.withColumn(
+        "rank_n", F.row_number().over(w).cast("bigint")
+    ).filter(f"rank_n <= {k}")
+
+
+def rrf_fuse_oracle_sql(
+    ranking_sqls: list[str],
+    id_col: str,
+    k0: int = 60,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse` over SELECTs each producing
+    (id_col, rank_n) — same list-ordered reciprocal sum, same
+    tie-break."""
+    if not ranking_sqls:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    n = len(ranking_sqls)
+    ctes = ", ".join(
+        f"r{i} AS (SELECT {id_col}, rank_n AS _r{i} FROM ({sql}))"
+        for i, sql in enumerate(ranking_sqls)
+    )
+    joined = "r0"
+    for i in range(1, n):
+        joined = f"({joined} FULL OUTER JOIN r{i} USING ({id_col}))"
+    score = " + ".join(
+        f"coalesce(CAST(1 AS DOUBLE) / CAST({k0} + _r{i} AS DOUBLE), "
+        "CAST(0 AS DOUBLE))"
+        for i in range(n)
+    )
+    n_lists = " + ".join(f"CAST(_r{i} IS NOT NULL AS INT)" for i in range(n))
+    return f"""WITH {ctes},
+fused AS (
+  SELECT {id_col}, ({score}) AS rrf_score, ({n_lists}) AS n_lists
+  FROM {joined})
+SELECT {id_col}, rrf_score, n_lists, CAST(rn AS BIGINT) AS rank_n FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, {id_col}) AS rn
+  FROM fused) WHERE rn <= {k}"""

@@ -129,6 +129,78 @@ def knn_classify(
     )
 
 
+def knn_label_noise(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Label-noise screen: every labeled vector is re-predicted by
+    majority vote of its k nearest OTHER labeled vectors
+    (leave-one-out), and a row whose own label loses the vote is
+    flagged — the kNN-disagreement filter (the cheap first pass of
+    Confident-Learning-style cleaning) every labeled training set
+    should run before the labels are trusted.
+
+    Output: ``(id_col, label, pred_label, n_votes, vote_sim,
+    is_suspect)`` — same vote semantics as :func:`knn_classify`
+    (count, exact 1e-6-unit similarity sum, smaller-label tie-break);
+    ``is_suspect = 1`` iff a prediction exists and differs from the
+    row's own label.  Zero-norm vectors are excluded (cosine
+    undefined).
+
+    Plan shape: identical to :func:`knn_classify` — the labeled set
+    folds into ONE single-row broadcast (structs carry the id so SELF
+    is excluded inside the per-row fold, which is what makes this
+    leave-one-out without n separate seed sets); the scoring pass is
+    scan → project with zero corpus-side shuffles."""
+    _require_numeric_label(embeddings, label_col, "knn_label_noise")
+    e = _as_double_vec(
+        embeddings.select(id_col, vec_col, label_col), vec_col
+    ).filter("_nrm > 0").filter(F.col(label_col).isNotNull())
+    seeds = e.select(
+        F.struct(
+            F.col(id_col).alias("i"),
+            F.col(label_col).alias("l"),
+            F.col("_v").alias("sv"),
+            F.col("_nrm").alias("sn"),
+        ).alias("_s")
+    ).agg(F.collect_list("_s").alias("_seeds"))
+    q = e.select(id_col, F.col(label_col).alias("label"), "_v", "_nrm")
+    cos6 = (
+        "round(aggregate(zip_with(_v, s.sv, (x, y) -> x * y), 0D, "
+        "(a, x) -> a + x) / (_nrm * s.sn), 6)"
+    )
+    scored = q.crossJoin(F.broadcast(seeds)).withColumn(
+        "_topk",
+        F.expr(
+            f"slice(array_sort(transform("
+            f"filter(_seeds, s -> s.i <> {id_col}), s -> "
+            f"struct(-{cos6} AS nc, s.l AS l))), 1, {k})"
+        ),
+    )
+    votes = scored.withColumn(
+        "_votes",
+        F.expr(
+            "transform(array_distinct(transform(_topk, x -> x.l)), L -> struct("
+            "size(filter(_topk, x -> x.l = L)) AS cnt, "
+            f"aggregate(filter(_topk, x -> x.l = L), 0L, (a, x) -> a + {_COS6_INT}) AS s6, "
+            "-L AS nl))"
+        ),
+    ).withColumn("_best", F.expr("array_max(_votes)"))
+    return votes.select(
+        F.col(id_col),
+        F.col("label"),
+        F.expr("-_best.nl").alias("pred_label"),
+        F.expr("CAST(_best.cnt AS BIGINT)").alias("n_votes"),
+        F.expr("CAST(_best.s6 AS DOUBLE) / 1000000.0").alias("vote_sim"),
+        F.expr(
+            "CAST(_best IS NOT NULL AND -_best.nl <> label AS INT)"
+        ).alias("is_suspect"),
+    )
+
+
 def knn_holdout_eval(
     embeddings: DataFrame,
     id_col: str,

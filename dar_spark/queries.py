@@ -2241,12 +2241,113 @@ def build_registry() -> dict[str, Q]:
 
 
 def _round7_queries() -> list[tuple[str, Q]]:
-    """Round-7 additions: shift-robust CDC chunk dedup and the
-    embedding-space drift monitor."""
+    """Round-7 additions: shift-robust CDC chunk dedup, the
+    embedding-space drift monitor, and RRF hybrid retrieval."""
     return [
         ("chunk_dedup_cdc_docs", _chunk_dedup_cdc_q()),
         ("embed_drift_embed", _embed_drift_q()),
+        ("hybrid_search_docs", _hybrid_search_q()),
+        ("knn_label_noise_embed", _knn_label_noise_q()),
     ]
+
+
+NOISE_FLIP_PRED = "vec_id % 17 = 0"  # ~6% deliberately mislabeled
+
+
+def _knn_label_noise_q() -> Q:
+    """Leave-one-out label-noise screen (knn.knn_label_noise): ~6% of
+    labels are deterministically flipped, and every labeled vector is
+    re-voted by its k nearest OTHER labeled vectors — flipped rows
+    whose neighborhoods kept the original label surface as suspects.
+    Same broadcast-fold plan as knn_classify (self excluded inside the
+    fold); the oracle recomputes the vote relationally with the shared
+    (count, s6, smaller-label) tie-break."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.knn import knn_label_noise
+
+        t = load_tables(spark, sf_dir)
+        e = t["embeddings"].selectExpr(
+            "vec_id",
+            "embedding",
+            f"CASE WHEN {NOISE_FLIP_PRED} THEN CAST((label + 1) % 10 AS INT) "
+            "ELSE label END AS label",
+        )
+        return knn_label_noise(e, "vec_id", "embedding", "label", k=KNN_K)
+
+    oracle = f"""WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CASE WHEN {NOISE_FLIP_PRED} THEN CAST((label + 1) % 10 AS INT)
+              ELSE label END AS label
+  FROM embeddings),
+n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e0
+      WHERE sqrt(list_dot_product(v, v)) > 0 AND label IS NOT NULL),
+p AS (SELECT q.vec_id, s.label AS l,
+        round(list_dot_product(q.v, s.v) / (q.nrm * s.nrm), 6) AS c
+      FROM n q, n s WHERE s.vec_id <> q.vec_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, l ASC) AS rn FROM p),
+tk AS (SELECT vec_id, l, c FROM r WHERE rn <= {KNN_K}),
+v AS (SELECT vec_id, l, COUNT(*) AS cnt,
+        SUM(CAST(round(c * 1000000.0, 0) AS BIGINT)) AS s6 FROM tk GROUP BY vec_id, l),
+b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cnt DESC, s6 DESC, l ASC) AS rb FROM v)
+SELECT q2.vec_id, q2.label, pr.l AS pred_label,
+       CAST(pr.cnt AS BIGINT) AS n_votes,
+       CAST(pr.s6 AS DOUBLE) / 1000000.0 AS vote_sim,
+       CAST(pr.l IS NOT NULL AND pr.l <> q2.label AS INT) AS is_suspect
+FROM (SELECT vec_id, label FROM n) q2
+LEFT JOIN (SELECT * FROM b WHERE rb = 1) pr ON pr.vec_id = q2.vec_id"""
+    return Q(spark_fn, oracle)
+
+
+HYBRID_RETRIEVE_K = 20  # per-retriever depth fed into the fusion
+HYBRID_K = 10           # fused top-k
+HYBRID_QUERY_ID = 0     # vec_id == doc_id in the fixtures
+
+
+def _hybrid_search_q() -> Q:
+    """Hybrid retrieval (operators/hybrid.rrf_fuse): BM25 lexical top-20
+    and exact-cosine semantic top-20 (query = doc 0's embedding) fused
+    by Reciprocal Rank Fusion — rank-based, so the incomparable score
+    scales never touch.  The oracle recomputes both retrievers from the
+    shared emitters (bm25_oracle_sql; the embed_cosine_topk oracle
+    shape) and the same list-ordered reciprocal sum."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import bm25_search
+        from dar_spark.operators.hybrid import rrf_fuse
+        from dar_spark.operators.similarity import brute_force_topk
+
+        t = load_tables(spark, sf_dir)
+        lex = bm25_search(
+            parallelize(t["documents"]), "doc_id", "text",
+            BM25_TERMS, k=HYBRID_RETRIEVE_K,
+        ).select("doc_id", "rank_n")
+        sem = brute_force_topk(
+            t["embeddings"], "vec_id", "embedding",
+            f"vec_id = {HYBRID_QUERY_ID}", k=HYBRID_RETRIEVE_K,
+        ).selectExpr("neighbor_id AS doc_id", "rank_n")
+        return rrf_fuse([lex, sem], "doc_id", k0=60, k=HYBRID_K)
+
+    from dar_spark.functions.text import bm25_oracle_sql
+    from dar_spark.operators.hybrid import rrf_fuse_oracle_sql
+
+    lex_sql = bm25_oracle_sql(
+        DUCKDB, "SELECT doc_id, text FROM documents", "doc_id", "text",
+        BM25_TERMS, k=HYBRID_RETRIEVE_K,
+    )
+    sem_sql = f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {HYBRID_QUERY_ID}),
+p AS (SELECT e.vec_id AS doc_id,
+        round(list_dot_product(q.qv, e.v) /
+              (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+      FROM q, e WHERE e.vec_id <> {HYBRID_QUERY_ID})
+SELECT doc_id, rank_n FROM (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rank_n
+  FROM p) WHERE rank_n <= {HYBRID_RETRIEVE_K}"""
+    oracle = rrf_fuse_oracle_sql(
+        [lex_sql, sem_sql], "doc_id", k0=60, k=HYBRID_K
+    )
+    return Q(spark_fn, oracle)
 
 
 EMBED_DRIFT_PLANES = 5  # 32 directional bins — sf-fixture-sized grid

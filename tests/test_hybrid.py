@@ -1,0 +1,104 @@
+"""RRF fusion and the kNN label-noise screen — hand-checkable semantics."""
+from __future__ import annotations
+
+import pytest
+
+
+def test_rrf_fuse_hand_example(spark):
+    """Two 3-row lists with one shared doc: the doc ranked in BOTH lists
+    must outscore any doc in one list only, and exact scores match the
+    1/(k0+r) formula."""
+    from dar_spark.operators.hybrid import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id int, rank_n int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2), (50, 3)], "doc_id int, rank_n int"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([a, b], "doc_id", k0=60, k=10).collect()}
+    assert out[20].rrf_score == 1 / 62 + 1 / 61
+    assert out[20].n_lists == 2
+    assert out[10].rrf_score == 1 / 61
+    assert out[10].n_lists == 1
+    assert out[20].rank_n == 1  # in both lists -> wins
+    assert len(out) == 5
+
+
+def test_rrf_fuse_oracle_matches(duck, spark):
+    """The DuckDB twin computes identical scores/ranks for the same
+    literal lists."""
+    import duckdb
+
+    from dar_spark.operators.hybrid import rrf_fuse, rrf_fuse_oracle_sql
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id int, rank_n int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2), (50, 3)], "doc_id int, rank_n int"
+    )
+    got = sorted(
+        (r.doc_id, r.rrf_score, r.n_lists, r.rank_n)
+        for r in rrf_fuse([a, b], "doc_id", k0=60, k=10).collect()
+    )
+    sql = rrf_fuse_oracle_sql(
+        [
+            "SELECT * FROM (VALUES (10, 1), (20, 2), (30, 3)) t(doc_id, rank_n)",
+            "SELECT * FROM (VALUES (20, 1), (40, 2), (50, 3)) t(doc_id, rank_n)",
+        ],
+        "doc_id", k0=60, k=10,
+    )
+    want = sorted(duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+def test_rrf_fuse_empty_rankings_raise(spark):
+    from dar_spark.operators.hybrid import rrf_fuse, rrf_fuse_oracle_sql
+
+    with pytest.raises(ValueError):
+        rrf_fuse([], "doc_id")
+    with pytest.raises(ValueError):
+        rrf_fuse_oracle_sql([], "doc_id")
+
+
+def test_knn_label_noise_flags_planted_mislabel(spark):
+    """Three tight clusters; one vector carries the wrong cluster label
+    — it must be the ONLY suspect, with the neighborhood's label as the
+    prediction."""
+    from dar_spark.operators.knn import knn_label_noise
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.99, 0.01], 0), (3, [0.98, 0.02], 0),
+        (4, [0.0, 1.0], 1), (5, [0.01, 0.99], 1),
+        (6, [0.02, 0.98], 0),  # planted: sits in cluster 1, labeled 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label int")
+    out = {r.vec_id: r for r in knn_label_noise(
+        df, "vec_id", "embedding", "label", k=2
+    ).collect()}
+    assert out[6].is_suspect == 1 and out[6].pred_label == 1
+    for i in (1, 2, 3, 4, 5):
+        assert out[i].is_suspect == 0, (i, out[i])
+
+
+def test_knn_label_noise_single_row_is_not_suspect(spark):
+    """One labeled row: no other seeds exist, prediction is NULL, and
+    the row must NOT be flagged."""
+    from dar_spark.operators.knn import knn_label_noise
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], "vec_id int, embedding array<double>, label int"
+    )
+    [r] = knn_label_noise(df, "vec_id", "embedding", "label", k=3).collect()
+    assert r.pred_label is None and r.is_suspect == 0
+
+
+def test_knn_label_noise_rejects_string_labels(spark):
+    from dar_spark.operators.knn import knn_label_noise
+
+    df = spark.createDataFrame(
+        [(1, [1.0], "a")], "vec_id int, embedding array<double>, label string"
+    )
+    with pytest.raises(ValueError, match="integer labels"):
+        knn_label_noise(df, "vec_id", "embedding", "label")

@@ -334,3 +334,23 @@ def test_mmr_runtime_fold_plan_is_constant_in_k(spark):
     p = p.split("== Initial Plan ==")[0]
     assert p.count("sequence(1, 8") <= 1
     assert "Python" not in p and "CartesianProduct" not in p
+
+
+def test_round7_plan_shapes(spark):
+    """chunk_dedup_cdc: the rank-1 first-occurrence filter must compile
+    to the streaming WindowGroupLimit (not a full window sort+filter),
+    and no Python touches the path.  embedding_drift: each snapshot is
+    ONE scan feeding a 2^n_planes-key hash aggregate; the only joins are
+    the broadcast of the one-row reference histogram — no sort-merge
+    join, no cartesian product, no Python."""
+    p = _executed(spark, "chunk_dedup_cdc_docs")
+    p = p.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in p, "first-occurrence rank lost its group limit"
+    assert "Python" not in p and "CartesianProduct" not in p
+
+    p = _executed(spark, "embed_drift_embed")
+    p = p.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Python" not in p
+    # the corpus is aggregated down to bucket histograms before any join
+    assert "HashAggregate" in p
