@@ -280,6 +280,14 @@ def __getattr__(name):
         from dar_spark.operators import drift as _dr
 
         return getattr(_dr, name)
+    if name == "rrf_fuse":
+        from dar_spark.operators.hybrid import rrf_fuse
+
+        return rrf_fuse
+    if name == "knn_label_noise":
+        from dar_spark.operators.knn import knn_label_noise
+
+        return knn_label_noise
     if name == "pq_lsh_topk":
         from dar_spark.operators.similarity import pq_lsh_topk
 

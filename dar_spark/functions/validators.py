@@ -130,19 +130,6 @@ def nanp_valid_pred(d: Dialect, c: str) -> str:
     )
 
 
-def _intl_cc_expr(d: Dialect, c: str) -> str:
-    """ITU E.164 country code at the head of the digit string ``c``, or
-    NULL if none matches.  E.164 codes are a prefix code, so at most
-    one of the 1/2/3-digit memberships can hit — three constant
-    hash-set tests, same zero-exchange strategy as the NANP tables."""
-    return f"""CASE
-  WHEN {d.in_strings(f"substr({c}, 1, 1)", E164_CC_BY_LEN[1])} THEN substr({c}, 1, 1)
-  WHEN {d.in_strings(f"substr({c}, 1, 2)", E164_CC_BY_LEN[2])} THEN substr({c}, 1, 2)
-  WHEN {d.in_strings(f"substr({c}, 1, 3)", E164_CC_BY_LEN[3])} THEN substr({c}, 1, 3)
-  ELSE NULL
-END"""
-
-
 def _intl_status_expr(d: Dialect, c: str) -> str:
     """Status of a '+'-prefixed non-NANP digit string ``c`` under the
     ITU E.164 model: 1 when the leading country code is assigned AND
@@ -150,17 +137,30 @@ def _intl_status_expr(d: Dialect, c: str) -> str:
     (phonenumbers general_desc possible lengths, refdata.py), 5 when
     the code is assigned but the length is not (parsed-but-invalid,
     phone-number-v1.py:88 flow), 3 when no assigned code matches
-    (NumberParseException flow).  The (code, length) decision is ONE
-    'cc:len' hash-set membership; residual divergence vs the library
-    (per-country digit-pattern metadata beyond length) is fuzz-pinned
-    in tests/test_phone_v1.py."""
-    cc = _intl_cc_expr(d, c)
-    pair = (
-        f"(({cc}) || ':' || {d.cast_str(f'(length({c}) - length({cc}))')})"
-    )
+    (NumberParseException flow).
+
+    E.164 codes are a prefix code, so at most one of the 1/2/3-digit
+    memberships can hit; ONE searched CASE renders every literal set
+    exactly once (the code lists, and the 'cc:len' pair list split by
+    code length) — the same folded-constant-hash-set strategy as the
+    NANP tables, sized so the plan does not triple the literal volume.
+    Residual divergence vs the library (per-country digit-pattern
+    metadata beyond length) is fuzz-pinned in tests/test_phone_v1.py."""
+    branches = []
+    for n in (1, 2, 3):
+        pairs_n = [p for p in E164_CC_LEN_PAIRS if p.index(":") == n]
+        pair = (
+            f"(substr({c}, 1, {n}) || ':' || "
+            f"{d.cast_str(f'(length({c}) - {n})')})"
+        )
+        branches.append(
+            f"WHEN {d.in_strings(f'substr({c}, 1, {n})', E164_CC_BY_LEN[n])} "
+            f"THEN (CASE WHEN {d.in_strings(pair, pairs_n)} "
+            "THEN 1 ELSE 5 END)"
+        )
+    body = "\n  ".join(branches)
     return f"""CASE
-  WHEN {d.in_strings(pair, E164_CC_LEN_PAIRS)} THEN 1
-  WHEN ({cc}) IS NOT NULL THEN 5
+  {body}
   ELSE 3
 END"""
 

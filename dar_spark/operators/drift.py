@@ -610,12 +610,16 @@ def psi_between_bins(
     psi_drift run on the same underlying rows (pinned in tests).
     """
     gc = group_cols or []
+    # coalesce: an EMPTY bins frame (e.g. a zero-row snapshot) must
+    # score as t = 0 with uniformly-smoothed shares — the same value
+    # the DuckDB oracles compute from their COALESCE'd dense grids —
+    # not as a NULL that silently propagates into psi
     a = bins_a.groupBy().agg(
-        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("t_old"),
+        F.expr("CAST(coalesce(SUM(cnt), 0) AS BIGINT)").alias("t_old"),
         F.expr("sort_array(collect_list(struct(bin, cnt)))").alias("_ba"),
     )
     b = bins_b.groupBy(*gc).agg(
-        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("t_new"),
+        F.expr("CAST(coalesce(SUM(cnt), 0) AS BIGINT)").alias("t_new"),
         F.expr("sort_array(collect_list(struct(bin, cnt)))").alias("_bb"),
     )
     # densify both sides onto the full grid inside expressions: missing

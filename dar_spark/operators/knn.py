@@ -59,6 +59,52 @@ def _require_numeric_label(df: DataFrame, label_col: str, op: str) -> None:
 _COS6_INT = "CAST(round(-x.nc * 1000000.0, 0) AS BIGINT)"
 
 
+def _broadcast_vote(
+    q: DataFrame, seeds: DataFrame, k: int, seed_pred: str = "true"
+) -> DataFrame:
+    """The ONE fold+vote core shared by :func:`knn_classify` and
+    :func:`knn_label_noise`, so the tie-break contract — top-k by
+    (cos DESC, label ASC), winner by (count, exact 1e-6-unit similarity
+    sum, smaller label) — lives in exactly one place.
+
+    ``q`` carries (_v, _nrm) plus any pass-through columns; ``seeds``
+    is the single-row broadcast frame with a ``_seeds`` struct list
+    (fields l/sv/sn, plus whatever ``seed_pred`` needs — it filters the
+    per-row seed list with ``s`` bound to the struct).  Appends
+    (pred_label, n_votes, vote_sim); all three NULL when no seeds
+    survive the filter."""
+    cos6 = (
+        "round(aggregate(zip_with(_v, s.sv, (x, y) -> x * y), 0D, "
+        "(a, x) -> a + x) / (_nrm * s.sn), 6)"
+    )
+    scored = q.crossJoin(F.broadcast(seeds)).withColumn(
+        # ascending struct sort = (cos DESC, label ASC); equal (cos6,
+        # label) structs are interchangeable for the vote multiset, so
+        # the k-boundary is deterministic
+        "_topk",
+        F.expr(
+            f"slice(array_sort(transform(filter(_seeds, s -> {seed_pred}), "
+            f"s -> struct(-{cos6} AS nc, s.l AS l))), 1, {k})"
+        ),
+    )
+    votes = scored.withColumn(
+        "_votes",
+        F.expr(
+            "transform(array_distinct(transform(_topk, x -> x.l)), L -> struct("
+            "size(filter(_topk, x -> x.l = L)) AS cnt, "
+            f"aggregate(filter(_topk, x -> x.l = L), 0L, (a, x) -> a + {_COS6_INT}) AS s6, "
+            "-L AS nl))"
+        ),
+    ).withColumn("_best", F.expr("array_max(_votes)"))
+    return votes.withColumn(
+        "pred_label", F.expr("-_best.nl")
+    ).withColumn(
+        "n_votes", F.expr("CAST(_best.cnt AS BIGINT)")
+    ).withColumn(
+        "vote_sim", F.expr("CAST(_best.s6 AS DOUBLE) / 1000000.0")
+    )
+
+
 def knn_classify(
     embeddings: DataFrame,
     id_col: str,
@@ -98,34 +144,8 @@ def knn_classify(
         .agg(F.collect_list("_s").alias("_seeds"))
     )
     q = e.filter(query_pred).select(id_col, "_v", "_nrm")
-    cos6 = (
-        "round(aggregate(zip_with(_v, s.sv, (x, y) -> x * y), 0D, "
-        "(a, x) -> a + x) / (_nrm * s.sn), 6)"
-    )
-    scored = q.crossJoin(F.broadcast(seeds)).withColumn(
-        # ascending struct sort = (cos DESC, label ASC); equal (cos6,
-        # label) structs are interchangeable for the vote multiset, so
-        # the k-boundary is deterministic
-        "_topk",
-        F.expr(
-            f"slice(array_sort(transform(_seeds, s -> "
-            f"struct(-{cos6} AS nc, s.l AS l))), 1, {k})"
-        ),
-    )
-    votes = scored.withColumn(
-        "_votes",
-        F.expr(
-            "transform(array_distinct(transform(_topk, x -> x.l)), L -> struct("
-            "size(filter(_topk, x -> x.l = L)) AS cnt, "
-            f"aggregate(filter(_topk, x -> x.l = L), 0L, (a, x) -> a + {_COS6_INT}) AS s6, "
-            "-L AS nl))"
-        ),
-    ).withColumn("_best", F.expr("array_max(_votes)"))
-    return votes.select(
-        F.col(id_col),
-        F.expr("-_best.nl").alias("pred_label"),
-        F.expr("CAST(_best.cnt AS BIGINT)").alias("n_votes"),
-        F.expr("CAST(_best.s6 AS DOUBLE) / 1000000.0").alias("vote_sim"),
+    return _broadcast_vote(q, seeds, k).select(
+        id_col, "pred_label", "n_votes", "vote_sim"
     )
 
 
@@ -168,35 +188,16 @@ def knn_label_noise(
         ).alias("_s")
     ).agg(F.collect_list("_s").alias("_seeds"))
     q = e.select(id_col, F.col(label_col).alias("label"), "_v", "_nrm")
-    cos6 = (
-        "round(aggregate(zip_with(_v, s.sv, (x, y) -> x * y), 0D, "
-        "(a, x) -> a + x) / (_nrm * s.sn), 6)"
-    )
-    scored = q.crossJoin(F.broadcast(seeds)).withColumn(
-        "_topk",
-        F.expr(
-            f"slice(array_sort(transform("
-            f"filter(_seeds, s -> s.i <> {id_col}), s -> "
-            f"struct(-{cos6} AS nc, s.l AS l))), 1, {k})"
-        ),
-    )
-    votes = scored.withColumn(
-        "_votes",
-        F.expr(
-            "transform(array_distinct(transform(_topk, x -> x.l)), L -> struct("
-            "size(filter(_topk, x -> x.l = L)) AS cnt, "
-            f"aggregate(filter(_topk, x -> x.l = L), 0L, (a, x) -> a + {_COS6_INT}) AS s6, "
-            "-L AS nl))"
-        ),
-    ).withColumn("_best", F.expr("array_max(_votes)"))
-    return votes.select(
+    return _broadcast_vote(
+        q, seeds, k, seed_pred=f"s.i <> {id_col}"
+    ).select(
         F.col(id_col),
         F.col("label"),
-        F.expr("-_best.nl").alias("pred_label"),
-        F.expr("CAST(_best.cnt AS BIGINT)").alias("n_votes"),
-        F.expr("CAST(_best.s6 AS DOUBLE) / 1000000.0").alias("vote_sim"),
+        F.col("pred_label"),
+        F.col("n_votes"),
+        F.col("vote_sim"),
         F.expr(
-            "CAST(_best IS NOT NULL AND -_best.nl <> label AS INT)"
+            "CAST(pred_label IS NOT NULL AND pred_label <> label AS INT)"
         ).alias("is_suspect"),
     )
 

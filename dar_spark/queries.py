@@ -2068,6 +2068,25 @@ _EVIDENCE_R6 = [
     "zipf_report_docs",
 ]
 
+# Queries whose OUTPUT changed since their latest green artifact row —
+# that row certifies behavior that no longer exists, so rotation must
+# treat them as unverified (sorted into the window like new queries).
+# Clear this set once the next round's artifact re-certifies them.
+SEMANTICS_CHANGED_R7 = {
+    # ITU E.164 branch: non-NANP '+CC' statuses 5 -> 1/5/3
+    "phone_v1_intl_profile",
+    # dirty_phone class 10 ('+44' + 9 digits) flips 5 -> 1 and
+    # normalizes with its own country code
+    "phone_v1_profile",
+    # NULL-key rows now excluded from the grid
+    "resample_ffill_events",
+    # group_centroids: NULL components now excluded from the count
+    # denominator (fixtures carry no NULL components, but the contract
+    # changed — cheap to re-certify)
+    "class_separation_embed",
+    "embedding_outliers_label",
+}
+
 EVIDENCE_ROUND: dict[str, int] = {
     name: rnd
     for rnd, names in (
@@ -2075,6 +2094,7 @@ EVIDENCE_ROUND: dict[str, int] = {
         (5, _EVIDENCE_R5), (6, _EVIDENCE_R6),
     )
     for name in names
+    if name not in SEMANTICS_CHANGED_R7
 }
 
 
@@ -2104,21 +2124,19 @@ def build_registry() -> dict[str, Q]:
     """
     r: dict[str, Q] = {}
 
-    # -- new this round (r7): no external evidence yet -----------------------
+    # NOTE: insertion order below is only a tie-break WITHIN one
+    # evidence class — rotate_registry at the return is the single
+    # ordering authority; register new queries anywhere (grouped by
+    # family for readability) and list semantics changes in
+    # SEMANTICS_CHANGED_* so their stale evidence is invalidated.
     for name, q in _round7_queries():
         r[name] = q
-
-    # -- 0. never externally checked + new this round (r6) ------------------
     for name, q in _never_checked_queries():
         r[name] = q
     for name, q in _round6_queries():
         r[name] = q
-
-    # -- 0a. checked green once in r05 --------------------------------------
     for name, q in _round5_queries():
         r[name] = q
-
-    # -- 0b. checked green once in r04 --------------------------------------
     for name, q in _round4_queries():
         r[name] = q
     # index write+read cost and the new banded/fuzzy scale paths are
@@ -2132,7 +2150,6 @@ def build_registry() -> dict[str, Q]:
     ):
         r[flagship].headline = True
 
-    # -- 1. checked green once in r03 ---------------------------------------
     r["rowid_ordinal"] = _rowid_ordinal_q()
     r["zip_render_grouped"] = _zip_render_grouped_q()
     r["dup_clusters"] = _dup_clusters_q()
@@ -2156,11 +2173,9 @@ def build_registry() -> dict[str, Q]:
     r["asof_last_signup"] = _asof_last_signup_q()
     r["events_json_agg"] = _events_json_q()
 
-    # -- 2. new this round --------------------------------------------------
     for name, q in _round3_queries():
         r[name] = q
 
-    # -- 3. checked green once (r02 only) -----------------------------------
     r["phone_v1_profile"] = _profile_pair(
         "phone_v1_profile", "orders", K_ORDERS, testgen.dirty_phone,
         V.phone_v1_status, V.phone_v1_normalized,
@@ -2174,7 +2189,6 @@ def build_registry() -> dict[str, Q]:
     r["media_meta_profile"] = _media_meta_q()
     r["media_frame_sample"] = _media_frame_sample_q()
 
-    # -- 4. flagships (green in r01 and r02) --------------------------------
     r["phone_profile"] = _profile_pair(
         "phone_profile", "orders", K_ORDERS, testgen.dirty_phone,
         V.phone_status, V.phone_normalized,
@@ -2207,7 +2221,6 @@ def build_registry() -> dict[str, Q]:
     r["text_stats"] = _text_stats_q()
     r["token_topk"] = _token_topk_q()
 
-    # -- 5. archive (green in r01 and r02; past the 50-entry window) --------
     r["boro_profile"] = _profile_pair(
         "boro_profile", "orders", K_ORDERS, testgen.dirty_boro,
         V.boro_status, V.boro_normalized,

@@ -2,23 +2,19 @@
 stream against a static reference corpus, continuously — the
 embedding-space twin of ``streaming.drift_stream``.
 
-Composition of proven pieces, no new machinery:
-
-1. ``drift.srp_bucket_bins`` is the one shared binning expression —
-   applied to the reference it is a batch groupBy, applied to the
-   stream it is a map-only bucket projection + running count with
-   state bounded at 2^n_planes rows forever (complete mode).
-2. ``drift.psi_between_bins`` scores any drained bin frame against the
-   reference histogram with the same Laplace-smoothed, arithmetic-ln,
-   bin-ordered-fold PSI as batch ``drift.embedding_drift``.
-
-Unlike the scalar monitor there is NO (min, max) grid handshake: SRP
-buckets are defined by the deterministic hyperplanes alone, so the
-reference and the stream bin identically by construction.
+Composition of proven pieces, no new machinery — and deliberately NO
+wrapper functions around the binning side: ``drift.srp_bucket_bins`` is
+used DIRECTLY for both the reference (a batch groupBy; persist it, it
+is ≤ 2^n_planes rows) and the stream (a map-only bucket projection +
+running count, state bounded at 2^n_planes rows forever — run with
+outputMode('complete')).  One shared expression is the guarantee that
+the two sides can never bin differently; unlike the scalar monitor
+there is no (min, max) grid handshake because SRP buckets are defined
+by the deterministic hyperplanes alone.
 
 tests/test_embed_drift_stream.py pins end-to-end equality: a real
-multi-batch vector stream drained through this module scores
-IDENTICALLY (bit-for-bit) to batch ``embedding_drift(reference,
+multi-batch vector stream drained through this composition scores
+IDENTICALLY (bit-for-bit) to batch ``drift.embedding_drift(reference,
 union-of-batches)``.
 """
 from __future__ import annotations
@@ -27,26 +23,7 @@ from pyspark.sql import DataFrame
 
 from dar_spark.operators.drift import psi_between_bins, srp_bucket_bins
 
-
-def embed_reference_bins(
-    ref: DataFrame,
-    vec_col: str = "embedding",
-    n_planes: int = 6,
-) -> DataFrame:
-    """Static reference histogram (bin, cnt) — persist or cache this;
-    it is ≤ 2^n_planes rows."""
-    return srp_bucket_bins(ref, vec_col, n_planes)
-
-
-def streaming_embed_bins(
-    stream_df: DataFrame,
-    vec_col: str = "embedding",
-    n_planes: int = 6,
-) -> DataFrame:
-    """Running (bin, cnt) state for the stream side — run with
-    outputMode('complete') (state ≤ 2^n_planes rows) and score any
-    drain with :func:`score_embed_bins`."""
-    return srp_bucket_bins(stream_df, vec_col, n_planes)
+__all__ = ["srp_bucket_bins", "score_embed_bins"]
 
 
 def score_embed_bins(
@@ -56,8 +33,11 @@ def score_embed_bins(
     group_cols: list[str] | None = None,
 ) -> DataFrame:
     """PSI of drained stream bucket counts against the reference
-    histogram (reference = old side), per ``group_cols`` group if
-    given.  Output: (t_old, t_new, psi, drifted)."""
+    histogram — ``drift.psi_between_bins`` with the argument order
+    fixed to the monitoring convention (reference = old side) and the
+    grid size derived from the plane count.  Pass ``group_cols`` to
+    score groups (e.g. event-time windows) independently.  Output:
+    (t_old, t_new, psi, drifted)."""
     return psi_between_bins(
         ref_bins, stream_bins, 2 ** n_planes, group_cols=group_cols
     )

@@ -21,8 +21,11 @@ def run_to_memory(df, name, output_mode="complete"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(120)
     q.stop()
+    # an unfinished drain would surface later as a baffling psi
+    # mismatch; fail here with the real cause instead
+    assert finished, "stream did not drain within 120s"
 
 
 def test_streaming_psi_matches_batch_psi_drift(spark, tmp_path):

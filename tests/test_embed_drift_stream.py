@@ -18,16 +18,18 @@ def run_to_memory(df, name, output_mode="complete"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(120)
     q.stop()
+    # an unfinished drain would surface later as a baffling psi
+    # mismatch; fail here with the real cause instead
+    assert finished, "stream did not drain within 120s"
 
 
 def test_streaming_embed_psi_matches_batch(spark, tmp_path):
     from dar_spark.operators.drift import embedding_drift
     from dar_spark.streaming.embed_drift_stream import (
-        embed_reference_bins,
         score_embed_bins,
-        streaming_embed_bins,
+        srp_bucket_bins,
     )
 
     n_planes = 5
@@ -38,14 +40,14 @@ def test_streaming_embed_psi_matches_batch(spark, tmp_path):
         "transform(embedding, x -> CAST(x AS DOUBLE) "
         "* CAST(0.8 AS DOUBLE) + CAST(0.3 AS DOUBLE)) AS embedding"
     )
-    rbins = embed_reference_bins(ref, "embedding", n_planes)
+    rbins = srp_bucket_bins(ref, "embedding", n_planes)
 
     src = str(tmp_path / "embed_drift_src")
     new.repartition(4).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(new.schema).option(
         "maxFilesPerTrigger", 1
     ).parquet(src)
-    sbins = streaming_embed_bins(stream, "embedding", n_planes)
+    sbins = srp_bucket_bins(stream, "embedding", n_planes)
     name = "t_" + uuid.uuid4().hex[:8]
     run_to_memory(sbins, name, output_mode="complete")
     drained = spark.sql(f"SELECT * FROM {name}")
@@ -72,3 +74,26 @@ def test_embedding_drift_null_safe_and_self_zero(spark):
     assert (r["t_old"], r["t_new"]) == (3, 3)
     assert r["psi"] == 0.0
     assert r["drifted"] == 0
+
+
+def test_embedding_drift_empty_side_matches_oracle(spark, duck):
+    """A zero-row snapshot must score as t = 0 with uniformly-smoothed
+    shares — identically in both engines (the degenerate corner the
+    fixtures never exercise)."""
+    from dar_spark.operators.drift import (
+        embedding_drift,
+        embedding_drift_oracle_sql,
+    )
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    empty = df.filter("vec_id < 0")
+    (r,) = embedding_drift(empty, df, "embedding", n_planes=3).collect()
+    sql = embedding_drift_oracle_sql(
+        "SELECT [1.0, 0.0]::DOUBLE[] AS v WHERE 1 = 0",
+        "SELECT unnest([[1.0, 0.0], [0.0, 1.0]])::DOUBLE[] AS v",
+        n_planes=3,
+    )
+    (o,) = duck.execute(sql).fetchall()
+    assert (r["t_old"], r["t_new"], r["psi"], r["drifted"]) == tuple(o)
+    assert r["t_old"] == 0 and r["psi"] is not None

@@ -45,11 +45,10 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_query_matches_oracle(name, spark, duck):
-    q = REGISTRY[name]
-    if q.oracle is None:
-        pytest.skip("rows-only query (no SQL-expressible oracle)")
+def assert_query_matches_oracle(name, q, spark, duck):
+    """The ONE parity comparison shared by the full lane and the smoke
+    lane (tests/test_smoke.py), so the two can never compare
+    differently."""
     sdf = q.spark(spark, SF_DIR)
     spark_pd = _normalize(sdf.toPandas())
     duck_pd = _normalize(duck.execute(q.oracle).fetchdf())
@@ -68,3 +67,11 @@ def test_query_matches_oracle(name, spark, duck):
             if not _values_equal(a, b)
         ]
         assert not bad, f"{name}.{c}: first mismatches {bad[:5]}"
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, duck):
+    q = REGISTRY[name]
+    if q.oracle is None:
+        pytest.skip("rows-only query (no SQL-expressible oracle)")
+    assert_query_matches_oracle(name, q, spark, duck)

@@ -30,36 +30,56 @@ def _evidence_rounds() -> dict[str, int]:
 
 def test_evidence_lists_match_artifacts():
     """queries.EVIDENCE_ROUND is regenerated from the CORRECTNESS files
-    each round — this fails the moment it goes stale."""
+    each round — this fails the moment it goes stale.  Names in
+    SEMANTICS_CHANGED_* are deliberately absent (their artifact row
+    certifies behavior that no longer exists), and every such name must
+    actually have an artifact row to invalidate."""
+    from dar_spark.queries import SEMANTICS_CHANGED_R7
+
     actual = _evidence_rounds()
     r = build_registry()
     for name in r:
         want = actual.get(name)
         got = EVIDENCE_ROUND.get(name)
-        if want is None:
-            assert got is None, f"{name}: no artifact row but listed as r{got}"
+        if want is None or name in SEMANTICS_CHANGED_R7:
+            assert got is None, f"{name}: must not carry evidence (got r{got})"
         else:
             assert got == want, f"{name}: artifact says r{want}, list says r{got}"
+    ghost = [n for n in SEMANTICS_CHANGED_R7 if n not in actual]
+    assert not ghost, f"SEMANTICS_CHANGED names with no artifact row: {ghost}"
+
+
+def _effective_evidence() -> dict[str, int]:
+    """Artifact evidence with semantics-changed names invalidated (0 =
+    needs a fresh row)."""
+    from dar_spark.queries import SEMANTICS_CHANGED_R7
+
+    actual = _evidence_rounds()
+    return {
+        n: (0 if n in SEMANTICS_CHANGED_R7 else r) for n, r in actual.items()
+    }
 
 
 def test_never_checked_queries_lead_the_window():
-    """Every registry entry with NO external evidence row sits inside
-    the first-50 window (the r5 lesson: two queries sat at positions
-    50-51 for four rounds and were never checked)."""
-    actual = _evidence_rounds()
+    """Every registry entry with NO valid external evidence — never
+    checked, or semantics changed since its last green row — sits
+    inside the first-50 window (the r5 lesson: two queries sat at
+    positions 50-51 for four rounds and were never checked)."""
+    eff = _effective_evidence()
     names = list(build_registry())
-    unchecked = [n for n in names if n not in actual]
+    unchecked = [n for n in names if eff.get(n, 0) == 0]
     missing = [n for n in unchecked if n not in names[:WINDOW]]
-    assert not missing, f"never-checked queries outside the window: {missing}"
+    assert not missing, f"unverified queries outside the window: {missing}"
 
 
 def test_window_holds_the_stalest_evidence():
-    """No entry outside the window may have strictly older evidence
-    than an entry inside it — the rotation refreshes oldest-first."""
-    actual = _evidence_rounds()
+    """No entry outside the window may have strictly older (valid)
+    evidence than an entry inside it — the rotation refreshes
+    oldest-first."""
+    eff = _effective_evidence()
     names = list(build_registry())
-    inside = [actual.get(n, 0) for n in names[:WINDOW]]
-    outside = [actual.get(n, 0) for n in names[WINDOW:]]
+    inside = [eff.get(n, 0) for n in names[:WINDOW]]
+    outside = [eff.get(n, 0) for n in names[WINDOW:]]
     if not outside:
         return
     assert max(inside) <= min(outside), (

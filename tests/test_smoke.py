@@ -13,12 +13,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.test_oracle_parity import (
-    REGISTRY,
-    _normalize,
-    _values_equal,
-)
-from tests.conftest import SF_DIR
+from tests.test_oracle_parity import REGISTRY, assert_query_matches_oracle
 
 pytestmark = pytest.mark.smoke
 
@@ -55,18 +50,4 @@ def test_family_reps_exist():
 
 @pytest.mark.parametrize("name", FAMILY_REPS)
 def test_smoke_query_matches_oracle(name, spark, duck):
-    q = REGISTRY[name]
-    sdf = q.spark(spark, SF_DIR)
-    spark_pd = _normalize(sdf.toPandas())
-    duck_pd = _normalize(duck.execute(q.oracle).fetchdf())
-    assert list(spark_pd.columns) == list(duck_pd.columns)
-    assert len(spark_pd) == len(duck_pd) > 0
-    for c in spark_pd.columns:
-        bad = [
-            (i, a, b)
-            for i, (a, b) in enumerate(
-                zip(spark_pd[c].tolist(), duck_pd[c].tolist())
-            )
-            if not _values_equal(a, b)
-        ]
-        assert not bad, f"{name}.{c}: first mismatches {bad[:5]}"
+    assert_query_matches_oracle(name, REGISTRY[name], spark, duck)
