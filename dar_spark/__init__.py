@@ -44,6 +44,7 @@ __all__ = [
     "repetition_filter",
     "chunk_dedup",
     "chunk_dedup_cdc",
+    "containment_dup_pairs",
     "semdedup_prune",
     "gopher_quality",
     "tfidf_topk",
@@ -101,6 +102,7 @@ __all__ = [
     "ks_drift",
     "psi_between_bins",
     "embedding_drift",
+    "embedding_drift_by_group",
     "srp_bucket_bins",
     "rrf_fuse",
     "knn_label_noise",
@@ -171,7 +173,8 @@ def __getattr__(name):
         from dar_spark.operators import similarity as _sim
 
         return getattr(_sim, name)
-    if name in ("chunk_dedup", "chunk_dedup_cdc", "semdedup_prune"):
+    if name in ("chunk_dedup", "chunk_dedup_cdc", "containment_dup_pairs",
+                "semdedup_prune"):
         from dar_spark.operators import dedup as _dd2
 
         return getattr(_dd2, name)
@@ -276,7 +279,8 @@ def __getattr__(name):
 
         return resample_ffill
     if name in ("psi_drift", "psi_report", "ks_drift", "ks_report",
-                "psi_between_bins", "embedding_drift", "srp_bucket_bins"):
+                "psi_between_bins", "embedding_drift",
+                "embedding_drift_by_group", "srp_bucket_bins"):
         from dar_spark.operators import drift as _dr
 
         return getattr(_dr, name)

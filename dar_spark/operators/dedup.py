@@ -1048,6 +1048,135 @@ def chunk_dedup_cdc(
     )
 
 
+def containment_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    containment_threshold: float = 0.5,
+    mask: int = 16,
+    shingle_n: int = 3,
+    max_chunk_df: int = 32,
+) -> DataFrame:
+    """Partial-copy pairs by shingle CONTAINMENT:
+    ``(id_a, id_b, containment_a, containment_b, jaccard)`` where
+    ``containment_a = |S_a ∩ S_b| / |S_a|`` — the asymmetric overlap
+    that detects a small document copied INTO a larger one.  Jaccard-
+    thresholded minhash structurally misses this class twice over: the
+    big doc's union washes the score out, AND low-Jaccard pairs rarely
+    share a band, so they never even become candidates.
+
+    Candidate stage: documents sharing at least one identical
+    content-defined chunk (``cdc_chunk_documents`` — a shared CDC chunk
+    directly witnesses a shared substring at ANY offset, the same
+    re-alignment property :func:`chunk_dedup_cdc` exploits).  Chunks
+    appearing in more than ``max_chunk_df`` documents are excluded as
+    boilerplate — the guard that bounds the chunk-hash equi-join's
+    worst key at max_chunk_df² pairs instead of (corpus count)².
+    Verification computes exact shingle containment on candidates only.
+
+    Scale shape: chunking is the CDC narrow explode; the candidate join
+    shuffles on md5 chunk hashes (uniform); verification touches
+    candidate pairs only.  The pair filter runs on the unrounded IEEE
+    quotient (engine-identical); reported ratios are half-up integer
+    ``ratio_6dp``."""
+    from dar_spark.functions.text import cdc_chunk_documents
+
+    ch = (
+        cdc_chunk_documents(df, id_col, text_col, mask=mask)
+        .select(F.col(id_col), F.md5("chunk_text").alias("_h"))
+        .distinct()
+    )
+    # _df = 1 chunks cannot form a pair; > max_chunk_df is boilerplate
+    rare = (
+        ch.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(f"_df BETWEEN 2 AND {max_chunk_df}")
+        .select("_h")
+    )
+    keyed = ch.join(rare, "_h")
+    a = keyed.select(F.col(id_col).alias("doc_id_a"), "_h")
+    b = keyed.select(F.col(id_col).alias("doc_id_b"), "_h")
+    cands = (
+        a.join(b, "_h")
+        .filter("doc_id_a < doc_id_b")
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    sh = shingles(df, id_col, text_col, shingle_n)
+    sa = sh.select(F.col(id_col).alias("doc_id_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col(id_col).alias("doc_id_b"), F.col("s").alias("sb"))
+    j = (
+        cands.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .selectExpr(
+            "doc_id_a",
+            "doc_id_b",
+            "size(array_intersect(sa, sb)) AS i",
+            "size(sa) AS na",
+            "size(sb) AS nb",
+        )
+    )
+    return j.selectExpr(
+        "doc_id_a",
+        "doc_id_b",
+        f"{SPARK.ratio_6dp('i', 'na')} AS containment_a",
+        f"{SPARK.ratio_6dp('i', 'nb')} AS containment_b",
+        f"{SPARK.ratio_6dp('i', '(na + nb - i)')} AS jaccard",
+    ).filter(
+        "greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb) "
+        f">= {containment_threshold}"
+    )
+
+
+def containment_pairs_oracle_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    containment_threshold: float = 0.5,
+    mask: int = 16,
+    shingle_n: int = 3,
+    max_chunk_df: int = 32,
+) -> str:
+    """DuckDB twin of :func:`containment_dup_pairs` over a
+    ``({id_col}, {text_col})`` SELECT — CDC chunk candidates from
+    ``cdc_chunk_oracle_sql``, shingle sets from the minhash oracle's
+    recipe, the same half-up ratios and unrounded threshold."""
+    from dar_spark.dialect import DUCKDB as _DK
+    from dar_spark.functions.text import cdc_chunk_oracle_sql
+
+    n = shingle_n
+    idx = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    cdc = cdc_chunk_oracle_sql(source_sql, id_col, text_col, mask=mask)
+    return f"""WITH src AS ({source_sql}),
+ch0 AS ({cdc}),
+ch AS (SELECT DISTINCT {id_col}, md5(chunk_text) AS h FROM ch0),
+rare AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM ch GROUP BY 1)
+         WHERE df BETWEEN 2 AND {max_chunk_df}),
+keyed AS (SELECT ch.{id_col}, ch.h FROM ch JOIN rare USING (h)),
+cand AS (SELECT DISTINCT a.{id_col} AS doc_id_a, b.{id_col} AS doc_id_b
+         FROM keyed a JOIN keyed b
+           ON a.h = b.h AND a.{id_col} < b.{id_col}),
+t AS (SELECT {id_col}, string_split(lower({text_col}), ' ') AS w FROM src),
+sh AS (SELECT {id_col},
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - {n - 1}, 0) + 1),
+           i -> {idx})) AS s
+       FROM t WHERE len(w) >= {n}),
+j AS (SELECT c.doc_id_a, c.doc_id_b,
+        len(list_intersect(sa.s, sb.s)) AS i,
+        len(sa.s) AS na, len(sb.s) AS nb
+      FROM cand c
+      JOIN sh sa ON sa.{id_col} = c.doc_id_a
+      JOIN sh sb ON sb.{id_col} = c.doc_id_b)
+SELECT doc_id_a, doc_id_b,
+       {_DK.ratio_6dp('i', 'na')} AS containment_a,
+       {_DK.ratio_6dp('i', 'nb')} AS containment_b,
+       {_DK.ratio_6dp('i', '(na + nb - i)')} AS jaccard
+FROM j
+WHERE greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb)
+      >= {containment_threshold}"""
+
+
 def semdedup_prune(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -677,6 +677,7 @@ def srp_bucket_bins(
     df: DataFrame,
     vec_col: str = "embedding",
     n_planes: int = 6,
+    group_col: str | None = None,
 ) -> DataFrame:
     """(bin, cnt) SRP sign-bucket histogram of an embedding column —
     the ONE binning expression shared by batch :func:`embedding_drift`,
@@ -691,17 +692,23 @@ def srp_bucket_bins(
     Works on batch AND streaming frames alike: a map-only bucket
     projection plus one hash aggregate on ≤ 2^n_planes keys (streaming
     state is bounded at that many rows in complete mode).  NULL vectors
-    are excluded."""
+    are excluded.  With ``group_col`` the histogram is per group —
+    (group, bin, cnt) on groups × 2^n_planes keys, NULL groups excluded
+    — the shared base of :func:`embedding_drift_by_group`."""
     from dar_spark.operators.similarity import _bucket_expr
 
+    base = df.filter(F.col(vec_col).isNotNull())
+    keys = []
+    if group_col is not None:
+        base = base.filter(F.col(group_col).isNotNull())
+        keys.append(group_col)
     return (
-        df.filter(F.col(vec_col).isNotNull())
-        .withColumn(
+        base.withColumn(
             "_v", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
         )
         .withColumn("_bk", _bucket_expr("_v", n_planes))
-        .select(F.expr("CAST(conv(_bk, 2, 10) AS INT)").alias("bin"))
-        .groupBy("bin")
+        .select(*keys, F.expr("CAST(conv(_bk, 2, 10) AS INT)").alias("bin"))
+        .groupBy(*keys, "bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
 
@@ -731,6 +738,91 @@ def embedding_drift(
         srp_bucket_bins(new, vec_col, n_planes),
         n_bins,
     )
+
+
+def embedding_drift_by_group(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    n_planes: int = 6,
+) -> DataFrame:
+    """Per-group embedding-distribution drift against the WHOLE corpus
+    — the embedding-space twin of :func:`psi_by_group`: which source /
+    dump / label occupies a different region of direction space than
+    the corpus it feeds (the corpus includes the group, so a dominant
+    group scores near 0 by construction).
+
+    Output one row per group: ``(group_col, n_group, n_total, psi,
+    drifted)``.  Scale shape: ONE corpus scan into the (group, bin)
+    histogram (``srp_bucket_bins``); the corpus histogram is the SUM of
+    the per-group counts — never a second scan — and all PSI
+    arithmetic runs on groups × 2^n_planes rows through
+    :func:`psi_between_bins`."""
+    n_bins = 2 ** n_planes
+    gb = srp_bucket_bins(df, vec_col, n_planes, group_col=group_col)
+    # both the corpus rollup and the per-group side read this tiny
+    # (groups × bins) aggregate — cache so the corpus scan runs once
+    gb = gb.cache()
+    corpus = gb.groupBy("bin").agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("cnt")
+    )
+    return psi_between_bins(
+        corpus, gb, n_bins, group_cols=[group_col]
+    ).select(
+        F.col(group_col),
+        F.col("t_new").alias("n_group"),
+        F.col("t_old").alias("n_total"),
+        F.col("psi"),
+        F.col("drifted"),
+    )
+
+
+def embedding_drift_by_group_oracle_sql(
+    source_sql: str,
+    group_col: str = "label",
+    n_planes: int = 6,
+) -> str:
+    """DuckDB twin of :func:`embedding_drift_by_group` over a
+    ``(g, v)`` SELECT (group + DOUBLE-list vector) — the
+    psi_by_group grid recipe on SRP buckets."""
+    from dar_spark.operators.similarity import duck_bucket_int
+
+    n_bins = 2 ** n_planes
+    bin_ = duck_bucket_int(n_planes)
+    layer_ctes, prev = [], "l0"
+    for i, (col, expr) in enumerate(
+        _psi_term_layers(_DUCK, n_bins, "c_old", "c_new"), 1
+    ):
+        layer_ctes.append(f"l{i} AS (SELECT *, {expr} AS {col} FROM {prev})")
+        prev = f"l{i}"
+    layers_sql = ",\n".join(layer_ctes)
+    return f"""WITH src AS ({source_sql}),
+vv AS (SELECT g AS _g, list_transform(v, x -> CAST(x AS DOUBLE)) AS v
+       FROM src WHERE v IS NOT NULL AND g IS NOT NULL),
+gb AS (SELECT _g, {bin_} AS bin, CAST(COUNT(*) AS BIGINT) AS c_grp
+       FROM vv GROUP BY 1, 2),
+grid AS (SELECT g._g, CAST(b.range AS INT) AS bin, COALESCE(gb.c_grp, 0) AS c_new
+         FROM (SELECT DISTINCT _g FROM gb) g
+         CROSS JOIN range(0, {n_bins}) b
+         LEFT JOIN gb ON gb._g = g._g AND gb.bin = CAST(b.range AS INT)),
+gall AS (SELECT bin, CAST(SUM(c_grp) AS BIGINT) AS c_old FROM gb GROUP BY 1),
+tg AS (SELECT _g, CAST(SUM(c_grp) AS BIGINT) AS t_new FROM gb GROUP BY 1),
+tot AS (SELECT CAST(SUM(c_grp) AS BIGINT) AS t_old FROM gb),
+l0 AS (SELECT grid._g, grid.bin, COALESCE(gall.c_old, 0) AS c_old,
+              grid.c_new, tg.t_new, tot.t_old
+       FROM grid LEFT JOIN gall USING (bin) JOIN tg USING (_g) CROSS JOIN tot),
+{layers_sql},
+packed AS (
+  SELECT _g, MAX(t_new) AS n_group, MAX(t_old) AS n_total,
+         list(struct_pack(bin := bin, t := _term) ORDER BY bin) AS _tb
+  FROM {prev} GROUP BY _g),
+fin AS (
+  SELECT _g, n_group, n_total,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(_tb, s -> s.t)), (a, x) -> a + x) AS psi
+  FROM packed)
+SELECT _g AS {group_col}, n_group, n_total, psi,
+       CAST(psi >= 0.2 AS INT) AS drifted FROM fin"""
 
 
 def embedding_drift_oracle_sql(

@@ -2261,7 +2261,93 @@ def _round7_queries() -> list[tuple[str, Q]]:
         ("embed_drift_embed", _embed_drift_q()),
         ("hybrid_search_docs", _hybrid_search_q()),
         ("knn_label_noise_embed", _knn_label_noise_q()),
+        ("containment_pairs_docs", _containment_pairs_q()),
+        ("embed_drift_by_label", _embed_drift_by_group_q()),
     ]
+
+
+# partial-copy corpus: triple representatives intact, %3==1 full copies,
+# %3==2 the FIRST HALF of the representative's tokens plus a doc-unique
+# filler token — the asymmetric-containment class a Jaccard threshold
+# washes out.
+PARTIAL_CORPUS_CTE = (
+    "SELECT a.doc_id, CASE WHEN a.doc_id % 3 = 2 THEN "
+    "array_to_string(list_slice(string_split(b.text, ' '), 1, "
+    "CAST(FLOOR(len(string_split(b.text, ' ')) / 2.0) AS INT)), ' ') "
+    "|| ' filler' || CAST(a.doc_id AS VARCHAR) "
+    "ELSE b.text END AS text "
+    "FROM documents a "
+    "JOIN documents b ON b.doc_id = a.doc_id - (a.doc_id % 3)"
+)
+
+
+def _partial_corpus_df(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    docs = parallelize(t["documents"]).select("doc_id", "text")
+    rep = docs.select(
+        F.col("doc_id").alias("rep_id"), F.col("text").alias("rep_text")
+    )
+    return (
+        docs.select("doc_id", F.expr("doc_id - doc_id % 3").alias("rep_id"))
+        .join(rep, "rep_id")
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id % 3 = 2 THEN "
+            "array_join(slice(split(rep_text, ' ', -1), 1, "
+            "CAST(FLOOR(size(split(rep_text, ' ', -1)) / 2.0) AS INT)), ' ') "
+            "|| ' filler' || CAST(doc_id AS STRING) "
+            "ELSE rep_text END AS text",
+        )
+    )
+
+
+def _containment_pairs_q() -> Q:
+    """Partial-copy containment pairs (dedup.containment_dup_pairs):
+    shared-CDC-chunk candidates + exact shingle containment over the
+    partial-copy corpus — the half-documents surface with
+    containment ≈ 1 on the contained side at jaccard ≈ 0.5, exactly the
+    region a 0.6-Jaccard minhash pass never reports.  Oracle:
+    containment_pairs_oracle_sql (CDC chunks + minhash-recipe shingle
+    sets, same half-up ratios, same unrounded threshold)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dedup import containment_dup_pairs
+
+        return containment_dup_pairs(
+            _partial_corpus_df(spark, sf_dir), "doc_id", "text",
+            containment_threshold=0.5,
+        )
+
+    from dar_spark.operators.dedup import containment_pairs_oracle_sql
+
+    return Q(spark_fn, containment_pairs_oracle_sql(
+        PARTIAL_CORPUS_CTE, "doc_id", "text", containment_threshold=0.5,
+    ))
+
+
+def _embed_drift_by_group_q() -> Q:
+    """Per-label embedding drift vs the corpus
+    (drift.embedding_drift_by_group): one (label, SRP-bucket) histogram
+    scan, corpus histogram = sum of per-label counts, categorical PSI
+    per label — the embedding twin of psi_by_source_docs.  Oracle:
+    embedding_drift_by_group_oracle_sql (same plane constants, grid,
+    and PSI layers)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.drift import embedding_drift_by_group
+
+        t = load_tables(spark, sf_dir)
+        return embedding_drift_by_group(
+            t["embeddings"], "embedding", "label",
+            n_planes=EMBED_DRIFT_PLANES,
+        )
+
+    from dar_spark.operators.drift import embedding_drift_by_group_oracle_sql
+
+    return Q(spark_fn, embedding_drift_by_group_oracle_sql(
+        "SELECT label AS g, embedding AS v FROM embeddings",
+        group_col="label", n_planes=EMBED_DRIFT_PLANES,
+    ))
 
 
 NOISE_FLIP_PRED = "vec_id % 17 = 0"  # ~6% deliberately mislabeled

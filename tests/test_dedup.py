@@ -592,3 +592,43 @@ def test_dup_source_matrix_cells_and_shares(spark):
     assert rows[("books", "web")] == (2, 0.5)
     assert rows[("code", "code")] == (1, 0.25)
     assert len(rows) == 3
+
+
+def test_containment_catches_partial_copy_minhash_misses(spark):
+    """A 40-token doc whose text is fully contained in a 200-token doc:
+    jaccard ~ 0.2 so the 0.6-minhash pass never reports it, but
+    containment of the small side is ~1 and the CDC-chunk candidate
+    stage finds the pair at any offset."""
+    import random
+
+    rng = random.Random(5)
+    big = [f"w{rng.randint(0, 9)}{i}" for i in range(200)]
+    small = big[87:127]  # 40 tokens, arbitrary offset
+    df = spark.createDataFrame(
+        [(1, " ".join(big)), (2, " ".join(small))],
+        "doc_id int, text string",
+    )
+    mh = dedup.minhash_lsh_pairs(df, "doc_id", "text", jaccard_threshold=0.6)
+    assert mh.count() == 0
+    rows = dedup.containment_dup_pairs(
+        df, "doc_id", "text", containment_threshold=0.8
+    ).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r.doc_id_a, r.doc_id_b) == (1, 2)
+    assert r.containment_b >= 0.9  # the small doc is (almost) contained
+    assert r.jaccard < 0.6         # invisible to the Jaccard threshold
+
+
+def test_containment_boilerplate_guard_bounds_candidates(spark):
+    """A chunk shared by MORE than max_chunk_df docs is boilerplate and
+    must not generate candidate pairs on its own."""
+    common = " ".join(f"b{i}" for i in range(40))
+    rows = [(d, common + f" u{d}x u{d}y u{d}z") for d in range(6)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = dedup.containment_dup_pairs(
+        df, "doc_id", "text", containment_threshold=0.5, max_chunk_df=3
+    )
+    # every pair's only shared chunks come from the 6-doc boilerplate
+    # prefix, which exceeds max_chunk_df=3 -> no candidates survive
+    assert out.count() == 0

@@ -97,3 +97,23 @@ def test_embedding_drift_empty_side_matches_oracle(spark, duck):
     (o,) = duck.execute(sql).fetchall()
     assert (r["t_old"], r["t_new"], r["psi"], r["drifted"]) == tuple(o)
     assert r["t_old"] == 0 and r["psi"] is not None
+
+
+def test_embedding_drift_by_group_null_groups_excluded(spark):
+    """NULL groups and NULL vectors are excluded; a group that IS the
+    whole corpus scores 0; n_total sums every grouped vector."""
+    from dar_spark.operators.drift import embedding_drift_by_group
+
+    rows = [
+        (0, [1.0, 0.0], "a"), (1, [0.9, 0.1], "a"),
+        (2, [0.0, 1.0], None), (3, None, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>, src string"
+    )
+    out = {r.src: r for r in embedding_drift_by_group(
+        df, "embedding", "src", n_planes=3
+    ).collect()}
+    assert set(out) == {"a"}
+    assert (out["a"].n_group, out["a"].n_total) == (2, 2)
+    assert out["a"].psi == 0.0 and out["a"].drifted == 0
