@@ -1012,21 +1012,18 @@ def chunk_dedup_cdc(
     RefinedWeb/The Pile exact-substring dedup intent (Penedo et al.
     2023 §4.2) at expected-``mask``-token granularity.
 
-    Plan shape: the chunker's narrow posexplode + per-doc boundary
-    window, ONE doc-partitioned count window for the per-doc chunk
-    total (CDC has no closed-form count, unlike the grid chunker's
-    ``carry_total``), then the same hash-uniform first-occurrence
-    WindowGroupLimit and one groupBy(id) reassembly.  Output:
-    (id, text_dedup, n_kept, n_chunks) — a document whose every chunk
-    appeared earlier vanishes entirely.
+    Plan shape: the chunker is ONE per-row array fold + narrow
+    posexplode (zero shuffles; the per-doc chunk total rides along as
+    the closed-form ``carry_total``), then the same hash-uniform
+    first-occurrence WindowGroupLimit and one groupBy(id) reassembly.
+    Output: (id, text_dedup, n_kept, n_chunks) — a document whose
+    every chunk appeared earlier vanishes entirely.
     """
     from dar_spark.functions.text import cdc_chunk_documents
 
-    ch = cdc_chunk_documents(df, id_col, text_col, mask=mask)
+    ch = cdc_chunk_documents(df, id_col, text_col, mask=mask, carry_total=True)
     kept = (
-        ch.withColumn(
-            "n_chunks", F.count("*").over(Window.partitionBy(id_col))
-        )
+        ch.withColumnRenamed("n_doc_chunks", "n_chunks")
         .withColumn("_h", F.md5(F.col("chunk_text")))
         .withColumn(
             "_rn",

@@ -2256,7 +2256,7 @@ def build_registry() -> dict[str, Q]:
 def _round7_queries() -> list[tuple[str, Q]]:
     """Round-7 additions: shift-robust CDC chunk dedup, the
     embedding-space drift monitor, and RRF hybrid retrieval."""
-    return [
+    out = [
         ("chunk_dedup_cdc_docs", _chunk_dedup_cdc_q()),
         ("embed_drift_embed", _embed_drift_q()),
         ("hybrid_search_docs", _hybrid_search_q()),
@@ -2264,6 +2264,13 @@ def _round7_queries() -> list[tuple[str, Q]]:
         ("containment_pairs_docs", _containment_pairs_q()),
         ("embed_drift_by_label", _embed_drift_by_group_q()),
     ]
+    # every new family gets a tracked bench baseline from its first
+    # round (the r6 calibration convention); embed_drift_by_label is
+    # plan-identical to embed_drift_embed so one headliner covers both
+    for name, q in out:
+        if name != "embed_drift_by_label":
+            q.headline = True
+    return out
 
 
 # partial-copy corpus: triple representatives intact, %3==1 full copies,
