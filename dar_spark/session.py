@@ -87,13 +87,20 @@ def parallelize(df, min_parts: int | None = None):
 
 
 _TABLE_CACHE: dict = {}
+# which sf_dir's views are CURRENTLY registered, per session: temp views
+# are session-global, so loading a second scale factor overwrites them —
+# a later cache hit for the first must re-register its views or every
+# spark.sql()-based consumer silently reads the wrong scale (found by
+# the smoke lane running after a sf0.1 recall test).
+_CURRENT_VIEWS: dict = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """Register every fixture parquet as a temp view; returns name→DataFrame.
 
     Cached per (session, dir): repeated queries reuse the same DataFrame
-    lineage instead of re-reading parquet footers.
+    lineage instead of re-reading parquet footers.  The temp views always
+    track the MOST RECENT load_tables call, even on a cache hit.
 
     events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark only
     reads via the nanosAsLong legacy conf (as a BIGINT of nanos); convert
@@ -103,9 +110,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     # Keyed on applicationId (stable per live session), not id(spark):
     # CPython can reuse a stopped session's address, which would hand
     # back DataFrames bound to a dead JVM session (ADVICE r1).
-    cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    app_id = spark.sparkContext.applicationId
+    cache_key = (app_id, os.path.abspath(sf_dir))
     if cache_key in _TABLE_CACHE:
-        return _TABLE_CACHE[cache_key]
+        cached = _TABLE_CACHE[cache_key]
+        if _CURRENT_VIEWS.get(app_id) != cache_key[1]:
+            for n, df in cached.items():
+                df.createOrReplaceTempView(n)
+            _CURRENT_VIEWS[app_id] = cache_key[1]
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     names = [
         "region", "nation", "customer", "supplier", "part",
@@ -128,4 +141,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
         df.createOrReplaceTempView(n)
         out[n] = df
     _TABLE_CACHE[cache_key] = out
+    _CURRENT_VIEWS[app_id] = cache_key[1]
     return out

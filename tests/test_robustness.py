@@ -196,3 +196,21 @@ def test_leak_safe_split_no_dups_degenerates_to_flat(spark):
         df.select("doc_id"), "doc_id"
     ).collect()}
     assert safe == flat
+
+
+def test_load_tables_views_track_requested_scale(spark):
+    """Temp views are session-global: loading a second scale factor
+    overwrites them, and a later CACHE HIT for the first scale must
+    re-register its views — otherwise every spark.sql()-based query
+    silently reads the wrong scale (the bug the smoke lane exposed when
+    it ran after a sf0.1 recall test)."""
+    from dar_spark.session import load_tables
+
+    n_small = load_tables(spark, "/root/testdata/sf0.001")["orders"].count()
+    assert spark.sql("SELECT COUNT(*) AS n FROM orders").first()["n"] == n_small
+    n_big = load_tables(spark, "/root/testdata/sf0.01")["orders"].count()
+    assert n_big > n_small
+    assert spark.sql("SELECT COUNT(*) AS n FROM orders").first()["n"] == n_big
+    # cache hit for the first scale must re-point the views
+    load_tables(spark, "/root/testdata/sf0.001")
+    assert spark.sql("SELECT COUNT(*) AS n FROM orders").first()["n"] == n_small
