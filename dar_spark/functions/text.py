@@ -674,47 +674,70 @@ def cdc_chunk_documents(
     hash is the same exact-bigint polynomial used by
     ``rolling_fingerprint`` — portable, engine-identical.
 
-    Scale shape: the WHOLE chunking is one per-row runtime fold over
-    the token array (state = closed chunks + the open chunk) followed
-    by one narrow posexplode that already carries chunk ids — ZERO
-    shuffles (the original window-the-boundary-count + groupBy
-    reassembly formulation shuffled token-level rows twice; replacing
-    it took chunk_dedup_cdc from ~12 s to the chunk_dedup ballpark at
-    sf0.1, and gives consumers the per-doc chunk count as a
-    closed-form ``size()``).  The relational window formulation
-    survives as the independent DuckDB oracle.
-    Output: (id, chunk_id, chunk_text, n_tokens).
+    Scale shape: the WHOLE chunking is three LINEAR per-row
+    projections — boundary positions by filter over the token indices,
+    (start, end) spans by zipping the shifted position list, chunk
+    texts by slicing the token array per span — followed by one narrow
+    posexplode that already carries chunk ids.  ZERO shuffles (the
+    original window-the-boundary-count + groupBy reassembly shuffled
+    token-level rows twice; replacing it took chunk_dedup_cdc from
+    ~12 s to the chunk_dedup ballpark at sf0.1), O(tokens) work per
+    document (no accumulating fold — an append-per-chunk fold is
+    quadratic in chunk count on very long documents), and the per-doc
+    chunk count is a closed-form ``size()`` (``carry_total``).  The
+    relational window formulation survives as the independent DuckDB
+    oracle.  Output: (id, chunk_id, chunk_text, n_tokens).
     """
-    toks = f"split(trim(lower({text_col})), ' +')"
     th = (
-        "aggregate(transform(split(x, '', -1), "
+        "aggregate(transform(split(element_at(_w, i), '', -1), "
         "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), "
         f"(a, c) -> (a * 31 + c) % {CDC_MOD})"
     )
-    joined = "CASE WHEN s.n = 0 THEN x ELSE concat(s.cur, ' ', x) END"
-    fold = (
-        f"aggregate({toks}, "
-        "struct(CAST(array() AS array<struct<t: string, n: int>>) AS done, "
-        "CAST('' AS string) AS cur, CAST(0 AS INT) AS n), "
-        f"(s, x) -> CASE WHEN ({th}) % {mask} = 0 "
-        f"THEN struct(concat(s.done, array(struct({joined} AS t, "
-        "s.n + 1 AS n))) AS done, '' AS cur, 0 AS n) "
-        f"ELSE struct(s.done AS done, {joined} AS cur, s.n + 1 AS n) END, "
-        "s -> CASE WHEN s.n = 0 THEN s.done "
-        "ELSE concat(s.done, array(struct(s.cur AS t, s.n AS n))) END)"
+    # 1-based boundary positions; chunk k spans
+    # (prev boundary + 1) .. (this boundary), with a final ragged chunk
+    # when the last token is not a boundary (start size(_w)+1 > end
+    # size(_w) filters the phantom span out)
+    spans = (
+        "filter(zip_with("
+        "concat(array(1), transform(_bp, p -> p + 1)), "
+        "concat(_bp, array(size(_w))), "
+        "(s, e) -> struct(s AS s, e AS e)), x -> x.s <= x.e)"
     )
-    base = df.select(F.col(id_col), F.expr(fold).alias("_chs"))
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"split(trim(lower({text_col})), ' +')").alias("_w"),
+    ).select(
+        F.col(id_col),
+        "_w",
+        F.expr(
+            f"filter(sequence(1, size(_w)), i -> ({th}) % {mask} = 0)"
+        ).alias("_bp"),
+    ).select(
+        F.col(id_col),
+        F.expr(
+            f"transform({spans}, x -> struct("
+            "array_join(slice(_w, x.s, x.e - x.s + 1), ' ') AS t, "
+            "x.e - x.s + 1 AS n))"
+        ).alias("_chs"),
+    )
     cols = [F.col(id_col)]
     if carry_total:
         # closed-form per-doc chunk count — consumers never need a
         # corpus-wide window for it
         cols.append(F.expr("CAST(size(_chs) AS BIGINT)").alias("n_doc_chunks"))
+    out_cols = [id_col] + (["n_doc_chunks"] if carry_total else [])
+    # posexplode_OUTER, deliberately: the plain generator makes Catalyst
+    # infer `size(_chs) > 0` and push the ENTIRE chunk expression below
+    # the repartition as a scan predicate — a 1-task re-execution of
+    # the most expensive expression in the pipeline (the shingles()
+    # trap).  Every non-null text yields >= 1 chunk, so outer emits no
+    # null rows in practice; the post-generate guard keeps the contract
+    # explicit without being pushable past the generator.
     return base.select(
         *cols,
-        F.posexplode(F.col("_chs")).alias("_cid", "_ch"),
-    ).select(
-        *[c if isinstance(c, str) else c for c in
-          ([id_col, "n_doc_chunks"] if carry_total else [id_col])],
+        F.posexplode_outer(F.col("_chs")).alias("_cid", "_ch"),
+    ).filter(F.col("_ch").isNotNull()).select(
+        *out_cols,
         F.col("_cid").cast("bigint").alias("chunk_id"),
         F.col("_ch.t").alias("chunk_text"),
         F.col("_ch.n").cast("bigint").alias("n_tokens"),

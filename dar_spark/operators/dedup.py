@@ -1075,13 +1075,24 @@ def containment_dup_pairs(
     shuffles on md5 chunk hashes (uniform); verification touches
     candidate pairs only.  The pair filter runs on the unrounded IEEE
     quotient (engine-identical); reported ratios are half-up integer
-    ``ratio_6dp``."""
+    ``ratio_6dp``.
+
+    PRECONDITION: documents shorter than ``shingle_n`` tokens have no
+    shingle set and are silently excluded from verification (they can
+    still appear as the CONTAINING side).  Training-data pipelines
+    filter sub-shingle fragments upstream (Gopher's min word count);
+    lower ``shingle_n`` if such fragments must participate."""
     from dar_spark.functions.text import cdc_chunk_documents
 
+    # both candidate self-join sides read the chunk-hash frame, and
+    # both verification sides read the shingle frame — cache each so
+    # the CDC fold and the shingle transform run once over the corpus
+    # (the minhash precedent at the top of this file)
     ch = (
         cdc_chunk_documents(df, id_col, text_col, mask=mask)
         .select(F.col(id_col), F.md5("chunk_text").alias("_h"))
         .distinct()
+        .cache()
     )
     # _df = 1 chunks cannot form a pair; > max_chunk_df is boilerplate
     rare = (
@@ -1099,7 +1110,7 @@ def containment_dup_pairs(
         .select("doc_id_a", "doc_id_b")
         .distinct()
     )
-    sh = shingles(df, id_col, text_col, shingle_n)
+    sh = shingles(df, id_col, text_col, shingle_n).cache()
     sa = sh.select(F.col(id_col).alias("doc_id_a"), F.col("s").alias("sa"))
     sb = sh.select(F.col(id_col).alias("doc_id_b"), F.col("s").alias("sb"))
     j = (

@@ -87,11 +87,13 @@ def parallelize(df, min_parts: int | None = None):
 
 
 _TABLE_CACHE: dict = {}
-# which sf_dir's views are CURRENTLY registered, per session: temp views
-# are session-global, so loading a second scale factor overwrites them —
-# a later cache hit for the first must re-register its views or every
-# spark.sql()-based consumer silently reads the wrong scale (found by
-# the smoke lane running after a sf0.1 recall test).
+# which sf_dir's views are CURRENTLY registered, per SparkSession: temp
+# views are scoped to one SparkSession object (spark.newSession() clones
+# share an applicationId but have separate catalogs), and loading a
+# second scale factor overwrites them — a later cache hit for the first
+# must re-register its views or every spark.sql()-based consumer
+# silently reads the wrong scale (found by the smoke lane running after
+# a sf0.1 recall test).
 _CURRENT_VIEWS: dict = {}
 
 
@@ -107,17 +109,21 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     it back to TIMESTAMP_NTZ so semantics match engines that read nanos
     natively (e.g. the DuckDB oracle).
     """
-    # Keyed on applicationId (stable per live session), not id(spark):
-    # CPython can reuse a stopped session's address, which would hand
-    # back DataFrames bound to a dead JVM session (ADVICE r1).
-    app_id = spark.sparkContext.applicationId
-    cache_key = (app_id, os.path.abspath(sf_dir))
+    # Keyed on (applicationId, id(spark)): applicationId alone would
+    # conflate newSession() clones (separate catalogs, shared app), and
+    # bare id(spark) risks a stopped session's address being reused
+    # (ADVICE r1) — but combined they are safe: the cached DataFrames
+    # hold a reference to their owning session, so a keyed session can
+    # never be garbage-collected and its id never recycled while its
+    # entry lives.
+    sess_key = (spark.sparkContext.applicationId, id(spark))
+    cache_key = (sess_key, os.path.abspath(sf_dir))
     if cache_key in _TABLE_CACHE:
         cached = _TABLE_CACHE[cache_key]
-        if _CURRENT_VIEWS.get(app_id) != cache_key[1]:
+        if _CURRENT_VIEWS.get(sess_key) != cache_key[1]:
             for n, df in cached.items():
                 df.createOrReplaceTempView(n)
-            _CURRENT_VIEWS[app_id] = cache_key[1]
+            _CURRENT_VIEWS[sess_key] = cache_key[1]
         return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     names = [
@@ -141,5 +147,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
         df.createOrReplaceTempView(n)
         out[n] = df
     _TABLE_CACHE[cache_key] = out
-    _CURRENT_VIEWS[app_id] = cache_key[1]
+    _CURRENT_VIEWS[sess_key] = cache_key[1]
     return out

@@ -348,6 +348,17 @@ def test_round7_plan_shapes(spark):
     assert "WindowGroupLimit" in p, "first-occurrence rank lost its group limit"
     assert "Python" not in p and "CartesianProduct" not in p
 
+    # the CDC boundary scan must appear exactly once: a plain (non-
+    # outer) generator lets Catalyst infer `size(_chs) > 0` and push
+    # the whole chunk expression below the repartition as a 1-task
+    # scan predicate (the shingles() trap; cost 6.8 s -> 0.6 s warm)
+    df = REGISTRY["cdc_chunk_docs"].spark(spark, SF_DIR)
+    op = df._jdf.queryExecution().optimizedPlan().toString()
+    assert op.count("filter(sequence") == 1, (
+        "CDC boundary expression duplicated — generator filter "
+        "inference is pushing it into the scan again"
+    )
+
     p = _executed(spark, "embed_drift_embed")
     p = p.split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
