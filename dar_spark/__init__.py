@@ -92,6 +92,7 @@ __all__ = [
     "approx_quantiles_hist_by",
     "quantile_report",
     "leak_safe_split",
+    "quality_percentile_by_source",
     "rollup_from_facts",
     "incremental_rollup",
     "rollup_finalize",
@@ -238,7 +239,8 @@ def __getattr__(name):
         from dar_spark.operators import evalmetrics as _em
 
         return getattr(_em, name)
-    if name in ("group_sample_k", "weighted_sample_k"):
+    if name in ("group_sample_k", "weighted_sample_k",
+                "quality_percentile_by_source"):
         from dar_spark.operators import sampling as _ws
 
         return getattr(_ws, name)

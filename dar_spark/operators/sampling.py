@@ -399,3 +399,94 @@ def leak_safe_split(
         .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
     )
     return train_val_test_split(keyed, "cluster_id", weights, n_buckets)
+
+
+def quality_percentile_by_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source PERCENTILE rank of the expression quality score — the
+    cross-source normalization step before one global keep threshold.
+    Heterogeneous sources (web / books / code) have incomparable raw
+    quality distributions, so thresholding the raw score over-prunes
+    some sources and under-prunes others; the within-source percentile
+    is comparable by construction ("keep every source's top 60%").
+
+    Output: ``(id, source, quality_score, pct_rank)`` with
+    ``pct_rank = (rank - 1) / (n_source - 1)`` (SQL PERCENT_RANK
+    semantics — ties share a rank; 0.0 for a single-doc source).
+
+    Scale shape — deliberately NOT a per-source sort window (a giant
+    source would be one sorted partition): scores are 6-dp rationals,
+    so the per-source score histogram is a bounded-key hash aggregate;
+    the exclusive cumulative count runs on that tiny (source, score)
+    grid only; docs get their rank back through an equi-join on the
+    same bounded key.  NULL sources and NULL texts are excluded.  The
+    DuckDB oracle is the NATIVE PERCENT_RANK() window — an independent
+    formulation the value hash must match exactly."""
+    from pyspark.sql.window import Window
+
+    from dar_spark.functions.text import quality_score_sql
+
+    scored = (
+        df.filter(F.col(source_col).isNotNull())
+        .filter(F.col(text_col).isNotNull())
+        .selectExpr(
+            id_col,
+            f"{source_col} AS source",
+            f"{quality_score_sql(SPARK, text_col)} AS quality_score",
+        )
+    )
+    hist = scored.groupBy("source", "quality_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("quality_score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = (
+        hist.withColumn(
+            "_lt", F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("bigint")
+        )
+        .withColumn(
+            "_n",
+            F.expr(
+                "SUM(_c) OVER (PARTITION BY source)"
+            ).cast("bigint"),
+        )
+        .selectExpr(
+            "source",
+            "quality_score",
+            "CASE WHEN _n > 1 THEN CAST(_lt AS DOUBLE) / CAST(_n - 1 AS DOUBLE) "
+            "ELSE CAST(0 AS DOUBLE) END AS pct_rank",
+        )
+    )
+    return scored.join(grid, ["source", "quality_score"]).select(
+        id_col, "source", "quality_score", "pct_rank"
+    )
+
+
+def quality_percentile_oracle_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`quality_percentile_by_source` — the NATIVE
+    PERCENT_RANK() window, i.e. an independent formulation of the same
+    (rank-1)/(n-1) definition the histogram recipe computes."""
+    from dar_spark.dialect import DUCKDB
+    from dar_spark.functions.text import quality_score_sql
+
+    q = quality_score_sql(DUCKDB, text_col)
+    return f"""WITH src AS ({source_sql}),
+scored AS (
+  SELECT {id_col}, {source_col} AS source, {q} AS quality_score
+  FROM src WHERE {source_col} IS NOT NULL AND {text_col} IS NOT NULL)
+SELECT {id_col}, source, quality_score,
+       PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality_score)
+         AS pct_rank
+FROM scored"""

@@ -2263,6 +2263,7 @@ def _round7_queries() -> list[tuple[str, Q]]:
         ("knn_label_noise_embed", _knn_label_noise_q()),
         ("containment_pairs_docs", _containment_pairs_q()),
         ("embed_drift_by_label", _embed_drift_by_group_q()),
+        ("quality_pctile_by_source", _quality_pctile_q()),
     ]
     # every new family gets a tracked bench baseline from its first
     # round (the r6 calibration convention); embed_drift_by_label is
@@ -2271,6 +2272,31 @@ def _round7_queries() -> list[tuple[str, Q]]:
         if name != "embed_drift_by_label":
             q.headline = True
     return out
+
+
+def _quality_pctile_q() -> Q:
+    """Per-source quality-percentile normalization
+    (sampling.quality_percentile_by_source): within-source
+    PERCENT_RANK of the exact-rational quality score, computed as a
+    bounded-key histogram + grid cumsum + equi-join back (never a
+    per-source sort window — a dominant source would be one sorted
+    partition).  The oracle is DuckDB's NATIVE PERCENT_RANK() window,
+    an independent formulation of the same (rank-1)/(n-1) definition."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.sampling import quality_percentile_by_source
+
+        t = load_tables(spark, sf_dir)
+        return quality_percentile_by_source(
+            parallelize(t["documents"]), "doc_id", "text", "source"
+        )
+
+    from dar_spark.operators.sampling import quality_percentile_oracle_sql
+
+    return Q(spark_fn, quality_percentile_oracle_sql(
+        "SELECT doc_id, text, source FROM documents",
+        "doc_id", "text", "source",
+    ))
 
 
 # partial-copy corpus: triple representatives intact, %3==1 full copies,

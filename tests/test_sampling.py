@@ -139,3 +139,26 @@ def test_leak_safe_split_covers_every_doc_once(spark):
     }
     assert props.get("train", 0) > props.get("val", 0)
     assert props.get("train", 0) > props.get("test", 0)
+
+
+def test_quality_percentile_by_source_hand_example(spark):
+    """Two sources with known score order: percentile is within-source
+    (rank-1)/(n-1), ties share, single-doc source gets 0."""
+    from dar_spark.operators.sampling import quality_percentile_by_source
+
+    rows = [
+        (1, "bb cc dd ee ff gg hh ii jj kk", "web"),  # distinct: high
+        (2, "zz zz zz zz zz zz zz zz zz zz", "web"),  # repeated: low
+        (3, "pp qq rr ss tt uu vv ww xx yy", "web"),  # same shape as 1
+        (4, "lone doc here", "books"),
+        (5, None, "web"),                         # NULL text excluded
+        (6, "text", None),                        # NULL source excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    out = {r.doc_id: r for r in quality_percentile_by_source(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[4].pct_rank == 0.0                    # single-doc source
+    assert out[2].pct_rank == 0.0                    # lowest in web
+    # docs 1 and 3 have identical scores -> shared top rank 2 of 3
+    assert out[1].quality_score == out[3].quality_score
+    assert out[1].pct_rank == out[3].pct_rank == 0.5
