@@ -45,6 +45,9 @@ __all__ = [
     "chunk_dedup",
     "chunk_dedup_cdc",
     "containment_dup_pairs",
+    "write_containment_index",
+    "append_to_containment_index",
+    "containment_against_index",
     "semdedup_prune",
     "gopher_quality",
     "tfidf_topk",
@@ -175,7 +178,8 @@ def __getattr__(name):
 
         return getattr(_sim, name)
     if name in ("chunk_dedup", "chunk_dedup_cdc", "containment_dup_pairs",
-                "semdedup_prune"):
+                "write_containment_index", "append_to_containment_index",
+                "containment_against_index", "semdedup_prune"):
         from dar_spark.operators import dedup as _dd2
 
         return getattr(_dd2, name)

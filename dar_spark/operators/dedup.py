@@ -1185,6 +1185,187 @@ WHERE greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb)
       >= {containment_threshold}"""
 
 
+def write_containment_index(
+    ref: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask: int = 16,
+    shingle_n: int = 3,
+    max_chunk_df: int = 32,
+) -> None:
+    """Persist the reference side of INCREMENTAL partial-copy detection:
+    ``<path>/chunks`` (ref_id, _h) — distinct CDC chunk hashes,
+    repartitioned onto the candidate-join key — ``<path>/shingles``
+    (ref_id, s) for exact containment verification, and ``<path>/meta``
+    (mask, shingle_n, max_chunk_df).  The 100 TB posture mirrors
+    ``write_dedup_index``: the reference corpus is chunked and shingled
+    ONCE per build; every ingest batch joins the stored tables instead
+    of re-scanning the reference.  Both tables are partitioned by an
+    ``ingest`` label (``base``); ``append_to_containment_index`` grows
+    them with replay-safe labels.
+
+    Unlike the minhash index (bands derived from stored shingles), the
+    chunk and shingle pipelines are independent expressions, so a build
+    costs two reference scans — documented, not accidental."""
+    from dar_spark.functions.text import cdc_chunk_documents
+
+    spark = ref.sparkSession
+
+    def writer(df):
+        return (
+            df.withColumn("ingest", F.lit("base"))
+            .write.mode("overwrite")
+            .partitionBy("ingest")
+        )
+
+    ch = (
+        cdc_chunk_documents(ref, id_col, text_col, mask=mask)
+        .select(F.col(id_col).alias("ref_id"), F.md5("chunk_text").alias("_h"))
+        .distinct()
+    )
+    writer(ch.repartition("_h")).parquet(f"{path}/chunks")
+    writer(
+        shingles(ref, id_col, text_col, shingle_n).select(
+            F.col(id_col).alias("ref_id"), "s"
+        )
+    ).parquet(f"{path}/shingles")
+    spark.createDataFrame(
+        [(mask, shingle_n, max_chunk_df)],
+        "mask int, shingle_n int, max_chunk_df int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_to_containment_index(
+    new: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ingest_label: str | None = None,
+) -> str:
+    """Grow a containment index with an accepted batch — O(|batch|):
+    chunk and shingle only the batch, write a fresh ``ingest=<label>``
+    generation of both tables (same replay contract as the other
+    persisted indexes: a stable label makes retries overwrite
+    themselves; the default label is collision-free via
+    ``core.ingest.next_append_label``).  Returns the label used."""
+    from dar_spark.functions.text import cdc_chunk_documents
+
+    spark = new.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    if ingest_label is None:
+        from dar_spark.core.ingest import next_append_label
+
+        ingest_label = next_append_label(
+            spark.read.parquet(f"{path}/chunks")
+        )
+    if ingest_label == "base":
+        raise ValueError("ingest_label 'base' is reserved for the build")
+
+    def writer(df):
+        return (
+            df.withColumn("ingest", F.lit(ingest_label))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest")
+        )
+
+    ch = (
+        cdc_chunk_documents(new, id_col, text_col, mask=m.mask)
+        .select(F.col(id_col).alias("ref_id"), F.md5("chunk_text").alias("_h"))
+        .distinct()
+    )
+    writer(ch.repartition("_h")).parquet(f"{path}/chunks")
+    writer(
+        shingles(new, id_col, text_col, m.shingle_n).select(
+            F.col(id_col).alias("ref_id"), "s"
+        )
+    ).parquet(f"{path}/shingles")
+    return ingest_label
+
+
+def containment_against_index(
+    new: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    containment_threshold: float = 0.5,
+    exclude_ingest: str | None = None,
+) -> DataFrame:
+    """Partial-copy pairs ``(new_id, ref_id, containment_new,
+    containment_ref, jaccard)`` of a batch against a
+    ``write_containment_index`` output — only the BATCH is chunked and
+    shingled; the reference arrives as stored tables.
+
+    The boilerplate guard is batch-local-cheap: the batch's distinct
+    chunk hashes broadcast-semi-filter the stored chunk table FIRST, so
+    the per-hash document frequency (stored matches + batch occurrences)
+    is computed over matching rows only — never an O(index) scan — and
+    hashes whose total df exceeds the index's ``max_chunk_df`` are
+    dropped before the candidate join can explode.  Result equals the
+    cross-(new, ref) subset of ``containment_dup_pairs(new ∪ ref)``
+    (pinned in tests/test_dedup.py).  ``exclude_ingest`` prunes one
+    generation for at-least-once replay, as in
+    ``dedup_against_index``."""
+    from dar_spark.functions.text import cdc_chunk_documents
+
+    spark = new.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    nh = (
+        cdc_chunk_documents(new, id_col, text_col, mask=m.mask)
+        .select(F.col(id_col).alias("new_id"), F.md5("chunk_text").alias("_h"))
+        .distinct()
+        .cache()
+    )
+    stored = spark.read.parquet(f"{path}/chunks")
+    if exclude_ingest is not None:
+        stored = stored.filter(F.col("ingest") != exclude_ingest)
+    # batch hashes semi-filter the stored table; df guard over matches
+    hset = nh.select("_h").distinct()
+    sc = stored.join(F.broadcast(hset), "_h").select("ref_id", "_h").cache()
+    df_new = nh.groupBy("_h").agg(F.count(F.lit(1)).alias("_cn"))
+    df_ref = sc.groupBy("_h").agg(F.count(F.lit(1)).alias("_cr"))
+    ok = (
+        df_new.join(df_ref, "_h")
+        .filter(f"_cn + _cr <= {m.max_chunk_df}")
+        .select("_h")
+    )
+    cands = (
+        nh.join(ok, "_h")
+        .join(sc, "_h")
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    sh_new = shingles(new, id_col, text_col, m.shingle_n).select(
+        F.col(id_col).alias("new_id"), F.col("s").alias("sa")
+    )
+    sh_ref = spark.read.parquet(f"{path}/shingles")
+    if exclude_ingest is not None:
+        sh_ref = sh_ref.filter(F.col("ingest") != exclude_ingest)
+    sh_ref = sh_ref.select("ref_id", F.col("s").alias("sb"))
+    j = (
+        cands.join(sh_new, "new_id")
+        .join(sh_ref, "ref_id")
+        .selectExpr(
+            "new_id",
+            "ref_id",
+            "size(array_intersect(sa, sb)) AS i",
+            "size(sa) AS na",
+            "size(sb) AS nb",
+        )
+    )
+    return j.selectExpr(
+        "new_id",
+        "ref_id",
+        f"{SPARK.ratio_6dp('i', 'na')} AS containment_new",
+        f"{SPARK.ratio_6dp('i', 'nb')} AS containment_ref",
+        f"{SPARK.ratio_6dp('i', '(na + nb - i)')} AS jaccard",
+    ).filter(
+        "greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb) "
+        f">= {containment_threshold}"
+    )
+
+
 def semdedup_prune(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -2264,6 +2264,7 @@ def _round7_queries() -> list[tuple[str, Q]]:
         ("containment_pairs_docs", _containment_pairs_q()),
         ("embed_drift_by_label", _embed_drift_by_group_q()),
         ("quality_pctile_by_source", _quality_pctile_q()),
+        ("containment_index_pairs", _containment_index_q()),
     ]
     # every new family gets a tracked bench baseline from its first
     # round (the r6 calibration convention); embed_drift_by_label is
@@ -2272,6 +2273,74 @@ def _round7_queries() -> list[tuple[str, Q]]:
         if name != "embed_drift_by_label":
             q.headline = True
     return out
+
+
+CONTAIN_NEW_PRED = "doc_id % 5 = 0"  # the ingest batch; rest is the index
+
+
+def _containment_index_q() -> Q:
+    """Incremental partial-copy detection
+    (dedup.containment_against_index): the partial-copy corpus is split
+    into a stored index (80%) and an ingest batch (20%); only the batch
+    is chunked/shingled and its distinct chunk hashes semi-filter the
+    stored table before the df guard, so per-batch cost never scans the
+    index.  The oracle recomputes ALL cross-(batch, index) containment
+    pairs relationally with the same union-df boilerplate guard."""
+
+    def spark_fn(spark, sf_dir):
+        import hashlib
+        import os
+
+        from dar_spark.operators.dedup import (
+            containment_against_index,
+            write_containment_index,
+        )
+
+        corpus = _partial_corpus_df(spark, sf_dir)
+        new = corpus.filter(CONTAIN_NEW_PRED)
+        ref = corpus.filter(f"NOT ({CONTAIN_NEW_PRED})")
+        cache_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".csvcache",
+        )
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(cache_root, f"containidx-{tag}")
+        write_containment_index(ref, path, "doc_id", "text")
+        return containment_against_index(
+            new, path, "doc_id", "text", containment_threshold=0.5
+        )
+
+    from dar_spark.functions.text import cdc_chunk_oracle_sql
+
+    cdc = cdc_chunk_oracle_sql(PARTIAL_CORPUS_CTE, "doc_id", "text", mask=16)
+    idx = " || ' ' || ".join(f"w[i + {j}]" for j in range(3))
+    oracle = f"""WITH src AS ({PARTIAL_CORPUS_CTE}),
+ch0 AS ({cdc}),
+ch AS (SELECT DISTINCT doc_id, md5(chunk_text) AS h FROM ch0),
+okh AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM ch GROUP BY 1)
+        WHERE df <= 32),
+cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+         FROM ch a JOIN ch b ON a.h = b.h JOIN okh ON okh.h = a.h
+         WHERE (a.doc_id % 5 = 0) AND NOT (b.doc_id % 5 = 0)),
+t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM src),
+sh AS (SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 0) + 1),
+           i -> {idx})) AS s
+       FROM t WHERE len(w) >= 3),
+j AS (SELECT c.new_id, c.ref_id,
+        len(list_intersect(sa.s, sb.s)) AS i,
+        len(sa.s) AS na, len(sb.s) AS nb
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.new_id
+      JOIN sh sb ON sb.doc_id = c.ref_id)
+SELECT new_id, ref_id,
+       {DUCKDB.ratio_6dp('i', 'na')} AS containment_new,
+       {DUCKDB.ratio_6dp('i', 'nb')} AS containment_ref,
+       {DUCKDB.ratio_6dp('i', '(na + nb - i)')} AS jaccard
+FROM j
+WHERE greatest(CAST(i AS DOUBLE) / na, CAST(i AS DOUBLE) / nb) >= 0.5"""
+    return Q(spark_fn, oracle)
 
 
 def _quality_pctile_q() -> Q:

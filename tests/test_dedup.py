@@ -632,3 +632,89 @@ def test_containment_boilerplate_guard_bounds_candidates(spark):
     # every pair's only shared chunks come from the 6-doc boilerplate
     # prefix, which exceeds max_chunk_df=3 -> no candidates survive
     assert out.count() == 0
+
+
+def test_containment_index_equals_direct_cross_pairs(spark, tmp_path):
+    """containment_against_index(new, index(ref)) must equal the
+    cross-(new, ref) subset of containment_dup_pairs(new ∪ ref) —
+    same candidates (union-df guard included), same ratios."""
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    rep = docs.select(F.col("doc_id").alias("rep_id"), F.col("text").alias("rep_text"))
+    corpus = (
+        docs.select("doc_id", F.expr("doc_id - doc_id % 3").alias("rep_id"))
+        .join(rep, "rep_id")
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id % 3 = 2 THEN "
+            "array_join(slice(split(rep_text, ' ', -1), 1, "
+            "CAST(FLOOR(size(split(rep_text, ' ', -1)) / 2.0) AS INT)), ' ') "
+            "|| ' filler' || CAST(doc_id AS STRING) "
+            "ELSE rep_text END AS text",
+        )
+        .filter("doc_id < 120")
+    )
+    new = corpus.filter("doc_id % 5 = 0")
+    ref = corpus.filter("doc_id % 5 <> 0")
+    direct = {
+        (r.doc_id_a, r.doc_id_b): (r.containment_a, r.containment_b, r.jaccard)
+        for r in dedup.containment_dup_pairs(
+            corpus, "doc_id", "text", containment_threshold=0.5
+        ).collect()
+    }
+    # cross subset, re-oriented to (new_id, ref_id)
+    want = {}
+    for (a, b), (ca, cb, j) in direct.items():
+        if a % 5 == 0 and b % 5 != 0:
+            want[(a, b)] = (ca, cb, j)
+        elif b % 5 == 0 and a % 5 != 0:
+            want[(b, a)] = (cb, ca, j)
+    idx = str(tmp_path / "cidx")
+    dedup.write_containment_index(ref, idx, "doc_id", "text")
+    got = {
+        (r.new_id, r.ref_id): (r.containment_new, r.containment_ref, r.jaccard)
+        for r in dedup.containment_against_index(
+            new, idx, "doc_id", "text", containment_threshold=0.5
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
+def test_containment_index_append_and_replay(spark, tmp_path):
+    """Appending a second reference generation grows the match set, a
+    replayed append with the same label overwrites itself, and
+    exclude_ingest hides exactly that generation."""
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(60))),
+        (2, " ".join(f"b{i}" for i in range(60))),
+    ]
+    ref = spark.createDataFrame(rows, "doc_id int, text string")
+    batch = spark.createDataFrame(
+        [(10, " ".join(f"a{i}" for i in range(30)))],  # half of doc 1
+        "doc_id int, text string",
+    )
+    extra = spark.createDataFrame(
+        [(3, " ".join(f"a{i}" for i in range(30, 60)))],  # other half
+        "doc_id int, text string",
+    )
+    idx = str(tmp_path / "cidx2")
+    dedup.write_containment_index(ref, idx, "doc_id", "text")
+    base = {r.ref_id for r in dedup.containment_against_index(
+        batch, idx, "doc_id", "text", containment_threshold=0.4
+    ).collect()}
+    assert base == {1}
+    label = dedup.append_to_containment_index(extra, idx, "doc_id", "text",
+                                              ingest_label="grow-0")
+    # replay with the same label must be idempotent
+    dedup.append_to_containment_index(extra, idx, "doc_id", "text",
+                                      ingest_label="grow-0")
+    grown = {r.ref_id for r in dedup.containment_against_index(
+        batch, idx, "doc_id", "text", containment_threshold=0.4
+    ).collect()}
+    assert grown == {1}  # doc 3 shares no chunks with the batch's half
+    hidden = {r.ref_id for r in dedup.containment_against_index(
+        batch, idx, "doc_id", "text", containment_threshold=0.4,
+        exclude_ingest="base",
+    ).collect()}
+    assert hidden == set()
+    assert label == "grow-0"

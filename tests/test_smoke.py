@@ -26,6 +26,8 @@ FAMILY_REPS = [
     "dedup_minhash_lsh",        # minhash near-dup
     "dup_clusters",             # connected components
     "chunk_dedup_cdc_docs",     # shift-robust CDC chunk dedup (r7)
+    "containment_pairs_docs",   # partial-copy containment (r7)
+    "quality_pctile_by_source", # cross-source score normalization (r7)
     "embed_lsh_topk",           # SRP ANN
     "embed_pq_topk",            # PQ ANN
     "embed_drift_embed",        # embedding-space drift (r7)
