@@ -430,6 +430,9 @@ def quality_percentile_by_source(
 
     from dar_spark.functions.text import quality_score_sql
 
+    # both the histogram aggregate and the join-back read this frame —
+    # cached so the score expression (the costliest projection in the
+    # pipeline) evaluates once per corpus row, not twice
     scored = (
         df.filter(F.col(source_col).isNotNull())
         .filter(F.col(text_col).isNotNull())
@@ -438,6 +441,7 @@ def quality_percentile_by_source(
             f"{source_col} AS source",
             f"{quality_score_sql(SPARK, text_col)} AS quality_score",
         )
+        .cache()
     )
     hist = scored.groupBy("source", "quality_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("_c")

@@ -2321,7 +2321,8 @@ okh AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM ch GROUP BY 1)
         WHERE df <= 32),
 cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
          FROM ch a JOIN ch b ON a.h = b.h JOIN okh ON okh.h = a.h
-         WHERE (a.doc_id % 5 = 0) AND NOT (b.doc_id % 5 = 0)),
+         WHERE ({CONTAIN_NEW_PRED.replace('doc_id', 'a.doc_id')})
+           AND NOT ({CONTAIN_NEW_PRED.replace('doc_id', 'b.doc_id')})),
 t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM src),
 sh AS (SELECT doc_id,
          list_distinct(list_transform(
