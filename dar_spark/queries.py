@@ -2068,33 +2068,48 @@ _EVIDENCE_R6 = [
     "zipf_report_docs",
 ]
 
+_EVIDENCE_R7 = [
+    "boro_profile", "bpe_token_count", "chunk_dedup_cdc_docs",
+    "chunk_docs", "class_separation_embed", "containment_index_pairs",
+    "containment_pairs_docs", "dedup_incremental",
+    "dedup_incremental_indexed", "doc_fingerprint", "drift_lineitem",
+    "drop_near_dups", "dup_clusters", "embed_drift_by_label",
+    "embed_drift_embed", "embed_dup_pairs", "embed_lsh_topk_indexed",
+    "embedding_outliers_label", "fuzzy_state_join", "fuzzy_state_profile",
+    "grouped_phone_histogram", "hybrid_search_docs",
+    "knn_label_noise_embed", "lang_id", "lat_profile_strict",
+    "latest_event_per_user", "long_profile", "media_inventory",
+    "percentiles_by_returnflag", "phone_profile_csv",
+    "phone_v1_intl_profile", "phone_v1_profile", "pii_redact_docs",
+    "q5_region_revenue", "quality_filter_docs",
+    "quality_pctile_by_source", "range_join_signups", "repetition_stats",
+    "resample_ffill_events", "rolling_fingerprint", "rowid_ordinal",
+    "stats_by_returnflag", "stratified_sample_docs", "summarize_lineitem",
+    "time_rollup_events", "token_topk_per_source", "top_events_per_user",
+    "train_val_test_split", "zip_quick_profile_strict",
+    "zip_render_grouped",
+]
+
 # Queries whose OUTPUT changed since their latest green artifact row —
 # that row certifies behavior that no longer exists, so rotation must
 # treat them as unverified (sorted into the window like new queries).
 # Clear this set once the next round's artifact re-certifies them.
-SEMANTICS_CHANGED_R7 = {
-    # ITU E.164 branch: non-NANP '+CC' statuses 5 -> 1/5/3
-    "phone_v1_intl_profile",
-    # dirty_phone class 10 ('+44' + 9 digits) flips 5 -> 1 and
-    # normalizes with its own country code
-    "phone_v1_profile",
-    # NULL-key rows now excluded from the grid
-    "resample_ffill_events",
-    # group_centroids: NULL components now excluded from the count
-    # denominator (fixtures carry no NULL components, but the contract
-    # changed — cheap to re-certify)
-    "class_separation_embed",
-    "embedding_outliers_label",
-}
+# The r7 artifact re-certified every SEMANTICS_CHANGED_R7 name, so the
+# r8 set starts empty.
+SEMANTICS_CHANGED_R8: set[str] = set()
+
+# Round-agnostic alias so tests/tools track the CURRENT set without a
+# rename each round.
+SEMANTICS_CHANGED = SEMANTICS_CHANGED_R8
 
 EVIDENCE_ROUND: dict[str, int] = {
     name: rnd
     for rnd, names in (
         (2, _EVIDENCE_R2), (3, _EVIDENCE_R3), (4, _EVIDENCE_R4),
-        (5, _EVIDENCE_R5), (6, _EVIDENCE_R6),
+        (5, _EVIDENCE_R5), (6, _EVIDENCE_R6), (7, _EVIDENCE_R7),
     )
     for name in names
-    if name not in SEMANTICS_CHANGED_R7
+    if name not in SEMANTICS_CHANGED_R8
 }
 
 

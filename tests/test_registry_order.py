@@ -34,29 +34,29 @@ def test_evidence_lists_match_artifacts():
     SEMANTICS_CHANGED_* are deliberately absent (their artifact row
     certifies behavior that no longer exists), and every such name must
     actually have an artifact row to invalidate."""
-    from dar_spark.queries import SEMANTICS_CHANGED_R7
+    from dar_spark.queries import SEMANTICS_CHANGED
 
     actual = _evidence_rounds()
     r = build_registry()
     for name in r:
         want = actual.get(name)
         got = EVIDENCE_ROUND.get(name)
-        if want is None or name in SEMANTICS_CHANGED_R7:
+        if want is None or name in SEMANTICS_CHANGED:
             assert got is None, f"{name}: must not carry evidence (got r{got})"
         else:
             assert got == want, f"{name}: artifact says r{want}, list says r{got}"
-    ghost = [n for n in SEMANTICS_CHANGED_R7 if n not in actual]
+    ghost = [n for n in SEMANTICS_CHANGED if n not in actual]
     assert not ghost, f"SEMANTICS_CHANGED names with no artifact row: {ghost}"
 
 
 def _effective_evidence() -> dict[str, int]:
     """Artifact evidence with semantics-changed names invalidated (0 =
     needs a fresh row)."""
-    from dar_spark.queries import SEMANTICS_CHANGED_R7
+    from dar_spark.queries import SEMANTICS_CHANGED
 
     actual = _evidence_rounds()
     return {
-        n: (0 if n in SEMANTICS_CHANGED_R7 else r) for n, r in actual.items()
+        n: (0 if n in SEMANTICS_CHANGED else r) for n, r in actual.items()
     }
 
 
