@@ -1,0 +1,37 @@
+"""Cache-lifetime control for operators that persist corpus-scale frames.
+
+Several operators evaluate an expensive projection (shingle sets, CDC
+chunk hashes, the quality-score expression) that more than one
+downstream branch reads.  Caching it halves the corpus scans — but a
+``.cache()`` whose lifetime is left to GC/ContextCleaner is a real
+memory/disk liability at 100 TB, where the cached frame is itself
+corpus-sized.
+
+The convention, applied uniformly via :func:`hot`:
+
+- every such operator takes a ``storage_level`` parameter;
+- the default is ``MEMORY_AND_DISK`` (Spark's DataFrame default:
+  spill, never recompute mid-job, never OOM the executor on its own);
+- ``None`` disables persistence entirely — the caller chooses
+  "recompute the projection once more" over "hold a corpus-sized
+  cache", the right trade when the downstream branches are cheap
+  relative to cluster memory;
+- callers that need the memory back *before* the session ends unpersist
+  through :func:`pyspark.sql.SparkSession.catalog`'s ``clearCache`` or
+  by holding their own reference — the operators return lazy plans, so
+  they cannot unpersist on the caller's behalf.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+DEFAULT_LEVEL = StorageLevel.MEMORY_AND_DISK
+
+
+def hot(df: DataFrame, storage_level: StorageLevel | None) -> DataFrame:
+    """Persist ``df`` at ``storage_level``; ``None`` = don't persist."""
+    if storage_level is None:
+        return df
+    return df.persist(storage_level)

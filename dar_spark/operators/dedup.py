@@ -1053,6 +1053,7 @@ def containment_dup_pairs(
     mask: int = 16,
     shingle_n: int = 3,
     max_chunk_df: int = 32,
+    storage_level="default",
 ) -> DataFrame:
     """Partial-copy pairs by shingle CONTAINMENT:
     ``(id_a, id_b, containment_a, containment_b, jaccard)`` where
@@ -1081,18 +1082,27 @@ def containment_dup_pairs(
     shingle set and are silently excluded from verification (they can
     still appear as the CONTAINING side).  Training-data pipelines
     filter sub-shingle fragments upstream (Gopher's min word count);
-    lower ``shingle_n`` if such fragments must participate."""
+    lower ``shingle_n`` if such fragments must participate.
+
+    ``storage_level`` governs the two CORPUS-SIZED intermediate frames
+    (distinct chunk hashes; shingle sets — the larger of the two by
+    far) that both downstream branches read: default
+    ``MEMORY_AND_DISK``, ``None`` to recompute instead of persist (see
+    core/caching.py for the trade)."""
+    from dar_spark.core.caching import DEFAULT_LEVEL, hot
     from dar_spark.functions.text import cdc_chunk_documents
 
+    if storage_level == "default":
+        storage_level = DEFAULT_LEVEL
     # both candidate self-join sides read the chunk-hash frame, and
-    # both verification sides read the shingle frame — cache each so
+    # both verification sides read the shingle frame — persist each so
     # the CDC fold and the shingle transform run once over the corpus
     # (the minhash precedent at the top of this file)
-    ch = (
+    ch = hot(
         cdc_chunk_documents(df, id_col, text_col, mask=mask)
         .select(F.col(id_col), F.md5("chunk_text").alias("_h"))
-        .distinct()
-        .cache()
+        .distinct(),
+        storage_level,
     )
     # _df = 1 chunks cannot form a pair; > max_chunk_df is boilerplate
     rare = (
@@ -1110,7 +1120,7 @@ def containment_dup_pairs(
         .select("doc_id_a", "doc_id_b")
         .distinct()
     )
-    sh = shingles(df, id_col, text_col, shingle_n).cache()
+    sh = hot(shingles(df, id_col, text_col, shingle_n), storage_level)
     sa = sh.select(F.col(id_col).alias("doc_id_a"), F.col("s").alias("sa"))
     sb = sh.select(F.col(id_col).alias("doc_id_b"), F.col("s").alias("sb"))
     j = (
@@ -1291,6 +1301,7 @@ def containment_against_index(
     text_col: str = "text",
     containment_threshold: float = 0.5,
     exclude_ingest: str | None = None,
+    storage_level="default",
 ) -> DataFrame:
     """Partial-copy pairs ``(new_id, ref_id, containment_new,
     containment_ref, jaccard)`` of a batch against a
@@ -1302,27 +1313,48 @@ def containment_against_index(
     the per-hash document frequency (stored matches + batch occurrences)
     is computed over matching rows only — never an O(index) scan — and
     hashes whose total df exceeds the index's ``max_chunk_df`` are
-    dropped before the candidate join can explode.  Result equals the
+    dropped before the candidate join can explode.  A ref doc that was
+    re-appended under a second ingest label contributes its (ref_id, _h)
+    rows once, not once per generation: the semi-filtered frame is
+    de-duplicated after dropping the ingest column, and the shingle side
+    keeps one generation per candidate ref_id — so duplicated
+    generations neither inflate the df guard nor emit duplicate output
+    pairs.  (Precondition, unchanged: ``ref_id`` is a stable key — two
+    generations of one ref_id carry the same text.)  Result equals the
     cross-(new, ref) subset of ``containment_dup_pairs(new ∪ ref)``
     (pinned in tests/test_dedup.py).  ``exclude_ingest`` prunes one
     generation for at-least-once replay, as in
-    ``dedup_against_index``."""
+    ``dedup_against_index``.  ``storage_level`` governs the two
+    BATCH-sized persisted frames (batch chunk hashes; the semi-filtered
+    stored matches, bounded by |batch chunks| * max_chunk_df) — default
+    ``MEMORY_AND_DISK``, ``None`` to recompute (core/caching.py)."""
+    from dar_spark.core.caching import DEFAULT_LEVEL, hot
     from dar_spark.functions.text import cdc_chunk_documents
 
+    if storage_level == "default":
+        storage_level = DEFAULT_LEVEL
     spark = new.sparkSession
     m = spark.read.parquet(f"{path}/meta").collect()[0]
-    nh = (
+    nh = hot(
         cdc_chunk_documents(new, id_col, text_col, mask=m.mask)
         .select(F.col(id_col).alias("new_id"), F.md5("chunk_text").alias("_h"))
-        .distinct()
-        .cache()
+        .distinct(),
+        storage_level,
     )
     stored = spark.read.parquet(f"{path}/chunks")
     if exclude_ingest is not None:
         stored = stored.filter(F.col("ingest") != exclude_ingest)
-    # batch hashes semi-filter the stored table; df guard over matches
+    # batch hashes semi-filter the stored table; df guard over matches.
+    # distinct AFTER dropping ingest: re-appended generations must not
+    # double-count a ref doc.  Both frames are batch-match-sized (bounded
+    # by |batch chunks| * max_chunk_df), not corpus-sized.
     hset = nh.select("_h").distinct()
-    sc = stored.join(F.broadcast(hset), "_h").select("ref_id", "_h").cache()
+    sc = hot(
+        stored.join(F.broadcast(hset), "_h")
+        .select("ref_id", "_h")
+        .distinct(),
+        storage_level,
+    )
     df_new = nh.groupBy("_h").agg(F.count(F.lit(1)).alias("_cn"))
     df_ref = sc.groupBy("_h").agg(F.count(F.lit(1)).alias("_cr"))
     ok = (
@@ -1342,7 +1374,17 @@ def containment_against_index(
     sh_ref = spark.read.parquet(f"{path}/shingles")
     if exclude_ingest is not None:
         sh_ref = sh_ref.filter(F.col("ingest") != exclude_ingest)
-    sh_ref = sh_ref.select("ref_id", F.col("s").alias("sb"))
+    # candidate-semi-filter BEFORE collapsing generations: the stored
+    # shingle table is corpus-sized, the candidate ref set is not.  One
+    # row per ref_id survives (generations are byte-identical by the
+    # stable-key precondition, so which one is immaterial).
+    sh_ref = (
+        sh_ref.join(
+            F.broadcast(cands.select("ref_id").distinct()), "ref_id", "semi"
+        )
+        .select("ref_id", F.col("s").alias("sb"))
+        .dropDuplicates(["ref_id"])
+    )
     j = (
         cands.join(sh_new, "new_id")
         .join(sh_ref, "ref_id")

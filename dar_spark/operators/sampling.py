@@ -406,6 +406,7 @@ def quality_percentile_by_source(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    storage_level="default",
 ) -> DataFrame:
     """Per-source PERCENTILE rank of the expression quality score — the
     cross-source normalization step before one global keep threshold.
@@ -425,23 +426,30 @@ def quality_percentile_by_source(
     grid only; docs get their rank back through an equi-join on the
     same bounded key.  NULL sources and NULL texts are excluded.  The
     DuckDB oracle is the NATIVE PERCENT_RANK() window — an independent
-    formulation the value hash must match exactly."""
+    formulation the value hash must match exactly.
+
+    ``storage_level`` governs the corpus-sized scored frame (default
+    ``MEMORY_AND_DISK``; ``None`` re-evaluates the score expression on
+    the join-back instead of persisting — see core/caching.py)."""
     from pyspark.sql.window import Window
 
+    from dar_spark.core.caching import DEFAULT_LEVEL, hot
     from dar_spark.functions.text import quality_score_sql
 
+    if storage_level == "default":
+        storage_level = DEFAULT_LEVEL
     # both the histogram aggregate and the join-back read this frame —
-    # cached so the score expression (the costliest projection in the
-    # pipeline) evaluates once per corpus row, not twice
-    scored = (
+    # persisted so the score expression (the costliest projection in
+    # the pipeline) evaluates once per corpus row, not twice
+    scored = hot(
         df.filter(F.col(source_col).isNotNull())
         .filter(F.col(text_col).isNotNull())
         .selectExpr(
             id_col,
             f"{source_col} AS source",
             f"{quality_score_sql(SPARK, text_col)} AS quality_score",
-        )
-        .cache()
+        ),
+        storage_level,
     )
     hist = scored.groupBy("source", "quality_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("_c")

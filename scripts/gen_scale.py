@@ -1,0 +1,205 @@
+"""Deterministic scale-rehearsal fixture generator.
+
+The driver fixtures at /root/testdata are fixed at sf<=0.1 (~600k
+lineitem rows) and read-only, so every 100 TB claim in docs/SCALE.md has
+only been *argued*, never *measured*.  This generator produces the same
+ten-table star schema at ANY scale factor so the rehearsal harness
+(scripts/scale_rehearsal.py) can time identical queries at sf0.1 and sf1
+FROM THE SAME GENERATOR and fit a scaling exponent per query.  Using one
+generator for both points is deliberate: timing driver-sf0.1 vs
+homegrown-sf1 would confound data-shape differences (dup rate, text
+length, key skew) with scale.
+
+Schemas match TESTDATA.md / FIXTURES.md exactly (verified against
+DESCRIBE on the driver parquet).  Distribution shape mirrors the driver
+fixtures where it matters for plan behavior:
+
+- documents: ~32-word analytics vocab, 10-80 words/doc (avg chars ~300),
+  ~20 sources, skewed langs, ~1.9% near-dup copies (one-token suffix)
+  and ~0.2% exact copies so dedup queries have work at every scale;
+- embeddings: 64-dim float vectors around 10 label centroids with
+  deterministic noise, so ANN/kNN bucketing has real cluster structure;
+- events: 30-day span, 5 event types, user cardinality 10% of rows,
+  JSON props column;
+- TPC-H-ish tables: row ratios copied from the driver fixtures
+  (lineitem 6M/sf1, orders 1.5M, customer 150k, part 200k,
+  supplier 10k).
+
+Everything is hash-seeded off the row id — rerunning the script is
+byte-stable, no RNG state anywhere.
+
+Usage:  python scripts/gen_scale.py --sf 1 [--out .scale]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+VOCAB = (
+    "batch part spark line column order small sort fast value scan hash "
+    "slow group agg filter query big key window vector table join shuffle "
+    "merge index bloom codec stream page stats probe"
+).split()
+
+LANGS = ["en", "en", "en", "en", "en", "en", "de", "fr", "es", "pt"]
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+MKT_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _sql_list(items: list[str]) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in items) + "]"
+
+
+def _doc_text(idv: str) -> str:
+    """Word-salad text expression: 10-80 vocab words, hash-seeded."""
+    vocab = _sql_list(VOCAB)
+    return (
+        f"array_to_string(list_transform(range((10 + hash(({idv})) % 71)::BIGINT), "
+        f"j -> ({vocab})[(1 + hash(({idv}) * 131 + j) % {len(VOCAB)})::BIGINT]), ' ')"
+    )
+
+
+def generate(sf: float, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+
+    def rows(per_sf1: int) -> int:
+        return max(1, int(per_sf1 * sf))
+
+    def copy(table_sql: str, name: str) -> None:
+        path = os.path.join(out_dir, f"{name}.parquet")
+        con.execute(f"COPY ({table_sql}) TO '{path}' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+        print(f"{name}: {n} rows -> {path}")
+
+    copy(
+        "SELECT i::INT AS r_regionkey, 'REGION_' || i AS r_name FROM range(5) t(i)",
+        "region",
+    )
+    copy(
+        "SELECT i::INT AS n_nationkey, 'NATION_' || i AS n_name, "
+        "(i % 5)::INT AS n_regionkey FROM range(25) t(i)",
+        "nation",
+    )
+
+    n_cust = rows(150_000)
+    copy(
+        f"SELECT i AS c_custkey, 'Customer#' || i AS c_name, "
+        f"(hash(i) % 25)::INT AS c_nationkey, "
+        f"round((hash(i * 7) % 1100000) / 100.0 - 999.99, 2) AS c_acctbal, "
+        f"({_sql_list(MKT_SEGMENTS)})[(1 + hash(i * 3) % 5)::BIGINT] AS c_mktsegment "
+        f"FROM range({n_cust}) t(i)",
+        "customer",
+    )
+    n_supp = rows(10_000)
+    copy(
+        f"SELECT i AS s_suppkey, 'Supplier#' || i AS s_name, "
+        f"(hash(i) % 25)::INT AS s_nationkey, "
+        f"round((hash(i * 11) % 1100000) / 100.0 - 999.99, 2) AS s_acctbal "
+        f"FROM range({n_supp}) t(i)",
+        "supplier",
+    )
+    n_part = rows(200_000)
+    copy(
+        f"SELECT i AS p_partkey, 'part ' || (hash(i) % 5000) AS p_name, "
+        f"'Brand#' || (1 + hash(i * 5) % 5) || (1 + hash(i * 13) % 5) AS p_brand, "
+        f"'TYPE ' || (hash(i * 17) % 150) AS p_type, "
+        f"(1 + hash(i * 19) % 50)::INT AS p_size, "
+        f"round(900 + (hash(i * 23) % 120000) / 100.0, 2) AS p_retailprice "
+        f"FROM range({n_part}) t(i)",
+        "part",
+    )
+
+    n_ord = rows(1_500_000)
+    copy(
+        f"SELECT i AS o_orderkey, (hash(i) % {n_cust}) AS o_custkey, "
+        f"(['O','F','P'])[(1 + hash(i * 3) % 3)::BIGINT] AS o_orderstatus, "
+        f"round(1000 + (hash(i * 7) % 45000000) / 100.0, 2) AS o_totalprice, "
+        f"TIMESTAMP '2023-01-01' + INTERVAL ((hash(i * 11) % 63072000)::BIGINT) SECOND "
+        f"  AS o_orderdate, "
+        f"({_sql_list(PRIORITIES)})[(1 + hash(i * 13) % 5)::BIGINT] AS o_orderpriority "
+        f"FROM range({n_ord}) t(i)",
+        "orders",
+    )
+    n_li = rows(6_000_000)
+    copy(
+        f"SELECT (hash(i) % {n_ord}) AS l_orderkey, "
+        f"(hash(i * 3) % {n_part}) AS l_partkey, "
+        f"(hash(i * 5) % {n_supp}) AS l_suppkey, "
+        f"(1 + i % 7)::INT AS l_linenumber, "
+        f"(1 + hash(i * 7) % 50)::DOUBLE AS l_quantity, "
+        f"round(900 + (hash(i * 11) % 9500000) / 100.0, 2) AS l_extendedprice, "
+        f"round((hash(i * 13) % 11) / 100.0, 2) AS l_discount, "
+        f"round((hash(i * 17) % 9) / 100.0, 2) AS l_tax, "
+        f"(['A','N','R'])[(1 + hash(i * 19) % 3)::BIGINT] AS l_returnflag, "
+        f"(['O','F'])[(1 + hash(i * 23) % 2)::BIGINT] AS l_linestatus, "
+        f"TIMESTAMP '2023-01-01' + INTERVAL ((hash(i * 29) % 65000000)::BIGINT) SECOND "
+        f"  AS l_shipdate "
+        f"FROM range({n_li}) t(i)",
+        "lineitem",
+    )
+
+    n_ev = rows(1_000_000)
+    n_users = max(1, n_ev // 10)
+    copy(
+        f"SELECT i AS event_id, "
+        f"TIMESTAMP '2024-01-01' + INTERVAL "
+        f"  (((i * 2592000) // {n_ev} * 1000000 + hash(i) % 1000000)::BIGINT) MICROSECOND "
+        f"  AS ts, "
+        f"(hash(i * 3) % {n_users}) AS user_id, "
+        f"({_sql_list(EVENT_TYPES)})[(1 + hash(i * 5) % 5)::BIGINT] AS event_type, "
+        f"round((hash(i * 7) % 100000) / 100.0, 2) AS value, "
+        f"'{{\"k\": ' || (hash(i * 11) % 100) || '}}' AS props "
+        f"FROM range({n_ev}) t(i)",
+        "events",
+    )
+
+    # documents: base salad, then splice in near/exact duplicate copies of
+    # earlier docs so dedup operators have real work at every scale.
+    n_doc = rows(50_000)
+    base = _doc_text("i")
+    near_src = _doc_text("i - 7")
+    exact_src = _doc_text("i - 13")
+    text_expr = (
+        f"CASE WHEN i % 53 = 0 AND i >= 13 THEN {exact_src} "
+        f"WHEN i % 10 = 0 AND i >= 7 THEN {near_src} || ' probe' "
+        f"ELSE {base} END"
+    )
+    copy(
+        f"SELECT i AS doc_id, txt AS text, "
+        f"({_sql_list(LANGS)})[(1 + hash(i * 3) % {len(LANGS)})::BIGINT] AS lang, "
+        f"'src' || (hash(i * 5) % 20) AS source, "
+        f"len(txt)::BIGINT AS n_chars FROM ("
+        f"SELECT i, ({text_expr}) AS txt FROM range({n_doc}) t(i))",
+        "documents",
+    )
+
+    n_vec = rows(20_000)
+    copy(
+        f"SELECT i AS vec_id, "
+        f"list_transform(range(64), d -> "
+        f"  (cos((hash(i * 3) % 10) * 7 + d) * 0.5 "
+        f"   + (hash(i * 64 + d) % 1000) / 1000.0 - 0.5)::FLOAT"
+        f")::FLOAT[] AS embedding, "
+        f"(hash(i * 3) % 10)::INT AS label "
+        f"FROM range({n_vec}) t(i)",
+        "embeddings",
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, required=True)
+    ap.add_argument("--out", default=None, help="output dir (default .scale/sf<sf>)")
+    args = ap.parse_args()
+    out = args.out or os.path.join(".scale", f"sf{args.sf:g}")
+    generate(args.sf, out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Pins for the round-8 advisor findings (ADVICE.md r7).
+
+- dedup.py:1330 — duplicated index generations must be transparent
+  (tests/test_dedup.py::test_containment_index_duplicate_generation_is_transparent).
+- dedup.py:1113 / sampling.py:444 — corpus-sized persisted frames get a
+  caller-controlled ``storage_level``; ``None`` (recompute, hold
+  nothing) must be result-identical to the default.
+- validators.py:159 — the reference's '+'-branch returns 3, not 5, for
+  parsed-but-invalid numbers (tests/test_phone_v1.py strict pins).
+"""
+
+from __future__ import annotations
+
+from dar_spark.operators import dedup
+from dar_spark.operators.sampling import quality_percentile_by_source
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def test_containment_pairs_storage_level_none_is_identical(spark):
+    docs = (
+        load_tables(spark, SF_DIR)["documents"]
+        .select("doc_id", "text")
+        .filter("doc_id < 150")
+    )
+    key = lambda r: (r.doc_id_a, r.doc_id_b)  # noqa: E731
+    cached = {
+        key(r): (r.containment_a, r.containment_b, r.jaccard)
+        for r in dedup.containment_dup_pairs(docs).collect()
+    }
+    uncached = {
+        key(r): (r.containment_a, r.containment_b, r.jaccard)
+        for r in dedup.containment_dup_pairs(
+            docs, storage_level=None
+        ).collect()
+    }
+    assert cached == uncached and cached
+
+
+def test_quality_percentile_storage_level_none_is_identical(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].filter("doc_id < 200")
+    cached = {
+        r.doc_id: (r.source, r.quality_score, r.pct_rank)
+        for r in quality_percentile_by_source(docs).collect()
+    }
+    uncached = {
+        r.doc_id: (r.source, r.quality_score, r.pct_rank)
+        for r in quality_percentile_by_source(
+            docs, storage_level=None
+        ).collect()
+    }
+    assert cached == uncached and cached

@@ -718,3 +718,43 @@ def test_containment_index_append_and_replay(spark, tmp_path):
     ).collect()}
     assert hidden == set()
     assert label == "grow-0"
+
+
+def test_containment_index_duplicate_generation_is_transparent(spark, tmp_path):
+    """A ref doc re-appended under a second ingest label must change
+    NOTHING: the (ref_id, _h) rows are de-duplicated across generations
+    before the df guard (duplicated generations must not inflate df past
+    max_chunk_df and silently drop candidates) and the shingle side
+    keeps one generation per ref_id (no duplicate output pairs)."""
+    ref = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(1, 4)],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, " ".join(f"w1x{j}" for j in range(20)))],  # half of doc 1
+        "doc_id int, text string",
+    )
+    idx = str(tmp_path / "cidx3")
+    dedup.write_containment_index(
+        ref, idx, "doc_id", "text", max_chunk_df=2
+    )
+    single = sorted(
+        (r.new_id, r.ref_id, r.containment_new)
+        for r in dedup.containment_against_index(
+            batch, idx, "doc_id", "text", containment_threshold=0.4
+        ).collect()
+    )
+    assert single and {r for _, r, _ in single} == {1}
+    # same docs again, twice, under fresh labels: df for doc 1's chunks
+    # would triple (past max_chunk_df=2) if generations were counted
+    for lbl in ("again-0", "again-1"):
+        dedup.append_to_containment_index(
+            ref, idx, "doc_id", "text", ingest_label=lbl
+        )
+    multi = sorted(
+        (r.new_id, r.ref_id, r.containment_new)
+        for r in dedup.containment_against_index(
+            batch, idx, "doc_id", "text", containment_threshold=0.4
+        ).collect()
+    )
+    assert multi == single
