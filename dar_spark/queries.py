@@ -2090,26 +2090,47 @@ _EVIDENCE_R7 = [
     "zip_render_grouped",
 ]
 
+_EVIDENCE_R8 = [
+    "asof_last_signup", "bpe_segment_docs", "calibration_quality",
+    "cdc_chunk_docs", "clean_docs", "cm_heavy_hitters", "column_stats",
+    "coords_profile", "customers_without_orders", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "detect_columns", "docs_jsonl_roundtrip", "domain_stats",
+    "embed_cosine_topk", "embed_dup_pairs_lsh", "embed_ivf_topk",
+    "embed_lsh_topk", "embed_lsh_topk_p12", "events_json_agg",
+    "group_sample_docs", "lat_profile", "media_frame_sample",
+    "media_meta_profile", "ngram_novelty_docs", "orders_orc_roundtrip",
+    "phone_profile", "phone_profile_skip_first", "pr_curve_quality",
+    "profile_composite", "profile_histogram", "q1_pricing_summary",
+    "q3_shipping_priority", "q6_forecast_revenue", "retention_cohorts",
+    "roc_auc_quality", "rollup_revenue", "script_profile_docs",
+    "segment_set_ops", "sessionize_events", "shuffle_order_docs",
+    "source_overlap_docs", "state_profile", "text_stats", "token_topk",
+    "weighted_sample_docs", "zip_full_profile", "zip_quick_profile",
+]
+
 # Queries whose OUTPUT changed since their latest green artifact row —
 # that row certifies behavior that no longer exists, so rotation must
 # treat them as unverified (sorted into the window like new queries).
 # Clear this set once the next round's artifact re-certifies them.
-# The r7 artifact re-certified every SEMANTICS_CHANGED_R7 name, so the
-# r8 set starts empty.
-SEMANTICS_CHANGED_R8: set[str] = set()
+# embed_ivf_topk: r8 red row (partition-layout-dependent KMeans
+# quantizer); r9 replaces the quantizer with a deterministic fit, so
+# its prior rows certify output that no longer exists.
+SEMANTICS_CHANGED_R9: set[str] = {"embed_ivf_topk"}
 
 # Round-agnostic alias so tests/tools track the CURRENT set without a
 # rename each round.
-SEMANTICS_CHANGED = SEMANTICS_CHANGED_R8
+SEMANTICS_CHANGED = SEMANTICS_CHANGED_R9
 
 EVIDENCE_ROUND: dict[str, int] = {
     name: rnd
     for rnd, names in (
         (2, _EVIDENCE_R2), (3, _EVIDENCE_R3), (4, _EVIDENCE_R4),
         (5, _EVIDENCE_R5), (6, _EVIDENCE_R6), (7, _EVIDENCE_R7),
+        (8, _EVIDENCE_R8),
     )
     for name in names
-    if name not in SEMANTICS_CHANGED_R8
+    if name not in SEMANTICS_CHANGED
 }
 
 
