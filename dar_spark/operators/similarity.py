@@ -227,6 +227,80 @@ def ivf_autoscale(n: int) -> tuple[int, int]:
     return n_lists, min(n_probe, n_lists)
 
 
+def ivf_fit_centroids(
+    e: DataFrame,
+    id_col: str,
+    n_lists: int,
+    fit_sample_max: int = 100_000,
+    n: int | None = None,
+    n_iters: int = 10,
+) -> list[list[float]]:
+    """Partition-invariant coarse quantizer: Lloyd's k-means fit on the
+    driver over the deterministic hash-bucket sample.
+
+    ``pyspark.ml.clustering.KMeans(seed=...)`` is seeded but still
+    partition-LAYOUT dependent — k-means|| init and float-sum order vary
+    with parallelism, so the same data yields different centroids at
+    local[8] vs local[32] (the r8 red driver row).  A 100×-scale index
+    whose content silently changes with cluster topology is broken
+    regardless of recall, so the fit here is a pure function of the DATA:
+
+    - fit set: ``quantizer_fit_input`` (md5-bucket sample, ≤
+      ``fit_sample_max`` rows — at most ~100k × dim doubles, tens of MB,
+      safe to collect) pulled to the driver SORTED BY ID so every later
+      float accumulation runs in one fixed order;
+    - init: the first ``n_lists`` sample vectors ranked by
+      (md5-bucket, id) — the ``pq_fit_codebook`` anchor pattern;
+    - ``n_iters`` Lloyd iterations in numpy (argmin ties → lowest list,
+      unbuffered ``np.add.at`` accumulation in row order); an emptied
+      list keeps its previous centroid.
+
+    Same parquet → identical centroids at any partition count or thread
+    count (pinned by tests/test_similarity.py's repartition tripwire).
+    ``e`` must already carry the ``_v`` double-array column
+    (``_as_double_vec``).  Returns ≤ n_lists centroids (fewer only when
+    the sample itself has fewer rows).
+    """
+    import numpy as np
+
+    from dar_spark.dialect import SPARK as _SPK
+
+    fit = quantizer_fit_input(e, id_col, fit_sample_max, n=n)
+    rows = (
+        fit.select(
+            F.expr(pq_anchor_rank_sql(_SPK, id_col)).alias("_hb"),
+            F.col(id_col).alias("_aid"),
+            "_v",
+        )
+        .orderBy("_aid")
+        .collect()
+    )
+    if not rows:
+        return []
+    X = np.array([r._v for r in rows], dtype=np.float64)
+    rank = sorted(range(len(rows)), key=lambda i: (rows[i]._hb, rows[i]._aid))
+    L = min(n_lists, len(rows))
+    C = X[rank[:L]].copy()
+    prev = None
+    for _ in range(n_iters):
+        # chunked exact sq-distances: ||x||² − 2x·cᵀ + ||c||²
+        cn2 = (C * C).sum(axis=1)
+        assign = np.empty(len(X), dtype=np.int64)
+        for lo in range(0, len(X), 8192):
+            xb = X[lo : lo + 8192]
+            d2 = (xb * xb).sum(axis=1)[:, None] - 2.0 * (xb @ C.T) + cn2[None, :]
+            assign[lo : lo + len(xb)] = np.argmin(d2, axis=1)
+        if prev is not None and np.array_equal(assign, prev):
+            break
+        prev = assign
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=L).astype(np.float64)
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return [[float(x) for x in c] for c in C]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     id_col: str,
@@ -235,14 +309,14 @@ def ivf_topk(
     k: int = 5,
     n_lists: int | None = None,
     n_probe: int | None = None,
-    seed: int = 42,
     fit_sample_max: int = 100_000,
 ) -> DataFrame:
-    """IVF-style ANN: k-means coarse quantizer (seeded, reproducible runs)
-    partitions the corpus into ``n_lists`` inverted lists; each query
-    probes its ``n_probe`` nearest centroids and ranks candidates by exact
-    cosine.  The scan per query drops from N to ~N·n_probe/n_lists — the
-    FAISS IVF-Flat recipe expressed as DataFrame ops.
+    """IVF-style ANN: a deterministic k-means coarse quantizer
+    (:func:`ivf_fit_centroids` — partition-invariant, a pure function of
+    the data) partitions the corpus into ``n_lists`` inverted lists; each
+    query probes its ``n_probe`` nearest centroids and ranks candidates by
+    exact cosine.  The scan per query drops from N to ~N·n_probe/n_lists —
+    the FAISS IVF-Flat recipe expressed as DataFrame ops.
 
     ``n_lists``/``n_probe`` default to :func:`ivf_autoscale` (√N lists,
     N^(1/4) probes) so the index keeps its sublinear probe cost as the
@@ -250,28 +324,43 @@ def ivf_topk(
 
     The quantizer fits on at most ``fit_sample_max`` vectors (see
     ``quantizer_fit_input``) — the full corpus is only ever scanned by
-    the single assignment pass, never by the k-means iterations.
+    the single MAP-ONLY assignment pass (argmin expression against the
+    broadcast one-row centroid array; no shuffle, no Python), never by
+    the k-means iterations.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
-    ml = e.withColumn("_feat", array_to_vector("_v"))
-    n = ml.count() if (n_lists is None or n_probe is None) else None
+    n = e.count() if (n_lists is None or n_probe is None) else None
     if n_lists is None:
         n_lists, auto_probe = ivf_autoscale(n)
         if n_probe is None:
             n_probe = auto_probe
     elif n_probe is None:
         n_probe = max(2, int(math.isqrt(n_lists)))
-    km = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="_list")
-    model = km.fit(quantizer_fit_input(ml, id_col, fit_sample_max, n=n))
-    assigned = model.transform(ml).select(id_col, "_v", "_nrm", "_list")
+    centers = ivf_fit_centroids(e, id_col, n_lists, fit_sample_max, n=n)
+    n_probe = min(n_probe, len(centers))
 
-    centers = model.clusterCenters()
     spark = embeddings.sparkSession
+    cents_one = spark.createDataFrame(
+        [(centers,)], "_cents array<array<double>>"
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents_one))
+        .withColumn(
+            "_dists",
+            F.expr(
+                "transform(_cents, c -> aggregate(zip_with(_v, c, "
+                "(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"
+            ),
+        )
+        .withColumn(
+            "_list",
+            F.expr("CAST(array_position(_dists, array_min(_dists)) - 1 AS INT)"),
+        )
+        .select(id_col, "_v", "_nrm", "_list")
+    )
+
     cdf = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        [(i, c) for i, c in enumerate(centers)],
         "_list int, _cv array<double>",
     )
     # query → n_probe nearest centers by euclidean distance

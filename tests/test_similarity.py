@@ -50,7 +50,7 @@ def test_ivf_recall_and_reproducibility(spark):
     b = ivf_topk(e, "vec_id", "embedding", pred, k=5, n_lists=8, n_probe=3)
     sa = {(r.query_id, r.neighbor_id) for r in a.collect()}
     sb = {(r.query_id, r.neighbor_id) for r in b.collect()}
-    assert sa == sb  # seeded k-means → deterministic across runs
+    assert sa == sb  # deterministic quantizer → identical across runs
     ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     recall = len(ex & sa) / len(ex)
     assert recall >= 0.2, f"recall {recall:.2f}"
@@ -118,11 +118,12 @@ def test_ivf_autoscale_rule():
 
 
 def test_ivf_autoscaled_recall_sf01(spark):
-    """The registry configuration (autoscaled lists, lists/4 probes) at
-    sf0.1: recall vs brute force must clear the oracle bound on the
-    2000-vector corpus — 44 lists / 11 probes, measured 0.815 with the
-    seeded quantizer."""
+    """The registry configuration (autoscaled lists, max(8, lists/3)
+    probes) at sf0.1: recall vs brute force must clear the oracle bound
+    with ≥0.1 margin on the 2000-vector corpus — 44 lists / 14 probes,
+    measured 0.745 with the deterministic quantizer (bound 0.55)."""
     from dar_spark.operators.similarity import ivf_autoscale, ivf_topk
+    from dar_spark.queries import IVF_N_PROBE, IVF_RECALL_BOUND
 
     e = load_tables(spark, "/root/testdata/sf0.1")["embeddings"]
     pred = "vec_id % 50 = 0"
@@ -130,11 +131,43 @@ def test_ivf_autoscaled_recall_sf01(spark):
     assert n_lists == 44
     exact = brute_force_topk(e, "vec_id", "embedding", pred, k=5)
     approx = ivf_topk(e, "vec_id", "embedding", pred, k=5,
-                      n_lists=n_lists, n_probe=max(6, n_lists // 4))
+                      n_lists=n_lists, n_probe=max(IVF_N_PROBE, n_lists // 3))
     ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
-    assert recall >= 0.7, f"recall {recall:.3f}"
+    assert recall >= IVF_RECALL_BOUND + 0.1, f"recall {recall:.3f}"
+
+
+def test_ivf_stable_under_repartition(spark):
+    """The r8 red-row tripwire: the quantizer fit, list assignment, and
+    therefore the ENTIRE ivf_topk output must be a pure function of the
+    data — identical row-for-row across partition layouts.  The old
+    KMeans(seed=42) quantizer failed exactly this (k-means|| init and
+    float-sum order vary with parallelism: avg_recall_ok flipped between
+    local[8] and local[32] on the same sf0.01 parquet); the
+    ivf_fit_centroids replacement collects the deterministic sample
+    id-sorted and fits on the driver, so layout cannot reach the fit."""
+    from dar_spark.operators.similarity import ivf_fit_centroids, ivf_topk
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    pred = "vec_id % 25 = 0"
+    outs = []
+    cents = []
+    for parts in (1, 3, 32):
+        df = e.repartition(parts)
+        outs.append(sorted(
+            (r.query_id, r.neighbor_id, r.cos_sim, r.rank_n)
+            for r in ivf_topk(df, "vec_id", "embedding", pred,
+                              k=5, n_lists=8, n_probe=3).collect()
+        ))
+        from dar_spark.operators.similarity import _as_double_vec
+
+        cents.append(ivf_fit_centroids(
+            _as_double_vec(df.select("vec_id", "embedding"), "embedding"),
+            "vec_id", 8, fit_sample_max=max(df.count() // 2, 50),
+        ))
+    assert outs[0] == outs[1] == outs[2]
+    assert cents[0] == cents[1] == cents[2]  # bit-identical centroids
 
 
 def test_quantize_embeddings_contract(spark):
