@@ -15,8 +15,9 @@ DESCRIBE on the driver parquet).  Distribution shape mirrors the driver
 fixtures where it matters for plan behavior:
 
 - documents: ~32-word analytics vocab, 10-80 words/doc (avg chars ~300),
-  ~20 sources, skewed langs, ~1.9% near-dup copies (one-token suffix)
-  and ~0.2% exact copies so dedup queries have work at every scale;
+  ~20 sources, skewed langs, ~8.7% near-dup copies (one-token suffix,
+  i % 10 rows whose source stayed on the base branch) and ~1.7% exact
+  copies (i % 53 likewise) so dedup queries have work at every scale;
 - embeddings: 64-dim float vectors around 10 label centroids with
   deterministic noise, so ANN/kNN bucketing has real cluster structure;
 - events: 30-day span, 5 event types, user cardinality 10% of rows,
@@ -117,7 +118,7 @@ def generate(sf: float, out_dir: str) -> None:
 
     n_ord = rows(1_500_000)
     copy(
-        f"SELECT i AS o_orderkey, (hash(i) % {n_cust}) AS o_custkey, "
+        f"SELECT i AS o_orderkey, (hash(i) % {n_cust})::BIGINT AS o_custkey, "
         f"(['O','F','P'])[(1 + hash(i * 3) % 3)::BIGINT] AS o_orderstatus, "
         f"round(1000 + (hash(i * 7) % 45000000) / 100.0, 2) AS o_totalprice, "
         f"TIMESTAMP '2023-01-01' + INTERVAL ((hash(i * 11) % 63072000)::BIGINT) SECOND "
@@ -128,9 +129,9 @@ def generate(sf: float, out_dir: str) -> None:
     )
     n_li = rows(6_000_000)
     copy(
-        f"SELECT (hash(i) % {n_ord}) AS l_orderkey, "
-        f"(hash(i * 3) % {n_part}) AS l_partkey, "
-        f"(hash(i * 5) % {n_supp}) AS l_suppkey, "
+        f"SELECT (hash(i) % {n_ord})::BIGINT AS l_orderkey, "
+        f"(hash(i * 3) % {n_part})::BIGINT AS l_partkey, "
+        f"(hash(i * 5) % {n_supp})::BIGINT AS l_suppkey, "
         f"(1 + i % 7)::INT AS l_linenumber, "
         f"(1 + hash(i * 7) % 50)::DOUBLE AS l_quantity, "
         f"round(900 + (hash(i * 11) % 9500000) / 100.0, 2) AS l_extendedprice, "
@@ -151,7 +152,7 @@ def generate(sf: float, out_dir: str) -> None:
         f"TIMESTAMP '2024-01-01' + INTERVAL "
         f"  (((i * 2592000) // {n_ev} * 1000000 + hash(i) % 1000000)::BIGINT) MICROSECOND "
         f"  AS ts, "
-        f"(hash(i * 3) % {n_users}) AS user_id, "
+        f"(hash(i * 3) % {n_users})::BIGINT AS user_id, "
         f"({_sql_list(EVENT_TYPES)})[(1 + hash(i * 5) % 5)::BIGINT] AS event_type, "
         f"round((hash(i * 7) % 100000) / 100.0, 2) AS value, "
         f"'{{\"k\": ' || (hash(i * 11) % 100) || '}}' AS props "
@@ -161,13 +162,20 @@ def generate(sf: float, out_dir: str) -> None:
 
     # documents: base salad, then splice in near/exact duplicate copies of
     # earlier docs so dedup operators have real work at every scale.
+    # A copy is only taken when the SOURCE row (i-13 / i-7) itself stayed
+    # on the base branch — otherwise the spliced text is _doc_text(src),
+    # which is NOT what the source doc actually says (it took a dup
+    # branch), and the "copy" would match no real document.
     n_doc = rows(50_000)
     base = _doc_text("i")
     near_src = _doc_text("i - 7")
     exact_src = _doc_text("i - 13")
+    src_is_base = "({s}) % 53 <> 0 AND ({s}) % 10 <> 0"
     text_expr = (
-        f"CASE WHEN i % 53 = 0 AND i >= 13 THEN {exact_src} "
-        f"WHEN i % 10 = 0 AND i >= 7 THEN {near_src} || ' probe' "
+        f"CASE WHEN i % 53 = 0 AND i >= 13 "
+        f"AND {src_is_base.format(s='i - 13')} THEN {exact_src} "
+        f"WHEN i % 10 = 0 AND i >= 7 "
+        f"AND {src_is_base.format(s='i - 7')} THEN {near_src} || ' probe' "
         f"ELSE {base} END"
     )
     copy(

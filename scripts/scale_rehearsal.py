@@ -1,0 +1,181 @@
+"""Measured sf0.1 → sf1 scale rehearsal: fit a scaling exponent per
+headline query.
+
+docs/SCALE.md argues how each operator behaves at 100 TB; this harness
+is the cheapest instrument that can FALSIFY those arguments before a
+real cluster does.  It times every headline registry query at two scale
+factors produced by the SAME generator (scripts/gen_scale.py — using
+driver-sf0.1 vs homegrown-sf1 would confound data-shape differences
+with scale) and fits
+
+    exponent = log(t_sf1 / t_sf0.1) / log(10)
+
+i.e. t ~ n^exponent over the 10x row-count step.  ~1.0 is linear,
+~1.2 is the O(n log n) envelope on this step, >1.2 means the operator
+does super-linear work the SCALE.md story does not admit.
+
+Caveats the numbers carry (also recorded in the output): per-query
+constant overhead (task scheduling, plan compile ~0.1-0.5 s) DEFLATES
+exponents for sub-second sf0.1 queries, so small exponents are not
+evidence of sub-linear algorithms; both scales run min-of-N in one warm
+session so boot-level noise cancels; local[32] has no network shuffle,
+so an exponent here is a lower bound on cluster behavior.
+
+Writes docs/scale_rehearsal.json (the committed artifact that
+tests/test_scale_rehearsal.py gates) and rewrites the marked table
+section inside docs/SCALE.md.
+
+Usage:  python scripts/scale_rehearsal.py [--runs 3] [--scales 0.1 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MARK_BEGIN = "<!-- scale-rehearsal:begin -->"
+MARK_END = "<!-- scale-rehearsal:end -->"
+
+
+def _consume(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _ensure_fixtures(scales: list[float]) -> dict[float, str]:
+    from scripts.gen_scale import generate
+
+    dirs = {}
+    for sf in scales:
+        d = os.path.join(REPO, ".scale", f"sf{sf:g}")
+        if not os.path.isdir(d) or not os.path.exists(
+            os.path.join(d, "embeddings.parquet")
+        ):
+            print(f"generating {d} ...", flush=True)
+            generate(sf, d)
+        dirs[sf] = d
+    return dirs
+
+
+def _time_best(spark, q, sf_dir: str, n_runs: int) -> float:
+    best = None
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        _consume(q.spark(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def run(scales: list[float], n_runs: int, cpus: int) -> dict:
+    from dar_spark.queries import build_registry
+    from dar_spark.session import get_session, load_tables
+
+    lo, hi = min(scales), max(scales)
+    dirs = _ensure_fixtures(scales)
+    spark = get_session("dar_spark_scale_rehearsal", cpus=cpus, ansi=False)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = {n: q for n, q in build_registry().items() if q.headline}
+    # untimed warmup: codegen + parquet footers for both dirs
+    for d in dirs.values():
+        load_tables(spark, d)
+    for q in headline.values():
+        try:
+            _consume(q.spark(spark, dirs[lo]))
+        except Exception:
+            pass
+
+    results: dict[str, dict] = {}
+    for name, q in headline.items():
+        row: dict = {}
+        try:
+            t_lo = _time_best(spark, q, dirs[lo], n_runs)
+            t_hi = _time_best(spark, q, dirs[hi], n_runs)
+            row = {
+                f"t_sf{lo:g}": round(t_lo, 3),
+                f"t_sf{hi:g}": round(t_hi, 3),
+                "exponent": round(
+                    math.log(t_hi / t_lo) / math.log(hi / lo), 3
+                ),
+            }
+        except Exception as exc:  # record loudly, never silently drop
+            row = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        results[name] = row
+        print(f"{name}: {row}", flush=True)
+
+    return {
+        "scales": [lo, hi],
+        "cpus": cpus,
+        "n_runs": n_runs,
+        "generator": "scripts/gen_scale.py",
+        "note": (
+            "exponent = log(t_hi/t_lo)/log(10); constant per-query overhead "
+            "deflates exponents for sub-second t_lo queries; single-box "
+            "local mode, so cluster shuffle costs are not represented"
+        ),
+        "queries": results,
+    }
+
+
+def write_outputs(payload: dict) -> None:
+    out_json = os.path.join(REPO, "docs", "scale_rehearsal.json")
+    with open(out_json, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {out_json}")
+
+    lo, hi = payload["scales"]
+    lines = [
+        MARK_BEGIN,
+        "",
+        f"Measured by `scripts/scale_rehearsal.py` (min-of-{payload['n_runs']}, "
+        f"local[{payload['cpus']}], generator fixtures at sf{lo:g}/sf{hi:g}; "
+        "see docs/scale_rehearsal.json, gated by tests/test_scale_rehearsal.py):",
+        "",
+        f"| query | t sf{lo:g} (s) | t sf{hi:g} (s) | exponent |",
+        "|---|---|---|---|",
+    ]
+    for name in sorted(payload["queries"]):
+        r = payload["queries"][name]
+        if "error" in r:
+            lines.append(f"| {name} | — | — | ERROR: {r['error']} |")
+        else:
+            lines.append(
+                f"| {name} | {r[f't_sf{lo:g}']} | {r[f't_sf{hi:g}']} "
+                f"| {r['exponent']} |"
+            )
+    lines += ["", MARK_END]
+    block = "\n".join(lines)
+
+    scale_md = os.path.join(REPO, "docs", "SCALE.md")
+    text = open(scale_md).read()
+    if MARK_BEGIN in text and MARK_END in text:
+        pre = text.split(MARK_BEGIN)[0]
+        post = text.split(MARK_END)[1]
+        text = pre + block + post
+    else:
+        text = text.rstrip() + "\n\n## Measured sf0.1 → sf1 rehearsal\n\n" + block + "\n"
+    with open(scale_md, "w") as f:
+        f.write(text)
+    print(f"updated {scale_md}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--scales", type=float, nargs=2, default=[0.1, 1.0])
+    args = ap.parse_args()
+    payload = run(sorted(args.scales), args.runs, args.cpus)
+    write_outputs(payload)
+
+
+if __name__ == "__main__":
+    main()
