@@ -32,9 +32,20 @@ def phone_v1_available() -> bool:
 
 
 def _classify_series(values: pd.Series) -> pd.Series:
-    """Port of the v1 semantics: parse with default +1 retry; status 1 if
-    the numbering plan confirms the number, 5 if well-formed but not real,
-    3 otherwise (nulls are handled by the caller's v0 pre-filter)."""
+    """v1 classification via the real library: parse with the
+    reference's retry ladder (raw, '+1'-prepended, '+'-prepended;
+    phone-number-v1.py:85-110); status 1 if the numbering plan confirms
+    any candidate, 5 if some candidate parsed but none is valid, 3 if
+    nothing parsed (nulls are handled by the caller's v0 pre-filter).
+
+    DOCUMENTED DEVIATION: the reference itself returns 3, not 5, for a
+    '+'-prefixed parsed-but-invalid number (phone-number-v1.py:96
+    collapses parsed-invalid into the unparseable class on that
+    branch).  This port keeps the 5 tier — the distinction the
+    reference's own status legend defines but that branch discards —
+    matching the default mode of the expression model
+    (validators._intl_status_expr; its strict_reference=True mode
+    reproduces the reference's collapse)."""
     out = []
     for v in values:
         s = "" if v is None else str(v)

@@ -130,14 +130,24 @@ def nanp_valid_pred(d: Dialect, c: str) -> str:
     )
 
 
-def _intl_status_expr(d: Dialect, c: str) -> str:
+def _intl_status_expr(d: Dialect, c: str, strict_reference: bool = False) -> str:
     """Status of a '+'-prefixed non-NANP digit string ``c`` under the
     ITU E.164 model: 1 when the leading country code is assigned AND
     the remaining national number has a possible length for that code
-    (phonenumbers general_desc possible lengths, refdata.py), 5 when
-    the code is assigned but the length is not (parsed-but-invalid,
-    phone-number-v1.py:88 flow), 3 when no assigned code matches
-    (NumberParseException flow).
+    (phonenumbers general_desc possible lengths, refdata.py), 3 when no
+    assigned code matches (the reference's NumberParseException flow).
+
+    Assigned code + IMPOSSIBLE length is a DOCUMENTED DEVIATION by
+    default: this model returns 5 (keeps the reference's own
+    "well-formed but not a valid number" tier, which is more useful for
+    profiling), but the reference itself returns **3** for ANY
+    '+'-prefixed parsed-but-invalid number — phone-number-v1.py:96
+    (``elif phone_number[0] == "+": return (row, 3, ...)``) collapses
+    the parsed-invalid and unparseable classes.  Pass
+    ``strict_reference=True`` to reproduce that collapse exactly (the
+    same quirk-flag convention as state_status / zip_quick_status).
+    Both modes are pinned by
+    tests/test_phone_v1.py::test_intl_plus_branch_both_modes.
 
     E.164 codes are a prefix code, so at most one of the 1/2/3-digit
     memberships can hit; ONE searched CASE renders every literal set
@@ -146,6 +156,7 @@ def _intl_status_expr(d: Dialect, c: str) -> str:
     NANP tables, sized so the plan does not triple the literal volume.
     Residual divergence vs the library (per-country digit-pattern
     metadata beyond length) is fuzz-pinned in tests/test_phone_v1.py."""
+    parsed_invalid = 3 if strict_reference else 5
     branches = []
     for n in (1, 2, 3):
         pairs_n = [p for p in E164_CC_LEN_PAIRS if p.index(":") == n]
@@ -156,7 +167,7 @@ def _intl_status_expr(d: Dialect, c: str) -> str:
         branches.append(
             f"WHEN {d.in_strings(f'substr({c}, 1, {n})', E164_CC_BY_LEN[n])} "
             f"THEN (CASE WHEN {d.in_strings(pair, pairs_n)} "
-            "THEN 1 ELSE 5 END)"
+            f"THEN 1 ELSE {parsed_invalid} END)"
         )
     body = "\n  ".join(branches)
     return f"""CASE
@@ -165,7 +176,7 @@ def _intl_status_expr(d: Dialect, c: str) -> str:
 END"""
 
 
-def phone_v1_status(d: Dialect, x: str) -> str:
+def phone_v1_status(d: Dialect, x: str, strict_reference: bool = False) -> str:
     """v1 semantics (phone-number-v1.py:63-110): everywhere the v0 shape
     validator says 1 (well-formed +1 number), the numbering plan decides
     between 1 (real) and 5 (well-formed but not a valid number — e.g.
@@ -183,9 +194,12 @@ def phone_v1_status(d: Dialect, x: str) -> str:
     (:func:`_intl_status_expr`): assigned country code + possible
     national length → 1 ('+442071838750' matches the reference's
     ``phonenumbers.parse(x, None)`` at phone-number-v1.py:88), assigned
-    code + impossible length → 5, unassigned code → 3.  The model is a
-    documented SUPERSET of library validity for non-NANP (length-valid
-    but pattern-invalid numbers are 1 here, 5 there) — the residual is
+    code + impossible length → 5 by default (a DOCUMENTED DEVIATION —
+    the reference's '+'-branch at phone-number-v1.py:96 returns 3 for
+    every parsed-but-invalid number; ``strict_reference=True``
+    reproduces that), unassigned code → 3.  The model is a documented
+    SUPERSET of library validity for non-NANP (length-valid but
+    pattern-invalid numbers are 1 here, 5 there) — the residual is
     fuzz-pinned in tests/test_phone_v1.py; exact per-country plan
     semantics stay behind the Arrow path in functions/phone_lib.py.
     A PLUS-LESS international digit string keeps the historical NANP
@@ -193,9 +207,10 @@ def phone_v1_status(d: Dialect, x: str) -> str:
     v0 = phone_status(d, x)
     c = phone_clean(d, x)
     has_plus = f"substr(ltrim({d.cast_str(x)}), 1, 1) = '+'"
+    intl = _intl_status_expr(d, c, strict_reference=strict_reference)
     return f"""CASE
   WHEN ({v0}) IN (4, 5) THEN ({v0})
-  WHEN {has_plus} AND substr({c}, 1, 1) <> '1' THEN ({_intl_status_expr(d, c)})
+  WHEN {has_plus} AND substr({c}, 1, 1) <> '1' THEN ({intl})
   WHEN ({v0}) <> 1 THEN ({v0})
   WHEN {nanp_valid_pred(d, c)} THEN 1
   ELSE 5

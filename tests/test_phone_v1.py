@@ -73,13 +73,24 @@ def _model_valid(area: int, exchange: str, rest: str) -> bool:
     )
 
 
+def _phonenumbers_pinned():
+    """The library, but only at the exact version refdata.py's tables
+    were derived from — strict model==library assertions are only
+    meaningful against that metadata snapshot (r7 ADVICE #4)."""
+    pn = _phonenumbers()
+    if pn is not None and getattr(pn, "__version__", None) != "8.12.13":
+        return None
+    return pn
+
+
 def test_model_matches_library_exhaustively():
     """STRICT equality model == library for every area code — including
     the 13 territory codes, every exchange, multiple subscriber
-    suffixes, and all ten 876-606-X sub-exchange digits."""
-    pn = _phonenumbers()
+    suffixes, and all ten 876-606-X sub-exchange digits.  Version-gated:
+    a newer phonenumbers carries a different area-code table."""
+    pn = _phonenumbers_pinned()
     if pn is None:
-        pytest.skip("phonenumbers not importable")
+        pytest.skip("phonenumbers 8.12.13 not importable")
     from dar_spark.refdata import TERRITORY_AREA_CODES
 
     for area in range(200, 1000):
@@ -209,7 +220,7 @@ def test_intl_divergence_pinned():
 
     from dar_spark import testgen
 
-    pn = _phonenumbers()
+    pn = _phonenumbers_pinned()
     rows = duckdb.sql(
         f"SELECT k % 8 AS cls, x, ({V.phone_v1_status(DUCKDB, 'x')}) AS s "
         f"FROM (SELECT k, ({testgen.dirty_phone_intl('k')}) AS x "
@@ -230,6 +241,46 @@ def test_intl_divergence_pinned():
         pytest.skip("phonenumbers not importable: library column not verified")
 
 
+def test_intl_plus_branch_both_modes(spark):
+    """Model-vs-REFERENCE pin for the '+'-branch (r7 ADVICE #1): the
+    reference returns **3** for ANY '+'-prefixed parsed-but-invalid
+    number — phone-number-v1.py:96 (``elif phone_number[0] == "+":
+    return (row, 3, ...)``) collapses assigned-code+impossible-length
+    into the unparseable class.  The expression model keeps the 5 tier
+    by default (documented deviation) and reproduces the reference's
+    collapse under strict_reference=True.  Exercised as literals through
+    BOTH dialects in both modes:
+
+      '+4420123'      assigned CC 44, impossible NSN length 5
+      '+81123456'     assigned CC 81, impossible NSN length 6
+      '+442071838750' assigned CC 44, possible length  -> 1 either mode
+      '+9991234567'   unassigned CC                    -> 3 either mode
+
+    (The literal must clear the v0 shape tier first — a string as short
+    as '+4420' is rejected as 5 by the length gate before the intl
+    branch is consulted, in both modes.)
+    """
+    import duckdb
+
+    cases = [
+        ("+4420123", 5, 3),         # the deviation class
+        ("+81123456", 5, 3),        # and for a 2-digit CC
+        ("+442071838750", 1, 1),
+        ("+9991234567", 3, 3),
+    ]
+    for value, want_default, want_strict in cases:
+        lit = "'" + value + "'"
+        for strict, want in ((False, want_default), (True, want_strict)):
+            expr_d = V.phone_v1_status(DUCKDB, lit, strict_reference=strict)
+            expr_s = V.phone_v1_status(SPARK, lit, strict_reference=strict)
+            got_d = duckdb.sql(f"SELECT ({expr_d}) AS s").fetchone()[0]
+            got_s = spark.sql(f"SELECT ({expr_s}) AS s").collect()[0].s
+            assert got_d == got_s == want, (
+                f"{value!r} strict={strict}: duck={got_d} spark={got_s}, "
+                f"want {want}"
+            )
+
+
 def test_intl_model_is_length_superset_of_library():
     """Fuzz the ITU branch against the public library over '+CC' +
     random digits for a spread of country codes and lengths:
@@ -239,12 +290,20 @@ def test_intl_model_is_length_superset_of_library():
     - model 3 (unknown code) ⇒ library cannot parse (status 3)
     - model 1 may be library 5 — the documented length-superset
       residual (pattern metadata beyond length) — but never library 3.
+
+    Gated on the exact library version refdata.py's length tables were
+    derived from: a newer phonenumbers ships different metadata
+    (codes/lengths change with ITU updates), so these hard assertions
+    would fail with zero code change (r7 ADVICE #4).
     """
     import duckdb
 
-    pn = _phonenumbers()
+    pn = _phonenumbers_pinned()
     if pn is None:
-        pytest.skip("phonenumbers not importable")
+        pytest.skip(
+            "phonenumbers 8.12.13 (the refdata.py metadata pin) not "
+            "importable; length assertions only hold for that version"
+        )
     import random
 
     from dar_spark.refdata import E164_CC_NSN_LENGTHS
