@@ -16,22 +16,66 @@ The convention, applied uniformly via :func:`hot`:
   "recompute the projection once more" over "hold a corpus-sized
   cache", the right trade when the downstream branches are cheap
   relative to cluster memory;
-- callers that need the memory back *before* the session ends unpersist
-  through :func:`pyspark.sql.SparkSession.catalog`'s ``clearCache`` or
-  by holding their own reference — the operators return lazy plans, so
-  they cannot unpersist on the caller's behalf.
+- callers that need the memory back *before* the session ends wrap the
+  operator call in :func:`hot_scope` and CONSUME the result (write to a
+  sink, collect) inside the scope — every frame the operator persisted
+  is unpersisted on exit, without ``clearCache``'s collateral damage to
+  unrelated caches in a shared long-lived session.  (The operators
+  return lazy plans, so they cannot unpersist on the caller's behalf;
+  re-executing the returned plan AFTER the scope closes recomputes the
+  projections from source — correct, just no longer cached.)
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 DEFAULT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
+# stack, not a flat list: hot_scope() calls may nest (an operator
+# composed of operators), and each scope must release only its own
+# frames
+_SCOPES: list[list[DataFrame]] = []
+
 
 def hot(df: DataFrame, storage_level: StorageLevel | None) -> DataFrame:
-    """Persist ``df`` at ``storage_level``; ``None`` = don't persist."""
+    """Persist ``df`` at ``storage_level``; ``None`` = don't persist.
+    Inside a :func:`hot_scope`, the persisted frame is registered for
+    release when the scope exits."""
     if storage_level is None:
         return df
-    return df.persist(storage_level)
+    df = df.persist(storage_level)
+    if _SCOPES:
+        _SCOPES[-1].append(df)
+    return df
+
+
+@contextmanager
+def hot_scope():
+    """Bound the lifetime of every frame :func:`hot` persists within
+    the block: all of them are unpersisted on exit (success or error).
+
+    Usage — consume the result INSIDE the scope::
+
+        with hot_scope():
+            pairs = containment_dup_pairs(docs)
+            pairs.write.parquet(out)      # caches pay off here
+        # executor memory/disk released here; the session keeps running
+
+    Yields the tracking list (mostly for tests).  Blocking=False
+    unpersist: release is asynchronous, matching Spark's own cache
+    eviction; correctness never depends on the cache being gone."""
+    frames: list[DataFrame] = []
+    _SCOPES.append(frames)
+    try:
+        yield frames
+    finally:
+        _SCOPES.pop()
+        for f in frames:
+            try:
+                f.unpersist()
+            except Exception:
+                pass  # a stopped session has nothing to release

@@ -1,0 +1,105 @@
+"""Pins for the round-9 verdict/advice items.
+
+- core/caching.py — hot_scope(): callers can release the corpus-sized
+  persisted frames as soon as the operator's result is consumed, per
+  VERDICT r8 #7 ("no persisted frame outlives its operator call when
+  the helper is used"), without clearCache's session-wide collateral.
+- The scope must be result-identical to the plain call, cover all
+  three named cache sites (containment_dup_pairs,
+  quality_percentile_by_source, containment_against_index), and leave
+  ZERO persisted RDDs behind from the wrapped call.
+"""
+
+from __future__ import annotations
+
+from dar_spark.core.caching import hot_scope
+from dar_spark.operators import dedup
+from dar_spark.operators.sampling import quality_percentile_by_source
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_hot_scope_releases_and_is_result_identical(spark):
+    docs = (
+        load_tables(spark, SF_DIR)["documents"]
+        .select("doc_id", "text", "source")
+        .filter("doc_id < 150")
+    )
+    key = lambda r: (r.doc_id_a, r.doc_id_b)  # noqa: E731
+    plain = {
+        key(r): (r.containment_a, r.containment_b, r.jaccard)
+        for r in dedup.containment_dup_pairs(docs).collect()
+    }
+    spark.catalog.clearCache()
+    base = _n_persistent(spark)
+    with hot_scope() as tracked:
+        scoped = {
+            key(r): (r.containment_a, r.containment_b, r.jaccard)
+            for r in dedup.containment_dup_pairs(docs).collect()
+        }
+        assert len(tracked) == 2  # chunk hashes + shingle sets
+        assert _n_persistent(spark) > base  # caches live while consuming
+    assert scoped == plain and plain
+    assert _n_persistent(spark) == base  # nothing outlives the scope
+
+
+def test_hot_scope_covers_quality_percentile(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].filter("doc_id < 200")
+    plain = {
+        r.doc_id: r.pct_rank
+        for r in quality_percentile_by_source(docs).collect()
+    }
+    spark.catalog.clearCache()
+    base = _n_persistent(spark)
+    with hot_scope():
+        scoped = {
+            r.doc_id: r.pct_rank
+            for r in quality_percentile_by_source(docs).collect()
+        }
+    assert scoped == plain and plain
+    assert _n_persistent(spark) == base
+
+
+def test_hot_scope_covers_containment_against_index(spark, tmp_path):
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    ref = docs.filter("doc_id < 100")
+    batch = docs.filter("doc_id >= 100 AND doc_id < 200")
+    path = str(tmp_path / "cidx")
+    dedup.write_containment_index(ref, path, id_col="doc_id")
+    plain = {
+        (r.new_id, r.ref_id): r.jaccard
+        for r in dedup.containment_against_index(batch, path).collect()
+    }
+    spark.catalog.clearCache()
+    base = _n_persistent(spark)
+    with hot_scope():
+        scoped = {
+            (r.new_id, r.ref_id): r.jaccard
+            for r in dedup.containment_against_index(batch, path).collect()
+        }
+    assert scoped == plain
+    assert _n_persistent(spark) == base
+
+
+def test_hot_scope_nesting_releases_inner_only_on_inner_exit(spark):
+    """Nested scopes release their own frames independently (an
+    operator composed of operators must not drop its parent's caches)."""
+    from dar_spark.core.caching import DEFAULT_LEVEL, hot
+
+    docs = load_tables(spark, SF_DIR)["documents"].limit(10)
+    spark.catalog.clearCache()
+    base = _n_persistent(spark)
+    with hot_scope() as outer:
+        a = hot(docs.select("doc_id"), DEFAULT_LEVEL)
+        a.count()
+        with hot_scope() as inner:
+            b = hot(docs.select("text"), DEFAULT_LEVEL)
+            b.count()
+            assert len(inner) == 1 and len(outer) == 1
+            assert _n_persistent(spark) == base + 2
+        assert _n_persistent(spark) == base + 1  # inner released, outer kept
+    assert _n_persistent(spark) == base
