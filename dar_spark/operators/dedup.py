@@ -853,8 +853,8 @@ def embedding_dup_pairs(
     cos_threshold: float = 0.999,
     subset_pred: str | None = None,
     method: str = "lsh",
-    n_planes: int = 8,
-    n_bands: int = 1,
+    n_planes: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine: (id_a, id_b, cos_sim ≥ thr).
 
@@ -891,18 +891,50 @@ def embedding_dup_pairs(
     probe set and one equi-join shuffle's worth of rows — still O(B·N)
     on uniform keys, never all-pairs.
 
-    A configuration whose expected boundary miss rate exceeds 5% emits a
-    RuntimeWarning with the band count that would fix it.
+    ``n_planes``/``n_bands`` default to
+    :func:`similarity.srp_pairs_autoscale` (⌈log2 N⌉ planes so expected
+    candidate pairs stay O(B·N), bands sized to hold the boundary miss
+    rate ≤5% at those planes) — a FIXED plane count makes the verify
+    stage quadratic in the corpus (rehearsal-measured exponent ~1.9
+    over a 10× step at 8 planes).  Resolving the default costs one
+    count() over the (filtered) input; pass explicit values to pin a
+    configuration (e.g. for a static cross-engine oracle).  A pinned
+    configuration whose expected boundary miss rate exceeds 5% emits a
+    RuntimeWarning with the band count that would fix it; autoscaled
+    configurations never warn by construction.
 
     ``method='brute'``: the exact O(n²) pair join, for small subsets and
     as the verification baseline (the old general path — a
     BroadcastNestedLoopJoin, unusable at corpus scale).
     """
-    from dar_spark.operators.similarity import _as_double_vec
+    from dar_spark.operators.similarity import _as_double_vec, srp_pairs_autoscale
+
+    e = df.select(F.col(id_col), F.col(vec_col))
+    if subset_pred:
+        e = e.filter(subset_pred)
 
     if method == "lsh":
         import math
 
+        if n_planes is None or n_bands is None:
+            auto_planes, auto_bands = srp_pairs_autoscale(
+                e.count(), cos_threshold
+            )
+            if n_planes is None:
+                n_planes = auto_planes
+                if n_bands is None:
+                    n_bands = auto_bands
+            else:
+                # planes pinned, bands not: size bands for THOSE planes
+                p = math.acos(min(max(cos_threshold, -1.0), 1.0)) / math.pi
+                q = (1.0 - p) ** n_planes + n_planes * p * (1.0 - p) ** (
+                    n_planes - 1
+                )
+                n_bands = (
+                    1
+                    if q >= 1.0
+                    else max(1, math.ceil(math.log(0.05) / math.log(1.0 - q)))
+                )
         p = math.acos(min(max(cos_threshold, -1.0), 1.0)) / math.pi
         n = n_planes
         q = (1.0 - p) ** n + n * p * (1.0 - p) ** (n - 1)
@@ -921,9 +953,6 @@ def embedding_dup_pairs(
                 stacklevel=2,
             )
 
-    e = df.select(F.col(id_col), F.col(vec_col))
-    if subset_pred:
-        e = e.filter(subset_pred)
     e = _as_double_vec(e, vec_col)
     if method == "brute":
         a = e.select(F.col(id_col).alias("vec_id_a"), F.col("_v").alias("va"), F.col("_nrm").alias("na"))
@@ -1412,7 +1441,7 @@ def semdedup_prune(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     cos_threshold: float = 0.95,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
@@ -1432,17 +1461,26 @@ def semdedup_prune(
     Output: (id, cluster_id, keep INT) for every input row.
 
     Scale: assignment is ONE pass over the corpus against broadcast
-    centroids.  The self-join shuffles on cluster_id, so ``n_clusters``
-    is the dial — it must grow ~sqrt(N) (the paper uses 50k clusters
-    for LAION) both to bound the O(sum c_i^2) within-cluster pair work
-    and to keep the shuffle keys numerous enough to spread; the tiny
-    default suits the test fixture only.  For near-dup thresholds
-    (cos >= 0.99) prefer ``embedding_dup_pairs`` — banded SRP buckets
-    scale without the cluster-size quadratic term.
+    centroids (cost N·k).  The self-join shuffles on cluster_id with
+    within-cluster pair work O(Σ c_i²) ≈ N²/k, so ``n_clusters``
+    DEFAULTS to ⌈√N⌉ — the k that balances the two terms at the
+    operator's intrinsic optimum N^1.5 (flat SemDeDup cannot do better:
+    fewer clusters blow up the pair stage — a pinned k=8 measured
+    rehearsal exponent 1.32 on a 10× step — while more clusters blow up
+    assignment; the paper's 50k-cluster LAION run makes the same trade
+    with approximate FAISS k-means).  Resolving the default costs one
+    count().  For near-dup thresholds (cos >= 0.99) prefer
+    ``embedding_dup_pairs`` — banded SRP buckets scale O(B·N) without
+    the cluster-size quadratic term.
     """
+    import math
+
     from dar_spark.operators.similarity import _as_double_vec
 
     e = _as_double_vec(df.select(id_col, vec_col), vec_col)
+    if n_clusters is None:
+        n = e.count()
+        n_clusters = max(1, math.isqrt(n) + (0 if math.isqrt(n) ** 2 == n else 1))
     cent = (
         e.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_clusters)

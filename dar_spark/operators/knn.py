@@ -126,6 +126,17 @@ def knn_classify(
     classify pass is scan -> project (the cross join is a broadcast of
     that single row) — ``tests/test_knn.py`` pins zero exchanges on the
     classify side.
+
+    Scale contract: cost is O(N·S) with S = |seed set| — linear in the
+    corpus only while S is BOUNDED (the production shape: a curated
+    labeled set, thousands to low millions, folded into one broadcast
+    row well under the broadcast ceiling).  A seed set that GROWS with
+    the corpus makes exact kNN quadratic by definition (the rehearsal's
+    knn_label_prop fixture labels 90% of every sf, hence its measured
+    super-linear exponent — an artifact of the fixture, not the
+    operator); for corpus-sized seed sets use the SRP/PQ candidate
+    paths (``similarity.srp_lsh_topk`` / ``pq_topk``) and vote over
+    their top-k instead.
     """
     _require_numeric_label(embeddings, label_col, "knn_classify")
     e = _as_double_vec(

@@ -78,12 +78,26 @@ def brute_force_topk(
 
 def _plane_component(j: int) -> str:
     """Deterministic pseudo-random hyperplane component for plane j,
-    dimension i (SQL expr over i): integer-hash → centered unit range."""
+    dimension i (SQL expr over i): integer-hash → centered unit range.
+
+    The multiplier is PER-PLANE (A^(j+1) mod M, precomputed here and
+    emitted as a literal).  The r1–r8 form used one shared multiplier
+    ``(i*A + j*B + c) % M`` — but that makes plane j a PHASE-SHIFTED
+    COPY of plane j' (same lattice sequence over i, constant offset),
+    so "independent" hyperplanes were near-parallel (measured |cos| up
+    to 0.98 between planes; 13 sign bits yielded ~900 of 8192 buckets,
+    Σc² skew ~34× uniform — every SRP candidate join dragged ~34× the
+    candidates an ideal LSH would).  Distinct modular-power multipliers
+    give distinct lattice directions: measured max |cos| 0.50, bucket
+    occupancy and Σc² skew match i.i.d.-gaussian planes (2.6 vs 2.7 on
+    the 8k×64 probe).  Both engines emit THIS function's constants, so
+    the DuckDB oracles move in lockstep."""
     # All arithmetic in BIGINT: the multipliers exceed int32, and under
     # ANSI mode (the default in the driver's session) an int32 overflow is
     # a hard error, not a wrap.  CAST(i AS BIGINT) promotes the whole chain.
+    mult = pow(2654435761, j + 1, 1000003)
     return (
-        f"(CAST(((CAST(i AS BIGINT) * 2654435761 "
+        f"(CAST(((CAST(i AS BIGINT) * {mult} "
         f"+ CAST({j} AS BIGINT) * 1315423911 + 97) % 1000003) AS DOUBLE) "
         f"/ 1000003.0 - 0.5)"
     )
@@ -1342,6 +1356,38 @@ def srp_autoscale(n: int, target_candidates: int = 4096) -> int:
     ratio = max(1, -(-n // max(1, target_candidates)))
     need = (ratio - 1).bit_length()
     return max(N_PLANES, min(24, need))
+
+
+def srp_pairs_autoscale(
+    n: int, cos_threshold: float, target_miss: float = 0.05
+) -> tuple[int, int]:
+    """Default (n_planes, n_bands) for ALL-PAIRS SRP dedup over ``n``
+    vectors (``dedup.embedding_dup_pairs(method='lsh')``).
+
+    Pair generation sizes differently from top-k probing
+    (:func:`srp_autoscale`): expected candidate PAIRS are
+    ~ B · N² / 2^n_planes (each bucket of size c contributes c²/2
+    pairs), so a FIXED plane count makes the verify stage quadratic in
+    the corpus — measured by scripts/scale_rehearsal.py as exponent
+    ~1.9 on the 8-plane config over a 10× step.  n_planes ≈ ⌈log2 N⌉
+    keeps expected candidates O(B·N); the floor keeps tiny corpora at
+    the tested default, the 30-plane cap bounds multiprobe expansion
+    (n_planes+1 rows/vector/band) and covers corpora to ~10⁹ vectors
+    per shard (beyond that, the shard router is the documented path).
+
+    More planes split more true pairs, so n_bands rises to hold the
+    boundary miss rate at ``target_miss`` using the per-band candidate
+    probability q = (1−p)^n + n·p·(1−p)^(n−1), p = arccos(thr)/π —
+    the same formula the under-provisioning warning uses, so an
+    autoscaled configuration never warns by construction."""
+    planes = max(N_PLANES, min(30, max(1, n - 1).bit_length()))
+    p = math.acos(min(max(cos_threshold, -1.0), 1.0)) / math.pi
+    q = (1.0 - p) ** planes + planes * p * (1.0 - p) ** (planes - 1)
+    if q >= 1.0:
+        bands = 1
+    else:
+        bands = max(1, math.ceil(math.log(target_miss) / math.log(1.0 - q)))
+    return planes, bands
 
 
 def write_pq_index(

@@ -1683,8 +1683,12 @@ def _embed_dup_pairs_lsh_q() -> Q:
             .join(rep, "rep_id")
             .select("vec_id", F.col("rep_v").alias("v"))
         )
+        # n_planes/n_bands PINNED (not autoscaled): the DuckDB twin is a
+        # static string emitted from the same plane constants, so the
+        # spark side must hold the same configuration at every sf
         return embedding_dup_pairs(
-            c, "vec_id", "v", cos_threshold=EMBED_DUP_THRESHOLD, method="lsh"
+            c, "vec_id", "v", cos_threshold=EMBED_DUP_THRESHOLD,
+            method="lsh", n_planes=8, n_bands=1,
         )
 
     from dar_spark.operators.similarity import srp_pairs_oracle_sql
@@ -1940,8 +1944,8 @@ def _embed_lsh_topk_banded_q(n_bands: int = 3) -> Q:
     three independent plane sets, candidates unioned across bands —
     the broad-similarity recall dial proven end-to-end against the
     banded DuckDB twin (same plane constants per band).  Measured on the
-    random fixture corpus: top-5 recall 0.20 (one band) -> 0.33 (three
-    bands) at identical per-band cost."""
+    random fixture corpus (r9 planes): top-5 recall 0.13 (one band) ->
+    0.28 (three bands) -> 0.43 (five) at identical per-band cost."""
     from dar_spark.operators.similarity import srp_lsh_oracle_sql
 
     def spark_fn(spark, sf_dir):
@@ -2122,7 +2126,17 @@ _EVIDENCE_R8 = [
 # embed_ivf_topk: r8 red row (partition-layout-dependent KMeans
 # quantizer); r9 replaces the quantizer with a deterministic fit, so
 # its prior rows certify output that no longer exists.
-SEMANTICS_CHANGED_R9: set[str] = {"embed_ivf_topk"}
+# The other ten are the r9 SRP plane-quality fix (per-plane modular-
+# power multipliers, similarity._plane_component) plus the semdedup
+# k=⌈√N⌉ autoscale — enumerated by scripts/hash_outputs.py before/after
+# diff at sf0.01, not guessed from grep.
+SEMANTICS_CHANGED_R9: set[str] = {
+    "embed_ivf_topk",
+    "embed_drift_by_label", "embed_drift_embed", "embed_dup_pairs_banded",
+    "embed_lsh_topk", "embed_lsh_topk_banded", "embed_lsh_topk_indexed",
+    "embed_lsh_topk_p12", "embed_pq_lsh_topk", "semdedup_embed",
+    "srp_tuning_report_embed",
+}
 
 # Round-agnostic alias so tests/tools track the CURRENT set without a
 # rename each round.
@@ -3127,10 +3141,15 @@ def _embed_dup_pairs_banded_q() -> Q:
                 ).alias("v"),
             )
         )
+        # PINNED 8-plane config for the static cross-engine oracle; the
+        # operator's autoscaled default is the 100 TB path (this pinned
+        # shape is quadratic-in-N by construction — measured exponent
+        # ~1.9 in docs/scale_rehearsal.json and justified there)
         return embedding_dup_pairs(
             c, "vec_id", "v",
             cos_threshold=BANDED_COS_THRESHOLD,
             method="lsh",
+            n_planes=8,
             n_bands=BANDED_N_BANDS,
         )
 
@@ -5086,7 +5105,6 @@ FROM k WHERE rn = 1 GROUP BY doc_id"""
     return Q(spark_fn, oracle)
 
 
-SEMDEDUP_K = 8
 SEMDEDUP_COS = 0.95
 
 
@@ -5095,7 +5113,14 @@ def _semdedup_q() -> Q:
     centroid sample, broadcast argmin assignment, within-cluster
     smaller-id-neighbor test at cos >= 0.95.  The oracle replays centroid
     choice, assignment, and the pair test with left-fold dot products
-    (same IEEE order as Spark's aggregate)."""
+    (same IEEE order as Spark's aggregate).
+
+    n_clusters AUTOSCALES to ⌈√N⌉ in BOTH engines (the operator's
+    default; the oracle derives the same bound from count(*) via a
+    scalar subquery), replacing the r5–r8 pinned k=8 whose within-
+    cluster pair stage was quadratic — rehearsal-measured exponent 1.32
+    over the sf0.1→sf1 10× step, the flat-SemDeDup intrinsic optimum
+    being N^1.5 at k=√N."""
 
     def spark_fn(spark, sf_dir):
         from dar_spark.operators.dedup import semdedup_prune
@@ -5103,7 +5128,7 @@ def _semdedup_q() -> Q:
         t = load_tables(spark, sf_dir)
         return semdedup_prune(
             t["embeddings"], "vec_id", "embedding",
-            n_clusters=SEMDEDUP_K, cos_threshold=SEMDEDUP_COS,
+            n_clusters=None, cos_threshold=SEMDEDUP_COS,
         )
 
     def fold(products: str) -> str:
@@ -5127,8 +5152,12 @@ def _semdedup_q() -> Q:
          sqrt({fold('list_transform(v, x -> x * x)')}) AS nrm
   FROM e
 ), cent AS (
-  SELECT vec_id AS cid, v AS cv FROM e
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {SEMDEDUP_K}
+  SELECT cid, cv FROM (
+    SELECT vec_id AS cid, v AS cv,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS crn
+    FROM e)
+  WHERE crn <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)
 ), d AS (
   SELECT vec_id, v, nrm, cid, {sq_dist} AS dist
   FROM n CROSS JOIN cent

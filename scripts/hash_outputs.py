@@ -1,0 +1,56 @@
+"""Stable per-query output hashes at one sf dir — the tool that tells a
+round exactly which registry entries an engine-wide change (e.g. new
+SRP plane constants) actually touched, so SEMANTICS_CHANGED_* is
+enumerated from evidence instead of guessed from grep.
+
+Usage:  python scripts/hash_outputs.py out.json [--sf-dir DIR] [--names a,b,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--names", default=None)
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    from dar_spark.queries import build_registry
+    from dar_spark.session import get_session
+
+    spark = get_session("dar_spark_hash_outputs", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = build_registry()
+    names = args.names.split(",") if args.names else list(registry)
+
+    hashes: dict[str, str] = {}
+    for name in names:
+        try:
+            df = registry[name].spark(spark, args.sf_dir)
+            cols = sorted(df.columns)
+            rows = sorted(
+                tuple(repr(r[c]) for c in cols) for r in df.collect()
+            )
+            h = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
+        except Exception as exc:
+            h = f"ERROR:{type(exc).__name__}"
+        hashes[name] = h
+        print(f"{name}: {h}", flush=True)
+    with open(args.out, "w") as f:
+        json.dump(hashes, f, indent=0, sort_keys=True)
+        f.write("\n")
+
+
+if __name__ == "__main__":
+    main()

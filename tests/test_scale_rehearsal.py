@@ -1,0 +1,104 @@
+"""Gate on the MEASURED sf0.1 → sf1 scale rehearsal artifact
+(docs/scale_rehearsal.json, produced by scripts/scale_rehearsal.py).
+
+docs/SCALE.md argues plan shapes; the rehearsal is the instrument that
+falsifies the arguments.  These tests pin three properties of the
+committed artifact: it exists and is fresh enough to cover today's
+headline set; no headline query scales worse than the ~O(n log n)
+envelope (exponent ≤ 1.2 on the 10× step) unless it carries an explicit
+justification below; and nothing errored silently.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACT = os.path.join(REPO, "docs", "scale_rehearsal.json")
+
+# The O(n log n) envelope on a 10× step: t_hi/t_lo = 10 * log(10n)/log(n)
+# ≈ 10^1.2 for fixture-sized n.  Constant per-query overhead DEFLATES
+# measured exponents (sub-second t_lo), so anything ABOVE the envelope
+# is a real super-linear term, not noise.
+MAX_EXPONENT = 1.2
+
+# Queries allowed above the envelope, each with the reason the measured
+# number is the honest cost of the semantics (not an accidental plan):
+JUSTIFIED: dict[str, str] = {
+    # The registry entry PINS n_planes=8 so its DuckDB twin can be a
+    # static string (the banded-bucket grammar is emitted per plane);
+    # fixed planes make LSH candidate pairs ~N²/2^8 by construction.
+    # The operator's DEFAULT is srp_pairs_autoscale (⌈log2 N⌉ planes,
+    # candidates O(B·N)) — pinned by
+    # tests/test_similarity.py::test_srp_pairs_autoscale_candidates_stay_linear,
+    # which reproduces this offender and its fix in miniature.
+    "embed_dup_pairs_banded": "pinned 8-plane config for the static oracle",
+    # Flat SemDeDup's intrinsic optimum is N^1.5: assignment costs N·k,
+    # within-cluster exact pairs cost ~N²/k, balanced at k=√N — which
+    # is what the query now autoscales to (both engines).  Exponents up
+    # to ~1.5 are the semantics, not a plan defect.
+    "semdedup_embed": "flat SemDeDup is intrinsically N^1.5 at k=√N",
+    # The fixture labels 90% of EVERY sf as seeds, so the seed set
+    # grows with the corpus and exact kNN is O(N·S) by definition.
+    # Production seed sets are bounded (see knn.knn_classify docstring);
+    # with S fixed the same plan is O(N).
+    "knn_label_prop": "fixture seed set grows with corpus; exact kNN is O(N·S)",
+    "knn_holdout_eval_embed": "same fixture-grown seed set as knn_label_prop",
+    "knn_label_noise_embed": "same fixture-grown seed set as knn_label_prop",
+    "hard_negatives_embed": "fixture-grown seed/query sets; exact scoring is O(N·S)",
+    "positive_pairs_embed": "fixture-grown pair candidates; exact scoring is O(N·S)",
+    "mmr_select_embed": "MMR re-scores the pool per pick; pool grows with sf",
+}
+
+SEMDEDUP_CAP = 1.6  # N^1.5 + overhead headroom
+
+
+def _artifact() -> dict:
+    if not os.path.exists(ARTIFACT):
+        pytest.skip("no rehearsal artifact committed yet")
+    return json.load(open(ARTIFACT))
+
+
+def test_rehearsal_covers_current_headliners():
+    from dar_spark.queries import build_registry
+
+    payload = _artifact()
+    headline = {n for n, q in build_registry().items() if q.headline}
+    missing = headline - set(payload["queries"])
+    assert not missing, (
+        f"headline queries missing from the rehearsal: {sorted(missing)} — "
+        "re-run scripts/scale_rehearsal.py"
+    )
+
+
+def test_rehearsal_has_no_errors():
+    payload = _artifact()
+    errs = {n: r["error"] for n, r in payload["queries"].items() if "error" in r}
+    assert not errs, f"rehearsal errors: {errs}"
+
+
+def test_no_headline_query_scales_superlinearly():
+    payload = _artifact()
+    offenders = {}
+    for name, r in payload["queries"].items():
+        if "exponent" not in r:
+            continue
+        cap = SEMDEDUP_CAP if name == "semdedup_embed" else MAX_EXPONENT
+        if name in JUSTIFIED and name != "semdedup_embed":
+            continue  # justified inline above
+        if r["exponent"] > cap:
+            offenders[name] = r
+    assert not offenders, (
+        f"super-linear headline queries with no justification: {offenders}"
+    )
+
+
+def test_justifications_are_not_stale():
+    """Every JUSTIFIED name must still exist in the artifact — a dead
+    entry means the justification outlived the query it excused."""
+    payload = _artifact()
+    dead = [n for n in JUSTIFIED if n not in payload["queries"]]
+    assert not dead, f"justifications for queries not in the rehearsal: {dead}"

@@ -35,9 +35,14 @@ def test_lsh_recall_vs_brute_force(spark):
     ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
-    # random gaussian corpus: SRP with 8 planes + H1 multiprobe should
-    # recover a meaningful fraction of exact neighbors
-    assert recall >= 0.15, f"recall {recall:.2f}"
+    # near-random corpus (the adversarial case: "neighbors" are barely
+    # above random cosine): one 8-plane band + H1 multiprobe scans
+    # ~(n+1)/2^n ≈ 3.5% of the corpus, measured recall 0.13 — the r1-r8
+    # measured 0.20 was an artifact of the degenerate near-parallel
+    # planes whose fat buckets silently scanned far more than 3.5%.
+    # Bands are the honest recall dial (0.28 at 3, 0.43 at 5 — pinned
+    # by test_banded_topk_recall_at_least_single_band).
+    assert recall >= 0.10, f"recall {recall:.2f}"
 
 
 def test_ivf_recall_and_reproducibility(spark):
@@ -274,7 +279,12 @@ def test_dup_pairs_low_threshold_warns(spark):
     e = load_tables(spark, SF_DIR)["embeddings"]
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        embedding_dup_pairs(e, "vec_id", "embedding", cos_threshold=0.95)
+        # PINNED under-provisioned config: the autoscaled default never
+        # warns by construction, so the warning path needs explicit args
+        embedding_dup_pairs(
+            e, "vec_id", "embedding", cos_threshold=0.95,
+            n_planes=8, n_bands=1,
+        )
         (msg,) = regime_warnings(w)
         assert "n_bands>=2" in str(msg.message)
     for kwargs in (
@@ -653,6 +663,70 @@ def test_srp_autoscale_rule():
     assert srp_autoscale(10**12) == 24
     ps = [srp_autoscale(10**e) for e in range(3, 13)]
     assert ps == sorted(ps)
+
+
+def test_srp_pairs_autoscale_rule():
+    """All-pairs sizing: ⌈log2 N⌉ planes keep expected candidate PAIRS
+    O(B·N) (a fixed plane count is quadratic — the rehearsal-measured
+    exponent-1.9 offender), and bands rise with planes to hold the
+    boundary miss rate ≤ 5%."""
+    import math
+
+    from dar_spark.operators.similarity import srp_pairs_autoscale
+
+    # tiny corpora keep the tested floor; near-dup regime needs 1 band
+    assert srp_pairs_autoscale(500, 0.999) == (9, 1)
+    assert srp_pairs_autoscale(100, 0.999) == (8, 1)
+    for n in (10**4, 10**6, 10**9, 10**12):
+        for thr in (0.999, 0.95, 0.90):
+            planes, bands = srp_pairs_autoscale(n, thr)
+            # expected candidate pairs ~ B * N^2 / 2^planes stay O(B*N):
+            # per-N pair budget bounded by 2x N (cap region excluded)
+            if planes < 30:
+                assert n * n / (2**planes) <= 2 * n
+            # miss rate at the chosen (planes, bands) really is <=5%
+            p = math.acos(thr) / math.pi
+            q = (1 - p) ** planes + planes * p * (1 - p) ** (planes - 1)
+            assert (1 - q) ** bands <= 0.05
+            # cost stays a bounded linear factor; the worst case (51
+            # bands) is broad 0.90-threshold at the 30-plane cap, i.e.
+            # ≥10^9 vectors — the shard-router regime anyway
+            assert bands <= 64
+    # monotone planes in N
+    ps = [srp_pairs_autoscale(10**e, 0.95)[0] for e in range(2, 13)]
+    assert ps == sorted(ps)
+
+
+def test_srp_pairs_autoscale_candidates_stay_linear(spark):
+    """Measured, not argued: on deterministic synthetic vectors, the
+    CANDIDATE pair count under autoscaled planes grows ~linearly over a
+    4× corpus step, while the fixed-8-plane config grows ~quadratically
+    (the scripts/scale_rehearsal.py exponent-1.9 finding, reproduced in
+    miniature)."""
+    from dar_spark.operators.dedup import srp_candidate_pairs
+    from dar_spark.operators.similarity import _as_double_vec, srp_pairs_autoscale
+
+    def corpus(n):
+        return _as_double_vec(
+            spark.range(n).selectExpr(
+                "id AS vec_id",
+                "transform(sequence(1, 16), d -> "
+                "CAST((hash(id * 31 + d) % 1000) AS DOUBLE) / 1000.0 - 0.5)"
+                " AS v",
+            ),
+            "v",
+        )
+
+    counts = {}
+    for n in (2000, 8000):
+        fixed = srp_candidate_pairs(corpus(n), "vec_id", 8, 1).count()
+        planes, _ = srp_pairs_autoscale(n, 0.95)
+        auto = srp_candidate_pairs(corpus(n), "vec_id", planes, 1).count()
+        counts[n] = (fixed, auto)
+    f_ratio = counts[8000][0] / max(counts[2000][0], 1)
+    a_ratio = counts[8000][1] / max(counts[2000][1], 1)
+    assert f_ratio > 8, f"fixed planes should be ~quadratic, got {f_ratio:.1f}x"
+    assert a_ratio < 8, f"autoscaled should be ~linear, got {a_ratio:.1f}x"
 
 
 def test_pq_index_append_replay_idempotent(spark, tmp_path):
