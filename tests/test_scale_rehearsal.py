@@ -46,10 +46,12 @@ JUSTIFIED: dict[str, str] = {
     # Production seed sets are bounded (see knn.knn_classify docstring);
     # with S fixed the same plan is O(N).
     "knn_label_prop": "fixture seed set grows with corpus; exact kNN is O(N·S)",
-    "knn_holdout_eval_embed": "same fixture-grown seed set as knn_label_prop",
     "knn_label_noise_embed": "same fixture-grown seed set as knn_label_prop",
-    "hard_negatives_embed": "fixture-grown seed/query sets; exact scoring is O(N·S)",
-    "positive_pairs_embed": "fixture-grown pair candidates; exact scoring is O(N·S)",
+    # The exact brute-force baseline that VERIFIES the ANN family; its
+    # query set is a fixed 1/50 fraction of the corpus, so cost is
+    # N²/50 by definition.  The scale paths it verifies (srp/pq/ivf
+    # topk) are the production answer.
+    "embed_cosine_topk": "exact ANN baseline; |Q| = N/50 makes it O(N²) by definition",
     "mmr_select_embed": "MMR re-scores the pool per pick; pool grows with sf",
 }
 
