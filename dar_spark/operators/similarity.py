@@ -315,6 +315,51 @@ def ivf_fit_centroids(
     return [[float(x) for x in c] for c in C]
 
 
+def _ivf_assign(e: DataFrame, centers: list[list[float]], id_col: str) -> DataFrame:
+    """(id, _v, _nrm, _list) — map-only argmin assignment of a ``_v``
+    vector frame against the broadcast one-row centroid array (no
+    shuffle, no Python; ties → lowest list).  The shared assignment
+    seam of ``ivf_topk`` and the persisted-index build/append, so the
+    two can never drift."""
+    spark = e.sparkSession
+    cents_one = spark.createDataFrame([(centers,)], "_cents array<array<double>>")
+    return (
+        e.crossJoin(F.broadcast(cents_one))
+        .withColumn(
+            "_dists",
+            F.expr(
+                "transform(_cents, c -> aggregate(zip_with(_v, c, "
+                "(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"
+            ),
+        )
+        .withColumn(
+            "_list",
+            F.expr("CAST(array_position(_dists, array_min(_dists)) - 1 AS INT)"),
+        )
+        .select(id_col, "_v", "_nrm", "_list")
+    )
+
+
+def _ivf_probe_lists(
+    q: DataFrame, cdf: DataFrame, n_probe: int
+) -> DataFrame:
+    """(query_id, _qv, _qn, _list) — each query's ``n_probe`` nearest
+    centroids by euclidean distance (broadcast centroid table, ties →
+    lower list id)."""
+    qc = q.crossJoin(F.broadcast(cdf)).withColumn(
+        "_d",
+        F.expr(
+            "aggregate(zip_with(_qv, _cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_d"), F.col("_list"))
+    return (
+        qc.withColumn("_r", F.row_number().over(w))
+        .filter(f"_r <= {n_probe}")
+        .select("query_id", "_qv", "_qn", "_list")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     id_col: str,
@@ -354,47 +399,17 @@ def ivf_topk(
     n_probe = min(n_probe, len(centers))
 
     spark = embeddings.sparkSession
-    cents_one = spark.createDataFrame(
-        [(centers,)], "_cents array<array<double>>"
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cents_one))
-        .withColumn(
-            "_dists",
-            F.expr(
-                "transform(_cents, c -> aggregate(zip_with(_v, c, "
-                "(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"
-            ),
-        )
-        .withColumn(
-            "_list",
-            F.expr("CAST(array_position(_dists, array_min(_dists)) - 1 AS INT)"),
-        )
-        .select(id_col, "_v", "_nrm", "_list")
-    )
-
+    assigned = _ivf_assign(e, centers, id_col)
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)],
         "_list int, _cv array<double>",
     )
-    # query → n_probe nearest centers by euclidean distance
     q = assigned.filter(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("_qv"),
         F.col("_nrm").alias("_qn"),
     )
-    qc = q.crossJoin(F.broadcast(cdf)).withColumn(
-        "_d",
-        F.expr(
-            "aggregate(zip_with(_qv, _cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
-        ),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("_d"), F.col("_list"))
-    probes = (
-        qc.withColumn("_r", F.row_number().over(w))
-        .filter(f"_r <= {n_probe}")
-        .select("query_id", "_qv", "_qn", "_list")
-    )
+    probes = _ivf_probe_lists(q, cdf, n_probe)
     cand = probes.join(assigned, "_list").filter(F.expr(f"{id_col} <> query_id"))
     scored = cand.select(
         "query_id",
@@ -404,6 +419,154 @@ def ivf_topk(
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank_n", F.row_number().over(w2).cast("bigint"))
+        .filter(f"rank_n <= {k}")
+    )
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int | None = None,
+    fit_sample_max: int = 100_000,
+) -> None:
+    """Persist an IVF-Flat index: ``<path>/centroids`` (_list, _cv —
+    the coarse quantizer, n_lists rows), ``<path>/lists`` (id, _v,
+    _nrm, _list — the assigned corpus, pre-shuffled onto the probe join
+    key, partitioned by ``ingest``), and ``<path>/meta`` (n_lists).
+    The 100 TB posture mirrors the dedup/ANN/PQ indexes: the corpus is
+    normalized and assigned ONCE per build (one map-only pass against
+    the broadcast centroid array); every query batch afterwards probes
+    the stored lists.
+
+    Centroids are FROZEN at build time — appends assign against the
+    stored centroids, not a refit, so list membership stays comparable
+    across ingest generations (the FAISS contract: retrain only on
+    rebuild).  The quantizer is :func:`ivf_fit_centroids` — a pure
+    function of the data, so rebuilding the index from the same parquet
+    yields byte-identical centroids at any parallelism."""
+    e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
+    n = e.count()
+    if n_lists is None:
+        n_lists, _ = ivf_autoscale(n)
+    centers = ivf_fit_centroids(e, id_col, n_lists, fit_sample_max, n=n)
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "_list int, _cv array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        _ivf_assign(e, centers, id_col)
+        .repartition("_list")
+        .withColumn("ingest", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("ingest")
+        .parquet(f"{path}/lists")
+    )
+    spark.createDataFrame([(len(centers),)], "n_lists int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+
+
+def append_to_ivf_index(
+    new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ingest_label: str | None = None,
+) -> str:
+    """Grow a ``write_ivf_index`` output with a new vector batch:
+    assign the batch against the STORED (frozen) centroids — one
+    map-only pass over the batch, no refit, no rescan of the stored
+    corpus — and write it as a new ``ingest=<label>`` partition.  Same
+    replay contract as ``append_to_ann_index``: an explicit stable
+    label makes retries overwrite themselves.  Returns the label."""
+    spark = new.sparkSession
+    centers = [
+        list(r._cv)
+        for r in sorted(
+            spark.read.parquet(f"{path}/centroids").collect(),
+            key=lambda r: r._list,
+        )
+    ]
+    if ingest_label is None:
+        from dar_spark.core.ingest import next_append_label
+
+        ingest_label = next_append_label(spark.read.parquet(f"{path}/lists"))
+    e = _as_double_vec(new.select(id_col, vec_col), vec_col)
+    (
+        _ivf_assign(e, centers, id_col)
+        .repartition("_list")
+        .withColumn("ingest", F.lit(ingest_label))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest")
+        .parquet(f"{path}/lists")
+    )
+    return ingest_label
+
+
+def compact_ivf_index(spark, path: str, dest: str) -> None:
+    """IVF twin of ``compact_ann_index``: rewrite all ingest
+    generations of the list table as one fresh ``base`` generation at
+    ``dest``, re-clustered on the probe join key — pure I/O, no
+    re-assignment; never in-place.  Centroids and meta copy verbatim
+    (they are generation-independent by the frozen-centroid contract)."""
+    if dest == path:
+        raise ValueError("compact_ivf_index requires dest != path")
+    for part in ("meta", "centroids"):
+        spark.read.parquet(f"{path}/{part}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{dest}/{part}")
+    (
+        spark.read.parquet(f"{path}/lists")
+        .drop("ingest")
+        .repartition("_list")
+        .withColumn("ingest", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("ingest")
+        .parquet(f"{dest}/lists")
+    )
+
+
+def ivf_index_topk(
+    queries: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """Top-k neighbors of a query batch against a ``write_ivf_index``
+    output — result-identical to ``ivf_topk`` over the same corpus with
+    the same (n_lists, n_probe) (pinned by tests/test_similarity.py).
+    Only the query batch is normalized and centroid-ranked; the corpus
+    arrives as the stored, probe-key-clustered list table.  ``n_probe``
+    defaults to the autoscale rule for the stored list count."""
+    spark = queries.sparkSession
+    m = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    if n_probe is None:
+        n_probe = max(2, int(math.isqrt(m.n_lists)))
+    n_probe = min(n_probe, m.n_lists)
+    cdf = spark.read.parquet(f"{index_path}/centroids")
+    lists = spark.read.parquet(f"{index_path}/lists")
+    q = _as_double_vec(queries.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_nrm").alias("_qn"),
+    )
+    probes = _ivf_probe_lists(q, cdf, n_probe)
+    cand = probes.join(lists, "_list").filter(F.expr(f"{id_col} <> query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _cosine("_qv", "_v", "_qn", "_nrm").alias("cos_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
         .filter(f"rank_n <= {k}")
     )
 

@@ -1939,6 +1939,131 @@ FROM embeddings WHERE vec_id % {TOPK_QUERY_STRIDE} = 0"""
     return Q(spark_fn, oracle)
 
 
+def _embed_ivf_indexed_q() -> Q:
+    """Persisted-IVF ANN (similarity.write_ivf_index / ivf_index_topk):
+    the corpus is assigned ONCE against the deterministic frozen
+    quantizer and stored pre-clustered on the probe join key; the query
+    batch probes the stored lists.  ivf_index_topk is result-identical
+    to ivf_topk at the same (n_lists, n_probe) — pinned in
+    tests/test_similarity.py — so this entry shares embed_ivf_topk's
+    recall contract and measured margins (0.82/0.68/0.745 at
+    sf0.001/0.01/0.1, bound {IVF_RECALL_BOUND}), with the index
+    write -> read round-trip additionally under the driver check."""
+
+    def spark_fn(spark, sf_dir):
+        import hashlib
+        import os
+
+        from dar_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_autoscale,
+            ivf_index_topk,
+            write_ivf_index,
+        )
+
+        t = load_tables(spark, sf_dir)
+        cache_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".csvcache",
+        )
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(cache_root, f"ivfidx-{tag}")
+        n_lists, _ = ivf_autoscale(t["embeddings"].count())
+        write_ivf_index(t["embeddings"], path, n_lists=n_lists)
+        pred = f"vec_id % {TOPK_QUERY_STRIDE} = 0"
+        bf = brute_force_topk(
+            t["embeddings"], "vec_id", "embedding", pred, k=TOPK_K
+        ).select("query_id", "neighbor_id")
+        iv = ivf_index_topk(
+            t["embeddings"].filter(pred), path, k=TOPK_K,
+            n_probe=max(IVF_N_PROBE, n_lists // 3),
+        ).select("query_id", "neighbor_id")
+        hits = bf.join(iv, ["query_id", "neighbor_id"], "left_semi")
+        per_q = (
+            bf.select("query_id").distinct()
+            .join(
+                hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+                "query_id", "left",
+            )
+            .select(
+                "query_id",
+                (F.coalesce("n_hit", F.lit(0)) / F.lit(TOPK_K)).alias("recall"),
+            )
+        )
+        return per_q.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.lit(TOPK_K).cast("bigint").alias("k"),
+            (F.avg("recall") >= IVF_RECALL_BOUND).alias("avg_recall_ok"),
+        )
+
+    oracle = f"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+  CAST({TOPK_K} AS BIGINT) AS k,
+  true AS avg_recall_ok
+FROM embeddings WHERE vec_id % {TOPK_QUERY_STRIDE} = 0"""
+    return Q(spark_fn, oracle)
+
+
+PAIRS_AUTO_RECALL_BOUND = 0.9
+
+
+def _embed_dup_pairs_auto_q() -> Q:
+    """The AUTOSCALED pairs-LSH path under a driver-checked recall
+    contract: embedding_dup_pairs with default n_planes/n_bands
+    (similarity.srp_pairs_autoscale — ⌈log2 N⌉ planes, bands sized for
+    ≤5% boundary miss) against the exact brute-force pair set on the
+    same perturbed corpus as embed_dup_pairs_banded.  One output row
+    (n_true_pairs, recall_ok): DuckDB independently computes the exact
+    pair count ≥ threshold (native list_dot_product, same 6-dp round)
+    and asserts the bound held, so a broken autoscale rule, bucket
+    grammar, or band union flips the hash.  This is the configuration
+    the rehearsal certifies as O(B·N); the pinned-plane banded entry
+    keeps the full value-hash oracle.  Measured recall (r9 planes,
+    deterministic per sf): 0.997 at sf0.001 (9 planes / 3 bands),
+    1.000 at sf0.01, 0.9985 at sf0.1 (11 / 3) — bound
+    {PAIRS_AUTO_RECALL_BOUND}, min margin ~0.1."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dedup import embedding_dup_pairs
+
+        c = _banded_perturbed_corpus(spark, sf_dir)
+        lsh = embedding_dup_pairs(
+            c, "vec_id", "v", cos_threshold=BANDED_COS_THRESHOLD,
+            method="lsh",
+        ).select("vec_id_a", "vec_id_b")
+        brute = embedding_dup_pairs(
+            c, "vec_id", "v", cos_threshold=BANDED_COS_THRESHOLD,
+            method="brute",
+        ).select("vec_id_a", "vec_id_b")
+        per = brute.join(
+            lsh.withColumn("_f", F.lit(1)), ["vec_id_a", "vec_id_b"], "left"
+        )
+        return per.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+            (
+                F.sum(F.coalesce("_f", F.lit(0))) / F.count(F.lit(1))
+                >= PAIRS_AUTO_RECALL_BOUND
+            ).alias("recall_ok"),
+        )
+
+    oracle = f"""WITH base AS (
+  SELECT a.vec_id,
+    CASE WHEN a.vec_id % 3 = 0 THEN b.v
+         ELSE list_transform(generate_series(1, len(b.v)),
+              i -> b.v[i] + {_noise_sql_i()}) END AS v
+  FROM (SELECT vec_id FROM embeddings) a
+  JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings) b
+    ON b.vec_id = a.vec_id - (a.vec_id % 3)
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+)
+SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, true AS recall_ok
+FROM n p JOIN n q ON p.vec_id < q.vec_id
+WHERE round(list_dot_product(p.v, q.v) / (p.nrm * q.nrm), 6)
+      >= {BANDED_COS_THRESHOLD}"""
+    return Q(spark_fn, oracle)
+
+
 def _embed_lsh_topk_banded_q(n_bands: int = 3) -> Q:
     """Banded SRP-LSH ANN top-k (similarity.srp_lsh_topk n_bands>1):
     three independent plane sets, candidates unioned across bands —
@@ -3096,6 +3221,46 @@ BANDED_NOISE_SCALE = 0.1  # perturbation putting injected pairs at cos ~0.92-0.9
 BANDED_N_BANDS = 3  # ~99.3% boundary recall at n_planes=8 (see dedup.py)
 
 
+def _banded_noise_term(idx: str, vid: str) -> str:
+    # identical token-for-token arithmetic in both engines: BIGINT
+    # hash -> DOUBLE in [0,1) -> centered -> scaled.  Constants are
+    # DISTINCT from the SRP plane hash on purpose: data derived from
+    # the plane constants would be parallel to the hyperplane normals
+    # and silently destroy the recall model (see docs/SCALE.md).
+    return (
+        f"{BANDED_NOISE_SCALE} * (CAST(((CAST({idx} AS BIGINT) * 2246822519 "
+        f"+ {vid} * 3266489917 + 119) % 1000003) AS DOUBLE) "
+        f"/ 1000003.0 - 0.5)"
+    )
+
+
+def _banded_perturbed_corpus(spark, sf_dir):
+    """The broad-similarity fixture both pairs queries share: every
+    vec_id%3 group carries its leader's vector perturbed by
+    deterministic integer-hash noise, spreading within-group cosines
+    across ~0.92-0.98 so the 0.95 threshold bites at the boundary."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    rep = e.select(F.col("vec_id").alias("rep_id"), F.col("v").alias("rep_v"))
+    perturbed = (
+        "transform(sequence(1, size(rep_v)), "
+        f"i -> element_at(rep_v, i) + {_banded_noise_term('i', 'vec_id')})"
+    )
+    return (
+        e.select("vec_id", F.expr("vec_id - vec_id % 3").alias("rep_id"))
+        .join(rep, "rep_id")
+        .select(
+            "vec_id",
+            F.expr(
+                f"CASE WHEN vec_id % 3 = 0 THEN rep_v ELSE {perturbed} END"
+            ).alias("v"),
+        )
+    )
+
+
 def _embed_dup_pairs_banded_q() -> Q:
     """Banded SRP-LSH in the BROAD-similarity regime (operators/dedup.py
     embedding_dup_pairs n_bands>1): every vec_id%3 group gets its
@@ -3109,42 +3274,15 @@ def _embed_dup_pairs_banded_q() -> Q:
     cross-band dedup, and the boundary filter are all under the
     value-hash."""
 
-    def noise_term(idx: str, vid: str) -> str:
-        # identical token-for-token arithmetic in both engines: BIGINT
-        # hash -> DOUBLE in [0,1) -> centered -> scaled
-        return (
-            f"{BANDED_NOISE_SCALE} * (CAST(((CAST({idx} AS BIGINT) * 2246822519 "
-            f"+ {vid} * 3266489917 + 119) % 1000003) AS DOUBLE) "
-            f"/ 1000003.0 - 0.5)"
-        )
-
     def spark_fn(spark, sf_dir):
         from dar_spark.operators.dedup import embedding_dup_pairs
 
-        t = load_tables(spark, sf_dir)
-        e = t["embeddings"].select(
-            "vec_id",
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-        )
-        rep = e.select(F.col("vec_id").alias("rep_id"), F.col("v").alias("rep_v"))
-        perturbed = (
-            "transform(sequence(1, size(rep_v)), "
-            f"i -> element_at(rep_v, i) + {noise_term('i', 'vec_id')})"
-        )
-        c = (
-            e.select("vec_id", F.expr("vec_id - vec_id % 3").alias("rep_id"))
-            .join(rep, "rep_id")
-            .select(
-                "vec_id",
-                F.expr(
-                    f"CASE WHEN vec_id % 3 = 0 THEN rep_v ELSE {perturbed} END"
-                ).alias("v"),
-            )
-        )
+        c = _banded_perturbed_corpus(spark, sf_dir)
         # PINNED 8-plane config for the static cross-engine oracle; the
         # operator's autoscaled default is the 100 TB path (this pinned
         # shape is quadratic-in-N by construction — measured exponent
-        # ~1.9 in docs/scale_rehearsal.json and justified there)
+        # ~1.9 in docs/scale_rehearsal.json and justified there; the
+        # autoscaled path has its own driver row, embed_dup_pairs_auto)
         return embedding_dup_pairs(
             c, "vec_id", "v",
             cos_threshold=BANDED_COS_THRESHOLD,
@@ -3239,11 +3377,14 @@ def _round5_queries() -> list[tuple[str, Q]]:
 
 
 def _never_checked_queries() -> list[tuple[str, Q]]:
-    """The only registry entries with no external CORRECTNESS row yet:
-    registered in r5 but cut by the 50-entry check window (they landed
-    at positions 50-51).  FIRST in the registry until a driver check
-    records them green."""
+    """Registry entries with no external CORRECTNESS row yet: the two
+    r5 stragglers cut by the 50-entry check window, plus the queries
+    NEW this round (r9: the persisted-IVF round-trip and the autoscaled
+    pairs-LSH recall contract).  FIRST in the registry until a driver
+    check records them green."""
     return [
+        ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
+        ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
         ("hll_users_by_event_type", _hll_by_group_q()),
         ("quality_tiers_sampled", _quality_tiers_sampled_q()),
     ]

@@ -729,6 +729,63 @@ def test_srp_pairs_autoscale_candidates_stay_linear(spark):
     assert a_ratio < 8, f"autoscaled should be ~linear, got {a_ratio:.1f}x"
 
 
+def test_ivf_index_roundtrip_matches_direct(spark, tmp_path):
+    """write_ivf_index -> ivf_index_topk must equal ivf_topk over the
+    same corpus at the same (n_lists, n_probe): the deterministic
+    quantizer makes the stored centroids identical to a fresh fit, so
+    the persisted path is the same search, just against stored lists."""
+    from dar_spark.operators.similarity import (
+        ivf_autoscale,
+        ivf_index_topk,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    n_lists, n_probe = ivf_autoscale(e.count())
+    path = str(tmp_path / "ivfidx")
+    write_ivf_index(e, path, n_lists=n_lists)
+    direct = sorted(map(tuple, ivf_topk(
+        e, "vec_id", "embedding", "vec_id % 50 = 0",
+        k=5, n_lists=n_lists, n_probe=n_probe,
+    ).collect()))
+    via = sorted(map(tuple, ivf_index_topk(
+        e.filter("vec_id % 50 = 0"), path, k=5, n_probe=n_probe,
+    ).collect()))
+    assert via == direct and via
+
+
+def test_ivf_index_append_replay_and_compact(spark, tmp_path):
+    """Frozen-centroid lifecycle: an append assigns against the STORED
+    quantizer (no refit), a replayed append with the same label
+    overwrites itself (at-least-once safety), and compaction preserves
+    results exactly."""
+    from dar_spark.operators.similarity import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    path = str(tmp_path / "part")
+    write_ivf_index(e.filter("vec_id % 4 <> 3"), path, n_lists=8)
+    append_to_ivf_index(e.filter("vec_id % 4 = 3"), path, ingest_label="b1")
+    q = e.filter("vec_id % 50 = 0")
+    once = sorted(map(tuple, ivf_index_topk(q, path, k=5, n_probe=3).collect()))
+    append_to_ivf_index(e.filter("vec_id % 4 = 3"), path, ingest_label="b1")
+    twice = sorted(map(tuple, ivf_index_topk(q, path, k=5, n_probe=3).collect()))
+    assert once == twice and once
+    dest = str(tmp_path / "compacted")
+    compact_ivf_index(spark, path, dest)
+    comp = sorted(map(tuple, ivf_index_topk(q, dest, k=5, n_probe=3).collect()))
+    assert comp == once
+    import pytest
+
+    with pytest.raises(ValueError):
+        compact_ivf_index(spark, path, path)
+
+
 def test_pq_index_append_replay_idempotent(spark, tmp_path):
     """Re-running an append with the same ingest label overwrites
     itself — search results are identical after a replay (the
