@@ -160,6 +160,119 @@ def knn_classify(
     )
 
 
+def knn_classify_ann(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_pred: str,
+    k: int = 5,
+    n_planes: int | None = None,
+    n_bands: int = 3,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN-backed kNN labeling — the UNBOUNDED-seed-set path
+    ``knn_classify``'s docstring points at, made first-class.
+
+    The seed set is SRP-bucketed (``n_bands`` independent plane sets,
+    label carried through) instead of folded into one broadcast row;
+    each query probes its buckets (plus Hamming-1 flips), exact cosine
+    scores the candidates, and the vote over the candidate top-k uses
+    the SAME tie-break contract as ``knn_classify`` (count, exact
+    1e-6-unit similarity sum, smaller label).  Queries with no
+    candidates keep a NULL prediction, like the exact path with no
+    seeds.
+
+    Scale shape: seeds cost one bucket projection (S·B rows), queries
+    one probe explode (Q·B·(n_planes+1) rows), and candidates flow
+    through an equi-join on hash-uniform bucket keys — nothing is
+    broadcast, so S may be corpus-sized (the configuration where the
+    exact path is O(N·S) and its broadcast seed row overflows).
+    ``n_planes`` defaults to ``srp_autoscale(S)`` so per-probe candidate
+    cost stays bounded as the seed corpus grows.
+
+    APPROXIMATE: the vote sees only LSH candidates, so predictions can
+    differ from exact kNN where the candidate set misses true
+    neighbors; ``n_bands`` is the agreement dial (measured against
+    ``knn_classify`` by the ``knn_ann_agree_embed`` registry oracle and
+    tests/test_knn.py).  With n_planes=1 + multiprobe the two buckets
+    cover every seed and the result EQUALS exact kNN (the equivalence
+    pin).
+    """
+    from dar_spark.operators.similarity import (
+        _banded_bucket_rows,
+        _bucket_expr,
+        _flip_bit,
+        srp_autoscale,
+    )
+
+    _require_numeric_label(embeddings, label_col, "knn_classify_ann")
+    e = _as_double_vec(
+        embeddings.select(id_col, vec_col, label_col), vec_col
+    ).filter("_nrm > 0")
+    seeds = (
+        e.filter(f"NOT ({query_pred})")
+        .filter(F.col(label_col).isNotNull())
+        .select(F.col(id_col).alias("_sid"), F.col(label_col).alias("_l"),
+                "_v", "_nrm")
+    )
+    if n_planes is None:
+        n_planes = srp_autoscale(seeds.count())
+    corpus = _banded_bucket_rows(
+        seeds, "_sid", n_planes, n_bands, extra_cols=("_l",)
+    ).select(
+        "_sid", "_l", F.col("_v").alias("_sv"), F.col("_nrm").alias("_sn"),
+        "_b",
+    )
+
+    q = e.filter(query_pred).select(id_col, "_v", "_nrm")
+    for t in range(n_bands):
+        q = q.withColumn(f"_qb{t}", _bucket_expr("_v", n_planes, band=t))
+    probes = []
+    for t in range(n_bands):
+        bt = F.col(f"_qb{t}")
+        pre = F.lit(f"{t}:")
+        probes.append(F.concat(pre, bt))
+        if multiprobe:
+            probes += [
+                F.concat(pre, _flip_bit(bt, p, n_planes))
+                for p in range(n_planes)
+            ]
+    qp = q.select(
+        id_col,
+        F.col("_v").alias("_qv"),
+        F.col("_nrm").alias("_qn"),
+        F.explode(F.array(*probes)).alias("_b"),
+    )
+    cand = qp.join(corpus, "_b").dropDuplicates([id_col, "_sid"])
+    scored = cand.select(
+        id_col, "_l",
+        _cosine("_qv", "_sv", "_qn", "_sn").alias("_c"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_c"), F.asc("_l"))
+    topk = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        f"_rn <= {k}"
+    )
+    votes = topk.groupBy(id_col, "_l").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.expr("CAST(round(_c * 1000000.0, 0) AS BIGINT)")).alias("s6"),
+    )
+    wv = Window.partitionBy(id_col).orderBy(
+        F.desc("cnt"), F.desc("s6"), F.asc("_l")
+    )
+    best = votes.withColumn("_rb", F.row_number().over(wv)).filter("_rb = 1")
+    return q.select(id_col).distinct().join(
+        best.select(
+            id_col,
+            F.col("_l").alias("pred_label"),
+            F.col("cnt").cast("bigint").alias("n_votes"),
+            (F.col("s6").cast("double") / F.lit(1000000.0)).alias("vote_sim"),
+        ),
+        id_col,
+        "left",
+    )
+
+
 def knn_label_noise(
     embeddings: DataFrame,
     id_col: str,

@@ -715,14 +715,19 @@ def write_ann_index(
 
 
 def _banded_bucket_rows(
-    e: DataFrame, id_col: str, n_planes: int, n_bands: int
+    e: DataFrame, id_col: str, n_planes: int, n_bands: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, _v, _nrm, _b) with one band-prefixed bucket row per band —
-    the stored-corpus shape shared by index build and append."""
+    """(id, *extra_cols, _v, _nrm, _b) with one band-prefixed bucket row
+    per band — the stored-corpus shape shared by index build/append and
+    the ANN-backed kNN seed table (which carries its label through)."""
     for t in range(n_bands):
         e = e.withColumn(f"_b{t}", _bucket_expr("_v", n_planes, band=t))
     keys = [F.concat(F.lit(f"{t}:"), F.col(f"_b{t}")) for t in range(n_bands)]
-    return e.select(id_col, "_v", "_nrm", F.explode(F.array(*keys)).alias("_b"))
+    return e.select(
+        id_col, *extra_cols, "_v", "_nrm",
+        F.explode(F.array(*keys)).alias("_b"),
+    )
 
 
 def append_to_ann_index(

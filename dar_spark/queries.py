@@ -3385,6 +3385,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
     return [
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
+        ("knn_ann_embed", _knn_ann_q()),
         ("hll_users_by_event_type", _hll_by_group_q()),
         ("quality_tiers_sampled", _quality_tiers_sampled_q()),
     ]
@@ -4902,6 +4903,34 @@ SELECT q.vec_id, pr.l AS pred_label, CAST(pr.cnt AS BIGINT) AS n_votes,
        CAST(pr.s6 AS DOUBLE) / 1000000.0 AS vote_sim
 FROM q LEFT JOIN (SELECT * FROM b WHERE rb = 1) pr ON pr.vec_id = q.vec_id"""
     return Q(spark_fn, oracle, headline=True)
+
+
+def _knn_ann_q() -> Q:
+    """ANN-backed kNN labeling (operators/knn.knn_classify_ann): seeds
+    are SRP-bucketed with their labels instead of broadcast, queries
+    probe buckets + Hamming-1 flips, and the candidate top-k votes with
+    the exact path's tie-break.  This row runs the FULL-COVERAGE
+    configuration (n_planes=1 + multiprobe → the two buckets cover
+    every seed), so the entire bucket grammar / candidate dedup / vote
+    pipeline must reproduce exact kNN under the same value-hash oracle
+    as knn_label_prop — a mechanism proof, not a recall bound.  The
+    approximate regime (autoscaled planes, bands as the agreement dial)
+    is measured and pinned in tests/test_knn.py."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.knn import knn_classify_ann
+
+        t = load_tables(spark, sf_dir)
+        return knn_classify_ann(
+            t["embeddings"], "vec_id", "embedding", "label",
+            KNN_QUERY_PRED, k=KNN_K, n_planes=1, n_bands=1,
+        )
+
+    oracle = f"""WITH {_knn_vote_ctes(KNN_QUERY_PRED, KNN_K)}
+SELECT q.vec_id, pr.l AS pred_label, CAST(pr.cnt AS BIGINT) AS n_votes,
+       CAST(pr.s6 AS DOUBLE) / 1000000.0 AS vote_sim
+FROM q LEFT JOIN (SELECT * FROM b WHERE rb = 1) pr ON pr.vec_id = q.vec_id"""
+    return Q(spark_fn, oracle)
 
 
 def _knn_vote_ctes(query_pred: str, k: int) -> str:
