@@ -365,3 +365,19 @@ def test_round7_plan_shapes(spark):
     assert "Python" not in p
     # the corpus is aggregated down to bucket histograms before any join
     assert "HashAggregate" in p
+
+
+def test_r9_queries_no_scale_killers(spark):
+    """The r9 additions keep their intended shapes: the persisted-IVF
+    round-trip and the bucketed-seed kNN must be bucket equi-joins (the
+    sanctioned cross joins are tiny broadcast centroid/plane-constant
+    rows, as in IVF/SemDeDup) — a CartesianProduct on the approximate
+    side would be the O(N·S) scan these operators exist to eliminate.
+    embed_dup_pairs_auto carries exactly ONE CartesianProduct by
+    design: its brute-force ground-truth side (the recall oracle's
+    denominator); the autoscaled LSH side contributes none."""
+    for name in ("embed_ivf_topk_indexed", "knn_ann_embed"):
+        p = _executed(spark, name)
+        assert "CartesianProduct" not in p, name
+    p = _executed(spark, "embed_dup_pairs_auto")
+    assert p.count("CartesianProduct") == 1  # the brute baseline only
