@@ -295,13 +295,17 @@ def ivf_fit_centroids(
     rank = sorted(range(len(rows)), key=lambda i: (rows[i]._hb, rows[i]._aid))
     L = min(n_lists, len(rows))
     C = X[rank[:L]].copy()
+    # row-chunked exact sq-distances: the temporary is chunk×L doubles,
+    # so size the chunk inversely to L (≤64 MB per block) — at the
+    # autoscaled √N list counts of a billion-row corpus L reaches ~3e4
+    # and a fixed 8192-row chunk would be a ~2 GB allocation
+    chunk = int(max(256, min(8192, 8_388_608 // max(1, L))))
     prev = None
     for _ in range(n_iters):
-        # chunked exact sq-distances: ||x||² − 2x·cᵀ + ||c||²
         cn2 = (C * C).sum(axis=1)
         assign = np.empty(len(X), dtype=np.int64)
-        for lo in range(0, len(X), 8192):
-            xb = X[lo : lo + 8192]
+        for lo in range(0, len(X), chunk):
+            xb = X[lo : lo + chunk]
             d2 = (xb * xb).sum(axis=1)[:, None] - 2.0 * (xb @ C.T) + cn2[None, :]
             assign[lo : lo + len(xb)] = np.argmin(d2, axis=1)
         if prev is not None and np.array_equal(assign, prev):
