@@ -1,5 +1,6 @@
-"""Streaming PQ-index ingest: encode arriving vector batches against the
-frozen stored codebook and append them as replay-safe partitions.
+"""Streaming ANN-index ingest (PQ and IVF): encode/assign arriving
+vector batches against frozen stored quantizers and append them as
+replay-safe partitions.
 
 Encoding is a stateless map (codes depend only on the vector and the
 codebook frozen at build time), so the streaming form is the batch
@@ -30,6 +31,37 @@ def streaming_pq_ingest(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         append_to_pq_index(
+            batch_df, index_path, id_col, vec_col,
+            ingest_label=f"stream-{batch_id}",
+        )
+
+    w = stream_df.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()
+
+
+def streaming_ivf_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+):
+    """IVF twin of :func:`streaming_pq_ingest`: assign every arriving
+    micro-batch against the FROZEN stored centroids
+    (``similarity.append_to_ivf_index`` — one map-only argmin pass per
+    batch, no refit, no rescan) and land it as the replay-safe
+    ``ingest=stream-<batch_id>`` partition.  Assignment is stateless
+    given the centroids, so the stream-grown index equals a sequential
+    batch-ingest loop and a replayed micro-batch overwrites its own
+    partition.  The index at ``index_path`` must already exist
+    (centroids are frozen at build — the same contract as the PQ
+    codebook).  Returns the started StreamingQuery."""
+    from dar_spark.operators.similarity import append_to_ivf_index
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        append_to_ivf_index(
             batch_df, index_path, id_col, vec_col,
             ingest_label=f"stream-{batch_id}",
         )

@@ -213,3 +213,53 @@ def test_streaming_quantile_bins_exclude_non_finite(spark):
         df, "x", 0.0, 1.0, n_bins=4
     ).collect()}
     assert rows == {2: 1}
+
+
+def test_streaming_ivf_ingest_equals_batch_appends(spark, tmp_path):
+    """The stream-grown IVF index assigns exactly the lists a
+    sequential batch-ingest loop would (frozen centroids make
+    assignment stateless), and search over the stream-grown index
+    equals search over a single-build index fit on the SAME base
+    corpus (the deterministic quantizer is a pure function of the fit
+    input, which appends never change)."""
+    from dar_spark.operators.similarity import ivf_index_topk, write_ivf_index
+    from dar_spark.streaming.pq_ingest_stream import streaming_ivf_ingest
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    base = e.filter("vec_id % 3 = 0")
+    incoming = e.filter("vec_id % 3 <> 0")
+
+    path = str(tmp_path / "ivf_stream_idx")
+    write_ivf_index(base, path, n_lists=8)
+    src = str(tmp_path / "src")
+    incoming.repartition(3).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(incoming.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = streaming_ivf_ingest(
+        stream, path, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # batch twin: same base build + one batch append of all incoming
+    from dar_spark.operators.similarity import append_to_ivf_index
+
+    twin = str(tmp_path / "ivf_batch_idx")
+    write_ivf_index(base, twin, n_lists=8)
+    append_to_ivf_index(incoming, twin, ingest_label="b1")
+
+    stored = {
+        (r.vec_id, r._list)
+        for r in spark.read.parquet(f"{path}/lists").collect()
+    }
+    expected = {
+        (r.vec_id, r._list)
+        for r in spark.read.parquet(f"{twin}/lists").collect()
+    }
+    assert stored == expected and stored
+
+    queries = e.filter("vec_id % 50 = 0")
+    via_stream = sorted(map(tuple, ivf_index_topk(queries, path, k=5, n_probe=3).collect()))
+    via_batch = sorted(map(tuple, ivf_index_topk(queries, twin, k=5, n_probe=3).collect()))
+    assert via_stream == via_batch
