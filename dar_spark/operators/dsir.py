@@ -1,0 +1,360 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al.,
+NeurIPS 2023, arXiv:2302.03169), the standard recipe for "pick the
+raw-corpus documents most like my target corpus" in LLM data curation.
+
+Model: hashed unigram bag-of-words.  Every token hashes into one of
+``N_BUCKETS`` buckets (``hex32(md5(token)) % B`` — the repo's portable
+hash); the target subset and the full raw corpus each induce a
++1-smoothed multinomial over buckets; a document's importance score is
+its tokens' summed log-likelihood ratio
+
+    score(doc) = Σ_t  ln p̂_target(b(t)) − ln p̂_raw(b(t))
+
+and selection keeps the top-k scores (the paper resamples
+proportionally; top-k is its deterministic limit, and a weighted
+resample can be layered with ``sampling.weighted_sample_k``).
+
+Determinism / engine parity (the load-bearing design):
+
+- Every ``ln`` is the repo's ARITHMETIC-ONLY series
+  (``dialect.ln_posint`` — IEEE + - * / only, bit-identical across
+  Spark, DuckDB, and the Python mirror below).  All four ln operands
+  are positive BIGINTs: tc+1, rc+1, T+B, R+B.
+- Per-bucket weights are quantized to integer MICROS —
+  ``floor(w · 1e6)`` — before any per-document accumulation, so doc
+  scores are exact BIGINT sums: order-independent, layout-independent,
+  engine-identical.  A float sum over tokens would depend on
+  partitioning; an integer sum cannot.
+- ``weight_micro_py`` mirrors the SQL expression tree operation for
+  operation (same parenthesization, same literal doubles), so the
+  driver-side fold and the in-engine oracle CTE produce the same
+  integers bit for bit (pinned in tests/test_dsir.py).
+
+Scale story (100 TB raw corpus):
+
+- Pass 1 (fit) explodes tokens but aggregates onto ≤ B (default 1024)
+  keys — map-side partial agg makes the shuffle O(partitions × B)
+  rows, independent of corpus size.  Both distributions come from ONE
+  pass (count + conditional count), not one scan per distribution.
+- The B-row weight table is collected (bounded, the D15 tiny-aggregate
+  exemption) and folded into the scoring plan as a constant-folded
+  array literal, so pass 2 (score) is MAP-ONLY — zero joins, zero
+  shuffles over the corpus; top-k is TakeOrderedAndProject (per-
+  partition heaps + driver merge), never a global sort.  Plan-guarded
+  in tests/test_dsir.py.
+- Two full scans total, which is DSIR's information-theoretic minimum
+  (you cannot score against a distribution before fitting it).  On a
+  cluster, fit the weights once and reuse them across arriving batches
+  (they are a plain ``list[int]``).
+
+No reference counterpart (extension surface per SURVEY §2d); the
+method is from the public paper above.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.dialect import DUCKDB, SPARK, Dialect, dlit
+
+N_BUCKETS = 1024
+_MICRO = "1000000.0"
+
+
+def token_arr_sql(d: Dialect, text: str) -> str:
+    """Non-empty lowercase whitespace tokens of ``text`` as an array —
+    the same tokenization as functions.text (split on single space,
+    drop empties), shared by both engines."""
+    arr = d.split_lit(f"lower({text})", " ")
+    return d.arr_filter(arr, "t -> t <> ''")
+
+
+def token_bucket_sql(d: Dialect, tok: str, n_buckets: int = N_BUCKETS) -> str:
+    """Feature bucket of one token: hex32(md5(token)) mod B."""
+    return f"(({d.hex32(tok)}) % {n_buckets})"
+
+
+def weight_micro_sql(
+    d: Dialect, tc: str, rc: str, t_tot: str, r_tot: str,
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """Integer micro-weight of one bucket from exact integer counts:
+    floor(1e6 · (ln(tc+1) − ln(T+B) − ln(rc+1) + ln(R+B))).
+
+    The four ln calls and the left-associated ``− − +`` chain must stay
+    in THIS exact shape — ``weight_micro_py`` mirrors it term for term,
+    and any re-association changes the last IEEE bit."""
+    w = (
+        f"({d.ln_posint(f'({tc} + 1)')} - "
+        f"{d.ln_posint(f'({t_tot} + {n_buckets})')} - "
+        f"{d.ln_posint(f'({rc} + 1)')} + "
+        f"{d.ln_posint(f'({r_tot} + {n_buckets})')})"
+    )
+    return f"CAST(floor({w} * {dlit(_MICRO)}) AS BIGINT)"
+
+
+# --- Python mirror of dialect.ln_posint / lnm_series --------------------
+# Python floats are IEEE doubles and + - * / are exactly rounded, so
+# evaluating the SAME expression tree yields the SAME bits as both SQL
+# engines.  Keep parenthesization in lockstep with dialect.py.
+
+_LN2 = 0.6931471805599453
+
+
+def _lnm_series_py(z: float, z2: float) -> float:
+    return 2.0 * z * (
+        1.0 + z2 * (0.3333333333333333 + z2 * (0.2 + z2 * (
+            0.14285714285714285 + z2 * (0.1111111111111111 + z2 * (
+                0.09090909090909091 + z2 * 0.07692307692307693)))))
+    )
+
+
+def ln_posint_py(n: int) -> float:
+    """Bit-identical mirror of ``Dialect.ln_posint`` for positive ints."""
+    if n <= 0:
+        raise ValueError(f"ln_posint_py needs a positive int, got {n}")
+    bl = n.bit_length()
+    pow2 = 1 << (bl - 1)
+    m = float(n) / float(pow2)
+    z = (m - 1.0) / (m + 1.0)
+    z2 = z * z
+    return float(bl - 1) * _LN2 + _lnm_series_py(z, z2)
+
+
+def weight_micro_py(
+    tc: int, rc: int, t_tot: int, r_tot: int, n_buckets: int = N_BUCKETS
+) -> int:
+    """Python mirror of :func:`weight_micro_sql` (same tree, same bits)."""
+    w = (
+        ln_posint_py(tc + 1)
+        - ln_posint_py(t_tot + n_buckets)
+        - ln_posint_py(rc + 1)
+        + ln_posint_py(r_tot + n_buckets)
+    )
+    return math.floor(w * 1000000.0)
+
+
+# --- pass 1: fit ----------------------------------------------------------
+
+
+def bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(bucket, rc, tc): raw and target token counts per feature bucket,
+    one scan — explode is map-side, the aggregate shuffles ≤ B keys
+    after map-side partial agg."""
+    toks = df.select(
+        F.expr(f"CAST(({target_pred}) AS INT)").alias("_is_t"),
+        F.explode(F.expr(token_arr_sql(SPARK, text_col))).alias("_t"),
+    )
+    return (
+        toks.select(
+            F.expr(token_bucket_sql(SPARK, "_t", n_buckets)).alias("bucket"),
+            "_is_t",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.sum("_is_t").cast("long").alias("tc"),
+        )
+    )
+
+
+def fit_weights_micro(
+    df: DataFrame,
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = N_BUCKETS,
+) -> list[int]:
+    """Collect the bounded bucket-count aggregate and fold it to the
+    dense per-bucket micro-weight list (index = bucket id).  Buckets no
+    token hashes into keep weight 0 — nothing can ever look them up."""
+    rows = bucket_counts(df, text_col, target_pred, n_buckets).collect()
+    rc = [0] * n_buckets
+    tc = [0] * n_buckets
+    for r in rows:
+        rc[r["bucket"]] = r["rc"]
+        tc[r["bucket"]] = r["tc"]
+    t_tot, r_tot = sum(tc), sum(rc)
+    return [
+        weight_micro_py(tc[b], rc[b], t_tot, r_tot, n_buckets)
+        if rc[b] else 0
+        for b in range(n_buckets)
+    ]
+
+
+# --- pass 2: score + select ------------------------------------------------
+
+
+def score_with_weights(
+    df: DataFrame,
+    weights_micro: list[int],
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    out_col: str = "score_micro",
+) -> DataFrame:
+    """Map-only scoring: the weight list rides the plan as a constant-
+    folded array literal; score = exact BIGINT fold over the token
+    array (no explode, no join, no shuffle)."""
+    if len(weights_micro) != n_buckets:
+        raise ValueError(
+            f"weights_micro has {len(weights_micro)} entries, "
+            f"expected n_buckets={n_buckets}"
+        )
+    warr = "array({})".format(
+        ",".join(f"{int(w)}L" for w in weights_micro)
+    )
+    bucket = token_bucket_sql(SPARK, "t", n_buckets)
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"aggregate({token_arr_sql(SPARK, text_col)}, "
+            f"CAST(0 AS BIGINT), "
+            f"(acc, t) -> acc + element_at({warr}, "
+            f"CAST({bucket} AS INT) + 1))"
+        ),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Top-k most target-like documents: fit → fold → map-only score →
+    TakeOrderedAndProject (ties broken by id, so the cut is total)."""
+    w = fit_weights_micro(df, text_col, target_pred, n_buckets)
+    scored = score_with_weights(df, w, text_col, n_buckets)
+    return (
+        scored.select(id_col, "score_micro")
+        .orderBy(F.desc("score_micro"), id_col)
+        .limit(k)
+    )
+
+
+# --- oracles ----------------------------------------------------------------
+
+
+def weight_table_oracle_sql(
+    d: Dialect,
+    table: str = "documents",
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """Self-contained (bucket, rc, tc, w_micro) CTE — the engine fits
+    the distributions and evaluates the shared ln series itself."""
+    toks = token_arr_sql(d, text_col)
+    bucket = token_bucket_sql(d, "t", n_buckets)
+    w = weight_micro_sql(d, "tc", "rc", "t_tot", "r_tot", n_buckets)
+    unnest = "unnest" if d.name == "duckdb" else "explode"
+    return f"""WITH toks AS (
+  SELECT CAST(({target_pred}) AS INT) AS is_t, {unnest}({toks}) AS t
+  FROM {table}
+), tb AS (
+  SELECT {bucket} AS bucket, is_t FROM toks
+), bc AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc,
+         CAST(SUM(is_t) AS BIGINT) AS tc
+  FROM tb GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(rc) AS BIGINT) AS r_tot, CAST(SUM(tc) AS BIGINT) AS t_tot
+  FROM bc
+)
+SELECT bucket, rc, tc, {w} AS w_micro
+FROM bc CROSS JOIN tot
+ORDER BY bucket"""
+
+
+def dsir_select_oracle_sql(
+    d: Dialect,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """Full replay of fit + score + top-k in one SQL string: per-token
+    bucket → bucket counts → micro-weights → exact integer doc sums
+    (LEFT JOIN keeps zero-token docs at score 0) → ORDER/LIMIT."""
+    toks = token_arr_sql(d, text_col)
+    bucket = token_bucket_sql(d, "t", n_buckets)
+    w = weight_micro_sql(d, "tc", "rc", "t_tot", "r_tot", n_buckets)
+    unnest = "unnest" if d.name == "duckdb" else "explode"
+    return f"""WITH toks AS (
+  SELECT {id_col}, CAST(({target_pred}) AS INT) AS is_t,
+         {unnest}({toks}) AS t
+  FROM {table}
+), tb AS (
+  SELECT {id_col}, {bucket} AS bucket, is_t FROM toks
+), bc AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc,
+         CAST(SUM(is_t) AS BIGINT) AS tc
+  FROM tb GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(rc) AS BIGINT) AS r_tot, CAST(SUM(tc) AS BIGINT) AS t_tot
+  FROM bc
+), w AS (
+  SELECT bucket, {w} AS w_micro FROM bc CROSS JOIN tot
+), sc AS (
+  SELECT tb.{id_col} AS {id_col}, CAST(SUM(w.w_micro) AS BIGINT) AS sm
+  FROM tb JOIN w ON tb.bucket = w.bucket
+  GROUP BY tb.{id_col}
+)
+SELECT base.{id_col} AS {id_col},
+       CAST(COALESCE(sc.sm, 0) AS BIGINT) AS score_micro
+FROM {table} base LEFT JOIN sc ON sc.{id_col} = base.{id_col}
+ORDER BY score_micro DESC, {id_col}
+LIMIT {k}"""
+
+
+def weight_table(
+    df: DataFrame,
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Distributed (bucket, rc, tc, w_micro) — the fully in-engine
+    variant of the fit (no collect): the 1-row totals broadcast onto
+    the ≤ B bucket rows.  Exists so the ln-series parity across ALL
+    populated buckets is value-hash-checkable end to end."""
+    bc = bucket_counts(df, text_col, target_pred, n_buckets)
+    tot = bc.agg(
+        F.sum("rc").alias("r_tot"), F.sum("tc").alias("t_tot")
+    )
+    return (
+        bc.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "bucket", "rc", "tc",
+            weight_micro_sql(SPARK, "tc", "rc", "t_tot", "r_tot", n_buckets)
+            + " AS w_micro",
+        )
+        .orderBy("bucket")
+    )
+
+
+__all__ = [
+    "N_BUCKETS",
+    "bucket_counts",
+    "dsir_select",
+    "dsir_select_oracle_sql",
+    "fit_weights_micro",
+    "ln_posint_py",
+    "score_with_weights",
+    "token_arr_sql",
+    "token_bucket_sql",
+    "weight_micro_py",
+    "weight_micro_sql",
+    "weight_table",
+    "weight_table_oracle_sql",
+]

@@ -3379,16 +3379,69 @@ def _round5_queries() -> list[tuple[str, Q]]:
 def _never_checked_queries() -> list[tuple[str, Q]]:
     """Registry entries with no external CORRECTNESS row yet: the two
     r5 stragglers cut by the 50-entry check window, plus the queries
-    NEW this round (r9: the persisted-IVF round-trip and the autoscaled
-    pairs-LSH recall contract).  FIRST in the registry until a driver
-    check records them green."""
+    NEW this round (r9: the persisted-IVF round-trip, the autoscaled
+    pairs-LSH recall contract, and DSIR importance selection).  FIRST
+    in the registry until a driver check records them green."""
     return [
+        ("dsir_select_docs", _dsir_select_q()),
+        ("dsir_weight_table_docs", _dsir_weight_table_q()),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
         ("knn_ann_embed", _knn_ann_q()),
         ("hll_users_by_event_type", _hll_by_group_q()),
         ("quality_tiers_sampled", _quality_tiers_sampled_q()),
     ]
+
+
+DSIR_K = 100
+DSIR_TARGET = "lang = 'en'"
+
+
+def _dsir_select_q() -> Q:
+    """DSIR importance selection (Xie et al. 2023, arXiv:2302.03169):
+    top-{DSIR_K} documents by hashed-unigram log-likelihood ratio of
+    the English subset vs the whole corpus — the paper's importance
+    scoring with top-k as its deterministic resampling limit.  Exact
+    BIGINT micro-weight sums (operators/dsir.py) make the score a pure
+    function of the text, so the oracle is a full value-hash replay of
+    fit + score + cut, not a bound.  Plan: one bounded-key fit shuffle
+    (≤1024 buckets), then a MAP-ONLY scoring pass with the weights
+    constant-folded into the plan and TakeOrderedAndProject for the
+    cut (plan-pinned in tests/test_dsir.py)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dsir import dsir_select
+
+        t = load_tables(spark, sf_dir)
+        return dsir_select(
+            parallelize(t["documents"]), DSIR_K, target_pred=DSIR_TARGET
+        )
+
+    from dar_spark.operators.dsir import dsir_select_oracle_sql
+
+    return Q(spark_fn, dsir_select_oracle_sql(
+        DUCKDB, DSIR_K, target_pred=DSIR_TARGET))
+
+
+def _dsir_weight_table_q() -> Q:
+    """The DSIR fit itself as a value-hash surface: (bucket, rc, tc,
+    w_micro) for every populated feature bucket, computed fully
+    in-engine on both sides — pins the shared arithmetic-only ln
+    series (dialect.ln_posint) bit-for-bit across ALL populated
+    buckets, not just the ones the top-k happens to touch."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dsir import weight_table
+
+        t = load_tables(spark, sf_dir)
+        return weight_table(
+            parallelize(t["documents"]), target_pred=DSIR_TARGET
+        )
+
+    from dar_spark.operators.dsir import weight_table_oracle_sql
+
+    return Q(spark_fn, weight_table_oracle_sql(
+        DUCKDB, target_pred=DSIR_TARGET))
 
 
 def _phone_v1_intl_q() -> Q:

@@ -1,0 +1,112 @@
+"""DSIR importance resampling (operators/dsir.py).
+
+The load-bearing claim is TRIPLE bit-identity: the Python mirror, the
+Spark SQL expression, and the DuckDB oracle all evaluate the same
+arithmetic-only ln tree to the same IEEE doubles, so the integer
+micro-weights (and hence every document score) agree exactly across
+engines and cluster layouts."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dar_spark.dialect import DUCKDB, SPARK
+from dar_spark.operators import dsir
+
+
+def test_ln_posint_py_mirrors_both_engines(spark):
+    ns = [1, 2, 3, 7, 10, 63, 64, 65, 1000, 1024, 12345, 999983,
+          2**31 - 1, 2**40 + 17]
+    exprs = [f"{dsir.ln_posint_py(n)!r} = {SPARK.ln_posint(str(n))}" for n in ns]
+    row = spark.sql("SELECT " + ", ".join(
+        f"({e}) AS c{i}" for i, e in enumerate(exprs))).collect()[0]
+    assert all(row), [n for n, ok in zip(ns, row) if not ok]
+
+    con = duckdb.connect()
+    for n in ns:
+        (got,) = con.sql(f"SELECT {DUCKDB.ln_posint(str(n))}").fetchone()
+        assert got == dsir.ln_posint_py(n), n
+
+
+def test_weight_micro_py_mirrors_both_engines(spark):
+    con = duckdb.connect()
+    cases = [
+        (0, 1, 480, 2971), (3, 14, 480, 2971), (480, 2971, 480, 2971),
+        (1, 1, 1, 1), (0, 10**9, 10**6, 10**12), (500, 501, 1000, 5000),
+    ]
+    for tc, rc, t_tot, r_tot in cases:
+        want = dsir.weight_micro_py(tc, rc, t_tot, r_tot)
+        sql = dsir.weight_micro_sql(
+            SPARK, str(tc), str(rc), str(t_tot), str(r_tot))
+        (got_s,) = spark.sql(f"SELECT {sql} AS w").collect()[0]
+        sql_d = dsir.weight_micro_sql(
+            DUCKDB, str(tc), str(rc), str(t_tot), str(r_tot))
+        (got_d,) = con.sql(f"SELECT {sql_d} AS w").fetchone()
+        assert got_s == want == got_d, (tc, rc, t_tot, r_tot)
+
+
+def test_fit_weights_match_distributed_weight_table(tables):
+    docs = tables["documents"]
+    folded = dsir.fit_weights_micro(docs)
+    for r in dsir.weight_table(docs).collect():
+        assert folded[r["bucket"]] == r["w_micro"], r
+
+
+def test_select_is_layout_invariant(tables):
+    docs = tables["documents"]
+    base = [tuple(r) for r in dsir.dsir_select(docs, 30).collect()]
+    for parts in (1, 7):
+        got = [tuple(r) for r in
+               dsir.dsir_select(docs.repartition(parts), 30).collect()]
+        assert got == base, parts
+
+
+def test_target_vocabulary_ranks_first(spark):
+    # Target docs speak a disjoint vocabulary; every in-target-vocab doc
+    # must outscore every out-of-vocab doc, with the target flag OFF for
+    # the probe rows (score comes from the text, not the label).
+    rows = (
+        [(i, "alpha beta gamma delta", "t") for i in range(10)]
+        + [(i, "omega psi chi phi", "r") for i in range(10, 30)]
+        + [(100, "alpha beta", "r"), (101, "omega psi", "r")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+    sel = dsir.dsir_select(
+        df, 32, target_pred="grp = 't'", n_buckets=64
+    ).collect()
+    scores = {r["doc_id"]: r["score_micro"] for r in sel}
+    assert scores[100] > 0 > scores[101]
+    target_like = {i for i in range(10)} | {100}
+    ranked = [r["doc_id"] for r in sel]
+    assert set(ranked[: len(target_like)]) == target_like
+
+
+def test_empty_text_scores_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "", False), (3, "  ", False)],
+        ["doc_id", "text", "is_t"],
+    )
+    got = {r["doc_id"]: r["score_micro"]
+           for r in dsir.dsir_select(df, 3, target_pred="is_t").collect()}
+    assert got[2] == 0 and got[3] == 0
+    assert len(got) == 3
+
+
+def test_scoring_pass_is_map_only(tables):
+    docs = tables["documents"]
+    w = dsir.fit_weights_micro(docs)
+    scored = dsir.score_with_weights(docs, w).select("doc_id", "score_micro")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    top = scored.orderBy(
+        scored.score_micro.desc(), "doc_id").limit(25)
+    p2 = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p2
+    assert "Exchange" not in p2
+
+
+def test_weights_length_is_validated(tables):
+    with pytest.raises(ValueError, match="expected n_buckets"):
+        dsir.score_with_weights(tables["documents"], [0, 1, 2])
