@@ -58,7 +58,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dar_spark.dialect import DUCKDB, SPARK, Dialect, dlit
+from dar_spark.dialect import LN2 as LN2_SQL
+from dar_spark.dialect import SPARK, Dialect, dlit
 
 N_BUCKETS = 1024
 _MICRO = "1000000.0"
@@ -275,18 +276,18 @@ FROM bc CROSS JOIN tot
 ORDER BY bucket"""
 
 
-def dsir_select_oracle_sql(
+def _fit_score_ctes(
     d: Dialect,
-    k: int,
-    table: str = "documents",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    target_pred: str = "lang = 'en'",
-    n_buckets: int = N_BUCKETS,
+    table: str,
+    id_col: str,
+    text_col: str,
+    target_pred: str,
+    n_buckets: int,
 ) -> str:
-    """Full replay of fit + score + top-k in one SQL string: per-token
-    bucket → bucket counts → micro-weights → exact integer doc sums
-    (LEFT JOIN keeps zero-token docs at score 0) → ORDER/LIMIT."""
+    """Shared WITH-body replaying fit + score: per-token bucket →
+    bucket counts → micro-weights → exact integer doc sums.  Ends at
+    ``scored`` = ({id_col}, score_micro) for every document (the LEFT
+    JOIN keeps zero-token docs at score 0)."""
     toks = token_arr_sql(d, text_col)
     bucket = token_bucket_sql(d, "t", n_buckets)
     w = weight_micro_sql(d, "tc", "rc", "t_tot", "r_tot", n_buckets)
@@ -310,11 +311,114 @@ def dsir_select_oracle_sql(
   SELECT tb.{id_col} AS {id_col}, CAST(SUM(w.w_micro) AS BIGINT) AS sm
   FROM tb JOIN w ON tb.bucket = w.bucket
   GROUP BY tb.{id_col}
-)
-SELECT base.{id_col} AS {id_col},
-       CAST(COALESCE(sc.sm, 0) AS BIGINT) AS score_micro
-FROM {table} base LEFT JOIN sc ON sc.{id_col} = base.{id_col}
+), scored AS (
+  SELECT base.{id_col} AS {id_col},
+         CAST(COALESCE(sc.sm, 0) AS BIGINT) AS score_micro
+  FROM {table} base LEFT JOIN sc ON sc.{id_col} = base.{id_col}
+)"""
+
+
+def dsir_select_oracle_sql(
+    d: Dialect,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """Full replay of fit + score + top-k in one SQL string."""
+    ctes = _fit_score_ctes(d, table, id_col, text_col, target_pred, n_buckets)
+    return f"""{ctes}
+SELECT {id_col}, score_micro
+FROM scored
 ORDER BY score_micro DESC, {id_col}
+LIMIT {k}"""
+
+
+# --- resampling (the paper's actual sampling step) ------------------------
+#
+# DSIR resamples documents with probability ∝ the importance weight
+# p̂_target/p̂_raw = exp(score).  Gumbel-top-k makes that a deterministic
+# ORDER BY: drawing k items without replacement ∝ exp(s_i) is exactly
+# taking the k largest (s_i + g_i) where g_i is standard Gumbel noise
+# (Vieira 2014 / Kool et al. 2019).  The Gumbel comes from the same
+# hash-derived uniform the sampling family uses (u = (2·hex32(id)+1)/2³³,
+# a pure function of the row id), so membership is reproducible across
+# runs, layouts, and engines.
+#
+# Engine parity of g = −ln(−ln u): the inner −ln u is already exact
+# shared arithmetic (33·ln2 − ln_posint(2h+1)); the OUTER ln needs a
+# positive-double argument our integer-only series can't take, so −ln u
+# is first quantized to micros (floor(·1e6)+1, a positive BIGINT) and
+# the outer ln becomes ln_posint(1e6) − ln_posint(micros).  The
+# quantization clips the Gumbel right tail at ln(1e6) ≈ 13.8 nats —
+# only u within 2⁻³³·e⁻¹³·⁸ of 1 can hit the clip (≲1e-6 of draws, and
+# those still receive the maximum value), far below any selection-
+# quality effect; in exchange every engine agrees bit for bit.
+
+
+def gumbel_key_layers(
+    d: Dialect, id_col: str, score_micro: str = "score_micro"
+) -> list[tuple[str, str]]:
+    """(column, expression) layers computing ``gkey`` = score +
+    quantized Gumbel(id); each layer may reference earlier ones."""
+    h = d.hex32(d.cast_str(id_col))
+    return [
+        ("_gn", f"(2 * ({h}) + 1)"),
+        ("_nlu", f"({dlit('33.0')} * {LN2_SQL} - {d.ln_posint('_gn')})"),
+        ("_mnlu", f"(CAST(floor(_nlu * {dlit(_MICRO)}) AS BIGINT) + 1)"),
+        ("_gum", f"({d.ln_posint('1000000')} - {d.ln_posint('_mnlu')})"),
+        (
+            "gkey",
+            f"(CAST({score_micro} AS DOUBLE) / {dlit(_MICRO)} + _gum)",
+        ),
+    ]
+
+
+def dsir_resample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Sample k documents WITHOUT replacement with probability ∝ the
+    DSIR importance weight exp(score) — fit → fold → map-only score →
+    Gumbel perturb → TakeOrderedAndProject.  Same plan shape as
+    :func:`dsir_select` (the Gumbel layers are per-row projections);
+    ties in the perturbed key break on id, so the cut is total."""
+    w = fit_weights_micro(df, text_col, target_pred, n_buckets)
+    scored = score_with_weights(df, w, text_col, n_buckets)
+    for name, expr in gumbel_key_layers(SPARK, id_col):
+        scored = scored.withColumn(name, F.expr(expr))
+    return (
+        scored.orderBy(F.desc("gkey"), id_col)
+        .limit(k)
+        .select(id_col, "score_micro")
+    )
+
+
+def dsir_resample_oracle_sql(
+    d: Dialect,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """Replay of fit + score + Gumbel perturb + cut; the Gumbel layers
+    unfold as nested projections over the shared scored CTE."""
+    ctes = _fit_score_ctes(d, table, id_col, text_col, target_pred, n_buckets)
+    inner = "scored"
+    for name, expr in gumbel_key_layers(d, id_col):
+        inner = f"(SELECT *, {expr} AS {name} FROM {inner})"
+    return f"""{ctes}
+SELECT {id_col}, score_micro
+FROM {inner} g
+ORDER BY gkey DESC, {id_col}
 LIMIT {k}"""
 
 
@@ -346,8 +450,11 @@ def weight_table(
 __all__ = [
     "N_BUCKETS",
     "bucket_counts",
+    "dsir_resample",
+    "dsir_resample_oracle_sql",
     "dsir_select",
     "dsir_select_oracle_sql",
+    "gumbel_key_layers",
     "fit_weights_micro",
     "ln_posint_py",
     "score_with_weights",

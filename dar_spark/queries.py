@@ -3382,8 +3382,11 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
     NEW this round (r9: the persisted-IVF round-trip, the autoscaled
     pairs-LSH recall contract, and DSIR importance selection).  FIRST
     in the registry until a driver check records them green."""
+    dsir_sel = _dsir_select_q()
+    dsir_sel.headline = True  # bench the new family's two-scan path
     return [
-        ("dsir_select_docs", _dsir_select_q()),
+        ("dsir_select_docs", dsir_sel),
+        ("dsir_resample_docs", _dsir_resample_q()),
         ("dsir_weight_table_docs", _dsir_weight_table_q()),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
@@ -3420,6 +3423,30 @@ def _dsir_select_q() -> Q:
     from dar_spark.operators.dsir import dsir_select_oracle_sql
 
     return Q(spark_fn, dsir_select_oracle_sql(
+        DUCKDB, DSIR_K, target_pred=DSIR_TARGET))
+
+
+def _dsir_resample_q() -> Q:
+    """DSIR's actual sampling step: k docs without replacement with
+    probability ∝ the importance weight exp(score), via deterministic
+    Gumbel-top-k (operators/dsir.py gumbel_key_layers) — the Gumbel
+    noise is a pure function of doc_id through the shared hash-uniform
+    and arithmetic-only ln, so the SAMPLED MEMBERSHIP itself is
+    value-hash-verified cross-engine (no distributional bound needed).
+    Same plan shape as dsir_select_docs: map-only perturbed scoring +
+    TakeOrderedAndProject."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dsir import dsir_resample
+
+        t = load_tables(spark, sf_dir)
+        return dsir_resample(
+            parallelize(t["documents"]), DSIR_K, target_pred=DSIR_TARGET
+        )
+
+    from dar_spark.operators.dsir import dsir_resample_oracle_sql
+
+    return Q(spark_fn, dsir_resample_oracle_sql(
         DUCKDB, DSIR_K, target_pred=DSIR_TARGET))
 
 

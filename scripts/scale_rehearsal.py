@@ -73,7 +73,8 @@ def _time_best(spark, q, sf_dir: str, n_runs: int) -> float:
     return best
 
 
-def run(scales: list[float], n_runs: int, cpus: int) -> dict:
+def run(scales: list[float], n_runs: int, cpus: int,
+        only: list[str] | None = None) -> dict:
     from dar_spark.queries import build_registry
     from dar_spark.session import get_session, load_tables
 
@@ -83,6 +84,11 @@ def run(scales: list[float], n_runs: int, cpus: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = {n: q for n, q in build_registry().items() if q.headline}
+    if only:
+        missing = set(only) - set(headline)
+        if missing:
+            raise SystemExit(f"--only names not in the headline set: {missing}")
+        headline = {n: headline[n] for n in only}
     # untimed warmup: codegen + parquet footers for both dirs
     for d in dirs.values():
         load_tables(spark, d)
@@ -172,8 +178,28 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--scales", type=float, nargs=2, default=[0.1, 1.0])
+    ap.add_argument(
+        "--only", nargs="+", default=None,
+        help="measure ONLY these headline queries and merge their rows "
+        "into the existing docs/scale_rehearsal.json (for newly added "
+        "headliners — avoids re-timing the whole set; scales/cpus/runs "
+        "must match the committed artifact)",
+    )
     args = ap.parse_args()
-    payload = run(sorted(args.scales), args.runs, args.cpus)
+    payload = run(sorted(args.scales), args.runs, args.cpus, only=args.only)
+    if args.only:
+        prev_path = os.path.join(REPO, "docs", "scale_rehearsal.json")
+        with open(prev_path) as f:
+            prev = json.load(f)
+        for k in ("scales", "cpus", "n_runs"):
+            if prev[k] != payload[k]:
+                raise SystemExit(
+                    f"--only merge refused: {k} differs from the committed "
+                    f"artifact ({prev[k]} vs {payload[k]}) — rerun the full "
+                    "rehearsal instead"
+                )
+        prev["queries"].update(payload["queries"])
+        payload = prev
     write_outputs(payload)
 
 

@@ -110,3 +110,45 @@ def test_scoring_pass_is_map_only(tables):
 def test_weights_length_is_validated(tables):
     with pytest.raises(ValueError, match="expected n_buckets"):
         dsir.score_with_weights(tables["documents"], [0, 1, 2])
+
+
+def test_resample_matches_duckdb_oracle(tables, duck):
+    got = [tuple(r) for r in dsir.dsir_resample(tables["documents"], 40).collect()]
+    want = [tuple(r) for r in
+            duck.sql(dsir.dsir_resample_oracle_sql(DUCKDB, 40)).fetchall()]
+    assert got == want
+
+
+def test_resample_is_layout_invariant(tables):
+    docs = tables["documents"]
+    base = [tuple(r) for r in dsir.dsir_resample(docs, 40).collect()]
+    got = [tuple(r) for r in
+           dsir.dsir_resample(docs.repartition(5), 40).collect()]
+    assert got == base
+
+
+def test_resample_favors_high_importance(spark):
+    # 30 docs in the target vocabulary vs 30 out; scores are separated
+    # by far more than the Gumbel noise scale (~1.3 nats), so the
+    # weighted sample must be dominated by (though not identical to)
+    # the deterministic top-k.
+    rows = (
+        [(i, "alpha beta gamma delta " * 8, "t") for i in range(30)]
+        + [(i, "omega psi chi phi " * 8, "r") for i in range(30, 60)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+    sel = dsir.dsir_resample(
+        df, 20, target_pred="grp = 't'", n_buckets=64
+    ).collect()
+    in_target = sum(1 for r in sel if r["doc_id"] < 30)
+    assert in_target >= 18, in_target
+
+
+def test_gumbel_noise_differs_from_plain_topk(tables):
+    # The perturbed cut must actually sample (not reduce to top-k):
+    # with fixture scores spread over ~a few nats, at least one of the
+    # 40 members should differ from the deterministic selection.
+    docs = tables["documents"]
+    plain = {r["doc_id"] for r in dsir.dsir_select(docs, 40).collect()}
+    noisy = {r["doc_id"] for r in dsir.dsir_resample(docs, 40).collect()}
+    assert noisy != plain

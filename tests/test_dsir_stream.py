@@ -1,0 +1,54 @@
+"""Streaming DSIR scoring: weights fitted once on a reference corpus
+score an arriving document stream batch-identically to the batch path.
+
+This is the production shape at scale — the fit is a bounded
+``list[int]`` refreshed offline; ingest scoring is a stateless map-only
+projection, so it composes with any Structured Streaming source with no
+state store, no watermark, and no shuffle."""
+
+from __future__ import annotations
+
+import uuid
+
+from dar_spark.operators import dsir
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def test_streaming_scores_match_batch(spark, tmp_path):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    w = dsir.fit_weights_micro(docs)
+
+    arriving = docs.select("doc_id", "text")
+    src = str(tmp_path / "dsir_src")
+    arriving.repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(arriving.schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(src)
+
+    scored_stream = dsir.score_with_weights(stream, w).select(
+        "doc_id", "score_micro"
+    )
+    name = "t_" + uuid.uuid4().hex[:8]
+    q = (
+        scored_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(120)
+    q.stop()
+    assert finished, "stream did not drain within 120s"
+
+    got = {
+        r["doc_id"]: r["score_micro"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        r["doc_id"]: r["score_micro"]
+        for r in dsir.score_with_weights(docs, w)
+        .select("doc_id", "score_micro")
+        .collect()
+    }
+    assert got == want
