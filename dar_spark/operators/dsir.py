@@ -167,16 +167,10 @@ def bucket_counts(
     )
 
 
-def fit_weights_micro(
-    df: DataFrame,
-    text_col: str = "text",
-    target_pred: str = "lang = 'en'",
-    n_buckets: int = N_BUCKETS,
-) -> list[int]:
-    """Collect the bounded bucket-count aggregate and fold it to the
-    dense per-bucket micro-weight list (index = bucket id).  Buckets no
-    token hashes into keep weight 0 — nothing can ever look them up."""
-    rows = bucket_counts(df, text_col, target_pred, n_buckets).collect()
+def _fold_weights(rows, n_buckets: int) -> list[int]:
+    """(bucket, rc, tc) rows → dense per-bucket micro-weight list
+    (index = bucket id).  Buckets no token hashes into keep weight 0 —
+    nothing can ever look them up."""
     rc = [0] * n_buckets
     tc = [0] * n_buckets
     for r in rows:
@@ -188,6 +182,20 @@ def fit_weights_micro(
         if rc[b] else 0
         for b in range(n_buckets)
     ]
+
+
+def fit_weights_micro(
+    df: DataFrame,
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = N_BUCKETS,
+) -> list[int]:
+    """Collect the bounded bucket-count aggregate and fold it to the
+    dense micro-weight list."""
+    return _fold_weights(
+        bucket_counts(df, text_col, target_pred, n_buckets).collect(),
+        n_buckets,
+    )
 
 
 # --- pass 2: score + select ------------------------------------------------
@@ -336,6 +344,95 @@ ORDER BY score_micro DESC, {id_col}
 LIMIT {k}"""
 
 
+# --- persisted model lifecycle ---------------------------------------------
+#
+# The fit is additive INTEGER sufficient statistics (per-bucket token
+# counts), so the stored model grows by appending a generation of batch
+# counts — no refit, no rescan of earlier corpora — and summing
+# generations reproduces the from-scratch fit EXACTLY (integers, not
+# floats: there is no accumulation-order drift to argue about; the
+# dsir_model_append_select oracle value-hashes append == rebuild).
+# Same lifecycle contract as the dedup/ANN indexes: generations are
+# ``ingest=<label>`` partitions, a retried append with the same label
+# overwrites exactly itself (replay-safe for at-least-once writers),
+# and meta travels with the model so readers can't mix parameters.
+
+
+def write_dsir_model(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = N_BUCKETS,
+) -> None:
+    """Persist the fit: ``<path>/counts`` (bucket, rc, tc) partitioned
+    by ingest label (``base`` for the initial build) and
+    ``<path>/meta`` (n_buckets, text_col, target_pred).  One corpus
+    scan; the stored table is ≤ n_buckets rows per generation."""
+    _write_counts(
+        bucket_counts(df, text_col, target_pred, n_buckets),
+        path, "base", overwrite_all=True,
+    )
+    meta = df.sparkSession.createDataFrame(
+        [(n_buckets, text_col, target_pred)],
+        "n_buckets INT, text_col STRING, target_pred STRING",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _write_counts(
+    counts: DataFrame, path: str, label: str, overwrite_all: bool
+) -> None:
+    w = (
+        counts.withColumn("ingest", F.lit(label))
+        .write.partitionBy("ingest")
+        .mode("overwrite")
+    )
+    if not overwrite_all:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(f"{path}/counts")
+
+
+def append_to_dsir_model(
+    new: DataFrame, path: str, ingest_label: str | None = None
+) -> str:
+    """Grow the model with a batch: count the batch's tokens with the
+    STORED parameters (read from meta) and write them as a new
+    generation — O(|batch|), the existing counts are never rescanned.
+    Returns the ingest label used (see ``core.ingest`` for the default
+    numbering; pass a stable label from at-least-once writers)."""
+    spark = new.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    if ingest_label is None:
+        from dar_spark.core.ingest import next_append_label
+
+        ingest_label = next_append_label(
+            spark.read.parquet(f"{path}/counts")
+        )
+    _write_counts(
+        bucket_counts(new, m.text_col, m.target_pred, m.n_buckets),
+        path, ingest_label, overwrite_all=False,
+    )
+    return ingest_label
+
+
+def load_dsir_weights(spark, path: str) -> list[int]:
+    """Sum counts across all generations (a ≤ n_buckets×generations-row
+    aggregate — metadata-scale) and fold to the micro-weight list;
+    byte-equal to a from-scratch fit on the union corpus."""
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    rows = (
+        spark.read.parquet(f"{path}/counts")
+        .groupBy("bucket")
+        .agg(
+            F.sum("rc").cast("long").alias("rc"),
+            F.sum("tc").cast("long").alias("tc"),
+        )
+        .collect()
+    )
+    return _fold_weights(rows, m.n_buckets)
+
+
 # --- resampling (the paper's actual sampling step) ------------------------
 #
 # DSIR resamples documents with probability ∝ the importance weight
@@ -449,7 +546,10 @@ def weight_table(
 
 __all__ = [
     "N_BUCKETS",
+    "append_to_dsir_model",
     "bucket_counts",
+    "load_dsir_weights",
+    "write_dsir_model",
     "dsir_resample",
     "dsir_resample_oracle_sql",
     "dsir_select",

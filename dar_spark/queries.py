@@ -3387,6 +3387,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
     return [
         ("dsir_select_docs", dsir_sel),
         ("dsir_resample_docs", _dsir_resample_q()),
+        ("dsir_model_append_select", _dsir_model_append_q()),
         ("dsir_weight_table_docs", _dsir_weight_table_q()),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
@@ -3448,6 +3449,60 @@ def _dsir_resample_q() -> Q:
 
     return Q(spark_fn, dsir_resample_oracle_sql(
         DUCKDB, DSIR_K, target_pred=DSIR_TARGET))
+
+
+DSIR_MODEL_K = 120
+DSIR_MODEL_BATCH_PRED = "doc_id % 3 = 0"
+
+
+def _dsir_model_append_q() -> Q:
+    """The persisted DSIR model lifecycle under the append == rebuild
+    value-hash contract: fit on two-thirds of the corpus, append the
+    remaining third as a generation (replay-safe ingest partition),
+    load the summed weights, and select top-{DSIR_MODEL_K} — the
+    oracle is the FROM-SCRATCH fit on the whole corpus, so any drift
+    between incremental and full fits fails the hash.  Exactness is
+    structural: the model stores integer token counts (additive
+    sufficient statistics), not floats."""
+
+    def spark_fn(spark, sf_dir):
+        import hashlib
+        import os
+
+        from dar_spark.operators.dsir import (
+            append_to_dsir_model,
+            load_dsir_weights,
+            score_with_weights,
+            write_dsir_model,
+        )
+
+        t = load_tables(spark, sf_dir)
+        docs = parallelize(t["documents"])
+        cache_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".csvcache",
+        )
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(cache_root, f"dsirmodel-{tag}")
+        write_dsir_model(
+            docs.filter(f"NOT ({DSIR_MODEL_BATCH_PRED})"), path,
+            target_pred=DSIR_TARGET,
+        )
+        append_to_dsir_model(
+            docs.filter(DSIR_MODEL_BATCH_PRED), path, "grow-0"
+        )
+        w = load_dsir_weights(spark, path)
+        scored = score_with_weights(docs, w)
+        return (
+            scored.select("doc_id", "score_micro")
+            .orderBy(F.desc("score_micro"), "doc_id")
+            .limit(DSIR_MODEL_K)
+        )
+
+    from dar_spark.operators.dsir import dsir_select_oracle_sql
+
+    return Q(spark_fn, dsir_select_oracle_sql(
+        DUCKDB, DSIR_MODEL_K, target_pred=DSIR_TARGET))
 
 
 def _dsir_weight_table_q() -> Q:

@@ -144,6 +144,35 @@ def test_resample_favors_high_importance(spark):
     assert in_target >= 18, in_target
 
 
+def test_model_append_equals_rebuild(spark, tables, tmp_path):
+    docs = tables["documents"]
+    path = str(tmp_path / "model")
+    dsir.write_dsir_model(docs.filter("doc_id % 3 != 0"), path)
+    dsir.append_to_dsir_model(docs.filter("doc_id % 3 = 0"), path, "grow-0")
+    assert dsir.load_dsir_weights(spark, path) == dsir.fit_weights_micro(docs)
+
+
+def test_model_append_replay_is_idempotent(spark, tables, tmp_path):
+    docs = tables["documents"]
+    path = str(tmp_path / "model")
+    dsir.write_dsir_model(docs.filter("doc_id % 3 != 0"), path)
+    for _ in range(2):  # at-least-once writer retries the same label
+        dsir.append_to_dsir_model(
+            docs.filter("doc_id % 3 = 0"), path, "grow-0"
+        )
+    assert dsir.load_dsir_weights(spark, path) == dsir.fit_weights_micro(docs)
+
+
+def test_model_append_default_label_numbering(spark, tables, tmp_path):
+    docs = tables["documents"]
+    path = str(tmp_path / "model")
+    dsir.write_dsir_model(docs.filter("doc_id % 2 = 0"), path)
+    lbl1 = dsir.append_to_dsir_model(docs.filter("doc_id % 4 = 1"), path)
+    lbl2 = dsir.append_to_dsir_model(docs.filter("doc_id % 4 = 3"), path)
+    assert (lbl1, lbl2) == ("append-1", "append-2")
+    assert dsir.load_dsir_weights(spark, path) == dsir.fit_weights_micro(docs)
+
+
 def test_gumbel_noise_differs_from_plain_topk(tables):
     # The perturbed cut must actually sample (not reduce to top-k):
     # with fixture scores spread over ~a few nats, at least one of the
