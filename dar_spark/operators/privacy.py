@@ -1,0 +1,226 @@
+"""Privacy-risk auditing for training corpora: k-anonymity,
+l-diversity, and a single-scan generalization ladder.
+
+Shipping a dataset (or its aggregate statistics) leaks re-identifiable
+rows when some quasi-identifier combination — (nation, segment,
+rounded balance), (event type, day) — isolates fewer than k
+individuals (Sweeney 2002), or when an isolated group shares one
+sensitive value (Machanavajjhala et al. 2006, l-diversity).  These
+operators are the audit side of the pipeline's PII story: redaction
+(functions/text.redact_pii) removes literal identifiers; this module
+measures how identifying the REMAINING structure is.
+
+Scale shapes (100 TB posture):
+
+- k-anonymity is ONE hash-aggregate on the quasi-identifier tuple
+  (map-side partial agg; uniform unless one tuple dominates, which is
+  itself the signal being measured) followed by a bounded histogram
+  aggregate over group SIZES — the report is O(distinct sizes), never
+  O(groups), so the output stays tiny even when the corpus has 10⁹
+  quasi-groups.
+- l-diversity's exact distinct-count is the standard two-level
+  aggregate: groupBy(quasi, sensitive) then groupBy(quasi) — the
+  shuffle is bounded by distinct (quasi, sensitive) PAIRS, not rows.
+- The generalization ladder evaluates every candidate bucket width in
+  ONE scan via GROUPING SETS (Spark plans one Expand + one shuffle
+  instead of len(widths) scans) — the Spark-idiomatic form of the
+  "coarsen until anonymous" loop, which at 100 TB must not re-read
+  the corpus per rung.
+
+No reference counterpart (extension surface per SURVEY §2d); methods
+are from the public papers above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_histogram(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Histogram of quasi-group sizes: (group_size, n_groups, n_rows,
+    risky).  A row is re-identifiable at level k when its group has
+    fewer than k members; `n_rows` on risky lines counts exactly those.
+    Quasi columns may be expressions (each is evaluated once in a
+    projection before the aggregate)."""
+    sizes = (
+        df.selectExpr(*[f"({c}) AS _q{i}" for i, c in enumerate(quasi_cols)])
+        .groupBy(*[f"_q{i}" for i in range(len(quasi_cols))])
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    return (
+        sizes.groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_rows"),
+        )
+        .withColumn("risky", (F.col("group_size") < k).cast("int"))
+        .orderBy("group_size")
+    )
+
+
+def k_anonymity_oracle_sql(
+    d, table: str, quasi_cols: list[str], k: int
+) -> str:
+    qs = ", ".join(f"({c}) AS _q{i}" for i, c in enumerate(quasi_cols))
+    keys = ", ".join(f"_q{i}" for i in range(len(quasi_cols)))
+    return f"""WITH g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM (SELECT {qs} FROM {table}) q
+  GROUP BY {keys}
+)
+SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(group_size) AS BIGINT) AS n_rows,
+       CAST(group_size < {k} AS INT) AS risky
+FROM g GROUP BY group_size ORDER BY group_size"""
+
+
+def l_diversity_histogram(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """Histogram of per-quasi-group sensitive-value diversity:
+    (n_sensitive, n_groups, n_rows, diverse).  A group where every row
+    shares one sensitive value discloses it to anyone who can name the
+    quasi tuple, regardless of group size.  Exact distinct count via
+    the two-level aggregate (see module docstring)."""
+    qn = [f"_q{i}" for i in range(len(quasi_cols))]
+    pairs = (
+        df.selectExpr(
+            *[f"({c}) AS _q{i}" for i, c in enumerate(quasi_cols)],
+            f"({sensitive_col}) AS _s",
+        )
+        .groupBy(*qn, "_s")
+        .agg(F.count(F.lit(1)).alias("_pn"))
+    )
+    groups = pairs.groupBy(*qn).agg(
+        F.count(F.lit(1)).alias("n_sensitive"),
+        F.sum("_pn").cast("long").alias("group_size"),
+    )
+    return (
+        groups.groupBy("n_sensitive")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_rows"),
+        )
+        .withColumn("diverse", (F.col("n_sensitive") >= l).cast("int"))
+        .orderBy("n_sensitive")
+    )
+
+
+def l_diversity_oracle_sql(
+    d, table: str, quasi_cols: list[str], sensitive_col: str, l: int
+) -> str:
+    qs = ", ".join(f"({c}) AS _q{i}" for i, c in enumerate(quasi_cols))
+    keys = ", ".join(f"_q{i}" for i in range(len(quasi_cols)))
+    return f"""WITH p AS (
+  SELECT {keys}, _s, CAST(COUNT(*) AS BIGINT) AS _pn
+  FROM (SELECT {qs}, ({sensitive_col}) AS _s FROM {table}) q
+  GROUP BY {keys}, _s
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+         CAST(SUM(_pn) AS BIGINT) AS group_size
+  FROM p GROUP BY {keys}
+)
+SELECT n_sensitive, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(group_size) AS BIGINT) AS n_rows,
+       CAST(n_sensitive >= {l} AS INT) AS diverse
+FROM g GROUP BY n_sensitive ORDER BY n_sensitive"""
+
+
+def _bucket_expr(numeric_col: str, width: int) -> str:
+    """Left edge of the width-sized bucket, in exact integer/decimal
+    arithmetic (no double rounding to diverge between engines)."""
+    return (
+        f"CAST(floor(({numeric_col}) / {width}) AS BIGINT) * {width}"
+    )
+
+
+def generalization_ladder(
+    df: DataFrame,
+    quasi_cols: list[str],
+    numeric_col: str,
+    widths: list[int],
+    k: int,
+) -> DataFrame:
+    """Evaluate "how coarse must ``numeric_col``'s bucket be before the
+    quasi space is k-anonymous" for every candidate width in ONE scan:
+    per width — n_groups, min_group_size, risky_rows (rows in groups
+    smaller than k), anonymous (no risky rows).  GROUPING SETS gives
+    all widths one Expand + one shuffle; a per-width loop would rescan
+    the corpus len(widths) times."""
+    if sorted(widths) != widths or len(set(widths)) != len(widths):
+        raise ValueError(f"widths must be strictly increasing: {widths}")
+    qn = [f"_q{i}" for i in range(len(quasi_cols))]
+    bn = [f"_b{w}" for w in widths]
+    sel = df.selectExpr(
+        *[f"({c}) AS _q{i}" for i, c in enumerate(quasi_cols)],
+        *[f"{_bucket_expr(numeric_col, w)} AS _b{w}" for w in widths],
+    )
+    grouped = sel.groupingSets(
+        [[*qn, b] for b in bn], *[F.col(c) for c in (*qn, *bn)]
+    ).agg(
+        F.count(F.lit(1)).alias("gsz"),
+        *[F.grouping(f"_b{w}").cast("int").alias(f"_g{w}") for w in widths],
+    )
+    width_expr = "CASE " + " ".join(
+        f"WHEN _g{w} = 0 THEN {w}" for w in widths
+    ) + " END"
+    per_set = grouped.withColumn("width", F.expr(width_expr))
+    return (
+        per_set.groupBy("width")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("gsz").alias("min_group_size"),
+            F.sum(F.when(F.col("gsz") < k, F.col("gsz")).otherwise(0))
+            .cast("long")
+            .alias("risky_rows"),
+        )
+        .withColumn(
+            "anonymous", (F.col("risky_rows") == 0).cast("int")
+        )
+        .orderBy("width")
+    )
+
+
+def generalization_ladder_oracle_sql(
+    d,
+    table: str,
+    quasi_cols: list[str],
+    numeric_col: str,
+    widths: list[int],
+    k: int,
+) -> str:
+    qs = ", ".join(f"({c}) AS _q{i}" for i, c in enumerate(quasi_cols))
+    bs = ", ".join(
+        f"{_bucket_expr(numeric_col, w)} AS _b{w}" for w in widths
+    )
+    keys = ", ".join(f"_q{i}" for i in range(len(quasi_cols)))
+    sets = ", ".join(f"({keys}, _b{w})" for w in widths)
+    width_expr = "CASE " + " ".join(
+        f"WHEN grouping(_b{w}) = 0 THEN {w}" for w in widths
+    ) + " END"
+    return f"""WITH q AS (
+  SELECT {qs}, {bs} FROM {table}
+), g AS (
+  SELECT {width_expr} AS width, CAST(COUNT(*) AS BIGINT) AS gsz
+  FROM q GROUP BY GROUPING SETS ({sets})
+)
+SELECT width, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       MIN(gsz) AS min_group_size,
+       CAST(SUM(CASE WHEN gsz < {k} THEN gsz ELSE 0 END) AS BIGINT)
+         AS risky_rows,
+       CAST(SUM(CASE WHEN gsz < {k} THEN gsz ELSE 0 END) = 0 AS INT)
+         AS anonymous
+FROM g GROUP BY width ORDER BY width"""
+
+
+__all__ = [
+    "generalization_ladder",
+    "generalization_ladder_oracle_sql",
+    "k_anonymity_histogram",
+    "k_anonymity_oracle_sql",
+    "l_diversity_histogram",
+    "l_diversity_oracle_sql",
+]

@@ -3389,6 +3389,9 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("dsir_resample_docs", _dsir_resample_q()),
         ("dsir_model_append_select", _dsir_model_append_q()),
         ("dsir_weight_table_docs", _dsir_weight_table_q()),
+        ("k_anonymity_customer", _k_anonymity_q()),
+        ("l_diversity_events", _l_diversity_q()),
+        ("k_anon_ladder_customer", _k_anon_ladder_q()),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
         ("knn_ann_embed", _knn_ann_q()),
@@ -3449,6 +3452,81 @@ def _dsir_resample_q() -> Q:
 
     return Q(spark_fn, dsir_resample_oracle_sql(
         DUCKDB, DSIR_K, target_pred=DSIR_TARGET))
+
+
+KANON_K = 5
+KANON_QUASI = [
+    "c_nationkey", "c_mktsegment",
+    "CAST(floor(c_acctbal / 100) AS BIGINT) * 100",
+]
+LDIV_QUASI = ["event_type", "CAST(date_trunc('day', ts) AS DATE)"]
+LDIV_L = 3
+LADDER_QUASI = ["c_nationkey"]
+LADDER_WIDTHS = [100, 1000, 10000]
+
+
+def _k_anonymity_q() -> Q:
+    """k-anonymity audit (Sweeney 2002) over the customer table's
+    quasi-identifiers (nation, market segment, balance rounded to
+    100): histogram of quasi-group sizes with rows in sub-k groups
+    flagged re-identifiable.  One hash-agg on the quasi tuple + a
+    bounded size-histogram agg — the report is O(distinct sizes)
+    regardless of corpus size (operators/privacy.py)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.privacy import k_anonymity_histogram
+
+        t = load_tables(spark, sf_dir)
+        return k_anonymity_histogram(t["customer"], KANON_QUASI, KANON_K)
+
+    from dar_spark.operators.privacy import k_anonymity_oracle_sql
+
+    return Q(spark_fn, k_anonymity_oracle_sql(
+        DUCKDB, "customer", KANON_QUASI, KANON_K))
+
+
+def _l_diversity_q() -> Q:
+    """l-diversity audit (Machanavajjhala et al. 2006): per
+    (event_type, day) quasi-group, how many distinct users — a group
+    with one distinct sensitive value discloses it to anyone who can
+    name the tuple.  Exact distinct via the two-level aggregate; the
+    shuffle is bounded by distinct (quasi, sensitive) pairs."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.privacy import l_diversity_histogram
+
+        t = load_tables(spark, sf_dir)
+        return l_diversity_histogram(
+            t["events"], LDIV_QUASI, "user_id", LDIV_L
+        )
+
+    from dar_spark.operators.privacy import l_diversity_oracle_sql
+
+    return Q(spark_fn, l_diversity_oracle_sql(
+        DUCKDB, "events", LDIV_QUASI, "user_id", LDIV_L))
+
+
+def _k_anon_ladder_q() -> Q:
+    """The generalization ladder: how coarse must the balance bucket be
+    before (nation, bucket) is k-anonymous — every candidate width
+    evaluated in ONE scan via GROUPING SETS (one Expand + one shuffle;
+    a per-width loop would rescan the corpus per rung).  Plan shape
+    pinned in tests/test_privacy.py."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.privacy import generalization_ladder
+
+        t = load_tables(spark, sf_dir)
+        return generalization_ladder(
+            t["customer"], LADDER_QUASI, "c_acctbal",
+            LADDER_WIDTHS, KANON_K,
+        )
+
+    from dar_spark.operators.privacy import generalization_ladder_oracle_sql
+
+    return Q(spark_fn, generalization_ladder_oracle_sql(
+        DUCKDB, "customer", LADDER_QUASI, "c_acctbal",
+        LADDER_WIDTHS, KANON_K))
 
 
 DSIR_MODEL_K = 120

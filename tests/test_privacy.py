@@ -1,0 +1,95 @@
+"""Privacy auditing (operators/privacy.py): k-anonymity, l-diversity,
+and the single-scan generalization ladder."""
+
+from __future__ import annotations
+
+import pytest
+
+from dar_spark.operators import privacy
+
+
+def test_k_anonymity_on_handcrafted_groups(spark):
+    # groups: (a,1)x3, (a,2)x1, (b,1)x1 -> sizes {3:1 group, 1:2 groups}
+    rows = [("a", 1), ("a", 1), ("a", 1), ("a", 2), ("b", 1)]
+    df = spark.createDataFrame(rows, ["q1", "q2"])
+    got = {
+        r["group_size"]: (r["n_groups"], r["n_rows"], r["risky"])
+        for r in privacy.k_anonymity_histogram(df, ["q1", "q2"], 2).collect()
+    }
+    assert got == {1: (2, 2, 1), 3: (1, 3, 0)}
+
+
+def test_k_anonymity_counts_null_quasi_as_a_group(spark):
+    rows = [(None, 1), (None, 1), ("a", 1)]
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    got = {
+        r["group_size"]: r["n_groups"]
+        for r in privacy.k_anonymity_histogram(df, ["q1", "q2"], 2).collect()
+    }
+    assert got == {1: 1, 2: 1}
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    # group (a): sensitive {x, y} -> diverse at l=2
+    # group (b): sensitive {x} x3 -> NOT diverse: one value for 3 rows
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "x"), ("b", "x")]
+    df = spark.createDataFrame(rows, ["q", "s"])
+    got = {
+        r["n_sensitive"]: (r["n_groups"], r["n_rows"], r["diverse"])
+        for r in privacy.l_diversity_histogram(df, ["q"], "s", 2).collect()
+    }
+    assert got == {1: (1, 3, 0), 2: (1, 2, 1)}
+
+
+def test_ladder_anonymity_flips_with_width(spark):
+    # 12 rows, values 0..11; quasi = constant.  width 1: twelve
+    # singleton groups (all risky at k=3); width 100: one group of 12.
+    rows = [("g", float(v)) for v in range(12)]
+    df = spark.createDataFrame(rows, ["q", "v"])
+    got = {
+        r["width"]: (r["n_groups"], r["min_group_size"],
+                     r["risky_rows"], r["anonymous"])
+        for r in privacy.generalization_ladder(
+            df, ["q"], "v", [1, 100], 3
+        ).collect()
+    }
+    assert got == {1: (12, 1, 12, 0), 100: (1, 12, 0, 1)}
+
+
+def test_ladder_handles_negative_values(spark):
+    # floor-based buckets must put -1 in the [-100, 0) bucket, not 0's
+    rows = [("g", -1.0), ("g", 1.0)]
+    df = spark.createDataFrame(rows, ["q", "v"])
+    got = {
+        r["width"]: r["n_groups"]
+        for r in privacy.generalization_ladder(
+            df, ["q"], "v", [100], 1
+        ).collect()
+    }
+    assert got == {100: 2}
+
+
+def test_ladder_rejects_unsorted_widths(spark):
+    df = spark.createDataFrame([("g", 1.0)], ["q", "v"])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        privacy.generalization_ladder(df, ["q"], "v", [100, 10], 2)
+
+
+def test_ladder_is_one_scan(tables):
+    gl = privacy.generalization_ladder(
+        tables["customer"], ["c_nationkey"], "c_acctbal",
+        [100, 1000, 10000], 5,
+    )
+    plan = gl._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_histograms_match_duckdb(tables, duck):
+    qc = ["c_nationkey", "c_mktsegment",
+          "CAST(floor(c_acctbal / 100) AS BIGINT) * 100"]
+    sp = [tuple(r) for r in
+          privacy.k_anonymity_histogram(tables["customer"], qc, 5).collect()]
+    du = [tuple(r) for r in duck.sql(
+        privacy.k_anonymity_oracle_sql(None, "customer", qc, 5)).fetchall()]
+    assert sp == du
