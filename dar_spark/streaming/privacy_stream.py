@@ -1,0 +1,88 @@
+"""Streaming k-anonymity monitor — windowed quasi-group sizes.
+
+Privacy risk is a property a stream can drift INTO: an event feed that
+was k-anonymous per hour becomes re-identifying the moment traffic
+thins (overnight, a small market launch) and per-window quasi-groups
+shrink below k.  The batch audit (operators/privacy) can't see this —
+it reports the union, where thin windows hide inside fat ones.
+
+Same two-stage shape as the drift monitor (streaming/drift_stream.py):
+the STREAM maintains only the additive aggregate — per (window, quasi
+tuple) row counts under a watermark — because chained stateful
+aggregations are the part Structured Streaming restricts; the
+per-window risk REPORT is a batch aggregate over the drained counts
+(`k_anonymity_window_report`), sharing the histogram semantics of
+``privacy.k_anonymity_histogram`` per window.
+
+State is O(windows in flight × quasi-groups per window) — bounded by
+the watermark, independent of stream length; the shuffle keys are
+(window, quasi) — skew only when one quasi tuple dominates a window,
+which is itself a non-risky (large) group.
+
+Verified by batch equivalence (tests/test_privacy_stream.py): draining
+the fixture stream yields byte-identical per-window reports to the
+batch path over the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_quasi_group_counts(
+    stream_df: DataFrame,
+    quasi_cols: list[str],
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Per (tumbling window, quasi tuple) row counts — the additive
+    aggregate the stream maintains incrementally.  Quasi columns may be
+    expressions; each is evaluated once in a pre-projection."""
+    qn = [f"_q{i}" for i in range(len(quasi_cols))]
+    # watermarks require TIMESTAMP; fixture parquet arrives as
+    # TIMESTAMP_NTZ (same convention as streaming/quality_stream.py)
+    projected = stream_df.selectExpr(
+        f"CAST({ts_col} AS TIMESTAMP) AS _ts",
+        *[f"({c}) AS _q{i}" for i, c in enumerate(quasi_cols)],
+    ).withWatermark("_ts", watermark)
+    return (
+        projected.groupBy(
+            F.window(F.col("_ts"), window_duration).alias("w"), *qn
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            F.col("w.start").alias("window_start"), *qn, "group_size"
+        )
+    )
+
+
+def k_anonymity_window_report(
+    counts_df: DataFrame, k: int
+) -> DataFrame:
+    """Per-window risk report over drained (window_start, quasi…,
+    group_size) rows: n_groups, n_rows, rows in sub-k groups, and the
+    min group size — one bounded aggregate per window."""
+    return (
+        counts_df.groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("group_size") < k, F.col("group_size"))
+                .otherwise(0)
+            ).cast("long").alias("risky_rows"),
+            F.min("group_size").alias("min_group_size"),
+        )
+        .withColumn(
+            "anonymous", (F.col("risky_rows") == 0).cast("int")
+        )
+        .orderBy("window_start")
+    )
+
+
+__all__ = [
+    "k_anonymity_window_report",
+    "streaming_quasi_group_counts",
+]

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from dar_spark.dialect import DUCKDB, SPARK
 from dar_spark.operators import dsir
@@ -44,6 +46,69 @@ def test_weight_micro_py_mirrors_both_engines(spark):
             DUCKDB, str(tc), str(rc), str(t_tot), str(r_tot))
         (got_d,) = con.sql(f"SELECT {sql_d} AS w").fetchone()
         assert got_s == want == got_d, (tc, rc, t_tot, r_tot)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10**12),  # tc
+            st.integers(0, 10**12),  # rc - tc headroom
+            st.integers(0, 10**14),  # t_tot - tc headroom
+            st.integers(0, 10**14),  # r_tot - rc headroom
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_weight_micro_fuzz_triple_identity(spark, cases):
+    """Random count tuples: Python mirror == Spark == DuckDB, bit for
+    bit — the property the whole engine-parity story rests on."""
+    con = duckdb.connect()
+    quads = []
+    for tc, rc_x, t_x, r_x in cases:
+        rc = tc + rc_x          # raw count includes the target tokens
+        quads.append((tc, rc, tc + t_x, rc + r_x))
+    want = [dsir.weight_micro_py(*q) for q in quads]
+    sel_s = ", ".join(
+        f"({dsir.weight_micro_sql(SPARK, *map(str, q))}) AS c{i}"
+        for i, q in enumerate(quads)
+    )
+    got_s = list(spark.sql(f"SELECT {sel_s}").collect()[0])
+    sel_d = ", ".join(
+        f"({dsir.weight_micro_sql(DUCKDB, *map(str, q))}) AS c{i}"
+        for i, q in enumerate(quads)
+    )
+    got_d = list(con.sql(f"SELECT {sel_d}").fetchone())
+    assert got_s == want == got_d, quads
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2**62),          # doc id
+            st.integers(-10**12, 10**12),   # score_micro
+        ),
+        min_size=1, max_size=15, unique_by=lambda t: t[0],
+    )
+)
+def test_gumbel_key_fuzz_cross_engine(spark, rows):
+    """The layered Gumbel key is bit-identical across engines for any
+    (id, score) — membership of the resample can never straddle an
+    engine boundary."""
+    con = duckdb.connect()
+    values = ", ".join(f"({i}, {s})" for i, s in rows)
+    outs = {}
+    for d, run in ((SPARK, lambda q: spark.sql(q).collect()),
+                   (DUCKDB, lambda q: con.sql(q).fetchall())):
+        inner = "(VALUES " + values + ") AS t(doc_id, score_micro)"
+        frag = "SELECT doc_id, score_micro FROM " + inner
+        for name, expr in dsir.gumbel_key_layers(d, "doc_id"):
+            frag = f"SELECT *, {expr} AS {name} FROM ({frag}) x_{name}"
+        got = run(f"SELECT doc_id, gkey FROM ({frag}) f ORDER BY doc_id")
+        outs[d.name] = [tuple(r) for r in got]
+    assert outs["spark"] == outs["duckdb"], rows
 
 
 def test_fit_weights_match_distributed_weight_table(tables):
