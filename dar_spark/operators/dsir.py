@@ -220,13 +220,16 @@ def score_with_weights(
         ",".join(f"{int(w)}L" for w in weights_micro)
     )
     bucket = token_bucket_sql(SPARK, "t", n_buckets)
+    # COALESCE: split(NULL) is NULL and higher-order functions
+    # propagate it — a NULL-text doc must score 0 (as the oracle's
+    # LEFT JOIN does), not NULL (which would sort last, not compete)
     return df.withColumn(
         out_col,
         F.expr(
-            f"aggregate({token_arr_sql(SPARK, text_col)}, "
+            f"coalesce(aggregate({token_arr_sql(SPARK, text_col)}, "
             f"CAST(0 AS BIGINT), "
             f"(acc, t) -> acc + element_at({warr}, "
-            f"CAST({bucket} AS INT) + 1))"
+            f"CAST({bucket} AS INT) + 1)), CAST(0 AS BIGINT))"
         ),
     )
 

@@ -1914,29 +1914,39 @@ def _embed_ivf_topk_q() -> Q:
             k=TOPK_K, n_lists=n_lists,
             n_probe=max(IVF_N_PROBE, n_lists // 3),
         ).select("query_id", "neighbor_id")
-        hits = bf.join(iv, ["query_id", "neighbor_id"], "left_semi")
-        per_q = (
-            bf.select("query_id").distinct()
-            .join(
-                hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
-                "query_id", "left",
-            )
-            .select(
-                "query_id",
-                (F.coalesce("n_hit", F.lit(0)) / F.lit(TOPK_K)).alias("recall"),
-            )
-        )
-        return per_q.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-            F.lit(TOPK_K).cast("bigint").alias("k"),
-            (F.avg("recall") >= IVF_RECALL_BOUND).alias("avg_recall_ok"),
-        )
+        return _ivf_recall_row(bf, iv)
 
-    oracle = f"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+    return Q(spark_fn, _IVF_RECALL_ORACLE)
+
+
+def _ivf_recall_row(bf, iv):
+    """The shared IVF recall contract: one row (n_queries, k,
+    avg_recall_ok) comparing an approximate top-k against brute force —
+    both IVF entries certify THIS aggregate, so a bound or tie-handling
+    change lands in one place."""
+    hits = bf.join(iv, ["query_id", "neighbor_id"], "left_semi")
+    per_q = (
+        bf.select("query_id").distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id", "left",
+        )
+        .select(
+            "query_id",
+            (F.coalesce("n_hit", F.lit(0)) / F.lit(TOPK_K)).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.lit(TOPK_K).cast("bigint").alias("k"),
+        (F.avg("recall") >= IVF_RECALL_BOUND).alias("avg_recall_ok"),
+    )
+
+
+_IVF_RECALL_ORACLE = f"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
   CAST({TOPK_K} AS BIGINT) AS k,
   true AS avg_recall_ok
 FROM embeddings WHERE vec_id % {TOPK_QUERY_STRIDE} = 0"""
-    return Q(spark_fn, oracle)
 
 
 def _embed_ivf_indexed_q() -> Q:
@@ -1978,29 +1988,9 @@ def _embed_ivf_indexed_q() -> Q:
             t["embeddings"].filter(pred), path, k=TOPK_K,
             n_probe=max(IVF_N_PROBE, n_lists // 3),
         ).select("query_id", "neighbor_id")
-        hits = bf.join(iv, ["query_id", "neighbor_id"], "left_semi")
-        per_q = (
-            bf.select("query_id").distinct()
-            .join(
-                hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
-                "query_id", "left",
-            )
-            .select(
-                "query_id",
-                (F.coalesce("n_hit", F.lit(0)) / F.lit(TOPK_K)).alias("recall"),
-            )
-        )
-        return per_q.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-            F.lit(TOPK_K).cast("bigint").alias("k"),
-            (F.avg("recall") >= IVF_RECALL_BOUND).alias("avg_recall_ok"),
-        )
+        return _ivf_recall_row(bf, iv)
 
-    oracle = f"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
-  CAST({TOPK_K} AS BIGINT) AS k,
-  true AS avg_recall_ok
-FROM embeddings WHERE vec_id % {TOPK_QUERY_STRIDE} = 0"""
-    return Q(spark_fn, oracle)
+    return Q(spark_fn, _IVF_RECALL_ORACLE)
 
 
 PAIRS_AUTO_RECALL_BOUND = 0.9
@@ -2046,14 +2036,7 @@ def _embed_dup_pairs_auto_q() -> Q:
         )
 
     oracle = f"""WITH base AS (
-  SELECT a.vec_id,
-    CASE WHEN a.vec_id % 3 = 0 THEN b.v
-         ELSE list_transform(generate_series(1, len(b.v)),
-              i -> b.v[i] + {_noise_sql_i()}) END AS v
-  FROM (SELECT vec_id FROM embeddings) a
-  JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings) b
-    ON b.vec_id = a.vec_id - (a.vec_id % 3)
+  {_banded_corpus_sql()}
 ), n AS (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
 )
@@ -3293,7 +3276,20 @@ def _embed_dup_pairs_banded_q() -> Q:
 
     from dar_spark.operators.similarity import srp_pairs_oracle_sql
 
-    src = f"""SELECT a.vec_id,
+    return Q(
+        spark_fn,
+        srp_pairs_oracle_sql(
+            _banded_corpus_sql(), BANDED_COS_THRESHOLD,
+            n_bands=BANDED_N_BANDS,
+        ),
+    )
+
+
+def _banded_corpus_sql() -> str:
+    """DuckDB spelling of _banded_perturbed_corpus — the ONE place the
+    perturbed-corpus SQL lives (both the banded and autoscaled pairs
+    oracles build on it)."""
+    return f"""SELECT a.vec_id,
   CASE WHEN a.vec_id % 3 = 0 THEN b.v
        ELSE list_transform(generate_series(1, len(b.v)),
             i -> b.v[i] + {_noise_sql_i()}) END AS v
@@ -3301,22 +3297,13 @@ FROM (SELECT vec_id FROM embeddings) a
 JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings) b
   ON b.vec_id = a.vec_id - (a.vec_id % 3)"""
-    return Q(
-        spark_fn,
-        srp_pairs_oracle_sql(
-            src, BANDED_COS_THRESHOLD, n_bands=BANDED_N_BANDS
-        ),
-    )
 
 
 def _noise_sql_i() -> str:
     """DuckDB spelling of the perturbation term (vec_id comes from the
-    outer query's a.vec_id; i from generate_series)."""
-    return (
-        f"{BANDED_NOISE_SCALE} * (CAST(((CAST(i AS BIGINT) * 2246822519 "
-        f"+ a.vec_id * 3266489917 + 119) % 1000003) AS DOUBLE) "
-        f"/ 1000003.0 - 0.5)"
-    )
+    outer query's a.vec_id; i from generate_series) — the same
+    arithmetic as the Spark side, by construction."""
+    return _banded_noise_term("i", "a.vec_id")
 
 
 def _round5_queries() -> list[tuple[str, Q]]:

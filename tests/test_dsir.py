@@ -147,15 +147,19 @@ def test_target_vocabulary_ranks_first(spark):
     assert set(ranked[: len(target_like)]) == target_like
 
 
-def test_empty_text_scores_zero(spark):
+def test_empty_and_null_text_score_zero(spark):
+    # NULL text must score 0 like the oracle's LEFT JOIN (split(NULL)
+    # is NULL and higher-order functions propagate it — regression pin
+    # for the COALESCE in score_with_weights)
     df = spark.createDataFrame(
-        [(1, "alpha beta", True), (2, "", False), (3, "  ", False)],
-        ["doc_id", "text", "is_t"],
+        [(1, "alpha beta", True), (2, "", False), (3, "  ", False),
+         (4, None, False)],
+        "doc_id long, text string, is_t boolean",
     )
     got = {r["doc_id"]: r["score_micro"]
-           for r in dsir.dsir_select(df, 3, target_pred="is_t").collect()}
-    assert got[2] == 0 and got[3] == 0
-    assert len(got) == 3
+           for r in dsir.dsir_select(df, 4, target_pred="is_t").collect()}
+    assert got[2] == 0 and got[3] == 0 and got[4] == 0
+    assert len(got) == 4
 
 
 def test_scoring_pass_is_map_only(tables):
