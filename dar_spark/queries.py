@@ -3379,6 +3379,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("k_anonymity_customer", _k_anonymity_q()),
         ("l_diversity_events", _l_diversity_q()),
         ("k_anon_ladder_customer", _k_anon_ladder_q()),
+        ("html_extract_docs", _html_extract_q()),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
         ("knn_ann_embed", _knn_ann_q()),
@@ -3439,6 +3440,73 @@ def _dsir_resample_q() -> Q:
 
     return Q(spark_fn, dsir_resample_oracle_sql(
         DUCKDB, DSIR_K, target_pred=DSIR_TARGET))
+
+
+def _html_wrap_expr(d: Dialect) -> str:
+    """Deterministic HTML wrapping of the documents fixture (the
+    testgen.dirty_* pattern, engine-shared SQL expression): every doc
+    gets a head/title/style shell; doc_id residues add a script block
+    with fake JS (%4), an HTML comment (%5), and a nav-link footer
+    (%3) — the structures a naive tag-strip leaks into the text."""
+    did = d.cast_str("doc_id")
+    return f"""('<html><head><title>doc ' || {did} || ' &amp; more</title>' ||
+  CASE WHEN doc_id % 4 = 0
+       THEN '<script type="text/javascript">var t = "' || {did} ||
+            '"; track(t);</script>' ELSE '' END ||
+  '<style>.nav {{ color: red; }}</style></head><body>' ||
+  CASE WHEN doc_id % 5 = 0
+       THEN '<!-- build ' || {did} || ' -->' ELSE '' END ||
+  '<h1>' || lang || ' &lt;corpus&gt;</h1><p>' || text || '</p>' ||
+  CASE WHEN doc_id % 3 = 0
+       THEN '<div class="nav"><a href="/home">home</a> ' ||
+            '<a href="/about">about</a></div>' ELSE '' END ||
+  '</body></html>')"""
+
+
+def _html_extract_q() -> Q:
+    """HTML main-text extraction (functions/html.py) over a
+    deterministically markup-wrapped documents corpus: script/style
+    bodies and comments must NOT leak into the text, entities
+    unescape, and the markup metrics (tag/link counts, 6-dp
+    text-to-HTML ratio) drive boilerplate filtering.  Pure per-row
+    expressions — byte-identical extraction is the value-hash
+    contract."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.html import (
+            html_extract_sql,
+            html_markup_metrics_sql,
+        )
+
+        t = load_tables(spark, sf_dir)
+        wrapped = t["documents"].selectExpr(
+            "doc_id", f"{_html_wrap_expr(SPARK)} AS html"
+        )
+        ex = wrapped.selectExpr(
+            "doc_id", "html",
+            f"{html_extract_sql(SPARK, 'html')} AS main_text",
+        )
+        metrics = html_markup_metrics_sql(SPARK, "html", "main_text")
+        return ex.selectExpr(
+            "doc_id", "main_text",
+            *[f"{e} AS {n}" for n, e in metrics],
+        ).orderBy("doc_id")
+
+    from dar_spark.functions.html import (
+        html_extract_sql,
+        html_markup_metrics_sql,
+    )
+
+    metrics = html_markup_metrics_sql(DUCKDB, "html", "main_text")
+    cols = ", ".join(f"{e} AS {n}" for n, e in metrics)
+    oracle = f"""WITH src AS (
+  SELECT doc_id, {_html_wrap_expr(DUCKDB)} AS html FROM documents
+),
+ex AS (SELECT doc_id, html,
+       {html_extract_sql(DUCKDB, 'html')} AS main_text FROM src)
+SELECT doc_id, main_text, {cols}
+FROM ex ORDER BY doc_id"""
+    return Q(spark_fn, oracle)
 
 
 KANON_K = 5

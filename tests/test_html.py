@@ -1,0 +1,66 @@
+"""HTML extraction (functions/html.py): structural-noise removal and
+markup metrics, cross-engine byte identity on adversarial markup."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dar_spark.dialect import DUCKDB, SPARK
+from dar_spark.functions.html import (
+    html_extract_sql,
+    html_markup_metrics_sql,
+)
+
+CASES = [
+    # script body must not leak; tags inside comments must not confuse
+    ('<p>keep</p><script>var drop = "<b>x</b>";</script>', "keep"),
+    ("<SCRIPT a=b>\nmultiline();\ndrop\n</SCRIPT>ok", "ok"),
+    ("<style>.x { color: red }</style>text", "text"),
+    ("a<!-- <p>commented out</p> -->b", "a b"),
+    # entity order: &amp;lt; must become &lt; (literal), not <
+    ("x &amp;lt; y", "x &lt; y"),
+    ("5 &lt; 6 &amp;&amp; 7 &gt; 2", "5 < 6 && 7 > 2"),
+    ("<div><p>nested <b>bold</b></p></div>", "nested bold"),
+    ("no markup at all", "no markup at all"),
+    ("", ""),
+]
+
+
+def test_extraction_cases_both_engines(spark):
+    con = duckdb.connect()
+    for raw, want in CASES:
+        esc = raw.replace("'", "''")
+        (got_s,) = spark.sql(
+            f"SELECT {html_extract_sql(SPARK, chr(39) + esc + chr(39))} AS t"
+        ).collect()[0]
+        (got_d,) = con.sql(
+            f"SELECT {html_extract_sql(DUCKDB, chr(39) + esc + chr(39))} AS t"
+        ).fetchone()
+        assert got_s == want, (raw, got_s)
+        assert got_d == want, (raw, got_d)
+
+
+def test_unclosed_script_does_not_swallow_document(spark):
+    # non-greedy block regexes: an unclosed <script> has no match, so
+    # its TAG is stripped by the generic pass but the rest of the doc
+    # survives (a greedy .* would delete to end-of-document)
+    raw = "<p>before</p><script>orphan(); <p>after</p>"
+    (got,) = spark.sql(
+        f"SELECT {html_extract_sql(SPARK, chr(39) + raw + chr(39))} AS t"
+    ).collect()[0]
+    assert "before" in got and "after" in got
+
+
+def test_markup_metrics(spark):
+    raw = '<html><a href="/x">l1</a><a href="/y">l2</a><p>t</p></html>'
+    esc = chr(39) + raw + chr(39)
+    ex = html_extract_sql(SPARK, esc)
+    metrics = html_markup_metrics_sql(SPARK, esc, f"({ex})")
+    row = spark.sql(
+        "SELECT " + ", ".join(f"{e} AS {n}" for n, e in metrics)
+    ).collect()[0]
+    # tags: html, a, /a, a, /a, p, /p, /html = 8; links: 2 opening <a>
+    assert row["n_tags"] == 8
+    assert row["n_links"] == 2
+    assert 0 < row["text_ratio"] < 1
