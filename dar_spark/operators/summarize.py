@@ -85,3 +85,109 @@ def summarize(df: DataFrame, columns: list[str] | None = None, approx: bool = Fa
         "null_rate double, n_distinct long, min_value double, max_value double, "
         "mean_value double",
     )
+
+
+def datacard_by_source(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source data card — the one-stop corpus datasheet row
+    (Gebru et al., "Datasheets for Datasets"): document and token
+    volume, mean quality, exact-duplicate rate, and the dominant
+    language, per source.
+
+    Execution: ONE scan projects (source, lang, token count, md5
+    fingerprint, 6-dp quality); the volume/quality/dup aggregate and
+    the (source, lang) mode aggregate each shuffle on bounded keys
+    (sources, source×lang).  Mean quality is the order-independent
+    half-up decimal mean (Dialect.avg_6dp) and dup_rate/lang share are
+    integer half-up ratios — every emitted number is engine-exact.
+    Dominant language ties break lexicographically (deterministic cut).
+    """
+    from dar_spark.dialect import SPARK
+    from dar_spark.functions.text import quality_score_sql
+    from dar_spark.operators.dsir import token_arr_sql
+
+    per_doc = df.selectExpr(
+        f"({source_col}) AS src",
+        f"({lang_col}) AS lng",
+        f"size({token_arr_sql(SPARK, text_col)}) AS _ntok",
+        f"md5({text_col}) AS _fp",
+        f"{quality_score_sql(SPARK, text_col)} AS _q",
+    )
+    base = per_doc.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_ntok").cast("long").alias("n_tokens"),
+        F.countDistinct("_fp").cast("long").alias("n_distinct_texts"),
+        F.expr(SPARK.avg_6dp(
+            "SUM(CAST(_q AS DECIMAL(38,6)))", "COUNT(*)"
+        )).alias("mean_quality"),
+    ).withColumn(
+        "dup_rate",
+        F.expr(SPARK.ratio_6dp("(n_docs - n_distinct_texts)", "n_docs")),
+    )
+    lang_counts = per_doc.groupBy("src", "lng").agg(
+        F.count(F.lit(1)).cast("long").alias("_ln")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(
+        F.desc("_ln"), F.asc("lng")
+    )
+    top_lang = (
+        lang_counts.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1")
+        .select(
+            "src",
+            F.col("lng").alias("top_lang"),
+            F.col("_ln").alias("top_lang_docs"),
+        )
+    )
+    return (
+        base.join(top_lang, "src")
+        .select(
+            F.col("src").alias("source"),
+            "n_docs", "n_tokens", "n_distinct_texts", "dup_rate",
+            "mean_quality", "top_lang", "top_lang_docs",
+        )
+        .orderBy("source")
+    )
+
+
+def datacard_oracle_sql(
+    d,
+    table: str = "documents",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of datacard_by_source (same exact arithmetic)."""
+    from dar_spark.functions.text import quality_score_sql
+    from dar_spark.operators.dsir import token_arr_sql
+
+    ntok = d.arr_len(token_arr_sql(d, text_col))
+    q = quality_score_sql(d, text_col)
+    return f"""WITH per_doc AS (
+  SELECT ({source_col}) AS src, ({lang_col}) AS lng,
+         {ntok} AS _ntok, md5({text_col}) AS _fp, {q} AS _q
+  FROM {table}
+), base AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(_ntok) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT _fp) AS BIGINT) AS n_distinct_texts,
+         {d.avg_6dp("SUM(CAST(_q AS DECIMAL(38,6)))", "COUNT(*)")}
+           AS mean_quality
+  FROM per_doc GROUP BY src
+), lc AS (
+  SELECT src, lng, CAST(COUNT(*) AS BIGINT) AS _ln,
+         row_number() OVER (PARTITION BY src ORDER BY COUNT(*) DESC, lng)
+           AS _rk
+  FROM per_doc GROUP BY src, lng
+)
+SELECT base.src AS source, n_docs, n_tokens, n_distinct_texts,
+       {d.ratio_6dp("(n_docs - n_distinct_texts)", "n_docs")} AS dup_rate,
+       mean_quality, lc.lng AS top_lang, lc._ln AS top_lang_docs
+FROM base JOIN lc ON lc.src = base.src AND lc._rk = 1
+ORDER BY source"""

@@ -3380,6 +3380,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("l_diversity_events", _l_diversity_q()),
         ("k_anon_ladder_customer", _k_anon_ladder_q()),
         ("html_extract_docs", _html_extract_q()),
+        ("datacard_by_source_docs", _datacard_q()),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
         ("knn_ann_embed", _knn_ann_q()),
@@ -3440,6 +3441,25 @@ def _dsir_resample_q() -> Q:
 
     return Q(spark_fn, dsir_resample_oracle_sql(
         DUCKDB, DSIR_K, target_pred=DSIR_TARGET))
+
+
+def _datacard_q() -> Q:
+    """Per-source data card (operators/summarize.datacard_by_source):
+    docs, tokens, exact-dup rate, half-up 6-dp mean quality, dominant
+    language — the corpus datasheet row.  One scan + two bounded-key
+    aggregates; every number engine-exact (decimal mean, integer
+    ratios, deterministic mode tiebreak), so the oracle value-hashes
+    the whole card."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.summarize import datacard_by_source
+
+        t = load_tables(spark, sf_dir)
+        return datacard_by_source(t["documents"])
+
+    from dar_spark.operators.summarize import datacard_oracle_sql
+
+    return Q(spark_fn, datacard_oracle_sql(DUCKDB))
 
 
 def _html_wrap_expr(d: Dialect) -> str:

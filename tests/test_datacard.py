@@ -1,0 +1,45 @@
+"""Per-source data card (operators/summarize.datacard_by_source)."""
+
+from __future__ import annotations
+
+from dar_spark.operators.summarize import datacard_by_source
+
+
+def test_datacard_on_handcrafted_corpus(spark):
+    rows = [
+        # src a: 3 docs, one exact dup pair, langs {en:2, fr:1}
+        (0, "alpha beta gamma", "en", "a"),
+        (1, "alpha beta gamma", "en", "a"),
+        (2, "delta epsilon", "fr", "a"),
+        # src b: 1 doc
+        (3, "zeta", "en", "b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    got = {r["source"]: r for r in datacard_by_source(df).collect()}
+
+    a = got["a"]
+    assert (a["n_docs"], a["n_tokens"], a["n_distinct_texts"]) == (3, 8, 2)
+    assert a["dup_rate"] == round(1 / 3, 6)
+    assert (a["top_lang"], a["top_lang_docs"]) == ("en", 2)
+
+    b = got["b"]
+    assert (b["n_docs"], b["n_tokens"], b["dup_rate"]) == (1, 1, 0.0)
+    assert b["top_lang"] == "en"
+
+
+def test_top_lang_tiebreak_is_lexicographic(spark):
+    rows = [
+        (0, "x", "fr", "a"),
+        (1, "y", "en", "a"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    (r,) = datacard_by_source(df).collect()
+    assert r["top_lang"] == "en"  # equal counts -> lexicographic min
+
+
+def test_datacard_is_layout_invariant(tables):
+    docs = tables["documents"]
+    base = [tuple(r) for r in datacard_by_source(docs).collect()]
+    got = [tuple(r) for r in
+           datacard_by_source(docs.repartition(7)).collect()]
+    assert got == base
