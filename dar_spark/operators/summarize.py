@@ -191,3 +191,205 @@ SELECT base.src AS source, n_docs, n_tokens, n_distinct_texts,
        mean_quality, lc.lng AS top_lang, lc._ln AS top_lang_docs
 FROM base JOIN lc ON lc.src = base.src AND lc._rk = 1
 ORDER BY source"""
+
+
+# --- incremental data card --------------------------------------------------
+#
+# At 100 TB the datasheet is MAINTAINED, not recomputed: every stat the
+# card needs is either ADDITIVE (doc/token counts, the 6-dp-decimal
+# quality sum) or MAX-MERGEABLE (HyperLogLog registers for distinct
+# texts — union of sketches = max per register, Flajolet et al. 2007),
+# so a batch appends one generation of per-(source, lang) partials and
+# one generation of (source, register) rows, and reading the card sums/
+# maxes across generations.  Because the HLL registers here are the
+# package's DETERMINISTIC expression sketch (operators/sketch.py), the
+# merged estimate is bit-identical to a from-scratch fit on the union —
+# append == rebuild holds for the approximate column too, which the
+# datacard_incremental_docs oracle value-hashes.  Same generation/meta
+# conventions as the dedup/ANN/DSIR stores (replay-safe ingest labels).
+
+
+def write_datacard_stats(
+    df: DataFrame,
+    path: str,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> None:
+    """Persist the card's sufficient statistics: ``<path>/volume``
+    (src, lng, n_docs, n_tokens, q_sum) and ``<path>/hll``
+    (src, reg, rho), both partitioned by ingest label."""
+    _write_datacard_tables(df, path, source_col, lang_col, text_col,
+                           "base", overwrite_all=True)
+    meta = df.sparkSession.createDataFrame(
+        [(source_col, lang_col, text_col)],
+        "source_col STRING, lang_col STRING, text_col STRING",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _write_datacard_tables(
+    df, path, source_col, lang_col, text_col, label, overwrite_all
+):
+    from dar_spark.dialect import SPARK
+    from dar_spark.functions.text import quality_score_sql
+    from dar_spark.operators.dsir import token_arr_sql
+    from dar_spark.operators.sketch import hll_register_sql
+
+    reg, rho = hll_register_sql(SPARK, text_col)
+    per_doc = df.selectExpr(
+        f"({source_col}) AS src",
+        f"({lang_col}) AS lng",
+        f"size({token_arr_sql(SPARK, text_col)}) AS _ntok",
+        f"{quality_score_sql(SPARK, text_col)} AS _q",
+        f"{reg} AS _reg",
+        f"{rho} AS _rho",
+    )
+    volume = per_doc.groupBy("src", "lng").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_ntok").cast("long").alias("n_tokens"),
+        F.sum(F.expr("CAST(_q AS DECIMAL(38,6))")).alias("q_sum"),
+    )
+    hll = per_doc.groupBy("src", "_reg").agg(
+        F.max("_rho").alias("rho")
+    ).withColumnRenamed("_reg", "reg")
+    for name, t in (("volume", volume), ("hll", hll)):
+        w = (
+            t.withColumn("ingest", F.lit(label))
+            .write.partitionBy("ingest").mode("overwrite")
+        )
+        if not overwrite_all:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        w.parquet(f"{path}/{name}")
+
+
+def append_to_datacard_stats(
+    new: DataFrame, path: str, ingest_label: str | None = None
+) -> str:
+    """Grow the stored statistics with a batch — O(|batch|), the
+    existing generations are never rescanned.  Replay-safe: a retried
+    append with the same label overwrites exactly itself."""
+    spark = new.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    if ingest_label is None:
+        from dar_spark.core.ingest import next_append_label
+
+        ingest_label = next_append_label(
+            spark.read.parquet(f"{path}/volume")
+        )
+    _write_datacard_tables(
+        new, path, m.source_col, m.lang_col, m.text_col,
+        ingest_label, overwrite_all=False,
+    )
+    return ingest_label
+
+
+def read_datacard(spark, path: str) -> DataFrame:
+    """Compose the per-source card from the stored generations:
+    (source, n_docs, n_tokens, mean_quality, n_distinct_est, top_lang,
+    top_lang_docs).  All aggregates are metadata-scale — generations ×
+    (sources × langs + sources × 256 registers) rows."""
+    from dar_spark.dialect import SPARK
+    from dar_spark.operators.sketch import HLL_M, hll_estimate_sql
+    from pyspark.sql import Window
+
+    vol = (
+        spark.read.parquet(f"{path}/volume")
+        .groupBy("src", "lng")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("q_sum").alias("q_sum"),
+        )
+    )
+    base = vol.groupBy("src").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(SPARK.avg_6dp(
+            "SUM(CAST(q_sum AS DECIMAL(38,6)))", "SUM(n_docs)"
+        )).alias("mean_quality"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_docs"), F.asc("lng"))
+    top_lang = (
+        vol.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1")
+        .select("src", F.col("lng").alias("top_lang"),
+                F.col("n_docs").alias("top_lang_docs"))
+    )
+    regs = (
+        spark.read.parquet(f"{path}/hll")
+        .groupBy("src", "reg")
+        .agg(F.max("rho").alias("_m"))
+    )
+    summed = regs.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_registers_hit"),
+        F.expr(
+            "SUM(CAST(power(CAST(2 AS DOUBLE), 64 - _m) AS DECIMAL(38, 0)))"
+        ).alias("_scaled"),
+    )
+    est = summed.selectExpr(
+        "src", f"round({hll_estimate_sql(SPARK)}, 3) AS n_distinct_est"
+    )
+    return (
+        base.join(top_lang, "src").join(est, "src")
+        .select(
+            F.col("src").alias("source"),
+            "n_docs", "n_tokens", "mean_quality", "n_distinct_est",
+            "top_lang", "top_lang_docs",
+        )
+        .orderBy("source")
+    )
+
+
+def datacard_incremental_oracle_sql(
+    d,
+    table: str = "documents",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> str:
+    """From-scratch replay of the MERGED card on the whole corpus —
+    value-hashing this against write+append+read proves append ==
+    rebuild including the HLL column."""
+    from dar_spark.functions.text import quality_score_sql
+    from dar_spark.operators.dsir import token_arr_sql
+    from dar_spark.operators.sketch import hll_estimate_sql, hll_register_sql
+
+    reg, rho = hll_register_sql(d, text_col)
+    ntok = d.arr_len(token_arr_sql(d, text_col))
+    q = quality_score_sql(d, text_col)
+    return f"""WITH per_doc AS (
+  SELECT ({source_col}) AS src, ({lang_col}) AS lng,
+         {ntok} AS _ntok, {q} AS _q, {reg} AS _reg, {rho} AS _rho
+  FROM {table}
+), vol AS (
+  SELECT src, lng, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(_ntok) AS BIGINT) AS n_tokens,
+         SUM(CAST(_q AS DECIMAL(38,6))) AS q_sum
+  FROM per_doc GROUP BY src, lng
+), base AS (
+  SELECT src, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         {d.avg_6dp("SUM(CAST(q_sum AS DECIMAL(38,6)))", "SUM(n_docs)")}
+           AS mean_quality
+  FROM vol GROUP BY src
+), tl AS (
+  SELECT src, lng, n_docs,
+         row_number() OVER (PARTITION BY src ORDER BY n_docs DESC, lng)
+           AS _rk
+  FROM vol
+), regs AS (
+  SELECT src, _reg, MAX(_rho) AS _m FROM per_doc GROUP BY src, _reg
+), summed AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_registers_hit,
+         SUM(CAST(power(CAST(2 AS DOUBLE), 64 - _m) AS DECIMAL(38, 0)))
+           AS _scaled
+  FROM regs GROUP BY src
+)
+SELECT base.src AS source, base.n_docs, base.n_tokens, mean_quality,
+       round({hll_estimate_sql(d)}, 3) AS n_distinct_est,
+       tl.lng AS top_lang, tl.n_docs AS top_lang_docs
+FROM base
+JOIN tl ON tl.src = base.src AND tl._rk = 1
+JOIN summed ON summed.src = base.src
+ORDER BY source"""

@@ -3381,6 +3381,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("k_anon_ladder_customer", _k_anon_ladder_q()),
         ("html_extract_docs", _html_extract_q()),
         ("datacard_by_source_docs", _datacard_q()),
+        ("datacard_incremental_docs", _datacard_incremental_q()),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
         ("knn_ann_embed", _knn_ann_q()),
@@ -3460,6 +3461,47 @@ def _datacard_q() -> Q:
     from dar_spark.operators.summarize import datacard_oracle_sql
 
     return Q(spark_fn, datacard_oracle_sql(DUCKDB))
+
+
+def _datacard_incremental_q() -> Q:
+    """The MAINTAINED data card: sufficient statistics written for
+    two-thirds of the corpus, the remaining third appended as a
+    generation, the card read from the merged store — value-hashed
+    against a from-scratch DuckDB replay on the whole corpus.  Every
+    stat is additive (counts, decimal quality sum) or max-mergeable
+    (deterministic HLL registers for distinct texts), so append ==
+    rebuild holds exactly INCLUDING the approximate distinct column
+    (operators/summarize.py)."""
+
+    def spark_fn(spark, sf_dir):
+        import hashlib
+        import os
+
+        from dar_spark.operators.summarize import (
+            append_to_datacard_stats,
+            read_datacard,
+            write_datacard_stats,
+        )
+
+        t = load_tables(spark, sf_dir)
+        docs = t["documents"]
+        cache_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".csvcache",
+        )
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(cache_root, f"datacard-{tag}")
+        write_datacard_stats(
+            docs.filter(f"NOT ({DSIR_MODEL_BATCH_PRED})"), path
+        )
+        append_to_datacard_stats(
+            docs.filter(DSIR_MODEL_BATCH_PRED), path, "grow-0"
+        )
+        return read_datacard(spark, path)
+
+    from dar_spark.operators.summarize import datacard_incremental_oracle_sql
+
+    return Q(spark_fn, datacard_incremental_oracle_sql(DUCKDB))
 
 
 def _html_wrap_expr(d: Dialect) -> str:

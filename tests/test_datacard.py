@@ -43,3 +43,41 @@ def test_datacard_is_layout_invariant(tables):
     got = [tuple(r) for r in
            datacard_by_source(docs.repartition(7)).collect()]
     assert got == base
+
+
+def test_incremental_card_append_equals_rebuild(spark, tables, tmp_path):
+    from dar_spark.operators.summarize import (
+        append_to_datacard_stats,
+        read_datacard,
+        write_datacard_stats,
+    )
+
+    docs = tables["documents"]
+    split_path = str(tmp_path / "split")
+    write_datacard_stats(docs.filter("doc_id % 3 != 0"), split_path)
+    append_to_datacard_stats(docs.filter("doc_id % 3 = 0"), split_path,
+                             "grow-0")
+    full_path = str(tmp_path / "full")
+    write_datacard_stats(docs, full_path)
+    got = [tuple(r) for r in read_datacard(spark, split_path).collect()]
+    want = [tuple(r) for r in read_datacard(spark, full_path).collect()]
+    assert got == want
+
+
+def test_incremental_card_replay_is_idempotent(spark, tables, tmp_path):
+    from dar_spark.operators.summarize import (
+        append_to_datacard_stats,
+        read_datacard,
+        write_datacard_stats,
+    )
+
+    docs = tables["documents"]
+    path = str(tmp_path / "card")
+    write_datacard_stats(docs.filter("doc_id % 3 != 0"), path)
+    for _ in range(2):  # at-least-once writer retries the same label
+        append_to_datacard_stats(docs.filter("doc_id % 3 = 0"), path,
+                                 "grow-0")
+    full = str(tmp_path / "full")
+    write_datacard_stats(docs, full)
+    got = [tuple(r) for r in read_datacard(spark, path).collect()]
+    assert got == [tuple(r) for r in read_datacard(spark, full).collect()]
