@@ -1,0 +1,76 @@
+"""Targeted data curation — the round-9 additions end to end:
+
+    HTML extraction → per-source data card → DSIR importance selection
+    → Gumbel resampling → persisted DSIR model → privacy audit
+
+    python examples/data_curation.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dar_spark
+from dar_spark.functions.html import html_extract
+from dar_spark.operators import dsir, privacy
+from dar_spark.operators.summarize import datacard_by_source
+
+SF = os.environ.get("DAR_SPARK_EXAMPLE_SF", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = dar_spark.get_session("example_curation")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = dar_spark.load_tables(spark, SF)
+    docs = t["documents"]
+
+    # 1. crawl ingest: extract main text from (here: synthetic) markup
+    wrapped = docs.selectExpr(
+        "doc_id",
+        "'<html><body><script>drop()</script><p>' || text || "
+        "'</p></body></html>' AS html",
+        "lang", "source",
+    )
+    extracted = wrapped.withColumn("text", html_extract("html"))
+    print("extracted sample:",
+          extracted.select("text").first()["text"][:60], "...")
+
+    # 2. what is in this corpus, per source
+    card = datacard_by_source(docs)
+    print("data card (first 3 sources):")
+    for r in card.limit(3).collect():
+        print(" ", r.asDict())
+
+    # 3. pick the documents most like the English subset (DSIR)
+    top = dsir.dsir_select(docs, 10, target_pred="lang = 'en'")
+    print("DSIR top-3 most target-like:",
+          [(r.doc_id, r.score_micro) for r in top.limit(3).collect()])
+
+    # 4. ...or sample proportionally to importance (the paper's step)
+    sampled = dsir.dsir_resample(docs, 10, target_pred="lang = 'en'")
+    print("DSIR resample members:",
+          sorted(r.doc_id for r in sampled.collect()))
+
+    # 5. persist the fit; appends are integer-exact (append == rebuild)
+    path = os.path.join(tempfile.mkdtemp(), "dsir_model")
+    dsir.write_dsir_model(docs.filter("doc_id % 2 = 0"), path)
+    dsir.append_to_dsir_model(docs.filter("doc_id % 2 = 1"), path)
+    w = dsir.load_dsir_weights(spark, path)
+    assert w == dsir.fit_weights_micro(docs)
+    print("persisted model: append == rebuild ok "
+          f"({sum(1 for x in w if x)} populated buckets)")
+
+    # 6. before shipping: is any quasi-identifier combination isolating?
+    report = privacy.k_anonymity_histogram(
+        docs, ["lang", "source"], k=3
+    )
+    risky = sum(r.n_rows for r in report.collect() if r.risky)
+    print(f"k-anonymity (lang, source) at k=3: {risky} re-identifiable rows")
+
+
+if __name__ == "__main__":
+    main()
