@@ -78,6 +78,41 @@ def token_bucket_sql(d: Dialect, tok: str, n_buckets: int = N_BUCKETS) -> str:
     return f"(({d.hex32(tok)}) % {n_buckets})"
 
 
+def feature_arr_sql(d: Dialect, text: str, ngram_max: int = 1) -> str:
+    """Feature array of ``text``: the paper fits hashed unigram AND
+    bigram counts (arXiv:2302.03169 §3); ``ngram_max=2`` appends
+    space-joined adjacent pairs to the token array (both engines build
+    them positionally, so feature order — and hence nothing, since all
+    downstream uses are order-free counts/sums — matches anyway)."""
+    toks = token_arr_sql(d, text)
+    if ngram_max == 1:
+        return toks
+    if ngram_max != 2:
+        raise ValueError(f"ngram_max must be 1 or 2, got {ngram_max}")
+    seq = d.int_seq("1", f"({d.arr_len('t_')} - 1)")
+    bigrams = d.arr_transform(
+        seq,
+        f"i -> {d.arr_get('t_', 'i')} || ' ' || "
+        f"{d.arr_get('t_', '(i + 1)')}",
+    )
+    # guard INSIDE the binding: Spark's sequence(1, 0) DESCENDS (and
+    # element_at(_, 0) throws) while DuckDB's generate_series(1, 0) is
+    # empty — on < 2 tokens both engines must emit the same empty
+    # string array (arr_slice(t_, 1, 0), which is typed, unlike a bare
+    # array() literal)
+    body = (
+        f"CASE WHEN {d.arr_len('t_')} >= 2 THEN {bigrams} "
+        f"ELSE {d.arr_slice('t_', '1', '0')} END"
+    )
+    # bind the token array once via a lambda-scoped name: evaluating
+    # token_arr_sql many times per row would re-split the text
+    wrap = "array" if d.name == "spark" else "list_value"
+    outer = d.arr_transform(f"{wrap}({toks})", f"t_ -> {body}")
+    flat = d.arr_flatten(outer)
+    concat = "concat" if d.name == "spark" else "list_concat"
+    return f"{concat}({toks}, {flat})"
+
+
 def weight_micro_sql(
     d: Dialect, tc: str, rc: str, t_tot: str, r_tot: str,
     n_buckets: int = N_BUCKETS,
@@ -146,13 +181,16 @@ def bucket_counts(
     text_col: str = "text",
     target_pred: str = "lang = 'en'",
     n_buckets: int = N_BUCKETS,
+    ngram_max: int = 1,
 ) -> DataFrame:
-    """(bucket, rc, tc): raw and target token counts per feature bucket,
+    """(bucket, rc, tc): raw and target feature counts per bucket,
     one scan — explode is map-side, the aggregate shuffles ≤ B keys
     after map-side partial agg."""
     toks = df.select(
         F.expr(f"CAST(({target_pred}) AS INT)").alias("_is_t"),
-        F.explode(F.expr(token_arr_sql(SPARK, text_col))).alias("_t"),
+        F.explode(
+            F.expr(feature_arr_sql(SPARK, text_col, ngram_max))
+        ).alias("_t"),
     )
     return (
         toks.select(
@@ -189,11 +227,14 @@ def fit_weights_micro(
     text_col: str = "text",
     target_pred: str = "lang = 'en'",
     n_buckets: int = N_BUCKETS,
+    ngram_max: int = 1,
 ) -> list[int]:
     """Collect the bounded bucket-count aggregate and fold it to the
     dense micro-weight list."""
     return _fold_weights(
-        bucket_counts(df, text_col, target_pred, n_buckets).collect(),
+        bucket_counts(
+            df, text_col, target_pred, n_buckets, ngram_max
+        ).collect(),
         n_buckets,
     )
 
@@ -207,6 +248,7 @@ def score_with_weights(
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
     out_col: str = "score_micro",
+    ngram_max: int = 1,
 ) -> DataFrame:
     """Map-only scoring: the weight list rides the plan as a constant-
     folded array literal; score = exact BIGINT fold over the token
@@ -226,7 +268,8 @@ def score_with_weights(
     return df.withColumn(
         out_col,
         F.expr(
-            f"coalesce(aggregate({token_arr_sql(SPARK, text_col)}, "
+            f"coalesce(aggregate("
+            f"{feature_arr_sql(SPARK, text_col, ngram_max)}, "
             f"CAST(0 AS BIGINT), "
             f"(acc, t) -> acc + element_at({warr}, "
             f"CAST({bucket} AS INT) + 1)), CAST(0 AS BIGINT))"
@@ -241,11 +284,13 @@ def dsir_select(
     text_col: str = "text",
     target_pred: str = "lang = 'en'",
     n_buckets: int = N_BUCKETS,
+    ngram_max: int = 1,
 ) -> DataFrame:
     """Top-k most target-like documents: fit → fold → map-only score →
     TakeOrderedAndProject (ties broken by id, so the cut is total)."""
-    w = fit_weights_micro(df, text_col, target_pred, n_buckets)
-    scored = score_with_weights(df, w, text_col, n_buckets)
+    w = fit_weights_micro(df, text_col, target_pred, n_buckets, ngram_max)
+    scored = score_with_weights(
+        df, w, text_col, n_buckets, ngram_max=ngram_max)
     return (
         scored.select(id_col, "score_micro")
         .orderBy(F.desc("score_micro"), id_col)
@@ -262,10 +307,11 @@ def weight_table_oracle_sql(
     text_col: str = "text",
     target_pred: str = "lang = 'en'",
     n_buckets: int = N_BUCKETS,
+    ngram_max: int = 1,
 ) -> str:
     """Self-contained (bucket, rc, tc, w_micro) CTE — the engine fits
     the distributions and evaluates the shared ln series itself."""
-    toks = token_arr_sql(d, text_col)
+    toks = feature_arr_sql(d, text_col, ngram_max)
     bucket = token_bucket_sql(d, "t", n_buckets)
     w = weight_micro_sql(d, "tc", "rc", "t_tot", "r_tot", n_buckets)
     unnest = "unnest" if d.name == "duckdb" else "explode"
@@ -294,12 +340,13 @@ def _fit_score_ctes(
     text_col: str,
     target_pred: str,
     n_buckets: int,
+    ngram_max: int = 1,
 ) -> str:
     """Shared WITH-body replaying fit + score: per-token bucket →
     bucket counts → micro-weights → exact integer doc sums.  Ends at
     ``scored`` = ({id_col}, score_micro) for every document (the LEFT
     JOIN keeps zero-token docs at score 0)."""
-    toks = token_arr_sql(d, text_col)
+    toks = feature_arr_sql(d, text_col, ngram_max)
     bucket = token_bucket_sql(d, "t", n_buckets)
     w = weight_micro_sql(d, "tc", "rc", "t_tot", "r_tot", n_buckets)
     unnest = "unnest" if d.name == "duckdb" else "explode"
@@ -337,9 +384,11 @@ def dsir_select_oracle_sql(
     text_col: str = "text",
     target_pred: str = "lang = 'en'",
     n_buckets: int = N_BUCKETS,
+    ngram_max: int = 1,
 ) -> str:
     """Full replay of fit + score + top-k in one SQL string."""
-    ctes = _fit_score_ctes(d, table, id_col, text_col, target_pred, n_buckets)
+    ctes = _fit_score_ctes(
+        d, table, id_col, text_col, target_pred, n_buckets, ngram_max)
     return f"""{ctes}
 SELECT {id_col}, score_micro
 FROM scored
@@ -557,6 +606,7 @@ __all__ = [
     "dsir_resample_oracle_sql",
     "dsir_select",
     "dsir_select_oracle_sql",
+    "feature_arr_sql",
     "gumbel_key_layers",
     "fit_weights_micro",
     "ln_posint_py",

@@ -3374,6 +3374,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
     return [
         ("dsir_select_docs", dsir_sel),
         ("dsir_resample_docs", _dsir_resample_q()),
+        ("dsir_select_bigram_docs", _dsir_select_bigram_q()),
         ("dsir_model_append_select", _dsir_model_append_q()),
         ("dsir_weight_table_docs", _dsir_weight_table_q()),
         ("k_anonymity_customer", _k_anonymity_q()),
@@ -3418,6 +3419,29 @@ def _dsir_select_q() -> Q:
 
     return Q(spark_fn, dsir_select_oracle_sql(
         DUCKDB, DSIR_K, target_pred=DSIR_TARGET))
+
+
+def _dsir_select_bigram_q() -> Q:
+    """dsir_select with the paper's full feature set — hashed unigrams
+    AND bigrams (arXiv:2302.03169 §3, `dsir.feature_arr_sql`): adjacent
+    pairs join the token array positionally in both engines, with the
+    <2-token guard pinned cross-engine (Spark's sequence(1,0) descends
+    where DuckDB's generate_series is empty).  Same two-scan/map-only
+    plan; same exact-integer value-hash contract."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.dsir import dsir_select
+
+        t = load_tables(spark, sf_dir)
+        return dsir_select(
+            parallelize(t["documents"]), DSIR_K,
+            target_pred=DSIR_TARGET, ngram_max=2,
+        )
+
+    from dar_spark.operators.dsir import dsir_select_oracle_sql
+
+    return Q(spark_fn, dsir_select_oracle_sql(
+        DUCKDB, DSIR_K, target_pred=DSIR_TARGET, ngram_max=2))
 
 
 def _dsir_resample_q() -> Q:

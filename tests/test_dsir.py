@@ -213,6 +213,39 @@ def test_resample_favors_high_importance(spark):
     assert in_target >= 18, in_target
 
 
+def test_bigram_features_cross_engine_edges(spark):
+    con = duckdb.connect()
+    for txt, want in [
+        ("a b c", ["a", "b", "c", "a b", "b c"]),
+        ("single", ["single"]),
+        ("", []),
+        ("x  y", ["x", "y", "x y"]),  # empties filtered BEFORE pairing
+    ]:
+        lit = chr(39) + txt + chr(39)
+        (s,) = spark.sql(
+            f"SELECT {dsir.feature_arr_sql(SPARK, lit, 2)} AS f"
+        ).collect()[0]
+        (d,) = con.sql(
+            f"SELECT {dsir.feature_arr_sql(DUCKDB, lit, 2)} AS f"
+        ).fetchone()
+        assert list(s) == list(d) == want, txt
+
+
+def test_bigram_select_matches_oracle_and_differs_from_unigram(tables, duck):
+    docs = tables["documents"]
+    bi = [tuple(r) for r in dsir.dsir_select(docs, 30, ngram_max=2).collect()]
+    want = [tuple(r) for r in duck.sql(
+        dsir.dsir_select_oracle_sql(DUCKDB, 30, ngram_max=2)).fetchall()]
+    assert bi == want
+    uni = [tuple(r) for r in dsir.dsir_select(docs, 30).collect()]
+    assert bi != uni  # the bigram distribution actually changes scores
+
+
+def test_feature_arr_rejects_bad_ngram(spark):
+    with pytest.raises(ValueError, match="ngram_max"):
+        dsir.feature_arr_sql(SPARK, "text", 3)
+
+
 def test_model_append_equals_rebuild(spark, tables, tmp_path):
     docs = tables["documents"]
     path = str(tmp_path / "model")
