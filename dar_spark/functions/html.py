@@ -69,8 +69,11 @@ def html_markup_metrics_sql(
     raw = d.cast_str(x)
     return [
         ("n_tags", f"CAST({_count_matches(d, raw, '<[^>]*>')} AS BIGINT)"),
+        # '<a[ >]' not '<a[^>]*>': the latter matches EVERY tag whose
+        # name starts with 'a' (<article>, <abbr>, <aside>, <audio>…)
+        # and inflates link density on real crawl HTML
         ("n_links",
-         f"CAST({_count_matches(d, raw, '(?i)<a[^>]*>')} AS BIGINT)"),
+         f"CAST({_count_matches(d, raw, '(?i)<a[ >]')} AS BIGINT)"),
         ("text_ratio",
          d.ratio_6dp(f"length({extracted})",
                      f"greatest(length({raw}), 1)")),

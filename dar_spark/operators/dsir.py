@@ -89,25 +89,19 @@ def feature_arr_sql(d: Dialect, text: str, ngram_max: int = 1) -> str:
         return toks
     if ngram_max != 2:
         raise ValueError(f"ngram_max must be 1 or 2, got {ngram_max}")
+    # int_seq is empty when hi < lo in BOTH engines (dialect.py guards
+    # Spark's descending sequence(1, 0) itself), so a <2-token array
+    # yields zero bigrams with no extra branch here
     seq = d.int_seq("1", f"({d.arr_len('t_')} - 1)")
     bigrams = d.arr_transform(
         seq,
         f"i -> {d.arr_get('t_', 'i')} || ' ' || "
         f"{d.arr_get('t_', '(i + 1)')}",
     )
-    # guard INSIDE the binding: Spark's sequence(1, 0) DESCENDS (and
-    # element_at(_, 0) throws) while DuckDB's generate_series(1, 0) is
-    # empty — on < 2 tokens both engines must emit the same empty
-    # string array (arr_slice(t_, 1, 0), which is typed, unlike a bare
-    # array() literal)
-    body = (
-        f"CASE WHEN {d.arr_len('t_')} >= 2 THEN {bigrams} "
-        f"ELSE {d.arr_slice('t_', '1', '0')} END"
-    )
     # bind the token array once via a lambda-scoped name: evaluating
     # token_arr_sql many times per row would re-split the text
     wrap = "array" if d.name == "spark" else "list_value"
-    outer = d.arr_transform(f"{wrap}({toks})", f"t_ -> {body}")
+    outer = d.arr_transform(f"{wrap}({toks})", f"t_ -> {bigrams}")
     flat = d.arr_flatten(outer)
     concat = "concat" if d.name == "spark" else "list_concat"
     return f"{concat}({toks}, {flat})"
@@ -416,18 +410,22 @@ def write_dsir_model(
     text_col: str = "text",
     target_pred: str = "lang = 'en'",
     n_buckets: int = N_BUCKETS,
+    ngram_max: int = 1,
 ) -> None:
     """Persist the fit: ``<path>/counts`` (bucket, rc, tc) partitioned
     by ingest label (``base`` for the initial build) and
-    ``<path>/meta`` (n_buckets, text_col, target_pred).  One corpus
-    scan; the stored table is ≤ n_buckets rows per generation."""
+    ``<path>/meta`` (n_buckets, text_col, target_pred, ngram_max —
+    the feature set travels with the counts so appenders and scorers
+    can't silently mix unigram counts with bigram features).  One
+    corpus scan; the stored table is ≤ n_buckets rows per generation."""
     _write_counts(
-        bucket_counts(df, text_col, target_pred, n_buckets),
+        bucket_counts(df, text_col, target_pred, n_buckets, ngram_max),
         path, "base", overwrite_all=True,
     )
     meta = df.sparkSession.createDataFrame(
-        [(n_buckets, text_col, target_pred)],
-        "n_buckets INT, text_col STRING, target_pred STRING",
+        [(n_buckets, text_col, target_pred, ngram_max)],
+        "n_buckets INT, text_col STRING, target_pred STRING, "
+        "ngram_max INT",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
@@ -462,17 +460,25 @@ def append_to_dsir_model(
             spark.read.parquet(f"{path}/counts")
         )
     _write_counts(
-        bucket_counts(new, m.text_col, m.target_pred, m.n_buckets),
+        bucket_counts(new, m.text_col, m.target_pred, m.n_buckets,
+                      m.ngram_max),
         path, ingest_label, overwrite_all=False,
     )
     return ingest_label
+
+
+def read_dsir_meta(spark, path: str):
+    """The stored fit parameters (n_buckets, text_col, target_pred,
+    ngram_max) — pass ``m.ngram_max`` to score_with_weights so the
+    scorer's features match the counts the weights came from."""
+    return spark.read.parquet(f"{path}/meta").collect()[0]
 
 
 def load_dsir_weights(spark, path: str) -> list[int]:
     """Sum counts across all generations (a ≤ n_buckets×generations-row
     aggregate — metadata-scale) and fold to the micro-weight list;
     byte-equal to a from-scratch fit on the union corpus."""
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    m = read_dsir_meta(spark, path)
     rows = (
         spark.read.parquet(f"{path}/counts")
         .groupBy("bucket")
@@ -601,6 +607,7 @@ __all__ = [
     "append_to_dsir_model",
     "bucket_counts",
     "load_dsir_weights",
+    "read_dsir_meta",
     "write_dsir_model",
     "dsir_resample",
     "dsir_resample_oracle_sql",

@@ -290,7 +290,7 @@ def read_datacard(spark, path: str) -> DataFrame:
     top_lang_docs).  All aggregates are metadata-scale — generations ×
     (sources × langs + sources × 256 registers) rows."""
     from dar_spark.dialect import SPARK
-    from dar_spark.operators.sketch import HLL_M, hll_estimate_sql
+    from dar_spark.operators.sketch import hll_estimate_sql
     from pyspark.sql import Window
 
     vol = (

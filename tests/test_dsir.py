@@ -265,6 +265,18 @@ def test_model_append_replay_is_idempotent(spark, tables, tmp_path):
     assert dsir.load_dsir_weights(spark, path) == dsir.fit_weights_micro(docs)
 
 
+def test_bigram_model_append_equals_rebuild(spark, tables, tmp_path):
+    # the feature set travels with the stored counts: an append to a
+    # bigram model must count bigrams (from meta), not unigrams
+    docs = tables["documents"]
+    path = str(tmp_path / "model2")
+    dsir.write_dsir_model(docs.filter("doc_id % 3 != 0"), path, ngram_max=2)
+    dsir.append_to_dsir_model(docs.filter("doc_id % 3 = 0"), path, "grow-0")
+    assert dsir.read_dsir_meta(spark, path).ngram_max == 2
+    assert dsir.load_dsir_weights(spark, path) == dsir.fit_weights_micro(
+        docs, ngram_max=2)
+
+
 def test_model_append_default_label_numbering(spark, tables, tmp_path):
     docs = tables["documents"]
     path = str(tmp_path / "model")

@@ -64,3 +64,14 @@ def test_markup_metrics(spark):
     assert row["n_tags"] == 8
     assert row["n_links"] == 2
     assert 0 < row["text_ratio"] < 1
+
+
+def test_n_links_ignores_tags_starting_with_a(spark):
+    # regression: '<a[^>]*>' matched <article>/<abbr>/<aside> too
+    raw = ('<article><a href=x>l</a><abbr>t</abbr>'
+           '<aside>s</aside><a>bare</a></article>')
+    esc = chr(39) + raw + chr(39)
+    ex = html_extract_sql(SPARK, esc)
+    metrics = dict(html_markup_metrics_sql(SPARK, esc, f"({ex})"))
+    (n,) = spark.sql(f"SELECT {metrics['n_links']} AS n").collect()[0]
+    assert n == 2  # <a href=x> and <a>, nothing else
