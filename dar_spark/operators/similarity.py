@@ -1870,3 +1870,123 @@ SELECT query_id, neighbor_id, cos_exact, CAST(rn AS BIGINT) AS rank_n FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY cos_exact DESC, neighbor_id) AS rn
   FROM rr) WHERE rn <= {k}"""
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id % 50 = 0",
+    k: int = 5,
+    n_lists: int | None = None,
+    n_probe: int | None = None,
+    overfetch: int = 8,
+    ks: int = PQ_KS,
+    m: int = PQ_M,
+    fit_sample_max: int = 100_000,
+) -> DataFrame:
+    """IVF-PQ — the FAISS workhorse at billion scale, composed from the
+    two deterministic quantizers already in this module: the coarse
+    IVF quantizer bounds WHICH candidates a query touches
+    (~N·n_probe/n_lists instead of N), PQ codes bound HOW WIDE each
+    touched candidate is (m ints instead of dim doubles), and an exact
+    cosine rerank on the k·overfetch ADC shortlist recovers recall.
+
+    Both quantizers are partition-invariant pure functions of the data
+    (md5-ranked inits — ``ivf_fit_centroids`` / ``pq_fit_codebook``),
+    so the full output is layout- and rerun-deterministic like
+    ``ivf_topk``'s (pinned in tests/test_similarity.py).
+
+    Scale shape: fits touch only bounded samples; the corpus is scanned
+    by two MAP-ONLY passes (list assignment, PQ encode — both argmin
+    expressions against broadcast one-row constants); the probe join is
+    a broadcast of |Q|·n_probe rows against the list-keyed candidates;
+    full-precision vectors are re-read for only the |Q|·k·overfetch
+    shortlist.  No stage reads N×dim doubles after the encode."""
+    from dar_spark.dialect import SPARK as _SPK
+
+    e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
+    n = e.count() if (n_lists is None or n_probe is None) else None
+    if n_lists is None:
+        n_lists, auto_probe = ivf_autoscale(n)
+        if n_probe is None:
+            n_probe = auto_probe
+    elif n_probe is None:
+        n_probe = max(2, int(math.isqrt(n_lists)))
+    centers = ivf_fit_centroids(e, id_col, n_lists, fit_sample_max, n=n)
+    n_probe = min(n_probe, len(centers))
+
+    spark = embeddings.sparkSession
+    assigned = _ivf_assign(e, centers, id_col)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "_list int, _cv array<double>",
+    )
+
+    # compressed candidate table: (id, _list, _rv reconstruction)
+    cb = pq_fit_codebook(embeddings, id_col, vec_col, ks)
+    enc = pq_encode(embeddings, id_col, vec_col, ks, m, codebook=cb)
+    rec = (
+        enc.crossJoin(F.broadcast(cb))
+        .select(
+            id_col,
+            F.expr(
+                pq_reconstruct_sql(_SPK, "codes", "_anchors", m)
+            ).alias("_rv"),
+        )
+        .withColumn("_rn2", F.expr(pq_norm2_sql(_SPK, "_rv")))
+        .filter("_rn2 > 0")
+        .join(assigned.select(id_col, "_list"), id_col)
+    )
+
+    q = assigned.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_nrm").alias("_qn"),
+    ).filter("_qn > 0")  # zero-norm query -> 0-denominator under ANSI
+    probes = _ivf_probe_lists(q, cdf, n_probe)
+
+    # ADC shortlist within the probed lists only
+    cand = probes.join(rec, "_list").filter(F.expr(f"{id_col} <> query_id"))
+    adc = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(
+            f"{pq_dot_sql(_SPK, '_qv', '_rv')} / (_qn * sqrt(_rn2))"
+        ).alias("score_pq"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("score_pq"), F.col("neighbor_id")
+    )
+    short = (
+        adc.withColumn("_r", F.row_number().over(w1))
+        .filter(f"_r <= {k * overfetch}")
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact rerank of the shortlist on full-precision vectors
+    qs = q.select("query_id", "_qv", "_qn")
+    cand2 = (
+        e.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_v").alias("_nv"),
+            F.col("_nrm").alias("_nn"),
+        )
+        .filter("_nn > 0")
+        .join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+    )
+    scored = cand2.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            f"{pq_dot_sql(_SPK, '_qv', '_nv')} / (_qn * _nn)"
+        ).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w2).cast("bigint"))
+        .filter(f"rank_n <= {k}")
+    )

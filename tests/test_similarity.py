@@ -962,3 +962,30 @@ def test_reference_bins_empty_reference_raises(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="no finite values"):
         reference_bins(df, "x")
+
+
+def test_ivf_pq_stable_under_repartition_and_meets_bound(spark):
+    """IVF-PQ composes two partition-invariant quantizers, so the full
+    output must be layout-deterministic like ivf_topk's; and at the
+    registry config the recall margin over IVF_RECALL_BOUND holds."""
+    from dar_spark.operators.similarity import brute_force_topk, ivf_pq_topk
+    from dar_spark.queries import IVF_RECALL_BOUND
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    pred = "vec_id % 25 = 0"
+    outs = []
+    for parts in (1, 17):
+        outs.append(sorted(
+            (r.query_id, r.neighbor_id, r.rank_n)
+            for r in ivf_pq_topk(e.repartition(parts), "vec_id",
+                                 "embedding", pred, k=5,
+                                 n_lists=8, n_probe=4,
+                                 overfetch=24).collect()
+        ))
+    assert outs[0] == outs[1]
+
+    ex = {(r.query_id, r.neighbor_id) for r in brute_force_topk(
+        e, "vec_id", "embedding", pred, k=5).collect()}
+    ap = {(q, n) for q, n, _ in outs[0]}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= IVF_RECALL_BOUND + 0.1, f"recall {recall:.3f}"
