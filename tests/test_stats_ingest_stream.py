@@ -1,0 +1,72 @@
+"""Streaming ingest into the DSIR model and data-card stores: the
+stream-grown store reads bit-identically to a from-scratch fit on the
+union of everything that arrived."""
+
+from __future__ import annotations
+
+from dar_spark.operators import dsir
+from dar_spark.operators.summarize import (
+    read_datacard,
+    write_datacard_stats,
+)
+from dar_spark.session import load_tables
+from dar_spark.streaming.stats_ingest_stream import (
+    streaming_datacard_ingest,
+    streaming_dsir_model_ingest,
+)
+from tests.conftest import SF_DIR
+
+
+def _drain(q):
+    # ingest streams run continuously; block until the backlog is
+    # consumed, then stop (the test_stream_restart.py pattern)
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streamed_dsir_model_equals_full_fit(spark, tmp_path):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    base = docs.filter("doc_id % 2 = 0")
+    arriving = docs.filter("doc_id % 2 = 1").select(
+        "doc_id", "text", "lang"
+    )
+
+    path = str(tmp_path / "model")
+    dsir.write_dsir_model(base, path)
+
+    src = str(tmp_path / "src")
+    arriving.repartition(3).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(arriving.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    _drain(streaming_dsir_model_ingest(
+        stream, path, checkpoint_dir=str(tmp_path / "ckpt")
+    ))
+
+    assert dsir.load_dsir_weights(spark, path) == dsir.fit_weights_micro(docs)
+
+
+def test_streamed_datacard_equals_full_fit(spark, tmp_path):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    base = docs.filter("doc_id % 2 = 0")
+    arriving = docs.filter("doc_id % 2 = 1").select(
+        "doc_id", "text", "lang", "source"
+    )
+
+    path = str(tmp_path / "card")
+    write_datacard_stats(base, path)
+
+    src = str(tmp_path / "src")
+    arriving.repartition(3).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(arriving.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    _drain(streaming_datacard_ingest(
+        stream, path, checkpoint_dir=str(tmp_path / "ckpt")
+    ))
+
+    full = str(tmp_path / "full")
+    write_datacard_stats(docs, full)
+    got = [tuple(r) for r in read_datacard(spark, path).collect()]
+    want = [tuple(r) for r in read_datacard(spark, full).collect()]
+    assert got == want
