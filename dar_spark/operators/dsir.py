@@ -606,12 +606,14 @@ __all__ = [
     "N_BUCKETS",
     "append_to_dsir_model",
     "bucket_counts",
+    "compact_dsir_model",
     "load_dsir_weights",
     "read_dsir_meta",
     "write_dsir_model",
     "dsir_resample",
     "dsir_resample_oracle_sql",
     "dsir_select",
+    "dsir_select_from_model",
     "dsir_select_oracle_sql",
     "feature_arr_sql",
     "gumbel_key_layers",
@@ -625,3 +627,51 @@ __all__ = [
     "weight_table",
     "weight_table_oracle_sql",
 ]
+
+
+def compact_dsir_model(spark, path: str, dest: str) -> None:
+    """Roll a grown model (many ``ingest=`` generations from appends /
+    streaming) up into a fresh single-generation store at ``dest`` —
+    and unlike the I/O-only index compactions this one PRE-AGGREGATES:
+    counts are additive, so the compacted base is the per-bucket SUM
+    across generations (≤ n_buckets rows total, however many batches
+    arrived).  ``dest`` must differ from ``path`` — compact-to-new +
+    caller swap, never in-place.  ``load_dsir_weights`` is identical
+    before and after (tested; integers, so exactly)."""
+    if dest == path:
+        raise ValueError("compact_dsir_model requires dest != path")
+    spark.read.parquet(f"{path}/meta").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{dest}/meta")
+    rolled = (
+        spark.read.parquet(f"{path}/counts")
+        .groupBy("bucket")
+        .agg(
+            F.sum("rc").cast("long").alias("rc"),
+            F.sum("tc").cast("long").alias("tc"),
+        )
+    )
+    _write_counts(rolled, dest, "base", overwrite_all=True)
+
+
+def dsir_select_from_model(
+    df: DataFrame,
+    path: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k most target-like documents scored against a PERSISTED
+    model: weights and feature parameters both come from the store, so
+    the scorer cannot drift from the fit (the text column and ngram
+    setting are meta, not arguments)."""
+    spark = df.sparkSession
+    m = read_dsir_meta(spark, path)
+    w = load_dsir_weights(spark, path)
+    scored = score_with_weights(
+        df, w, m.text_col, m.n_buckets, ngram_max=m.ngram_max
+    )
+    return (
+        scored.select(id_col, "score_micro")
+        .orderBy(F.desc("score_micro"), id_col)
+        .limit(k)
+    )

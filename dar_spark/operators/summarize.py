@@ -393,3 +393,39 @@ FROM base
 JOIN tl ON tl.src = base.src AND tl._rk = 1
 JOIN summed ON summed.src = base.src
 ORDER BY source"""
+
+
+def compact_datacard_stats(spark, path: str, dest: str) -> None:
+    """Roll a grown card store up into one fresh generation at
+    ``dest``: volume rows SUM across generations, HLL register rows
+    take the per-register MAX (the standard sketch merge) — the
+    compacted store is bounded by sources × (langs + 256) rows no
+    matter how many batches arrived.  ``dest`` must differ from
+    ``path``; ``read_datacard`` is identical before and after
+    (tested)."""
+    if dest == path:
+        raise ValueError("compact_datacard_stats requires dest != path")
+    spark.read.parquet(f"{path}/meta").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{dest}/meta")
+    vol = (
+        spark.read.parquet(f"{path}/volume")
+        .groupBy("src", "lng")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("CAST(SUM(q_sum) AS DECIMAL(38,6))").alias("q_sum"),
+        )
+    )
+    hll = (
+        spark.read.parquet(f"{path}/hll")
+        .groupBy("src", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    for name, t in (("volume", vol), ("hll", hll)):
+        (
+            t.withColumn("ingest", F.lit("base"))
+            .write.partitionBy("ingest")
+            .mode("overwrite")
+            .parquet(f"{dest}/{name}")
+        )

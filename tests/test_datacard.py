@@ -81,3 +81,26 @@ def test_incremental_card_replay_is_idempotent(spark, tables, tmp_path):
     write_datacard_stats(docs, full)
     got = [tuple(r) for r in read_datacard(spark, path).collect()]
     assert got == [tuple(r) for r in read_datacard(spark, full).collect()]
+
+
+def test_card_store_compaction_preserves_reads(spark, tables, tmp_path):
+    from dar_spark.operators.summarize import (
+        append_to_datacard_stats,
+        compact_datacard_stats,
+        read_datacard,
+        write_datacard_stats,
+    )
+
+    docs = tables["documents"]
+    path = str(tmp_path / "grown")
+    write_datacard_stats(docs.filter("doc_id % 3 = 0"), path)
+    append_to_datacard_stats(docs.filter("doc_id % 3 = 1"), path, "g1")
+    append_to_datacard_stats(docs.filter("doc_id % 3 = 2"), path, "g2")
+    dest = str(tmp_path / "compacted")
+    compact_datacard_stats(spark, path, dest)
+    got = [tuple(r) for r in read_datacard(spark, dest).collect()]
+    assert got == [tuple(r) for r in read_datacard(spark, path).collect()]
+    for sub in ("volume", "hll"):
+        gens = {r.ingest for r in spark.read.parquet(f"{dest}/{sub}")
+                .select("ingest").distinct().collect()}
+        assert gens == {"base"}, sub

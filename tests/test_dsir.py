@@ -295,3 +295,33 @@ def test_gumbel_noise_differs_from_plain_topk(tables):
     plain = {r["doc_id"] for r in dsir.dsir_select(docs, 40).collect()}
     noisy = {r["doc_id"] for r in dsir.dsir_resample(docs, 40).collect()}
     assert noisy != plain
+
+
+def test_model_compaction_preserves_weights(spark, tables, tmp_path):
+    docs = tables["documents"]
+    path = str(tmp_path / "grown")
+    dsir.write_dsir_model(docs.filter("doc_id % 3 = 0"), path)
+    dsir.append_to_dsir_model(docs.filter("doc_id % 3 = 1"), path, "g1")
+    dsir.append_to_dsir_model(docs.filter("doc_id % 3 = 2"), path, "g2")
+    dest = str(tmp_path / "compacted")
+    dsir.compact_dsir_model(spark, path, dest)
+    assert dsir.load_dsir_weights(spark, dest) == dsir.load_dsir_weights(
+        spark, path) == dsir.fit_weights_micro(docs)
+    # one generation remains
+    gens = {r.ingest for r in spark.read.parquet(f"{dest}/counts")
+            .select("ingest").distinct().collect()}
+    assert gens == {"base"}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="dest != path"):
+        dsir.compact_dsir_model(spark, path, path)
+
+
+def test_select_from_model_uses_stored_feature_set(tables, tmp_path):
+    docs = tables["documents"]
+    path = str(tmp_path / "bimodel")
+    dsir.write_dsir_model(docs, path, ngram_max=2)
+    got = [tuple(r) for r in
+           dsir.dsir_select_from_model(docs, path, 25).collect()]
+    want = [tuple(r) for r in
+            dsir.dsir_select(docs, 25, ngram_max=2).collect()]
+    assert got == want
