@@ -364,6 +364,44 @@ def _ivf_probe_lists(
     )
 
 
+def _ivf_fit_assign_probe(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_pred: str,
+    n_lists: int | None,
+    n_probe: int | None,
+    fit_sample_max: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared IVF prelude of ivf_topk and ivf_pq_topk: autoscale
+    defaults, deterministic centroid fit, map-only corpus assignment,
+    and each query's probed lists.  Returns (vector frame, assigned
+    corpus, probes) — probes carry (query_id, _qv, _qn, _list).
+    Zero-norm queries are dropped (a 0 denominator under ANSI)."""
+    e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
+    n = e.count() if (n_lists is None or n_probe is None) else None
+    if n_lists is None:
+        n_lists, auto_probe = ivf_autoscale(n)
+        if n_probe is None:
+            n_probe = auto_probe
+    elif n_probe is None:
+        n_probe = max(2, int(math.isqrt(n_lists)))
+    centers = ivf_fit_centroids(e, id_col, n_lists, fit_sample_max, n=n)
+    n_probe = min(n_probe, len(centers))
+
+    assigned = _ivf_assign(e, centers, id_col)
+    cdf = embeddings.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "_list int, _cv array<double>",
+    )
+    q = assigned.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_nrm").alias("_qn"),
+    ).filter("_qn > 0")
+    return e, assigned, _ivf_probe_lists(q, cdf, n_probe)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     id_col: str,
@@ -391,29 +429,10 @@ def ivf_topk(
     broadcast one-row centroid array; no shuffle, no Python), never by
     the k-means iterations.
     """
-    e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
-    n = e.count() if (n_lists is None or n_probe is None) else None
-    if n_lists is None:
-        n_lists, auto_probe = ivf_autoscale(n)
-        if n_probe is None:
-            n_probe = auto_probe
-    elif n_probe is None:
-        n_probe = max(2, int(math.isqrt(n_lists)))
-    centers = ivf_fit_centroids(e, id_col, n_lists, fit_sample_max, n=n)
-    n_probe = min(n_probe, len(centers))
-
-    spark = embeddings.sparkSession
-    assigned = _ivf_assign(e, centers, id_col)
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)],
-        "_list int, _cv array<double>",
+    e, assigned, probes = _ivf_fit_assign_probe(
+        embeddings, id_col, vec_col, query_pred,
+        n_lists, n_probe, fit_sample_max,
     )
-    q = assigned.filter(query_pred).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_v").alias("_qv"),
-        F.col("_nrm").alias("_qn"),
-    )
-    probes = _ivf_probe_lists(q, cdf, n_probe)
     cand = probes.join(assigned, "_list").filter(F.expr(f"{id_col} <> query_id"))
     scored = cand.select(
         "query_id",
@@ -1905,22 +1924,9 @@ def ivf_pq_topk(
     shortlist.  No stage reads N×dim doubles after the encode."""
     from dar_spark.dialect import SPARK as _SPK
 
-    e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
-    n = e.count() if (n_lists is None or n_probe is None) else None
-    if n_lists is None:
-        n_lists, auto_probe = ivf_autoscale(n)
-        if n_probe is None:
-            n_probe = auto_probe
-    elif n_probe is None:
-        n_probe = max(2, int(math.isqrt(n_lists)))
-    centers = ivf_fit_centroids(e, id_col, n_lists, fit_sample_max, n=n)
-    n_probe = min(n_probe, len(centers))
-
-    spark = embeddings.sparkSession
-    assigned = _ivf_assign(e, centers, id_col)
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)],
-        "_list int, _cv array<double>",
+    e, assigned, probes = _ivf_fit_assign_probe(
+        embeddings, id_col, vec_col, query_pred,
+        n_lists, n_probe, fit_sample_max,
     )
 
     # compressed candidate table: (id, _list, _rv reconstruction)
@@ -1938,13 +1944,6 @@ def ivf_pq_topk(
         .filter("_rn2 > 0")
         .join(assigned.select(id_col, "_list"), id_col)
     )
-
-    q = assigned.filter(query_pred).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_v").alias("_qv"),
-        F.col("_nrm").alias("_qn"),
-    ).filter("_qn > 0")  # zero-norm query -> 0-denominator under ANSI
-    probes = _ivf_probe_lists(q, cdf, n_probe)
 
     # ADC shortlist within the probed lists only
     cand = probes.join(rec, "_list").filter(F.expr(f"{id_col} <> query_id"))
@@ -1965,7 +1964,7 @@ def ivf_pq_topk(
     )
 
     # exact rerank of the shortlist on full-precision vectors
-    qs = q.select("query_id", "_qv", "_qn")
+    qs = probes.select("query_id", "_qv", "_qn").dropDuplicates(["query_id"])
     cand2 = (
         e.select(
             F.col(id_col).alias("neighbor_id"),

@@ -1,0 +1,31 @@
+"""Shared mechanics of every foreachBatch store-ingest stream.
+
+All four ingest wrappers (PQ / IVF indexes, DSIR model, data-card
+store) are the same machine: drive the store's batch append from
+``foreachBatch`` with the replay-safe label ``stream-<batch_id>``.
+This helper is that machine, once — label scheme, output mode, and
+checkpoint handling change HERE, not in four copies."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+def start_labeled_ingest(
+    stream_df: DataFrame,
+    append_fn: Callable[[DataFrame, str], object],
+    checkpoint_dir: str | None = None,
+):
+    """Start a stream calling ``append_fn(batch_df, "stream-<id>")``
+    per micro-batch.  One writer stream per store — the batch_id
+    namespace is per-stream.  Returns the started StreamingQuery."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        append_fn(batch_df, f"stream-{batch_id}")
+
+    w = stream_df.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w.start()

@@ -5,7 +5,7 @@ replay-safe partitions.
 Encoding is a stateless map (codes depend only on the vector and the
 codebook frozen at build time), so the streaming form is the batch
 ``append_to_pq_index`` driven by ``foreachBatch`` with the ingest label
-``stream-<batch_id>``: a replayed micro-batch overwrites its OWN
+``stream-<batch_id>`` (shared mechanics: ``streaming/ingest_util.py``): a replayed micro-batch overwrites its OWN
 partition instead of double-appending, and the stream-grown index is
 byte-equal to a sequential batch-ingest loop (pinned in
 tests/test_stream_restart.py-style replay below).  One writer stream per
@@ -28,17 +28,15 @@ def streaming_pq_ingest(
     ``index_path`` (must already exist — the codebook is frozen at
     build).  Returns the started StreamingQuery."""
     from dar_spark.operators.similarity import append_to_pq_index
+    from dar_spark.streaming.ingest_util import start_labeled_ingest
 
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        append_to_pq_index(
-            batch_df, index_path, id_col, vec_col,
-            ingest_label=f"stream-{batch_id}",
-        )
-
-    w = stream_df.writeStream.foreachBatch(handle).outputMode("append")
-    if checkpoint_dir:
-        w = w.option("checkpointLocation", checkpoint_dir)
-    return w.start()
+    return start_labeled_ingest(
+        stream_df,
+        lambda batch, label: append_to_pq_index(
+            batch, index_path, id_col, vec_col, ingest_label=label
+        ),
+        checkpoint_dir,
+    )
 
 
 def streaming_ivf_ingest(
@@ -59,14 +57,12 @@ def streaming_ivf_ingest(
     (centroids are frozen at build — the same contract as the PQ
     codebook).  Returns the started StreamingQuery."""
     from dar_spark.operators.similarity import append_to_ivf_index
+    from dar_spark.streaming.ingest_util import start_labeled_ingest
 
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        append_to_ivf_index(
-            batch_df, index_path, id_col, vec_col,
-            ingest_label=f"stream-{batch_id}",
-        )
-
-    w = stream_df.writeStream.foreachBatch(handle).outputMode("append")
-    if checkpoint_dir:
-        w = w.option("checkpointLocation", checkpoint_dir)
-    return w.start()
+    return start_labeled_ingest(
+        stream_df,
+        lambda batch, label: append_to_ivf_index(
+            batch, index_path, id_col, vec_col, ingest_label=label
+        ),
+        checkpoint_dir,
+    )

@@ -6,11 +6,10 @@ Both stores' sufficient statistics are batch-local pure functions of
 the arriving rows — counting a micro-batch needs no state and no look
 at earlier generations — so the streaming form is exactly the batch
 append driven by ``foreachBatch`` with the ingest label
-``stream-<batch_id>``: a replayed micro-batch overwrites its OWN
-partition (at-least-once safe), and the stream-grown store reads
-bit-identically to a from-scratch fit on the union
-(tests/test_stats_ingest_stream.py).  One writer stream per store —
-the batch_id namespace is per-stream.
+``stream-<batch_id>`` (``streaming/ingest_util.py``): a replayed
+micro-batch overwrites its OWN partition (at-least-once safe), and the
+stream-grown store reads bit-identically to a from-scratch fit on the
+union (tests/test_stats_ingest_stream.py).
 
 This closes the same build → append → (stream-append) lifecycle the
 MinHash/ANN/PQ/IVF/text indexes have: a corpus pipeline keeps its
@@ -22,27 +21,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from dar_spark.streaming.ingest_util import start_labeled_ingest
+
 
 def streaming_dsir_model_ingest(
     stream_df: DataFrame,
     model_path: str,
     checkpoint_dir: str | None = None,
 ):
-    """Append every arriving micro-batch's token counts to the DSIR
-    model at ``model_path`` (must already exist — the feature
+    """Start a stream appending every micro-batch's token counts to
+    the DSIR model at ``model_path`` (must already exist — the feature
     parameters are frozen in its meta).  Returns the started
     StreamingQuery."""
     from dar_spark.operators.dsir import append_to_dsir_model
 
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        append_to_dsir_model(
-            batch_df, model_path, ingest_label=f"stream-{batch_id}"
-        )
-
-    w = stream_df.writeStream.foreachBatch(handle).outputMode("append")
-    if checkpoint_dir:
-        w = w.option("checkpointLocation", checkpoint_dir)
-    return w.start()
+    return start_labeled_ingest(
+        stream_df,
+        lambda batch, label: append_to_dsir_model(
+            batch, model_path, ingest_label=label
+        ),
+        checkpoint_dir,
+    )
 
 
 def streaming_datacard_ingest(
@@ -50,20 +49,18 @@ def streaming_datacard_ingest(
     stats_path: str,
     checkpoint_dir: str | None = None,
 ):
-    """Append every arriving micro-batch's card statistics to the
-    store at ``stats_path`` (must already exist).  Returns the started
-    StreamingQuery."""
+    """Start a stream appending every micro-batch's card statistics to
+    the store at ``stats_path`` (must already exist).  Returns the
+    started StreamingQuery."""
     from dar_spark.operators.summarize import append_to_datacard_stats
 
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        append_to_datacard_stats(
-            batch_df, stats_path, ingest_label=f"stream-{batch_id}"
-        )
-
-    w = stream_df.writeStream.foreachBatch(handle).outputMode("append")
-    if checkpoint_dir:
-        w = w.option("checkpointLocation", checkpoint_dir)
-    return w.start()
+    return start_labeled_ingest(
+        stream_df,
+        lambda batch, label: append_to_datacard_stats(
+            batch, stats_path, ingest_label=label
+        ),
+        checkpoint_dir,
+    )
 
 
 __all__ = [
