@@ -502,3 +502,102 @@ SELECT {id_col}, source, quality_score,
        PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality_score)
          AS pct_rank
 FROM scored"""
+
+
+def temperature_mixture_budgets(
+    df: DataFrame,
+    total_budget: int,
+    sqrt_steps: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture budgets — the multilingual-training
+    standard (mT5/XLM-R style): per-group sampling weight ∝ p^α where
+    p is the group's token share, flattening the mix so head groups
+    don't drown the tail.  Returns (group, n_tokens, w_micro,
+    budget_tokens) with Σ budget_tokens ≤ total_budget; feed the
+    budgets straight into ``pack.token_budget_sample``.
+
+    α is restricted to 2^-sqrt_steps (0.5, 0.25, 0.125 …) ON PURPOSE:
+    p^α for arbitrary α needs exp/ln — transcendentals the engine-
+    parity rules ban (docs/ORACLE.md §2) — but IEEE sqrt is correctly
+    rounded, so a sqrt CHAIN computes p^(1/2^k) bit-identically in
+    Spark, DuckDB, and any IEEE host.  The chained weight is then
+    micro-quantized (floor(w·1e9), the DSIR move) so the normalizing
+    sum and every budget are exact integer arithmetic — no
+    order-dependent float sum over groups.
+
+    Bounds: total_budget·w_micro must fit BIGINT — total_budget ≤ ~9e9
+    with the 1e9 micro scale (w_micro ≤ 1e9 since p ≤ 1).  One token
+    count per group (bounded-key aggregate) + one ≤groups-row
+    normalize; the corpus is scanned once."""
+    if sqrt_steps < 1 or sqrt_steps > 6:
+        raise ValueError(f"sqrt_steps must be in 1..6, got {sqrt_steps}")
+    if total_budget > 9_000_000_000:
+        raise ValueError(
+            "total_budget above ~9e9 overflows the exact integer "
+            "budget split; shard the budget and run per shard"
+        )
+    from dar_spark.operators.dsir import token_arr_sql
+
+    counts = (
+        df.selectExpr(
+            f"({group_col}) AS grp",
+            f"size({token_arr_sql(SPARK, text_col)}) AS _ntok",
+        )
+        .groupBy("grp")
+        .agg(F.sum("_ntok").cast("long").alias("n_tokens"))
+    )
+    tot = counts.agg(F.sum("n_tokens").cast("long").alias("t_tot"))
+    w = "(CAST(n_tokens AS DOUBLE) / CAST(t_tot AS DOUBLE))"
+    for _ in range(sqrt_steps):
+        w = f"sqrt({w})"
+    weighted = counts.crossJoin(F.broadcast(tot)).selectExpr(
+        "grp", "n_tokens",
+        f"CAST(floor({w} * CAST(1000000000.0 AS DOUBLE)) AS BIGINT) "
+        "AS w_micro",
+    )
+    wtot = weighted.agg(F.sum("w_micro").alias("w_tot"))
+    return (
+        weighted.crossJoin(F.broadcast(wtot))
+        .selectExpr(
+            f"grp AS {group_col}", "n_tokens", "w_micro",
+            f"CAST(({total_budget} * w_micro) DIV w_tot AS BIGINT) "
+            "AS budget_tokens",
+        )
+        .orderBy(group_col)
+    )
+
+
+def temperature_mixture_oracle_sql(
+    d: Dialect,
+    total_budget: int,
+    sqrt_steps: int = 2,
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    from dar_spark.operators.dsir import token_arr_sql
+
+    ntok = d.arr_len(token_arr_sql(d, text_col))
+    w = "(CAST(n_tokens AS DOUBLE) / CAST(t_tot AS DOUBLE))"
+    for _ in range(sqrt_steps):
+        w = f"sqrt({w})"
+    div = d.int_div(f"({total_budget} * w_micro)", "w_tot")
+    return f"""WITH counts AS (
+  SELECT ({group_col}) AS grp, CAST(SUM({ntok}) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY grp
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tot FROM counts
+), weighted AS (
+  SELECT grp, n_tokens,
+         CAST(floor({w} * CAST(1000000000.0 AS DOUBLE)) AS BIGINT)
+           AS w_micro
+  FROM counts CROSS JOIN tot
+), wt AS (
+  SELECT CAST(SUM(w_micro) AS BIGINT) AS w_tot FROM weighted
+)
+SELECT grp AS {group_col}, n_tokens, w_micro,
+       CAST({div} AS BIGINT) AS budget_tokens
+FROM weighted CROSS JOIN wt
+ORDER BY {group_col}"""

@@ -3417,6 +3417,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("html_extract_docs", _html_extract_q()),
         ("datacard_by_source_docs", _datacard_q()),
         ("datacard_incremental_docs", _datacard_incremental_q()),
+        ("temp_mixture_budget_docs", _temp_mixture_q()),
         ("embed_ivf_pq_topk", _embed_ivf_pq_q()),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
@@ -3520,6 +3521,28 @@ def _datacard_q() -> Q:
     from dar_spark.operators.summarize import datacard_oracle_sql
 
     return Q(spark_fn, datacard_oracle_sql(DUCKDB))
+
+
+TEMP_MIX_BUDGET = 50_000
+
+
+def _temp_mixture_q() -> Q:
+    """Temperature-scaled mixture budgets (the mT5/XLM-R p^α sampling
+    standard) at α = 1/4 via an IEEE sqrt chain — the engine-exact form
+    of the transcendental-free parity rules (sampling.py).  Per-source
+    token shares flatten into integer-exact token budgets that feed
+    pack.token_budget_sample; every number value-hashes."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.sampling import temperature_mixture_budgets
+
+        t = load_tables(spark, sf_dir)
+        return temperature_mixture_budgets(t["documents"], TEMP_MIX_BUDGET)
+
+    from dar_spark.operators.sampling import temperature_mixture_oracle_sql
+
+    return Q(spark_fn, temperature_mixture_oracle_sql(
+        DUCKDB, TEMP_MIX_BUDGET))
 
 
 def _datacard_incremental_q() -> Q:

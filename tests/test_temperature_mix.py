@@ -1,0 +1,75 @@
+"""Temperature-scaled mixture budgets (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dar_spark.operators.sampling import temperature_mixture_budgets
+
+
+def _card(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_flattening_raises_tail_share(spark):
+    # head source has 16x the tokens; at alpha=1/4 its weight advantage
+    # shrinks to 16^0.25 = 2x, so the tail's budget share must exceed
+    # its token share
+    rows = [(i, "t " * 16, "head") for i in range(16)] + [
+        (100, "t " * 16, "tail")
+    ]
+    df = _card(spark, rows)
+    got = {r["source"]: r for r in
+           temperature_mixture_budgets(df, 10_000, sqrt_steps=2).collect()}
+    token_share_tail = got["tail"]["n_tokens"] / (
+        got["tail"]["n_tokens"] + got["head"]["n_tokens"])
+    budget_share_tail = got["tail"]["budget_tokens"] / 10_000
+    assert budget_share_tail > token_share_tail
+    # 16^(1/4) = 2 exactly -> head budget ~2x tail budget
+    ratio = got["head"]["budget_tokens"] / got["tail"]["budget_tokens"]
+    assert abs(ratio - 2.0) < 0.01
+
+
+def test_alpha_one_half_is_sqrt(spark):
+    rows = [(i, "t t t t", "a") for i in range(9)] + [(99, "t t t t", "b")]
+    df = _card(spark, rows)
+    got = {r["source"]: r["budget_tokens"] for r in
+           temperature_mixture_budgets(df, 4_000, sqrt_steps=1).collect()}
+    # p ratio 9:1 -> sqrt -> 3:1 budget split
+    assert abs(got["a"] / got["b"] - 3.0) < 0.01
+
+
+def test_budgets_sum_within_total_and_deterministic(tables):
+    docs = tables["documents"]
+    out = temperature_mixture_budgets(docs, 30_000)
+    rows = [tuple(r) for r in out.collect()]
+    assert sum(r[3] for r in rows) <= 30_000
+    again = [tuple(r) for r in
+             temperature_mixture_budgets(docs.repartition(7), 30_000).collect()]
+    assert again == rows
+
+
+def test_composes_with_token_budget_sample(tables):
+    from dar_spark.operators.pack import token_budget_sample
+
+    docs = tables["documents"]
+    budgets = {
+        r["source"]: r["budget_tokens"]
+        for r in temperature_mixture_budgets(docs, 5_000).collect()
+    }
+    from pyspark.sql import functions as F
+
+    kept = token_budget_sample(docs, budgets)
+    per_src = {r["source"]: r["n"] for r in
+               kept.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_src  # every source with a positive budget keeps docs
+    assert all(v > 0 for v in per_src.values())
+
+
+def test_parameter_validation(spark):
+    df = _card(spark, [(1, "t", "a")])
+    with pytest.raises(ValueError, match="sqrt_steps"):
+        temperature_mixture_budgets(df, 100, sqrt_steps=0)
+    with pytest.raises(ValueError, match="overflows"):
+        temperature_mixture_budgets(df, 10**10)
