@@ -3418,6 +3418,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("datacard_by_source_docs", _datacard_q()),
         ("datacard_incremental_docs", _datacard_incremental_q()),
         ("temp_mixture_budget_docs", _temp_mixture_q()),
+        ("temp_mixture_sample_docs", _temp_mixture_sample_q()),
         ("embed_ivf_pq_topk", _embed_ivf_pq_q()),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
@@ -3543,6 +3544,58 @@ def _temp_mixture_q() -> Q:
 
     return Q(spark_fn, temperature_mixture_oracle_sql(
         DUCKDB, TEMP_MIX_BUDGET))
+
+
+def _temp_mixture_sample_q() -> Q:
+    """The temperature mix END TO END: α=1/4 budgets fitted from the
+    corpus feed token_budget_sample, and the KEPT DOCUMENT SET itself
+    value-hashes — the oracle refits the budgets in SQL (sqrt chain +
+    integer normalize) and replays the hash-ordered windowed cumsum
+    cutoff against them."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.pack import token_budget_sample
+        from dar_spark.operators.sampling import temperature_mixture_budgets
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        budgets = {
+            r["source"]: r["budget_tokens"]
+            for r in temperature_mixture_budgets(
+                docs, TEMP_MIX_BUDGET
+            ).collect()
+        }
+        out = token_budget_sample(
+            docs.select("doc_id", "source", "text"), budgets,
+            default_budget=0,
+        )
+        return out.selectExpr(
+            "doc_id", "source", "CAST(n_tokens AS BIGINT) AS n_tokens"
+        )
+
+    from dar_spark.operators.sampling import (
+        hash_bucket_sql,
+        temperature_mixture_oracle_sql,
+    )
+
+    budget_cte = temperature_mixture_oracle_sql(DUCKDB, TEMP_MIX_BUDGET)
+    ordh = hash_bucket_sql(DUCKDB, "doc_id", 1_000_003)
+    oracle = f"""WITH budgets AS (
+  SELECT source AS bsrc, budget_tokens FROM ({budget_cte})
+), base AS (
+  SELECT doc_id, source,
+         len(string_split(trim(text, ' '), ' ')) AS n_tokens,
+         {ordh} AS ord
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM c JOIN budgets ON budgets.bsrc = c.source
+WHERE cum - n_tokens < budget_tokens"""
+    return Q(spark_fn, oracle)
 
 
 def _datacard_incremental_q() -> Q:
