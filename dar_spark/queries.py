@@ -3524,7 +3524,10 @@ def _datacard_q() -> Q:
     return Q(spark_fn, datacard_oracle_sql(DUCKDB))
 
 
-TEMP_MIX_BUDGET = 50_000
+# ~40% of the sf0.001/sf0.01 corpus token volume (~28k), so the budget
+# cutoff actually BITES at every checked scale — a budget above the
+# corpus total would keep everything and leave the cumsum cut untested
+TEMP_MIX_BUDGET = 11_000
 
 
 def _temp_mixture_q() -> Q:
