@@ -3401,8 +3401,10 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
     """Registry entries with no external CORRECTNESS row yet: the two
     r5 stragglers cut by the 50-entry check window, plus the queries
     NEW this round (r9: the persisted-IVF round-trip, the autoscaled
-    pairs-LSH recall contract, and DSIR importance selection).  FIRST
-    in the registry until a driver check records them green."""
+    pairs-LSH recall contract, the DSIR family, IVF-PQ, privacy
+    auditing, HTML extraction, the data cards, and the temperature
+    mixture).  FIRST in the registry until a driver check records
+    them green."""
     dsir_sel = _dsir_select_q()
     dsir_sel.headline = True  # bench the new family's two-scan path
     return [
