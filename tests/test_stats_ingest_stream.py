@@ -70,3 +70,52 @@ def test_streamed_datacard_equals_full_fit(spark, tmp_path):
     got = [tuple(r) for r in read_datacard(spark, path).collect()]
     want = [tuple(r) for r in read_datacard(spark, full).collect()]
     assert got == want
+
+
+def _crash_after_last_sink_write(checkpoint_dir: str) -> int:
+    """Delete the newest commit marker (the at-least-once crash window
+    between sink write and commit record) — the restarted query then
+    REPLAYS that batch from the offset log (test_stream_restart.py
+    pattern)."""
+    import os
+
+    cdir = os.path.join(checkpoint_dir, "commits")
+    nums = [f for f in os.listdir(cdir) if f.isdigit()]
+    assert nums, f"no commits recorded under {cdir}"
+    last = max(nums, key=int)
+    os.remove(os.path.join(cdir, last))
+    crc = os.path.join(cdir, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return int(last)
+
+
+def test_dsir_ingest_crash_replay_restart(spark, tmp_path):
+    """Engine-driven replay: crash before the last batch's commit,
+    restart with more data pending — the replayed batch overwrites its
+    own stream-<id> partition and the final weights equal the
+    from-scratch fit (no double counting)."""
+    docs = load_tables(spark, SF_DIR)["documents"]
+    base = docs.filter("doc_id % 3 = 0")
+    wave1 = docs.filter("doc_id % 3 = 1").select("doc_id", "text", "lang")
+    wave2 = docs.filter("doc_id % 3 = 2").select("doc_id", "text", "lang")
+
+    path = str(tmp_path / "model")
+    dsir.write_dsir_model(base, path)
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(wave1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    _drain(streaming_dsir_model_ingest(stream, path, checkpoint_dir=ck))
+
+    _crash_after_last_sink_write(ck)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(wave1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    _drain(streaming_dsir_model_ingest(stream2, path, checkpoint_dir=ck))
+
+    assert dsir.load_dsir_weights(spark, path) == dsir.fit_weights_micro(docs)
