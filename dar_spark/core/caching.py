@@ -28,6 +28,7 @@ The convention, applied uniformly via :func:`hot`:
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark import StorageLevel
@@ -35,21 +36,32 @@ from pyspark.sql import DataFrame
 
 DEFAULT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
-# stack, not a flat list: hot_scope() calls may nest (an operator
-# composed of operators), and each scope must release only its own
-# frames
-_SCOPES: list[list[DataFrame]] = []
+# THREAD-LOCAL stack of scopes: a Spark driver is routinely
+# multi-threaded (foreachBatch handlers, concurrent job threads), and
+# a scope must release only frames persisted by ITS OWN thread — a
+# process-global stack would register another thread's frame into this
+# thread's scope and unpersist it mid-computation.  Stack, not a flat
+# list, because hot_scope() calls nest (operators composed of
+# operators).
+_TL = threading.local()
+
+
+def _scopes() -> list[list[DataFrame]]:
+    if not hasattr(_TL, "scopes"):
+        _TL.scopes = []
+    return _TL.scopes
 
 
 def hot(df: DataFrame, storage_level: StorageLevel | None) -> DataFrame:
     """Persist ``df`` at ``storage_level``; ``None`` = don't persist.
-    Inside a :func:`hot_scope`, the persisted frame is registered for
-    release when the scope exits."""
+    Inside a :func:`hot_scope` (on the calling thread), the persisted
+    frame is registered for release when the scope exits."""
     if storage_level is None:
         return df
     df = df.persist(storage_level)
-    if _SCOPES:
-        _SCOPES[-1].append(df)
+    scopes = _scopes()
+    if scopes:
+        scopes[-1].append(df)
     return df
 
 
@@ -69,11 +81,11 @@ def hot_scope():
     unpersist: release is asynchronous, matching Spark's own cache
     eviction; correctness never depends on the cache being gone."""
     frames: list[DataFrame] = []
-    _SCOPES.append(frames)
+    _scopes().append(frames)
     try:
         yield frames
     finally:
-        _SCOPES.pop()
+        _scopes().pop()
         for f in frames:
             try:
                 f.unpersist()

@@ -69,11 +69,14 @@ def html_markup_metrics_sql(
     raw = d.cast_str(x)
     return [
         ("n_tags", f"CAST({_count_matches(d, raw, '<[^>]*>')} AS BIGINT)"),
-        # '<a[ >]' not '<a[^>]*>': the latter matches EVERY tag whose
-        # name starts with 'a' (<article>, <abbr>, <aside>, <audio>…)
-        # and inflates link density on real crawl HTML
+        # anchor tags only: '<a' followed by '>' or a non-name char
+        # (space/newline/tab — (?s) keeps . spanning lines and the
+        # negated class matches whitespace without a backslash).  A
+        # bare '<a[^>]*>' would count EVERY tag whose name starts with
+        # 'a' (<article>, <abbr>, <aside>…), inflating link density.
         ("n_links",
-         f"CAST({_count_matches(d, raw, '(?i)<a[ >]')} AS BIGINT)"),
+         f"CAST({_count_matches(d, raw, '(?is)<a(>|[^a-z0-9>-][^>]*>)')} "
+         "AS BIGINT)"),
         ("text_ratio",
          d.ratio_6dp(f"length({extracted})",
                      f"greatest(length({raw}), 1)")),

@@ -914,7 +914,10 @@ def embedding_dup_pairs(
         e = e.filter(subset_pred)
 
     if method == "lsh":
-        import math
+        from dar_spark.operators.similarity import (
+            srp_band_candidate_prob,
+            srp_bands_for_miss,
+        )
 
         if n_planes is None or n_bands is None:
             auto_planes, auto_bands = srp_pairs_autoscale(
@@ -926,23 +929,15 @@ def embedding_dup_pairs(
                     n_bands = auto_bands
             else:
                 # planes pinned, bands not: size bands for THOSE planes
-                p = math.acos(min(max(cos_threshold, -1.0), 1.0)) / math.pi
-                q = (1.0 - p) ** n_planes + n_planes * p * (1.0 - p) ** (
-                    n_planes - 1
-                )
-                n_bands = (
-                    1
-                    if q >= 1.0
-                    else max(1, math.ceil(math.log(0.05) / math.log(1.0 - q)))
-                )
-        p = math.acos(min(max(cos_threshold, -1.0), 1.0)) / math.pi
+                # (the same 5%-miss rule the autoscaler applies)
+                n_bands = srp_bands_for_miss(n_planes, cos_threshold)
         n = n_planes
-        q = (1.0 - p) ** n + n * p * (1.0 - p) ** (n - 1)
+        q = srp_band_candidate_prob(n, cos_threshold)
         miss = (1.0 - q) ** n_bands
         if miss > 0.05:
             import warnings
 
-            need = max(1, math.ceil(math.log(0.05) / math.log(1.0 - q)))
+            need = srp_bands_for_miss(n, cos_threshold)
             warnings.warn(
                 f"embedding_dup_pairs(method='lsh') at cos_threshold="
                 f"{cos_threshold} with n_planes={n}, n_bands={n_bands} "

@@ -201,8 +201,12 @@ def bucket_counts(
 
 def _fold_weights(rows, n_buckets: int) -> list[int]:
     """(bucket, rc, tc) rows → dense per-bucket micro-weight list
-    (index = bucket id).  Buckets no token hashes into keep weight 0 —
-    nothing can ever look them up."""
+    (index = bucket id).  Buckets the FIT never populated still get
+    their +1-smoothed weight ln((R+B)/(T+B)) rather than 0: in-corpus
+    scoring can't reach them, but scoring a NEW batch against a stored
+    model (dsir_select_from_model, the streaming scorer) hits them for
+    every out-of-fit-vocabulary token, and the smoothed model must
+    apply there too."""
     rc = [0] * n_buckets
     tc = [0] * n_buckets
     for r in rows:
@@ -211,7 +215,6 @@ def _fold_weights(rows, n_buckets: int) -> list[int]:
     t_tot, r_tot = sum(tc), sum(rc)
     return [
         weight_micro_py(tc[b], rc[b], t_tot, r_tot, n_buckets)
-        if rc[b] else 0
         for b in range(n_buckets)
     ]
 

@@ -261,7 +261,9 @@ def knn_classify_ann(
         F.desc("cnt"), F.desc("s6"), F.asc("_l")
     )
     best = votes.withColumn("_rb", F.row_number().over(wv)).filter("_rb = 1")
-    return q.select(id_col).distinct().join(
+    # q is one row per input id already — no distinct (it would be a
+    # needless corpus-wide exchange on the operator's stated regime)
+    return q.select(id_col).join(
         best.select(
             id_col,
             F.col("_l").alias("pred_label"),

@@ -504,6 +504,13 @@ SELECT {id_col}, source, quality_score,
 FROM scored"""
 
 
+def _sampler_token_count_sql(d: Dialect, text: str) -> str:
+    """Token count in token_budget_sample's units (trim then split on
+    single space, empties INCLUDED) — budget fits and budget spends
+    must count the same way."""
+    return d.arr_len(d.split_lit(d.trim_ascii(text), " "))
+
+
 def temperature_mixture_budgets(
     df: DataFrame,
     total_budget: int,
@@ -527,6 +534,12 @@ def temperature_mixture_budgets(
     sum and every budget are exact integer arithmetic — no
     order-dependent float sum over groups.
 
+    Token units MATCH the consumer: counts use the same
+    trim-then-split tokenization as ``pack.token_budget_sample``'s
+    cumsum, so a budget fitted here is spent in the same currency it
+    was measured in (a filtered count would make the sampler consume
+    budget faster than the fit measured).
+
     Bounds: total_budget·w_micro must fit BIGINT — total_budget ≤ ~9e9
     with the 1e9 micro scale (w_micro ≤ 1e9 since p ≤ 1).  One token
     count per group (bounded-key aggregate) + one ≤groups-row
@@ -538,12 +551,10 @@ def temperature_mixture_budgets(
             "total_budget above ~9e9 overflows the exact integer "
             "budget split; shard the budget and run per shard"
         )
-    from dar_spark.operators.dsir import token_arr_sql
-
     counts = (
         df.selectExpr(
             f"({group_col}) AS grp",
-            f"size({token_arr_sql(SPARK, text_col)}) AS _ntok",
+            f"{_sampler_token_count_sql(SPARK, text_col)} AS _ntok",
         )
         .groupBy("grp")
         .agg(F.sum("_ntok").cast("long").alias("n_tokens"))
@@ -577,9 +588,7 @@ def temperature_mixture_oracle_sql(
     group_col: str = "source",
     text_col: str = "text",
 ) -> str:
-    from dar_spark.operators.dsir import token_arr_sql
-
-    ntok = d.arr_len(token_arr_sql(d, text_col))
+    ntok = _sampler_token_count_sql(d, text_col)
     w = "(CAST(n_tokens AS DOUBLE) / CAST(t_tot AS DOUBLE))"
     for _ in range(sqrt_steps):
         w = f"sqrt({w})"

@@ -279,7 +279,10 @@ def ivf_fit_centroids(
 
     from dar_spark.dialect import SPARK as _SPK
 
-    fit = quantizer_fit_input(e, id_col, fit_sample_max, n=n)
+    # NULL embeddings would collapse the numpy sample matrix to an
+    # inhomogeneous object array; zero-norm vectors are unusable
+    # downstream anyway (cosine denominator) — same drop as _ivf_assign
+    fit = quantizer_fit_input(e.filter("_nrm > 0"), id_col, fit_sample_max, n=n)
     rows = (
         fit.select(
             F.expr(pq_anchor_rank_sql(_SPK, id_col)).alias("_hb"),
@@ -324,11 +327,24 @@ def _ivf_assign(e: DataFrame, centers: list[list[float]], id_col: str) -> DataFr
     vector frame against the broadcast one-row centroid array (no
     shuffle, no Python; ties → lowest list).  The shared assignment
     seam of ``ivf_topk`` and the persisted-index build/append, so the
-    two can never drift."""
+    two can never drift.
+
+    NULL and zero-norm vectors are dropped (documented contract, the
+    knn.py convention — a zero norm is a 0 cosine denominator under
+    ANSI); a vector whose DIMENSION disagrees with the centroids
+    raises IN-PLAN via assert_true — zip_with would otherwise pad with
+    NULLs, yielding _list = NULL rows that every probe silently misses
+    (permanent invisible data in an appended index)."""
     spark = e.sparkSession
     cents_one = spark.createDataFrame([(centers,)], "_cents array<array<double>>")
+    guarded = (
+        "IF(assert_true(_list IS NOT NULL, "
+        "'ivf assign: vector dimension does not match the centroids') "
+        "IS NULL, _list, NULL)"
+    )
     return (
-        e.crossJoin(F.broadcast(cents_one))
+        e.filter("_nrm > 0")
+        .crossJoin(F.broadcast(cents_one))
         .withColumn(
             "_dists",
             F.expr(
@@ -340,6 +356,7 @@ def _ivf_assign(e: DataFrame, centers: list[list[float]], id_col: str) -> DataFr
             "_list",
             F.expr("CAST(array_position(_dists, array_min(_dists)) - 1 AS INT)"),
         )
+        .withColumn("_list", F.expr(guarded))
         .select(id_col, "_v", "_nrm", "_list")
     )
 
@@ -579,7 +596,7 @@ def ivf_index_topk(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("_qv"),
         F.col("_nrm").alias("_qn"),
-    )
+    ).filter("_qn > 0")  # same zero-norm drop as _ivf_fit_assign_probe
     probes = _ivf_probe_lists(q, cdf, n_probe)
     cand = probes.join(lists, "_list").filter(F.expr(f"{id_col} <> query_id"))
     scored = cand.select(
@@ -1572,13 +1589,29 @@ def srp_pairs_autoscale(
     the same formula the under-provisioning warning uses, so an
     autoscaled configuration never warns by construction."""
     planes = max(N_PLANES, min(30, max(1, n - 1).bit_length()))
+    return planes, srp_bands_for_miss(planes, cos_threshold, target_miss)
+
+
+def srp_band_candidate_prob(n_planes: int, cos_threshold: float) -> float:
+    """Per-band probability that a true pair AT the cosine threshold
+    becomes a candidate: q = (1−p)^n + n·p·(1−p)^(n−1) with
+    p = arccos(thr)/π (all planes agree, or exactly one differs — the
+    one-sided Hamming-1 multiprobe recovers the latter).  The ONE
+    definition behind autoscaling, pinned-plane band sizing, and the
+    under-provisioning warning."""
     p = math.acos(min(max(cos_threshold, -1.0), 1.0)) / math.pi
-    q = (1.0 - p) ** planes + planes * p * (1.0 - p) ** (planes - 1)
+    return (1.0 - p) ** n_planes + n_planes * p * (1.0 - p) ** (n_planes - 1)
+
+
+def srp_bands_for_miss(
+    n_planes: int, cos_threshold: float, target_miss: float = 0.05
+) -> int:
+    """Bands needed so a boundary pair is missed by ALL bands with
+    probability ≤ target_miss."""
+    q = srp_band_candidate_prob(n_planes, cos_threshold)
     if q >= 1.0:
-        bands = 1
-    else:
-        bands = max(1, math.ceil(math.log(target_miss) / math.log(1.0 - q)))
-    return planes, bands
+        return 1
+    return max(1, math.ceil(math.log(target_miss) / math.log(1.0 - q)))
 
 
 def write_pq_index(

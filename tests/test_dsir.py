@@ -325,3 +325,29 @@ def test_select_from_model_uses_stored_feature_set(tables, tmp_path):
     want = [tuple(r) for r in
             dsir.dsir_select(docs, 25, ngram_max=2).collect()]
     assert got == want
+
+
+def test_out_of_fit_vocabulary_gets_smoothed_weight(spark):
+    """Scoring a NEW corpus against a stored fit: tokens whose bucket
+    the fit never populated must contribute the +1-smoothed LLR
+    ln((R+B)/(T+B)) — not 0 (the module's smoothed-multinomial model
+    applies out of fit too)."""
+    fit = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "gamma delta", False)],
+        ["doc_id", "text", "is_t"],
+    )
+    w = dsir.fit_weights_micro(fit, target_pred="is_t", n_buckets=64)
+    # expected unpopulated-bucket weight from the fit's totals
+    rows = dsir.bucket_counts(fit, target_pred="is_t", n_buckets=64).collect()
+    t_tot = sum(r["tc"] for r in rows)
+    r_tot = sum(r["rc"] for r in rows)
+    expected = dsir.weight_micro_py(0, 0, t_tot, r_tot, 64)
+    assert expected != 0
+    populated = {r["bucket"] for r in rows}
+    assert all(w[b] == expected for b in range(64) if b not in populated)
+
+    new = spark.createDataFrame(
+        [(9, "zzz_unseen_token")], ["doc_id", "text"]
+    )
+    (scored,) = dsir.score_with_weights(new, w, n_buckets=64).collect()
+    assert scored["score_micro"] == expected

@@ -989,3 +989,55 @@ def test_ivf_pq_stable_under_repartition_and_meets_bound(spark):
     ap = {(q, n) for q, n, _ in outs[0]}
     recall = len(ex & ap) / len(ex)
     assert recall >= IVF_RECALL_BOUND + 0.1, f"recall {recall:.3f}"
+
+
+def test_ivf_survives_zero_and_null_vectors(spark, tmp_path):
+    """Zero-norm and NULL vectors are dropped at assignment (a 0 cosine
+    denominator under ANSI would otherwise kill the job), in both the
+    direct and the persisted-index paths."""
+    from dar_spark.operators.similarity import (
+        ivf_index_topk,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    rows = [(i, [float(i % 7 + 1), float(i % 3), 1.0, 0.5]) for i in range(40)]
+    rows += [(100, [0.0, 0.0, 0.0, 0.0]), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_topk(df, "vec_id", "embedding", "vec_id % 10 = 0",
+                   k=3, n_lists=4, n_probe=2).collect()
+    ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
+    assert out and 100 not in ids and 101 not in ids
+
+    path = str(tmp_path / "ivfidx")
+    write_ivf_index(df, path, n_lists=4)
+    out2 = ivf_index_topk(df.filter("vec_id % 10 = 0"), path,
+                          k=3, n_probe=2).collect()
+    ids2 = {r.query_id for r in out2} | {r.neighbor_id for r in out2}
+    assert out2 and 100 not in ids2 and 101 not in ids2
+
+
+def test_ivf_index_append_rejects_dimension_mismatch(spark, tmp_path):
+    """A batch whose vectors disagree with the stored centroids'
+    dimension must raise IN-PLAN, not write probe-invisible NULL-list
+    rows into the index."""
+    import pytest as _pt
+    from pyspark.errors import SparkRuntimeException
+    from py4j.protocol import Py4JJavaError
+    from dar_spark.operators.similarity import (
+        append_to_ivf_index,
+        write_ivf_index,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.25]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "idx")
+    write_ivf_index(base, path, n_lists=3)
+    bad = spark.createDataFrame(
+        [(100, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with _pt.raises((SparkRuntimeException, Py4JJavaError, Exception),
+                    match="dimension|assert"):
+        append_to_ivf_index(bad, path)
