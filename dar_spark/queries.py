@@ -3407,6 +3407,14 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
     them green."""
     dsir_sel = _dsir_select_q()
     dsir_sel.headline = True  # bench the new family's two-scan path
+    # bench one signature query per new r9 family: the privacy
+    # GROUPING SETS ladder, the one-scan data card, and IVF-PQ
+    ladder = _k_anon_ladder_q()
+    ladder.headline = True
+    card = _datacard_q()
+    card.headline = True
+    ivfpq = _embed_ivf_pq_q()
+    ivfpq.headline = True
     return [
         ("dsir_select_docs", dsir_sel),
         ("dsir_resample_docs", _dsir_resample_q()),
@@ -3415,13 +3423,13 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("dsir_weight_table_docs", _dsir_weight_table_q()),
         ("k_anonymity_customer", _k_anonymity_q()),
         ("l_diversity_events", _l_diversity_q()),
-        ("k_anon_ladder_customer", _k_anon_ladder_q()),
+        ("k_anon_ladder_customer", ladder),
         ("html_extract_docs", _html_extract_q()),
-        ("datacard_by_source_docs", _datacard_q()),
+        ("datacard_by_source_docs", card),
         ("datacard_incremental_docs", _datacard_incremental_q()),
         ("temp_mixture_budget_docs", _temp_mixture_q()),
         ("temp_mixture_sample_docs", _temp_mixture_sample_q()),
-        ("embed_ivf_pq_topk", _embed_ivf_pq_q()),
+        ("embed_ivf_pq_topk", ivfpq),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
         ("knn_ann_embed", _knn_ann_q()),
