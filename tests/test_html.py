@@ -75,3 +75,44 @@ def test_n_links_ignores_tags_starting_with_a(spark):
     metrics = dict(html_markup_metrics_sql(SPARK, esc, f"({ex})"))
     (n,) = spark.sql(f"SELECT {metrics['n_links']} AS n").collect()[0]
     assert n == 2  # <a href=x> and <a>, nothing else
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# fragments that compose into adversarial pseudo-HTML: tag soup,
+# unclosed blocks, entities, comments, weird whitespace
+_FRAGMENTS = st.sampled_from([
+    "<p>", "</p>", "<script>", "</script>", "<style>", "</style>",
+    "<!--", "-->", "<a href=x>", "</a>", "<A>", "<br/>", "<div class=y>",
+    "&amp;", "&lt;", "&gt;", "&nbsp;", "&quot;", "text", "word",
+    " ", "  ", "\t", "\n", "<", ">", "<p", "p>", "<>", "</>",
+    "<script", "var x=1;", "<![CDATA[", "]]>", "<b><i>", "</i></b>",
+])
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_FRAGMENTS, min_size=0, max_size=25))
+def test_extract_fuzz_cross_engine(spark, frags):
+    """Random tag soup: Java regex (Spark) and RE2 (DuckDB) must
+    extract byte-identically — the whole oracle contract rests on the
+    two engines' regex semantics agreeing on THESE pattern classes."""
+    con = duckdb.connect()
+    raw = "".join(frags).replace("'", "''")
+    lit = chr(39) + raw + chr(39)
+    (got_s,) = spark.sql(
+        f"SELECT {html_extract_sql(SPARK, lit)} AS t"
+    ).collect()[0]
+    (got_d,) = con.sql(
+        f"SELECT {html_extract_sql(DUCKDB, lit)} AS t"
+    ).fetchone()
+    assert got_s == got_d, repr("".join(frags))
+    m_s = dict(html_markup_metrics_sql(SPARK, lit, f"({html_extract_sql(SPARK, lit)})"))
+    m_d = dict(html_markup_metrics_sql(DUCKDB, lit, f"({html_extract_sql(DUCKDB, lit)})"))
+    row_s = spark.sql(
+        f"SELECT {m_s['n_tags']} AS a, {m_s['n_links']} AS b, {m_s['text_ratio']} AS c"
+    ).collect()[0]
+    row_d = con.sql(
+        f"SELECT {m_d['n_tags']} AS a, {m_d['n_links']} AS b, {m_d['text_ratio']} AS c"
+    ).fetchone()
+    assert tuple(row_s) == tuple(row_d), repr("".join(frags))
