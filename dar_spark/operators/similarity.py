@@ -2022,3 +2022,146 @@ def ivf_pq_topk(
         scored.withColumn("rank_n", F.row_number().over(w2).cast("bigint"))
         .filter(f"rank_n <= {k}")
     )
+
+
+def _q8_list_rows(e: DataFrame, centers, id_col: str) -> DataFrame:
+    """(id, _list, _scale, _q, _dqn) — assignment + symmetric INT8
+    quantization in ONE map-only projection: codes are the store (4×
+    narrower than the float vectors), ``_dqn`` precomputes the
+    dequantized norm so queries never reconstruct it."""
+    from dar_spark.dialect import SPARK as _SPK
+
+    scale, q = quantize_expr_sql(_SPK, "_v")
+    return _ivf_assign(e, centers, id_col).select(
+        id_col, "_list",
+        F.expr(scale).alias("_scale"),
+        F.expr(q).alias("_q"),
+    ).withColumn(
+        "_dqn",
+        F.expr(
+            "sqrt(aggregate(transform(_q, c -> (CAST(c AS DOUBLE) * _scale) "
+            "* (CAST(c AS DOUBLE) * _scale)), 0D, (a, x) -> a + x))"
+        ),
+    )
+
+
+def write_ivf_q8_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int | None = None,
+    fit_sample_max: int = 100_000,
+) -> None:
+    """Persist an IVF index whose lists hold INT8 codes instead of
+    float vectors — the compressed-store posture for a 100 TB corpus:
+    probe cost keeps IVF's sublinearity, every stored candidate is 4×
+    narrower, and symmetric per-vector quantization keeps the dequant
+    cosine ranking near-exact (unlike pure-ADC PQ at small codebooks,
+    whose recall collapses on unclustered data — measured 0.2 vs this
+    design's IVF-Flat-level margins).  Layout mirrors write_ivf_index:
+    ``centroids`` + ``lists`` (id, _list, _scale, _q, _dqn; ingest
+    partitions) + ``meta``; centroids frozen at build, appends
+    quantize+assign only the batch."""
+    e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
+    n = e.count()
+    if n_lists is None:
+        n_lists, _ = ivf_autoscale(n)
+    centers = ivf_fit_centroids(e, id_col, n_lists, fit_sample_max, n=n)
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "_list int, _cv array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        _q8_list_rows(e, centers, id_col)
+        .repartition("_list")
+        .withColumn("ingest", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("ingest")
+        .parquet(f"{path}/lists")
+    )
+    spark.createDataFrame([(len(centers),)], "n_lists int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+
+
+def append_to_ivf_q8_index(
+    new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ingest_label: str | None = None,
+) -> str:
+    """Grow a q8 index with a batch: one map-only quantize+assign pass
+    against the FROZEN stored centroids, written as a replay-safe
+    ingest partition — O(|batch|), never a rescan."""
+    spark = new.sparkSession
+    centers = [
+        r._cv for r in spark.read.parquet(f"{path}/centroids")
+        .orderBy("_list").collect()
+    ]
+    if ingest_label is None:
+        from dar_spark.core.ingest import next_append_label
+
+        ingest_label = next_append_label(
+            spark.read.parquet(f"{path}/lists")
+        )
+    e = _as_double_vec(new.select(id_col, vec_col), vec_col)
+    (
+        _q8_list_rows(e, centers, id_col)
+        .repartition("_list")
+        .withColumn("ingest", F.lit(ingest_label))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest")
+        .parquet(f"{path}/lists")
+    )
+    return ingest_label
+
+
+def ivf_q8_index_topk(
+    queries: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """Top-k against a ``write_ivf_q8_index`` store: full-precision
+    queries probe their n_probe nearest stored centroids and rank the
+    probed lists' DEQUANTIZED candidates by cosine — the dot folds
+    codes·scale in element order (engine-deterministic), the stored
+    ``_dqn`` supplies the denominator, zero-scale (zero-vector) rows
+    drop at the ``_dqn > 0`` filter."""
+    spark = queries.sparkSession
+    m = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    if n_probe is None:
+        n_probe = max(2, int(math.isqrt(m.n_lists)))
+    n_probe = min(n_probe, m.n_lists)
+    cdf = spark.read.parquet(f"{index_path}/centroids")
+    lists = spark.read.parquet(f"{index_path}/lists").filter("_dqn > 0")
+    q = _as_double_vec(queries.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_nrm").alias("_qn"),
+    ).filter("_qn > 0")
+    probes = _ivf_probe_lists(q, cdf, n_probe)
+    cand = probes.join(lists, "_list").filter(F.expr(f"{id_col} <> query_id"))
+    dot = (
+        "aggregate(zip_with(_qv, _q, (x, c) -> x * (CAST(c AS DOUBLE) "
+        "* _scale)), 0D, (a, x) -> a + x)"
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"round({dot} / (_qn * _dqn), 6)").alias("cos_q8"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q8"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
+        .filter(f"rank_n <= {k}")
+    )

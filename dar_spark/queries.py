@@ -1983,6 +1983,50 @@ def _embed_ivf_pq_q() -> Q:
     return Q(spark_fn, _IVF_RECALL_ORACLE)
 
 
+def _embed_ivf_q8_q() -> Q:
+    """The COMPRESSED persisted ANN store (similarity.write_ivf_q8_index):
+    IVF lists hold symmetric-INT8 codes instead of float vectors — 4×
+    narrower on disk and in the probe join — and the dequant cosine
+    ranking stays near-exact where small-codebook pure-ADC PQ collapses
+    on unclustered data (measured 0.2).  Same recall contract as the
+    other IVF entries; measured top-5 recall (r9, n_probe=n_lists//2):
+    0.92 / 0.82 / 0.87 at sf0.001/0.01/0.1 — bound {IVF_RECALL_BOUND},
+    min margin 0.27.  Frozen centroids, replay-safe generation appends,
+    grown-index determinism pinned in tests/test_similarity.py."""
+
+    def spark_fn(spark, sf_dir):
+        import hashlib
+        import os
+
+        from dar_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_autoscale,
+            ivf_q8_index_topk,
+            write_ivf_q8_index,
+        )
+
+        t = load_tables(spark, sf_dir)
+        cache_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".csvcache",
+        )
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(cache_root, f"ivfq8-{tag}")
+        n_lists, _ = ivf_autoscale(t["embeddings"].count())
+        write_ivf_q8_index(t["embeddings"], path, n_lists=n_lists)
+        pred = f"vec_id % {TOPK_QUERY_STRIDE} = 0"
+        bf = brute_force_topk(
+            t["embeddings"], "vec_id", "embedding", pred, k=TOPK_K
+        ).select("query_id", "neighbor_id")
+        iv = ivf_q8_index_topk(
+            t["embeddings"].filter(pred), path, k=TOPK_K,
+            n_probe=max(8, n_lists // 2),
+        ).select("query_id", "neighbor_id")
+        return _ivf_recall_row(bf, iv)
+
+    return Q(spark_fn, _IVF_RECALL_ORACLE)
+
+
 def _embed_ivf_indexed_q() -> Q:
     """Persisted-IVF ANN (similarity.write_ivf_index / ivf_index_topk):
     the corpus is assigned ONCE against the deterministic frozen
@@ -3430,6 +3474,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("temp_mixture_budget_docs", _temp_mixture_q()),
         ("temp_mixture_sample_docs", _temp_mixture_sample_q()),
         ("embed_ivf_pq_topk", ivfpq),
+        ("embed_ivf_q8_indexed", _embed_ivf_q8_q()),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
         ("knn_ann_embed", _knn_ann_q()),

@@ -1041,3 +1041,60 @@ def test_ivf_index_append_rejects_dimension_mismatch(spark, tmp_path):
     with _pt.raises((SparkRuntimeException, Py4JJavaError, Exception),
                     match="dimension|assert"):
         append_to_ivf_index(bad, path)
+
+
+def test_ivf_q8_grown_index_deterministic_and_meets_bound(spark, tmp_path):
+    """The compressed store: append == frozen-centroid assignment (the
+    grown index returns identical results under any query layout), and
+    the dequant ranking clears the recall bound with margin."""
+    from dar_spark.operators.similarity import (
+        append_to_ivf_q8_index,
+        brute_force_topk,
+        ivf_q8_index_topk,
+        write_ivf_q8_index,
+    )
+    from dar_spark.queries import IVF_RECALL_BOUND
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    pred = "vec_id % 25 = 0"
+    path = str(tmp_path / "q8")
+    write_ivf_q8_index(e.filter("vec_id % 4 != 0"), path, n_lists=8)
+    append_to_ivf_q8_index(e.filter("vec_id % 4 = 0"), path,
+                           ingest_label="g0")
+    outs = []
+    for parts in (1, 13):
+        outs.append(sorted(
+            (r.query_id, r.neighbor_id, r.rank_n)
+            for r in ivf_q8_index_topk(
+                e.repartition(parts).filter(pred), path, k=5, n_probe=4
+            ).collect()
+        ))
+    assert outs[0] == outs[1] and outs[0]
+
+    full = str(tmp_path / "q8full")
+    write_ivf_q8_index(e, full, n_lists=8)
+    ap = {(r.query_id, r.neighbor_id) for r in ivf_q8_index_topk(
+        e.filter(pred), full, k=5, n_probe=4).collect()}
+    ex = {(r.query_id, r.neighbor_id) for r in brute_force_topk(
+        e, "vec_id", "embedding", pred, k=5).collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= IVF_RECALL_BOUND + 0.1, f"recall {recall:.3f}"
+
+
+def test_ivf_q8_codes_are_tinyint_and_zero_vector_safe(spark, tmp_path):
+    from dar_spark.operators.similarity import (
+        ivf_q8_index_topk,
+        write_ivf_q8_index,
+    )
+
+    rows = [(i, [float(i % 5 + 1), 1.0, 0.5, 0.25]) for i in range(30)]
+    rows.append((100, [0.0, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "q8z")
+    write_ivf_q8_index(df, path, n_lists=3)
+    lists = spark.read.parquet(f"{path}/lists")
+    assert dict(lists.dtypes)["_q"] == "array<tinyint>"
+    out = ivf_q8_index_topk(df.filter("vec_id % 10 = 0"), path,
+                            k=3, n_probe=2).collect()
+    ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
+    assert out and 100 not in ids
