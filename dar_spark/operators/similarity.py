@@ -2165,3 +2165,24 @@ def ivf_q8_index_topk(
         scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
         .filter(f"rank_n <= {k}")
     )
+
+
+def compact_ivf_q8_index(spark, path: str, dest: str) -> None:
+    """q8 twin of ``compact_ivf_index`` — same layout, same pure-I/O
+    recluster of the code lists onto the probe join key; codes are
+    never re-quantized (frozen-centroid/frozen-scale contract)."""
+    if dest == path:
+        raise ValueError("compact_ivf_q8_index requires dest != path")
+    for part in ("meta", "centroids"):
+        spark.read.parquet(f"{path}/{part}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{dest}/{part}")
+    (
+        spark.read.parquet(f"{path}/lists")
+        .drop("ingest")
+        .repartition("_list")
+        .withColumn("ingest", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("ingest")
+        .parquet(f"{dest}/lists")
+    )

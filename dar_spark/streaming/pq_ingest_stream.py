@@ -66,3 +66,27 @@ def streaming_ivf_ingest(
         ),
         checkpoint_dir,
     )
+
+
+def streaming_ivf_q8_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+):
+    """Compressed-store twin of :func:`streaming_ivf_ingest`: each
+    micro-batch is quantized+assigned against the frozen centroids
+    (one map-only pass) and lands as a replay-safe
+    ``stream-<batch_id>`` code partition.  Returns the started
+    StreamingQuery."""
+    from dar_spark.operators.similarity import append_to_ivf_q8_index
+    from dar_spark.streaming.ingest_util import start_labeled_ingest
+
+    return start_labeled_ingest(
+        stream_df,
+        lambda batch, label: append_to_ivf_q8_index(
+            batch, index_path, id_col, vec_col, ingest_label=label
+        ),
+        checkpoint_dir,
+    )

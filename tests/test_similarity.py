@@ -1098,3 +1098,50 @@ def test_ivf_q8_codes_are_tinyint_and_zero_vector_safe(spark, tmp_path):
                             k=3, n_probe=2).collect()
     ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
     assert out and 100 not in ids
+
+
+def test_ivf_q8_compact_and_stream_ingest_preserve_results(spark, tmp_path):
+    """Stream-grown q8 store == batch-grown; compaction collapses the
+    generations with identical query results."""
+    import uuid
+
+    from dar_spark.operators.similarity import (
+        compact_ivf_q8_index,
+        ivf_q8_index_topk,
+        write_ivf_q8_index,
+    )
+    from dar_spark.streaming.pq_ingest_stream import streaming_ivf_q8_ingest
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    pred = "vec_id % 25 = 0"
+    path = str(tmp_path / "q8")
+    write_ivf_q8_index(e.filter("vec_id % 3 = 0"), path, n_lists=8)
+
+    arriving = e.filter("vec_id % 3 != 0").select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    arriving.repartition(3).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(arriving.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = streaming_ivf_q8_ingest(
+        stream, path, checkpoint_dir=str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    grown = sorted((r.query_id, r.neighbor_id, r.rank_n)
+                   for r in ivf_q8_index_topk(e.filter(pred), path,
+                                              k=5, n_probe=4).collect())
+    gens = {r.ingest for r in spark.read.parquet(f"{path}/lists")
+            .select("ingest").distinct().collect()}
+    assert len(gens) > 1  # the stream actually wrote generations
+
+    dest = str(tmp_path / "q8c")
+    compact_ivf_q8_index(spark, path, dest)
+    compacted = sorted((r.query_id, r.neighbor_id, r.rank_n)
+                       for r in ivf_q8_index_topk(e.filter(pred), dest,
+                                                  k=5, n_probe=4).collect())
+    assert compacted == grown
+    gens2 = {r.ingest for r in spark.read.parquet(f"{dest}/lists")
+             .select("ingest").distinct().collect()}
+    assert gens2 == {"base"}
