@@ -2305,35 +2305,47 @@ _EVIDENCE_R8 = [
     "weighted_sample_docs", "zip_full_profile", "zip_quick_profile",
 ]
 
+_EVIDENCE_R9 = [
+    "activity_gaps", "bloom_prefilter_orders", "chunk_dedup_docs",
+    "datacard_by_source_docs", "datacard_incremental_docs",
+    "decontaminate_docs", "dedup_index_append",
+    "dsir_model_append_select", "dsir_resample_docs",
+    "dsir_select_bigram_docs", "dsir_select_docs",
+    "dsir_weight_table_docs", "embed_drift_by_label", "embed_drift_embed",
+    "embed_dup_pairs_auto", "embed_dup_pairs_banded", "embed_ivf_pq_topk",
+    "embed_ivf_q8_indexed", "embed_ivf_topk", "embed_ivf_topk_indexed",
+    "embed_lsh_topk", "embed_lsh_topk_banded", "embed_lsh_topk_indexed",
+    "embed_lsh_topk_p12", "embed_pq_lsh_topk", "event_type_pivot",
+    "fuzzy_state_join_d2", "gopher_quality_docs", "hll_distinct_users",
+    "html_extract_docs", "k_anon_ladder_customer", "k_anonymity_customer",
+    "key_skew_events", "knn_ann_embed", "l_diversity_events",
+    "late_order_priority", "lm_perplexity_docs", "media_bmp_decode",
+    "media_wav_decode", "normalize_docs", "pack_sequences_docs",
+    "pipeline_e2e", "semdedup_embed", "signup_purchase_funnel",
+    "srp_tuning_report_embed", "temp_mixture_budget_docs",
+    "temp_mixture_sample_docs", "tfidf_topk", "token_budget_sample_docs",
+    "zorder_keys_lineitem",
+]
+
 # Queries whose OUTPUT changed since their latest green artifact row —
 # that row certifies behavior that no longer exists, so rotation must
 # treat them as unverified (sorted into the window like new queries).
 # Clear this set once the next round's artifact re-certifies them.
-# embed_ivf_topk: r8 red row (partition-layout-dependent KMeans
-# quantizer); r9 replaces the quantizer with a deterministic fit, so
-# its prior rows certify output that no longer exists.
-# The other ten are the r9 SRP plane-quality fix (per-plane modular-
-# power multipliers, similarity._plane_component) plus the semdedup
-# k=⌈√N⌉ autoscale — enumerated by scripts/hash_outputs.py before/after
-# diff at sf0.01, not guessed from grep.
-SEMANTICS_CHANGED_R9: set[str] = {
-    "embed_ivf_topk",
-    "embed_drift_by_label", "embed_drift_embed", "embed_dup_pairs_banded",
-    "embed_lsh_topk", "embed_lsh_topk_banded", "embed_lsh_topk_indexed",
-    "embed_lsh_topk_p12", "embed_pq_lsh_topk", "semdedup_embed",
-    "srp_tuning_report_embed",
-}
+# The 11 names of SEMANTICS_CHANGED_R9 (the r9 quantizer/SRP-plane/
+# semdedup fixes) were all re-certified green inside the r9 window
+# (CORRECTNESS_r09.json) — the set reset to empty for round 10.
+SEMANTICS_CHANGED_R10: set[str] = set()
 
 # Round-agnostic alias so tests/tools track the CURRENT set without a
 # rename each round.
-SEMANTICS_CHANGED = SEMANTICS_CHANGED_R9
+SEMANTICS_CHANGED = SEMANTICS_CHANGED_R10
 
 EVIDENCE_ROUND: dict[str, int] = {
     name: rnd
     for rnd, names in (
         (2, _EVIDENCE_R2), (3, _EVIDENCE_R3), (4, _EVIDENCE_R4),
         (5, _EVIDENCE_R5), (6, _EVIDENCE_R6), (7, _EVIDENCE_R7),
-        (8, _EVIDENCE_R8),
+        (8, _EVIDENCE_R8), (9, _EVIDENCE_R9),
     )
     for name in names
     if name not in SEMANTICS_CHANGED
