@@ -181,7 +181,10 @@ def bucket_counts(
     one scan — explode is map-side, the aggregate shuffles ≤ B keys
     after map-side partial agg."""
     toks = df.select(
-        F.expr(f"CAST(({target_pred}) AS INT)").alias("_is_t"),
+        # coalesce: a NULL predicate (e.g. lang IS NULL under the
+        # default "lang = 'en'") must count as non-target, not poison
+        # the bucket's SUM(tc) to NULL (which would crash _fold_weights)
+        F.expr(f"coalesce(CAST(({target_pred}) AS INT), 0)").alias("_is_t"),
         F.explode(
             F.expr(feature_arr_sql(SPARK, text_col, ngram_max))
         ).alias("_t"),
@@ -313,7 +316,8 @@ def weight_table_oracle_sql(
     w = weight_micro_sql(d, "tc", "rc", "t_tot", "r_tot", n_buckets)
     unnest = "unnest" if d.name == "duckdb" else "explode"
     return f"""WITH toks AS (
-  SELECT CAST(({target_pred}) AS INT) AS is_t, {unnest}({toks}) AS t
+  SELECT COALESCE(CAST(({target_pred}) AS INT), 0) AS is_t,
+         {unnest}({toks}) AS t
   FROM {table}
 ), tb AS (
   SELECT {bucket} AS bucket, is_t FROM toks
@@ -348,7 +352,7 @@ def _fit_score_ctes(
     w = weight_micro_sql(d, "tc", "rc", "t_tot", "r_tot", n_buckets)
     unnest = "unnest" if d.name == "duckdb" else "explode"
     return f"""WITH toks AS (
-  SELECT {id_col}, CAST(({target_pred}) AS INT) AS is_t,
+  SELECT {id_col}, COALESCE(CAST(({target_pred}) AS INT), 0) AS is_t,
          {unnest}({toks}) AS t
   FROM {table}
 ), tb AS (

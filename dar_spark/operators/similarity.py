@@ -366,13 +366,27 @@ def _ivf_probe_lists(
 ) -> DataFrame:
     """(query_id, _qv, _qn, _list) — each query's ``n_probe`` nearest
     centroids by euclidean distance (broadcast centroid table, ties →
-    lower list id)."""
+    lower list id).
+
+    A query whose DIMENSION disagrees with the centroids raises
+    IN-PLAN via assert_true (the ``_ivf_assign`` contract, shared by
+    every probe path: ``ivf_topk``, ``ivf_index_topk``,
+    ``ivf_q8_index_topk``) — zip_with would otherwise NULL-pad, the
+    fold would go NULL, and the mismatched query would silently rank
+    all centroids (then all candidates) last instead of failing.
+    Stored codes always share the stored centroids' dimension (built
+    together), so guarding the probe guards the whole query path."""
+    guarded = (
+        "IF(assert_true(_d IS NOT NULL, "
+        "'ivf probe: query dimension does not match the stored centroids') "
+        "IS NULL, _d, NULL)"
+    )
     qc = q.crossJoin(F.broadcast(cdf)).withColumn(
         "_d",
         F.expr(
             "aggregate(zip_with(_qv, _cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
         ),
-    )
+    ).withColumn("_d", F.expr(guarded))
     w = Window.partitionBy("query_id").orderBy(F.col("_d"), F.col("_list"))
     return (
         qc.withColumn("_r", F.row_number().over(w))

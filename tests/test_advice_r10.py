@@ -1,0 +1,109 @@
+"""Pins for the round-10 ADVICE items.
+
+- operators/dsir.py — a NULL target predicate (e.g. ``lang IS NULL``
+  under the default ``lang = 'en'``) must count rows as NON-target on
+  both engines: before the fix a bucket populated only by NULL-pred
+  rows got ``tc = NULL`` from SUM and ``_fold_weights`` crashed on
+  ``None + 1``; the DuckDB oracle CTEs likewise produced NULL
+  ``w_micro``.
+- operators/similarity.py — a query vector whose dimension disagrees
+  with the stored centroids must RAISE in-plan on every probe path
+  (``ivf_index_topk`` / ``ivf_q8_index_topk``), matching the
+  ``_ivf_assign`` contract on the build/append side, instead of
+  zip_with NULL-padding the fold and silently ranking the mismatched
+  query's candidates last.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dar_spark.dialect import DUCKDB
+from dar_spark.operators import dsir
+
+
+def _docs_with_null_lang(spark):
+    rows = [
+        (1, "the quick brown fox", "en"),
+        (2, "der schnelle braune fuchs", "de"),
+        (3, "xyzzy plugh qwerty", None),  # NULL-pred rows
+        (4, "xyzzy qwerty corge", None),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    )
+
+
+def test_dsir_null_predicate_counts_as_nontarget(spark):
+    df = _docs_with_null_lang(spark)
+    bc = dsir.bucket_counts(df, n_buckets=64).collect()
+    assert bc, "buckets populated"
+    assert all(r.tc is not None for r in bc), "no NULL tc under NULL pred"
+    # rows 3/4 are all-non-target: total tc = tokens of the one en doc
+    assert sum(r.tc for r in bc) == 4
+    assert sum(r.rc for r in bc) == 14
+    w = dsir.fit_weights_micro(df, n_buckets=64)  # crashed pre-fix
+    assert len(w) == 64 and all(isinstance(x, int) for x in w)
+
+
+def test_dsir_null_predicate_oracle_parity(spark, tmp_path):
+    """Spark weight table == DuckDB oracle on data containing NULL-pred
+    rows (both sides coalesce the predicate to 0)."""
+    df = _docs_with_null_lang(spark)
+    p = str(tmp_path / "docs_null_lang.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    oracle = {
+        int(b): int(wm)
+        for b, rc, tc, wm in con.execute(
+            dsir.weight_table_oracle_sql(DUCKDB, n_buckets=64)
+        ).fetchall()
+    }
+    assert all(v is not None for v in oracle.values())
+    spark_w = dsir.fit_weights_micro(df, n_buckets=64)
+    for b, wm in oracle.items():
+        assert spark_w[b] == wm, f"bucket {b}: spark {spark_w[b]} != {wm}"
+
+
+@pytest.mark.parametrize("store", ["flat", "q8"])
+def test_ivf_query_dimension_mismatch_raises(spark, tmp_path, store):
+    from py4j.protocol import Py4JJavaError
+
+    from dar_spark.operators.similarity import (
+        ivf_index_topk,
+        ivf_q8_index_topk,
+        write_ivf_index,
+        write_ivf_q8_index,
+    )
+
+    dim = 8
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(dim)])
+        for i in range(40)
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / f"ivf_{store}")
+    write, query = (
+        (write_ivf_index, ivf_index_topk)
+        if store == "flat"
+        else (write_ivf_q8_index, ivf_q8_index_topk)
+    )
+    write(e, path, n_lists=4)
+    bad = spark.createDataFrame(
+        [(999, [1.0] * (dim + 3))], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="dimension|assert") as exc:
+        query(bad, path, k=3).collect()
+    assert isinstance(exc.value, Exception) or isinstance(
+        exc.value, Py4JJavaError
+    )
+    # matched-dimension queries still work through the same guard
+    good = spark.createDataFrame(
+        [(999, [1.0] * dim)], "vec_id bigint, embedding array<float>"
+    )
+    out = query(good, path, k=3).collect()
+    assert len(out) == 3
