@@ -540,16 +540,21 @@ def temperature_mixture_budgets(
     was measured in (a filtered count would make the sampler consume
     budget faster than the fit measured).
 
-    Bounds: total_budget·w_micro must fit BIGINT — total_budget ≤ ~9e9
-    with the 1e9 micro scale (w_micro ≤ 1e9 since p ≤ 1).  One token
-    count per group (bounded-key aggregate) + one ≤groups-row
-    normalize; the corpus is scanned once."""
+    Bounds: the budget split multiplies through DECIMAL(20,0) on the
+    Spark side (HUGEINT in the DuckDB oracle) — both exact integer
+    types, so total_budget·w_micro (≤ ~9e27 at the BIGINT-limit budget
+    × the 1e9 micro scale) never overflows and the split stays exact
+    at any corpus size.  total_budget itself is only bounded by BIGINT
+    (< 2⁶³ ≈ 9.2e18 tokens — ~370,000× a 100 TB/25T-token corpus), the
+    output column's type.  One token count per group (bounded-key
+    aggregate) + one ≤groups-row normalize; the corpus is scanned
+    once."""
     if sqrt_steps < 1 or sqrt_steps > 6:
         raise ValueError(f"sqrt_steps must be in 1..6, got {sqrt_steps}")
-    if total_budget > 9_000_000_000:
+    if total_budget >= 1 << 63:
         raise ValueError(
-            "total_budget above ~9e9 overflows the exact integer "
-            "budget split; shard the budget and run per shard"
+            "total_budget must fit BIGINT (the budget_tokens column "
+            f"type): got {total_budget} >= 2**63"
         )
     counts = (
         df.selectExpr(
@@ -573,8 +578,8 @@ def temperature_mixture_budgets(
         weighted.crossJoin(F.broadcast(wtot))
         .selectExpr(
             f"grp AS {group_col}", "n_tokens", "w_micro",
-            f"CAST(({total_budget} * w_micro) DIV w_tot AS BIGINT) "
-            "AS budget_tokens",
+            f"CAST((CAST({total_budget} AS DECIMAL(20,0)) * w_micro) "
+            "DIV w_tot AS BIGINT) AS budget_tokens",
         )
         .orderBy(group_col)
     )
@@ -592,7 +597,13 @@ def temperature_mixture_oracle_sql(
     w = "(CAST(n_tokens AS DOUBLE) / CAST(t_tot AS DOUBLE))"
     for _ in range(sqrt_steps):
         w = f"sqrt({w})"
-    div = d.int_div(f"({total_budget} * w_micro)", "w_tot")
+    # exact wide-integer budget split: HUGEINT (int128) in DuckDB,
+    # DECIMAL(20,0) promotion in Spark — both exact, both floor the
+    # same quotient (pinned cross-engine in tests/test_temperature_mix)
+    wide = "HUGEINT" if d.name == "duckdb" else "DECIMAL(20,0)"
+    div = d.int_div(
+        f"(CAST({total_budget} AS {wide}) * w_micro)", "w_tot"
+    )
     return f"""WITH counts AS (
   SELECT ({group_col}) AS grp, CAST(SUM({ntok}) AS BIGINT) AS n_tokens
   FROM {table} GROUP BY grp

@@ -71,5 +71,48 @@ def test_parameter_validation(spark):
     df = _card(spark, [(1, "t", "a")])
     with pytest.raises(ValueError, match="sqrt_steps"):
         temperature_mixture_budgets(df, 100, sqrt_steps=0)
-    with pytest.raises(ValueError, match="overflows"):
-        temperature_mixture_budgets(df, 10**10)
+    with pytest.raises(ValueError, match="BIGINT"):
+        temperature_mixture_budgets(df, 1 << 63)
+
+
+def test_xl_budget_exact_cross_engine(spark, tmp_path):
+    """A 100 TB-scale budget (30T tokens — 3000× the old ~9e9 BIGINT
+    product bound) splits EXACTLY: Spark's DECIMAL(20,0) wide product,
+    DuckDB's HUGEINT oracle, and Python's unbounded ints all floor the
+    same quotients, and the budgets sum within the total."""
+    import duckdb
+
+    from dar_spark.dialect import DUCKDB
+    from dar_spark.operators.sampling import temperature_mixture_oracle_sql
+
+    total = 30_000_000_000_000
+    rows = (
+        [(i, "t " * 40, "head") for i in range(64)]
+        + [(100 + i, "t " * 9, "mid") for i in range(7)]
+        + [(200, "t " * 3, "tail")]
+    )
+    df = _card(spark, rows)
+    got = {
+        r["source"]: (r["n_tokens"], r["w_micro"], r["budget_tokens"])
+        for r in temperature_mixture_budgets(df, total).collect()
+    }
+    # python replay with unbounded ints
+    w_tot = sum(w for _, w, _ in got.values())
+    for src, (_, w, b) in got.items():
+        assert b == (total * w) // w_tot, src
+    assert sum(b for _, _, b in got.values()) <= total
+    assert max(b for _, _, b in got.values()) > 9_000_000_000  # past old cap
+    # duckdb oracle on the same rows
+    p = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    oracle = {
+        src: (nt, w, b)
+        for src, nt, w, b in con.execute(
+            temperature_mixture_oracle_sql(DUCKDB, total)
+        ).fetchall()
+    }
+    assert oracle == got
