@@ -1,22 +1,27 @@
-"""REAL codecs for codec-free media formats.
+"""REAL codecs for formats the container's stdlib can handle.
 
-The container has no PIL/libav, which blocks JPEG/PNG/MP4 — but
-uncompressed formats need no codec library at all: 24-bit BMP and PCM-16
-WAV are fixed layouts parsed with ``struct`` + numpy.  These are genuine
+The container has no PIL/libav, which blocks JPEG/MP4 — but formats
+whose only compression is DEFLATE (or none) need no codec library at
+all: 24-bit BMP and PCM-16 WAV are fixed layouts parsed with ``struct``
++ numpy, and PNG is chunk framing + zlib (stdlib) + the five RFC 2083
+scanline filters, all implemented here.  These are genuine
 encoders/decoders (byte-exact round-trip, bottom-up BMP row order, row
-padding, RIFF chunk walking), so the multimodal pipeline's decode stage
-is REAL for these mimes and a labeled fake only where a codec is
-genuinely required (see operators/multimodal.py).
+padding, RIFF chunk walking, PNG CRC verification and Sub/Up/Average/
+Paeth reconstruction), so the multimodal pipeline's decode stage is
+REAL for these mimes and a labeled fake only where a codec is
+genuinely required — now just jpeg/mp4 (see operators/multimodal.py).
 
 Everything is deterministic, so the registry query's DuckDB oracle can
 recompute pixel/sample statistics FROM THE GENERATIVE FORMULA without
 ever seeing the bytes — a decoder bug (forgetting BMP's bottom-up
-storage, the BGR channel order, or row padding) breaks the value hash.
+storage, the BGR channel order, row padding, or an off-by-one in a PNG
+filter predictor) breaks the value hash.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -142,3 +147,152 @@ def parse_wav(payload: bytes) -> tuple[int, np.ndarray]:
     if rate is None or samples is None:
         raise ValueError("WAV missing fmt/data chunk")
     return rate, samples
+
+
+# --- PNG (8-bit RGB, color type 2, all 5 scanline filters) ------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_BPP = 3  # bytes per pixel at bit depth 8, color type 2
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized PaethPredictor (RFC 2083 §6.6): nearest of (left, up,
+    up-left) to the linear estimate a + b - c, ties a → b → c."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a real PNG: IHDR /
+    zlib-compressed IDAT / IEND with per-chunk CRCs.  Each scanline y
+    uses filter type ``y % 5`` — legal per the spec (filter choice is
+    per-row and free), and deliberate: the round-trip then exercises
+    every one of the five reconstruction filters, so a decoder that
+    fakes (or fumbles) Sub/Up/Average/Paeth cannot survive the
+    registry query's value hash."""
+    h, w = img.shape[:2]
+    stride = w * _BPP
+    rows = img.reshape(h, stride).astype(np.int64)
+    out = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        raw = rows[y]
+        left = np.concatenate([np.zeros(_BPP, dtype=np.int64), raw[:-_BPP]])
+        upleft = np.concatenate(
+            [np.zeros(_BPP, dtype=np.int64), prev[:-_BPP]]
+        )
+        f = y % 5
+        if f == 0:
+            filt = raw
+        elif f == 1:
+            filt = raw - left
+        elif f == 2:
+            filt = raw - prev
+        elif f == 3:
+            filt = raw - (left + prev) // 2
+        else:
+            filt = raw - _paeth(left, prev, upleft)
+        out.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(out), 6)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_png(width: int, height: int, seed: int) -> bytes:
+    """Encode the generative-formula image (``bmp_pixel`` — the shared
+    pixel formula the DuckDB oracle replays relationally) as a real
+    PNG."""
+    x = np.arange(width, dtype=np.int64)[None, :, None]
+    y = np.arange(height, dtype=np.int64)[:, None, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    img = ((seed + 7 * x + 13 * y + 29 * c) % 256).astype(np.uint8)
+    return encode_png(img)
+
+
+def parse_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit RGB (color type 2, non-interlaced) PNG to an
+    (H, W, 3) uint8 array: chunk walk with CRC verification, zlib
+    inflate, then full Sub/Up/Average/Paeth unfiltering.  Raises
+    ValueError on anything else — loud, not a silent fake.
+
+    Unfiltering is byte-sequential within a row (Sub/Average/Paeth
+    predict from RECONSTRUCTED left neighbors), so the inner loop is
+    Python — fine here because decode parallelism comes from the
+    Arrow-batched mapInPandas seam, not from vectorizing one image.
+    """
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, dims = 8, [], None
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG {ctype!r} chunk CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, bits, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (bits, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG: bits={bits} color={color} "
+                    f"interlace={interlace}"
+                )
+            dims = (w, h)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if dims is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h = dims
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * _BPP
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length does not match dimensions")
+    img = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        f, filt = line[0], line[1:]
+        prev = img[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        cur = img[y]
+        if f == 0:
+            cur[:] = np.frombuffer(filt, dtype=np.uint8)
+        elif f == 2:  # Up: vectorizable (no left dependency)
+            cur[:] = (np.frombuffer(filt, dtype=np.uint8) + prev) % 256
+        elif f in (1, 3, 4):
+            for i in range(stride):
+                left = cur[i - _BPP] if i >= _BPP else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + prev[i]) // 2
+                else:
+                    upleft = prev[i - _BPP] if i >= _BPP else 0
+                    pred = int(
+                        _paeth(
+                            np.int64(left), prev[i], np.int64(upleft)
+                        )
+                    )
+                cur[i] = (filt[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+    return img.astype(np.uint8).reshape(h, w, _BPP)

@@ -6,15 +6,16 @@ steps are Arrow-batched ``mapInPandas`` stages so Python touches data
 in columnar batches, never row-at-a-time, and each stage is a narrow
 transformation (no shuffle).
 
-Decode is REAL for codec-free formats: 24-bit BMP and PCM-16 WAV parse
-for real via operators/media_codecs.py (struct + numpy — no codec
-library needed), and the bmp/wav stat stages below are value-hash-
-oracled against the generative pixel/sample formulas.  Codec-REQUIRING
-formats (png/mp4) still use DETERMINISTIC FAKES (clearly marked): the
-container has no PIL/libav.  The Spark-side plumbing — schema, batch
-iteration, UDF signatures, partition behavior — is identical either
-way; swapping a fake for a codec is a pure function replacement inside
-the pandas iterator.
+Decode is REAL for stdlib-decodable formats: 24-bit BMP, PCM-16 WAV,
+and PNG (8-bit RGB — chunk framing + zlib inflate + all five scanline
+filters) parse for real via operators/media_codecs.py (struct + numpy
++ stdlib zlib — no codec library needed), and the bmp/wav/png stat
+stages below are value-hash-oracled against the generative
+pixel/sample formulas.  Codec-REQUIRING formats (jpeg/mp4) still use
+DETERMINISTIC FAKES (clearly marked): the container has no PIL/libav.
+The Spark-side plumbing — schema, batch iteration, UDF signatures,
+partition behavior — is identical either way; swapping a fake for a
+codec is a pure function replacement inside the pandas iterator.
 """
 
 from __future__ import annotations
@@ -144,10 +145,32 @@ def _wav_meta(payload: bytes) -> tuple[int, int, int]:
     return len(samples), 1, 1
 
 
-# codec-free formats decode FOR REAL out of the box (media_codecs.py);
-# png/mp4 have NO registered decoder in this container (no PIL/libav)
-# and always take the labeled fake fallback
+def _png_meta(payload: bytes) -> tuple[int, int, int]:
+    from dar_spark.operators.media_codecs import parse_png
+
+    img = parse_png(payload)
+    return img.shape[1], img.shape[0], 1
+
+
+def _png_resize(payload: bytes, max_dim: int) -> tuple[bytes, int, int]:
+    from dar_spark.operators.media_codecs import (
+        encode_png,
+        parse_png,
+        resize_nearest,
+    )
+
+    small = resize_nearest(parse_png(payload), max_dim)
+    return encode_png(small), small.shape[1], small.shape[0]
+
+
+# stdlib-decodable formats decode FOR REAL out of the box
+# (media_codecs.py — PNG via zlib + the 5 scanline filters); jpeg/mp4
+# have NO registered decoder in this container (no PIL/libav) and
+# always take the labeled fake fallback, as do synthetic non-PNG bytes
+# carrying an image/png mime (ValueError → _fallback_meta, so the
+# legacy fake-payload fixtures keep their pinned outputs)
 register_decoder("image/bmp", MediaDecoder(_bmp_meta, _bmp_resize))
+register_decoder("image/png", MediaDecoder(_png_meta, _png_resize))
 register_decoder("audio/wav", MediaDecoder(_wav_meta))
 
 
@@ -335,27 +358,29 @@ BMP_STATS_SCHEMA = StructType(
 )
 
 
-def bmp_decode_stats(media: DataFrame) -> DataFrame:
-    """REAL image decode: parse each 24-bit BMP payload
-    (operators/media_codecs.parse_bmp — bottom-up rows, BGR order, row
-    padding all handled for real) and emit integer pixel statistics.
-    The stats are chosen to catch decoder bugs: channel sums (BGR swap),
-    the top-left corner sum (vertical flip), and the y-weighted R moment
-    (row order).  All integer aggregates — engine-exact, so the DuckDB
-    oracle recomputes them from the generative pixel formula without
-    ever seeing the bytes.  Arrow-batched mapInPandas, narrow."""
-    import numpy as np
-
-    from dar_spark.operators.media_codecs import parse_bmp
+def _pixel_stats(media: DataFrame, parser_name: str) -> DataFrame:
+    """Shared REAL-image-decode stats stage: parse each payload with
+    the named media_codecs parser and emit integer pixel statistics.
+    The stats are chosen to catch decoder bugs: channel sums (BGR swap
+    / filter slips), the top-left corner sum (vertical flip), and the
+    y-weighted R moment (row order).  All integer aggregates —
+    engine-exact, so the DuckDB oracle recomputes them from the
+    generative pixel formula without ever seeing the bytes.
+    Arrow-batched mapInPandas, narrow."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from dar_spark.operators import media_codecs
+
+        parse = getattr(media_codecs, parser_name)
         for pdf in it:
             out = {k: [] for k in (
                 "media_id", "width", "height", "sum_r", "sum_g", "sum_b",
                 "corner", "y_moment",
             )}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                img = parse_bmp(p if isinstance(p, bytes) else bytes(p))
+                img = parse(p if isinstance(p, bytes) else bytes(p))
                 h, w = img.shape[:2]
                 img64 = img.astype(np.int64)
                 out["media_id"].append(mid)
@@ -370,6 +395,20 @@ def bmp_decode_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, BMP_STATS_SCHEMA)
+
+
+def bmp_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode over 24-bit BMP payloads
+    (operators/media_codecs.parse_bmp — bottom-up rows, BGR order, row
+    padding all handled for real); see :func:`_pixel_stats`."""
+    return _pixel_stats(media, "parse_bmp")
+
+
+def png_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode over PNG payloads
+    (operators/media_codecs.parse_png — chunk CRCs, zlib inflate, and
+    full Sub/Up/Average/Paeth unfiltering); see :func:`_pixel_stats`."""
+    return _pixel_stats(media, "parse_png")
 
 
 WAV_STATS_SCHEMA = StructType(
