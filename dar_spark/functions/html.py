@@ -10,21 +10,39 @@ the markup-shape metrics used for boilerplate filtering (text-to-HTML
 ratio — the classic content-vs-chrome discriminator — and tag/link
 densities).
 
-Deliberately NOT a DOM parser: a real browser-grade parser is a
-Pandas-UDF seam like the classifier (operators/classify.py) — swap it
-in with the identical output contract.  The expression form handles
-the regular 99% of crawl markup, runs inside whole-stage codegen with
-zero Python, and — because every regex is backslash-free and supported
-by both Java regex and RE2 — extracts byte-identically in Spark and
-the DuckDB oracle.
+TWO extraction paths, one output contract:
 
-Scale: pure per-row projections; no shuffle, no UDF, no state.
+- ``html_extract`` / ``html_extract_sql``: the expression form —
+  handles the regular 99% of crawl markup, runs inside whole-stage
+  codegen with zero Python, and — because every regex is
+  backslash-free and supported by both Java regex and RE2 — extracts
+  byte-identically in Spark and the DuckDB oracle.
+- ``html_extract_dom``: the DOM-grade form behind the promised
+  Pandas seam (the classifier pattern, operators/classify.py) — a
+  real event-driven tokenizer (stdlib ``html.parser``, the HTML5-ish
+  tokenization CPython ships) in an Arrow-batched ``mapInPandas``
+  stage.  On well-formed markup it is BYTE-IDENTICAL to the
+  expression path (pinned by the registry value hash and the fuzz
+  corpus in tests/test_html.py); it differs — correctly — on the
+  regex path's known failure classes: bare ``<>``/``</>`` tokens
+  (regex strips, tokenizer treats as text), markup truncated
+  mid-tag at EOF, unterminated comments/CDATA, and ``</script>``
+  sequences inside script string literals.
+
+Scale: the expression path is pure per-row projections (no shuffle, no
+UDF, no state); the DOM path is a narrow Arrow-batched stage with the
+same no-shuffle shape as the multimodal decoders.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 from dar_spark.dialect import SPARK, Dialect
 from dar_spark.functions.text import clean_text_sql
@@ -83,8 +101,118 @@ def html_markup_metrics_sql(
     ]
 
 
+# --- DOM-grade extraction (the Pandas seam) ---------------------------------
+
+_ENTITY_TABLE = [
+    # &amp; must unescape LAST or '&amp;lt;' would double-unescape —
+    # the exact clean_text_sql order, so the two paths share entity
+    # semantics to the byte
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def extract_main_text_dom(html: str) -> str:
+    """DOM-grade main-text extraction of ONE document: event-driven
+    tokenization via stdlib ``html.parser.HTMLParser`` — script/style
+    content is dropped by CONTAINER STATE (a skip-depth over real
+    start/end tag events), not by pattern-matching the byte stream, so
+    attribute values containing ``<``, weird casing, and whitespace
+    inside tags are handled by the tokenizer's grammar rather than a
+    regex approximation.  Tags, comments, declarations, and processing
+    instructions each contribute one space (the expression path's
+    separator contract); the final entity/whitespace normalization is
+    the clean_text_sql sequence, byte-for-byte.
+
+    Python per-document is the honest cost of DOM grade — this
+    function is only ever called from the Arrow-batched seam below,
+    where parallelism comes from partitions, not from vectorizing one
+    document."""
+    import re
+    from html.parser import HTMLParser
+
+    class _MainText(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=False)
+            self.parts: list[str] = []
+            self.skip_depth = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip_depth += 1
+            self.parts.append(" ")
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style") and self.skip_depth:
+                self.skip_depth -= 1
+            self.parts.append(" ")
+
+        def handle_startendtag(self, tag, attrs):
+            self.parts.append(" ")
+
+        def handle_data(self, data):
+            if not self.skip_depth:
+                self.parts.append(data)
+
+        def handle_entityref(self, name):
+            # keep the literal — the shared _ENTITY_TABLE pass below
+            # decides which of the five contract entities unescape
+            if not self.skip_depth:
+                self.parts.append(f"&{name};")
+
+        def handle_charref(self, name):
+            if not self.skip_depth:
+                self.parts.append(f"&#{name};")
+
+        def handle_comment(self, data):
+            self.parts.append(" ")
+
+        def handle_decl(self, decl):
+            self.parts.append(" ")
+
+        def handle_pi(self, data):
+            self.parts.append(" ")
+
+        def unknown_decl(self, data):
+            self.parts.append(" ")
+
+    p = _MainText()
+    p.feed(html)
+    p.close()
+    out = "".join(p.parts)
+    for ent, ch in _ENTITY_TABLE:
+        out = out.replace(ent, ch)
+    return re.sub("[ \t]+", " ", out).strip(" ")
+
+
+def html_extract_dom(
+    df: DataFrame, html_col: str = "html", out_col: str = "main_text"
+) -> DataFrame:
+    """Append ``out_col`` = DOM-grade main text of ``html_col`` via an
+    Arrow-batched ``mapInPandas`` stage (the classifier seam shape:
+    narrow, no shuffle, Python touches data one Arrow batch at a
+    time).  Same output contract as the expression path; see the
+    module docstring for the (deliberate) divergence classes."""
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = [
+                extract_main_text_dom(h) if h is not None else None
+                for h in pdf[html_col]
+            ]
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
 __all__ = [
+    "extract_main_text_dom",
     "html_extract",
+    "html_extract_dom",
     "html_extract_sql",
     "html_markup_metrics_sql",
 ]

@@ -116,3 +116,106 @@ def test_extract_fuzz_cross_engine(spark, frags):
         f"SELECT {m_d['n_tags']} AS a, {m_d['n_links']} AS b, {m_d['text_ratio']} AS c"
     ).fetchone()
     assert tuple(row_s) == tuple(row_d), repr("".join(frags))
+
+
+# --- DOM-grade path (functions/html.html_extract_dom) -----------------------
+
+
+def _expr_extract(spark, raw: str) -> str:
+    lit = chr(39) + raw.replace("'", "''") + chr(39)
+    (got,) = spark.sql(
+        f"SELECT {html_extract_sql(SPARK, lit)} AS t"
+    ).collect()[0]
+    return got
+
+
+def test_dom_matches_expression_on_wellformed(spark):
+    from dar_spark.functions.html import extract_main_text_dom
+
+    cases = [
+        '<html><head><title>doc 5 &amp; more</title>'
+        '<style>.nav { color: red; }</style></head><body>'
+        '<!-- build 5 --><h1>en &lt;corpus&gt;</h1><p>hello world</p>'
+        '<div class="nav"><a href="/home">home</a></div></body></html>',
+        '<p>a</p><script type="text/javascript">var x=1;</script><b>c</b>',
+        '<a href="/x">link</a> plain &nbsp;text &quot;q&quot;',
+        '<div class="y">nested <i>em</i><br/></div>',
+        'no markup at all',
+        '',
+    ]
+    for raw in cases:
+        assert extract_main_text_dom(raw) == _expr_extract(spark, raw), raw
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_FRAGMENTS, min_size=0, max_size=25))
+def test_dom_fuzz_agrees_outside_divergence_classes(spark, frags):
+    """On the fuzz corpus the DOM tokenizer and the expression chain
+    agree EXCEPT on the regex path's documented failure classes —
+    exactly the inputs a DOM parser exists to handle differently."""
+    from dar_spark.functions.html import extract_main_text_dom
+
+    raw = "".join(frags)
+    import re as _re
+
+    diverging = (
+        "<>" in raw or "</>" in raw          # regex strips, tokenizer keeps
+        or "<![CDATA[" in raw                 # CDATA framing
+        or raw.rstrip().endswith(("<", "<p", "<script", "<!--"))  # EOF cut
+        # a stray '<' not opening a tag (e.g. '<<p>', '< text'): the
+        # tokenizer emits it as data, the regex consumes to the next '>'
+        or _re.search("<[^a-zA-Z/!>]", raw) is not None
+        # an unterminated opener swallows differently per engine
+        or ("<!--" in raw and "-->" not in raw.split("<!--", 1)[1])
+        or ("<script" in raw and "</script>" not in raw.split("<script", 1)[1])
+        or ("<style" in raw and "</style>" not in raw.split("<style", 1)[1])
+    )
+    if diverging:
+        extract_main_text_dom(raw)  # must still terminate, never raise
+        return
+    assert extract_main_text_dom(raw) == _expr_extract(spark, raw), repr(raw)
+
+
+def test_dom_divergence_classes_pinned():
+    """The divergences are FEATURES of DOM grade — pin each class's
+    DOM-side output so behavior is documented, not accidental."""
+    from dar_spark.functions.html import extract_main_text_dom
+
+    # bare <> is not a tag to the tokenizer: it survives as text
+    assert extract_main_text_dom("a<>b") == "a<>b"
+    # markup truncated mid-tag at EOF: close() flushes the incomplete
+    # construct back out as literal data (CPython tokenizer behavior)
+    assert extract_main_text_dom("word<p") == "word<p"
+    assert extract_main_text_dom("keep<!-- lost forever") == (
+        "keep<!-- lost forever"
+    )
+    # script containment is stateful: a '</script>' inside a string
+    # literal still closes the element for BOTH paths, but what
+    # follows differs — the tokenizer resumes text mode immediately
+    assert (
+        extract_main_text_dom('<script>var s="</script>leak";</script>ok')
+        == 'leak"; ok'
+    )
+
+
+def test_html_extract_dom_stage_batches(tables):
+    """The mapInPandas stage appends main_text to every row and equals
+    the expression path over the real wrapped fixture corpus."""
+    from dar_spark.functions.html import html_extract_dom
+
+    docs = tables["documents"].selectExpr(
+        "doc_id",
+        "('<html><body><h1>' || lang || '</h1><p>' || text || "
+        "'</p></body></html>') AS html",
+    ).limit(80)
+    got = {
+        r.doc_id: r.main_text
+        for r in html_extract_dom(docs).select("doc_id", "main_text").collect()
+    }
+    want = {
+        r.doc_id: r.t
+        for r in docs.selectExpr(
+            "doc_id", f"{html_extract_sql(SPARK, 'html')} AS t"
+        ).collect()
+    }
+    assert got == want and len(got) == 80
