@@ -727,6 +727,92 @@ n AS (
 SELECT vec_id_a, vec_id_b, cos_sim FROM scored WHERE cos_sim >= {cos_threshold}"""
 
 
+def srp_pairs_auto_oracle_sql(source_sql: str, cos_threshold: float) -> str:
+    """DuckDB twin of ``dedup.embedding_dup_pairs(method='lsh')`` in
+    its AUTOSCALED default configuration — the oracle recomputes
+    ``srp_pairs_autoscale`` IN SQL, so one static string value-hashes
+    the scale-safe production plan at every fixture size:
+
+    - ``planes = max(8, min(30, bit_length(max(1, n-1))))`` via
+      ``length(bin(...))`` over the corpus COUNT — integer arithmetic,
+      no float log2 boundary risk;
+    - ``bands`` from a precomputed planes→bands CASE (the
+      ``srp_bands_for_miss`` table for this threshold, evaluated in
+      Python at emission time — the transcendental band-sizing math
+      never runs in either engine);
+    - the per-plane modular-power multipliers as ONE literal array
+      indexed by the global plane id ``t*planes + j`` (same constants
+      as ``_plane_component``), with the bucket string assembled by an
+      ORDER BY j ``string_agg`` — relational banding instead of the
+      static per-plane grammar, identical bits.
+
+    Everything downstream (band-prefixed keys, Hamming-1 multiprobe on
+    the a-side, per-pair dedup, left-fold exact cosine, 6-dp round)
+    mirrors ``srp_pairs_oracle_sql``."""
+    fold = duck_fold
+    flip = DUCK_FLIP
+    # planes ∈ [8, 30] by construction; bands for each possible count
+    bands_case = "CASE planes " + " ".join(
+        f"WHEN {p} THEN {srp_bands_for_miss(p, cos_threshold)}"
+        for p in range(N_PLANES, 31)
+    ) + " END"
+    max_bands = max(
+        srp_bands_for_miss(p, cos_threshold) for p in range(N_PLANES, 31)
+    )
+    mults = ", ".join(
+        str(pow(2654435761, g + 1, 1000003)) for g in range(30 * max_bands)
+    )
+    comp = (
+        "(CAST(((CAST(i AS BIGINT) * mu.m[t * planes + j + 1] "
+        "+ CAST(t * planes + j AS BIGINT) * 1315423911 + 97) % 1000003) "
+        "AS DOUBLE) / 1000003.0 - 0.5)"
+    )
+    prods = f"list_transform(generate_series(1, len(v)), i -> v[i] * {comp})"
+    cos_prods = (
+        "list_transform(generate_series(1, len(va)), i -> va[i] * vb[i])"
+    )
+    return f"""WITH src AS ({source_sql}),
+cfg AS (
+  SELECT planes, {bands_case} AS bands FROM (
+    SELECT greatest({N_PLANES}, least(30,
+           length(bin(greatest(COUNT(*) - 1, 1))))) AS planes
+    FROM src)
+), mu AS (SELECT [{mults}] AS m),
+n0 AS (
+  SELECT vec_id, v,
+         sqrt({fold('list_transform(v, x -> x * x)')}) AS nrm
+  FROM src
+), bits AS (
+  SELECT vec_id, t, j,
+         CASE WHEN {fold(prods)} >= 0 THEN '1' ELSE '0' END AS bit
+  FROM n0 CROSS JOIN cfg CROSS JOIN mu
+       CROSS JOIN range(0, {max_bands}) tt(t)
+       CROSS JOIN range(0, 30) jj(j)
+  WHERE t < bands AND j < planes
+), buckets AS (
+  SELECT vec_id, t, string_agg(bit, '' ORDER BY j) AS bt
+  FROM bits GROUP BY vec_id, t
+), a AS (
+  SELECT n0.vec_id AS vec_id_a, n0.v AS va, n0.nrm AS na,
+         CAST(t AS VARCHAR) || ':' ||
+           (CASE WHEN p = 0 THEN bt ELSE {flip} END) AS b
+  FROM buckets JOIN n0 USING (vec_id) CROSS JOIN cfg
+       CROSS JOIN range(0, 31) pp(p)
+  WHERE p <= planes
+), bb AS (
+  SELECT buckets.vec_id, n0.v AS vb, n0.nrm,
+         CAST(t AS VARCHAR) || ':' || bt AS b
+  FROM buckets JOIN n0 USING (vec_id)
+), scored AS (
+  SELECT DISTINCT a.vec_id_a, bb.vec_id AS vec_id_b,
+         round({fold(cos_prods)} / (a.na * bb.nrm), 6) AS cos_sim
+  FROM a JOIN bb ON a.b = bb.b
+  WHERE a.vec_id_a < bb.vec_id
+)
+SELECT vec_id_a, vec_id_b, cos_sim FROM scored
+WHERE cos_sim >= {cos_threshold}"""
+
+
 def write_ann_index(
     embeddings: DataFrame,
     path: str,
