@@ -2267,6 +2267,120 @@ def ivf_q8_index_topk(
     )
 
 
+def ivf_index_balance(spark, path: str) -> DataFrame:
+    """One-row list-balance report over a persisted IVF store (flat or
+    q8 — anything with a ``lists/_list`` layout): total rows, largest
+    list, max/mean ``balance_ratio``, and the empty-list fraction.
+
+    THIS IS THE RECLUSTER TRIGGER.  Frozen-at-build centroids mean
+    streaming appends from a DRIFTED distribution pile into the few
+    lists nearest the new mode: probe cost grows with the biggest list
+    and recall falls because n_probe lists no longer cover the
+    neighbors (measured in tests/test_ivf_drift.py: recall 0.95 →
+    ~0.7 after a same-size drifted append at balance_ratio ~5).  A
+    balanced index sits at balance_ratio ~1–3; sustained readings
+    above ~4, or a growing ``frac_empty``, mean appends have drifted
+    off the fitted quantizer — run :func:`recluster_ivf_q8_index`
+    (NOT ``compact_*``, which only fixes file layout, never
+    assignment).  O(n_lists) aggregate — cheap enough to run per
+    append batch."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    per = (
+        spark.read.parquet(f"{path}/lists")
+        .groupBy("_list")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return per.agg(
+        F.lit(int(meta.n_lists)).alias("n_lists"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.max("sz").cast("bigint").alias("max_list"),
+        (F.sum("sz") / F.lit(int(meta.n_lists))).alias("mean_list"),
+        (F.max("sz") * F.lit(int(meta.n_lists)) / F.sum("sz")).alias(
+            "balance_ratio"
+        ),
+        (1.0 - F.count(F.lit(1)) / F.lit(int(meta.n_lists))).alias(
+            "frac_empty"
+        ),
+    )
+
+
+def ivf_ingest_drift_report(spark, path: str) -> DataFrame:
+    """Per-ingest-partition quantizer-fit report over a q8 store: how
+    far each batch's (dequantized) vectors sit from their assigned
+    frozen centroid — ``(ingest, n_rows, mean_dist, max_dist)``.
+
+    THE COVARIATE-DRIFT TRIGGER, complementing
+    :func:`ivf_index_balance`: drift has two failure modes and they
+    need different instruments.  (1) MODE PILE-UP — a new mode lands
+    in one list; probe cost explodes but recall often survives
+    (candidates stay co-located).  balance_ratio catches this.
+    (2) COVARIATE SPREAD — appended vectors are far from EVERY frozen
+    centroid, so assignment degenerates to noise and a mode's vectors
+    scatter across lists; balance can look healthy while recall
+    collapses (measured in tests/test_ivf_drift.py: 0.97 → ~0.5 at an
+    unchanged balance reading).  An appended batch whose ``mean_dist``
+    reads ≫ the base partition's (≥ ~2× is the documented rule) is
+    off the fitted quantizer — run :func:`recluster_ivf_q8_index`.
+    One scan of the lists table, O(ingest labels) output."""
+    cdf = spark.read.parquet(f"{path}/centroids")
+    lists = spark.read.parquet(f"{path}/lists")
+    dist = (
+        "sqrt(aggregate(zip_with(transform(_q, c -> CAST(c AS DOUBLE) "
+        "* _scale), _cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"
+    )
+    return (
+        lists.join(F.broadcast(cdf), "_list")
+        .select("ingest", F.expr(dist).alias("_d"))
+        .groupBy("ingest")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.avg("_d").alias("mean_dist"),
+            F.max("_d").alias("max_dist"),
+        )
+        .orderBy("ingest")
+    )
+
+
+def recluster_ivf_q8_index(
+    spark,
+    path: str,
+    dest: str,
+    n_lists: int | None = None,
+    fit_sample_max: int = 100_000,
+) -> None:
+    """Re-fit the coarse quantizer from the STORE ITSELF and rebuild at
+    ``dest`` — the answer when :func:`ivf_index_balance` trips after
+    drifted appends, without requiring the raw corpus to still exist
+    (at 100 TB the floats are usually gone; the store is the system of
+    record).
+
+    Vectors are DEQUANTIZED from the stored INT8 codes (x ≈ code ×
+    scale), centroids re-fit on them (``ivf_fit_centroids``'s bounded
+    deterministic sample), and codes re-encoded from the dequantized
+    values.  Quantization error therefore compounds ONCE per recluster
+    (re-encoding a dequantized value is near-lossless — the grid is
+    per-vector — but it is not the identity); callers that retained
+    the originals should prefer ``write_ivf_q8_index`` on them.
+    Recall recovery is measured in tests/test_ivf_drift.py."""
+    if dest == path:
+        raise ValueError("recluster_ivf_q8_index requires dest != path")
+    lists = spark.read.parquet(f"{path}/lists")
+    reserved = {"_list", "_scale", "_q", "_dqn", "ingest"}
+    id_col = next(c for c in lists.columns if c not in reserved)
+    if n_lists is None:
+        n_lists = int(spark.read.parquet(f"{path}/meta").collect()[0].n_lists)
+    deq = lists.select(
+        id_col,
+        F.expr(
+            "transform(_q, c -> CAST(c AS DOUBLE) * _scale)"
+        ).alias("_deq_v"),
+    )
+    write_ivf_q8_index(
+        deq, dest, id_col=id_col, vec_col="_deq_v",
+        n_lists=n_lists, fit_sample_max=fit_sample_max,
+    )
+
+
 def compact_ivf_q8_index(spark, path: str, dest: str) -> None:
     """q8 twin of ``compact_ivf_index`` — same layout, same pure-I/O
     recluster of the code lists onto the probe join key; codes are

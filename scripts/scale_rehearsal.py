@@ -137,25 +137,31 @@ def write_outputs(payload: dict) -> None:
         f.write("\n")
     print(f"wrote {out_json}")
 
-    lo, hi = payload["scales"]
+    lo, hi = payload["scales"][0], payload["scales"][1]
     lines = [
         MARK_BEGIN,
         "",
         f"Measured by `scripts/scale_rehearsal.py` (min-of-{payload['n_runs']}, "
         f"local[{payload['cpus']}], generator fixtures at sf{lo:g}/sf{hi:g}; "
-        "see docs/scale_rehearsal.json, gated by tests/test_scale_rehearsal.py):",
+        "see docs/scale_rehearsal.json, gated by tests/test_scale_rehearsal.py). "
+        "Rows with a second-decade column were re-measured at sf10 "
+        "(`--extend-decade`) to confirm the first-decade exponent is not a "
+        "fixed-overhead artifact:",
         "",
-        f"| query | t sf{lo:g} (s) | t sf{hi:g} (s) | exponent |",
-        "|---|---|---|---|",
+        f"| query | t sf{lo:g} (s) | t sf{hi:g} (s) | exponent "
+        "| t sf10 (s) | exp sf1→10 |",
+        "|---|---|---|---|---|---|",
     ]
     for name in sorted(payload["queries"]):
         r = payload["queries"][name]
         if "error" in r:
-            lines.append(f"| {name} | — | — | ERROR: {r['error']} |")
+            lines.append(f"| {name} | — | — | ERROR: {r['error']} | — | — |")
         else:
+            d2t = r.get("t_sf10", "—")
+            d2e = r.get("exponent_sf1_sf10", "—")
             lines.append(
                 f"| {name} | {r[f't_sf{lo:g}']} | {r[f't_sf{hi:g}']} "
-                f"| {r['exponent']} |"
+                f"| {r['exponent']} | {d2t} | {d2e} |"
             )
     lines += ["", MARK_END]
     block = "\n".join(lines)
@@ -185,10 +191,38 @@ def main() -> None:
         "headliners — avoids re-timing the whole set; scales/cpus/runs "
         "must match the committed artifact)",
     )
+    ap.add_argument(
+        "--extend-decade", action="store_true",
+        help="run the SECOND decade (sf1 -> sf10) for the --only subset "
+        "and merge t_sf10 / exponent_sf1_sf10 keys into the existing "
+        "rows — the check that the 0.06-0.3 first-decade exponents are "
+        "not fixed-overhead artifacts (constant per-query overhead "
+        "deflates exponents when t is sub-second; at sf1-second costs "
+        "the second decade measures the real asymptotic term)",
+    )
     args = ap.parse_args()
+    prev_path = os.path.join(REPO, "docs", "scale_rehearsal.json")
+    if args.extend_decade:
+        if not args.only:
+            raise SystemExit("--extend-decade requires --only <queries>")
+        payload = run([1.0, 10.0], args.runs, args.cpus, only=args.only)
+        with open(prev_path) as f:
+            prev = json.load(f)
+        for name, row in payload["queries"].items():
+            dest = prev["queries"].setdefault(name, {})
+            if "error" in row:
+                dest["decade2_error"] = row["error"]
+                continue
+            dest["t_sf10"] = row["t_sf10"]
+            dest["exponent_sf1_sf10"] = round(
+                math.log(row["t_sf10"] / row["t_sf1"]) / math.log(10), 3
+            )
+        if 10.0 not in prev["scales"] and 10 not in prev["scales"]:
+            prev["scales"] = prev["scales"] + [10]
+        write_outputs(prev)
+        return
     payload = run(sorted(args.scales), args.runs, args.cpus, only=args.only)
     if args.only:
-        prev_path = os.path.join(REPO, "docs", "scale_rehearsal.json")
         with open(prev_path) as f:
             prev = json.load(f)
         for k in ("scales", "cpus", "n_runs"):

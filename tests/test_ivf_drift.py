@@ -1,0 +1,184 @@
+"""INT8-IVF behavior under ingest drift (VERDICT r9 #7).
+
+The q8 store freezes its coarse quantizer at build
+(similarity.write_ivf_q8_index), so streaming appends from a DRIFTED
+distribution are assigned against centroids that never saw them.  The
+measured failure anatomy (these tests pin all of it):
+
+- MODE PILE-UP: a new mode lands in the one or two lists nearest it.
+  Probe COST explodes (the biggest list approaches the whole appended
+  mass — IVF's sublinearity is gone) while recall often SURVIVES,
+  because the co-located candidates are exactly what the query probes.
+  ``ivf_index_balance``'s balance_ratio is the trigger (pinned: ~2 at
+  build → >4 after a same-size drifted append → ~2 after recluster).
+- QUANTIZER MISFIT: whatever the geometry, a drifted batch sits far
+  from every frozen centroid.  ``ivf_ingest_drift_report`` reads the
+  per-ingest mean assign distance from the store alone — pinned here
+  at a >5x jump for the drifted partition (the documented recluster
+  rule is ≥2x).  This catches drift even when balance looks healthy
+  (covariate spread assigns noisily across many lists).
+- RECALL under q8 resolution: within-mode neighbor spacing below the
+  INT8 grid caps recall identically for the drifted, compacted AND
+  reclustered stores — compaction is pinned recall-NEUTRAL (it fixes
+  file layout, never assignment), recluster is pinned recall-safe
+  (never worse) and restores list balance so probe cost returns to
+  the build regime.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+K = 5
+DIM = 16
+N_BASE = 400
+N_DRIFT = 400
+N_LISTS = 8
+
+# base distribution: 4 modes in dims [0, 8), tiny noise elsewhere
+_BASE_VEC = (
+    f"transform(sequence(0, {DIM - 1}), d -> "
+    "CASE WHEN d < 8 "
+    "THEN CAST(5 + ((id % 4) * 7 + 3 * d) % 11 AS DOUBLE) "
+    "+ CAST((id * 2654435761 + d * 40503) % 1000 AS DOUBLE) / 125.0 "
+    "ELSE CAST((id * 48271 + d * 16807) % 1000 AS DOUBLE) / 10000.0 END)"
+)
+# drifted distribution: 4 modes in dims [8, 16) — a region the frozen
+# quantizer never fit
+_DRIFT_VEC = (
+    f"transform(sequence(0, {DIM - 1}), d -> "
+    "CASE WHEN d >= 8 "
+    "THEN CAST(5 + ((id % 4) * 7 + 3 * d) % 11 AS DOUBLE) "
+    "+ CAST((id * 2654435761 + d * 40503) % 1000 AS DOUBLE) / 125.0 "
+    "ELSE CAST((id * 48271 + d * 16807) % 1000 AS DOUBLE) / 1000.0 END)"
+)
+_QUERY_PRED = f"vec_id >= {N_BASE} AND vec_id % 10 = 0"
+
+
+def _corpus(spark):
+    """Deterministic (no RNG) base + drifted corpus from ONE range —
+    a single-range CASE sidesteps the Catalyst union-constraint issue
+    with expressions over two separate spark.range frames."""
+    return spark.range(N_BASE + N_DRIFT).selectExpr(
+        "id AS vec_id",
+        f"CASE WHEN id < {N_BASE} THEN {_BASE_VEC} "
+        f"ELSE {_DRIFT_VEC} END AS embedding",
+    )
+
+
+def _recall(spark, path, full) -> float:
+    from dar_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_q8_index_topk,
+    )
+
+    truth: dict = {}
+    for r in brute_force_topk(
+        full, "vec_id", "embedding", _QUERY_PRED, k=K
+    ).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict = {}
+    for r in ivf_q8_index_topk(full.filter(_QUERY_PRED), path, k=K).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert truth, "ground truth must be non-empty"
+    return sum(len(truth[q] & got.get(q, set())) for q in truth) / sum(
+        len(v) for v in truth.values()
+    )
+
+
+@pytest.fixture(scope="module")
+def drifted_store(spark, tmp_path_factory):
+    """Build on base → append drifted → compact → recluster, once for
+    the module; every test reads the same four stores."""
+    from dar_spark.operators.similarity import (
+        append_to_ivf_q8_index,
+        compact_ivf_q8_index,
+        recluster_ivf_q8_index,
+        write_ivf_q8_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("ivf_drift"))
+    full = _corpus(spark)
+    path = os.path.join(root, "q8")
+    write_ivf_q8_index(full.filter(f"vec_id < {N_BASE}"), path,
+                       n_lists=N_LISTS)
+    from dar_spark.operators.similarity import ivf_index_balance
+
+    bal_build = ivf_index_balance(spark, path).collect()[0]
+    append_to_ivf_q8_index(full.filter(f"vec_id >= {N_BASE}"), path)
+    cpath = os.path.join(root, "q8_compact")
+    compact_ivf_q8_index(spark, path, cpath)
+    rpath = os.path.join(root, "q8_recluster")
+    recluster_ivf_q8_index(spark, path, rpath)
+    return {"full": full, "bal_build": bal_build, "drifted": path,
+            "compacted": cpath, "reclustered": rpath}
+
+
+def test_balance_trigger_fires_on_pileup_and_recluster_clears_it(
+    spark, drifted_store
+):
+    from dar_spark.operators.similarity import ivf_index_balance
+
+    bal0 = drifted_store["bal_build"]
+    bal1 = ivf_index_balance(spark, drifted_store["drifted"]).collect()[0]
+    bal2 = ivf_index_balance(spark, drifted_store["reclustered"]).collect()[0]
+    # the documented threshold (~4) separates the healthy build and
+    # the reclustered store from the drifted one by a wide margin
+    assert bal0.balance_ratio < 4.0 < bal1.balance_ratio
+    assert bal2.balance_ratio < 4.0
+    assert bal1.n_rows == N_BASE + N_DRIFT == bal2.n_rows
+    # pile-up concretely: the drifted mode all landed in ~one list, so
+    # the biggest list holds ≥ the whole appended mass — the probe-cost
+    # explosion the trigger exists to catch
+    assert bal1.max_list >= N_DRIFT
+    assert bal2.max_list < N_DRIFT
+
+
+def test_ingest_drift_report_flags_the_drifted_partition(
+    spark, drifted_store
+):
+    from dar_spark.operators.similarity import ivf_ingest_drift_report
+
+    rep = {
+        r.ingest: r
+        for r in ivf_ingest_drift_report(
+            spark, drifted_store["drifted"]
+        ).collect()
+    }
+    assert set(rep) == {"base", "append-1"}
+    assert rep["base"].n_rows == N_BASE
+    assert rep["append-1"].n_rows == N_DRIFT
+    # the documented recluster rule is mean_dist ≥ 2x the base
+    # partition's; the fixture measures >5x (actual ~11x)
+    assert rep["append-1"].mean_dist > 5 * rep["base"].mean_dist
+    # after recluster the partitions collapse to one refit generation
+    # whose fit covers both modes — no partition reads drifted
+    rep2 = ivf_ingest_drift_report(
+        spark, drifted_store["reclustered"]
+    ).collect()
+    assert len(rep2) == 1
+    assert rep2[0].mean_dist < 2 * rep["base"].mean_dist
+
+
+def test_recall_floors_and_compaction_is_neutral(spark, drifted_store):
+    full = drifted_store["full"]
+    r_drifted = _recall(spark, drifted_store["drifted"], full)
+    r_compacted = _recall(spark, drifted_store["compacted"], full)
+    r_reclustered = _recall(spark, drifted_store["reclustered"], full)
+    print(
+        f"recall drifted={r_drifted:.3f} compacted={r_compacted:.3f} "
+        f"reclustered={r_reclustered:.3f}"
+    )
+    # compaction is layout-only: recall must be IDENTICAL
+    assert r_compacted == r_drifted
+    # recluster must never cost recall, and the drifted store must
+    # still clear the family's floor (pile-up keeps candidates
+    # co-located, so recall survives while probe cost does not — the
+    # measured anatomy this module documents)
+    assert r_reclustered >= r_drifted
+    from dar_spark.queries import IVF_RECALL_BOUND
+
+    assert r_drifted >= IVF_RECALL_BOUND
+    assert r_reclustered >= IVF_RECALL_BOUND
