@@ -36,8 +36,10 @@ from dar_spark.refdata import (
     BORO_ABBREVS,
     BORO_NAMES,
     E164_CC_BY_LEN,
+    E164_CC_LEN_FIRST_TRIPLES,
     E164_CC_LEN_PAIRS,
     E164_PATTERN,
+    E164_REFINED_CCS,
     NANP_AREA_CODES,
     STATE_ACRONYMS,
     TERRITORY_AREA_CODES,
@@ -154,20 +156,44 @@ def _intl_status_expr(d: Dialect, c: str, strict_reference: bool = False) -> str
     exactly once (the code lists, and the 'cc:len' pair list split by
     code length) — the same folded-constant-hash-set strategy as the
     NANP tables, sized so the plan does not triple the literal volume.
-    Residual divergence vs the library (per-country digit-pattern
-    metadata beyond length) is fuzz-pinned in tests/test_phone_v1.py."""
+
+    For the 21 top-traffic codes in refdata.E164_CC_LEN_FIRST the
+    model additionally requires the national number's FIRST DIGIT to
+    be reachable under the country's general_desc pattern
+    (leading-digit table derived symbolically from the same public
+    metadata by scripts/gen_phone_leading.py; national-prefix
+    compositions over-approximated, so no library-valid number is ever
+    rejected).  Measured on the 44k-number deterministic fuzz corpus:
+    the accepted-but-library-invalid residual drops from 83.6%
+    (length-only) to 30.9% (refined) — pinned in
+    tests/test_phone_v1.py.  Codes outside the table keep the
+    length-only model; exact per-country plan semantics stay behind
+    the Arrow path in functions/phone_lib.py."""
     parsed_invalid = 3 if strict_reference else 5
     branches = []
     for n in (1, 2, 3):
         pairs_n = [p for p in E164_CC_LEN_PAIRS if p.index(":") == n]
-        pair = (
-            f"(substr({c}, 1, {n}) || ':' || "
-            f"{d.cast_str(f'(length({c}) - {n})')})"
+        refined_n = [cc for cc in E164_REFINED_CCS if len(cc) == n]
+        triples_n = [
+            t for t in E164_CC_LEN_FIRST_TRIPLES if t.index(":") == n
+        ]
+        nsn_len = d.cast_str(f"(length({c}) - {n})")
+        pair = f"(substr({c}, 1, {n}) || ':' || {nsn_len})"
+        triple = (
+            f"(substr({c}, 1, {n}) || ':' || {nsn_len} "
+            f"|| ':' || substr({c}, {n} + 1, 1))"
         )
+        ok = "1"
+        if refined_n:
+            ok = (
+                f"(CASE WHEN {d.in_strings(f'substr({c}, 1, {n})', refined_n)} "
+                f"AND NOT {d.in_strings(triple, triples_n)} "
+                f"THEN {parsed_invalid} ELSE 1 END)"
+            )
         branches.append(
             f"WHEN {d.in_strings(f'substr({c}, 1, {n})', E164_CC_BY_LEN[n])} "
             f"THEN (CASE WHEN {d.in_strings(pair, pairs_n)} "
-            f"THEN 1 ELSE {parsed_invalid} END)"
+            f"THEN {ok} ELSE {parsed_invalid} END)"
         )
     body = "\n  ".join(branches)
     return f"""CASE

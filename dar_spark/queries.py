@@ -2368,8 +2368,13 @@ _EVIDENCE_R9 = [
 # Clear this set once the next round's artifact re-certifies them.
 # The 11 names of SEMANTICS_CHANGED_R9 (the r9 quantizer/SRP-plane/
 # semdedup fixes) were all re-certified green inside the r9 window
-# (CORRECTNESS_r09.json) — the set reset to empty for round 10.
-SEMANTICS_CHANGED_R10: set[str] = set()
+# (CORRECTNESS_r09.json) — that set reset to empty for round 10.
+# phone_v1_profile: the r10 E.164 leading-digit refinement
+# (refdata.E164_CC_LEN_FIRST) turns length-possible/pattern-unreachable
+# international numbers from 1 into 5; hash-diffed at all three fixture
+# sfs by scripts/hash_outputs.py (phone_v1_intl_profile measured
+# UNCHANGED — its fixture's intl numbers are all pattern-reachable).
+SEMANTICS_CHANGED_R10: set[str] = {"phone_v1_profile"}
 
 # Round-agnostic alias so tests/tools track the CURRENT set without a
 # rename each round.

