@@ -789,13 +789,32 @@ def srp_candidate_pairs(
     id_col: str,
     n_planes: int,
     n_bands: int,
+    distinct: bool = True,
 ) -> DataFrame:
     """Banded SRP candidate pairs over a ``(_v, _nrm)`` vector frame
     (``similarity._as_double_vec`` output): per band an independent
     plane set buckets every vector, the a-side probes its bucket plus
     all Hamming-1 flips, and one band-prefixed equi-join carries all
     bands at once.  Returns ``(vec_id_a, vec_id_b, va, na, vb, nb)``
-    with ``vec_id_a < vec_id_b``, distinct per pair.
+    with ``vec_id_a < vec_id_b`` — distinct per pair when
+    ``distinct=True``.
+
+    SHUFFLE SHAPE (the sf10 rehearsal measured this the hard way):
+    the ONLY full shuffle is the probe equi-join's, sized
+    n_bands·(n_planes+1)·N payload rows — bounded, corpus-linear, and
+    independent of how many candidates the join emits.  The join
+    OUTPUT (which on cluster-structured corpora can be orders of
+    magnitude larger than N — sub-threshold label clusters share
+    buckets at rate q(cos, planes) and emitted ~184M candidate rows on
+    the 200k-vector sf10 fixture) is NEVER shuffled: it pipelines
+    straight into the caller's exact-cosine verify.  That is why
+    ``distinct=False`` exists — ``embedding_dup_pairs`` verifies the
+    multiplicity-carrying stream (a pair re-found by k bands costs k
+    cheap dot products) and dedups AFTER the threshold filter, when
+    only true near-dup rows survive.  Deduping candidates BEFORE the
+    verify — or hydrating id-only pairs through a second join — puts
+    the full candidate set through an exchange (~100+ GB at sf10,
+    which ran the rehearsal box out of spill disk in both layouts).
 
     This IS the production candidate stage of ``embedding_dup_pairs``
     (method='lsh'); ``lshtune.srp_tuning_report`` reuses it so its
@@ -838,7 +857,7 @@ def srp_candidate_pairs(
         F.explode(F.array(*b_keys)).alias("_b"),
     )
     pairs = a.join(b, "_b").filter("vec_id_a < vec_id_b")
-    if n_bands > 1:
+    if distinct and n_bands > 1:
         # within one band a pair matches through exactly one probe,
         # but several bands can each find the same pair — dedup on
         # the two long ids (cheap), never on the vector payload
@@ -954,14 +973,27 @@ def embedding_dup_pairs(
         b = e.select(F.col(id_col).alias("vec_id_b"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb"))
         pairs = a.join(b, F.expr("vec_id_a < vec_id_b"))
     elif method == "lsh":
-        pairs = srp_candidate_pairs(e, id_col, n_planes, n_bands)
+        # distinct=False: verify the multiplicity-carrying candidate
+        # stream (pipelined, zero shuffles) and dedup after the
+        # threshold filter, when only true near-dup rows remain —
+        # deduping the pre-verify candidate set shuffles the join
+        # output, which on cluster-structured corpora is the largest
+        # dataset in the whole plan (see srp_candidate_pairs)
+        pairs = srp_candidate_pairs(
+            e, id_col, n_planes, n_bands, distinct=False
+        )
     else:
         raise ValueError(f"unknown method {method!r}")
-    return pairs.selectExpr(
+    out = pairs.selectExpr(
         "vec_id_a",
         "vec_id_b",
         "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x) / (na * nb), 6) AS cos_sim",
     ).filter(f"cos_sim >= {cos_threshold}")
+    if method == "lsh" and n_bands > 1:
+        # duplicate survivors are bit-identical rows (same cosine), so
+        # the post-filter dedup is a small exact shuffle
+        out = out.dropDuplicates(["vec_id_a", "vec_id_b"])
+    return out
 
 
 def chunk_dedup(

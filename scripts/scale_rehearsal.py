@@ -213,6 +213,7 @@ def main() -> None:
             if "error" in row:
                 dest["decade2_error"] = row["error"]
                 continue
+            dest.pop("decade2_error", None)  # a retry supersedes a failure
             dest["t_sf10"] = row["t_sf10"]
             dest["exponent_sf1_sf10"] = round(
                 math.log(row["t_sf10"] / row["t_sf1"]) / math.log(10), 3

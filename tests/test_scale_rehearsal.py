@@ -99,6 +99,66 @@ def test_no_headline_query_scales_superlinearly():
     )
 
 
+# Second-decade rows allowed above the envelope, with the measured
+# anatomy that makes the number the honest cost of the semantics:
+JUSTIFIED_DECADE2: dict[str, str] = {
+    # All-pairs near-dup on a CLUSTER-STRUCTURED corpus: the sf10
+    # fixture's 10 label clusters sit at within-cluster cos ~0.6, so
+    # candidate mass is (within-cluster pairs) x q(cos, planes) — the
+    # log2(N) plane autoscale decays q by only 0.705/plane against
+    # sub-threshold cluster mass (vs 0.5 for spread data), leaving a
+    # ~N^1.5 verified-candidate count (measured 1.52).  The r10
+    # shuffle-shape fix (srp_candidate_pairs distinct=False +
+    # post-filter dedup) makes EVERY super-linear byte pipelined
+    # whole-stage-codegen verify compute: shuffles stay corpus-linear
+    # (probe join bounded at B(P+1)N rows; dedup touches only
+    # post-threshold survivors), so the cost scales horizontally with
+    # executors instead of hitting a memory/disk cliff — the sf10 run
+    # that previously died on 100+GB exchanges now completes with
+    # linear spill.  n_planes stays a caller dial for cluster-heavy
+    # corpora (see the embedding_dup_pairs docstring).
+    "embed_dup_pairs_auto_only": (
+        "all-pairs near-dup: cluster-mass candidates are pipelined "
+        "verify compute; shuffles stay linear"
+    ),
+}
+
+
+def test_second_decade_confirms_index_family_exponents():
+    """The sf1→sf10 extension (--extend-decade) exists to check that
+    the index/dedup families' tiny first-decade exponents are not
+    fixed-overhead artifacts: at sf1-to-sf10 the per-query constant is
+    amortized, so the measured exponent is the real asymptotic term.
+    Gate: the subset is present and every second-decade exponent stays
+    under the same O(n log n) envelope unless justified above.
+    (Measured r10: 0.14–0.50 for the index/dedup families — higher
+    than the overhead-deflated first decade, still clearly
+    sub-linear.)"""
+    payload = _artifact()
+    rows = {
+        n: r for n, r in payload["queries"].items()
+        if "exponent_sf1_sf10" in r
+    }
+    assert len(rows) >= 8, (
+        f"second-decade subset shrank to {sorted(rows)} — re-run "
+        "scripts/scale_rehearsal.py --extend-decade"
+    )
+    bad = {
+        n: r["exponent_sf1_sf10"]
+        for n, r in rows.items()
+        if r["exponent_sf1_sf10"] > MAX_EXPONENT and n not in JUSTIFIED_DECADE2
+    }
+    assert not bad, f"second-decade super-linear: {bad}"
+    dead = [n for n in JUSTIFIED_DECADE2 if n not in rows]
+    assert not dead, f"stale decade-2 justifications: {dead}"
+    errs = {
+        n: r["decade2_error"]
+        for n, r in payload["queries"].items()
+        if "decade2_error" in r
+    }
+    assert not errs, f"second-decade rows errored: {errs}"
+
+
 def test_justifications_are_not_stale():
     """Every JUSTIFIED name must still exist in the artifact — a dead
     entry means the justification outlived the query it excused."""
