@@ -553,3 +553,86 @@ def coords_part_value(
   WHEN ({coords_pair_status(d, x, strict_reference)}) <> 1 THEN NULL
   ELSE ({latlong_value(d, part)})
 END"""
+
+
+# ---------------------------------------------------------------------------
+# payment-card (Luhn) validator + free-text redaction — the PII tier the
+# email/phone/SSN chain can't do with patterns alone: card shapes are
+# just digit runs, so real pipelines gate on the ISO/IEC 7812 Luhn
+# checksum to kill the false positives.  Pure expressions (nested
+# higher-order functions — verified supported by both engines), exact
+# cross-engine.
+# ---------------------------------------------------------------------------
+
+# candidate extraction patterns (backslash-free, leftmost non-overlap in
+# both Java regex and RE2): a bare 13-19 digit run, and the grouped
+# 4-4-4-4 form with single space/dash separators.  Group 2 is the
+# candidate; the leading (^|[^0-9]) boundary stops a longer digit run
+# from contributing its 19-digit prefix (a >19 run's prefix can still
+# surface as a candidate — the Luhn gate is what rejects it).
+CARD_RUN_PATTERN = "(^|[^0-9])([0-9]{13,19})"
+CARD_GROUPED_PATTERN = "(^|[^0-9])([0-9]{4}([ -][0-9]{4}){3})"
+
+
+def luhn_valid_sql(d: Dialect, c: str) -> str:
+    """ISO/IEC 7812 Luhn checksum over a digits-only string expression:
+    from the RIGHT, double every second digit, subtract 9 above 9, sum
+    ≡ 0 (mod 10).  One transform + integer left-fold — engine-exact."""
+    digit = f"(ascii(substr({c}, i, 1)) - 48)"
+    contrib = (
+        f"CASE WHEN (length({c}) - i) % 2 = 1 "
+        f"THEN (CASE WHEN {digit} * 2 > 9 THEN {digit} * 2 - 9 "
+        f"ELSE {digit} * 2 END) ELSE {digit} END"
+    )
+    arr = d.arr_transform(
+        d.int_seq("1", f"length({c})"), f"i -> CAST({contrib} AS BIGINT)"
+    )
+    return f"({d.arr_sum_long(arr)} % 10 = 0)"
+
+
+def card_status(d: Dialect, x: str) -> str:
+    """Validator-suite status for a payment-card column (the V-family
+    convention): 4 null tier, 3 not card-shaped (non-digit residue
+    after separator strip, or length outside 13-19), 5 card-shaped but
+    Luhn-invalid (the shape/plan split exactly mirroring phone v0/v1),
+    1 Luhn-valid."""
+    s = d.cast_str(x)
+    c = d.re_replace(s, "[ -]", "")
+    return f"""CASE
+  WHEN {x} IS NULL OR {s} = '' OR lower({s}) = 'n/a' THEN 4
+  WHEN NOT {d.rlike(c, '^[0-9]+$')} THEN 3
+  WHEN length({c}) < 13 OR length({c}) > 19 THEN 3
+  WHEN {luhn_valid_sql(d, c)} THEN 1
+  ELSE 5
+END"""
+
+
+def _card_candidates(d: Dialect, x: str) -> str:
+    """Array of Luhn-VALID card candidate substrings of free text
+    (longest first, so grouped forms replace before their digit
+    fragments could)."""
+    s = d.cast_str(x)
+    runs = f"regexp_extract_all({s}, '{CARD_RUN_PATTERN}', 2)"
+    grouped = f"regexp_extract_all({s}, '{CARD_GROUPED_PATTERN}', 2)"
+    if d.name == "duckdb":
+        cands = f"list_concat({grouped}, {runs})"
+    else:
+        cands = f"concat({grouped}, {runs})"
+    digits = d.re_replace("c", "[ -]", "")
+    return d.arr_filter(cands, f"c -> {luhn_valid_sql(d, digits)}")
+
+
+def redact_cards_sql(d: Dialect, x: str) -> str:
+    """Replace every Luhn-valid card substring (bare 13-19 digit runs
+    and grouped 4-4-4-4 forms) with ``<CARD>``; checksum-invalid
+    lookalikes pass through untouched — the discrimination a pure
+    pattern redactor cannot make.  Fold-replace over the candidate
+    array: deterministic, no UDF, exact in both engines."""
+    s = d.cast_str(x)
+    cands = _card_candidates(d, x)
+    if d.name == "duckdb":
+        return (
+            f"list_reduce(list_prepend({s}, {cands}), "
+            f"(acc, c) -> replace(acc, c, '<CARD>'))"
+        )
+    return f"aggregate({cands}, {s}, (acc, c) -> replace(acc, c, '<CARD>'))"

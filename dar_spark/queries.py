@@ -1204,6 +1204,98 @@ PII_INJECT = (
 )
 
 
+CARD_FIXTURE = [
+    "4111111111111111",     # valid bare 16-digit
+    "5500 0055 5555 5559",  # valid grouped
+    "340000000000009",      # valid bare 15-digit (amex length)
+    "6011-0009-9013-9424",  # valid dash-grouped
+    "4111111111111112",     # Luhn-INVALID 16-digit lookalike
+    "1234 5678 9012 3456",  # Luhn-INVALID grouped lookalike
+]
+
+_CARD_PICK = "CASE " + " ".join(
+    f"WHEN doc_id % 6 = {i} THEN '{c}'" for i, c in enumerate(CARD_FIXTURE)
+) + " END"
+
+CARD_INJECT = f"text || ' card ' || {_CARD_PICK} || ' end'"
+
+
+def _card_profile_q() -> Q:
+    """Payment-card validator (validators.card_status — the V-family
+    extension): status histogram over a deterministically synthesized
+    card column mixing valid bare/grouped/dashed forms, Luhn-invalid
+    lookalikes, non-card garbage, and the null tier.  The Luhn checksum
+    runs as a transform + integer fold in BOTH engines, so the 1-vs-5
+    split is value-hash-exact."""
+    col = (
+        "CASE WHEN doc_id % 8 = 6 THEN 'n/a' "
+        "WHEN doc_id % 8 = 7 THEN 'id-' || CAST(doc_id AS STRING) "
+        f"ELSE ({_CARD_PICK.replace('doc_id % 6', 'doc_id % 8')}) END"
+    )
+    col_duck = col.replace("AS STRING", "AS VARCHAR")
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.validators import card_status
+
+        t = load_tables(spark, sf_dir)
+        return (
+            parallelize(t["documents"])
+            .selectExpr("doc_id", f"({col}) AS card")
+            .selectExpr(f"({card_status(SPARK, 'card')}) AS status")
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy("status")
+        )
+
+    from dar_spark.functions.validators import card_status
+
+    oracle = f"""WITH src AS (
+  SELECT doc_id, ({col_duck}) AS card FROM documents
+)
+SELECT ({card_status(DUCKDB, 'card')}) AS status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM src GROUP BY 1 ORDER BY status"""
+    return Q(spark_fn, oracle)
+
+
+def _cards_redact_q() -> Q:
+    """Luhn-verified card redaction over free text
+    (validators.redact_cards_sql): deterministically injected cards —
+    valid bare/grouped/dashed forms AND checksum-invalid lookalikes —
+    where only the Luhn-valid ones may be replaced by <CARD>.  A
+    pattern-only redactor (no checksum) scrubs the lookalikes too and
+    fails the value hash."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.validators import redact_cards_sql
+
+        t = load_tables(spark, sf_dir)
+        return (
+            parallelize(t["documents"])
+            .selectExpr("doc_id", f"({CARD_INJECT}) AS raw")
+            .selectExpr(
+                "doc_id",
+                f"({redact_cards_sql(SPARK, 'raw')}) AS redacted",
+            )
+            .selectExpr(
+                "doc_id", "redacted",
+                "CAST(size(split(redacted, '<CARD>')) - 1 AS INT) AS n_cards",
+            )
+        )
+
+    from dar_spark.functions.validators import redact_cards_sql
+
+    oracle = f"""WITH base AS (
+  SELECT doc_id, ({CARD_INJECT}) AS raw FROM documents
+), red AS (
+  SELECT doc_id, ({redact_cards_sql(DUCKDB, 'raw')}) AS redacted FROM base
+)
+SELECT doc_id, redacted,
+       CAST(len(string_split(redacted, '<CARD>')) - 1 AS INT) AS n_cards
+FROM red"""
+    return Q(spark_fn, oracle)
+
+
 def _pii_redact_q() -> Q:
     """PII scrubbing — the release gate of a training-data pipeline:
     emails, formatted and bare phone numbers, and SSN-shaped ids are
@@ -3564,6 +3656,8 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("media_png_decode", _png_decode_q()),
         ("html_extract_dom_docs", _html_extract_dom_q()),
         ("embed_dup_pairs_auto_only", _embed_dup_pairs_auto_only_q()),
+        ("card_profile", _card_profile_q()),
+        ("pii_cards_redact_docs", _cards_redact_q()),
     ]
 
 

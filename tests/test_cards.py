@@ -1,0 +1,111 @@
+"""Payment-card Luhn validator + free-text redaction
+(functions/validators.py card_status / redact_cards_sql)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dar_spark.dialect import DUCKDB, SPARK
+from dar_spark.functions import validators as V
+
+
+def _luhn_py(c: str) -> bool:
+    c = c.replace(" ", "").replace("-", "")
+    total = 0
+    for i, ch in enumerate(c):
+        d = int(ch)
+        if (len(c) - 1 - i) % 2 == 1:
+            d = d * 2 - 9 if d * 2 > 9 else d * 2
+        total += d
+    return total % 10 == 0
+
+
+STATUS_CASES = {
+    "4111111111111111": 1,      # visa test number
+    "4111 1111 1111 1111": 1,   # grouped
+    "6011-0009-9013-9424": 1,   # dash-grouped
+    "340000000000009": 1,       # 15-digit amex length
+    "30569309025904": 1,        # 14-digit diners length
+    "4111111111111112": 5,      # checksum fails
+    "1234 5678 9012 3456": 5,
+    "123456789012": 3,          # 12 digits — too short
+    "12345678901234567890": 3,  # 20 digits — too long
+    "4111a11111111111": 3,      # non-digit residue
+    "": 4,
+    "n/a": 4,
+    None: 4,
+}
+
+
+def test_card_status_both_engines(spark):
+    con = duckdb.connect()
+    rows = [(i, v) for i, v in enumerate(STATUS_CASES)]
+    df = spark.createDataFrame(rows, "k int, x string")
+    got_s = {
+        r.k: r.s
+        for r in df.selectExpr(
+            "k", f"({V.card_status(SPARK, 'x')}) AS s"
+        ).collect()
+    }
+    for k, (v, want) in enumerate(STATUS_CASES.items()):
+        assert got_s[k] == want, f"spark {v!r}: {got_s[k]} != {want}"
+        lit = "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+        (got_d,) = con.sql(
+            f"SELECT ({V.card_status(DUCKDB, lit)})"
+        ).fetchone()
+        assert got_d == want, f"duckdb {v!r}: {got_d} != {want}"
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(alphabet="0123456789", min_size=13, max_size=19))
+def test_luhn_sql_matches_python(digits):
+    """The SQL checksum fold agrees with an independent Python Luhn on
+    arbitrary digit strings (DuckDB evaluates; the Spark emitter shares
+    every subexpression through the dialect)."""
+    (got,) = duckdb.sql(
+        f"SELECT ({V.luhn_valid_sql(DUCKDB, repr(digits))})"
+    ).fetchone()
+    assert got == _luhn_py(digits)
+
+
+def test_redaction_discriminates_by_checksum(spark):
+    text = (
+        "pay 4111111111111111 or 4111111111111112, grouped "
+        "5500 0055 5555 5559 vs 1234 5678 9012 3456, amex "
+        "340000000000009, order 12345678 ok"
+    )
+    want = (
+        "pay <CARD> or 4111111111111112, grouped "
+        "<CARD> vs 1234 5678 9012 3456, amex "
+        "<CARD>, order 12345678 ok"
+    )
+    (got_d,) = duckdb.sql(
+        f"SELECT {V.redact_cards_sql(DUCKDB, repr(text))}"
+    ).fetchone()
+    assert got_d == want
+    df = spark.createDataFrame([(text,)], "x string")
+    (got_s,) = df.selectExpr(
+        f"{V.redact_cards_sql(SPARK, 'x')} AS r"
+    ).collect()[0]
+    assert got_s == want
+
+
+def test_card_profile_histogram_is_exact(tables, spark):
+    """The registry fixture's status histogram follows from doc_id
+    arithmetic: residues 0-5 map onto CARD_FIXTURE (4 valid → 1, 2
+    lookalikes → 5), residue 6 is the null tier, residue 7 garbage."""
+    from dar_spark.queries import build_registry
+
+    q = build_registry()["card_profile"]
+    got = {r.status: r.n for r in q.spark(spark, "/root/testdata/sf0.001").collect()}
+    n = tables["documents"].count()
+    want = {
+        1: sum(1 for i in range(n) if i % 8 < 4),
+        5: sum(1 for i in range(n) if i % 8 in (4, 5)),
+        4: sum(1 for i in range(n) if i % 8 == 6),
+        3: sum(1 for i in range(n) if i % 8 == 7),
+    }
+    assert got == want
