@@ -381,3 +381,43 @@ def test_r9_queries_no_scale_killers(spark):
         assert "CartesianProduct" not in p, name
     p = _executed(spark, "embed_dup_pairs_auto")
     assert p.count("CartesianProduct") == 1  # the brute baseline only
+
+
+def test_r10_queries_plan_shapes(spark):
+    """The r10 additions keep their intended shapes:
+
+    - card_profile / pii_cards_redact_docs: the Luhn checksum is pure
+      Catalyst expressions — any Python eval node means the fold fell
+      off the JVM hot path;
+    - embed_dup_pairs_auto_only: the autoscaled pairs path alone must
+      carry NO cartesian/nested-loop join (its recall-contract sibling
+      embed_dup_pairs_auto keeps the one sanctioned brute baseline);
+    - media_png_decode / html_extract_dom_docs: exactly the narrow
+      Arrow-batched stages they declare — Python appears ONLY as
+      mapInPandas (no row-at-a-time BatchEvalPython), and the PNG
+      pipeline never shuffles (the HTML query's only exchange is its
+      final presentation orderBy);
+    - the capped kNN headliners keep knn_classify's map-only corpus
+      side: no exchange beyond the single-row seed-fold aggregate.
+    """
+    for name in ("card_profile", "pii_cards_redact_docs"):
+        p = _executed(spark, name)
+        assert "Python" not in p, f"{name} fell off the JVM hot path"
+    p = _executed(spark, "embed_dup_pairs_auto_only")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    for name in ("media_png_decode", "html_extract_dom_docs"):
+        p = _executed(spark, name)
+        assert "BatchEvalPython" not in p, f"{name}: row-at-a-time Python"
+        assert "MapInPandas" in p, f"{name}: Arrow seam missing"
+    p = _executed(spark, "media_png_decode")
+    # the only exchange is the fixture's explicit parallelize()
+    # round-robin; the encode→decode stages themselves are narrow (a
+    # hash exchange would mean a shuffle crept into the pipeline)
+    assert "hashpartitioning" not in p, "png decode must stay narrow"
+    for name in ("knn_label_prop_capped", "knn_label_noise_capped"):
+        p = _executed(spark, name)
+        # the only exchanges are the fixture round-robin, the seed
+        # fold's SinglePartition, and its broadcast — a hash exchange
+        # would mean the corpus side started shuffling
+        assert "hashpartitioning" not in p, f"{name}: corpus-side shuffle"
