@@ -908,3 +908,42 @@ scored AS (
 SELECT {id_col}, score_bm25, CAST(rn AS BIGINT) AS rank_n FROM (
   SELECT *, ROW_NUMBER() OVER (ORDER BY score_bm25 DESC, {id_col}) AS rn
   FROM scored) WHERE rn <= {k}"""
+
+
+# --- secrets / infrastructure-identifier redaction ---------------------------
+# The second scrubbing tier of a crawl-release pipeline: credentials and
+# host identifiers that leak from pasted configs, CI logs, and .env
+# files.  Backslash-free, alternatives ordered longest-first so
+# leftmost-first (Java) and RE2 (DuckDB) pick identical matches.  IPv4
+# enforces the 0-255 octet range IN the pattern; the 32-64 hex run
+# covers API secrets and auth digests (md5/sha256 hex); short hex runs
+# (< 32) deliberately survive.  Version strings shaped like a.b.c.d
+# with all octets <= 255 DO match the IP pattern — the standard
+# overredaction tradeoff, documented here rather than hidden.
+
+_OCTET = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+
+SECRET_PATTERNS = [
+    ("AWSKEY", "(AKIA|ASIA)[0-9A-Z]{16}"),
+    ("GHTOKEN", "gh[pousr]_[A-Za-z0-9]{36,255}"),
+    ("HEXSECRET", "[0-9a-f]{32,64}"),
+    ("IP", f"{_OCTET}([.]{_OCTET}){{3}}"),
+]
+
+
+def redact_secrets_sql(d, x: str) -> str:
+    """Nested regexp_replace chain over SECRET_PATTERNS — same
+    one-expression, engine-shared shape as redact_pii_sql."""
+    out = d.cast_str(x)
+    for token, pat in SECRET_PATTERNS:
+        out = d.re_replace(out, pat, f"<{token}>")
+    return out
+
+
+def secret_hit_counts(redacted_col: str) -> list[Column]:
+    return [
+        (F.size(F.split(F.col(redacted_col), f"<{t}>", -1)) - 1).alias(
+            f"n_{t.lower()}"
+        )
+        for t, _ in SECRET_PATTERNS
+    ]

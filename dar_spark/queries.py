@@ -1296,6 +1296,57 @@ FROM red"""
     return Q(spark_fn, oracle)
 
 
+SECRET_INJECT = (
+    "text || ' host ' || printf('%d.%d.%d.%d', doc_id % 256, "
+    "(doc_id * 7) % 256, (doc_id * 13) % 256, (doc_id * 29) % 256) || "
+    "' key AKIA' || upper(substr(md5('k' || CAST(doc_id AS VARCHAR)), 1, 16)) || "
+    "' secret ' || md5('s' || CAST(doc_id AS VARCHAR)) || "
+    "' short ' || substr(md5('t' || CAST(doc_id AS VARCHAR)), 1, 16)"
+)
+
+
+def _secrets_redact_q() -> Q:
+    """Credential/host-identifier scrubbing (text.redact_secrets_sql):
+    IPv4 (octet range enforced in-pattern), AWS access key ids, GitHub
+    tokens, and 32-64 char hex secrets replaced with typed tokens —
+    the second release-gate tier after PII.  Deterministic injection
+    puts one of each per row PLUS a 16-char hex decoy that must
+    survive (the length floor is the discrimination under test); the
+    oracle redacts byte-identically in DuckDB."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.functions.text import (
+            redact_secrets_sql,
+            secret_hit_counts,
+        )
+
+        t = load_tables(spark, sf_dir)
+        inject = SECRET_INJECT.replace("AS VARCHAR", "AS STRING")
+        base = parallelize(t["documents"]).selectExpr(
+            "doc_id", f"({inject}) AS raw"
+        )
+        red = base.select(
+            "doc_id",
+            F.expr(redact_secrets_sql(SPARK, "raw")).alias("redacted"),
+        )
+        return red.select("doc_id", "redacted", *secret_hit_counts("redacted"))
+
+    from dar_spark.functions.text import SECRET_PATTERNS, redact_secrets_sql
+
+    counts = ", ".join(
+        f"CAST(len(string_split(redacted, '<{t}>')) - 1 AS INT) "
+        f"AS n_{t.lower()}"
+        for t, _ in SECRET_PATTERNS
+    )
+    oracle = f"""WITH base AS (
+  SELECT doc_id, ({SECRET_INJECT}) AS raw FROM documents
+), red AS (
+  SELECT doc_id, {redact_secrets_sql(DUCKDB, 'raw')} AS redacted FROM base
+)
+SELECT doc_id, redacted, {counts} FROM red"""
+    return Q(spark_fn, oracle)
+
+
 def _pii_redact_q() -> Q:
     """PII scrubbing — the release gate of a training-data pipeline:
     emails, formatted and bare phone numbers, and SSN-shaped ids are
@@ -3658,6 +3709,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("embed_dup_pairs_auto_only", _embed_dup_pairs_auto_only_q()),
         ("card_profile", _card_profile_q()),
         ("pii_cards_redact_docs", _cards_redact_q()),
+        ("secrets_redact_docs", _secrets_redact_q()),
     ]
 
 
