@@ -2305,9 +2305,11 @@ def ivf_index_balance(spark, path: str) -> DataFrame:
 
 
 def ivf_ingest_drift_report(spark, path: str) -> DataFrame:
-    """Per-ingest-partition quantizer-fit report over a q8 store: how
-    far each batch's (dequantized) vectors sit from their assigned
-    frozen centroid — ``(ingest, n_rows, mean_dist, max_dist)``.
+    """Per-ingest-partition quantizer-fit report over an IVF store
+    (flat ``_v`` lists or q8 ``_q``/``_scale`` code lists — detected
+    from the layout): how far each batch's (dequantized) vectors sit
+    from their assigned frozen centroid —
+    ``(ingest, n_rows, mean_dist, max_dist)``.
 
     THE COVARIATE-DRIFT TRIGGER, complementing
     :func:`ivf_index_balance`: drift has two failure modes and they
@@ -2324,9 +2326,14 @@ def ivf_ingest_drift_report(spark, path: str) -> DataFrame:
     One scan of the lists table, O(ingest labels) output."""
     cdf = spark.read.parquet(f"{path}/centroids")
     lists = spark.read.parquet(f"{path}/lists")
+    vec = (
+        "transform(_q, c -> CAST(c AS DOUBLE) * _scale)"
+        if "_q" in lists.columns
+        else "_v"
+    )
     dist = (
-        "sqrt(aggregate(zip_with(transform(_q, c -> CAST(c AS DOUBLE) "
-        "* _scale), _cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"
+        f"sqrt(aggregate(zip_with({vec}, _cv, "
+        "(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"
     )
     return (
         lists.join(F.broadcast(cdf), "_list")
@@ -2338,6 +2345,32 @@ def ivf_ingest_drift_report(spark, path: str) -> DataFrame:
             F.max("_d").alias("max_dist"),
         )
         .orderBy("ingest")
+    )
+
+
+def recluster_ivf_index(
+    spark,
+    path: str,
+    dest: str,
+    n_lists: int | None = None,
+    fit_sample_max: int = 100_000,
+) -> None:
+    """Flat-store recluster: re-fit the coarse quantizer on the STORED
+    full-precision vectors and rebuild at ``dest`` — LOSSLESS (unlike
+    the q8 twin, which re-encodes through one dequantization).  The
+    answer when :func:`ivf_index_balance` or
+    :func:`ivf_ingest_drift_report` trips after drifted appends;
+    ``compact_ivf_index`` is layout-only and never fixes assignment."""
+    if dest == path:
+        raise ValueError("recluster_ivf_index requires dest != path")
+    lists = spark.read.parquet(f"{path}/lists")
+    reserved = {"_list", "_v", "_nrm", "ingest"}
+    id_col = next(c for c in lists.columns if c not in reserved)
+    if n_lists is None:
+        n_lists = int(spark.read.parquet(f"{path}/meta").collect()[0].n_lists)
+    write_ivf_index(
+        lists.select(id_col, "_v"), dest, id_col=id_col, vec_col="_v",
+        n_lists=n_lists, fit_sample_max=fit_sample_max,
     )
 
 

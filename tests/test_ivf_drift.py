@@ -182,3 +182,52 @@ def test_recall_floors_and_compaction_is_neutral(spark, drifted_store):
 
     assert r_drifted >= IVF_RECALL_BOUND
     assert r_reclustered >= IVF_RECALL_BOUND
+
+
+def test_flat_store_recluster_and_drift_report(spark, tmp_path):
+    """The FLAT store gets the same drift anatomy: the per-ingest
+    report reads from ``_v`` directly, and recluster_ivf_index is
+    LOSSLESS (full-precision vectors re-fit) — after drifted appends
+    it restores balance and its recall can never fall below the
+    drifted store's."""
+    from dar_spark.operators.similarity import (
+        append_to_ivf_index,
+        brute_force_topk,
+        ivf_index_balance,
+        ivf_index_topk,
+        ivf_ingest_drift_report,
+        recluster_ivf_index,
+        write_ivf_index,
+    )
+
+    full = _corpus(spark)
+    path = str(tmp_path / "flat")
+    write_ivf_index(full.filter(f"vec_id < {N_BASE}"), path, n_lists=N_LISTS)
+    append_to_ivf_index(full.filter(f"vec_id >= {N_BASE}"), path)
+    rep = {
+        r.ingest: r
+        for r in ivf_ingest_drift_report(spark, path).collect()
+    }
+    assert rep["append-1"].mean_dist > 5 * rep["base"].mean_dist
+    rpath = str(tmp_path / "flat_reclustered")
+    recluster_ivf_index(spark, path, rpath)
+    bal = ivf_index_balance(spark, rpath).collect()[0]
+    assert bal.balance_ratio < 4.0 and bal.n_rows == N_BASE + N_DRIFT
+
+    truth: dict = {}
+    for r in brute_force_topk(
+        full, "vec_id", "embedding", _QUERY_PRED, k=K
+    ).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(p):
+        got: dict = {}
+        for r in ivf_index_topk(full.filter(_QUERY_PRED), p, k=K).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(truth[q] & got.get(q, set())) for q in truth) / sum(
+            len(v) for v in truth.values()
+        )
+
+    r_drift, r_reclust = recall(path), recall(rpath)
+    print(f"flat recall drifted={r_drift:.3f} reclustered={r_reclust:.3f}")
+    assert r_reclust >= r_drift >= 0.9  # full-precision lists: no q8 cap
