@@ -2505,30 +2505,48 @@ _EVIDENCE_R9 = [
     "zorder_keys_lineitem",
 ]
 
+_EVIDENCE_R10 = [
+    "bm25_index_append_search", "bm25_indexed_search",
+    "bm25_search_docs", "bpe_merges_docs", "card_profile",
+    "constraint_report_orders", "decontaminate_embed",
+    "dedup_clusters_incremental", "dedup_keep_best_docs",
+    "dedup_shard_router_docs", "dup_cluster_stats_docs",
+    "embed_dup_pairs_auto_only", "embed_pq_codes", "embed_pq_rerank",
+    "embed_pq_topk", "embed_quantize_docs", "embed_quantized_topk",
+    "filter_funnel_by_lang", "filter_funnel_docs",
+    "hll_users_by_event_type", "html_extract_dom_docs",
+    "join_explosion_events", "knn_label_noise_capped",
+    "knn_label_prop_capped", "ks_drift_lineitem", "media_png_decode",
+    "merge_upsert_orders", "mmr_select_capped", "order_price_quartiles",
+    "partition_advisor_events", "phone_profile_sqlfn",
+    "phone_v1_profile", "phrase_merge_docs", "pii_cards_redact_docs",
+    "pmi_bigrams_docs", "pmi_skipgram_docs", "pq_index_append_topk",
+    "psi_drift_lineitem", "psi_report_lineitem", "quality_tiers_docs",
+    "quality_tiers_sampled", "quantile_hist_by_event_type",
+    "quantile_hist_lineitem", "rollup_incremental_orders",
+    "scd2_user_events", "secrets_redact_docs", "skew_safe_join_events",
+    "snapshot_diff_orders", "split_leak_safe", "temp_mixture_budget_xl",
+]
+
 # Queries whose OUTPUT changed since their latest green artifact row —
 # that row certifies behavior that no longer exists, so rotation must
 # treat them as unverified (sorted into the window like new queries).
 # Clear this set once the next round's artifact re-certifies them.
-# The 11 names of SEMANTICS_CHANGED_R9 (the r9 quantizer/SRP-plane/
-# semdedup fixes) were all re-certified green inside the r9 window
-# (CORRECTNESS_r09.json) — that set reset to empty for round 10.
-# phone_v1_profile: the r10 E.164 leading-digit refinement
-# (refdata.E164_CC_LEN_FIRST) turns length-possible/pattern-unreachable
-# international numbers from 1 into 5; hash-diffed at all three fixture
-# sfs by scripts/hash_outputs.py (phone_v1_intl_profile measured
-# UNCHANGED — its fixture's intl numbers are all pattern-reachable).
-SEMANTICS_CHANGED_R10: set[str] = {"phone_v1_profile"}
+# SEMANTICS_CHANGED_R10 ({"phone_v1_profile"}, the E.164 leading-digit
+# refinement) was re-certified green inside the r10 window
+# (CORRECTNESS_r10.json) — reset to empty for round 11.
+SEMANTICS_CHANGED_R11: set[str] = set()
 
 # Round-agnostic alias so tests/tools track the CURRENT set without a
 # rename each round.
-SEMANTICS_CHANGED = SEMANTICS_CHANGED_R10
+SEMANTICS_CHANGED = SEMANTICS_CHANGED_R11
 
 EVIDENCE_ROUND: dict[str, int] = {
     name: rnd
     for rnd, names in (
         (2, _EVIDENCE_R2), (3, _EVIDENCE_R3), (4, _EVIDENCE_R4),
         (5, _EVIDENCE_R5), (6, _EVIDENCE_R6), (7, _EVIDENCE_R7),
-        (8, _EVIDENCE_R8), (9, _EVIDENCE_R9),
+        (8, _EVIDENCE_R8), (9, _EVIDENCE_R9), (10, _EVIDENCE_R10),
     )
     for name in names
     if name not in SEMANTICS_CHANGED
