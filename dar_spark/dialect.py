@@ -40,6 +40,16 @@ class Dialect:
             return f"regexp_replace({x}, '{pat}', '{rep}', 'g')"
         return f"regexp_replace({x}, '{pat}', '{rep}')"
 
+    def re_group(self, i: int) -> str:
+        """Backreference to capture group ``i`` inside a
+        ``regexp_replace`` REPLACEMENT string: ``$i`` for Java's
+        Matcher.appendReplacement, ``\\i`` for RE2.  (DuckDB's
+        standard-SQL single-quoted literals pass the backslash through
+        verbatim; Spark's parser would eat it, hence the split.)"""
+        if self.name == "duckdb":
+            return f"\\{i}"
+        return f"${i}"
+
     def rlike(self, x: str, pat: str) -> str:
         if self.name == "duckdb":
             return f"regexp_matches({x}, '{pat}')"

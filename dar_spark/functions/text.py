@@ -914,29 +914,62 @@ SELECT {id_col}, score_bm25, CAST(rn AS BIGINT) AS rank_n FROM (
 # The second scrubbing tier of a crawl-release pipeline: credentials and
 # host identifiers that leak from pasted configs, CI logs, and .env
 # files.  Backslash-free, alternatives ordered longest-first so
-# leftmost-first (Java) and RE2 (DuckDB) pick identical matches.  IPv4
-# enforces the 0-255 octet range IN the pattern; the 32-64 hex run
-# covers API secrets and auth digests (md5/sha256 hex); short hex runs
-# (< 32) deliberately survive.  Version strings shaped like a.b.c.d
-# with all octets <= 255 DO match the IP pattern — the standard
-# overredaction tradeoff, documented here rather than hidden.
+# leftmost-first (Java) and RE2 (DuckDB) pick identical matches.
+#
+# HEXSECRET and IP are BOUNDARY-GUARDED (r11): the match must be a
+# standalone run, delimited by start/end-of-string or a character
+# outside the run's own alphabet, captured and restored via group
+# backreferences (no lookarounds — RE2 has none).  Consequences, all
+# deliberate and pinned in tests/test_cards.py:
+#   - hex runs of EXACTLY 32-64 chars are in scope (md5=32, sha1/git
+#     SHA=40, sha256=64 all redact — a documented choice); runs of 65+
+#     (sha384/sha512, concatenated digests) survive WHOLE instead of
+#     being piecewise-redacted 64 chars at a time;
+#   - out-of-range octets kill the whole IPv4 match ('256.1.1.1'
+#     survives intact — no more '2<IP>' partial), and a.b.c.d.e dotted
+#     runs survive (no 4-octet prefix match);
+#   - version strings shaped like a.b.c.d with all octets <= 255 still
+#     DO match — the standard overredaction tradeoff, documented here
+#     rather than hidden.
+# A boundary-guarded replace CONSUMES its delimiter, so two runs
+# separated by a single non-run character alternate-miss in one pass;
+# redact_secrets_sql applies those patterns twice (after pass one,
+# missed runs are flanked by replaced tokens, never by each other, so
+# two passes are exhaustive).
 
-_OCTET = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+_OCTET = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
 
-SECRET_PATTERNS = [
-    ("AWSKEY", "(AKIA|ASIA)[0-9A-Z]{16}"),
-    ("GHTOKEN", "gh[pousr]_[A-Za-z0-9]{36,255}"),
-    ("HEXSECRET", "[0-9a-f]{32,64}"),
-    ("IP", f"{_OCTET}([.]{_OCTET}){{3}}"),
+# (token, pattern, boundary-guarded): guarded patterns capture
+# (g1 = left delimiter, g2 = run, g3 = right delimiter) and replace
+# with g1<TOKEN>g3.
+SECRET_PATTERNS_SPEC = [
+    ("AWSKEY", "(AKIA|ASIA)[0-9A-Z]{16}", False),
+    ("GHTOKEN", "gh[pousr]_[A-Za-z0-9]{36,255}", False),
+    ("HEXSECRET", "(^|[^0-9a-f])([0-9a-f]{32,64})([^0-9a-f]|$)", True),
+    (
+        "IP",
+        f"(^|[^0-9.])({_OCTET}(?:[.]{_OCTET}){{3}})([^0-9.]|$)",
+        True,
+    ),
 ]
+
+# Back-compat (token, pattern) view for hit counting / introspection.
+SECRET_PATTERNS = [(t, p) for t, p, _ in SECRET_PATTERNS_SPEC]
 
 
 def redact_secrets_sql(d, x: str) -> str:
-    """Nested regexp_replace chain over SECRET_PATTERNS — same
-    one-expression, engine-shared shape as redact_pii_sql."""
+    """Nested regexp_replace chain over SECRET_PATTERNS_SPEC — same
+    one-expression, engine-shared shape as redact_pii_sql.  Boundary-
+    guarded patterns run twice (see the delimiter-consumption note in
+    the section comment above)."""
     out = d.cast_str(x)
-    for token, pat in SECRET_PATTERNS:
-        out = d.re_replace(out, pat, f"<{token}>")
+    for token, pat, guarded in SECRET_PATTERNS_SPEC:
+        if guarded:
+            rep = f"{d.re_group(1)}<{token}>{d.re_group(3)}"
+            out = d.re_replace(out, pat, rep)
+            out = d.re_replace(out, pat, rep)
+        else:
+            out = d.re_replace(out, pat, f"<{token}>")
     return out
 
 

@@ -627,12 +627,28 @@ def redact_cards_sql(d: Dialect, x: str) -> str:
     and grouped 4-4-4-4 forms) with ``<CARD>``; checksum-invalid
     lookalikes pass through untouched — the discrimination a pure
     pattern redactor cannot make.  Fold-replace over the candidate
-    array: deterministic, no UDF, exact in both engines."""
+    array: deterministic, no UDF, exact in both engines.
+
+    Each candidate is replaced via a digit-boundary-anchored regex
+    built at runtime (candidates are digits/space/dash — regex-literal
+    safe), NOT a plain substring replace: a candidate's digit sequence
+    occurring INSIDE a different, longer digit run (e.g. inside a
+    Luhn-invalid 19-digit run elsewhere in the document) must survive.
+    The anchored replace consumes its delimiter, so it runs twice per
+    candidate — after pass one, missed occurrences are flanked by
+    already-replaced text, never by each other (same argument as
+    text.redact_secrets_sql)."""
     s = d.cast_str(x)
     cands = _card_candidates(d, x)
+    pat = "concat('(^|[^0-9])', c, '([^0-9]|$)')"
+    rep = f"{d.re_group(1)}<CARD>{d.re_group(2)}"
     if d.name == "duckdb":
+        inner = f"regexp_replace(acc, {pat}, '{rep}', 'g')"
+        twice = f"regexp_replace({inner}, {pat}, '{rep}', 'g')"
         return (
             f"list_reduce(list_prepend({s}, {cands}), "
-            f"(acc, c) -> replace(acc, c, '<CARD>'))"
+            f"(acc, c) -> {twice})"
         )
-    return f"aggregate({cands}, {s}, (acc, c) -> replace(acc, c, '<CARD>'))"
+    inner = f"regexp_replace(acc, {pat}, '{rep}')"
+    twice = f"regexp_replace({inner}, {pat}, '{rep}')"
+    return f"aggregate({cands}, {s}, (acc, c) -> {twice})"

@@ -241,6 +241,8 @@ def parse_png(payload: bytes) -> np.ndarray:
     pos, idat, dims = 8, [], None
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("PNG chunk truncated mid-payload")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
@@ -264,7 +266,13 @@ def parse_png(payload: bytes) -> np.ndarray:
     if dims is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h = dims
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        # CRC-consistent but invalid deflate stream: the multimodal
+        # decoder contract catches ValueError only, so surface it as
+        # one (→ the labeled _fallback_meta path, not a task crash).
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
     stride = w * _BPP
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length does not match dimensions")

@@ -2348,6 +2348,21 @@ def ivf_ingest_drift_report(spark, path: str) -> DataFrame:
     )
 
 
+def _sole_id_col(columns: list[str], reserved: set[str], who: str) -> str:
+    """The store's id column, inferred as the ONLY non-reserved column
+    of the lists table.  Raises (instead of silently picking the first)
+    when extra payload columns make the inference ambiguous — rebuilding
+    an index keyed on the wrong column would be a silent data bug."""
+    cands = [c for c in columns if c not in reserved]
+    if len(cands) != 1:
+        raise ValueError(
+            f"{who}: cannot infer the id column — expected exactly one "
+            f"non-reserved column in the lists table, found {cands!r} "
+            f"(reserved: {sorted(reserved)!r})"
+        )
+    return cands[0]
+
+
 def recluster_ivf_index(
     spark,
     path: str,
@@ -2365,7 +2380,7 @@ def recluster_ivf_index(
         raise ValueError("recluster_ivf_index requires dest != path")
     lists = spark.read.parquet(f"{path}/lists")
     reserved = {"_list", "_v", "_nrm", "ingest"}
-    id_col = next(c for c in lists.columns if c not in reserved)
+    id_col = _sole_id_col(lists.columns, reserved, "recluster_ivf_index")
     if n_lists is None:
         n_lists = int(spark.read.parquet(f"{path}/meta").collect()[0].n_lists)
     write_ivf_index(
@@ -2399,7 +2414,7 @@ def recluster_ivf_q8_index(
         raise ValueError("recluster_ivf_q8_index requires dest != path")
     lists = spark.read.parquet(f"{path}/lists")
     reserved = {"_list", "_scale", "_q", "_dqn", "ingest"}
-    id_col = next(c for c in lists.columns if c not in reserved)
+    id_col = _sole_id_col(lists.columns, reserved, "recluster_ivf_q8_index")
     if n_lists is None:
         n_lists = int(spark.read.parquet(f"{path}/meta").collect()[0].n_lists)
     deq = lists.select(

@@ -3832,8 +3832,11 @@ def _datacard_q() -> Q:
 # corpus total would keep everything and leave the cumsum cut untested
 TEMP_MIX_BUDGET = 11_000
 # A 100 TB-scale budget (~30T tokens) — far above the old ~9e9 BIGINT
-# product bound, exercising the DECIMAL(38,0)/HUGEINT exact split
-# (sampling.py r10); the per-group budgets still value-hash exactly.
+# product bound, exercising the exact wide-integer split (sampling.py
+# r10: Spark casts the budget to DECIMAL(20,0) and lets the multiply
+# PROMOTE — precision caps at 38, so budget·w_micro ≤ ~9e27 stays
+# exact; DuckDB computes the same product in HUGEINT); the per-group
+# budgets still value-hash exactly.
 TEMP_MIX_BUDGET_XL = 30_000_000_000_000
 
 

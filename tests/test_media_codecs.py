@@ -115,6 +115,43 @@ def test_png_crc_and_garbage_guards():
         parse_png(bytes(good))
 
 
+def test_png_truncated_and_bad_deflate_raise_value_error():
+    """The multimodal decode contract catches ValueError ONLY — a chunk
+    truncated mid-payload (struct.error territory) or a CRC-consistent
+    but invalid deflate stream (zlib.error) must surface as ValueError
+    so the task takes the labeled fallback path instead of crashing."""
+    import struct
+    import zlib
+
+    from dar_spark.operators.media_codecs import (
+        PNG_SIG,
+        make_png,
+        parse_png,
+    )
+
+    # declared chunk length reads past the buffer
+    with pytest.raises(ValueError, match="truncated"):
+        parse_png(make_png(6, 6, 9)[:-20])
+    # IDAT whose CRC is valid but whose bytes are not a deflate stream
+    ihdr_data = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bogus = b"\x00not deflate\x00"
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr_data)
+        + chunk(b"IDAT", bogus)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflate"):
+        parse_png(payload)
+
+
 def test_png_resize_hook_round_trips():
     from dar_spark.operators.media_codecs import make_png, parse_png
     from dar_spark.operators.multimodal import _png_resize
