@@ -790,6 +790,8 @@ def srp_candidate_pairs(
     n_planes: int,
     n_bands: int,
     distinct: bool = True,
+    dim: int | None = None,
+    screen_threshold: float | None = None,
 ) -> DataFrame:
     """Banded SRP candidate pairs over a ``(_v, _nrm)`` vector frame
     (``similarity._as_double_vec`` output): per band an independent
@@ -811,19 +813,64 @@ def srp_candidate_pairs(
     ``distinct=False`` exists — ``embedding_dup_pairs`` verifies the
     multiplicity-carrying stream (a pair re-found by k bands costs k
     cheap dot products) and dedups AFTER the threshold filter, when
-    only true near-dup rows survive.  Deduping candidates BEFORE the
-    verify — or hydrating id-only pairs through a second join — puts
-    the full candidate set through an exchange (~100+ GB at sf10,
-    which ran the rehearsal box out of spill disk in both layouts).
+    only true near-dup rows survive.
+
+    ``screen_threshold`` (r11, requires ``dim``) switches the probe
+    side to the COMPACT form: the exploded a-rows carry symmetric-INT8
+    codes (``array<tinyint>`` + one scale — ~110 B/row) instead of the
+    double vector (~520 B/row, measured as ~75% of the sf10 wall
+    clock), candidates are screened by the PROVABLY LOSSLESS
+    quantization bound
+
+        cos(a, b) ≤ (s_a·dot(q_a, v_b) + s_a·(√d/2)·‖b‖) / (‖a‖‖b‖)
+
+    (the error vector a − s_a·q_a has ‖·‖₂ ≤ s_a·√d/2), and only the
+    survivors — true near-dups plus a thin sub-threshold shoulder, an
+    O(N)-sized set — hydrate ``va`` through one corpus-side join.  A
+    1e-6 slack absorbs the bound's own float-evaluation rounding plus
+    the verify's 6-dp round-up margin, so no pair the exact filter
+    would keep is ever screened: the OUTPUT IS BIT-IDENTICAL to the
+    heavy form (pinned in tests/test_similarity.py), which is why the
+    oracles don't model the screen at all.  Hydrating the FULL
+    unscreened candidate set through a join is still the documented
+    anti-pattern (~100+ GB at sf10); hydrating the screened survivors
+    is ~1% of that.
 
     This IS the production candidate stage of ``embedding_dup_pairs``
     (method='lsh'); ``lshtune.srp_tuning_report`` reuses it so its
     measured numbers describe exactly the candidates production would
     verify."""
+    import math
+
     from dar_spark.operators.similarity import _bucket_expr, _flip_bit
 
+    if screen_threshold is not None and dim is None:
+        raise ValueError("screen_threshold requires dim")
+    # dim (when the caller resolved it): every plane becomes a LITERAL
+    # constant array — bit-identical buckets, ~2.5x less bucket compute
+    # (no per-row plane construction; see _bucket_expr).  The literal
+    # plan is a few seconds heavier to analyze, so callers pass dim only
+    # for corpora big enough to repay it.
     for t in range(n_bands):
-        e = e.withColumn(f"_b{t}", _bucket_expr("_v", n_planes, band=t))
+        e = e.withColumn(
+            f"_b{t}", _bucket_expr("_v", n_planes, band=t, dim=dim)
+        )
+    if screen_threshold is not None:
+        # the INT8 code and its scale are PER-VECTOR values: compute
+        # them into the cached frame, NEVER in the exploded probe
+        # select (evaluated there they rerun per probe row — measured
+        # 4x the whole query)
+        e = e.withColumn(
+            "_sa",
+            F.expr("(array_max(transform(_v, x -> abs(x))) / 127.0D)"),
+        ).withColumn(
+            "_qa",
+            F.expr(
+                "CASE WHEN _sa > 0 "
+                "THEN transform(_v, x -> CAST(round(x / _sa) AS TINYINT)) "
+                "ELSE transform(_v, x -> CAST(0 AS TINYINT)) END"
+            ),
+        )
     # BOTH sides of the candidate self-join read this frame; without a
     # cache each side re-evaluates the per-band dot-product bucket
     # expressions over the whole corpus (the minhash twin caches its
@@ -844,19 +891,51 @@ def srp_candidate_pairs(
             for p in range(n_planes)
         ]
         b_keys.append(F.concat(pre, bt))
-    a = e.select(
-        F.col(id_col).alias("vec_id_a"),
-        F.col("_v").alias("va"),
-        F.col("_nrm").alias("na"),
-        F.explode(F.array(*a_probes)).alias("_b"),
-    )
     b = e.select(
         F.col(id_col).alias("vec_id_b"),
         F.col("_v").alias("vb"),
         F.col("_nrm").alias("nb"),
         F.explode(F.array(*b_keys)).alias("_b"),
     )
-    pairs = a.join(b, "_b").filter("vec_id_a < vec_id_b")
+    if screen_threshold is None:
+        a = e.select(
+            F.col(id_col).alias("vec_id_a"),
+            F.col("_v").alias("va"),
+            F.col("_nrm").alias("na"),
+            F.explode(F.array(*a_probes)).alias("_b"),
+        )
+        pairs = a.join(b, "_b").filter("vec_id_a < vec_id_b")
+    else:
+        a = e.select(
+            F.col(id_col).alias("vec_id_a"),
+            F.col("_sa"),
+            F.col("_qa").alias("qa"),
+            F.col("_nrm").alias("na"),
+            F.explode(F.array(*a_probes)).alias("_b"),
+        )
+        half_sqrt_d = 0.5 * math.sqrt(dim)
+        approx = (
+            "(_sa * aggregate(zip_with(qa, vb, (q, y) -> "
+            "CAST(q AS DOUBLE) * y), 0D, (acc, x) -> acc + x))"
+        )
+        upper = f"(({approx} + _sa * {half_sqrt_d!r}D * nb) / (na * nb))"
+        survivors = (
+            a.join(b, "_b")
+            .filter("vec_id_a < vec_id_b")
+            .filter(
+                f"na <= 0 OR nb <= 0 OR {upper} >= "
+                f"{screen_threshold!r}D - 1e-6D"
+            )
+            .select("vec_id_a", "vec_id_b", "vb", "nb")
+        )
+        corpus_a = e.select(
+            F.col(id_col).alias("vec_id_a"),
+            F.col("_v").alias("va"),
+            F.col("_nrm").alias("na"),
+        )
+        pairs = survivors.join(corpus_a, "vec_id_a").select(
+            "vec_id_a", "vec_id_b", "va", "na", "vb", "nb"
+        )
     if distinct and n_bands > 1:
         # within one band a pair matches through exactly one probe,
         # but several bands can each find the same pair — dedup on
@@ -911,38 +990,61 @@ def embedding_dup_pairs(
     on uniform keys, never all-pairs.
 
     ``n_planes``/``n_bands`` default to
-    :func:`similarity.srp_pairs_autoscale` (⌈log2 N⌉ planes so expected
-    candidate pairs stay O(B·N), bands sized to hold the boundary miss
-    rate ≤5% at those planes) — a FIXED plane count makes the verify
-    stage quadratic in the corpus (rehearsal-measured exponent ~1.9
-    over a 10× step at 8 planes).  Resolving the default costs one
-    count() over the (filtered) input; pass explicit values to pin a
-    configuration (e.g. for a static cross-engine oracle).  A pinned
-    configuration whose expected boundary miss rate exceeds 5% emits a
-    RuntimeWarning with the band count that would fix it; autoscaled
-    configurations never warn by construction.
+    :func:`similarity.srp_pairs_mass_autoscale` (r11): the count-based
+    ⌈log2 N⌉ floor (expected candidates O(B·N) on hash-uniform buckets
+    — a FIXED plane count makes the verify stage quadratic, rehearsal-
+    measured exponent ~1.9 at 8 planes), RAISED when a bounded
+    deterministic sample measures sub-threshold cluster mass colliding
+    faster than the uniform model (the r10 rehearsal's ~N^1.5 verify
+    stage on the 10-cluster sf10 fixture), with bands re-sized to hold
+    the boundary miss rate ≤5% at the chosen planes.  Resolving the
+    default costs one count() plus one ≤512-row bounded sample scan;
+    pass explicit values to pin a configuration (e.g. for a static
+    cross-engine oracle).  A pinned configuration whose expected
+    boundary miss rate exceeds 5% emits a RuntimeWarning with the band
+    count that would fix it; autoscaled configurations never warn by
+    construction.
 
     ``method='brute'``: the exact O(n²) pair join, for small subsets and
     as the verification baseline (the old general path — a
     BroadcastNestedLoopJoin, unusable at corpus scale).
     """
-    from dar_spark.operators.similarity import _as_double_vec, srp_pairs_autoscale
+    from dar_spark.operators.similarity import _as_double_vec
 
     e = df.select(F.col(id_col), F.col(vec_col))
     if subset_pred:
         e = e.filter(subset_pred)
+    e = _as_double_vec(e, vec_col)
+    vec_dim = None
 
     if method == "lsh":
         from dar_spark.operators.similarity import (
             srp_band_candidate_prob,
             srp_bands_for_miss,
+            srp_pairs_mass_autoscale,
         )
 
         if n_planes is None or n_bands is None:
-            auto_planes, auto_bands = srp_pairs_autoscale(
-                e.count(), cos_threshold
-            )
             if n_planes is None:
+                # measured-mass autoscale (r11): count-based ⌈log2 N⌉
+                # floor, raised by the bounded-sample collision probe on
+                # cluster-heavy corpora (see srp_pairs_mass_autoscale —
+                # the probe costs one extra scan and only runs at or
+                # above MASS_PROBE_MIN rows, where quadratic candidate
+                # mass can actually hurt; below it the floor is final).
+                # The same gate enables the literal-plane bucket form
+                # (plan-heavier, row-cheaper — pays off at scale only).
+                from dar_spark.operators.similarity import (
+                    MASS_PROBE_MIN,
+                    _vec_dim,
+                )
+
+                n_rows = e.count()
+                auto_planes, auto_bands = srp_pairs_mass_autoscale(
+                    e, id_col, cos_threshold, n=n_rows
+                )
+                if n_rows >= MASS_PROBE_MIN:
+                    vec_dim = _vec_dim(e)
                 n_planes = auto_planes
                 if n_bands is None:
                     n_bands = auto_bands
@@ -967,7 +1069,6 @@ def embedding_dup_pairs(
                 stacklevel=2,
             )
 
-    e = _as_double_vec(e, vec_col)
     if method == "brute":
         a = e.select(F.col(id_col).alias("vec_id_a"), F.col("_v").alias("va"), F.col("_nrm").alias("na"))
         b = e.select(F.col(id_col).alias("vec_id_b"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb"))
@@ -979,15 +1080,28 @@ def embedding_dup_pairs(
         # deduping the pre-verify candidate set shuffles the join
         # output, which on cluster-structured corpora is the largest
         # dataset in the whole plan (see srp_candidate_pairs)
+        # vec_dim set ⟺ mass-probe mode (n ≥ MASS_PROBE_MIN): the same
+        # gate that enables literal-plane buckets also switches the
+        # probe join to the compact INT8 + lossless-screen form — the
+        # output is bit-identical either way (see srp_candidate_pairs),
+        # so the gate is purely a plan choice
         pairs = srp_candidate_pairs(
-            e, id_col, n_planes, n_bands, distinct=False
+            e, id_col, n_planes, n_bands, distinct=False, dim=vec_dim,
+            screen_threshold=(
+                cos_threshold if vec_dim is not None else None
+            ),
         )
     else:
         raise ValueError(f"unknown method {method!r}")
+    # NOTE r11: a statically expanded element_at chain for this dot was
+    # measured 11x SLOWER than the interpreted higher-order fold (deep
+    # Add trees defeat codegen); Spark 4.x evaluates HOF folds at
+    # ~0.1 µs/row — keep the fold.
     out = pairs.selectExpr(
         "vec_id_a",
         "vec_id_b",
-        "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x) / (na * nb), 6) AS cos_sim",
+        "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, "
+        "(a, x) -> a + x) / (na * nb), 6) AS cos_sim",
     ).filter(f"cos_sim >= {cos_threshold}")
     if method == "lsh" and n_bands > 1:
         # duplicate survivors are bit-identical rows (same cosine), so

@@ -103,22 +103,70 @@ def _plane_component(j: int) -> str:
     )
 
 
-def _bucket_expr(vec: str, n_planes: int = N_PLANES, band: int = 0) -> Column:
+def _plane_const(i: int, j: int) -> float:
+    """Python evaluation of :func:`_plane_component` at literal
+    (dimension ``i``, global plane ``j``) — BIT-IDENTICAL to what either
+    engine computes at runtime: the integer chain is exact (Python ints),
+    int→double conversion is exact below 2^53, and the one division and
+    subtraction are single correctly-rounded IEEE ops identical to the
+    SQL ``CAST(... AS DOUBLE)/1000003.0 - 0.5``."""
+    mult = pow(2654435761, j + 1, 1000003)
+    return float((i * mult + j * 1315423911 + 97) % 1000003) / 1000003.0 - 0.5
+
+
+def _bucket_expr(
+    vec: str, n_planes: int = N_PLANES, band: int = 0,
+    dim: int | None = None,
+) -> Column:
     """n-bit sign bucket string for a double-array column.
 
     ``band`` selects an INDEPENDENT plane set (global plane index
     ``band * n_planes + j``), so banded LSH draws fresh hyperplanes per
     band from the same deterministic hash; band 0 is the original set.
-    """
+
+    ``dim`` (the corpus vector dimension, resolved by peeking one row —
+    see :func:`_vec_dim`) switches each plane to a LITERAL constant
+    array: ``zip_with(vec, array(<dim literals>), ...)`` folded exactly
+    as before.  The legacy form re-derives every plane component PER
+    ROW (``transform(sequence(1, size(v)), i -> <int-hash chain>)`` —
+    an interpreted 5-op integer chain plus an array build, per element,
+    per plane, per row); the literal form folds those to plan-time
+    constants (``_plane_const`` reproduces the SQL arithmetic
+    bit-exactly: exact int chain, exact int→double, one IEEE divide and
+    subtract), so every sign bit — and therefore every bucket,
+    candidate set, and oracle hash — is unchanged while the per-row
+    work halves.  (A fully static ``element_at``-chain expansion was
+    measured WORSE: 64-term trees per bit blow up Catalyst analysis
+    ~30 s/plan and fall out of codegen.)  Requires uniform vector
+    dimension, the embeddings-table contract; rows shorter than
+    ``dim`` produce NULL products exactly like the legacy zip_with."""
     bits = []
     for j in range(n_planes):
-        comp = _plane_component(band * n_planes + j)
-        dot = (
-            f"aggregate(zip_with({vec}, transform(sequence(1, size({vec})), "
-            f"i -> {comp}), (x, y) -> x * y), 0D, (a, x) -> a + x)"
-        )
-        bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
-    return F.expr("concat(" + ", ".join(bits) + ")")
+        g = band * n_planes + j
+        if dim is not None:
+            arr = ", ".join(
+                repr(_plane_const(i + 1, g)) + "D" for i in range(dim)
+            )
+            dot = (
+                f"aggregate(zip_with({vec}, array({arr}), "
+                f"(x, y) -> x * y), 0D, (a, x) -> a + x)"
+            )
+        else:
+            comp = _plane_component(g)
+            dot = (
+                f"aggregate(zip_with({vec}, transform(sequence(1, size({vec})), "
+                f"i -> {comp}), (x, y) -> x * y), 0D, (a, x) -> a + x)"
+            )
+        bits.append(F.expr(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END"))
+    return F.concat(*bits)
+
+
+def _vec_dim(e: DataFrame, vec_col: str = "_v") -> int | None:
+    """Vector dimension resolved by peeking ONE row — the cheap plan-
+    time fact the static dot expansion needs.  None on an empty frame
+    (callers fall back to the interpreted form)."""
+    row = e.select(F.size(F.expr(vec_col)).alias("d")).first()
+    return int(row.d) if row is not None and row.d is not None else None
 
 
 def _flip_bit(bucket: Column, pos: int, n_planes: int = N_PLANES) -> Column:
@@ -730,12 +778,17 @@ SELECT vec_id_a, vec_id_b, cos_sim FROM scored WHERE cos_sim >= {cos_threshold}"
 def srp_pairs_auto_oracle_sql(source_sql: str, cos_threshold: float) -> str:
     """DuckDB twin of ``dedup.embedding_dup_pairs(method='lsh')`` in
     its AUTOSCALED default configuration — the oracle recomputes
-    ``srp_pairs_autoscale`` IN SQL, so one static string value-hashes
-    the scale-safe production plan at every fixture size:
+    ``srp_pairs_mass_autoscale`` IN SQL, so one static string
+    value-hashes the scale-safe production plan at every fixture size:
 
-    - ``planes = max(8, min(30, bit_length(max(1, n-1))))`` via
-      ``length(bin(...))`` over the corpus COUNT — integer arithmetic,
-      no float log2 boundary risk;
+    - the count-based FLOOR ``max(8, min(30, bit_length(max(1, n-1))))``
+      via ``length(bin(...))`` — integer arithmetic, no float log2
+      boundary risk;
+    - the MEASURED-MASS refinement (r11): the identical ≤512-row
+      ``(md5(id), id)``-ordered sample, per-pair second-mismatch
+      position over the 30-bit band-0 bucket, and the exact integer
+      rule ``min{{P ≥ floor : H_P·B_P·n ≤ K·s²}}`` (else the 30 cap) —
+      every quantity is a deterministic integer in both engines;
     - ``bands`` from a precomputed planes→bands CASE (the
       ``srp_bands_for_miss`` table for this threshold, evaluated in
       Python at emission time — the transcendental band-sizing math
@@ -751,11 +804,14 @@ def srp_pairs_auto_oracle_sql(source_sql: str, cos_threshold: float) -> str:
     mirrors ``srp_pairs_oracle_sql``."""
     fold = duck_fold
     flip = DUCK_FLIP
+
     # planes ∈ [8, 30] by construction; bands for each possible count
-    bands_case = "CASE planes " + " ".join(
-        f"WHEN {p} THEN {srp_bands_for_miss(p, cos_threshold)}"
-        for p in range(N_PLANES, 31)
-    ) + " END"
+    def bands_case(over: str) -> str:
+        return f"CASE {over} " + " ".join(
+            f"WHEN {p} THEN {srp_bands_for_miss(p, cos_threshold)}"
+            for p in range(N_PLANES, 31)
+        ) + " END"
+
     max_bands = max(
         srp_bands_for_miss(p, cos_threshold) for p in range(N_PLANES, 31)
     )
@@ -767,17 +823,56 @@ def srp_pairs_auto_oracle_sql(source_sql: str, cos_threshold: float) -> str:
         "+ CAST(t * planes + j AS BIGINT) * 1315423911 + 97) % 1000003) "
         "AS DOUBLE) / 1000003.0 - 0.5)"
     )
+    # band-0 plane j (global index j — independent of the plane count,
+    # which is what makes the 30-bit string's P-prefix the P-plane bucket)
+    comp0 = (
+        "(CAST(((CAST(i AS BIGINT) * mu.m[j + 1] "
+        "+ CAST(j AS BIGINT) * 1315423911 + 97) % 1000003) "
+        "AS DOUBLE) / 1000003.0 - 0.5)"
+    )
     prods = f"list_transform(generate_series(1, len(v)), i -> v[i] * {comp})"
+    prods0 = f"list_transform(generate_series(1, len(v)), i -> v[i] * {comp0})"
     cos_prods = (
         "list_transform(generate_series(1, len(va)), i -> va[i] * vb[i])"
     )
     return f"""WITH src AS ({source_sql}),
-cfg AS (
-  SELECT planes, {bands_case} AS bands FROM (
-    SELECT greatest({N_PLANES}, least(30,
-           length(bin(greatest(COUNT(*) - 1, 1))))) AS planes
-    FROM src)
-), mu AS (SELECT [{mults}] AS m),
+mu AS (SELECT [{mults}] AS m),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+floor_p AS (
+  SELECT greatest({N_PLANES}, least({MASS_MAX_PLANES},
+         length(bin(greatest(n - 1, 1))))) AS fp, n
+  FROM cnt
+), samp AS (
+  SELECT vec_id, v FROM src
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {MASS_SAMPLE_MAX}
+), scnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM samp),
+sbits AS (
+  SELECT vec_id, j,
+         CASE WHEN {fold(prods0)} >= 0 THEN '1' ELSE '0' END AS bit
+  FROM samp CROSS JOIN mu CROSS JOIN range(0, {MASS_MAX_PLANES}) jj(j)
+), sbuck AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY j) AS sb
+  FROM sbits GROUP BY vec_id
+), mism AS (
+  SELECT COALESCE(list_filter(generate_series(1, {MASS_MAX_PLANES}),
+                  i -> substr(x.sb, i, 1) <> substr(y.sb, i, 1))[2],
+                  {MASS_MAX_PLANES + 1}) AS m2
+  FROM sbuck x JOIN sbuck y ON x.vec_id < y.vec_id
+), hs AS (
+  SELECT p, (SELECT COUNT(*) FROM mism WHERE m2 > p) AS h
+  FROM range({N_PLANES}, {MASS_MAX_PLANES + 1}) pp(p)
+), cfg AS (
+  SELECT planes, {bands_case('planes')} AS bands FROM (
+    SELECT CASE
+      WHEN (SELECT n FROM cnt) < {MASS_PROBE_MIN}
+      THEN (SELECT fp FROM floor_p)
+      ELSE COALESCE(
+        (SELECT MIN(p) FROM hs, floor_p, scnt
+          WHERE p >= fp
+            AND h * ({bands_case('p')}) * n
+                <= {MASS_CANDIDATE_FACTOR} * s * s),
+        {MASS_MAX_PLANES}) END AS planes)
+),
 n0 AS (
   SELECT vec_id, v,
          sqrt({fold('list_transform(v, x -> x * x)')}) AS nrm
@@ -1714,6 +1809,107 @@ def srp_bands_for_miss(
     return max(1, math.ceil(math.log(target_miss) / math.log(1.0 - q)))
 
 
+# --- measured-mass plane autoscale (r11) -----------------------------------
+# srp_pairs_autoscale's count-only ⌈log2 N⌉ rule keeps EXPECTED candidates
+# O(B·N) on hash-uniform buckets — but a cluster-structured corpus (many
+# vectors at sub-threshold mutual cosine ~0.5-0.8, the shape of any
+# label/topic-clustered embedding table) concentrates bucket mass far above
+# the uniform model: the r10 rehearsal measured the verify stage at ~N^1.5
+# on the 10-cluster sf10 fixture because within-cluster pairs collide at
+# rate q(cos≈0.6, planes) that log2(N) planes decay too slowly.  The fix is
+# to MEASURE the collision structure on a bounded deterministic sample and
+# raise planes until estimated candidates are linear in the corpus.
+
+MASS_SAMPLE_MAX = 512  # bounded sample: ≤512 vectors, ≤130k sample pairs
+MASS_CANDIDATE_FACTOR = 128  # target: ≤ this many expected candidates per vector
+MASS_MAX_PLANES = 30  # same cap as srp_pairs_autoscale
+# below this corpus size the probe is skipped: total pair mass is bounded
+# (< ~1.2e9 worst case) and the probe's extra scan would dominate the
+# query itself; the count-based floor is final there
+MASS_PROBE_MIN = 50_000
+
+
+def srp_pairs_mass_autoscale(
+    e: DataFrame,
+    id_col: str,
+    cos_threshold: float,
+    target_miss: float = 0.05,
+    n: int | None = None,
+) -> tuple[int, int]:
+    """(n_planes, n_bands) for all-pairs SRP dedup, refined by a MEASURED
+    candidate-mass probe — the data-dependent upgrade of
+    :func:`srp_pairs_autoscale` that ``dedup.embedding_dup_pairs`` resolves
+    its defaults through.
+
+    ``e`` must already be an ``_as_double_vec`` frame (``_v`` present).
+    The probe: take the ``MASS_SAMPLE_MAX`` sample rows ordered by
+    ``(md5(id), id)`` (deterministic, engine-reproducible — the DuckDB
+    oracle replays the identical sample), compute each sample vector's
+    30-bit band-0 SRP bucket (plane ids 0..29 — by the global-plane-index
+    grammar the P-bit PREFIX of this string IS the band-0 bucket at P
+    planes), and per sample pair record the position of the SECOND bit
+    mismatch (31 if fewer than two).  A pair is a per-band candidate at P
+    planes iff its buckets are within Hamming distance 1 on the first P
+    bits — i.e. iff its second mismatch lands after P — so
+
+        H_P = #{sample pairs : m2 > P}
+
+    is an exact sample count of per-band candidate pairs, and
+    H_P·(n/s)² estimates corpus-wide per-band candidate mass.  The rule
+    picks the smallest P ≥ the count-based floor whose estimated TOTAL
+    candidates stay ≤ ``MASS_CANDIDATE_FACTOR``·n, in exact integer
+    arithmetic (H_P·B_P·n ≤ K·s²), else the 30-plane cap:
+
+    - hash-uniform corpora satisfy the bound at the floor immediately
+      (measured margin ≥ 5× on the driver fixtures), so the count-only
+      rule's behavior — and every committed oracle artifact — is
+      unchanged where mass is healthy;
+    - cluster-heavy corpora walk P up until sub-threshold mass is
+      decayed, paying O(B·P·N) extra probe rows (linear) instead of a
+      super-linear verify stage.  Measured on the 10-cluster sf10
+      rehearsal fixture: the count rule's (18, 6) produced ~184M verify
+      candidates (~N^1.5); the mass rule picks (24, 9) with ~20× less
+      estimated verify mass for ~2× probe volume.
+
+    Cost: one ``count()`` (skipped when ``n`` is passed), one bounded
+    TakeOrdered of ≤512 rows with 30 plane dots each, one driver-side
+    O(s²) numpy pass — D15-compliant (the collect is a bounded meta
+    result, never corpus data)."""
+    import numpy as np
+
+    if n is None:
+        n = e.count()
+    base, base_bands = srp_pairs_autoscale(n, cos_threshold, target_miss)
+    if base >= MASS_MAX_PLANES or n < MASS_PROBE_MIN:
+        return base, base_bands
+    rows = (
+        e.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(MASS_SAMPLE_MAX)
+        .select(_bucket_expr("_v", MASS_MAX_PLANES, band=0).alias("_b30"))
+        .collect()
+    )
+    bits = np.array(
+        [[c == "1" for c in r._b30] for r in rows], dtype=np.uint8
+    )
+    s = bits.shape[0]
+    if s < 2:
+        return base, base_bands
+    # cumulative mismatch count per pair per prefix length
+    mism = np.bitwise_xor(bits[:, None, :], bits[None, :, :])
+    cum = mism.cumsum(axis=2)
+    iu = np.triu_indices(s, k=1)
+    bands_table = {
+        p: srp_bands_for_miss(p, cos_threshold, target_miss)
+        for p in range(base, MASS_MAX_PLANES + 1)
+    }
+    bound = MASS_CANDIDATE_FACTOR * s * s
+    for p in range(base, MASS_MAX_PLANES + 1):
+        h = int((cum[:, :, p - 1][iu] <= 1).sum())
+        if h * bands_table[p] * n <= bound:
+            return p, bands_table[p]
+    return MASS_MAX_PLANES, bands_table[MASS_MAX_PLANES]
+
+
 def write_pq_index(
     embeddings: DataFrame,
     path: str,
@@ -2346,6 +2542,110 @@ def ivf_ingest_drift_report(spark, path: str) -> DataFrame:
         )
         .orderBy("ingest")
     )
+
+
+# The documented covariate-drift rule (see ivf_ingest_drift_report):
+# an appended batch whose mean distance-to-assigned-centroid reads at
+# least this multiple of the base generation's is off the fitted
+# quantizer.
+IVF_DRIFT_RATIO = 2.0
+
+
+def ivf_ingest_with_guard(
+    new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ingest_label: str | None = None,
+    drift_ratio: float = IVF_DRIFT_RATIO,
+    policy: str = "recluster",
+    fit_sample_max: int = 100_000,
+) -> dict:
+    """Append a batch to a persisted IVF store (flat or q8 — detected
+    from the lists layout) WITH the drift instruments in the loop — the
+    r11 closure of the r10 gap where :func:`ivf_ingest_drift_report`
+    existed but nothing *acted* on it.
+
+    After the O(|batch|) append, the covariate-drift report runs (one
+    scan of the lists table) and this batch's ``mean_dist`` is compared
+    against the ``base`` generation's.  When it reads ≥ ``drift_ratio``
+    × base (the documented ≥2× rule), the batch is off the frozen
+    quantizer and:
+
+    - ``policy='flag'`` records the tripped verdict and leaves the
+      store as-is (the operator's answer when rebuilds are scheduled
+      out-of-band);
+    - ``policy='recluster'`` (default) rebuilds the store from its own
+      contents (:func:`recluster_ivf_index` / ``_q8_``) into a sibling
+      temp directory and swaps the three store components in — the
+      single-filesystem stand-in for the generation-pointer flip an
+      object-store deployment would do.  Recall recovery through this
+      exact path is measured in tests/test_ivf_drift.py.
+
+    Every ingest appends a verdict row to ``<path>/drift`` —
+    ``(ingest, n_rows, mean_dist, base_mean_dist, tripped, action)`` —
+    which survives reclusters (it lives outside the swapped
+    components), so the store carries its own drift history.
+
+    Returns ``{"ingest", "mean_dist", "base_mean_dist", "tripped",
+    "reclustered"}``."""
+    import os
+    import shutil
+
+    if policy not in ("flag", "recluster"):
+        raise ValueError(f"unknown policy {policy!r}")
+    spark = new.sparkSession
+    is_q8 = "_q" in spark.read.parquet(f"{path}/lists").columns
+    append = append_to_ivf_q8_index if is_q8 else append_to_ivf_index
+    label = append(new, path, id_col, vec_col, ingest_label)
+
+    rep = {r.ingest: r for r in ivf_ingest_drift_report(spark, path).collect()}
+    if "base" not in rep:
+        raise ValueError(f"{path}: store has no 'base' generation to compare against")
+    base_mean = float(rep["base"].mean_dist)
+    batch = rep[label]
+    mean_dist = float(batch.mean_dist)
+    tripped = mean_dist >= drift_ratio * base_mean
+    reclustered = False
+    if tripped and policy == "recluster":
+        tmp = f"{path}.recluster-tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        recluster = recluster_ivf_q8_index if is_q8 else recluster_ivf_index
+        recluster(spark, path, tmp, fit_sample_max=fit_sample_max)
+        for part in ("centroids", "lists", "meta"):
+            old = f"{path}/{part}.old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(f"{path}/{part}", old)
+            os.rename(f"{tmp}/{part}", f"{path}/{part}")
+            shutil.rmtree(old)
+        shutil.rmtree(tmp)
+        reclustered = True
+    action = (
+        "reclustered" if reclustered
+        else ("flagged" if tripped else "ok")
+    )
+    # store_rows (total rows visible at verdict time) disambiguates log
+    # rows across reclusters: the generation counter resets to 'base'
+    # after a rebuild, so ingest labels alone can repeat
+    store_rows = sum(int(r.n_rows) for r in rep.values())
+    spark.createDataFrame(
+        [(
+            label, int(batch.n_rows), store_rows, mean_dist, base_mean,
+            tripped, action,
+        )],
+        "ingest string, n_rows bigint, store_rows bigint, "
+        "mean_dist double, base_mean_dist double, tripped boolean, "
+        "action string",
+    ).coalesce(1).write.mode("append").parquet(f"{path}/drift")
+    return {
+        "ingest": label,
+        "mean_dist": mean_dist,
+        "base_mean_dist": base_mean,
+        "tripped": tripped,
+        "reclustered": reclustered,
+    }
 
 
 def _sole_id_col(columns: list[str], reserved: set[str], who: str) -> str:

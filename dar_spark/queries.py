@@ -2219,16 +2219,17 @@ PAIRS_AUTO_RECALL_BOUND = 0.9
 
 def _embed_dup_pairs_auto_only_q() -> Q:
     """The autoscaled pairs-LSH path ALONE — the production near-dup
-    configuration (dedup.embedding_dup_pairs defaults: ⌈log2 N⌉ planes,
-    miss-rate-sized bands) benched without the O(N²) brute verifier
-    that embed_dup_pairs_auto deliberately carries for its recall
-    contract.  Full value-hash oracle: srp_pairs_auto_oracle_sql
-    recomputes the AUTOSCALE RULE ITSELF in SQL (bit-length planes,
+    configuration (dedup.embedding_dup_pairs defaults: ⌈log2 N⌉-plane
+    floor + the r11 measured-mass probe that raises planes when a
+    bounded sample sees cluster-structured sub-threshold collision
+    mass, miss-rate-sized bands) benched without the O(N²) brute
+    verifier that embed_dup_pairs_auto deliberately carries for its
+    recall contract.  Full value-hash oracle: srp_pairs_auto_oracle_sql
+    recomputes the AUTOSCALE RULE ITSELF in SQL (bit-length floor, the
+    identical md5-ordered ≤512-row sample and integer mass rule,
     precomputed band table, literal multiplier array), so every pair
     and 6-dp cosine matches at every fixture size.  This row is the
-    bench headliner because it is the plan you'd run at 100× — the
-    r10 rehearsal measures it at exponent ~0.5 where the
-    verifier-carrying row measured 1.46."""
+    bench headliner because it is the plan you'd run at 100×."""
 
     def spark_fn(spark, sf_dir):
         from dar_spark.operators.dedup import embedding_dup_pairs
@@ -3723,6 +3724,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("mmr_select_capped", _mmr_select_q(query_cap=MMR_QUERY_CAP)),
         ("temp_mixture_budget_xl", _temp_mixture_q(TEMP_MIX_BUDGET_XL)),
         ("media_png_decode", _png_decode_q()),
+        ("media_jpeg_decode", _jpeg_decode_q()),
         ("html_extract_dom_docs", _html_extract_dom_q()),
         ("embed_dup_pairs_auto_only", _embed_dup_pairs_auto_only_q()),
         ("card_profile", _card_profile_q()),
@@ -6570,6 +6572,75 @@ SELECT doc_id AS media_id, w AS width, h AS height,
   CAST((seed % 256) + ((seed + 29) % 256) + ((seed + 58) % 256) AS INT) AS corner,
   CAST(SUM(y * r) AS BIGINT) AS y_moment
 FROM px GROUP BY doc_id, w, h, seed"""
+    return Q(spark_fn, oracle)
+
+
+def _jpeg_decode_q() -> Q:
+    """REAL baseline-JPEG decode under the value hash (r11, VERDICT r10
+    #5): executors ENCODE a true grayscale JFIF per doc
+    (operators/media_codecs.make_jpeg — all-ones quant table, canonical
+    Huffman DHTs, DC prediction, ZRL runs, byte stuffing), the decode
+    stage parses the BYTES back through the general marker/Huffman/
+    zigzag/dequant/IDCT pipeline (parse_jpeg), and the oracle recomputes
+    the statistics from the generative BLOCK formula having never seen
+    a byte.  The fixture image is dcv + amp·checkerboard per 8x8 block
+    — the two-coefficient form whose lossy round-trip is EXACT (see
+    media_codecs.py), so any decoder slip (Huffman table misread, DC
+    predictor, zigzag index, dequant, IDCT scale) breaks the hash; the
+    signed checker_moment isolates the AC path specifically."""
+
+    def spark_fn(spark, sf_dir):
+        import pandas as pd
+
+        from dar_spark.operators.multimodal import jpeg_decode_stats
+
+        t = load_tables(spark, sf_dir)
+        base = parallelize(t["documents"]).selectExpr(
+            "CAST(doc_id AS BIGINT) AS media_id",
+            "CAST(1 + doc_id % 3 AS INT) AS _wb",
+            "CAST(1 + doc_id % 2 AS INT) AS _hb",
+            "CAST(doc_id % 199 AS INT) AS _seed",
+        )
+
+        def gen(it):
+            from dar_spark.operators.media_codecs import make_jpeg
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "payload": [
+                            make_jpeg(int(w), int(h), int(s))
+                            for w, h, s in zip(
+                                pdf["_wb"], pdf["_hb"], pdf["_seed"]
+                            )
+                        ],
+                    }
+                )
+
+        media = base.mapInPandas(gen, "media_id long, payload binary")
+        return jpeg_decode_stats(media)
+
+    oracle = """WITH d AS (
+  SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS wb,
+         CAST(1 + doc_id % 2 AS INT) AS hb,
+         CAST(doc_id % 199 AS INT) AS seed
+  FROM documents
+), gx AS (SELECT doc_id, wb, hb, seed, unnest(range(0, wb)) AS bx FROM d),
+g AS (SELECT doc_id, wb, hb, seed, bx, unnest(range(0, hb)) AS bly FROM gx),
+blk AS (
+  SELECT doc_id, wb, hb, bx, bly,
+         64 + (seed + 11 * bx + 17 * bly) % 128 AS dcv,
+         (seed + 5 * bx + 3 * bly) % 32 AS amp
+  FROM g
+)
+SELECT doc_id AS media_id,
+  CAST(8 * wb AS INT) AS width, CAST(8 * hb AS INT) AS height,
+  CAST(SUM(64 * dcv) AS BIGINT) AS sum_y,
+  CAST(SUM(64 * amp) AS BIGINT) AS checker_moment,
+  CAST(MAX(CASE WHEN bx = 0 AND bly = 0 THEN dcv + amp END) AS INT) AS corner,
+  CAST(SUM(dcv * (512 * bly + 224)) AS BIGINT) AS y_moment
+FROM blk GROUP BY doc_id, wb, hb"""
     return Q(spark_fn, oracle)
 
 

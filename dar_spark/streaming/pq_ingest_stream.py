@@ -90,3 +90,45 @@ def streaming_ivf_q8_ingest(
         ),
         checkpoint_dir,
     )
+
+
+def streaming_ivf_guarded_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    policy: str = "flag",
+    drift_ratio: float | None = None,
+):
+    """Streaming ingest WITH the drift guard in the loop
+    (``similarity.ivf_ingest_with_guard``): every micro-batch is
+    appended, measured against the ≥2× covariate-drift rule, and its
+    verdict logged to ``<index_path>/drift`` — flat or q8 store,
+    detected from the layout.
+
+    ``policy='flag'`` (the streaming default) preserves the full
+    replay contract: appends stay idempotent per ``stream-<batch_id>``
+    label, the log records tripped batches, and rebuilds happen
+    out-of-band (read the log, call ``recluster_ivf_q8_index``, or run
+    a guarded BATCH ingest).  ``policy='recluster'`` rebuilds in-place
+    mid-stream (safe between micro-batches — foreachBatch is
+    sequential per stream) but WEAKENS replay to at-least-once across
+    a crash landing inside the rebuild window: the recluster folds
+    every generation into a fresh ``base``, so a replayed micro-batch
+    that had already been folded in would double-ingest.  Choose it
+    only where the downstream reader dedups by id or the stream can
+    be checkpoint-synced with rebuilds."""
+    from dar_spark.operators.similarity import ivf_ingest_with_guard
+    from dar_spark.streaming.ingest_util import start_labeled_ingest
+
+    kwargs = {} if drift_ratio is None else {"drift_ratio": drift_ratio}
+
+    return start_labeled_ingest(
+        stream_df,
+        lambda batch, label: ivf_ingest_with_guard(
+            batch, index_path, id_col, vec_col, ingest_label=label,
+            policy=policy, **kwargs,
+        ),
+        checkpoint_dir,
+    )

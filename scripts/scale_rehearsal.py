@@ -226,14 +226,22 @@ def main() -> None:
     if args.only:
         with open(prev_path) as f:
             prev = json.load(f)
-        for k in ("scales", "cpus", "n_runs"):
-            if prev[k] != payload[k]:
-                raise SystemExit(
-                    f"--only merge refused: {k} differs from the committed "
-                    f"artifact ({prev[k]} vs {payload[k]}) — rerun the full "
-                    "rehearsal instead"
-                )
-        prev["queries"].update(payload["queries"])
+        # compare only the first-decade scales: a committed artifact that
+        # has been --extend-decade'd legitimately carries a third entry
+        if [float(s) for s in prev["scales"][:2]] != [
+            float(s) for s in payload["scales"]
+        ] or prev["cpus"] != payload["cpus"]:
+            raise SystemExit(
+                "--only merge refused: scales/cpus differ from the "
+                f"committed artifact ({prev['scales']}/{prev['cpus']} vs "
+                f"{payload['scales']}/{payload['cpus']}) — rerun the full "
+                "rehearsal instead"
+            )
+        for name, row in payload["queries"].items():
+            dest = prev["queries"].setdefault(name, {})
+            # keep any second-decade keys; refresh the first decade
+            dest.pop("error", None)
+            dest.update(row)
         payload = prev
     write_outputs(payload)
 

@@ -184,6 +184,125 @@ def test_recall_floors_and_compaction_is_neutral(spark, drifted_store):
     assert r_reclustered >= IVF_RECALL_BOUND
 
 
+def test_ingest_guard_auto_reclusters_on_drift(spark, tmp_path):
+    """r11 (VERDICT r10 #3): the drift trigger is IN the ingest path —
+    ivf_ingest_with_guard appends, evaluates the ≥2x rule, and
+    reclusters the store in place when it trips, with no manual step.
+    Pinned: a drifted append trips and auto-reclusters (balance
+    restored, recall never worse, floor held); a healthy append does
+    not trip and leaves the store untouched; the <path>/drift log
+    carries both verdicts across the recluster."""
+    from dar_spark.operators.similarity import (
+        ivf_index_balance,
+        ivf_ingest_drift_report,
+        ivf_ingest_with_guard,
+        write_ivf_q8_index,
+    )
+
+    full = _corpus(spark)
+    path = str(tmp_path / "q8_guarded")
+    write_ivf_q8_index(full.filter(f"vec_id < {N_BASE}"), path,
+                       n_lists=N_LISTS)
+
+    out = ivf_ingest_with_guard(
+        full.filter(f"vec_id >= {N_BASE}"), path, policy="recluster"
+    )
+    assert out["tripped"] and out["reclustered"]
+    assert out["mean_dist"] >= 2 * out["base_mean_dist"]
+    # the store was rebuilt in place: one refit generation, healthy
+    # balance, all rows present
+    rep = ivf_ingest_drift_report(spark, path).collect()
+    assert len(rep) == 1 and rep[0].n_rows == N_BASE + N_DRIFT
+    bal = ivf_index_balance(spark, path).collect()[0]
+    assert bal.balance_ratio < 4.0 and bal.n_rows == N_BASE + N_DRIFT
+    from dar_spark.queries import IVF_RECALL_BOUND
+
+    r_after = _recall(spark, path, full)
+    assert r_after >= IVF_RECALL_BOUND
+
+    # a healthy follow-up batch (base distribution, fresh ids) must NOT
+    # trip: two generations remain, no rebuild
+    healthy = spark.range(
+        N_BASE + N_DRIFT, N_BASE + N_DRIFT + 100
+    ).selectExpr("id AS vec_id", f"{_BASE_VEC} AS embedding")
+    out2 = ivf_ingest_with_guard(healthy, path, policy="recluster")
+    assert not out2["tripped"] and not out2["reclustered"]
+    assert len(ivf_ingest_drift_report(spark, path).collect()) == 2
+
+    # the drift log survived the in-place recluster and carries both
+    # verdicts; after a rebuild the generation counter resets, so the
+    # log keys on (ingest, store_rows) — store_rows is monotone
+    log = sorted(
+        spark.read.parquet(f"{path}/drift").collect(),
+        key=lambda r: r.store_rows,
+    )
+    assert [(r.action, r.store_rows) for r in log] == [
+        ("reclustered", N_BASE + N_DRIFT),
+        ("ok", N_BASE + N_DRIFT + 100),
+    ]
+
+
+def test_ingest_guard_flag_policy_leaves_store_untouched(spark, tmp_path):
+    from dar_spark.operators.similarity import (
+        ivf_ingest_drift_report,
+        ivf_ingest_with_guard,
+        write_ivf_index,
+    )
+
+    full = _corpus(spark)
+    path = str(tmp_path / "flat_guarded")
+    write_ivf_index(full.filter(f"vec_id < {N_BASE}"), path, n_lists=N_LISTS)
+    out = ivf_ingest_with_guard(
+        full.filter(f"vec_id >= {N_BASE}"), path, policy="flag"
+    )
+    assert out["tripped"] and not out["reclustered"]
+    # flagged, not rebuilt: both generations still present
+    rep = {
+        r.ingest for r in ivf_ingest_drift_report(spark, path).collect()
+    }
+    assert rep == {"base", "append-1"}
+    log = spark.read.parquet(f"{path}/drift").collect()
+    assert len(log) == 1 and log[0].action == "flagged" and log[0].tripped
+
+
+def test_streaming_guarded_ingest_flags_drifted_batches(spark, tmp_path):
+    """The streaming twin (streaming_ivf_guarded_ingest, policy='flag'):
+    drifted micro-batches land as replay-safe partitions AND their
+    tripped verdicts stream into <path>/drift — the out-of-band rebuild
+    signal, with the replay contract intact."""
+    from dar_spark.operators.similarity import write_ivf_q8_index
+    from dar_spark.streaming.pq_ingest_stream import (
+        streaming_ivf_guarded_ingest,
+    )
+
+    full = _corpus(spark)
+    path = str(tmp_path / "q8_stream_guarded")
+    write_ivf_q8_index(full.filter(f"vec_id < {N_BASE}"), path,
+                       n_lists=N_LISTS)
+    arriving = full.filter(f"vec_id >= {N_BASE}")
+    src = str(tmp_path / "src")
+    arriving.repartition(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(arriving.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = streaming_ivf_guarded_ingest(
+        stream, path, checkpoint_dir=str(tmp_path / "ck"), policy="flag"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    log = spark.read.parquet(f"{path}/drift").collect()
+    assert len(log) >= 2  # one verdict per micro-batch
+    assert all(r.tripped and r.action == "flagged" for r in log)
+    # flag policy: the store keeps every generation (no rebuild)
+    gens = {
+        r.ingest
+        for r in spark.read.parquet(f"{path}/lists")
+        .select("ingest").distinct().collect()
+    }
+    assert "base" in gens and len(gens) == len(log) + 1
+
+
 def test_flat_store_recluster_and_drift_report(spark, tmp_path):
     """The FLAT store gets the same drift anatomy: the per-ingest
     report reads from ``_v`` directly, and recluster_ivf_index is

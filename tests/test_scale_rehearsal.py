@@ -100,28 +100,16 @@ def test_no_headline_query_scales_superlinearly():
 
 
 # Second-decade rows allowed above the envelope, with the measured
-# anatomy that makes the number the honest cost of the semantics:
-JUSTIFIED_DECADE2: dict[str, str] = {
-    # All-pairs near-dup on a CLUSTER-STRUCTURED corpus: the sf10
-    # fixture's 10 label clusters sit at within-cluster cos ~0.6, so
-    # candidate mass is (within-cluster pairs) x q(cos, planes) — the
-    # log2(N) plane autoscale decays q by only 0.705/plane against
-    # sub-threshold cluster mass (vs 0.5 for spread data), leaving a
-    # ~N^1.5 verified-candidate count (measured 1.52).  The r10
-    # shuffle-shape fix (srp_candidate_pairs distinct=False +
-    # post-filter dedup) makes EVERY super-linear byte pipelined
-    # whole-stage-codegen verify compute: shuffles stay corpus-linear
-    # (probe join bounded at B(P+1)N rows; dedup touches only
-    # post-threshold survivors), so the cost scales horizontally with
-    # executors instead of hitting a memory/disk cliff — the sf10 run
-    # that previously died on 100+GB exchanges now completes with
-    # linear spill.  n_planes stays a caller dial for cluster-heavy
-    # corpora (see the embedding_dup_pairs docstring).
-    "embed_dup_pairs_auto_only": (
-        "all-pairs near-dup: cluster-mass candidates are pipelined "
-        "verify compute; shuffles stay linear"
-    ),
-}
+# anatomy that makes the number the honest cost of the semantics.
+# EMPTY since r11: embed_dup_pairs_auto_only (r10's one justified row,
+# measured 1.52) now measures 0.926 after the measured-mass plane
+# autoscale (srp_pairs_mass_autoscale — raises planes when a bounded
+# sample sees cluster-structured sub-threshold collision mass) plus the
+# compact INT8 probe rows with the lossless quantization screen
+# (srp_candidate_pairs screen_threshold — the 520 B/row vector payload
+# through the exploded probe join was measured as ~75% of the sf10
+# wall clock; output bit-identical, oracle untouched).
+JUSTIFIED_DECADE2: dict[str, str] = {}
 
 
 def test_second_decade_confirms_index_family_exponents():

@@ -729,6 +729,107 @@ def test_srp_pairs_autoscale_candidates_stay_linear(spark):
     assert a_ratio < 8, f"autoscaled should be ~linear, got {a_ratio:.1f}x"
 
 
+def test_srp_pairs_mass_autoscale_raises_planes_on_cluster_mass(spark):
+    """The r11 measured-mass refinement: on hash-uniform vectors the
+    rule keeps the count-based floor (the margin is wide — every
+    committed fixture config is unchanged), while a cluster-heavy
+    corpus (two tight sub-threshold modes) measures collision mass
+    above the bound and walks planes up."""
+    from dar_spark.operators.similarity import (
+        _as_double_vec,
+        srp_pairs_autoscale,
+        srp_pairs_mass_autoscale,
+    )
+
+    def uniform(n):
+        # abs() before the mod keeps the components CENTERED — a signed
+        # hash%1000 has mean -0.5 per element, which turns "noise" into
+        # one giant cluster and (correctly!) trips the mass rule
+        return _as_double_vec(
+            spark.range(n).selectExpr(
+                "id AS vec_id",
+                "transform(sequence(1, 64), d -> "
+                "CAST((abs(hash(id * 31 + d)) % 1000) AS DOUBLE) / 1000.0"
+                " - 0.5) AS v",
+            ),
+            "v",
+        )
+
+    def clustered(n):
+        # two modes with ±0.02 noise: within-mode cosines ~0.99+ BUT the
+        # probe measures sub-threshold collision mass via bucket
+        # prefixes, so tight clusters of EITHER kind drive H_P up
+        return _as_double_vec(
+            spark.range(n).selectExpr(
+                "id AS vec_id",
+                "transform(sequence(1, 16), d -> "
+                "CAST(CASE WHEN id % 2 = 0 THEN d ELSE 17 - d END AS DOUBLE)"
+                " + CAST((hash(id * 31 + d) % 100) AS DOUBLE) / 2500.0)"
+                " AS v",
+            ),
+            "v",
+        )
+
+    n = 60_000  # above MASS_PROBE_MIN, where the probe actually runs
+    base = srp_pairs_autoscale(n, 0.95)
+    got_u = srp_pairs_mass_autoscale(uniform(n), "vec_id", 0.95, n=n)
+    assert got_u == base, f"uniform corpus must keep the floor: {got_u}"
+    got_c = srp_pairs_mass_autoscale(clustered(n), "vec_id", 0.95, n=n)
+    assert got_c[0] > base[0], f"cluster mass must raise planes: {got_c}"
+    assert got_c[0] <= 30 and got_c[1] >= base[1]
+    # below the probe gate the floor is final (no sample scan)
+    small = srp_pairs_mass_autoscale(clustered(2_000), "vec_id", 0.95, n=2_000)
+    assert small == srp_pairs_autoscale(2_000, 0.95)
+
+
+def test_srp_compact_screened_candidates_are_bit_identical(spark):
+    """The r11 compact probe form (INT8 codes + lossless quantization
+    bound + survivor hydration) must yield EXACTLY the pairs the heavy
+    form yields after the threshold filter — same ids, same 6-dp
+    cosines — on a cluster-structured corpus where the screen actually
+    kills most candidates.  This is the pin that lets the oracle ignore
+    the screen entirely."""
+    from dar_spark.operators.dedup import srp_candidate_pairs
+    from dar_spark.operators.similarity import _as_double_vec
+
+    # two tight modes + noise: plenty of sub-threshold candidate mass
+    e = _as_double_vec(
+        spark.range(3000).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(1, 16), d -> "
+            "CAST(CASE WHEN id % 2 = 0 THEN d ELSE 17 - d END AS DOUBLE)"
+            " + CAST((hash(id * 31 + d) % 1000) AS DOUBLE) / 500.0) AS v",
+        ),
+        "v",
+    )
+    thr = 0.995
+
+    def verified(pairs):
+        return sorted(
+            (r.vec_id_a, r.vec_id_b, r.cos_sim)
+            for r in pairs.selectExpr(
+                "vec_id_a", "vec_id_b",
+                "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, "
+                "(a, x) -> a + x) / (na * nb), 6) AS cos_sim",
+            )
+            .filter(f"cos_sim >= {thr}")
+            .dropDuplicates(["vec_id_a", "vec_id_b"])
+            .collect()
+        )
+
+    heavy = verified(
+        srp_candidate_pairs(e, "vec_id", 10, 3, distinct=False)
+    )
+    light = verified(
+        srp_candidate_pairs(
+            e, "vec_id", 10, 3, distinct=False, dim=16,
+            screen_threshold=thr,
+        )
+    )
+    assert heavy == light
+    assert len(heavy) > 0
+
+
 def test_ivf_index_roundtrip_matches_direct(spark, tmp_path):
     """write_ivf_index -> ivf_index_topk must equal ivf_topk over the
     same corpus at the same (n_lists, n_probe): the deterministic
