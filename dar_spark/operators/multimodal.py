@@ -163,14 +163,23 @@ def _png_resize(payload: bytes, max_dim: int) -> tuple[bytes, int, int]:
     return encode_png(small), small.shape[1], small.shape[0]
 
 
+def _jpeg_meta(payload: bytes) -> tuple[int, int, int]:
+    from dar_spark.operators.media_codecs import parse_jpeg
+
+    img = parse_jpeg(payload)
+    return img.shape[1], img.shape[0], 1
+
+
 # stdlib-decodable formats decode FOR REAL out of the box
-# (media_codecs.py — PNG via zlib + the 5 scanline filters); jpeg/mp4
-# have NO registered decoder in this container (no PIL/libav) and
-# always take the labeled fake fallback, as do synthetic non-PNG bytes
-# carrying an image/png mime (ValueError → _fallback_meta, so the
-# legacy fake-payload fixtures keep their pinned outputs)
+# (media_codecs.py — PNG via zlib + the 5 scanline filters, baseline
+# grayscale JPEG via the r11 Huffman+IDCT decoder); mp4 has NO
+# registered decoder in this container (no libav) and always takes the
+# labeled fake fallback, as do synthetic non-matching bytes carrying a
+# decodable mime (ValueError → _fallback_meta, so the legacy
+# fake-payload fixtures keep their pinned outputs)
 register_decoder("image/bmp", MediaDecoder(_bmp_meta, _bmp_resize))
 register_decoder("image/png", MediaDecoder(_png_meta, _png_resize))
+register_decoder("image/jpeg", MediaDecoder(_jpeg_meta))
 register_decoder("audio/wav", MediaDecoder(_wav_meta))
 
 
@@ -409,6 +418,60 @@ def png_decode_stats(media: DataFrame) -> DataFrame:
     (operators/media_codecs.parse_png — chunk CRCs, zlib inflate, and
     full Sub/Up/Average/Paeth unfiltering); see :func:`_pixel_stats`."""
     return _pixel_stats(media, "parse_png")
+
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_y", LongType()),
+        StructField("checker_moment", LongType()),
+        StructField("corner", IntegerType()),
+        StructField("y_moment", LongType()),
+    ]
+)
+
+
+def jpeg_decode_stats(media: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG decode (operators/media_codecs.parse_jpeg —
+    marker walk, canonical Huffman with byte unstuffing, DC prediction,
+    zigzag, dequant, float IDCT) to integer luma statistics the DuckDB
+    oracle recomputes from the generative block formula.  The stats are
+    chosen to catch decoder bugs: the plain sum (DC path), the signed
+    checkerboard moment Σ pixel·s(x%8)·s(y%8) (the AC path — any
+    zigzag/dequant/IDCT slip moves it), the corner pixel (block
+    orientation) and the y-weighted sum (row order).  Arrow-batched
+    mapInPandas, narrow."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from dar_spark.operators.media_codecs import _JPEG_S, parse_jpeg
+
+        s8 = np.array(_JPEG_S, dtype=np.int64)
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "sum_y", "checker_moment",
+                "corner", "y_moment",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = parse_jpeg(p if isinstance(p, bytes) else bytes(p))
+                h, w = img.shape
+                i64 = img.astype(np.int64)
+                sx = np.tile(s8, w // 8)[None, :]
+                sy = np.tile(s8, h // 8)[:, None]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_y"].append(int(i64.sum()))
+                out["checker_moment"].append(int((i64 * sx * sy).sum()))
+                out["corner"].append(int(i64[0, 0]))
+                out["y_moment"].append(int((i64 * ys).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, JPEG_STATS_SCHEMA)
 
 
 WAV_STATS_SCHEMA = StructType(

@@ -163,3 +163,115 @@ def test_png_resize_hook_round_trips():
     big = parse_png(payload)
     # nearest-neighbor: every emitted pixel exists at the mapped index
     assert (small == big[::2, ::2]).all()
+
+
+# --- baseline JPEG (r11) ------------------------------------------------------
+
+
+def test_jpeg_roundtrip_is_exact():
+    """The lossy format round-trips EXACTLY on the two-coefficient
+    fixture blocks (all-ones quant table, DC + u=v=4 checkerboard whose
+    basis product is dyadic) — the property that lets the DuckDB oracle
+    recompute decoded statistics from the block formula."""
+    import numpy as np
+
+    from dar_spark.operators.media_codecs import (
+        _JPEG_S,
+        _jpeg_block,
+        make_jpeg,
+        parse_jpeg,
+    )
+
+    for wb, hb, seed in [(1, 1, 0), (3, 2, 7), (2, 2, 123), (3, 1, 198)]:
+        img = parse_jpeg(make_jpeg(wb, hb, seed))
+        assert img.shape == (8 * hb, 8 * wb) and img.dtype == np.uint8
+        want = np.empty((8 * hb, 8 * wb), dtype=np.int64)
+        for by in range(hb):
+            for bx in range(wb):
+                dcv, amp = _jpeg_block(bx, by, seed)
+                for ly in range(8):
+                    for lx in range(8):
+                        want[by * 8 + ly, bx * 8 + lx] = (
+                            dcv + amp * _JPEG_S[lx] * _JPEG_S[ly]
+                        )
+        assert (img.astype(np.int64) == want).all(), (wb, hb, seed)
+
+
+def test_jpeg_decoder_is_general_not_fixture_shaped():
+    """The decoder must be a real baseline decoder, not a replay of the
+    encoder: hand-build a stream with different Huffman tables, a
+    non-trivial quant table, and coefficients the fixture never emits,
+    and check the decode against an independent numpy IDCT."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from dar_spark.operators import media_codecs as mc
+
+    # one 8x8 block: DC plus AC at zigzag index 1 (u=1, v=0) and a
+    # doubled quant entry there — asymmetric, so orientation matters
+    dc_bits = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    dc_bits[2] = 7  # categories 0..6 at length 3
+    dc_vals = list(range(7))
+    ac_bits = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_bits[2] = 3
+    ac_vals = [0x00, 0x11, 0x15]  # EOB, (run1,size1), (run1,size5)
+    q = [1] * 64
+    q[1] = 2  # quant 2 at zigzag index 1
+    dqt = bytes([0x00]) + bytes(q)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    sos = bytes([1, 1, 0x00]) + bytes([0, 63, 0])
+    dc_codes = mc._canonical_codes(dc_bits, dc_vals)
+    ac_codes = mc._canonical_codes(ac_bits, ac_vals)
+    bw = mc._BitWriter()
+    # DC = +5 (category 3), then skip 1 zero and put AC=17 (category 5)
+    # at zigzag index 2
+    s, m = mc._category(5)
+    bw.put(*dc_codes[s])
+    bw.put(m, s)
+    s, m = mc._category(17)
+    bw.put(*ac_codes[(1 << 4) | s])
+    bw.put(m, s)
+    bw.put(*ac_codes[0x00])
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    payload = (
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof)
+        + seg(0xC4, dht_dc) + seg(0xC4, dht_ac) + seg(0xDA, sos)
+        + bw.flush() + b"\xff\xd9"
+    )
+    got = mc.parse_jpeg(payload)
+    # independent reconstruction: F[0,0]=5*1, zigzag idx2 is (v=1,u=0)
+    # → F[0,1]... build F[u,v] with dequant then IDCT
+    F = np.zeros((8, 8))
+    F[0, 0] = 5.0
+    # zigzag index 1 = (v=0,u=1) skipped (zero run), index 2 = (v=1,u=0)
+    F[0, 1] = 17.0 * 1  # q at zz idx 2 is 1
+    a = np.empty((8, 8))
+    for x in range(8):
+        for u in range(8):
+            c = (1 / math.sqrt(2)) if u == 0 else 1.0
+            a[x, u] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+    want = np.clip(np.rint(a @ F.T @ a.T + 128.0), 0, 255).astype(np.uint8)
+    assert (got == want).all()
+    # vertical, not horizontal, variation: rows differ, columns constant
+    assert (got[0] == got[0][0]).all() and not (got[:, 0] == got[0, 0]).all()
+
+
+def test_jpeg_guards_raise_value_error():
+    import pytest
+
+    from dar_spark.operators.media_codecs import make_jpeg, parse_jpeg
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        parse_jpeg(b"\x89PNG1234")
+    good = make_jpeg(2, 2, 5)
+    with pytest.raises(ValueError):
+        parse_jpeg(good[:40])  # truncated mid-segment
+    with pytest.raises(ValueError):
+        parse_jpeg(good[:-12])  # entropy data truncated
