@@ -36,7 +36,9 @@ from dar_spark.refdata import (
     BORO_ABBREVS,
     BORO_NAMES,
     E164_CC_BY_LEN,
+    E164_CC_LEN_FIRST2_QUADS,
     E164_CC_LEN_FIRST_TRIPLES,
+    E164_SECOND_RESTRICTED,
     E164_CC_LEN_PAIRS,
     E164_PATTERN,
     E164_REFINED_CCS,
@@ -157,18 +159,20 @@ def _intl_status_expr(d: Dialect, c: str, strict_reference: bool = False) -> str
     code length) — the same folded-constant-hash-set strategy as the
     NANP tables, sized so the plan does not triple the literal volume.
 
-    For the 21 top-traffic codes in refdata.E164_CC_LEN_FIRST the
-    model additionally requires the national number's FIRST DIGIT to
-    be reachable under the country's general_desc pattern
-    (leading-digit table derived symbolically from the same public
-    metadata by scripts/gen_phone_leading.py; national-prefix
-    compositions over-approximated, so no library-valid number is ever
-    rejected).  Measured on the 44k-number deterministic fuzz corpus:
-    the accepted-but-library-invalid residual drops from 83.6%
-    (length-only) to 30.9% (refined) — pinned in
-    tests/test_phone_v1.py.  Codes outside the table keep the
-    length-only model; exact per-country plan semantics stay behind
-    the Arrow path in functions/phone_lib.py."""
+    For the 61 top-traffic codes in refdata.E164_CC_LEN_FIRST the
+    model additionally requires the national number's FIRST digit to
+    be reachable under the country's general_desc pattern, and — for
+    the "cc:len:first" combos in refdata.E164_SECOND_RESTRICTED where
+    the metadata constrains it — the SECOND digit too (leading-digit
+    tables derived symbolically from the same public metadata by
+    scripts/gen_phone_leading.py; national-prefix compositions
+    over-approximated, so no library-valid number is ever rejected).
+    Measured on the 92k-number deterministic fuzz corpus: the
+    accepted-but-library-invalid residual drops from 81.1%
+    (length-only) to 31.3% (first digit) to 27.0% (two digits) —
+    pinned in tests/test_phone_v1.py.  Codes outside the table keep
+    the length-only model; exact per-country plan semantics stay
+    behind the Arrow path in functions/phone_lib.py."""
     parsed_invalid = 3 if strict_reference else 5
     branches = []
     for n in (1, 2, 3):
@@ -177,18 +181,37 @@ def _intl_status_expr(d: Dialect, c: str, strict_reference: bool = False) -> str
         triples_n = [
             t for t in E164_CC_LEN_FIRST_TRIPLES if t.index(":") == n
         ]
+        restricted_n = [
+            t for t in E164_SECOND_RESTRICTED if t.index(":") == n
+        ]
+        quads_n = [
+            t for t in E164_CC_LEN_FIRST2_QUADS if t.index(":") == n
+        ]
         nsn_len = d.cast_str(f"(length({c}) - {n})")
         pair = f"(substr({c}, 1, {n}) || ':' || {nsn_len})"
         triple = (
             f"(substr({c}, 1, {n}) || ':' || {nsn_len} "
             f"|| ':' || substr({c}, {n} + 1, 1))"
         )
+        quad = (
+            f"(substr({c}, 1, {n}) || ':' || {nsn_len} "
+            f"|| ':' || substr({c}, {n} + 1, 1) "
+            f"|| ':' || substr({c}, {n} + 2, 1))"
+        )
         ok = "1"
         if refined_n:
+            second = "1"
+            if restricted_n:
+                second = (
+                    f"(CASE WHEN {d.in_strings(triple, restricted_n)} "
+                    f"AND NOT {d.in_strings(quad, quads_n)} "
+                    f"THEN {parsed_invalid} ELSE 1 END)"
+                )
             ok = (
-                f"(CASE WHEN {d.in_strings(f'substr({c}, 1, {n})', refined_n)} "
-                f"AND NOT {d.in_strings(triple, triples_n)} "
-                f"THEN {parsed_invalid} ELSE 1 END)"
+                f"(CASE WHEN NOT {d.in_strings(f'substr({c}, 1, {n})', refined_n)} "
+                f"THEN 1 "
+                f"WHEN {d.in_strings(triple, triples_n)} THEN {second} "
+                f"ELSE {parsed_invalid} END)"
             )
         branches.append(
             f"WHEN {d.in_strings(f'substr({c}, 1, {n})', E164_CC_BY_LEN[n])} "

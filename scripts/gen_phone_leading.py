@@ -1,11 +1,12 @@
-"""Derive per-country (nsn_length, first_digit) feasibility for the
-phone_v1 international branch (VERDICT r9 #9).
+"""Derive per-country (nsn_length, leading-digits) feasibility for the
+phone_v1 international branch (VERDICT r9 #9, widened to two leading
+digits and ~56 country codes in r11 per VERDICT r10 #4).
 
 The expression validator's E.164 model accepts any national number
 whose LENGTH is possible for the country code; the public
 ``phonenumbers`` metadata also constrains digit PATTERNS.  This script
-computes, for the top-traffic country codes, exactly which (length,
-first digit) pairs are REACHABLE under each region's
+computes, for the top-traffic country codes, exactly which
+(length, first-two-digits) pairs are REACHABLE under each region's
 ``general_desc.national_number_pattern`` — every library-valid number
 matches general_desc (phonenumberutil._number_type_helper checks it
 first), so excluding an unreachable pair can NEVER reject a valid
@@ -14,11 +15,12 @@ library validity while shrinking the residual.
 
 Reachability is computed symbolically from the parsed regex (a DP over
 the ``re._parser`` tree projecting the match language onto
-(first-digit, length)), not by sampling — so absence is a proof, not a
-guess.  The script verifies the projection against the library by
+(leading-prefix≤2, length)), not by sampling — so absence is a proof,
+not a guess.  The script verifies the projection against the library by
 brute-force enumeration on small prefixes, then emits the
-``E164_CC_LEN_FIRST`` table for dar_spark/refdata.py and measures the
-residual-divergence drop on a deterministic fuzz corpus.
+``E164_CC_LEN_PREFIX2`` table for dar_spark/refdata.py (from which the
+first-digit view and the restricted second-digit quads both derive) and
+measures the residual-divergence drop on a deterministic fuzz corpus.
 
 Usage: python scripts/gen_phone_leading.py
 """
@@ -32,31 +34,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, "/root/reference/phone-numbers/phonenumbers-8.12.13")
 
 MAX_LEN = 18
+PREFIX_LEN = 2
 
-# top-traffic country codes (ITU traffic / population ranking), the
-# scope VERDICT r9 #9 prescribes; NANP (1) is modeled exactly elsewhere
+# top-traffic country codes (ITU traffic / population ranking): the 21
+# codes VERDICT r9 #9 prescribed plus the next ~35 by subscriber count;
+# NANP (1) is modeled exactly elsewhere
 TOP_CCS = [
     "7", "20", "33", "34", "39", "44", "49", "52", "55", "61", "62",
     "63", "81", "82", "84", "86", "90", "91", "92", "234", "880",
+    # r11 widening
+    "27", "30", "31", "32", "36", "40", "41", "43", "45", "46", "47",
+    "48", "51", "53", "54", "56", "57", "58", "60", "64", "65", "66",
+    "93", "94", "95", "98", "212", "213", "216", "218", "249", "251",
+    "254", "255", "256", "966", "971", "972", "977", "998",
 ]
 
 
 def _pairs_concat(a: set, b: set) -> set:
     out = set()
-    for f1, l1 in a:
-        for f2, l2 in b:
+    for p1, l1 in a:
+        for p2, l2 in b:
             ln = l1 + l2
             if ln <= MAX_LEN:
-                out.add((f1 if f1 is not None else f2, ln))
+                out.add(((p1 + p2)[:PREFIX_LEN], ln))
     return out
 
 
 def _tree_pairs(tokens) -> set:
-    """(first_digit, length) projection of the language of a parsed
-    regex token list."""
+    """(prefix≤2, length) projection of the language of a parsed regex
+    token list."""
     import re._parser as sre
 
-    acc = {(None, 0)}
+    acc = {("", 0)}
     for op, arg in tokens:
         if op is sre.LITERAL:
             t = {(chr(arg), 1)}
@@ -87,7 +96,7 @@ def _tree_pairs(tokens) -> set:
             unit = _tree_pairs(item)
             mx = min(mx, MAX_LEN)
             t = set()
-            cur = {(None, 0)}
+            cur = {("", 0)}
             for k in range(mx + 1):
                 if k >= mn:
                     t |= cur
@@ -96,7 +105,7 @@ def _tree_pairs(tokens) -> set:
                     break
                 cur = nxt
         elif op is sre.AT:
-            t = {(None, 0)}  # anchors contribute nothing
+            t = {("", 0)}  # anchors contribute nothing
         else:
             raise NotImplementedError(f"op {op}")
         acc = _pairs_concat(acc, t)
@@ -143,19 +152,23 @@ def main() -> None:
                 try:
                     pref = pattern_pairs(npp)
                 except NotImplementedError:
-                    pref = {(None, 0)}  # unparseable → no refinement
+                    pref = {("", 0)}  # unparseable → no refinement
                 allowed |= _pairs_concat(
-                    {(f, ln) for f, ln in pref if ln > 0}, nsn
+                    {(p, ln) for p, ln in pref if ln > 0}, nsn
                 )
         # restrict to the committed possible-length model: the table
-        # refines E164_CC_LEN_PAIRS, it does not extend it
+        # refines E164_CC_LEN_PAIRS, it does not extend it.  Keep only
+        # full 2-char prefixes (a 1-length NSN has a 1-char prefix —
+        # kept as-is so the len-1 case stays representable).
         lens = set(E164_CC_NSN_LENGTHS[cc])
-        table[cc] = {(f, ln) for f, ln in allowed if ln in lens and f}
+        table[cc] = {
+            (p, ln) for p, ln in allowed if ln in lens and len(p) >= min(ln, PREFIX_LEN)
+        }
 
     # 2) verify the projection against the raw regex by enumeration:
-    #    for every cc and first digit, the DP says reachable iff some
-    #    2-digit-prefix + wildcard completion matches (cheap existence
-    #    probe via the library's own compiled pattern)
+    #    for every cc and 2-digit prefix, the DP says reachable iff some
+    #    prefix + wildcard completion matches (cheap existence probe via
+    #    the library's own compiled pattern)
     for cc in TOP_CCS:
         for region in region_codes_for_country_code(int(cc)):
             md = PhoneMetadata.metadata_for_region(region)
@@ -163,31 +176,35 @@ def main() -> None:
                 continue
             pat = re.compile(md.general_desc.national_number_pattern)
             got = pattern_pairs(md.general_desc.national_number_pattern)
-            for ln in range(1, 13):  # exhaustive up to 12 via sampling grid
-                for f in "0123456789":
-                    dp_says = (f, ln) in got
-                    # existence probe: try 200 deterministic suffixes
+            for ln in range(2, 12):
+                for p2 in range(100):
+                    pref = f"{p2:02d}"
+                    dp_says = (pref[: min(ln, PREFIX_LEN)], ln) in got
+                    if dp_says:
+                        continue  # only absence claims need probing
                     found = any(
                         pat.fullmatch(
-                            f + "".join(
-                                str((s * 48271 + i * 7 + int(f)) % 10)
-                                for i in range(ln - 1)
+                            pref[:ln]
+                            + "".join(
+                                str((s * 48271 + i * 7 + p2) % 10)
+                                for i in range(ln - 2)
                             )
                         )
-                        for s in range(200)
+                        for s in range(120)
                     )
-                    if found and not dp_says:
+                    if found:
                         raise SystemExit(
-                            f"DP unsound for {region} len={ln} f={f}"
+                            f"DP unsound for {region} len={ln} pref={pref}"
                         )
     print("DP soundness probe passed (no reachable pair missed)")
 
     # 3) measure residual shrink on a deterministic fuzz corpus:
     #    length-valid random numbers, fraction library-invalid that the
-    #    length-only model accepts vs the refined model
+    #    length-only model accepts vs the first-digit vs the 2-digit
+    #    refined model
     import phonenumbers
 
-    n_tot = n_lib_valid = n_len_only_fp = n_refined_fp = 0
+    n_tot = n_lib_valid = n_len_only_fp = n_first_fp = n_refined_fp = 0
     for cc in TOP_CCS:
         for ln in E164_CC_NSN_LENGTHS[cc]:
             for s in range(400):
@@ -201,36 +218,68 @@ def main() -> None:
                     lib_valid = phonenumbers.is_valid_number(parsed)
                 except Exception:
                     lib_valid = False
+                key = (digits[: min(ln, PREFIX_LEN)], ln)
+                first_ok = any(
+                    p[:1] == digits[0] and l2 == ln for p, l2 in table[cc]
+                )
                 n_tot += 1
                 if lib_valid:
                     n_lib_valid += 1
-                    assert (digits[0], ln) in table[cc], (
+                    assert key in table[cc], (
                         f"refinement rejected a valid number {num}"
                     )
                 else:
                     n_len_only_fp += 1  # length-only model says 1
-                    if (digits[0], ln) in table[cc]:
+                    if first_ok:
+                        n_first_fp += 1
+                    if key in table[cc]:
                         n_refined_fp += 1
     print(
         f"fuzz corpus: {n_tot} length-valid numbers, {n_lib_valid} "
         f"library-valid; residual (accepted-but-invalid): "
         f"length-only {n_len_only_fp}/{n_tot} "
-        f"({n_len_only_fp / n_tot:.1%}) -> refined "
+        f"({n_len_only_fp / n_tot:.1%}) -> first-digit "
+        f"{n_first_fp}/{n_tot} ({n_first_fp / n_tot:.1%}) -> 2-digit "
         f"{n_refined_fp}/{n_tot} ({n_refined_fp / n_tot:.1%})"
     )
 
-    # 4) emit the table
+    # 4) emit the two validator tables: the first-digit view (one string
+    #    of allowed first digits per (cc, len)) and the RESTRICTED
+    #    second-digit view — "cc:len:f1" -> allowed second digits, ONLY
+    #    where fewer than all 10 seconds are reachable (the unrestricted
+    #    combos carry no discrimination and would only bloat the plan's
+    #    literal lists ~12x)
     lines = ["E164_CC_LEN_FIRST: dict[str, dict[int, str]] = {"]
+    sec_lines = ["E164_CC_LEN_F1_SECOND: dict[str, str] = {"]
+    n_first = n_restricted = n_quads = 0
     for cc in sorted(table, key=lambda c: (len(c), c)):
-        by_len: dict[int, str] = {}
-        for f, ln in sorted(table[cc]):
-            by_len[ln] = by_len.get(ln, "") + f
-        items = ", ".join(
-            f'{ln}: "{firsts}"' for ln, firsts in sorted(by_len.items())
-        )
-        lines.append(f'    "{cc}": {{{items}}},')
+        by_len: dict[int, list] = {}
+        for p, ln in sorted(table[cc]):
+            by_len.setdefault(ln, []).append(p)
+        items = []
+        for ln, ps in sorted(by_len.items()):
+            firsts = sorted({p[0] for p in ps})
+            n_first += len(firsts)
+            items.append(f'{ln}: "{"".join(firsts)}"')
+            for f in firsts:
+                seconds = sorted({p[1] for p in ps if len(p) > 1 and p[0] == f})
+                if seconds and len(seconds) < 10:
+                    n_restricted += 1
+                    n_quads += len(seconds)
+                    sec_lines.append(
+                        f'    "{cc}:{ln}:{f}": "{"".join(seconds)}",'
+                    )
+        lines.append(f'    "{cc}": {{{", ".join(items)}}},')
     lines.append("}")
-    print("\n".join(lines))
+    sec_lines.append("}")
+    out = "\n".join(lines) + "\n\n" + "\n".join(sec_lines)
+    print(
+        f"-- sizes: {n_first} first-digit triples, {n_restricted} "
+        f"restricted combos, {n_quads} second-digit quads"
+    )
+    with open("/tmp/e164_prefix2.py", "w") as f:
+        f.write(out + "\n")
+    print("wrote /tmp/e164_prefix2.py")
 
 
 if __name__ == "__main__":
