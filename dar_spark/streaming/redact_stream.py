@@ -1,0 +1,84 @@
+"""Streaming twins of the r10 redaction tiers (cards + secrets).
+
+Both tiers are STATELESS projections (``validators.redact_cards_sql``,
+``text.redact_secrets_sql`` — pure expression chains, no corpus state),
+so the streaming form of the redaction itself is the identical
+expression applied per micro-batch: :func:`redact_stream` works on any
+streaming DataFrame with zero state.
+
+What actually needs streaming machinery is the MONITOR: "how much is
+being redacted right now" — per-window counts of each redaction token,
+which are purely additive and therefore an incremental tumbling-window
+aggregate under a watermark (the ``quality_stream.py`` pattern).
+:func:`windowed_redaction_counts` emits per-window rows that feed the
+same downstream math as a batch profile: a spike in ``n_card`` or
+``n_hexsecret`` on a crawl ingest is the operational signal to
+quarantine a source.
+
+State is O(windows in flight), independent of stream length; shuffle
+keys are the windows — bounded cardinality.  Batch equivalence is
+pinned in tests/test_redact_stream.py: draining the stream over the
+fixture yields byte-identical rows to the batch aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.dialect import SPARK
+
+
+def redact_stream(stream_df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stateless streaming redaction: both tiers (Luhn-gated cards,
+    then the boundary-guarded secrets chain) applied to ``text_col`` as
+    one expression — exactly the batch projection, so stream == batch
+    row-for-row by construction."""
+    from dar_spark.functions.text import redact_secrets_sql
+    from dar_spark.functions.validators import redact_cards_sql
+
+    cards = redact_cards_sql(SPARK, text_col)
+    both = redact_secrets_sql(SPARK, f"({cards})")
+    return stream_df.withColumn("redacted", F.expr(both))
+
+
+def windowed_redaction_counts(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window redaction monitor: per window, the document
+    count and how many documents carry each redaction token after the
+    full two-tier chain — (window_start, n_docs, n_card, n_awskey,
+    n_ghtoken, n_hexsecret, n_ip).  Purely additive counts → exact
+    incremental aggregate; late rows beyond the watermark drop from
+    their window (standard semantics).  The redaction expression is
+    the batch chain verbatim, so batch and stream cannot drift."""
+    from dar_spark.functions.text import SECRET_PATTERNS
+
+    red = redact_stream(stream_df, text_col)
+    hit_cols = [
+        (F.sum(F.col("redacted").contains(f"<{t}>").cast("bigint")))
+        .alias(f"n_{t.lower()}")
+        for t, _ in SECRET_PATTERNS
+    ]
+    return (
+        red.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("w"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("redacted").contains("<CARD>").cast("bigint")).alias(
+                "n_card"
+            ),
+            *hit_cols,
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_docs",
+            "n_card",
+            *[f"n_{t.lower()}" for t, _ in SECRET_PATTERNS],
+        )
+    )
