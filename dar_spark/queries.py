@@ -2170,6 +2170,60 @@ def _embed_ivf_q8_q() -> Q:
     return Q(spark_fn, _IVF_RECALL_ORACLE)
 
 
+def _ivf_drift_autoguard_q() -> Q:
+    """The r11 closed loop (VERDICT r10 #3) under the driver check:
+    build a q8 store on half the embeddings, ingest the OTHER half
+    SHIFTED far off the fitted quantizer (a +5.0 constant in every
+    dimension — mean assign distance reads ~40x the base generation's,
+    far past the documented ≥2x rule) through
+    similarity.ivf_ingest_with_guard(policy='recluster'), and return
+    the deterministic facts of the episode: the batch tripped, the
+    store auto-rebuilt in place, exactly one refit generation remains,
+    and every row survived.  The oracle states the contract from the
+    corpus alone — count + the three invariants — in the same style as
+    the IVF recall rows."""
+
+    def spark_fn(spark, sf_dir):
+        import hashlib
+        import os
+        import shutil
+
+        from dar_spark.operators.similarity import (
+            ivf_autoscale,
+            ivf_ingest_drift_report,
+            ivf_ingest_with_guard,
+            write_ivf_q8_index,
+        )
+
+        t = load_tables(spark, sf_dir)
+        cache_root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".csvcache",
+        )
+        tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        path = os.path.join(cache_root, f"ivfguard-{tag}")
+        shutil.rmtree(path, ignore_errors=True)  # fresh episode per run
+        e = t["embeddings"]
+        n_lists, _ = ivf_autoscale(e.count())
+        write_ivf_q8_index(e.filter("vec_id % 2 = 0"), path, n_lists=n_lists)
+        drifted = e.filter("vec_id % 2 = 1").selectExpr(
+            "vec_id", "transform(embedding, x -> x + CAST(5.0 AS FLOAT)) AS embedding"
+        )
+        out = ivf_ingest_with_guard(drifted, path, policy="recluster")
+        rep = ivf_ingest_drift_report(spark, path)
+        return rep.agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            (F.count(F.lit(1)) == 1).alias("one_generation"),
+            F.lit(bool(out["tripped"])).alias("tripped"),
+            F.lit(bool(out["reclustered"])).alias("reclustered"),
+        )
+
+    oracle = """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  true AS one_generation, true AS tripped, true AS reclustered
+FROM embeddings"""
+    return Q(spark_fn, oracle)
+
+
 def _embed_ivf_indexed_q() -> Q:
     """Persisted-IVF ANN (similarity.write_ivf_index / ivf_index_topk):
     the corpus is assigned ONCE against the deterministic frozen
@@ -3710,6 +3764,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("temp_mixture_sample_docs", _temp_mixture_sample_q()),
         ("embed_ivf_pq_topk", ivfpq),
         ("embed_ivf_q8_indexed", _embed_ivf_q8_q()),
+        ("ivf_drift_autoguard", _ivf_drift_autoguard_q()),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
         ("knn_ann_embed", _knn_ann_q()),
