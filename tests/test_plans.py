@@ -421,3 +421,43 @@ def test_r10_queries_plan_shapes(spark):
         # fold's SinglePartition, and its broadcast — a hash exchange
         # would mean the corpus side started shuffling
         assert "hashpartitioning" not in p, f"{name}: corpus-side shuffle"
+
+
+def test_r11_compact_probe_plan_shape(spark):
+    """The r11 compact screened candidate path (srp_candidate_pairs
+    screen_threshold): the exploded probe side must ship INT8 codes,
+    NEVER the double vector — the 520 B/row payload through the probe
+    exchange was measured as ~75% of the sf10 wall clock — and the
+    survivor hydration must be a hash equi-join (no nested loop).  The
+    plan is inspected WITHOUT executing (planning only), so this runs
+    on a synthetic frame at any size."""
+    from dar_spark.operators.dedup import srp_candidate_pairs
+    from dar_spark.operators.similarity import _as_double_vec
+
+    e = _as_double_vec(
+        spark.range(100).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(1, 16), d -> "
+            "CAST((abs(hash(id * 31 + d)) % 1000) AS DOUBLE) / 1000.0"
+            " - 0.5) AS v",
+        ),
+        "v",
+    )
+    pairs = srp_candidate_pairs(
+        e, "vec_id", 10, 3, distinct=False, dim=16, screen_threshold=0.95
+    )
+    p = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "_qa" in p, "probe side lost the INT8 code column"
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the probe-side Generate (explode) must NOT carry the double
+    # vector: between the a-side Generate and its join, no `va` exists
+    # (va only appears after the survivor hydration join)
+    gen_blocks = [
+        b for b in p.split("Generate explode") if "vec_id_a" in b
+    ]
+    assert gen_blocks, "probe-side explode missing"
+    head = gen_blocks[-1].split("Scan")[0]
+    assert "va" not in head.split("Join")[0], (
+        "double vector leaked onto the exploded probe side"
+    )
