@@ -1,0 +1,181 @@
+"""Trained document-quality classifier: multinomial Naive Bayes over
+whitespace tokens — the GPT-3/CCNet-style "learned quality filter"
+counterpart to the heuristic tiers in functions/text.py (Gopher rules,
+perplexity).  The pipeline shape is what makes it a first-class scale
+citizen:
+
+- TRAINING is one aggregation pass: per-token class counts (one
+  explode + hash-agg on token), top-``vocab_max`` selection, and the
+  per-token log-odds weight — no iterations, no driver-side math that
+  an oracle could not replay.
+- SCORING is MAP-ONLY: the bounded model (≤ vocab_max rows) collects to
+  the driver and embeds as a map LITERAL; each document folds its own
+  token array against the map — zero shuffles, zero joins, the same
+  posture as the DSIR scorer.
+
+Engine exactness: every logarithm goes through the shared
+arithmetic-only ln (`dialect.ln_posint` — the libm-free formulation all
+oracle-paired scores use), and the weights are then micro-quantized to
+BIGINT (`floor(1e6·w + 0.5)`), so a document score is an ORDER-FREE
+integer sum — DuckDB recomputes the identical model and scores via a
+plain join+SUM with no float-accumulation-order hazard.
+
+Reference scope note: the reference repo has no trained classifier;
+this extends the data-quality family per the BASELINE.json extension
+surface (quality scoring for LLM training-data pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.dialect import DUCKDB, SPARK, Dialect
+
+NB_VOCAB_MAX = 1024  # bounded model: collect + map-literal stays small
+NB_MICRO = 1_000_000
+
+
+def _tokens_sql(d: Dialect, text_col: str) -> str:
+    """The sampler-family tokenization (trim then split on single
+    spaces) — one definition so the classifier counts the same tokens
+    in both engines."""
+    return d.split_lit(d.trim_ascii(d.cast_str(text_col)), " ")
+
+
+def _w_micro_sql(d: Dialect) -> str:
+    """weight_micro over (c1, c0, n1, n0, v) BIGINT columns: the
+    multinomial-NB log-odds ln((c1+1)/(n1+v)) − ln((c0+1)/(n0+v)) in
+    arithmetic-only ln, micro-quantized with half-up floor (deterministic
+    on identical double bits, which the shared ln guarantees)."""
+    w = (
+        f"({d.ln_posint('c1 + 1')} - {d.ln_posint('n1 + v')}"
+        f" - {d.ln_posint('c0 + 1')} + {d.ln_posint('n0 + v')})"
+    )
+    return f"CAST(floor({w} * {NB_MICRO}.0 + 0.5) AS BIGINT)"
+
+
+def nb_quality_model(
+    df: DataFrame,
+    text_col: str = "text",
+    label_pred: str = "lang = 'en'",
+    vocab_max: int = NB_VOCAB_MAX,
+) -> tuple[list, int]:
+    """Train the classifier in one pass: returns (model_rows, prior_micro)
+    where model_rows is the collected ≤``vocab_max`` (token,
+    weight_micro) list (top tokens by total count, ties by token — a
+    deterministic vocabulary) and prior_micro the micro-quantized class
+    prior ln((D1+1)/(D0+1)).  Both are BOUNDED collects (the D15 rule:
+    meta results, never corpus data)."""
+    d = SPARK
+    toks = df.selectExpr(
+        f"CASE WHEN {label_pred} THEN 1 ELSE 0 END AS _y",
+        f"explode({_tokens_sql(d, text_col)}) AS token",
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum("_y").cast("long").alias("c1"),
+        F.sum(F.expr("1 - _y")).cast("long").alias("c0"),
+    )
+    vocab = counts.orderBy(
+        F.desc(F.expr("c1 + c0")), F.col("token")
+    ).limit(vocab_max)
+    # totals over the SELECTED vocabulary (the event space the model
+    # normalizes over), v = actual vocabulary size
+    tot = vocab.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c0").cast("long").alias("n0"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    model = vocab.crossJoin(F.broadcast(tot)).selectExpr(
+        "token", f"{_w_micro_sql(d)} AS weight_micro"
+    )
+    rows = [(r.token, int(r.weight_micro)) for r in model.collect()]
+    dpr = df.selectExpr(
+        f"CAST(SUM(CASE WHEN {label_pred} THEN 1 ELSE 0 END) AS BIGINT) AS d1",
+        f"CAST(SUM(CASE WHEN {label_pred} THEN 0 ELSE 1 END) AS BIGINT) AS d0",
+    ).selectExpr(
+        f"CAST(floor(({d.ln_posint('d1 + 1')} - {d.ln_posint('d0 + 1')})"
+        f" * {NB_MICRO}.0 + 0.5) AS BIGINT) AS p"
+    )
+    prior_micro = int(dpr.collect()[0].p)
+    return rows, prior_micro
+
+
+def nb_quality_scores(
+    df: DataFrame,
+    model_rows: list,
+    prior_micro: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Map-only scoring: fold each document's token array against the
+    model embedded as a map literal — (id, score_micro, pred).  A token
+    outside the vocabulary contributes 0 (the standard NB treatment
+    under a fixed event space).  score_micro is an exact BIGINT sum, so
+    the result is order-free and engine-exact."""
+    if not model_rows:
+        raise ValueError("empty model")
+    keys = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t, _ in model_rows
+    )
+    vals = ", ".join(f"CAST({w} AS BIGINT)" for _, w in model_rows)
+    m = f"map_from_arrays(array({keys}), array({vals}))"
+    score = (
+        f"aggregate({_tokens_sql(SPARK, text_col)}, "
+        f"CAST({prior_micro} AS BIGINT), "
+        f"(acc, t) -> acc + coalesce(try_element_at({m}, t), 0L))"
+    )
+    return df.selectExpr(
+        id_col,
+        f"{score} AS score_micro",
+    ).selectExpr(id_col, "score_micro", "(score_micro >= 0) AS pred")
+
+
+def nb_quality_oracle_sql(
+    d: Dialect,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_pred: str = "lang = 'en'",
+    vocab_max: int = NB_VOCAB_MAX,
+) -> str:
+    """DuckDB twin of train+score: the same tokenization, the same
+    top-K-by-(count, token) vocabulary, the same arithmetic-only ln and
+    micro-quantization — scored by unnest + join + integer SUM (exact,
+    order-free, unlike a float log-sum)."""
+    toks = _tokens_sql(d, f"docs.{text_col}")
+    return f"""WITH docs AS (
+  SELECT {id_col} AS _id, {text_col},
+         CASE WHEN {label_pred} THEN 1 ELSE 0 END AS _y
+  FROM {table}
+), tok AS (
+  SELECT _id, _y, unnest({toks}) AS token
+  FROM docs
+), counts AS (
+  SELECT token, CAST(SUM(_y) AS BIGINT) AS c1,
+         CAST(SUM(1 - _y) AS BIGINT) AS c0
+  FROM tok GROUP BY token
+), vocab AS (
+  SELECT token, c1, c0 FROM counts
+  ORDER BY (c1 + c0) DESC, token LIMIT {vocab_max}
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c0) AS BIGINT) AS n0,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM vocab
+), model AS (
+  SELECT token, {_w_micro_sql(d)} AS weight_micro
+  FROM vocab CROSS JOIN tot
+), prior AS (
+  SELECT CAST(floor(({d.ln_posint('d1 + 1')} - {d.ln_posint('d0 + 1')})
+         * {NB_MICRO}.0 + 0.5) AS BIGINT) AS p
+  FROM (SELECT CAST(SUM(_y) AS BIGINT) AS d1,
+               CAST(SUM(1 - _y) AS BIGINT) AS d0 FROM docs)
+), persum AS (
+  SELECT tok._id, CAST(COALESCE(SUM(model.weight_micro), 0) AS BIGINT) AS s
+  FROM tok LEFT JOIN model USING (token)
+  GROUP BY tok._id
+)
+SELECT docs._id AS {id_col},
+       CAST(COALESCE(persum.s, 0) + prior.p AS BIGINT) AS score_micro,
+       (COALESCE(persum.s, 0) + prior.p >= 0) AS pred
+FROM docs LEFT JOIN persum ON docs._id = persum._id CROSS JOIN prior"""

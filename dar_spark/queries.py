@@ -2170,6 +2170,34 @@ def _embed_ivf_q8_q() -> Q:
     return Q(spark_fn, _IVF_RECALL_ORACLE)
 
 
+def _nb_quality_scores_q() -> Q:
+    """Trained document-quality classifier (operators/nbquality.py —
+    multinomial Naive Bayes, the GPT-3/CCNet learned-quality-filter
+    shape): one-pass training (token class counts → top-1024
+    deterministic vocabulary → arithmetic-only-ln log-odds,
+    micro-quantized to BIGINT), then MAP-ONLY scoring (the bounded
+    model embeds as a map literal; each document folds its own token
+    array — zero shuffles, zero joins, the DSIR posture).  Labels come
+    from the fixture's lang column ('en' vs rest), so the model and
+    every score are pure functions of the corpus; the oracle retrains
+    and rescores in SQL and the integer score sum is order-free, so
+    the whole train→score pipeline sits under the value hash."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.nbquality import (
+            nb_quality_model,
+            nb_quality_scores,
+        )
+
+        t = load_tables(spark, sf_dir)
+        rows, prior = nb_quality_model(t["documents"])
+        return nb_quality_scores(t["documents"], rows, prior)
+
+    from dar_spark.operators.nbquality import nb_quality_oracle_sql
+
+    return Q(spark_fn, nb_quality_oracle_sql(DUCKDB), headline=True)
+
+
 def _ivf_drift_autoguard_q() -> Q:
     """The r11 closed loop (VERDICT r10 #3) under the driver check:
     build a q8 store on half the embeddings, ingest the OTHER half
@@ -3765,6 +3793,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("embed_ivf_pq_topk", ivfpq),
         ("embed_ivf_q8_indexed", _embed_ivf_q8_q()),
         ("ivf_drift_autoguard", _ivf_drift_autoguard_q()),
+        ("nb_quality_scores_docs", _nb_quality_scores_q()),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
         ("knn_ann_embed", _knn_ann_q()),

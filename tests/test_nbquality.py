@@ -1,0 +1,62 @@
+"""Trained NB quality classifier (operators/nbquality.py): the model
+separates its training signal, is a pure function of the data, and the
+map-literal scorer equals an independent Python rescore."""
+
+from __future__ import annotations
+
+import math
+
+from dar_spark.operators.nbquality import (
+    NB_MICRO,
+    nb_quality_model,
+    nb_quality_scores,
+)
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def test_nb_separates_its_training_signal(spark):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    rows, prior = nb_quality_model(docs)
+    assert 0 < len(rows) <= 1024
+    scored = nb_quality_scores(docs, rows, prior).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    agg = {
+        r.en: r.avg
+        for r in scored.selectExpr(
+            "(lang = 'en') AS en", "score_micro"
+        )
+        .groupBy("en")
+        .avg("score_micro")
+        .withColumnRenamed("avg(score_micro)", "avg")
+        .collect()
+    }
+    # in-sample separation: the labeled class must score higher on
+    # average (a classifier that can't fit its own training set is
+    # broken regardless of generalization)
+    assert agg[True] > agg[False]
+
+
+def test_nb_model_is_deterministic_and_scores_match_python(spark):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    rows_a, prior_a = nb_quality_model(docs)
+    rows_b, prior_b = nb_quality_model(docs.repartition(7))
+    assert rows_a == rows_b and prior_a == prior_b
+
+    w = dict(rows_a)
+    got = {
+        r.doc_id: r.score_micro
+        for r in nb_quality_scores(docs, rows_a, prior_a).collect()
+    }
+    for r in docs.select("doc_id", "text").limit(50).collect():
+        toks = (r.text or "").strip(" ").split(" ")
+        want = prior_a + sum(w.get(t, 0) for t in toks)
+        assert got[r.doc_id] == want, r.doc_id
+
+
+def test_nb_weights_are_log_odds_scaled():
+    # micro quantization sanity: a weight of ln(2) difference is
+    # ~693147 micro units; all fixture weights stay well inside BIGINT
+    assert NB_MICRO == 1_000_000
+    assert int(math.log(2) * NB_MICRO) == 693147
