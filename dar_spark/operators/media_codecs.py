@@ -542,7 +542,21 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
     decode with DC prediction and run-length AC, dequantize, de-zigzag,
     separable float IDCT, +128 level shift, clamp.  Raises ValueError on
     anything outside the baseline-grayscale scope — loud, not a silent
-    fake."""
+    fake.
+
+    Malformed-but-SOI-prefixed payloads can trip low-level errors deep
+    in the segment parsers (short SOF0 → struct.error, empty SOS →
+    IndexError, a scan referencing an undeclared Huffman table →
+    KeyError); the multimodal decoder contract catches ValueError ONLY,
+    so everything re-raises as ValueError here — same fix class as
+    parse_png's truncation/inflate guards."""
+    try:
+        return _parse_jpeg(payload)
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"malformed JPEG: {type(exc).__name__}: {exc}") from exc
+
+
+def _parse_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2

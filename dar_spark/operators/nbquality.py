@@ -39,8 +39,13 @@ NB_MICRO = 1_000_000
 def _tokens_sql(d: Dialect, text_col: str) -> str:
     """The sampler-family tokenization (trim then split on single
     spaces) — one definition so the classifier counts the same tokens
-    in both engines."""
-    return d.split_lit(d.trim_ascii(d.cast_str(text_col)), " ")
+    in both engines.  NULL text coalesces to '' FIRST (shared), so a
+    NULL document tokenizes to the same single empty token in both
+    engines instead of Spark's NULL-poisoned fold vs DuckDB's zero
+    unnest rows."""
+    return d.split_lit(
+        d.trim_ascii(f"COALESCE({d.cast_str(text_col)}, '')"), " "
+    )
 
 
 def _w_micro_sql(d: Dialect) -> str:
@@ -115,20 +120,24 @@ def nb_quality_scores(
     the result is order-free and engine-exact."""
     if not model_rows:
         raise ValueError("empty model")
-    keys = ", ".join(
-        "'" + t.replace("'", "''") + "'" for t, _ in model_rows
+    # the model map is built through the COLUMN API, not SQL text:
+    # corpus-derived tokens embedded in a SQL literal would pass through
+    # Spark's backslash-escape parser (a token like 'c:\\tmp' silently
+    # becomes 'c:<TAB>mp' and a trailing backslash breaks parsing) —
+    # F.lit ships the exact strings
+    m = F.map_from_arrays(
+        F.lit([t for t, _ in model_rows]),
+        F.lit([int(w) for _, w in model_rows]).cast("array<bigint>"),
     )
-    vals = ", ".join(f"CAST({w} AS BIGINT)" for _, w in model_rows)
-    m = f"map_from_arrays(array({keys}), array({vals}))"
-    score = (
-        f"aggregate({_tokens_sql(SPARK, text_col)}, "
-        f"CAST({prior_micro} AS BIGINT), "
-        f"(acc, t) -> acc + coalesce(try_element_at({m}, t), 0L))"
+    score = F.aggregate(
+        F.expr(_tokens_sql(SPARK, text_col)),
+        F.lit(prior_micro).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(F.try_element_at(m, t), F.lit(0).cast("long")),
     )
-    return df.selectExpr(
-        id_col,
-        f"{score} AS score_micro",
-    ).selectExpr(id_col, "score_micro", "(score_micro >= 0) AS pred")
+    return df.select(F.col(id_col), score.alias("score_micro")).select(
+        id_col, "score_micro", F.expr("score_micro >= 0").alias("pred")
+    )
 
 
 def nb_quality_oracle_sql(

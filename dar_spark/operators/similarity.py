@@ -138,8 +138,11 @@ def _bucket_expr(
     work halves.  (A fully static ``element_at``-chain expansion was
     measured WORSE: 64-term trees per bit blow up Catalyst analysis
     ~30 s/plan and fall out of codegen.)  Requires uniform vector
-    dimension, the embeddings-table contract; rows shorter than
-    ``dim`` produce NULL products exactly like the legacy zip_with."""
+    dimension, the embeddings-table contract — a row whose length
+    differs from ``dim`` would silently bucket differently than the
+    interpreted form (zip_with NULL-pads against the literal array), so
+    the first plane of each band carries a loud ``raise_error`` guard
+    instead."""
     bits = []
     for j in range(n_planes):
         g = band * n_planes + j
@@ -151,6 +154,13 @@ def _bucket_expr(
                 f"aggregate(zip_with({vec}, array({arr}), "
                 f"(x, y) -> x * y), 0D, (a, x) -> a + x)"
             )
+            if j == 0:
+                dot = (
+                    f"(CASE WHEN size({vec}) <> {dim} THEN "
+                    f"CAST(raise_error('ragged embedding: expected dim "
+                    f"{dim}, got ' || size({vec})) AS DOUBLE) "
+                    f"ELSE {dot} END)"
+                )
         else:
             comp = _plane_component(g)
             dot = (
@@ -2603,6 +2613,18 @@ def ivf_ingest_with_guard(
     if "base" not in rep:
         raise ValueError(f"{path}: store has no 'base' generation to compare against")
     base_mean = float(rep["base"].mean_dist)
+    if label not in rep:
+        # empty micro-batch: the dynamic-partition append wrote zero
+        # partitions, so there is no generation to judge — a no-op, not
+        # a crash (the unguarded twin survives empty triggers and the
+        # guarded one must too)
+        return {
+            "ingest": label,
+            "mean_dist": 0.0,
+            "base_mean_dist": base_mean,
+            "tripped": False,
+            "reclustered": False,
+        }
     batch = rep[label]
     mean_dist = float(batch.mean_dist)
     tripped = mean_dist >= drift_ratio * base_mean
@@ -2628,17 +2650,27 @@ def ivf_ingest_with_guard(
     )
     # store_rows (total rows visible at verdict time) disambiguates log
     # rows across reclusters: the generation counter resets to 'base'
-    # after a rebuild, so ingest labels alone can repeat
+    # after a rebuild, so ingest labels alone can repeat.  The log is
+    # partitioned by (ingest, store_rows) with dynamic overwrite, so a
+    # crash-replayed micro-batch OVERWRITES its own verdict instead of
+    # double-appending — the same replay contract as the data append.
     store_rows = sum(int(r.n_rows) for r in rep.values())
-    spark.createDataFrame(
-        [(
-            label, int(batch.n_rows), store_rows, mean_dist, base_mean,
-            tripped, action,
-        )],
-        "ingest string, n_rows bigint, store_rows bigint, "
-        "mean_dist double, base_mean_dist double, tripped boolean, "
-        "action string",
-    ).coalesce(1).write.mode("append").parquet(f"{path}/drift")
+    (
+        spark.createDataFrame(
+            [(
+                label, int(batch.n_rows), store_rows, mean_dist,
+                base_mean, tripped, action,
+            )],
+            "ingest string, n_rows bigint, store_rows bigint, "
+            "mean_dist double, base_mean_dist double, tripped boolean, "
+            "action string",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest", "store_rows")
+        .parquet(f"{path}/drift")
+    )
     return {
         "ingest": label,
         "mean_dist": mean_dist,

@@ -228,14 +228,17 @@ def main() -> None:
             prev = json.load(f)
         # compare only the first-decade scales: a committed artifact that
         # has been --extend-decade'd legitimately carries a third entry
-        if [float(s) for s in prev["scales"][:2]] != [
-            float(s) for s in payload["scales"]
-        ] or prev["cpus"] != payload["cpus"]:
+        if (
+            [float(s) for s in prev["scales"][:2]]
+            != [float(s) for s in payload["scales"]]
+            or prev["cpus"] != payload["cpus"]
+            or prev["n_runs"] != payload["n_runs"]
+        ):
             raise SystemExit(
-                "--only merge refused: scales/cpus differ from the "
-                f"committed artifact ({prev['scales']}/{prev['cpus']} vs "
-                f"{payload['scales']}/{payload['cpus']}) — rerun the full "
-                "rehearsal instead"
+                "--only merge refused: scales/cpus/n_runs differ from the "
+                f"committed artifact — rerun the full rehearsal instead "
+                f"({prev['scales']}/{prev['cpus']}/{prev['n_runs']} vs "
+                f"{payload['scales']}/{payload['cpus']}/{payload['n_runs']})"
             )
         for name, row in payload["queries"].items():
             dest = prev["queries"].setdefault(name, {})

@@ -350,3 +350,45 @@ def test_flat_store_recluster_and_drift_report(spark, tmp_path):
     r_drift, r_reclust = recall(path), recall(rpath)
     print(f"flat recall drifted={r_drift:.3f} reclustered={r_reclust:.3f}")
     assert r_reclust >= r_drift >= 0.9  # full-precision lists: no q8 cap
+
+
+def test_ingest_guard_handles_empty_batch(spark, tmp_path):
+    """Review r11: an empty micro-batch writes zero partitions, so no
+    generation exists to judge — the guard must no-op (the unguarded
+    twin survives empty triggers, and so must this one)."""
+    from dar_spark.operators.similarity import (
+        ivf_ingest_drift_report,
+        ivf_ingest_with_guard,
+        write_ivf_q8_index,
+    )
+
+    full = _corpus(spark)
+    path = str(tmp_path / "q8_empty_guard")
+    write_ivf_q8_index(full.filter(f"vec_id < {N_BASE}"), path,
+                       n_lists=N_LISTS)
+    out = ivf_ingest_with_guard(
+        full.filter("vec_id < 0"), path, policy="recluster"
+    )
+    assert not out["tripped"] and not out["reclustered"]
+    assert len(ivf_ingest_drift_report(spark, path).collect()) == 1
+
+
+def test_drift_log_write_is_replay_idempotent(spark, tmp_path):
+    """Review r11: the verdict log is partitioned by (ingest,
+    store_rows) with dynamic overwrite, so a crash-replayed micro-batch
+    (same explicit label) overwrites its own verdict instead of
+    double-appending."""
+    from dar_spark.operators.similarity import (
+        ivf_ingest_with_guard,
+        write_ivf_q8_index,
+    )
+
+    full = _corpus(spark)
+    path = str(tmp_path / "q8_replay_guard")
+    write_ivf_q8_index(full.filter(f"vec_id < {N_BASE}"), path,
+                       n_lists=N_LISTS)
+    batch = full.filter(f"vec_id >= {N_BASE}")
+    ivf_ingest_with_guard(batch, path, ingest_label="stream-7", policy="flag")
+    ivf_ingest_with_guard(batch, path, ingest_label="stream-7", policy="flag")
+    log = spark.read.parquet(f"{path}/drift").collect()
+    assert len(log) == 1 and log[0].action == "flagged"

@@ -275,3 +275,35 @@ def test_jpeg_guards_raise_value_error():
         parse_jpeg(good[:40])  # truncated mid-segment
     with pytest.raises(ValueError):
         parse_jpeg(good[:-12])  # entropy data truncated
+
+
+def test_jpeg_malformed_soi_payloads_raise_value_error():
+    """Review r11: SOI-prefixed garbage must raise ValueError, never
+    struct.error / IndexError / KeyError — the multimodal fallback
+    contract catches ValueError only (the parse_png fix class)."""
+    import struct
+
+    import pytest
+
+    from dar_spark.operators.media_codecs import make_jpeg, parse_jpeg
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    cases = [
+        b"\xff\xd8" + seg(0xC0, b"\x08\x00"),          # short SOF0
+        b"\xff\xd8" + seg(0xDA, b""),                   # empty SOS
+        # scan referencing undeclared Huffman tables
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + b"\x00" * 8,
+        # DQT shorter than 64 entries
+        b"\xff\xd8" + seg(0xDB, bytes([0]) + bytes([1] * 10)),
+    ]
+    for payload in cases:
+        with pytest.raises(ValueError):
+            parse_jpeg(payload)
+    # and a good payload still decodes after the guard wrapper
+    assert parse_jpeg(make_jpeg(1, 1, 3)).shape == (8, 8)

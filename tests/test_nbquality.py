@@ -60,3 +60,49 @@ def test_nb_weights_are_log_odds_scaled():
     # ~693147 micro units; all fixture weights stay well inside BIGINT
     assert NB_MICRO == 1_000_000
     assert int(math.log(2) * NB_MICRO) == 693147
+
+
+def test_nb_scoring_survives_backslash_tokens_and_null_text(spark):
+    """Review r11: the model map ships through the Column API, so
+    corpus tokens containing backslashes (code/Windows-path corpora)
+    score exactly — embedded in a SQL literal they were silently
+    escape-mangled (and a trailing backslash broke parsing).  NULL text
+    coalesces to '' in BOTH engines (one shared tokenization)."""
+    import duckdb
+
+    from dar_spark.operators.nbquality import nb_quality_oracle_sql
+
+    docs = spark.createDataFrame(
+        [
+            (0, r"good c:\tmp stuff", "en"),
+            (1, r"bad c:\tmp junk\\", "de"),
+            (2, None, "en"),
+            (3, r"c:\tmp c:\tmp good", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows, prior = nb_quality_model(docs, vocab_max=16)
+    toks = {t for t, _ in rows}
+    assert r"c:\tmp" in toks  # the backslash token made the vocabulary
+    got = {
+        r.doc_id: (r.score_micro, r.pred)
+        for r in nb_quality_scores(docs, rows, prior).collect()
+    }
+    w = dict(rows)
+    for r in docs.collect():
+        text = r.text if r.text is not None else ""
+        want = prior + sum(w.get(t, 0) for t in text.strip(" ").split(" "))
+        assert got[r.doc_id] == (want, want >= 0), r.doc_id
+    # cross-engine: DuckDB retrains + rescores the identical model
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    duck = {
+        int(i): (int(s), bool(p))
+        for i, s, p in con.execute(
+            nb_quality_oracle_sql(
+                __import__("dar_spark.dialect", fromlist=["DUCKDB"]).DUCKDB,
+                vocab_max=16,
+            )
+        ).fetchall()
+    }
+    assert duck == got

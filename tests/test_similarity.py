@@ -1246,3 +1246,28 @@ def test_ivf_q8_compact_and_stream_ingest_preserve_results(spark, tmp_path):
     gens2 = {r.ingest for r in spark.read.parquet(f"{dest}/lists")
              .select("ingest").distinct().collect()}
     assert gens2 == {"base"}
+
+
+def test_literal_plane_buckets_reject_ragged_dims(spark):
+    """Review r11: a row whose length differs from the resolved dim
+    must raise loudly — zip_with against the literal plane array would
+    otherwise NULL-pad and silently bucket the row differently than the
+    interpreted form (and the oracle)."""
+    import pytest
+
+    from dar_spark.operators.dedup import srp_candidate_pairs
+    from dar_spark.operators.similarity import _as_double_vec
+
+    e = _as_double_vec(
+        spark.range(50).selectExpr(
+            "id AS vec_id",
+            # one ragged row: id 7 has 15 dims instead of 16
+            "transform(sequence(1, CASE WHEN id = 7 THEN 15 ELSE 16 END), "
+            "d -> CAST((abs(hash(id * 31 + d)) % 1000) AS DOUBLE) / 1000.0"
+            " - 0.5) AS v",
+        ),
+        "v",
+    )
+    pairs = srp_candidate_pairs(e, "vec_id", 10, 2, distinct=False, dim=16)
+    with pytest.raises(Exception, match="ragged embedding"):
+        pairs.count()
