@@ -118,25 +118,36 @@ def nb_quality_scores(
     outside the vocabulary contributes 0 (the standard NB treatment
     under a fixed event space).  score_micro is an exact BIGINT sum, so
     the result is order-free and engine-exact."""
+    return df.select(
+        F.col(id_col),
+        nb_score_column(model_rows, prior_micro, text_col).alias(
+            "score_micro"
+        ),
+    ).select(
+        id_col, "score_micro", F.expr("score_micro >= 0").alias("pred")
+    )
+
+
+def nb_score_column(
+    model_rows: list, prior_micro: int, text_col: str = "text"
+) -> "F.Column":
+    """The score as a reusable Column (the streaming twin adds it with
+    withColumn).  The model map is built through the COLUMN API, not
+    SQL text: corpus-derived tokens embedded in a SQL literal would
+    pass through Spark's backslash-escape parser (a token like
+    'c:\\\\tmp' silently becomes 'c:<TAB>mp' and a trailing backslash
+    breaks parsing) — F.lit ships the exact strings."""
     if not model_rows:
         raise ValueError("empty model")
-    # the model map is built through the COLUMN API, not SQL text:
-    # corpus-derived tokens embedded in a SQL literal would pass through
-    # Spark's backslash-escape parser (a token like 'c:\\tmp' silently
-    # becomes 'c:<TAB>mp' and a trailing backslash breaks parsing) —
-    # F.lit ships the exact strings
     m = F.map_from_arrays(
         F.lit([t for t, _ in model_rows]),
         F.lit([int(w) for _, w in model_rows]).cast("array<bigint>"),
     )
-    score = F.aggregate(
+    return F.aggregate(
         F.expr(_tokens_sql(SPARK, text_col)),
         F.lit(prior_micro).cast("long"),
         lambda acc, t: acc
         + F.coalesce(F.try_element_at(m, t), F.lit(0).cast("long")),
-    )
-    return df.select(F.col(id_col), score.alias("score_micro")).select(
-        id_col, "score_micro", F.expr("score_micro >= 0").alias("pred")
     )
 
 

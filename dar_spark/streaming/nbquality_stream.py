@@ -1,0 +1,67 @@
+"""Streaming twin of the trained NB quality classifier
+(operators/nbquality.py): scoring is a stateless map-literal fold, so
+the streaming form just ADDS the score column per micro-batch; the
+windowed monitor tracks the positive-prediction rate and the exact
+integer score sum per event-time window — the "did the crawl's quality
+mix move this hour" signal, purely additive under a watermark (the
+quality_stream.py / redact_stream.py pattern).
+
+The model is TRAINED IN BATCH (one aggregation pass over a reference
+corpus) and frozen into the stream — the same frozen-at-build contract
+as the ANN/PQ/IVF indexes: scores stay comparable across the stream's
+lifetime, and a retrain is an explicit model swap, not silent drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dar_spark.operators.nbquality import nb_score_column
+
+
+def nb_score_stream(
+    stream_df: DataFrame,
+    model_rows: list,
+    prior_micro: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Stateless streaming scoring: the batch score expression added as
+    ``score_micro``/``pred`` columns — stream == batch row-for-row by
+    construction, and every other column passes through."""
+    return stream_df.withColumn(
+        "score_micro", nb_score_column(model_rows, prior_micro, text_col)
+    ).withColumn("pred", F.expr("score_micro >= 0"))
+
+
+def windowed_nb_quality(
+    stream_df: DataFrame,
+    model_rows: list,
+    prior_micro: int,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window quality monitor over the frozen model:
+    (window_start, n_docs, n_pos, sum_score_micro) — additive counts
+    and an exact BIGINT score sum, so the incremental aggregate equals
+    the batch aggregate bit-for-bit (pinned in
+    tests/test_nbquality_stream.py)."""
+    scored = nb_score_stream(stream_df, model_rows, prior_micro, text_col)
+    return (
+        scored.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("w"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("pred").cast("bigint")).alias("n_pos"),
+            F.sum("score_micro").alias("sum_score_micro"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_docs",
+            "n_pos",
+            "sum_score_micro",
+        )
+    )

@@ -1,0 +1,92 @@
+"""Streaming NB quality scoring (streaming/nbquality_stream.py):
+stateless projection == batch, windowed monitor drains byte-identical
+to the batch aggregate — the streaming twin contract for the r11
+trained-classifier family."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from dar_spark.operators.nbquality import nb_quality_model
+from dar_spark.session import load_tables
+from dar_spark.streaming.nbquality_stream import (
+    nb_score_stream,
+    windowed_nb_quality,
+)
+from dar_spark.streaming.profile_stream import run_to_memory
+from tests.conftest import SF_DIR
+
+
+def _timed_docs(spark):
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    return docs.selectExpr(
+        "doc_id",
+        "timestamp_seconds(1700000000 + (doc_id % 3) * 3600) AS ts",
+        "text",
+    )
+
+
+def test_windowed_nb_quality_matches_batch(spark, tmp_path):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    rows, prior = nb_quality_model(docs)
+    timed = _timed_docs(spark)
+    src = str(tmp_path / "nbq_src")
+    timed.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(timed.schema).parquet(src)
+    out = windowed_nb_quality(
+        stream, rows, prior, ts_col="ts",
+        window_duration="1 hour", watermark="2 hours",
+    )
+    name = "t_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="complete")
+    streamed = {
+        r.window_start: (r.n_docs, r.n_pos, r.sum_score_micro)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    batch = (
+        nb_score_stream(timed, rows, prior)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("pred").cast("bigint")).alias("n_pos"),
+            F.sum("score_micro").alias("sum_score_micro"),
+        )
+    )
+    expected = {
+        r["w"].start: (r.n_docs, r.n_pos, r.sum_score_micro)
+        for r in batch.collect()
+    }
+    assert streamed == expected
+    assert len(streamed) == 3
+    # the monitor actually sees both classes at fixture scale
+    assert 0 < sum(v[1] for v in streamed.values()) < sum(
+        v[0] for v in streamed.values()
+    )
+
+
+def test_stateless_scoring_passes_columns_through(spark, tmp_path):
+    docs = load_tables(spark, SF_DIR)["documents"]
+    rows, prior = nb_quality_model(docs)
+    timed = _timed_docs(spark)
+    src = str(tmp_path / "nbq_rows_src")
+    timed.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(timed.schema).parquet(src)
+    out = nb_score_stream(stream, rows, prior).select(
+        "doc_id", "ts", "score_micro", "pred"
+    )
+    name = "t_" + uuid.uuid4().hex[:8]
+    run_to_memory(out, name, output_mode="append")
+    streamed = {
+        r.doc_id: (r.ts, r.score_micro, r.pred)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = {
+        r.doc_id: (r.ts, r.score_micro, r.pred)
+        for r in nb_score_stream(timed, rows, prior)
+        .select("doc_id", "ts", "score_micro", "pred")
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
