@@ -151,7 +151,46 @@ def nb_score_column(
     )
 
 
-def nb_quality_oracle_sql(
+def nb_quality_holdout_eval(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_pred: str = "lang = 'en'",
+    vocab_max: int = NB_VOCAB_MAX,
+) -> DataFrame:
+    """Train on the even-id half, evaluate on the odd-id half: one row
+    (n_eval, tp, fp, tn, fn) of exact integer confusion counts — the
+    deterministic holdout contract (the knn_holdout_eval pattern) that
+    shows the classifier actually separates unseen documents, not just
+    its own training set."""
+    train = df.filter(f"{id_col} % 2 = 0")
+    test = df.filter(f"{id_col} % 2 = 1")
+    rows, prior = nb_quality_model(
+        train, text_col=text_col, label_pred=label_pred,
+        vocab_max=vocab_max,
+    )
+    scored = nb_quality_scores(
+        test, rows, prior, id_col=id_col, text_col=text_col
+    ).join(
+        test.selectExpr(
+            id_col, f"CASE WHEN {label_pred} THEN 1 ELSE 0 END AS _y"
+        ),
+        id_col,
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(F.expr("CASE WHEN pred AND _y = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("tp"),
+        F.sum(F.expr("CASE WHEN pred AND _y = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("fp"),
+        F.sum(F.expr("CASE WHEN NOT pred AND _y = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("tn"),
+        F.sum(F.expr("CASE WHEN NOT pred AND _y = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("fn"),
+    )
+
+
+def nb_quality_holdout_oracle_sql(
     d: Dialect,
     table: str = "documents",
     id_col: str = "doc_id",
@@ -159,11 +198,48 @@ def nb_quality_oracle_sql(
     label_pred: str = "lang = 'en'",
     vocab_max: int = NB_VOCAB_MAX,
 ) -> str:
+    """DuckDB twin of the holdout evaluation: retrain on the even half,
+    rescore the odd half, same confusion counts."""
+    inner = nb_quality_oracle_sql(
+        d,
+        table=f"(SELECT * FROM {table} WHERE {id_col} % 2 = 0) t",
+        id_col=id_col,
+        text_col=text_col,
+        label_pred=label_pred,
+        vocab_max=vocab_max,
+        score_table=f"(SELECT * FROM {table} WHERE {id_col} % 2 = 1) s",
+    )
+    return f"""WITH scored AS ({inner}),
+lab AS (
+  SELECT {id_col}, CASE WHEN {label_pred} THEN 1 ELSE 0 END AS _y
+  FROM {table} WHERE {id_col} % 2 = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_eval,
+  CAST(SUM(CASE WHEN pred AND _y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(SUM(CASE WHEN pred AND _y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(SUM(CASE WHEN NOT pred AND _y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+  CAST(SUM(CASE WHEN NOT pred AND _y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+FROM scored JOIN lab USING ({id_col})"""
+
+
+def nb_quality_oracle_sql(
+    d: Dialect,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_pred: str = "lang = 'en'",
+    vocab_max: int = NB_VOCAB_MAX,
+    score_table: str | None = None,
+) -> str:
     """DuckDB twin of train+score: the same tokenization, the same
     top-K-by-(count, token) vocabulary, the same arithmetic-only ln and
     micro-quantization — scored by unnest + join + integer SUM (exact,
-    order-free, unlike a float log-sum)."""
+    order-free, unlike a float log-sum).  ``score_table`` scores a
+    DIFFERENT table against the model trained on ``table`` (the holdout
+    twin); default scores the training table itself."""
     toks = _tokens_sql(d, f"docs.{text_col}")
+    stoks = _tokens_sql(d, f"sdocs.{text_col}")
+    score_table = score_table or table
     return f"""WITH docs AS (
   SELECT {id_col} AS _id, {text_col},
          CASE WHEN {label_pred} THEN 1 ELSE 0 END AS _y
@@ -190,12 +266,17 @@ def nb_quality_oracle_sql(
          * {NB_MICRO}.0 + 0.5) AS BIGINT) AS p
   FROM (SELECT CAST(SUM(_y) AS BIGINT) AS d1,
                CAST(SUM(1 - _y) AS BIGINT) AS d0 FROM docs)
+), sdocs AS (
+  SELECT {id_col} AS _id, {text_col} FROM {score_table}
+), stok AS (
+  SELECT _id, unnest({stoks}) AS token
+  FROM sdocs
 ), persum AS (
-  SELECT tok._id, CAST(COALESCE(SUM(model.weight_micro), 0) AS BIGINT) AS s
-  FROM tok LEFT JOIN model USING (token)
-  GROUP BY tok._id
+  SELECT stok._id, CAST(COALESCE(SUM(model.weight_micro), 0) AS BIGINT) AS s
+  FROM stok LEFT JOIN model USING (token)
+  GROUP BY stok._id
 )
-SELECT docs._id AS {id_col},
+SELECT sdocs._id AS {id_col},
        CAST(COALESCE(persum.s, 0) + prior.p AS BIGINT) AS score_micro,
        (COALESCE(persum.s, 0) + prior.p >= 0) AS pred
-FROM docs LEFT JOIN persum ON docs._id = persum._id CROSS JOIN prior"""
+FROM sdocs LEFT JOIN persum ON sdocs._id = persum._id CROSS JOIN prior"""

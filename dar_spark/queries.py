@@ -2198,6 +2198,25 @@ def _nb_quality_scores_q() -> Q:
     return Q(spark_fn, nb_quality_oracle_sql(DUCKDB), headline=True)
 
 
+def _nb_holdout_eval_q() -> Q:
+    """NB classifier holdout contract (operators/nbquality.py
+    nb_quality_holdout_eval — the knn_holdout_eval pattern): train on
+    the even-doc_id half, score the odd half, return exact integer
+    confusion counts.  The oracle retrains and re-evaluates the
+    identical split in SQL, so the model's out-of-sample behavior —
+    not just its projection — sits under the value hash."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.nbquality import nb_quality_holdout_eval
+
+        t = load_tables(spark, sf_dir)
+        return nb_quality_holdout_eval(t["documents"])
+
+    from dar_spark.operators.nbquality import nb_quality_holdout_oracle_sql
+
+    return Q(spark_fn, nb_quality_holdout_oracle_sql(DUCKDB))
+
+
 def _ivf_drift_autoguard_q() -> Q:
     """The r11 closed loop (VERDICT r10 #3) under the driver check:
     build a q8 store on half the embeddings, ingest the OTHER half
@@ -3794,6 +3813,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("embed_ivf_q8_indexed", _embed_ivf_q8_q()),
         ("ivf_drift_autoguard", _ivf_drift_autoguard_q()),
         ("nb_quality_scores_docs", _nb_quality_scores_q()),
+        ("nb_quality_holdout_eval", _nb_holdout_eval_q()),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),
         ("knn_ann_embed", _knn_ann_q()),
