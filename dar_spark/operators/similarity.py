@@ -785,6 +785,79 @@ n AS (
 SELECT vec_id_a, vec_id_b, cos_sim FROM scored WHERE cos_sim >= {cos_threshold}"""
 
 
+def srp_mass_curve_oracle_sql(source_sql: str, cos_threshold: float) -> str:
+    """DuckDB twin of :func:`srp_mass_curve_report`: the same
+    md5-ordered sample, band-0 30-bit buckets from the same plane
+    constants, per-pair second-mismatch positions, and the identical
+    integer feasibility/pick rule — emitted standalone so the probe
+    machinery itself sits under the driver's value hash at every
+    fixture scale (the full pairs oracle only exercises it at corpora
+    large enough to trip the gate)."""
+    fold = duck_fold
+
+    def bands_case(over: str) -> str:
+        return f"CASE {over} " + " ".join(
+            f"WHEN {p} THEN {srp_bands_for_miss(p, cos_threshold)}"
+            for p in range(N_PLANES, 31)
+        ) + " END"
+
+    mults = ", ".join(
+        str(pow(2654435761, g + 1, 1000003)) for g in range(30)
+    )
+    comp0 = (
+        "(CAST(((CAST(i AS BIGINT) * mu.m[j + 1] "
+        "+ CAST(j AS BIGINT) * 1315423911 + 97) % 1000003) "
+        "AS DOUBLE) / 1000003.0 - 0.5)"
+    )
+    prods0 = f"list_transform(generate_series(1, len(v)), i -> v[i] * {comp0})"
+    picked = f"""CASE
+      WHEN NOT ((SELECT n FROM cnt) >= {MASS_PROBE_MIN}
+                AND (SELECT fp FROM floor_p) < {MASS_MAX_PLANES})
+      THEN (SELECT fp FROM floor_p)
+      ELSE COALESCE(
+        (SELECT MIN(p) FROM hs, floor_p, scnt
+          WHERE p >= fp
+            AND h * ({bands_case('p')}) * n
+                <= {MASS_CANDIDATE_FACTOR} * s * s),
+        {MASS_MAX_PLANES}) END"""
+    return f"""WITH src AS ({source_sql}),
+mu AS (SELECT [{mults}] AS m),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+floor_p AS (
+  SELECT greatest({N_PLANES}, least({MASS_MAX_PLANES},
+         length(bin(greatest(n - 1, 1))))) AS fp, n
+  FROM cnt
+), samp AS (
+  SELECT vec_id, v FROM src
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {MASS_SAMPLE_MAX}
+), scnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM samp),
+sbits AS (
+  SELECT vec_id, j,
+         CASE WHEN {fold(prods0)} >= 0 THEN '1' ELSE '0' END AS bit
+  FROM samp CROSS JOIN mu CROSS JOIN range(0, {MASS_MAX_PLANES}) jj(j)
+), sbuck AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY j) AS sb
+  FROM sbits GROUP BY vec_id
+), mism AS (
+  SELECT COALESCE(list_filter(generate_series(1, {MASS_MAX_PLANES}),
+                  i -> substr(x.sb, i, 1) <> substr(y.sb, i, 1))[2],
+                  {MASS_MAX_PLANES + 1}) AS m2
+  FROM sbuck x JOIN sbuck y ON x.vec_id < y.vec_id
+), hs AS (
+  SELECT p, (SELECT COUNT(*) FROM mism WHERE m2 > p) AS h
+  FROM range({N_PLANES}, {MASS_MAX_PLANES + 1}) pp(p)
+)
+SELECT CAST(p AS INT) AS p, CAST(h AS BIGINT) AS h,
+  CAST({bands_case('p')} AS INT) AS bands,
+  (h * ({bands_case('p')}) * (SELECT n FROM cnt)
+     <= {MASS_CANDIDATE_FACTOR} * (SELECT s * s FROM scnt)) AS feasible,
+  CAST((SELECT fp FROM floor_p) AS INT) AS base_planes,
+  CAST(({picked}) AS INT) AS picked_planes,
+  ((SELECT n FROM cnt) >= {MASS_PROBE_MIN}
+    AND (SELECT fp FROM floor_p) < {MASS_MAX_PLANES}) AS probe_active
+FROM hs"""
+
+
 def srp_pairs_auto_oracle_sql(source_sql: str, cos_threshold: float) -> str:
     """DuckDB twin of ``dedup.embedding_dup_pairs(method='lsh')`` in
     its AUTOSCALED default configuration — the oracle recomputes
@@ -1885,13 +1958,33 @@ def srp_pairs_mass_autoscale(
     TakeOrdered of ≤512 rows with 30 plane dots each, one driver-side
     O(s²) numpy pass — D15-compliant (the collect is a bounded meta
     result, never corpus data)."""
-    import numpy as np
-
     if n is None:
         n = e.count()
     base, base_bands = srp_pairs_autoscale(n, cos_threshold, target_miss)
     if base >= MASS_MAX_PLANES or n < MASS_PROBE_MIN:
         return base, base_bands
+    s, hs = _mass_probe_curve(e, id_col)
+    if s < 2:
+        return base, base_bands
+    bands_table = {
+        p: srp_bands_for_miss(p, cos_threshold, target_miss)
+        for p in range(N_PLANES, MASS_MAX_PLANES + 1)
+    }
+    bound = MASS_CANDIDATE_FACTOR * s * s
+    for p in range(base, MASS_MAX_PLANES + 1):
+        if hs[p] * bands_table[p] * n <= bound:
+            return p, bands_table[p]
+    return MASS_MAX_PLANES, bands_table[MASS_MAX_PLANES]
+
+
+def _mass_probe_curve(e: DataFrame, id_col: str) -> tuple[int, dict[int, int]]:
+    """The bounded-sample collision curve behind the mass autoscaler:
+    returns (sample size s, {P: H_P for P in 8..30}) where H_P counts
+    sample pairs within Hamming distance 1 on the first P bits of the
+    band-0 bucket (see srp_pairs_mass_autoscale for why that IS the
+    per-band candidate relation)."""
+    import numpy as np
+
     rows = (
         e.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(MASS_SAMPLE_MAX)
@@ -1903,21 +1996,68 @@ def srp_pairs_mass_autoscale(
     )
     s = bits.shape[0]
     if s < 2:
-        return base, base_bands
+        return s, {p: 0 for p in range(N_PLANES, MASS_MAX_PLANES + 1)}
     # cumulative mismatch count per pair per prefix length
     mism = np.bitwise_xor(bits[:, None, :], bits[None, :, :])
     cum = mism.cumsum(axis=2)
     iu = np.triu_indices(s, k=1)
+    return s, {
+        p: int((cum[:, :, p - 1][iu] <= 1).sum())
+        for p in range(N_PLANES, MASS_MAX_PLANES + 1)
+    }
+
+
+def srp_mass_curve_report(
+    e: DataFrame,
+    id_col: str,
+    cos_threshold: float,
+    target_miss: float = 0.05,
+    n: int | None = None,
+) -> DataFrame:
+    """The autoscaler's evidence, as a table: one row per candidate
+    plane count P with the measured sample collision mass H_P, the
+    bands the miss budget would demand, whether the integer candidate
+    bound holds, and which P the rule actually picks — the
+    introspection report that explains every
+    ``srp_pairs_mass_autoscale`` decision (the lsh_tuning_report
+    pattern, pointed at the r11 rule).  Columns: (p, h, bands,
+    feasible, base_planes, picked_planes, probe_active).  The curve is
+    computed even below MASS_PROBE_MIN (probe_active = false there —
+    the autoscaler would keep the floor) so the report is usable at
+    any scale."""
+    if n is None:
+        n = e.count()
+    base, _ = srp_pairs_autoscale(n, cos_threshold, target_miss)
+    s, hs = _mass_probe_curve(e, id_col)
     bands_table = {
         p: srp_bands_for_miss(p, cos_threshold, target_miss)
-        for p in range(base, MASS_MAX_PLANES + 1)
+        for p in range(N_PLANES, MASS_MAX_PLANES + 1)
     }
     bound = MASS_CANDIDATE_FACTOR * s * s
-    for p in range(base, MASS_MAX_PLANES + 1):
-        h = int((cum[:, :, p - 1][iu] <= 1).sum())
-        if h * bands_table[p] * n <= bound:
-            return p, bands_table[p]
-    return MASS_MAX_PLANES, bands_table[MASS_MAX_PLANES]
+    feas = {
+        p: hs[p] * bands_table[p] * n <= bound
+        for p in range(N_PLANES, MASS_MAX_PLANES + 1)
+    }
+    probe_active = n >= MASS_PROBE_MIN and base < MASS_MAX_PLANES
+    if not probe_active:
+        picked = base
+    else:
+        picked = next(
+            (p for p in range(base, MASS_MAX_PLANES + 1) if feas[p]),
+            MASS_MAX_PLANES,
+        )
+    spark = e.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                p, hs[p], bands_table[p], feas[p], base, picked,
+                probe_active,
+            )
+            for p in range(N_PLANES, MASS_MAX_PLANES + 1)
+        ],
+        "p int, h bigint, bands int, feasible boolean, "
+        "base_planes int, picked_planes int, probe_active boolean",
+    )
 
 
 def write_pq_index(

@@ -2352,6 +2352,36 @@ def _embed_dup_pairs_auto_only_q() -> Q:
     )
 
 
+def _srp_mass_curve_q() -> Q:
+    """The r11 mass-autoscaler's evidence table
+    (similarity.srp_mass_curve_report): per candidate plane count, the
+    measured sample collision mass H_P, the miss-budget bands, the
+    integer feasibility verdict and the picked configuration — the
+    introspection row set that explains every
+    srp_pairs_mass_autoscale decision.  The oracle replays the
+    identical md5-ordered sample, band-0 bucket bits, second-mismatch
+    curve and pick rule in SQL, so the probe MACHINERY itself is
+    value-hashed at every fixture scale (the pairs oracle only
+    exercises it on corpora big enough to trip the 50k gate)."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.similarity import (
+            _as_double_vec,
+            srp_mass_curve_report,
+        )
+
+        c = _banded_perturbed_corpus(spark, sf_dir)
+        e = _as_double_vec(c.select("vec_id", "v"), "v")
+        return srp_mass_curve_report(e, "vec_id", BANDED_COS_THRESHOLD)
+
+    from dar_spark.operators.similarity import srp_mass_curve_oracle_sql
+
+    return Q(
+        spark_fn,
+        srp_mass_curve_oracle_sql(_banded_corpus_sql(), BANDED_COS_THRESHOLD),
+    )
+
+
 def _embed_dup_pairs_auto_q() -> Q:
     """The AUTOSCALED pairs-LSH path under a driver-checked recall
     contract: embedding_dup_pairs with default n_planes/n_bands
@@ -3831,6 +3861,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("media_jpeg_decode", _jpeg_decode_q()),
         ("html_extract_dom_docs", _html_extract_dom_q()),
         ("embed_dup_pairs_auto_only", _embed_dup_pairs_auto_only_q()),
+        ("srp_mass_curve_embed", _srp_mass_curve_q()),
         ("card_profile", _card_profile_q()),
         ("pii_cards_redact_docs", _cards_redact_q()),
         ("secrets_redact_docs", _secrets_redact_q()),
