@@ -239,7 +239,14 @@ def nb_quality_oracle_sql(
     twin); default scores the training table itself."""
     toks = _tokens_sql(d, f"docs.{text_col}")
     stoks = _tokens_sql(d, f"sdocs.{text_col}")
-    score_table = score_table or table
+    if score_table is None:
+        # default path scores the training table itself: reuse the
+        # already-tokenized training CTE instead of a second full
+        # unnest+trim+split scan
+        score_table = table
+        stok_body = "SELECT _id, token FROM tok"
+    else:
+        stok_body = f"SELECT _id, unnest({stoks}) AS token FROM sdocs"
     return f"""WITH docs AS (
   SELECT {id_col} AS _id, {text_col},
          CASE WHEN {label_pred} THEN 1 ELSE 0 END AS _y
@@ -262,15 +269,17 @@ def nb_quality_oracle_sql(
   SELECT token, {_w_micro_sql(d)} AS weight_micro
   FROM vocab CROSS JOIN tot
 ), prior AS (
-  SELECT CAST(floor(({d.ln_posint('d1 + 1')} - {d.ln_posint('d0 + 1')})
-         * {NB_MICRO}.0 + 0.5) AS BIGINT) AS p
+  SELECT CASE WHEN (SELECT COUNT(*) FROM vocab) = 0
+         THEN CAST(error('nb oracle: empty model (no training rows)')
+              AS BIGINT)
+         ELSE CAST(floor(({d.ln_posint('d1 + 1')} - {d.ln_posint('d0 + 1')})
+              * {NB_MICRO}.0 + 0.5) AS BIGINT) END AS p
   FROM (SELECT CAST(SUM(_y) AS BIGINT) AS d1,
                CAST(SUM(1 - _y) AS BIGINT) AS d0 FROM docs)
 ), sdocs AS (
   SELECT {id_col} AS _id, {text_col} FROM {score_table}
 ), stok AS (
-  SELECT _id, unnest({stoks}) AS token
-  FROM sdocs
+  {stok_body}
 ), persum AS (
   SELECT stok._id, CAST(COALESCE(SUM(model.weight_micro), 0) AS BIGINT) AS s
   FROM stok LEFT JOIN model USING (token)

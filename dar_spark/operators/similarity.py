@@ -785,44 +785,32 @@ n AS (
 SELECT vec_id_a, vec_id_b, cos_sim FROM scored WHERE cos_sim >= {cos_threshold}"""
 
 
-def srp_mass_curve_oracle_sql(source_sql: str, cos_threshold: float) -> str:
-    """DuckDB twin of :func:`srp_mass_curve_report`: the same
-    md5-ordered sample, band-0 30-bit buckets from the same plane
-    constants, per-pair second-mismatch positions, and the identical
-    integer feasibility/pick rule — emitted standalone so the probe
-    machinery itself sits under the driver's value hash at every
-    fixture scale (the full pairs oracle only exercises it at corpora
-    large enough to trip the gate)."""
-    fold = duck_fold
+def _mass_bands_case(
+    over: str, cos_threshold: float, target_miss: float = 0.05
+) -> str:
+    """planes→bands CASE over expression ``over`` — the ONE SQL spelling
+    of the srp_bands_for_miss table both mass-probe oracle emitters
+    share (evaluated in Python at emission time, so the transcendental
+    band-sizing math never runs in either engine)."""
+    return f"CASE {over} " + " ".join(
+        f"WHEN {p} THEN {srp_bands_for_miss(p, cos_threshold, target_miss)}"
+        for p in range(N_PLANES, MASS_MAX_PLANES + 1)
+    ) + " END"
 
-    def bands_case(over: str) -> str:
-        return f"CASE {over} " + " ".join(
-            f"WHEN {p} THEN {srp_bands_for_miss(p, cos_threshold)}"
-            for p in range(N_PLANES, 31)
-        ) + " END"
 
-    mults = ", ".join(
-        str(pow(2654435761, g + 1, 1000003)) for g in range(30)
-    )
+# The mass-probe CTE chain (count, floor, md5-ordered sample, band-0
+# 30-bit bucket bits, per-pair second-mismatch positions, H_P curve) —
+# ONE definition shared by srp_mass_curve_oracle_sql and
+# srp_pairs_auto_oracle_sql, continuing a WITH that already defined
+# ``src`` and a ``mu`` whose first 30 entries are the band-0 multipliers.
+def _mass_probe_ctes() -> str:
     comp0 = (
         "(CAST(((CAST(i AS BIGINT) * mu.m[j + 1] "
         "+ CAST(j AS BIGINT) * 1315423911 + 97) % 1000003) "
         "AS DOUBLE) / 1000003.0 - 0.5)"
     )
     prods0 = f"list_transform(generate_series(1, len(v)), i -> v[i] * {comp0})"
-    picked = f"""CASE
-      WHEN NOT ((SELECT n FROM cnt) >= {MASS_PROBE_MIN}
-                AND (SELECT fp FROM floor_p) < {MASS_MAX_PLANES})
-      THEN (SELECT fp FROM floor_p)
-      ELSE COALESCE(
-        (SELECT MIN(p) FROM hs, floor_p, scnt
-          WHERE p >= fp
-            AND h * ({bands_case('p')}) * n
-                <= {MASS_CANDIDATE_FACTOR} * s * s),
-        {MASS_MAX_PLANES}) END"""
-    return f"""WITH src AS ({source_sql}),
-mu AS (SELECT [{mults}] AS m),
-cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+    return f"""cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
 floor_p AS (
   SELECT greatest({N_PLANES}, least({MASS_MAX_PLANES},
          length(bin(greatest(n - 1, 1))))) AS fp, n
@@ -833,7 +821,7 @@ floor_p AS (
 ), scnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM samp),
 sbits AS (
   SELECT vec_id, j,
-         CASE WHEN {fold(prods0)} >= 0 THEN '1' ELSE '0' END AS bit
+         CASE WHEN {duck_fold(prods0)} >= 0 THEN '1' ELSE '0' END AS bit
   FROM samp CROSS JOIN mu CROSS JOIN range(0, {MASS_MAX_PLANES}) jj(j)
 ), sbuck AS (
   SELECT vec_id, string_agg(bit, '' ORDER BY j) AS sb
@@ -846,13 +834,48 @@ sbits AS (
 ), hs AS (
   SELECT p, (SELECT COUNT(*) FROM mism WHERE m2 > p) AS h
   FROM range({N_PLANES}, {MASS_MAX_PLANES + 1}) pp(p)
-)
+)"""
+
+
+def _mass_pick_sql(cos_threshold: float, target_miss: float = 0.05) -> str:
+    """The pick rule as a scalar SQL expression over the shared probe
+    CTEs — identical in both emitters by construction."""
+    bc = _mass_bands_case("p", cos_threshold, target_miss)
+    return f"""CASE
+      WHEN NOT ((SELECT n FROM cnt) >= {MASS_PROBE_MIN}
+                AND (SELECT fp FROM floor_p) < {MASS_MAX_PLANES})
+      THEN (SELECT fp FROM floor_p)
+      ELSE COALESCE(
+        (SELECT MIN(p) FROM hs, floor_p, scnt
+          WHERE p >= fp
+            AND h * ({bc}) * n
+                <= {MASS_CANDIDATE_FACTOR} * s * s),
+        {MASS_MAX_PLANES}) END"""
+
+
+def srp_mass_curve_oracle_sql(
+    source_sql: str, cos_threshold: float, target_miss: float = 0.05
+) -> str:
+    """DuckDB twin of :func:`srp_mass_curve_report`: the same
+    md5-ordered sample, band-0 30-bit buckets from the same plane
+    constants, per-pair second-mismatch positions, and the identical
+    integer feasibility/pick rule — emitted standalone so the probe
+    machinery itself sits under the driver's value hash at every
+    fixture scale (the full pairs oracle only exercises it at corpora
+    large enough to trip the gate)."""
+    mults = ", ".join(
+        str(pow(2654435761, g + 1, 1000003)) for g in range(30)
+    )
+    bc = _mass_bands_case("p", cos_threshold, target_miss)
+    return f"""WITH src AS ({source_sql}),
+mu AS (SELECT [{mults}] AS m),
+{_mass_probe_ctes()}
 SELECT CAST(p AS INT) AS p, CAST(h AS BIGINT) AS h,
-  CAST({bands_case('p')} AS INT) AS bands,
-  (h * ({bands_case('p')}) * (SELECT n FROM cnt)
+  CAST({bc} AS INT) AS bands,
+  (h * ({bc}) * (SELECT n FROM cnt)
      <= {MASS_CANDIDATE_FACTOR} * (SELECT s * s FROM scnt)) AS feasible,
   CAST((SELECT fp FROM floor_p) AS INT) AS base_planes,
-  CAST(({picked}) AS INT) AS picked_planes,
+  CAST(({_mass_pick_sql(cos_threshold, target_miss)}) AS INT) AS picked_planes,
   ((SELECT n FROM cnt) >= {MASS_PROBE_MIN}
     AND (SELECT fp FROM floor_p) < {MASS_MAX_PLANES}) AS probe_active
 FROM hs"""
@@ -887,16 +910,9 @@ def srp_pairs_auto_oracle_sql(source_sql: str, cos_threshold: float) -> str:
     mirrors ``srp_pairs_oracle_sql``."""
     fold = duck_fold
     flip = DUCK_FLIP
-
-    # planes ∈ [8, 30] by construction; bands for each possible count
-    def bands_case(over: str) -> str:
-        return f"CASE {over} " + " ".join(
-            f"WHEN {p} THEN {srp_bands_for_miss(p, cos_threshold)}"
-            for p in range(N_PLANES, 31)
-        ) + " END"
-
     max_bands = max(
-        srp_bands_for_miss(p, cos_threshold) for p in range(N_PLANES, 31)
+        srp_bands_for_miss(p, cos_threshold)
+        for p in range(N_PLANES, MASS_MAX_PLANES + 1)
     )
     mults = ", ".join(
         str(pow(2654435761, g + 1, 1000003)) for g in range(30 * max_bands)
@@ -906,55 +922,18 @@ def srp_pairs_auto_oracle_sql(source_sql: str, cos_threshold: float) -> str:
         "+ CAST(t * planes + j AS BIGINT) * 1315423911 + 97) % 1000003) "
         "AS DOUBLE) / 1000003.0 - 0.5)"
     )
-    # band-0 plane j (global index j — independent of the plane count,
-    # which is what makes the 30-bit string's P-prefix the P-plane bucket)
-    comp0 = (
-        "(CAST(((CAST(i AS BIGINT) * mu.m[j + 1] "
-        "+ CAST(j AS BIGINT) * 1315423911 + 97) % 1000003) "
-        "AS DOUBLE) / 1000003.0 - 0.5)"
-    )
     prods = f"list_transform(generate_series(1, len(v)), i -> v[i] * {comp})"
-    prods0 = f"list_transform(generate_series(1, len(v)), i -> v[i] * {comp0})"
     cos_prods = (
         "list_transform(generate_series(1, len(va)), i -> va[i] * vb[i])"
     )
+    # the probe prelude (cnt/floor_p/samp/.../hs) and the pick rule are
+    # the SHARED definitions (_mass_probe_ctes/_mass_pick_sql) — one
+    # grammar for both this oracle and srp_mass_curve_oracle_sql
     return f"""WITH src AS ({source_sql}),
 mu AS (SELECT [{mults}] AS m),
-cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
-floor_p AS (
-  SELECT greatest({N_PLANES}, least({MASS_MAX_PLANES},
-         length(bin(greatest(n - 1, 1))))) AS fp, n
-  FROM cnt
-), samp AS (
-  SELECT vec_id, v FROM src
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {MASS_SAMPLE_MAX}
-), scnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM samp),
-sbits AS (
-  SELECT vec_id, j,
-         CASE WHEN {fold(prods0)} >= 0 THEN '1' ELSE '0' END AS bit
-  FROM samp CROSS JOIN mu CROSS JOIN range(0, {MASS_MAX_PLANES}) jj(j)
-), sbuck AS (
-  SELECT vec_id, string_agg(bit, '' ORDER BY j) AS sb
-  FROM sbits GROUP BY vec_id
-), mism AS (
-  SELECT COALESCE(list_filter(generate_series(1, {MASS_MAX_PLANES}),
-                  i -> substr(x.sb, i, 1) <> substr(y.sb, i, 1))[2],
-                  {MASS_MAX_PLANES + 1}) AS m2
-  FROM sbuck x JOIN sbuck y ON x.vec_id < y.vec_id
-), hs AS (
-  SELECT p, (SELECT COUNT(*) FROM mism WHERE m2 > p) AS h
-  FROM range({N_PLANES}, {MASS_MAX_PLANES + 1}) pp(p)
-), cfg AS (
-  SELECT planes, {bands_case('planes')} AS bands FROM (
-    SELECT CASE
-      WHEN (SELECT n FROM cnt) < {MASS_PROBE_MIN}
-      THEN (SELECT fp FROM floor_p)
-      ELSE COALESCE(
-        (SELECT MIN(p) FROM hs, floor_p, scnt
-          WHERE p >= fp
-            AND h * ({bands_case('p')}) * n
-                <= {MASS_CANDIDATE_FACTOR} * s * s),
-        {MASS_MAX_PLANES}) END AS planes)
+{_mass_probe_ctes()}, cfg AS (
+  SELECT planes, {_mass_bands_case('planes', cos_threshold)} AS bands FROM (
+    SELECT ({_mass_pick_sql(cos_threshold)}) AS planes)
 ),
 n0 AS (
   SELECT vec_id, v,
@@ -1964,17 +1943,31 @@ def srp_pairs_mass_autoscale(
     if base >= MASS_MAX_PLANES or n < MASS_PROBE_MIN:
         return base, base_bands
     s, hs = _mass_probe_curve(e, id_col)
-    if s < 2:
-        return base, base_bands
     bands_table = {
         p: srp_bands_for_miss(p, cos_threshold, target_miss)
         for p in range(N_PLANES, MASS_MAX_PLANES + 1)
     }
+    picked = _mass_pick(n, s, hs, base, bands_table)
+    return picked, bands_table[picked]
+
+
+def _mass_pick(
+    n: int, s: int, hs: dict[int, int], base: int, bands_table: dict[int, int]
+) -> int:
+    """The ONE pick rule (shared by the autoscaler and the curve
+    report, mirrored in SQL by _mass_pick_sql): smallest P ≥ the floor
+    whose exact integer candidate bound holds, else the cap.  Gated
+    corpora (below MASS_PROBE_MIN, or a floor already at the cap) keep
+    the floor.  A degenerate sample (s < 2 → hs all zeros) satisfies
+    the bound at the floor by arithmetic, so no special case exists on
+    either engine."""
+    if n < MASS_PROBE_MIN or base >= MASS_MAX_PLANES:
+        return base
     bound = MASS_CANDIDATE_FACTOR * s * s
     for p in range(base, MASS_MAX_PLANES + 1):
         if hs[p] * bands_table[p] * n <= bound:
-            return p, bands_table[p]
-    return MASS_MAX_PLANES, bands_table[MASS_MAX_PLANES]
+            return p
+    return MASS_MAX_PLANES
 
 
 def _mass_probe_curve(e: DataFrame, id_col: str) -> tuple[int, dict[int, int]]:
@@ -2039,13 +2032,7 @@ def srp_mass_curve_report(
         for p in range(N_PLANES, MASS_MAX_PLANES + 1)
     }
     probe_active = n >= MASS_PROBE_MIN and base < MASS_MAX_PLANES
-    if not probe_active:
-        picked = base
-    else:
-        picked = next(
-            (p for p in range(base, MASS_MAX_PLANES + 1) if feas[p]),
-            MASS_MAX_PLANES,
-        )
+    picked = _mass_pick(n, s, hs, base, bands_table)
     spark = e.sparkSession
     return spark.createDataFrame(
         [
