@@ -2501,118 +2501,34 @@ def _embed_lsh_topk_q(n_planes: int | None = None) -> Q:
 # resulting window leaves stale evidence unrefreshed.
 # ---------------------------------------------------------------------------
 
-_EVIDENCE_R2 = [
+_EVIDENCE_R7 = [
     "bpe_token_count", "doc_fingerprint", "embed_dup_pairs",
     "fuzzy_state_profile", "grouped_phone_histogram", "lang_id",
-    "latest_event_per_user", "media_inventory",
-    "percentiles_by_returnflag", "quality_filter_docs",
-    "range_join_signups", "rolling_fingerprint", "stats_by_returnflag",
-    "summarize_lineitem", "time_rollup_events", "token_topk_per_source",
-    "top_events_per_user", "train_val_test_split",
-]
-_EVIDENCE_R3 = [
-    "boro_profile", "lat_profile_strict", "long_profile",
-    "q5_region_revenue", "zip_quick_profile_strict",
-]
-_EVIDENCE_R4 = [
-    "asof_last_signup", "chunk_docs", "clean_docs", "cm_heavy_hitters",
-    "column_stats", "coords_profile", "customers_without_orders",
-    "dedup_exact", "dedup_incremental", "dedup_incremental_indexed",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "detect_columns", "drift_lineitem", "drop_near_dups", "dup_clusters",
-    "embed_cosine_topk", "embed_dup_pairs_lsh", "embed_ivf_topk",
-    "embed_lsh_topk", "embed_lsh_topk_indexed", "embed_lsh_topk_p12",
-    "events_json_agg", "fuzzy_state_join", "lat_profile",
-    "media_frame_sample", "media_meta_profile", "phone_profile",
-    "phone_profile_csv", "phone_profile_skip_first", "phone_v1_profile",
-    "pii_redact_docs", "profile_composite", "profile_histogram",
-    "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
-    "repetition_stats", "rollup_revenue", "rowid_ordinal",
-    "segment_set_ops", "sessionize_events", "state_profile",
-    "stratified_sample_docs", "text_stats", "token_topk",
-    "zip_full_profile", "zip_quick_profile", "zip_render_grouped",
-]
-_EVIDENCE_R5 = [
-    "activity_gaps", "bloom_prefilter_orders", "bpe_merges_docs",
-    "bpe_segment_docs", "calibration_quality", "cdc_chunk_docs",
-    "chunk_dedup_docs", "constraint_report_orders", "decontaminate_docs",
-    "dedup_index_append", "docs_jsonl_roundtrip", "domain_stats",
-    "embed_dup_pairs_banded", "embed_lsh_topk_banded",
-    "embedding_outliers_label", "event_type_pivot", "fuzzy_state_join_d2",
-    "gopher_quality_docs", "group_sample_docs", "hll_distinct_users",
-    "key_skew_events", "late_order_priority", "lm_perplexity_docs",
-    "media_bmp_decode", "media_wav_decode", "merge_upsert_orders",
-    "ngram_novelty_docs", "normalize_docs", "order_price_quartiles",
-    "orders_orc_roundtrip", "pack_sequences_docs", "phone_profile_sqlfn",
-    "pipeline_e2e", "pr_curve_quality", "quality_tiers_docs",
-    "retention_cohorts", "roc_auc_quality", "scd2_user_events",
-    "script_profile_docs", "semdedup_embed", "shuffle_order_docs",
-    "signup_purchase_funnel", "snapshot_diff_orders",
-    "source_overlap_docs", "tfidf_topk", "token_budget_sample_docs",
-    "weighted_sample_docs", "zorder_keys_lineitem",
-]
-_EVIDENCE_R6 = [
-    "bm25_index_append_search", "bm25_indexed_search", "bm25_search_docs",
-    "class_separation_embed", "decontaminate_embed",
-    "dedup_clusters_incremental", "dedup_keep_best_docs",
-    "dedup_shard_router_docs", "dup_cluster_stats_docs",
-    "dup_source_matrix_docs", "embed_pq_codes", "embed_pq_lsh_topk",
-    "embed_pq_rerank", "embed_pq_topk", "embed_quantize_docs",
-    "embed_quantized_topk", "filter_funnel_by_lang", "filter_funnel_docs",
-    "hard_negatives_embed", "hll_users_by_event_type",
-    "join_explosion_events", "knn_holdout_eval_embed", "knn_label_prop",
-    "ks_by_source_docs", "ks_drift_lineitem", "ks_report_lineitem",
-    "line_dedup_docs", "lsh_tuning_report_docs", "mixture_upsample_docs",
-    "mmr_select_embed", "partition_advisor_events",
-    "phone_v1_intl_profile", "phrase_merge_docs", "pmi_bigrams_docs",
-    "pmi_skipgram_docs", "positive_pairs_embed", "pq_index_append_topk",
-    "psi_by_source_docs", "psi_drift_lineitem", "psi_report_lineitem",
-    "quality_tiers_sampled", "quantile_hist_by_event_type",
-    "quantile_hist_lineitem", "quantile_report_lineitem",
-    "resample_ffill_events", "rollup_incremental_orders",
-    "skew_safe_join_events", "split_leak_safe", "srp_tuning_report_embed",
-    "zipf_report_docs",
-]
-
-_EVIDENCE_R7 = [
-    "boro_profile", "bpe_token_count", "chunk_dedup_cdc_docs",
-    "chunk_docs", "class_separation_embed", "containment_index_pairs",
-    "containment_pairs_docs", "dedup_incremental",
-    "dedup_incremental_indexed", "doc_fingerprint", "drift_lineitem",
-    "drop_near_dups", "dup_clusters", "embed_drift_by_label",
-    "embed_drift_embed", "embed_dup_pairs", "embed_lsh_topk_indexed",
-    "embedding_outliers_label", "fuzzy_state_join", "fuzzy_state_profile",
-    "grouped_phone_histogram", "hybrid_search_docs",
-    "knn_label_noise_embed", "lang_id", "lat_profile_strict",
-    "latest_event_per_user", "long_profile", "media_inventory",
-    "percentiles_by_returnflag", "phone_profile_csv",
-    "phone_v1_intl_profile", "phone_v1_profile", "pii_redact_docs",
-    "q5_region_revenue", "quality_filter_docs",
-    "quality_pctile_by_source", "range_join_signups", "repetition_stats",
-    "resample_ffill_events", "rolling_fingerprint", "rowid_ordinal",
-    "stats_by_returnflag", "stratified_sample_docs", "summarize_lineitem",
-    "time_rollup_events", "token_topk_per_source", "top_events_per_user",
-    "train_val_test_split", "zip_quick_profile_strict",
-    "zip_render_grouped",
+    "media_inventory", "percentiles_by_returnflag",
+    "quality_filter_docs", "range_join_signups",
+    "rolling_fingerprint", "summarize_lineitem",
+    "time_rollup_events", "token_topk_per_source",
+    "train_val_test_split",
 ]
 
 _EVIDENCE_R8 = [
     "asof_last_signup", "bpe_segment_docs", "calibration_quality",
-    "cdc_chunk_docs", "clean_docs", "cm_heavy_hitters", "column_stats",
-    "coords_profile", "customers_without_orders", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "detect_columns", "docs_jsonl_roundtrip", "domain_stats",
-    "embed_cosine_topk", "embed_dup_pairs_lsh", "embed_ivf_topk",
-    "embed_lsh_topk", "embed_lsh_topk_p12", "events_json_agg",
-    "group_sample_docs", "lat_profile", "media_frame_sample",
-    "media_meta_profile", "ngram_novelty_docs", "orders_orc_roundtrip",
-    "phone_profile", "phone_profile_skip_first", "pr_curve_quality",
+    "cdc_chunk_docs", "clean_docs", "cm_heavy_hitters",
+    "column_stats", "coords_profile", "customers_without_orders",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "detect_columns", "docs_jsonl_roundtrip",
+    "domain_stats", "embed_cosine_topk", "embed_dup_pairs_lsh",
+    "events_json_agg", "group_sample_docs", "lat_profile",
+    "media_frame_sample", "media_meta_profile",
+    "ngram_novelty_docs", "orders_orc_roundtrip", "phone_profile",
+    "phone_profile_skip_first", "pr_curve_quality",
     "profile_composite", "profile_histogram", "q1_pricing_summary",
-    "q3_shipping_priority", "q6_forecast_revenue", "retention_cohorts",
-    "roc_auc_quality", "rollup_revenue", "script_profile_docs",
-    "segment_set_ops", "sessionize_events", "shuffle_order_docs",
-    "source_overlap_docs", "state_profile", "text_stats", "token_topk",
-    "weighted_sample_docs", "zip_full_profile", "zip_quick_profile",
+    "q3_shipping_priority", "q6_forecast_revenue",
+    "retention_cohorts", "roc_auc_quality", "rollup_revenue",
+    "script_profile_docs", "segment_set_ops", "sessionize_events",
+    "shuffle_order_docs", "source_overlap_docs", "state_profile",
+    "text_stats", "token_topk", "weighted_sample_docs",
+    "zip_full_profile", "zip_quick_profile",
 ]
 
 _EVIDENCE_R9 = [
@@ -2621,20 +2537,23 @@ _EVIDENCE_R9 = [
     "decontaminate_docs", "dedup_index_append",
     "dsir_model_append_select", "dsir_resample_docs",
     "dsir_select_bigram_docs", "dsir_select_docs",
-    "dsir_weight_table_docs", "embed_drift_by_label", "embed_drift_embed",
-    "embed_dup_pairs_auto", "embed_dup_pairs_banded", "embed_ivf_pq_topk",
-    "embed_ivf_q8_indexed", "embed_ivf_topk", "embed_ivf_topk_indexed",
-    "embed_lsh_topk", "embed_lsh_topk_banded", "embed_lsh_topk_indexed",
+    "dsir_weight_table_docs", "embed_drift_by_label",
+    "embed_drift_embed", "embed_dup_pairs_auto",
+    "embed_dup_pairs_banded", "embed_ivf_pq_topk",
+    "embed_ivf_q8_indexed", "embed_ivf_topk",
+    "embed_ivf_topk_indexed", "embed_lsh_topk",
+    "embed_lsh_topk_banded", "embed_lsh_topk_indexed",
     "embed_lsh_topk_p12", "embed_pq_lsh_topk", "event_type_pivot",
-    "fuzzy_state_join_d2", "gopher_quality_docs", "hll_distinct_users",
-    "html_extract_docs", "k_anon_ladder_customer", "k_anonymity_customer",
+    "fuzzy_state_join_d2", "gopher_quality_docs",
+    "hll_distinct_users", "html_extract_docs",
+    "k_anon_ladder_customer", "k_anonymity_customer",
     "key_skew_events", "knn_ann_embed", "l_diversity_events",
     "late_order_priority", "lm_perplexity_docs", "media_bmp_decode",
     "media_wav_decode", "normalize_docs", "pack_sequences_docs",
     "pipeline_e2e", "semdedup_embed", "signup_purchase_funnel",
     "srp_tuning_report_embed", "temp_mixture_budget_docs",
-    "temp_mixture_sample_docs", "tfidf_topk", "token_budget_sample_docs",
-    "zorder_keys_lineitem",
+    "temp_mixture_sample_docs", "tfidf_topk",
+    "token_budget_sample_docs", "zorder_keys_lineitem",
 ]
 
 _EVIDENCE_R10 = [
@@ -2643,42 +2562,79 @@ _EVIDENCE_R10 = [
     "constraint_report_orders", "decontaminate_embed",
     "dedup_clusters_incremental", "dedup_keep_best_docs",
     "dedup_shard_router_docs", "dup_cluster_stats_docs",
-    "embed_dup_pairs_auto_only", "embed_pq_codes", "embed_pq_rerank",
-    "embed_pq_topk", "embed_quantize_docs", "embed_quantized_topk",
-    "filter_funnel_by_lang", "filter_funnel_docs",
-    "hll_users_by_event_type", "html_extract_dom_docs",
-    "join_explosion_events", "knn_label_noise_capped",
-    "knn_label_prop_capped", "ks_drift_lineitem", "media_png_decode",
-    "merge_upsert_orders", "mmr_select_capped", "order_price_quartiles",
+    "embed_dup_pairs_auto_only", "embed_pq_codes",
+    "embed_pq_rerank", "embed_pq_topk", "embed_quantize_docs",
+    "embed_quantized_topk", "filter_funnel_by_lang",
+    "filter_funnel_docs", "hll_users_by_event_type",
+    "html_extract_dom_docs", "join_explosion_events",
+    "knn_label_noise_capped", "knn_label_prop_capped",
+    "ks_drift_lineitem", "media_png_decode", "merge_upsert_orders",
+    "mmr_select_capped", "order_price_quartiles",
     "partition_advisor_events", "phone_profile_sqlfn",
-    "phone_v1_profile", "phrase_merge_docs", "pii_cards_redact_docs",
-    "pmi_bigrams_docs", "pmi_skipgram_docs", "pq_index_append_topk",
-    "psi_drift_lineitem", "psi_report_lineitem", "quality_tiers_docs",
-    "quality_tiers_sampled", "quantile_hist_by_event_type",
-    "quantile_hist_lineitem", "rollup_incremental_orders",
-    "scd2_user_events", "secrets_redact_docs", "skew_safe_join_events",
-    "snapshot_diff_orders", "split_leak_safe", "temp_mixture_budget_xl",
+    "phone_v1_profile", "phrase_merge_docs",
+    "pii_cards_redact_docs", "pmi_bigrams_docs",
+    "pmi_skipgram_docs", "pq_index_append_topk",
+    "psi_drift_lineitem", "psi_report_lineitem",
+    "quality_tiers_docs", "quality_tiers_sampled",
+    "quantile_hist_by_event_type", "quantile_hist_lineitem",
+    "rollup_incremental_orders", "scd2_user_events",
+    "secrets_redact_docs", "skew_safe_join_events",
+    "snapshot_diff_orders", "split_leak_safe",
+    "temp_mixture_budget_xl",
+]
+
+_EVIDENCE_R11 = [
+    "boro_profile", "chunk_dedup_cdc_docs", "chunk_docs",
+    "class_separation_embed", "containment_index_pairs",
+    "containment_pairs_docs", "dedup_incremental",
+    "dedup_incremental_indexed", "drift_lineitem", "drop_near_dups",
+    "dup_clusters", "dup_source_matrix_docs",
+    "embedding_outliers_label", "fuzzy_state_join",
+    "hard_negatives_embed", "hybrid_search_docs",
+    "ivf_drift_autoguard", "knn_holdout_eval_embed",
+    "knn_label_noise_embed", "knn_label_prop", "ks_by_source_docs",
+    "ks_report_lineitem", "lat_profile_strict",
+    "latest_event_per_user", "line_dedup_docs", "long_profile",
+    "lsh_tuning_report_docs", "media_jpeg_decode",
+    "mixture_upsample_docs", "mmr_select_embed",
+    "nb_quality_holdout_eval", "nb_quality_scores_docs",
+    "phone_profile_csv", "phone_v1_intl_profile", "pii_redact_docs",
+    "positive_pairs_embed", "psi_by_source_docs",
+    "q5_region_revenue", "quality_pctile_by_source",
+    "quantile_report_lineitem", "repetition_stats",
+    "resample_ffill_events", "rowid_ordinal",
+    "srp_mass_curve_embed", "stats_by_returnflag",
+    "stratified_sample_docs", "top_events_per_user",
+    "zip_quick_profile_strict", "zip_render_grouped",
+    "zipf_report_docs",
 ]
 
 # Queries whose OUTPUT changed since their latest green artifact row —
 # that row certifies behavior that no longer exists, so rotation must
 # treat them as unverified (sorted into the window like new queries).
 # Clear this set once the next round's artifact re-certifies them.
-# SEMANTICS_CHANGED_R10 ({"phone_v1_profile"}, the E.164 leading-digit
-# refinement) was re-certified green inside the r10 window
-# (CORRECTNESS_r10.json) — reset to empty for round 11.
-SEMANTICS_CHANGED_R11: set[str] = set()
+# SEMANTICS_CHANGED_R10 ({"phone_v1_profile"}) was re-certified green in
+# the r10 window.  Round 11 changed redaction semantics (the
+# boundary-guard rework in functions/text.py:919 and validators.py:648:
+# out-of-range IPv4 octets now kill the whole match, 65+-char hex runs
+# survive, card replacement is digit-boundary anchored) but left this
+# set empty — the r10 rows for the two affected queries certified the
+# OLD behavior.  Round 12 lists them so they re-sort into the window and
+# get fresh green rows (r11 verdict, "What's wrong #2").
+SEMANTICS_CHANGED_R12: set[str] = {
+    "secrets_redact_docs",
+    "pii_cards_redact_docs",
+}
 
 # Round-agnostic alias so tests/tools track the CURRENT set without a
 # rename each round.
-SEMANTICS_CHANGED = SEMANTICS_CHANGED_R11
+SEMANTICS_CHANGED = SEMANTICS_CHANGED_R12
 
 EVIDENCE_ROUND: dict[str, int] = {
     name: rnd
     for rnd, names in (
-        (2, _EVIDENCE_R2), (3, _EVIDENCE_R3), (4, _EVIDENCE_R4),
-        (5, _EVIDENCE_R5), (6, _EVIDENCE_R6), (7, _EVIDENCE_R7),
-        (8, _EVIDENCE_R8), (9, _EVIDENCE_R9), (10, _EVIDENCE_R10),
+        (7, _EVIDENCE_R7), (8, _EVIDENCE_R8), (9, _EVIDENCE_R9),
+        (10, _EVIDENCE_R10), (11, _EVIDENCE_R11),
     )
     for name in names
     if name not in SEMANTICS_CHANGED
