@@ -669,3 +669,181 @@ def _decode_scan(
                 np.rint(blk), 0, 255
             ).astype(np.uint8)
     return img
+
+
+# --- MP4 / ISO BMFF (metadata boxes; frame decode stays a labeled fake) -----
+#
+# ISO/IEC 14496-12 structure: a file is a sequence of boxes
+# ``[size:u32][type:4s][payload]`` (size==1 → u64 largesize follows;
+# size==0 → box runs to EOF), with container boxes (moov/trak/mdia/
+# minf/stbl) nesting children verbatim.  A METADATA walk — brand,
+# movie timescale/duration, track id/dims, media timescale, sample
+# count/durations — needs only struct over this framing, no codec, so
+# it can be REAL in this container the same way BMP/WAV/PNG/JPEG are.
+# Only FRAME decode (the mdat payload is AVC/HEVC bitstream in real
+# files) genuinely needs libav and remains the labeled fake in
+# operators/multimodal.py.
+#
+# Reference parity: the reference's media handling is metadata probing
+# only; this walk covers the same surface (duration, dims, track
+# structure) from the raw bytes.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+
+def _fullbox(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+_MP4_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def make_mp4(
+    width: int,
+    height: int,
+    timescale: int,
+    stts: list[tuple[int, int]],
+    seed: int,
+) -> bytes:
+    """Encode a REAL (if minimal) ISO BMFF file: ftyp + moov(mvhd,
+    trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsd, stts))))) + mdat.  The
+    movie/media duration is derived from the stts run-length table
+    (sum of count*delta) exactly as a conformant muxer would write it;
+    tkhd dims are 16.16 fixed point.  The mdat payload is 8 seed-derived
+    bytes per sample — deterministic filler standing in for the coded
+    frames a real muxer would interleave (frame CONTENT is out of scope
+    here; see operators/multimodal.py)."""
+    n_samples = sum(c for c, _ in stts)
+    duration = sum(c * d for c, d in stts)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = _fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10
+        + _MP4_MATRIX + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _fullbox(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0) + _MP4_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _fullbox(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # 'und' language, pre_defined
+    )
+    hdlr = _fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I4s", 0, b"vide") + b"\x00" * 12 + b"dar\x00",
+    )
+    stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 0))  # 0 sample entries
+    stts_payload = struct.pack(">I", len(stts)) + b"".join(
+        struct.pack(">II", c, d) for c, d in stts
+    )
+    stbl = _box(b"stbl", stsd + _fullbox(b"stts", 0, 0, stts_payload))
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    mdat = _box(
+        b"mdat",
+        bytes((seed + 3 * i) % 256 for i in range(8 * n_samples)),
+    )
+    return ftyp + moov + mdat
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in
+    [start, end), validating framing — truncation or a size that
+    escapes the parent raises ValueError (the PNG/JPEG guard style)."""
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise ValueError("mp4: truncated box header")
+        size, btype = struct.unpack_from(">I4s", data, off)
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("mp4: truncated largesize")
+            (size,) = struct.unpack_from(">Q", data, off + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            raise ValueError(f"mp4: box {btype!r} escapes parent")
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """REAL ISO BMFF metadata walk: recursively descend container
+    boxes and read mvhd/tkhd/mdhd/stts — returns ``{brand, timescale,
+    duration, track_id, width, height, media_timescale, n_samples,
+    mdat_bytes}``.  Handles version-0 and version-1 fullboxes and
+    64-bit largesize framing; raises ValueError on malformed bytes so
+    the multimodal registry's fake fallback contract holds."""
+    meta: dict = {"mdat_bytes": 0}
+
+    def leaf(btype: bytes, a: int, b: int) -> None:
+        if btype in _MP4_CONTAINERS:
+            for t, s, e in _walk_boxes(payload, a, b):
+                leaf(t, s, e)
+            return
+        if btype in (b"mvhd", b"mdhd", b"tkhd", b"stts") and b - a < 8:
+            raise ValueError(f"mp4: short {btype!r}")
+        if btype == b"ftyp":
+            if b - a < 8:
+                raise ValueError("mp4: short ftyp")
+            meta["brand"] = payload[a : a + 4].decode("ascii", "replace")
+        elif btype in (b"mvhd", b"mdhd"):
+            ver = payload[a]
+            need = (4 + 28) if ver == 1 else (4 + 16)
+            if b - a < need:
+                raise ValueError(f"mp4: short {btype!r}")
+            if ver == 1:
+                _, _, ts, dur = struct.unpack_from(">QQIQ", payload, a + 4)
+            else:
+                _, _, ts, dur = struct.unpack_from(">IIII", payload, a + 4)
+            if btype == b"mvhd":
+                meta["timescale"], meta["duration"] = ts, dur
+            else:
+                meta["media_timescale"] = ts
+        elif btype == b"tkhd":
+            ver = payload[a]
+            if ver == 1:
+                tid_off = a + 4 + 16
+                dims_off = a + 4 + 16 + 4 + 4 + 8 + 8 + 8 + 36
+            else:
+                tid_off = a + 4 + 8
+                dims_off = a + 4 + 8 + 4 + 4 + 4 + 8 + 8 + 36
+            if dims_off + 8 > b:
+                raise ValueError("mp4: short tkhd")
+            tid = struct.unpack_from(">I", payload, tid_off)[0]
+            w_fx, h_fx = struct.unpack_from(">II", payload, dims_off)
+            meta["track_id"] = tid
+            meta["width"], meta["height"] = w_fx >> 16, h_fx >> 16
+        elif btype == b"stts":
+            (n,) = struct.unpack_from(">I", payload, a + 4)
+            if a + 8 + 8 * n > b:
+                raise ValueError("mp4: truncated stts")
+            total = 0
+            for i in range(n):
+                c, _d = struct.unpack_from(">II", payload, a + 8 + 8 * i)
+                total += c
+            meta["n_samples"] = total
+        elif btype == b"mdat":
+            meta["mdat_bytes"] += b - a
+
+    if payload[4:8] != b"ftyp":
+        raise ValueError("mp4: no ftyp leader")
+    for t, s, e in _walk_boxes(payload, 0, len(payload)):
+        leaf(t, s, e)
+    for key in ("timescale", "duration", "width", "height", "n_samples"):
+        if key not in meta:
+            raise ValueError(f"mp4: missing {key} box")
+    return meta

@@ -7,12 +7,13 @@ in columnar batches, never row-at-a-time, and each stage is a narrow
 transformation (no shuffle).
 
 Decode is REAL for stdlib-decodable formats: 24-bit BMP, PCM-16 WAV,
-and PNG (8-bit RGB — chunk framing + zlib inflate + all five scanline
-filters) parse for real via operators/media_codecs.py (struct + numpy
-+ stdlib zlib — no codec library needed), and the bmp/wav/png stat
-stages below are value-hash-oracled against the generative
-pixel/sample formulas.  Codec-REQUIRING formats (jpeg/mp4) still use
-DETERMINISTIC FAKES (clearly marked): the container has no PIL/libav.
+PNG (8-bit RGB — chunk framing + zlib inflate + all five scanline
+filters) and baseline JPEG (T.81 marker walk, canonical Huffman,
+dequant + IDCT) parse for real via operators/media_codecs.py (struct
++ numpy + stdlib zlib — no codec library needed), and the
+bmp/wav/png/jpeg stat stages below are value-hash-oracled against the
+generative pixel/sample formulas.  Only mp4 FRAME decode remains a
+DETERMINISTIC FAKE (clearly marked): the container has no libav.
 The Spark-side plumbing — schema, batch iteration, UDF signatures,
 partition behavior — is identical either way; swapping a fake for a
 codec is a pure function replacement inside the pandas iterator.
@@ -170,17 +171,25 @@ def _jpeg_meta(payload: bytes) -> tuple[int, int, int]:
     return img.shape[1], img.shape[0], 1
 
 
+def _mp4_meta(payload: bytes) -> tuple[int, int, int]:
+    from dar_spark.operators.media_codecs import parse_mp4_meta
+
+    m = parse_mp4_meta(payload)  # raises ValueError on non-BMFF bytes
+    return m["width"], m["height"], m["n_samples"]
+
+
 # stdlib-decodable formats decode FOR REAL out of the box
 # (media_codecs.py — PNG via zlib + the 5 scanline filters, baseline
-# grayscale JPEG via the r11 Huffman+IDCT decoder); mp4 has NO
-# registered decoder in this container (no libav) and always takes the
-# labeled fake fallback, as do synthetic non-matching bytes carrying a
-# decodable mime (ValueError → _fallback_meta, so the legacy
-# fake-payload fixtures keep their pinned outputs)
+# grayscale JPEG via the r11 Huffman+IDCT decoder, mp4 via the r12 ISO
+# BMFF box walk for METADATA — frame content still needs libav and
+# stays the labeled fake).  Synthetic non-matching bytes carrying a
+# decodable mime take the fake fallback (ValueError → _fallback_meta,
+# so the legacy fake-payload fixtures keep their pinned outputs).
 register_decoder("image/bmp", MediaDecoder(_bmp_meta, _bmp_resize))
 register_decoder("image/png", MediaDecoder(_png_meta, _png_resize))
 register_decoder("image/jpeg", MediaDecoder(_jpeg_meta))
 register_decoder("audio/wav", MediaDecoder(_wav_meta))
+register_decoder("video/mp4", MediaDecoder(_mp4_meta))
 
 
 def _fallback_meta(payload: bytes, mime: str) -> tuple[int, int, int]:
@@ -516,3 +525,50 @@ def wav_decode_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, WAV_STATS_SCHEMA)
+
+
+MP4_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("timescale", IntegerType()),
+        StructField("duration", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("mdat_bytes", LongType()),
+    ]
+)
+
+
+def mp4_meta_stats(media: DataFrame) -> DataFrame:
+    """REAL ISO BMFF metadata walk (operators/media_codecs.
+    parse_mp4_meta — box framing with largesize handling, container
+    descent, mvhd/tkhd/mdhd/stts reads) to integer statistics the
+    DuckDB oracle recomputes from the generative muxer formula.  The
+    stats are chosen to catch walker bugs: 16.16 fixed-point dims
+    (shift direction), the stts-summed duration (run-length table
+    walk), sample count, and the mdat payload size (top-level
+    iteration past moov).  Frame CONTENT stays the labeled fake — this
+    certifies the metadata stage only.  Arrow-batched mapInPandas,
+    narrow."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dar_spark.operators.media_codecs import parse_mp4_meta
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "timescale", "duration",
+                "n_samples", "mdat_bytes",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                m = parse_mp4_meta(p if isinstance(p, bytes) else bytes(p))
+                out["media_id"].append(mid)
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["timescale"].append(m["timescale"])
+                out["duration"].append(m["duration"])
+                out["n_samples"].append(m["n_samples"])
+                out["mdat_bytes"].append(m["mdat_bytes"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, MP4_STATS_SCHEMA)

@@ -102,7 +102,13 @@ def nb_quality_model(
         f"CAST(floor(({d.ln_posint('d1 + 1')} - {d.ln_posint('d0 + 1')})"
         f" * {NB_MICRO}.0 + 0.5) AS BIGINT) AS p"
     )
-    prior_micro = int(dpr.collect()[0].p)
+    p = dpr.collect()[0].p
+    if p is None:
+        # SUM over zero rows is NULL: no training rows reached the
+        # aggregate.  Match the oracle's explicit 'empty model' error
+        # instead of dying in int(None).
+        raise ValueError("nb_quality_model: no training rows")
+    prior_micro = int(p)
     return rows, prior_micro
 
 

@@ -2617,6 +2617,7 @@ def ivf_index_balance(spark, path: str) -> DataFrame:
     (NOT ``compact_*``, which only fixes file layout, never
     assignment).  O(n_lists) aggregate — cheap enough to run per
     append batch."""
+    guard_torn_ivf_swap(path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     per = (
         spark.read.parquet(f"{path}/lists")
@@ -2657,6 +2658,7 @@ def ivf_ingest_drift_report(spark, path: str) -> DataFrame:
     reads ≫ the base partition's (≥ ~2× is the documented rule) is
     off the fitted quantizer — run :func:`recluster_ivf_q8_index`.
     One scan of the lists table, O(ingest labels) output."""
+    guard_torn_ivf_swap(path)
     cdf = spark.read.parquet(f"{path}/centroids")
     lists = spark.read.parquet(f"{path}/lists")
     vec = (
@@ -2686,6 +2688,28 @@ def ivf_ingest_drift_report(spark, path: str) -> DataFrame:
 # least this multiple of the base generation's is off the fitted
 # quantizer.
 IVF_DRIFT_RATIO = 2.0
+
+# Sentinel file written under a store for the duration of a recluster
+# component swap.  The swap renames centroids/lists/meta sequentially; a
+# crash mid-swap leaves components from two generations.  The sentinel
+# makes that state DETECTABLE: readers raise instead of silently serving
+# assignments computed against the wrong centroids.
+IVF_SWAP_SENTINEL = "_swap_inprogress"
+
+
+def guard_torn_ivf_swap(path: str) -> None:
+    """Raise when a recluster swap on ``path`` started but never
+    finished (crash between component renames).  Recovery is manual by
+    design — the ``*.old`` siblings left by the interrupted rename loop
+    identify which components still hold the previous generation."""
+    import os
+
+    if os.path.exists(os.path.join(path, IVF_SWAP_SENTINEL)):
+        raise ValueError(
+            f"{path}: torn recluster swap detected ({IVF_SWAP_SENTINEL} "
+            "present) — the store mixes generations; restore the *.old "
+            "components or rebuild before reading"
+        )
 
 
 def ivf_ingest_with_guard(
@@ -2731,6 +2755,7 @@ def ivf_ingest_with_guard(
 
     if policy not in ("flag", "recluster"):
         raise ValueError(f"unknown policy {policy!r}")
+    guard_torn_ivf_swap(path)
     spark = new.sparkSession
     is_q8 = "_q" in spark.read.parquet(f"{path}/lists").columns
     append = append_to_ivf_q8_index if is_q8 else append_to_ivf_index
@@ -2762,6 +2787,14 @@ def ivf_ingest_with_guard(
             shutil.rmtree(tmp)
         recluster = recluster_ivf_q8_index if is_q8 else recluster_ivf_index
         recluster(spark, path, tmp, fit_sample_max=fit_sample_max)
+        # sentinel brackets the non-atomic multi-component swap: a crash
+        # between renames leaves it behind, and every reader raises via
+        # guard_torn_ivf_swap instead of mixing generations.  meta is
+        # swapped LAST so a torn swap never presents new meta over old
+        # lists.
+        sentinel = os.path.join(path, IVF_SWAP_SENTINEL)
+        with open(sentinel, "w") as fh:
+            fh.write(label)
         for part in ("centroids", "lists", "meta"):
             old = f"{path}/{part}.old"
             if os.path.exists(old):
@@ -2769,6 +2802,7 @@ def ivf_ingest_with_guard(
             os.rename(f"{path}/{part}", old)
             os.rename(f"{tmp}/{part}", f"{path}/{part}")
             shutil.rmtree(old)
+        os.remove(sentinel)
         shutil.rmtree(tmp)
         reclustered = True
     action = (

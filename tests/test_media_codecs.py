@@ -307,3 +307,115 @@ def test_jpeg_malformed_soi_payloads_raise_value_error():
             parse_jpeg(payload)
     # and a good payload still decodes after the guard wrapper
     assert parse_jpeg(make_jpeg(1, 1, 3)).shape == (8, 8)
+
+
+# --- mp4 / ISO BMFF metadata (r12) -------------------------------------------
+
+
+def test_mp4_meta_roundtrip():
+    """make_mp4 → parse_mp4_meta recovers every muxed field, including
+    the stts-summed duration and the mdat byte count (which requires
+    iterating PAST moov at the top level)."""
+    from dar_spark.operators.media_codecs import make_mp4, parse_mp4_meta
+
+    for w, h, ts, stts, seed in [
+        (320, 180, 12800, [(3, 50), (40, 137)], 77),
+        (16, 16, 1000, [(1, 1)], 0),
+        (1920, 1080, 90000, [(7, 62), (59, 100), (2, 3003)], 250),
+    ]:
+        m = parse_mp4_meta(make_mp4(w, h, ts, stts, seed))
+        n = sum(c for c, _ in stts)
+        assert m["width"] == w and m["height"] == h
+        assert m["timescale"] == ts and m["media_timescale"] == ts
+        assert m["duration"] == sum(c * d for c, d in stts)
+        assert m["n_samples"] == n and m["mdat_bytes"] == 8 * n
+        assert m["brand"] == "isom" and m["track_id"] == 1
+
+
+def test_mp4_walker_is_general_not_fixture_shaped():
+    """A hand-muxed file the encoder never emits — version-1 mvhd,
+    64-bit largesize mdat, an unknown free box between children — must
+    parse through the same general walk."""
+    import struct
+
+    from dar_spark.operators.media_codecs import (
+        _MP4_MATRIX,
+        _box,
+        _fullbox,
+        make_mp4,
+        parse_mp4_meta,
+    )
+
+    base = make_mp4(64, 48, 600, [(5, 10)], 9)
+    # splice a version-1 mvhd (u64 times) in place of the v0 one
+    mvhd_v1 = _fullbox(
+        b"mvhd", 1, 0,
+        struct.pack(">QQIQ", 0, 0, 600, 50)
+        + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10
+        + _MP4_MATRIX + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    i = base.index(b"mvhd") - 4
+    (old_size,) = struct.unpack_from(">I", base, i)
+    moov_i = base.index(b"moov") - 4
+    (moov_size,) = struct.unpack_from(">I", base, moov_i)
+    free = _box(b"free", b"junk")  # unknown box: walker must skip it
+    grown = len(mvhd_v1) - old_size + len(free)
+    patched = (
+        base[:moov_i]
+        + struct.pack(">I", moov_size + grown) + b"moov"
+        + free
+        + mvhd_v1
+        + base[i + old_size :]
+    )
+    # ...with the trailing mdat reframed as a 64-bit largesize box
+    mdat_i = patched.index(b"mdat") - 4
+    (mdat_size,) = struct.unpack_from(">I", patched, mdat_i)
+    mdat_payload = patched[mdat_i + 8 : mdat_i + mdat_size]
+    patched = (
+        patched[:mdat_i]
+        + struct.pack(">I4sQ", 1, b"mdat", 16 + len(mdat_payload))
+        + mdat_payload
+    )
+    # the free box changed moov's size again
+    m = parse_mp4_meta(patched)
+    assert m["timescale"] == 600 and m["duration"] == 50
+    assert m["width"] == 64 and m["height"] == 48
+    assert m["n_samples"] == 5 and m["mdat_bytes"] == 8 * 5
+
+
+def test_mp4_guards_raise_value_error():
+    """Malformed BMFF must raise ValueError, never struct.error /
+    IndexError — the multimodal fallback contract catches ValueError
+    only."""
+    import struct
+
+    import pytest
+
+    from dar_spark.operators.media_codecs import (
+        _box,
+        make_mp4,
+        parse_mp4_meta,
+    )
+
+    good = make_mp4(32, 32, 1000, [(2, 25)], 3)
+    with pytest.raises(ValueError):
+        parse_mp4_meta(b"not a bmff file at all")
+    with pytest.raises(ValueError):
+        parse_mp4_meta(good[:10])  # truncated box header
+    with pytest.raises(ValueError):
+        parse_mp4_meta(good[:-5])  # truncated mdat
+    with pytest.raises(ValueError):
+        # a child whose size escapes its parent
+        bad = good.replace(b"tkhd", b"tkhd", 1)
+        i = bad.index(b"tkhd") - 4
+        bad = bad[:i] + struct.pack(">I", 1 << 24) + bad[i + 4 :]
+        parse_mp4_meta(bad)
+    with pytest.raises(ValueError):
+        # framing-valid but short mvhd payload
+        short = _box(b"ftyp", b"isom" + b"\x00" * 8) + _box(
+            b"moov", _box(b"mvhd", b"\x00\x00\x00")
+        )
+        parse_mp4_meta(short)
+    with pytest.raises(ValueError, match="missing"):
+        # ftyp + empty moov: parses but lacks required boxes
+        parse_mp4_meta(_box(b"ftyp", b"isom" + b"\x00" * 8) + _box(b"moov", b""))
