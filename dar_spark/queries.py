@@ -2217,6 +2217,61 @@ def _nb_holdout_eval_q() -> Q:
     return Q(spark_fn, nb_quality_holdout_oracle_sql(DUCKDB))
 
 
+def _nb_quality_funnel_q() -> Q:
+    """The TRAINED quality gate wired into the selection surface (r12,
+    VERDICT r11 #7): nb_quality_scores_docs' classifier score becomes a
+    filter_funnel stage, closing the loop from learned quality to the
+    sampling operators the way DSIR already is.  Training is the same
+    one-pass aggregation; the funnel scan then folds each document's
+    token array against the broadcast map LITERAL inside the stage
+    projection — the score gate costs ZERO extra scans, joins or
+    shuffles on top of the funnel's single pass (plan-pinned in
+    tests/test_plans.py: one FileScan, no Join, no Window).  The oracle
+    retrains in SQL and replays the cascade, so the survival counts of
+    the learned gate sit under the value hash."""
+
+    def spark_fn(spark, sf_dir):
+        from dar_spark.operators.funnel import filter_funnel
+        from dar_spark.operators.nbquality import (
+            nb_quality_model,
+            nb_score_column,
+        )
+
+        t = load_tables(spark, sf_dir)
+        rows, prior = nb_quality_model(t["documents"])
+        docs = parallelize(t["documents"]).select("doc_id", "text")
+        gated = docs.withColumn(
+            "_nb_micro", nb_score_column(rows, prior, "text")
+        )
+        return filter_funnel(gated, [
+            ("token_window",
+             "size(split(trim(text), ' ', -1)) BETWEEN 20 AND 100000"),
+            ("nb_quality_gate", "_nb_micro >= 0"),
+        ])
+
+    from dar_spark.operators.nbquality import nb_quality_oracle_sql
+
+    tok = "len(string_split(trim(text, ' '), ' '))"
+    share = lambda n_in, n_out: (  # noqa: E731
+        f"CASE WHEN {n_in} = 0 THEN 0.0 "
+        f"ELSE {DUCKDB.ratio_6dp(f'({n_in} - {n_out})', n_in)} END"
+    )
+    oracle = f"""WITH scored AS ({nb_quality_oracle_sql(DUCKDB)}),
+f AS (SELECT
+  CASE WHEN {tok} BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS p0,
+  CASE WHEN scored.pred THEN 1 ELSE 0 END AS p1
+FROM documents JOIN scored USING (doc_id)),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(p0), 0) AS BIGINT) AS s0,
+             CAST(COALESCE(SUM(p0 * p1), 0) AS BIGINT) AS s1
+      FROM f)
+SELECT 0 AS stage_id, 'token_window' AS stage, n AS n_in, s0 AS n_out,
+       {share('n', 's0')} AS drop_share FROM a
+UNION ALL
+SELECT 1, 'nb_quality_gate', s0, s1, {share('s0', 's1')} FROM a"""
+    return Q(spark_fn, oracle)
+
+
 def _ivf_drift_autoguard_q() -> Q:
     """The r11 closed loop (VERDICT r10 #3) under the driver check:
     build a q8 store on half the embeddings, ingest the OTHER half
@@ -3821,6 +3876,7 @@ def _never_checked_queries() -> list[tuple[str, Q]]:
         ("embed_ivf_q8_indexed", _embed_ivf_q8_q()),
         ("ivf_drift_autoguard", _ivf_drift_autoguard_q()),
         ("nb_quality_scores_docs", _nb_quality_scores_q()),
+        ("nb_quality_funnel_docs", _nb_quality_funnel_q()),
         ("nb_quality_holdout_eval", _nb_holdout_eval_q()),
         ("embed_ivf_topk_indexed", _embed_ivf_indexed_q()),
         ("embed_dup_pairs_auto", _embed_dup_pairs_auto_q()),

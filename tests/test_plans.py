@@ -461,3 +461,15 @@ def test_r11_compact_probe_plan_shape(spark):
     assert "va" not in head.split("Join")[0], (
         "double vector leaked onto the exploded probe side"
     )
+
+
+def test_nb_quality_funnel_fuses_score_into_one_scan(spark):
+    """r12 (VERDICT r11 #7): the trained NB gate inside filter_funnel
+    must cost ZERO extra scans/joins — the model embeds as a map
+    literal and the fold runs inside the funnel's stage projection, so
+    the executed plan is the funnel's own shape: exactly one corpus
+    FileScan, no Join, no Window.  (Training runs eagerly before the
+    returned plan and is not part of it.)"""
+    p = _executed(spark, "nb_quality_funnel_docs").split("== Initial Plan ==")[0]
+    assert p.count("FileScan") == 1, "NB gate added a corpus scan"
+    assert "Join" not in p and "Window" not in p
