@@ -40,6 +40,7 @@ from dar_spark.refdata import (
     E164_CC_LEN_FIRST_TRIPLES,
     E164_SECOND_RESTRICTED,
     E164_CC_LEN_PAIRS,
+    E164_FULL_REGEX_BY_N,
     E164_PATTERN,
     E164_REFINED_CCS,
     NANP_AREA_CODES,
@@ -159,19 +160,23 @@ def _intl_status_expr(d: Dialect, c: str, strict_reference: bool = False) -> str
     code length) — the same folded-constant-hash-set strategy as the
     NANP tables, sized so the plan does not triple the literal volume.
 
-    For the 61 top-traffic codes in refdata.E164_CC_LEN_FIRST the
-    model additionally requires the national number's FIRST digit to
-    be reachable under the country's general_desc pattern, and — for
-    the "cc:len:first" combos in refdata.E164_SECOND_RESTRICTED where
-    the metadata constrains it — the SECOND digit too (leading-digit
-    tables derived symbolically from the same public metadata by
-    scripts/gen_phone_leading.py; national-prefix compositions
-    over-approximated, so no library-valid number is ever rejected).
-    Measured on the 92k-number deterministic fuzz corpus: the
-    accepted-but-library-invalid residual drops from 81.1%
-    (length-only) to 31.3% (first digit) to 27.0% (two digits) —
-    pinned in tests/test_phone_v1.py.  Codes outside the table keep
-    the length-only model; exact per-country plan semantics stay
+    For the 61 top-traffic codes in refdata.E164_CC_NSN_REGEX the
+    model additionally requires EVERY digit of the national number to
+    sit in the position class compiled from the country's specific
+    TYPE patterns (fixed_line/mobile/... — the set
+    phonenumberutil._number_type_helper consults): r12 compiles each
+    pattern's match language into per-length class vectors (branch
+    structure kept up to a cap, over-cap merges grouped by the leading
+    two positions, national-prefix compositions admitted — every step
+    widening-only, so no library-valid number is ever rejected) and
+    ships them as one anchored bracket-class regex per cc length
+    group.  Measured on the 92k-number LCG fuzz corpus
+    (scripts/gen_phone_leading.py): the accepted-but-library-invalid
+    residual drops from 81.9% (length-only) to 29.5%/24.1% (the r10/11
+    one/two-leading-digit tables, kept as the fallback when the regex
+    table is absent) to 0.4% (full patterns) — soundness and the ≤2%
+    bound pinned in tests/test_phone_v1.py.  Codes outside the table
+    keep the length-only model; exact per-country plan semantics stay
     behind the Arrow path in functions/phone_lib.py."""
     parsed_invalid = 3 if strict_reference else 5
     branches = []
@@ -199,7 +204,24 @@ def _intl_status_expr(d: Dialect, c: str, strict_reference: bool = False) -> str
             f"|| ':' || substr({c}, {n} + 2, 1))"
         )
         ok = "1"
-        if refined_n:
+        full_n = E164_FULL_REGEX_BY_N.get(n)
+        if refined_n and full_n:
+            # r12 full-pattern refinement: ONE anchored bracket-class
+            # regex per cc length — position-wise class-vector
+            # projection of the country's TYPE patterns (superset-safe
+            # by construction, see refdata.E164_CC_NSN_REGEX), checking
+            # EVERY digit instead of the first two.  Each cc
+            # alternative fails on its literal prefix, so the match is
+            # effectively a dispatch + one alternation scan.
+            ok = (
+                f"(CASE WHEN NOT {d.in_strings(f'substr({c}, 1, {n})', refined_n)} "
+                f"THEN 1 "
+                f"WHEN {d.rlike(c, full_n)} THEN 1 "
+                f"ELSE {parsed_invalid} END)"
+            )
+        elif refined_n:
+            # pre-r12 fallback (regenerated table absent): the
+            # (first, second)-digit membership refinement
             second = "1"
             if restricted_n:
                 second = (

@@ -42,10 +42,15 @@ def dirty_phone_intl(k: str) -> str:
     phone-number-v1.py:88) on every class here: classes 0-3 are
     library-valid internationals (UK London, FR Paris, AU Sydney, JP
     Tokyo) → 1; class 4 is length-invalid → 5; class 5 is an
-    unassigned country code → 3; classes 6-7 are NANP controls.  The
-    full agreement table and the length-superset residual are asserted
-    in tests/test_phone_v1.py."""
-    return f"""CASE ({k}) % 8
+    unassigned country code → 3; classes 6-7 are NANP controls; class
+    8 (r12) is length-possible with a REACHABLE two-digit prefix but
+    PATTERN-invalid beyond it ('+44 209x xxx xxx' — no GB type
+    allocates 209; library-invalid, accepted 1 by the pre-r12
+    two-leading-digit model, 5 under the full-pattern compilation —
+    the class that puts the r12 regex tier under the driver check).
+    The full agreement table and the length-superset residual are
+    asserted in tests/test_phone_v1.py."""
+    return f"""CASE ({k}) % 9
   WHEN 0 THEN '+44 20 7' || printf('%03d %04d', ({k}) % 1000, ({k}) % 10000)
   WHEN 1 THEN '+33 1 ' || printf('%02d %02d %02d %02d', 40 + ({k}) % 60, ({k}) % 100, ({k}) % 100, ({k}) % 100)
   WHEN 2 THEN '+61 2 ' || printf('%04d %04d', 8000 + ({k}) % 2000, ({k}) % 10000)
@@ -53,7 +58,8 @@ def dirty_phone_intl(k: str) -> str:
   WHEN 4 THEN '+44 20 ' || printf('%02d', ({k}) % 100)
   WHEN 5 THEN '+999 ' || printf('%03d %04d', ({k}) % 1000, ({k}) % 10000)
   WHEN 6 THEN '+1 ' || printf('(212) 555-%04d', 1000 + ({k}) % 9000)
-  ELSE '+1 ' || printf('(%03d) 555-%04d', 100 + ({k}) % 100, ({k}) % 10000)
+  WHEN 7 THEN '+1 ' || printf('(%03d) 555-%04d', 100 + ({k}) % 100, ({k}) % 10000)
+  ELSE '+44 209' || printf('%03d %04d', ({k}) % 1000, ({k}) % 10000)
 END"""
 
 

@@ -118,6 +118,257 @@ def pattern_pairs(pattern: str) -> set:
     return _tree_pairs(sre.parse(pattern))
 
 
+
+
+# ---------------------------------------------------------------------------
+# r12 (VERDICT r11 #3): full-pattern compilation.  The (prefix<=2, length)
+# projection above cut the residual to ~27%; the rest of the divergence is
+# digits BEYOND the second.  This section projects the match language of
+# the metadata's SPECIFIC TYPE patterns (fixed_line/mobile/toll_free/...,
+# exactly the set phonenumberutil._number_type_helper consults — a number
+# is library-valid iff it matches general_desc AND some type pattern) onto
+# per-length sequences of per-position digit CLASSES ("class vectors"),
+# then emits them as one anchored character-class regex per country code.
+# Position-wise classes are a SUPERSET of each pattern's language, branch
+# structure is preserved up to a per-length cap (merging above the cap
+# unions position-wise — again only widening), and national-prefix
+# compositions are admitted like the prefix-2 table — so the compiled
+# regex can never reject a library-valid raw digit string, while checking
+# EVERY position instead of the first two.
+# ---------------------------------------------------------------------------
+
+VEC_CAP = 64   # class-vectors kept per length before prefix-grouped merge
+VEC_HARD_MAX = 96  # prefix groups kept before the flat-union fallback
+ALL_DIGITS = frozenset("0123456789")
+
+# the union _number_type_helper can return a non-UNKNOWN type from
+TYPE_ATTRS = [
+    "fixed_line", "mobile", "toll_free", "premium_rate", "shared_cost",
+    "personal_number", "voip", "pager", "uan", "voicemail",
+]
+
+
+def _union_vecs(vs: list) -> tuple:
+    return tuple(
+        frozenset().union(*(v[i] for v in vs)) for i in range(len(vs[0]))
+    )
+
+
+def _merge_by_length(vecs: set) -> set:
+    """Cap enforcement, widening-only.  Above the cap, vectors merge in
+    PREFIX GROUPS (same classes at the first two positions) before
+    falling back to one full position-wise union: numbering plans put
+    their discriminating structure in the leading area-code digits, so
+    a prefix-preserving merge keeps most of the language tight where a
+    flat union collapses it to near-[0-9]{n} (measured: residual 7.0%
+    flat -> 0.3% grouped on the fuzz corpus)."""
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for v in vecs:
+        by[len(v)].append(v)
+    out = set()
+    for ln, vs in by.items():
+        if len(vs) <= VEC_CAP:
+            out.update(vs)
+            continue
+        groups = defaultdict(list)
+        for v in vs:
+            groups[v[:2]].append(v)
+        merged = {_union_vecs(g) for g in groups.values()}
+        if len(merged) > VEC_HARD_MAX:
+            merged = {_union_vecs(list(merged))}
+        out.update(merged)
+    return out
+
+
+def _vconcat(a: set, b: set) -> set:
+    out = set()
+    for v1 in a:
+        for v2 in b:
+            if len(v1) + len(v2) <= MAX_LEN:
+                out.add(v1 + v2)
+    return _merge_by_length(out)
+
+
+def _tree_vectors(tokens) -> set:
+    """Class-vector projection of the language of a parsed regex token
+    list: a set of tuples of frozenset-of-digits, one frozenset per
+    matched position.  Same op coverage as _tree_pairs."""
+    import re._parser as sre
+
+    acc = {()}
+    for op, arg in tokens:
+        if op is sre.LITERAL:
+            t = {(frozenset({chr(arg)}),)}
+        elif op is sre.IN:
+            chars = set()
+            for iop, iarg in arg:
+                if iop is sre.LITERAL:
+                    chars.add(chr(iarg))
+                elif iop is sre.RANGE:
+                    chars.update(chr(c) for c in range(iarg[0], iarg[1] + 1))
+                elif iop is sre.CATEGORY:
+                    chars.update(ALL_DIGITS)
+                else:
+                    raise NotImplementedError(f"IN item {iop}")
+            t = {(frozenset(chars),)}
+        elif op is sre.CATEGORY or op is sre.ANY:
+            t = {(ALL_DIGITS,)}
+        elif op is sre.BRANCH:
+            t = set()
+            for alt in arg[1]:
+                t |= _tree_vectors(alt)
+            t = _merge_by_length(t)
+        elif op is sre.SUBPATTERN:
+            t = _tree_vectors(arg[3])
+        elif op in (sre.MAX_REPEAT, sre.MIN_REPEAT):
+            mn, mx, item = arg
+            unit = _tree_vectors(item)
+            mx = min(mx, MAX_LEN)
+            t = set()
+            cur = {()}
+            for k in range(mx + 1):
+                if k >= mn:
+                    t |= cur
+                nxt = _vconcat(cur, unit)
+                if nxt == cur:
+                    break
+                cur = nxt
+            t = _merge_by_length(t)
+        elif op is sre.AT:
+            t = {()}
+        else:
+            raise NotImplementedError(f"op {op}")
+        acc = _vconcat(acc, t)
+    return acc
+
+
+def pattern_vectors(pattern: str) -> set:
+    import re._parser as sre
+
+    return _tree_vectors(sre.parse(pattern))
+
+
+def cc_full_vectors(cc: str) -> set:
+    """Union of class-vector projections over the cc's regions' TYPE
+    patterns (plus national-prefix compositions), restricted to the
+    committed possible-length model.  A type pattern the DP cannot
+    parse falls back to the region's general_desc projection — wider,
+    never narrower."""
+    from phonenumbers import PhoneMetadata
+    from phonenumbers.phonenumberutil import region_codes_for_country_code
+
+    from dar_spark.refdata import E164_CC_NSN_LENGTHS
+
+    vecs: set = set()
+    for region in region_codes_for_country_code(int(cc)):
+        md = (
+            PhoneMetadata.metadata_for_region(region)
+            if region != "001"
+            else PhoneMetadata.metadata_for_nongeo_entity(int(cc))
+        )
+        if md is None or md.general_desc is None:
+            continue
+        tv: set = set()
+        for attr in TYPE_ATTRS:
+            desc = getattr(md, attr, None)
+            if desc is None or not desc.national_number_pattern:
+                continue
+            try:
+                dv = pattern_vectors(desc.national_number_pattern)
+            except NotImplementedError:
+                dv = pattern_vectors(md.general_desc.national_number_pattern)
+            # _is_number_matching_desc rejects on the desc's OWN
+            # possible_length before the pattern — an EXACT restriction
+            # (not an approximation), e.g. a {7,8}-quantified pattern
+            # whose desc only admits length 8
+            pl = set(desc.possible_length or ())
+            if pl:
+                dv = {v for v in dv if len(v) in pl}
+            tv |= dv
+        tv = _merge_by_length(tv)
+        vecs |= tv
+        npp = md.national_prefix_for_parsing or md.national_prefix
+        if npp:
+            try:
+                pv = pattern_vectors(npp)
+            except NotImplementedError:
+                pv = set()
+            pv = {v for v in pv if len(v) > 0}
+            if pv:
+                vecs |= _vconcat(pv, tv)
+    lens = set(E164_CC_NSN_LENGTHS[cc])
+    return _merge_by_length({v for v in vecs if len(v) in lens})
+
+
+def _class_regex(s: frozenset) -> str:
+    """Digit class -> regex fragment.  Bracket classes only — NO
+    backslash escapes, so the emitted pattern survives both Spark SQL
+    string-literal parsing and DuckDB RE2 unchanged."""
+    if s == ALL_DIGITS:
+        return "[0-9]"
+    ds = sorted(s)
+    runs = []
+    start = prev = ds[0]
+    for d in ds[1:]:
+        if ord(d) == ord(prev) + 1:
+            prev = d
+        else:
+            runs.append((start, prev))
+            start = prev = d
+    runs.append((start, prev))
+    parts = [
+        a if a == b else (a + b if ord(b) == ord(a) + 1 else f"{a}-{b}")
+        for a, b in runs
+    ]
+    body = "".join(parts)
+    return body if len(body) == 1 else f"[{body}]"
+
+
+def vector_regex(v: tuple) -> str:
+    """Class vector -> regex fragment with run-length compression."""
+    out = []
+    i = 0
+    while i < len(v):
+        j = i
+        while j + 1 < len(v) and v[j + 1] == v[i]:
+            j += 1
+        c = _class_regex(v[i])
+        k = j - i + 1
+        out.append(c if k == 1 else f"{c}{{{k}}}")
+        i = j + 1
+    return "".join(out)
+
+
+def vector_match(vecs: set, digits: str) -> bool:
+    """Membership of a digit string in a class-vector set (the oracle
+    for the emitted regex, used by the soundness/residual checks)."""
+    return any(
+        len(v) == len(digits) and all(d in cls for d, cls in zip(digits, v))
+        for v in vecs
+    )
+
+
+
+
+def fuzz_digits(cc: str, ln: int, s: int) -> str:
+    """Deterministic fuzz digit string for (cc, nsn_length, seed) — an
+    LCG advanced once per digit.  r12 replaces the original
+    ``(s*1103515245 + i*12345 + ln) % 10`` formula: both multipliers
+    are ≡ 5 (mod 10), so that expression collapses to
+    ``(5·(s+i) + ln) mod 10`` — exactly TWO distinct strings per
+    (cc, len) cell, which made the corpus 92k numbers wide but ~460
+    numbers deep.  The LCG's high bits give every (cc, len, s, i) an
+    independent digit; tests/test_phone_v1.py uses the same function."""
+    x = (int(cc) * 1000003 + ln * 7919 + s * 104729) & 0xFFFFFFFFFFFF
+    out = []
+    for _ in range(ln):
+        x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        out.append(str((x >> 33) % 10))
+    return "".join(out)
+
+
 def main() -> None:
     import re
 
@@ -208,10 +459,7 @@ def main() -> None:
     for cc in TOP_CCS:
         for ln in E164_CC_NSN_LENGTHS[cc]:
             for s in range(400):
-                digits = "".join(
-                    str((s * 1103515245 + i * 12345 + ln) % 10)
-                    for i in range(ln)
-                )
+                digits = fuzz_digits(cc, ln, s)
                 num = f"+{cc}{digits}"
                 try:
                     parsed = phonenumbers.parse(num, None)
@@ -280,6 +528,53 @@ def main() -> None:
     with open("/tmp/e164_prefix2.py", "w") as f:
         f.write(out + "\n")
     print("wrote /tmp/e164_prefix2.py")
+
+    # 5) r12 full-pattern compilation: class-vector projection of the
+    #    TYPE patterns per cc, soundness-asserted and residual-measured
+    #    on the same deterministic fuzz corpus, emitted as one anchored
+    #    bracket-class regex fragment per cc for refdata.py.
+    full: dict[str, set] = {}
+    for cc in TOP_CCS:
+        full[cc] = cc_full_vectors(cc)
+    n_tot = n_lib_valid = n_full_fp = 0
+    for cc in TOP_CCS:
+        for ln in E164_CC_NSN_LENGTHS[cc]:
+            for s in range(400):
+                digits = fuzz_digits(cc, ln, s)
+                num = f"+{cc}{digits}"
+                try:
+                    parsed = phonenumbers.parse(num, None)
+                    lib_valid = phonenumbers.is_valid_number(parsed)
+                except Exception:
+                    lib_valid = False
+                n_tot += 1
+                hit = vector_match(full[cc], digits)
+                if lib_valid:
+                    n_lib_valid += 1
+                    assert hit, (
+                        f"full-pattern compilation rejected a valid number {num}"
+                    )
+                elif hit:
+                    n_full_fp += 1
+    print(
+        f"full-pattern residual: {n_full_fp}/{n_tot} "
+        f"({n_full_fp / n_tot:.1%}) accepted-but-library-invalid "
+        f"(vs {n_refined_fp / n_tot:.1%} for the 2-digit table on the "
+        "same corpus)"
+    )
+
+    lines = ["E164_CC_NSN_REGEX: dict[str, str] = {"]
+    total_chars = 0
+    for cc in sorted(full, key=lambda c: (len(c), c)):
+        alts = sorted(vector_regex(v) for v in full[cc])
+        frag = "|".join(alts)
+        total_chars += len(frag)
+        lines.append(f'    "{cc}": "{frag}",')
+    lines.append("}")
+    print(f"-- regex table: {len(full)} ccs, {total_chars} pattern chars")
+    with open("/tmp/e164_full.py", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote /tmp/e164_full.py")
 
 
 if __name__ == "__main__":

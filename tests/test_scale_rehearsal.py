@@ -122,6 +122,8 @@ def test_second_decade_confirms_index_family_exponents():
     (Measured r10: 0.14–0.50 for the index/dedup families — higher
     than the overhead-deflated first decade, still clearly
     sub-linear.)"""
+    from dar_spark.queries import build_registry
+
     payload = _artifact()
     rows = {
         n: r for n, r in payload["queries"].items()
@@ -131,10 +133,20 @@ def test_second_decade_confirms_index_family_exponents():
         f"second-decade subset shrank to {sorted(rows)} — re-run "
         "scripts/scale_rehearsal.py --extend-decade"
     )
+    # same demotion rule as the first-decade gate: measured rows for
+    # configurations the bench no longer runs stay in the artifact as
+    # documentation (r12: embed_ivf_pq_topk's |Q|=N/50 form measured
+    # 1.468 — O(N²) by construction once n_probe=n_lists//2 touches
+    # half the corpus per query — and was demoted for the capped-query
+    # headliner, the knn/mmr precedent), but the envelope gates only
+    # headline rows.
+    headline = {n for n, q in build_registry().items() if q.headline}
     bad = {
         n: r["exponent_sf1_sf10"]
         for n, r in rows.items()
-        if r["exponent_sf1_sf10"] > MAX_EXPONENT and n not in JUSTIFIED_DECADE2
+        if n in headline
+        and r["exponent_sf1_sf10"] > MAX_EXPONENT
+        and n not in JUSTIFIED_DECADE2
     }
     assert not bad, f"second-decade super-linear: {bad}"
     dead = [n for n in JUSTIFIED_DECADE2 if n not in rows]
