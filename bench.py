@@ -96,12 +96,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, q in headline.items():
         best = None
+        spark.sparkContext.setJobDescription(name)
         for _ in range(n_runs):
             t0 = time.perf_counter()
             _consume(q.spark(spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # progress to stderr only — the stdout contract stays ONE JSON line
+        print(f"[bench] {name}: {best:.3f}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     normalized = {

@@ -1,0 +1,54 @@
+"""Capture .explain('formatted') for every headline query into
+plans/<tag>/<query>_<suffix>.txt (default suffix: before).
+
+Usage: python scripts/capture_plans.py [tag] [suffix] [query ...]
+
+Pure plan generation — no jobs run except the tiny store builds that
+indexed queries perform before returning their DataFrame (those writes
+are part of the query functions themselves).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dar_spark.queries import build_registry  # noqa: E402
+from dar_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r12"
+    suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
+    only = set(sys.argv[3:])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", tag,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    spark = get_session("dar_spark_plans", ansi=False)
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = build_registry()
+    for name, q in registry.items():
+        if not q.headline:
+            continue
+        if only and name not in only:
+            continue
+        try:
+            df = q.spark(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:  # noqa: BLE001
+            plan = f"ERROR building plan: {e}"
+        with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
+            f.write(plan)
+        print(name, "ok")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Time individual headline queries in isolation (min-of-N, noop sink),
+mirroring bench.py's methodology exactly but for a named subset.
+
+Usage: python scripts/time_query.py q1 [q2 ...] [--runs N]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dar_spark.queries import build_registry  # noqa: E402
+from dar_spark.session import get_session, load_tables  # noqa: E402
+
+
+def _consume(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_runs = 3
+    for a in sys.argv[1:]:
+        if a.startswith("--runs"):
+            n_runs = int(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("dar_spark_timeq", ansi=False)
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = build_registry()
+
+    # same warmup discipline as bench.py: once at sf0.001, then load timed dir
+    warm_dir = "/root/testdata/sf0.001"
+    for name in args:
+        try:
+            _consume(registry[name].spark(spark, warm_dir))
+        except Exception:
+            pass
+    load_tables(spark, sf_dir)
+
+    for name in args:
+        q = registry[name]
+        best, all_runs = None, []
+        for _ in range(n_runs):
+            spark.sparkContext.setJobDescription(name)
+            t0 = time.perf_counter()
+            _consume(q.spark(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            all_runs.append(round(dt, 3))
+            best = dt if best is None else min(best, dt)
+        print(f"{name}: min={best:.3f}s runs={all_runs}")
+
+
+if __name__ == "__main__":
+    main()
