@@ -1,0 +1,257 @@
+"""Driver-side I/O for BOUNDED store sidecars (meta rows, centroids,
+codebooks) plus size-adaptive output partitioning for store writes.
+
+Every persisted index keeps tiny sidecar tables next to its data: a meta
+row of signature/quantizer parameters, and fit artifacts that are bounded
+by construction (<= 1024 centroid rows, a one-row codebook).  Routing
+those through a full Spark write job costs a scheduler round-trip plus
+the commit protocol per table (~0.2-0.4 s each on the bench box), and
+reading them back with ``spark.read.parquet(...).collect()`` costs
+another job — pure fixed overhead that never amortizes, because the
+payload is O(parameters) at ANY corpus scale (guide §1.2: per-task /
+fixed work, not the distributed algorithm).
+
+These helpers move exactly that bounded traffic to driver-side pyarrow.
+The on-disk layout stays a directory of parquet part files, bit-readable
+by ``spark.read.parquet`` (and by these helpers in either direction), so
+stores written by earlier rounds remain readable and external Spark
+consumers keep working.  Stores live on a driver-visible filesystem by
+contract (the writers already manage their directories with
+``os``/``shutil``); on a cluster the store root is a mounted shared
+filesystem, and the sidecar payloads are small enough that driver-side
+writes remain O(ms).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+from pyspark.sql import Row
+
+_PA_TYPES = {
+    "int": "int32",
+    "bigint": "int64",
+    "long": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool",
+}
+
+
+def _pa_type(spec: str):
+    import pyarrow as pa
+
+    spec = spec.strip().lower()
+    if spec.startswith("array<") and spec.endswith(">"):
+        return pa.list_(_pa_type(spec[len("array<"):-1]))
+    return pa.type_for_alias(_PA_TYPES[spec])
+
+
+def _pa_schema(spec: str):
+    """pyarrow schema from a Spark-style DDL spec ("a int, b array<double>").
+    Only the flat comma-split forms the sidecars use — nested structs and
+    maps are not sidecar material."""
+    import pyarrow as pa
+
+    fields = []
+    depth = 0
+    start = 0
+    parts = []
+    for i, ch in enumerate(spec):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(spec[start:i])
+            start = i + 1
+    parts.append(spec[start:])
+    for p in parts:
+        name, typ = p.strip().split(None, 1)
+        fields.append(pa.field(name, _pa_type(typ)))
+    return pa.schema(fields)
+
+
+def _localize(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
+def write_sidecar(path: str, rows: list[tuple], spec: str) -> None:
+    """Overwrite ``<path>`` with one parquet part file holding ``rows``
+    (tuples in ``spec`` column order) — the driver-side equivalent of
+    ``createDataFrame(rows, spec).coalesce(1).write.mode("overwrite")``.
+    Write-then-rename within the directory so a concurrent reader never
+    sees a half-written part file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = _localize(path)
+    schema = _pa_schema(spec)
+    cols = list(zip(*rows)) if rows else [[] for _ in schema]
+    table = pa.table(
+        {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
+    )
+    os.makedirs(path, exist_ok=True)
+    for old in glob.glob(os.path.join(path, "*.parquet")):
+        os.remove(old)
+    tmp = os.path.join(path, f"._tmp-{uuid.uuid4().hex}.parquet")
+    final = os.path.join(path, "part-00000.parquet")
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+
+
+def read_sidecar_rows(path: str) -> list[Row]:
+    """All rows from every parquet part under ``<path>`` (Spark- or
+    sidecar-written), as pyspark ``Row``s (attribute + positional access,
+    like ``spark.read.parquet(path).collect()``).  Row order follows
+    part-file name order then file order — callers that need a specific
+    order sort by a column, exactly as they must with the Spark reader."""
+    import pyarrow.parquet as pq
+
+    path = _localize(path)
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet part files under {path}")
+    out: list[Row] = []
+    for f in files:
+        t = pq.read_table(f)
+        names = t.column_names
+        for rec in t.to_pylist():
+            out.append(Row(**{n: rec[n] for n in names}))
+    return out
+
+
+def read_sidecar_row(path: str) -> Row:
+    """The single row of a one-row sidecar (meta tables)."""
+    return read_sidecar_rows(path)[0]
+
+
+def read_partitioned_rows(path: str) -> list[Row]:
+    """All rows of a hive-partitioned store table (e.g. a per-generation
+    ``meta/ingest=<label>/`` tree) as pyspark ``Row``s, partition columns
+    included — the driver-side equivalent of
+    ``spark.read.parquet(path).collect()`` for BOUNDED sidecar tables.
+    pyarrow's dataset reader does the partition discovery, so files
+    written by Spark and by :func:`write_sidecar` read identically."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(_localize(path))
+    names = table.column_names
+    return [
+        Row(**{n: rec[n] for n in names}) for rec in table.to_pylist()
+    ]
+
+
+def copy_sidecar(src: str, dest: str) -> None:
+    """Rewrite a sidecar directory at ``dest`` (compaction copies) —
+    logical content preserved, schema carried by the parquet files."""
+    import pyarrow.parquet as pq
+
+    src, dest = _localize(src), _localize(dest)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet part files under {src}")
+    import pyarrow as pa
+
+    table = pa.concat_tables([pq.read_table(f) for f in files])
+    os.makedirs(dest, exist_ok=True)
+    for old in glob.glob(os.path.join(dest, "*.parquet")):
+        os.remove(old)
+    tmp = os.path.join(dest, f"._tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(dest, "part-00000.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# size-adaptive output partitioning for store DATA tables
+# ---------------------------------------------------------------------------
+
+# Below this many estimated input bytes, a store write routes through one
+# AQE-sized exchange (REBALANCE) so output files are sized by
+# spark.sql.adaptive.advisoryPartitionSizeInBytes instead of inheriting
+# one file per scan task (a tiny fixture otherwise writes 32 near-empty
+# files and pays 32 file commits).  Above it, the write stays
+# shuffle-free: scan tasks are already input-split-sized (guide §6), and
+# re-shuffling a 100 TB table's payload just to resize files would be the
+# dominant cost of the job (guide §2.3).  The default threshold is one
+# "full-width scan pass": defaultParallelism × maxPartitionBytes — i.e.
+# rebalance exactly when the whole input fits in a single task wave and
+# the shuffle is therefore trivially cheap.  Override with
+# DAR_SPARK_REBALANCE_WRITE_MAX_BYTES (0 disables rebalancing).
+_REBALANCE_ENV = "DAR_SPARK_REBALANCE_WRITE_MAX_BYTES"
+
+
+def _scan_bytes_estimate(df) -> int | None:
+    """Cheap driver-side input-size proxy: the total size of the files
+    behind the frame's scans (the cached file index — no job).  None when
+    the source is not file-backed."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(_localize(f))
+        except OSError:
+            return None
+    return total
+
+
+_BYTE_SUFFIX = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """A byte-valued Spark conf ("134217728", "128m", "1g", "512mb")."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    if raw and raw[-1] in _BYTE_SUFFIX:
+        try:
+            return int(float(raw[:-1]) * _BYTE_SUFFIX[raw[-1]])
+        except ValueError:
+            return default
+    try:
+        return int(raw)
+    except ValueError:
+        return default
+
+
+def sized_for_write(df, *cluster_cols: str):
+    """Arrange ``df`` so its parquet write produces sensibly sized files
+    at any scale.  Small regime (input below the threshold above): route
+    through one REBALANCE exchange — AQE coalesces to advisory-sized
+    partitions, upstream compute keeps full scan parallelism, and the
+    shuffled bytes are bounded by the threshold.  Large regime: return
+    ``df`` unchanged (scan-sized tasks already give well-sized files and
+    a payload shuffle would be the whole job's cost).  ``cluster_cols``
+    additionally cluster the small-regime output by the given key
+    (readers' join key), matching what a keyed repartition would do."""
+    est = _scan_bytes_estimate(df)
+    if est is None:
+        return df
+    spark = df.sparkSession
+    env = os.environ.get(_REBALANCE_ENV)
+    if env is not None:
+        limit = int(env)
+    else:
+        limit = spark.sparkContext.defaultParallelism * _bytes_conf(
+            spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+        )
+    if limit <= 0 or est > limit:
+        return df
+    return df.hint("rebalance", *cluster_cols) if cluster_cols else df.hint(
+        "rebalance"
+    )

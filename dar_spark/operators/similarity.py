@@ -22,6 +22,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dar_spark.core.storeio import (
+    copy_sidecar,
+    read_sidecar_row,
+    read_sidecar_rows,
+    write_sidecar,
+)
+
 N_PLANES = 8
 
 
@@ -563,12 +570,14 @@ def write_ivf_index(
     if n_lists is None:
         n_lists, _ = ivf_autoscale(n)
     centers = ivf_fit_centroids(e, id_col, n_lists, fit_sample_max, n=n)
-    spark = embeddings.sparkSession
-    cdf = spark.createDataFrame(
+    # centroids/meta are bounded fit artifacts already on the driver:
+    # sidecar writes (core/storeio.py), not Spark jobs — two scheduler +
+    # commit round-trips saved per build at any corpus scale
+    write_sidecar(
+        f"{path}/centroids",
         [(i, c) for i, c in enumerate(centers)],
         "_list int, _cv array<double>",
     )
-    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     (
         _ivf_assign(e, centers, id_col)
         .repartition("_list")
@@ -577,9 +586,7 @@ def write_ivf_index(
         .partitionBy("ingest")
         .parquet(f"{path}/lists")
     )
-    spark.createDataFrame([(len(centers),)], "n_lists int").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/meta")
+    write_sidecar(f"{path}/meta", [(len(centers),)], "n_lists int")
 
 
 def append_to_ivf_index(
@@ -599,7 +606,7 @@ def append_to_ivf_index(
     centers = [
         list(r._cv)
         for r in sorted(
-            spark.read.parquet(f"{path}/centroids").collect(),
+            read_sidecar_rows(f"{path}/centroids"),
             key=lambda r: r._list,
         )
     ]
@@ -629,9 +636,7 @@ def compact_ivf_index(spark, path: str, dest: str) -> None:
     if dest == path:
         raise ValueError("compact_ivf_index requires dest != path")
     for part in ("meta", "centroids"):
-        spark.read.parquet(f"{path}/{part}").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{dest}/{part}")
+        copy_sidecar(f"{path}/{part}", f"{dest}/{part}")
     (
         spark.read.parquet(f"{path}/lists")
         .drop("ingest")
@@ -658,7 +663,7 @@ def ivf_index_topk(
     arrives as the stored, probe-key-clustered list table.  ``n_probe``
     defaults to the autoscale rule for the stored list count."""
     spark = queries.sparkSession
-    m = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    m = read_sidecar_row(f"{index_path}/meta")
     if n_probe is None:
         n_probe = max(2, int(math.isqrt(m.n_lists)))
     n_probe = min(n_probe, m.n_lists)
@@ -1005,10 +1010,9 @@ def write_ann_index(
         .partitionBy("ingest")
         .parquet(f"{path}/buckets")
     )
-    meta = embeddings.sparkSession.createDataFrame(
-        [(n_planes, n_bands)], "n_planes int, n_bands int"
+    write_sidecar(
+        f"{path}/meta", [(n_planes, n_bands)], "n_planes int, n_bands int"
     )
-    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _banded_bucket_rows(
@@ -1047,7 +1051,7 @@ def append_to_ann_index(
     Returns the ingest label used.
     """
     spark = new.sparkSession
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    m = read_sidecar_row(f"{path}/meta")
     if ingest_label is None:
         from dar_spark.core.ingest import next_append_label
 
@@ -1074,9 +1078,7 @@ def compact_ann_index(spark, path: str, dest: str) -> None:
     never in-place."""
     if dest == path:
         raise ValueError("compact_ann_index requires dest != path")
-    spark.read.parquet(f"{path}/meta").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{dest}/meta")
+    copy_sidecar(f"{path}/meta", f"{dest}/meta")
     (
         spark.read.parquet(f"{path}/buckets")
         .drop("ingest")
@@ -1103,7 +1105,7 @@ def ann_against_index(
     Only the query batch is normalized and bucketed; the corpus arrives
     as the stored bucket table."""
     spark = queries.sparkSession
-    m = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    m = read_sidecar_row(f"{index_path}/meta")
     n_planes, n_bands = m.n_planes, m.n_bands
     if expected_n_planes is not None and expected_n_planes != n_planes:
         raise ValueError(
@@ -2068,7 +2070,15 @@ def write_pq_index(
     only on rebuild, for the same reason).
     """
     cb = pq_fit_codebook(embeddings, id_col, vec_col, ks)
-    cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    # the codebook is ONE row by construction: collect it (same fit job
+    # the write would have run) and sidecar-write it driver-side,
+    # skipping the write job's scheduler + commit round-trip
+    anchors = cb.collect()[0]._anchors
+    write_sidecar(
+        f"{path}/codebook",
+        [([list(a) for a in anchors],)],
+        "_anchors array<array<double>>",
+    )
     spark = embeddings.sparkSession
     stored_cb = spark.read.parquet(f"{path}/codebook")
     (
@@ -2078,9 +2088,7 @@ def write_pq_index(
         .partitionBy("ingest")
         .parquet(f"{path}/codes")
     )
-    spark.createDataFrame([(ks, m)], "ks int, m int").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/meta")
+    write_sidecar(f"{path}/meta", [(ks, m)], "ks int, m int")
 
 
 def append_to_pq_index(
@@ -2096,7 +2104,7 @@ def append_to_pq_index(
     (stable label → retries overwrite themselves); batch ids must be
     disjoint from the stored corpus.  Returns the label used."""
     spark = new.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = read_sidecar_row(f"{path}/meta")
     if ingest_label is None:
         from dar_spark.core.ingest import next_append_label
 
@@ -2131,7 +2139,7 @@ def pq_index_topk(
     from dar_spark.dialect import SPARK as _SPK
 
     spark = queries.sparkSession
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    meta = read_sidecar_row(f"{index_path}/meta")
     cb = spark.read.parquet(f"{index_path}/codebook")
     codes = spark.read.parquet(f"{index_path}/codes")
     rec = codes.crossJoin(F.broadcast(cb)).select(
@@ -2501,12 +2509,13 @@ def write_ivf_q8_index(
     if n_lists is None:
         n_lists, _ = ivf_autoscale(n)
     centers = ivf_fit_centroids(e, id_col, n_lists, fit_sample_max, n=n)
-    spark = embeddings.sparkSession
-    cdf = spark.createDataFrame(
+    # centroids/meta are bounded fit artifacts already on the driver:
+    # sidecar writes (core/storeio.py), not Spark jobs
+    write_sidecar(
+        f"{path}/centroids",
         [(i, c) for i, c in enumerate(centers)],
         "_list int, _cv array<double>",
     )
-    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     (
         _q8_list_rows(e, centers, id_col)
         .repartition("_list")
@@ -2515,9 +2524,7 @@ def write_ivf_q8_index(
         .partitionBy("ingest")
         .parquet(f"{path}/lists")
     )
-    spark.createDataFrame([(len(centers),)], "n_lists int").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/meta")
+    write_sidecar(f"{path}/meta", [(len(centers),)], "n_lists int")
 
 
 def append_to_ivf_q8_index(
@@ -2532,8 +2539,10 @@ def append_to_ivf_q8_index(
     ingest partition — O(|batch|), never a rescan."""
     spark = new.sparkSession
     centers = [
-        r._cv for r in spark.read.parquet(f"{path}/centroids")
-        .orderBy("_list").collect()
+        r._cv
+        for r in sorted(
+            read_sidecar_rows(f"{path}/centroids"), key=lambda r: r._list
+        )
     ]
     if ingest_label is None:
         from dar_spark.core.ingest import next_append_label
@@ -2569,7 +2578,7 @@ def ivf_q8_index_topk(
     ``_dqn`` supplies the denominator, zero-scale (zero-vector) rows
     drop at the ``_dqn > 0`` filter."""
     spark = queries.sparkSession
-    m = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    m = read_sidecar_row(f"{index_path}/meta")
     if n_probe is None:
         n_probe = max(2, int(math.isqrt(m.n_lists)))
     n_probe = min(n_probe, m.n_lists)
@@ -2618,7 +2627,7 @@ def ivf_index_balance(spark, path: str) -> DataFrame:
     assignment).  O(n_lists) aggregate — cheap enough to run per
     append batch."""
     guard_torn_ivf_swap(path)
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = read_sidecar_row(f"{path}/meta")
     per = (
         spark.read.parquet(f"{path}/lists")
         .groupBy("_list")
@@ -2875,7 +2884,7 @@ def recluster_ivf_index(
     reserved = {"_list", "_v", "_nrm", "ingest"}
     id_col = _sole_id_col(lists.columns, reserved, "recluster_ivf_index")
     if n_lists is None:
-        n_lists = int(spark.read.parquet(f"{path}/meta").collect()[0].n_lists)
+        n_lists = int(read_sidecar_row(f"{path}/meta").n_lists)
     write_ivf_index(
         lists.select(id_col, "_v"), dest, id_col=id_col, vec_col="_v",
         n_lists=n_lists, fit_sample_max=fit_sample_max,
@@ -2909,7 +2918,7 @@ def recluster_ivf_q8_index(
     reserved = {"_list", "_scale", "_q", "_dqn", "ingest"}
     id_col = _sole_id_col(lists.columns, reserved, "recluster_ivf_q8_index")
     if n_lists is None:
-        n_lists = int(spark.read.parquet(f"{path}/meta").collect()[0].n_lists)
+        n_lists = int(read_sidecar_row(f"{path}/meta").n_lists)
     deq = lists.select(
         id_col,
         F.expr(
@@ -2929,9 +2938,7 @@ def compact_ivf_q8_index(spark, path: str, dest: str) -> None:
     if dest == path:
         raise ValueError("compact_ivf_q8_index requires dest != path")
     for part in ("meta", "centroids"):
-        spark.read.parquet(f"{path}/{part}").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{dest}/{part}")
+        copy_sidecar(f"{path}/{part}", f"{dest}/{part}")
     (
         spark.read.parquet(f"{path}/lists")
         .drop("ingest")

@@ -12,6 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dar_spark.core.storeio import (
+    copy_sidecar,
+    read_sidecar_row,
+    write_sidecar,
+)
+
 _NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
 
 
@@ -221,11 +227,13 @@ def write_datacard_stats(
     (src, reg, rho), both partitioned by ingest label."""
     _write_datacard_tables(df, path, source_col, lang_col, text_col,
                            "base", overwrite_all=True)
-    meta = df.sparkSession.createDataFrame(
+    # meta is a one-row parameter record: driver-side sidecar write
+    # (core/storeio.py), not a Spark job
+    write_sidecar(
+        f"{path}/meta",
         [(source_col, lang_col, text_col)],
         "source_col STRING, lang_col STRING, text_col STRING",
     )
-    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _write_datacard_tables(
@@ -270,7 +278,7 @@ def append_to_datacard_stats(
     existing generations are never rescanned.  Replay-safe: a retried
     append with the same label overwrites exactly itself."""
     spark = new.sparkSession
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    m = read_sidecar_row(f"{path}/meta")
     if ingest_label is None:
         from dar_spark.core.ingest import next_append_label
 
@@ -405,9 +413,7 @@ def compact_datacard_stats(spark, path: str, dest: str) -> None:
     (tested)."""
     if dest == path:
         raise ValueError("compact_datacard_stats requires dest != path")
-    spark.read.parquet(f"{path}/meta").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{dest}/meta")
+    copy_sidecar(f"{path}/meta", f"{dest}/meta")
     vol = (
         spark.read.parquet(f"{path}/volume")
         .groupBy("src", "lng")
