@@ -30,3 +30,36 @@ def next_append_label(gen_df: DataFrame) -> str:
         .first()
     )
     return f"append-{(row['m'] or 0) + 1}"
+
+
+def next_append_label_dir(table_path: str) -> str:
+    """:func:`next_append_label` computed from the table's partition
+    DIRECTORY NAMES instead of a Spark distinct-scan job (r12, guide
+    §1.2 fixed overhead): generations of these stores are hive-style
+    ``ingest=<label>`` directories, so the distinct label set IS the
+    directory listing — same max-suffix rule, zero scheduler
+    round-trips.  Labels are unescaped per the hive partition-value
+    quoting the writers apply (``%XX``), so the rule sees the logical
+    label exactly as the column scan would."""
+    import os
+    import re
+    from urllib.parse import unquote
+
+    path = table_path
+    for pre in ("file://", "file:"):
+        if path.startswith(pre):
+            path = path[len(pre):]
+            break
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"next_append_label_dir: no store table at {table_path}"
+        )
+    best = 0
+    for d in os.listdir(path):
+        if not d.startswith("ingest="):
+            continue
+        label = unquote(d[len("ingest="):])
+        m = re.fullmatch(r"append-([0-9]+)", label)
+        if m:
+            best = max(best, int(m.group(1)))
+    return f"append-{best + 1}"

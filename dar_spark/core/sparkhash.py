@@ -1,0 +1,70 @@
+"""Driver-side twin of Spark's ``hash()`` (Murmur3_x86_32, seed 42)
+for STRING inputs.
+
+``invindex._term_buckets`` needs ``pmod(hash(token), n_buckets)`` for a
+handful of query terms so the scan can prune posting buckets with
+LITERAL partition predicates.  Running that through
+``createDataFrame(...).collect()`` costs a full scheduler round-trip
+per search — pure fixed overhead at any corpus scale (guide §1.2).
+This module reproduces the exact published algorithm
+(``org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes`` over
+the UTF-8 bytes: 4-byte little-endian words, then the REMAINING bytes
+one SIGNED byte at a time — Spark's variant deviates from canonical
+Murmur3's tail handling, which is why a library murmur3 cannot be used)
+so the driver computes the same value with zero jobs.  Equality with
+Spark's ``hash()`` is pinned in tests/test_invindex.py over the bench
+terms plus a unicode/length fuzz set.
+"""
+
+from __future__ import annotations
+
+_M32 = 0xFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _M32
+    k1 = _rotl(k1, 15)
+    return (k1 * 0x1B873593) & _M32
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = _rotl(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def _fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1
+
+
+def hash_string(s: str, seed: int = 42) -> int:
+    """Spark ``hash(<string col>)`` as a signed 32-bit int."""
+    data = s.encode("utf-8")
+    n = len(data)
+    aligned = n - n % 4
+    h1 = seed & _M32
+    for i in range(0, aligned, 4):
+        k1 = int.from_bytes(data[i : i + 4], "little")
+        h1 = _mix_h1(h1, _mix_k1(k1))
+    for i in range(aligned, n):
+        b = data[i]
+        if b >= 128:  # Platform.getByte is SIGNED
+            b -= 256
+        h1 = _mix_h1(h1, _mix_k1(b & _M32))
+    out = _fmix(h1, n)
+    return out - (1 << 32) if out >= (1 << 31) else out
+
+
+def pmod_hash_string(s: str, n: int, seed: int = 42) -> int:
+    """Spark ``pmod(hash(<string col>), n)`` for positive ``n``."""
+    return hash_string(s, seed) % n

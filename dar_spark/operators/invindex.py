@@ -48,35 +48,52 @@ N_BUCKETS = 64
 
 
 def _postings(df: DataFrame, id_col: str, text_col: str, n_buckets: int):
-    """(postings, meta) DataFrames for one document batch."""
+    """(postings, observation) for one document batch.  The generation
+    meta aggregates (n_docs, sum_dl) ride the postings write as an
+    ``Observation`` over the pre-explode rows (r12, guide §1.2): the
+    old separate ``meta`` write job re-tokenized the WHOLE batch a
+    second time just to sum doc lengths — one full extra scan per
+    build/append at any corpus scale."""
+    from pyspark.sql import Observation
+
     toks = SPARK.split_lit(f"lower({text_col})", " ")
     base = df.selectExpr(
         f"{id_col} AS doc_id",
         f"{toks} AS _t",
     ).select("doc_id", "_t", F.expr("size(_t)").alias("dl"))
+    obs = Observation()
+    base = base.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
     posts = (
         base.select("doc_id", "dl", F.explode("_t").alias("token"))
         .groupBy("token", "doc_id", "dl")
         .agg(F.count("*").alias("tf"))
         .withColumn("pt", F.pmod(F.hash("token"), F.lit(n_buckets)))
     )
-    meta = base.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("sum_dl"),
-        F.lit(n_buckets).cast("int").alias("n_buckets"),
-    )
-    return posts, meta
+    return posts, obs
 
 
 def _write_generation(
-    posts: DataFrame, meta: DataFrame, path: str, label: str, dynamic: bool
+    posts: DataFrame, meta_fn, path: str, label: str, dynamic: bool,
 ) -> None:
     """One ``ingest=<label>`` generation of postings + its meta row.
     ``dynamic=False`` (the build) statically overwrites the WHOLE tree
     so stale generations from a previous build cannot survive;
     ``dynamic=True`` (appends) rewrites exactly this generation's
     partitions, so replaying a stable label overwrites itself (the
-    append_to_pq_index replay contract)."""
+    append_to_pq_index replay contract).
+
+    The meta row is written as a driver-side sidecar into the same
+    hive layout (``meta/ingest=<label>/``) from the metrics observed
+    during the postings write — byte-compatible with the Spark-written
+    generations of earlier rounds, zero extra jobs."""
+    import shutil
+
+    from dar_spark.core.storeio import write_sidecar
+
     sc = posts.sparkSession.sparkContext
     pw = (
         posts.withColumn("ingest", F.lit(label))
@@ -84,12 +101,19 @@ def _write_generation(
         .sortWithinPartitions("token")
         .write.mode("overwrite")
     )
-    mw = meta.withColumn("ingest", F.lit(label)).write.mode("overwrite")
     if dynamic:
         pw = pw.option("partitionOverwriteMode", "dynamic")
-        mw = mw.option("partitionOverwriteMode", "dynamic")
     pw.partitionBy("ingest", "pt").parquet(os.path.join(path, "postings"))
-    mw.partitionBy("ingest").parquet(os.path.join(path, "meta"))
+    meta_dir = os.path.join(path, "meta")
+    if not dynamic:
+        # static overwrite clears every stale generation, like the old
+        # mode("overwrite") table write
+        shutil.rmtree(meta_dir, ignore_errors=True)
+    write_sidecar(
+        os.path.join(meta_dir, f"ingest={label}"),
+        [tuple(meta_fn())],
+        "n_docs bigint, sum_dl bigint, n_buckets int",
+    )
 
 
 def write_text_index(
@@ -101,8 +125,12 @@ def write_text_index(
 ) -> None:
     """Build the inverted index at ``path`` (overwrite) as the
     ``ingest=base`` generation; grow it with :func:`append_to_text_index`."""
-    posts, meta = _postings(df, id_col, text_col, n_buckets)
-    _write_generation(posts, meta, path, "base", dynamic=False)
+    posts, obs = _postings(df, id_col, text_col, n_buckets)
+    _write_generation(
+        posts,
+        lambda: (obs.get["n_docs"], obs.get["sum_dl"], n_buckets),
+        path, "base", dynamic=False,
+    )
 
 
 def append_to_text_index(
@@ -119,29 +147,38 @@ def append_to_text_index(
     SUM them; doc ids must be disjoint from the stored corpus.  A
     stable label makes retries overwrite themselves (dynamic partition
     overwrite).  Returns the label used."""
-    spark = new.sparkSession
-    stored = spark.read.parquet(os.path.join(path, "meta"))
-    n_buckets = stored.select("n_buckets").first()["n_buckets"]
-    if ingest_label is None:
-        from dar_spark.core.ingest import next_append_label
+    from dar_spark.core.storeio import read_partitioned_rows
 
-        ingest_label = next_append_label(stored)
+    meta_path = os.path.join(path, "meta")
+    # stored parameters + label derivation are driver-side reads of the
+    # bounded meta sidecar / its partition listing (r12) — the old
+    # first() + distinct-scan pair cost two scheduler round-trips per
+    # append at any corpus scale
+    n_buckets = int(read_partitioned_rows(meta_path)[0].n_buckets)
+    if ingest_label is None:
+        from dar_spark.core.ingest import next_append_label_dir
+
+        ingest_label = next_append_label_dir(meta_path)
     if ingest_label == "base":
         raise ValueError("ingest_label 'base' is reserved for the build")
-    posts, meta = _postings(new, id_col, text_col, n_buckets)
-    _write_generation(posts, meta, path, ingest_label, dynamic=True)
+    posts, obs = _postings(new, id_col, text_col, n_buckets)
+    _write_generation(
+        posts,
+        lambda: (obs.get["n_docs"], obs.get["sum_dl"], n_buckets),
+        path, ingest_label, dynamic=True,
+    )
     return ingest_label
 
 
 def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
-    """pt values of the query terms — computed with Spark's own hash()
-    so driver and executor agree; a |terms|-row local job (index-meta
-    scale, like the PQ index's codebook read)."""
-    tdf = spark.createDataFrame([(t,) for t in terms], "token string")
-    rows = tdf.select(
-        F.pmod(F.hash("token"), F.lit(n_buckets)).alias("pt")
-    ).distinct().collect()
-    return [r["pt"] for r in rows]
+    """pt values of the query terms — the driver-side twin of Spark's
+    ``pmod(hash(token), n_buckets)`` (core/sparkhash.py, equality
+    pinned in tests/test_invindex.py), so the bucket literals cost zero
+    jobs instead of a createDataFrame+collect round-trip per search
+    (r12, guide §1.2)."""
+    from dar_spark.core.sparkhash import pmod_hash_string
+
+    return sorted({pmod_hash_string(t, n_buckets) for t in terms})
 
 
 def bm25_index_topk(
@@ -157,10 +194,17 @@ def bm25_index_topk(
     corpus."""
     from dar_spark.functions.text import bm25_exprs
 
+    from dar_spark.core.storeio import read_partitioned_rows
+
     if not terms:
         raise ValueError("terms must be non-empty")
-    meta = spark.read.parquet(os.path.join(path, "meta"))
-    n_buckets = meta.select("n_buckets").first()["n_buckets"]
+    # the meta table is one bounded row per generation: read it on the
+    # driver (r12) — n_buckets and the exact BIGINT corpus totals come
+    # from the same rows the old plan's scan+agg subtree summed, so the
+    # scores are value-identical with two fewer jobs and one less
+    # exchange in the search plan
+    meta_rows = read_partitioned_rows(os.path.join(path, "meta"))
+    n_buckets = int(meta_rows[0].n_buckets)
     posts = spark.read.parquet(os.path.join(path, "postings"))
     buckets = _term_buckets(spark, terms, n_buckets)
     hits = posts.filter(
@@ -175,10 +219,14 @@ def bm25_index_topk(
             for i, t in enumerate(terms)
         ]
     )
-    # corpus totals = SUM over generation meta rows (base + appends)
-    totals = meta.agg(
-        F.sum("n_docs").cast("bigint").alias("n_docs"),
-        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    # corpus totals = SUM over generation meta rows (base + appends) —
+    # exact BIGINT sums on the driver, inlined as a one-row local
+    # relation (None-safe like Spark's SUM: all-null -> null)
+    nd = [r.n_docs for r in meta_rows if r.n_docs is not None]
+    sd = [r.sum_dl for r in meta_rows if r.sum_dl is not None]
+    totals = spark.createDataFrame(
+        [(sum(nd) if nd else None, sum(sd) if sd else None)],
+        "n_docs bigint, sum_dl bigint",
     )
     stats = totals.join(F.broadcast(dfs))
     # per-doc tf pivot; (token, doc_id) is unique so MAX picks the value
@@ -215,13 +263,20 @@ def compact_text_index(spark: SparkSession, path: str, dest: str) -> None:
     atomic swap by the caller, never in-place (the
     compact_dedup_index contract).  Query results are identical before
     and after (tested)."""
+    from dar_spark.core.storeio import read_partitioned_rows
+
     if dest == path:
         raise ValueError("compact_text_index requires dest != path")
-    meta = spark.read.parquet(os.path.join(path, "meta"))
-    total = meta.agg(
-        F.sum("n_docs").cast("bigint").alias("n_docs"),
-        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
-        F.max("n_buckets").cast("int").alias("n_buckets"),
-    )
+    # generation meta rows are bounded: collapse them to one exact
+    # BIGINT total on the driver (r12) — same SUM/MAX the old plan's
+    # scan+agg write job computed, zero extra jobs
+    meta_rows = read_partitioned_rows(os.path.join(path, "meta"))
+    nd = [r.n_docs for r in meta_rows if r.n_docs is not None]
+    sd = [r.sum_dl for r in meta_rows if r.sum_dl is not None]
+    nb = max(int(r.n_buckets) for r in meta_rows)
     posts = spark.read.parquet(os.path.join(path, "postings")).drop("ingest")
-    _write_generation(posts, total, dest, "base", dynamic=False)
+    _write_generation(
+        posts,
+        lambda: (sum(nd) if nd else None, sum(sd) if sd else None, nb),
+        dest, "base", dynamic=False,
+    )

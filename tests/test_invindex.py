@@ -214,3 +214,48 @@ def test_streaming_ingest_equals_batch_appends(spark, idx_path, tmp_path):
         ).collect()
     )
     assert streamed == scan
+
+
+def test_driver_hash_matches_spark_hash(spark):
+    """core.sparkhash must reproduce Spark's hash()/pmod exactly —
+    the bucket literals _term_buckets now computes driver-side (r12)
+    prune partitions, so a single mismatch would silently drop every
+    posting of the affected term."""
+    from pyspark.sql import functions as F
+
+    from dar_spark.core.sparkhash import hash_string, pmod_hash_string
+
+    terms = [
+        "", "a", "ab", "abc", "abcd", "abcde", "the", "cat", "dog",
+        "retrieval", "x" * 37, "ünïcödé", "日本語テスト", "emoji🙂tail",
+        "0042", "tok-en_7", " spaced ",
+    ] + [f"fuzz{i}~{i * 7919}" for i in range(64)]
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "token string")
+        .select(
+            "token",
+            F.hash("token").alias("h"),
+            F.pmod(F.hash("token"), F.lit(64)).alias("p64"),
+            F.pmod(F.hash("token"), F.lit(7)).alias("p7"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert hash_string(r.token) == r.h, repr(r.token)
+        assert pmod_hash_string(r.token, 64) == r.p64, repr(r.token)
+        assert pmod_hash_string(r.token, 7) == r.p7, repr(r.token)
+
+
+def test_next_append_label_dir_matches_df_rule(spark, idx_path):
+    """The directory-listing label derivation (r12) must agree with the
+    stored-column rule on a grown index."""
+    from dar_spark.core.ingest import next_append_label, next_append_label_dir
+
+    write_text_index(_docs(spark, CORPUS), idx_path)
+    append_to_text_index(_docs(spark, [(7, "new doc")]), idx_path)
+    append_to_text_index(
+        _docs(spark, [(8, "another")]), idx_path, ingest_label="append-5"
+    )
+    meta_path = os.path.join(idx_path, "meta")
+    df_rule = next_append_label(spark.read.parquet(meta_path))
+    assert next_append_label_dir(meta_path) == df_rule == "append-6"
