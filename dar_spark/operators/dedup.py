@@ -590,9 +590,16 @@ def _minhash_pairs_collapsed(
     identical texts share signatures and buckets, so candidates and
     verified Jaccards are the same pair-for-pair.
     """
+    # base is read by FIVE downstream consumers (reps->signature cache,
+    # members twice in the cross expansion, the grouped-members self-join
+    # twice) — uncached, each one re-runs the full upstream chain PLUS
+    # this window's shuffle (for pipeline_e2e that chain is the whole
+    # quality/repetition/redaction pipeline).  Cache the collapsed frame
+    # once (guide §5: reused AND expensive to recompute), like the
+    # shingle/band caches below it.
     base = df.select(F.col(id_col), F.col(text_col)).withColumn(
         "_rep", F.expr(f"min({id_col}) OVER (PARTITION BY md5({text_col}))")
-    )
+    ).cache()
     reps = base.filter(F.col(id_col) == F.col("_rep")).select(id_col, text_col)
     rep_pairs = minhash_lsh_pairs(
         reps, id_col, text_col, jaccard_threshold, shingle_n,

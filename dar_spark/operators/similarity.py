@@ -468,14 +468,24 @@ def _ivf_fit_assign_probe(
     n_lists: int | None,
     n_probe: int | None,
     fit_sample_max: int,
+    n: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared IVF prelude of ivf_topk and ivf_pq_topk: autoscale
     defaults, deterministic centroid fit, map-only corpus assignment,
     and each query's probed lists.  Returns (vector frame, assigned
     corpus, probes) — probes carry (query_id, _qv, _qn, _list).
-    Zero-norm queries are dropped (a 0 denominator under ANSI)."""
+    Zero-norm queries are dropped (a 0 denominator under ANSI).
+
+    ``n`` (r12): the corpus row count, when the caller already knows it
+    — the fit's sampling cutoff needs it either way, and without the
+    pass-through this prelude plus ``quantizer_fit_input`` each ran
+    their own count job (the count of the round-robin-repartitioned
+    vector frame costs a shuffle + 3 AQE jobs where a raw-scan count is
+    one; guide §1.2).  Counted here over the RAW frame when not given —
+    identical value, repartition preserves cardinality."""
     e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
-    n = e.count() if (n_lists is None or n_probe is None) else None
+    if n is None:
+        n = embeddings.count()
     if n_lists is None:
         n_lists, auto_probe = ivf_autoscale(n)
         if n_probe is None:
@@ -507,6 +517,7 @@ def ivf_topk(
     n_lists: int | None = None,
     n_probe: int | None = None,
     fit_sample_max: int = 100_000,
+    n: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a deterministic k-means coarse quantizer
     (:func:`ivf_fit_centroids` — partition-invariant, a pure function of
@@ -527,7 +538,7 @@ def ivf_topk(
     """
     e, assigned, probes = _ivf_fit_assign_probe(
         embeddings, id_col, vec_col, query_pred,
-        n_lists, n_probe, fit_sample_max,
+        n_lists, n_probe, fit_sample_max, n=n,
     )
     cand = probes.join(assigned, "_list").filter(F.expr(f"{id_col} <> query_id"))
     scored = cand.select(
@@ -549,6 +560,7 @@ def write_ivf_index(
     vec_col: str = "embedding",
     n_lists: int | None = None,
     fit_sample_max: int = 100_000,
+    n: int | None = None,
 ) -> None:
     """Persist an IVF-Flat index: ``<path>/centroids`` (_list, _cv —
     the coarse quantizer, n_lists rows), ``<path>/lists`` (id, _v,
@@ -566,7 +578,10 @@ def write_ivf_index(
     function of the data, so rebuilding the index from the same parquet
     yields byte-identical centroids at any parallelism."""
     e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
-    n = e.count()
+    if n is None:
+        # raw-frame count: one job; counting the repartitioned vector
+        # frame costs a shuffle + 3 AQE jobs for the same number (r12)
+        n = embeddings.count()
     if n_lists is None:
         n_lists, _ = ivf_autoscale(n)
     centers = ivf_fit_centroids(e, id_col, n_lists, fit_sample_max, n=n)
@@ -1562,7 +1577,15 @@ def pq_topk(
     self-matches are excluded by id."""
     from dar_spark.dialect import SPARK as _SPK
 
-    cb = pq_fit_codebook(embeddings, id_col, vec_col, ks)
+    # one-row codebook collected once and re-emitted as a literal local
+    # relation — both broadcast consumers (encode + reconstruct) would
+    # otherwise embed and re-run the fit subtree (r12; see ivf_pq_topk)
+    spark = embeddings.sparkSession
+    anchors = pq_fit_codebook(embeddings, id_col, vec_col, ks).collect()[0]._anchors
+    cb = spark.createDataFrame(
+        [([[float(x) for x in a] for a in anchors],)],
+        "_anchors array<array<double>>",
+    )
     enc = pq_encode(embeddings, id_col, vec_col, ks, m, codebook=cb)
     rec = enc.crossJoin(F.broadcast(cb)).select(
         id_col,
@@ -2377,6 +2400,7 @@ def ivf_pq_topk(
     ks: int = PQ_KS,
     m: int = PQ_M,
     fit_sample_max: int = 100_000,
+    n: int | None = None,
 ) -> DataFrame:
     """IVF-PQ — the FAISS workhorse at billion scale, composed from the
     two deterministic quantizers already in this module: the coarse
@@ -2400,11 +2424,23 @@ def ivf_pq_topk(
 
     e, assigned, probes = _ivf_fit_assign_probe(
         embeddings, id_col, vec_col, query_pred,
-        n_lists, n_probe, fit_sample_max,
+        n_lists, n_probe, fit_sample_max, n=n,
     )
 
-    # compressed candidate table: (id, _list, _rv reconstruction)
-    cb = pq_fit_codebook(embeddings, id_col, vec_col, ks)
+    # compressed candidate table: (id, _list, _rv reconstruction).
+    # The codebook is ONE bounded row by construction: collect it once
+    # and re-emit it as a literal local relation (r12) — left lazy, the
+    # TakeOrderedAndProject fit subtree is embedded (and re-evaluated)
+    # under BOTH broadcast consumers below (encode + reconstruct; the
+    # measured plan carried the corpus scan 22×), and a local relation
+    # broadcasts without running any job.  Collected doubles round-trip
+    # bit-exactly through createDataFrame.
+    spark = embeddings.sparkSession
+    anchors = pq_fit_codebook(embeddings, id_col, vec_col, ks).collect()[0]._anchors
+    cb = spark.createDataFrame(
+        [([[float(x) for x in a] for a in anchors],)],
+        "_anchors array<array<double>>",
+    )
     enc = pq_encode(embeddings, id_col, vec_col, ks, m, codebook=cb)
     rec = (
         enc.crossJoin(F.broadcast(cb))
@@ -2493,6 +2529,7 @@ def write_ivf_q8_index(
     vec_col: str = "embedding",
     n_lists: int | None = None,
     fit_sample_max: int = 100_000,
+    n: int | None = None,
 ) -> None:
     """Persist an IVF index whose lists hold INT8 codes instead of
     float vectors — the compressed-store posture for a 100 TB corpus:
@@ -2505,7 +2542,9 @@ def write_ivf_q8_index(
     partitions) + ``meta``; centroids frozen at build, appends
     quantize+assign only the batch."""
     e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
-    n = e.count()
+    if n is None:
+        # raw-frame count: one job vs the repartitioned frame's 3 (r12)
+        n = embeddings.count()
     if n_lists is None:
         n_lists, _ = ivf_autoscale(n)
     centers = ivf_fit_centroids(e, id_col, n_lists, fit_sample_max, n=n)

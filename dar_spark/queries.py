@@ -2048,14 +2048,15 @@ def _embed_ivf_topk_q() -> Q:
 
         t = load_tables(spark, sf_dir)
         pred = f"vec_id % {TOPK_QUERY_STRIDE} = 0"
-        n_lists, _ = ivf_autoscale(t["embeddings"].count())
+        n = t["embeddings"].count()
+        n_lists, _ = ivf_autoscale(n)
         bf = brute_force_topk(
             t["embeddings"], "vec_id", "embedding", pred, k=TOPK_K
         ).select("query_id", "neighbor_id")
         iv = ivf_topk(
             t["embeddings"], "vec_id", "embedding", pred,
             k=TOPK_K, n_lists=n_lists,
-            n_probe=max(IVF_N_PROBE, n_lists // 3),
+            n_probe=max(IVF_N_PROBE, n_lists // 3), n=n,
         ).select("query_id", "neighbor_id")
         return _ivf_recall_row(bf, iv)
 
@@ -2066,18 +2067,22 @@ def _ivf_recall_row(bf, iv):
     """The shared IVF recall contract: one row (n_queries, k,
     avg_recall_ok) comparing an approximate top-k against brute force —
     both IVF entries certify THIS aggregate, so a bound or tie-handling
-    change lands in one place."""
-    hits = bf.join(iv, ["query_id", "neighbor_id"], "left_semi")
-    per_q = (
-        bf.select("query_id").distinct()
-        .join(
-            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
-            "query_id", "left",
-        )
-        .select(
-            "query_id",
-            (F.coalesce("n_hit", F.lit(0)) / F.lit(TOPK_K)).alias("recall"),
-        )
+    change lands in one place.
+
+    Single-pass shape (r12): the old semi-join + distinct form consumed
+    ``bf`` TWICE, and ``bf`` is the brute-force all-pairs window — its
+    whole subtree re-executed per consumer (the measured ivf-pq plan
+    scanned the corpus 22×).  One left join marks each exact neighbor
+    hit/miss and one aggregate folds both the per-query recalls and the
+    query count; (query_id, neighbor_id) is unique on both sides, so
+    the hit counts — and the resulting booleans — are value-identical."""
+    hits = bf.join(
+        iv.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    per_q = hits.groupBy("query_id").agg(
+        (
+            F.sum(F.coalesce("_hit", F.lit(0))) / F.lit(TOPK_K)
+        ).alias("recall")
     )
     return per_q.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_queries"),
@@ -2128,14 +2133,15 @@ def _embed_ivf_pq_q(query_cap: int | None = None) -> Q:
         pred = f"vec_id % {TOPK_QUERY_STRIDE} = 0"
         if query_cap is not None:
             pred += f" AND vec_id < {TOPK_QUERY_STRIDE * query_cap}"
-        n_lists, _ = ivf_autoscale(t["embeddings"].count())
+        n = t["embeddings"].count()
+        n_lists, _ = ivf_autoscale(n)
         bf = brute_force_topk(
             t["embeddings"], "vec_id", "embedding", pred, k=TOPK_K
         ).select("query_id", "neighbor_id")
         iv = ivf_pq_topk(
             t["embeddings"], "vec_id", "embedding", pred,
             k=TOPK_K, n_lists=n_lists, n_probe=max(8, n_lists // 2),
-            overfetch=24,
+            overfetch=24, n=n,
         ).select("query_id", "neighbor_id")
         return _ivf_recall_row(bf, iv)
 
@@ -2178,8 +2184,9 @@ def _embed_ivf_q8_q() -> Q:
         )
         tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
         path = os.path.join(cache_root, f"ivfq8-{tag}")
-        n_lists, _ = ivf_autoscale(t["embeddings"].count())
-        write_ivf_q8_index(t["embeddings"], path, n_lists=n_lists)
+        n = t["embeddings"].count()
+        n_lists, _ = ivf_autoscale(n)
+        write_ivf_q8_index(t["embeddings"], path, n_lists=n_lists, n=n)
         pred = f"vec_id % {TOPK_QUERY_STRIDE} = 0"
         bf = brute_force_topk(
             t["embeddings"], "vec_id", "embedding", pred, k=TOPK_K
@@ -2400,8 +2407,9 @@ def _embed_ivf_indexed_q() -> Q:
         )
         tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
         path = os.path.join(cache_root, f"ivfidx-{tag}")
-        n_lists, _ = ivf_autoscale(t["embeddings"].count())
-        write_ivf_index(t["embeddings"], path, n_lists=n_lists)
+        n = t["embeddings"].count()
+        n_lists, _ = ivf_autoscale(n)
+        write_ivf_index(t["embeddings"], path, n_lists=n_lists, n=n)
         pred = f"vec_id % {TOPK_QUERY_STRIDE} = 0"
         bf = brute_force_topk(
             t["embeddings"], "vec_id", "embedding", pred, k=TOPK_K
@@ -3648,9 +3656,12 @@ def _pipeline_e2e_q() -> Q:
         )
         kept = quality_filter(corpus, min_tokens=10)
         kept = repetition_filter(kept)
+        # the redacted frame feeds BOTH the minhash edge stage and the
+        # final anti-join re-read; uncached, the whole quality +
+        # repetition + redaction chain runs twice (r12, guide §5)
         red = kept.select(
             "doc_id", F.expr(redact_pii_sql(SPARK, "text")).alias("text")
-        )
+        ).cache()
         edges = minhash_lsh_pairs(
             red, "doc_id", "text",
             jaccard_threshold=MINHASH_JACCARD_THRESHOLD,
