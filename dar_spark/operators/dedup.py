@@ -462,11 +462,11 @@ def append_to_dedup_index(
     spark = new.sparkSession
     m = read_sidecar_row(f"{path}/meta")
     if ingest_label is None:
-        from dar_spark.core.ingest import next_append_label
+        from dar_spark.core.ingest import next_append_label_dir
 
-        ingest_label = next_append_label(
-            spark.read.parquet(f"{path}/bands")
-        )
+        # label from the partition directory listing — no distinct-scan
+        # job (r12, core/ingest.py)
+        ingest_label = next_append_label_dir(f"{path}/bands")
     _write_index_tables(
         spark,
         shingles(new, id_col, text_col, m.shingle_n).select(
@@ -1477,11 +1477,9 @@ def append_to_containment_index(
     spark = new.sparkSession
     m = read_sidecar_row(f"{path}/meta")
     if ingest_label is None:
-        from dar_spark.core.ingest import next_append_label
+        from dar_spark.core.ingest import next_append_label_dir
 
-        ingest_label = next_append_label(
-            spark.read.parquet(f"{path}/chunks")
-        )
+        ingest_label = next_append_label_dir(f"{path}/chunks")
     if ingest_label == "base":
         raise ValueError("ingest_label 'base' is reserved for the build")
 

@@ -468,11 +468,11 @@ def append_to_dsir_model(
     spark = new.sparkSession
     m = read_sidecar_row(f"{path}/meta")
     if ingest_label is None:
-        from dar_spark.core.ingest import next_append_label
+        from dar_spark.core.ingest import next_append_label_dir
 
-        ingest_label = next_append_label(
-            spark.read.parquet(f"{path}/counts")
-        )
+        # label from the partition directory listing — no distinct-scan
+        # job (r12, core/ingest.py)
+        ingest_label = next_append_label_dir(f"{path}/counts")
     _write_counts(
         bucket_counts(new, m.text_col, m.target_pred, m.n_buckets,
                       m.ngram_max),

@@ -626,9 +626,11 @@ def append_to_ivf_index(
         )
     ]
     if ingest_label is None:
-        from dar_spark.core.ingest import next_append_label
+        from dar_spark.core.ingest import next_append_label_dir
 
-        ingest_label = next_append_label(spark.read.parquet(f"{path}/lists"))
+        # label from the partition directory listing — no distinct-scan
+        # job (r12, core/ingest.py)
+        ingest_label = next_append_label_dir(f"{path}/lists")
     e = _as_double_vec(new.select(id_col, vec_col), vec_col)
     (
         _ivf_assign(e, centers, id_col)
@@ -1068,11 +1070,9 @@ def append_to_ann_index(
     spark = new.sparkSession
     m = read_sidecar_row(f"{path}/meta")
     if ingest_label is None:
-        from dar_spark.core.ingest import next_append_label
+        from dar_spark.core.ingest import next_append_label_dir
 
-        ingest_label = next_append_label(
-            spark.read.parquet(f"{path}/buckets")
-        )
+        ingest_label = next_append_label_dir(f"{path}/buckets")
     e = _as_double_vec(new.select(id_col, vec_col), vec_col)
     (
         _banded_bucket_rows(e, id_col, m.n_planes, m.n_bands)
@@ -2129,11 +2129,9 @@ def append_to_pq_index(
     spark = new.sparkSession
     meta = read_sidecar_row(f"{path}/meta")
     if ingest_label is None:
-        from dar_spark.core.ingest import next_append_label
+        from dar_spark.core.ingest import next_append_label_dir
 
-        ingest_label = next_append_label(
-            spark.read.parquet(f"{path}/codes")
-        )
+        ingest_label = next_append_label_dir(f"{path}/codes")
     cb = spark.read.parquet(f"{path}/codebook")
     (
         pq_encode(new, id_col, vec_col, meta.ks, meta.m, codebook=cb)
@@ -2584,11 +2582,9 @@ def append_to_ivf_q8_index(
         )
     ]
     if ingest_label is None:
-        from dar_spark.core.ingest import next_append_label
+        from dar_spark.core.ingest import next_append_label_dir
 
-        ingest_label = next_append_label(
-            spark.read.parquet(f"{path}/lists")
-        )
+        ingest_label = next_append_label_dir(f"{path}/lists")
     e = _as_double_vec(new.select(id_col, vec_col), vec_col)
     (
         _q8_list_rows(e, centers, id_col)

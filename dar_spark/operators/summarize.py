@@ -280,11 +280,11 @@ def append_to_datacard_stats(
     spark = new.sparkSession
     m = read_sidecar_row(f"{path}/meta")
     if ingest_label is None:
-        from dar_spark.core.ingest import next_append_label
+        from dar_spark.core.ingest import next_append_label_dir
 
-        ingest_label = next_append_label(
-            spark.read.parquet(f"{path}/volume")
-        )
+        # label from the partition directory listing — no distinct-scan
+        # job (r12, core/ingest.py)
+        ingest_label = next_append_label_dir(f"{path}/volume")
     _write_datacard_tables(
         new, path, m.source_col, m.lang_col, m.text_col,
         ingest_label, overwrite_all=False,
