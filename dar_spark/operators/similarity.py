@@ -32,16 +32,24 @@ from dar_spark.core.storeio import (
 N_PLANES = 8
 
 
-def _as_double_vec(df: DataFrame, vec_col: str) -> DataFrame:
+def _as_double_vec(df: DataFrame, vec_col: str, parallel: bool = True) -> DataFrame:
     """Projected (_v, _nrm) vector frame.  Runs through
     ``session.parallelize`` first: every consumer immediately evaluates
     interpreted higher-order-function expressions (casts, norms, plane
     dots) per row, and on a few-file layout that work would otherwise
     execute inside the scan's single task.  No-op on any multi-split
-    production layout."""
+    production layout.
+
+    ``parallel=False`` (r12) skips that round-robin exchange for
+    subtrees that end in a bounded driver collect (the quantizer fit
+    sample): the collect gains nothing from redistribution, and on the
+    few-file layouts where parallelize fires at all the exchange is one
+    extra shuffle + scheduler round-trip per fit.  Values are identical
+    — the projection is per-row and the fit sorts what it collects."""
     from dar_spark.session import parallelize
 
-    return parallelize(df).withColumn(
+    base = parallelize(df) if parallel else df
+    return base.withColumn(
         "_v", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
     ).withColumn(
         "_nrm",
@@ -492,7 +500,13 @@ def _ivf_fit_assign_probe(
             n_probe = auto_probe
     elif n_probe is None:
         n_probe = max(2, int(math.isqrt(n_lists)))
-    centers = ivf_fit_centroids(e, id_col, n_lists, fit_sample_max, n=n)
+    # the fit subtree ends in a bounded driver collect: skip the
+    # parallelize exchange (r12, _as_double_vec parallel=False)
+    centers = ivf_fit_centroids(
+        _as_double_vec(embeddings.select(id_col, vec_col), vec_col,
+                       parallel=False),
+        id_col, n_lists, fit_sample_max, n=n,
+    )
     n_probe = min(n_probe, len(centers))
 
     assigned = _ivf_assign(e, centers, id_col)
@@ -584,7 +598,11 @@ def write_ivf_index(
         n = embeddings.count()
     if n_lists is None:
         n_lists, _ = ivf_autoscale(n)
-    centers = ivf_fit_centroids(e, id_col, n_lists, fit_sample_max, n=n)
+    centers = ivf_fit_centroids(
+        _as_double_vec(embeddings.select(id_col, vec_col), vec_col,
+                       parallel=False),
+        id_col, n_lists, fit_sample_max, n=n,
+    )
     # centroids/meta are bounded fit artifacts already on the driver:
     # sidecar writes (core/storeio.py), not Spark jobs — two scheduler +
     # commit round-trips saved per build at any corpus scale
@@ -2545,7 +2563,11 @@ def write_ivf_q8_index(
         n = embeddings.count()
     if n_lists is None:
         n_lists, _ = ivf_autoscale(n)
-    centers = ivf_fit_centroids(e, id_col, n_lists, fit_sample_max, n=n)
+    centers = ivf_fit_centroids(
+        _as_double_vec(embeddings.select(id_col, vec_col), vec_col,
+                       parallel=False),
+        id_col, n_lists, fit_sample_max, n=n,
+    )
     # centroids/meta are bounded fit artifacts already on the driver:
     # sidecar writes (core/storeio.py), not Spark jobs
     write_sidecar(
