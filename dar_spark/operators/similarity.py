@@ -477,12 +477,18 @@ def _ivf_fit_assign_probe(
     n_probe: int | None,
     fit_sample_max: int,
     n: int | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared IVF prelude of ivf_topk and ivf_pq_topk: autoscale
     defaults, deterministic centroid fit, map-only corpus assignment,
     and each query's probed lists.  Returns (vector frame, assigned
-    corpus, probes) — probes carry (query_id, _qv, _qn, _list).
-    Zero-norm queries are dropped (a 0 denominator under ANSI).
+    corpus, query frame, probes) — the query frame carries
+    (query_id, _qv, _qn); probes carry ONLY (query_id, _list) so the
+    probe table broadcasts as two ints per row and the candidate join
+    never shuffles the corpus side (r12, guide §3.1): the query
+    vectors rejoin the candidates through a second broadcast of the
+    bounded query frame instead of riding every probed-list row
+    through an exchange.  Zero-norm queries are dropped (a 0
+    denominator under ANSI).
 
     ``n`` (r12): the corpus row count, when the caller already knows it
     — the fit's sampling cutoff needs it either way, and without the
@@ -519,7 +525,8 @@ def _ivf_fit_assign_probe(
         F.col("_v").alias("_qv"),
         F.col("_nrm").alias("_qn"),
     ).filter("_qn > 0")
-    return e, assigned, _ivf_probe_lists(q, cdf, n_probe)
+    probes = _ivf_probe_lists(q, cdf, n_probe).select("query_id", "_list")
+    return e, assigned, q, probes
 
 
 def ivf_topk(
@@ -550,16 +557,28 @@ def ivf_topk(
     broadcast one-row centroid array; no shuffle, no Python), never by
     the k-means iterations.
     """
-    e, assigned, probes = _ivf_fit_assign_probe(
+    e, assigned, qs, probes = _ivf_fit_assign_probe(
         embeddings, id_col, vec_col, query_pred,
         n_lists, n_probe, fit_sample_max, n=n,
     )
-    cand = probes.join(assigned, "_list").filter(F.expr(f"{id_col} <> query_id"))
+    # both probe sides broadcast (r12, guide §3.1): the corpus stays
+    # where the scan put it — no exchange between the assignment
+    # projection and the final per-query top-k, whose rank window
+    # prunes map-side via WindowGroupLimit now that the redundant
+    # pair-dedup is gone ((query_id, neighbor_id) is unique BY
+    # CONSTRUCTION here: one _list per corpus row from the argmin,
+    # distinct probed lists per query from the row_number filter, and
+    # corpus ids are unique per the module contract)
+    cand = (
+        assigned.join(F.broadcast(probes), "_list")
+        .join(F.broadcast(qs), "query_id")
+        .filter(F.expr(f"{id_col} <> query_id"))
+    )
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         _cosine("_qv", "_v", "_qn", "_nrm").alias("cos_sim"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank_n", F.row_number().over(w2).cast("bigint"))
@@ -709,13 +728,24 @@ def ivf_index_topk(
         F.col("_v").alias("_qv"),
         F.col("_nrm").alias("_qn"),
     ).filter("_qn > 0")  # same zero-norm drop as _ivf_fit_assign_probe
-    probes = _ivf_probe_lists(q, cdf, n_probe)
-    cand = probes.join(lists, "_list").filter(F.expr(f"{id_col} <> query_id"))
+    # slim broadcast probes + broadcast query frame (r12, guide §3.1):
+    # the stored list table never shuffles — candidates join map-side
+    # and the rank window prunes via WindowGroupLimit before the only
+    # exchange.  (query_id, neighbor_id) pairs are unique BY
+    # CONSTRUCTION (one stored _list per id — replays overwrite their
+    # generation — and distinct probed lists per query), so the old
+    # pair-dedup shuffle was a no-op.
+    probes = _ivf_probe_lists(q, cdf, n_probe).select("query_id", "_list")
+    cand = (
+        lists.join(F.broadcast(probes), "_list")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.expr(f"{id_col} <> query_id"))
+    )
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         _cosine("_qv", "_v", "_qn", "_nrm").alias("cos_sim"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank_n", F.row_number().over(w).cast("bigint"))
@@ -2438,7 +2468,7 @@ def ivf_pq_topk(
     shortlist.  No stage reads N×dim doubles after the encode."""
     from dar_spark.dialect import SPARK as _SPK
 
-    e, assigned, probes = _ivf_fit_assign_probe(
+    e, assigned, qs, probes = _ivf_fit_assign_probe(
         embeddings, id_col, vec_col, query_pred,
         n_lists, n_probe, fit_sample_max, n=n,
     )
@@ -2457,29 +2487,49 @@ def ivf_pq_topk(
         [([[float(x) for x in a] for a in anchors],)],
         "_anchors array<array<double>>",
     )
-    enc = pq_encode(embeddings, id_col, vec_col, ks, m, codebook=cb)
+    # assign + encode + reconstruct FUSED into the assignment scan
+    # (r12, guide §2.1): both are map-only argmin projections against
+    # broadcast one-row constants, so joining their two separate
+    # full-corpus passes back together on id — the old shape — paid a
+    # SortMergeJoin (2 exchanges + sorts) and a second corpus scan for
+    # what one projection computes in place.  Same guard, same codes:
+    # the encode runs after the assignment's _nrm > 0 filter, which the
+    # old id-equi-join enforced anyway (inner join against assigned).
+    guarded_codes = (
+        f"IF(assert_true(size(_v) % {m} = 0, "
+        f"'pq_encode: vector dim must be divisible by m={m}') IS NULL, "
+        f"{pq_codes_sql(_SPK, '_v', '_anchors', m)}, NULL)"
+    )
     rec = (
-        enc.crossJoin(F.broadcast(cb))
-        .select(
-            id_col,
-            F.expr(
-                pq_reconstruct_sql(_SPK, "codes", "_anchors", m)
-            ).alias("_rv"),
+        assigned.crossJoin(F.broadcast(cb))
+        .withColumn("_codes", F.expr(guarded_codes))
+        .withColumn(
+            "_rv", F.expr(pq_reconstruct_sql(_SPK, "_codes", "_anchors", m))
         )
+        .select(id_col, "_list", "_rv")
         .withColumn("_rn2", F.expr(pq_norm2_sql(_SPK, "_rv")))
         .filter("_rn2 > 0")
-        .join(assigned.select(id_col, "_list"), id_col)
     )
 
-    # ADC shortlist within the probed lists only
-    cand = probes.join(rec, "_list").filter(F.expr(f"{id_col} <> query_id"))
+    # ADC shortlist within the probed lists only — probe pairs and the
+    # bounded query frame both broadcast (guide §3.1), so the candidate
+    # join runs inside the reconstruct scan stage and the shortlist
+    # window's WindowGroupLimit prunes to k·overfetch per query BEFORE
+    # the only exchange ((query_id, neighbor_id) is unique BY
+    # CONSTRUCTION: one _list per id, distinct probed lists per query —
+    # the old pair-dedup shuffled the full ADC stream for a no-op)
+    cand = (
+        rec.join(F.broadcast(probes), "_list")
+        .join(F.broadcast(qs), "query_id")
+        .filter(F.expr(f"{id_col} <> query_id"))
+    )
     adc = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         F.expr(
             f"{pq_dot_sql(_SPK, '_qv', '_rv')} / (_qn * sqrt(_rn2))"
         ).alias("score_pq"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("score_pq"), F.col("neighbor_id")
     )
@@ -2490,7 +2540,6 @@ def ivf_pq_topk(
     )
 
     # exact rerank of the shortlist on full-precision vectors
-    qs = probes.select("query_id", "_qv", "_qn").dropDuplicates(["query_id"])
     cand2 = (
         e.select(
             F.col(id_col).alias("neighbor_id"),
@@ -2646,8 +2695,15 @@ def ivf_q8_index_topk(
         F.col("_v").alias("_qv"),
         F.col("_nrm").alias("_qn"),
     ).filter("_qn > 0")
-    probes = _ivf_probe_lists(q, cdf, n_probe)
-    cand = probes.join(lists, "_list").filter(F.expr(f"{id_col} <> query_id"))
+    # same broadcast-probe shape as ivf_index_topk (r12, guide §3.1):
+    # stored codes never shuffle, pair-dedup dropped (pairs unique by
+    # construction), WindowGroupLimit prunes before the only exchange.
+    probes = _ivf_probe_lists(q, cdf, n_probe).select("query_id", "_list")
+    cand = (
+        lists.join(F.broadcast(probes), "_list")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.expr(f"{id_col} <> query_id"))
+    )
     dot = (
         "aggregate(zip_with(_qv, _q, (x, c) -> x * (CAST(c AS DOUBLE) "
         "* _scale)), 0D, (a, x) -> a + x)"
@@ -2656,7 +2712,7 @@ def ivf_q8_index_topk(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         F.expr(f"round({dot} / (_qn * _dqn), 6)").alias("cos_q8"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_q8"), F.col("neighbor_id")
     )

@@ -2076,8 +2076,13 @@ def _ivf_recall_row(bf, iv):
     hit/miss and one aggregate folds both the per-query recalls and the
     query count; (query_id, neighbor_id) is unique on both sides, so
     the hit counts — and the resulting booleans — are value-identical."""
+    # both sides are |Q|·k rows — broadcasting the approximate side
+    # turns the plan's last SortMergeJoin (2 exchanges + sorts over
+    # 200-row frames) into a BroadcastHashJoin (r12, guide §3.1)
     hits = bf.join(
-        iv.withColumn("_hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        F.broadcast(iv.withColumn("_hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
     )
     per_q = hits.groupBy("query_id").agg(
         (
