@@ -756,15 +756,36 @@ def connected_components(
     sym = (
         edges.selectExpr(f"{src} AS a", f"{dst} AS b")
         .unionByName(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
-        .distinct()
     )
+    # No .distinct() on sym (r12, guide §2.2): the two orientations are
+    # disjoint under the src<dst edge contract, and min-label
+    # propagation is invariant to duplicate edges anyway (min over a
+    # multiset) — the old distinct paid a full shuffle + aggregate in
+    # the setup action for labels that cannot differ.
+    #
     # materialize the edge list ONCE: every round joins against sym, and
     # without this the full upstream pipeline (e.g. the entire
     # MinHash-LSH candidate generation) re-executes per round — measured
     # 13.9 s -> 3.5 s for dup_clusters at sf0.1
     sym = _truncate(sym)
-    nodes = sym.select(F.col("a").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node"))
+
+    def _pointer_jump(lbl: DataFrame) -> DataFrame:
+        # pointer jumping: label <- min(label, label(label)).  Labels only
+        # ever decrease and label(x) <= x, so chasing one hop up the label
+        # chain halves remaining chain depth every round (path doubling).
+        return (
+            lbl.alias("l")
+            .join(
+                lbl.selectExpr("node AS label", "label AS _ll"),
+                "label",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("_ll", "label")).alias("label"),
+            )
+        )
+
     # convergence detector: labels only ever decrease, so ANY change
     # strictly decreases sum(label) — one narrow aggregate per round
     # (exact DECIMAL(38,0) arithmetic; no overflow at any id scale)
@@ -774,13 +795,43 @@ def connected_components(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    # Seed with the INITIAL label sum so an already-converged input (or
-    # one that settles exactly on round max_iter) is detected without an
-    # extra observation round — round 1 compares against this instead of
-    # unconditionally reporting change.
-    prev_sum = _label_sum(labels)
-    changed = True
-    for _ in range(max_iter):
+    if max_iter < 1:
+        # the pre-r12 loop ran zero rounds and reported non-convergence
+        # without touching the cluster; keep that contract exactly
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds needed ~ log2 of the longest duplicate "
+            "chain thanks to pointer jumping)"
+        )
+    # FUSED round 1 (r12, guide §1.2): the initial labels are the
+    # identity, so round 1's neighbor-min join against them is just
+    # min(b) per a, and the node set is exactly distinct(a) — one
+    # groupBy computes the node list, the identity seed, and round 1's
+    # adopt step at once (the old shape paid a nodes.distinct shuffle,
+    # a join against the identity labels, and a separate initial-sum
+    # action).  The convergence seed rides the same aggregate:
+    # sum(node) IS the initial label sum, compared against round 1's
+    # sum(label) — an already-converged input is still detected without
+    # an extra observation round, and a change on exactly round
+    # max_iter still raises.  Labels are identical to the unfused
+    # rounds at every step (every a in sym has >= 1 neighbor, so the
+    # old left-join coalesce never fired on round 1).
+    labels = _truncate(
+        _pointer_jump(
+            sym.groupBy(F.col("a").alias("node")).agg(
+                F.least(F.col("a"), F.min("b")).alias("label")
+            )
+        )
+    )
+    sums = labels.agg(
+        F.sum(F.col("node").cast("decimal(38,0)")).alias("s0"),
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s1"),
+    ).collect()[0]
+    prev_sum = sums["s1"]
+    changed = sums["s1"] != sums["s0"]
+    for _ in range(max_iter - 1):
+        if not changed:
+            break
         neighbor_min = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy(F.col("a").alias("node"))
@@ -793,21 +844,7 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
             )
         )
-        # pointer jumping: label <- min(label, label(label)).  Labels only
-        # ever decrease and label(x) <= x, so chasing one hop up the label
-        # chain halves remaining chain depth every round (path doubling).
-        new_labels = (
-            new_labels.alias("l")
-            .join(
-                new_labels.selectExpr("node AS label", "label AS _ll"),
-                "label",
-                "left",
-            )
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("_ll", "label")).alias("label"),
-            )
-        )
+        new_labels = _pointer_jump(new_labels)
         # truncate lineage every round: iterative self-joins otherwise
         # stack plans exponentially (classic iterative-algorithm trap)
         new_labels = _truncate(new_labels)
@@ -815,8 +852,6 @@ def connected_components(
         changed = new_sum != prev_sum
         prev_sum = new_sum
         labels = new_labels
-        if not changed:
-            break
     if changed:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
