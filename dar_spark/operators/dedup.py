@@ -429,7 +429,13 @@ def _write_index_tables(
         .select("ref_id", "s")
     )
     bands = _bands_from_shingles(stored, "ref_id", n_bands, rows_per_band, "ref_id")
-    writer(bands.repartition("bi", "bk")).parquet(f"{path}/bands")
+    # sized_for_write with cluster keys (r12, guide §2.1/§6): parquet
+    # reads never preserve write-side hash partitioning, so the old
+    # unconditional repartition bought only file-level key clustering —
+    # at the price of a full band-table shuffle per build/append at any
+    # scale.  The small regime keeps the clustered, AQE-sized layout;
+    # the large regime keeps scan-sized files with no payload shuffle.
+    writer(sized_for_write(bands, "bi", "bk")).parquet(f"{path}/bands")
 
 
 def append_to_dedup_index(
@@ -1479,7 +1485,9 @@ def write_containment_index(
         .select(F.col(id_col).alias("ref_id"), F.md5("chunk_text").alias("_h"))
         .distinct()
     )
-    writer(ch.repartition("_h")).parquet(f"{path}/chunks")
+    # sized_for_write(_h): keyed clustering without the unconditional
+    # full shuffle (see the band-table note in _write_band_generation)
+    writer(sized_for_write(ch, "_h")).parquet(f"{path}/chunks")
     writer(
         sized_for_write(
             shingles(ref, id_col, text_col, shingle_n).select(
@@ -1531,7 +1539,9 @@ def append_to_containment_index(
         .select(F.col(id_col).alias("ref_id"), F.md5("chunk_text").alias("_h"))
         .distinct()
     )
-    writer(ch.repartition("_h")).parquet(f"{path}/chunks")
+    # sized_for_write(_h): keyed clustering without the unconditional
+    # full shuffle (see the band-table note in _write_band_generation)
+    writer(sized_for_write(ch, "_h")).parquet(f"{path}/chunks")
     writer(
         sized_for_write(
             shingles(new, id_col, text_col, m.shingle_n).select(

@@ -26,6 +26,7 @@ from dar_spark.core.storeio import (
     copy_sidecar,
     read_sidecar_row,
     read_sidecar_rows,
+    sized_for_write,
     write_sidecar,
 )
 
@@ -630,9 +631,12 @@ def write_ivf_index(
         [(i, c) for i, c in enumerate(centers)],
         "_list int, _cv array<double>",
     )
+    # sized_for_write(_list): keyed file clustering without the
+    # unconditional corpus-wide shuffle (r12 — parquet reads never
+    # preserve write-side hash partitioning, so the old repartition
+    # bought only file layout; compact_* keeps the explicit re-cluster)
     (
-        _ivf_assign(e, centers, id_col)
-        .repartition("_list")
+        sized_for_write(_ivf_assign(e, centers, id_col), "_list")
         .withColumn("ingest", F.lit("base"))
         .write.mode("overwrite")
         .partitionBy("ingest")
@@ -670,8 +674,7 @@ def append_to_ivf_index(
         ingest_label = next_append_label_dir(f"{path}/lists")
     e = _as_double_vec(new.select(id_col, vec_col), vec_col)
     (
-        _ivf_assign(e, centers, id_col)
-        .repartition("_list")
+        sized_for_write(_ivf_assign(e, centers, id_col), "_list")
         .withColumn("ingest", F.lit(ingest_label))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1068,8 +1071,7 @@ def write_ann_index(
     ``srp_lsh_topk``); it travels in meta alongside n_planes."""
     e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
     (
-        _banded_bucket_rows(e, id_col, n_planes, n_bands)
-        .repartition("_b")
+        sized_for_write(_banded_bucket_rows(e, id_col, n_planes, n_bands), "_b")
         .withColumn("ingest", F.lit("base"))
         .write.mode("overwrite")
         .partitionBy("ingest")
@@ -1123,8 +1125,9 @@ def append_to_ann_index(
         ingest_label = next_append_label_dir(f"{path}/buckets")
     e = _as_double_vec(new.select(id_col, vec_col), vec_col)
     (
-        _banded_bucket_rows(e, id_col, m.n_planes, m.n_bands)
-        .repartition("_b")
+        sized_for_write(
+            _banded_bucket_rows(e, id_col, m.n_planes, m.n_bands), "_b"
+        )
         .withColumn("ingest", F.lit(ingest_label))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -2625,8 +2628,7 @@ def write_ivf_q8_index(
         "_list int, _cv array<double>",
     )
     (
-        _q8_list_rows(e, centers, id_col)
-        .repartition("_list")
+        sized_for_write(_q8_list_rows(e, centers, id_col), "_list")
         .withColumn("ingest", F.lit("base"))
         .write.mode("overwrite")
         .partitionBy("ingest")
@@ -2658,8 +2660,7 @@ def append_to_ivf_q8_index(
         ingest_label = next_append_label_dir(f"{path}/lists")
     e = _as_double_vec(new.select(id_col, vec_col), vec_col)
     (
-        _q8_list_rows(e, centers, id_col)
-        .repartition("_list")
+        sized_for_write(_q8_list_rows(e, centers, id_col), "_list")
         .withColumn("ingest", F.lit(ingest_label))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
