@@ -17,6 +17,7 @@ hash-partitioned semi join on the uniform md5-able gram key.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _ngram_rows(
@@ -54,11 +55,25 @@ def contamination_hits(
     text_col: str = "text",
     bench_text_col: str = "text",
     n: int = 8,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Distinct ids of training docs sharing >= 1 word n-gram with the
-    benchmark set."""
+    benchmark set.
+
+    ``broadcast_bench`` (r12): the module's documented scale shape — a
+    map-side broadcast semi-probe of the corpus n-grams — was left to
+    the optimizer, whose size estimate through the benchmark's explode
+    is unusable, so it planned a SortMergeJoin and SHUFFLED the
+    corpus-side n-gram expansion (the one table this operator exists
+    to never move; AQE's late BHJ conversion still pays that shuffle's
+    map-side write).  Benchmark/eval sets are bounded by nature, so
+    the broadcast is now explicit by default; pass False for a
+    benchmark too large to broadcast and the plan degrades to the
+    hash-partitioned semi join as before."""
     dg = _ngram_rows(docs, id_col, text_col, n)
     bg = _ngram_rows(bench, None, bench_text_col, n).distinct()
+    if broadcast_bench:
+        bg = F.broadcast(bg)
     return dg.join(bg, "g", "left_semi").select(id_col).distinct()
 
 

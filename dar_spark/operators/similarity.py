@@ -1808,8 +1808,13 @@ def decontaminate_by_embedding(
         F.col("_nrm").alias("_bn"),
         F.explode(F.array(*probes)).alias("_b"),
     )
+    # the bucket probe broadcasts the (small) benchmark side explicitly
+    # (r12, guide §3.1): the optimizer cannot size bx through the
+    # multiprobe explode, planned a SortMergeJoin, and shuffled the
+    # full corpus bucket expansion — the one table this operator
+    # promises never to move
     hits = (
-        cx.join(bx, "_b")
+        cx.join(F.broadcast(bx), "_b")
         .filter(
             F.expr(
                 "aggregate(zip_with(_v, _bv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
