@@ -66,11 +66,19 @@ def ngram_novelty(
         .select(id_col, F.md5("_g").alias("_k"))
         .distinct()
     )
-    freq = grams.groupBy("_k").agg(
-        F.count("*").alias("_n_docs")
+    # per-shingle doc counts ride a count window over the SAME frame
+    # (r12, guide §2.4): the old self-join shape re-derived the distinct
+    # gram table as a second aggregate and sort-merge-joined it back on
+    # _k — two extra exchanges and a duplicated subtree for a value the
+    # window computes in the one _k-partitioned pass (count(*) over
+    # (partition by _k) ≡ the joined-back per-key count, row for row).
+    from pyspark.sql.window import Window
+
+    counted = grams.withColumn(
+        "_n_docs", F.count(F.lit(1)).over(Window.partitionBy("_k"))
     )
     return (
-        grams.join(freq, "_k")
+        counted
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_shingles"),
