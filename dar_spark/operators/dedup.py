@@ -1357,14 +1357,20 @@ def containment_dup_pairs(
         .distinct(),
         storage_level,
     )
-    # _df = 1 chunks cannot form a pair; > max_chunk_df is boilerplate
-    rare = (
-        ch.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    # _df = 1 chunks cannot form a pair; > max_chunk_df is boilerplate.
+    # The per-hash document frequency rides a count window over the
+    # cached chunk frame (r12, guide §2.4) — the old shape aggregated a
+    # separate frequency table and sort-merge-joined it back on _h, two
+    # extra exchanges per evaluation for a value the window computes in
+    # the one _h-partitioned pass; the window's output partitioning
+    # feeds the candidate self-join on the same key.
+    keyed = (
+        ch.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+        )
         .filter(f"_df BETWEEN 2 AND {max_chunk_df}")
-        .select("_h")
+        .select(id_col, "_h")
     )
-    keyed = ch.join(rare, "_h")
     a = keyed.select(F.col(id_col).alias("doc_id_a"), "_h")
     b = keyed.select(F.col(id_col).alias("doc_id_b"), "_h")
     cands = (
