@@ -1464,8 +1464,9 @@ def write_containment_index(
     max_chunk_df: int = 32,
 ) -> None:
     """Persist the reference side of INCREMENTAL partial-copy detection:
-    ``<path>/chunks`` (ref_id, _h) — distinct CDC chunk hashes,
-    repartitioned onto the candidate-join key — ``<path>/shingles``
+    ``<path>/chunks`` (ref_id, _h) — distinct CDC chunk hashes, sized
+    (and in the small regime clustered on the candidate-join key) by
+    ``sized_for_write`` — ``<path>/shingles``
     (ref_id, s) for exact containment verification, and ``<path>/meta``
     (mask, shingle_n, max_chunk_df).  The 100 TB posture mirrors
     ``write_dedup_index``: the reference corpus is chunked and shingled
