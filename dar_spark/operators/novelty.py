@@ -13,12 +13,11 @@ Scale shape:
 1. one narrow explode to per-doc DISTINCT shingles (dedup within doc
    first — a repeated phrase inside one doc is not evidence of
    cross-doc sharing);
-2. shingle-frequency aggregate on ``md5(shingle)`` — hash-uniform keys,
-   the same skew-free shuffle as MinHash banding;
-3. join the per-shingle doc counts back to the per-doc shingle rows —
-   a big join, but equi on the uniform hash key (AQE handles the rest),
-   and the frequency side carries TWO columns;
-4. one groupBy(doc) to aggregate the novelty fraction.
+2. per-shingle doc counts via ``count(*) over (partition by
+   md5(shingle))`` on the SAME frame — hash-uniform keys, the same
+   skew-free shuffle as MinHash banding, and no second aggregate or
+   join-back (r12);
+3. one groupBy(doc) to aggregate the novelty fraction.
 
 No reference analogue — LLM-pipeline extension family.
 """

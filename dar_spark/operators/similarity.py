@@ -657,7 +657,12 @@ def append_to_ivf_index(
     map-only pass over the batch, no refit, no rescan of the stored
     corpus — and write it as a new ``ingest=<label>`` partition.  Same
     replay contract as ``append_to_ann_index``: an explicit stable
-    label makes retries overwrite themselves.  Returns the label."""
+    label makes retries overwrite themselves.  Returns the label.
+
+    Caller must ensure batch ids are disjoint from the stored corpus:
+    the index-backed query paths rely on stored-id uniqueness (their
+    top-k does not re-dedup (query_id, neighbor_id) pairs), so an id
+    appended twice would surface duplicate neighbor rows."""
     spark = new.sparkSession
     centers = [
         list(r._cv)
@@ -1761,6 +1766,7 @@ def decontaminate_by_embedding(
     cos_threshold: float = 0.9,
     n_planes: int = N_PLANES,
     n_bands: int = 1,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: flag every corpus row
     whose cosine to ANY benchmark vector reaches ``cos_threshold`` —
@@ -1776,6 +1782,12 @@ def decontaminate_by_embedding(
     raise ``n_bands`` to tighten it.  The cosine verify compares the
     unrounded shared-shape fold to the threshold — no float column in
     the output, so the oracle matches exactly.
+
+    ``broadcast_bench`` (r13): mirrors ``contamination_hits`` — the
+    optimizer cannot size the benchmark side through the multiprobe
+    explode, so the broadcast is explicit by default (benchmark/eval
+    sets are bounded by nature); pass False for a benchmark too large
+    to broadcast and the probe degrades to the hash-partitioned join.
     """
     c = _as_double_vec(corpus.select(id_col, vec_col), vec_col).filter(
         # zero-norm vectors still hash to a bucket (all-'0' bits) and
@@ -1813,8 +1825,10 @@ def decontaminate_by_embedding(
     # multiprobe explode, planned a SortMergeJoin, and shuffled the
     # full corpus bucket expansion — the one table this operator
     # promises never to move
+    if broadcast_bench:
+        bx = F.broadcast(bx)
     hits = (
-        cx.join(F.broadcast(bx), "_b")
+        cx.join(bx, "_b")
         .filter(
             F.expr(
                 "aggregate(zip_with(_v, _bv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
@@ -2651,7 +2665,11 @@ def append_to_ivf_q8_index(
 ) -> str:
     """Grow a q8 index with a batch: one map-only quantize+assign pass
     against the FROZEN stored centroids, written as a replay-safe
-    ingest partition — O(|batch|), never a rescan."""
+    ingest partition — O(|batch|), never a rescan.
+
+    Caller must ensure batch ids are disjoint from the stored corpus
+    (same contract as ``append_to_ivf_index``: the query paths' top-k
+    does not re-dedup (query_id, neighbor_id) pairs)."""
     spark = new.sparkSession
     centers = [
         r._cv

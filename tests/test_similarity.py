@@ -646,6 +646,33 @@ def test_decontaminate_by_embedding_catches_planted_exact_dups(spark):
     assert len(clean) > 0.9 * (len(out) - len(planted))
 
 
+def test_decontaminate_by_embedding_broadcast_escape_hatch(spark):
+    """broadcast_bench=False (r13, mirroring contamination_hits) drops
+    the explicit broadcast hint for oversized benchmarks; values are
+    identical either way, and the default path keeps the broadcast."""
+    from dar_spark.operators.similarity import decontaminate_by_embedding
+
+    e = load_tables(spark, SF_DIR)["embeddings"].selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    )
+    corpus = e.filter("vec_id % 5 <> 0")
+    bench = e.filter("vec_id % 7 = 0").selectExpr(
+        "vec_id + 1000000 AS vec_id", "v"
+    )
+    df_b = decontaminate_by_embedding(corpus, bench, "vec_id", "v")
+    df_nb = decontaminate_by_embedding(
+        corpus, bench, "vec_id", "v", broadcast_bench=False
+    )
+    assert "ResolvedHint" in df_b._jdf.queryExecution().analyzed().toString()
+    assert (
+        "ResolvedHint"
+        not in df_nb._jdf.queryExecution().analyzed().toString()
+    )
+    vals_b = {(r.vec_id, r.contaminated) for r in df_b.collect()}
+    vals_nb = {(r.vec_id, r.contaminated) for r in df_nb.collect()}
+    assert vals_b == vals_nb
+
+
 def test_srp_autoscale_rule():
     """ceil(log2(N/C)) clamped to [8, 24]: per-probe candidates stay at
     or below the target and tiny corpora keep the tested default."""
