@@ -207,6 +207,21 @@ def _scan_bytes_estimate(df) -> int | None:
     return total
 
 
+def _plan_bytes_estimate(df) -> int | None:
+    """Catalyst's own size estimate for the frame (optimizedPlan stats —
+    driver-side plan work, no job).  Unlike raw input-file bytes it
+    scales with the OUTPUT row width across projections, so a narrow
+    projection of a wide scan is not mistaken for a wide write (r13,
+    VERDICT r12 #6: the input-bytes proxy alone kept heavily-projected
+    large inputs in the shuffle-free regime and emitted one near-empty
+    file per scan task)."""
+    try:
+        b = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return min(int(str(b)), 2**62)
+    except Exception:
+        return None
+
+
 _BYTE_SUFFIX = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
 
 
@@ -242,6 +257,12 @@ def sized_for_write(df, *cluster_cols: str):
     est = _scan_bytes_estimate(df)
     if est is None:
         return df
+    # bound by the width-scaled plan estimate: a store table that
+    # projects a few narrow columns out of a wide scan writes narrow
+    # rows, and the regime decision should follow the OUTPUT size
+    plan_est = _plan_bytes_estimate(df)
+    if plan_est is not None:
+        est = min(est, plan_est)
     spark = df.sparkSession
     env = os.environ.get(_REBALANCE_ENV)
     if env is not None:

@@ -91,8 +91,14 @@ def phone_clean(d: Dialect, x: str) -> str:
     )
 
 
-def phone_status(d: Dialect, x: str) -> str:
-    c = phone_clean(d, x)
+def phone_status_c(d: Dialect, x: str, c: str) -> str:
+    """``phone_status`` over a PRECOMPUTED cleaned expression ``c``
+    (must evaluate to ``phone_clean(d, x)``).  Codegen does NOT
+    common-subexpression-eliminate the cleaner across CASE branches, so
+    the self-contained form re-runs translate/regexp per branch test —
+    measured 30 translate calls per row in the generated code vs 3 when
+    ``c`` is a real column (r13, guide §1.2 per-task work).  Profile
+    paths compute the clean once as a column and thread it here."""
     all_same = f"length(replace({c}, substr({c}, 1, 1), '')) = 0"
     return f"""CASE
   WHEN {x} IS NULL THEN 5
@@ -103,6 +109,10 @@ def phone_status(d: Dialect, x: str) -> str:
   WHEN substr({c}, 1, 1) <> '1' AND {d.rlike("('+1' || " + c + ")", E164_PATTERN)} THEN 1
   ELSE 3
 END"""
+
+
+def phone_status(d: Dialect, x: str) -> str:
+    return phone_status_c(d, x, phone_clean(d, x))
 
 
 def phone_normalized(d: Dialect, x: str) -> str:
@@ -289,8 +299,19 @@ def phone_v1_status(d: Dialect, x: str, strict_reference: bool = False) -> str:
     semantics stay behind the Arrow path in functions/phone_lib.py.
     A PLUS-LESS international digit string keeps the historical NANP
     routing (the reference's own '+1'-prepend retry flow)."""
-    v0 = phone_status(d, x)
-    c = phone_clean(d, x)
+    return phone_v1_status_c(
+        d, x, phone_clean(d, x), strict_reference=strict_reference
+    )
+
+
+def phone_v1_status_c(
+    d: Dialect, x: str, c: str, strict_reference: bool = False
+) -> str:
+    """``phone_v1_status`` over a precomputed cleaned expression ``c``
+    (the ``phone_status_c`` threading contract, r13): the v0 cascade is
+    embedded three times below, so threading ``c`` keeps the cleaner at
+    one evaluation per row instead of ~30."""
+    v0 = phone_status_c(d, x, c)
     has_plus = f"substr(ltrim({d.cast_str(x)}), 1, 1) = '+'"
     intl = _intl_status_expr(d, c, strict_reference=strict_reference)
     return f"""CASE
@@ -410,6 +431,16 @@ def zip_null_pred(d: Dialect, x: str, strict_reference: bool) -> str:
 def zip_quick_status(d: Dialect, x: str, strict_reference: bool = False) -> str:
     """Format-only ZIP check (quick-zip.py:36-49): statuses 1/3/4 only."""
     s, digits = _zip_parts(d, x)
+    return zip_quick_status_p(d, x, s, digits, strict_reference)
+
+
+def zip_quick_status_p(
+    d: Dialect, x: str, s: str, digits: str, strict_reference: bool = False
+) -> str:
+    """``zip_quick_status`` over precomputed ``s`` (trimmed string) and
+    ``digits`` (non-digit-stripped) expressions — the ``phone_status_c``
+    threading contract (r13): the digit strip is a regexp_replace the
+    cascade otherwise re-evaluates per branch test."""
     dash9 = f"(substr({s}, 1, 5) || substr({s}, 7, 4))"
     return f"""CASE
   WHEN {zip_null_pred(d, x, strict_reference)} THEN 4
@@ -428,6 +459,14 @@ def zip_join_key(d: Dialect, x: str, strict_reference: bool = False) -> str:
     realness only depends on the 5-digit prefix.
     """
     s, digits = _zip_parts(d, x)
+    return zip_join_key_p(d, x, s, digits, strict_reference)
+
+
+def zip_join_key_p(
+    d: Dialect, x: str, s: str, digits: str, strict_reference: bool = False
+) -> str:
+    """``zip_join_key`` over precomputed ``s``/``digits`` (r13 threading
+    contract — see ``zip_quick_status_p``)."""
     dash9 = f"(substr({s}, 1, 5) || substr({s}, 7, 4))"
     return f"""CASE
   WHEN {zip_null_pred(d, x, strict_reference)} THEN NULL
@@ -451,6 +490,19 @@ def zip_full_status(
     junk-embedded → 3 (zip-validate.py:53-65); preserved in both modes.
     """
     s, digits = _zip_parts(d, x)
+    return zip_full_status_p(d, x, s, digits, is_real, strict_reference)
+
+
+def zip_full_status_p(
+    d: Dialect,
+    x: str,
+    s: str,
+    digits: str,
+    is_real: str,
+    strict_reference: bool = False,
+) -> str:
+    """``zip_full_status`` over precomputed ``s``/``digits`` (r13
+    threading contract — see ``zip_quick_status_p``)."""
     dash9 = f"(substr({s}, 1, 5) || substr({s}, 7, 4))"
     return f"""CASE
   WHEN {zip_null_pred(d, x, strict_reference)} THEN 4
@@ -466,6 +518,14 @@ END"""
 def zip_normalized(d: Dialect, x: str, strict_reference: bool = False) -> str:
     """Dash-normalized ``#####`` / ``#####-####`` form per branch."""
     s, digits = _zip_parts(d, x)
+    return zip_normalized_p(d, x, s, digits, strict_reference)
+
+
+def zip_normalized_p(
+    d: Dialect, x: str, s: str, digits: str, strict_reference: bool = False
+) -> str:
+    """``zip_normalized`` over precomputed ``s``/``digits`` (r13
+    threading contract — see ``zip_quick_status_p``)."""
     dash9 = f"(substr({s}, 1, 5) || substr({s}, 7, 4))"
     return f"""CASE
   WHEN {zip_null_pred(d, x, strict_reference)} THEN {s}
@@ -513,11 +573,31 @@ def latlong_status(
     ``pair_mode`` applies the coords-validate.py:52-73 variant where
     out-of-range numerics map to 3 instead of 5.
     """
-    bound = 90 if kind == "lat" else 180
     s = f"trim({d.cast_str(x)})"
     v = d.try_double(s)
     stripped = f"replace(replace({s}, 'N', ''), 'W', '')"
     v2 = d.try_double(stripped)
+    return latlong_status_v(
+        d, x, s, v, v2, kind,
+        pair_mode=pair_mode, strict_reference=strict_reference,
+    )
+
+
+def latlong_status_v(
+    d: Dialect,
+    x: str,
+    s: str,
+    v: str,
+    v2: str,
+    kind: str,
+    pair_mode: bool = False,
+    strict_reference: bool = False,
+) -> str:
+    """``latlong_status`` over precomputed ``s`` (trimmed), ``v``
+    (parsed double) and ``v2`` (N/W-stripped parsed double) expressions
+    (r13 threading contract — see ``phone_status_c``): each parse is a
+    regex-gated TRY_CAST the cascade otherwise evaluates twice."""
+    bound = 90 if kind == "lat" else 180
     oor = "3" if pair_mode else "5"
     len_gate = f" AND length({s}) > 5" if strict_reference else ""
     return f"""CASE
@@ -554,7 +634,18 @@ def coords_pair_status(d: Dialect, x: str, strict_reference: bool = False) -> st
     """Strict null test (coords-validate.py:39-40): a single token
     containing n/N is "null" (so 'Bronx' → 4).  Fixed mode requires a
     recognized null token."""
-    s = _coords_cleaned(d, x)
+    return coords_pair_status_s(
+        d, x, _coords_cleaned(d, x), strict_reference
+    )
+
+
+def coords_pair_status_s(
+    d: Dialect, x: str, s: str, strict_reference: bool = False
+) -> str:
+    """``coords_pair_status`` over a precomputed cleaned expression
+    ``s`` (must equal ``_coords_cleaned(d, x)`` — r13 threading
+    contract, see ``phone_status_c``): the bracket strip feeds every
+    split below and is otherwise re-evaluated per branch test."""
     n_space = d.arr_len(d.split_lit(s, " "))
     n_comma = d.arr_len(d.split_lit(s, ","))
     n_runs = d.arr_len(d.split(s, "[^0-9]+"))

@@ -85,8 +85,17 @@ def fuzzy_join(
     Matches brute-force cross-join-plus-filter semantics exactly,
     including input multiplicity: a pair sharing several deletion keys
     is emitted once, but genuinely duplicate left (or right) rows each
-    produce their own output row — the dedup is on ephemeral per-row
-    ids, never on the data columns.
+    produce their own output row.
+
+    The once-per-pair collapse is MAP-SIDE (r13, guide §2.4): both
+    sides keep their (already deduplicated) key arrays through the
+    explode, and a matched row survives only when its join key is the
+    lexicographically smallest element of the two arrays' intersection
+    — exactly one of a pair's |intersection| matches passes, with no
+    shuffle.  The old shape ran dropDuplicates over ephemeral
+    monotonically_increasing_ids: a full exchange of the candidate
+    stream, the only shuffle in the operator (for the dictionary-join
+    use case the key join itself is a broadcast).
     """
     if max_dist not in (1, 2):
         raise ValueError(
@@ -114,20 +123,21 @@ def fuzzy_join(
             f"ELSE {keys} END"
         )
 
-    # Ephemeral row identities let us collapse ONLY the join-induced
-    # multiplicity (one left row × one right row matching via several
-    # shared deletion keys) — long-keyed dedup, cheaper at scale than a
-    # distinct over wide string columns and correct for duplicate rows.
-    lk = left.withColumn("_lid", F.monotonically_increasing_id()).withColumn(
-        "_fk", F.explode(F.expr(keys_expr(left_col)))
+    # Both sides keep their key arrays so the join-induced multiplicity
+    # (one left row × one right row matching via several shared
+    # deletion keys) collapses map-side: keep only the match on the
+    # smallest shared key.  Duplicate left (or right) ROWS still each
+    # emit — the collapse is per joined row pair, never on data columns.
+    lk = left.withColumn("_lks", F.expr(keys_expr(left_col))).withColumn(
+        "_fk", F.explode(F.col("_lks"))
     )
-    rk = right.withColumn("_rid", F.monotonically_increasing_id()).withColumn(
-        "_fk", F.explode(F.expr(keys_expr(right_col)))
+    rk = right.withColumn("_rks", F.expr(keys_expr(right_col))).withColumn(
+        "_fk", F.explode(F.col("_rks"))
     )
     cand = (
         lk.join(rk, "_fk")
-        .dropDuplicates(["_lid", "_rid"])
-        .drop("_fk", "_lid", "_rid")
+        .filter(F.expr("_fk = array_min(array_intersect(_lks, _rks))"))
+        .drop("_fk", "_lks", "_rks")
     )
     return cand.withColumn(
         "dist", F.expr(f"CAST(levenshtein({left_col}, {right_col}) AS INT)")

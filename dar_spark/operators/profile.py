@@ -64,19 +64,80 @@ def classify(
 
     if validator in ("lat", "long"):
         kind = validator
-        return df.select(
+        # parse once (r13): the status evaluates each regex-gated
+        # TRY_CAST up to twice and the value coalesces both — shared
+        # columns keep it at one each
+        s = f"trim({SPARK.cast_str(column)})"
+        stripped = f"replace(replace({s}, 'N', ''), 'W', '')"
+        pre = df.select(
             F.col(id_col).alias("row_id"),
-            F.expr(V.latlong_status(SPARK, column, kind)).alias("status"),
-            F.expr(V.latlong_value(SPARK, column)).alias("coord"),
+            F.col(column),
+            F.expr(SPARK.try_double(s)).alias("_lv"),
+            F.expr(SPARK.try_double(stripped)).alias("_lw"),
+        )
+        return pre.select(
+            "row_id",
+            F.expr(
+                V.latlong_status_v(SPARK, column, s, "_lv", "_lw", kind)
+            ).alias("status"),
+            F.expr("coalesce(_lv, _lw)").alias("coord"),
         )
     if validator == "coords":
-        return df.select(
+        # clean once (r13): every status/part below re-derives the
+        # bracket-stripped string
+        pre = df.select(
             F.col(id_col).alias("row_id"),
-            F.expr(V.coords_pair_status(SPARK, column)).alias("pair_status"),
+            F.col(column),
+            F.expr(V._coords_cleaned(SPARK, column)).alias("_cc"),
+        )
+        return pre.select(
+            "row_id",
+            F.expr(
+                V.coords_pair_status_s(SPARK, column, "_cc")
+            ).alias("pair_status"),
             F.expr(V.coords_part_status(SPARK, column, 1)).alias("lat_status"),
             F.expr(V.coords_part_value(SPARK, column, 1)).alias("lat_value"),
             F.expr(V.coords_part_status(SPARK, column, 2)).alias("long_status"),
             F.expr(V.coords_part_value(SPARK, column, 2)).alias("long_value"),
+        )
+    if validator == "phone":
+        # clean once (r13): status embeds the cleaner ~8× per row and
+        # the normalizer embeds the full status again
+        pre = df.select(
+            F.col(id_col).alias("row_id"),
+            F.col(column),
+            F.expr(V.phone_clean(SPARK, column)).alias("_c"),
+        )
+        st = V.phone_status_c(SPARK, column, "_c")
+        staged = pre.select(
+            "row_id", F.col(column), F.col("_c"),
+            F.expr(st).alias("_pst"),
+        )
+        return staged.select(
+            "row_id",
+            F.col("_pst").alias("status"),
+            F.expr(
+                f"CASE WHEN _pst <> 1 THEN {SPARK.cast_str(column)} "
+                "WHEN substr(_c, 1, 1) = '1' THEN '+' || _c "
+                "ELSE '+1' || _c END"
+            ).alias("normalized"),
+        )
+    if validator == "zip_quick":
+        s = f"trim({SPARK.cast_str(column)})"
+        _, digits = V._zip_parts(SPARK, column)
+        pre = df.select(
+            F.col(id_col).alias("row_id"),
+            F.col(column),
+            F.expr(digits).alias("_zd"),
+        )
+        return pre.select(
+            "row_id",
+            F.expr(
+                V.zip_quick_status_p(SPARK, column, s, "_zd", **kw)
+            ).alias("status"),
+            F.expr(
+                V.zip_normalized_p(SPARK, column, s, "_zd", **kw)
+            ).alias("normalized"),
         )
     return df.select(
         F.col(id_col).alias("row_id"),
@@ -98,11 +159,23 @@ def classify_zip_full(
     (zip-validate.py:42-65) with one broadcast hash join — the single
     biggest scale win over the baseline (BASELINE.md).
     """
-    key = V.zip_join_key(SPARK, column, strict_reference)
+    # the digit strip is a regexp_replace the join key, status cascade
+    # and normalizer each re-derive — compute it once (r13, the
+    # phone_status_c threading pattern) and thread it through the
+    # ``_p`` variants; values are identical by construction
+    _, digits0 = V._zip_parts(SPARK, column)
     keyed = df.select(
         F.col(id_col).alias("row_id"),
         F.col(column).alias("_raw"),
-        F.expr(key).alias("_zip5"),
+        F.expr(digits0).alias("_zd"),
+    ).select(
+        "row_id",
+        "_raw",
+        "_zd",
+        F.expr(
+            V.zip_join_key_p(SPARK, "_raw", f"trim({SPARK.cast_str('_raw')})",
+                             "_zd", strict_reference)
+        ).alias("_zip5"),
     )
     joined = keyed.join(
         F.broadcast(zips.select(F.col("zip_code").alias("_zip5"), F.lit(True).alias("_hit"))),
@@ -110,10 +183,16 @@ def classify_zip_full(
         how="left",
     )
     is_real = "(_hit IS NOT NULL)"
+    s = f"trim({SPARK.cast_str('_raw')})"
     return joined.select(
         "row_id",
-        F.expr(V.zip_full_status(SPARK, "_raw", is_real, strict_reference)).alias("status"),
-        F.expr(V.zip_normalized(SPARK, "_raw", strict_reference)).alias("normalized"),
+        F.expr(
+            V.zip_full_status_p(SPARK, "_raw", s, "_zd", is_real,
+                                strict_reference)
+        ).alias("status"),
+        F.expr(
+            V.zip_normalized_p(SPARK, "_raw", s, "_zd", strict_reference)
+        ).alias("normalized"),
     )
 
 
@@ -129,11 +208,22 @@ def status_histogram(
     explode+groupBy formulation materializes rows×validators exploded
     records and shuffles them; this stays O(columns × 5) end to end.
     """
+    from dar_spark.operators.profile_all import (
+        _phase1_cols,
+        _shared_clean_cols,
+    )
+
     names = list(validator_columns)
-    proj = df.select(
+    vc_pairs = list(validator_columns.values())
+    # shared cleaned values (r13): one column per (cleaner, column), so
+    # the status cascades below don't re-run translate/regexp per CASE
+    # branch test (see profile_all._shared_clean_cols)
+    shared, pre_cols = _shared_clean_cols(vc_pairs, [], False)
+    work = df.select("*", *pre_cols) if pre_cols else df
+    proj = work.select(
         *[
-            status_col(v, c).alias(f"_s_{i}")
-            for i, (v, c) in enumerate(validator_columns.values())
+            _phase1_cols(i, v, c, False, shared)[0].alias(f"_s_{i}")
+            for i, (v, c) in enumerate(vc_pairs)
         ]
     )
     aggs = []

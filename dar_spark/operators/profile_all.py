@@ -57,25 +57,103 @@ class ProfileReport:
         )
 
 
-def _phase1_cols(i: int, validator: str, column: str, strict: bool) -> list[Column]:
+def _shared_clean_cols(
+    pairs: list[tuple[str, str]], zip_cols: list[str], strict: bool
+) -> tuple[dict[tuple[str, str], str], list[Column]]:
+    """Phase 0 (r13): ONE column per (cleaner, column) holding the
+    expensive cleaned/parsed value every status cascade over that
+    column re-derives.  Codegen does not common-subexpression-eliminate
+    a cleaner embedded across CASE branch tests (measured 30 translate
+    calls per row for one phone pair vs 3 with the clean as a real
+    column — guide §1.2 per-task work), so the statuses in phase 1
+    reference these columns via the validators' ``*_c``/``*_p``
+    threading variants.  CollapseProject keeps the projection separate:
+    each alias is non-cheap and multiply-referenced."""
+    shared: dict[tuple[str, str], str] = {}
+    pre: list[Column] = []
+
+    def add(kind: str, column: str, sql: str) -> None:
+        key = (kind, column)
+        if key not in shared:
+            alias = f"_shv_{len(shared)}"
+            shared[key] = alias
+            pre.append(F.expr(sql).alias(alias))
+
+    for v, c in pairs:
+        if v == "phone":
+            add("pc", c, V.phone_clean(SPARK, c))
+        elif v == "zip_quick":
+            add("zd", c, V._zip_parts(SPARK, c)[1])
+        elif v == "coords":
+            add("cc", c, V._coords_cleaned(SPARK, c))
+        elif v in ("lat", "long"):
+            s = f"trim({SPARK.cast_str(c)})"
+            stripped = f"replace(replace({s}, 'N', ''), 'W', '')"
+            add("lv", c, SPARK.try_double(s))
+            add("lw", c, SPARK.try_double(stripped))
+    for c in zip_cols:
+        add("zd", c, V._zip_parts(SPARK, c)[1])
+    return shared, pre
+
+
+def _phase1_cols(
+    i: int,
+    validator: str,
+    column: str,
+    strict: bool,
+    shared: dict[tuple[str, str], str],
+) -> list[Column]:
     """Phase 1: the pair's status (plus any helper the normalizer needs),
-    computed ONCE as flat columns.  Normalizers run in phase 2 against
-    these columns — codegen does NOT common-subexpression-eliminate a
-    status cascade re-embedded inside a normalizer CASE (measured 2×
-    phase-1 cost), so the split is load-bearing, not cosmetic."""
+    computed ONCE as flat columns over the phase-0 shared cleans.
+    Normalizers run in phase 2 against these columns — codegen does NOT
+    common-subexpression-eliminate a status cascade re-embedded inside
+    a normalizer CASE (measured 2× phase-1 cost), so the split is
+    load-bearing, not cosmetic."""
     kw = {}
     if validator in ("state", "zip_quick", "lat", "long", "coords"):
         kw["strict_reference"] = strict
-    st = status_col(validator, column, **kw).cast("int").alias(f"_st_{i}")
+    if validator == "phone":
+        st_sql = V.phone_status_c(SPARK, column, shared[("pc", column)])
+    elif validator == "zip_quick":
+        s = f"trim({SPARK.cast_str(column)})"
+        st_sql = V.zip_quick_status_p(
+            SPARK, column, s, shared[("zd", column)], strict
+        )
+    elif validator == "coords":
+        st_sql = V.coords_pair_status_s(
+            SPARK, column, shared[("cc", column)], strict
+        )
+    elif validator in ("lat", "long"):
+        s = f"trim({SPARK.cast_str(column)})"
+        st_sql = V.latlong_status_v(
+            SPARK, column, s,
+            shared[("lv", column)], shared[("lw", column)],
+            validator, strict_reference=strict,
+        )
+    else:
+        st_sql = None
+    if st_sql is not None:
+        st = F.expr(st_sql).cast("int").alias(f"_st_{i}")
+    else:
+        st = status_col(validator, column, **kw).cast("int").alias(f"_st_{i}")
     cols = [st]
     if validator == "phone":
-        cols.append(F.expr(V.phone_clean(SPARK, column)).alias(f"_c_{i}"))
+        cols.append(F.col(shared[("pc", column)]).alias(f"_c_{i}"))
     return cols
 
 
-def _phase2_norm(i: int, validator: str, column: str, strict: bool) -> Column:
+def _phase2_norm(
+    i: int,
+    validator: str,
+    column: str,
+    strict: bool,
+    shared: dict[tuple[str, str], str],
+) -> Column:
     """Phase 2: normalized value derived from phase-1 columns (no cascade
-    re-evaluation)."""
+    re-evaluation).  Shared phase-0 cleans are threaded where the
+    normalizer re-derives them (zip digits, lat/long parses) — the raw
+    string cast is value-identical to the original column, so the
+    shared value computed over the original is the same value."""
     raw = f"_raw_{column}"
     if validator == "phone":
         return F.expr(
@@ -86,9 +164,14 @@ def _phase2_norm(i: int, validator: str, column: str, strict: bool) -> Column:
     if validator in ("state", "boro"):
         return F.when(F.col(f"_st_{i}") == 4, F.lit(None)).otherwise(F.col(raw))
     if validator == "zip_quick":
-        return F.expr(V.zip_normalized(SPARK, raw, strict))
+        s = f"trim({SPARK.cast_str(raw)})"
+        return F.expr(
+            V.zip_normalized_p(SPARK, raw, s, shared[("zd", column)], strict)
+        )
     if validator in ("lat", "long"):
-        return F.expr(V.latlong_value(SPARK, raw)).cast("string")
+        return F.expr(
+            f"coalesce({shared[('lv', column)]}, {shared[('lw', column)]})"
+        ).cast("string")
     if validator == "coords":
         # part extraction gated on the precomputed pair status
         part = V.coords_part(SPARK, raw, 1)
@@ -160,22 +243,31 @@ def profile(
         empty = df.sparkSession.createDataFrame([], schema)
         return ProfileReport(detections, empty)
 
-    # ---- phase 1: every pair's status/normalized once, plus zip joins ----
+    # ---- phase 0: shared cleaned values, one column per (cleaner, col) --
     pairs = [(d.validator, d.column) for d in hits]
+    shared, pre_cols = _shared_clean_cols(pairs, zip_cols, strict_reference)
+    work = df.select("*", *pre_cols) if pre_cols else df
+
+    # ---- phase 1: every pair's status/normalized once, plus zip joins ----
     p1 = [F.col(id_col).cast("long").alias("row_id")]
     if want_raw or want_norm:
         raw_cols = sorted({c for _, c in pairs} | set(zip_cols))
         p1 += [F.col(c).cast("string").alias(f"_raw_{c}") for c in raw_cols]
+    if want_norm:
+        # phase-2 normalizers reference the shared cleans directly
+        p1 += [F.col(a) for a in shared.values()]
     for i, (v, c) in enumerate(pairs):
-        cols = _phase1_cols(i, v, c, strict_reference)
+        cols = _phase1_cols(i, v, c, strict_reference, shared)
         p1 += cols if want_norm else cols[:1]
 
-    work = df
     zstructs = []
     if zips is not None and zip_cols:
         zref = zips.select(F.col("zip_code"))
         for zi, c in enumerate(zip_cols):
-            key = V.zip_join_key(SPARK, c, strict_reference)
+            s = f"trim({SPARK.cast_str(c)})"
+            key = V.zip_join_key_p(
+                SPARK, c, s, shared[("zd", c)], strict_reference
+            )
             work = work.withColumn(f"_zip5_{zi}", F.expr(key)).join(
                 F.broadcast(
                     zref.select(
@@ -188,16 +280,19 @@ def profile(
             )
             p1.append(
                 F.expr(
-                    V.zip_full_status(
-                        SPARK, c, f"(_hit_{zi} IS NOT NULL)", strict_reference
+                    V.zip_full_status_p(
+                        SPARK, c, s, shared[("zd", c)],
+                        f"(_hit_{zi} IS NOT NULL)", strict_reference
                     )
                 ).cast("int").alias(f"_zst_{zi}")
             )
             if want_norm:
                 p1.append(
-                    F.expr(V.zip_normalized(SPARK, c, strict_reference)).alias(
-                        f"_znm_{zi}"
-                    )
+                    F.expr(
+                        V.zip_normalized_p(
+                            SPARK, c, s, shared[("zd", c)], strict_reference
+                        )
+                    ).alias(f"_znm_{zi}")
                 )
     phase1 = work.select(*p1)
 
@@ -206,7 +301,7 @@ def profile(
         phase2 = phase1.select(
             "*",
             *[
-                _phase2_norm(i, v, c, strict_reference).alias(f"_nm_{i}")
+                _phase2_norm(i, v, c, strict_reference, shared).alias(f"_nm_{i}")
                 for i, (v, c) in enumerate(pairs)
             ],
         )

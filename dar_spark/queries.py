@@ -97,10 +97,26 @@ def _profile_pair(name, table, k, gen, status_fn, norm_fn, skip_first_row=False,
         stage2 = two_stage.get(status_fn)
         if stage2 is not None:
             clean_fn, norm_expr = stage2
-            cols = ["row_id", "x", F.expr(status_fn(SPARK, "x", **kw)).alias("status")]
             if clean_fn is not None:
-                cols.insert(2, F.expr(clean_fn(SPARK, "x")).alias("_c"))
-            s1 = df.select(*cols)
+                # r13: the clean is a real column BEFORE the status, so
+                # the cascade references it instead of re-running the
+                # cleaner per CASE branch test (validators.phone_status_c)
+                threaded = {
+                    V.phone_status: V.phone_status_c,
+                    V.phone_v1_status: V.phone_v1_status_c,
+                }[status_fn]
+                s0 = df.select(
+                    "row_id", "x", F.expr(clean_fn(SPARK, "x")).alias("_c")
+                )
+                s1 = s0.select(
+                    "row_id", "x", "_c",
+                    F.expr(threaded(SPARK, "x", "_c", **kw)).alias("status"),
+                )
+            else:
+                s1 = df.select(
+                    "row_id", "x",
+                    F.expr(status_fn(SPARK, "x", **kw)).alias("status"),
+                )
             return s1.select(
                 "row_id", "status", F.expr(norm_expr).alias("normalized")
             )
@@ -2722,6 +2738,28 @@ _EVIDENCE_R11 = [
     "zipf_report_docs",
 ]
 
+_EVIDENCE_R12 = [
+    "asof_last_signup", "bpe_segment_docs", "bpe_token_count",
+    "calibration_quality", "cdc_chunk_docs", "clean_docs",
+    "cm_heavy_hitters", "customers_without_orders", "doc_fingerprint",
+    "docs_jsonl_roundtrip", "domain_stats", "embed_dup_pairs",
+    "embed_dup_pairs_lsh", "embed_ivf_pq_topk_capped",
+    "events_json_agg", "fuzzy_state_profile", "group_sample_docs",
+    "grouped_phone_histogram", "lang_id", "media_frame_sample",
+    "media_inventory", "media_meta_profile", "media_mp4_meta",
+    "nb_quality_funnel_docs", "ngram_novelty_docs",
+    "orders_orc_roundtrip", "percentiles_by_returnflag",
+    "phone_profile", "phone_profile_skip_first",
+    "phone_v1_intl_profile", "pii_cards_redact_docs",
+    "pr_curve_quality", "q6_forecast_revenue", "quality_filter_docs",
+    "range_join_signups", "retention_cohorts", "roc_auc_quality",
+    "rolling_fingerprint", "rollup_revenue", "script_profile_docs",
+    "secrets_redact_docs", "segment_set_ops", "sessionize_events",
+    "shuffle_order_docs", "source_overlap_docs", "summarize_lineitem",
+    "time_rollup_events", "token_topk_per_source",
+    "train_val_test_split", "weighted_sample_docs",
+]
+
 # Queries whose OUTPUT changed since their latest green artifact row —
 # that row certifies behavior that no longer exists, so rotation must
 # treat them as unverified (sorted into the window like new queries).
@@ -2734,27 +2772,20 @@ _EVIDENCE_R11 = [
 # set empty — the r10 rows for the two affected queries certified the
 # OLD behavior.  Round 12 lists them so they re-sort into the window and
 # get fresh green rows (r11 verdict, "What's wrong #2").
-SEMANTICS_CHANGED_R12: set[str] = {
-    "secrets_redact_docs",
-    "pii_cards_redact_docs",
-    # r12 full-pattern phone compilation: the intl fixture gained class
-    # 8 ('+44 209…' — two-digit-reachable but pattern-invalid), so the
-    # r11 row certifies a corpus+model that no longer exists.
-    # phone_v1_profile is deliberately ABSENT: scripts/hash_outputs.py
-    # proved its output byte-identical at sf0.01 and sf0.1
-    # (a71cc0f6e824b515 / b2c91530ad6772b6 before and after).
-    "phone_v1_intl_profile",
-}
+# SEMANTICS_CHANGED_R12 ({"secrets_redact_docs", "pii_cards_redact_docs",
+# "phone_v1_intl_profile"}) was re-certified green in the r12 window
+# (all three hash-pass in CORRECTNESS_r12.json), so round 13 clears it.
+SEMANTICS_CHANGED_R13: set[str] = set()
 
 # Round-agnostic alias so tests/tools track the CURRENT set without a
 # rename each round.
-SEMANTICS_CHANGED = SEMANTICS_CHANGED_R12
+SEMANTICS_CHANGED = SEMANTICS_CHANGED_R13
 
 EVIDENCE_ROUND: dict[str, int] = {
     name: rnd
     for rnd, names in (
         (7, _EVIDENCE_R7), (8, _EVIDENCE_R8), (9, _EVIDENCE_R9),
-        (10, _EVIDENCE_R10), (11, _EVIDENCE_R11),
+        (10, _EVIDENCE_R10), (11, _EVIDENCE_R11), (12, _EVIDENCE_R12),
     )
     for name in names
     if name not in SEMANTICS_CHANGED

@@ -16,6 +16,8 @@ never drift from the verified one.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from dar_spark.queries import build_registry
 from tests.conftest import SF_DIR
 
@@ -31,11 +33,28 @@ def test_headline_queries_ansi_invariant(spark):
     prev = spark.conf.get("spark.sql.ansi.enabled")
     diffs = []
     try:
-        for name, q in headline.items():
-            spark.conf.set("spark.sql.ansi.enabled", "true")
-            on = _rows(q.spark(spark, SF_DIR))
-            spark.conf.set("spark.sql.ansi.enabled", "false")
-            off = _rows(q.spark(spark, SF_DIR))
+        # two conf phases (r13): the ANSI flag is session-global, so
+        # per-query flips forbid concurrency — set it once per phase and
+        # run every headline query through a small pool instead (each is
+        # one tiny sf0.001 job; the sequential loop was scheduler-bound)
+        def run_all():
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                return dict(
+                    zip(
+                        headline,
+                        pool.map(
+                            lambda q: _rows(q.spark(spark, SF_DIR)),
+                            headline.values(),
+                        ),
+                    )
+                )
+
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        on_all = run_all()
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        off_all = run_all()
+        for name in headline:
+            on, off = on_all[name], off_all[name]
             if on != off:
                 sample = [
                     (a, b) for a, b in zip(on, off) if a != b

@@ -12,6 +12,10 @@ def test_bench_emits_driver_contract_json():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "8"
+    # this test asserts the OUTPUT CONTRACT (one JSON line, driver keys),
+    # not timing quality — one run per query keeps the suite inside the
+    # driver's verify window (bench.py's default stays 3)
+    env["DAR_SPARK_BENCH_RUNS"] = "1"
     out = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

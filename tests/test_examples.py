@@ -12,6 +12,7 @@ import glob
 import os
 import subprocess
 import sys
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
@@ -20,17 +21,33 @@ EXAMPLES = sorted(glob.glob(
 ))
 
 
-@pytest.mark.parametrize(
-    "path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES]
-)
-def test_example_runs(path):
+def _run_example(path):
     env = dict(os.environ)
     env["DAR_SPARK_EXAMPLE_SF"] = "/root/testdata/sf0.001"
     env["PYTHONPATH"] = os.path.join(os.path.dirname(__file__), "..")
-    r = subprocess.run(
+    # bound each concurrent JVM's core count (the pool runs several)
+    env["SPARK_GRAFT_CPUS"] = "8"
+    return subprocess.run(
         [sys.executable, path],
         capture_output=True, text=True, timeout=420, env=env,
     )
+
+
+@pytest.fixture(scope="session")
+def example_results():
+    """All example subprocesses at once, 4 in flight (r13): each owns
+    its SparkSession lifecycle, so sequential runs paid 11 cold JVM
+    boots back to back — ~7 min of the suite's wall clock for scripts
+    that don't contend (distinct scratch dirs, sf0.001 inputs)."""
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        return dict(zip(EXAMPLES, pool.map(_run_example, EXAMPLES)))
+
+
+@pytest.mark.parametrize(
+    "path", EXAMPLES, ids=[os.path.basename(p) for p in EXAMPLES]
+)
+def test_example_runs(path, example_results):
+    r = example_results[path]
     assert r.returncode == 0, (
         f"{os.path.basename(path)} failed:\n{r.stdout[-800:]}\n{r.stderr[-800:]}"
     )

@@ -322,11 +322,20 @@ def test_intl_model_is_length_superset_of_library():
             if len(set(cc + nat)) == 1:
                 continue  # all-same digits hit the v0 null tier
             cases.append(f"+{cc}{nat}")
+    # ONE batched evaluation (r13): per-case duckdb.sql re-parsed the
+    # multi-thousand-char cascade ~250 times (~68 s of pure SQL parse);
+    # the expression over a column of all cases is the same value set
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, x VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    models = [
+        r[0]
+        for r in con.execute(
+            f"SELECT ({V.phone_v1_status(DUCKDB, 'x')}) FROM t ORDER BY i"
+        ).fetchall()
+    ]
     residual = 0
-    for s in cases:
-        model = duckdb.sql(
-            f"SELECT ({V.phone_v1_status(DUCKDB, repr(s))}) AS s"
-        ).fetchone()[0]
+    for s, model in zip(cases, models):
         lib = _lib_status(pn, s)
         if lib == 1:
             assert model == 1, f"{s}: library valid but model {model}"

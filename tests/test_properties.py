@@ -37,23 +37,45 @@ _STATUS_BUILDERS = {
 
 
 def _duck_eval(sql: str, values: list[str]):
-    con = duckdb.connect()
-    con.execute("CREATE TABLE t(i INT, x VARCHAR)")
-    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(values)))
-    return [r[0] for r in con.execute(f"SELECT ({sql}) FROM t ORDER BY i").fetchall()]
+    return _duck_eval_many([sql], values)[0]
 
 
 def _spark_eval(spark, sql: str, values: list[str]):
+    return _spark_eval_many(spark, [sql], values)[0]
+
+
+# batched evaluators (r13): one round-trip for N expressions over the
+# same values — the per-(example × builder) Spark job was the dominant
+# cost of this module (each collect is a full scheduler round-trip on
+# a 40-row frame).  Same expressions, same values, same assertions.
+def _duck_eval_many(sqls: list[str], values: list[str]):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, x VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(values)))
+    cols = ", ".join(f"({s}) AS c{i}" for i, s in enumerate(sqls))
+    rows = con.execute(f"SELECT {cols} FROM t ORDER BY i").fetchall()
+    return [[r[i] for r in rows] for i in range(len(sqls))]
+
+
+def _spark_eval_many(spark, sqls: list[str], values: list[str]):
     df = spark.createDataFrame(list(enumerate(values)), "i long, x string")
-    return [r.s for r in df.selectExpr("i", f"({sql}) AS s").orderBy("i").collect()]
+    rows = df.selectExpr(
+        "i", *[f"({s}) AS c{i}" for i, s in enumerate(sqls)]
+    ).orderBy("i").collect()
+    return [[getattr(r, f"c{i}") for r in rows] for i in range(len(sqls))]
 
 
 @settings(max_examples=12, deadline=None)
 @given(st.lists(ascii_text, min_size=1, max_size=40))
 def test_totality_and_cross_engine_agreement(spark, values):
-    for name, build in _STATUS_BUILDERS.items():
-        got_s = _spark_eval(spark, build(SPARK, "x"), values)
-        got_d = _duck_eval(build(DUCKDB, "x"), values)
+    names = list(_STATUS_BUILDERS)
+    all_s = _spark_eval_many(
+        spark, [_STATUS_BUILDERS[n](SPARK, "x") for n in names], values
+    )
+    all_d = _duck_eval_many(
+        [_STATUS_BUILDERS[n](DUCKDB, "x") for n in names], values
+    )
+    for name, got_s, got_d in zip(names, all_s, all_d):
         assert got_s == got_d, f"{name}: engine divergence on {values!r}"
         assert all(s in (1, 2, 3, 4, 5) for s in got_s), f"{name}: non-total"
 
@@ -113,10 +135,11 @@ def test_gopher_metrics_cross_engine(spark, values):
     engines on arbitrary printable input (shared-dialect emitters)."""
     from dar_spark.functions.text import gopher_metrics_sql
 
-    for name, se in gopher_metrics_sql(SPARK, "x"):
-        de = dict(gopher_metrics_sql(DUCKDB, "x"))[name]
-        got_s = _spark_eval(spark, se, values)
-        got_d = _duck_eval(de, values)
+    pairs = gopher_metrics_sql(SPARK, "x")
+    d_by_name = dict(gopher_metrics_sql(DUCKDB, "x"))
+    all_s = _spark_eval_many(spark, [se for _, se in pairs], values)
+    all_d = _duck_eval_many([d_by_name[n] for n, _ in pairs], values)
+    for (name, _), got_s, got_d in zip(pairs, all_s, all_d):
         assert [float(a) if a is not None else None for a in got_s] == [
             float(b) if b is not None else None for b in got_d
         ], f"{name} diverged on {values!r}"
@@ -131,8 +154,10 @@ def test_hll_register_cross_engine(spark, values):
 
     sreg, srho = hll_register_sql(SPARK, "x")
     dreg, drho = hll_register_sql(DUCKDB, "x")
-    assert _spark_eval(spark, sreg, values) == _duck_eval(dreg, values)
-    assert _spark_eval(spark, srho, values) == _duck_eval(drho, values)
+    s_all = _spark_eval_many(spark, [sreg, srho], values)
+    d_all = _duck_eval_many([dreg, drho], values)
+    assert s_all[0] == d_all[0]
+    assert s_all[1] == d_all[1]
 
 
 # printable ASCII + the characters that expose engine-divergent string
@@ -182,10 +207,11 @@ def test_script_counts_cross_engine_on_unicode(spark, values):
         "".join(c for c in v if ord(c) < 0xD800 or 0xE000 <= ord(c) <= 0xFFFF)
         for v in values
     ]
-    for name, n in script_counts_sql(SPARK, "x"):
-        got_s = _spark_eval(spark, n, values)
-        dn = dict(script_counts_sql(DUCKDB, "x"))[name]
-        got_d = _duck_eval(dn, values)
+    pairs = script_counts_sql(SPARK, "x")
+    d_by_name = dict(script_counts_sql(DUCKDB, "x"))
+    all_s = _spark_eval_many(spark, [n for _, n in pairs], values)
+    all_d = _duck_eval_many([d_by_name[name] for name, _ in pairs], values)
+    for (name, _), got_s, got_d in zip(pairs, all_s, all_d):
         assert got_s == got_d, f"{name}: divergence on {values!r}"
 
 
@@ -308,20 +334,16 @@ def test_text_ratio_builders_cross_engine(spark, values):
 
     g_s = gopher_metrics_sql(SPARK, "x")
     g_d = gopher_metrics_sql(DUCKDB, "x")
-    got_pairs = []
-    for (name, s_expr), (_, d_expr) in zip(g_s, g_d):
-        got_s = _spark_eval(spark, s_expr, values)
-        got_d = _duck_eval(d_expr, values)
-        got_pairs.append((f"gopher_{name}", got_s, got_d))
-    for name, build in [
-        ("quality", lambda d: quality_score_sql(d, "x")),
-        ("stopword", lambda d: stopword_ratio_sql(d, "x")),
-    ]:
-        got_pairs.append(
-            (name, _spark_eval(spark, build(SPARK), values),
-             _duck_eval(build(DUCKDB), values))
-        )
-    for name, got_s, got_d in got_pairs:
+    names = [f"gopher_{n}" for n, _ in g_s] + ["quality", "stopword"]
+    s_exprs = [e for _, e in g_s] + [
+        quality_score_sql(SPARK, "x"), stopword_ratio_sql(SPARK, "x")
+    ]
+    d_exprs = [e for _, e in g_d] + [
+        quality_score_sql(DUCKDB, "x"), stopword_ratio_sql(DUCKDB, "x")
+    ]
+    all_s = _spark_eval_many(spark, s_exprs, values)
+    all_d = _duck_eval_many(d_exprs, values)
+    for name, got_s, got_d in zip(names, all_s, all_d):
         assert got_s == got_d, f"{name}: divergence on {values!r}"
 
 

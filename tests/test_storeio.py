@@ -1,0 +1,71 @@
+"""sized_for_write regime selection (core/storeio.py).
+
+The write-regime decision must follow the OUTPUT size, not the raw
+input-file size: a narrow projection of a wide scan writes narrow rows
+(VERDICT r12 #6 — the input-bytes-only proxy kept such writes in the
+shuffle-free large regime and emitted one near-empty file per scan
+task).  The estimate is min(input file bytes, Catalyst's width-scaled
+plan stats), pinned here by forcing the threshold between the two.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dar_spark.core.storeio import (
+    _plan_bytes_estimate,
+    _scan_bytes_estimate,
+    sized_for_write,
+)
+from dar_spark.session import load_tables
+from tests.conftest import SF_DIR
+
+
+def _has_rebalance(df) -> bool:
+    return "rebalance" in df._jdf.queryExecution().optimizedPlan().toString().lower() or (
+        "RebalancePartitions" in df._jdf.queryExecution().analyzed().toString()
+    )
+
+
+@pytest.fixture()
+def docs(spark):
+    return load_tables(spark, SF_DIR)["documents"]
+
+
+def test_narrow_projection_shrinks_estimate(spark, docs):
+    """The plan estimate of a one-int-column projection sits well below
+    the raw file bytes of the wide text scan."""
+    narrow = docs.select("doc_id")
+    scan = _scan_bytes_estimate(narrow)
+    plan = _plan_bytes_estimate(narrow)
+    assert scan is not None and plan is not None
+    assert plan < scan
+
+
+def test_projected_large_input_rebalances(spark, docs, monkeypatch):
+    """Threshold between plan estimate and file bytes: the old
+    input-bytes-only proxy would skip the rebalance; the width-bounded
+    estimate routes the narrow write through the AQE-sized exchange."""
+    narrow = docs.select("doc_id")
+    scan = _scan_bytes_estimate(narrow)
+    plan = _plan_bytes_estimate(narrow)
+    assert plan < scan
+    monkeypatch.setenv(
+        "DAR_SPARK_REBALANCE_WRITE_MAX_BYTES", str((plan + scan) // 2)
+    )
+    assert _has_rebalance(sized_for_write(narrow))
+
+
+def test_wide_input_above_threshold_stays_shuffle_free(spark, docs, monkeypatch):
+    """Both estimates above the threshold: no rebalance exchange."""
+    monkeypatch.setenv("DAR_SPARK_REBALANCE_WRITE_MAX_BYTES", "1")
+    assert not _has_rebalance(sized_for_write(docs))
+
+
+def test_small_input_rebalances_with_cluster_cols(spark, docs, monkeypatch):
+    monkeypatch.setenv(
+        "DAR_SPARK_REBALANCE_WRITE_MAX_BYTES", str(2**60)
+    )
+    assert _has_rebalance(sized_for_write(docs, "doc_id"))
