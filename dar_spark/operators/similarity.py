@@ -322,7 +322,8 @@ def ivf_fit_centroids(
     fit_sample_max: int = 100_000,
     n: int | None = None,
     n_iters: int = 10,
-) -> list[list[float]]:
+    anchor_ks: int | None = None,
+):
     """Partition-invariant coarse quantizer: Lloyd's k-means fit on the
     driver over the deterministic hash-bucket sample.
 
@@ -348,26 +349,62 @@ def ivf_fit_centroids(
     ``e`` must already carry the ``_v`` double-array column
     (``_as_double_vec``).  Returns ≤ n_lists centroids (fewer only when
     the sample itself has fewer rows).
+
+    ``anchor_ks`` (r13): also derive the ``pq_fit_codebook`` anchors —
+    the top-ks corpus rows by (md5-bucket, id) — from THIS collect and
+    return ``(centers, anchors)``.  Provably identical to the separate
+    codebook job only when the collect covers the WHOLE corpus, i.e.
+    ``n <= fit_sample_max`` (the no-sampling regime; the collect is
+    then pulled unfiltered, with zero-norm/NULL rows dropped on the
+    driver for the k-means input exactly as the ``_nrm > 0`` filter
+    did).  Outside that regime ``anchors`` is None and the caller runs
+    ``pq_fit_codebook`` as before — the fused path saves the separate
+    codebook job + corpus scan on every bounded-corpus query.
     """
     import numpy as np
 
     from dar_spark.dialect import SPARK as _SPK
 
-    # NULL embeddings would collapse the numpy sample matrix to an
-    # inhomogeneous object array; zero-norm vectors are unusable
-    # downstream anyway (cosine denominator) — same drop as _ivf_assign
-    fit = quantizer_fit_input(e.filter("_nrm > 0"), id_col, fit_sample_max, n=n)
-    rows = (
-        fit.select(
+    anchors = None
+    full_corpus = anchor_ks is not None and n is not None and n <= fit_sample_max
+    if full_corpus:
+        # unfiltered: the codebook ranking includes zero-norm/NULL rows.
+        # Collect UNSORTED and sort on the driver (r13): the orderBy
+        # before a bounded collect cost a range-partitioning sampling
+        # job + sort exchange per fit; a Python sort over ≤
+        # fit_sample_max rows is free and the id order is total (ids
+        # unique), so the row sequence is identical.
+        rows_all = e.select(
             F.expr(pq_anchor_rank_sql(_SPK, id_col)).alias("_hb"),
             F.col(id_col).alias("_aid"),
             "_v",
+            "_nrm",
+        ).collect()
+        rows_all.sort(key=lambda r: (r._hb, r._aid))
+        anchors = [r._v for r in rows_all[:anchor_ks]]
+        rows_all.sort(key=lambda r: r._aid)
+        # NULL embeddings would collapse the numpy sample matrix to an
+        # inhomogeneous object array; zero-norm vectors are unusable
+        # downstream anyway (cosine denominator) — same drop as
+        # _ivf_assign, applied driver-side (order by _aid preserved)
+        rows = [r for r in rows_all if r._nrm is not None and r._nrm > 0]
+    else:
+        # NULL embeddings would collapse the numpy sample matrix to an
+        # inhomogeneous object array; zero-norm vectors are unusable
+        # downstream anyway (cosine denominator) — same drop as _ivf_assign
+        fit = quantizer_fit_input(
+            e.filter("_nrm > 0"), id_col, fit_sample_max, n=n
         )
-        .orderBy("_aid")
-        .collect()
-    )
+        # unsorted collect + driver sort: same rows, same fixed order,
+        # minus the range-partitioning sampling job (r13, see above)
+        rows = fit.select(
+            F.expr(pq_anchor_rank_sql(_SPK, id_col)).alias("_hb"),
+            F.col(id_col).alias("_aid"),
+            "_v",
+        ).collect()
+        rows.sort(key=lambda r: r._aid)
     if not rows:
-        return []
+        return ([], anchors) if anchor_ks is not None else []
     X = np.array([r._v for r in rows], dtype=np.float64)
     rank = sorted(range(len(rows)), key=lambda i: (rows[i]._hb, rows[i]._aid))
     L = min(n_lists, len(rows))
@@ -393,7 +430,8 @@ def ivf_fit_centroids(
         counts = np.bincount(assign, minlength=L).astype(np.float64)
         nonempty = counts > 0
         C[nonempty] = sums[nonempty] / counts[nonempty, None]
-    return [[float(x) for x in c] for c in C]
+    centers = [[float(x) for x in c] for c in C]
+    return (centers, anchors) if anchor_ks is not None else centers
 
 
 def _ivf_assign(e: DataFrame, centers: list[list[float]], id_col: str) -> DataFrame:
@@ -469,6 +507,42 @@ def _ivf_probe_lists(
     )
 
 
+def _probe_lists_from_centers(
+    q: DataFrame, centers: list[list[float]], n_probe: int
+) -> DataFrame:
+    """(query_id, _list) — each query's ``n_probe`` nearest centroids,
+    MAP-ONLY (r13, guide §2.4): distances to the literal one-row
+    centroid array (the ``_ivf_assign`` broadcast pattern, so no new
+    scale exposure) are sorted in-row and the top slots exploded, where
+    ``_ivf_probe_lists`` exchanged |Q| × n_lists rows through a
+    row_number window.  Identical output: array_sort on (distance,
+    list) structs breaks ties toward the lower list id exactly like the
+    window's orderBy(_d, _list); a dimension mismatch still raises
+    in-plan via the same assert_true."""
+    spark = q.sparkSession
+    cents_one = spark.createDataFrame(
+        [(centers,)], "_cents array<array<double>>"
+    )
+    guarded = (
+        "IF(assert_true(d IS NOT NULL, "
+        "'ivf probe: query dimension does not match the stored centroids') "
+        "IS NULL, d, NULL)"
+    )
+    dists = (
+        "transform(_cents, c -> aggregate(zip_with(_qv, c, "
+        "(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x))"
+    )
+    ranked = (
+        f"slice(array_sort(transform({dists}, "
+        f"(d, i) -> struct({guarded} AS _d, i AS _list))), 1, {n_probe})"
+    )
+    return (
+        q.crossJoin(F.broadcast(cents_one))
+        .select("query_id", F.explode(F.expr(ranked)).alias("_p"))
+        .select("query_id", F.col("_p._list").alias("_list"))
+    )
+
+
 def _ivf_fit_assign_probe(
     embeddings: DataFrame,
     id_col: str,
@@ -478,7 +552,8 @@ def _ivf_fit_assign_probe(
     n_probe: int | None,
     fit_sample_max: int,
     n: int | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    anchor_ks: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, list | None]:
     """Shared IVF prelude of ivf_topk and ivf_pq_topk: autoscale
     defaults, deterministic centroid fit, map-only corpus assignment,
     and each query's probed lists.  Returns (vector frame, assigned
@@ -497,7 +572,13 @@ def _ivf_fit_assign_probe(
     their own count job (the count of the round-robin-repartitioned
     vector frame costs a shuffle + 3 AQE jobs where a raw-scan count is
     one; guide §1.2).  Counted here over the RAW frame when not given —
-    identical value, repartition preserves cardinality."""
+    identical value, repartition preserves cardinality.
+
+    ``anchor_ks`` (r13): thread the PQ codebook request into the fit
+    collect (``ivf_fit_centroids``); the returned anchors are non-None
+    exactly when the collect provably covered the whole corpus.  Probes
+    come from ``_probe_lists_from_centers`` — map-only against the
+    literal centroid list, no window exchange (r13)."""
     e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col)
     if n is None:
         n = embeddings.count()
@@ -509,25 +590,28 @@ def _ivf_fit_assign_probe(
         n_probe = max(2, int(math.isqrt(n_lists)))
     # the fit subtree ends in a bounded driver collect: skip the
     # parallelize exchange (r12, _as_double_vec parallel=False)
-    centers = ivf_fit_centroids(
-        _as_double_vec(embeddings.select(id_col, vec_col), vec_col,
-                       parallel=False),
-        id_col, n_lists, fit_sample_max, n=n,
+    fit_e = _as_double_vec(
+        embeddings.select(id_col, vec_col), vec_col, parallel=False
     )
+    if anchor_ks is not None:
+        centers, anchors = ivf_fit_centroids(
+            fit_e, id_col, n_lists, fit_sample_max, n=n, anchor_ks=anchor_ks
+        )
+    else:
+        centers = ivf_fit_centroids(
+            fit_e, id_col, n_lists, fit_sample_max, n=n
+        )
+        anchors = None
     n_probe = min(n_probe, len(centers))
 
     assigned = _ivf_assign(e, centers, id_col)
-    cdf = embeddings.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)],
-        "_list int, _cv array<double>",
-    )
     q = assigned.filter(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("_qv"),
         F.col("_nrm").alias("_qn"),
     ).filter("_qn > 0")
-    probes = _ivf_probe_lists(q, cdf, n_probe).select("query_id", "_list")
-    return e, assigned, q, probes
+    probes = _probe_lists_from_centers(q, centers, n_probe)
+    return e, assigned, q, probes, anchors
 
 
 def ivf_topk(
@@ -558,21 +642,20 @@ def ivf_topk(
     broadcast one-row centroid array; no shuffle, no Python), never by
     the k-means iterations.
     """
-    e, assigned, qs, probes = _ivf_fit_assign_probe(
+    e, assigned, qs, probes, _ = _ivf_fit_assign_probe(
         embeddings, id_col, vec_col, query_pred,
         n_lists, n_probe, fit_sample_max, n=n,
     )
-    # both probe sides broadcast (r12, guide §3.1): the corpus stays
-    # where the scan put it — no exchange between the assignment
-    # projection and the final per-query top-k, whose rank window
-    # prunes map-side via WindowGroupLimit now that the redundant
-    # pair-dedup is gone ((query_id, neighbor_id) is unique BY
-    # CONSTRUCTION here: one _list per corpus row from the argmin,
-    # distinct probed lists per query from the row_number filter, and
-    # corpus ids are unique per the module contract)
+    # both probe sides ride ONE broadcast (r12 slim probes + r13 fused
+    # probe⋈query pre-join, guide §3.1): the corpus stays where the
+    # scan put it — no exchange between the assignment projection and
+    # the final per-query top-k, whose rank window prunes map-side via
+    # WindowGroupLimit now that the redundant pair-dedup is gone
+    # ((query_id, neighbor_id) is unique BY CONSTRUCTION here: one
+    # _list per corpus row from the argmin, distinct probed lists per
+    # query, and corpus ids are unique per the module contract)
     cand = (
-        assigned.join(F.broadcast(probes), "_list")
-        .join(F.broadcast(qs), "query_id")
+        assigned.join(F.broadcast(probes.join(qs, "query_id")), "_list")
         .filter(F.expr(f"{id_col} <> query_id"))
     )
     scored = cand.select(
@@ -742,11 +825,13 @@ def ivf_index_topk(
     # exchange.  (query_id, neighbor_id) pairs are unique BY
     # CONSTRUCTION (one stored _list per id — replays overwrite their
     # generation — and distinct probed lists per query), so the old
-    # pair-dedup shuffle was a no-op.
+    # pair-dedup shuffle was a no-op.  Probe pairs and the query frame
+    # ride ONE broadcast (r13): the pre-join is |Q|·n_probe bounded
+    # rows, and fusing it saves a broadcast-build job per query.
     probes = _ivf_probe_lists(q, cdf, n_probe).select("query_id", "_list")
+    qp = probes.join(q, "query_id")
     cand = (
-        lists.join(F.broadcast(probes), "_list")
-        .join(F.broadcast(q), "query_id")
+        lists.join(F.broadcast(qp), "_list")
         .filter(F.expr(f"{id_col} <> query_id"))
     )
     scored = cand.select(
@@ -2490,9 +2575,9 @@ def ivf_pq_topk(
     shortlist.  No stage reads N×dim doubles after the encode."""
     from dar_spark.dialect import SPARK as _SPK
 
-    e, assigned, qs, probes = _ivf_fit_assign_probe(
+    e, assigned, qs, probes, anchors = _ivf_fit_assign_probe(
         embeddings, id_col, vec_col, query_pred,
-        n_lists, n_probe, fit_sample_max, n=n,
+        n_lists, n_probe, fit_sample_max, n=n, anchor_ks=ks,
     )
 
     # compressed candidate table: (id, _list, _rv reconstruction).
@@ -2502,11 +2587,17 @@ def ivf_pq_topk(
     # under BOTH broadcast consumers below (encode + reconstruct; the
     # measured plan carried the corpus scan 22×), and a local relation
     # broadcasts without running any job.  Collected doubles round-trip
-    # bit-exactly through createDataFrame.
+    # bit-exactly through createDataFrame.  When the centroid-fit
+    # collect covered the whole corpus (n <= fit_sample_max) the
+    # anchors ride it for free (r13); otherwise the separate codebook
+    # job runs as before.
     spark = embeddings.sparkSession
-    anchors = pq_fit_codebook(embeddings, id_col, vec_col, ks).collect()[0]._anchors
+    if anchors is None:
+        anchors = pq_fit_codebook(
+            embeddings, id_col, vec_col, ks
+        ).collect()[0]._anchors
     cb = spark.createDataFrame(
-        [([[float(x) for x in a] for a in anchors],)],
+        [([None if a is None else [float(x) for x in a] for a in anchors],)],
         "_anchors array<array<double>>",
     )
     # assign + encode + reconstruct FUSED into the assignment scan
@@ -2534,15 +2625,16 @@ def ivf_pq_topk(
     )
 
     # ADC shortlist within the probed lists only — probe pairs and the
-    # bounded query frame both broadcast (guide §3.1), so the candidate
-    # join runs inside the reconstruct scan stage and the shortlist
-    # window's WindowGroupLimit prunes to k·overfetch per query BEFORE
-    # the only exchange ((query_id, neighbor_id) is unique BY
-    # CONSTRUCTION: one _list per id, distinct probed lists per query —
-    # the old pair-dedup shuffled the full ADC stream for a no-op)
+    # bounded query frame ride ONE broadcast (guide §3.1; r13 fused the
+    # probe⋈query pre-join, saving a broadcast-build job), so the
+    # candidate join runs inside the reconstruct scan stage and the
+    # shortlist window's WindowGroupLimit prunes to k·overfetch per
+    # query BEFORE the only exchange ((query_id, neighbor_id) is unique
+    # BY CONSTRUCTION: one _list per id, distinct probed lists per
+    # query — the old pair-dedup shuffled the full ADC stream for a
+    # no-op)
     cand = (
-        rec.join(F.broadcast(probes), "_list")
-        .join(F.broadcast(qs), "query_id")
+        rec.join(F.broadcast(probes.join(qs, "query_id")), "_list")
         .filter(F.expr(f"{id_col} <> query_id"))
     )
     adc = cand.select(
@@ -2722,10 +2814,13 @@ def ivf_q8_index_topk(
     # same broadcast-probe shape as ivf_index_topk (r12, guide §3.1):
     # stored codes never shuffle, pair-dedup dropped (pairs unique by
     # construction), WindowGroupLimit prunes before the only exchange.
+    # Probe pairs and the query frame ride ONE broadcast (r13): the
+    # pre-join is |Q|·n_probe bounded rows, and fusing it saves a
+    # broadcast-build job per query.
     probes = _ivf_probe_lists(q, cdf, n_probe).select("query_id", "_list")
+    qp = probes.join(q, "query_id")
     cand = (
-        lists.join(F.broadcast(probes), "_list")
-        .join(F.broadcast(q), "query_id")
+        lists.join(F.broadcast(qp), "_list")
         .filter(F.expr(f"{id_col} <> query_id"))
     )
     dot = (
