@@ -815,13 +815,9 @@ def connected_components(
     # groupBy computes the node list, the identity seed, and round 1's
     # adopt step at once (the old shape paid a nodes.distinct shuffle,
     # a join against the identity labels, and a separate initial-sum
-    # action).  The convergence seed rides the same aggregate:
-    # sum(node) IS the initial label sum, compared against round 1's
-    # sum(label) — an already-converged input is still detected without
-    # an extra observation round, and a change on exactly round
-    # max_iter still raises.  Labels are identical to the unfused
-    # rounds at every step (every a in sym has >= 1 neighbor, so the
-    # old left-join coalesce never fired on round 1).
+    # action).  Labels are identical to the unfused rounds at every
+    # step (every a in sym has >= 1 neighbor, so the old left-join
+    # coalesce never fired on round 1).
     labels = _truncate(
         _pointer_jump(
             sym.groupBy(F.col("a").alias("node")).agg(
@@ -829,35 +825,56 @@ def connected_components(
             )
         )
     )
-    sums = labels.agg(
-        F.sum(F.col("node").cast("decimal(38,0)")).alias("s0"),
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s1"),
-    ).collect()[0]
-    prev_sum = sums["s1"]
-    changed = sums["s1"] != sums["s0"]
-    for _ in range(max_iter - 1):
-        if not changed:
-            break
+    # Round-1 convergence via the EDGE-MISMATCH fixpoint test (r13,
+    # guide §1.2): a labeling is a fixpoint of both steps iff
+    # label(a) = label(b) on every edge (labels are always node ids of
+    # the own component, so a mismatch-free labeling is constant per
+    # component and that constant is the component min — exactly the
+    # answer).  The existence probe runs as round 1's own action, so
+    # the common near-dup case (cliques settle in one round — measured
+    # at sf0.01/sf0.1 for every CC bench consumer) finishes after ONE
+    # propagation round and ONE action, where the sum-based detector
+    # needed a full no-op observation round to see the fixpoint.
+    # Multi-round graphs fall through to the sum loop with its exact
+    # round-counting semantics: sum(label) strictly decreases on any
+    # change, the final allowed round is always checked alone, and a
+    # change on exactly round max_iter still raises.
+    la = labels.selectExpr("node AS a", "label AS _la")
+    lb = labels.selectExpr("node AS b", "label AS _lb")
+    if sym.join(la, "a").join(lb, "b").filter("_la <> _lb").isEmpty():
+        return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+    # round 1 is NOT the fixpoint: round 2 will change labels
+    if max_iter == 1:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds needed ~ log2 of the longest duplicate "
+            "chain thanks to pointer jumping)"
+        )
+
+    def _one_round(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            sym.join(lbl.withColumnRenamed("node", "b"), "b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-            )
+        out = lbl.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
         )
-        new_labels = _pointer_jump(new_labels)
         # truncate lineage every round: iterative self-joins otherwise
         # stack plans exponentially (classic iterative-algorithm trap)
-        new_labels = _truncate(new_labels)
-        new_sum = _label_sum(new_labels)
+        return _truncate(_pointer_jump(out))
+
+    labels = _one_round(labels)
+    prev_sum = _label_sum(labels)  # round 2 changed labels by the probe
+    changed = True
+    for _ in range(max_iter - 2):
+        labels = _one_round(labels)
+        new_sum = _label_sum(labels)
         changed = new_sum != prev_sum
+        if not changed:
+            break
         prev_sum = new_sum
-        labels = new_labels
     if changed:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
@@ -875,6 +892,7 @@ def srp_candidate_pairs(
     distinct: bool = True,
     dim: int | None = None,
     screen_threshold: float | None = None,
+    band_col: str | None = None,
 ) -> DataFrame:
     """Banded SRP candidate pairs over a ``(_v, _nrm)`` vector frame
     (``similarity._as_double_vec`` output): per band an independent
@@ -922,13 +940,25 @@ def srp_candidate_pairs(
     This IS the production candidate stage of ``embedding_dup_pairs``
     (method='lsh'); ``lshtune.srp_tuning_report`` reuses it so its
     measured numbers describe exactly the candidates production would
-    verify."""
+    verify.
+
+    ``band_col`` (r13): also emit the 0-based band index each candidate
+    row matched in (requires ``distinct=False``; band plane sets are
+    keyed by GLOBAL plane index ``band·n_planes + j``, so band t is the
+    same plane set at every ``n_bands`` ≥ t+1 — which lets the tuner
+    derive every (n_planes, b) setting's candidate set from ONE
+    max-bands pass via min-matched-band)."""
     import math
 
     from dar_spark.operators.similarity import _bucket_expr, _flip_bit
 
     if screen_threshold is not None and dim is None:
         raise ValueError("screen_threshold requires dim")
+    if band_col is not None and (distinct or screen_threshold is not None):
+        raise ValueError(
+            "band_col requires distinct=False and no screen_threshold "
+            "(the band attribution rides the multiplicity-carrying stream)"
+        )
     # dim (when the caller resolved it): every plane becomes a LITERAL
     # constant array — bit-identical buckets, ~2.5x less bucket compute
     # (no per-row plane construction; see _bucket_expr).  The literal
@@ -988,6 +1018,11 @@ def srp_candidate_pairs(
             F.explode(F.array(*a_probes)).alias("_b"),
         )
         pairs = a.join(b, "_b").filter("vec_id_a < vec_id_b")
+        if band_col is not None:
+            # the join key is "t:bucket" — the band index is its prefix
+            pairs = pairs.withColumn(
+                band_col, F.expr("CAST(split(_b, ':')[0] AS INT)")
+            )
     else:
         a = e.select(
             F.col(id_col).alias("vec_id_a"),

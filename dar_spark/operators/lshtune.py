@@ -107,23 +107,46 @@ def lsh_tuning_report(
         .distinct()
         .cache()  # consumed by both the per-setting count and the truth join
     )
-    sa = sh.select(F.col(id_col).alias("ida"), F.col("s").alias("sa"))
-    sb = sh.select(F.col(id_col).alias("idb"), F.col("s").alias("sb"))
-    # ground truth: all-pairs exact Jaccard on the SAMPLE (the threshold
-    # compares the unrounded IEEE quotient — engine-identical)
-    truth = (
-        sa.join(sb, F.expr("ida < idb"))
-        .selectExpr(
-            "ida",
-            "idb",
-            "size(array_intersect(sa, sb)) AS i",
-            "size(sa) AS na",
-            "size(sb) AS nb",
+    # ground truth: exact Jaccard on the SAMPLE (the threshold compares
+    # the unrounded IEEE quotient — engine-identical).  For a POSITIVE
+    # threshold the truth set comes from a shingle equi-join (r13,
+    # guide §3.3: explode-then-equi replaces the all-pairs nested
+    # loop): a pair sharing no shingle has Jaccard 0 and cannot
+    # qualify, and per-doc shingles are DISTINCT, so the shared-shingle
+    # count per pair IS |intersection| — the identical set at a
+    # fraction of the pair evaluations.  A zero threshold (every pair
+    # qualifies, including disjoint ones) keeps the nested-loop form.
+    if jaccard_threshold > 0:
+        sizes = sh.select(F.col(id_col).alias("_id"), F.size("s").alias("_n"))
+        ga = sh.select(F.col(id_col).alias("ida"), F.explode("s").alias("g"))
+        gb = sh.select(F.col(id_col).alias("idb"), F.explode("s").alias("g"))
+        truth = (
+            ga.join(gb, "g")
+            .filter("ida < idb")
+            .groupBy("ida", "idb")
+            .agg(F.count(F.lit(1)).alias("i"))
+            .join(sizes.selectExpr("_id AS ida", "_n AS na"), "ida")
+            .join(sizes.selectExpr("_id AS idb", "_n AS nb"), "idb")
+            .filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
+            .select("ida", "idb")
+            .cache()  # consumed by the scalar count and the caught join
         )
-        .filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
-        .select("ida", "idb")
-        .cache()  # consumed by the scalar count and the caught join
-    )
+    else:
+        sa = sh.select(F.col(id_col).alias("ida"), F.col("s").alias("sa"))
+        sb = sh.select(F.col(id_col).alias("idb"), F.col("s").alias("sb"))
+        truth = (
+            sa.join(sb, F.expr("ida < idb"))
+            .selectExpr(
+                "ida",
+                "idb",
+                "size(array_intersect(sa, sb)) AS i",
+                "size(sa) AS na",
+                "size(sb) AS nb",
+            )
+            .filter(f"CAST(i AS DOUBLE) / (na + nb - i) >= {jaccard_threshold}")
+            .select("ida", "idb")
+            .cache()  # consumed by the scalar count and the caught join
+        )
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     n_cand = cands.groupBy("si").agg(F.count(F.lit(1)).alias("n_candidates"))
     caught = (
@@ -209,13 +232,45 @@ def srp_tuning_report(
     # both the truth self-join sides and every setting's candidate pass
     # read the projected vectors: cache once
     e = _as_double_vec(embeddings.select(id_col, vec_col), vec_col).cache()
-    cand = None
+    # Settings sharing n_planes share their band plane sets (global
+    # plane index = band·n_planes + j), so band t's candidates are
+    # identical at every band count ≥ t+1: ONE max-bands pass per plane
+    # count plus a min-matched-band aggregate serves every member
+    # setting — (p, b)'s candidate set is exactly {pairs: min band < b}
+    # (r13; the per-setting passes re-bucketed and re-joined the sample
+    # once per setting).  Single-member groups keep the direct pass.
+    from collections import defaultdict
+
+    groups: dict[int, list[tuple[int, int]]] = defaultdict(list)
     for si, (np_, nb_) in enumerate(settings):
-        c = srp_candidate_pairs(e, id_col, np_, nb_).select(
-            F.lit(si).alias("si"),
-            F.col("vec_id_a").alias("ida"),
-            F.col("vec_id_b").alias("idb"),
-        )
+        groups[np_].append((si, nb_))
+    cand = None
+    for np_, members in groups.items():
+        if len(members) == 1:
+            si, nb_ = members[0]
+            c = srp_candidate_pairs(e, id_col, np_, nb_).select(
+                F.lit(si).alias("si"),
+                F.col("vec_id_a").alias("ida"),
+                F.col("vec_id_b").alias("idb"),
+            )
+        else:
+            bmax = max(nb_ for _, nb_ in members)
+            pb = srp_candidate_pairs(
+                e, id_col, np_, bmax, distinct=False, band_col="_t"
+            ).select(
+                F.col("vec_id_a").alias("ida"),
+                F.col("vec_id_b").alias("idb"),
+                "_t",
+            )
+            mb = pb.groupBy("ida", "idb").agg(F.min("_t").alias("_mb"))
+            sis = ", ".join(
+                f"struct({si} AS si, {nb_} AS nb)" for si, nb_ in members
+            )
+            c = mb.select(
+                F.explode(F.expr(f"filter(array({sis}), s -> _mb < s.nb)")).alias("_s"),
+                "ida",
+                "idb",
+            ).select(F.col("_s.si").alias("si"), "ida", "idb")
         cand = c if cand is None else cand.unionByName(c)
     cand = cand.cache()  # per-setting count + truth join both read it
     a = e.select(
