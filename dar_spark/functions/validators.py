@@ -71,22 +71,30 @@ def default_null_pred(d: Dialect, x: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+_WORD_CHARS = (
+    "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ_abcdefghijklmnopqrstuvwxyz"
+)
+
+
 def phone_clean(d: Dialect, x: str) -> str:
     """Strip every non-word char (the reference's re.sub(r'\\W') + r'\\s';
     whitespace is a subset of non-word)."""
     # Two-tier evaluation of the SAME function (r12, guide §4-adjacent:
     # regexp_replace's per-row replacement machinery measured ~10× a
-    # translate/RLIKE pass over the composite fixture, and the phone
-    # family is the profiler's hottest validator).  Tier 1 deletes the
-    # common separator characters with translate(); tier 2 runs the
-    # full regex ONLY on rows that still carry a non-word char.  Every
-    # pre-stripped character is itself non-word, so
-    # re_replace(translate(x)) ≡ re_replace(x), and when the RLIKE gate
-    # finds nothing left to delete the translate result IS the cleaned
-    # value — byte-identical output on every input, in both engines.
+    # translate pass over the composite fixture, and the phone family
+    # is the profiler's hottest validator).  Tier 1 deletes the common
+    # separator characters with translate(); tier 2 runs the full regex
+    # ONLY on rows that still carry a non-word char.  Every pre-stripped
+    # character is itself non-word, so re_replace(translate(x)) ≡
+    # re_replace(x).  The gate is ITSELF a translate (r13): deleting
+    # every word char leaves exactly the non-word residue, so
+    # "residue <> ''" ⇔ the old RLIKE '[^0-9A-Za-z_]' — same rows take
+    # each branch (NULL gates NULL → ELSE, as before), at a char-table
+    # lookup per char instead of a regex matcher per row.  Output is
+    # byte-identical on every input, in both engines.
     t = f"translate({d.cast_str(x)}, ' ()+-.,/', '')"
     return (
-        f"(CASE WHEN {d.rlike(t, '[^0-9A-Za-z_]')} "
+        f"(CASE WHEN translate({t}, '{_WORD_CHARS}', '') <> '' "
         f"THEN {d.re_replace(t, '[^0-9A-Za-z_]', '')} ELSE {t} END)"
     )
 
@@ -416,7 +424,18 @@ def boro_normalized(d: Dialect, x: str) -> str:
 
 def _zip_parts(d: Dialect, x: str):
     s = f"trim({d.cast_str(x)})"
-    digits = d.re_replace(s, "[^0-9]", "")
+    # two-tier digit strip (r13, the phone_clean pattern): tier 1
+    # deletes the one common separator with translate; the full regex
+    # runs only when a translate gate finds non-digit residue.  '-' is
+    # itself non-digit, so re_replace(translate(s)) ≡ re_replace(s),
+    # and an empty residue means the translate result IS the digit
+    # string — byte-identical in both engines (NULL gates NULL → ELSE,
+    # where the regex would also yield NULL).
+    t = f"translate({s}, '-', '')"
+    digits = (
+        f"(CASE WHEN translate({t}, '0123456789', '') <> '' "
+        f"THEN {d.re_replace(t, '[^0-9]', '')} ELSE {t} END)"
+    )
     return s, digits
 
 
